@@ -1,0 +1,808 @@
+"""TPC-H-shaped analytic queries, adapted to the driver fixture schema.
+
+These are the reference's own benchmark/correctness corpus: the Tianmu
+MTR suite runs TPC-H via ``mysql-test/suite/tianmu/t/select_tpch`` and
+the revenue-aggregation shape inline in
+``mysql-test/suite/tianmu/t/ssb_small.test:52-60``; the published
+baseline (BASELINE.md) is TPC-H SF100.  The fixture tables omit some
+classic columns (no partsupp, no l_commitdate/l_shipmode, …) so queries
+needing them are adapted while keeping the operator shape — the point of
+each query (scan+agg, 6-way join, semi/anti join, disjunctive predicate
+push, double aggregation, …) is preserved.
+
+Scale notes (100 TB thinking):
+* region/nation/supplier are bounded dims → explicit ``broadcast()``.
+* customer/orders/lineitem joins shuffle on their keys; AQE handles
+  skew (session.py).  No collect, no driver-side loops anywhere.
+* All money aggregates go through the exact-decimal sum
+  (stonedb_spark.functions.exact) so results are partitioning-independent.
+* Every LIMIT carries a total-order tie-break so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonedb_spark.catalog import load_tables
+from stonedb_spark.functions.exact import DEC
+from stonedb_spark.queries import register
+
+B = F.broadcast
+
+
+def _rev(l):  # noqa: E741
+    return (l["l_extendedprice"] * (1 - l["l_discount"])).cast(DEC)
+
+
+_SQL_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary report (scan → filter → wide aggregation).
+# Reference shape: aggregation over packrows with pack-level shortcuts
+# (storage/tianmu/optimizer/aggregation_algorithm.cpp:38).
+@register(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_SQL_REV}) AS DOUBLE)                              AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(38,10))) AS DOUBLE)                      AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+         / CAST(COUNT(l_quantity) AS DOUBLE)                        AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+         / CAST(COUNT(l_extendedprice) AS DOUBLE)                   AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE)
+         / CAST(COUNT(l_discount) AS DOUBLE)                        AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary — scan+filter+8-fold aggregation",
+)
+def tpch_q1(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    disc_price = l["l_extendedprice"] * (1 - l["l_discount"])
+    charge = l["l_extendedprice"] * (1 - l["l_discount"]) * (1 + l["l_tax"])
+    return (
+        l.filter(l["l_shipdate"] <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(l["l_quantity"].cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(l["l_extendedprice"].cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+            (F.sum(l["l_quantity"].cast(DEC)).cast("double")
+             / F.count("l_quantity").cast("double")).alias("avg_qty"),
+            (F.sum(l["l_extendedprice"].cast(DEC)).cast("double")
+             / F.count("l_extendedprice").cast("double")).alias("avg_price"),
+            (F.sum(l["l_discount"].cast(DEC)).cast("double")
+             / F.count("l_discount").cast("double")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority (3-way join + agg + deterministic top-k).
+@register(
+    "tpch_q3",
+    oracle=f"""
+SELECT o.o_orderkey AS o_orderkey,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem ON l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shipping priority — customer⋈orders⋈lineitem, top-10",
+)
+def tpch_q3(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o, l = t["customer"], t["orders"], t["lineitem"]  # noqa: E741
+    return (
+        c.filter(c["c_mktsegment"] == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(o["o_orderdate"] < F.lit("1998-07-01").cast("timestamp"))
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .filter(l["l_shipdate"] > F.lit("1998-07-01").cast("timestamp"))
+        .groupBy(o["o_orderkey"], o["o_orderdate"])
+        .agg(F.sum(_rev(l)).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS → left-semi join).
+# Adapted: "late line" = l_shipdate > o_orderdate (fixture has no
+# l_commitdate).  Semi-join compilation ≈ reference IN/EXISTS descriptors
+# (storage/tianmu/core/query.cpp:1270).
+@register(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 order priority — EXISTS semi-join + agg",
+)
+def tpch_q4(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]  # noqa: E741
+    return (
+        o.filter(
+            (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (o["o_orderdate"] < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(
+            l,
+            (l["l_orderkey"] == o["o_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way join incl. broadcast dims).
+@register(
+    "tpch_q5",
+    oracle=f"""
+SELECT n_name, CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem ON l_orderkey = o.o_orderkey
+JOIN supplier s ON l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="TPC-H Q5 local supplier volume — 6-way join, broadcast dims",
+)
+def tpch_q5(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o, l = t["customer"], t["orders"], t["lineitem"]  # noqa: E741
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(
+            (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (o["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            B(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(B(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(B(r.filter(r["r_name"] == "ASIA")), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(_rev(l)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change (the ssb_small.test:52-60 shape).
+# Pure scan+filter+sum: the canonical Knowledge-Grid pruning query —
+# in Spark the date/qty/discount predicates push to the parquet scan.
+@register(
+    "tpch_q6",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 / ssb_small revenue — scan+filter+sum (pruning showcase)",
+)
+def tpch_q6(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    return (
+        l.filter(
+            (l["l_shipdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (l["l_shipdate"] < F.lit("1997-01-01").cast("timestamp"))
+            & l["l_discount"].between(0.02, 0.06)
+            & (l["l_quantity"] < 24)
+        )
+        .agg(
+            F.sum((l["l_extendedprice"] * l["l_discount"]).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (self-join on nation dim).
+@register(
+    "tpch_q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem ON s.s_suppkey = l_suppkey
+  JOIN orders o ON o.o_orderkey = l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 volume shipping — nation-pair OR predicate, year rollup",
+)
+def tpch_q7(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s, l, o, c = t["supplier"], t["lineitem"], t["orders"], t["customer"]  # noqa: E741
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(B(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(B(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (l["l_extendedprice"] * (1 - l["l_discount"])).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(F.col("volume").cast(DEC)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share (conditional aggregation over a 7-way join).
+@register(
+    "tpch_q8",
+    oracle="""
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                AS DECIMAL(38,10))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem ON p.p_partkey = l_partkey
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN orders o ON o.o_orderkey = l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc="TPC-H Q8 market share — conditional agg over 7-way join",
+)
+def tpch_q8(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p, l, s, o, c = t["part"], t["lineitem"], t["supplier"], t["orders"], t["customer"]  # noqa: E741
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = t["region"]
+    base = (
+        p.filter(p["p_type"] == "STANDARD")
+        .join(l, p["p_partkey"] == l["l_partkey"])
+        .join(B(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(B(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(B(r.filter(r["r_name"] == "AMERICA")), F.col("n1_region") == r["r_regionkey"])
+        .join(B(n2), s["s_nationkey"] == F.col("n2_key"))
+        .select(
+            F.year(o["o_orderdate"]).alias("o_year"),
+            (l["l_extendedprice"] * (1 - l["l_discount"])).alias("volume"),
+            F.col("nation"),
+        )
+    )
+    vol_dec = F.col("volume").cast(DEC)
+    nat_dec = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)).cast(DEC)
+    return (
+        base.groupBy("o_year")
+        .agg((F.sum(nat_dec).cast("double") / F.sum(vol_dec).cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product type profit (no ps_supplycost in fixtures; profit = revenue).
+@register(
+    "tpch_q9",
+    oracle=f"""
+SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(38,10))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part p
+  JOIN lineitem ON p.p_partkey = l_partkey
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN orders o ON o.o_orderkey = l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%ge%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 product-type profit — LIKE filter + 5-way join + rollup",
+)
+def tpch_q9(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p, l, s, o, n = t["part"], t["lineitem"], t["supplier"], t["orders"], t["nation"]  # noqa: E741
+    return (
+        p.filter(p["p_name"].like("%ge%"))
+        .join(l, p["p_partkey"] == l["l_partkey"])
+        .join(B(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(B(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            n["n_name"].alias("nation"),
+            F.year(o["o_orderdate"]).alias("o_year"),
+            (l["l_extendedprice"] * (1 - l["l_discount"])).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum(F.col("amount").cast(DEC)).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned item reporting (outer-dim join + top-k).
+@register(
+    "tpch_q10",
+    oracle=f"""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+       c.c_acctbal AS c_acctbal, n.n_name AS n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem ON l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 returned items — join + group + deterministic top-20",
+)
+def tpch_q10(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o, l, n = t["customer"], t["orders"], t["lineitem"], t["nation"]  # noqa: E741
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(
+            (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (o["o_orderdate"] < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .filter(l["l_returnflag"] == "R")
+        .join(B(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(c["c_custkey"], c["c_name"], c["c_acctbal"], n["n_name"])
+        .agg(F.sum(_rev(l)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping modes / priority classes (fixture has no l_shipmode:
+# classify by o_orderpriority instead; same conditional-count shape).
+@register(
+    "tpch_q12",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders o
+JOIN lineitem ON o.o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > o.o_orderdate
+GROUP BY ship_year
+ORDER BY ship_year
+""",
+    doc="TPC-H Q12 shape — join + conditional counts by class",
+)
+def tpch_q12(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]  # noqa: E741
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .filter(
+            (l["l_shipdate"] >= F.lit("1997-01-01").cast("timestamp"))
+            & (l["l_shipdate"] < F.lit("1999-01-01").cast("timestamp"))
+            & (l["l_shipdate"] > o["o_orderdate"])
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (LEFT OUTER join + double agg).
+@register(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 customer distribution — left outer join + re-aggregation",
+)
+def tpch_q13(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "5-LOW"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect (conditional revenue share).
+@register(
+    "tpch_q14",
+    oracle=f"""
+SELECT (100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(38,10))) AS DOUBLE))
+       / CAST(SUM({_SQL_REV}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    doc="TPC-H Q14 promo revenue share — join + conditional agg ratio",
+)
+def tpch_q14(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p = t["lineitem"], t["part"]  # noqa: E741
+    rev = l["l_extendedprice"] * (1 - l["l_discount"])
+    promo = F.when(p["p_type"] == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.filter(
+            (l["l_shipdate"] >= F.lit("1997-03-01").cast("timestamp"))
+            & (l["l_shipdate"] < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(p, l["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo.cast(DEC)).cast("double"))
+                / F.sum(rev.cast(DEC)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier (agg view + join against its own max: scalar subquery).
+@register(
+    "tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({_SQL_REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q15 top supplier — agg view + scalar-subquery max",
+)
+def tpch_q15(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, s = t["lineitem"], t["supplier"]  # noqa: E741
+    revenue = (
+        l.filter(
+            (l["l_shipdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (l["l_shipdate"] < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(l["l_suppkey"].alias("supplier_no"))
+        .agg(F.sum(_rev(l)).cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
+        .join(B(max_rev), F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg subquery → group+join).
+@register(
+    "tpch_q17",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey,
+         0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                / CAST(COUNT(l_quantity) AS DOUBLE)) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON a.a_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.half_avg_qty
+""",
+    doc="TPC-H Q17 small-quantity orders — per-part avg subquery",
+)
+def tpch_q17(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p = t["lineitem"], t["part"]  # noqa: E741
+    avg_qty = l.groupBy(l["l_partkey"].alias("a_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(l["l_quantity"].cast(DEC)).cast("double") / F.count("l_quantity").cast("double"))
+        ).alias("half_avg_qty")
+    )
+    return (
+        l.join(B(p.filter(p["p_brand"] == "Brand#1")), p["p_partkey"] == l["l_partkey"])
+        .join(avg_qty, F.col("a_partkey") == l["l_partkey"])
+        .filter(l["l_quantity"] < F.col("half_avg_qty"))
+        .agg((F.sum(l["l_extendedprice"].cast(DEC)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING on grouped sum → IN-subquery join).
+@register(
+    "tpch_q18",
+    oracle="""
+SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+       o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       o.o_totalprice AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem ON o.o_orderkey = l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 180
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 large-volume customers — HAVING + IN semi-join + top-100",
+)
+def tpch_q18(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o, l = t["customer"], t["orders"], t["lineitem"]  # noqa: E741
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+        .filter(F.col("sq") > 180)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(big, o["o_orderkey"] == F.col("big_orderkey"), "left_semi")
+        .join(l.alias("lx"), o["o_orderkey"] == F.col("lx.l_orderkey"))
+        .groupBy(c["c_name"], c["c_custkey"], o["o_orderkey"], o["o_orderdate"], o["o_totalprice"])
+        .agg(F.sum(F.col("lx.l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunction of conjunctions; the reference
+# compiles this to an OR-tree descriptor, storage/tianmu/optimizer/
+# compile/descriptor.h:44-70 — Catalyst handles the OR push natively).
+@register(
+    "tpch_q19",
+    oracle=f"""
+SELECT CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    doc="TPC-H Q19 discounted revenue — OR-of-ANDs predicate tree",
+)
+def tpch_q19(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p = t["lineitem"], t["part"]  # noqa: E741
+    cond = (
+        ((p["p_brand"] == "Brand#1") & p["p_size"].between(1, 15) & l["l_quantity"].between(1, 21))
+        | ((p["p_brand"] == "Brand#2") & p["p_size"].between(1, 25) & l["l_quantity"].between(10, 30))
+        | ((p["p_brand"] == "Brand#3") & p["p_size"].between(1, 35) & l["l_quantity"].between(20, 40))
+    )
+    return (
+        l.join(B(p), p["p_partkey"] == l["l_partkey"])
+        .filter(cond)
+        .agg(F.sum(_rev(l)).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: semi + anti EXISTS).
+# A supplier's line shipped late (l_shipdate > o_orderdate + 60 days) on a
+# multi-supplier order where no OTHER supplier shipped late.
+@register(
+    "tpch_q21",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+    doc="TPC-H Q21 waiting suppliers — EXISTS + NOT EXISTS anti-join",
+)
+def tpch_q21(spark, sf_dir):
+    spark  # noqa: B018 — tables come via temp views
+    load_tables(spark, sf_dir)
+    # Correlated EXISTS/NOT EXISTS with inequality correlation is exactly
+    # what Catalyst's subquery decorrelation handles; express in SQL.
+    return spark.sql(
+        """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity (adapted: nationkey bands for cntrycode;
+# scalar avg subquery + NOT EXISTS anti-join).
+@register(
+    "tpch_q22",
+    oracle="""
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c.c_nationkey % 5 AS cntrycode, c.c_acctbal AS c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+                              / CAST(COUNT(c_acctbal) AS DOUBLE)
+                       FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    doc="TPC-H Q22 sales opportunity — scalar-avg subquery + anti-join",
+)
+def tpch_q22(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    avg_bal = (
+        c.filter(c["c_acctbal"] > 0.0)
+        .agg(
+            (F.sum(c["c_acctbal"].cast(DEC)).cast("double") / F.count("c_acctbal").cast("double")).alias(
+                "ab"
+            )
+        )
+    )
+    return (
+        c.crossJoin(B(avg_bal))
+        .filter(c["c_acctbal"] > F.col("ab"))
+        .join(
+            o.filter(o["o_orderstatus"] == "P"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .select((c["c_nationkey"] % 5).alias("cntrycode"), c["c_acctbal"])
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

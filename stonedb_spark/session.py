@@ -1,0 +1,63 @@
+"""SparkSession bootstrap with scale-oriented defaults.
+
+The reference engine's per-pack pruning / parallel kernels
+(storage/tianmu/core/engine.h:151-153, thread pools) map onto Spark's
+vectorized Parquet reader + whole-stage codegen; the Knowledge-Grid
+rough pruning (storage/tianmu/core/parameterized_filter.cpp:1145)
+maps onto Parquet row-group statistics pushdown + AQE runtime
+re-planning — so the session turns all of those on explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the test rig (local[32], 128 GiB). On a real cluster the same
+# code runs unchanged; only master/memory/shuffle-partitions change. The
+# shuffle-partition count is intentionally set equal to the core count for
+# local runs — AQE coalesces small partitions anyway, and at 100 TB you
+# would raise spark.sql.shuffle.partitions (or let AQE's
+# advisoryPartitionSizeInBytes govern) rather than touch query code.
+_LOCAL_DEFAULTS = {
+    # --- adaptive execution: runtime re-plan ≈ the reference's runtime
+    # join-algorithm fallback (storage/tianmu/optimizer/joiner.cpp:97-104)
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- pruning ≈ Knowledge Grid (SURVEY.md §4.4-4.5)
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # --- CBO for join reorder (≈ DescriptorJoinOrdering, SURVEY §4.6)
+    "spark.sql.cbo.enabled": "true",
+    # --- Arrow for the few pandas-UDF operators (dedup/similarity)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # deterministic comparisons against the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # the events fixture stores timestamp[ns]; read as long, catalog.py
+    # converts to microsecond timestamps (Spark has no nanos type)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # quiet + stable local shuffle sizing
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def get_spark(app_name: str = "stonedb_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local test rig only — on a cluster you'd submit with your own master
+    and the same SQL-level confs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_LOCAL_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
