@@ -1,1 +1,643 @@
-"""Placeholder — filled in as operators land."""
+"""Relational operator battery — SURVEY.md §2.2-2.7 inventory.
+
+One registered query per operator family the reference implements,
+modeled on its MTR suite (mysql-test/suite/tianmu/t/): predicates
+(between_and.test, like_not_like.test, orquery.test), aggregation
+(aggregate.test, std_test.test, func_bit.test, group_concat.test),
+joins (inner/left/various_join.test, semi-join.test), sort/limit
+(select_order_by.test, select_limit.test), distinct/union
+(select_distinct.test, union.test), subqueries (in_subquery.test,
+various_subquery.test) — plus Spark-side extensions the reference
+lacks (window functions, rollup; SURVEY §2.5 notes parity requires
+none, these exceed it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonedb_spark.catalog import load_tables
+from stonedb_spark.functions.exact import DEC
+from stonedb_spark.operators.thetajoin import binned_range_join
+from stonedb_spark.queries import register
+
+B = F.broadcast
+
+
+# --------------------------------------------------------------------------
+# §2.2 predicates: BETWEEN / LIKE (with escape) / IN / IS NULL / OR-tree.
+# Reference kernels: EvaluatePack_Like / _InString / _BetweenInt
+# (storage/tianmu/vc/tianmu_attr_exqp.cpp:405,553,870).
+@register(
+    "pred_battery",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE (p_size BETWEEN 10 AND 40)
+  AND p_name LIKE '%e%'
+  AND p_name NOT LIKE 'sm!%%' ESCAPE '!'
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4')
+  AND p_retailprice IS NOT NULL
+  AND (p_type = 'PROMO' OR p_type = 'STANDARD' OR p_size > 30)
+ORDER BY p_partkey
+""",
+    doc="predicate battery: BETWEEN, LIKE+ESCAPE, IN, IS NOT NULL, OR-tree",
+)
+def pred_battery(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return (
+        p.filter(
+            p["p_size"].between(10, 40)
+            & p["p_name"].like("%e%")
+            & F.expr("p_name NOT LIKE 'sm!%%' ESCAPE '!'")
+            & p["p_brand"].isin("Brand#1", "Brand#2", "Brand#3", "Brand#4")
+            & p["p_retailprice"].isNotNull()
+            & ((p["p_type"] == "PROMO") | (p["p_type"] == "STANDARD") | (p["p_size"] > 30))
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 column-vs-column θ predicates (EvaluatePack_AttrAttr,
+# storage/tianmu/vc/tianmu_attr_exqp.cpp:1044).
+@register(
+    "pred_col_vs_col",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+FROM lineitem
+WHERE l_tax > l_discount AND l_quantity > l_tax * 100.0
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="column-vs-column θ predicates (AttrAttr kernel)",
+)
+def pred_col_vs_col(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    return (
+        l.filter((l["l_tax"] > l["l_discount"]) & (l["l_quantity"] > l["l_tax"] * 100.0))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 statistical aggregates.  The reference implements
+# STDDEV/VAR pop/samp as AggregatorStat* (storage/tianmu/optimizer/
+# aggregator_advanced.h:40-152) with the textbook sum/sum-of-squares
+# formula — reproduced here through exact decimal sums so the result is
+# identical under any partitioning (the builtin streaming stddev is not).
+@register(
+    "agg_stats",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_bal,
+       (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+        - CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+          * CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE))
+       / CAST(COUNT(*) AS DOUBLE) AS var_pop,
+       (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+        - CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+          * CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE))
+       / CAST(COUNT(*) - 1 AS DOUBLE) AS var_samp
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="VAR_POP/VAR_SAMP via exact sum/sum-of-squares (AggregatorStat*)",
+)
+def agg_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    s1 = F.sum(c["c_acctbal"].cast(DEC)).cast("double")
+    s2 = F.sum((c["c_acctbal"] * c["c_acctbal"]).cast(DEC)).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (s1 / n).alias("mean_bal"),
+            ((s2 - s1 * s1 / n) / n).alias("var_pop"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_samp"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 bit aggregates (BIT_AND/OR/XOR, storage/tianmu/optimizer/
+# aggregator_advanced.h:153-211; tests func_bit.test).
+@register(
+    "agg_bits",
+    oracle="""
+SELECT o_orderstatus,
+       BIT_AND(o_orderkey) AS band,
+       BIT_OR(o_orderkey)  AS bor,
+       BIT_XOR(o_orderkey) AS bxor,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="BIT_AND / BIT_OR / BIT_XOR grouped aggregates",
+)
+def agg_bits(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(o["o_orderkey"]).alias("band"),
+            F.bit_or(o["o_orderkey"]).alias("bor"),
+            F.bit_xor(o["o_orderkey"]).alias("bxor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 GROUP_CONCAT with separator + deterministic order + DISTINCT
+# (AggregatorGroupConcat, storage/tianmu/optimizer/aggregator_advanced.h:212;
+# group_concat.test).  Spark: concat_ws ∘ sort_array ∘ collect_list.
+@register(
+    "agg_group_concat",
+    oracle="""
+SELECT n_regionkey,
+       STRING_AGG(n_name, '|' ORDER BY n_name) AS nations,
+       STRING_AGG(DISTINCT n_name, '|' ORDER BY n_name) AS nations_distinct
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    doc="GROUP_CONCAT(sep, ORDER BY, DISTINCT) via concat_ws∘sort_array∘collect_list",
+)
+def agg_group_concat(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    n = t["nation"]
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.concat_ws("|", F.sort_array(F.array_distinct(F.collect_list("n_name")))).alias(
+                "nations_distinct"
+            ),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 COUNT(DISTINCT) battery incl. multi-arg + HAVING
+# (aggregation_algorithm.cpp:184 exact distinct; having.test).
+@register(
+    "agg_count_distinct_having",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)  AS nd_part,
+       COUNT(DISTINCT l_suppkey)  AS nd_supp,
+       COUNT(DISTINCT l_orderkey) AS nd_order,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+HAVING COUNT(DISTINCT l_partkey) > 10
+ORDER BY l_returnflag
+""",
+    doc="COUNT(DISTINCT) ×3 + HAVING filter",
+)
+def agg_count_distinct_having(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.countDistinct("l_orderkey").alias("nd_order"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("nd_part") > 10)
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 θ-join via the binned-range-join operator (scale path for the
+# reference's sort join, storage/tianmu/optimizer/joiner_sort.cpp:30).
+# The oracle states the plain non-equi semantics; the Spark side proves
+# the equi-join binning rewrite is equivalent.
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, COUNT(s.s_suppkey) AS n_close,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS sum_close_bal
+FROM customer c
+JOIN supplier s
+  ON s.s_acctbal BETWEEN c.c_acctbal - 50.0 AND c.c_acctbal + 50.0
+GROUP BY c.c_custkey
+ORDER BY c_custkey
+""",
+    doc="θ/range join via binned equi-join rewrite (sort-join analog)",
+)
+def join_theta_range(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey", "c_acctbal")
+    s = t["supplier"].select("s_suppkey", "s_acctbal")
+    joined = binned_range_join(
+        points=s,
+        point_col="s_acctbal",
+        intervals=c.withColumn("lo", c["c_acctbal"] - 50.0).withColumn(
+            "hi", c["c_acctbal"] + 50.0
+        ),
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=100.0,
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(
+            F.count("s_suppkey").alias("n_close"),
+            F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("sum_close_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 outer joins + the "null only" anti pattern
+# (storage/tianmu/core/parameterized_filter.cpp:1383-1400).
+@register(
+    "join_left_isnull_anti",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+WHERE o.o_orderkey IS NULL
+ORDER BY c_custkey
+""",
+    doc="LEFT JOIN … IS NULL anti-join (null-only shortcut)",
+)
+def join_left_isnull_anti(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    return (
+        c.join(
+            o.filter(o["o_orderstatus"] == "P"),
+            c["c_custkey"] == o["o_custkey"],
+            "left",
+        )
+        .filter(o["o_orderkey"].isNull())
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 FULL OUTER join (JO_FULL, storage/tianmu/optimizer/compile/
+# cq_term.h:60) with mismatched key sets on both sides.
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT f.key_f AS key_f, p.key_p AS key_p, f.n_f AS n_f, p.n_p AS n_p
+FROM (SELECT o_custkey AS key_f, COUNT(*) AS n_f FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+FULL OUTER JOIN
+     (SELECT o_custkey AS key_p, COUNT(*) AS n_p FROM orders
+      WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+  ON f.key_f = p.key_p
+ORDER BY key_f NULLS LAST, key_p NULLS LAST
+""",
+    doc="FULL OUTER join with null-extended tuples on both sides",
+)
+def join_full_outer(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    f = (
+        o.filter(o["o_orderstatus"] == "F")
+        .groupBy(F.col("o_custkey").alias("key_f"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    p = (
+        o.filter(o["o_orderstatus"] == "P")
+        .groupBy(F.col("o_custkey").alias("key_p"))
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    return (
+        f.join(p, f["key_f"] == p["key_p"], "full_outer")
+        .select("key_f", "key_p", "n_f", "n_p")
+        .orderBy(F.asc_nulls_last("key_f"), F.asc_nulls_last("key_p"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 cartesian product (MultiIndex::AddDimension_cross,
+# storage/tianmu/index/multi_index.h:43) — bounded dims only.
+@register(
+    "join_cross_dims",
+    oracle="""
+SELECT r_name, n_name, COUNT(*) AS n
+FROM region CROSS JOIN nation
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    doc="cartesian product of bounded dims + agg",
+)
+def join_cross_dims(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .crossJoin(B(t["nation"]))
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 ORDER BY multi-key + LIMIT/OFFSET (top-k; TempTable::
+# OrderByAndMaterialize, storage/tianmu/core/temp_table_low.cpp:43;
+# ApplyOffset temp_table.cpp:1810).  Spark plans TakeOrderedAndProject.
+@register(
+    "sort_topk_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15 OFFSET 5
+""",
+    doc="multi-key ORDER BY + LIMIT/OFFSET (native top-k)",
+)
+def sort_topk_offset(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15 OFFSET 5
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4/§2.7 SELECT DISTINCT (just_distinct aggregation mode,
+# storage/tianmu/optimizer/aggregation_algorithm.cpp:57).
+@register(
+    "distinct_select",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-03-01'
+ORDER BY l_returnflag, l_linestatus, l_shipdate
+""",
+    doc="SELECT DISTINCT multi-column",
+)
+def distinct_select(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    return (
+        l.filter(l["l_shipdate"] < F.lit("1995-03-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_shipdate")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 UNION ALL + UNION DISTINCT with global order/limit
+# (TempTable::Union, storage/tianmu/core/temp_table.cpp:1318,1344).
+@register(
+    "union_all_distinct",
+    oracle="""
+SELECT * FROM (
+  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 4000
+  UNION ALL
+  SELECT s_nationkey AS k FROM supplier
+  UNION
+  SELECT n_nationkey AS k FROM nation WHERE n_regionkey < 2
+)
+ORDER BY k
+""",
+    doc="UNION ALL + UNION DISTINCT mixed, global order",
+)
+def union_all_distinct(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c, s, n = t["customer"], t["supplier"], t["nation"]
+    a = c.filter(c["c_acctbal"] > 4000).select(c["c_nationkey"].cast("int").alias("k"))
+    b = s.select(s["s_nationkey"].cast("int").alias("k"))
+    d = n.filter(n["n_regionkey"] < 2).select(n["n_nationkey"].cast("int").alias("k"))
+    # SQL precedence: UNION ALL result union-distinct'd with the third arm.
+    return a.union(b).union(d).distinct().orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# §2.7 IN / NOT IN subqueries (in_subquery.test; compiled to O_IN
+# descriptors, storage/tianmu/core/query.cpp:1270).
+@register(
+    "subq_in_notin",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                        WHERE l_quantity = 50
+                          AND l_shipdate < TIMESTAMP '1995-03-01')
+ORDER BY s_suppkey
+""",
+    doc="IN + NOT IN subqueries (semi/anti join rewrite)",
+)
+def subq_in_notin(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s, n, l = t["supplier"], t["nation"], t["lineitem"]  # noqa: E741
+    in_keys = n.filter(n["n_regionkey"] == 0).select("n_nationkey")
+    notin_keys = l.filter(
+        (l["l_quantity"] == 50) & (l["l_shipdate"] < F.lit("1995-03-01").cast("timestamp"))
+    ).select("l_suppkey")
+    return (
+        s.join(B(in_keys), s["s_nationkey"] == in_keys["n_nationkey"], "left_semi")
+        .join(notin_keys, s["s_suppkey"] == notin_keys["l_suppkey"], "left_anti")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 correlated EXISTS + scalar subquery (SubSelectColumn,
+# storage/tianmu/vc/subselect_column.h:39) — Catalyst decorrelates.
+@register(
+    "subq_correlated",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2.0 * (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+                                          AS DOUBLE)
+                                     / CAST(COUNT(l_extendedprice) AS DOUBLE)
+                              FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+ORDER BY o_orderkey
+""",
+    doc="correlated scalar subquery + correlated EXISTS",
+)
+def subq_correlated(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2.0 * (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+                                          AS DOUBLE)
+                                     / CAST(COUNT(l_extendedprice) AS DOUBLE)
+                              FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+ORDER BY o_orderkey
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 ALL/ANY comparisons (O_*_ALL/_ANY, storage/tianmu/common/
+# common_definitions.h:185-201).  Spark lacks quantified-comparison
+# syntax, so both sides use the equivalent MAX/MIN rewrite — exactly
+# what Catalyst/MySQL do internally.
+@register(
+    "subq_all_any",
+    oracle="""
+SELECT s_suppkey, s_acctbal
+FROM supplier
+WHERE s_acctbal > (SELECT MAX(c_acctbal) FROM customer WHERE c_nationkey = 0)
+   OR s_acctbal < (SELECT MIN(c_acctbal) FROM customer WHERE c_nationkey = 0)
+ORDER BY s_suppkey
+""",
+    doc="> ALL / < ALL quantified comparisons via MAX/MIN rewrite",
+)
+def subq_all_any(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s, c = t["supplier"], t["customer"]
+    bounds = c.filter(c["c_nationkey"] == 0).agg(
+        F.max("c_acctbal").alias("mx"), F.min("c_acctbal").alias("mn")
+    )
+    return (
+        s.crossJoin(B(bounds))
+        .filter((s["s_acctbal"] > F.col("mx")) | (s["s_acctbal"] < F.col("mn")))
+        .select("s_suppkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 CASE/WHEN control flow (case_function.test, flow_control_function.test).
+@register(
+    "case_when_buckets",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 20000 THEN 'small'
+            WHEN o_totalprice < 50000 THEN 'medium'
+            WHEN o_totalprice < 100000 THEN 'large'
+            ELSE 'huge' END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="CASE WHEN bucketing + agg",
+)
+def case_when_buckets(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    bucket = (
+        F.when(o["o_totalprice"] < 20000, "small")
+        .when(o["o_totalprice"] < 50000, "medium")
+        .when(o["o_totalprice"] < 100000, "large")
+        .otherwise("huge")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(o["o_totalprice"].cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Beyond parity (SURVEY §2.5): window functions — rank / lag / running
+# sum per partition.  The reference routes these to MySQL (none in 5.7);
+# Spark Window covers them natively.
+@register(
+    "window_rank_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       LAG(o_orderkey) OVER w AS prev_order,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn
+LIMIT 500
+""",
+    doc="window functions: row_number/rank/lag/running sum (beyond reference)",
+)
+def window_rank_running(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.sum(o["o_totalprice"].cast(DEC)).over(wsum).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "rn")
+        .limit(500)
+    )
+
+
+# --------------------------------------------------------------------------
+# Beyond parity: ROLLUP (the reference routes WITH ROLLUP to MySQL,
+# storage/tianmu/core/query_compile.cpp:70-74; Spark does it natively).
+@register(
+    "rollup_region_nation",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS total_bal,
+       COUNT(*) AS n
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS LAST, n_name NULLS LAST
+""",
+    doc="GROUP BY ROLLUP hierarchy totals (beyond reference)",
+)
+def rollup_region_nation(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    return (
+        s.join(B(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(B(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(s["s_acctbal"].cast(DEC)).cast("double").alias("total_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.asc_nulls_last("r_name"), F.asc_nulls_last("n_name"))
+    )
