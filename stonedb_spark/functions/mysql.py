@@ -1,0 +1,196 @@
+"""MySQL 5.7 dialect shims over pyspark.sql.functions.
+
+The reference implements NO scalar functions of its own — every
+expression is delegated to MySQL's Item evaluator
+(storage/tianmu/core/mysql_expression.cpp:164-180, SURVEY.md §2.8), so
+its scalar surface is MySQL 5.7's function library.  This module is the
+dialect layer: MySQL names/semantics expressed as Catalyst expressions
+(never row-at-a-time Python UDFs — everything here stays inside
+whole-stage codegen).
+
+Test corpus parity: mysql-test/suite/tianmu/t/ function tests
+(date_formats_func.test, func_math.test, case_function.test,
+md5_function.test, period_diff.test, sec_to_time.test, …).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# DATE_FORMAT: MySQL % codes → JVM (java.time) datetime patterns.
+# Coverage: the codes exercised by date_formats_func.test.
+_MYSQL_TO_JVM = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%M": "MMMM",
+    "%b": "MMM",
+    "%m": "MM",
+    "%c": "M",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%h": "hh",
+    "%I": "hh",
+    "%l": "h",
+    "%i": "mm",
+    "%s": "ss",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%p": "a",
+    "%W": "EEEE",
+    "%a": "EEE",
+    "%j": "DDD",
+    "%T": "HH:mm:ss",
+    "%r": "hh:mm:ss a",
+}
+
+
+def mysql_format_to_jvm(fmt: str) -> str:
+    """Translate a MySQL DATE_FORMAT pattern into a JVM pattern."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok == "%%":
+                out.append("'%'")
+            elif tok in _MYSQL_TO_JVM:
+                out.append(_MYSQL_TO_JVM[tok])
+            else:
+                raise ValueError(f"unsupported DATE_FORMAT code {tok!r}")
+            i += 2
+        else:
+            # literal text must be quoted in JVM patterns if alphabetic
+            if re.match(r"[A-Za-z]", ch):
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def date_format(col: Column | str, mysql_fmt: str) -> Column:
+    """MySQL DATE_FORMAT(col, '%Y-%m-%d ...')."""
+    return F.date_format(col, mysql_format_to_jvm(mysql_fmt))
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic / control with MySQL names.
+def div(a: Column, b: Column) -> Column:
+    """MySQL ``a DIV b``: integer division truncating toward zero."""
+    return (a.cast("double") / b.cast("double")).cast("long")
+
+
+def mod(a: Column, b: Column) -> Column:
+    return a % b
+
+
+def if_(cond: Column, then: Column, otherwise: Column) -> Column:
+    """MySQL IF(cond, a, b)."""
+    return F.when(cond, then).otherwise(otherwise)
+
+
+def ifnull(a: Column, b: Column) -> Column:
+    return F.coalesce(a, b)
+
+
+def nullif(a: Column, b: Column) -> Column:
+    return F.nullif(a, b)
+
+
+def truncate(x: Column, d: int) -> Column:
+    """MySQL TRUNCATE(x, d): toward zero at d decimal places."""
+    scale = 10**d
+    return (x * F.lit(float(scale))).cast("long").cast("double") / F.lit(float(scale))
+
+
+def conv(n: Column | str, from_base: int, to_base: int) -> Column:
+    """MySQL CONV(N, from_base, to_base) — base conversion, uppercase."""
+    return F.conv(n, from_base, to_base)
+
+
+def period_diff(p1: Column, p2: Column) -> Column:
+    """MySQL PERIOD_DIFF(YYYYMM, YYYYMM) → months between periods."""
+    months = lambda p: (p.cast("long") / 100).cast("long") * 12 + (p.cast("long") % 100)  # noqa: E731
+    return months(p1) - months(p2)
+
+
+def sec_to_time(seconds: Column) -> Column:
+    """MySQL SEC_TO_TIME(s) → 'HH:MM:SS' string (TIME has no Spark type)."""
+    s = seconds.cast("long")
+    return F.concat_ws(
+        ":",
+        F.lpad((s / 3600).cast("long").cast("string"), 2, "0"),
+        F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+
+
+def week_iso(col: Column | str) -> Column:
+    """MySQL WEEK(d, 3) — ISO-8601 week of year (mode 3; SURVEY §7 notes
+    the other WEEK modes are a documented dialect gap)."""
+    return F.weekofyear(col)
+
+
+def dayofweek(col: Column | str) -> Column:
+    """MySQL DAYOFWEEK: 1 = Sunday … 7 = Saturday (ODBC standard)."""
+    return F.dayofweek(col)
+
+
+def weekday(col: Column | str) -> Column:
+    """MySQL WEEKDAY: 0 = Monday … 6 = Sunday."""
+    return (F.dayofweek(col) + 5) % 7
+
+
+def last_day(col: Column | str) -> Column:
+    return F.last_day(col)
+
+
+def datediff(a: Column | str, b: Column | str) -> Column:
+    """MySQL DATEDIFF(a, b) = days(a) - days(b)."""
+    return F.datediff(a, b)
+
+
+def timestampdiff_day(a: Column, b: Column) -> Column:
+    """MySQL TIMESTAMPDIFF(DAY, a, b) — full days from a to b."""
+    return (b.cast("long") - a.cast("long")).cast("long") / F.lit(86400)
+
+
+def left(s: Column | str, n: int) -> Column:
+    return F.substring(s, 1, n)
+
+
+def right(s: Column | str, n: int) -> Column:
+    c = F.col(s) if isinstance(s, str) else s
+    return F.substring(c, -n, n)
+
+
+def mid(s: Column | str, pos: int, n: int) -> Column:
+    """MySQL MID/SUBSTRING(s, pos, n) — 1-based."""
+    return F.substring(s, pos, n)
+
+
+def instr(s: Column | str, sub: str) -> Column:
+    return F.instr(s, sub)
+
+
+def ascii_(s: Column | str) -> Column:
+    return F.ascii(s)
+
+
+def repeat(s: Column | str, n: int) -> Column:
+    return F.repeat(s, n)
+
+
+def md5(s: Column | str) -> Column:
+    return F.md5(s)
+
+
+def sha256(s: Column | str) -> Column:
+    return F.sha2(F.col(s) if isinstance(s, str) else s, 256)

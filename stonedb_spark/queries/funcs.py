@@ -1,1 +1,325 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar-function battery — SURVEY.md §2.8.
+
+The reference's scalar surface is MySQL 5.7's function library (it
+delegates to MySQL's Item evaluator, storage/tianmu/core/
+mysql_expression.cpp).  Each query here exercises a family from the
+Tianmu function-test corpus through the stonedb_spark.functions.mysql
+dialect shims, with the DuckDB oracle expressing the identical
+semantics in DuckDB's own dialect (strftime C codes, trunc, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonedb_spark.catalog import load_tables
+from stonedb_spark.functions import mysql as my
+from stonedb_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# Date/time extraction family (day_func.test, hour_func.test, week*.test,
+# last_day.test, yearweek_func.test).
+@register(
+    "func_datetime_extract",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT)    AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT)   AS mo,
+       CAST(EXTRACT(day FROM o_orderdate) AS INT)     AS d,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+       CAST(EXTRACT(dayofyear FROM o_orderdate) AS INT) AS doy,
+       CAST(EXTRACT(isodow FROM o_orderdate) % 7 + 1 AS INT) AS dow_mysql,
+       CAST(EXTRACT(isodow FROM o_orderdate) - 1 AS INT)     AS weekday_mysql,
+       CAST(EXTRACT(week FROM o_orderdate) AS INT)    AS iso_week,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS last_dom,
+       DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate)  AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+""",
+    doc="YEAR/MONTH/DAY/QUARTER/DAYOFYEAR/DAYOFWEEK/WEEKDAY/WEEK/LAST_DAY/DATEDIFF",
+)
+def func_datetime_extract(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    d = o["o_orderdate"]
+    return (
+        o.filter(o["o_orderkey"] <= 200)
+        .select(
+            "o_orderkey",
+            F.year(d).alias("y"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("d"),
+            F.quarter(d).alias("q"),
+            F.dayofyear(d).alias("doy"),
+            my.dayofweek(d).alias("dow_mysql"),
+            my.weekday(d).cast("int").alias("weekday_mysql"),
+            my.week_iso(d).alias("iso_week"),
+            my.last_day(d).cast("timestamp").alias("last_dom"),
+            my.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# DATE_FORMAT with MySQL % codes (date_formats_func.test) — the shim
+# translates to JVM patterns; DuckDB oracle uses C strftime codes.
+@register(
+    "func_date_format",
+    oracle="""
+SELECT event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS full_dt,
+       STRFTIME(ts, '%d/%m/%y')          AS dmy,
+       STRFTIME(ts, '%H:%M')             AS hm,
+       STRFTIME(ts, '%j')                AS doy_str
+FROM events
+WHERE event_id <= 100
+ORDER BY event_id
+""",
+    doc="DATE_FORMAT %-code translation (MySQL %i/%s vs C %M/%S)",
+)
+def func_date_format(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    return (
+        e.filter(e["event_id"] <= 100)
+        .select(
+            "event_id",
+            my.date_format(e["ts"], "%Y-%m-%d %H:%i:%s").alias("full_dt"),
+            my.date_format(e["ts"], "%d/%m/%y").alias("dmy"),
+            my.date_format(e["ts"], "%H:%i").alias("hm"),
+            my.date_format(e["ts"], "%j").alias("doy_str"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# String-function family (concat_func.test, char_length.test,
+# left_right_mid_substring_func.test, replace.test, ascii_func.test).
+@register(
+    "func_string",
+    oracle="""
+SELECT p_partkey,
+       p_name || '/' || p_brand                    AS concatenated,
+       LENGTH(p_name)                              AS clen,
+       UPPER(p_name)                               AS up,
+       LOWER(p_brand)                              AS lo,
+       SUBSTRING(p_name, 1, 4)                     AS l4,
+       SUBSTRING(p_name, LENGTH(p_name) - 2, 3)    AS r3,
+       SUBSTRING(p_name, 2, 5)                     AS m25,
+       REPLACE(p_name, ' ', '_')                   AS underscored,
+       REVERSE(p_brand)                            AS rev,
+       STRPOS(p_name, 'e')                         AS pos_e,
+       ASCII(p_name)                               AS first_ascii,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0')    AS padded,
+       TRIM('  ' || p_brand || ' ')                AS trimmed,
+       REPEAT('ab', 3)                             AS rpt
+FROM part
+WHERE p_partkey <= 100
+ORDER BY p_partkey
+""",
+    doc="CONCAT/LENGTH/UPPER/LOWER/LEFT/RIGHT/MID/REPLACE/REVERSE/INSTR/ASCII/LPAD/TRIM/REPEAT",
+)
+def func_string(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    name, brand = p["p_name"], p["p_brand"]
+    return (
+        p.filter(p["p_partkey"] <= 100)
+        .select(
+            "p_partkey",
+            F.concat(name, F.lit("/"), brand).alias("concatenated"),
+            F.char_length(name).alias("clen"),
+            F.upper(name).alias("up"),
+            F.lower(brand).alias("lo"),
+            my.left(name, 4).alias("l4"),
+            my.right(name, 3).alias("r3"),
+            my.mid(name, 2, 5).alias("m25"),
+            F.replace(name, F.lit(" "), F.lit("_")).alias("underscored"),
+            F.reverse(brand).alias("rev"),
+            F.instr(name, "e").cast("long").alias("pos_e"),
+            F.ascii(name).alias("first_ascii"),
+            F.lpad(p["p_partkey"].cast("string"), 8, "0").alias("padded"),
+            F.trim(F.concat(F.lit("  "), brand, F.lit(" "))).alias("trimmed"),
+            F.repeat(F.lit("ab"), 3).alias("rpt"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Math family (func_math.test, div_func.test, mod_func.test,
+# truncate_func.test).  Transcendentals are rounded to 9 decimals on
+# both sides — libm vs JVM can differ in the last ulp.
+@register(
+    "func_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25.0)                        AS abs_dev,
+       CEIL(l_extendedprice / 1000.0)                AS ceil_k,
+       FLOOR(l_extendedprice / 1000.0)               AS floor_k,
+       ROUND(l_extendedprice * l_discount, 2)        AS rounded,
+       CAST(l_orderkey % 97 AS BIGINT)               AS mod97,
+       CAST(TRUNC(CAST(l_orderkey AS DOUBLE) / 7.0) AS BIGINT) AS div7,
+       TRUNC(l_extendedprice * 0.01 * 100.0) / 100.0 AS trunc2,
+       ROUND(SQRT(l_extendedprice), 9)               AS sq,
+       ROUND(LN(l_extendedprice + 1.0), 9)           AS lnp,
+       ROUND(POWER(l_quantity, 2.0), 9)              AS pw,
+       SIGN(l_discount - 0.05)                       AS sg,
+       GREATEST(l_quantity, l_extendedprice * 0.001) AS gr,
+       LEAST(l_tax, l_discount)                      AS le
+FROM lineitem
+WHERE l_orderkey <= 120
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="ABS/CEIL/FLOOR/ROUND/MOD/DIV/TRUNCATE/SQRT/LN/POWER/SIGN/GREATEST/LEAST",
+)
+def func_math(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    price, qty = l["l_extendedprice"], l["l_quantity"]
+    return (
+        l.filter(l["l_orderkey"] <= 120)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(qty - 25.0).alias("abs_dev"),
+            F.ceil(price / 1000.0).alias("ceil_k"),
+            F.floor(price / 1000.0).alias("floor_k"),
+            F.round(price * l["l_discount"], 2).alias("rounded"),
+            (l["l_orderkey"] % 97).cast("long").alias("mod97"),
+            my.div(l["l_orderkey"], F.lit(7)).alias("div7"),
+            my.truncate(price * 0.01, 2).alias("trunc2"),
+            F.round(F.sqrt(price), 9).alias("sq"),
+            F.round(F.log(price + 1.0), 9).alias("lnp"),
+            F.round(F.pow(qty, F.lit(2.0)), 9).alias("pw"),
+            F.signum(l["l_discount"] - 0.05).alias("sg"),
+            F.greatest(qty, price * 0.001).alias("gr"),
+            F.least(l["l_tax"], l["l_discount"]).alias("le"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# Control flow + null handling (flow_control_function.test,
+# case_function.test, coalesce.test, empty_string_not_null.test).
+@register(
+    "func_control_null",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'rich'
+            WHEN c_acctbal > 0 THEN 'ok' ELSE 'broke' END AS klass,
+       IFNULL(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')  AS seg_masked,
+       COALESCE(NULLIF(c_name, ''), 'unnamed')            AS name_nz,
+       (c_name = '')                                      AS empty_not_null,
+       CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE -c_acctbal END AS abs_if
+FROM customer
+WHERE c_custkey <= 300
+ORDER BY c_custkey
+""",
+    doc="IF/IFNULL/NULLIF/COALESCE/CASE + empty-string-is-not-NULL semantics",
+)
+def func_control_null(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return (
+        c.filter(c["c_custkey"] <= 300)
+        .select(
+            "c_custkey",
+            F.when(c["c_acctbal"] > 5000, "rich")
+            .when(c["c_acctbal"] > 0, "ok")
+            .otherwise("broke")
+            .alias("klass"),
+            my.ifnull(my.nullif(c["c_mktsegment"], F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg_masked"
+            ),
+            F.coalesce(my.nullif(c["c_name"], F.lit("")), F.lit("unnamed")).alias("name_nz"),
+            (c["c_name"] == "").alias("empty_not_null"),
+            my.if_(c["c_acctbal"] >= 0, c["c_acctbal"], -c["c_acctbal"]).alias("abs_if"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Casts + base conversion + hashes (cast_convert_conv_function.test,
+# md5_function.test).
+@register(
+    "func_cast_conv_hash",
+    oracle="""
+SELECT s_suppkey,
+       CAST(TRUNC(s_acctbal + 0.5 * SIGN(s_acctbal)) AS BIGINT) AS bal_int,
+       CAST(s_suppkey AS VARCHAR)                  AS key_str,
+       CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT)  AS roundtrip,
+       UPPER(TO_HEX(s_suppkey))                    AS hex_key,
+       BIN(s_suppkey)                              AS bin_key,
+       MD5(s_name)                                 AS name_md5,
+       SHA256(s_name)                              AS name_sha256
+FROM supplier
+ORDER BY s_suppkey
+""",
+    doc="CAST roundtrips, CONV base conversion, MD5/SHA2",
+)
+def func_cast_conv_hash(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"]
+    return s.select(
+        "s_suppkey",
+        # MySQL CAST(double AS SIGNED) rounds half away from zero, as do
+        # DuckDB CAST(double AS BIGINT) and Spark F.round; Spark's bare
+        # cast truncates, hence the explicit round-then-cast.
+        F.round(s["s_acctbal"], 0).cast("long").alias("bal_int"),
+        s["s_suppkey"].cast("string").alias("key_str"),
+        s["s_suppkey"].cast("string").cast("long").alias("roundtrip"),
+        my.conv(s["s_suppkey"].cast("string"), 10, 16).alias("hex_key"),
+        my.conv(s["s_suppkey"].cast("string"), 10, 2).alias("bin_key"),
+        my.md5(s["s_name"]).alias("name_md5"),
+        my.sha256(s["s_name"]).alias("name_sha256"),
+    ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# PERIOD_DIFF + SEC_TO_TIME + TIMESTAMPDIFF arithmetic
+# (period_diff_function.test, sec_to_time_function.test,
+# timestampadd_func.test).
+@register(
+    "func_period_time",
+    oracle="""
+SELECT event_id,
+       (CAST(STRFTIME(ts, '%Y%m') AS BIGINT) // 100) * 12
+         + CAST(STRFTIME(ts, '%Y%m') AS BIGINT) % 100
+         - ((199501 // 100) * 12 + 199501 % 100)      AS months_since,
+       LPAD(CAST(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) % 86400 // 3600 AS VARCHAR), 2, '0')
+         || ':' ||
+       LPAD(CAST(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) % 3600 // 60 AS VARCHAR), 2, '0')
+         || ':' ||
+       LPAD(CAST(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) % 60 AS VARCHAR), 2, '0')
+                                                      AS tod,
+       DATE_DIFF('day', TIMESTAMP '2024-01-01', ts)   AS days_into_jan
+FROM events
+WHERE event_id <= 100
+ORDER BY event_id
+""",
+    doc="PERIOD_DIFF / SEC_TO_TIME / TIMESTAMPDIFF(DAY) arithmetic",
+)
+def func_period_time(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    period = F.date_format(e["ts"], "yyyyMM").cast("long")
+    secs_of_day = e["ts"].cast("long") % 86400
+    return (
+        e.filter(e["event_id"] <= 100)
+        .select(
+            "event_id",
+            my.period_diff(period, F.lit(199501)).alias("months_since"),
+            my.sec_to_time(secs_of_day).alias("tod"),
+            F.datediff(e["ts"].cast("date"), F.lit("2024-01-01").cast("date")).alias(
+                "days_into_jan"
+            ),
+        )
+        .orderBy("event_id")
+    )
