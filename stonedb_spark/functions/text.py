@@ -1,0 +1,80 @@
+"""Text-analysis building blocks for the training-data pipeline operators.
+
+All pure Catalyst expressions (whole-stage codegen, no Python UDFs):
+tokenization, word shingles, stopword counting, quality scoring,
+language-ID scoring, document fingerprints.  Each has an exact DuckDB-SQL
+twin used by the oracle queries in stonedb_spark.queries.pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and inlined so the DuckDB oracle can
+# reproduce scoring exactly.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est", "une"),
+    "es": ("el", "la", "de", "que", "los", "un", "es", "una"),
+}
+
+PUNCT_CLASS = r"[^.!?,;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard unit).
+
+    Word shingling is the standard near-dup unit (Broder 1997,
+    "Syntactic clustering of the Web").
+    """
+    w = tokens(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(w) >= k, sh).otherwise(empty))
+
+
+def with_shingles(df, text_col: str = "text", k: int = 3):
+    """documents → (doc_id, shingle) exploded, distinct per doc."""
+    return df.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+
+
+def quality_score(n_tokens: Column, n_chars: Column, n_stop: Column) -> Column:
+    """Deterministic doc-quality heuristic in [0, 1]:
+    length term + stopword-ratio term + mean-word-length sanity term.
+    Identical arithmetic on the DuckDB side."""
+    nt = n_tokens.cast("double")
+    nc = n_chars.cast("double")
+    ns = n_stop.cast("double")
+    len_term = F.least(nt / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(F.lit(4.0) * ns / nt, F.lit(1.0))
+    awl = nc / nt
+    wl_term = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.0)
+    return F.lit(0.4) * len_term + F.lit(0.3) * stop_term + F.lit(0.3) * wl_term
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text (the rolling-hash analog — an
+    order-sensitive content hash)."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -1,1 +1,153 @@
-"""Placeholder — filled in as operators land."""
+"""DML / HTAP analogs — SURVEY.md §2.1, §3.3.
+
+The reference's row-DML path (ha_tianmu::update_row/delete_row →
+TianmuTable::Update/Delete or the RocksDB delta store,
+storage/tianmu/core/tianmu_table.h:134-141) and its MTR tests
+(update_join.test, delete_join.test, insert_on_duplicate_update.test)
+map to declarative transformations over immutable columnar data:
+UPDATE-via-join = projection with a joined CASE, DELETE-via-join =
+anti-join, INSERT ON DUPLICATE KEY UPDATE = MERGE = full-outer
+coalesce.  At scale these are how Delta/Iceberg implement DML anyway
+(copy-on-write rewrite); here the rewritten result is the query output
+so the oracle can check it row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonedb_spark.catalog import load_tables
+from stonedb_spark.functions.exact import DEC
+from stonedb_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# UPDATE ... JOIN (update_join.test): discount PROMO-part lineitems 10%,
+# then report the post-update totals (small deterministic check output).
+@register(
+    "dml_update_join",
+    oracle="""
+WITH updated AS (
+  SELECT l_returnflag,
+         CASE WHEN p_type = 'PROMO' THEN l_extendedprice * 0.9
+              ELSE l_extendedprice END AS new_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(new_price AS DECIMAL(38,10))) AS DOUBLE) AS total_after
+FROM updated
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="UPDATE-via-join as joined CASE projection (update_join.test analog)",
+)
+def dml_update_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p = t["lineitem"], t["part"]  # noqa: E741
+    new_price = F.when(p["p_type"] == "PROMO", l["l_extendedprice"] * 0.9).otherwise(
+        l["l_extendedprice"]
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .select(l["l_returnflag"], new_price.alias("new_price"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("new_price").cast(DEC)).cast("double").alias("total_after"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# DELETE ... JOIN (delete_join.test): drop lineitems belonging to
+# MACHINERY-segment customers; report what survives.
+@register(
+    "dml_delete_join",
+    oracle="""
+WITH doomed AS (
+  SELECT o_orderkey FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    doc="DELETE-via-join as anti-join (delete_join.test analog)",
+)
+def dml_delete_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, o, c = t["lineitem"], t["orders"], t["customer"]  # noqa: E741
+    doomed = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(c["c_mktsegment"] == "MACHINERY")
+        .select("o_orderkey")
+    )
+    return (
+        l.join(doomed, l["l_orderkey"] == doomed["o_orderkey"], "left_anti")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(l["l_quantity"].cast(DEC)).cast("double").alias("qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert (insert_on_duplicate_update.test analog): per-user
+# totals from the first half of the month, upserted with second-half
+# activity — full-outer join + coalesce, the canonical distributed MERGE.
+@register(
+    "dml_merge_upsert",
+    oracle="""
+WITH target AS (
+  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+),
+source AS (
+  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id
+)
+SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       COALESCE(s.total, t.total) AS merged_total,
+       CASE WHEN t.user_id IS NULL THEN 'inserted'
+            WHEN s.user_id IS NULL THEN 'kept'
+            ELSE 'updated' END AS merge_action
+FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+ORDER BY user_id
+""",
+    doc="MERGE upsert as full-outer join + coalesce (ON DUPLICATE KEY analog)",
+)
+def dml_merge_upsert(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    cut = F.lit("2024-01-16").cast("timestamp")
+    target = (
+        e.filter(e["ts"] < cut)
+        .groupBy(F.col("user_id").alias("t_user"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("t_total"))
+    )
+    source = (
+        e.filter(e["ts"] >= cut)
+        .groupBy(F.col("user_id").alias("s_user"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("s_total"))
+    )
+    return (
+        target.join(source, target["t_user"] == source["s_user"], "full_outer")
+        .select(
+            F.coalesce(F.col("t_user"), F.col("s_user")).alias("user_id"),
+            F.coalesce(F.col("s_total"), F.col("t_total")).alias("merged_total"),
+            F.when(F.col("t_user").isNull(), "inserted")
+            .when(F.col("s_user").isNull(), "kept")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,68 @@
+"""Bulk CSV load with reject-path semantics — LOAD DATA INFILE parity.
+
+The reference's loader parses delimited files per IOParameters, builds
+column packs, and routes malformed rows to a reject file
+(TianmuTable::LoadDataInfile → LoadParser / Rejecter,
+storage/tianmu/core/tianmu_table.cpp:814,1087,
+storage/tianmu/loader/load_parser.h:43,
+storage/tianmu/loader/rejecter.h).
+
+Spark equivalent: schema-enforced CSV read in PERMISSIVE mode with a
+``_corrupt_record`` capture column; good rows append to parquet, bad
+rows are returned (and optionally persisted) as the reject set.  The
+parse fans out per input split exactly like the reference's
+load_thread_pool — no driver-side row handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+    header: bool = False,
+    null_value: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (good_rows, rejected_rows).
+
+    good_rows has exactly ``schema``; rejected_rows has one string column
+    ``raw`` holding the original malformed line (Rejecter parity).
+    """
+    full_schema = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("nullValue", null_value)
+        .csv(path)
+        .cache()  # one parse, two consumers (good + reject split)
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, bad
+
+
+def append_load(
+    good: DataFrame, target_path: str, partition_by: list[str] | None = None
+) -> None:
+    """Append the accepted rows to the columnar store (bulk-load commit).
+
+    Row-group sizing ≈ the reference's 64K-row packs (SURVEY §1.1): with
+    default parquet.block.size Spark writes row groups in that regime.
+    """
+    writer = good.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)

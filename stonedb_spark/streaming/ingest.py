@@ -1,0 +1,69 @@
+"""Structured Streaming ingest + incremental aggregation.
+
+The reference's only stream-ish machinery is HTAP ingest freshness: a
+delayed-insert circular buffer drained by a background merge thread into
+the columnar base (Engine::InsertDelayed / the merge loop,
+storage/tianmu/core/engine.cpp:1683,1454) plus the RocksDB delta store
+(storage/tianmu/core/delta_table.h:37).  SURVEY §2.10: no streaming
+query operators exist.
+
+Spark mapping (and beyond-parity extension): Structured Streaming file
+source → micro-batch append (the delayed-insert analog, read-your-writes
+via the sink table) and a watermarked tumbling-window aggregation (the
+incremental version of the ``events_time_window`` batch query — same
+logical plan, incrementally maintained state store at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonedb_spark.functions.exact import DEC
+
+
+def stream_events(spark: SparkSession, src_dir: str, schema) -> DataFrame:
+    """File-source stream over an events directory (parquet files appear
+    as producers drop them — the circular-buffer analog)."""
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked hourly tumbling-window aggregation.
+
+    Late rows beyond the watermark are dropped (state GC) — the
+    streaming-correct version of events_time_window; state size is
+    bounded by (windows in watermark horizon × event types).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_append_ingest(
+    spark: SparkSession, src_dir: str, target_dir: str, checkpoint_dir: str, schema
+) -> None:
+    """Micro-batch append of newly-arrived event files into the columnar
+    base — the delayed-insert → background-merge analog.  Trigger
+    availableNow processes the backlog then stops (test-friendly; in
+    production the trigger would be continuous micro-batches)."""
+    stream = stream_events(spark, src_dir, schema)
+    (
+        stream.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
