@@ -40,8 +40,25 @@ BAND_ROWS = 3  # 4 bands × 3 rows
 
 
 def _shingle_rows(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    # Materialize the token array as a projected column FIRST: if the
+    # split expression is inlined into the shingle lambda, Catalyst
+    # re-evaluates split(lower(text)) per element_at call → O(len²)
+    # per document (measured 10× slowdown at sf0.1).
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.col(text_col)), r"\s+").alias("w")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("w"), i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return w.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.when(F.size("w") >= k, sh).otherwise(empty))
+        ).alias("shingle"),
     )
 
 
@@ -54,28 +71,11 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.5,
-    max_df: int = 100,
-) -> DataFrame:
-    """All doc pairs with shingle-Jaccard > threshold.
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, shingle) rows → (d1, d2, jaccard) pairs above threshold.
 
-    max_df drops shingles present in more than that many docs (document
-    frequency cap): they explode the inverted-index join quadratically
-    while contributing no discriminative signal.
-    """
-    sh = _shingle_rows(docs, text_col, k)
+    |A∩B| from the shingle-key equi-join, |A∪B| = |A|+|B|−|A∩B|."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_ok = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
-    )
-    sh = sh.join(df_ok, "shingle")
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -97,6 +97,29 @@ def jaccard_pairs(
         .filter(F.col("jaccard") > threshold)
         .select("d1", "d2", "jaccard")
     )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """All doc pairs with shingle-Jaccard > threshold.
+
+    max_df drops shingles present in more than that many docs (document
+    frequency cap): they explode the inverted-index join quadratically
+    while contributing no discriminative signal.
+    """
+    sh = _shingle_rows(docs, text_col, k)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return _jaccard_from_shingles(sh.join(df_ok, "shingle"), threshold)
 
 
 def _minhash_col(seed: int) -> Column:
@@ -146,7 +169,19 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, text_col, k, threshold, max_df=1 << 30)
+    # Verify ONLY over docs that appear in some candidate pair: the
+    # left-semi prune bounds the quadratic intersection join by the LSH
+    # candidate count, not n² — this is what makes the operator
+    # near-linear at corpus scale.
+    cand_ids = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = _shingle_rows(docs, text_col, k).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
+    verified = _jaccard_from_shingles(sh_cand, threshold)
     return cand.join(verified, ["d1", "d2"]).select("d1", "d2", "jaccard")
 
 
