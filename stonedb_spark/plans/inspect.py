@@ -1,0 +1,55 @@
+"""Physical-plan inspection helpers.
+
+The reference's performance story is its Knowledge Grid: per-pack
+min/max/histogram pruning decided before touching data
+(PrepareRoughMultiIndex, storage/tianmu/core/parameterized_filter.cpp:1145).
+The Spark analog is Parquet row-group statistics + predicate pushdown +
+column pruning; these helpers make that *testable* — every headline
+query asserts that its filters reached the scan, its projection pruned
+the schema, and its bounded dims broadcast, so a regression that turns
+a pruned scan into a full scan fails CI instead of shipping a 100 TB
+slowdown.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)]
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_nested_loop_join(df: DataFrame) -> bool:
+    return "BroadcastNestedLoopJoin" in formatted_plan(df) or "CartesianProduct" in (
+        formatted_plan(df)
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages in the (executed) plan.
+    Codegen nodes print as ``*(n) Op`` in simple mode."""
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -1,0 +1,42 @@
+"""Result export — SELECT ... INTO OUTFILE parity.
+
+Reference: exporter::select_tianmu_export / DataExporterTxt
+(storage/tianmu/exporter/export2file.h:27) writes delimited text with
+MySQL export options.  Spark equivalent: ``df.write.csv`` with the same
+knobs; exports fan out one file per partition (coalesce for single-file
+semantics only when the result is small — driver-bounded, never for big
+data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def export_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    null_value: str = "\\N",
+    single_file: bool = False,
+) -> None:
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("nullValue", null_value)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def ctas_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """CREATE TABLE AS SELECT analog (Engine::Execute SQLCOM_INSERT_SELECT,
+    storage/tianmu/core/engine_execute.cpp:471): materialize a query
+    result as a new columnar table."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+These are the 100 TB regressions tests — a query that silently stops
+pushing its filter or broadcasting its dim table still returns correct
+rows at sf0.01, but dies at scale.  (SURVEY §4: the Knowledge-Grid
+analog is Parquet pushdown; §2.3: map join analog is broadcast.)
+"""
+
+from __future__ import annotations
+
+from stonedb_spark.plans.inspect import (
+    codegen_stage_count,
+    has_broadcast_join,
+    has_nested_loop_join,
+    pushed_filters,
+    read_schemas,
+)
+from stonedb_spark.queries import all_queries
+
+
+def _build(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir)
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpch_q6")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    assert "l_discount" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    schemas = read_schemas(_build(spark, sf_dir, "tpch_q6"))
+    lineitem_schema = max(schemas, key=len)
+    # only the 4 needed columns, not all 11
+    assert lineitem_schema.count(":") == 4, lineitem_schema
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    schemas = read_schemas(_build(spark, sf_dir, "tpch_q1"))
+    assert all(s.count(":") <= 7 for s in schemas), schemas
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    assert has_broadcast_join(_build(spark, sf_dir, "tpch_q5"))
+
+
+def test_q3_segment_filter_pushed(spark, sf_dir):
+    pushed = " ".join(pushed_filters(_build(spark, sf_dir, "tpch_q3")))
+    assert "c_mktsegment" in pushed
+    assert "o_orderdate" in pushed
+
+
+def test_theta_range_join_is_not_nested_loop(spark, sf_dir):
+    """The binned rewrite must plan as an equi-join, not BNLJ."""
+    df = _build(spark, sf_dir, "join_theta_range")
+    assert not has_nested_loop_join(df)
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    df = _build(spark, sf_dir, "dedup_minhash_lsh")
+    assert not has_nested_loop_join(df)
+
+
+def test_point_lookup_pushes_key(spark, sf_dir):
+    """PK point lookup (ha_tianmu::index_read analog) = pushed filter."""
+    from stonedb_spark.catalog import load_tables
+
+    o = load_tables(spark, sf_dir)["orders"]
+    df = o.filter(o["o_orderkey"] == 42)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderkey" in pushed and "42" in pushed, pushed
+
+
+def test_headline_queries_use_codegen(spark, sf_dir):
+    # AQE prints codegen stage markers only after execution finalizes
+    # the adaptive plan, so collect() first.
+    for name in ("tpch_q1", "tpch_q6", "tpch_q3"):
+        df = _build(spark, sf_dir, name)
+        df.collect()
+        assert codegen_stage_count(df) >= 1, name
