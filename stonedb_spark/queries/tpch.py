@@ -90,6 +90,72 @@ def tpch_q1(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: the fixture has no partsupp, so the
+# part↔supplier offer relation is derived from lineitem — per (part,
+# supplier) the minimum observed unit price plays ps_supplycost).  Shape
+# preserved: 5-way join + correlated scalar MIN subquery on the join key
+# (the reference compiles this to a SubSelectColumn,
+# storage/tianmu/vc/subselect_column.h:39; Catalyst decorrelates it to an
+# aggregate + join — we write the decorrelated form directly).
+@register(
+    "tpch_q2",
+    oracle="""
+WITH offer AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eur_offer AS (
+  SELECT o.ps_partkey, o.supplycost, s.s_acctbal, s.s_name, n.n_name
+  FROM offer o
+  JOIN supplier s ON s.s_suppkey = o.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal AS s_acctbal, e.s_name AS s_name, e.n_name AS n_name,
+       p.p_partkey AS p_partkey, p.p_name AS p_name
+FROM part p
+JOIN eur_offer e ON e.ps_partkey = p.p_partkey
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+  AND e.supplycost = (SELECT MIN(e2.supplycost) FROM eur_offer e2
+                      WHERE e2.ps_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 min-cost supplier — correlated scalar MIN over derived offers",
+)
+def tpch_q2(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p, s, n, r = t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]  # noqa: E741
+    offer = l.groupBy(
+        l["l_partkey"].alias("ps_partkey"), l["l_suppkey"].alias("ps_suppkey")
+    ).agg(F.min(l["l_extendedprice"] / l["l_quantity"]).alias("supplycost"))
+    # bounded dims broadcast; the offer relation grows with SF and shuffles.
+    eur_supp = s.join(
+        B(n.join(B(r.filter(r["r_name"] == "EUROPE")), n["n_regionkey"] == r["r_regionkey"])),
+        s["s_nationkey"] == n["n_nationkey"],
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eur_offer = offer.join(
+        B(eur_supp), offer["ps_suppkey"] == F.col("s_suppkey")
+    ).select("ps_partkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    min_cost = eur_offer.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    pf = p.filter(p["p_size"].between(10, 20) & (p["p_type"] == "STANDARD"))
+    return (
+        eur_offer.join(B(pf), F.col("ps_partkey") == pf["p_partkey"])
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
 # Q3 — shipping priority (3-way join + agg + deterministic top-k).
 @register(
     "tpch_q3",
@@ -448,6 +514,55 @@ def tpch_q10(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Q12 — shipping modes / priority classes (fixture has no l_shipmode:
 # classify by o_orderpriority instead; same conditional-count shape).
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (adapted: per-part inventory value
+# derived from lineitem revenue of one region's suppliers; partsupp absent).
+# Shape preserved: grouped agg filtered by a scalar subquery over the SAME
+# aggregate (HAVING value > fraction × global total) — the reference's
+# SubSelectColumn + rough-first materialization
+# (storage/tianmu/vc/subselect_column.cpp:430).
+@register(
+    "tpch_q11",
+    oracle=f"""
+WITH value_per_part AS (
+  SELECT l.l_partkey AS p_partkey,
+         SUM({_SQL_REV}) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+)
+SELECT p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM value_per_part
+WHERE CAST(val AS DOUBLE) >
+      (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM value_per_part)
+ORDER BY part_value DESC, p_partkey
+""",
+    doc="TPC-H Q11 important stock — grouped value vs global-total scalar subquery",
+)
+def tpch_q11(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, s, n, r = t["lineitem"], t["supplier"], t["nation"], t["region"]  # noqa: E741
+    eur_supp = s.join(
+        B(n.join(B(r.filter(r["r_name"] == "EUROPE")), n["n_regionkey"] == r["r_regionkey"])),
+        s["s_nationkey"] == n["n_nationkey"],
+    ).select("s_suppkey")
+    vpp = (
+        l.join(B(eur_supp), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy(l["l_partkey"].alias("p_partkey"))
+        .agg(F.sum(_rev(l)).alias("val"))
+    )
+    total = vpp.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        vpp.crossJoin(B(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("p_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
 @register(
     "tpch_q12",
     oracle="""
@@ -601,6 +716,50 @@ def tpch_q15(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted: the part↔supplier relation is
+# the DISTINCT (l_partkey, l_suppkey) pairs from lineitem; the complaints
+# exclusion is a NOT IN over supplier names).  Shape preserved:
+# distinct-pair derivation + NOT IN anti-join + COUNT(DISTINCT) grouped by
+# three part attributes (reference: GroupDistinctTable,
+# storage/tianmu/optimizer/group_distinct_table.h:46).  s_suppkey is
+# non-null so NOT IN ≡ left_anti.
+@register(
+    "tpch_q16",
+    oracle="""
+SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 parts/supplier relationship — NOT IN + COUNT DISTINCT",
+)
+def tpch_q16(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p, s = t["lineitem"], t["part"], t["supplier"]  # noqa: E741
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(s["s_name"].like("%7")).select("s_suppkey")
+    pf = p.filter(
+        (p["p_brand"] != "Brand#1")
+        & ~p["p_type"].like("MEDIUM%")
+        & p["p_size"].isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(B(bad), ps["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(B(pf), pf["p_partkey"] == ps["l_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q17 — small-quantity-order revenue (correlated avg subquery → group+join).
 @register(
     "tpch_q17",
@@ -707,6 +866,58 @@ def tpch_q19(spark, sf_dir):
         l.join(B(p), p["p_partkey"] == l["l_partkey"])
         .filter(cond)
         .agg(F.sum(_rev(l)).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: the availqty > half-of-shipped
+# condition becomes a HAVING over per-(supplier, part) shipped quantity of
+# name-matched parts; partsupp absent).  Shape preserved: nested IN
+# subqueries (part-name IN inside supplier IN) → two semi-joins + grouped
+# HAVING (reference compiles IN-subqueries to O_IN descriptors executed by
+# the general joiner, storage/tianmu/core/query.cpp:1270).
+@register(
+    "tpch_q20",
+    oracle="""
+SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 40)
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 part promotion — nested IN subqueries + grouped HAVING",
+)
+def tpch_q20(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, p, s, n, r = t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]  # noqa: E741
+    small_parts = p.filter(p["p_name"].like("small%")).select("p_partkey")
+    qualifying = (
+        l.filter(
+            (l["l_shipdate"] >= F.lit("1995-01-01").cast("timestamp"))
+            & (l["l_shipdate"] < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(B(small_parts), l["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(l["l_quantity"].cast(DEC)).alias("sq"))
+        .filter(F.col("sq") > 40)
+        .select("l_suppkey")
+    )
+    asia = n.join(B(r.filter(r["r_name"] == "ASIA")), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey"
+    )
+    return (
+        s.join(qualifying, s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(B(asia), s["s_nationkey"] == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
 
 
