@@ -32,14 +32,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# One catalog entry per (session, directory) — a table is registered once
+# and every query reuses the same resolved relation, exactly like a
+# metastore-backed catalog.  Re-reading parquet per query would re-list
+# files and re-read footers at plan time (~1s/query at sf0.1 — pure
+# driver-side metadata cost that grows with file count at 100 TB; a real
+# catalog caches the file index for the same reason).
+_CATALOG: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Read every fixture table and register it as a temp view.
+    """Read every fixture table and register it as a temp view (cached).
 
     Reads are lazy; registering all ten costs only metadata.  Column
     pruning + predicate pushdown reach the parquet scan because the views
     are plain file scans (verify with ``df.explain('formatted')`` —
     PushedFilters/ReadSchema lines).
     """
+    key = (id(spark), sf_dir)
+    cached = _CATALOG.get(key)
+    if cached is not None:
+        # temp views are session-global name→plan bindings; re-point them
+        # at this sf_dir in case another directory was registered since.
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return cached
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         path = table_path(sf_dir, name)
@@ -57,4 +74,5 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             )
         df.createOrReplaceTempView(name)
         dfs[name] = df
+    _CATALOG[key] = dfs
     return dfs

@@ -44,6 +44,24 @@ def dmul(a: Column, b: Column) -> Column:
     return a * b
 
 
+def scaled_long(col: Column | str, digits: int) -> Column:
+    """Fixed-point value as a scaled int64 — the reference's NUM
+    representation (storage/tianmu/common/common_definitions.h:52: decimal
+    is a scaled integer; sums run in int64, AggregatorSum64,
+    storage/tianmu/optimizer/aggregator_basic.h:43).
+
+    ``round()`` recovers the exact decimal the double approximates; all
+    arithmetic on the scaled values is integer-exact.  Long partial sums
+    are safe while (rows per partition) × (max |value|) < 2^63 — with
+    ≤128 MB parquet splits (~1.3M rows) that allows per-row magnitudes up
+    to ~7e12, far above any money expression here; the final cross-
+    partition combine must go through DECIMAL (see tpch_q1) because the
+    GLOBAL sum does grow past int64 at large scale factors.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**digits), 0).cast("long")
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side twin of :func:`dsum` for oracle SQL strings."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"

