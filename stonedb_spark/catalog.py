@@ -69,9 +69,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             # timestamps, matching DuckDB's ns→µs pandas truncation.
             from pyspark.sql import functions as F
 
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer div, NOT `/`: ns-since-epoch (~1.7e18) exceeds
+            # double's 2^53 integer range, so float division is off by
+            # up to ±1 µs on individual values.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _CATALOG[key] = dfs

@@ -644,6 +644,130 @@ def rollup_region_nation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Beyond parity: INTERSECT / EXCEPT (absent from the reference — MySQL 5.7
+# lacks them, SURVEY §2.7; Spark has both natively).  Customers with
+# orders in BOTH years minus a name-pattern exclusion.
+@register(
+    "set_intersect_except",
+    oracle="""
+(SELECT DISTINCT o_custkey AS custkey FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+ INTERSECT
+ SELECT DISTINCT o_custkey FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_name LIKE '%11%'
+ORDER BY custkey
+""",
+    doc="INTERSECT + EXCEPT set operations (beyond reference)",
+)
+def set_intersect_except(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    y96 = (
+        o.filter(
+            (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (o["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(o["o_custkey"].alias("custkey"))
+        .distinct()
+    )
+    y97 = (
+        o.filter(
+            (o["o_orderdate"] >= F.lit("1997-01-01").cast("timestamp"))
+            & (o["o_orderdate"] < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(o["o_custkey"].alias("custkey"))
+        .distinct()
+    )
+    excl = c.filter(c["c_name"].like("%11%")).select(c["c_custkey"].alias("custkey"))
+    return y96.intersect(y97).exceptAll(excl).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# §4.12 SELECT ROUGHLY analog — the reference's approximate query mode
+# answers from Knowledge-Grid metadata only (TempTable::RoughMaterialize,
+# storage/tianmu/core/temp_table_roughquery.cpp:32).  Spark's analog is
+# sketch-based approximate aggregation (HLL++/quantile sketches): merges
+# are associative, shuffle carries fixed-size sketches, not rows.  No
+# SQL oracle — approximate results differ by sketch implementation; the
+# driver applies its rows-only check.
+@register(
+    "agg_approx_rough",
+    oracle=None,
+    doc="approximate aggregates: approx_count_distinct + approx quantiles",
+)
+def agg_approx_rough(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Beyond parity: sessionization (gaps-and-islands) over the events table —
+# the batch twin of the streaming stateful operator in
+# streaming/sessionize.py.  Pure window functions: a session starts when
+# the gap to the previous event of the same user exceeds 30 minutes;
+# session id = running count of starts.  At scale this is one shuffle on
+# user_id; state never materializes on the driver.
+@register(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+    doc="sessionization: 30-min-gap sessions per user via windowed gaps-and-islands",
+)
+def events_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select("user_id", "ts", "event_id", "value", is_start.alias("is_start"))
+        .select(
+            "user_id", "ts", "value", F.sum("is_start").over(wsum).alias("session_seq")
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.1 point lookup by primary key (ha_tianmu::index_read →
 # TianmuTableIndex::GetRowByKey, storage/tianmu/index/tianmu_table_index.h:61).
 # In a columnar lakehouse the "index" is layout: the equality predicate is

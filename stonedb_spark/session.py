@@ -33,6 +33,9 @@ _LOCAL_DEFAULTS = {
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # --- CBO for join reorder (≈ DescriptorJoinOrdering, SURVEY §4.6)
     "spark.sql.cbo.enabled": "true",
+    # default 100 evicts across a 60+-query battery (several codegen
+    # stages per query); re-runs then recompile ~1s of Janino per query
+    "spark.sql.codegen.cache.maxEntries": "2000",
     # --- Arrow for the few pandas-UDF operators (dedup/similarity)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # deterministic comparisons against the DuckDB oracle

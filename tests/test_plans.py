@@ -80,3 +80,39 @@ def test_headline_queries_use_codegen(spark, sf_dir):
         df = _build(spark, sf_dir, name)
         df.collect()
         assert codegen_stage_count(df) >= 1, name
+
+
+def test_q2_offer_derivation_prunes_and_broadcasts(spark, sf_dir):
+    """q2: part filter pushed to scan; dims broadcast; no BNLJ."""
+    df = _build(spark, sf_dir, "tpch_q2")
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed and "p_type" in pushed, pushed
+    assert has_broadcast_join(df)
+    assert not has_nested_loop_join(df)
+
+
+def test_q16_not_in_is_anti_join_not_bnlj(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpch_q16")
+    assert not has_nested_loop_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+
+
+def test_q20_nested_semi_joins_prune_scan(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpch_q20")
+    assert not has_nested_loop_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "p_name" in pushed, pushed
+
+
+def test_q1_partial_aggregation_present(spark, sf_dir):
+    """The scaled-long rewrite must keep map-side combine (partial_sum)."""
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_build(spark, sf_dir, "tpch_q1"))
+    assert "partial_sum" in plan, plan[:2000]
+
+
+def test_point_lookup_filter_pushed(spark, sf_dir):
+    pushed = " ".join(pushed_filters(_build(spark, sf_dir, "point_lookup")))
+    assert "o_orderkey" in pushed, pushed

@@ -103,3 +103,60 @@ def test_dml_queries(spark, oracle, sf_dir):
         problems = check_query(spark, oracle, q, sf_dir)
         assert not problems, f"{name}: {problems}"
         assert q.build(spark, sf_dir).count() > 0
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful streaming sessionization must agree with the batch
+    gaps-and-islands query.  Deterministically emitted: every session
+    closed by a newer event.  Additionally the event-time timeout may
+    flush a user's final session once the watermark (global max ts)
+    passes its end + gap.  Every emitted session must carry exactly the
+    batch query's aggregates."""
+    from stonedb_spark.queries import all_queries
+    from stonedb_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    events = load_tables(spark, sf_dir)["events"]
+    sample = events.filter(F.col("user_id") < 12).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sample.write.parquet(src, mode="overwrite")
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not terminate"
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    batch = (
+        all_queries()["events_sessionize"]
+        .build(spark, sf_dir)
+        .filter(F.col("user_id") < 12)
+        .collect()
+    )
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    # batch numbers sessions from 1, the stream from 0
+    all_sessions = {
+        (r.user_id, r.session_seq - 1): (r.n_events, r.session_start, r.session_end)
+        for r in batch
+    }
+    closed_by_event = {
+        k: v
+        for k, v in all_sessions.items()
+        if k[1] + 1 != last_seq[k[0]]  # not the user's final session
+    }
+    assert set(closed_by_event) <= set(got), "missing event-closed sessions"
+    for k, v in got.items():
+        assert all_sessions[k] == v, (k, v, all_sessions[k])
