@@ -98,20 +98,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH candidates, exact-Jaccard verified.
 def _minhash_oracle() -> str:
+    # identical universal-hash family as operators/dedup.py: one md5 →
+    # 60-bit base, h_i = (a_i·base + b_i) mod P — same constants inlined.
+    p = D.MERSENNE_P
     sig_cols = ", ".join(
-        f"MIN(md5('s{i}|' || shingle)) AS h{i}" for i in range(D.N_HASHES)
+        f"MIN(({a} * base + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(D.HASH_AB)
     )
     n_bands = D.N_HASHES // D.BAND_ROWS
     band_arms = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band, md5('b{b}|' || {cat}) AS band_key FROM sig".format(
+        "SELECT doc_id, {b} AS band, {cat} AS band_key FROM sig".format(
             b=b,
-            cat=" || ".join(f"h{b * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)),
+            cat=" || '|' || ".join(
+                f"CAST(h{b * D.BAND_ROWS + r} AS VARCHAR)"
+                for r in range(D.BAND_ROWS)
+            ),
         )
         for b in range(n_bands)
     )
     return f"""
 WITH sh AS ({_SQL_SHINGLES}),
-sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+based AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS base
+          FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM based GROUP BY doc_id),
 bk AS ({band_arms}),
 cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
@@ -135,7 +145,7 @@ ORDER BY d1, d2
 @register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
-    doc="MinHash(12 md5-string hashes) + banded LSH(4×3) + exact-Jaccard verify",
+    doc="MinHash(12 modular perms of one md5) + banded LSH(4×3) + Jaccard verify",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     t = load_tables(spark, sf_dir)

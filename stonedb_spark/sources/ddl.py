@@ -1,0 +1,63 @@
+"""DDL analogs: TRUNCATE / ALTER TABLE add/drop column.
+
+Reference: TianmuTable::Truncate / TianmuTable::Alter
+(storage/tianmu/core/tianmu_table.h:74-76); MTR coverage
+mysql-test/suite/tianmu/t/add_column.test, drop_column.test.
+
+In a lakehouse the analogs are metadata/layout operations:
+* TRUNCATE — overwrite the table location with an empty frame of the
+  same schema (constant-time on object stores that support prefix
+  delete; never a row-by-row delete).
+* ADD COLUMN — schema evolution: existing files stay untouched, the new
+  column materializes as NULL (here: rewrite with a literal because
+  plain parquet has no evolution log; the operator contract — old rows
+  read as NULL, new schema visible — is the same one Delta provides via
+  `mergeSchema`).
+* DROP COLUMN — projection rewrite (Delta: pure metadata).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _rewrite(df: DataFrame, path: str) -> None:
+    """Copy-on-write rewrite: stage to a sibling dir, then swap.
+
+    Reading lazily from ``path`` while overwriting the same ``path``
+    deletes the source files mid-scan; a transactional table format
+    (Delta) makes this a log commit — on plain parquet the staging dir +
+    directory swap provides the same never-in-place discipline.
+    """
+    staging = path.rstrip("/") + ".__staging__"
+    df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+
+
+def truncate_table(spark: SparkSession, path: str) -> None:
+    """Empty the table at ``path`` keeping its schema."""
+    schema = spark.read.parquet(path).schema
+    shutil.rmtree(path)
+    spark.createDataFrame([], schema).write.parquet(path)
+
+
+def add_column(
+    spark: SparkSession, path: str, name: str, dtype: str, default: Column | None = None
+) -> None:
+    """ALTER TABLE ADD COLUMN: existing rows get NULL (or ``default``)."""
+    df = spark.read.parquet(path)
+    value = (default if default is not None else F.lit(None)).cast(dtype)
+    _rewrite(df.withColumn(name, value), path)
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> None:
+    """ALTER TABLE DROP COLUMN: projection rewrite."""
+    _rewrite(spark.read.parquet(path).drop(name), path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -28,3 +28,34 @@ def test_ctas_parquet_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == derived.count()
     assert set(back.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def test_ddl_truncate_add_drop(spark, sf_dir, tmp_path):
+    """TRUNCATE / ADD COLUMN / DROP COLUMN analogs
+    (TianmuTable::Truncate/Alter, add_column.test / drop_column.test)."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.sources.ddl import (
+        add_column,
+        drop_column,
+        read_table,
+        truncate_table,
+    )
+
+    path = str(tmp_path / "ddl_tbl")
+    load_tables(spark, sf_dir)["region"].write.parquet(path)
+    base_cols = read_table(spark, path).columns
+
+    add_column(spark, path, "r_comment", "string")
+    df = read_table(spark, path)
+    assert df.columns == base_cols + ["r_comment"]
+    assert df.filter(df["r_comment"].isNotNull()).count() == 0  # old rows → NULL
+
+    drop_column(spark, path, "r_comment")
+    assert read_table(spark, path).columns == base_cols
+
+    n_before = read_table(spark, path).count()
+    assert n_before > 0
+    truncate_table(spark, path)
+    after = read_table(spark, path)
+    assert after.count() == 0
+    assert after.columns == base_cols  # schema survives truncate
