@@ -194,3 +194,51 @@ def md5(s: Column | str) -> Column:
 
 def sha256(s: Column | str) -> Column:
     return F.sha2(F.col(s) if isinstance(s, str) else s, 256)
+
+
+# ---------------------------------------------------------------------------
+# Collation / CHAR-padding semantics (SURVEY.md §7 "genuinely hard" list).
+# MySQL 5.7's default collation (utf8_general_ci / latin1_swedish_ci) is
+# case-INsensitive, and CHAR/VARCHAR comparison uses PAD SPACE semantics:
+# trailing spaces are ignored ('abc' = 'abc  ').  Spark compares UTF8_BINARY
+# NO PAD.  These helpers express MySQL comparison semantics as Catalyst
+# expressions; tests: different_charsets_a.test, char-padding behavior in
+# mysql-test/suite/tianmu/t/ (e.g. issue663.test trailing-space loads).
+
+
+def ci(s: Column | str) -> Column:
+    """Mark a string column case-insensitive (utf8_general_ci analog).
+
+    Uses Spark 4 native collation — `=`/`<`/groupBy/joins on the result
+    behave case-insensitively JVM-side (no lower() copy per row, and the
+    collation is visible to the optimizer).
+    """
+    c = F.col(s) if isinstance(s, str) else s
+    return F.collate(c, "UTF8_LCASE")
+
+
+def pad_eq(a: Column | str, b: Column | str) -> Column:
+    """PAD SPACE equality: trailing spaces ignored, as MySQL CHAR compare."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.rtrim(ca) == F.rtrim(cb)
+
+
+def ci_eq(a: Column | str, b: Column | str) -> Column:
+    """utf8_general_ci + PAD SPACE equality — MySQL's default = on CHAR."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return ci(F.rtrim(ca)) == ci(F.rtrim(cb))
+
+
+# ---------------------------------------------------------------------------
+# Zero dates.  MySQL's '0000-00-00' is a real value in the reference
+# (DATE is the int 0 — storage/tianmu/common/common_definitions.h:53;
+# docs data-types.md) but has no Gregorian meaning; the engine's policy
+# is zero-date → NULL at the ingestion boundary (documented compat shim).
+
+
+def mysql_date(s: Column | str) -> Column:
+    """Cast a MySQL date string to DateType; zero dates become NULL."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.when(c.startswith("0000-00-00"), F.lit(None)).otherwise(c).cast("date")

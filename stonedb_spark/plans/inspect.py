@@ -53,3 +53,16 @@ def codegen_stage_count(df: DataFrame) -> int:
     Codegen nodes print as ``*(n) Op`` in simple mode."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle (hash/range) Exchanges in the plan — broadcast excluded.
+
+    The co-located-join gate: two tables bucketed on the join key must
+    join with ZERO shuffle exchanges.  Uses simple explain mode —
+    formatted mode moves the partitioning arguments into a detail
+    section detached from the Exchange node name."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+    return len(re.findall(r"\bExchange (?:hash|range)partitioning", plan))

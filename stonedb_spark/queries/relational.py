@@ -84,6 +84,37 @@ def pred_col_vs_col(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# MySQL collation / CHAR-padding comparison semantics (SURVEY §7
+# "genuinely hard" list).  The reference compares strings under MySQL's
+# default case-insensitive collation with PAD SPACE (trailing spaces
+# ignored) — tests different_charsets_a.test and the CHAR-column MTR
+# suite.  Spark is UTF8_BINARY NO PAD; functions/mysql.py ci_eq()
+# reproduces MySQL's `=` via native Spark collation (UTF8_LCASE) +
+# rtrim, fully JVM-side.  The mixed-case padded literal below returns
+# zero rows under Spark default semantics — the match proves the shim.
+@register(
+    "pred_mysql_collation",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_mktsegment
+FROM customer
+WHERE lower(rtrim(c_mktsegment)) = lower(rtrim('BuIlDiNg  '))
+  AND c_custkey <= 500
+ORDER BY c_custkey
+""",
+    doc="MySQL utf8_general_ci + PAD SPACE equality via Spark collation",
+)
+def pred_mysql_collation(spark, sf_dir):
+    from stonedb_spark.functions import mysql as M
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.filter(M.ci_eq(c["c_mktsegment"], F.lit("BuIlDiNg  ")) & (c["c_custkey"] <= 500))
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.4 statistical aggregates.  The reference implements
 # STDDEV/VAR pop/samp as AggregatorStat* (storage/tianmu/optimizer/
 # aggregator_advanced.h:40-152) with the textbook sum/sum-of-squares

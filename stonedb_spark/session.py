@@ -43,6 +43,11 @@ _LOCAL_DEFAULTS = {
     # the events fixture stores timestamp[ns]; read as long, catalog.py
     # converts to microsecond timestamps (Spark has no nanos type)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # managed-table location for bucketed layouts (sources/bucketing.py);
+    # keep the repo clean — local stand-in for the cluster warehouse path
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/stonedb_spark-warehouse"
+    ),
     # quiet + stable local shuffle sizing
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",

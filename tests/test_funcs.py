@@ -25,3 +25,28 @@ def test_mysql_format_translation():
     assert mysql_format_to_jvm("%%") == "'%'"
     with pytest.raises(ValueError):
         mysql_format_to_jvm("%Q")
+
+
+def test_mysql_collation_and_pad_semantics(spark):
+    """ci_eq/pad_eq reproduce MySQL utf8_general_ci + PAD SPACE compare;
+    mysql_date maps zero dates to NULL (common_definitions.h:53 policy)."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    df = spark.createDataFrame(
+        [("abc", "ABC  "), ("abc ", "abc"), ("abc", "abd"), ("Straße", "STRASSE")],
+        ["a", "b"],
+    )
+    got = df.select(
+        M.ci_eq("a", "b").alias("ci"), M.pad_eq("a", "b").alias("pad")
+    ).collect()
+    assert [r["ci"] for r in got] == [True, True, False, False]
+    assert [r["pad"] for r in got] == [False, True, False, False]
+
+    d = spark.createDataFrame(
+        [("0000-00-00",), ("1997-03-04",), (None,)], ["s"]
+    ).select(M.mysql_date("s").alias("d"))
+    vals = [r["d"] for r in d.collect()]
+    assert vals[0] is None and vals[2] is None
+    assert str(vals[1]) == "1997-03-04"

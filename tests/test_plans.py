@@ -116,3 +116,40 @@ def test_q1_partial_aggregation_present(spark, sf_dir):
 def test_point_lookup_filter_pushed(spark, sf_dir):
     pushed = " ".join(pushed_filters(_build(spark, sf_dir, "point_lookup")))
     assert "o_orderkey" in pushed, pushed
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located layout (sources/bucketing.py): same-bucketed tables
+    join with ZERO shuffle exchanges — the 100 TB fact-to-fact lever."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.plans.inspect import shuffle_exchange_count
+    from stonedb_spark.sources.bucketing import colocated_join, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    write_bucketed(t["orders"], "b_orders", ["o_orderkey"], 8)
+    write_bucketed(
+        t["lineitem"], "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+    )
+    # pin to a shuffle-based join so zero exchanges is attributable to
+    # the bucketed layout, not to a broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(
+            spark,
+            "b_lineitem",
+            "b_orders",
+            spark.table("b_lineitem")["l_orderkey"]
+            == spark.table("b_orders")["o_orderkey"],
+        )
+        assert shuffle_exchange_count(j) == 0, j.explain(True)
+        # unbucketed control: the same join over raw parquet shuffles both sides
+        raw = t["lineitem"].join(
+            t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"]
+        )
+        assert shuffle_exchange_count(raw) == 2
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
