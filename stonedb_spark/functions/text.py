@@ -78,3 +78,17 @@ def fingerprint(text: Column) -> Column:
     whitespace-collapsed text (the rolling-hash analog — an
     order-sensitive content hash)."""
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# BPE-ish tokenizer regex (GPT-2-style pretokenization, ASCII subset):
+# contractions, letter runs, digit runs, punctuation runs — applied to
+# lowercased text.  Alternation order matters (contraction first) and is
+# leftmost-first in both Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = r"'(s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pretokenizer — the unit an LLM
+    training pipeline budgets by (whitespace counts undercount punct-
+    heavy text).  Pure codegen expression: regexp_count, no UDF."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_PATTERN))

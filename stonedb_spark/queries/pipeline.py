@@ -327,6 +327,8 @@ def knn_lsh_bucketed(spark, sf_dir):
 # Text statistics + quality score + fingerprint.
 _EN = T.LANG_STOPWORDS["en"]
 _EN_SQL = ", ".join(f"'{w}'" for w in _EN)
+# SQL string literal of the BPE-ish pretokenizer regex ('' escapes ')
+_BPE_SQL = T.BPE_PATTERN.replace("'", "''")
 
 
 @register(
@@ -337,6 +339,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_SQL}')) AS n_bpe_tokens,
        strlen(text) AS n_bytes,
        len([x for x in toks if x IN ({_EN_SQL})]) AS n_stop,
        length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
@@ -362,6 +365,7 @@ def text_stats_quality(spark, sf_dir):
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         n_bytes.cast("long").alias("n_bytes"),
         n_stop.alias("n_stop"),
         T.punct_count(F.col("text")).cast("long").alias("n_punct"),

@@ -845,3 +845,42 @@ def agg_metadata_fastpath(spark, sf_dir):
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (operators/skew.py): result provably identical to the
+# plain equi-join — the oracle IS the plain join.  8× salt spread on the
+# orders→customer key; deterministic salt (hash, not rand) so AQE
+# re-plans / task retries cannot lose or duplicate rows.
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="salted equi-join (8 salts, deterministic) ≡ plain join",
+)
+def join_skew_salted(spark, sf_dir):
+    from stonedb_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    j = salted_join(
+        o.withColumnRenamed("o_custkey", "custkey"),
+        c.withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+        n_salts=8,
+        disambiguator="o_orderkey",
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

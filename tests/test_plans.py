@@ -8,6 +8,10 @@ analog is Parquet pushdown; §2.3: map join analog is broadcast.)
 
 from __future__ import annotations
 
+import re
+
+from pyspark.sql import functions as F
+
 from stonedb_spark.plans.inspect import (
     codegen_stage_count,
     has_broadcast_join,
@@ -153,3 +157,39 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (the coarse tier above row-group pruning):
+    a filter on the partition column must surface in PartitionFilters and
+    scan only the matching directory — at 100 TB this is the difference
+    between listing one day and listing the table."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    o = load_tables(spark, sf_dir)["orders"]
+    path = str(tmp_path / "orders_by_status")
+    o.write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:1500]
+    assert df.count() == o.filter(o["o_orderstatus"] == "F").count()
+
+
+def test_salted_join_no_bnlj_and_spreads_keys(spark, sf_dir):
+    """salted_join must stay an equi-join (no BNLJ/cartesian) and its
+    left side must carry n_salts distinct salt values per hot key."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.operators.skew import SALT_COL, salted_join
+
+    t = load_tables(spark, sf_dir)
+    j = salted_join(
+        t["orders"].withColumnRenamed("o_custkey", "custkey"),
+        t["customer"].withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+        n_salts=8,
+        disambiguator="o_orderkey",
+    )
+    assert not has_nested_loop_join(j)
+    assert SALT_COL not in j.columns
