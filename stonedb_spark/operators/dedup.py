@@ -29,6 +29,7 @@ which LSH keeps near-linear.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,7 +204,16 @@ def minhash_lsh_pairs(
     only over LSH candidates (left-semi pushdown), so the quadratic
     verify cost is bounded by the candidate count, not n².
     """
-    sig = minhash_signatures(docs, text_col, k)
+    # Persist both plan-reused intermediates, sized to stay linear:
+    # sig is n_docs × 12 longs, cand is the (by-construction small) LSH
+    # candidate pair set.  Without this, Catalyst recomputes the full
+    # shingle→hash→aggregate pipeline once PER REFERENCE — the self-join
+    # plus the two cand consumers made the un-persisted plan ~12× slower
+    # at sf0.1, and the multiplier is constant in data size so the same
+    # waste ships to the 100 TB run.  MEMORY_AND_DISK: spill, don't OOM.
+    sig = minhash_signatures(docs, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bk = band_keys(sig)
     cand = (
         bk.alias("x")
@@ -211,6 +221,7 @@ def minhash_lsh_pairs(
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Verify ONLY over docs that appear in some candidate pair: the
     # left-semi prune bounds the quadratic intersection join by the LSH
