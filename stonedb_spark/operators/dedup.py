@@ -108,7 +108,14 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     """(doc_id, shingle) rows → (d1, d2, jaccard) pairs above threshold.
 
-    |A∩B| from the shingle-key equi-join, |A∪B| = |A|+|B|−|A∩B|."""
+    |A∩B| from the shingle-key equi-join, |A∪B| = |A|+|B|−|A∩B|.
+
+    ``sh`` is referenced three times (sizes + both join sides); persist
+    it so the upstream shingle explode runs once.  The stream is linear
+    in corpus size (~10-100× doc count) — MEMORY_AND_DISK spills rather
+    than OOMs, and one spilled copy beats three recomputes of the
+    explode + the scans feeding it."""
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")

@@ -18,6 +18,7 @@ any other engine (the DuckDB oracle) reproduces bucket keys exactly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -94,3 +95,30 @@ def knn_lsh(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def unit_vec(vec: Column) -> Column:
+    """vec / ||vec|| as array<double> — computed ONCE per row so the
+    pair stage needs a single dot, not dot + two norms (3× fewer
+    per-pair folds)."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def pair_dot_pandas() -> Column:
+    """Arrow-batched rowwise dot product for PAIR streams.
+
+    Catalyst's zip_with/aggregate lambdas are interpreted per element —
+    fine per ROW (n·d work), ruinous per PAIR (n²·d: measured 89 s for
+    2k vecs × 64 dims at sf0.1).  Over pairs we hand numpy the whole
+    Arrow batch instead: one vectorized einsum per ~10k rows.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot
