@@ -160,3 +160,33 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     assert set(closed_by_event) <= set(got), "missing event-closed sessions"
     for k, v in got.items():
         assert all_sessions[k] == v, (k, v, all_sessions[k])
+
+
+def test_streaming_dedup_drops_redelivered_rows(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one copy of a re-delivered
+    record (double-written source files) and state stays keyed+GC'd."""
+    from stonedb_spark.streaming.dedup import dedup_stream
+    from stonedb_spark.streaming.ingest import stream_events
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events = load_tables(spark, sf_dir)["events"]
+    sample = events.filter(F.col("event_id") % 29 == 0)
+    # simulate redelivery: the same rows land twice as separate files
+    sample.write.mode("append").parquet(src)
+    sample.write.mode("append").parquet(src)
+    n_distinct = sample.count()
+
+    schema = spark.read.parquet(src).schema
+    deduped = dedup_stream(stream_events(spark, src, schema), ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
+    assert got.n == n_distinct == got.d
+    assert spark.read.parquet(src).count() == 2 * n_distinct
