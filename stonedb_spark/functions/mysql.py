@@ -242,3 +242,41 @@ def mysql_date(s: Column | str) -> Column:
     """Cast a MySQL date string to DateType; zero dates become NULL."""
     c = F.col(s) if isinstance(s, str) else s
     return F.when(c.startswith("0000-00-00"), F.lit(None)).otherwise(c).cast("date")
+
+
+# ---------------------------------------------------------------------------
+# Date/time arithmetic (adddate_func.test, addtime_function.test,
+# timediff.test, timestampadd_func.test, date_add_sub in the MTR corpus).
+
+
+def adddate(d: Column | str, days: int) -> Column:
+    """ADDDATE / DATE_ADD(d, INTERVAL n DAY)."""
+    return F.date_add(d, days)
+
+
+def subdate(d: Column | str, days: int) -> Column:
+    """SUBDATE / DATE_SUB(d, INTERVAL n DAY)."""
+    return F.date_sub(d, days)
+
+
+def add_months_(d: Column | str, months: int) -> Column:
+    """DATE_ADD(d, INTERVAL n MONTH) — end-of-month clamped like MySQL."""
+    return F.add_months(d, months)
+
+
+def timestampadd(unit: str, n: int, ts: Column | str) -> Column:
+    """TIMESTAMPADD(unit, n, ts); unit in SECOND/MINUTE/HOUR/DAY/…"""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_add(unit.upper(), F.lit(n), c)
+
+
+def addtime(ts: Column | str, seconds: int) -> Column:
+    """ADDTIME(ts, 'HH:MM:SS') with the offset given in seconds."""
+    return timestampadd("SECOND", seconds, ts)
+
+
+def timediff(a: Column | str, b: Column | str) -> Column:
+    """TIMEDIFF(a, b) as 'H…H:MM:SS' (hours NOT wrapped at 24, as MySQL)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return sec_to_time(ca.cast("long") - cb.cast("long"))

@@ -323,3 +323,50 @@ def func_period_time(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Date/time arithmetic battery: ADDDATE/SUBDATE/DATE_ADD(MONTH)/ADDTIME/
+# TIMESTAMPADD/TIMEDIFF (MTR: adddate_func.test, addtime_function.test,
+# timediff.test, timestampadd_func.test).  All pure Catalyst interval
+# arithmetic; TIMEDIFF reuses the SEC_TO_TIME shim (hours unwrapped).
+@register(
+    "func_date_arith",
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts, CAST(ts AS DATE) AS d FROM events WHERE event_id <= 100
+)
+SELECT event_id,
+       CAST(CAST(d + INTERVAL 7 DAY AS DATE) AS VARCHAR)   AS plus7,
+       CAST(CAST(d - INTERVAL 7 DAY AS DATE) AS VARCHAR)   AS minus7,
+       CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+       ts + INTERVAL 5400 SECOND          AS addtime_90m,
+       ts + INTERVAL 3 HOUR               AS tsadd_3h,
+       LPAD(CAST(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) % 86400 // 3600 AS VARCHAR), 2, '0')
+         || ':' ||
+       LPAD(CAST(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) % 3600 // 60 AS VARCHAR), 2, '0')
+         || ':' ||
+       LPAD(CAST(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) % 60 AS VARCHAR), 2, '0')
+                                          AS tdiff_midnight
+FROM e
+ORDER BY event_id
+""",
+    doc="ADDDATE/SUBDATE/ADD_MONTHS/ADDTIME/TIMESTAMPADD/TIMEDIFF",
+)
+def func_date_arith(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    d = e["ts"].cast("date")
+    return (
+        e.filter(e["event_id"] <= 100)
+        .select(
+            "event_id",
+            my.adddate(d, 7).cast("string").alias("plus7"),
+            my.subdate(d, 7).cast("string").alias("minus7"),
+            my.add_months_(d, 2).cast("string").alias("plus2m"),
+            my.addtime(e["ts"], 5400).alias("addtime_90m"),
+            my.timestampadd("HOUR", 3, e["ts"]).alias("tsadd_3h"),
+            my.timediff(e["ts"], F.date_trunc("day", e["ts"])).alias("tdiff_midnight"),
+        )
+        .orderBy("event_id")
+    )

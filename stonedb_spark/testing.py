@@ -41,7 +41,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64")
         elif s.dtype == object:
-            out[c] = s.map(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+            # decimals → float; datetime.date objects (Spark DATE cols
+            # arrive as object dtype) → Timestamp, matching DuckDB's
+            # datetime64 coercion of DATE
+            out[c] = s.map(
+                lambda v: float(v)
+                if hasattr(v, "as_tuple")
+                else (pd.Timestamp(v) if type(v).__name__ == "date" else v)
+            )
     return out.sort_values(by=list(out.columns), ignore_index=True, na_position="last")
 
 

@@ -50,3 +50,12 @@ def test_mysql_collation_and_pad_semantics(spark):
     vals = [r["d"] for r in d.collect()]
     assert vals[0] is None and vals[2] is None
     assert str(vals[1]) == "1997-03-04"
+
+
+def test_session_variables_user_var_analog(spark):
+    """MySQL user variables (func_define.test, user_function.test):
+    Spark 4 SQL session variables are the engine analog."""
+    spark.sql("DECLARE OR REPLACE VARIABLE v_min_size INT DEFAULT 10")
+    spark.sql("SET VAR v_min_size = 25")
+    got = spark.sql("SELECT v_min_size AS v, v_min_size * 2 AS v2").collect()[0]
+    assert (got.v, got.v2) == (25, 50)
