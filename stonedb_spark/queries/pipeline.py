@@ -567,3 +567,41 @@ def events_time_window(spark, sf_dir):
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (operators/sampling.py): the same
+# doc lands in the same split on any engine/partitioning — rand()-based
+# splits are partitioning-dependent and unreproducible at re-run.
+@register(
+    "pipeline_train_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT lang, split, COUNT(*) AS n
+FROM s GROUP BY lang, split
+ORDER BY lang, split
+""",
+    doc="deterministic md5-hash train/val/test split (80/10/10), per-lang counts",
+)
+def pipeline_train_split(spark, sf_dir):
+    from stonedb_spark.operators.sampling import split_assign
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select("lang", split_assign("doc_id").alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
