@@ -193,3 +193,30 @@ def test_salted_join_no_bnlj_and_spreads_keys(spark, sf_dir):
     )
     assert not has_nested_loop_join(j)
     assert SALT_COL not in j.columns
+
+
+# Queries where a nested-loop/cartesian node is EXPECTED and bounded:
+# 1-row scalar-subquery broadcasts (q11/q22/subq_all_any/knn's query-vec
+# lookup), the intentional cartesian (join_cross_dims), and the brute
+# pair baseline whose scale path is the LSH variant (dedup_embedding_cos).
+_BNLJ_ALLOWED = {
+    "dedup_embedding_cos",
+    "join_cross_dims",
+    "knn_bruteforce",
+    "subq_all_any",
+    "tpch_q11",
+    "tpch_q22",
+}
+
+
+def test_no_query_gains_a_nested_loop_join(spark, sf_dir):
+    """Blanket regression gate: a BNLJ over an unbounded side is the
+    classic silent 100 TB killer — any NEW nested-loop plan anywhere in
+    the battery must be reviewed (and allowed) explicitly."""
+    offenders = [
+        name
+        for name, q in sorted(all_queries().items())
+        if name not in _BNLJ_ALLOWED
+        and has_nested_loop_join(q.build(spark, sf_dir))
+    ]
+    assert not offenders, offenders
