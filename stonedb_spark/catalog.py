@@ -49,6 +49,11 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     are plain file scans (verify with ``df.explain('formatted')`` —
     PushedFilters/ReadSchema lines).
     """
+    from stonedb_spark.session import ensure_sql_confs
+
+    # the session may be the driver's own (not built by get_spark) —
+    # apply the runtime SQL confs the fixtures/queries depend on
+    ensure_sql_confs(spark)
     key = (id(spark), sf_dir)
     cached = _CATALOG.get(key)
     if cached is not None:

@@ -69,3 +69,21 @@ def get_spark(app_name: str = "stonedb_spark", extra_conf: dict | None = None) -
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_sql_confs(spark: SparkSession) -> None:
+    """Apply the engine's SQL-runtime confs to an AMBIENT session.
+
+    The driver (and any embedding application) hands us its own
+    SparkSession; without ``spark.sql.legacy.parquet.nanosAsLong`` every
+    catalog load dies on the nanosecond-timestamp events fixture, and
+    without UTC/adaptive/pushdown confs results and plans drift from the
+    tested ones.  Everything here is a runtime-settable SQL conf —
+    static confs (master, memory, warehouse, UI) stay the caller's
+    choice.  Idempotent and cheap; called from catalog.load_tables."""
+    for k, v in _LOCAL_DEFAULTS.items():
+        if k.startswith("spark.sql.") and k != "spark.sql.warehouse.dir":
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # conf became static in some deployment — keep going
