@@ -133,9 +133,109 @@ def sec_to_time(seconds: Column) -> Column:
 
 
 def week_iso(col: Column | str) -> Column:
-    """MySQL WEEK(d, 3) — ISO-8601 week of year (mode 3; SURVEY §7 notes
-    the other WEEK modes are a documented dialect gap)."""
+    """MySQL WEEK(d, 3) — ISO-8601 week of year (fast path; the general
+    8-mode algorithm is :func:`week`)."""
     return F.weekofyear(col)
+
+
+def _calc_week(d: Column, mode: int) -> tuple[Column, Column]:
+    """MySQL calc_week semantics for all 8 WEEK modes, as pure Column
+    expressions (whole-stage-codegen-able; no UDF).
+
+    Mode bits (MySQL docs "WEEK(date[,mode])", reference delegates to the
+    server's evaluator per SURVEY §2.8 / storage/tianmu/core/
+    mysql_expression.cpp): bit0 = Monday-first, bit1 = return 1..53
+    (attribute out-of-range days to the adjacent week-year), bit2 = week 1
+    is the first week containing the week's first day (vs the ">= 4 days
+    in this year" ISO-style rule); when Sunday-first, bit2's meaning is
+    inverted (MySQL's week_mode() normalization).
+
+    Returns ``(week, week_year)`` — the year is the one the week is
+    attributed to (needed by YEARWEEK).
+    """
+    mode &= 7
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    if not monday_first:
+        first_weekday = not first_weekday
+
+    y = F.year(d)
+    jan1 = F.trunc(d, "year")
+    prev_jan1 = F.add_months(jan1, -12)
+    next_jan1 = F.add_months(jan1, 12)
+    days_in_year = F.datediff(next_jan1, jan1)
+    days_in_prev = F.datediff(jan1, prev_jan1)
+    shift = 5 if monday_first else 6  # 0 = week's first day
+    wd1 = (F.dayofweek(jan1) + F.lit(shift)) % 7  # weekday of Jan 1
+    doy = F.dayofyear(d)  # == datediff(d, jan1) + 1
+
+    def week1_not_here(wd: Column) -> Column:
+        # True when the week containing Jan 1 (weekday-of-Jan1 = wd)
+        # belongs to the previous year under this mode's week-1 rule.
+        return (wd != 0) if first_weekday else (wd >= 4)
+
+    def days_before(wd: Column, first_doy_off: Column) -> Column:
+        # Days from the year's week-1 start to d (may be negative only
+        # in branches where it cannot be reached).
+        start = F.when(week1_not_here(wd), first_doy_off + (7 - wd)).otherwise(
+            first_doy_off - wd
+        )
+        return (doy - 1) - start
+
+    in_first = (F.month(d) == 1) & (F.dayofmonth(d) <= 7 - wd1)
+
+    # --- d belongs to the tail week of the previous year -------------
+    wd_prev = (wd1 + F.lit(53 * 7) - days_in_prev) % 7  # Jan-1 weekday, year-1
+    days_prev = days_before(wd_prev, -days_in_prev)
+    # ... unless that "tail" is ≥ 52 full weeks in, i.e. it is really
+    # week 1 of the current year (week-year roll-forward).
+    roll_prev = (wd1 == 0) if first_weekday else (wd1 < 4)
+    prev_week = F.when((days_prev >= 52 * 7) & roll_prev, F.lit(1)).otherwise(
+        (days_prev / 7).cast("int") + 1
+    )
+    prev_year = F.when((days_prev >= 52 * 7) & roll_prev, y).otherwise(y - 1)
+
+    # --- normal path -------------------------------------------------
+    days_cur = days_before(wd1, F.lit(0))
+    wd_next = (wd1 + days_in_year) % 7  # Jan-1 weekday, year+1
+    roll_next = (wd_next == 0) if first_weekday else (wd_next < 4)
+    cur_week = (days_cur / 7).cast("int") + 1
+    cur_year = y
+    if week_year:
+        spills = (days_cur >= 52 * 7) & roll_next
+        cur_week = F.when(spills, F.lit(1)).otherwise(cur_week)
+        cur_year = F.when(spills, y + 1).otherwise(y)
+
+    if week_year:
+        week = F.when(in_first, prev_week).otherwise(cur_week)
+        year_out = F.when(in_first, prev_year).otherwise(cur_year)
+    else:
+        # Days before the first week-1 start are week 0 of this year.
+        week = (
+            F.when(in_first & week1_not_here(wd1), F.lit(0))
+            .when(in_first, prev_week)
+            .otherwise(cur_week)
+        )
+        year_out = F.when(in_first & week1_not_here(wd1), y).otherwise(
+            F.when(in_first, prev_year).otherwise(cur_year)
+        )
+    return week.cast("int"), year_out.cast("int")
+
+
+def week(col: Column | str, mode: int = 0) -> Column:
+    """MySQL WEEK(d, mode) for every mode 0-7 (week_func.test,
+    weekofyear_func.test; default_week_format sysvar default = 0)."""
+    d = F.col(col) if isinstance(col, str) else col
+    return _calc_week(d, mode)[0]
+
+
+def yearweek(col: Column | str, mode: int = 0) -> Column:
+    """MySQL YEARWEEK(d, mode) → YYYYWW (yearweek_func.test).  Always
+    attributes boundary days to the adjacent week-year (WEEK_YEAR set)."""
+    d = F.col(col) if isinstance(col, str) else col
+    w, yy = _calc_week(d, (mode & 7) | 2)
+    return (yy * 100 + w).cast("long")
 
 
 def dayofweek(col: Column | str) -> Column:

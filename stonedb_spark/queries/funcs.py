@@ -370,3 +370,50 @@ def func_date_arith(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# All-mode WEEK/YEARWEEK (week_func/weekofyear_func/yearweek_func tests).
+# The reference evaluates these through MySQL's Item_func_week
+# (SURVEY §2.8 delegation); here the 8-mode algorithm is pure Column
+# expressions (functions/mysql.py _calc_week — codegen, no UDF).  Modes
+# 0/1/3 + ISO yearweek are oracle-checked here in DuckDB's dialect; the
+# full 8-mode × 13-year matrix is pinned against an independent Python
+# oracle in tests/test_funcs.py.
+@register(
+    "func_week_modes",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CASE WHEN doy < fsd THEN 0 ELSE (doy - fsd) // 7 + 1 END AS INT) AS week_m0,
+       CAST(CASE WHEN d < w1m1 THEN 0
+            ELSE DATE_DIFF('day', w1m1, d) // 7 + 1 END AS INT)              AS week_m1,
+       CAST(WEEK(d) AS INT)                                                  AS week_m3,
+       CAST(ISOYEAR(d) * 100 + WEEK(d) AS BIGINT)                            AS yearweek_m3
+FROM (
+    SELECT o_orderkey,
+           o_orderdate AS d,
+           DAYOFYEAR(o_orderdate) AS doy,
+           1 + (7 - DAYOFWEEK(DATE_TRUNC('year', o_orderdate))) % 7 AS fsd,
+           MAKE_DATE(YEAR(o_orderdate), 1, 4)
+             - CAST(ISODOW(MAKE_DATE(YEAR(o_orderdate), 1, 4)) - 1 AS INT) AS w1m1
+    FROM orders WHERE o_orderkey <= 400
+)
+ORDER BY o_orderkey
+""",
+    doc="WEEK modes 0/1/3 + YEARWEEK(d,3) — MySQL week-mode dialect shim",
+)
+def func_week_modes(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    d = o["o_orderdate"]
+    return (
+        o.filter(o["o_orderkey"] <= 400)
+        .select(
+            "o_orderkey",
+            my.week(d, 0).alias("week_m0"),
+            my.week(d, 1).alias("week_m1"),
+            my.week(d, 3).alias("week_m3"),
+            my.yearweek(d, 3).alias("yearweek_m3"),
+        )
+        .orderBy("o_orderkey")
+    )

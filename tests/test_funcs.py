@@ -59,3 +59,94 @@ def test_session_variables_user_var_analog(spark):
     spark.sql("SET VAR v_min_size = 25")
     got = spark.sql("SELECT v_min_size AS v, v_min_size * 2 AS v2").collect()[0]
     assert (got.v, got.v2) == (25, 50)
+
+
+def _week_py(d, mode):
+    """Independent WEEK oracle: week-1-start counting formulation (not the
+    engine's branch structure). Returns (week, week_year)."""
+    import datetime as dt
+
+    mode &= 7
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    if not monday_first:
+        first_weekday = not first_weekday
+
+    def off(x):  # days since this week's start day
+        return (x.isoweekday() - 1) % 7 if monday_first else x.isoweekday() % 7
+
+    def week1_start(year):
+        if first_weekday:  # first week containing the week's start day
+            j = dt.date(year, 1, 1)
+            return j + dt.timedelta((7 - off(j)) % 7)
+        j4 = dt.date(year, 1, 4)  # 4-day rule: the week containing Jan 4
+        return j4 - dt.timedelta(off(j4))
+
+    y = d.year
+    w1 = week1_start(y)
+    if d < w1:
+        if not week_year:
+            return 0, y
+        return (d - week1_start(y - 1)).days // 7 + 1, y - 1
+    if week_year and d >= week1_start(y + 1):
+        return 1, y + 1
+    return (d - w1).days // 7 + 1, y
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_week_all_modes_vs_independent_oracle(spark, mode):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    start = dt.date(1992, 12, 20)
+    days = (dt.date(2005, 1, 20) - start).days + 1
+    df = spark.range(days).select(
+        F.date_add(F.lit(start), F.col("id").cast("int")).alias("d")
+    )
+    got = (
+        df.select(
+            "d",
+            M.week("d", mode).alias("w"),
+            M.yearweek("d", mode).alias("yw"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    assert len(got) == days
+    for r in got:
+        ew, _ = _week_py(r["d"], mode)
+        eyy, eww = _week_py(r["d"], (mode & 7) | 2)[1], _week_py(r["d"], (mode & 7) | 2)[0]
+        assert r["w"] == ew, (r["d"], mode, r["w"], ew)
+        assert r["yw"] == eyy * 100 + eww, (r["d"], mode, r["yw"])
+
+
+def test_week_mysql_doc_anchors(spark):
+    """Values published in the MySQL 5.7 reference manual for WEEK/YEARWEEK."""
+    import datetime as dt
+
+    from stonedb_spark.functions import mysql as M
+
+    rows = {
+        ("2008-02-20", 0): 7,
+        ("2008-02-20", 1): 8,
+        ("2008-12-31", 1): 53,
+        ("2000-01-01", 0): 0,
+        ("2000-01-01", 2): 52,
+    }
+    df = spark.createDataFrame(
+        [(dt.date.fromisoformat(s),) for s, _ in rows], ["d"]
+    )
+    for (s, mode), expect in rows.items():
+        got = (
+            df.filter(df["d"] == dt.date.fromisoformat(s))
+            .select(M.week("d", mode).alias("w"))
+            .collect()[0]["w"]
+        )
+        assert got == expect, (s, mode, got, expect)
+    yw = df.select(M.yearweek("d").alias("yw"), "d").collect()
+    by_date = {str(r["d"]): r["yw"] for r in yw}
+    assert by_date["2000-01-01"] == 199952
