@@ -97,6 +97,59 @@ def knn_lsh(
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int = IVF_NLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the `nlist` rows first in
+    md5(id) order serve as centroids (a seeded hash-sample — uniform over
+    the table, engine-reproducible, and a top-k plan at any scale).  A
+    k-means refinement would be a bounded number of extra
+    assign+average passes over the same plan shape; the flat seeded
+    quantizer keeps the index build a single pass."""
+    return (
+        embeddings.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties to
+    the smallest cid) → (id, cid).  The broadcast cross-join emits
+    n·nlist scored rows but map-side partial MAX collapses them to n
+    before the shuffle; at write time this column becomes the table's
+    partition key so probes prune partitions."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"), (-F.col("cid")).alias("tie"), F.col("cid")
+                )
+            ).alias("m")
+        )
+        .select(F.col(id_col), F.col("m.cid").alias("cid"))
+    )
+    return best
+
+
 def unit_vec(vec: Column) -> Column:
     """vec / ||vec|| as array<double> — computed ONCE per row so the
     pair stage needs a single dot, not dot + two norms (3× fewer

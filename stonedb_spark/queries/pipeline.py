@@ -337,6 +337,79 @@ def knn_lsh_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# k-NN: IVF (inverted-file) approximate variant — the other classic ANN
+# scale path beside LSH: a coarse quantizer of nlist centroids partitions
+# the vectors; a query probes only its nprobe nearest cells.  Centroids
+# here are a deterministic hash-sample (engine-reproducible), so the
+# DuckDB oracle rebuilds the identical index.
+def _ivf_oracle(nlist: int, nprobe: int) -> str:
+    cos = (
+        "(list_sum(list_transform(list_zip({a}.embedding, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform({a}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform({b}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}),
+a AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos.format(a='e', b='c.cvec')} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c)
+      WHERE rn = 1),
+probe AS (SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY {cos.format(a='q2', b='c.cvec')} DESC, c.cid ASC) AS rn
+        FROM (SELECT qv AS embedding FROM q) q2 CROSS JOIN c)
+      WHERE rn <= {nprobe})
+SELECT e.vec_id AS vec_id,
+       ROUND({cos.format(a='e', b='q.qv')}, 9) AS cos_sim
+FROM embeddings e
+JOIN a ON e.vec_id = a.vec_id
+JOIN probe ON a.cid = probe.cid
+CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+@register(
+    "knn_ivf_probe",
+    oracle=_ivf_oracle(S.IVF_NLIST, S.IVF_NPROBE),
+    doc="IVF coarse-quantized k-NN: nlist hash-seeded centroids, nprobe-cell probe",
+)
+def knn_ivf_probe(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    c = S.ivf_centroids(e)
+    assign = S.ivf_assign(e, c)
+    probe = (
+        c.crossJoin(F.broadcast(q))
+        .select("cid", S.cosine(F.col("cvec"), F.col("qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(S.IVF_NPROBE)
+        .select("cid")
+    )
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text statistics + quality score + fingerprint.
 _EN = T.LANG_STOPWORDS["en"]
 _EN_SQL = ", ".join(f"'{w}'" for w in _EN)

@@ -203,6 +203,7 @@ _BNLJ_ALLOWED = {
     "dedup_embedding_cos",
     "join_cross_dims",
     "knn_bruteforce",
+    "knn_ivf_probe",  # 1-row query-vec broadcasts; data side joins are equi
     "subq_all_any",
     "tpch_q11",
     "tpch_q22",
