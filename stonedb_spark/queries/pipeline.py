@@ -609,6 +609,65 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal audio analog: overlapped-window chunking (frame/hop), the
+# standard audio feature framing.  Decode/resample is STUBBED (codec
+# libs absent) but the Spark path is real: binary column in, Arrow
+# batches through mapInPandas, typed per-chunk rows out.  Window 256 /
+# hop 192 bytes ~ 75% frame overlap.
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+SELECT doc_id,
+       unnest(range((strlen(text) - 256) // 192 + 1)) AS chunk_idx,
+       CAST(unnest(range((strlen(text) - 256) // 192 + 1)) * 192 AS BIGINT) AS start_byte,
+       CAST(unnest(range((strlen(text) - 256) // 192 + 1)) * 192 * 1000 / 32000 AS BIGINT)
+         AS start_ms,
+       md5(text || '@' || CAST(unnest(range((strlen(text) - 256) // 192 + 1)) AS VARCHAR))
+         AS chunk_md5
+FROM documents
+WHERE doc_id < 100 AND strlen(text) >= 256
+ORDER BY doc_id, chunk_idx
+""",
+    doc="audio framing stub: overlapped windows (256/192) -> per-chunk rows + timeline",
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    WIN, HOP, BYTES_PER_MS = 256, 192, 32  # stub 16 kHz * 16-bit mono
+    t = load_tables(spark, sf_dir)
+    payloads = (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    def chunk_batches(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "chunk_idx": [], "start_byte": [], "start_ms": [], "chunk_md5": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                if len(raw) < WIN:
+                    continue
+                n = (len(raw) - WIN) // HOP + 1
+                for i in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(i)
+                    rows["start_byte"].append(i * HOP)
+                    rows["start_ms"].append(i * HOP * 1000 // (BYTES_PER_MS * 1000))
+                    rows["chunk_md5"].append(
+                        hashlib.md5(raw + b"@" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    out = payloads.mapInPandas(
+        chunk_batches,
+        schema="doc_id long, chunk_idx long, start_byte long, start_ms long, chunk_md5 string",
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
 # Event-stream batch analog: hourly windowed aggregation (the Structured
 # Streaming pipeline in stonedb_spark.streaming computes the same plan
 # incrementally; SURVEY §2.10 — reference has only an ingest pipeline).
