@@ -417,3 +417,46 @@ def func_week_modes(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (MySQL 5.7 JSON_EXTRACT / ->> surface; the
+# reference routes JSON to MySQL — limits.md lists the json TYPE as
+# unsupported — so this is the dialect function, evaluated here with
+# Spark's native get_json_object/from_json, no UDF).  Training-data
+# pipelines lean on exactly this for sidecar metadata columns.
+@register(
+    "func_json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT)          AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10     AS k_bucket,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            THEN 'hi' ELSE 'lo' END                            AS k_band
+FROM events
+WHERE event_id <= 300
+ORDER BY event_id
+""",
+    doc="JSON_EXTRACT dialect: get_json_object + typed from_json over props",
+)
+def func_json_extract(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    parsed = F.from_json(
+        F.col("props"), StructType([StructField("k", IntegerType())])
+    )
+    k = parsed["k"]
+    return (
+        e.filter(F.col("event_id") <= 300)
+        .select(
+            "event_id",
+            k.alias("k"),
+            (k % 10).alias("k_bucket"),
+            F.get_json_object(F.col("props"), "$.missing").alias("absent"),
+            F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+        )
+        .orderBy("event_id")
+    )
