@@ -14,8 +14,8 @@ local[32] to a 1000-executor cluster.
 """
 
 from stonedb_spark.session import get_spark
-from stonedb_spark.catalog import load_tables, TABLES
+from stonedb_spark.catalog import load_tables, sql, TABLES
 
-__all__ = ["get_spark", "load_tables", "TABLES"]
+__all__ = ["get_spark", "load_tables", "sql", "TABLES"]
 
 __version__ = "0.1.0"

@@ -82,3 +82,14 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         dfs[name] = df
     _CATALOG[key] = dfs
     return dfs
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Run a SQL string over the registered catalog — the reference's
+    user surface (SQL text over named tables, hook at
+    storage/tianmu/sql/ha_my_tianmu.h:28).  A reference user's query
+    text runs here unchanged wherever MySQL 5.7 and Spark SQL agree;
+    dialect gaps (DATE_FORMAT codes, WEEK modes, DIV, …) are covered by
+    stonedb_spark.functions.mysql shims from the DataFrame side."""
+    load_tables(spark, sf_dir)
+    return spark.sql(query)

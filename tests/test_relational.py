@@ -26,3 +26,29 @@ def test_relational_matches_oracle(spark, oracle, sf_dir, name):
 def test_relational_nonempty(spark, sf_dir, name):
     q = all_queries()[name]
     assert q.build(spark, sf_dir).count() > 0, f"{name} returned no rows"
+
+
+def test_sql_facade_runs_reference_style_text(spark, oracle, sf_dir):
+    """A reference user's SQL text (the ssb_small.test / Q19 disjunct
+    shape, mysql-test/suite/tianmu/t/ssb_small.test:58-75) runs
+    unchanged through the sql() facade over the registered views."""
+    from stonedb_spark import sql as run_sql
+    from stonedb_spark.testing import compare_frames
+
+    text = """
+        select p_brand, sum(l_extendedprice * (1 - l_discount)) as revenue
+        from lineitem, part
+        where p_partkey = l_partkey
+          and l_quantity >= 2 and l_quantity <= 2 + 10
+          and p_size between 1 and 5
+          and l_shipdate between date '1995-01-01' and date '1996-12-31'
+        group by p_brand
+        order by p_brand
+    """
+    got = run_sql(spark, text, sf_dir).toPandas()
+    want = oracle.execute(
+        text.replace("sum(l_extendedprice * (1 - l_discount))",
+                     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)")
+    ).df()
+    got["revenue"] = got["revenue"].astype("float64")
+    assert not compare_frames(got, want)
