@@ -32,6 +32,7 @@ HEADLINE_PREFIXES = ("tpch_",)
 HEADLINE_EXTRA = (
     "dedup_minhash_lsh",
     "knn_bruteforce",
+    "knn_ivf_probe",
 )
 
 

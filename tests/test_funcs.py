@@ -150,3 +150,51 @@ def test_week_mysql_doc_anchors(spark):
     yw = df.select(M.yearweek("d").alias("yw"), "d").collect()
     by_date = {str(r["d"]): r["yw"] for r in yw}
     assert by_date["2000-01-01"] == 199952
+
+
+def test_shim_semantics_on_edge_grid(spark):
+    """One-pass grid of signed/boundary values through the numeric/time
+    shims, compared against Python-computed MySQL semantics (truncation
+    toward zero, period month arithmetic, HH:MM:SS rendering)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    rng = np.random.default_rng(7)
+    secs = np.concatenate(
+        [rng.integers(0, 360000, 500), [0, 59, 60, 3599, 3600, 86399, 359999]]
+    )
+    periods = np.concatenate(
+        [
+            (rng.integers(1990, 2030, 507) * 100 + rng.integers(1, 13, 507)),
+            [199901, 200012, 202501],
+        ]
+    )
+    xs = np.round(np.concatenate(
+        [rng.normal(0, 1000, 505), [-1.999, 1.999, -0.001, 0.0, 12345.6789]]
+    ), 6)
+    rows = [
+        (int(s), int(p1), int(p2), float(x))
+        for s, p1, p2, x in zip(secs, periods, periods[::-1], xs)
+    ]
+    df = spark.createDataFrame(rows, ["s", "p1", "p2", "x"])
+    got = (
+        df.select(
+            "s", "p1", "p2", "x",
+            M.sec_to_time(F.col("s")).alias("t"),
+            M.period_diff(F.col("p1"), F.col("p2")).alias("pd"),
+            M.truncate(F.col("x"), 2).alias("tr2"),
+        )
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        s = r["s"]
+        assert r["t"] == f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}", r
+        months = lambda p: (p // 100) * 12 + p % 100  # noqa: E731
+        assert r["pd"] == months(r["p1"]) - months(r["p2"]), r
+        # toward-zero truncation at 2 decimals (values are pre-rounded to
+        # 6 decimals so float noise cannot straddle the boundary)
+        import math
+        assert r["tr2"] == math.trunc(round(r["x"] * 100, 4)) / 100.0, (r["x"], r["tr2"])
