@@ -161,7 +161,7 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25.0)                        AS abs_dev,
        CEIL(l_extendedprice / 1000.0)                AS ceil_k,
        FLOOR(l_extendedprice / 1000.0)               AS floor_k,
-       ROUND(l_extendedprice * l_discount, 2)        AS rounded,
+       CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)), 2) AS DOUBLE) AS rounded,
        CAST(l_orderkey % 97 AS BIGINT)               AS mod97,
        CAST(TRUNC(CAST(l_orderkey AS DOUBLE) / 7.0) AS BIGINT) AS div7,
        TRUNC(l_extendedprice * 0.01 * 100.0) / 100.0 AS trunc2,
@@ -189,7 +189,11 @@ def func_math(spark, sf_dir):
             F.abs(qty - 25.0).alias("abs_dev"),
             F.ceil(price / 1000.0).alias("ceil_k"),
             F.floor(price / 1000.0).alias("floor_k"),
-            F.round(price * l["l_discount"], 2).alias("rounded"),
+            # double ROUND diverges across engines on half-way products
+            # (binary expansion vs shortest-decimal); round the exact
+            # DECIMAL intermediate instead, like every money aggregate.
+            F.round((price * l["l_discount"]).cast("decimal(38,10)"), 2)
+            .cast("double").alias("rounded"),
             (l["l_orderkey"] % 97).cast("long").alias("mod97"),
             my.div(l["l_orderkey"], F.lit(7)).alias("div7"),
             my.truncate(price * 0.01, 2).alias("trunc2"),

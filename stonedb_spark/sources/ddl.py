@@ -61,3 +61,33 @@ def drop_column(spark: SparkSession, path: str, name: str) -> None:
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """OPTIMIZE analog: rewrite a many-small-files table into
+    ~target-size files; returns the new file count.
+
+    This is the reference's background delta-merge
+    (TianmuTable::MergeDeltaTable, storage/tianmu/core/
+    tianmu_table.cpp:1598; merge loop engine.cpp:1454): streaming/
+    delayed appends accumulate small files (delta-store rows), and a
+    maintenance pass folds them into full-size columnar files so scans
+    read few large row groups instead of many tiny ones.  File count =
+    ceil(bytes / target) — measured from the actual on-disk footprint,
+    never a row count collected to the driver.  On Delta this is
+    OPTIMIZE (+ Z-ORDER); on plain parquet it is a staged rewrite.
+    """
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    _rewrite(df.repartition(n_files), path)
+    return n_files

@@ -59,3 +59,25 @@ def test_ddl_truncate_add_drop(spark, sf_dir, tmp_path):
     after = read_table(spark, path)
     assert after.count() == 0
     assert after.columns == base_cols  # schema survives truncate
+
+
+def test_compact_table_folds_small_files(spark, sf_dir, tmp_path):
+    """The background delta-merge analog: many small appended files →
+    few target-size files, contents identical."""
+    import glob
+
+    from stonedb_spark.sources.ddl import compact_table
+
+    path = str(tmp_path / "events_small")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # simulate delayed-insert accumulation: 40 tiny appended files
+    src.repartition(40).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    before = src.count()
+    n = compact_table(spark, path, target_file_bytes=8 * 1024 * 1024)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n < 40
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # column set survives the rewrite
+    assert sorted(after.columns) == sorted(src.columns)
