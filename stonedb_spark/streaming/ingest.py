@@ -67,3 +67,16 @@ def run_append_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream–static enrichment join: each micro-batch equi-joins the
+    arriving rows against a (broadcast) dimension snapshot — the
+    streaming version of the map-join dimension lookup
+    (JoinerMapped, storage/tianmu/optimizer/joiner_mapped.h:32).
+    Stateless: no watermark needed for stream-static inner joins; the
+    dim side is re-resolved per micro-batch, so a slowly-changing
+    dimension picks up updates between batches.  At scale the dim stays
+    under the broadcast threshold or the join degrades to shuffled —
+    either way state size is zero."""
+    return stream.join(F.broadcast(dim), on, "inner")

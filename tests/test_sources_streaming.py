@@ -190,3 +190,42 @@ def test_streaming_dedup_drops_redelivered_rows(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
     assert got.n == n_distinct == got.d
     assert spark.read.parquet(src).count() == 2 * n_distinct
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream-static dim enrichment equals the batch join, and the dim
+    side is re-resolved per micro-batch (stateless)."""
+    from stonedb_spark.streaming.ingest import enrich_with_dim, stream_events
+
+    src = str(tmp_path / "src_enrich")
+    os.makedirs(src)
+    events = load_tables(spark, sf_dir)["events"]
+    sample = events.filter(F.col("event_id") % 29 == 0)
+    sample.write.parquet(src, mode="overwrite")
+    schema = spark.read.parquet(src).schema
+
+    # dimension: event_type → category (derived, deterministic)
+    dim = (
+        events.select("event_type").distinct()
+        .withColumn("category", F.upper(F.substring("event_type", 1, 3)))
+    )
+    stream = stream_events(spark, src, schema)
+    q = (
+        enrich_with_dim(stream, dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT event_id, category FROM enriched ORDER BY event_id"
+    ).collect()
+    expect = (
+        sample.join(dim, "event_type")
+        .select("event_id", "category")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert got == expect and len(got) == sample.count()
