@@ -47,3 +47,31 @@ def colocated_join(
 ) -> DataFrame:
     """Join two same-bucketed tables; the plan must carry no shuffle."""
     return spark.table(left).join(spark.table(right), on, how)
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_ndv: dict[str, int],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write parquet with bloom filters on selected columns — the
+    Knowledge-Grid Bloom node analog (storage/tianmu/index/
+    rsi_bloom.h:31): per-row-group membership filters that let an
+    equality scan skip row groups whose min/max can't discriminate
+    (high-cardinality strings: ids, hashes, urls).
+
+    ``bloom_ndv`` maps column → expected distinct count per row group;
+    sizing matters — parquet-mr's default NDV over-allocates ~50× on
+    modest tables (measured 1 MB of bloom for a 19 KB file).  Dictionary
+    encoding already covers low-cardinality columns; reserve bloom for
+    keys whose dictionary would not build.  ``sort_cols`` additionally
+    sorts within partitions so min/max stats prune range predicates —
+    Bloom and min/max compose exactly like the reference's CMAP +
+    histogram + bloom triple."""
+    out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    w = out.write.mode("overwrite")
+    for c, ndv in bloom_ndv.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)

@@ -81,3 +81,33 @@ def test_compact_table_folds_small_files(spark, sf_dir, tmp_path):
     assert after.count() == before
     # column set survives the rewrite
     assert sorted(after.columns) == sorted(src.columns)
+
+
+def test_write_with_bloom_adds_compact_filters(spark, sf_dir, tmp_path):
+    """Bloom-enabled layout: filters present (size delta), NDV-sized
+    (compact), and point lookups on the bloom column stay correct."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.sources.bucketing import write_with_bloom
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", F.md5("text").alias("h"))
+        .coalesce(1)
+    )
+    n = d.count()
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    d.write.parquet(plain)
+    write_with_bloom(d, bloomed, {"h": n})
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    s_plain, s_bloom = size(plain), size(bloomed)
+    assert s_bloom > s_plain  # the filter bytes exist
+    assert s_bloom < s_plain + 64 * 1024  # and are NDV-sized, not default-sized
+    probe = d.limit(1).collect()[0]["h"]
+    got = spark.read.parquet(bloomed).filter(F.col("h") == probe).collect()
+    assert len(got) == 1 and got[0]["h"] == probe
