@@ -30,23 +30,37 @@ def read_csv_with_rejects(
     sep: str = ",",
     header: bool = False,
     null_value: str | None = None,
+    quote: str = '"',
+    escape: str = "\\",
+    line_sep: str | None = None,
+    encoding: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (good_rows, rejected_rows).
 
     good_rows has exactly ``schema``; rejected_rows has one string column
     ``raw`` holding the original malformed line (Rejecter parity).
+
+    The option surface mirrors the reference's IOParameters
+    (storage/tianmu/loader/parsing_strategy.h:28): FIELDS TERMINATED BY
+    → ``sep``, ENCLOSED BY → ``quote``, ESCAPED BY → ``escape``, LINES
+    TERMINATED BY → ``line_sep``, CHARACTER SET → ``encoding``.
     """
     full_schema = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
-    df = (
+    reader = (
         spark.read.schema(full_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("sep", sep)
         .option("header", str(header).lower())
         .option("nullValue", null_value)
-        .csv(path)
-        .cache()  # one parse, two consumers (good + reject split)
+        .option("quote", quote)
+        .option("escape", escape)
     )
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    if encoding is not None:
+        reader = reader.option("encoding", encoding)
+    df = reader.csv(path).cache()  # one parse, two consumers (good + reject split)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")

@@ -229,3 +229,24 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == expect and len(got) == sample.count()
+
+
+def test_csv_load_quote_escape_linesep(spark, tmp_path):
+    """IOParameters parity: ENCLOSED BY / ESCAPED BY / LINES TERMINATED
+    BY / CHARACTER SET reach the distributed CSV parse."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from stonedb_spark.sources.csvload import read_csv_with_rejects
+
+    p = tmp_path / "in.csv"
+    # | line sep, ; field sep, '…' enclosed, backslash-escaped quote
+    p.write_bytes(b"1;'a;b'|2;'it\\'s'|3;plain|x;broken_int|")
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("s", StringType())]
+    )
+    good, bad = read_csv_with_rejects(
+        spark, str(p), schema, sep=";", quote="'", escape="\\", line_sep="|"
+    )
+    rows = {r["id"]: r["s"] for r in good.collect()}
+    assert rows == {1: "a;b", 2: "it's", 3: "plain"}
+    assert bad.count() == 1 and "broken_int" in bad.collect()[0]["raw"]
