@@ -122,13 +122,25 @@ def period_diff(p1: Column, p2: Column) -> Column:
 
 
 def sec_to_time(seconds: Column) -> Column:
-    """MySQL SEC_TO_TIME(s) → 'HH:MM:SS' string (TIME has no Spark type)."""
-    s = seconds.cast("long")
-    return F.concat_ws(
-        ":",
-        F.lpad((s / 3600).cast("long").cast("string"), 2, "0"),
-        F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
-        F.lpad((s % 60).cast("string"), 2, "0"),
+    """MySQL SEC_TO_TIME(s) → '[-]HHH:MM:SS' string (TIME has no Spark
+    type).  Negative seconds render with a leading '-'; magnitude clamps
+    at TIME's range limit 838:59:59 like the server; hours print
+    unpadded past two digits ('100:00:39', never truncated)."""
+    s0 = seconds.cast("long")
+    sign = F.when(s0 < 0, F.lit("-")).otherwise(F.lit(""))
+    s = F.least(F.abs(s0), F.lit(838 * 3600 + 59 * 60 + 59))
+    hh = (s / 3600).cast("long")
+    hh_str = F.when(hh < 100, F.lpad(hh.cast("string"), 2, "0")).otherwise(
+        hh.cast("string")
+    )
+    return F.concat(
+        sign,
+        F.concat_ws(
+            ":",
+            hh_str,
+            F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
+            F.lpad((s % 60).cast("string"), 2, "0"),
+        ),
     )
 
 

@@ -163,7 +163,10 @@ def test_shim_semantics_on_edge_grid(spark):
 
     rng = np.random.default_rng(7)
     secs = np.concatenate(
-        [rng.integers(0, 360000, 500), [0, 59, 60, 3599, 3600, 86399, 359999]]
+        [
+            rng.integers(-360000, 360000, 496),
+            [0, 59, -90, 3600, 86399, 359999, 3020399, 9999999, -9999999, -3020400, 100 * 3600 + 39],
+        ]
     )
     periods = np.concatenate(
         [
@@ -190,8 +193,9 @@ def test_shim_semantics_on_edge_grid(spark):
     )
     assert len(got) == len(rows)
     for r in got:
-        s = r["s"]
-        assert r["t"] == f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}", r
+        s = min(abs(r["s"]), 838 * 3600 + 59 * 60 + 59)  # MySQL TIME clamp
+        sign = "-" if r["s"] < 0 else ""
+        assert r["t"] == f"{sign}{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}", r
         months = lambda p: (p // 100) * 12 + p % 100  # noqa: E731
         assert r["pd"] == months(r["p1"]) - months(r["p2"]), r
         # toward-zero truncation at 2 decimals (values are pre-rounded to
