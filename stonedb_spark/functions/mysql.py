@@ -270,8 +270,21 @@ def datediff(a: Column | str, b: Column | str) -> Column:
 
 
 def timestampdiff_day(a: Column, b: Column) -> Column:
-    """MySQL TIMESTAMPDIFF(DAY, a, b) — full days from a to b."""
-    return (b.cast("long") - a.cast("long")).cast("long") / F.lit(86400)
+    """MySQL TIMESTAMPDIFF(DAY, a, b) — COMPLETE days from a to b,
+    truncated toward zero (an 18-hour gap is 0 days, −18 h is 0 too)."""
+    return ((b.cast("long") - a.cast("long")) / F.lit(86400)).cast("long")
+
+
+def time_to_sec(t: Column) -> Column:
+    """MySQL TIME_TO_SEC('[-]HHH:MM:SS') — inverse of sec_to_time."""
+    sign = F.when(t.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    body = F.regexp_replace(t, "^-", "")
+    parts = F.split(body, ":")
+    return sign * (
+        parts.getItem(0).cast("long") * 3600
+        + parts.getItem(1).cast("long") * 60
+        + parts.getItem(2).cast("long")
+    )
 
 
 def left(s: Column | str, n: int) -> Column:

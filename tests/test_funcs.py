@@ -188,6 +188,12 @@ def test_shim_semantics_on_edge_grid(spark):
             M.sec_to_time(F.col("s")).alias("t"),
             M.period_diff(F.col("p1"), F.col("p2")).alias("pd"),
             M.truncate(F.col("x"), 2).alias("tr2"),
+            M.time_to_sec(M.sec_to_time(F.col("s"))).alias("rt"),
+            M.timestampdiff_day(
+                F.lit("2000-01-01 00:00:00").cast("timestamp"),
+                (F.lit("2000-01-01 00:00:00").cast("timestamp").cast("long") + F.col("s"))
+                .cast("timestamp"),
+            ).alias("dd"),
         )
         .collect()
     )
@@ -202,3 +208,7 @@ def test_shim_semantics_on_edge_grid(spark):
         # 6 decimals so float noise cannot straddle the boundary)
         import math
         assert r["tr2"] == math.trunc(round(r["x"] * 100, 4)) / 100.0, (r["x"], r["tr2"])
+        # TIME_TO_SEC round-trips SEC_TO_TIME at the clamped magnitude
+        assert r["rt"] == (1 if r["s"] >= 0 else -1) * s, r
+        # TIMESTAMPDIFF(DAY) truncates toward zero
+        assert r["dd"] == int(r["s"] / 86400), r
