@@ -221,3 +221,31 @@ def test_no_query_gains_a_nested_loop_join(spark, sf_dir):
         and has_nested_loop_join(q.build(spark, sf_dir))
     ]
     assert not offenders, offenders
+
+
+def test_ivf_cell_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path at rest: vectors written partitioned by their
+    cell id; a probe filter must prune to its cells in PartitionFilters
+    (read nprobe dirs, not the table) and return the same rows as the
+    in-plan assignment."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    c = ivf_centroids(e)
+    assigned = e.join(ivf_assign(e, c), "vec_id")
+    path = str(tmp_path / "emb_by_cell")
+    assigned.write.partitionBy("cid").parquet(path)
+
+    probe_cids = [r["cid"] for r in c.limit(IVF_NPROBE).select("cid").collect()]
+    df = spark.read.parquet(path).filter(F.col("cid").isin(probe_cids))
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan[:1500]
+    expect = assigned.filter(F.col("cid").isin(probe_cids)).count()
+    assert df.count() == expect > 0
