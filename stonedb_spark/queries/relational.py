@@ -716,6 +716,41 @@ def set_intersect_except(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Multiplicity-preserving set ops (bag semantics): INTERSECT ALL keeps
+# min(count_l, count_r) copies, EXCEPT ALL subtracts counts — the
+# variants MySQL 5.7 lacks entirely and Spark ships natively.
+@register(
+    "set_ops_all",
+    oracle="""
+SELECT custkey FROM (
+  (SELECT o_custkey AS custkey FROM orders
+   WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+   INTERSECT ALL
+   SELECT o_custkey FROM orders
+   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0
+)
+ORDER BY custkey
+""",
+    doc="INTERSECT ALL / EXCEPT ALL bag semantics (beyond reference)",
+)
+def set_ops_all(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    y96 = o.filter(
+        (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+        & (o["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
+    ).select(o["o_custkey"].alias("custkey"))
+    y97 = o.filter(
+        (o["o_orderdate"] >= F.lit("1997-01-01").cast("timestamp"))
+        & (o["o_orderdate"] < F.lit("1998-01-01").cast("timestamp"))
+    ).select(o["o_custkey"].alias("custkey"))
+    excl = o.filter(o["o_orderkey"] % 5 == 0).select(o["o_custkey"].alias("custkey"))
+    return y96.intersectAll(y97).exceptAll(excl).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
 # §4.12 SELECT ROUGHLY analog — the reference's approximate query mode
 # answers from Knowledge-Grid metadata only (TempTable::RoughMaterialize,
 # storage/tianmu/core/temp_table_roughquery.cpp:32).  Spark's analog is
