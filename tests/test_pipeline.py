@@ -35,3 +35,38 @@ def test_minhash_lsh_recall_vs_groundtruth(spark, sf_dir):
     lsh = qs["dedup_minhash_lsh"].build(spark, sf_dir).count()
     assert truth > 0
     assert lsh >= 0.7 * truth, f"LSH recall too low: {lsh}/{truth}"
+
+
+def test_ivf_refinement_improves_quantizer(spark, sf_dir):
+    """One spherical-k-means pass must not decrease the average cosine
+    of vectors to their assigned centroid (Lloyd monotonicity), and the
+    refined quantizer keeps nlist cells of the right dimension."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.operators.similarity import (
+        EMB_DIM,
+        IVF_NLIST,
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        ivf_refine_centroids,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+
+    def avg_best_cos(cents):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", cosine(F.col("embedding"), F.col("cvec")).alias("sim")
+        )
+        best = scored.groupBy("vec_id").agg(F.max("sim").alias("best"))
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    seed = ivf_centroids(e)
+    refined = ivf_refine_centroids(e, seed)
+    rows = refined.collect()
+    assert len(rows) <= IVF_NLIST and all(len(r["cvec"]) == EMB_DIM for r in rows)
+    before, after = avg_best_cos(seed), avg_best_cos(refined)
+    assert after >= before - 1e-9, (before, after)
+    # assignment over the refined quantizer still covers every vector
+    assert ivf_assign(e, refined).count() == e.count()
