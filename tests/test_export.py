@@ -111,3 +111,39 @@ def test_write_with_bloom_adds_compact_filters(spark, sf_dir, tmp_path):
     probe = d.limit(1).collect()[0]["h"]
     got = spark.read.parquet(bloomed).filter(F.col("h") == probe).collect()
     assert len(got) == 1 and got[0]["h"] == probe
+
+
+def test_zorder_layout_tightens_stats_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered files must carry materially tighter per-file min/max
+    ranges than a random layout on BOTH clustering columns — the stats
+    that drive row-group/file skipping for filters on either key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stonedb_spark.sources.bucketing import zorder_write
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    rand_path, z_path = str(tmp_path / "rand"), str(tmp_path / "zord")
+    li.repartition(8).write.parquet(rand_path)
+    zorder_write(li, z_path, ["l_orderkey", "l_partkey"], n_files=8)
+
+    def avg_range(path, col):
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+                glo = st.min if glo is None else min(glo, st.min)
+                ghi = st.max if ghi is None else max(ghi, st.max)
+        return (sum(spans) / len(spans)) / (ghi - glo)
+
+    for col in ("l_orderkey", "l_partkey"):
+        r, z = avg_range(rand_path, col), avg_range(z_path, col)
+        assert z < r * 0.6, (col, r, z)  # clustered files ≪ random files
+    # layout change must not change content
+    assert spark.read.parquet(z_path).count() == li.count()
