@@ -34,6 +34,7 @@ _MODULES = (
     "stonedb_spark.queries.funcs",
     "stonedb_spark.queries.pipeline",
     "stonedb_spark.queries.dml",
+    "stonedb_spark.queries.regress",
 )
 
 

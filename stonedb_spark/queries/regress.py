@@ -1,0 +1,197 @@
+"""Regression fixtures derived from the reference's issueNNN MTR tests
+(mysql-test/suite/tianmu/t/issue*.test) — each fixture re-creates the
+bug-shaped semantics over the driver parquet tables so the DuckDB
+oracle can arbitrate, instead of replaying the literal INSERT data.
+
+Covered regressions:
+  * issue1332.test / issue1564.test — BETWEEN / IN / NOT IN / comparison
+    predicates at the int64 boundaries, with NULLs (three-valued logic)
+    and with literals beyond the signed-64 range.
+  * in_subquery.test / issue1394.test — NOT IN over a NULL-containing
+    subquery (null-aware anti join), and EXISTS over a LIMIT 0/LIMIT 1
+    subquery.
+  * issue1860.test / issue1599.test — UNION implicit type coercion
+    across mixed branch types (decimal vs int, int vs string).
+  * issue1855.test — LENGTH() over numeric columns (implicit cast to
+    the string representation before measuring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonedb_spark.catalog import load_tables
+from stonedb_spark.queries import register
+
+_I64_MAX = "9223372036854775807"
+_I64_MIN = "(-9223372036854775807 - 1)"  # avoid engine-specific min-literal parse
+
+# Derived bigint column with NULLs and both int64 extremes, built from
+# o_orderkey so the distribution is deterministic at every SF.
+_A_EXPR = f"""CASE CAST(o_orderkey % 13 AS INT)
+    WHEN 0 THEN CAST(NULL AS BIGINT)
+    WHEN 1 THEN CAST({_I64_MAX} AS BIGINT)
+    WHEN 2 THEN CAST({_I64_MIN} AS BIGINT)
+    ELSE CAST(o_orderkey - 200 AS BIGINT) END"""
+
+_BOUND_PREDS = {
+    "n_lt_neg10": "a < -10",
+    "n_gt_huge": "a > 4567890123456789",
+    "n_between_full": f"a BETWEEN {_I64_MIN} AND {_I64_MAX}",
+    "n_between_small": "a BETWEEN -22 AND 7",
+    "n_between_rev": f"a BETWEEN {_I64_MAX} AND -22",
+    "n_notin_3": "a NOT IN (3)",
+    "n_notin_null": "a NOT IN (3, NULL)",
+    "n_in_null_only": "a IN (NULL)",
+    "n_gt_unsigned": "a > {U}18446744073709551599{V}",
+    "n_le_unsigned": "a <= {U}18446744073709551599{V}",
+    "n_eq_unsigned": "a = {U}18446744073709551601{V}",
+    "n_ne_unsigned": "a <> {U}18446744073709551601{V}",
+    "n_is_null": "a IS NULL",
+    "n_is_not_null": "a IS NOT NULL",
+}
+
+# Spark's ANALYZER folds `bigint_col <cmp> <integral literal beyond the
+# signed-64 range>` straight to TRUE/FALSE — losing NULL three-valued
+# semantics (NULL <= huge must be NULL, not TRUE; MySQL and DuckDB both
+# agree).  Wrapping the literal in an explicit DECIMAL(20,0) cast keeps
+# the comparison null-correct, so the Spark side spells the cast out.
+_SPARK_PREDS = {
+    n: p.format(U="CAST(", V=" AS DECIMAL(20,0))") for n, p in _BOUND_PREDS.items()
+}
+_ORACLE_PREDS = {n: p.format(U="", V="") for n, p in _BOUND_PREDS.items()}
+
+
+@register(
+    "regress_bigint_bounds",
+    oracle=f"""
+WITH d AS (SELECT {_A_EXPR} AS a FROM orders WHERE o_orderkey <= 2000)
+SELECT
+  {", ".join(f"count(CASE WHEN {p} THEN 1 END) AS {n}" for n, p in _ORACLE_PREDS.items())}
+FROM d
+""",
+    doc="issue1332/issue1564: int64-boundary + NULL predicate battery",
+)
+def regress_bigint_bounds(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    d = t["orders"].filter("o_orderkey <= 2000").select(F.expr(_A_EXPR).alias("a"))
+    return d.agg(
+        *[
+            F.expr(f"count(CASE WHEN {p} THEN 1 END)").alias(n)
+            for n, p in _SPARK_PREDS.items()
+        ]
+    )
+
+
+@register(
+    "regress_notin_null_subquery",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM supplier
+   WHERE s_nationkey NOT IN
+     (SELECT CASE WHEN n_nationkey = 3 THEN NULL ELSE n_nationkey END
+      FROM nation)) AS cnt_notin_with_null,
+  (SELECT count(*) FROM supplier
+   WHERE s_nationkey IN
+     (SELECT CASE WHEN n_nationkey = 3 THEN NULL ELSE n_nationkey END
+      FROM nation)) AS cnt_in_with_null,
+  (SELECT count(*) FROM supplier
+   WHERE s_nationkey NOT IN
+     (SELECT n_nationkey FROM nation WHERE n_nationkey <> 3)) AS cnt_notin_clean
+""",
+    doc="in_subquery.test: NOT IN over NULL-containing subquery (null-aware anti)",
+)
+def regress_notin_null_subquery(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT
+  (SELECT count(*) FROM supplier
+   WHERE s_nationkey NOT IN
+     (SELECT CASE WHEN n_nationkey = 3 THEN NULL ELSE n_nationkey END
+      FROM nation)) AS cnt_notin_with_null,
+  (SELECT count(*) FROM supplier
+   WHERE s_nationkey IN
+     (SELECT CASE WHEN n_nationkey = 3 THEN NULL ELSE n_nationkey END
+      FROM nation)) AS cnt_in_with_null,
+  (SELECT count(*) FROM supplier
+   WHERE s_nationkey NOT IN
+     (SELECT n_nationkey FROM nation WHERE n_nationkey <> 3)) AS cnt_notin_clean
+"""
+    )
+
+
+_EXISTS_SQL = """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 100 LIMIT 0))
+    AS cnt_exists_limit0,
+  (SELECT count(*) FROM customer
+   WHERE EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 100 LIMIT 1))
+    AS cnt_exists_limit1,
+  (SELECT count(*) FROM customer
+   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 100 LIMIT 0))
+    AS cnt_not_exists_limit0
+"""
+
+
+@register(
+    "regress_exists_limit",
+    oracle=_EXISTS_SQL,
+    doc="issue1394: EXISTS over LIMIT 0 / LIMIT 1 subqueries",
+)
+def regress_exists_limit(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# MySQL resolves `int UNION 'aaa'` to a string result (issue1599's
+# non-numeric branch survives verbatim); Spark 4's ANSI union coercion
+# instead casts the string branch to BIGINT and faults on 'aaa', so the
+# dialect rule — common type is STRING — is spelled explicitly on both
+# sides.  The decimal branch goes through DECIMAL(18,2) before the
+# string cast so both engines print identical '.00'-padded text.
+_UNION_SQL = """
+SELECT 'int_str' AS tag, v FROM
+  (SELECT CAST(n_nationkey AS {str_t}) AS v FROM nation
+   UNION SELECT 'zz_not_a_number') u1
+UNION ALL
+SELECT 'dec_int' AS tag, CAST(v AS {str_t}) AS v FROM
+  (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v
+   FROM orders WHERE o_orderkey <= 64
+   UNION SELECT CAST(2222 AS DECIMAL(18,2))) u2
+ORDER BY tag, v
+"""
+
+
+@register(
+    "regress_union_coercion",
+    oracle=_UNION_SQL.format(str_t="VARCHAR"),
+    doc="issue1860/issue1599: UNION implicit coercion (int vs string, decimal vs int)",
+)
+def regress_union_coercion(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_UNION_SQL.format(str_t="STRING"))
+
+
+@register(
+    "regress_len_numeric",
+    oracle="""
+SELECT
+  sum(length(c_name)) AS sum_len_str,
+  sum(length(CAST(c_custkey AS VARCHAR))) AS sum_len_int,
+  CAST(sum(length(CAST(c_custkey AS VARCHAR)) / 2.0) AS DECIMAL(38,10))
+    AS sum_half_len
+FROM customer
+""",
+    doc="issue1855: LENGTH() over numeric columns via string representation",
+)
+def regress_len_numeric(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    key_len = F.length(c["c_custkey"].cast("string"))
+    return c.agg(
+        F.sum(F.length("c_name")).alias("sum_len_str"),
+        F.sum(key_len).alias("sum_len_int"),
+        F.sum(key_len / F.lit(2.0)).cast("decimal(38,10)").alias("sum_half_len"),
+    )
