@@ -405,3 +405,45 @@ def timediff(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return sec_to_time(ca.cast("long") - cb.cast("long"))
+
+
+def dayname(col: Column | str) -> Column:
+    """MySQL DAYNAME() — full English weekday name
+    (dayname_function.test)."""
+    return F.date_format(col, "EEEE")
+
+
+def monthname(col: Column | str) -> Column:
+    """MySQL MONTHNAME() — full English month name."""
+    return F.date_format(col, "MMMM")
+
+
+def unsigned(col: Column | str) -> Column:
+    """MySQL UNSIGNED BIGINT analog.  Spark has no unsigned integers and
+    doubles lose precision past 2^53, so the full 0..2^64-1 range is
+    carried exactly in DECIMAL(20,0) (unsigned_math.test,
+    bigint_unsigned.test semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(20,0)")
+
+
+def udiv(a: Column | str, b: Column | str) -> Column:
+    """MySQL ``DIV`` over unsigned operands: exact floor division.
+    Decimal divide keeps enough fractional digits that FLOOR lands on
+    the exact quotient even at the top of the u64 range."""
+    return F.floor(unsigned(a) / unsigned(b)).cast("decimal(20,0)")
+
+
+def umod(a: Column | str, b: Column | str) -> Column:
+    """MySQL ``%`` over unsigned operands, exact in decimal."""
+    return (unsigned(a) % unsigned(b)).cast("decimal(20,0)")
+
+
+def zerofill(col: Column | str, width: int) -> Column:
+    """MySQL ZEROFILL display format: left-pad the integer's text to the
+    column display width.  Values wider than the width print unpadded
+    (zerofill.test: 123456789 in INT(8) ZEROFILL) — plain LPAD would
+    truncate them, hence the guard."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))

@@ -464,3 +464,83 @@ def func_json_extract(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DAYNAME / MONTHNAME (dayname_func.test, monthname_func.test) — full
+# English names via JVM date_format; DuckDB has the same functions
+# natively.
+@register(
+    "func_day_month_name",
+    oracle="""
+SELECT o_orderkey,
+       dayname(o_orderdate)   AS dn,
+       monthname(o_orderdate) AS mn,
+       CASE WHEN dayname(o_orderdate) IN ('Saturday', 'Sunday')
+            THEN 1 ELSE 0 END AS is_weekend
+FROM orders
+WHERE o_orderkey <= 300
+ORDER BY o_orderkey
+""",
+    doc="DAYNAME/MONTHNAME English names + weekend classification",
+)
+def func_day_month_name(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    d = o["o_orderdate"]
+    return (
+        o.filter(o["o_orderkey"] <= 300)
+        .select(
+            "o_orderkey",
+            my.dayname(d).alias("dn"),
+            my.monthname(d).alias("mn"),
+            F.when(my.dayname(d).isin("Saturday", "Sunday"), 1)
+            .otherwise(0)
+            .alias("is_weekend"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unsigned BIGINT arithmetic + ZEROFILL display (unsigned_math.test,
+# bigint_unsigned.test, zerofill.test).  Spark has no unsigned 64-bit
+# type; the shims carry the full 0..2^64-1 domain exactly in
+# DECIMAL(20,0).  Values near 2^64 would lose precision through the
+# harness's decimal→float fallback, so exact results are emitted as
+# strings; the modulus (always < divisor < 2^53 here) stays numeric.
+@register(
+    "func_unsigned_math",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(18446744073709551615 AS HUGEINT) - o_orderkey * 3 AS VARCHAR) AS u_str,
+       CAST((CAST(18446744073709551615 AS HUGEINT) - o_orderkey * 3)
+            // CAST(o_orderkey % 1000 + 7 AS HUGEINT) AS VARCHAR)              AS q_str,
+       CAST((CAST(18446744073709551615 AS HUGEINT) - o_orderkey * 3)
+            %  CAST(o_orderkey % 1000 + 7 AS HUGEINT) AS DOUBLE)               AS m,
+       CASE WHEN length(CAST(o_orderkey AS VARCHAR)) >= 4
+            THEN CAST(o_orderkey AS VARCHAR)
+            ELSE lpad(CAST(o_orderkey AS VARCHAR), 4, '0') END                 AS z4
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey
+""",
+    doc="unsigned u64 DIV/MOD exact in DECIMAL(20,0); ZEROFILL overflow guard",
+)
+def func_unsigned_math(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    u64_max = F.expr("CAST('18446744073709551615' AS DECIMAL(20,0))")
+    u = my.unsigned(u64_max - o["o_orderkey"] * 3)
+    b = my.unsigned(o["o_orderkey"] % 1000 + 7)
+    return (
+        o.filter(o["o_orderkey"] <= 400)
+        .select(
+            "o_orderkey",
+            u.cast("string").alias("u_str"),
+            my.udiv(u, b).cast("string").alias("q_str"),
+            my.umod(u, b).cast("double").alias("m"),
+            my.zerofill(o["o_orderkey"], 4).alias("z4"),
+        )
+        .orderBy("o_orderkey")
+    )
