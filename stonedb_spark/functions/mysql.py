@@ -447,3 +447,51 @@ def zerofill(col: Column | str, width: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
     return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))
+
+
+def bin_(col: Column | str) -> Column:
+    """MySQL BIN(n) — binary digits string (func_bit.test corpus)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bin(c)
+
+
+def oct_(col: Column | str) -> Column:
+    """MySQL OCT(n) = CONV(n, 10, 8)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(c.cast("string"), 10, 8)
+
+
+def hex_(col: Column | str) -> Column:
+    """MySQL HEX() — numbers → uppercase hex of the value, strings →
+    hex of the bytes; Spark's hex has identical semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hex(c)
+
+
+def unhex_str(col: Column | str) -> Column:
+    """MySQL UNHEX() rendered back to a string (UTF-8 decode of the
+    byte pairs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unhex(c).cast("string")
+
+
+def strcmp(a: Column | str, b: Column | str) -> Column:
+    """MySQL STRCMP(a,b) → -1/0/1 in binary collation."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.when(ca < cb, -1).when(ca > cb, 1).otherwise(0)
+
+
+def format_int(col: Column | str) -> Column:
+    """MySQL FORMAT(n, 0) over integral n: thousands separators.
+    Restricted to integers on purpose — FORMAT over doubles rounds
+    half-up on the decimal expansion (MySQL) vs half-even on the binary
+    one (IEEE printf), a cross-engine trap the DECIMAL path avoids."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.format_number(c.cast("long"), 0)
+
+
+def cot(col: Column | str) -> Column:
+    """MySQL COT(x) = 1/TAN(x)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit(1.0) / F.tan(c)

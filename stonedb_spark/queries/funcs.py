@@ -544,3 +544,57 @@ def func_unsigned_math(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Base-conversion / bit-display / transcendental family (func_bit.test,
+# func_math.test corpus: BIN/OCT/HEX/UNHEX, LOG2/LOG10, DEGREES/RADIANS/
+# COT, STRCMP, FORMAT).  Transcendentals rounded to 9 decimals on both
+# sides (libm vs JVM last-ulp).  FORMAT restricted to integral input —
+# see functions.mysql.format_int for the float trap.
+@register(
+    "func_base_convert",
+    oracle="""
+SELECT s_suppkey,
+       bin(s_suppkey * 5 + 2)                         AS b2,
+       to_base(s_suppkey * 5 + 2, 8)                  AS b8,
+       hex(s_suppkey * 5 + 2)                         AS b16,
+       hex(s_name)                                    AS name_hex,
+       decode(unhex(hex(s_name)))                     AS name_roundtrip,
+       format('{:,}', CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS acct_cents_fmt,
+       ROUND(log2(s_suppkey * 5 + 2), 9)              AS l2,
+       ROUND(log10(s_suppkey * 5 + 2), 9)             AS l10,
+       ROUND(degrees(s_acctbal / 1000.0), 9)          AS deg,
+       ROUND(radians(CAST(s_suppkey AS DOUBLE)), 9)   AS rad,
+       ROUND(cot(s_suppkey + 0.5), 9)                 AS ct,
+       CASE WHEN s_name < reverse(s_name) THEN -1
+            WHEN s_name > reverse(s_name) THEN 1 ELSE 0 END AS sc
+FROM supplier
+WHERE s_suppkey <= 300
+ORDER BY s_suppkey
+""",
+    doc="BIN/OCT/HEX/UNHEX/FORMAT/LOG2/LOG10/DEGREES/RADIANS/COT/STRCMP",
+)
+def func_base_convert(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"]
+    n = s["s_suppkey"] * 5 + 2
+    return (
+        s.filter(s["s_suppkey"] <= 300)
+        .select(
+            "s_suppkey",
+            my.bin_(n).alias("b2"),
+            my.oct_(n).alias("b8"),
+            my.hex_(n).alias("b16"),
+            my.hex_(s["s_name"]).alias("name_hex"),
+            my.unhex_str(my.hex_(s["s_name"])).alias("name_roundtrip"),
+            my.format_int(F.round(s["s_acctbal"] * 100)).alias("acct_cents_fmt"),
+            F.round(F.log2(n), 9).alias("l2"),
+            F.round(F.log(10.0, n), 9).alias("l10"),
+            F.round(F.degrees(s["s_acctbal"] / 1000.0), 9).alias("deg"),
+            F.round(F.radians(s["s_suppkey"].cast("double")), 9).alias("rad"),
+            F.round(my.cot(s["s_suppkey"] + 0.5), 9).alias("ct"),
+            my.strcmp(s["s_name"], F.reverse(s["s_name"])).alias("sc"),
+        )
+        .orderBy("s_suppkey")
+    )
