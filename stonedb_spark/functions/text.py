@@ -92,3 +92,62 @@ def bpe_token_count(text: Column) -> Column:
     training pipeline budgets by (whitespace counts undercount punct-
     heavy text).  Pure codegen expression: regexp_count, no UDF."""
     return F.regexp_count(F.lower(text), F.lit(BPE_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / diversity metrics (Gopher quality rules, Rae et al. 2021
+# §A1.1; C4 heuristics, Raffel et al. 2020 §2.2) — pure higher-order
+# array expressions, no UDF.  Per-row cost is O(len * vocab) but strictly
+# row-local: at 100 TB this stays a map-only stage with no shuffle.
+
+
+def type_token_ratio(toks: Column) -> Column:
+    """Distinct-token fraction — low TTR flags boilerplate/spam."""
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def mean_word_length(toks: Column) -> Column:
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return sum_len / F.size(toks)
+
+
+def top_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token."""
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    return F.array_max(counts) / F.size(toks)
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent-pair strings; empty for single-token docs (Spark's
+    sequence(1,0) counts DOWN, so the short case must be guarded)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(F.size(toks) > 1, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def gopher_keep(
+    n_tokens: Column,
+    mean_wlen: Column,
+    ttr: Column,
+    top_frac: Column,
+) -> Column:
+    """Gopher-style document filter verdict (thresholds adapted to the
+    synthetic corpus so both outcomes occur at every SF)."""
+    return (
+        n_tokens.between(50, 100000)
+        & mean_wlen.between(3.0, 10.0)
+        & (ttr > 0.3)
+        & (top_frac < 0.15)
+    )

@@ -737,3 +737,59 @@ def pipeline_train_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition & diversity filters (Rae et al. 2021 §A1.1;
+# Raffel et al. 2020 §2.2): type-token ratio, most-common-token fraction,
+# top-bigram fraction, mean word length, and the combined keep verdict.
+# All higher-order array expressions — row-local, map-only at scale.
+@register(
+    "text_gopher_filters",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+), m AS (
+  SELECT doc_id, toks,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         list_sum([strlen(x) for x in toks]) AS char_sum,
+         list_max([len([y for y in toks if y = x])
+                   for x in list_distinct(toks)]) AS top_tok,
+         [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 9)  AS ttr,
+       ROUND(CAST(char_sum AS DOUBLE) / n_tokens, 9) AS mean_wlen,
+       ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 9)  AS top_token_frac,
+       ROUND(CAST(list_max([len([y for y in bg if y = x])
+                            for x in list_distinct(bg)]) AS DOUBLE)
+             / len(bg), 9)                           AS top_bigram_frac,
+       (n_tokens BETWEEN 50 AND 100000
+        AND CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0
+        AND CAST(n_types AS DOUBLE) / n_tokens > 0.3
+        AND CAST(top_tok AS DOUBLE) / n_tokens < 0.15) AS keep
+FROM m ORDER BY doc_id
+""",
+    doc="Gopher/C4 repetition filters: TTR, top-token/bigram fraction, keep verdict",
+)
+def text_gopher_filters(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    toks = T.tokens(F.col("text"))
+    bg = T.bigrams(toks)
+    n_tokens = F.size(toks).cast("long")
+    ttr = T.type_token_ratio(toks)
+    mean_wlen = T.mean_word_length(toks)
+    top_frac = T.top_token_fraction(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 9).alias("ttr"),
+        F.round(mean_wlen, 9).alias("mean_wlen"),
+        F.round(top_frac, 9).alias("top_token_frac"),
+        F.round(T.top_token_fraction(bg), 9).alias("top_bigram_frac"),
+        T.gopher_keep(n_tokens, mean_wlen, ttr, top_frac).alias("keep"),
+    ).orderBy("doc_id")
