@@ -793,3 +793,38 @@ def text_gopher_filters(spark, sf_dir):
         F.round(T.top_token_fraction(bg), 9).alias("top_bigram_frac"),
         T.gopher_keep(n_tokens, mean_wlen, ttr, top_frac).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: Jaccard pairs → connected components (iterative
+# min-label propagation) → canonical keeper per cluster.  The oracle
+# computes the same fixpoint with a recursive CTE (min reachable id).
+_CC_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL.replace("ORDER BY d1, d2", "")}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       (doc_id = component) AS is_keeper
+FROM lab ORDER BY component, doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CC_SQL,
+    doc="near-dup clusters: pairs -> connected components -> keeper per cluster",
+)
+def dedup_clusters(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        D.dedup_clusters(t["documents"], threshold=0.5, max_df=100)
+        .orderBy("component", "doc_id")
+    )

@@ -70,3 +70,25 @@ def test_ivf_refinement_improves_quantizer(spark, sf_dir):
     assert after >= before - 1e-9, (before, after)
     # assignment over the refined quantizer still covers every vector
     assert ivf_assign(e, refined).count() == e.count()
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation finds components on a diameter-5 chain
+    (multiple rounds needed), a triangle, and leaves singleton-free
+    output (only nodes that appear in a pair are labeled)."""
+    from stonedb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22), (30, 31)],
+        ["d1", "d2"],
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
