@@ -151,3 +151,29 @@ def gopher_keep(
         & (ttr > 0.3)
         & (top_frac < 0.15)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4 / RefinedWeb-style cleaning).  Patterns restricted
+# to syntax Java regex (Spark) and RE2 (DuckDB oracle) interpret
+# identically — no backrefs, no lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, then phones, then IPv4 literals with typed
+    placeholder tokens.  Email runs first so digit runs inside
+    addresses can't be half-matched by the later patterns."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+        F.regexp_count(text, F.lit(IPV4_RE)),
+    )

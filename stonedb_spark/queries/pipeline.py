@@ -828,3 +828,64 @@ def dedup_clusters(spark, sf_dir):
         D.dedup_clusters(t["documents"], threshold=0.5, max_df=100)
         .orderBy("component", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4 §2.2 / RefinedWeb-style cleaning).  The corpus is
+# synthetic word soup with no PII, so deterministic PII is injected
+# from doc_id (identical on both engines), then scrubbed — the query
+# verifies the redaction regexes themselves, not the generator.
+_NOISY_SQL = """
+  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com or +1-555-'
+       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from '
+       || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || '.' || CAST((doc_id * 29) % 256 AS VARCHAR)
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_NOISY_SQL} AS noisy FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(noisy, '{T.EMAIL_RE}'))          AS n_email,
+       len(regexp_extract_all(noisy, '{T.PHONE_RE}'))          AS n_phone,
+       len(regexp_extract_all(noisy, '{T.IPV4_RE}'))           AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(noisy,
+              '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+              '{T.PHONE_RE}', '<PHONE>', 'g'),
+              '{T.IPV4_RE}', '<IP>', 'g'))                     AS scrubbed_md5,
+       regexp_matches(regexp_replace(regexp_replace(regexp_replace(noisy,
+              '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+              '{T.PHONE_RE}', '<PHONE>', 'g'),
+              '{T.IPV4_RE}', '<IP>', 'g'),
+              '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+|@')           AS leak
+FROM t ORDER BY doc_id
+""",
+    doc="PII redaction: email/phone/IPv4 regexes + leak check, injected noise",
+)
+def text_pii_scrub(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    k = F.col("doc_id")
+    noisy = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), k.cast("string"),
+        F.lit("@mail"), (k % 7).cast("string"), F.lit(".com or +1-555-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"), F.lit(" from "),
+        (k % 256).cast("string"), F.lit("."),
+        ((k * 7) % 256).cast("string"), F.lit("."),
+        ((k * 13) % 256).cast("string"), F.lit("."),
+        ((k * 29) % 256).cast("string"),
+    )
+    n_email, n_phone, n_ip = T.pii_counts(noisy)
+    scrubbed = T.scrub_pii(noisy)
+    return d.select(
+        "doc_id",
+        n_email.cast("long").alias("n_email"),
+        n_phone.cast("long").alias("n_phone"),
+        n_ip.cast("long").alias("n_ip"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        scrubbed.rlike(r"[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+|@").alias("leak"),
+    ).orderBy("doc_id")
