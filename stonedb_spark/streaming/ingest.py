@@ -80,3 +80,40 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     under the broadcast threshold or the join degrades to shuffled —
     either way state size is zero."""
     return stream.join(F.broadcast(dim), on, "inner")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    interval: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream–stream inner equi-join with an event-time interval bound:
+    pair each left row with right rows of the same ``key`` whose ``ts``
+    falls in [left.ts, left.ts + interval] — the view→click attribution
+    shape.
+
+    Both inputs are watermarked and the join carries a time-range
+    predicate, which is exactly what lets Structured Streaming bound
+    and garbage-collect the buffered state on BOTH sides (state for
+    rows older than watermark + interval is dropped); without the
+    range condition the state would grow forever.  The join shuffles
+    on the equi-key only; the range bound is evaluated within matched
+    key groups.  At 1000 executors state is hash-partitioned by key —
+    skewed hot keys are the thing to watch (salt upstream if one key
+    dominates)."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

@@ -250,3 +250,42 @@ def test_csv_load_quote_escape_linesep(spark, tmp_path):
     rows = {r["id"]: r["s"] for r in good.collect()}
     assert rows == {1: "a;b", 2: "it's", 3: "plain"}
     assert bad.count() == 1 and "broken_int" in bad.collect()[0]["raw"]
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermark + time-range bound must
+    equal the identical batch join (view->click attribution shape)."""
+    import os
+
+    from stonedb_spark.streaming.ingest import stream_interval_join
+
+    events = load_tables(spark, sf_dir)["events"]
+    views = events.filter(F.col("event_id") % 2 == 0)
+    clicks = events.filter(F.col("event_id") % 2 == 1)
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+
+    schema = events.schema
+    sv = spark.readStream.schema(schema).parquet(vdir)
+    sc = spark.readStream.schema(schema).parquet(cdir)
+    joined = stream_interval_join(sv, sc, "user_id", interval="2 hours")
+
+    out = str(tmp_path / "out")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+
+    expect = stream_interval_join(
+        spark.read.parquet(vdir), spark.read.parquet(cdir), "user_id",
+        interval="2 hours",
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
