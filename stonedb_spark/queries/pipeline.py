@@ -889,3 +889,45 @@ def text_pii_scrub(spark, sf_dir):
         F.md5(scrubbed).alias("scrubbed_md5"),
         scrubbed.rlike(r"[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+|@").alias("leak"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join: each click paired with the user's most
+# recent prior view.  DuckDB's native ASOF LEFT JOIN is the oracle;
+# Spark side is operators/asofjoin.py (union + keyed-window, one
+# shuffle, no range cross-join).
+@register(
+    "join_asof_backward",
+    oracle="""
+SELECT c.event_id, c.user_id,
+       c.ts AS click_ts,
+       v.ts AS view_ts,
+       v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY c.event_id
+""",
+    doc="backward as-of join clicks->latest prior view per user (ASOF oracle)",
+)
+def join_asof_backward(spark, sf_dir):
+    from stonedb_spark.operators.asofjoin import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(clicks, views, on="user_id", ts="ts", payload=["value"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("r_ts").alias("view_ts"),
+            F.col("r_value").alias("view_value"),
+        )
+        .orderBy("event_id")
+    )

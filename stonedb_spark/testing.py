@@ -63,8 +63,11 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     for col in a.columns:
         av, bv = a[col], b[col]
         for i, (x, y) in enumerate(zip(av, bv)):
-            if x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NA:
-                ok = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NA
+            # pd.isna covers None, float nan, pd.NA and pd.NaT (nullable
+            # timestamp results); guard with a scalar check since isna
+            # on a list/array argument returns an array.
+            if not isinstance(x, (list, tuple)) and pd.isna(x):
+                ok = not isinstance(y, (list, tuple)) and bool(pd.isna(y))
             elif isinstance(x, float) and isinstance(y, float):
                 ok = x == y or math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)
             else:

@@ -249,3 +249,17 @@ def test_ivf_cell_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     assert m and "cid" in m.group(1), plan[:1500]
     expect = assigned.filter(F.col("cid").isin(probe_cids)).count()
     assert df.count() == expect > 0
+
+
+def test_asof_join_single_data_shuffle_and_pushdown(spark, sf_dir):
+    """The as-of join must stay union+window: both event_type filters
+    pushed to the scans, and exactly ONE data shuffle (on the key)
+    beyond the final presentation ORDER BY — no range cross-join."""
+    from stonedb_spark.plans.inspect import shuffle_exchange_count
+
+    df = _build(spark, sf_dir, "join_asof_backward")
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type click" in pushed, pushed
+    assert "event_type view" in pushed, pushed
+    assert not has_nested_loop_join(df)
+    assert shuffle_exchange_count(df) <= 2  # key shuffle + output sort

@@ -52,3 +52,37 @@ def test_sql_facade_runs_reference_style_text(spark, oracle, sf_dir):
     ).df()
     got["revenue"] = got["revenue"].astype("float64")
     assert not compare_frames(got, want)
+
+
+def test_asof_join_ties_and_null_payload(spark):
+    """Inclusive match at equal timestamps; a right row whose payload
+    value is genuinely NULL must still win over an older non-null row
+    (the struct packing prevents last(ignorenulls) from skipping it);
+    unmatched left rows keep NULL payload."""
+    import datetime as dt
+
+    from stonedb_spark.operators.asofjoin import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(20)), (3, 2, ts(5)), (4, 3, ts(1))],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0),   # tie with event 1 -> matches (inclusive)
+         (1, ts(15), None),    # NULL payload, newest before event 2
+         (2, ts(4), 7.0)],
+        ["k", "ts", "value"],
+    )
+    got = {
+        r["event_id"]: (r["r_ts"], r["r_value"])
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert got[1] == (ts(10), 100.0)      # inclusive tie
+    assert got[2] == (ts(15), None)       # NULL payload carried, not skipped
+    assert got[3] == (ts(4), 7.0)
+    assert got[4] == (None, None)         # no match at all
