@@ -49,3 +49,26 @@ def split_assign(
 def sample_fraction(df, key: Column | str, fraction: float):
     """Deterministic ~fraction sample: filter on the hash bucket."""
     return df.filter(hash_bucket(key) < int(fraction * _BUCKET_MOD))
+
+
+def stratified_sample(
+    df,
+    strata: Column | str,
+    key: Column | str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+):
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction, decided by the SAME md5 hash-bucket as sample_fraction —
+    so the kept set is stable across engines, partitionings and reruns
+    (df.sampleBy is rand()-seeded per partition and is not).
+
+    The rate lookup is a CASE expression (broadcast-free, no join);
+    rebalancing over/under-represented sources in a training corpus is
+    exactly this operator at 100 TB — a map-only filter."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    rate = F.lit(default)
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(s == value, F.lit(frac)).otherwise(rate)
+    threshold = (rate * _BUCKET_MOD).cast("long")
+    return df.filter(hash_bucket(key) < threshold)

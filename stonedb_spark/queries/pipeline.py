@@ -931,3 +931,114 @@ def join_asof_backward(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified per-source sampling: rebalance over-represented sources
+# with deterministic per-stratum keep rates (operators/sampling.py).
+_STRATA_CASE = """CASE source WHEN 'src1' THEN 10000 WHEN 'src2' THEN 5000
+              WHEN 'src3' THEN 2500 ELSE 1000 END"""
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept
+FROM b
+WHERE bucket < {_STRATA_CASE}
+GROUP BY source
+ORDER BY source
+""",
+    doc="deterministic stratified sampling: per-source keep rates via hash bucket",
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    from stonedb_spark.operators.sampling import stratified_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    kept = stratified_sample(
+        d,
+        strata="source",
+        key="doc_id",
+        fractions={"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-distribution analysis for normalization: per-source NTILE
+# decile buckets (doc_id tiebreak makes the total order deterministic).
+# The window is PARTITIONED BY source — a global NTILE would sort the
+# whole corpus on one executor; per-stratum deciles keep the sort
+# partition-parallel, which is also the grain normalization wants.
+@register(
+    "pipeline_length_buckets",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id, n_chars,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT source, decile,
+       COUNT(*) AS n,
+       MIN(n_chars) AS lo,
+       MAX(n_chars) AS hi
+FROM t GROUP BY source, decile ORDER BY source, decile
+""",
+    doc="per-source NTILE(10) length deciles, partition-parallel window",
+)
+def pipeline_length_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (the non-approx twin of
+# agg_approx_rough): per-type p25/p50/p90 of event value.  Spark
+# percentile() and DuckDB quantile_cont share linear interpolation.
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 9) AS p25,
+       ROUND(quantile_cont(value, 0.50), 9) AS p50,
+       ROUND(quantile_cont(value, 0.90), 9) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="exact interpolated percentiles per group (percentile vs quantile_cont)",
+)
+def agg_exact_percentiles(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 9).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.50)), 9).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.90)), 9).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
