@@ -1042,3 +1042,49 @@ def agg_exact_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (the statistic PCA eigendecomposes) —
+# upper triangle in long form, via the DECIMAL(38,10) exact-sum device
+# (each term truncates identically on both engines, decimal addition is
+# exact and order-independent; see agg_stats).  The final combine runs
+# in DOUBLE with the same expression shape on both sides — IEEE ops on
+# identical inputs are bit-deterministic, so no ROUND (which is itself
+# the half-way trap) is needed.  operators/pca.py holds
+# the einsum/mapInPandas fast path that a 100 TB run would use — this
+# query is its engine-portable witness.
+@register(
+    "emb_pca_covariance",
+    oracle="""
+SELECT i.i AS i, j.j AS j,
+       (CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[j.j] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+        - (CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+           * CAST(SUM(CAST(CAST(e.embedding[j.j] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE))
+          / CAST(COUNT(*) AS DOUBLE))
+       / CAST(COUNT(*) AS DOUBLE) AS cov
+FROM embeddings e, range(1, 65) i(i), range(1, 65) j(j)
+WHERE j.j >= i.i
+GROUP BY i.i, j.j
+ORDER BY i, j
+""",
+    doc="embedding covariance (upper triangle), decimal-exact cross-moments",
+)
+def emb_pca_covariance(spark, sf_dir):
+    DEC = "decimal(38,10)"
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select("vec_id", "embedding", F.posexplode("embedding").alias("i0", "xi"))
+    b = a.select(
+        "vec_id", "i0", "xi", F.posexplode("embedding").alias("j0", "xj")
+    ).filter(F.col("j0") >= F.col("i0"))
+    n = F.count(F.lit(1)).cast("double")
+    sxi = F.sum(F.col("xi").cast("double").cast(DEC)).cast("double")
+    sxj = F.sum(F.col("xj").cast("double").cast(DEC)).cast("double")
+    sxx = F.sum((F.col("xi").cast("double") * F.col("xj").cast("double")).cast(DEC)).cast("double")
+    return (
+        b.groupBy(
+            (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+        )
+        .agg(((sxx - (sxi * sxj) / n) / n).alias("cov"))
+        .orderBy("i", "j")
+    )

@@ -10,7 +10,7 @@ from stonedb_spark.testing import check_query
 NAMES = sorted(
     n
     for n in all_queries()
-    if n.split("_")[0] in ("dedup", "knn", "text", "multimodal", "events", "pipeline")
+    if n.split("_")[0] in ("dedup", "knn", "text", "multimodal", "events", "pipeline", "emb")
 )
 
 
@@ -92,3 +92,54 @@ def test_connected_components_chain_and_clique(spark):
         20: 20, 21: 20, 22: 20,
         30: 30, 31: 30,
     }
+
+
+def test_pca_components_and_projection(spark, sf_dir):
+    """Driver eigh on mapInPandas moment partials must reproduce numpy
+    PCA on the collected corpus: orthonormal components, matching
+    eigenvalues, and the expression-based projection must equal the
+    numpy projection."""
+    import numpy as np
+
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.operators.pca import (
+        covariance_matrix,
+        pca_components,
+        project,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    local = np.stack([r["embedding"] for r in e.select("embedding").collect()])
+
+    cov, mean, n = covariance_matrix(e)
+    assert n == local.shape[0]
+    np.testing.assert_allclose(mean, local.mean(axis=0), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(
+        cov, np.cov(local, rowvar=False, bias=True), rtol=1e-6, atol=1e-9
+    )
+
+    comps, eigvals, mean2 = pca_components(e, k=4)
+    assert comps.shape == (4, local.shape[1])
+    np.testing.assert_allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    w = np.linalg.eigvalsh(np.cov(local, rowvar=False, bias=True))
+    np.testing.assert_allclose(sorted(eigvals), sorted(w[-4:]), rtol=1e-7)
+
+    got = (
+        project(e, comps, mean2)
+        .select("vec_id", "pc0", "pc1", "pc2", "pc3")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    ids = [r["vec_id"] for r in e.select("vec_id").orderBy("vec_id").collect()]
+    order = np.argsort(ids)
+    expect = (local - mean2) @ comps.T
+    np.testing.assert_allclose(
+        got[["pc0", "pc1", "pc2", "pc3"]].to_numpy(),
+        expect,
+        rtol=1e-7,
+        atol=1e-9,
+    )
+    # projected variance along pc0 is the top eigenvalue
+    np.testing.assert_allclose(
+        got["pc0"].to_numpy().var(), eigvals[0], rtol=1e-6
+    )
