@@ -37,14 +37,21 @@ def asof_join(
     ts: str = "ts",
     payload: list[str] | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join: every left row, joined to the most
-    recent right row (by ``ts``) with the same ``on`` key at or before
-    the left row's ``ts``; unmatched left rows keep NULL payload.
+    """As-of LEFT join.  ``backward`` (default): most recent right row
+    at or before the left row's ``ts``; ``forward``: earliest right row
+    at or after it.  Unmatched left rows keep NULL payload.
+
+    Forward is the time-mirror of backward — the same window scanned in
+    descending ``ts`` order (still right-before-left at exact ties, so
+    the match stays inclusive both ways).
 
     ``payload`` = right columns to carry (default: all except key+ts);
     they surface as ``{prefix}{name}`` plus ``{prefix}{ts}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if payload is None:
         payload = [c for c in right.columns if c not in (on, ts)]
 
@@ -57,9 +64,10 @@ def asof_join(
     )
     u = l.unionByName(r.select(on, ts, "_r", "_side"), allowMissingColumns=True)
 
+    order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))

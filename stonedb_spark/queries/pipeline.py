@@ -1088,3 +1088,46 @@ def emb_pca_covariance(spark, sf_dir):
         .agg(((sxx - (sxi * sxj) / n) / n).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of: each view paired with the user's NEXT click at or
+# after it (time-to-conversion shape).
+@register(
+    "join_asof_forward",
+    oracle="""
+SELECT v.event_id, v.user_id,
+       v.ts AS view_ts,
+       c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id AND c.ts >= v.ts
+ORDER BY v.event_id
+""",
+    doc="forward as-of join views->next click per user (ASOF >= oracle)",
+)
+def join_asof_forward(spark, sf_dir):
+    from stonedb_spark.operators.asofjoin import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(
+            views, clicks, on="user_id", ts="ts",
+            payload=["value"], direction="forward",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("r_ts").alias("click_ts"),
+            F.col("r_value").alias("click_value"),
+        )
+        .orderBy("event_id")
+    )

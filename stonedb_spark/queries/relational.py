@@ -919,3 +919,49 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — absent from MySQL 5.7 / the reference entirely (beyond).
+# Spark's native groupBy().pivot() with an EXPLICIT value list: without
+# it Spark runs an extra distinct scan to discover columns, and the
+# plan stops being statically known — never do that at 100 TB.  The
+# oracle spells the same rotation as portable CASE aggregates; sums go
+# through DECIMAL(38,10) (exact, order-independent).
+@register(
+    "pivot_event_type_month",
+    oracle="""
+SELECT CAST(EXTRACT(month FROM ts) AS INT) AS month,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS click_n,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS view_n,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(38,10)) END) AS DOUBLE) AS purchase_value
+FROM events
+GROUP BY month
+ORDER BY month
+""",
+    doc="PIVOT rotation with explicit value list; CASE-aggregate oracle",
+)
+def pivot_event_type_month(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    wide = (
+        e.select(
+            F.month("ts").alias("month"),
+            "event_type",
+            F.col("value").cast("decimal(38,10)").alias("v"),
+        )
+        .groupBy("month")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("val"),
+        )
+    )
+    return wide.select(
+        "month",
+        F.col("click_n").alias("click_n"),
+        F.col("view_n").alias("view_n"),
+        F.col("purchase_n").alias("purchase_n"),
+        F.col("purchase_val").cast("double").alias("purchase_value"),
+    ).orderBy("month")
