@@ -1131,3 +1131,111 @@ def join_asof_forward(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document (feature extraction / keyword
+# summarization).  One explode pass; document frequency is derived
+# from the (doc,term) TF aggregate — not a second scan; idf join
+# shuffles on term (bounded by vocabulary, not corpus); final top-k is
+# a per-doc window.  At 100 TB: explode is map-local, both aggs have
+# map-side combine, and the term-keyed join is the only re-shuffle.
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT t.doc_id, t.term,
+         t.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+                    t.term
+         ) AS rk
+  FROM tf t JOIN df USING (term)
+)
+SELECT doc_id, term, ROUND(tfidf, 9) AS tfidf, rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+""",
+    doc="TF-IDF top-3 terms per doc: one explode, DF from the TF agg, term-keyed idf join",
+)
+def text_tfidf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 9).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL deciles at scale: instead of one global NTILE sort (single
+# executor), compute the 9 interior percentile_disc cut points (actual
+# data values — cross-engine exact, no interpolation float), broadcast
+# them, and range-bucket by comparison: map-only over the corpus.
+# Ties at a cut point land in the lower bucket on both engines.
+@register(
+    "pipeline_global_deciles",
+    oracle="""
+WITH c AS (
+  SELECT quantile_disc(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+  FROM documents
+)
+SELECT 1 + len([x for x in c.cuts if x < d.n_chars]) AS bucket,
+       COUNT(*) AS n,
+       MIN(n_chars) AS lo,
+       MAX(n_chars) AS hi
+FROM documents d, c
+GROUP BY bucket ORDER BY bucket
+""",
+    doc="global deciles via broadcast percentile_disc cut points (no global sort)",
+)
+def pipeline_global_deciles(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    cuts = d.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({q / 10}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+            ).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for q in range(1, 10):
+        bucket = bucket + F.when(F.col(f"c{q}") < F.col("n_chars"), 1).otherwise(0)
+    return (
+        d.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
