@@ -363,3 +363,76 @@ def dedup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_keeper"),
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    left: str = "d1",
+    right: str = "d2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the scale path for graphs whose diameter is NOT small: each round
+    at least halves tree heights, so convergence is O(log n) rounds
+    regardless of chain length, where plain min-label propagation
+    (``connected_components``) needs diameter rounds.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its closed neighborhood; small-star: its smaller-or-equal
+    neighbors likewise.  Both are one groupBy-min + one join per round
+    (shuffle on node id).  Stable edge set = star forest: every node
+    holds an edge to its component's minimum id.
+
+    Same output contract as connected_components: (node, comp).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(left), F.col(right)).alias("a"),
+            F.greatest(F.col(left), F.col(right)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _bidirect(edges):
+        return edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        bid = _bidirect(e)
+        # large-star: (v, m) for v > u, m = min(N(u) ∪ {u})
+        mins = bid.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            _bidirect(e)
+            .join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+        )
+        # small-star over directed edges v <= u: (v, m) plus (u, m)
+        small_dir = bid.filter(F.col("v") <= F.col("u"))
+        smins = small_dir.groupBy("u").agg(F.min("v").alias("mn"))
+        smins = smins.select("u", F.least("mn", F.col("u")).alias("m"))
+        sd = small_dir.join(smins, "u")
+        small = (
+            sd.select(F.col("v").alias("x"), F.col("m"))
+            .union(sd.select(F.col("u").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
+        )
+        new_e = large.union(small).distinct().localCheckpoint()
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # stable star forest: b's component is a; roots map to themselves
+    nodes = _bidirect(e).select(F.col("u").alias("node")).distinct()
+    roots = e.groupBy(F.col("b").alias("node")).agg(F.min("a").alias("comp"))
+    return nodes.join(roots, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )

@@ -80,3 +80,32 @@ def append_load(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target_path)
+
+
+def read_jsonl_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of read_csv_with_rejects (beyond the reference —
+    its loader is delimited-text only; a training corpus is far more
+    often JSONL).  Same contract: (good_rows with exactly ``schema``,
+    rejects as one ``raw`` string column).  Rows that parse as JSON but
+    miss a field arrive with NULLs (schema-tolerant, like the
+    reference's NULL-fill for short rows, load_parser.h:43); only
+    syntactically broken lines reject."""
+    full_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()  # one parse, two consumers
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, bad

@@ -143,3 +143,28 @@ def test_pca_components_and_projection(spark, sf_dir):
     np.testing.assert_allclose(
         got["pc0"].to_numpy().var(), eigvals[0], rtol=1e-6
     )
+
+
+def test_connected_components_star_equivalence(spark, sf_dir):
+    """Large-star/small-star must produce the identical labeling as
+    min-label propagation — on a long chain (the case it exists for),
+    a clique, and the real LSH near-dup pair graph."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        jaccard_pairs,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # diameter 40
+    clique = [(200 + i, 200 + j) for i in range(4) for j in range(i + 1, 4)]
+    toy = spark.createDataFrame(chain + clique + [(300, 301)], ["d1", "d2"])
+    a = {r["node"]: r["comp"] for r in connected_components(toy, max_iter=50).collect()}
+    b = {r["node"]: r["comp"] for r in connected_components_star(toy).collect()}
+    assert a == b
+    assert b[139] == 100 and b[203] == 200 and b[301] == 300
+
+    real = jaccard_pairs(load_tables(spark, sf_dir)["documents"], threshold=0.5, max_df=100)
+    ra = {r["node"]: r["comp"] for r in connected_components(real).collect()}
+    rb = {r["node"]: r["comp"] for r in connected_components_star(real).collect()}
+    assert ra == rb and len(ra) > 0

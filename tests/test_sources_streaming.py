@@ -289,3 +289,29 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     assert got.count() == expect.count() > 0
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_jsonl_load_with_rejects(spark, tmp_path):
+    """Broken JSON lines reject with the raw text; missing fields
+    NULL-fill; good rows keep the declared schema."""
+    from stonedb_spark.sources.csvload import read_jsonl_with_rejects
+
+    f = tmp_path / "in.jsonl"
+    f.write_text(
+        '{"id": 1, "name": "alpha", "amount": 10.5}\n'
+        '{"id": 2, "name": "beta"}\n'
+        "{broken json\n"
+        '{"id": "x", "name": "gamma", "amount": 1.0}\n'
+        '{"id": 4, "amount": 40.0}\n'
+    )
+    good, bad = read_jsonl_with_rejects(spark, str(f), SCHEMA)
+    rows = {r.id: r for r in good.collect()}
+    raws = [r.raw for r in bad.collect()]
+    # line 2: missing amount -> NULL-filled; line 5: missing name
+    assert set(rows) >= {1, 2, 4}
+    assert rows[2].amount is None and rows[4].name is None
+    assert rows[1].amount == 10.5
+    assert any("{broken json" in r for r in raws)
+    # "x" id: type mismatch -> either corrupt or null id depending on
+    # coercion; must NOT surface as a fake numeric id
+    assert all(r.id is None or isinstance(r.id, int) for r in good.collect())
