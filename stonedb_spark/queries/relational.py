@@ -965,3 +965,64 @@ def pivot_event_type_month(spark, sf_dir):
         F.col("purchase_n").alias("purchase_n"),
         F.col("purchase_val").cast("double").alias("purchase_value"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Window analytics battery #2 (beyond the reference — MySQL 5.7 has no
+# window functions at all): ranking distributions, value navigation,
+# and bounded frames.  percent_rank/cume_dist are rank-ratio rationals
+# — identical integer inputs → bit-identical doubles on both engines.
+# Frame sums go through DECIMAL(38,10).
+@register(
+    "window_frames_nav",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       DENSE_RANK()   OVER w AS drnk,
+       LEAD(o_orderkey)  OVER w AS next_order,
+       PERCENT_RANK() OVER w AS prk,
+       CUME_DIST()    OVER w AS cd,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_ord,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS sliding3,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS range1k
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+LIMIT 500
+""",
+    doc="dense_rank/lead/percent_rank/cume_dist/first/nth + ROWS and RANGE frames",
+)
+def window_frames_nav(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rows3 = w.rowsBetween(-2, Window.currentRow)
+    rng = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(38,10)")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drnk"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.percent_rank().over(w).alias("prk"),
+            F.cume_dist().over(w).alias("cd"),
+            F.first("o_orderkey").over(w).alias("first_ord"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_ord"),
+            F.sum(dec).over(rows3).cast("double").alias("sliding3"),
+            F.sum(dec).over(rng).cast("double").alias("range1k"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
+    )
