@@ -318,6 +318,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
+        # lazy checkpoint: materializes during the changed-count action
+        # below instead of spending a separate job per round
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
@@ -326,7 +328,7 @@ def connected_components(
                     labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
