@@ -72,3 +72,12 @@ def stratified_sample(
         rate = F.when(s == value, F.lit(frac)).otherwise(rate)
     threshold = (rate * _BUCKET_MOD).cast("long")
     return df.filter(hash_bucket(key) < threshold)
+
+
+def weighted_sample(df, key: Column | str, weight: Column):
+    """Deterministic weighted Bernoulli sampling: each row survives with
+    probability clamp(weight, 0, 1), decided by its md5 hash bucket —
+    quality-weighted corpus downsampling that is exactly reproducible
+    on any engine/partitioning (map-only; no rand(), no state)."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_bucket(key) < (w * _BUCKET_MOD).cast("long"))

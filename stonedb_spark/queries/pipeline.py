@@ -1239,3 +1239,41 @@ def pipeline_global_deciles(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: survival probability proportional to doc
+# length (clamped) — the "sample good docs more" pipeline step, fully
+# deterministic via the shared md5 bucket.
+@register(
+    "pipeline_weighted_sample",
+    oracle="""
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+FROM b
+WHERE bucket < CAST(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0) * 10000 AS BIGINT)
+GROUP BY source
+ORDER BY source
+""",
+    doc="deterministic weighted sampling: keep probability ∝ clamped doc length",
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    from stonedb_spark.operators.sampling import weighted_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    kept = weighted_sample(
+        d, key="doc_id", weight=F.col("n_chars").cast("double") / 400.0
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -195,3 +195,38 @@ def regress_len_numeric(spark, sf_dir):
         F.sum(key_len).alias("sum_len_int"),
         F.sum(key_len / F.lit(2.0)).cast("decimal(38,10)").alias("sum_half_len"),
     )
+
+
+# issue1402.test: HAVING referencing a SELECT alias of an aggregate
+# computed over a join product — across inner/left/right joins (the
+# right-join arm is where the reference engine had the bug; nulls from
+# the unmatched side must flow INTO the aggregate, then HAVING filters
+# the aggregated alias).  MySQL allows the alias in HAVING; Spark SQL
+# does too; DuckDB likewise.
+_HAVING_SQL = """
+SELECT n.n_nationkey, CAST(SUM(CAST(c.c_acctbal * 2 AS DECIMAL(38,10))) AS DOUBLE) AS a
+FROM nation n {join} JOIN customer c ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_nationkey
+HAVING a > 10000
+ORDER BY n.n_nationkey
+"""
+
+
+@register(
+    "regress_having_alias",
+    oracle=f"""
+SELECT 'inner' AS arm, * FROM ({_HAVING_SQL.format(join="INNER")})
+UNION ALL
+SELECT 'left' AS arm, * FROM ({_HAVING_SQL.format(join="LEFT")})
+ORDER BY arm, n_nationkey
+""",
+    doc="issue1402: HAVING on aggregate alias over inner/left join products",
+)
+def regress_having_alias(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+SELECT 'inner' AS arm, * FROM ({_HAVING_SQL.format(join="INNER")})
+UNION ALL
+SELECT 'left' AS arm, * FROM ({_HAVING_SQL.format(join="LEFT")})
+ORDER BY arm, n_nationkey
+""")
