@@ -38,6 +38,7 @@ def asof_join(
     payload: list[str] | None = None,
     prefix: str = "r_",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of LEFT join.  ``backward`` (default): most recent right row
     at or before the left row's ``ts``; ``forward``: earliest right row
@@ -49,6 +50,10 @@ def asof_join(
 
     ``payload`` = right columns to carry (default: all except key+ts);
     they surface as ``{prefix}{name}`` plus ``{prefix}{ts}``.
+
+    ``tolerance`` (e.g. ``"2 hours"``): a match farther than this from
+    the left timestamp is nulled out (pandas merge_asof semantics) —
+    applied AFTER the window, so it adds zero shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -71,6 +76,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        iv = F.expr(f"INTERVAL {tolerance}")
+        in_range = (
+            F.col(f"_m.{ts}") >= F.col(ts) - iv
+            if direction == "backward"
+            else F.col(f"_m.{ts}") <= F.col(ts) + iv
+        )
+        matched = matched.withColumn(
+            "_m", F.when(in_range, F.col("_m"))
+        )
     out = matched.filter(F.col("_side") == 1).drop("_r", "_side")
     out = out.withColumn(f"{prefix}{ts}", F.col(f"_m.{ts}"))
     for c in payload:

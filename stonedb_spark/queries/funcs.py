@@ -598,3 +598,57 @@ def func_base_convert(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# MySQL string-library battery #2 (the reference evaluates the FULL
+# MySQL 5.7 Item library by delegation, mysql_expression.cpp — so
+# SUBSTRING_INDEX / FIND_IN_SET / ELT / FIELD / INSERT are in scope
+# even without a dedicated tianmu MTR file).  All native Spark
+# builtins; the DuckDB oracle rebuilds each from list functions.
+# MySQL FIELD() returns 0 when absent — Spark array_position already
+# does; DuckDB list_position yields NULL → COALESCE.
+@register(
+    "func_string_list",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey, p_name, p_brand,
+         replace(p_name, ' ', ',') AS csv
+  FROM part WHERE p_partkey <= 300
+)
+SELECT p_partkey,
+       array_to_string((string_split(csv, ','))[1:2], ',')   AS first2,
+       (string_split(csv, ','))[-1]                          AS last1,
+       COALESCE(list_position(string_split(csv, ','), 'green'), 0) AS pos_green,
+       (['alpha','beta','gamma'])[1 + p_partkey % 3]         AS elt_pick,
+       COALESCE(list_position(['Brand#12','Brand#23','Brand#34'], p_brand), 0) AS brand_field,
+       substr(p_name, 1, 2) || '<X>' || substr(p_name, 5)    AS overlaid
+FROM t ORDER BY p_partkey
+""",
+    doc="SUBSTRING_INDEX/FIND_IN_SET/ELT/FIELD/INSERT-overlay battery",
+)
+def func_string_list(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    csv = F.replace(F.col("p_name"), F.lit(" "), F.lit(","))
+    return (
+        p.filter(p["p_partkey"] <= 300)
+        .select(
+            "p_partkey",
+            F.substring_index(csv, ",", 2).alias("first2"),
+            F.substring_index(csv, ",", -1).alias("last1"),
+            F.expr("find_in_set('green', replace(p_name, ' ', ','))")
+            .cast("long")
+            .alias("pos_green"),
+            F.elt(
+                (F.col("p_partkey") % 3 + 1).cast("int"),
+                F.lit("alpha"), F.lit("beta"), F.lit("gamma"),
+            ).alias("elt_pick"),
+            F.array_position(
+                F.array(F.lit("Brand#12"), F.lit("Brand#23"), F.lit("Brand#34")),
+                F.col("p_brand"),
+            ).alias("brand_field"),
+            F.overlay(F.col("p_name"), F.lit("<X>"), 3, 2).alias("overlaid"),
+        )
+        .orderBy("p_partkey")
+    )

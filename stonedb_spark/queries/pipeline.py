@@ -1277,3 +1277,46 @@ def pipeline_weighted_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of with tolerance: the prior view only counts if within 2 hours
+# of the click (merge_asof tolerance semantics).
+@register(
+    "join_asof_tolerance",
+    oracle="""
+SELECT c.event_id, c.user_id,
+       c.ts AS click_ts,
+       CASE WHEN v.ts >= c.ts - INTERVAL '2 hours' THEN v.ts END    AS view_ts,
+       CASE WHEN v.ts >= c.ts - INTERVAL '2 hours' THEN v.value END AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY c.event_id
+""",
+    doc="backward as-of with 2h tolerance window (merge_asof semantics)",
+)
+def join_asof_tolerance(spark, sf_dir):
+    from stonedb_spark.operators.asofjoin import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(
+            clicks, views, on="user_id", ts="ts",
+            payload=["value"], tolerance="2 hours",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("r_ts").alias("view_ts"),
+            F.col("r_value").alias("view_value"),
+        )
+        .orderBy("event_id")
+    )
