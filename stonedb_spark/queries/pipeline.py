@@ -1320,3 +1320,83 @@ def join_asof_tolerance(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleanse — the flagship training-data composition:
+# keep a document iff (a) it passes the Gopher quality verdict and
+# (b) it is not a non-canonical member of a near-dup cluster.  Emits
+# per-source surviving doc/token counts.  Every stage reuses an
+# already-oracled building block; at scale the flow is: map-only
+# quality metrics → LSH-bounded pair join → O(rounds) label
+# propagation → one anti-join → final agg.
+@register(
+    "pipeline_corpus_cleanse",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL.replace("ORDER BY d1, d2", "")}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
+dupes AS (SELECT doc_id FROM lab WHERE doc_id <> component),
+m AS (
+  SELECT doc_id, source, toks,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         list_sum([strlen(x) for x in toks]) AS char_sum,
+         list_max([len([y for y in toks if y = x])
+                   for x in list_distinct(toks)]) AS top_tok
+  FROM (SELECT doc_id, source,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) s
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM m
+WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+  AND n_tokens BETWEEN 50 AND 100000
+  AND CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0
+  AND CAST(n_types AS DOUBLE) / n_tokens > 0.3
+  AND CAST(top_tok AS DOUBLE) / n_tokens < 0.15
+GROUP BY source
+ORDER BY source
+""",
+    doc="flagship cleanse: Gopher verdict ∧ dedup keeper → per-source survivors",
+)
+def pipeline_corpus_cleanse(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    cc = D.connected_components(
+        D.jaccard_pairs(d, threshold=0.5, max_df=100)
+    )
+    dupes = cc.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    toks = T.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        T.gopher_keep(
+            n_tokens,
+            T.mean_word_length(toks),
+            T.type_token_ratio(toks),
+            T.top_token_fraction(toks),
+        ).alias("keep"),
+    )
+    return (
+        scored.join(dupes, "doc_id", "left_anti")
+        .filter(F.col("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
