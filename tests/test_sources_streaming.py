@@ -315,3 +315,35 @@ def test_jsonl_load_with_rejects(spark, tmp_path):
     # "x" id: type mismatch -> either corrupt or null id depending on
     # coercion; must NOT surface as a fake numeric id
     assert all(r.id is None or isinstance(r.id, int) for r in good.collect())
+
+
+def test_incremental_agg_matview(spark, sf_dir, tmp_path):
+    """The foreachBatch-maintained view must equal the batch aggregate
+    exactly (counts and decimal sums are associative), across multiple
+    micro-batches (maxFilesPerTrigger=1 over several source files)."""
+    from stonedb_spark.streaming.matview import run_incremental_agg
+
+    events = load_tables(spark, sf_dir)["events"]
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches
+    events.repartition(4).write.parquet(src)
+
+    view = str(tmp_path / "view")
+    run_incremental_agg(
+        spark, src, events.schema, view, str(tmp_path / "ckpt")
+    )
+
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in spark.read.parquet(view).collect()
+    }
+    expect = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) == 5
