@@ -54,3 +54,47 @@ def binned_range_join(
 
     joined = pts.join(ivs, on="__bin", how=how).filter(p.between(lo, hi))
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (a_lo < b_hi AND b_lo < a_hi,
+    half-open) on a shared equi-key — the two-sided generalization of
+    binned_range_join: BOTH inputs explode to the bins they cover, the
+    join runs on (key, bin) as a plain shuffled equi-join, the exact
+    overlap predicate filters within-bin false positives, and distinct
+    collapses pairs that co-occupy several bins.  Fan-out per row =
+    interval_length / bin_width + 1 — pick the bin near the typical
+    interval length.  No nested-loop join anywhere (plan-gated).
+
+    Inputs must have disjoint column names apart from ``key`` (alias
+    beforehand, as with any Spark join).
+    """
+    def binned(df, lo, hi):
+        nbins = (F.floor(F.col(hi) / bin_width) - F.floor(F.col(lo) / bin_width)).cast("int")
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nbins),
+                    lambda i: F.floor(F.col(lo) / bin_width).cast("long") + i,
+                )
+            ),
+        )
+
+    joined = binned(a, a_lo, a_hi).join(binned(b, b_lo, b_hi), [key, "__bin"])
+    return (
+        joined.filter(
+            (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi))
+        )
+        .drop("__bin")
+        .distinct()
+    )

@@ -1400,3 +1400,48 @@ def pipeline_corpus_cleanse(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: per-user view windows [ts, ts+30min) against
+# error windows [ts, ts+10min) — binned to 10-minute epoch buckets so
+# the plan is a shuffled equi-join on (user, bucket), never a range
+# cross join (operators/thetajoin.py interval_overlap_join).
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH v AS (SELECT event_id AS v_id, user_id,
+                  epoch(ts) AS v_lo, epoch(ts) + 1800 AS v_hi
+           FROM events WHERE event_type = 'view'),
+e AS (SELECT event_id AS e_id, user_id,
+             epoch(ts) AS e_lo, epoch(ts) + 600 AS e_hi
+      FROM events WHERE event_type = 'error')
+SELECT v.v_id, e.e_id, v.user_id
+FROM v JOIN e ON v.user_id = e.user_id
+               AND v.v_lo < e.e_hi AND e.e_lo < v.v_hi
+ORDER BY v_id, e_id
+""",
+    doc="binned interval-overlap join (views x error windows per user)",
+)
+def join_interval_overlap(spark, sf_dir):
+    from stonedb_spark.operators.thetajoin import interval_overlap_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sec = F.col("ts").cast("double")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id",
+        sec.alias("v_lo"), (sec + 1800).alias("v_hi"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), "user_id",
+        sec.alias("e_lo"), (sec + 600).alias("e_hi"),
+    )
+    return (
+        interval_overlap_join(
+            v, e, key="user_id",
+            a_lo="v_lo", a_hi="v_hi", b_lo="e_lo", b_hi="e_hi",
+            bin_width=600.0,
+        )
+        .select("v_id", "e_id", "user_id")
+        .orderBy("v_id", "e_id")
+    )
