@@ -1026,3 +1026,80 @@ def window_frames_nav(spark, sf_dir):
         .orderBy("o_custkey", "o_orderkey")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# Groupwise top-k + per-group mode: top-3 orders per customer segment
+# by price, and each segment's most frequent order priority.  MODE()
+# tie-breaking differs between engines, so the mode is computed as a
+# deterministic count/row_number pipeline (highest count, then
+# lexicographically smallest value) on BOTH sides.
+@register(
+    "window_topk_per_group",
+    oracle="""
+WITH r AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+mm AS (
+  SELECT c_mktsegment, o_orderpriority,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, o_orderpriority) AS mrk
+  FROM m
+)
+SELECT r.c_mktsegment, r.rk, r.o_orderkey, r.o_totalprice,
+       mm.o_orderpriority AS segment_mode_priority
+FROM r JOIN mm ON r.c_mktsegment = mm.c_mktsegment AND mm.mrk = 1
+WHERE r.rk <= 3
+ORDER BY r.c_mktsegment, r.rk
+""",
+    doc="top-3 per group + deterministic per-group mode (count+row_number)",
+)
+def window_topk_per_group(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    oc = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    top3 = (
+        oc.select(
+            "c_mktsegment", "o_orderkey", "o_totalprice",
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    wm = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    mode = (
+        oc.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "c_mktsegment", "o_orderpriority",
+            F.row_number().over(wm).alias("mrk"),
+        )
+        .filter(F.col("mrk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("segment_mode_priority"),
+        )
+    )
+    return (
+        top3.join(mode, "c_mktsegment")
+        .select(
+            "c_mktsegment", "rk", "o_orderkey", "o_totalprice",
+            "segment_mode_priority",
+        )
+        .orderBy("c_mktsegment", "rk")
+    )

@@ -86,3 +86,60 @@ def test_asof_join_ties_and_null_payload(spark):
     assert got[2] == (ts(15), None)       # NULL payload carried, not skipped
     assert got[3] == (ts(4), 7.0)
     assert got[4] == (None, None)         # no match at all
+
+
+def test_asof_join_property_vs_pandas(spark):
+    """Property check against pandas merge_asof on randomized keyed
+    series (seeded Hypothesis-style sweep without per-example Spark
+    jobs — one composite frame per config, many keys per frame):
+    backward, forward, and tolerance semantics must all agree."""
+    import numpy as np
+    import pandas as pd
+
+    from stonedb_spark.operators.asofjoin import asof_join
+
+    rng = np.random.default_rng(7)
+    for trial, (direction, tol) in enumerate(
+        [("backward", None), ("forward", None),
+         ("backward", "5 seconds"), ("forward", "7 seconds")]
+    ):
+        n_l, n_r = 120, 90
+        base = pd.Timestamp("2024-03-01")
+        lpdf = pd.DataFrame({
+            "k": rng.integers(0, 8, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3000, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        }).sort_values("ts", kind="stable")
+        rpdf = pd.DataFrame({
+            "k": rng.integers(0, 8, n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3000, n_r), unit="s"),
+            "val": rng.normal(size=n_r).round(6),
+        }).sort_values("ts", kind="stable")
+        # merge_asof needs unique (k, ts) on the right for a clean
+        # comparison (tie choice within equal ts is impl-defined)
+        rpdf = rpdf.drop_duplicates(subset=["k", "ts"], keep="last")
+
+        expect = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k",
+            direction=direction, allow_exact_matches=True,
+            tolerance=pd.Timedelta(tol) if tol else None,
+        ).sort_values("lid")
+
+        got = (
+            asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                on="k", ts="ts", payload=["val"],
+                direction=direction, tolerance=tol,
+            )
+            .select("lid", "r_val")
+            .toPandas()
+            .sort_values("lid")
+        )
+        g = got["r_val"].to_numpy(dtype=float)
+        e = expect["val"].to_numpy(dtype=float)
+        both_nan = np.isnan(g) & np.isnan(e)
+        assert bool(np.all(both_nan | (g == e))), (
+            trial, direction, tol,
+            [(i, g[i], e[i]) for i in range(len(g)) if not (both_nan[i] or g[i] == e[i])][:5],
+        )
