@@ -1445,3 +1445,101 @@ def join_interval_overlap(spark, sf_dir):
         .select("v_id", "e_id", "user_id")
         .orderBy("v_id", "e_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: view → click (≤ 2h later) → purchase (≤ 24h after
+# the click), per user, counted per stage.  Each stage is a keyed min
+# aggregation + one equi-join — no windows over the whole corpus, no
+# self-join explosion; at scale all three shuffles are on user_id.
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.v_ts AND e.ts <= v.v_ts + INTERVAL '2 hours'
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.c_ts AND e.ts <= c.c_ts + INTERVAL '24 hours'
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+""",
+    doc="3-stage funnel with per-stage time bounds, keyed min-agg chain",
+)
+def events_funnel(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+
+    def stage(df, etype, prev=None, prev_col=None, within_h=None):
+        s = df.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(
+                (F.col("ts") >= F.col(prev_col))
+                & (F.col("ts") <= F.col(prev_col) + F.expr(f"INTERVAL {within_h} hours"))
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
+
+    v = stage(e, "view")
+    c = stage(e, "click", v, "view_ts", 2)
+    p = stage(e, "purchase", c, "click_ts", 24)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, distinct
+# active users per (cohort, week-offset).  Both aggregations key on
+# user/cohort — the matrix is |cohorts × offsets|, independent of
+# event volume.
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         DATE_DIFF('day', f.cohort_week, DATE_TRUNC('week', e.ts)) / 7 AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(week_offset AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM activity
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="weekly cohort retention matrix: first-seen week x active-week offset",
+)
+def events_cohort_retention(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_ts"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_ts"),
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_ts")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.col("cohort_ts").cast("date").alias("cohort_week"), "week_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
