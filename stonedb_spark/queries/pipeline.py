@@ -1543,3 +1543,62 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch extraction: each (stub-decoded) image explodes into
+# its 64×64 patch grid rows via mapInPandas — the batch-in/rows-out
+# shape a vision preprocessing pipeline needs (patch count varies per
+# image; Arrow batches amortize the Python hop).  Patch signature is
+# hash-deterministic so the oracle rebuilds the grid in SQL (lateral
+# range over the same stub dims).
+@register(
+    "multimodal_image_patches",
+    oracle="""
+SELECT d.doc_id,
+       pr.pr AS patch_row,
+       pc.pc AS patch_col,
+       md5(d.text || '|' || CAST(pr.pr AS VARCHAR) || '|' || CAST(pc.pc AS VARCHAR)) AS patch_sig
+FROM documents d,
+     range(0, 8) pr(pr),
+     range(0, 11) pc(pc)
+WHERE pr.pr <= ((strlen(d.text) % 480 + 16) // 64) - 1
+  AND pc.pc <= ((strlen(d.text) % 640 + 16) // 64) - 1
+ORDER BY doc_id, patch_row, patch_col
+""",
+    doc="ViT patch grid: mapInPandas row-explode, hash-deterministic stub",
+)
+def multimodal_image_patches(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    payloads = t["documents"].select("doc_id", "text")
+
+    def patches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "patch_row": [], "patch_col": [], "patch_sig": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # STUB decode (same dims rule as multimodal_image_meta):
+                # real code would crop pixel blocks here
+                w = len(text) % 640 + 16
+                h = len(text) % 480 + 16
+                for pr in range(h // 64):
+                    for pc in range(w // 64):
+                        sig = hashlib.md5(
+                            f"{text}|{pr}|{pc}".encode()
+                        ).hexdigest()
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["patch_sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    return (
+        payloads.mapInPandas(
+            patches,
+            "doc_id long, patch_row long, patch_col long, patch_sig string",
+        )
+        .orderBy("doc_id", "patch_row", "patch_col")
+    )

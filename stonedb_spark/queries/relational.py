@@ -1103,3 +1103,37 @@ def window_topk_per_group(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: 20 buckets over o_totalprice, bounds from a
+# 1-row min/max broadcast (the same scalar-broadcast shape as q11's
+# threshold).  Bucket arithmetic is identical integer/double ops on
+# both engines; the max value is clamped into the last bucket.
+@register(
+    "agg_histogram",
+    oracle="""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / ((b.hi - b.lo) / 20.0)) AS INT), 19) AS bucket,
+       COUNT(*) AS n
+FROM orders, b
+GROUP BY 1 ORDER BY 1
+""",
+    doc="20-bucket equi-width histogram, scalar min/max broadcast",
+)
+def agg_histogram(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+        F.lit(19),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
