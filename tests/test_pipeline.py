@@ -168,3 +168,45 @@ def test_connected_components_star_equivalence(spark, sf_dir):
     ra = {r["node"]: r["comp"] for r in connected_components(real).collect()}
     rb = {r["node"]: r["comp"] for r in connected_components_star(real).collect()}
     assert ra == rb and len(ra) > 0
+
+
+def test_operator_edge_cases_empty_inputs(spark):
+    """Degenerate inputs must produce well-formed empty/null results,
+    not errors: CC with no pairs, as-of with an empty right side,
+    weighted sampling with out-of-range weights."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from stonedb_spark.operators.asofjoin import asof_join
+    from stonedb_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.operators.sampling import weighted_sample
+
+    empty_pairs = spark.createDataFrame(
+        [], StructType([StructField("d1", LongType()), StructField("d2", LongType())])
+    )
+    assert connected_components(empty_pairs).count() == 0
+    assert connected_components_star(empty_pairs).count() == 0
+
+    import datetime as dt
+    left = spark.createDataFrame(
+        [(1, 5, dt.datetime(2024, 1, 1))], ["event_id", "k", "ts"]
+    )
+    empty_right = spark.createDataFrame(
+        [], StructType([
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]),
+    )
+    out = asof_join(left, empty_right, on="k", ts="ts").collect()
+    assert len(out) == 1 and out[0]["r_value"] is None and out[0]["r_ts"] is None
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    assert weighted_sample(df, "doc_id", F.lit(-5.0)).count() == 0
+    assert weighted_sample(df, "doc_id", F.lit(99.0)).count() == 100
