@@ -1602,3 +1602,37 @@ def multimodal_image_patches(spark, sf_dir):
         )
         .orderBy("doc_id", "patch_row", "patch_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: global bigram counts, top-20 with
+# deterministic tie-break — the LM-data analysis staple.  Explode is
+# map-local; the count agg combines map-side; top-k is
+# TakeOrderedAndProject, so nothing materializes the full sorted
+# vocabulary.
+@register(
+    "text_bigram_counts",
+    oracle="""
+WITH t AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+bg AS (
+  SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    doc="global bigram top-20 (map-side-combined count, top-k sort)",
+)
+def text_bigram_counts(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    bg = d.select(F.explode(T.bigrams(T.tokens(F.col("text")))).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
