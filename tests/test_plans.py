@@ -266,3 +266,29 @@ def test_asof_join_single_data_shuffle_and_pushdown(spark, sf_dir):
     assert "event_type view" in pushed, pushed
     assert not has_nested_loop_join(df)
     assert shuffle_exchange_count(df) <= 2  # key shuffle + output sort
+
+
+def test_flagship_shuffle_budgets(spark, sf_dir):
+    """Shuffle-count ceilings for flagship queries — an extra Exchange
+    that sneaks into one of these plans is exactly the regression that
+    is invisible at sf0.01 and dominant at 100 TB.  Ceilings are the
+    audited counts at the time of writing (AQE on, sf0.01 stats)."""
+    from stonedb_spark.plans.inspect import shuffle_exchange_count
+
+    budgets = {
+        "tpch_q1": 3,            # partial/final agg + presentation sort
+        "tpch_q6": 0,            # pure scan-agg, no exchange at all
+        "text_bigram_counts": 1, # one count shuffle; top-k is TakeOrdered
+        "text_tfidf_topk": 5,
+        "events_funnel": 5,
+        "agg_histogram": 2,
+        "pipeline_corpus_cleanse": 4,
+        "join_interval_overlap": 2,
+        "events_cohort_retention": 4,
+    }
+    over = {
+        name: (shuffle_exchange_count(_build(spark, sf_dir, name)), cap)
+        for name, cap in budgets.items()
+        if shuffle_exchange_count(_build(spark, sf_dir, name)) > cap
+    }
+    assert not over, over
