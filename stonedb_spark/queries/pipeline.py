@@ -1636,3 +1636,31 @@ def text_bigram_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: tokens with frequency > n/k via two-pass Misra-Gries
+# (operators/heavyhitters.py) — identical output to the exact groupBy
+# (superset guarantee + exact recount), so the oracle is plain SQL
+# HAVING; only |partitions|×k candidate rows shuffle in pass 1.
+@register(
+    "text_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS item FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT item, COUNT(*) AS n
+FROM toks
+GROUP BY item
+HAVING COUNT(*) > (SELECT n FROM tot) / 40.0
+ORDER BY item
+""",
+    doc="Misra-Gries 2-pass heavy hitters == exact groupBy answer (k=40)",
+)
+def text_heavy_hitters(spark, sf_dir):
+    from stonedb_spark.operators.heavyhitters import heavy_hitters
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", k=40).orderBy("item")

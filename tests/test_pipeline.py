@@ -210,3 +210,29 @@ def test_operator_edge_cases_empty_inputs(spark):
     df = spark.range(100).select(F.col("id").alias("doc_id"))
     assert weighted_sample(df, "doc_id", F.lit(-5.0)).count() == 0
     assert weighted_sample(df, "doc_id", F.lit(99.0)).count() == 100
+
+
+def test_heavy_hitters_guarantee_skewed(spark):
+    """Misra-Gries 2-pass must equal the exact groupBy answer on a
+    skewed stream spread over many partitions (the superset guarantee
+    is per-partition; the recount makes the final answer exact)."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.operators.heavyhitters import heavy_hitters
+
+    rows = (
+        [("hot",)] * 3000
+        + [("warm",)] * 800
+        + [(f"cold{i % 500}",) for i in range(6200)]
+    )
+    df = spark.createDataFrame(rows, ["tok"]).repartition(32)
+    got = {r["item"]: r["n"] for r in heavy_hitters(df, "tok", k=20).collect()}
+    n = len(rows)
+    expect = {
+        r["tok"]: r["n"]
+        for r in df.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > n / 20)
+        .collect()
+    }
+    assert got == expect and "hot" in got and got["hot"] == 3000
