@@ -205,6 +205,7 @@ _BNLJ_ALLOWED = {
     "knn_bruteforce",
     "knn_ivf_probe",  # 1-row query-vec broadcasts; data side joins are equi
     "agg_histogram",  # 1-row broadcast of the min/max bounds
+    "events_funnel",  # final combine of three 1-row stage counts
     "pipeline_global_deciles",  # 1-row broadcast of the 9 decile cut points
     "subq_all_any",
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
