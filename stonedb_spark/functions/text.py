@@ -177,3 +177,36 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
         F.regexp_count(text, F.lit(PHONE_RE)),
         F.regexp_count(text, F.lit(IPV4_RE)),
     )
+
+
+def ordered_shingles(text: Column, k: int = 3) -> Column:
+    """Positional (non-distinct) k-word shingles — winnowing needs the
+    document-order sequence, unlike the MinHash set unit."""
+    w = tokens(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(w) >= k, sh).otherwise(empty)
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash each positional k-shingle (same md5→60-bit base as
+    MinHash), slide a window of ``w`` hashes, keep each window's
+    minimum, dedup.  Guarantees any shared run of ≥ w+k-1 words between
+    two documents shares a fingerprint — partial-overlap detection that
+    whole-document hashes miss.  Pure higher-order expressions: the
+    corpus pass is map-only; matching is then an equi-join on the
+    exploded fingerprint (bounded, like the LSH band join)."""
+    hs = F.transform(
+        ordered_shingles(text, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    empty = F.array().cast("array<long>")
+    return F.array_distinct(F.when(F.size(hs) >= w, wins).otherwise(empty))

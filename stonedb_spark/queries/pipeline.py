@@ -1664,3 +1664,46 @@ def text_heavy_hitters(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     return heavy_hitters(toks, "tok", k=40).orderBy("item")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03): window-min
+# shingle hashes — the partial-overlap dedup unit (a shared ≥6-word
+# run guarantees a shared fingerprint at k=3, w=4).  Map-only over the
+# corpus; per-doc summary checked against the DuckDB rebuild.
+@register(
+    "dedup_winnow_fingerprints",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)
+          for i in range(1, len(toks) - 1)] AS hs
+  FROM t WHERE len(toks) >= 3
+),
+w AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS fps
+  FROM h WHERE len(hs) >= 4
+)
+SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM w ORDER BY doc_id
+""",
+    doc="winnowing window-min fingerprints, per-doc summary (k=3, w=4)",
+)
+def dedup_winnow_fingerprints(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    fps = T.winnow_fingerprints(F.col("text"))
+    return (
+        d.select("doc_id", fps.alias("fps"))
+        .filter(F.size("fps") > 0)
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fp"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
