@@ -58,3 +58,49 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return left.join(right, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates
+    on (keys + salt) — the hot key's rows split across ``n_salts``
+    reducers instead of melting one — phase 2 re-aggregates the
+    ``n_salts`` partial rows per key.  ``aggs`` maps column → one of
+    count/sum/min/max (the re-aggregable functions; AVG callers
+    decompose into sum+count themselves).  Phase-2 input is
+    |keys × n_salts| rows — negligible — so the extra phase costs one
+    tiny shuffle.  Catalyst's own partial aggregation usually makes
+    this unnecessary; it exists for agg pipelines where a single
+    reducer key still dominates (e.g. high-cardinality DISTINCT inside
+    the group, where map-side combine can't help).
+
+    The salt is deterministic (hash of ``salt_source``, default the
+    first agg column) so re-runs are stable.
+    """
+    phase2 = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for fn in aggs.values():
+        if fn not in phase2:
+            raise ValueError(f"non-re-aggregable function {fn!r}")
+    src = F.col(next(iter(aggs))) if salt_source is None else (
+        F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    )
+    salt = F.pmod(F.xxhash64(src.cast("string")), F.lit(n_salts))
+    p1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[getattr(F, fn)(c).alias(f"{c}__{fn}") for c, fn in aggs.items()])
+    )
+    return (
+        p1.groupBy(*keys)
+        .agg(
+            *[
+                getattr(F, phase2[fn])(f"{c}__{fn}").alias(f"{fn}_{c}")
+                for c, fn in aggs.items()
+            ]
+        )
+    )

@@ -1137,3 +1137,43 @@ def agg_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (operators/skew.py salted_agg): per
+# event_type (5 hot keys over the whole table — maximal skew) count +
+# decimal sum, split across 8 salts then re-aggregated.  Result is
+# identical to the direct aggregation (associativity), which is what
+# the oracle states.
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS count_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="two-phase salted aggregation == direct agg (5 hot keys, 8 salts)",
+)
+def agg_salted_skew(spark, sf_dir):
+    from stonedb_spark.operators.skew import salted_agg
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.lit(1).alias("events"),
+        F.col("value").cast("decimal(38,10)").alias("value"),
+    )
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={"events": "count", "value": "sum"},
+        n_salts=8,
+        salt_source="value",
+    )
+    return out.select(
+        "event_type",
+        F.col("count_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
