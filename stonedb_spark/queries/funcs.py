@@ -159,8 +159,8 @@ def func_string(spark, sf_dir):
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25.0)                        AS abs_dev,
-       CEIL(l_extendedprice / 1000.0)                AS ceil_k,
-       FLOOR(l_extendedprice / 1000.0)               AS floor_k,
+       CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT)  AS ceil_k,
+       CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS floor_k,
        CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)), 2) AS DOUBLE) AS rounded,
        CAST(l_orderkey % 97 AS BIGINT)               AS mod97,
        CAST(TRUNC(CAST(l_orderkey AS DOUBLE) / 7.0) AS BIGINT) AS div7,
@@ -168,7 +168,7 @@ SELECT l_orderkey, l_linenumber,
        ROUND(SQRT(l_extendedprice), 9)               AS sq,
        ROUND(LN(l_extendedprice + 1.0), 9)           AS lnp,
        ROUND(POWER(l_quantity, 2.0), 9)              AS pw,
-       SIGN(l_discount - 0.05)                       AS sg,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE)       AS sg,
        GREATEST(l_quantity, l_extendedprice * 0.001) AS gr,
        LEAST(l_tax, l_discount)                      AS le
 FROM lineitem

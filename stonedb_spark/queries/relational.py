@@ -768,7 +768,8 @@ def agg_approx_rough(spark, sf_dir):
     l = t["lineitem"]  # noqa: E741
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("price_p95"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -792,8 +793,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, value,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

@@ -56,6 +56,29 @@ def test_q3_segment_filter_pushed(spark, sf_dir):
     assert "o_orderdate" in pushed
 
 
+def test_q7_nation_filter_pushed_to_scans(spark, sf_dir):
+    """q7's nation-pair OR implies n_name ∈ {A,B} on BOTH nation scans;
+    the isin must reach the parquet scans so supplier/customer shrink
+    before the fact joins (round-1 verdict item 4: unpruned probe side)."""
+    pushed = pushed_filters(_build(spark, sf_dir, "tpch_q7"))
+    nation_in = [p for p in pushed if "n_name" in p and "In(" in p]
+    assert len(nation_in) >= 2, pushed
+
+
+def test_q5_q8_customer_prefiltered_by_region(spark, sf_dir):
+    """q5/q8 must semi-filter customer by the region-restricted nation keys
+    before the orders join — the late-dim-filter shape lets all-region
+    customers through the fact joins otherwise."""
+    for name in ("tpch_q5", "tpch_q8"):
+        plan = (
+            _build(spark, sf_dir, name)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftSemi" in plan, (name, plan[:800])
+
+
 def test_theta_range_join_is_not_nested_loop(spark, sf_dir):
     """The binned rewrite must plan as an equi-join, not BNLJ."""
     df = _build(spark, sf_dir, "join_theta_range")

@@ -1,0 +1,153 @@
+"""Repr-strict oracle sweep: catches output-dtype skew the value-level
+comparator can't see (the driver hashes stringified cell values, so a
+Spark bigint 20 vs DuckDB double 20.0 is a hash mismatch even though
+the values compare equal).
+
+Runs every registered query at SPARK_GRAFT_TEST_SF_DIR (default
+sf0.01), pulls both result frames WITHOUT dtype coercion, and flags:
+  * column dtype-kind divergence (int vs float, decimal-object vs
+    float, etc.)
+  * any cell whose str() repr differs after row sorting
+  * unhashable cell types (arrays/lists) that would crash a pandas
+    canonicalizer
+
+Usage:  python tools/strict_sweep.py [name-prefix ...]
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stonedb_spark import get_spark  # noqa: E402
+from stonedb_spark.queries import all_queries  # noqa: E402
+from stonedb_spark.testing import duckdb_connection  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        for v in s:
+            if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if type(v).__name__ == "date":
+                return "date"
+            if type(v).__name__ in ("datetime", "Timestamp"):
+                return "datetime"
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                return "array"
+            if isinstance(v, (bytes, bytearray)):
+                return "bytes"
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "str"
+        return "all-null"
+    return str(s.dtype)
+
+
+def _cell(v) -> str:
+    if not isinstance(v, (list, tuple)) and type(v).__name__ != "ndarray":
+        if pd.isna(v):
+            return "<NA>"
+    if isinstance(v, float):
+        # 12-sig-digit form suppresses last-ulp libm noise; int-vs-float
+        # skew is caught earlier by the kind check, not here.
+        return f"{v:.12g}"
+    return str(v)
+
+
+def _canon_strict(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        out[c] = out[c].map(_cell)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def sweep(prefixes: tuple[str, ...]) -> int:
+    spark = get_spark("strict-sweep")
+    con = duckdb_connection(SF_DIR)
+    qs = all_queries()
+    names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
+    n_bad = 0
+    for name in names:
+        q = qs[name]
+        try:
+            sdf = q.build(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {exc}")
+            n_bad += 1
+            continue
+        issues: list[str] = []
+        for c in sdf.columns:
+            if _kind(sdf[c]) == "array":
+                issues.append(f"col {c}: array-typed (unhashable for driver canon)")
+        if q.oracle is None:
+            tag = "rows-only"
+            if issues:
+                n_bad += 1
+                print(f"FAIL {name} ({tag}): " + "; ".join(issues))
+            else:
+                print(f"ok   {name} ({tag}) rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(q.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error {exc}")
+            n_bad += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            issues.append(
+                f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            )
+        else:
+            for c in sdf.columns:
+                ks, ko = _kind(sdf[c]), _kind(odf[c])
+                if "all-null" in (ks, ko):
+                    continue
+                if ks != ko:
+                    issues.append(f"col {c}: kind spark={ks} oracle={ko}")
+            if not issues:
+                a, b = _canon_strict(sdf), _canon_strict(odf)
+                if len(a) != len(b):
+                    issues.append(f"rows spark={len(a)} oracle={len(b)}")
+                else:
+                    for c in a.columns:
+                        neq = a[c] != b[c]
+                        if neq.any():
+                            i = int(neq.idxmax())
+                            issues.append(
+                                f"col {c}: repr diff at row {i}: "
+                                f"spark={a[c][i]!r} oracle={b[c][i]!r} "
+                                f"({int(neq.sum())} cells)"
+                            )
+        if issues:
+            n_bad += 1
+            print(f"FAIL {name}: " + "; ".join(issues[:4]))
+        else:
+            print(f"ok   {name} rows={len(sdf)}")
+    print(f"\n{len(names) - n_bad}/{len(names)} strict-green")
+    return n_bad
+
+
+if __name__ == "__main__":
+    sys.exit(1 if sweep(tuple(sys.argv[1:])) else 0)
