@@ -41,6 +41,35 @@ def table_path(sf_dir: str, name: str) -> str:
 _CATALOG: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP.
+
+    The fixture's physical type has varied across driver generations:
+    timestamp[ns] (which Spark reads as ``long`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and timestamp[us] (which
+    Spark reads as TIMESTAMP_NTZ when NTZ inference is on, or TIMESTAMP
+    otherwise).  Every downstream query assumes one stable type, so we
+    branch on the dtype actually read rather than the fixture we first
+    saw — the analog of a storage engine tolerating on-disk format
+    versions (reference format versioning: storage/tianmu/core/
+    tianmu_table.h:65 tables carry per-pack type metadata).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # ns since epoch → µs timestamps.  Integer div, NOT `/`:
+        # ns-since-epoch (~1.7e18) exceeds double's 2^53 integer range,
+        # so float division is off by up to ±1 µs on individual values.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # wall-clock µs → TIMESTAMP under the UTC session zone; values
+        # are identical to what DuckDB reads from the same file.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every fixture table and register it as a temp view (cached).
 
@@ -69,15 +98,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             continue
         df = spark.read.parquet(path)
         if name == "events":
-            # fixture stores ts as timestamp[ns]; Spark reads it as long
-            # (spark.sql.legacy.parquet.nanosAsLong) → convert to µs
-            # timestamps, matching DuckDB's ns→µs pandas truncation.
-            from pyspark.sql import functions as F
-
-            # integer div, NOT `/`: ns-since-epoch (~1.7e18) exceeds
-            # double's 2^53 integer range, so float division is off by
-            # up to ±1 µs on individual values.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = _normalize_event_ts(df)
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _CATALOG[key] = dfs

@@ -40,8 +40,10 @@ _LOCAL_DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # deterministic comparisons against the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
-    # the events fixture stores timestamp[ns]; read as long, catalog.py
-    # converts to microsecond timestamps (Spark has no nanos type)
+    # older driver fixtures stored events.ts as timestamp[ns]; reading
+    # those as long (catalog._normalize_event_ts converts to µs) keeps
+    # both fixture generations loadable.  Current fixtures are
+    # timestamp[us] and unaffected by this flag.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # managed-table location for bucketed layouts (sources/bucketing.py);
     # keep the repo clean — local stand-in for the cluster warehouse path
