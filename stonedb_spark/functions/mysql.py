@@ -83,8 +83,17 @@ def date_format(col: Column | str, mysql_fmt: str) -> Column:
 # ---------------------------------------------------------------------------
 # Arithmetic / control with MySQL names.
 def div(a: Column, b: Column) -> Column:
-    """MySQL ``a DIV b``: integer division truncating toward zero."""
-    return (a.cast("double") / b.cast("double")).cast("long")
+    """MySQL ``a DIV b``: integer division truncating toward zero.
+
+    DECIMAL-exact: the operands are widened to DECIMAL(38,9) and divided
+    with Spark's integral-divide (BigDecimal divideToIntegralValue —
+    truncation toward zero, matching MySQL 5.7's "converted to DECIMAL
+    and divided using DECIMAL arithmetic" rule).  A double detour here
+    would round the 53-bit mantissa and mis-quote |a| > 2^53 — legit
+    BIGINT territory exercised by bigint_unsigned.test.  b=0 → NULL
+    (MySQL semantics; NULLIF keeps ANSI mode from raising)."""
+    bd = b.cast("decimal(38,9)")
+    return F.call_function("div", a.cast("decimal(38,9)"), F.nullif(bd, F.lit(0).cast("decimal(38,9)")))
 
 
 def mod(a: Column, b: Column) -> Column:
@@ -105,9 +114,38 @@ def nullif(a: Column, b: Column) -> Column:
 
 
 def truncate(x: Column, d: int) -> Column:
-    """MySQL TRUNCATE(x, d): toward zero at d decimal places."""
-    scale = 10**d
-    return (x * F.lit(float(scale))).cast("long").cast("double") / F.lit(float(scale))
+    """MySQL TRUNCATE(x, d): toward zero at d decimal places.
+
+    DECIMAL-exact for |x·10^d| < ~8e18: x is widened to DECIMAL(38,9)
+    (no double-product rounding) and the integral part is taken with
+    Spark's integral-divide, which truncates toward zero.  The old
+    ``(x*scale).cast("long")`` wrapped past 2^63 and inherited double
+    product error.  Past the guard threshold a double's ULP exceeds
+    1/10^d many times over, so the fractional digits being truncated are
+    not representable anyway: return x (d>=0) or strip the remainder
+    with exact IEEE fmod (d<0)."""
+    import math
+
+    if d >= 0:
+        s = 10**d
+        # min(2^53, 8e18/10^d): past 2^53 doubles are integral; the
+        # second term keeps the scaled DECIMAL inside long range.
+        guard = min(9.0e15, 8.0e18 / s)
+        # Size the decimal types so xdec * s keeps precision <= 38 with
+        # NO precision-loss rounding (a flat decimal(38,9)*lit(100)
+        # overflows p=38 and Spark would round the product to scale 6,
+        # turning 0.9999999*100 into 100.000000 -> wrong truncation).
+        int_digits = max(1, math.ceil(math.log10(guard)))
+        xdec = x.cast(f"decimal({int_digits + 9},9)")
+        sdec = F.lit(s).cast(f"decimal({d + 1},0)")
+        whole = F.call_function("div", xdec * sdec, F.lit(1))
+        exact = (whole.cast("decimal(20,0)") / F.lit(s)).cast("double")
+        return F.when(F.abs(x.cast("double")) >= F.lit(guard), x.cast("double")).otherwise(exact)
+    s = 10 ** (-d)
+    whole = F.call_function("div", x.cast("decimal(25,9)"), F.lit(s).cast(f"decimal({-d + 1},0)"))
+    exact = (whole.cast("decimal(20,0)") * F.lit(s).cast(f"decimal({-d + 1},0)")).cast("double")
+    xd = x.cast("double")
+    return F.when(F.abs(xd) >= F.lit(9.0e15), xd - xd % F.lit(float(s))).otherwise(exact)
 
 
 def conv(n: Column | str, from_base: int, to_base: int) -> Column:

@@ -164,7 +164,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)), 2) AS DOUBLE) AS rounded,
        CAST(l_orderkey % 97 AS BIGINT)               AS mod97,
        CAST(TRUNC(CAST(l_orderkey AS DOUBLE) / 7.0) AS BIGINT) AS div7,
-       TRUNC(l_extendedprice * 0.01 * 100.0) / 100.0 AS trunc2,
+       CAST(TRUNC(CAST(l_extendedprice * 0.01 AS DECIMAL(38,9)) * 100) / 100.0 AS DOUBLE) AS trunc2,
        ROUND(SQRT(l_extendedprice), 9)               AS sq,
        ROUND(LN(l_extendedprice + 1.0), 9)           AS lnp,
        ROUND(POWER(l_quantity, 2.0), 9)              AS pw,

@@ -212,3 +212,50 @@ def test_shim_semantics_on_edge_grid(spark):
         assert r["rt"] == (1 if r["s"] >= 0 else -1) * s, r
         # TIMESTAMPDIFF(DAY) truncates toward zero
         assert r["dd"] == int(r["s"] / 86400), r
+
+
+def test_div_truncate_exact_past_double_mantissa(spark):
+    """DIV and TRUNCATE must stay exact where a double detour rounds:
+    |a| > 2^53 (bigint_unsigned.test territory) and x*10^d near 2^63
+    (where the old (x*scale).cast('long') wrapped).  Expected values are
+    computed with Python big-int / Decimal arithmetic mirroring MySQL's
+    "convert to DECIMAL, divide, truncate toward zero" rule."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    u53, u63 = 2**53, 2**63 - 1
+    dividends = [u53 - 1, u53, u53 + 1, u53 + 3, u63, u63 - 1, 10**18 + 7, 12345, 0]
+    divisors = [1, 2, 3, 7, 97, 10**9, u53 + 1]
+    rows = [(a * s, b * t) for a in dividends for b in divisors
+            for s in (1, -1) for t in (1, -1)] + [(u63, 0)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", M.div(F.col("a"), F.col("b")).alias("q")).collect()
+    for r in got:
+        a, b = r["a"], r["b"]
+        exp = None if b == 0 else (abs(a) // abs(b)) * (1 if (a < 0) == (b < 0) else -1)
+        assert r["q"] == exp, (a, b, r["q"], exp)
+
+    def py_trunc(x: float, d: int) -> float:
+        # mirror the shim: DECIMAL(38,9) widening (round half-up at 9
+        # decimals), integral-divide toward zero, with the same
+        # large-magnitude guard
+        guard = min(9.0e15, 8.0e18 / 10**d) if d >= 0 else 9.0e15
+        if abs(x) >= guard:
+            if d >= 0:
+                return x
+            s = 10 ** (-d)
+            return x - __import__("math").fmod(x, s)
+        xd = decimal.Decimal(x).quantize(decimal.Decimal("1e-9"), decimal.ROUND_HALF_UP)
+        q = decimal.Decimal(10) ** (-d)
+        return float((xd / q).to_integral_value(decimal.ROUND_DOWN) * q)
+
+    xs = [2**51 + 0.25, -(2**51 + 0.75), 9.1e16, 8.9e15, 1234567890123.456,
+          -1234567890123.456, 0.009999999, 92233720368547.75, -92233720368547.75]
+    for d in (0, 2, 6, -2):
+        tdf = spark.createDataFrame([(float(x),) for x in xs], "x double")
+        out = tdf.select("x", M.truncate(F.col("x"), d).alias("t")).collect()
+        for r in out:
+            assert r["t"] == py_trunc(r["x"], d), (r["x"], d, r["t"], py_trunc(r["x"], d))
