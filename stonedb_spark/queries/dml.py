@@ -151,3 +151,52 @@ def dml_merge_upsert(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# CREATE VIEW chain (create_view.test:1-45 analog): a view-over-view
+# definition resolved through the view registry.  Catalyst inlines both
+# view plans into the consumer, so filter pushdown and column pruning
+# reach the parquet scans exactly as if the subqueries were written
+# inline — a view costs nothing at rest or at plan time beyond analyze.
+@register(
+    "view_over_tpch",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    doc="SELECT through a view-over-view chain == inline subquery (create_view.test)",
+)
+def view_over_tpch(spark, sf_dir):
+    from stonedb_spark.sources import create_view
+
+    load_tables(spark, sf_dir)
+    create_view(
+        spark,
+        "v_cust_nation",
+        "SELECT c_custkey, n_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey",
+        or_replace=True,
+    )
+    create_view(
+        spark,
+        "v_nation_rev",
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN v_cust_nation ON o_custkey = c_custkey
+        GROUP BY n_name
+        """,
+        or_replace=True,
+    )
+    return spark.sql("SELECT n_name, revenue, n_items FROM v_nation_rev ORDER BY n_name")

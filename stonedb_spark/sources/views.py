@@ -79,8 +79,20 @@ def create_view(
     views = _views_of(spark)
     if name in views and not or_replace:
         raise ViewExistsError(f"Table '{name}' already exists")
+    if name not in views and spark.catalog.tableExists(name):
+        # The name is bound to a BASE table (catalog temp view / managed
+        # table), not one of ours: MySQL raises 1050 for CREATE VIEW over
+        # any existing table, and CREATE OR REPLACE VIEW may replace only
+        # a view, never a table — silently hijacking the base relation's
+        # name would also make a later drop_view unbind the table.
+        raise ViewExistsError(f"Table '{name}' already exists")
     df = spark.sql(sql_text)  # analyze now: a broken definition fails here
     df.createOrReplaceTempView(name)
+    # Re-insert at the END of the ordered registry: refresh_views replays
+    # definitions in insertion order, and an OR REPLACE that changes the
+    # definition to reference a later-created view must re-analyze AFTER
+    # its new dependency, not at the original creation position.
+    views.pop(name, None)
     views[name] = sql_text
     return df
 
@@ -101,7 +113,10 @@ def drop_table_guard(spark: SparkSession, name: str) -> None:
     """
     if name in _views_of(spark):
         raise NotATableError(f"'{name}' is a view; use DROP VIEW")
-    spark.catalog.dropTempView(name)
+    if not spark.catalog.dropTempView(name):
+        # MySQL 1051 ER_BAD_TABLE_ERROR: DROP TABLE on a nonexistent
+        # name raises; dropTempView returns False without raising.
+        raise NotATableError(f"Unknown table '{name}'")
 
 
 def view_definition(spark: SparkSession, name: str) -> str | None:
