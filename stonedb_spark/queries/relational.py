@@ -115,6 +115,122 @@ def pred_mysql_collation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Per-column collation battery (different_charsets_a.test, _b.test):
+# case-mangled + accent-suffixed + space-padded variants of the same
+# base string must compare equal under utf8mb4_general_ci (PAD SPACE,
+# case- and accent-insensitive) and unequal under utf8mb4_bin (PAD
+# SPACE only).  Variants are synthesized deterministically from
+# customer keys with chr() so both engines build identical data, and
+# collation-aware ORDER BY runs on the portable collation key (see
+# functions/collation.py; the Spark-native F.collate path is exercised
+# by tests/test_collation.py — ICU sort order is not oracle-portable).
+def _collation_battery_oracle() -> str:
+    from stonedb_spark.functions.collation import collation_key_sql as K
+
+    return f"""
+WITH v AS (
+  SELECT c_custkey,
+         UPPER(SUBSTRING(c_name, 1, 12)) || CHR(CAST(193 + c_custkey % 5 AS INTEGER)) || '  ' AS va,
+         LOWER(SUBSTRING(c_name, 1,
+               CASE WHEN c_custkey % 3 = 0 THEN 11 ELSE 12 END))
+           || CHR(CAST(225 + c_custkey % 5 AS INTEGER)) AS vb
+  FROM customer WHERE c_custkey <= 400
+)
+SELECT c_custkey, va, vb,
+       ({K("va")} = {K("vb")}) AS ci_eq,
+       ({K("va", "utf8mb4_bin")} = {K("vb", "utf8mb4_bin")}) AS bin_eq,
+       {K("va")} AS sort_key
+FROM v
+ORDER BY sort_key, c_custkey
+"""
+
+
+@register(
+    "pred_collation_battery",
+    oracle=_collation_battery_oracle(),
+    doc="utf8mb4_general_ci vs _bin comparisons + PAD SPACE + collation-key ORDER BY",
+)
+def pred_collation_battery(spark, sf_dir):
+    from stonedb_spark.functions import collation as C
+
+    c = load_tables(spark, sf_dir)["customer"]
+    va = F.concat(
+        F.upper(F.substring(c["c_name"], 1, 12)),
+        F.char(F.lit(193) + c["c_custkey"] % 5),
+        F.lit("  "),
+    )
+    vb = F.concat(
+        F.lower(
+            c["c_name"].substr(
+                F.lit(1), F.when(c["c_custkey"] % 3 == 0, 11).otherwise(12)
+            )
+        ),
+        F.char(F.lit(225) + c["c_custkey"] % 5),
+    )
+    v = c.filter(c["c_custkey"] <= 400).select(
+        "c_custkey", va.alias("va"), vb.alias("vb")
+    )
+    return v.select(
+        "c_custkey",
+        "va",
+        "vb",
+        C.coll_eq(F.col("va"), F.col("vb"), "utf8mb4_general_ci").alias("ci_eq"),
+        C.coll_eq(F.col("va"), F.col("vb"), "utf8mb4_bin").alias("bin_eq"),
+        C.collation_key("va", "utf8mb4_general_ci").alias("sort_key"),
+    ).orderBy("sort_key", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Collation-aware GROUP BY / COUNT DISTINCT (different_charsets GROUP BY
+# leg): grouping case/pad-mangled segment names under the _ci key
+# collapses the variants; n_variants counts the raw spellings that fell
+# into each group.  min() picks the deterministic representative (MySQL
+# returns "first seen" — nondeterministic, so not oracle-comparable).
+def _collation_group_oracle() -> str:
+    from stonedb_spark.functions.collation import collation_key_sql as K
+
+    return f"""
+WITH v AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment) || '  '
+              ELSE LOWER(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT {K("seg")} AS seg_key,
+       COUNT(*) AS n,
+       COUNT(DISTINCT seg) AS n_variants,
+       MIN(RTRIM(seg)) AS rep
+FROM v
+GROUP BY {K("seg")}
+ORDER BY seg_key
+"""
+
+
+@register(
+    "agg_collation_group",
+    oracle=_collation_group_oracle(),
+    doc="GROUP BY / COUNT DISTINCT under the utf8mb4_general_ci collation key",
+)
+def agg_collation_group(spark, sf_dir):
+    from stonedb_spark.functions import collation as C
+
+    c = load_tables(spark, sf_dir)["customer"]
+    seg = F.when(
+        c["c_custkey"] % 2 == 0, F.concat(F.upper(c["c_mktsegment"]), F.lit("  "))
+    ).otherwise(F.lower(c["c_mktsegment"]))
+    return (
+        c.select("c_custkey", seg.alias("seg"))
+        .groupBy(C.collation_key("seg", "utf8mb4_general_ci").alias("seg_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("seg").alias("n_variants"),
+            F.min(F.rtrim("seg")).alias("rep"),
+        )
+        .orderBy("seg_key")
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.4 statistical aggregates.  The reference implements
 # STDDEV/VAR pop/samp as AggregatorStat* (storage/tianmu/optimizer/
 # aggregator_advanced.h:40-152) with the textbook sum/sum-of-squares
