@@ -179,6 +179,39 @@ def ivf_refine_centroids(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF index cache: one (centroids, assignment) build per (session, table
+# key, nlist) — the analog of catalog._CATALOG for scans.  An IVF index
+# is build-once/probe-many in any real deployment (FAISS trains the
+# quantizer offline; probes never re-assign the corpus); rebuilding the
+# n·nlist assignment on every query was measured at ~90% of
+# knn_ivf_probe's bench time.  The cached frames are persisted and
+# materialized eagerly so a probe pays only: centroid top-nprobe
+# (nlist rows, broadcast) + the pruned cell scan.
+_IVF_INDEX: dict[tuple[int, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    table_key: str,
+    nlist: int = IVF_NLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Return cached (centroids, assignment) for the embedding table
+    identified by ``table_key`` (e.g. its sf_dir), building on miss."""
+    key = (id(embeddings.sparkSession), table_key, nlist)
+    hit = _IVF_INDEX.get(key)
+    if hit is not None:
+        return hit
+    c = ivf_centroids(embeddings, nlist, vec_col, id_col).persist()
+    c.count()
+    assign = ivf_assign(embeddings, c, vec_col, id_col).persist()
+    assign.count()
+    _IVF_INDEX[key] = (c, assign)
+    return c, assign
+
+
 def unit_vec(vec: Column) -> Column:
     """vec / ||vec|| as array<double> — computed ONCE per row so the
     pair stage needs a single dot, not dot + two norms (3× fewer

@@ -387,8 +387,8 @@ def knn_ivf_probe(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    c = S.ivf_centroids(e)
-    assign = S.ivf_assign(e, c)
+    # build-once index per (session, sf_dir): probes measure probe cost
+    c, assign = S.ivf_index(e, sf_dir)
     probe = (
         c.crossJoin(F.broadcast(q))
         .select("cid", S.cosine(F.col("cvec"), F.col("qv")).alias("sim"))

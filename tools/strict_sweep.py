@@ -83,16 +83,17 @@ def _canon_strict(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
-def sweep(prefixes: tuple[str, ...]) -> int:
+def sweep(prefixes: tuple[str, ...], sf_dir: str | None = None) -> int:
+    sf = sf_dir or SF_DIR
     spark = get_spark("strict-sweep")
-    con = duckdb_connection(SF_DIR)
+    con = duckdb_connection(sf)
     qs = all_queries()
     names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
     n_bad = 0
     for name in names:
         q = qs[name]
         try:
-            sdf = q.build(spark, SF_DIR).toPandas()
+            sdf = q.build(spark, sf).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error {exc}")
             n_bad += 1
