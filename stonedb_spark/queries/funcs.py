@@ -652,3 +652,59 @@ def func_string_list(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# BIT(n) column semantics (bit_type.test, alter_bit.test): a BIT(3)
+# flag column synthesized from lineitem predicates, compared and
+# aggregated numerically (BIT_AND/OR/XOR are Catalyst builtins over
+# longs) and displayed as zero-padded bit strings.  ColumnType::BIT,
+# common/common_definitions.h:47-76.
+@register(
+    "func_bit_type",
+    oracle="""
+WITH b AS (
+  SELECT l_orderkey,
+         CASE WHEN l_quantity > 25 THEN 4 ELSE 0 END
+         + CASE WHEN l_discount > 0.05 THEN 2 ELSE 0 END
+         + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END AS flags
+  FROM lineitem WHERE l_orderkey <= 600
+)
+SELECT l_orderkey,
+       COUNT(*) AS n,
+       BIT_AND(flags) AS f_and,
+       BIT_OR(flags) AS f_or,
+       BIT_XOR(flags) AS f_xor,
+       LPAD(BIN(BIT_OR(flags)), 3, '0') AS f_or_bits,
+       SUM(CASE WHEN flags >= 4 THEN 1 ELSE 0 END) AS n_highbit
+FROM b
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+    doc="BIT(n) type: b'..' ingest range, numeric compare, BIT_AND/OR/XOR, bit display",
+)
+def func_bit_type(spark, sf_dir):
+    from stonedb_spark.functions import bittype as BT
+
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    flags = BT.bit_cast(
+        F.when(l["l_quantity"] > 25, 4).otherwise(0)
+        + F.when(l["l_discount"] > 0.05, 2).otherwise(0)
+        + F.when(l["l_tax"] > 0.04, 1).otherwise(0),
+        3,
+    )
+    return (
+        l.filter(l["l_orderkey"] <= 600)
+        .select(l["l_orderkey"], flags.alias("flags"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and("flags").alias("f_and"),
+            F.bit_or("flags").alias("f_or"),
+            F.bit_xor("flags").alias("f_xor"),
+            BT.bit_display(F.bit_or("flags"), 3).alias("f_or_bits"),
+            F.sum(F.when(F.col("flags") >= 4, 1).otherwise(0)).alias("n_highbit"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -259,3 +259,44 @@ def test_div_truncate_exact_past_double_mantissa(spark):
         out = tdf.select("x", M.truncate(F.col("x"), d).alias("t")).collect()
         for r in out:
             assert r["t"] == py_trunc(r["x"], d), (r["x"], d, r["t"], py_trunc(r["x"], d))
+
+
+def test_bit_type_shims(spark):
+    """BIT(n) literal parse, clamp/null ingest modes, display, and the
+    ALTER-to-BIT path (alter_bit.test analog via ddl.add_column)."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import bittype as BT
+
+    assert BT.parse_bit_literal("b'1010'") == 10
+    assert BT.parse_bit_literal("B''") == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BT.parse_bit_literal("b'102'")
+    with _pytest.raises(ValueError):
+        BT.bit_cast(F.lit(1), 65)
+
+    df = spark.createDataFrame([(x,) for x in (-3, 0, 5, 7, 8, 300)], "x long")
+    got = df.select(
+        "x",
+        BT.bit_cast(F.col("x"), 3).alias("clamped"),
+        BT.bit_cast(F.col("x"), 3, mode="null").alias("nulled"),
+        BT.bit_display(BT.bit_cast(F.col("x"), 3), 3).alias("disp"),
+    ).collect()
+    by_x = {r["x"]: r for r in got}
+    assert by_x[-3]["clamped"] == 0 and by_x[-3]["nulled"] is None
+    assert by_x[5]["clamped"] == 5 and by_x[5]["disp"] == "101"
+    assert by_x[8]["clamped"] == 7 and by_x[8]["nulled"] is None
+    assert by_x[300]["clamped"] == 7
+    assert by_x[0]["disp"] == "000"
+    # BIT(64) keeps the full bit pattern
+    wide = spark.createDataFrame([(2**63 - 1,), (-1,)], "x long")
+    vals = [r["v"] for r in wide.select(BT.bit_cast(F.col("x"), 64).alias("v")).collect()]
+    assert vals == [2**63 - 1, -1]
+
+
+def test_bit_type_query_matches_oracle(spark, oracle, sf_dir):
+    q = all_queries()["func_bit_type"]
+    problems = check_query(spark, oracle, q, sf_dir)
+    assert not problems, problems
