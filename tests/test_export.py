@@ -128,7 +128,12 @@ def test_zorder_layout_tightens_stats_on_both_columns(spark, sf_dir, tmp_path):
     )
     rand_path, z_path = str(tmp_path / "rand"), str(tmp_path / "zord")
     li.repartition(8).write.parquet(rand_path)
-    zorder_write(li, z_path, ["l_orderkey", "l_partkey"], n_files=8)
+    # 16 files = 2^4 z-splits -> BOTH interleaved columns get >= 2 bit
+    # levels, so each file spans <= ~1/4 of either column's range; with
+    # 8 (=2^3) one column only got one level and its expected span
+    # (~0.5 + range-boundary raggedness) sat exactly at the assert
+    # threshold, flaking on the range-sampler's input layout.
+    zorder_write(li, z_path, ["l_orderkey", "l_partkey"], n_files=16)
 
     def avg_range(path, col):
         spans, glo, ghi = [], None, None
