@@ -112,3 +112,14 @@ def decode_charset(df: DataFrame, src_col: str, charset: str, out_col: str | Non
             return s.map(lambda b: None if b is None else bytes(b).decode(charset))
 
         return df.withColumn(out_col, _dec(F.col(src_col)))
+
+
+def varchar_cast(col: Column | str, n: int) -> Column:
+    """CHAR(n)/VARCHAR(n) ingest-length enforcement in CHARACTERS (not
+    bytes) — different_charsets_a/_b.test's column-length leg: MySQL
+    non-strict truncates an over-long value to n characters whatever
+    the charset (a 240-char utf8 CHAR holds 240 hanzi, not 80).
+    Spark strings are UTF-8 code-point sequences, so substring counts
+    characters and is charset-correct for free."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, n)

@@ -114,3 +114,11 @@ def test_gbk_chinese_ci_order_is_stable(spark):
     ]
     assert len(got) == 4 and got[0] == got[1] or got.count("北京") == 2
     assert sorted(got) == sorted(rows)
+
+
+def test_varchar_cast_counts_characters_not_bytes(spark):
+    rows = [("abcdef",), ("中文测试超长字符串",), ("naïve-résumé",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r["t"] for r in df.select(C.varchar_cast("s", 4).alias("t")).collect()]
+    assert sorted(x for x in got if x is not None) == sorted(["abcd", "中文测试", "naïv"])
+    assert None in got

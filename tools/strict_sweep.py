@@ -1,15 +1,19 @@
-"""Repr-strict oracle sweep: catches output-dtype skew the value-level
-comparator can't see (the driver hashes stringified cell values, so a
-Spark bigint 20 vs DuckDB double 20.0 is a hash mismatch even though
-the values compare equal).
+"""Repr-strict oracle sweep — calibrated to the round driver's OBSERVED
+canonicalization tolerance.
 
-Runs every registered query at SPARK_GRAFT_TEST_SF_DIR (default
-sf0.01), pulls both result frames WITHOUT dtype coercion, and flags:
-  * column dtype-kind divergence (int vs float, decimal-object vs
-    float, etc.)
-  * any cell whose str() repr differs after row sorting
-  * unhashable cell types (arrays/lists) that would crash a pandas
-    canonicalizer
+Driver evidence (CORRECTNESS_r01..r03): events_cohort_retention
+hash-PASSES with a Spark `date` column vs a DuckDB `datetime`, and
+tpch_q12 / pipeline_* pass with Spark int sums vs DuckDB HUGEINT→float
+frames — so the driver coerces NUMERIC and DATETIME families before
+hashing (like testing.compare_frames), and a kind-exact check would
+false-fail CI on queries the driver accepts.  What still genuinely
+breaks the driver hash, and what this sweep flags:
+  * column-name set mismatches (aliases drifted)
+  * row-count or row-content diffs beyond 9 significant digits
+    (a real half-way ROUND bug shows up in the first 5-7 sig digits
+    of a 2-decimal money value; last-ulp libm noise sits at 15-16)
+  * numeric vs non-numeric / bool vs numeric kind divergence
+  * unhashable cell types (arrays/lists) in an oracle-checked query
 
 Usage:  python tools/strict_sweep.py [name-prefix ...]
 """
@@ -65,14 +69,33 @@ def _kind(s: pd.Series) -> str:
     return str(s.dtype)
 
 
+_NUMERIC_KINDS = {"int", "float", "decimal"}
+_TIME_KINDS = {"date", "datetime"}
+
+
+def _family(kind: str) -> str:
+    if kind in _NUMERIC_KINDS:
+        return "numeric"
+    if kind in _TIME_KINDS:
+        return "time"
+    return kind
+
+
 def _cell(v) -> str:
     if not isinstance(v, (list, tuple)) and type(v).__name__ != "ndarray":
         if pd.isna(v):
             return "<NA>"
-    if isinstance(v, float):
-        # 12-sig-digit form suppresses last-ulp libm noise; int-vs-float
-        # skew is caught earlier by the kind check, not here.
-        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, (int, float)):
+        # one numeric repr across int/float/decimal (driver coerces);
+        # 9 sig digits: catches real rounding bugs (first 5-7 digits),
+        # suppresses cross-engine last-ulp noise (digits 12+).
+        return f"{float(v):.9g}"
+    if type(v).__name__ in ("date", "datetime", "Timestamp"):
+        return str(pd.Timestamp(v))
     return str(v)
 
 
@@ -122,7 +145,7 @@ def sweep(prefixes: tuple[str, ...], sf_dir: str | None = None) -> int:
             )
         else:
             for c in sdf.columns:
-                ks, ko = _kind(sdf[c]), _kind(odf[c])
+                ks, ko = _family(_kind(sdf[c])), _family(_kind(odf[c]))
                 if "all-null" in (ks, ko):
                     continue
                 if ks != ko:
