@@ -1710,3 +1710,122 @@ def dedup_winnow_fingerprints(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): assign documents to fixed
+# token-budget training sequences.  The packer is the streaming
+# "concatenate in order, cut every BUDGET tokens" discipline (the
+# common pretraining packer): pack_id = floor(preceding-cumulative /
+# BUDGET) per source.  Window is PARTITION BY source — per-stratum
+# packing is both what training wants (no cross-source sequences) and
+# what keeps the running sum partition-parallel at 100 TB; a global
+# ORDER BY would funnel the corpus through one task.  Everything is one
+# window over one shuffle; token counts reuse the whitespace tokenizer.
+_PACK_BUDGET = 512
+
+
+@register(
+    "pipeline_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR(tok_before / ({_PACK_BUDGET} * 1.0)) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+""",
+    doc=f"sequence packing: concat-and-chunk docs into {_PACK_BUDGET}-token training bins per source",
+)
+def pipeline_sequence_pack(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tokens = F.size(T.tokens(F.col("text")))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
+        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("tok_before") / _PACK_BUDGET).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (symmetric, per-vector scale) — the
+# storage-compression step before an ANN index ships to disk: 4×
+# smaller vectors, one map-only pass, everything in Catalyst
+# higher-order functions (no UDF).  The quantizer is floor(x/s + 0.5)
+# (identical IEEE ops on any engine — ROUND-on-double is the
+# cross-engine half-way trap), s = max|x|/127.  Output is the per-
+# vector audit row: scale, integer checksum of the quantized codes,
+# and max reconstruction error — array columns themselves are not
+# driver-hashable.
+@register(
+    "emb_quantize_int8",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, xd,
+         list_max(list_transform(xd, x -> ABS(x))) / 127.0 AS sc
+  FROM b
+)
+SELECT vec_id,
+       FLOOR(sc * 1e9 + 0.5) / 1e9 AS scale_r,
+       CAST(list_sum(list_transform(xd, x -> FLOOR(x / NULLIF(sc, 0) + 0.5))) AS BIGINT) AS checksum,
+       FLOOR(list_max(list_transform(xd,
+             x -> ABS(FLOOR(x / NULLIF(sc, 0) + 0.5) * sc - x))) * 1e9 + 0.5) / 1e9 AS max_err
+FROM s
+ORDER BY vec_id
+""",
+    doc="symmetric per-vector int8 quantization: scale, code checksum, max reconstruction error",
+)
+def emb_quantize_int8(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["embeddings"]
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = e.select("vec_id", xd.alias("xd"))
+    sc = F.array_max(F.transform(F.col("xd"), lambda x: F.abs(x))) / F.lit(127.0)
+    s = b.withColumn("sc", sc)
+    scn = F.nullif(F.col("sc"), F.lit(0.0))
+    quant = lambda x: F.floor(x / scn + F.lit(0.5))  # noqa: E731
+    fix9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    return s.select(
+        "vec_id",
+        fix9(F.col("sc")).alias("scale_r"),
+        F.aggregate(
+            F.transform(F.col("xd"), quant), F.lit(0.0), lambda acc, x: acc + x
+        ).cast("long").alias("checksum"),
+        fix9(
+            F.array_max(
+                F.transform(F.col("xd"), lambda x: F.abs(quant(x) * F.col("sc") - x))
+            )
+        ).alias("max_err"),
+    ).orderBy("vec_id")
