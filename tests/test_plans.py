@@ -316,3 +316,26 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         if shuffle_exchange_count(_build(spark, sf_dir, name)) > cap
     }
     assert not over, over
+
+
+def test_sequence_pack_window_is_partition_parallel(spark, sf_dir):
+    """The packing window must stay PARTITION BY source — a single-
+    partition exchange would funnel the whole corpus through one task
+    at 100 TB (the failure mode of a global ORDER BY packer)."""
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_build(spark, sf_dir, "pipeline_sequence_pack"))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_quantize_int8_is_map_only(spark, sf_dir):
+    """Quantization is a projection: the only exchange allowed is the
+    range partitioning for the deterministic output sort — no
+    hash shuffle, no single-partition funnel, no Python UDF."""
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_build(spark, sf_dir, "emb_quantize_int8"))
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
