@@ -533,3 +533,16 @@ def cot(col: Column | str) -> Column:
     """MySQL COT(x) = 1/TAN(x)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lit(1.0) / F.tan(c)
+
+
+def decimal_div(a: Column, b: Column, src_scale: int = 0, inc: int = 4) -> Column:
+    """MySQL decimal division scale rule: the result scale of
+    DECIMAL(p,s) / divisor is s + div_precision_increment (default 4),
+    rounded HALF_UP at that scale — SELECT 1/3 = 0.3333, 7.5/2 = 3.75000
+    (MySQL 5.7 ref §12.6.1; the reference delegates to this Item
+    arithmetic).  b=0 → NULL.  ``src_scale`` is the dividend's declared
+    scale s."""
+    scale = min(src_scale + inc, 30)
+    bd = b.cast("decimal(38,10)")
+    q = a.cast("decimal(38,10)") / F.nullif(bd, F.lit(0).cast("decimal(38,10)"))
+    return q.cast(f"decimal(38,{scale})")

@@ -973,6 +973,28 @@ def point_lookup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Composite-PK point lookup (composite_primary_key.test, in_withpk.test):
+# lineitem's key is (l_orderkey, l_linenumber) — both equality predicates
+# reach the scan as a conjunction (plan-gated in test_plans.py), so
+# row-group pruning uses both columns' stats, the layout analog of the
+# reference's composite TianmuTableIndex key pack
+# (storage/tianmu/index/tianmu_table_index.h:58).
+@register(
+    "point_lookup_composite",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 2
+""",
+    doc="composite-PK point lookup — both key equalities pushed to the scan",
+)
+def point_lookup_composite(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]  # noqa: E741
+    return l.filter((l["l_orderkey"] == 7) & (l["l_linenumber"] == 2)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.4 metadata-only aggregates (aggregation_algorithm.cpp:158-207: lone
 # COUNT(*), MIN/MAX answered from DPN stats without touching data).  Spark
 # analog: parquet aggregate pushdown (spark.sql.parquet.aggregatePushdown,

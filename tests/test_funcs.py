@@ -300,3 +300,26 @@ def test_bit_type_query_matches_oracle(spark, oracle, sf_dir):
     q = all_queries()["func_bit_type"]
     problems = check_query(spark, oracle, q, sf_dir)
     assert not problems, problems
+
+
+def test_decimal_div_scale_rule(spark):
+    """MySQL div_precision_increment: result scale = dividend scale + 4,
+    HALF_UP — the documented 1/3 = 0.3333 and 7.5/2 = 3.75000 cases plus
+    rounding and zero-divisor behavior."""
+    import decimal as D
+
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    df = spark.createDataFrame([(1,)], "x int")
+    got = df.select(
+        M.decimal_div(F.lit(1), F.lit(3)).alias("a"),
+        M.decimal_div(F.lit(2), F.lit(3)).alias("b"),
+        M.decimal_div(F.lit(7.5).cast("decimal(10,1)"), F.lit(2), src_scale=1).alias("c"),
+        M.decimal_div(F.lit(1), F.lit(0)).alias("z"),
+    ).collect()[0]
+    assert got["a"] == D.Decimal("0.3333")
+    assert got["b"] == D.Decimal("0.6667")  # HALF_UP at scale 4
+    assert got["c"] == D.Decimal("3.75000")  # scale 1+4
+    assert got["z"] is None

@@ -339,3 +339,10 @@ def test_quantize_int8_is_map_only(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_composite_point_lookup_pushes_both_keys(spark, sf_dir):
+    from stonedb_spark.plans.inspect import pushed_filters
+
+    pushed = " ".join(pushed_filters(_build(spark, sf_dir, "point_lookup_composite")))
+    assert "l_orderkey" in pushed and "l_linenumber" in pushed, pushed
