@@ -876,17 +876,71 @@ def set_ops_all(spark, sf_dir):
 # driver applies its rows-only check.
 @register(
     "agg_approx_rough",
-    oracle=None,
-    doc="approximate aggregates: approx_count_distinct + approx quantiles",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS nd_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="approximate aggregates (HLL++ distinct, quantile sketch) verified "
+    "against their published error bounds inside the query",
 )
 def agg_approx_rough(spark, sf_dir):
+    """Sketch values can't hash-match an exact engine, so the DRIVER-
+    comparable output is (exact values, bounds verdicts): the exact
+    count/distinct computed alongside, plus booleans asserting the
+    sketches landed inside their published error — HLL++ relative error
+    ≤ 5×rsd, percentile_approx rank error ≤ n/accuracy (checked by the
+    exact rank window of the approximate value).  The oracle emits the
+    same exact columns and literal TRUEs: the hash matches iff every
+    sketch is in-bounds.  (Deterministic: both sketches are
+    deterministic functions of the input.)"""
     t = load_tables(spark, sf_dir)
     l = t["lineitem"]  # noqa: E741
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("price_p50"),
-        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("price_p95"),
+    agg = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("ap95"),
+    )
+    # exact ranks of the approximate percentile values, per group
+    ranked = (
+        l.join(F.broadcast(agg), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") < F.col("ap50"), 1).otherwise(0)).alias("r50_lo"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap50"), 1).otherwise(0)).alias("r50_hi"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("ap95"), 1).otherwise(0)).alias("r95_lo"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap95"), 1).otherwise(0)).alias("r95_hi"),
+        )
+    )
+    tol = F.col("n") / F.lit(10000) + F.lit(1)
+    return (
+        agg.join(ranked, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= F.greatest(F.lit(5), F.lit(0.25) * F.col("exact_orders"))
+            ).alias("nd_ok"),
+            (
+                (F.col("r50_lo") - tol <= F.lit(0.5) * F.col("n"))
+                & (F.lit(0.5) * F.col("n") <= F.col("r50_hi") + tol)
+            ).alias("p50_ok"),
+            (
+                (F.col("r95_lo") - tol <= F.lit(0.95) * F.col("n"))
+                & (F.lit(0.95) * F.col("n") <= F.col("r95_hi") + tol)
+            ).alias("p95_ok"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
