@@ -56,6 +56,8 @@ HEADLINE_EXTRA = (
     "knn_ivf_probe",
     "text_tfidf_topk",
     "join_asof_backward",
+    "pipeline_sequence_pack",
+    "emb_quantize_int8",
 )
 
 # TPC-H tables replicated into the synthetic sf1; nation/region are
