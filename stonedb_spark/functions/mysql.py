@@ -546,3 +546,34 @@ def decimal_div(a: Column, b: Column, src_scale: int = 0, inc: int = 4) -> Colum
     bd = b.cast("decimal(38,10)")
     q = a.cast("decimal(38,10)") / F.nullif(bd, F.lit(0).cast("decimal(38,10)"))
     return q.cast(f"decimal(38,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Tianmu sentinel-adjusted integer ranges (SURVEY §1.2): every numeric is
+# an int64 internally and NULL is a reserved in-domain sentinel
+# (NULL_VALUE_32 = 0x80000000, common_definitions.h:127-138), so the
+# reference's INT range is [-2147483647, 2147483647] — one short of two's
+# complement — and similarly for the other widths.  Non-strict inserts
+# clamp out-of-range values to these bounds (out_of_range_issue1151.test,
+# integer_range.test, signed_boundary.test).
+TIANMU_INT_RANGES = {
+    "tinyint": (-127, 127),
+    "smallint": (-32767, 32767),
+    "mediumint": (-8388607, 8388607),
+    "int": (-2147483647, 2147483647),
+    "bigint": (-9223372036854775806, 9223372036854775807),
+}
+
+
+def tianmu_int_cast(col: Column, dtype: str = "int") -> Column:
+    """Clamp an integer expression into the reference's sentinel-adjusted
+    range for ``dtype`` (MySQL non-strict out-of-range insert behavior,
+    with Tianmu's one-short minimums).  NULL passes through.  The clamp
+    runs in DECIMAL(38,0) so an input that already overflows int64
+    (MySQL promotes to its decimal Item; DuckDB to HUGEINT) clamps
+    instead of raising ANSI ARITHMETIC_OVERFLOW — callers computing
+    wide products should also build them in DECIMAL."""
+    lo, hi = TIANMU_INT_RANGES[dtype]
+    x = col.cast("decimal(38,0)")
+    lod, hid = F.lit(lo).cast("decimal(38,0)"), F.lit(hi).cast("decimal(38,0)")
+    return F.greatest(F.least(x, hid), lod).cast("long")

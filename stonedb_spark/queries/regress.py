@@ -230,3 +230,50 @@ UNION ALL
 SELECT 'left' AS arm, * FROM ({_HAVING_SQL.format(join="LEFT")})
 ORDER BY arm, n_nationkey
 """)
+
+
+# --------------------------------------------------------------------------
+# out_of_range_issue1151.test / integer_range.test / signed_boundary.test:
+# non-strict out-of-range inserts clamp to the reference's
+# SENTINEL-ADJUSTED ranges (INT min is -2147483647, not -2^31, because
+# -2^31 is the engine's NULL_VALUE_32 sentinel; common_definitions.h:
+# 127-138).  Values straddling each boundary are derived from orderkeys
+# so the clamp hits both sides at every SF.
+@register(
+    "regress_int_range_clamp",
+    oracle="""
+WITH d AS (
+  SELECT o_orderkey,
+         (o_orderkey - 1000) * 4294967 AS v_wide,
+         (o_orderkey % 600) - 300 AS v_narrow
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT o_orderkey,
+       GREATEST(LEAST(v_wide, 2147483647), -2147483647) AS int_clamped,
+       GREATEST(LEAST(v_narrow, 127), -127) AS tiny_clamped,
+       CAST(GREATEST(LEAST(CAST(v_wide AS HUGEINT) * 4294967296,
+                           9223372036854775807),
+                     -9223372036854775806) AS BIGINT) AS bigint_clamped
+FROM d
+ORDER BY o_orderkey
+""",
+    doc="issue1151/integer_range: out-of-range insert clamps to sentinel-adjusted ranges",
+)
+def regress_int_range_clamp(spark, sf_dir):
+    from stonedb_spark.functions.mysql import tianmu_int_cast
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    d = o.filter(o["o_orderkey"] <= 2000).select(
+        "o_orderkey",
+        ((o["o_orderkey"] - 1000) * 4294967).alias("v_wide"),
+        ((o["o_orderkey"] % 600) - 300).alias("v_narrow"),
+    )
+    return d.select(
+        "o_orderkey",
+        tianmu_int_cast(F.col("v_wide"), "int").alias("int_clamped"),
+        tianmu_int_cast(F.col("v_narrow"), "tinyint").alias("tiny_clamped"),
+        tianmu_int_cast(
+            F.col("v_wide").cast("decimal(38,0)") * F.lit(4294967296), "bigint"
+        ).alias("bigint_clamped"),
+    ).orderBy("o_orderkey")
