@@ -152,6 +152,7 @@ def _time_battery(spark, names, sf_dir, runs, warmup):
 
 
 def main() -> None:
+    t_bench0 = time.perf_counter()
     loadavg_start = list(os.getloadavg())
     spark = get_spark("stonedb_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -191,13 +192,17 @@ def main() -> None:
                 replicate_tpch(spark, SF1_SRC, SF1_DIR, copies=10)
                 out["sf1_build_sec"] = round(time.perf_counter() - t0, 2)
             sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
-            sf1_times = _time_battery(spark, names, SF1_DIR, sf1_runs, 1)
+            # no extra warmup: the sf0.1 battery already compiled every
+            # plan shape (Janino cache hits), and min-of-N absorbs any
+            # first-run residue — saves ~90s of driver wall clock
+            sf1_times = _time_battery(spark, names, SF1_DIR, sf1_runs, 0)
             out["sf1_queries"] = sf1_times
             out["sf1_total"] = round(sum(sf1_times.values()), 4)
         except Exception as e:  # the sf0.1 headline must survive a bad sf1 leg
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
     out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    out["bench_wall_sec"] = round(time.perf_counter() - t_bench0, 1)
     print(json.dumps(out))
 
 
