@@ -708,3 +708,54 @@ def func_bit_type(spark, sf_dir):
         )
         .orderBy("l_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# JSON construction / inspection family (cast_json_func.test:
+# JSON_OBJECT / JSON_ARRAY / JSON_LENGTH / JSON_KEYS / JSON_UNQUOTE) —
+# Spark to_json over struct/array builds byte-identical compact JSON to
+# DuckDB's json_object/to_json (probed: key order, null policy with
+# ignoreNullFields=false, no whitespace), so construction is
+# hash-comparable text.  All Catalyst builtins, map-only.
+@register(
+    "func_json_build",
+    oracle="""
+SELECT c_custkey,
+       CAST(json_object('k', c_custkey, 'seg', c_mktsegment) AS VARCHAR) AS obj,
+       CAST(json_object('k', c_custkey, 'comment', NULL) AS VARCHAR)     AS obj_with_null,
+       CAST(to_json([c_custkey, c_custkey % 7, c_nationkey]) AS VARCHAR) AS arr,
+       json_array_length(to_json([c_custkey, c_custkey % 7, c_nationkey])) AS arr_len,
+       array_to_string(json_keys(json_object('k', c_custkey, 'seg', c_mktsegment)), ',') AS obj_keys,
+       json_extract_string('"' || c_mktsegment || '"', '$') AS unquoted
+FROM customer
+WHERE c_custkey <= 300
+ORDER BY c_custkey
+""",
+    doc="JSON_OBJECT/JSON_ARRAY/JSON_LENGTH/JSON_KEYS/JSON_UNQUOTE construction family",
+)
+def func_json_build(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    obj = F.to_json(F.struct(c["c_custkey"].alias("k"), c["c_mktsegment"].alias("seg")))
+    obj_null = F.to_json(
+        F.struct(
+            c["c_custkey"].alias("k"),
+            F.lit(None).cast("string").alias("comment"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    arr = F.to_json(F.array(c["c_custkey"], c["c_custkey"] % 7, c["c_nationkey"]))
+    return (
+        c.filter(c["c_custkey"] <= 300)
+        .select(
+            "c_custkey",
+            obj.alias("obj"),
+            obj_null.alias("obj_with_null"),
+            arr.alias("arr"),
+            F.json_array_length(arr).alias("arr_len"),
+            F.concat_ws(",", F.json_object_keys(obj)).alias("obj_keys"),
+            F.get_json_object(
+                F.concat(F.lit('"'), c["c_mktsegment"], F.lit('"')), "$"
+            ).alias("unquoted"),
+        )
+        .orderBy("c_custkey")
+    )
