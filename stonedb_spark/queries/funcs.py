@@ -759,3 +759,40 @@ def func_json_build(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# FLOAT/DOUBLE storage semantics (double_float.test; ColumnType::FLOAT vs
+# REAL, common_definitions.h:47-76): a FLOAT column stores the IEEE-754
+# binary32 rounding of the inserted value; comparisons and arithmetic
+# promote to double.  Both engines round to float32 identically, so the
+# round-trip error is hash-comparable exactly.
+@register(
+    "func_double_float",
+    oracle="""
+SELECT c_custkey,
+       CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE)              AS f32_roundtrip,
+       CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) - c_acctbal  AS f32_err,
+       (CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) = c_acctbal) AS exact_in_f32,
+       CAST(CAST(c_acctbal AS FLOAT) * CAST(2.0 AS FLOAT) AS DOUBLE) AS f32_product
+FROM customer
+WHERE c_custkey <= 400
+ORDER BY c_custkey
+""",
+    doc="FLOAT column semantics: binary32 storage rounding, double-promoted compare",
+)
+def func_double_float(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    f32 = c["c_acctbal"].cast("float")
+    rt = f32.cast("double")
+    return (
+        c.filter(c["c_custkey"] <= 400)
+        .select(
+            "c_custkey",
+            rt.alias("f32_roundtrip"),
+            (rt - c["c_acctbal"]).alias("f32_err"),
+            (rt == c["c_acctbal"]).alias("exact_in_f32"),
+            (f32 * F.lit(2.0).cast("float")).cast("double").alias("f32_product"),
+        )
+        .orderBy("c_custkey")
+    )
