@@ -40,3 +40,23 @@ def ctas_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def ctas_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC twin of ctas_parquet (beyond the reference's text-only
+    exporter): ORC carries the same row-group-statistics pruning model
+    as parquet, so a warehouse standardized on ORC gets identical
+    scan-skipping semantics — format choice is a physical detail here,
+    not a capability change."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def export_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines export — the sink twin of read_jsonl_with_rejects
+    (training corpora interchange in JSONL far more often than CSV).
+    One object per line, one file per partition unless coalesced."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

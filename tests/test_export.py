@@ -152,3 +152,36 @@ def test_zorder_layout_tightens_stats_on_both_columns(spark, sf_dir, tmp_path):
         assert z < r * 0.6, (col, r, z)  # clustered files ≪ random files
     # layout change must not change content
     assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_orc_ctas_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink: bytes round-trip and the ORC scan prunes with pushed
+    filters exactly like parquet (same stats model)."""
+    from stonedb_spark.sources.export import ctas_orc
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    ctas_orc(o, path)
+    back = spark.read.orc(path)
+    assert back.count() == o.count()
+    plan = back.filter(back["o_orderkey"] == 42)._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderkey" in plan
+    assert [r["o_orderkey"] for r in back.filter(back["o_orderkey"] == 42).collect()] == [42]
+
+
+def test_jsonl_export_roundtrip(spark, sf_dir, tmp_path):
+    from stonedb_spark.sources.csvload import read_jsonl_with_rejects
+    from stonedb_spark.sources.export import export_jsonl
+
+    c = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).filter("c_custkey <= 50")
+    path = str(tmp_path / "cust_jsonl")
+    export_jsonl(c, path)
+    good, bad = read_jsonl_with_rejects(spark, path, c.schema)
+    assert bad.count() == 0
+    assert sorted(r["c_custkey"] for r in good.collect()) == sorted(
+        r["c_custkey"] for r in c.collect()
+    )

@@ -347,3 +347,48 @@ def test_incremental_agg_matview(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect and len(got) == 5
+
+
+def test_ingest_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics (the delta-store durability analog): a second
+    availableNow run over the SAME checkpoint must ingest only the files
+    that arrived since the first run — already-committed files are never
+    re-read (no duplicates) and new ones land exactly once.  This is the
+    property that lets a 100-TB ingest resume after a crash without a
+    dedup pass."""
+    from stonedb_spark.streaming.ingest import run_append_ingest
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    events = load_tables(spark, sf_dir)["events"]
+    batch1 = events.filter(F.col("event_id") % 23 == 0)
+    batch2 = events.filter(F.col("event_id") % 23 == 1)
+    schema = events.schema
+
+    def drop_files(batch, stage_name):
+        """Producers drop flat part-files into src (the file-source
+        contract: files at the top level, arrival order = mtime)."""
+        import glob
+        import shutil
+
+        stage = str(tmp_path / stage_name)
+        batch.write.parquet(stage)
+        for i, f in enumerate(glob.glob(f"{stage}/*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{stage_name}_{i}.parquet"))
+
+    drop_files(batch1, "b1")
+    run_append_ingest(spark, src, sink, ckpt, schema)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == batch1.count()
+
+    # simulate restart: new files arrive, the SAME checkpoint resumes
+    drop_files(batch2, "b2")
+    run_append_ingest(spark, src, sink, ckpt, schema)
+    got = spark.read.parquet(sink)
+    assert got.count() == batch1.count() + batch2.count()
+    # exactly-once: every event_id appears exactly once
+    dup = got.groupBy("event_id").count().filter("count > 1").count()
+    assert dup == 0
