@@ -14,6 +14,12 @@ Covered regressions:
     across mixed branch types (decimal vs int, int vs string).
   * issue1855.test — LENGTH() over numeric columns (implicit cast to
     the string representation before measuring).
+  * out_of_range_issue1151 / integer_range / signed_boundary —
+    non-strict out-of-range inserts clamp to the engine's
+    sentinel-adjusted integer ranges (regress_int_range_clamp).
+  * issue271.test — LIKE + ESCAPE character variants: literal % / _
+    matching under '!', '|', '#' escapes
+    (regress_like_escape_variants).
 """
 
 from __future__ import annotations
@@ -277,3 +283,51 @@ def regress_int_range_clamp(spark, sf_dir):
             F.col("v_wide").cast("decimal(38,0)") * F.lit(4294967296), "bigint"
         ).alias("bigint_clamped"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# issue271.test: LIKE with per-query ESCAPE characters — literal '%' and
+# '_' matching under '!', '|' and '#' escapes, against names suffixed
+# with actual wildcards so escaped and unescaped patterns diverge.
+@register(
+    "regress_like_escape_variants",
+    oracle="""
+WITH v AS (
+  SELECT p_partkey,
+         p_name || CASE WHEN p_partkey % 3 = 0 THEN '%'
+                        WHEN p_partkey % 3 = 1 THEN '_'
+                        ELSE '' END AS s
+  FROM part WHERE p_partkey <= 500
+)
+SELECT p_partkey, s,
+       s LIKE '%!%' ESCAPE '!' AS ends_pct_bang,
+       s LIKE '%|_' ESCAPE '|' AS ends_us_pipe,
+       s LIKE '%#%' ESCAPE '#' AS ends_pct_hash,
+       s LIKE '%_' AS any_tail
+FROM v
+ORDER BY p_partkey
+""",
+    doc="issue271: LIKE + ESCAPE character variants (literal % / _ matching)",
+)
+def regress_like_escape_variants(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    s = F.concat(
+        p["p_name"],
+        F.when(p["p_partkey"] % 3 == 0, "%")
+        .when(p["p_partkey"] % 3 == 1, "_")
+        .otherwise(""),
+    )
+    return (
+        p.filter(p["p_partkey"] <= 500)
+        .select("p_partkey", s.alias("s"))
+        .select(
+            "p_partkey",
+            "s",
+            F.expr("s LIKE '%!%' ESCAPE '!'").alias("ends_pct_bang"),
+            F.expr("s LIKE '%|_' ESCAPE '|'").alias("ends_us_pipe"),
+            F.expr("s LIKE '%#%' ESCAPE '#'").alias("ends_pct_hash"),
+            F.expr("s LIKE '%_'").alias("any_tail"),
+        )
+        .orderBy("p_partkey")
+    )
