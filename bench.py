@@ -78,7 +78,13 @@ _KEY_OWNER = {
     "s_suppkey": "supplier",
     "p_partkey": "part",
     "o_orderkey": "orders",
+    "event_id": "events",
+    "user_id": "events",
 }
+# events replicate too (user-offset copies: each copy is a fresh user
+# population with the same per-user event streams), so the window/as-of
+# operators get an sf1 leg alongside TPC-H.
+_SCALED_KEYS["events"] = {"event_id": "event_id", "user_id": "user_id"}
 
 
 def replicate_tpch(spark, src: str, dst: str, copies: int) -> None:
@@ -130,6 +136,23 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# Queries whose RESULT grows with SF (sessionize emits one row per
+# session): timed through the distributed no-op sink — collect() would
+# measure py4j row serialization of ~1M rows on the driver (7s of the
+# 8s observed at sf1), which no real pipeline pays; everything else
+# returns bounded results and keeps collect() so Catalyst cannot prune
+# the aggregate work.
+LARGE_OUTPUT = {"events_sessionize"}
+
+
+def _run_once(q, spark, sf_dir, name):
+    df = q.build(spark, sf_dir)
+    if name in LARGE_OUTPUT:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.collect()
+
+
 def _time_battery(spark, names, sf_dir, runs, warmup):
     qs = all_queries()
     for df in load_tables(spark, sf_dir).values():
@@ -137,13 +160,11 @@ def _time_battery(spark, names, sf_dir, runs, warmup):
     times: dict[str, float] = {}
     for name in names:
         for _ in range(warmup):
-            qs[name].build(spark, sf_dir).collect()
+            _run_once(qs[name], spark, sf_dir, name)
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            # collect() (not count()) so Catalyst can't prune away the
-            # actual aggregate work; headline results are all small.
-            _ = qs[name].build(spark, sf_dir).collect()
+            _run_once(qs[name], spark, sf_dir, name)
             samples.append(time.perf_counter() - t0)
         # min-of-N: least sensitive to concurrent machine load (the
         # mean folded a loaded machine into BENCH_r03)
@@ -187,17 +208,27 @@ def main() -> None:
     # ---- sf1 leg: TPC-H battery where compute dominates the job floor.
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and os.path.isdir(SF1_SRC):
         try:
-            if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+            have_all = all(
+                os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
+                for t in list(_SCALED_KEYS) + ["nation", "region"]
+            )
+            if not have_all:
                 t0 = time.perf_counter()
                 replicate_tpch(spark, SF1_SRC, SF1_DIR, copies=10)
                 out["sf1_build_sec"] = round(time.perf_counter() - t0, 2)
             sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
+            sf1_extra = [
+                n for n in ("events_sessionize", "join_asof_backward") if n in qs
+            ]
             # no extra warmup: the sf0.1 battery already compiled every
             # plan shape (Janino cache hits), and min-of-N absorbs any
             # first-run residue — saves ~90s of driver wall clock
-            sf1_times = _time_battery(spark, names, SF1_DIR, sf1_runs, 0)
+            sf1_times = _time_battery(spark, names + sf1_extra, SF1_DIR, sf1_runs, 0)
             out["sf1_queries"] = sf1_times
-            out["sf1_total"] = round(sum(sf1_times.values()), 4)
+            # comparable total stays TPC-H-only; extras report per-query
+            out["sf1_total"] = round(
+                sum(v for k, v in sf1_times.items() if k.startswith("tpch_")), 4
+            )
         except Exception as e:  # the sf0.1 headline must survive a bad sf1 leg
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
     out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
