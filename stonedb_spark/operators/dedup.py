@@ -438,3 +438,48 @@ def connected_components_star(
     return nodes.join(roots, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
+
+
+# ---------------------------------------------------------------------------
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    ≥ ``min_overlap`` distinct k-word shingles with a held-out eval set
+    (the published GPT-3/PaLM-appendix practice of n-gram-overlap
+    filtering of pretraining data against benchmark text).
+
+    Scale shape: the eval side is a BENCHMARK corpus — megabytes, not
+    terabytes — so its distinct shingle set is bounded and broadcast.
+    The training side is one map-only explode + broadcast-hash-join +
+    per-doc count: no shuffle of corpus text, no all-pairs comparison,
+    linear in corpus size at any scale factor.
+
+    Returns (id_col, n_overlap, contaminated) for every training doc.
+    """
+    ev = (
+        eval_docs.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    tr_sh = train.select(
+        id_col, F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    hits = (
+        tr_sh.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -1829,3 +1829,181 @@ def emb_quantize_int8(spark, sf_dir):
             )
         ).alias("max_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / PaLM practice): training
+# docs sharing any distinct 5-word shingle with a held-out eval slice
+# are flagged.  Eval slice here = doc_id % 17 == 0 (a stand-in for a
+# benchmark corpus); at 100 TB the eval shingle set stays benchmark-
+# sized → broadcast, and the training side is map-only + one count agg.
+@register(
+    "text_decontaminate",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+           FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+          for i in range(1, len(w) - 3)])) AS shingle
+       FROM w),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+hits AS (SELECT s.doc_id, COUNT(*) AS n_overlap
+         FROM sh s JOIN ev USING (shingle)
+         WHERE s.doc_id % 17 <> 0 GROUP BY s.doc_id),
+tr AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0)
+SELECT t.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+FROM tr t LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="eval-set 5-gram overlap flags (broadcast eval shingles, map-only corpus side)",
+)
+def text_decontaminate(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return D.contamination_report(tr, ev, k=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed-bag-of-words linear quality classifier (fastText-style scorer
+# with the feature hashing trick).  Weights are a deterministic function
+# of the bucket id (md5-derived integers in [-1000, 1000]), so BOTH
+# engines materialize the identical model without shipping a weights
+# table, and the doc score numerator is an INTEGER sum — exact,
+# order-independent, no float-accumulation drift across engines or
+# partitionings.  Map-only + one groupBy(doc) at any corpus size; a real
+# deployment swaps the md5 weight for a broadcast-joined trained vector
+# with the same plan shape.
+@register(
+    "text_quality_classifier",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+weighted AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5('w' || CAST(
+             CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64
+           AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS wint
+  FROM toks
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(wint) AS BIGINT) AS score_raw,
+       ROUND(CAST(SUM(wint) AS DOUBLE) / (1000.0 * COUNT(*)), 9) AS score,
+       SUM(wint) > 0 AS keep
+FROM weighted GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="hashed linear quality scorer: 64 md5-derived int weights, exact integer sum",
+)
+def text_quality_classifier(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    bucket = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 64
+    wint = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    return (
+        toks.select("doc_id", wint.alias("wint"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("wint").alias("score_raw"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_raw",
+            F.round(
+                F.col("score_raw").cast("double") / (1000.0 * F.col("n_tokens")), 9
+            ).alias("score"),
+            (F.col("score_raw") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson k1=1.2, b=0.75) for a fixed term query —
+# the corpus-side ranking a training pipeline runs for eval-retrieval or
+# data-curation ("find docs about X").  DF table and corpus stats are
+# query-term-sized / single-row → broadcast; the only corpus shuffle is
+# the per-doc tf groupBy.  Per-term scores are quantized to integer
+# micro-units (floor(x·1e6+0.5) — the engine-portable quantizer, no
+# ROUND-on-double trap) so the per-doc sum is exact integer arithmetic
+# on both engines; avgdl is exact-int sum / count, one deterministic
+# division.
+@register(
+    "text_bm25_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ('hash', 'stream', 'filter') GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(
+           ln(((s.n - d.df + 0.5) / (d.df + 0.5)) + 1.0)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+           * 1000000 + 0.5) AS BIGINT) AS si
+  FROM tf t JOIN df d USING (term) JOIN dl ON t.doc_id = dl.doc_id, stats s
+)
+SELECT doc_id,
+       CAST(SUM(si) AS BIGINT) AS score_micro,
+       CAST(SUM(si) AS DOUBLE) / 1000000.0 AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+""",
+    doc="BM25 top-20 for a 3-term query; integer-micro quantized, broadcast df/stats",
+)
+def text_bm25_search(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin("hash", "stream", "filter"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0)
+    tfn = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tfn * 1000000 + 0.5).cast("long").alias("si"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("si").alias("score_micro"))
+        .select(
+            "doc_id",
+            "score_micro",
+            (F.col("score_micro").cast("double") / 1000000.0).alias("bm25"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
