@@ -32,11 +32,27 @@ def export_csv(
     )
 
 
-def ctas_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def ctas_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    codec: str | None = None,
+) -> None:
     """CREATE TABLE AS SELECT analog (Engine::Execute SQLCOM_INSERT_SELECT,
     storage/tianmu/core/engine_execute.cpp:471): materialize a query
-    result as a new columnar table."""
+    result as a new columnar table.
+
+    ``codec`` maps the reference's per-pack compression layer
+    (storage/tianmu/compress/, lz4.test; README claims 10:1–40:1) onto
+    parquet page compression: 'snappy' (default), 'zstd', 'lz4', 'gzip',
+    'none'.  Like the reference, compression is a physical storage
+    property — query plans and results are codec-independent (pinned by
+    tests/test_export.py), and row-group stats pruning works identically
+    under every codec.
+    """
     writer = df.write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

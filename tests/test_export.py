@@ -185,3 +185,33 @@ def test_jsonl_export_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r["c_custkey"] for r in good.collect()) == sorted(
         r["c_custkey"] for r in c.collect()
     )
+
+
+def test_ctas_codecs_equal_content_and_compress(spark, sf_dir, tmp_path):
+    """Compression codec is a physical storage property: every codec
+    round-trips identical rows (lz4.test analog — the reference
+    compresses packs without changing query results), and zstd beats
+    uncompressed size on the text-heavy documents table (the README's
+    compression-ratio claim, directionally)."""
+    import os
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sizes = {}
+    for codec in ("none", "snappy", "zstd", "lz4"):
+        out = str(tmp_path / f"docs_{codec}")
+        ctas_parquet(docs, out, codec=codec)
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        assert sorted(back.columns) == sorted(docs.columns)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        # content identical under every codec, not just count
+        assert (
+            back.exceptAll(docs).limit(1).count() == 0
+            and docs.exceptAll(back).limit(1).count() == 0
+        ), codec
+    assert sizes["zstd"] < sizes["none"], sizes
+    assert sizes["lz4"] < sizes["none"], sizes
