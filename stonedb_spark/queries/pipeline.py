@@ -2007,3 +2007,45 @@ def text_bm25_search(spark, sf_dir):
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunker: 40-word windows, stride 32 (20%
+# overlap), token-aligned — the retrieval-corpus preparation step
+# between cleaning and embedding.  Pure Catalyst (sequence of starts →
+# posexplode → array slice): map-only, no shuffle, output rows ≈
+# corpus_words/32 regardless of partitioning.  Distinct from the
+# byte-window audio chunker (multimodal_audio_chunks): token-aligned
+# windows with a deterministic short tail.
+@register(
+    "text_chunk_overlap",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+           FROM documents),
+st AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 32)) AS start
+       FROM w)
+SELECT doc_id,
+       CAST((start - 1) / 32 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_word,
+       CAST(len(w[start:start+39]) AS BIGINT) AS n_words,
+       md5(array_to_string(w[start:start+39], ' ')) AS chunk_md5
+FROM st
+ORDER BY doc_id, chunk_idx
+""",
+    doc="40-word/stride-32 overlap chunker, token-aligned, map-only (RAG corpus prep)",
+)
+def text_chunk_overlap(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    w = T.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(32))
+    st = d.select(
+        "doc_id", w.alias("w"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), 40)
+    return st.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_word"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
