@@ -231,6 +231,7 @@ _BNLJ_ALLOWED = {
     "events_funnel",  # final combine of three 1-row stage counts
     "pipeline_global_deciles",  # 1-row broadcast of the 9 decile cut points
     "subq_all_any",
+    "text_bm25_search",  # 1-row broadcast of the (n, avgdl) corpus stats
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
     "tpch_q11",
     "tpch_q22",
@@ -346,3 +347,22 @@ def test_composite_point_lookup_pushes_both_keys(spark, sf_dir):
 
     pushed = " ".join(pushed_filters(_build(spark, sf_dir, "point_lookup_composite")))
     assert "l_orderkey" in pushed and "l_linenumber" in pushed, pushed
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval (benchmark) shingle set must come to the corpus as a
+    broadcast — a shuffled join here would shuffle the full corpus
+    shingle stream at 100 TB for a benchmark-sized right side."""
+    df = _build(spark, sf_dir, "text_decontaminate")
+    assert has_broadcast_join(df)
+    assert not has_nested_loop_join(df)
+
+
+def test_chunker_is_map_only(spark, sf_dir):
+    """Chunking must not shuffle corpus text: no Exchange below the
+    final presentation sort."""
+    from stonedb_spark.plans.inspect import shuffle_exchange_count
+
+    df = _build(spark, sf_dir, "text_chunk_overlap")
+    # exactly the one Exchange introduced by the global ORDER BY
+    assert shuffle_exchange_count(df) <= 1
