@@ -768,6 +768,18 @@ ORDER BY s_suppkey
     doc="TPC-H Q15 top supplier — agg view + scalar-subquery max",
 )
 def tpch_q15(spark, sf_dir):
+    # One lineitem scan: the scalar-subquery formulation (join revenue
+    # against its own max) re-executes the whole revenue pipeline —
+    # Spark's ReuseExchange misses because attribute dedup on the
+    # self-referencing branch de-canonicalizes the exchanges — so at
+    # 100 TB the fact table would be scanned and shuffled twice.  The
+    # rank-window form aggregates once and ranks the AGGREGATED frame,
+    # whose cardinality is #suppliers (SF×10k rows — 4 orders below
+    # lineitem), an acceptable single-partition window at any real SF;
+    # rank() (not row_number) keeps max-revenue ties, matching the
+    # subquery semantics.
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir)
     l, s = t["lineitem"], t["supplier"]  # noqa: E741
     revenue = (
@@ -778,10 +790,15 @@ def tpch_q15(spark, sf_dir):
         .groupBy(l["l_suppkey"].alias("supplier_no"))
         .agg(F.sum(_rev(l)).cast("double").alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    top = (
+        revenue.withColumn(
+            "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+        )
+        .filter(F.col("rk") == 1)
+        .select("supplier_no", "total_revenue")
+    )
     return (
-        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
-        .join(B(max_rev), F.col("total_revenue") == F.col("mr"))
+        s.join(B(top), s["s_suppkey"] == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
