@@ -615,6 +615,14 @@ ORDER BY part_value DESC, p_partkey
     doc="TPC-H Q11 important stock — grouped value vs global-total scalar subquery",
 )
 def tpch_q11(spark, sf_dir):
+    # The global 0.001×total threshold is derived from the SAME grouped
+    # aggregate, which Spark re-executes (ReuseExchange misses on the
+    # self-referencing branch, as in q15's original form).  Unlike q15,
+    # the one-scan window alternative would sort #parts rows (SF×200k —
+    # the grouped frame itself) into a single partition, which is the
+    # worse trade at scale; the re-executed pipeline is scan-bound and
+    # scale-safe.  A deployment running this repeatedly would CACHE the
+    # value_per_part CTE, turning both consumers into memory scans.
     t = load_tables(spark, sf_dir)
     l, s, n, r = t["lineitem"], t["supplier"], t["nation"], t["region"]  # noqa: E741
     eur_supp = s.join(
