@@ -2049,3 +2049,184 @@ def text_chunk_overlap(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_words"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# C4/CCNet-style corpus-level line dedup: any "sentence" (deterministic
+# 10-word window; the fixture text has no newlines, so windows stand in
+# for lines) that appears in MORE THAN ONE document is removed from ALL
+# documents.  Shape: map-only sentence explode -> one groupBy(sentence)
+# for corpus counts -> join back on sentence (reuses the hash
+# partitioning) -> one groupBy(doc_id) to reassemble.  No cartesian, no
+# driver state; at 100 TB the sentence agg is the only corpus-wide
+# shuffle and it combines map-side.  The cleaned text is verified by
+# md5 over the order-preserving reassembly (array_sort on (pos, ...)
+# structs), not just by counts.
+@register(
+    "text_line_dedup",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+s0 AS (SELECT doc_id,
+              [{'pos': i, 'sentence': array_to_string(w[(i*10+1):(i*10+10)], ' ')}
+               for i in range(0, CAST(ceil(len(w)/10.0) AS BIGINT))] AS cs
+       FROM w),
+s AS (SELECT doc_id, unnest(cs, recursive := true) FROM s0),
+c AS (SELECT sentence, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY sentence)
+SELECT s.doc_id AS doc_id,
+       COUNT(*) AS n_sent,
+       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       md5(coalesce(string_agg(CASE WHEN c.n_docs = 1 THEN s.sentence END,
+                               ' ' ORDER BY s.pos), '')) AS clean_hash
+FROM s JOIN c USING (sentence)
+GROUP BY s.doc_id
+ORDER BY doc_id
+""",
+    doc="C4-style corpus line dedup: drop 10-word windows seen in >1 doc, md5-verified reassembly",
+)
+def text_line_dedup(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    w = T.tokens(F.col("text"))
+    n_chunks = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    sent = d.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(F.col("w"), i * 10 + 1, 10), " "),
+            )
+        ).alias("pos", "sentence"),
+    )
+    counts = sent.groupBy("sentence").agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept_struct = F.when(F.col("n_docs") == 1, F.struct("pos", "sentence"))
+    return (
+        sent.join(counts, "sentence")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["sentence"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining: for each anchor vector, the top-5
+# most-similar vectors with a DIFFERENT label — the standard negative-
+# sampling step for training embedding models.  Anchors are a bounded
+# batch (broadcast); candidate scoring is map-only codegen.  The top-k
+# is TWO-PHASE: first a window over (anchor, input partition) keeps <=5
+# per partition, then the global window ranks only <=5*n_partitions
+# survivors per anchor — so no single reducer ever sees the full
+# candidate stream (the naive per-anchor window funnels ALL scored rows
+# into n_anchor reducers, a guaranteed skew at corpus scale).  At 100 TB
+# the candidate stream itself would first be pruned by the IVF cell
+# probe (knn_ivf_probe); this operator is the scoring+selection tail.
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT a.anchor_id, e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, a.av),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / ({_NORM.format(t='e')}
+                  * sqrt(list_sum(list_transform(a.av,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_raw
+      FROM embeddings e CROSS JOIN a
+      WHERE e.label <> a.anchor_label),
+r AS (SELECT anchor_id, vec_id, cos_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_raw DESC, vec_id) AS INT) AS rnk
+      FROM s)
+SELECT anchor_id, rnk, vec_id, ROUND(cos_raw, 9) AS cos_sim
+FROM r WHERE rnk <= 5
+ORDER BY anchor_id, rnk
+""",
+    doc="hard-negative mining: per-anchor top-5 nearest cross-label vectors, two-phase top-k",
+)
+def emb_hard_negatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    anchors = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .withColumn("cos_raw", S.cosine(F.col("embedding"), F.col("av")))
+        .select("anchor_id", "vec_id", "cos_raw", F.spark_partition_id().alias("pid"))
+    )
+    w_local = Window.partitionBy("anchor_id", "pid").orderBy(
+        F.desc("cos_raw"), F.asc("vec_id")
+    )
+    w_global = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_raw"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 5)
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= 5)
+        .select("anchor_id", "rnk", "vec_id", F.round("cos_raw", 9).alias("cos_sim"))
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing: compute per-source token budgets for a
+# UNIFORM target mixture — the sampling-rate table a pretraining data
+# pipeline feeds into its per-domain downsampler (the rate feeds the
+# same md5 hash-bucket filter as pipeline_stratified_sample).  All
+# arithmetic is integer (ppm rates via DIV), so the result is exact on
+# any engine.  Two tiny aggs; the per-source token count combines
+# map-side, and the min() is a 1-row broadcast — nothing scales with
+# corpus size except the first scan.
+@register(
+    "pipeline_domain_mix",
+    oracle="""
+WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+                      AS n_tokens
+             FROM documents GROUP BY source),
+mn AS (SELECT MIN(n_tokens) AS min_tok FROM per)
+SELECT source, n_docs, n_tokens,
+       min_tok * 1000000 // n_tokens AS rate_ppm,
+       n_tokens * (min_tok * 1000000 // n_tokens) // 1000000 AS expected_tokens
+FROM per CROSS JOIN mn
+ORDER BY source
+""",
+    doc="uniform domain-mixture rebalancing: per-source ppm sampling rates, integer-exact",
+)
+def pipeline_domain_mix(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    per = (
+        d.select("source", F.size(T.tokens(F.col("text"))).cast("long").alias("tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens"))
+    )
+    mn = per.agg(F.min("n_tokens").alias("min_tok"))
+    rate = F.expr("min_tok * 1000000 DIV n_tokens")
+    return (
+        per.crossJoin(F.broadcast(mn))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rate.alias("rate_ppm"),
+            F.expr("n_tokens * (min_tok * 1000000 DIV n_tokens) DIV 1000000").alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
