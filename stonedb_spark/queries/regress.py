@@ -331,3 +331,93 @@ def regress_like_escape_variants(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# issue1784.test: aggregates over an EMPTY table — `SELECT age, SUM(age)
+# ... GROUP BY age` must yield zero rows (not a NULL row), global
+# aggregates must yield exactly one row with COUNT=0 and NULL SUM/MIN/
+# AVG, the CASE-wrapped group key changes nothing, and inserting one row
+# flips the grouped count to 1.  Each MTR statement becomes one labelled
+# row so the driver hash pins all four behaviors.
+@register(
+    "regress_empty_agg",
+    oracle="""
+WITH e AS (SELECT l_orderkey AS age FROM lineitem WHERE l_orderkey < 0)
+SELECT 'global' AS label, COUNT(*) AS cnt,
+       SUM(age) IS NULL AS sum_null, MIN(age) IS NULL AS min_null,
+       AVG(age) IS NULL AS avg_null
+FROM e
+UNION ALL
+SELECT 'grouped', (SELECT COUNT(*) FROM (SELECT age, SUM(age) AS s
+                                         FROM e GROUP BY age) g),
+       TRUE, TRUE, TRUE
+UNION ALL
+SELECT 'grouped_case',
+       (SELECT COUNT(*) FROM (SELECT CASE WHEN age IS NOT NULL THEN age
+                                          ELSE 33 END AS k, SUM(age) AS s
+                              FROM e GROUP BY age) g),
+       TRUE, TRUE, TRUE
+UNION ALL
+SELECT 'grouped_one_row',
+       (SELECT COUNT(*) FROM (SELECT age FROM (SELECT age FROM e
+                              UNION ALL SELECT CAST(1 AS BIGINT)) u
+                              GROUP BY age) g),
+       FALSE, FALSE, FALSE
+ORDER BY label
+""",
+    doc="issue1784: empty-input aggregate semantics (0 groups, NULL global aggs)",
+)
+def regress_empty_agg(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 0)
+        .select(F.col("l_orderkey").alias("age"))
+    )
+
+    def lbl(s, cnt_df, b):
+        return cnt_df.select(
+            F.lit(s).alias("label"),
+            F.col("cnt"),
+            F.lit(b).alias("sum_null"),
+            F.lit(b).alias("min_null"),
+            F.lit(b).alias("avg_null"),
+        )
+
+    g_global = e.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("age").isNull().alias("sum_null"),
+        F.min("age").isNull().alias("min_null"),
+        F.avg("age").isNull().alias("avg_null"),
+    ).select(F.lit("global").alias("label"), "cnt", "sum_null", "min_null", "avg_null")
+    g_grouped = lbl(
+        "grouped",
+        e.groupBy("age").agg(F.sum("age")).agg(F.count(F.lit(1)).alias("cnt")),
+        True,
+    )
+    g_case = lbl(
+        "grouped_case",
+        e.select(
+            F.when(F.col("age").isNotNull(), F.col("age")).otherwise(33).alias("k"),
+            "age",
+        )
+        .groupBy("age")
+        .agg(F.sum("age"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        True,
+    )
+    g_one = lbl(
+        "grouped_one_row",
+        e.unionByName(spark.range(1).select(F.lit(1).cast("long").alias("age")))
+        .groupBy("age")
+        .agg(F.count(F.lit(1)))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        False,
+    )
+    return (
+        g_global.unionByName(g_grouped)
+        .unionByName(g_case)
+        .unionByName(g_one)
+        .orderBy("label")
+    )

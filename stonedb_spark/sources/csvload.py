@@ -109,3 +109,36 @@ def read_jsonl_with_rejects(
         F.col(CORRUPT_COL).alias("raw")
     )
     return good, bad
+
+
+def read_csv_column_subset(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    columns: list[str],
+    defaults: dict[str, object] | None = None,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """LOAD DATA INFILE ... (col_list) parity: the file supplies only
+    ``columns`` (in file order); every other column of ``schema`` is
+    filled with its DEFAULT (``defaults[name]``) or NULL
+    (mysql-test/suite/tianmu/t/issue1865.test — load into (a, c) of an
+    (a, b, c) table, with b's default later altered between loads).
+
+    Returns (good_rows with exactly ``schema``'s columns and order,
+    rejects as one ``raw`` column).  The default-fill is a map-only
+    literal projection — no second pass over the data.
+    """
+    defaults = defaults or {}
+    by_name = {f.name: f for f in schema.fields}
+    unknown = [c for c in columns if c not in by_name]
+    if unknown:
+        raise ValueError(f"columns not in schema: {unknown}")
+    file_schema = StructType([by_name[c] for c in columns])
+    good, bad = read_csv_with_rejects(spark, path, file_schema, sep=sep)
+    for f in schema.fields:
+        if f.name not in columns:
+            good = good.withColumn(
+                f.name, F.lit(defaults.get(f.name)).cast(f.dataType)
+            )
+    return good.select(*[f.name for f in schema.fields]), bad

@@ -60,3 +60,18 @@ def test_append_lifecycle_across_batches(spark, tmp_path):
     c3 = append_with_auto_increment(spark, b3, target, "id")
     assert c3 == 1002
     assert 1001 in _ids(spark.read.parquet(target))
+
+
+def test_big_seed_exact_past_double_mantissa(spark):
+    """issue1848.test: a table created with AUTO_INCREMENT=3000000004910127
+    mixes explicit 3e15-range ids with assigned ones.  Push further —
+    seeds past 2^53 — to pin that ids never round through a double
+    mantissa (the stamp path is nullable Int64 end-to-end)."""
+    seed = 2**53 + 3  # not representable as float64 +1 steps
+    rows = [(seed - 10, "x"), (None, "a"), (None, "b"), (None, "c")]
+    df = spark.createDataFrame(rows, "id long, v string").repartition(2)
+    stamped, counter = with_auto_increment(df, "id", next_val=seed)
+    got = {r["v"]: r["id"] for r in stamped.collect()}
+    assert got["x"] == seed - 10
+    assert sorted(v for k, v in got.items() if k != "x") == [seed, seed + 1, seed + 2]
+    assert counter == seed + 3

@@ -392,3 +392,33 @@ def test_ingest_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     # exactly-once: every event_id appears exactly once
     dup = got.groupBy("event_id").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_csv_load_column_subset_with_defaults(spark, tmp_path):
+    """issue1865.test: LOAD DATA ... (a, c) into an (a, b, c) table —
+    the missing column takes its DEFAULT, and changing the default
+    between loads affects only subsequent batches."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from stonedb_spark.sources.csvload import read_csv_column_subset
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,hello\n2,world\n")
+    schema = StructType(
+        [
+            StructField("a", IntegerType()),
+            StructField("b", IntegerType()),
+            StructField("c", StringType()),
+        ]
+    )
+    # first load: b has no default -> NULL (the test's DROP DEFAULT state)
+    good, bad = read_csv_column_subset(spark, str(p), schema, ["a", "c"])
+    assert bad.count() == 0
+    rows = {r["a"]: (r["b"], r["c"]) for r in good.collect()}
+    assert rows == {1: (None, "hello"), 2: (None, "world")}
+    assert [f.name for f in good.schema.fields] == ["a", "b", "c"]
+    # second load: SET DEFAULT 10
+    good2, _ = read_csv_column_subset(
+        spark, str(p), schema, ["a", "c"], defaults={"b": 10}
+    )
+    assert {r["b"] for r in good2.collect()} == {10}
