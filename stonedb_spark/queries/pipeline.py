@@ -2230,3 +2230,105 @@ def pipeline_domain_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction, pair-counting step: adjacent-symbol pair
+# frequencies weighted by word-type frequency — the inner statistic of
+# byte-pair-encoding tokenizer training.  The classic scale trick is
+# built in: the corpus collapses to WORD TYPES first (one map-side-
+# combined groupBy, output bounded by vocabulary size not corpus size),
+# and the pair explosion runs over types only — at 100 TB the pair agg
+# input is |vocab| × avg_word_len rows regardless of corpus row count.
+@register(
+    "text_bpe_pairs",
+    oracle="""
+WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+           FROM documents),
+wf AS (SELECT w, COUNT(*) AS freq FROM w GROUP BY w),
+p AS (SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair, freq
+      FROM wf)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 30
+""",
+    doc="BPE tokenizer training: adjacent-pair counts over word types, frequency-weighted",
+)
+def text_bpe_pairs(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    wf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w)-1), i -> substring(w, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-coverage diagnostic: per-source out-of-vocabulary token
+# rate against the corpus top-100 vocabulary — the check run before
+# committing a tokenizer/vocab to a training mix.  The vocab is a
+# bounded top-k (broadcastable at any corpus scale); the corpus side is
+# one explode + broadcast join + per-source agg; the ppm rate is
+# integer DIV, so exact on any engine.
+@register(
+    "text_oov_rate",
+    oracle="""
+WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+             FROM documents),
+vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+                         ORDER BY cnt DESC, w LIMIT 100) v),
+j AS (SELECT t.source, t.w, (vocab.w IS NOT NULL) AS in_vocab
+      FROM tok t LEFT JOIN vocab ON t.w = vocab.w)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) * 1000000
+         // COUNT(*) AS oov_ppm
+FROM j GROUP BY source
+ORDER BY source
+""",
+    doc="per-source OOV rate vs corpus top-100 vocab (ppm, integer-exact)",
+)
+def text_oov_rate(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(100)
+        .select(F.col("w").alias("vw"))
+    )
+    j = tok.join(F.broadcast(vocab), tok["w"] == F.col("vw"), "left")
+    oov = F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
