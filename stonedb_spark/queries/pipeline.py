@@ -2332,3 +2332,127 @@ def text_oov_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling: densify each user's hourly activity series
+# (missing hours appear with n_events=0) and forward-fill the last
+# observed per-hour max value — the telemetry/feature-store
+# normalization step before sequence models.  Shape: one groupBy to the
+# per-(user,hour) grid, one tiny per-user span agg, a map-only
+# sequence() explode for the dense axis, a co-partitioned left join
+# back, and a per-user window for the carry — output bounded by
+# users × active-span hours, never by raw event count.  The carried
+# value uses max() per bucket (order-independent) so the double
+# compares exactly cross-engine.
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+           FROM events WHERE user_id < 50),
+per AS (SELECT user_id, h, COUNT(*) AS cnt, MAX(value) AS mv
+        FROM e GROUP BY user_id, h),
+span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM per GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM span)
+SELECT g.user_id AS user_id, g.h AS h,
+       COALESCE(p.cnt, 0) AS n_events,
+       LAST_VALUE(p.mv IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM grid g LEFT JOIN per p ON g.user_id = p.user_id AND g.h = p.h
+ORDER BY user_id, h
+""",
+    doc="hourly gap fill + forward carry per user (dense grid via sequence explode)",
+)
+def events_gap_fill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 50)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    )
+    per = e.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("value").alias("mv")
+    )
+    grid = (
+        per.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("cnt", F.lit(0)).alias("n_events"),
+            F.last("mv", ignorenulls=True).over(w).alias("carried_value"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build from a change log: collapse each user's event
+# stream to state-change intervals (valid_from/valid_to, open-ended
+# NULL tail) — how a warehouse derives a slowly-changing dimension from
+# an append-only log.  Two windows over the SAME (user, ts, event_id)
+# ordering: a lag() to drop rows whose state equals the previous row's,
+# then a lead() over the survivors for the interval close — both
+# partition-parallel on user_id; ties on ts are broken by event_id so
+# the result is deterministic on any engine.
+@register(
+    "events_scd2_intervals",
+    oracle="""
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events WHERE user_id < 30),
+c AS (SELECT user_id, ts, event_id, event_type FROM s
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM c
+ORDER BY user_id, valid_from, event_id
+""",
+    doc="SCD2 intervals from an event change log (lag-dedupe + lead-close per user)",
+)
+def events_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
+    )

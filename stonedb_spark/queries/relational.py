@@ -1370,3 +1370,41 @@ def agg_salted_skew(spark, sf_dir):
         F.col("count_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Beyond parity: CUBE + GROUPING() ids (MySQL 5.7 has only WITH ROLLUP —
+# the reference routes even that to MySQL, query_compile.cpp:70-74;
+# Spark computes all four grouping sets in ONE pass with partial aggs).
+# The grouping_id bitmask disambiguates "NULL because aggregated away"
+# from a genuine NULL key — the standard-SQL answer to the rollup
+# placeholder problem.
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    doc="CUBE over (status, priority) with GROUPING() bitmask (beyond reference)",
+)
+def agg_grouping_sets(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(o["o_totalprice"].cast(DEC)).cast("double").alias("total_price"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority", "n", "total_price")
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
