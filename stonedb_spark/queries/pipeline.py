@@ -2456,3 +2456,177 @@ def events_scd2_intervals(spark, sf_dir):
         .orderBy("user_id", "valid_from", "event_id")
         .drop("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit (Deequ-style): completeness, bounds,
+# key-uniqueness and referential-integrity checks computed as a single
+# report — the validation gate a pipeline runs before promoting a batch.
+# Per-table metrics fold into ONE aggregate scan each (count/nulls/
+# bounds/distinct in the same partial-agg pass); the FK checks are
+# left-anti probes that AQE turns into broadcast/shuffle joins by size.
+# Everything lands as (check, observed, ok) with integer observables —
+# exact on any engine, no float drift in a pass/fail gate.
+@register(
+    "pipeline_data_quality",
+    oracle="""
+WITH l AS (SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS qty_nulls,
+                  CAST(SUM(CASE WHEN l_quantity < 0 OR l_quantity > 100
+                                THEN 1 ELSE 0 END) AS BIGINT) AS qty_oob,
+                  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                    AS line_dupes
+           FROM lineitem),
+o AS (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS key_dupes FROM orders),
+lo AS (SELECT COUNT(*) AS orphans FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+oc AS (SELECT COUNT(*) AS orphans FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+SELECT * FROM (
+  SELECT 'lineitem_nonempty' AS chk, n_rows AS observed, n_rows > 0 AS ok FROM l
+  UNION ALL SELECT 'lineitem_qty_complete', qty_nulls, qty_nulls = 0 FROM l
+  UNION ALL SELECT 'lineitem_qty_bounds', qty_oob, qty_oob = 0 FROM l
+  UNION ALL SELECT 'lineitem_pk_unique', line_dupes, line_dupes = 0 FROM l
+  UNION ALL SELECT 'orders_pk_unique', key_dupes, key_dupes = 0 FROM o
+  UNION ALL SELECT 'lineitem_fk_orders', orphans, orphans = 0 FROM lo
+  UNION ALL SELECT 'orders_fk_customer', orphans, orphans = 0 FROM oc
+) ORDER BY chk
+""",
+    doc="Deequ-style one-pass quality audit: completeness, bounds, PK/FK integrity",
+)
+def pipeline_data_quality(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l, o, c = t["lineitem"], t["orders"], t["customer"]  # noqa: E741
+
+    def row(chk, observed_col, df):
+        return df.select(
+            F.lit(chk).alias("chk"),
+            F.col(observed_col).cast("long").alias("observed"),
+            (F.col(observed_col) == 0 if chk != "lineitem_nonempty"
+             else F.col(observed_col) > 0).alias("ok"),
+        )
+
+    lm = l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("qty_nulls"),
+        F.sum(
+            F.when((F.col("l_quantity") < 0) | (F.col("l_quantity") > 100), 1).otherwise(0)
+        ).alias("qty_oob"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")).alias(
+            "line_dupes"
+        ),
+    )
+    om = o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("key_dupes"))
+    lo = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    oc = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    out = (
+        row("lineitem_nonempty", "n_rows", lm)
+        .unionByName(row("lineitem_qty_complete", "qty_nulls", lm))
+        .unionByName(row("lineitem_qty_bounds", "qty_oob", lm))
+        .unionByName(row("lineitem_pk_unique", "line_dupes", lm))
+        .unionByName(row("orders_pk_unique", "key_dupes", om))
+        .unionByName(row("lineitem_fk_orders", "orphans", lo))
+        .unionByName(row("orders_fk_customer", "orphans", oc))
+    )
+    return out.orderBy("chk")
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: classify every key of two table snapshots as
+# insert / delete / update / unchanged — the change-data-capture step
+# between periodic full loads, and the input a MERGE consumes.  The
+# "new" snapshot is derived deterministically from orders (drop %97
+# keys, bump %13 prices, add %101 re-keyed inserts) so both engines
+# build the identical pair.  One full-outer join on the PK; change
+# detection is direct column equality (no row-hash stringification —
+# cross-engine float formatting is exactly the trap to avoid).  Output
+# is the per-class count + an exact DECIMAL net-amount delta.
+@register(
+    "pipeline_snapshot_diff",
+    oracle="""
+WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+d AS (SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN n.o_totalprice <> o.o_totalprice
+                       OR n.o_orderstatus <> o.o_orderstatus THEN 'update'
+                  ELSE 'unchanged' END AS change,
+             COALESCE(CAST(n.o_totalprice AS DECIMAL(38,10)), 0)
+               - COALESCE(CAST(o.o_totalprice AS DECIMAL(38,10)), 0) AS delta
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT change, COUNT(*) AS n_keys,
+       CAST(SUM(delta) AS DOUBLE) AS net_amount_delta
+FROM d GROUP BY change ORDER BY change
+""",
+    doc="CDC snapshot diff: insert/delete/update/unchanged classes via one full-outer join",
+)
+def pipeline_snapshot_diff(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    old_a = o.select(
+        F.col("o_orderkey").alias("ok_old"),
+        F.col("o_orderstatus").alias("st_old"),
+        F.col("o_totalprice").alias("tp_old"),
+    )
+    new_a = new.select(
+        F.col("o_orderkey").alias("ok_new"),
+        F.col("o_orderstatus").alias("st_new"),
+        F.col("o_totalprice").alias("tp_new"),
+    )
+    d = old_a.join(new_a, F.col("ok_old") == F.col("ok_new"), "full_outer").select(
+        F.when(F.col("ok_old").isNull(), "insert")
+        .when(F.col("ok_new").isNull(), "delete")
+        .when(
+            (F.col("tp_new") != F.col("tp_old"))
+            | (F.col("st_new") != F.col("st_old")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+        (
+            F.coalesce(F.col("tp_new").cast(DEC), F.lit(0).cast(DEC))
+            - F.coalesce(F.col("tp_old").cast(DEC), F.lit(0).cast(DEC))
+        ).alias("delta"),
+    )
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("delta").cast("double").alias("net_amount_delta"),
+        )
+        .orderBy("change")
+    )
