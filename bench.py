@@ -58,6 +58,8 @@ HEADLINE_EXTRA = (
     "join_asof_backward",
     "pipeline_sequence_pack",
     "emb_quantize_int8",
+    "text_line_dedup",
+    "pipeline_snapshot_diff",
 )
 
 # TPC-H tables replicated into the synthetic sf1; nation/region are
