@@ -224,7 +224,9 @@ def test_salted_join_no_bnlj_and_spreads_keys(spark, sf_dir):
 # pair baseline whose scale path is the LSH variant (dedup_embedding_cos).
 _BNLJ_ALLOWED = {
     "dedup_embedding_cos",
+    "emb_hard_negatives",  # bounded anchor-batch broadcast (non-equi by design)
     "join_cross_dims",
+    "pipeline_domain_mix",  # 1-row broadcast of the min-tokens scalar
     "knn_bruteforce",
     "knn_ivf_probe",  # 1-row query-vec broadcasts; data side joins are equi
     "agg_histogram",  # 1-row broadcast of the min/max bounds
