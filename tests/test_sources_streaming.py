@@ -422,3 +422,47 @@ def test_csv_load_column_subset_with_defaults(spark, tmp_path):
         spark, str(p), schema, ["a", "c"], defaults={"b": 10}
     )
     assert {r["b"] for r in good2.collect()} == {10}
+
+
+def test_streaming_trending_terms_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding-window trending terms: the streaming sliding-window counts
+    (complete mode, availableNow drain) must equal the batch evaluation
+    of the SAME expression, and the top-k post-pass must rank
+    deterministically."""
+    from stonedb_spark.streaming.ingest import stream_events
+    from stonedb_spark.streaming.trending import topk_per_window, trending_term_counts
+
+    src = str(tmp_path / "src")
+    events = load_tables(spark, sf_dir)["events"]
+    sample = events.filter(F.col("event_id") % 23 == 0)
+    sample.write.parquet(src, mode="overwrite")
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events(spark, src, schema)
+    q = (
+        trending_term_counts(stream)
+        .writeStream.format("memory")
+        .queryName("trend_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.w_start, r.w_end, r.term): r.n
+        for r in spark.sql("SELECT * FROM trend_counts").collect()
+    }
+    expect = {
+        (r.w_start, r.w_end, r.term): r.n
+        for r in trending_term_counts(sample).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    top = topk_per_window(trending_term_counts(sample), k=2).collect()
+    by_win = {}
+    for r in top:
+        by_win.setdefault((r.w_start, r.w_end), []).append((r.rnk, r.n, r.term))
+    for ranked in by_win.values():
+        assert [r[0] for r in ranked] == list(range(1, len(ranked) + 1))
+        ns = [r[1] for r in ranked]
+        assert ns == sorted(ns, reverse=True)  # rank follows count desc
