@@ -2630,3 +2630,58 @@ def pipeline_snapshot_diff(spark, sf_dir):
         )
         .orderBy("change")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution fuzzy match: near-identical NAME pairs by edit
+# distance, with the two standard scale moves composed: (1) collapse
+# the corpus to name TYPES first (one map-side-combined groupBy —
+# the quadratic step never sees row counts), (2) block candidates by a
+# cheap key (3-char prefix) so the levenshtein residual runs only
+# within blocks, never all-pairs.  At 100 TB: type count ~ entity
+# vocabulary (bounded), blocks keep the candidate equi-join linear in
+# type count — the same blocking shape record-linkage systems use.
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+WITH t AS (SELECT lower(p_name) AS nm, COUNT(*) AS freq FROM part GROUP BY nm),
+p AS (SELECT a.nm AS n1, b.nm AS n2,
+             CAST(levenshtein(a.nm, b.nm) AS INT) AS dist,
+             a.freq + b.freq AS n_rows_covered
+      FROM t a JOIN t b
+        ON substr(a.nm, 1, 3) = substr(b.nm, 1, 3) AND a.nm < b.nm)
+SELECT n1, n2, dist, n_rows_covered
+FROM p WHERE dist > 0 AND dist <= 4
+ORDER BY n1, n2
+""",
+    doc="fuzzy name-pair matching: type-level blocking + levenshtein residual (ER)",
+)
+def dedup_fuzzy_names(spark, sf_dir):
+    p = load_tables(spark, sf_dir)["part"]
+    t = (
+        p.select(F.lower(F.col("p_name")).alias("nm"))
+        .groupBy("nm")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    a = t.select(
+        F.col("nm").alias("n1"),
+        F.col("freq").alias("f1"),
+        F.substring("nm", 1, 3).alias("bk"),
+    )
+    b = t.select(
+        F.col("nm").alias("n2"),
+        F.col("freq").alias("f2"),
+        F.substring("nm", 1, 3).alias("bk"),
+    )
+    return (
+        a.join(b, ["bk"])
+        .filter(F.col("n1") < F.col("n2"))
+        .select(
+            "n1",
+            "n2",
+            F.levenshtein("n1", "n2").alias("dist"),
+            (F.col("f1") + F.col("f2")).alias("n_rows_covered"),
+        )
+        .filter((F.col("dist") > 0) & (F.col("dist") <= 4))
+        .orderBy("n1", "n2")
+    )

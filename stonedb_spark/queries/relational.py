@@ -1408,3 +1408,64 @@ def agg_grouping_sets(spark, sf_dir):
             F.asc_nulls_first("o_orderpriority"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Beyond parity: Pearson correlation + covariance per group, computed
+# from DECIMAL-EXACT moment sums.  Built-in corr()/covar_samp() fold
+# doubles in partition order — nondeterministic across layouts; here the
+# five moments (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL partials
+# (order-independent), and only the FINAL closed-form formula runs in
+# double — one expression shape over identical inputs is deterministic
+# IEEE on any engine, so the result hashes identically everywhere.
+@register(
+    "agg_corr_moments",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                  * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+FROM m ORDER BY l_returnflag
+""",
+    doc="per-group covariance/correlation from decimal-exact moments (beyond reference)",
+)
+def agg_corr_moments(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]  # noqa: E741
+    d18 = "decimal(18,4)"
+    x = F.col("l_quantity").cast(d18)
+    y = F.col("l_discount").cast(d18)
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / (n * (n - F.lit(1)))).alias("covar_samp"),
+        (
+            num
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr"),
+    ).orderBy("l_returnflag")
