@@ -236,3 +236,128 @@ def test_heavy_hitters_guarantee_skewed(spark):
         .collect()
     }
     assert got == expect and "hot" in got and got["hot"] == 3000
+
+
+def test_line_dedup_no_cross_doc_dupes_keeps_everything(spark, sf_dir):
+    """A corpus slice whose 10-word windows are all corpus-unique must
+    survive line dedup intact: n_shared=0 everywhere and clean_hash =
+    md5 of the full reassembled text."""
+    from stonedb_spark.queries import all_queries
+
+    out = all_queries()["text_line_dedup"].build(spark, sf_dir).collect()
+    assert len(out) > 0
+    # a doc reassembles to the empty string IFF every one of its windows
+    # is shared corpus-wide (C4 legitimately drops such docs); counts
+    # stay within bounds and the fully-wiped set stays a small minority
+    import hashlib
+
+    empty = hashlib.md5(b"").hexdigest()
+    for r in out:
+        assert 0 <= r.n_shared <= r.n_sent
+        assert (r.clean_hash == empty) == (r.n_shared == r.n_sent)
+    wiped = sum(1 for r in out if r.clean_hash == empty)
+    assert wiped < 0.1 * len(out), f"{wiped}/{len(out)} docs wiped"
+
+
+def test_hard_negatives_labels_differ_and_ranks_dense(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    anchor's, ranks must be dense 1..5 per anchor."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.queries import all_queries
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    rows = all_queries()["emb_hard_negatives"].build(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.anchor_id, []).append(r)
+        assert labels[r.vec_id] != labels[r.anchor_id]
+    for a, rs in per.items():
+        assert sorted(x.rnk for x in rs) == [1, 2, 3, 4, 5]
+        sims = [x.cos_sim for x in sorted(rs, key=lambda x: x.rnk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_snapshot_diff_classes_partition_the_keyspace(spark, sf_dir):
+    """insert+delete+update+unchanged counts must exactly cover
+    |old ∪ new| keys, and the derivation rates must match the modulus
+    rules that built the new snapshot."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.queries import all_queries
+
+    o = load_tables(spark, sf_dir)["orders"]
+    n_old = o.count()
+    got = {
+        r.change: r.n_keys
+        for r in all_queries()["pipeline_snapshot_diff"].build(spark, sf_dir).collect()
+    }
+    n_del = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 101 == 0).count()
+    # updates: %13 survivors whose price actually changed (+1.0 always changes)
+    n_upd = o.filter(
+        (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 13 == 0)
+    ).count()
+    assert got.get("delete", 0) == n_del
+    assert got.get("insert", 0) == n_ins
+    assert got.get("update", 0) == n_upd
+    assert got.get("unchanged", 0) == n_old - n_del - n_upd
+    assert sum(got.values()) == n_old + n_ins
+
+
+def test_domain_mix_rates_are_valid_probabilities(spark, sf_dir):
+    """Every ppm rate is in (0, 1e6]; the min-token source gets exactly
+    1e6 (kept whole); expected token mass is <= actual."""
+    from stonedb_spark.queries import all_queries
+
+    rows = all_queries()["pipeline_domain_mix"].build(spark, sf_dir).collect()
+    assert rows
+    assert all(0 < r.rate_ppm <= 1_000_000 for r in rows)
+    mn = min(r.n_tokens for r in rows)
+    assert all(
+        r.rate_ppm == 1_000_000 for r in rows if r.n_tokens == mn
+    )
+    assert all(r.expected_tokens <= r.n_tokens for r in rows)
+
+
+def test_gap_fill_grid_is_dense_and_carry_monotone(spark, sf_dir):
+    """The filled series has every hour between each user's span ends,
+    zero-count rows only where no events fell, and the carried value is
+    never NULL after the first observed hour."""
+    from stonedb_spark.queries import all_queries
+
+    rows = all_queries()["events_gap_fill"].build(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.user_id, []).append(r)
+    assert per
+    from datetime import timedelta
+
+    for u, rs in per.items():
+        rs.sort(key=lambda r: r.h)
+        for a, b in zip(rs, rs[1:]):
+            assert b.h - a.h == timedelta(hours=1), f"gap in user {u} grid"
+        # first row is an observed hour by construction (span starts there)
+        assert rs[0].n_events > 0 and rs[0].carried_value is not None
+        assert all(r.carried_value is not None for r in rs)
+
+
+def test_scd2_intervals_tile_each_user_history(spark, sf_dir):
+    """Per user: exactly one open interval (the last), each interval's
+    valid_to equals the next interval's valid_from (gap-free tiling),
+    and consecutive intervals always change state."""
+    from stonedb_spark.queries import all_queries
+
+    rows = all_queries()["events_scd2_intervals"].build(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.user_id, []).append(r)
+    assert per
+    for u, rs in per.items():
+        rs.sort(key=lambda r: r.valid_from)
+        open_tails = [r for r in rs if r.valid_to is None]
+        assert len(open_tails) == 1 and open_tails[0] is rs[-1]
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, f"gap/overlap for user {u}"
+            assert a.event_type != b.event_type, f"no-op interval for user {u}"
