@@ -2685,3 +2685,44 @@ def dedup_fuzzy_names(spark, sf_dir):
         .filter((F.col("dist") > 0) & (F.col("dist") <= 4))
         .orderBy("n1", "n2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-class sampling: exactly k docs per source, chosen by
+# md5-hash rank — the deterministic, partitioning-independent version of
+# per-class reservoir sampling used to build balanced eval/calibration
+# sets.  Same two-phase top-k as emb_hard_negatives: a per-input-
+# partition window prunes to ≤k rows per (source, partition) before the
+# global per-source rank, so no reducer sees a full class even when one
+# source dominates the corpus (the usual skew in web crawls).
+@register(
+    "pipeline_balanced_sample",
+    oracle="""
+WITH r AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rk
+           FROM documents)
+SELECT source, CAST(rk AS INT) AS rk, doc_id
+FROM r WHERE rk <= 5
+ORDER BY source, rk
+""",
+    doc="balanced per-source k=5 sample via md5-hash rank, two-phase top-k",
+)
+def pipeline_balanced_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w_local = Window.partitionBy("source", "pid").orderBy("hk", "doc_id")
+    w_global = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        d.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 5)
+        .withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    )
