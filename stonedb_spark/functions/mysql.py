@@ -577,3 +577,44 @@ def tianmu_int_cast(col: Column, dtype: str = "int") -> Column:
     x = col.cast("decimal(38,0)")
     lod, hid = F.lit(lo).cast("decimal(38,0)"), F.lit(hi).cast("decimal(38,0)")
     return F.greatest(F.least(x, hid), lod).cast("long")
+
+
+def insert_str(s: Column, pos: Column, length: Column, repl: Column) -> Column:
+    """MySQL INSERT(str, pos, len, newstr): replace len chars at pos
+    (1-based) with newstr; returns str unchanged when pos is out of
+    range (mid_function.test exercises the family).  Composed from
+    concat∘substring — identical formula runs in the DuckDB oracles."""
+    out = F.concat(
+        F.substring(s, F.lit(1), pos - F.lit(1)), repl, F.substring(s, pos + length, F.lit(2147483647))
+    )
+    return F.when((pos < F.lit(1)) | (pos > F.char_length(s)), s).otherwise(out)
+
+
+def export_set(bits: Column, on: str, off: str, sep: str = ",", n_bits: int = 8) -> Column:
+    """MySQL EXPORT_SET(bits, on, off, sep, n): low bit first."""
+    return F.array_join(
+        F.array(
+            *[
+                F.when(bits.bitwiseAND(F.lit(1 << i)) != 0, on).otherwise(off)
+                for i in range(n_bits)
+            ]
+        ),
+        sep,
+    )
+
+
+def make_set(bits: Column, *items: str) -> Column:
+    """MySQL MAKE_SET(bits, s1, s2, ...): comma-join the items whose
+    bit is set (low bit = first item); NULL items are skipped by MySQL —
+    not modeled (callers pass literals)."""
+    picked = [
+        F.when(bits.bitwiseAND(F.lit(1 << i)) != 0, F.lit(s)) for i, s in enumerate(items)
+    ]
+    return F.array_join(F.array_compact(F.array(*picked)), ",")
+
+
+def locate(sub: str, s: Column, pos: int | None = None) -> Column:
+    """MySQL LOCATE(substr, str[, pos]) — 1-based, 0 when absent."""
+    if pos is None:
+        return F.instr(s, sub).cast("long")
+    return F.locate(sub, s, pos).cast("long")

@@ -796,3 +796,69 @@ def func_double_float(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Extended string family (char_length_function.test, mid_function.test,
+# substr_function.test tails): CHAR_LENGTH-vs-byte-LENGTH on multibyte
+# text, RPAD/UCASE/LCASE, 2- and 3-arg LOCATE/POSITION, trim variants,
+# MySQL INSERT(), EXPORT_SET, MAKE_SET, BIT_LENGTH/OCTET_LENGTH.
+# MySQL's LENGTH() is BYTES while CHAR_LENGTH() is characters — the
+# multibyte marker column ('é漢' suffix: 1+3 extra chars, 2+3+3 extra
+# bytes in UTF-8) pins that distinction on both engines.
+@register(
+    "func_string_extra",
+    oracle="""
+SELECT p_partkey,
+       p_name || 'é漢' AS mb,
+       CAST(length(p_name || 'é漢') AS INT)            AS n_chars,
+       CAST(octet_length(encode(p_name || 'é漢')) AS INT) AS n_bytes,
+       CAST(8 * octet_length(encode(p_name || 'é漢')) AS INT) AS n_bits,
+       rpad(p_brand, 12, '*')                           AS rp,
+       upper(p_name)                                    AS uc,
+       lower(p_brand)                                   AS lc,
+       CAST(strpos(p_name, 'o') AS BIGINT)              AS loc2,
+       CAST(CASE WHEN strpos(substr(p_name, 3), 'o') = 0 THEN 0
+                 ELSE strpos(substr(p_name, 3), 'o') + 2 END AS BIGINT) AS loc3,
+       ltrim('  ' || p_brand)                           AS lt,
+       rtrim(p_brand || '  ')                           AS rt,
+       CASE WHEN 2 < 1 OR 2 > length(p_name) THEN p_name
+            ELSE substr(p_name, 1, 1) || 'XY' || substr(p_name, 2 + 3) END AS ins,
+       array_to_string([CASE WHEN (p_partkey & (1 << i)) <> 0
+                             THEN 'Y' ELSE 'N' END for i in range(0, 8)], ',') AS eset,
+       coalesce(array_to_string(list_filter(
+         [CASE WHEN (p_partkey & 1) <> 0 THEN 'a' END,
+          CASE WHEN (p_partkey & 2) <> 0 THEN 'b' END,
+          CASE WHEN (p_partkey & 4) <> 0 THEN 'c' END],
+         x -> x IS NOT NULL), ','), '')                 AS mset
+FROM part
+WHERE p_partkey <= 100
+ORDER BY p_partkey
+""",
+    doc="extended string family: byte-vs-char length, pads, locate, INSERT/EXPORT_SET/MAKE_SET",
+)
+def func_string_extra(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    mb = F.concat(p["p_name"], F.lit("é漢"))
+    return (
+        p.filter(p["p_partkey"] <= 100)
+        .select(
+            "p_partkey",
+            mb.alias("mb"),
+            F.char_length(mb).alias("n_chars"),
+            F.octet_length(mb).alias("n_bytes"),
+            F.bit_length(mb).alias("n_bits"),
+            F.rpad(p["p_brand"], 12, "*").alias("rp"),
+            F.upper(p["p_name"]).alias("uc"),  # UCASE alias
+            F.lower(p["p_brand"]).alias("lc"),  # LCASE alias
+            my.locate("o", p["p_name"]).alias("loc2"),
+            my.locate("o", p["p_name"], 3).alias("loc3"),
+            F.ltrim(F.concat(F.lit("  "), p["p_brand"])).alias("lt"),
+            F.rtrim(F.concat(p["p_brand"], F.lit("  "))).alias("rt"),
+            my.insert_str(p["p_name"], F.lit(2), F.lit(3), F.lit("XY")).alias("ins"),
+            my.export_set(p["p_partkey"], "Y", "N", ",", 8).alias("eset"),
+            my.make_set(p["p_partkey"], "a", "b", "c").alias("mset"),
+        )
+        .orderBy("p_partkey")
+    )
