@@ -1469,3 +1469,33 @@ def agg_corr_moments(spark, sf_dir):
             )
         ).alias("corr"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# SQL-text parity: ONE SQL string executed verbatim by BOTH engines —
+# the reference's user surface is SQL text over named tables
+# (ha_my_tianmu.h:28), and this entry proves a migrating user's query
+# runs through stonedb_spark.catalog.sql() unchanged wherever MySQL 5.7,
+# Spark SQL and ANSI agree (OR-tree predicate, grouped HAVING, CASE
+# conditional count — the orquery.test / having.test shapes).
+_SHARED_SQL_TEXT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+FROM orders
+WHERE o_custkey % 7 = 1 OR o_orderstatus = 'P'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_text_shared",
+    oracle=_SHARED_SQL_TEXT,
+    doc="one SQL string, zero translation: spark.sql == DuckDB == (MySQL dialect subset)",
+)
+def sql_text_shared(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(spark, _SHARED_SQL_TEXT, sf_dir)

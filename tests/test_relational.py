@@ -11,7 +11,7 @@ NAMES = sorted(
     n
     for n in all_queries()
     if n.split("_")[0]
-    in ("pred", "agg", "join", "sort", "distinct", "union", "subq", "case", "window", "rollup", "pivot")
+    in ("pred", "agg", "join", "sort", "distinct", "union", "subq", "case", "window", "rollup", "pivot", "sql")
 )
 
 
