@@ -323,3 +323,54 @@ def test_decimal_div_scale_rule(spark):
     assert got["b"] == D.Decimal("0.6667")  # HALF_UP at scale 4
     assert got["c"] == D.Decimal("3.75000")  # scale 1+4
     assert got["z"] is None
+
+
+def test_string_shim_grid_vs_python_model(spark):
+    """insert_str / export_set / make_set / locate over a dense edge grid
+    (multibyte strings, out-of-range positions, zero/overlong lengths,
+    bit patterns incl. 0 and wide ints) vs pure-Python models of the
+    MySQL definitions — one Spark job for the whole grid."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    strs = ["", "a", "ab", "héllo", "漢字abc", "red plate"]
+    poss = [-1, 0, 1, 2, 3, 5, 6, 10]
+    lens = [0, 1, 3, 100]
+    rows = [(s, p, ln) for s in strs for p in poss for ln in lens]
+    df = spark.createDataFrame(rows, "s string, p int, ln int")
+    got = df.select(
+        "s", "p", "ln",
+        M.insert_str(F.col("s"), F.col("p"), F.col("ln"), F.lit("XY")).alias("ins"),
+    ).collect()
+
+    def py_insert(s, p, ln):
+        if p < 1 or p > len(s):
+            return s
+        return s[: p - 1] + "XY" + s[p - 1 + ln:]
+
+    for r in got:
+        assert r["ins"] == py_insert(r["s"], r["p"], r["ln"]), (r["s"], r["p"], r["ln"], r["ins"])
+
+    bits = [0, 1, 2, 3, 5, 7, 8, 170, 255, 256, 2**31 - 1]
+    bdf = spark.createDataFrame([(b,) for b in bits], "b long")
+    bout = bdf.select(
+        "b",
+        M.export_set(F.col("b"), "Y", "N", ",", 8).alias("es"),
+        M.make_set(F.col("b"), "a", "b", "c").alias("ms"),
+    ).collect()
+    for r in bout:
+        b = r["b"]
+        assert r["es"] == ",".join("Y" if b & (1 << i) else "N" for i in range(8))
+        assert r["ms"] == ",".join(
+            s for i, s in enumerate(("a", "b", "c")) if b & (1 << i)
+        )
+
+    ldf = spark.createDataFrame([(s,) for s in strs], "s string")
+    lout = ldf.select(
+        "s", M.locate("l", F.col("s")).alias("l2"), M.locate("l", F.col("s"), 4).alias("l3")
+    ).collect()
+    for r in lout:
+        assert r["l2"] == r["s"].find("l") + 1
+        f3 = r["s"].find("l", 3)
+        assert r["l3"] == (0 if f3 < 0 else f3 + 1)
