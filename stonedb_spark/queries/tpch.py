@@ -1046,6 +1046,10 @@ def tpch_q21(spark, sf_dir):
     load_tables(spark, sf_dir)
     # Correlated EXISTS/NOT EXISTS with inequality correlation is exactly
     # what Catalyst's subquery decorrelation handles; express in SQL.
+    # Measured (round 4, sf3, interleaved min-of-5): the hand-written
+    # single-scan rewrite (per-order conditional COUNT(DISTINCT) + join
+    # back to late rows) ties this decorrelated form at 4.3s — Catalyst
+    # already plans the efficient shape, so the declarative SQL stays.
     return spark.sql(
         """
 SELECT s_name, COUNT(*) AS numwait
