@@ -2726,3 +2726,60 @@ def pipeline_balanced_sample(spark, sf_dir):
         .select("source", "rk", "doc_id")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip per-source outliers at the global [p5, p95]
+# length band — the robust-statistics normalization applied before
+# computing corpus statistics that a few giant documents would
+# otherwise dominate.  Cut points come from percentile_disc (SELECTION,
+# not interpolation — the chosen values are actual data values, so the
+# clip thresholds are engine-exact doubles); they broadcast as one row
+# and the clip itself is a map-only least/greatest.  Integer token
+# counts keep the clipped sums exact cross-engine.
+@register(
+    "pipeline_winsorize_lengths",
+    oracle="""
+WITH tok AS (SELECT source,
+                    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+             FROM documents),
+cuts AS (SELECT quantile_disc(n_tok, 0.05) AS lo, quantile_disc(n_tok, 0.95) AS hi
+         FROM tok)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok < lo OR n_tok > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(SUM(GREATEST(LEAST(n_tok, hi), lo)) AS BIGINT) AS winsorized_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens
+FROM tok CROSS JOIN cuts
+GROUP BY source
+ORDER BY source
+""",
+    doc="winsorize doc lengths at global [p5,p95] via broadcast percentile_disc cut points",
+)
+def pipeline_winsorize_lengths(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "source", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    cuts = tok.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tok)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tok)").alias("hi"),
+    )
+    return (
+        tok.crossJoin(F.broadcast(cuts))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_tok") < F.col("lo")) | (F.col("n_tok") > F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            F.sum(F.greatest(F.least("n_tok", "hi"), F.col("lo"))).alias(
+                "winsorized_tokens"
+            ),
+            F.sum("n_tok").alias("raw_tokens"),
+        )
+        .orderBy("source")
+    )

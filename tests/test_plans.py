@@ -232,6 +232,7 @@ _BNLJ_ALLOWED = {
     "agg_histogram",  # 1-row broadcast of the min/max bounds
     "events_funnel",  # final combine of three 1-row stage counts
     "pipeline_global_deciles",  # 1-row broadcast of the 9 decile cut points
+    "pipeline_winsorize_lengths",  # 1-row broadcast of the [p5,p95] cut points
     "subq_all_any",
     "text_bm25_search",  # 1-row broadcast of the (n, avgdl) corpus stats
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
