@@ -466,3 +466,66 @@ def test_streaming_trending_terms_matches_batch(spark, sf_dir, tmp_path):
         assert [r[0] for r in ranked] == list(range(1, len(ranked) + 1))
         ns = [r[1] for r in ranked]
         assert ns == sorted(ns, reverse=True)  # rank follows count desc
+
+
+def test_cdc_diff_apply_roundtrip(spark, sf_dir):
+    """apply_changes(old, diff_snapshots(old, new)) must reproduce new
+    exactly, and the change classes must match the aggregate op."""
+    from stonedb_spark.sources.cdc import apply_changes, diff_snapshots
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    changes = diff_snapshots(o, new, "o_orderkey")
+    rebuilt = apply_changes(o, changes, "o_orderkey")
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+    classes = {r["_change"]: r["n"] for r in
+               changes.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(classes) == {"insert", "delete", "update"}
+    assert classes["delete"] == o.filter(F.col("o_orderkey") % 97 == 0).count()
+
+
+def test_cdc_streaming_apply_converges(spark, sf_dir, tmp_path):
+    """Streaming the change set in arbitrary file chunks through
+    foreachBatch apply must converge the sink to the new snapshot."""
+    from stonedb_spark.sources.cdc import diff_snapshots, run_streaming_apply
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") <= 2000)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 5.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    target = str(tmp_path / "table.parquet")
+    o.write.parquet(target)
+    changes_dir = str(tmp_path / "changes")
+    changes = diff_snapshots(o, new, "o_orderkey")
+    changes.repartition(4).write.parquet(changes_dir)  # several files -> several batches possible
+    schema = spark.read.parquet(changes_dir).schema
+    run_streaming_apply(
+        spark, changes_dir, target, str(tmp_path / "ckpt"), schema, "o_orderkey"
+    )
+    final = spark.read.parquet(target)
+    assert final.exceptAll(new).count() == 0
+    assert new.exceptAll(final).count() == 0
