@@ -2783,3 +2783,94 @@ def pipeline_winsorize_lengths(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (perplexity-proxy filtering): train
+# add-one-smoothed bigram probabilities on the corpus itself, score
+# every document by its mean token log-probability — the KenLM-style
+# quality signal used to filter pretraining data, here with the corpus
+# as its own LM.  Scale shape: the LM tables are VOCAB-bounded (unigram
+# + bigram counts — broadcastable at any corpus size), the per-doc
+# bigram stream is map-only, and the per-token log-probs quantize to
+# integer micro-units before the per-doc sum (floor(x·1e6+0.5), the
+# same engine-portable quantizer as text_bm25_search) so the aggregate
+# is exact cross-engine.
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+       FROM w),
+uni AS (SELECT unnest(w) AS term FROM w),
+uc AS (SELECT term, COUNT(*) AS c1 FROM uni GROUP BY term),
+vocab AS (SELECT COUNT(*) AS v FROM uc),
+bc AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+scored AS (
+  SELECT b.doc_id,
+         CAST(FLOOR(ln((bc.c2 + 1.0) / (uc.c1 + vocab.v))
+                    * 1000000 + 0.5) AS BIGINT) AS lp_micro
+  FROM bg b
+  JOIN bc ON b.bigram = bc.bigram
+  JOIN uc ON string_split(b.bigram, ' ')[1] = uc.term
+  CROSS JOIN vocab)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
+       SUM(lp_micro) // COUNT(*) AS avg_lp_micro
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="bigram-LM perplexity proxy: add-one smoothing, vocab-bounded LM, micro-int exact sums",
+)
+def text_bigram_lm_score(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.select("doc_id", T.tokens(F.col("text")).alias("w"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("bigram"),
+    )
+    uc = (
+        w.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(F.broadcast(bc), "bigram")
+        .join(
+            F.broadcast(uc),
+            F.split(F.col("bigram"), " ")[0] == F.col("term"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))) * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_micro",
+            F.expr("logprob_micro DIV n_bigrams").alias("avg_lp_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1499,3 +1499,72 @@ def sql_text_shared(spark, sf_dir):
     from stonedb_spark.catalog import sql as run_sql
 
     return run_sql(spark, _SHARED_SQL_TEXT, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Beyond parity: per-group ordinary-least-squares fit (slope/intercept/
+# R²) from the same DECIMAL-exact moment partials as agg_corr_moments —
+# the one-pass distributed regression every metrics warehouse needs
+# (built-in regr_slope folds doubles in partition order and is layout-
+# nondeterministic; exact moments + one closed-form double expression
+# are not).
+@register(
+    "agg_ols_regression",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                  * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0
+         AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m ORDER BY l_returnflag
+""",
+    doc="per-group OLS slope/intercept/R2 from integer-cent exact moments (beyond reference)",
+)
+def agg_ols_regression(spark, sf_dir):
+    """One-pass distributed OLS.  Moments accumulate as INTEGER cents
+    (the 2-decimal money/quantity columns are exact in cent units;
+    products <= 1e14 fit int64 per element, sums go through DECIMAL/
+    HUGEINT so nothing overflows or rounds) — built-in regr_slope folds
+    doubles in partition order and is layout-nondeterministic.  The
+    closed forms run in double over identical integers on both engines,
+    so results hash identically; slope and R2 are scale-invariant in
+    cent units, the intercept divides the factor back out."""
+    l = load_tables(spark, sf_dir)["lineitem"]  # noqa: E741
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc.cast(dec)).cast("double").alias("sx"),
+        F.sum(yc.cast(dec)).cast("double").alias("sy"),
+        F.sum((xc * yc).cast(dec)).cast("double").alias("sxy"),
+        F.sum((xc * xc).cast(dec)).cast("double").alias("sxx"),
+        F.sum((yc * yc).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (((F.col("sy") - slope * F.col("sx")) / n) / 100.0).alias("intercept"),
+        ((num * num) / (den * (n * F.col("syy") - F.col("sy") * F.col("sy")))).alias(
+            "r2"
+        ),
+    ).orderBy("l_returnflag")

@@ -234,6 +234,7 @@ _BNLJ_ALLOWED = {
     "pipeline_global_deciles",  # 1-row broadcast of the 9 decile cut points
     "pipeline_winsorize_lengths",  # 1-row broadcast of the [p5,p95] cut points
     "subq_all_any",
+    "text_bigram_lm_score",  # 1-row broadcast of the vocab size
     "text_bm25_search",  # 1-row broadcast of the (n, avgdl) corpus stats
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
     "tpch_q11",
