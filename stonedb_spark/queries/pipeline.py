@@ -2874,3 +2874,113 @@ def text_bigram_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time bars: per (event_type, hour) open/high/low/close/volume —
+# the financial-style rollup a metrics warehouse derives from tick
+# streams.  First/last are selected by row_number over the SAME
+# (ts, event_id) ordering on both engines (min_by/arg_min tie-break
+# arbitrarily; a window with an explicit total order does not), so the
+# result is deterministic.  Windows partition by (type, hour) —
+# partition-parallel — and the final agg is map-side combinable.
+@register(
+    "events_ohlc_bars",
+    oracle="""
+WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+           FROM events),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, h
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+SELECT event_type, h,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_ticks
+FROM r GROUP BY event_type, h
+ORDER BY event_type, h
+""",
+    doc="OHLC hourly bars per event type; open/close via total-order windows (deterministic)",
+)
+def events_ohlc_bars(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "ts", "event_id", "value"
+    )
+    wa = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        r.groupBy("event_type", "h")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class prototypes: the per-label mean embedding (centroid), the seed
+# for nearest-class-mean classifiers and IVF-style coarse quantizers.
+# Float element sums are order-dependent in IEEE; here each element
+# quantizes to integer micro-units first (floor(x·1e6+0.5) of the
+# float→double-exact value), the per-(label, dim) sums are exact
+# BIGINTs, and the centroid is an integer DIV — bit-identical on any
+# engine and any partitioning.  Long format (label, dim, value):
+# labels × dims rows, the explode is map-only, one agg.
+@register(
+    "emb_class_centroids",
+    oracle="""
+WITH x0 AS (SELECT label,
+                   [{'dim': i - 1,
+                     'v_micro': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000
+                                           + 0.5) AS BIGINT)}
+                    for i in range(1, len(embedding) + 1)] AS es
+            FROM embeddings),
+x AS (SELECT label, unnest(es, recursive := true) FROM x0)
+SELECT label, CAST(dim AS INT) AS dim,
+       COUNT(*) AS n,
+       CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+       CAST(SUM(v_micro) AS BIGINT) // COUNT(*) AS centroid_micro
+FROM x GROUP BY label, dim
+ORDER BY label, dim
+""",
+    doc="per-label embedding centroids via micro-int exact element sums (long format)",
+)
+def emb_class_centroids(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["embeddings"]
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000000 + 0.5).cast("long").alias("v_micro"),
+    )
+    return (
+        x.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_micro").alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_micro",
+            F.expr("sum_micro DIV n").alias("centroid_micro"),
+        )
+        .orderBy("label", "dim")
+    )
