@@ -2984,3 +2984,87 @@ def emb_class_centroids(spark, sf_dir):
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-class-mean evaluation: classify every vector by its nearest
+# label centroid and report per-class accuracy — the standard cheap
+# probe of embedding quality (and of the centroids that seed IVF).
+# Composes emb_class_centroids' exact micro-int prototypes: centroids
+# reconstruct exactly (ints < 2^53 → double), the squared-distance
+# expression is identical on both engines, and the argmin is a
+# row_number over the explicit (dist, label) order — no arg_min
+# tie-break nondeterminism.  Centroids are labels×dims (broadcast);
+# scoring is map-only; one final agg.
+@register(
+    "emb_nearest_centroid_eval",
+    oracle="""
+WITH x0 AS (SELECT vec_id, label,
+                   [{'dim': i - 1,
+                     'v': CAST(embedding[i] AS DOUBLE)}
+                    for i in range(1, len(embedding) + 1)] AS es
+            FROM embeddings),
+x AS (SELECT vec_id, label, unnest(es, recursive := true) FROM x0),
+cent AS (SELECT label AS c_label, dim,
+                CAST(SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                  // COUNT(*) AS c_micro
+         FROM x GROUP BY label, dim),
+dist AS (SELECT x.vec_id, x.label, c.c_label,
+                SUM((CAST(FLOOR(x.v * 1000000 + 0.5) AS BIGINT) - c.c_micro)
+                    * (CAST(FLOOR(x.v * 1000000 + 0.5) AS BIGINT) - c.c_micro))
+                  AS d2
+         FROM x JOIN cent c ON x.dim = c.dim
+         GROUP BY x.vec_id, x.label, c.c_label),
+best AS (SELECT vec_id, label, c_label,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, c_label) AS rn
+         FROM dist)
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // COUNT(*) AS acc_ppm
+FROM best WHERE rn = 1
+GROUP BY label ORDER BY label
+""",
+    doc="nearest-class-mean accuracy per label; exact centroids, deterministic argmin",
+)
+def emb_nearest_centroid_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    x = e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "vf")).select(
+        "vec_id", "label", "dim", F.col("vf").cast("double").alias("v")
+    )
+    cent = (
+        x.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) DIV COUNT(*)"
+            ).alias("c_micro")
+        )
+    )
+    # distances in exact integer micro-units: the per-(vec, centroid)
+    # sum is order-independent, so the argmin can never be flipped by
+    # float summation order across partitionings
+    vm = F.floor(F.col("v") * 1000000 + 0.5).cast("long")
+    diff = vm - F.col("c_micro")
+    dist = (
+        x.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    correct = F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
+    return (
+        best.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), correct.alias("n_correct"))
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.expr("n_correct * 1000000 DIV n").alias("acc_ppm"),
+        )
+        .orderBy("label")
+    )
