@@ -862,3 +862,43 @@ def func_string_extra(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# REGEXP family (MySQL 5.7 `expr REGEXP pat` + the 8.0-style
+# REGEXP_REPLACE/EXTRACT users expect when migrating).  Patterns are
+# restricted to the Java-regex ∩ RE2 ∩ POSIX-class subset (no
+# backreferences, no lookaround) so Spark (Java), DuckDB (RE2) and
+# MySQL (POSIX/ICU) agree — same portability rule as the PII scrubber.
+@register(
+    "func_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_matches(p_name, '^[a-z]+ ')                        AS starts_word,
+       regexp_matches(p_name, '[aeiou]{2}')                      AS double_vowel,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')               AS devoweled,
+       regexp_extract(p_name, '([a-z]+)$', 1)                    AS last_word,
+       CAST(len(regexp_split_to_array(p_name, '\\s+')) AS INT)   AS n_words,
+       regexp_matches(p_brand, '[0-9]$')                         AS ends_digit
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+""",
+    doc="REGEXP family over the portable Java∩RE2∩POSIX pattern subset",
+)
+def func_regexp(spark, sf_dir):
+    p = load_tables(spark, sf_dir)["part"]
+    nm, br = p["p_name"], p["p_brand"]
+    return (
+        p.filter(p["p_partkey"] <= 200)
+        .select(
+            "p_partkey",
+            nm.rlike("^[a-z]+ ").alias("starts_word"),
+            nm.rlike("[aeiou]{2}").alias("double_vowel"),
+            F.regexp_replace(nm, "[aeiou]", "_").alias("devoweled"),
+            F.regexp_extract(nm, "([a-z]+)$", 1).alias("last_word"),
+            F.size(F.split(nm, r"\s+")).alias("n_words"),
+            br.rlike("[0-9]$").alias("ends_digit"),
+        )
+        .orderBy("p_partkey")
+    )
