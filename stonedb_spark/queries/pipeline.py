@@ -3068,3 +3068,55 @@ def emb_nearest_centroid_eval(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-anomaly detection: flag (event_type, hour) buckets whose event
+# count deviates > 2σ from that type's hourly mean — the monitoring
+# query a pipeline runs over its own ingest volumes.  The z-score
+# inputs are exact integer counts and integer moment sums (Σc, Σc²),
+# so mean/std/z compute as one deterministic double expression; no
+# float aggregation order anywhere.  Two tiny aggs (hour grid, per-type
+# moments broadcast back) — nothing scales beyond the bucket count.
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY event_type, h),
+m AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM b GROUP BY event_type)
+SELECT b.event_type AS event_type, b.h AS h, b.c AS c,
+       (b.c - CAST(m.sc AS DOUBLE) / m.n)
+         / sqrt((CAST(m.scc AS DOUBLE) - CAST(m.sc AS DOUBLE) * m.sc / m.n)
+                / (m.n - 1)) AS z
+FROM b JOIN m ON b.event_type = m.event_type
+WHERE ABS((b.c - CAST(m.sc AS DOUBLE) / m.n)
+          / sqrt((CAST(m.scc AS DOUBLE) - CAST(m.sc AS DOUBLE) * m.sc / m.n)
+                 / (m.n - 1))) > 2.0
+ORDER BY event_type, h
+""",
+    doc="ingest-volume anomaly buckets (|z|>2) from exact integer hourly counts",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n")
+    var = (
+        F.col("scc").cast("double") - F.col("sc").cast("double") * F.col("sc") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        b.join(F.broadcast(m), "event_type")
+        .select("event_type", "h", "c", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .orderBy("event_type", "h")
+    )
