@@ -1568,3 +1568,54 @@ def agg_ols_regression(spark, sf_dir):
             "r2"
         ),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Sargable date predicates: MySQL users write YEAR(col)=1996 or
+# DATE(col)='1996-03-01' — functions over the column, which no engine
+# can push into a columnar scan (the reference's Knowledge Grid has the
+# same blindness: pack min/max can't see through YEAR()).  The engine
+# rule is to rewrite them as half-open ranges over the raw column; this
+# battery computes both forms and proves them equal, and
+# tests/test_plans.py gates that the RANGE form reaches the parquet
+# scan as pushed filters.
+@register(
+    "pred_sargable_dates",
+    oracle="""
+SELECT 'year_fn' AS form, COUNT(*) AS n
+FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+UNION ALL
+SELECT 'year_range', COUNT(*)
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+UNION ALL
+SELECT 'month_fn', COUNT(*)
+FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+              AND EXTRACT(month FROM o_orderdate) = 3
+UNION ALL
+SELECT 'month_range', COUNT(*)
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+ORDER BY form
+""",
+    doc="YEAR()/DATE() predicates vs their sargable range rewrites (equal counts; range form plan-gated)",
+)
+def pred_sargable_dates(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    d = o["o_orderdate"]
+
+    def cnt(label, cond):
+        return (
+            o.filter(cond)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(label).alias("form"), "n")
+        )
+
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    return (
+        cnt("year_fn", F.year(d) == 1996)
+        .unionByName(cnt("year_range", (d >= ts("1996-01-01")) & (d < ts("1997-01-01"))))
+        .unionByName(cnt("month_fn", (F.year(d) == 1996) & (F.month(d) == 3)))
+        .unionByName(cnt("month_range", (d >= ts("1996-03-01")) & (d < ts("1996-04-01"))))
+        .orderBy("form")
+    )

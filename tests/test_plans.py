@@ -370,3 +370,43 @@ def test_chunker_is_map_only(spark, sf_dir):
     df = _build(spark, sf_dir, "text_chunk_overlap")
     # exactly the one Exchange introduced by the global ORDER BY
     assert shuffle_exchange_count(df) <= 1
+
+
+def test_sargable_range_rewrite_pushes_to_scan(spark, sf_dir):
+    """The range form of a YEAR()= predicate must reach the parquet scan
+    as pushed filters (the fn form cannot — that asymmetry is the point
+    of the rewrite), and both forms must count the same rows."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.catalog import load_tables
+
+    o = load_tables(spark, sf_dir)["orders"]
+    d = o["o_orderdate"]
+    rng = o.filter(
+        (d >= F.lit("1996-01-01").cast("timestamp"))
+        & (d < F.lit("1997-01-01").cast("timestamp"))
+    )
+    plan = rng._sc._jvm.PythonSQLUtils.explainString(
+        rng._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    # catalog caches tables -> scan may come from InMemoryRelation; in
+    # that case assert on a fresh uncached read instead
+    if m is None or "o_orderdate" not in (m.group(1) or ""):
+        import os
+
+        fresh = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        fr = fresh.filter(
+            (fresh["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+            & (fresh["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
+        )
+        plan = fr._sc._jvm.PythonSQLUtils.explainString(
+            fr._jdf.queryExecution(), "formatted"
+        )
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m and "GreaterThanOrEqual(o_orderdate" in m.group(1)
+        assert "LessThan(o_orderdate" in m.group(1)
+    fn = o.filter(F.year(d) == 1996)
+    assert rng.count() == fn.count()
