@@ -582,10 +582,19 @@ def tianmu_int_cast(col: Column, dtype: str = "int") -> Column:
 def insert_str(s: Column, pos: Column, length: Column, repl: Column) -> Column:
     """MySQL INSERT(str, pos, len, newstr): replace len chars at pos
     (1-based) with newstr; returns str unchanged when pos is out of
-    range (mid_function.test exercises the family).  Composed from
-    concat∘substring — identical formula runs in the DuckDB oracles."""
+    range (mid_function.test exercises the family).  A negative len (or
+    one extending past the end) replaces the REST of the string in
+    MySQL; naive substring(s, pos+len) with len<0 would make Spark
+    count the start from the string END, so the tail start is pinned
+    past the string for that case.  Composed from concat∘substring —
+    the same guarded formula runs in the DuckDB oracles."""
+    tail_start = F.when(length < F.lit(0), F.char_length(s) + F.lit(1)).otherwise(
+        pos + length
+    )
     out = F.concat(
-        F.substring(s, F.lit(1), pos - F.lit(1)), repl, F.substring(s, pos + length, F.lit(2147483647))
+        F.substring(s, F.lit(1), pos - F.lit(1)),
+        repl,
+        F.substring(s, tail_start, F.lit(2147483647)),
     )
     return F.when((pos < F.lit(1)) | (pos > F.char_length(s)), s).otherwise(out)
 

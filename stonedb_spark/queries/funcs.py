@@ -665,9 +665,9 @@ def func_string_list(spark, sf_dir):
     oracle="""
 WITH b AS (
   SELECT l_orderkey,
-         CASE WHEN l_quantity > 25 THEN 4 ELSE 0 END
-         + CASE WHEN l_discount > 0.05 THEN 2 ELSE 0 END
-         + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END AS flags
+         CASE WHEN CAST(ROUND(l_quantity * 100) AS BIGINT) > 2500 THEN 4 ELSE 0 END
+         + CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) > 5 THEN 2 ELSE 0 END
+         + CASE WHEN CAST(ROUND(l_tax * 100) AS BIGINT) > 4 THEN 1 ELSE 0 END AS flags
   FROM lineitem WHERE l_orderkey <= 600
 )
 SELECT l_orderkey,
@@ -688,10 +688,17 @@ def func_bit_type(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     l = t["lineitem"]  # noqa: E741
+    # Predicates on scaled-integer cents, not raw doubles: boundary rows
+    # (a discount of exactly 0.05) would otherwise hinge on how each
+    # engine types the 0.05 literal (decimal vs double), which differs
+    # across DuckDB versions — integer compares are engine-invariant.
+    def cents(c):
+        return F.round(c * 100).cast("long")
+
     flags = BT.bit_cast(
-        F.when(l["l_quantity"] > 25, 4).otherwise(0)
-        + F.when(l["l_discount"] > 0.05, 2).otherwise(0)
-        + F.when(l["l_tax"] > 0.04, 1).otherwise(0),
+        F.when(cents(l["l_quantity"]) > 2500, 4).otherwise(0)
+        + F.when(cents(l["l_discount"]) > 5, 2).otherwise(0)
+        + F.when(cents(l["l_tax"]) > 4, 1).otherwise(0),
         3,
     )
     return (

@@ -3086,7 +3086,10 @@ WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
 m AS (SELECT event_type, COUNT(*) AS n,
              CAST(SUM(c) AS BIGINT) AS sc,
              CAST(SUM(c * c) AS BIGINT) AS scc
-      FROM b GROUP BY event_type)
+      FROM b GROUP BY event_type
+      HAVING COUNT(*) > 1
+         AND CAST(SUM(c * c) AS BIGINT) * COUNT(*)
+             > CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT))
 SELECT b.event_type AS event_type, b.h AS h, b.c AS c,
        (b.c - CAST(m.sc AS DOUBLE) / m.n)
          / sqrt((CAST(m.scc AS DOUBLE) - CAST(m.sc AS DOUBLE) * m.sc / m.n)
@@ -3104,10 +3107,24 @@ def events_anomaly_zscore(spark, sf_dir):
     b = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("c"))
-    m = b.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    # n>1 and integer-exact var>0 guard (scc*n > sc*sc): a type with one
+    # bucket or zero variance yields NaN/inf, which DuckDB keeps (NaN
+    # sorts above everything, so ABS(z)>2 passes) but Spark's filter
+    # drops — a cross-engine divergence unless excluded on both sides.
+    m = (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+        )
+        .filter(
+            (F.col("n") > 1)
+            & (
+                F.col("scc").cast("decimal(38,0)") * F.col("n")
+                > F.col("sc").cast("decimal(38,0)") * F.col("sc")
+            )
+        )
     )
     mean = F.col("sc").cast("double") / F.col("n")
     var = (

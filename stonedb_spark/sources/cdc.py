@@ -78,29 +78,66 @@ def run_streaming_apply(
 ) -> None:
     """Drain a directory of change-row files (availableNow) and fold each
     micro-batch into the parquet table at ``target_path`` with a staged
-    swap — change batches may arrive in any number of files; applying
-    batch-by-batch converges to the same table as one big apply because
-    later changes for a key overwrite earlier ones.
+    swap.  Change batches may arrive in any number of files, and one
+    micro-batch may drain files from SEVERAL successive diffs — a key
+    changed in more than one diff would then appear multiple times, and
+    apply_changes (anti-join + union) would keep every copy.  The fold
+    therefore first collapses the batch to the LAST change per key,
+    ordered by source-file modification time (file path as tie-break;
+    files within one diff never repeat a key, so only cross-diff order
+    matters and diffs are written sequentially).
+
+    The swap renames the live table aside before promoting the staging
+    copy (target -> target.old, staging -> target, drop target.old), so
+    a crash at any point leaves either the old or the new table intact;
+    on checkpoint replay the base loader falls back to ``.old`` rather
+    than silently treating a missing target as an empty base.
     """
+    backup = target_path + ".old"
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark_l = batch.sparkSession
         if os.path.exists(target_path):
             base = spark_l.read.parquet(target_path)
+        elif os.path.exists(backup):  # crashed between rename-aside and promote
+            base = spark_l.read.parquet(backup)
         else:
             base = spark_l.createDataFrame(
-                [], schema=batch.drop(CHANGE_COL).schema
+                [], schema=batch.drop(CHANGE_COL, "_src_file", "_src_mtime").schema
             )
-        merged = apply_changes(base, batch, key).localCheckpoint()
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(key)
+            .orderBy(
+                F.col("_src_mtime").desc(), F.col("_src_file").desc()
+            )
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src_file", "_src_mtime")
+        )
+        merged = apply_changes(base, latest, key).localCheckpoint()
         staging = target_path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
         if os.path.exists(target_path):
-            shutil.rmtree(target_path)
+            os.rename(target_path, backup)
         os.rename(staging, target_path)
+        shutil.rmtree(backup, ignore_errors=True)
 
     q = (
         spark.readStream.schema(schema)
         .parquet(changes_dir)
+        # _metadata only resolves against the file-scan relation, so the
+        # provenance columns are projected here, not inside foreachBatch
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("_src_file"),
+            F.col("_metadata.file_modification_time").alias("_src_mtime"),
+        )
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

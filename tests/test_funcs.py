@@ -327,7 +327,7 @@ def test_decimal_div_scale_rule(spark):
 
 def test_string_shim_grid_vs_python_model(spark):
     """insert_str / export_set / make_set / locate over a dense edge grid
-    (multibyte strings, out-of-range positions, zero/overlong lengths,
+    (multibyte strings, out-of-range positions, negative/zero/overlong lengths,
     bit patterns incl. 0 and wide ints) vs pure-Python models of the
     MySQL definitions — one Spark job for the whole grid."""
     from pyspark.sql import functions as F
@@ -336,7 +336,7 @@ def test_string_shim_grid_vs_python_model(spark):
 
     strs = ["", "a", "ab", "héllo", "漢字abc", "red plate"]
     poss = [-1, 0, 1, 2, 3, 5, 6, 10]
-    lens = [0, 1, 3, 100]
+    lens = [-100, -1, 0, 1, 3, 100]
     rows = [(s, p, ln) for s in strs for p in poss for ln in lens]
     df = spark.createDataFrame(rows, "s string, p int, ln int")
     got = df.select(
@@ -347,6 +347,8 @@ def test_string_shim_grid_vs_python_model(spark):
     def py_insert(s, p, ln):
         if p < 1 or p > len(s):
             return s
+        if ln < 0:  # MySQL: negative len replaces the rest of the string
+            return s[: p - 1] + "XY"
         return s[: p - 1] + "XY" + s[p - 1 + ln:]
 
     for r in got:

@@ -529,3 +529,70 @@ def test_cdc_streaming_apply_converges(spark, sf_dir, tmp_path):
     final = spark.read.parquet(target)
     assert final.exceptAll(new).count() == 0
     assert new.exceptAll(final).count() == 0
+
+
+def test_cdc_streaming_apply_multi_diff_one_batch(spark, sf_dir, tmp_path):
+    """One availableNow drain that ingests TWO successive diffs must end
+    at the LAST snapshot even for keys changed in both diffs
+    (update->update, update->delete, insert->update): the fold collapses
+    the batch to the latest change per key by source-file mtime before
+    applying, so duplicate key rows cannot survive."""
+    import shutil as sh
+
+    from stonedb_spark.sources.cdc import diff_snapshots, run_streaming_apply
+
+    a = (
+        load_tables(spark, sf_dir)["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 1000)
+    )
+    # B: bump price on %3 keys, insert key 900000001
+    b = a.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 5.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [(900000001, "O", 1.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+    )
+    # C: bump %3 keys AGAIN (update->update), delete %21 keys (many of
+    # which were updated in d1: update->delete), re-update the inserted
+    # key (insert->update)
+    c = (
+        b.filter(F.col("o_orderkey") % 21 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 7.0)
+            .when(F.col("o_orderkey") == 900000001, F.lit(2.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    d1 = diff_snapshots(a, b, "o_orderkey")
+    d2 = diff_snapshots(b, c, "o_orderkey")
+    assert d1.join(d2, "o_orderkey", "inner").count() > 0  # overlap is real
+
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    tmp1, tmp2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    d1.coalesce(2).write.parquet(tmp1)
+    d2.coalesce(2).write.parquet(tmp2)
+    t0 = 1_700_000_000
+    for i, src in enumerate((tmp1, tmp2)):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                dst = changes_dir / f"diff{i}_{f}"
+                sh.copy(os.path.join(src, f), dst)
+                os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+
+    target = str(tmp_path / "table.parquet")
+    a.write.parquet(target)
+    schema = spark.read.parquet(str(changes_dir)).schema
+    run_streaming_apply(
+        spark, str(changes_dir), target, str(tmp_path / "ckpt"), schema, "o_orderkey"
+    )
+    final = spark.read.parquet(target)
+    assert final.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    assert final.exceptAll(c).count() == 0
+    assert c.exceptAll(final).count() == 0
