@@ -10,7 +10,8 @@ from stonedb_spark.testing import check_query
 NAMES = sorted(
     n
     for n in all_queries()
-    if n.split("_")[0] in ("dedup", "knn", "text", "multimodal", "events", "pipeline", "emb")
+    if n.split("_")[0]
+    in ("dedup", "knn", "text", "multimodal", "events", "pipeline", "emb", "graph")
 )
 
 
