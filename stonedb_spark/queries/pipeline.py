@@ -3137,3 +3137,194 @@ def events_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(F.col("z")) > 2.0)
         .orderBy("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN: product-quantization (PQ) with asymmetric distance computation
+# (ADC) — the memory-scale path beyond IVF: each 64-dim vector is
+# encoded as m=8 four-bit codes (one per 8-dim subspace, ks=16
+# centroids), and search scans CODES (4 bytes/vector instead of 256),
+# summing per-block query->centroid distances from a 128-entry lookup
+# table.  Codebooks here are deterministic md5-derived literals baked
+# identically into both engines (a learned codebook changes recall, not
+# the operator shape), and all distances run in integer micro-units so
+# encode/search are bit-exact cross-engine.
+# Scale shape: encode is map-only after a 128-row broadcast; the ADC
+# table is 128 rows broadcast; search is one scan of the code table +
+# top-k.  At 100 TB the codes table is ~250x smaller than the vectors.
+def _pq_codebook() -> list[tuple[int, int, list[int]]]:
+    """(block, centroid, 8 micro-unit components) x 128, from md5 —
+    deterministic, embedded as literals in BOTH engines' plans."""
+    import hashlib
+
+    out = []
+    for b in range(8):
+        for c in range(16):
+            comp = []
+            for j in range(8):
+                h = hashlib.md5(f"pq:{b}:{c}:{j}".encode()).hexdigest()
+                comp.append((int(h[:8], 16) % 2001 - 1000) * 1000)  # micro units
+            out.append((b, c, comp))
+    return out
+
+
+def _pq_oracle() -> str:
+    cb_rows = ",\n".join(
+        f"({b}, {c}, {comp})" for b, c, comp in _pq_codebook()
+    )
+    return f"""
+WITH cb (b, c, cm) AS (VALUES
+{cb_rows}
+),
+v AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) for e in embedding] AS vm
+  FROM embeddings
+),
+blk AS (
+  SELECT vec_id, bs.b AS b, vm[bs.b * 8 + 1 : bs.b * 8 + 8] AS sub
+  FROM v CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bs
+),
+dist AS (
+  SELECT vec_id, blk.b AS b, cb.c AS c,
+         CAST(list_sum([(sub[j + 1] - cm[j + 1]) * (sub[j + 1] - cm[j + 1])
+                        for j in [0, 1, 2, 3, 4, 5, 6, 7]]) AS BIGINT) AS d2
+  FROM blk JOIN cb ON cb.b = blk.b
+),
+code AS (
+  SELECT vec_id, b, c, ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d2, c) AS rn
+  FROM dist
+),
+q AS (SELECT b, c, d2 AS qd2 FROM dist WHERE vec_id = 0)
+SELECT code.vec_id AS vec_id,
+       STRING_AGG(CAST(code.c AS VARCHAR), '-' ORDER BY code.b) AS codes,
+       CAST(SUM(q.qd2) AS BIGINT) AS adc_dist
+FROM code JOIN q ON q.b = code.b AND q.c = code.c
+WHERE code.rn = 1 AND code.vec_id <> 0
+GROUP BY code.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 20
+"""
+
+
+@register(
+    "knn_pq_adc",
+    oracle=_pq_oracle(),
+    doc="product-quantization encode + asymmetric-distance top-20 (integer-exact)",
+)
+def knn_pq_adc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vm = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda b: F.struct(b.alias("b"), F.slice(vm, b * 8 + 1, 8).alias("sub")),
+    )
+    blk = e.select("vec_id", F.explode(blocks).alias("e")).select(
+        "vec_id", F.col("e.b").alias("b"), F.col("e.sub").alias("sub")
+    )
+    spark_cb = spark.createDataFrame(
+        _pq_codebook(), "cb_b int, c int, cm array<long>"
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cm", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = blk.join(F.broadcast(spark_cb), F.col("cb_b") == blk["b"]).select(
+        "vec_id", "b", "c", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "b").orderBy("d2", "c")
+    code = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "b", "c")
+    )
+    q = dist.filter(F.col("vec_id") == 0).select(
+        F.col("b").alias("qb"), F.col("c").alias("qc"), F.col("d2").alias("qd2")
+    )
+    return (
+        code.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), (F.col("qb") == code["b"]) & (F.col("qc") == code["c"]))
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "c"))),
+                    lambda s: s["c"].cast("string"),
+                ),
+            ).alias("codes"),
+            F.sum("qd2").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor (PSI — population stability index), the
+# gate a training pipeline runs between a reference corpus snapshot and
+# the current one before retraining.  Reference = even doc_ids, current
+# = odd (the fixture's stand-in for two time slices).  Length
+# distribution over fixed bins; counts are exact integers, Laplace +1
+# smoothed, and the only float math is one deterministic expression
+# shape over exact ints on both engines (ln of a ratio of ints), so the
+# per-bin PSI terms hash identically.  Two tiny aggs; map-only bucketing.
+@register(
+    "pipeline_psi_drift",
+    oracle="""
+WITH binned AS (
+  SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+              WHEN n_chars < 800 THEN 2 WHEN n_chars < 1600 THEN 3 ELSE 4 END AS bin,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+  FROM documents
+),
+c AS (
+  SELECT bin,
+         CAST(SUM(is_ref) + 1 AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) + 1 AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM c)
+SELECT c.bin AS bin, c.n_ref AS n_ref, c.n_cur AS n_cur,
+       (CAST(c.n_cur AS DOUBLE) / t.t_cur - CAST(c.n_ref AS DOUBLE) / t.t_ref)
+         * ln((CAST(c.n_cur AS DOUBLE) / t.t_cur) / (CAST(c.n_ref AS DOUBLE) / t.t_ref))
+         AS psi_term
+FROM c CROSS JOIN t
+ORDER BY bin
+""",
+    doc="PSI distribution-drift terms between corpus snapshots (exact counts)",
+)
+def pipeline_psi_drift(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    binned = d.select(
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .when(F.col("n_chars") < 800, 2)
+        .when(F.col("n_chars") < 1600, 3)
+        .otherwise(4)
+        .alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    c = binned.groupBy("bin").agg(
+        (F.sum("is_ref") + 1).alias("n_ref"),
+        (F.sum(1 - F.col("is_ref")) + 1).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin", "n_ref", "n_cur",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

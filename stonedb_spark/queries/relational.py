@@ -1619,3 +1619,45 @@ def pred_sargable_dates(spark, sf_dir):
         .unionByName(cnt("month_range", (d >= ts("1996-03-01")) & (d < ts("1996-04-01"))))
         .orderBy("form")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions (PERCENT_RANK / CUME_DIST / NTILE /
+# NTH_VALUE) — rounding out the analytic family beyond rank/frames/topk.
+# Order is a unique total order (c_acctbal, c_custkey) so every engine
+# agrees on ties; NTH_VALUE's frame is spelled explicitly because the
+# two engines' defaults differ (RANGE vs ROWS matters only under ties,
+# but explicit is hash-safe).  Partition-parallel, one shuffle on the
+# segment key.
+@register(
+    "window_distribution_funcs",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       NTILE(4) OVER w AS quartile,
+       NTH_VALUE(c_custkey, 2) OVER (
+         PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_poorest
+FROM customer
+WHERE c_custkey <= 500
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+""",
+    doc="PERCENT_RANK/CUME_DIST/NTILE/NTH_VALUE over a deterministic total order",
+)
+def window_distribution_funcs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") <= 500)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("c_custkey", 2).over(wrows).alias("second_poorest"),
+    ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")

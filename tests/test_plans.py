@@ -232,6 +232,7 @@ _BNLJ_ALLOWED = {
     "agg_histogram",  # 1-row broadcast of the min/max bounds
     "events_funnel",  # final combine of three 1-row stage counts
     "pipeline_global_deciles",  # 1-row broadcast of the 9 decile cut points
+    "pipeline_psi_drift",  # 1-row broadcast of the (t_ref, t_cur) totals
     "pipeline_winsorize_lengths",  # 1-row broadcast of the [p5,p95] cut points
     "subq_all_any",
     "text_bigram_lm_score",  # 1-row broadcast of the vocab size
