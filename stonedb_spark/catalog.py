@@ -105,12 +105,21 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return dfs
 
 
-def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def sql(
+    spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR, args=None
+) -> DataFrame:
     """Run a SQL string over the registered catalog — the reference's
     user surface (SQL text over named tables, hook at
     storage/tianmu/sql/ha_my_tianmu.h:28).  A reference user's query
     text runs here unchanged wherever MySQL 5.7 and Spark SQL agree;
     dialect gaps (DATE_FORMAT codes, WEEK modes, DIV, …) are covered by
-    stonedb_spark.functions.mysql shims from the DataFrame side."""
+    stonedb_spark.functions.mysql shims from the DataFrame side.
+
+    ``args`` binds parameter markers the way MySQL PREPARE/EXECUTE does
+    (``?`` positional with a list, ``:name`` with a dict) — values are
+    bound as typed literals by Spark's parameterized-SQL path, never
+    string-spliced, so injection is structurally impossible."""
     load_tables(spark, sf_dir)
+    if args is not None:
+        return spark.sql(query, args=args)
     return spark.sql(query)

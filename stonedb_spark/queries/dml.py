@@ -251,3 +251,65 @@ def dml_replace_into(spark, sf_dir):
         .withColumn("replaced", F.col("c_custkey").between(100, 150))
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# INSERT IGNORE (insert.test / issue1034-style batches): on key
+# conflict the EXISTING row wins and the incoming duplicate is silently
+# dropped — the mirror image of REPLACE INTO.  Duplicates INSIDE the
+# batch collapse to the first row in batch order (MySQL processes rows
+# sequentially), modeled with an explicit row_number over the batch
+# ordering column so both engines pick the same survivor.
+@register(
+    "dml_insert_ignore",
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_name, c_mktsegment
+  FROM customer WHERE c_custkey <= 120
+),
+batch AS (
+  SELECT c_custkey, LOWER(c_name) AS c_name, 'NEW' AS c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY c_custkey + 7) AS batch_pos
+  FROM customer WHERE c_custkey BETWEEN 100 AND 160
+),
+fresh AS (
+  SELECT c_custkey, c_name, c_mktsegment
+  FROM (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY batch_pos) AS rn
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = b.c_custkey))
+  WHERE rn = 1
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       (c_mktsegment = 'NEW') AS inserted
+FROM (SELECT * FROM target UNION ALL SELECT * FROM fresh)
+ORDER BY c_custkey
+""",
+    doc="INSERT IGNORE: existing rows win, in-batch duplicates collapse to first",
+)
+def dml_insert_ignore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load_tables(spark, sf_dir)["customer"]
+    target = c.filter(c["c_custkey"] <= 120).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch = c.filter(c["c_custkey"].between(100, 160)).select(
+        "c_custkey",
+        F.lower("c_name").alias("c_name"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.row_number()
+        .over(Window.orderBy(F.col("c_custkey") + 7))
+        .alias("batch_pos"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("batch_pos")
+    fresh = (
+        batch.join(target.select("c_custkey"), "c_custkey", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    return (
+        target.unionByName(fresh)
+        .withColumn("inserted", F.col("c_mktsegment") == "NEW")
+        .orderBy("c_custkey")
+    )

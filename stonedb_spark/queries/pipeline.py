@@ -3328,3 +3328,27 @@ def pipeline_psi_drift(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contiguous row-id assignment over a total order WITHOUT a global
+# sort: range-repartition + per-partition offsets (operators/ids.py) —
+# the sharding primitive every training-data export needs (stable
+# example ids, resumable shards).  The oracle is the single-node
+# definition (ROW_NUMBER over the global order); the Spark side must
+# reproduce it exactly from the distributed recipe.
+@register(
+    "pipeline_contiguous_ids",
+    oracle="""
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS row_id
+FROM documents
+ORDER BY row_id
+""",
+    doc="dense 0..n-1 ids over (source, doc_id) via range-partition + offsets",
+)
+def pipeline_contiguous_ids(spark, sf_dir):
+    from stonedb_spark.operators.ids import assign_contiguous_ids
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return assign_contiguous_ids(d, ["source", "doc_id"]).orderBy("row_id")

@@ -1661,3 +1661,39 @@ def window_distribution_funcs(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.nth_value("c_custkey", 2).over(wrows).alias("second_poorest"),
     ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Prepared-statement surface (MySQL PREPARE/EXECUTE with ? markers —
+# the way every migrated application actually issues queries).  The
+# statement text below runs through catalog.sql with POSITIONAL binds;
+# Spark's parameterized-SQL path substitutes typed literals inside the
+# parser, so the bound plan is identical to the inlined one (Catalyst
+# still constant-folds and pushes the predicate).  The oracle is the
+# same statement with the parameters inlined, which is exactly MySQL's
+# EXECUTE semantics.
+_PREPARED_STMT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= CAST(? AS DATE) AND o_orderdate < CAST(? AS DATE)
+  AND o_totalprice > ?
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_params_bound",
+    oracle=_PREPARED_STMT.replace("CAST(? AS DATE)", "CAST('1996-01-01' AS DATE)", 1)
+    .replace("CAST(? AS DATE)", "CAST('1997-01-01' AS DATE)", 1)
+    .replace("> ?", "> 1000.0", 1),
+    doc="MySQL PREPARE/EXECUTE analog: positional ? binds via parameterized SQL",
+)
+def sql_params_bound(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(
+        spark, _PREPARED_STMT, sf_dir, args=["1996-01-01", "1997-01-01", 1000.0]
+    )
