@@ -3352,3 +3352,50 @@ def pipeline_contiguous_ids(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
     return assign_contiguous_ids(d, ["source", "doc_id"]).orderBy("row_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — the multi-column pruning layout
+# (operators/zorder.py; the Spark-side analog of the reference's
+# Knowledge Grid pack pruning, which only bites when the row order
+# clusters the filtered columns).  The key itself is registered so the
+# bit-interleave math is oracle-checked; the physical claim (z-sorted
+# row groups prune 2-D boxes that a 1-D sort cannot) is pinned by
+# tests/test_plans.py::test_zorder_layout_prunes_2d_boxes.
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"(((l_partkey % 65536) >> {i}) & 1) << {2 * i}")
+        terms.append(f"(((l_suppkey % 65536) >> {i}) & 1) << {2 * i + 1}")
+    z = " + ".join(f"({t})" for t in terms)
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({z} AS BIGINT) AS zkey
+FROM lineitem
+WHERE l_orderkey <= 200
+ORDER BY zkey, l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "pipeline_zorder_key",
+    oracle=_zorder_oracle(),
+    doc="Morton bit-interleave clustering key (codegen bit ops, no UDF)",
+)
+def pipeline_zorder_key(spark, sf_dir):
+    from stonedb_spark.operators.zorder import zvalue
+
+    l = load_tables(spark, sf_dir)["lineitem"]  # noqa: E741
+    return (
+        l.filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            zvalue([F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536], 16).alias(
+                "zkey"
+            ),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+    )

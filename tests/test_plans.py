@@ -411,3 +411,56 @@ def test_sargable_range_rewrite_pushes_to_scan(spark, sf_dir):
         assert "LessThan(o_orderdate" in m.group(1)
     fn = o.filter(F.year(d) == 1996)
     assert rng.count() == fn.count()
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path):
+    """The point of z-ordering: with row groups clustered on the Morton
+    key of (partkey, suppkey), a 2-D box predicate overlaps FEWER row
+    groups than under a 1-D sort (which clusters only its own column).
+    Checked directly against parquet row-group min/max statistics — the
+    same stats Spark's scan uses to skip groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.operators.zorder import zorder_write
+
+    l = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    zorder_write(l, zpath, ["l_partkey", "l_suppkey"], group_bytes=1 << 15)
+    (
+        l.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 15)
+        .parquet(spath)
+    )
+
+    def overlapping_fraction(path, lo_p, hi_p, lo_s, hi_s):
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                sp = rg.column(cols["l_partkey"]).statistics
+                ss = rg.column(cols["l_suppkey"]).statistics
+                total += 1
+                if sp.max >= lo_p and sp.min <= hi_p and ss.max >= lo_s and ss.min <= hi_s:
+                    hit += 1
+        assert total > 8, f"need multiple row groups to measure pruning, got {total}"
+        return hit / total
+
+    # a small 2-D box: both dimensions restricted
+    n_parts = l.agg(F.max("l_partkey")).collect()[0][0]
+    n_supps = l.agg(F.max("l_suppkey")).collect()[0][0]
+    box = (1, max(2, n_parts // 4), 1, max(2, n_supps // 4))
+    frac_z = overlapping_fraction(zpath, *box)
+    frac_lin = overlapping_fraction(spath, *box)
+    # 1-D sort restricts partkey groups but every one spans all suppkeys;
+    # the Morton layout restricts both dimensions at once.
+    assert frac_z < frac_lin, (frac_z, frac_lin)
+    assert frac_z < 0.6, f"z-order should prune most groups, hit {frac_z:.0%}"
