@@ -596,3 +596,35 @@ def test_cdc_streaming_apply_multi_diff_one_batch(spark, sf_dir, tmp_path):
     assert final.groupBy("o_orderkey").count().filter("count > 1").count() == 0
     assert final.exceptAll(c).count() == 0
     assert c.exceptAll(final).count() == 0
+
+
+def test_streaming_anomaly_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Folding per-bucket counts incrementally (two chunked drains) must
+    yield the exact batch anomaly set: moments are additive, so the
+    streaming state converges bit-identically regardless of chunking."""
+    from stonedb_spark.queries import all_queries
+    from stonedb_spark.streaming.monitor import (
+        anomalies_from_state,
+        run_streaming_monitor,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two disjoint chunks, drained by two separate availableNow runs
+    e.filter(F.col("event_id") % 2 == 0).coalesce(2).write.parquet(
+        str(in_dir / "chunk0")
+    )
+    state = str(tmp_path / "state.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = e.schema
+    run_streaming_monitor(spark, str(in_dir / "chunk0"), state, ckpt + "0", schema)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(3).write.parquet(
+        str(in_dir / "chunk1")
+    )
+    run_streaming_monitor(spark, str(in_dir / "chunk1"), state, ckpt + "1", schema)
+
+    got = anomalies_from_state(spark.read.parquet(state)).collect()
+    want = all_queries()["events_anomaly_zscore"].build(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
