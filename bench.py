@@ -146,7 +146,7 @@ def _sf_from_dir(d: str) -> float:
 # 8s observed at sf1), which no real pipeline pays; everything else
 # returns bounded results and keeps collect() so Catalyst cannot prune
 # the aggregate work.
-LARGE_OUTPUT = {"events_sessionize"}
+LARGE_OUTPUT = {"events_sessionize", "join_asof_backward"}
 
 
 def _run_once(q, spark, sf_dir, name):

@@ -1697,3 +1697,104 @@ def sql_params_bound(spark, sf_dir):
     return run_sql(
         spark, _PREPARED_STMT, sf_dir, args=["1996-01-01", "1997-01-01", 1000.0]
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT — the inverse rotation (Spark's native unpivot/stack verb vs
+# DuckDB's UNPIVOT): melt per-region wide columns back into rows.  The
+# wide frame is built identically on both sides from nation, then
+# melted; exact integer measures.
+@register(
+    "pivot_unpivot_melt",
+    oracle="""
+WITH wide AS (
+  SELECT n_regionkey,
+         COUNT(*) AS n_nations,
+         CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+         CAST(MAX(n_nationkey) AS BIGINT) AS key_max
+  FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey, metric, val
+FROM wide
+UNPIVOT (val FOR metric IN (n_nations, key_sum, key_max))
+ORDER BY n_regionkey, metric
+""",
+    doc="UNPIVOT/melt rotation back to long form (stack verb)",
+)
+def pivot_unpivot_melt(spark, sf_dir):
+    n = load_tables(spark, sf_dir)["nation"]
+    wide = n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.max("n_nationkey").cast("long").alias("key_max"),
+    )
+    return wide.unpivot(
+        ["n_regionkey"],
+        ["n_nations", "key_sum", "key_max"],
+        "metric",
+        "val",
+    ).orderBy("n_regionkey", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD2) dimension lookup: enrich each purchase event
+# with the dimension version valid AT its timestamp — the temporal-join
+# idiom every warehouse with slowly-changing dimensions runs.  The
+# dimension here is the SCD2 interval table derived from the event
+# stream itself (same construction as Q(events_scd2_intervals)); the
+# lookup is an equi-join on user plus an interval predicate.  At scale
+# the user equi-key carries the shuffle; the interval check is a
+# residual filter, not a range cross-join (same discipline as the
+# interval-overlap join).
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+WITH changes AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+  FROM events WHERE event_type = 'signup'
+),
+dim AS (
+  SELECT user_id, ver, value AS dim_value, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ver),
+                  TIMESTAMP '9999-12-31') AS valid_to
+  FROM changes
+),
+facts AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.ts AS fact_ts, d.ver AS dim_ver, d.dim_value
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.valid_from AND f.ts < d.valid_to
+ORDER BY f.event_id
+""",
+    doc="SCD2 point-in-time lookup: equi-join on key + interval residual",
+)
+def join_scd2_pointintime(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value", F.row_number().over(wv).alias("ver")
+    )
+    wl = Window.partitionBy("user_id").orderBy("ver")
+    dim = changes.select(
+        "user_id",
+        "ver",
+        F.col("value").alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(wl), F.lit("9999-12-31").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts")
+    )
+    return (
+        facts.join(dim, "user_id")
+        .filter(
+            (F.col("fact_ts") >= F.col("valid_from"))
+            & (F.col("fact_ts") < F.col("valid_to"))
+        )
+        .select("event_id", "user_id", "fact_ts", F.col("ver").alias("dim_ver"), "dim_value")
+        .orderBy("event_id")
+    )
