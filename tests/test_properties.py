@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) against independent oracles.
+
+The DuckDB sweeps pin every registered query; these go after the
+OPERATOR LIBRARY itself with randomized inputs — the as-of join against
+pandas.merge_asof (a third, unrelated implementation), contiguous-id
+assignment against plain sorting, and the Morton key against a Python
+bit model — the places where edge shapes (empty keys, ties, all-null
+payloads, range-boundary partitions) hide.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts-seconds) pairs; right side deduped on (key, ts) so the
+# match is deterministic (pandas keeps the last duplicate, a Spark
+# window over equal (ts, side) has no defined order — real pipelines
+# must dedupe or add a tiebreak column, same as merge_asof users).
+_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+@_SLOW
+@given(left=_rows, right=_rows, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    right = list({(k, t): None for (k, t) in right})  # dedupe (key, ts)
+    lpd = pd.DataFrame(
+        {
+            "k": [k for k, _ in left],
+            "ts": pd.to_datetime([t for _, t in left], unit="s"),
+            "lid": range(len(left)),
+        }
+    ).astype({"k": "int64", "lid": "int64"})
+    rpd = pd.DataFrame(
+        {
+            "k": [k for k, _ in right],
+            "ts": pd.to_datetime([t for _, t in right], unit="s"),
+            "payload": [k * 100 + t for k, t in right],
+        }
+    ).astype({"k": "int64", "payload": "int64"})
+    want = pd.merge_asof(
+        lpd.sort_values("ts", kind="stable"),
+        rpd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction=direction,
+        suffixes=("", "_r"),
+    )
+
+    from stonedb_spark.operators.asofjoin import asof_join
+
+    ldf = spark.createDataFrame(
+        lpd.assign(ts=lpd["ts"]) if len(lpd) else lpd,
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(rpd, "k long, ts timestamp, payload long")
+    got = (
+        asof_join(ldf, rdf, on="k", ts="ts", payload=["payload"], direction=direction)
+        .select("lid", "r_payload")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = want.sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(want)
+    for i in range(len(got)):
+        w = want["payload"][i]
+        g = got["r_payload"][i]
+        assert (pd.isna(w) and pd.isna(g)) or w == g, (
+            i, left, right, direction, w, g,
+        )
+
+
+@_SLOW
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=0, max_size=60, unique=True),
+    partitions=st.integers(1, 8),
+)
+def test_contiguous_ids_match_global_sort(spark, ids, partitions):
+    from stonedb_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.createDataFrame([(i,) for i in ids], "v long")
+    out = assign_contiguous_ids(df, ["v"], partitions=partitions).toPandas()
+    got = out.sort_values("row_id")
+    assert list(got["row_id"]) == list(range(len(ids)))
+    assert list(got["v"]) == sorted(ids)
+
+
+@given(
+    xy=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zvalue_matches_python_bit_model(spark, xy):
+    from stonedb_spark.operators.zorder import zvalue
+
+    def model(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    got = df.select("x", "y", zvalue([F.col("x"), F.col("y")], 16).alias("z")).collect()
+    for r in got:
+        assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
