@@ -627,3 +627,28 @@ def locate(sub: str, s: Column, pos: int | None = None) -> Column:
     if pos is None:
         return F.instr(s, sub).cast("long")
     return F.locate(sub, s, pos).cast("long")
+
+
+def inet_aton(ip: Column | str) -> Column:
+    """MySQL INET_ATON('a.b.c.d') → a*2^24 + b*2^16 + c*2^8 + d, NULL on
+    malformed input (select_function_calls.test family; log-pipeline
+    staple).  Pure Catalyst: regex-validate then octet arithmetic."""
+    c = F.col(ip) if isinstance(ip, str) else ip
+    ok = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    o = [F.split(c, r"\.").getItem(i).cast("long") for i in range(4)]
+    in_range = (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
+    val = ((o[0] * 256 + o[1]) * 256 + o[2]) * 256 + o[3]
+    return F.when(ok & in_range, val)
+
+
+def inet_ntoa(n: Column) -> Column:
+    """MySQL INET_NTOA(n) → dotted quad for 0 <= n < 2^32, else NULL."""
+    x = n.cast("long")
+    parts = [
+        F.shiftright(x, 24).bitwiseAND(F.lit(255)),
+        F.shiftright(x, 16).bitwiseAND(F.lit(255)),
+        F.shiftright(x, 8).bitwiseAND(F.lit(255)),
+        x.bitwiseAND(F.lit(255)),
+    ]
+    quad = F.concat_ws(".", *[p.cast("string") for p in parts])
+    return F.when((x >= 0) & (x <= 4294967295), quad)

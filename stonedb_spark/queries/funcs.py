@@ -909,3 +909,61 @@ def func_regexp(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# INET_ATON / INET_NTOA (the network-address pair from the MySQL scalar
+# library; select_function_calls.test family) — synthesized IPv4s from
+# customer keys, converted both directions plus malformed/boundary
+# inputs.  Octet arithmetic is integer-exact on both engines; the
+# oracle spells the identical math in portable SQL.
+@register(
+    "func_inet_addresses",
+    oracle="""
+WITH ips AS (
+  SELECT c_custkey,
+         CAST(10 + c_custkey % 240 AS VARCHAR) || '.' ||
+         CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 7) % 256 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 13) % 256 AS VARCHAR) AS ip,
+         CAST(c_custkey * 65537 % 4294967296 AS BIGINT) AS num
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT c_custkey, ip,
+       ((CAST(string_split(ip, '.')[1] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[2] AS BIGINT)) * 256
+         + CAST(string_split(ip, '.')[3] AS BIGINT)) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num,
+       num,
+       CAST(num // 16777216 AS VARCHAR) || '.' ||
+       CAST((num // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((num // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(num % 256 AS VARCHAR) AS num_ip,
+       CAST(NULL AS BIGINT) AS bad_aton
+FROM ips
+ORDER BY c_custkey
+""",
+    doc="INET_ATON/INET_NTOA octet math + malformed-input NULL",
+)
+def func_inet_addresses(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    ip = F.concat_ws(
+        ".",
+        (10 + F.col("c_custkey") % 240).cast("string"),
+        (F.col("c_custkey") % 256).cast("string"),
+        ((F.col("c_custkey") * 7) % 256).cast("string"),
+        ((F.col("c_custkey") * 13) % 256).cast("string"),
+    )
+    num = (F.col("c_custkey") * 65537 % 4294967296).cast("long")
+    return (
+        c.filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            ip.alias("ip"),
+            my.inet_aton(ip).alias("ip_num"),
+            num.alias("num"),
+            my.inet_ntoa(num).alias("num_ip"),
+            my.inet_aton(F.lit("300.1.2.3")).alias("bad_aton"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -376,3 +376,60 @@ def test_string_shim_grid_vs_python_model(spark):
         assert r["l2"] == r["s"].find("l") + 1
         f3 = r["s"].find("l", 3)
         assert r["l3"] == (0 if f3 < 0 else f3 + 1)
+
+
+def test_hash_functions_vs_python_models(spark):
+    """CRC32/MD5/SHA1/SHA2 against Python's zlib/hashlib — independent
+    implementations of the same published algorithms (md5_function.test
+    family; checksum columns are how ingest pipelines dedupe files)."""
+    import hashlib
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    strs = ["", "a", "stonedb", "héllo wörld", "漢字", "x" * 1000]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = df.select(
+        "s",
+        F.crc32(F.col("s").cast("binary")).alias("crc"),
+        F.md5(F.col("s").cast("binary")).alias("md5"),
+        F.sha1(F.col("s").cast("binary")).alias("sha1"),
+        F.sha2(F.col("s").cast("binary"), 256).alias("sha256"),
+    ).collect()
+    for r in got:
+        b = r["s"].encode("utf-8")
+        assert r["crc"] == zlib.crc32(b), r["s"]
+        assert r["md5"] == hashlib.md5(b).hexdigest()
+        assert r["sha1"] == hashlib.sha1(b).hexdigest()
+        assert r["sha256"] == hashlib.sha256(b).hexdigest()
+
+
+def test_inet_shims_edge_grid(spark):
+    """INET_ATON/NTOA edges: boundary octets, malformed shapes, range
+    limits — NULL exactly where MySQL returns NULL."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.functions import mysql as M
+
+    cases = [
+        ("0.0.0.0", 0),
+        ("255.255.255.255", 4294967295),
+        ("1.2.3.4", 16909060),
+        ("127.0.0.1", 2130706433),
+        ("256.1.2.3", None),
+        ("1.2.3", None),
+        ("1.2.3.4.5", None),
+        ("a.b.c.d", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "ip string")
+    got = {r["ip"]: r["n"] for r in df.select("ip", M.inet_aton("ip").alias("n")).collect()}
+    for s, want in cases:
+        assert got[s] == want, (s, got[s], want)
+
+    nums = [(0, "0.0.0.0"), (4294967295, "255.255.255.255"), (16909060, "1.2.3.4"),
+            (-1, None), (4294967296, None)]
+    ndf = spark.createDataFrame([(n,) for n, _ in nums], "n long")
+    back = {r["n"]: r["ip"] for r in ndf.select("n", M.inet_ntoa(F.col("n")).alias("ip")).collect()}
+    for n, want in nums:
+        assert back[n] == want, (n, back[n], want)
