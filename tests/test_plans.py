@@ -464,3 +464,24 @@ def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path):
     # the Morton layout restricts both dimensions at once.
     assert frac_z < frac_lin, (frac_z, frac_lin)
     assert frac_z < 0.6, f"z-order should prune most groups, hit {frac_z:.0%}"
+
+
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """df.observe computes audit metrics DURING the query's own pass
+    (zero extra scans) and they must equal a separately-computed
+    aggregation."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.plans.metrics import ingest_quality_counters, observed
+
+    o = load_tables(spark, sf_dir)["orders"]
+    counters = ingest_quality_counters(["o_custkey", "o_orderdate"])
+    counters["max_price"] = F.max("o_totalprice")
+    counters["n_urgent"] = F.count_if(F.col("o_orderpriority") == "1-URGENT")
+    df, obs = observed(o.filter(F.col("o_orderkey") <= 5000), counters)
+    result_rows = df.groupBy("o_orderstatus").count().collect()  # the real query
+    m = obs.get
+    base = o.filter(F.col("o_orderkey") <= 5000)
+    assert m["n_rows"] == base.count() == sum(r["count"] for r in result_rows)
+    assert m["n_urgent"] == base.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert m["max_price"] == base.agg(F.max("o_totalprice")).collect()[0][0]
+    assert m["nulls_o_custkey"] == base.filter(F.col("o_custkey").isNull()).count()
