@@ -485,3 +485,37 @@ def test_observed_metrics_single_pass(spark, sf_dir):
     assert m["n_urgent"] == base.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert m["max_price"] == base.agg(F.max("o_totalprice")).collect()[0][0]
     assert m["nulls_o_custkey"] == base.filter(F.col("o_custkey").isNull()).count()
+
+
+def test_q18_scans_lineitem_once(spark, sf_dir):
+    """The round-5 q18 rewrite: the HAVING aggregate already carries the
+    per-order sum, so the plan must contain exactly ONE lineitem scan
+    (the old shape re-joined lineitem a second time — 2x the dominant
+    scan+shuffle at any scale)."""
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_build(spark, sf_dir, "tpch_q18"))
+    assert plan.count("lineitem.parquet") == 1, plan[:1500]
+
+
+def test_q17_avg_computed_over_pruned_lineitem(spark, sf_dir):
+    """The round-5 q17 rewrite: the per-part average subplan must sit
+    ABOVE the brand-pruned join, so both lineitem scans feed through the
+    broadcast part filter (the old shape aggregated ALL of lineitem).
+    Detectable as: every lineitem scan in the plan is joined against the
+    p_brand-filtered part scan before any aggregate."""
+    from stonedb_spark.plans.inspect import formatted_plan, pushed_filters
+
+    df = _build(spark, sf_dir, "tpch_q17")
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    plan = formatted_plan(df)
+    # two pruned scans (lp is used twice: once for the avg, once as the
+    # probe side) is acceptable; what must NOT appear is a lineitem scan
+    # flowing into an aggregate with no part join below it — under the
+    # old shape the partial agg consumed the raw scan, visible as a
+    # HashAggregate whose child scan section lists all partkeys.  The
+    # robust observable: every lineitem scan has a sibling broadcast of
+    # the filtered part (2 joins for 2 scans).
+    assert plan.count("lineitem.parquet") == 2, plan[:1500]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]

@@ -628,3 +628,69 @@ def test_streaming_anomaly_monitor_matches_batch(spark, sf_dir, tmp_path):
     want = all_queries()["events_anomaly_zscore"].build(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(want) > 0
+
+
+def test_streaming_cep_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming view->click->purchase detection must reproduce the
+    batch funnel stage chain exactly: same completed-user set, same
+    (view, click, purchase) binding — fed as two event-time-ordered
+    chunks through two availableNow drains with state carried in the
+    checkpoint."""
+    from stonedb_spark.streaming.cep import detect_funnel_stream
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # batch expected: min-binding stage chain (same as Q(events_funnel))
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("view_ts"))
+            & (F.col("ts") <= F.col("view_ts") + F.expr("INTERVAL 2 hours"))
+        )
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 24 hours"))
+        )
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    want = {
+        r.user_id: (r.view_ts, r.click_ts, r.purchase_ts) for r in p.collect()
+    }
+    assert len(want) > 0
+
+    mid = e.selectExpr("timestamp_micros(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) AS LONG)) AS m").collect()[0][0]
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    e.filter(F.col("ts") <= mid).coalesce(2).write.parquet(str(src / "chunk0"))
+    e.filter(F.col("ts") > mid).coalesce(2).write.parquet(str(src / "chunk1"))
+    schema = spark.read.parquet(str(src / "chunk0")).schema
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in ("chunk0", "chunk1"):
+        stream = spark.readStream.schema(schema).parquet(str(src / chunk))
+        q = (
+            detect_funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not terminate"
+    got = {
+        r.user_id: (r.view_ts, r.click_ts, r.purchase_ts)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == want
