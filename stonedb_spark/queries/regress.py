@@ -421,3 +421,41 @@ def regress_empty_agg(spark, sf_dir):
         .unionByName(g_one)
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# issue430.test — GROUP BY a SELECT-list alias of a computed expression
+# (`select (a/b)/c as agf ... group by agf`): MySQL resolves the alias
+# in GROUP BY; Spark does too (spark.sql.groupByAliases), and DuckDB
+# likewise.  The division chain exercises the double-promotion path the
+# original bug hit (tinyint/smallint/bigint operands).  The NULLIF
+# divisor guard is itself MySQL parity: a/0 is NULL there, an error
+# under Spark ANSI, and +inf in DuckDB — NULLIF makes all three agree
+# (and the fixture does contain zero quantities).
+@register(
+    "regress_group_by_alias",
+    oracle="""
+SELECT (CAST(l_linenumber AS DOUBLE) / NULLIF(l_quantity, 0)) / NULLIF(l_orderkey, 0) AS agf,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey <= 400
+GROUP BY agf
+ORDER BY agf
+""",
+    doc="issue430: GROUP BY select-alias of a computed division chain",
+)
+def regress_group_by_alias(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(
+        spark,
+        """
+SELECT (CAST(l_linenumber AS DOUBLE) / NULLIF(l_quantity, 0)) / NULLIF(l_orderkey, 0) AS agf,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey <= 400
+GROUP BY agf
+ORDER BY agf
+""",
+        sf_dir,
+    )
