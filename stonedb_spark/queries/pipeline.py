@@ -3399,3 +3399,80 @@ def pipeline_zorder_key(spark, sf_dir):
         )
         .orderBy("zkey", "l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN GRAPH construction (every node's top-3 neighbors at once) — the
+# building block above single-query search: NN-descent, HNSW layers,
+# and graph-based dedup all start from this.  Candidates come from the
+# same random-hyperplane buckets as knn_lsh_bucketed (inlined literals
+# on both engines), so the join is bucket-equi — NEVER all-pairs — and
+# per-node selection is a partition-parallel window over the bucket.
+# Ranking uses the 9-decimal-rounded cosine (same cross-engine float
+# discipline as knn_bruteforce) with vec_id tiebreak.
+# 100 TB shape: bucket sizes ~n/2^bits; per-bucket self-join cost is
+# sum(b_i^2) — the standard LSH graph-build bound; more bits flatten it.
+def _knng_oracle() -> str:
+    planes = S.lsh_hyperplanes()
+
+    def plane_sql(tbl: str, p: list[float]) -> str:
+        lits = ", ".join(repr(v) for v in p)
+        return (
+            f"CASE WHEN list_sum(list_transform(list_zip({tbl}.embedding, [{lits}]), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+
+    ba = " || ".join(plane_sql("a", p) for p in planes)
+    bb = " || ".join(plane_sql("b", p) for p in planes)
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         ROUND({_COS_AB} / ({_NORM.format(t='a')} * {_NORM.format(t='b')}), 9) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND ({ba}) = ({bb})
+),
+ranked AS (
+  SELECT src_id, nbr_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM scored
+)
+SELECT src_id, rnk, nbr_id, cos_sim FROM ranked
+WHERE rnk <= 3
+ORDER BY src_id, rnk
+"""
+
+
+@register(
+    "knn_graph_bucketed",
+    oracle=_knng_oracle(),
+    doc="all-nodes k-NN graph (top-3) via LSH bucket-equi self-join",
+)
+def knn_graph_bucketed(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    planes = S.lsh_hyperplanes()
+    b = e.select(
+        "vec_id", "embedding", S.lsh_bucket(F.col("embedding"), planes).alias("bkt")
+    )
+    o = b.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_emb"),
+        F.col("bkt").alias("nbr_bkt"),
+    )
+    scored = (
+        b.join(o, (F.col("bkt") == F.col("nbr_bkt")) & (b["vec_id"] != F.col("nbr_id")))
+        .select(
+            F.col("vec_id").alias("src_id"),
+            "nbr_id",
+            F.round(S.cosine(F.col("embedding"), F.col("nbr_emb")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("src_id", "rnk", "nbr_id", "cos_sim")
+        .orderBy("src_id", "rnk")
+    )
