@@ -3476,3 +3476,147 @@ def knn_graph_bucketed(spark, sf_dir):
         .select("src_id", "rnk", "nbr_id", "cos_sim")
         .orderBy("src_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs: |shingles(A) ∩ shingles(B)| / |shingles(A)|
+# — catches a short doc quoted/embedded inside a long one, which
+# symmetric Jaccard structurally misses (the union denominator drowns
+# the small side).  Same inverted-index shape as dedup_ngram_jaccard:
+# shingle equi-join (stop-shingle capped) + per-doc size join — linear
+# in postings, never all-pairs.
+@register(
+    "text_containment_pairs",
+    oracle=f"""
+WITH sh0 AS ({_SQL_SHINGLES}),
+df_ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d_small, b.doc_id AS d_big, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d_small, i.d_big, i.n_common,
+       sa.n_sh AS n_small,
+       CAST(i.n_common * 1000000 AS BIGINT) // sa.n_sh AS containment_ppm
+FROM inter i JOIN sizes sa ON sa.doc_id = i.d_small
+WHERE i.n_common * 1000000 >= 300000 * sa.n_sh
+ORDER BY d_small, d_big
+""",
+    doc="asymmetric shingle containment (quote/partial-copy detection), ppm exact",
+)
+def text_containment_pairs(spark, sf_dir):
+    from stonedb_spark.functions.text import with_shingles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    sh0 = with_shingles(d)
+    ok = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 100
+    )
+    sh = sh0.join(ok.select("shingle"), "shingle")
+    sizes = sh.groupBy(F.col("doc_id").alias("sd")).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    o = sh.select(F.col("doc_id").alias("d_big"), "shingle")
+    inter = (
+        sh.join(o, "shingle")
+        .filter(F.col("doc_id") != F.col("d_big"))
+        .groupBy(F.col("doc_id").alias("d_small"), "d_big")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes, F.col("sd") == F.col("d_small"))
+        .filter(F.col("n_common") * 1000000 >= 300000 * F.col("n_sh"))
+        .select(
+            "d_small",
+            "d_big",
+            "n_common",
+            F.col("n_sh").alias("n_small"),
+            F.expr("n_common * 1000000 DIV n_sh").alias("containment_ppm"),
+        )
+        .orderBy("d_small", "d_big")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity: how well do the first d'∈{16,32}
+# dims of each embedding preserve the full-64-dim cosine to the query?
+# The audit run before shipping truncated embeddings to a cheaper
+# index.  All dot products in integer milli-units (same discipline as
+# knn_pq_adc) so ranks and errors are engine-exact.  The global rank
+# windows are the one single-task step — inherent to a full-corpus
+# rank-shift metric; at 100 TB this audit runs on a hash sample (the
+# md5 samplers in operators/sampling.py), which bounds the sort.
+@register(
+    "emb_truncation_fidelity",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+m AS (
+  SELECT a.vec_id,
+         [CAST(FLOOR(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) for e in a.embedding] AS vm,
+         [CAST(FLOOR(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) for e in q.qv] AS qm
+  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+),
+dots AS (
+  SELECT vec_id,
+         CAST(list_sum([vm[i+1] * qm[i+1] for i in range(64)]) AS BIGINT) AS dot_full,
+         CAST(list_sum([vm[i+1] * qm[i+1] for i in range(32)]) AS BIGINT) AS dot_32,
+         CAST(list_sum([vm[i+1] * qm[i+1] for i in range(16)]) AS BIGINT) AS dot_16
+  FROM m
+),
+ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY dot_full DESC, vec_id) AS r_full,
+         ROW_NUMBER() OVER (ORDER BY dot_32 DESC, vec_id) AS r_32,
+         ROW_NUMBER() OVER (ORDER BY dot_16 DESC, vec_id) AS r_16
+  FROM dots
+)
+SELECT CAST(COUNT(*) FILTER (WHERE r_full <= 20 AND r_32 <= 20) AS BIGINT) AS top20_kept_32,
+       CAST(COUNT(*) FILTER (WHERE r_full <= 20 AND r_16 <= 20) AS BIGINT) AS top20_kept_16,
+       CAST(SUM(ABS(r_full - r_32)) AS BIGINT) AS rank_shift_32,
+       CAST(SUM(ABS(r_full - r_16)) AS BIGINT) AS rank_shift_16
+FROM ranked
+""",
+    doc="embedding truncation audit: top-20 retention + rank shift at 32/16 dims",
+)
+def emb_truncation_fidelity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    milli = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+    )
+    m = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", milli(F.col("embedding")).alias("vm"), milli(F.col("qv")).alias("qm"))
+    )
+
+    def dot_prefix(n):
+        return F.aggregate(
+            F.zip_with(F.slice("vm", 1, n), F.slice("qm", 1, n), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dots = m.select(
+        "vec_id",
+        dot_prefix(64).alias("dot_full"),
+        dot_prefix(32).alias("dot_32"),
+        dot_prefix(16).alias("dot_16"),
+    )
+    ranked = dots.select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.desc("dot_full"), "vec_id")).alias("r_full"),
+        F.row_number().over(Window.orderBy(F.desc("dot_32"), "vec_id")).alias("r_32"),
+        F.row_number().over(Window.orderBy(F.desc("dot_16"), "vec_id")).alias("r_16"),
+    )
+    return ranked.agg(
+        F.count_if((F.col("r_full") <= 20) & (F.col("r_32") <= 20)).alias("top20_kept_32"),
+        F.count_if((F.col("r_full") <= 20) & (F.col("r_16") <= 20)).alias("top20_kept_16"),
+        F.sum(F.abs(F.col("r_full") - F.col("r_32"))).alias("rank_shift_32"),
+        F.sum(F.abs(F.col("r_full") - F.col("r_16"))).alias("rank_shift_16"),
+    )
