@@ -3620,3 +3620,158 @@ def emb_truncation_fidelity(spark, sf_dir):
         F.sum(F.abs(F.col("r_full") - F.col("r_32"))).alias("rank_shift_32"),
         F.sum(F.abs(F.col("r_full") - F.col("r_16"))).alias("rank_shift_16"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composite (the FAISS-IVFPQ shape): coarse quantizer prunes to
+# nprobe cells, PQ-ADC ranks WITHIN the probed cells — the full
+# memory-scale ANN stack with both levers in one plan.  Reuses the
+# hash-seeded IVF centroids (engine-reproducible) and the md5-literal
+# PQ codebooks; every distance in integer micro-units.  At 100 TB:
+# cells are partition-pruned at rest (the IVF layout test), codes are
+# ~250x smaller than vectors, and the scan touches nprobe/nlist of
+# the codes table.
+def _ivfpq_oracle(nlist: int, nprobe: int) -> str:
+    cos = (
+        "(list_sum(list_transform(list_zip({a}.embedding, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform({a}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform({b}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    )
+    cb_rows = ",\n".join(f"({b}, {c}, {comp})" for b, c, comp in _pq_codebook())
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}),
+a AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos.format(a='e', b='c.cvec')} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c)
+      WHERE rn = 1),
+probe AS (SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY {cos.format(a='q2', b='c.cvec')} DESC, c.cid ASC) AS rn
+        FROM (SELECT qv AS embedding FROM q) q2 CROSS JOIN c)
+      WHERE rn <= {nprobe}),
+cb (b, c, cm) AS (VALUES
+{cb_rows}
+),
+cand AS (
+  SELECT e.vec_id, e.embedding, a.cid
+  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+  JOIN probe ON a.cid = probe.cid
+  WHERE e.vec_id <> 0
+),
+v AS (
+  SELECT vec_id, cid,
+         [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) for e in embedding] AS vm
+  FROM cand
+),
+qv AS (
+  SELECT [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) for e in qv] AS vm
+  FROM q
+),
+blk AS (
+  SELECT vec_id, cid, bs.b AS b, vm[bs.b * 8 + 1 : bs.b * 8 + 8] AS sub
+  FROM v CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bs
+),
+qblk AS (
+  SELECT bs.b AS b, vm[bs.b * 8 + 1 : bs.b * 8 + 8] AS sub
+  FROM qv CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bs
+),
+dist AS (
+  SELECT vec_id, cid, blk.b AS b, cb.c AS c,
+         CAST(list_sum([(sub[j + 1] - cm[j + 1]) * (sub[j + 1] - cm[j + 1])
+                        for j in [0, 1, 2, 3, 4, 5, 6, 7]]) AS BIGINT) AS d2
+  FROM blk JOIN cb ON cb.b = blk.b
+),
+qdist AS (
+  SELECT qblk.b AS b, cb.c AS c,
+         CAST(list_sum([(sub[j + 1] - cm[j + 1]) * (sub[j + 1] - cm[j + 1])
+                        for j in [0, 1, 2, 3, 4, 5, 6, 7]]) AS BIGINT) AS qd2
+  FROM qblk JOIN cb ON cb.b = qblk.b
+),
+code AS (
+  SELECT vec_id, cid, b, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d2, c) AS rn
+  FROM dist
+)
+SELECT code.vec_id AS vec_id, ANY_VALUE(code.cid) AS cell,
+       CAST(SUM(q2.qd2) AS BIGINT) AS adc_dist
+FROM code JOIN qdist q2 ON q2.b = code.b AND q2.c = code.c
+WHERE code.rn = 1
+GROUP BY code.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "knn_ivfpq_probe",
+    oracle=_ivfpq_oracle(S.IVF_NLIST, S.IVF_NPROBE),
+    doc="IVF coarse prune + PQ-ADC rank within probed cells (FAISS-IVFPQ shape)",
+)
+def knn_ivfpq_probe(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    c, assign = S.ivf_index(e, sf_dir)
+    probe = (
+        c.crossJoin(F.broadcast(q))
+        .select("cid", S.cosine(F.col("cvec"), F.col("qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(S.IVF_NPROBE)
+        .select("cid")
+    )
+    cand = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != 0)
+    )
+
+    micro = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    )
+    blocks = lambda vmcol: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda b: F.struct(b.alias("b"), F.slice(vmcol, b * 8 + 1, 8).alias("sub")),
+    )
+    blk = cand.select(
+        "vec_id", "cid", F.explode(blocks(micro(F.col("embedding")))).alias("e")
+    ).select("vec_id", "cid", F.col("e.b").alias("b"), F.col("e.sub").alias("sub"))
+    qblk = q.select(F.explode(blocks(micro(F.col("qv")))).alias("e")).select(
+        F.col("e.b").alias("qb"), F.col("e.sub").alias("sub")
+    )
+    spark_cb = spark.createDataFrame(_pq_codebook(), "cb_b int, c int, cm array<long>")
+    d2 = F.aggregate(
+        F.zip_with("sub", "cm", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = blk.join(F.broadcast(spark_cb), F.col("cb_b") == blk["b"]).select(
+        "vec_id", "cid", "b", "c", d2.alias("d2")
+    )
+    qdist = qblk.join(F.broadcast(spark_cb), F.col("cb_b") == F.col("qb")).select(
+        F.col("qb"), F.col("c").alias("qc"), d2.alias("qd2")
+    )
+    w = Window.partitionBy("vec_id", "b").orderBy("d2", "c")
+    code = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "b", "c")
+    )
+    return (
+        code.join(F.broadcast(qdist), (F.col("qb") == code["b"]) & (F.col("qc") == code["c"]))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("cid")).alias("cell"),
+            F.sum("qd2").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

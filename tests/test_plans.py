@@ -229,6 +229,8 @@ _BNLJ_ALLOWED = {
     "pipeline_domain_mix",  # 1-row broadcast of the min-tokens scalar
     "knn_bruteforce",
     "knn_ivf_probe",  # 1-row query-vec broadcasts; data side joins are equi
+    "knn_ivfpq_probe",  # 1-row query-vec broadcasts; cell/codebook joins are equi
+    "emb_truncation_fidelity",  # 1-row query-vec broadcast; rest map-only
     "agg_histogram",  # 1-row broadcast of the min/max bounds
     "events_funnel",  # final combine of three 1-row stage counts
     "pipeline_global_deciles",  # 1-row broadcast of the 9 decile cut points
