@@ -91,3 +91,51 @@ def compact_table(
     df = spark.read.parquet(path)
     _rewrite(df.repartition(n_files), path)
     return n_files
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    group_bytes: int = 1 << 20,
+) -> int:
+    """OPTIMIZE ... ZORDER BY analog: one maintenance pass that both
+    compacts small files AND clusters the rewrite on the Morton key of
+    ``cols`` (operators/zorder.py), so subsequent multi-column range
+    scans prune row groups on every listed column.  This is the full
+    lakehouse maintenance verb: compact_table alone fixes file sizing,
+    this also fixes ROW ORDER.  Returns the new file count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.operators.zorder import zvalue
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    keyed = df.withColumn("_z", zvalue([F.col(c) for c in cols]))
+    clustered = (
+        keyed.repartitionByRange(n_files, "_z").sortWithinPartitions("_z").drop("_z")
+    )
+    staging = path + ".zorder_staging"
+    clustered.write.mode("overwrite").option(
+        "parquet.block.size", group_bytes
+    ).parquet(staging)
+    backup = path + ".old"
+    if os.path.exists(backup):
+        import shutil
+
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    import shutil
+
+    shutil.rmtree(backup, ignore_errors=True)
+    return n_files

@@ -215,3 +215,42 @@ def test_ctas_codecs_equal_content_and_compress(spark, sf_dir, tmp_path):
         ), codec
     assert sizes["zstd"] < sizes["none"], sizes
     assert sizes["lz4"] < sizes["none"], sizes
+
+
+def test_optimize_zorder_compacts_and_clusters(spark, sf_dir, tmp_path):
+    """The combined maintenance verb: many small files in -> few files
+    out, content identical, and the rewrite is clustered on the Morton
+    key (per-file l_partkey ranges no longer span the whole domain)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.sources.ddl import optimize_zorder
+
+    l = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "t")
+    l.repartition(40).write.parquet(path)  # fragmented ingest
+    before = spark.read.parquet(path)
+    cnt, csum = before.count(), before.agg(F.sum("l_quantity")).collect()[0][0]
+
+    n = optimize_zorder(spark, path, ["l_partkey", "l_suppkey"],
+                        target_file_bytes=1 << 18, group_bytes=1 << 16)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n < 40
+    after = spark.read.parquet(path)
+    assert after.count() == cnt
+    assert abs(after.agg(F.sum("l_quantity")).collect()[0][0] - csum) < 1e-6
+
+    # clustered: row groups cover narrow partkey ranges on average
+    spans, total_span = [], None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(cols["l_partkey"]).statistics
+            spans.append(st.max - st.min)
+    full = l.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    assert sum(spans) / len(spans) < 0.8 * full, (sum(spans) / len(spans), full)
