@@ -1,0 +1,108 @@
+"""Training-shard export: the terminal sink of the data pipeline.
+
+Packs documents into fixed-token-budget shards (the same
+running-window discipline as Q(pipeline_sequence_pack)), writes one
+parquet directory per shard, and emits a MANIFEST the training job can
+trust: per-shard row count, token sum, and an order-insensitive content
+checksum (XOR of per-doc md5s — associative/commutative, so it is
+computable distributed in any partition order and verifiable shard-by-
+shard on the consumer side without re-reading the corpus twice).
+
+Scale shape: shard assignment is a per-source window (partition-
+parallel) + one write shuffled on shard id; the manifest is one tiny
+agg (#shards rows).  Nothing driver-side scales with corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_shards(
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Add ``shard`` = floor(running_tokens / budget) over a per-source
+    running token window — deterministic, partition-parallel per source."""
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    w = (
+        Window.partitionBy(order_cols[0])
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.withColumn("_tok", n_tok).withColumn(
+        "shard",
+        F.concat_ws(
+            "-",
+            F.col(order_cols[0]),
+            ((F.sum("_tok").over(w) - F.col("_tok")) / token_budget)
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+
+
+def export_training_shards(
+    docs: DataFrame, path: str, token_budget: int, text_col: str = "text"
+) -> dict:
+    """Write shard-partitioned parquet + _MANIFEST.json; returns the
+    manifest dict (shard -> {rows, tokens, checksum})."""
+    sharded = assign_shards(docs, token_budget, text_col)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    man_rows = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("_tok").alias("tokens"),
+            # order-insensitive: XOR-fold the first 15 md5 hex digits
+            F.expr(
+                "conv(cast(aggregate(collect_list("
+                "  cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+                "), 0L, (acc, x) -> acc ^ x) as string), 10, 16)"
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        r["shard"]: {
+            "rows": r["rows"],
+            "tokens": r["tokens"],
+            "checksum": r["checksum"],
+        }
+        for r in man_rows
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_shard(spark, path: str, shard: str) -> bool:
+    """Consumer-side check: recompute one shard's manifest entry."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    want = manifest[shard]
+    got = (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("_tok").alias("tokens"),
+            F.expr(
+                "conv(cast(aggregate(collect_list("
+                "  cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+                "), 0L, (acc, x) -> acc ^ x) as string), 10, 16)"
+            ).alias("checksum"),
+        )
+        .collect()[0]
+    )
+    return (
+        got["rows"] == want["rows"]
+        and got["tokens"] == want["tokens"]
+        and got["checksum"] == want["checksum"]
+    )

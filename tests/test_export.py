@@ -254,3 +254,32 @@ def test_optimize_zorder_compacts_and_clusters(spark, sf_dir, tmp_path):
             spans.append(st.max - st.min)
     full = l.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
     assert sum(spans) / len(spans) < 0.8 * full, (sum(spans) / len(spans), full)
+
+
+def test_training_shard_export_manifest_roundtrip(spark, sf_dir, tmp_path):
+    """Shard export: partitioned write + manifest whose per-shard rows/
+    tokens/checksums re-verify from the written data; totals match the
+    corpus; a tampered shard fails verification."""
+    import json
+
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.sources.shards import export_training_shards, verify_shard
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "shards")
+    manifest = export_training_shards(docs, path, token_budget=2000)
+    assert len(manifest) > 3
+    assert sum(m["rows"] for m in manifest.values()) == docs.count()
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    for shard in list(manifest)[:3]:
+        assert verify_shard(spark, path, shard)
+
+    # tamper: rewrite one shard missing a row -> checksum mismatch
+    shard = sorted(manifest)[0]
+    part_dir = f"{path}/shard={shard}"
+    kept = spark.read.parquet(part_dir).localCheckpoint()  # detach from files
+    victim = kept.limit(1).collect()[0]["doc_id"]
+    kept.filter(F.col("doc_id") != victim).write.mode("overwrite").parquet(part_dir)
+    assert not verify_shard(spark, path, shard)
