@@ -1798,3 +1798,78 @@ def join_scd2_pointintime(spark, sf_dir):
         .select("event_id", "user_id", "fact_ts", F.col("ver").alias("dim_ver"), "dim_value")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frame: per-user rolling 1-hour event count and
+# value sum — RANGE BETWEEN INTERVAL in DuckDB, the micros-cast
+# rangeBetween equivalent in Spark (Spark's RANGE frames are numeric,
+# so the ordering key is unix_micros; identical peer semantics — ties
+# by value are included on both engines).  DECIMAL-exact value sums.
+@register(
+    "window_range_time_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WHERE user_id <= 40
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+""",
+    doc="rolling 1-hour RANGE frame per user (interval frame, exact sums)",
+)
+def window_range_time_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") <= 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join (correlated derived table with per-row LIMIT): top-2
+# customers by balance for every nation — the SQL-text idiom migrating
+# apps use where window functions are the engine-native plan.  Both
+# engines run the SAME statement text through their lateral support;
+# Spark decorrelates it to a ranked window internally.
+_LATERAL_SQL = """
+SELECT n.n_name AS n_name, t.c_custkey AS c_custkey, t.c_acctbal AS c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+ORDER BY n_name, c_acctbal DESC, c_custkey
+"""
+
+
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated top-N per outer row (same SQL text both engines)",
+)
+def join_lateral_topn(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(spark, _LATERAL_SQL, sf_dir)
