@@ -1873,3 +1873,47 @@ def join_lateral_topn(spark, sf_dir):
     from stonedb_spark.catalog import sql as run_sql
 
     return run_sql(spark, _LATERAL_SQL, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# WITH RECURSIVE (Spark 4.1 + DuckDB, same statement text): walk each
+# customer's order chain in date order accumulating a DECIMAL-exact
+# running spend.  Chains are linear (rn -> rn+1 successor links), so
+# the recursion emits exactly one row per order — no path explosion —
+# and terminates at each chain's end; depth is bounded by the max
+# orders per customer (well under engines' recursion limits).  The
+# reference routes recursive queries to MySQL 8-style CTEs; here BOTH
+# engines execute the identical text.
+_RECURSIVE_SQL = """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey <= 100
+),
+chain AS (
+  SELECT o_custkey, o_orderkey, rn,
+         CAST(o_totalprice AS DECIMAL(38,10)) AS cum
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.o_custkey, o.o_orderkey, o.rn,
+         CAST(c.cum + CAST(o.o_totalprice AS DECIMAL(30,10)) AS DECIMAL(38,10))
+  FROM chain c JOIN ord o
+    ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
+)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, rn AS depth,
+       CAST(cum AS DOUBLE) AS cum_spend
+FROM chain
+ORDER BY custkey, depth
+"""
+
+
+@register(
+    "sql_recursive_chain",
+    oracle=_RECURSIVE_SQL,
+    doc="WITH RECURSIVE order-chain walk, identical text on both engines",
+)
+def sql_recursive_chain(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(spark, _RECURSIVE_SQL, sf_dir)
