@@ -967,3 +967,67 @@ def func_inet_addresses(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4's open-JSON column type — the
+# modern engine surface a migrating MySQL-JSON user lands on): a nested
+# JSON document built from event columns is parsed once into VARIANT
+# and fields are extracted typed.  All leaf values are integers/strings
+# so the document text is byte-identical cross-engine; the DuckDB twin
+# extracts with its JSON operators.
+@register(
+    "func_variant_json",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         '{"id": ' || CAST(event_id AS VARCHAR)
+         || ', "tags": [' || CAST(event_id % 5 AS VARCHAR) || ', '
+         || CAST(user_id % 7 AS VARCHAR)
+         || '], "meta": {"type": "' || event_type || '", "cents": '
+         || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) || '}}' AS doc
+  FROM events WHERE event_id <= 300
+)
+SELECT event_id,
+       CAST(json_extract(doc, '$.id') AS BIGINT)              AS id,
+       json_extract_string(doc, '$.meta.type')                AS mtype,
+       CAST(json_extract(doc, '$.meta.cents') AS BIGINT)      AS cents,
+       CAST(json_extract(doc, '$.tags[0]') AS BIGINT)         AS tag0,
+       CAST(json_extract(doc, '$.tags[1]') AS BIGINT)         AS tag1,
+       CAST(json_array_length(json_extract(doc, '$.tags')) AS INT) AS n_tags,
+       json_extract_string(doc, '$.missing')                  AS absent
+FROM j
+ORDER BY event_id
+""",
+    doc="VARIANT parse + typed field extraction over a nested document",
+)
+def func_variant_json(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    doc = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "tags": ['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(", "),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit('], "meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "cents": '),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.lit("}}"),
+    )
+    v = F.parse_json(doc)
+    return (
+        e.filter(F.col("event_id") <= 300)
+        .select(
+            "event_id",
+            F.try_variant_get(v, "$.id", "bigint").alias("id"),
+            F.try_variant_get(v, "$.meta.type", "string").alias("mtype"),
+            F.try_variant_get(v, "$.meta.cents", "bigint").alias("cents"),
+            F.try_variant_get(v, "$.tags[0]", "bigint").alias("tag0"),
+            F.try_variant_get(v, "$.tags[1]", "bigint").alias("tag1"),
+            F.size(F.try_variant_get(v, "$.tags", "array<variant>")).alias("n_tags"),
+            F.try_variant_get(v, "$.missing", "string").alias("absent"),
+        )
+        .orderBy("event_id")
+    )
