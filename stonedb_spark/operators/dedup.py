@@ -274,6 +274,7 @@ def connected_components(
     left: str = "d1",
     right: str = "d2",
     max_iter: int = 25,
+    check_every: int = 1,
 ) -> DataFrame:
     """Duplicate-cluster labels from near-dup pairs: (node, comp) where
     comp is the minimum doc_id reachable through the pair graph.
@@ -326,15 +327,14 @@ def connected_components(
             ).alias("comp"),
         )
 
-    # Rounds run in BATCHES of `check_every` between convergence checks:
-    # each Spark action costs a fixed job round-trip that dominates on
-    # the small candidate graphs near-dup dedup produces (measured
-    # 3.9 s for a 256-edge graph under check-every-round), and labels
-    # are monotone non-increasing, so "unchanged across a batch" ⇒
-    # converged at the batch's first round.  Lazy checkpoints keep the
-    # per-batch plan at `check_every` joins; the changed-count action
-    # materializes the whole batch in one job.
-    check_every = 3
+    # Rounds run in BATCHES of `check_every` between convergence
+    # checks; labels are monotone non-increasing, so "unchanged across
+    # a batch" ⇒ converged at the batch's first round.  Default 1:
+    # an interleaved min-of-4 A/B at sf0.1 measured check_every=1 at
+    # 3.3 s vs 4.7 s for 3 — the extra lazy rounds a batch runs past
+    # convergence cost more than the saved action round-trips on
+    # near-clique graphs (diameter ≲ 2).  Raise it for long-chain
+    # graphs where rounds ≫ and per-action latency dominates.
     done = 0
     while done < max_iter:
         steps = min(check_every, max_iter - done)
