@@ -459,3 +459,59 @@ ORDER BY agf
 """,
         sf_dir,
     )
+
+
+# ---------------------------------------------------------------------------
+# issue1157.test — LIKE edge shapes: an ALPHANUMERIC escape character
+# ('a%a_' ESCAPE 'a' — the escape char is a normal letter that also
+# appears in the data) and the DEFAULT backslash escape.  Note the
+# engines' string-literal rules differ: Spark treats backslash as a
+# literal-level escape ('\\%' is needed to reach the LIKE engine as
+# backslash-percent) while DuckDB standard strings pass '\%' through —
+# the two texts below produce the IDENTICAL pattern.  DuckDB further
+# has NO default LIKE escape (MySQL and Spark both default to
+# backslash), so the oracle adds an explicit ESCAPE '\'.
+@register(
+    "regress_like_escape_alpha",
+    oracle=r"""
+WITH v AS (
+  SELECT p_partkey,
+         p_name || CASE CAST(p_partkey % 4 AS INT)
+                     WHEN 0 THEN '%'
+                     WHEN 1 THEN '_'
+                     WHEN 2 THEN '%_'
+                     ELSE 'a_' END AS s
+  FROM part WHERE p_partkey <= 500
+)
+SELECT p_partkey, s,
+       s LIKE '%a%a_' ESCAPE 'a' AS ends_pct_us_alpha,
+       s LIKE '%\%\_' ESCAPE '\' AS ends_pct_us_backslash,
+       s LIKE '%\%_' ESCAPE '\' AS pct_then_any,
+       s LIKE '%a_' ESCAPE 'a' AS ends_us_alpha
+FROM v
+ORDER BY p_partkey
+""",
+    doc="issue1157: alphanumeric ESCAPE char + default backslash escape",
+)
+def regress_like_escape_alpha(spark, sf_dir):
+    p = load_tables(spark, sf_dir)["part"]
+    s = F.concat(
+        p["p_name"],
+        F.when(p["p_partkey"] % 4 == 0, "%")
+        .when(p["p_partkey"] % 4 == 1, "_")
+        .when(p["p_partkey"] % 4 == 2, "%_")
+        .otherwise("a_"),
+    )
+    return (
+        p.filter(p["p_partkey"] <= 500)
+        .select("p_partkey", s.alias("s"))
+        .select(
+            "p_partkey",
+            "s",
+            F.expr("s LIKE '%a%a_' ESCAPE 'a'").alias("ends_pct_us_alpha"),
+            F.expr(r"s LIKE '%\\%\\_'").alias("ends_pct_us_backslash"),
+            F.expr(r"s LIKE '%\\%_'").alias("pct_then_any"),
+            F.expr("s LIKE '%a_' ESCAPE 'a'").alias("ends_us_alpha"),
+        )
+        .orderBy("p_partkey")
+    )
