@@ -1917,3 +1917,31 @@ def sql_recursive_chain(spark, sf_dir):
     from stonedb_spark.catalog import sql as run_sql
 
     return run_sql(spark, _RECURSIVE_SQL, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (the modern analyst shorthand both Spark
+# and DuckDB support with identical resolution rules: non-aggregate
+# select items group, the full select list orders) — one statement
+# text, two engines, DECIMAL-exact measures.
+_GROUP_ALL_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey <= 4000
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_order_by_all",
+    oracle=_GROUP_ALL_SQL,
+    doc="GROUP BY ALL / ORDER BY ALL shorthand, identical text both engines",
+)
+def sql_group_order_by_all(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(spark, _GROUP_ALL_SQL, sf_dir)
