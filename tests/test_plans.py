@@ -521,3 +521,25 @@ def test_q17_avg_computed_over_pruned_lineitem(spark, sf_dir):
     # the filtered part (2 joins for 2 scans).
     assert plan.count("lineitem.parquet") == 2, plan[:1500]
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+
+
+def test_scale_conf_sizing_rules():
+    """The 100 TB sizing helper: partitions track data size, never drop
+    below 2x cluster cores, stay within per-core memory, and cap."""
+    from stonedb_spark.session import scale_conf
+
+    tb = 1024**4
+    # 100 TB on 1000 executors x 4 cores
+    c = scale_conf(100 * tb, 1000)
+    assert int(c["spark.sql.shuffle.partitions"]) == 200_000  # capped
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024**2
+    # 1 TB on 50 executors: sized by data (ceil(1TB/256MB)=4096 > 2*200)
+    c = scale_conf(tb, 50)
+    assert int(c["spark.sql.shuffle.partitions"]) == 4096
+    # tiny data on a big cluster: floor at 2x cores keeps all cores busy
+    c = scale_conf(10 * 1024**2, 1000)
+    assert int(c["spark.sql.shuffle.partitions"]) == 8000
+    # memory-constrained executors shrink the partition target
+    c = scale_conf(tb, 50, mem_per_core_bytes=512 * 1024**2)
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
+    assert int(c["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 128 * 1024**2
