@@ -1945,3 +1945,58 @@ def sql_group_order_by_all(spark, sf_dir):
     from stonedb_spark.catalog import sql as run_sql
 
     return run_sql(spark, _GROUP_ALL_SQL, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# NATIVE session_window (Spark's built-in session operator, batch mode)
+# — the same 30-minute-gap semantics as the hand-built gaps-and-islands
+# Q(events_sessionize), but expressed as the engine-native grouping
+# verb.  Spark defines the window end as last-event + gap; the oracle
+# reproduces that from the island construction.  Exact counts +
+# DECIMAL-exact sums.
+@register(
+    "events_session_window_native",
+    oracle="""
+WITH flag AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_s
+  FROM events
+),
+isl AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+FROM isl
+WHERE user_id <= 50
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    doc="native session_window grouping (batch) vs gaps-and-islands oracle",
+)
+def events_session_window_native(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") <= 50)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
