@@ -630,15 +630,42 @@ def locate(sub: str, s: Column, pos: int | None = None) -> Column:
 
 
 def inet_aton(ip: Column | str) -> Column:
-    """MySQL INET_ATON('a.b.c.d') → a*2^24 + b*2^16 + c*2^8 + d, NULL on
-    malformed input (select_function_calls.test family; log-pipeline
-    staple).  Pure Catalyst: regex-validate then octet arithmetic."""
+    """MySQL INET_ATON: dotted forms with 1-4 parts.  With fewer than 4
+    parts the LAST part covers the remaining low bytes (MySQL docs:
+    '127.1' = 127.0.0.1, '127.0.1' = 127.0.0.1 — i.e. a.b -> a*2^24+b,
+    a.b.c -> a*2^24+b*2^16+c).  Leading parts must be <= 255; the last
+    part must fit its covered width.  NULL on malformed input
+    (select_function_calls.test family; log-pipeline staple).  Pure
+    Catalyst: regex-validate then octet arithmetic per arity."""
     c = F.col(ip) if isinstance(ip, str) else ip
-    ok = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    o = [F.split(c, r"\.").getItem(i).cast("long") for i in range(4)]
-    in_range = (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
-    val = ((o[0] * 256 + o[1]) * 256 + o[2]) * 256 + o[3]
-    return F.when(ok & in_range, val)
+    parts = F.split(c, r"\.")
+    n = F.size(parts)
+
+    def p(i):
+        # try_cast: ANSI mode must not raise on the branches whose
+        # guard is false (codegen does not short-circuit when())
+        return parts.getItem(i).try_cast("long")
+
+    ok_shape = c.rlike(r"^\d+(\.\d+){0,3}$")
+    # (arity predicate, value, range check) per MySQL short-form rule
+    forms = [
+        (n == 1, p(0), p(0) <= 4294967295),
+        (n == 2, p(0) * 16777216 + p(1), (p(0) <= 255) & (p(1) <= 16777215)),
+        (
+            n == 3,
+            (p(0) * 256 + p(1)) * 65536 + p(2),
+            (p(0) <= 255) & (p(1) <= 255) & (p(2) <= 65535),
+        ),
+        (
+            n == 4,
+            ((p(0) * 256 + p(1)) * 256 + p(2)) * 256 + p(3),
+            (p(0) <= 255) & (p(1) <= 255) & (p(2) <= 255) & (p(3) <= 255),
+        ),
+    ]
+    out = F.lit(None).cast("long")
+    for arity, val, rng in reversed(forms):
+        out = F.when(ok_shape & arity & rng, val).otherwise(out)
+    return out
 
 
 def inet_ntoa(n: Column) -> Column:

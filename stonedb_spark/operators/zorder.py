@@ -24,15 +24,25 @@ from pyspark.sql import functions as F
 
 
 def zvalue(cols: list[Column], bits: int = 16) -> Column:
-    """Interleave the low ``bits`` of each (non-negative integral)
-    column into one Morton key: column k contributes its bit i at
-    output position i*len(cols)+k.  len(cols)*bits must be <= 63."""
+    """Interleave the low ``bits`` of each integral column into one
+    Morton key: column k contributes its bit i at output position
+    i*len(cols)+k.  len(cols)*bits must be <= 63.
+
+    Inputs are folded into [0, 2^bits) with pmod first: without the
+    mask, values >= 2^bits or negatives would alias silently through
+    the raw bit slice (shiftright of a negative long sign-extends),
+    producing Morton keys that destroy the clustering the function
+    exists to provide while preserving the data — an invisible layout
+    bug.  pmod keeps equal inputs on equal keys, so correctness of any
+    key-equality use is unaffected; range locality above 2^bits wraps,
+    which is the documented trade of a fixed-width Morton code.
+    """
     n = len(cols)
     if n * bits > 63:
         raise ValueError("interleaved width must fit a signed long")
     out = F.lit(0).cast("long")
     for k, c in enumerate(cols):
-        x = c.cast("long")
+        x = F.pmod(c.cast("long"), F.lit(1 << bits)).cast("long")
         for i in range(bits):
             out = out.bitwiseOR(
                 F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + k)

@@ -57,7 +57,7 @@ def func_datetime_extract(spark, sf_dir):
             my.weekday(d).cast("int").alias("weekday_mysql"),
             my.week_iso(d).alias("iso_week"),
             my.last_day(d).cast("timestamp").alias("last_dom"),
-            my.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+            my.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
         )
         .orderBy("o_orderkey")
     )
@@ -132,7 +132,7 @@ def func_string(spark, sf_dir):
         .select(
             "p_partkey",
             F.concat(name, F.lit("/"), brand).alias("concatenated"),
-            F.char_length(name).alias("clen"),
+            F.char_length(name).cast("long").alias("clen"),
             F.upper(name).alias("up"),
             F.lower(brand).alias("lo"),
             my.left(name, 4).alias("l4"),
@@ -321,9 +321,9 @@ def func_period_time(spark, sf_dir):
             "event_id",
             my.period_diff(period, F.lit(199501)).alias("months_since"),
             my.sec_to_time(secs_of_day).alias("tod"),
-            F.datediff(e["ts"].cast("date"), F.lit("2024-01-01").cast("date")).alias(
-                "days_into_jan"
-            ),
+            F.datediff(e["ts"].cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("days_into_jan"),
         )
         .orderBy("event_id")
     )
@@ -619,9 +619,9 @@ WITH t AS (
 SELECT p_partkey,
        array_to_string((string_split(csv, ','))[1:2], ',')   AS first2,
        (string_split(csv, ','))[-1]                          AS last1,
-       COALESCE(list_position(string_split(csv, ','), 'green'), 0) AS pos_green,
+       CAST(COALESCE(list_position(string_split(csv, ','), 'green'), 0) AS BIGINT) AS pos_green,
        (['alpha','beta','gamma'])[1 + p_partkey % 3]         AS elt_pick,
-       COALESCE(list_position(['Brand#12','Brand#23','Brand#34'], p_brand), 0) AS brand_field,
+       CAST(COALESCE(list_position(['Brand#12','Brand#23','Brand#34'], p_brand), 0) AS BIGINT) AS brand_field,
        substr(p_name, 1, 2) || '<X>' || substr(p_name, 5)    AS overlaid
 FROM t ORDER BY p_partkey
 """,
@@ -672,11 +672,11 @@ WITH b AS (
 )
 SELECT l_orderkey,
        COUNT(*) AS n,
-       BIT_AND(flags) AS f_and,
-       BIT_OR(flags) AS f_or,
-       BIT_XOR(flags) AS f_xor,
+       CAST(BIT_AND(flags) AS BIGINT) AS f_and,
+       CAST(BIT_OR(flags) AS BIGINT) AS f_or,
+       CAST(BIT_XOR(flags) AS BIGINT) AS f_xor,
        LPAD(BIN(BIT_OR(flags)), 3, '0') AS f_or_bits,
-       SUM(CASE WHEN flags >= 4 THEN 1 ELSE 0 END) AS n_highbit
+       CAST(SUM(CASE WHEN flags >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_highbit
 FROM b
 GROUP BY l_orderkey
 ORDER BY l_orderkey
@@ -731,7 +731,7 @@ SELECT c_custkey,
        CAST(json_object('k', c_custkey, 'seg', c_mktsegment) AS VARCHAR) AS obj,
        CAST(json_object('k', c_custkey, 'comment', NULL) AS VARCHAR)     AS obj_with_null,
        CAST(to_json([c_custkey, c_custkey % 7, c_nationkey]) AS VARCHAR) AS arr,
-       json_array_length(to_json([c_custkey, c_custkey % 7, c_nationkey])) AS arr_len,
+       CAST(json_array_length(to_json([c_custkey, c_custkey % 7, c_nationkey])) AS BIGINT) AS arr_len,
        array_to_string(json_keys(json_object('k', c_custkey, 'seg', c_mktsegment)), ',') AS obj_keys,
        json_extract_string('"' || c_mktsegment || '"', '$') AS unquoted
 FROM customer
@@ -758,7 +758,7 @@ def func_json_build(spark, sf_dir):
             obj.alias("obj"),
             obj_null.alias("obj_with_null"),
             arr.alias("arr"),
-            F.json_array_length(arr).alias("arr_len"),
+            F.json_array_length(arr).cast("long").alias("arr_len"),
             F.concat_ws(",", F.json_object_keys(obj)).alias("obj_keys"),
             F.get_json_object(
                 F.concat(F.lit('"'), c["c_mktsegment"], F.lit('"')), "$"

@@ -80,7 +80,7 @@ WITH {_PAIRS_SQL},
 nn AS (SELECT COUNT(*) AS n FROM deg),
 r0 AS (SELECT u, 1000000000 // nn.n AS r FROM deg CROSS JOIN nn),
 {rounds}
-SELECT r3.u AS node, deg.d AS degree, r3.r AS rank_ppb
+SELECT r3.u AS node, deg.d AS degree, CAST(r3.r AS BIGINT) AS rank_ppb
 FROM r3 JOIN deg ON deg.u = r3.u
 ORDER BY rank_ppb DESC, node
 LIMIT 25
@@ -202,7 +202,7 @@ def graph_triangles(spark, sf_dir):
     return stats.select(
         "n_nodes",
         "n_edges",
-        F.lit(t).alias("n_triangles"),
+        F.lit(t).cast("long").alias("n_triangles"),
         "n_wedges",
         F.expr(f"CAST({3 * t * 1000000} AS BIGINT) DIV n_wedges").alias(
             "global_cc_ppm"
@@ -229,7 +229,8 @@ tot AS (SELECT prev_type, SUM(n) AS row_n FROM cnt GROUP BY prev_type),
 k AS (SELECT COUNT(DISTINCT event_type) AS n_states FROM events)
 SELECT c.prev_type AS prev_type, c.next_type AS next_type,
        c.n AS n,
-       CAST((c.n + 1) * 1000000 AS BIGINT) // (t.row_n + k.n_states) AS p_ppm
+       CAST(CAST((c.n + 1) * 1000000 AS BIGINT) // (t.row_n + k.n_states)
+            AS BIGINT) AS p_ppm
 FROM cnt c JOIN tot t ON t.prev_type = c.prev_type CROSS JOIN k
 ORDER BY prev_type, next_type
 """,

@@ -450,10 +450,10 @@ def text_stats_quality(spark, sf_dir):
     n_stop = T.stopword_hits(toks, _EN)
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         n_bytes.cast("long").alias("n_bytes"),
-        n_stop.alias("n_stop"),
+        n_stop.cast("long").alias("n_stop"),
         T.punct_count(F.col("text")).cast("long").alias("n_punct"),
         T.quality_score(n_tokens, n_bytes, n_stop).alias("quality"),
         T.fingerprint(F.col("text")).alias("fingerprint"),
@@ -1005,7 +1005,7 @@ def pipeline_length_buckets(spark, sf_dir):
         F.col("n_chars").asc(), F.col("doc_id").asc()
     )
     return (
-        d.select("source", "doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        d.select("source", "doc_id", "n_chars", F.ntile(10).over(w).cast("long").alias("decile"))
         .groupBy("source", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1083,7 +1083,7 @@ def emb_pca_covariance(spark, sf_dir):
     sxx = F.sum((F.col("xi").cast("double") * F.col("xj").cast("double")).cast(DEC)).cast("double")
     return (
         b.groupBy(
-            (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+            (F.col("i0") + 1).cast("long").alias("i"), (F.col("j0") + 1).cast("long").alias("j")
         )
         .agg(((sxx - (sxi * sxj) / n) / n).alias("cov"))
         .orderBy("i", "j")
@@ -1186,7 +1186,7 @@ def text_tfidf_topk(spark, sf_dir):
         F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", F.round("tfidf", 9).alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")
@@ -1230,7 +1230,7 @@ def pipeline_global_deciles(spark, sf_dir):
         bucket = bucket + F.when(F.col(f"c{q}") < F.col("n_chars"), 1).otherwise(0)
     return (
         d.crossJoin(F.broadcast(cuts))
-        .select(bucket.alias("bucket"), "n_chars")
+        .select(bucket.cast("long").alias("bucket"), "n_chars")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1254,7 +1254,7 @@ WITH b AS (
            % 10000 AS bucket
   FROM documents
 )
-SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
 FROM b
 WHERE bucket < CAST(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0) * 10000 AS BIGINT)
 GROUP BY source
@@ -1357,7 +1357,7 @@ m AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM m
 WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
   AND n_tokens BETWEEN 50 AND 100000
@@ -2776,9 +2776,9 @@ def pipeline_winsorize_lengths(spark, sf_dir):
                     (F.col("n_tok") < F.col("lo")) | (F.col("n_tok") > F.col("hi")), 1
                 ).otherwise(0)
             ).alias("n_clipped"),
-            F.sum(F.greatest(F.least("n_tok", "hi"), F.col("lo"))).alias(
-                "winsorized_tokens"
-            ),
+            F.sum(F.greatest(F.least("n_tok", "hi"), F.col("lo")))
+            .cast("long")
+            .alias("winsorized_tokens"),
             F.sum("n_tok").alias("raw_tokens"),
         )
         .orderBy("source")
@@ -2817,7 +2817,7 @@ scored AS (
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
        CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
-       SUM(lp_micro) // COUNT(*) AS avg_lp_micro
+       CAST(SUM(lp_micro) // COUNT(*) AS BIGINT) AS avg_lp_micro
 FROM scored GROUP BY doc_id
 ORDER BY doc_id
 """,
@@ -3471,7 +3471,7 @@ def knn_graph_bucketed(spark, sf_dir):
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), "nbr_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("src_id", "rnk", "nbr_id", "cos_sim")
         .orderBy("src_id", "rnk")

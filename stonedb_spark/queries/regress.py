@@ -184,9 +184,9 @@ def regress_union_coercion(spark, sf_dir):
     "regress_len_numeric",
     oracle="""
 SELECT
-  sum(length(c_name)) AS sum_len_str,
-  sum(length(CAST(c_custkey AS VARCHAR))) AS sum_len_int,
-  CAST(sum(length(CAST(c_custkey AS VARCHAR)) / 2.0) AS DECIMAL(38,10))
+  CAST(sum(length(c_name)) AS BIGINT) AS sum_len_str,
+  CAST(sum(length(CAST(c_custkey AS VARCHAR))) AS BIGINT) AS sum_len_int,
+  CAST(sum(length(CAST(c_custkey AS VARCHAR)) / 2.0) AS DOUBLE)
     AS sum_half_len
 FROM customer
 """,
@@ -199,7 +199,10 @@ def regress_len_numeric(spark, sf_dir):
     return c.agg(
         F.sum(F.length("c_name")).alias("sum_len_str"),
         F.sum(key_len).alias("sum_len_int"),
-        F.sum(key_len / F.lit(2.0)).cast("decimal(38,10)").alias("sum_half_len"),
+        # DOUBLE on both sides: DuckDB materializes DECIMAL(38,10) as
+        # float64 in pandas (precision > 18), so a decimal here would
+        # reach the driver hash as Decimal-vs-float (round-6 sweep FAIL).
+        F.sum(key_len / F.lit(2.0)).cast("double").alias("sum_half_len"),
     )
 
 

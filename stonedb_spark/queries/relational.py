@@ -748,8 +748,8 @@ def window_rank_running(spark, sf_dir):
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
             F.lag("o_orderkey").over(w).alias("prev_order"),
             F.sum(o["o_totalprice"].cast(DEC)).over(wsum).cast("double").alias("running_total"),
         )
@@ -1207,7 +1207,7 @@ def window_frames_nav(spark, sf_dir):
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.dense_rank().over(w).alias("drnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
             F.lead("o_orderkey").over(w).alias("next_order"),
             F.percent_rank().over(w).alias("prk"),
             F.cume_dist().over(w).alias("cd"),
@@ -1268,7 +1268,7 @@ def window_topk_per_group(spark, sf_dir):
     top3 = (
         oc.select(
             "c_mktsegment", "o_orderkey", "o_totalprice",
-            F.row_number().over(wr).alias("rk"),
+            F.row_number().over(wr).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
     )
@@ -1326,7 +1326,7 @@ def agg_histogram(spark, sf_dir):
     )
     return (
         o.crossJoin(F.broadcast(b))
-        .groupBy(bucket.alias("bucket"))
+        .groupBy(bucket.cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
@@ -1481,7 +1481,7 @@ def agg_corr_moments(spark, sf_dir):
 _SHARED_SQL_TEXT = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
 FROM orders
 WHERE o_custkey % 7 = 1 OR o_orderstatus = 'P'
 GROUP BY o_orderpriority
@@ -1658,7 +1658,7 @@ def window_distribution_funcs(spark, sf_dir):
         "c_mktsegment",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.nth_value("c_custkey", 2).over(wrows).alias("second_poorest"),
     ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
 
@@ -1774,7 +1774,7 @@ def join_scd2_pointintime(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = e.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", "value", F.row_number().over(wv).alias("ver")
+        "user_id", "ts", "value", F.row_number().over(wv).cast("long").alias("ver")
     )
     wl = Window.partitionBy("user_id").orderBy("ver")
     dim = changes.select(
@@ -1901,7 +1901,7 @@ chain AS (
   FROM chain c JOIN ord o
     ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
 )
-SELECT o_custkey AS custkey, o_orderkey AS orderkey, rn AS depth,
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, CAST(rn AS BIGINT) AS depth,
        CAST(cum AS DOUBLE) AS cum_spend
 FROM chain
 ORDER BY custkey, depth

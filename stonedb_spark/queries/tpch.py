@@ -647,10 +647,10 @@ def tpch_q11(spark, sf_dir):
     "tpch_q12",
     oracle="""
 SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem ON o.o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -68,6 +68,49 @@ def apply_changes(old: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     return survivors.unionByName(incoming)
 
 
+_SEQ_RE = r"diff(\d+)_"
+
+
+def next_diff_seq(changes_dir: str) -> int:
+    """Next monotonic diff sequence number for ``changes_dir``: one more
+    than the highest ``diff{N}_`` prefix already present (0 for a fresh
+    directory).  The sequence lives in FILE NAMES, not mtimes — mtime
+    granularity is filesystem-dependent (can be 1 s), so two diffs
+    exported in the same tick would otherwise be ordered by path text.
+    """
+    import re
+
+    best = -1
+    if os.path.isdir(changes_dir):
+        for f in os.listdir(changes_dir):
+            m = re.match(_SEQ_RE, f)
+            if m:
+                best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def export_diff(diff: DataFrame, changes_dir: str, seq: int | None = None) -> int:
+    """Write one diff_snapshots change set into ``changes_dir`` with a
+    monotonic ``diff{seq:010d}_`` file-name prefix; returns the sequence
+    used.  run_streaming_apply orders cross-diff duplicates by this
+    sequence, so apply order equals export order even when successive
+    exports land in the same mtime tick.
+    """
+    os.makedirs(changes_dir, exist_ok=True)
+    if seq is None:
+        seq = next_diff_seq(changes_dir)
+    staging = os.path.join(changes_dir, f".staging_{seq}")
+    diff.write.mode("overwrite").parquet(staging)
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(staging, f),
+                os.path.join(changes_dir, f"diff{seq:010d}_{f}"),
+            )
+    shutil.rmtree(staging)
+    return seq
+
+
 def run_streaming_apply(
     spark: SparkSession,
     changes_dir: str,
@@ -83,9 +126,12 @@ def run_streaming_apply(
     changed in more than one diff would then appear multiple times, and
     apply_changes (anti-join + union) would keep every copy.  The fold
     therefore first collapses the batch to the LAST change per key,
-    ordered by source-file modification time (file path as tie-break;
-    files within one diff never repeat a key, so only cross-diff order
-    matters and diffs are written sequentially).
+    ordered by the monotonic ``diff{N}_`` file-name sequence stamped by
+    export_diff (mtime, then path, as fallbacks for files written
+    without it; files within one diff never repeat a key, so only
+    cross-diff order matters).  mtime alone is NOT a safe order — its
+    granularity is filesystem-dependent (can be 1 s), and two diffs in
+    the same tick would be ordered by path text.
 
     The swap renames the live table aside before promoting the staging
     copy (target -> target.old, staging -> target, drop target.old), so
@@ -110,13 +156,15 @@ def run_streaming_apply(
         w = (
             Window.partitionBy(key)
             .orderBy(
-                F.col("_src_mtime").desc(), F.col("_src_file").desc()
+                F.col("_src_seq").desc(),
+                F.col("_src_mtime").desc(),
+                F.col("_src_file").desc(),
             )
         )
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src_file", "_src_mtime")
+            .drop("_rn", "_src_file", "_src_mtime", "_src_seq")
         )
         merged = apply_changes(base, latest, key).localCheckpoint()
         staging = target_path + ".staging"
@@ -137,6 +185,19 @@ def run_streaming_apply(
             "*",
             F.col("_metadata.file_path").alias("_src_file"),
             F.col("_metadata.file_modification_time").alias("_src_mtime"),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ),
+                        _SEQ_RE,
+                        1,
+                    ),
+                    F.lit(""),
+                ).cast("long"),
+                F.lit(-1),
+            ).alias("_src_seq"),
         )
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)

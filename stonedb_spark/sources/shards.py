@@ -3,10 +3,15 @@
 Packs documents into fixed-token-budget shards (the same
 running-window discipline as Q(pipeline_sequence_pack)), writes one
 parquet directory per shard, and emits a MANIFEST the training job can
-trust: per-shard row count, token sum, and an order-insensitive content
-checksum (XOR of per-doc md5s — associative/commutative, so it is
-computable distributed in any partition order and verifiable shard-by-
-shard on the consumer side without re-reading the corpus twice).
+trust: per-shard row count, token sum, and an order-insensitive CONTENT
+checksum.  The per-row hash covers (doc_id, text) — not doc_id alone —
+so payload corruption or substitution inside a shard is detected, not
+just membership changes.  The fold is two commutative/associative
+components joined as ``xorhex-sumhex``: an XOR of per-row hashes and a
+wrapping SUM of the same hashes.  XOR alone cancels pairs of identical
+rows (an even-count duplication would verify); the additive component
+is multiplicity-sensitive, so together they catch both substitution
+and duplication while staying computable in any partition order.
 
 Scale shape: shard assignment is a per-source window (partition-
 parallel) + one write shuffled on shard id; the manifest is one tiny
@@ -48,6 +53,26 @@ def assign_shards(
     )
 
 
+def _content_checksum(text_col: str) -> F.Column:
+    """Order-insensitive, multiplicity-sensitive shard checksum over the
+    (doc_id, text) payload: ``xorhex-sumhex`` of per-row 60-bit hashes.
+    Unit separator \\x1f between fields so ('ab','c') != ('a','bc')."""
+    h = (
+        f"cast(conv(substring(md5(concat_ws('\\u001f', "
+        f"cast(doc_id as string), {text_col})), 1, 15), 16, 10) as bigint)"
+    )
+    xor_part = (
+        f"conv(cast(aggregate(collect_list({h}), 0L, (acc, x) -> acc ^ x)"
+        " as string), 10, 16)"
+    )
+    # wrapping sum: fold in DECIMAL(38,0) (no int64 overflow), mod 2^60
+    sum_part = (
+        f"conv(cast(cast(sum(cast({h} as decimal(38,0)))"
+        " % 1152921504606846976 as bigint) as string), 10, 16)"
+    )
+    return F.expr(f"concat({xor_part}, '-', {sum_part})")
+
+
 def export_training_shards(
     docs: DataFrame, path: str, token_budget: int, text_col: str = "text"
 ) -> dict:
@@ -60,12 +85,7 @@ def export_training_shards(
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("_tok").alias("tokens"),
-            # order-insensitive: XOR-fold the first 15 md5 hex digits
-            F.expr(
-                "conv(cast(aggregate(collect_list("
-                "  cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
-                "), 0L, (acc, x) -> acc ^ x) as string), 10, 16)"
-            ).alias("checksum"),
+            _content_checksum(text_col).alias("checksum"),
         )
         .collect()
     )
@@ -82,7 +102,7 @@ def export_training_shards(
     return manifest
 
 
-def verify_shard(spark, path: str, shard: str) -> bool:
+def verify_shard(spark, path: str, shard: str, text_col: str = "text") -> bool:
     """Consumer-side check: recompute one shard's manifest entry."""
     with open(os.path.join(path, "_MANIFEST.json")) as f:
         manifest = json.load(f)
@@ -93,11 +113,7 @@ def verify_shard(spark, path: str, shard: str) -> bool:
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("_tok").alias("tokens"),
-            F.expr(
-                "conv(cast(aggregate(collect_list("
-                "  cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
-                "), 0L, (acc, x) -> acc ^ x) as string), 10, 16)"
-            ).alias("checksum"),
+            _content_checksum(text_col).alias("checksum"),
         )
         .collect()[0]
     )

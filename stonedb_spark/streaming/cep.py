@@ -64,7 +64,16 @@ def detect_funnel_stream(events: DataFrame, watermark_delay: str = "0 seconds") 
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # On timestamp ties, process stages in funnel order (view before
+        # click before purchase): the batch funnel binds with ts >=
+        # view_ts, so a click sharing the view's exact timestamp must
+        # bind regardless of how event_ids happen to sort (round-5
+        # ADVICE; same-tick events are a real clickstream case).
+        rows = pd.concat(list(pdfs))
+        rows["_stage"] = rows["event_type"].map(
+            {"view": 0, "click": 1, "purchase": 2}
+        ).fillna(3)
+        rows = rows.sort_values(["ts", "_stage", "event_id"])
         v_us, c_us, done = state.get if state.exists else (0, 0, 0)
         out = []
         for ts, etype in zip(rows["ts"], rows["event_type"]):

@@ -283,3 +283,50 @@ def test_training_shard_export_manifest_roundtrip(spark, sf_dir, tmp_path):
     victim = kept.limit(1).collect()[0]["doc_id"]
     kept.filter(F.col("doc_id") != victim).write.mode("overwrite").parquet(part_dir)
     assert not verify_shard(spark, path, shard)
+
+
+def test_training_shard_checksum_detects_payload_and_duplication(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE round-5: the checksum must cover the text payload (same
+    doc_ids + altered text fails) and must be multiplicity-sensitive
+    (duplicating a row an EVEN number of times fails — a doc_id-only
+    XOR fold cancels identical pairs and would verify)."""
+    from stonedb_spark.catalog import load_tables
+    from stonedb_spark.sources.shards import export_training_shards, verify_shard
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "shards")
+    manifest = export_training_shards(docs, path, token_budget=2000)
+    shard = sorted(manifest)[0]
+    part_dir = f"{path}/shard={shard}"
+    orig = spark.read.parquet(part_dir).localCheckpoint()
+
+    # substitution: same membership (doc_ids, row count), altered text
+    victim = orig.limit(1).collect()[0]["doc_id"]
+    tampered = orig.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.concat(F.col("text"), F.lit("X")))
+        .otherwise(F.col("text")),
+    )
+    tampered.write.mode("overwrite").parquet(part_dir)
+    assert not verify_shard(spark, path, shard)
+
+    # even-count duplication: 2 extra copies of one row.  The XOR
+    # component alone cancels the identical pair — assert the combined
+    # checksum ITSELF diverges (not merely the row count).
+    from stonedb_spark.sources.shards import _content_checksum
+
+    dup = orig.unionByName(
+        orig.filter(F.col("doc_id") == victim)
+    ).unionByName(orig.filter(F.col("doc_id") == victim))
+    ck_orig = orig.agg(_content_checksum("text").alias("c")).collect()[0]["c"]
+    ck_dup = dup.agg(_content_checksum("text").alias("c")).collect()[0]["c"]
+    assert ck_orig.split("-")[0] == ck_dup.split("-")[0]  # XOR part cancels…
+    assert ck_orig != ck_dup  # …but the additive part catches it
+    dup.write.mode("overwrite").parquet(part_dir)
+    assert not verify_shard(spark, path, shard)
+
+    # restore -> verifies again (checksum is order-insensitive)
+    orig.orderBy(F.rand(7)).write.mode("overwrite").parquet(part_dir)
+    assert verify_shard(spark, path, shard)

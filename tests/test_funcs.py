@@ -417,7 +417,15 @@ def test_inet_shims_edge_grid(spark):
         ("1.2.3.4", 16909060),
         ("127.0.0.1", 2130706433),
         ("256.1.2.3", None),
-        ("1.2.3", None),
+        # MySQL short forms: the LAST part covers the remaining bytes
+        ("127.1", 2130706433),
+        ("127.0.1", 2130706433),
+        ("1.2.3", 16908291),  # 1*2^24 + 2*2^16 + 3
+        ("1", 1),
+        ("4294967295", 4294967295),
+        ("4294967296", None),  # 1-part out of 32-bit range
+        ("127.16777216", None),  # 2-part tail exceeds 24-bit width
+        ("1.2.65536", None),  # 3-part tail exceeds 16-bit width
         ("1.2.3.4.5", None),
         ("a.b.c.d", None),
         ("", None),

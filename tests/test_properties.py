@@ -122,3 +122,38 @@ def test_zvalue_matches_python_bit_model(spark, xy):
     got = df.select("x", "y", zvalue([F.col("x"), F.col("y")], 16).alias("z")).collect()
     for r in got:
         assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
+
+
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.integers(-(1 << 40), 1 << 40), st.integers(-(1 << 40), 1 << 40)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zvalue_out_of_width_inputs_fold_mod(spark, xy):
+    """Inputs >= 2^bits or negative must fold with pmod — the same key
+    as (v mod 2^bits) — never alias through raw sign-extended bit
+    slices (l_partkey at sf1 exceeds 2^16; ADVICE round-5)."""
+    from stonedb_spark.operators.zorder import zvalue
+
+    def model(x, y):
+        x, y = x % 65536, y % 65536
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    got = df.select("x", "y", zvalue([F.col("x"), F.col("y")], 16).alias("z")).collect()
+    for r in got:
+        assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
+        assert 0 <= r["z"] < (1 << 32)

@@ -535,11 +535,20 @@ def test_cdc_streaming_apply_multi_diff_one_batch(spark, sf_dir, tmp_path):
     """One availableNow drain that ingests TWO successive diffs must end
     at the LAST snapshot even for keys changed in both diffs
     (update->update, update->delete, insert->update): the fold collapses
-    the batch to the latest change per key by source-file mtime before
-    applying, so duplicate key rows cannot survive."""
-    import shutil as sh
-
-    from stonedb_spark.sources.cdc import diff_snapshots, run_streaming_apply
+    the batch to the latest change per key by the export_diff file-name
+    sequence before applying, so duplicate key rows cannot survive.
+    Both diffs are pinned to the SAME mtime — the ordering must come
+    from the monotonic diff sequence, not from timestamps (mtime ticks
+    can be 1 s wide; two diffs in one tick are a real production case).
+    Adversarial twist: diff1's files sort lexicographically AFTER
+    diff0's only because of the numeric prefix — path-text ordering is
+    also exercised as the thing that must NOT be relied on (the d2
+    payload is what must win for overlapping keys)."""
+    from stonedb_spark.sources.cdc import (
+        diff_snapshots,
+        export_diff,
+        run_streaming_apply,
+    )
 
     a = (
         load_tables(spark, sf_dir)["orders"]
@@ -574,17 +583,12 @@ def test_cdc_streaming_apply_multi_diff_one_batch(spark, sf_dir, tmp_path):
     assert d1.join(d2, "o_orderkey", "inner").count() > 0  # overlap is real
 
     changes_dir = tmp_path / "changes"
-    changes_dir.mkdir()
-    tmp1, tmp2 = str(tmp_path / "d1"), str(tmp_path / "d2")
-    d1.coalesce(2).write.parquet(tmp1)
-    d2.coalesce(2).write.parquet(tmp2)
+    assert export_diff(d1.coalesce(2), str(changes_dir)) == 0
+    assert export_diff(d2.coalesce(2), str(changes_dir)) == 1
+    # pin EVERY file to one identical mtime: sequence must decide
     t0 = 1_700_000_000
-    for i, src in enumerate((tmp1, tmp2)):
-        for f in sorted(os.listdir(src)):
-            if f.endswith(".parquet"):
-                dst = changes_dir / f"diff{i}_{f}"
-                sh.copy(os.path.join(src, f), dst)
-                os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+    for f in os.listdir(changes_dir):
+        os.utime(changes_dir / f, (t0, t0))
 
     target = str(tmp_path / "table.parquet")
     a.write.parquet(target)
