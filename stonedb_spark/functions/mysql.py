@@ -629,6 +629,51 @@ def locate(sub: str, s: Column, pos: int | None = None) -> Column:
     return F.locate(sub, s, pos).cast("long")
 
 
+_COMPOSITE_UNITS = {
+    # MySQL composite EXTRACT units -> positional decimal packing
+    # (issue845.test, issue464.test; MySQL manual "temporal intervals")
+    "YEAR_MONTH": (("year", 100), ("month", 1)),
+    "DAY_HOUR": (("day", 100), ("hour", 1)),
+    "DAY_MINUTE": (("day", 10000), ("hour", 100), ("minute", 1)),
+    "DAY_SECOND": (("day", 1000000), ("hour", 10000), ("minute", 100), ("second", 1)),
+    "HOUR_MINUTE": (("hour", 100), ("minute", 1)),
+    "HOUR_SECOND": (("hour", 10000), ("minute", 100), ("second", 1)),
+    "MINUTE_SECOND": (("minute", 100), ("second", 1)),
+}
+
+
+def extract_composite(ts: Column | str, unit: str) -> Column:
+    """MySQL EXTRACT with a composite unit (DAY_HOUR, MINUTE_SECOND, …):
+    the fields are packed positionally in decimal, e.g.
+    EXTRACT(DAY_MINUTE FROM '2019-07-02 01:02:03') = 2*10000+1*100+2 =
+    20102 (issue845.test).  Spark's extract has no composite units, so
+    the packing is spelled out from the scalar fields."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    parts = _COMPOSITE_UNITS[unit.upper()]
+    getters = {
+        "year": F.year,
+        "month": F.month,
+        "day": F.dayofmonth,
+        "hour": F.hour,
+        "minute": F.minute,
+        "second": F.second,
+    }
+    out = F.lit(0).cast("long")
+    for field, weight in parts:
+        out = out + getters[field](c).cast("long") * F.lit(weight)
+    return out
+
+
+def str_to_date_time(s: Column | str, mysql_fmt: str) -> Column:
+    """MySQL STR_TO_DATE with a TIME-only format (issue975.test:
+    '%H:%i:%s', '%T', '%h:%i:%s%p', '%r') — MySQL yields a TIME value;
+    Spark has no TIME type, so the result is modeled as the canonical
+    'HH:mm:ss' string (NULL on parse failure, like MySQL)."""
+    c = F.col(s) if isinstance(s, str) else s
+    jvm = mysql_format_to_jvm(mysql_fmt)
+    return F.date_format(F.try_to_timestamp(c, F.lit(jvm)), "HH:mm:ss")
+
+
 def inet_aton(ip: Column | str) -> Column:
     """MySQL INET_ATON: dotted forms with 1-4 parts.  With fewer than 4
     parts the LAST part covers the remaining low bytes (MySQL docs:

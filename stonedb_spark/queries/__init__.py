@@ -35,6 +35,7 @@ _MODULES = (
     "stonedb_spark.queries.pipeline",
     "stonedb_spark.queries.dml",
     "stonedb_spark.queries.regress",
+    "stonedb_spark.queries.regress_issues",
     "stonedb_spark.queries.graph",
 )
 

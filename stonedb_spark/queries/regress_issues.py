@@ -1,0 +1,672 @@
+"""Round-6 distillations of the reference's issueNNN MTR regression
+corpus (mysql-test/suite/tianmu/t/issue*.test) — continuing
+queries/regress.py.  Each entry re-creates the bug-shaped semantics
+over the driver parquet tables (never the literal INSERT data) so the
+DuckDB oracle can arbitrate; the issue file is cited per entry.
+
+Dialect notes that recur below:
+* MySQL treats 0/1 ints as booleans inside AND/OR trees; Spark and
+  DuckDB need explicit comparisons, so flag columns are compared `= 1`
+  (all values are 0/1, so truthiness and equality coincide).
+* MySQL's null-safe `<=>` is Spark's `<=>` and DuckDB's
+  `IS NOT DISTINCT FROM`.
+* Counts use CAST(... AS BIGINT) in the oracle — DuckDB SUM returns
+  HUGEINT (pandas float64) and the driver hash is dtype-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonedb_spark.catalog import load_tables
+from stonedb_spark.catalog import sql as run_sql
+from stonedb_spark.queries import register
+
+# --------------------------------------------------------------------------
+# issue431 / issue467 / issue468 / issue469: constant-folded boolean
+# AND/OR trees with literal 0/1 operands, operator precedence (AND
+# binds tighter than OR), and the null-safe <=> comparison.  The
+# reference's engine mis-evaluated these trees when its syntax
+# optimizer rewrote them (issue469 mixes <=> with an AND-over-OR
+# precedence trap; issue431 has a dead `OR 0` arm; issue467 chains
+# date ranges).
+_BOOL_FLAGS = """
+  SELECT o_orderkey,
+         CAST(o_orderkey % 2 AS INT)  AS e1,
+         CAST(o_orderkey % 3 = 0 AS INT) AS e2,
+         CAST(o_orderkey % 5 = 0 AS INT) AS e3,
+         CAST(o_orderkey % 7 = 0 AS INT) AS e4,
+         CAST(o_orderkey % 11 = 0 AS INT) AS e5,
+         CAST(o_orderkey % 13 = 0 AS INT) AS e6,
+         CAST(o_orderkey % 17 = 0 AS INT) AS e7,
+         CAST(o_orderkey % 19 = 0 AS INT) AS e8,
+         CAST(o_orderkey % 23 = 0 AS INT) AS e9,
+         o_totalprice AS v,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 100 AS INT) END AS nv,
+         o_orderdate AS d
+  FROM orders WHERE o_orderkey <= 4000
+"""
+
+# predicate bodies shared verbatim by both engines ({EQ} = null-safe eq)
+_BOOL_PREDS = {
+    # issue468: nested AND/OR tree over 0/1 flags
+    "n_tree": (
+        "(e1=1 AND ((e2=1 AND e3=1 AND (e4=1 OR e5=1)) OR e6=1) "
+        "OR (e7=1 AND e8=1 AND e9=1))"
+    ),
+    # issue468 second arm: one subtree replaced by literal FALSE
+    "n_tree_dead_arm": (
+        "(e1=1 AND ((e2=1 AND e3=1 AND (e4=1 OR e5=1)) OR 1=0) "
+        "OR (e7=1 AND e8=1 AND e9=1))"
+    ),
+    # issue431: (a >= 3) AND (b = 5 AND a > 2 OR 0) — dead OR-0 arm
+    "n_dead_or_zero": "(v >= 30000) AND (e2=1 AND v > 20000 OR 1=0)",
+    # issue469: <=> inside AND-over-OR precedence (AND binds tighter)
+    "n_nullsafe_prec": (
+        "(e1=1) OR ((nv {EQ} 80) OR (e2=1) AND (e3=1)) AND (1=1)"
+    ),
+    # null-safe vs plain equality on a NULL-bearing column
+    "n_nullsafe_null": "nv {EQ} NULL",
+    "n_plain_eq_never": "nv = NULL",
+    # issue467: date-range OR/AND precedence chain
+    "n_date_chain": (
+        "(d <= TIMESTAMP '1996-04-05') AND (d >= TIMESTAMP '1999-06-22') "
+        "OR (d <= TIMESTAMP '2000-12-13')"
+    ),
+}
+
+
+def _bool_battery_sql(eq_op: str) -> str:
+    preds = {k: p.format(EQ=eq_op) for k, p in _BOOL_PREDS.items()}
+    cols = ",\n  ".join(
+        f"CAST(COUNT(CASE WHEN {p} THEN 1 END) AS BIGINT) AS {n}"
+        for n, p in preds.items()
+    )
+    return f"WITH t AS ({_BOOL_FLAGS})\nSELECT\n  {cols}\nFROM t"
+
+
+@register(
+    "regress_bool_const_tree",
+    oracle=_bool_battery_sql("IS NOT DISTINCT FROM"),
+    doc="issue431/467/468/469: AND/OR trees w/ literal arms, precedence, <=>",
+)
+def regress_bool_const_tree(spark, sf_dir):
+    return run_sql(spark, _bool_battery_sql("<=>"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue433 / issue947: three-valued logic of constant NULL / constant
+# value IN and NOT IN against literal NULL lists and subqueries that
+# are empty or return NULL.  Every case is a full-table-or-empty count:
+# the reference returned rows where SQL 3VL says none (and vice versa).
+def _null_in_sql(int_null: str) -> str:
+    # int_null: a NULL literal typed as an integer for the engine
+    cases = {
+        # WHERE NULL IN (NULL) -> NULL -> 0 rows
+        "null_in_null": f"{int_null} IN ({int_null})",
+        "null_notin_null": f"{int_null} NOT IN ({int_null})",
+        # 42 IN (NULL) -> NULL; 42 NOT IN (NULL) -> NULL
+        "c_in_null": f"42 IN ({int_null})",
+        "c_notin_null": f"42 NOT IN ({int_null})",
+        # vs an EMPTY subquery: IN -> FALSE, NOT IN -> TRUE (issue767 core)
+        "null_in_empty": f"{int_null} IN (SELECT val FROM t WHERE val > 1000000)",
+        "null_notin_empty": f"{int_null} NOT IN (SELECT val FROM t WHERE val > 1000000)",
+        "c_in_empty": "42 IN (SELECT val FROM t WHERE val > 1000000)",
+        "c_notin_empty": "42 NOT IN (SELECT val FROM t WHERE val > 1000000)",
+        # vs a subquery that RETURNS NULLs: membership unknowable
+        "c_in_nullsub": f"42 IN (SELECT {int_null} FROM t WHERE val <= 10)",
+        "c_notin_nullsub": f"42 NOT IN (SELECT {int_null} FROM t WHERE val <= 10)",
+    }
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS c, CAST((SELECT COUNT(*) FROM t WHERE {p}) AS BIGINT) AS n"
+        for n, p in cases.items()
+    )
+    return (
+        "WITH t AS (SELECT o_orderkey AS val FROM orders WHERE o_orderkey <= 50)\n"
+        f"{legs}\nORDER BY c"
+    )
+
+
+@register(
+    "regress_null_in_const",
+    oracle=_null_in_sql("CAST(NULL AS BIGINT)"),
+    doc="issue433/947: NULL/constant IN & NOT IN vs NULL lists, empty and NULL subqueries",
+)
+def regress_null_in_const(spark, sf_dir):
+    return run_sql(spark, _null_in_sql("CAST(NULL AS BIGINT)"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue767 / issue669: NOT IN whose subquery is CORRELATED with a theta
+# predicate on the outer row.  `val NOT IN (SELECT v2 FROM t2 WHERE
+# v2 > t1.val)` must keep every row (membership would need v2 = val AND
+# v2 > val — contradiction), while >= / <= variants genuinely filter;
+# the reference engine's NOT IN descriptor got these wrong.  issue669
+# is the DELETE form of the same shape; surviving-row counts model it.
+_THETA_OPS = {"gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+
+
+def _notin_theta_sql() -> str:
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS op, CAST((SELECT COUNT(*) FROM t1 WHERE val NOT IN "
+        f"(SELECT v2 FROM t2 WHERE v2 {op} t1.val)) AS BIGINT) AS survivors"
+        for n, op in _THETA_OPS.items()
+    )
+    return f"""
+WITH t1 AS (SELECT o_orderkey, CAST(o_orderkey % 50 AS BIGINT) AS val
+            FROM orders WHERE o_orderkey <= 300),
+     t2 AS (SELECT CAST(o_orderkey % 37 AS BIGINT) AS v2
+            FROM orders WHERE o_orderkey <= 300)
+{legs}
+ORDER BY op
+"""
+
+
+@register(
+    "regress_notin_theta_correlated",
+    oracle=_notin_theta_sql(),
+    doc="issue767/669: correlated theta NOT IN (>, >=, <, <= inner predicates)",
+)
+def regress_notin_theta_correlated(spark, sf_dir):
+    return run_sql(spark, _notin_theta_sql(), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue763: `col LIKE NULL` is NULL (never TRUE), including under
+# AND/OR with sargable id predicates, NOT LIKE NULL, and UNION ALL legs
+# — the reference returned rows for some of these.
+def _like_null_sql() -> str:
+    cases = {
+        "like_null": "name LIKE NULL",
+        "notlike_null": "name NOT LIKE NULL",
+        "and_like_null": "id = 1 AND name LIKE NULL",
+        "or_like_null": "id = 1 OR name LIKE NULL",
+        "in_and_like_null": "id IN (4, 5) AND name LIKE NULL",
+        "in_or_like_null": "id IN (4, 5) OR name LIKE NULL",
+        "like_empty": "name LIKE ''",
+        "is_null": "name IS NULL",
+    }
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS c, CAST((SELECT COUNT(*) FROM t WHERE {p}) AS BIGINT) AS n"
+        for n, p in cases.items()
+    )
+    return (
+        "WITH t AS (SELECT c_custkey AS id,\n"
+        "                  CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END AS name\n"
+        "           FROM customer WHERE c_custkey <= 200)\n"
+        f"{legs}\nORDER BY c"
+    )
+
+
+@register(
+    "regress_like_null",
+    oracle=_like_null_sql(),
+    doc="issue763: LIKE NULL / NOT LIKE NULL under AND/OR/IN combinations",
+)
+def regress_like_null(spark, sf_dir):
+    return run_sql(spark, _like_null_sql(), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue282: OR-of-equijoin conditions over a table pair — the mixed
+# AND/OR nesting grid from the issue, evaluated as counts over the
+# bounded supplier x nation cross product (40 x 25 rows; the shape is
+# the point, the cross stays broadcast-sized at any SF because both
+# inputs are key-capped).
+_JOIN_OR_PREDS = {
+    "c_eq_and_or": "s_suppkey = 20 AND (s_suppkey = n_nationkey OR s_nationkey = n_nationkey)",
+    "c_eq_or_or": "s_suppkey = 20 OR (s_suppkey = n_nationkey OR s_nationkey = n_nationkey)",
+    "c_eq_and_and": "s_suppkey = 20 AND (s_suppkey = n_nationkey AND s_nationkey = n_nationkey)",
+    "c_or_precedence": "s_suppkey = 20 OR s_suppkey = n_nationkey AND s_nationkey = n_nationkey",
+    "c_range_or_eq": "(s_suppkey > 20 OR s_suppkey = n_nationkey) AND s_nationkey = n_nationkey",
+    "c_range_and_theta": "(s_suppkey <= 20 AND s_suppkey > n_nationkey) OR s_nationkey = n_nationkey",
+    # issue282 "multiple nesting" arm
+    "c_nested": (
+        "n_nationkey = 6 OR (s_suppkey = 20 AND "
+        "(s_suppkey = n_nationkey OR s_nationkey = n_nationkey))"
+    ),
+}
+
+
+def _join_or_sql() -> str:
+    cols = ",\n  ".join(
+        f"CAST(COUNT(CASE WHEN {p} THEN 1 END) AS BIGINT) AS {n}"
+        for n, p in _JOIN_OR_PREDS.items()
+    )
+    return f"""
+WITH s AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_suppkey <= 40),
+     n AS (SELECT n_nationkey FROM nation)
+SELECT
+  {cols}
+FROM s CROSS JOIN n
+"""
+
+
+@register(
+    "regress_join_or_conditions",
+    oracle=_join_or_sql(),
+    doc="issue282: OR-of-equijoin predicate grid over a bounded table pair",
+)
+def regress_join_or_conditions(spark, sf_dir):
+    return run_sql(spark, _join_or_sql(), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue270: SELECT DISTINCT over a multi-table join whose condition is
+# an OR of equalities across different table pairs, then ORDER BY +
+# LIMIT — the reference's EXPLAIN row estimate bug came from this
+# shape; here the RESULT is pinned (deterministic order, full tiebreak).
+_DISTINCT_OR_SQL = """
+SELECT DISTINCT n.n_nationkey AS nationkey, n.n_name AS name
+FROM supplier s, region r, nation n
+WHERE (s.s_nationkey = n.n_nationkey
+       OR (s.s_nationkey = r.r_regionkey AND n.n_regionkey = r.r_regionkey))
+  AND s.s_suppkey <= 30
+ORDER BY nationkey
+LIMIT 5
+"""
+
+
+@register(
+    "regress_distinct_or_join_topk",
+    oracle=_DISTINCT_OR_SQL,
+    doc="issue270: DISTINCT over OR-joined 3-table product + ORDER BY/LIMIT",
+)
+def regress_distinct_or_join_topk(spark, sf_dir):
+    return run_sql(spark, _DISTINCT_OR_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue845 / issue464: EXTRACT with MySQL composite units (DAY_HOUR,
+# MINUTE_SECOND, YEAR_MONTH, DAY_MINUTE, HOUR_SECOND, DAY_SECOND) —
+# fields packed positionally in decimal.  Neither Spark nor DuckDB has
+# composite units; the shim packs scalar extracts, the oracle spells
+# the same arithmetic.
+@register(
+    "regress_extract_composite",
+    oracle="""
+SELECT event_id,
+       CAST(EXTRACT(year FROM ts) * 100 + EXTRACT(month FROM ts) AS BIGINT) AS ym,
+       CAST(EXTRACT(day FROM ts) * 100 + EXTRACT(hour FROM ts) AS BIGINT) AS dh,
+       CAST(EXTRACT(day FROM ts) * 10000 + EXTRACT(hour FROM ts) * 100
+            + EXTRACT(minute FROM ts) AS BIGINT) AS dmi,
+       CAST(EXTRACT(day FROM ts) * 1000000 + EXTRACT(hour FROM ts) * 10000
+            + EXTRACT(minute FROM ts) * 100 + EXTRACT(second FROM ts) AS BIGINT) AS ds,
+       CAST(EXTRACT(hour FROM ts) * 10000 + EXTRACT(minute FROM ts) * 100
+            + EXTRACT(second FROM ts) AS BIGINT) AS hs,
+       CAST(EXTRACT(minute FROM ts) * 100 + EXTRACT(second FROM ts) AS BIGINT) AS mis
+FROM events
+WHERE event_id <= 150
+ORDER BY event_id
+""",
+    doc="issue845/464: EXTRACT composite units (DAY_HOUR, MINUTE_SECOND, ...)",
+)
+def regress_extract_composite(spark, sf_dir):
+    from stonedb_spark.functions import mysql as my
+
+    e = load_tables(spark, sf_dir)["events"]
+    ts = e["ts"]
+    return (
+        e.filter(e["event_id"] <= 150)
+        .select(
+            "event_id",
+            my.extract_composite(ts, "YEAR_MONTH").alias("ym"),
+            my.extract_composite(ts, "DAY_HOUR").alias("dh"),
+            my.extract_composite(ts, "DAY_MINUTE").alias("dmi"),
+            my.extract_composite(ts, "DAY_SECOND").alias("ds"),
+            my.extract_composite(ts, "HOUR_SECOND").alias("hs"),
+            my.extract_composite(ts, "MINUTE_SECOND").alias("mis"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# issue1173: temporal values in NUMERIC context — MySQL evaluates a
+# DATETIME as the packed number YYYYMMDDHHMMSS (TIME as HHMMSS) when a
+# bit/arithmetic operator touches it: a & a, a | a, a ^ 0, a << 1,
+# a >> 1, bit_count(a).  Both engines compute on the same packed BIGINT.
+@register(
+    "regress_temporal_numeric_context",
+    oracle="""
+SELECT event_id,
+       CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS dtnum,
+       CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT)
+         & CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS b_and,
+       CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT)
+         | CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS b_or,
+       xor(CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT), 0) AS b_xor0,
+       CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) << 1 AS b_shl,
+       CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) >> 1 AS b_shr,
+       CAST(bit_count(CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT)) AS BIGINT) AS b_cnt,
+       CAST(strftime(ts, '%H%M%S') AS BIGINT) AS tnum
+FROM events
+WHERE event_id <= 150
+ORDER BY event_id
+""",
+    doc="issue1173: DATETIME/TIME in numeric context (packed digits) + bit ops",
+)
+def regress_temporal_numeric_context(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    dtnum = F.date_format(e["ts"], "yyyyMMddHHmmss").cast("long")
+    tnum = F.date_format(e["ts"], "HHmmss").cast("long")
+    return (
+        e.filter(e["event_id"] <= 150)
+        .select(
+            "event_id",
+            dtnum.alias("dtnum"),
+            dtnum.bitwiseAND(dtnum).alias("b_and"),
+            dtnum.bitwiseOR(dtnum).alias("b_or"),
+            dtnum.bitwiseXOR(F.lit(0)).alias("b_xor0"),
+            F.shiftleft(dtnum, 1).alias("b_shl"),
+            F.shiftright(dtnum, 1).alias("b_shr"),
+            F.bit_count(dtnum).cast("long").alias("b_cnt"),
+            tnum.alias("tnum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# issue975: STR_TO_DATE with TIME-only formats (%H:%i:%s, %T,
+# %h:%i:%s%p, %r) — MySQL returns a TIME; modeled as the canonical
+# 'HH:mm:ss' string on both engines, NULL where the text does not parse
+# under the format (the AM/PM form fed a 24-hour string, for example).
+@register(
+    "regress_str_to_date_time",
+    oracle="""
+WITH t AS (
+  SELECT event_id,
+         lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(EXTRACT(minute FROM ts) AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(EXTRACT(second FROM ts) AS VARCHAR), 2, '0') AS t24,
+         lpad(CAST(CASE WHEN EXTRACT(hour FROM ts) % 12 = 0 THEN 12
+                        ELSE EXTRACT(hour FROM ts) % 12 END AS VARCHAR), 2, '0')
+           || ':' ||
+         lpad(CAST(EXTRACT(minute FROM ts) AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(EXTRACT(second FROM ts) AS VARCHAR), 2, '0') ||
+         CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'AM' ELSE 'PM' END AS t12
+  FROM events WHERE event_id <= 150
+)
+SELECT event_id,
+       strftime(strptime(t24, '%H:%M:%S'), '%H:%M:%S')      AS from_hms,
+       strftime(strptime(t24, '%H:%M:%S'), '%H:%M:%S')      AS from_t,
+       strftime(strptime(t12, '%I:%M:%S%p'), '%H:%M:%S')    AS from_ampm,
+       strftime(strptime(t12, '%I:%M:%S%p'), '%H:%M:%S')    AS from_r_strict,
+       strftime(try_strptime(t24, '%I:%M:%S%p'), '%H:%M:%S') AS mismatch_null
+FROM t
+ORDER BY event_id
+""",
+    doc="issue975: STR_TO_DATE time-only formats incl. %p AM/PM; NULL on mismatch",
+)
+def regress_str_to_date_time(spark, sf_dir):
+    from stonedb_spark.functions import mysql as my
+
+    e = load_tables(spark, sf_dir)["events"]
+    t24 = F.date_format(e["ts"], "HH:mm:ss")
+    t12 = F.date_format(e["ts"], "hh:mm:ssa")
+    return (
+        e.filter(e["event_id"] <= 150)
+        .select(
+            "event_id",
+            my.str_to_date_time(t24, "%H:%i:%s").alias("from_hms"),
+            my.str_to_date_time(t24, "%T").alias("from_t"),
+            my.str_to_date_time(t12, "%h:%i:%s%p").alias("from_ampm"),
+            my.str_to_date_time(t12, "%h:%i:%s%p").alias("from_r_strict"),
+            my.str_to_date_time(t24, "%h:%i:%s%p").alias("mismatch_null"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# issue415: GROUP BY on SELECT aliases (constant alias, negated-flag
+# alias, literal alias) with ASC markers, HAVING on an aggregate's
+# alias, and MIN over a boolean expression (MySQL `!x` -> 0/1 int).
+# All three engines resolve the aliases; the 0/1 int modeling pins the
+# MySQL numeric-boolean surface.
+_ALIAS_HAVING_SQL = """
+SELECT 'aa' AS ag1,
+       CAST(NOT (o_orderkey % 2 = 0) AS INT) AS ag2,
+       1 AS ag3,
+       CAST(MIN(CAST(o_orderkey % 97 + o_orderkey % 11 = 11 AS INT)) AS INT)
+         AS ag_fun
+FROM orders
+WHERE o_orderkey <= 2000
+GROUP BY ag1, ag2, ag3
+HAVING ag_fun <= 37
+ORDER BY ag1, ag2 ASC, ag3 ASC, ag_fun
+"""
+
+
+@register(
+    "regress_alias_group_having_battery",
+    oracle=_ALIAS_HAVING_SQL,
+    doc="issue415: GROUP BY aliases + ASC, HAVING aggregate alias, MIN(bool)",
+)
+def regress_alias_group_having_battery(spark, sf_dir):
+    return run_sql(spark, _ALIAS_HAVING_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue906: outer column IN / NOT IN an AGGREGATE subquery
+# (article IN (SELECT COUNT(*) ... GROUP BY ...)) — int key against
+# BIGINT counts, the implicit-widening compare the reference fumbled.
+_IN_AGG_SQL = """
+WITH counts AS (SELECT COUNT(*) AS c FROM lineitem
+                WHERE l_orderkey <= 2000 GROUP BY l_suppkey)
+SELECT
+  CAST((SELECT COUNT(*) FROM part WHERE p_partkey <= 200
+        AND p_partkey IN (SELECT c FROM counts)) AS BIGINT) AS n_in,
+  CAST((SELECT COUNT(*) FROM part WHERE p_partkey <= 200
+        AND p_partkey NOT IN (SELECT c FROM counts)) AS BIGINT) AS n_notin,
+  CAST((SELECT COUNT(*) FROM part WHERE p_partkey <= 200
+        AND p_size IN (SELECT COUNT(*) FROM lineitem WHERE l_orderkey <= 2000
+                       GROUP BY l_returnflag)) AS BIGINT) AS n_size_in
+"""
+
+
+@register(
+    "regress_in_agg_subquery",
+    oracle=_IN_AGG_SQL,
+    doc="issue906: key IN / NOT IN (SELECT COUNT(*) ... GROUP BY) widening",
+)
+def regress_in_agg_subquery(spark, sf_dir):
+    return run_sql(spark, _IN_AGG_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1258: a derived table whose AGGREGATE alias SHADOWS a source
+# column name (COUNT(a.first_name) AS first_name), grouped by an
+# expression, consumed by the outer select — alias resolution must bind
+# the outer reference to the derived output, not the base column.
+_ALIAS_SHADOW_SQL = """
+SELECT bb.c_name, bb.seg
+FROM (
+  SELECT CAST(COUNT(a.c_name) AS BIGINT) AS c_name,
+         SUBSTRING(a.c_mktsegment, 1, 4) AS seg
+  FROM customer a, customer b
+  WHERE a.c_custkey = b.c_custkey AND a.c_custkey <= 500
+  GROUP BY SUBSTRING(a.c_mktsegment, 1, 4)
+) bb
+ORDER BY bb.seg
+"""
+
+
+@register(
+    "regress_derived_alias_shadow",
+    oracle=_ALIAS_SHADOW_SQL,
+    doc="issue1258: aggregate alias shadowing a column, self-join + derived table",
+)
+def regress_derived_alias_shadow(spark, sf_dir):
+    return run_sql(spark, _ALIAS_SHADOW_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue938: GROUP_CONCAT over a DECIMAL column, with ORDER BY, both
+# directly and through a derived table — decimal-to-string formatting
+# inside the concat is the regression surface (DECIMAL(17,0) renders
+# without a fraction).  Spark side uses sorted collect_list (the
+# repo's group_concat modeling), DuckDB string_agg with ORDER BY.
+@register(
+    "regress_group_concat_decimal",
+    oracle="""
+WITH d AS (SELECT l_returnflag,
+                  CAST(CAST(round(l_extendedprice) AS BIGINT) AS DECIMAL(17,0)) AS d1
+           FROM lineitem WHERE l_orderkey <= 200)
+SELECT l_returnflag,
+       string_agg(CAST(d1 AS VARCHAR), ',' ORDER BY d1, CAST(d1 AS VARCHAR)) AS cat,
+       string_agg(CAST(d1 AS VARCHAR), ',' ORDER BY d1 DESC, CAST(d1 AS VARCHAR) DESC)
+         AS cat_desc
+FROM (SELECT * FROM d) a1
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="issue938: GROUP_CONCAT(decimal ORDER BY ...) through a derived table",
+)
+def regress_group_concat_decimal(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]  # noqa: E741
+    d1 = F.round(l["l_extendedprice"]).cast("long").cast("decimal(17,0)")
+    base = l.filter(l["l_orderkey"] <= 200).select(
+        "l_returnflag", d1.alias("d1")
+    )
+    asc = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.col("d1"))),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    desc = F.array_join(
+        F.reverse(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("d1"))),
+                lambda x: x.cast("string"),
+            )
+        ),
+        ",",
+    )
+    return (
+        base.groupBy("l_returnflag")
+        .agg(asc.alias("cat"), desc.alias("cat_desc"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# issue1385: NULL propagation through CONCAT vs IFNULL inside a derived
+# table consumed by an outer LIKE — CONCAT(name, '') keeps NULL rows
+# out (NULL LIKE anything is NULL), CONCAT(IFNULL(name,'')) keeps them
+# as empty strings; counting both pins the difference.
+_IFNULL_CONCAT_SQL = """
+WITH t AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name
+           FROM customer WHERE c_custkey <= 500)
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT CONCAT(COALESCE(name, '')) AS c1 FROM t) x
+        WHERE x.c1 NOT LIKE '%#000000001%') AS BIGINT) AS n_ifnull_notlike,
+  CAST((SELECT COUNT(*) FROM (SELECT COALESCE(name, '') AS c1 FROM t) x
+        WHERE x.c1 LIKE '%1%') AS BIGINT) AS n_ifnull_like,
+  CAST((SELECT COUNT(*) FROM (SELECT CONCAT(name, '') AS c1 FROM t) x
+        WHERE x.c1 LIKE '%1%') AS BIGINT) AS n_concat_like,
+  CAST((SELECT COUNT(*) FROM (SELECT CONCAT(name, '') AS c1 FROM t) x
+        WHERE x.c1 NOT LIKE '%1%') AS BIGINT) AS n_concat_notlike,
+  CAST((SELECT COUNT(*) FROM (SELECT CONCAT(name, '') AS c1 FROM t) x
+        WHERE x.c1 IS NULL) AS BIGINT) AS n_concat_null
+"""
+
+
+@register(
+    "regress_ifnull_concat_like",
+    # DuckDB's CONCAT skips NULL arguments (CONCAT_WS-style); MySQL and
+    # Spark propagate NULL.  The oracle therefore spells the MySQL
+    # semantics with || (NULL-propagating in DuckDB).
+    oracle=_IFNULL_CONCAT_SQL.replace("CONCAT(name, '')", "(name || '')"),
+    doc="issue1385: CONCAT/IFNULL NULL propagation under derived-table LIKE",
+)
+def regress_ifnull_concat_like(spark, sf_dir):
+    return run_sql(spark, _IFNULL_CONCAT_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue962: LEFT theta-join (>=) where the WHERE clause tests
+# CONCAT_WS with a COLUMN separator for NULL — a NULL separator nulls
+# the whole concat (unlike NULL arguments, which CONCAT_WS skips), so
+# the filter keeps exactly the rows whose left key is NULL plus the
+# unmatched-right rows whose payload column went NULL.
+_THETA_CONCAT_SQL = """
+WITH a AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                       ELSE CAST(n_nationkey AS {STR}) END AS c0,
+                  n_nationkey AS k
+           FROM nation),
+     b AS (SELECT CAST(n_nationkey AS {STR}) AS c0, n_nationkey AS k
+           FROM nation WHERE n_nationkey >= 20)
+SELECT a.k AS a_k, b.k AS b_k
+FROM a LEFT JOIN b ON a.k >= b.k
+WHERE CONCAT_WS(a.c0, b.c0, 'x') IS NULL
+ORDER BY a_k, b_k
+"""
+
+
+@register(
+    "regress_left_theta_concat_null",
+    oracle=_THETA_CONCAT_SQL.format(STR="VARCHAR"),
+    doc="issue962: LEFT >= join + CONCAT_WS(column separator) NULL filter",
+)
+def regress_left_theta_concat_null(spark, sf_dir):
+    # Spark's parser wants STRING (bare VARCHAR needs a length)
+    return run_sql(spark, _THETA_CONCAT_SQL.format(STR="STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue880 / issue998 / issue226: UNION type ladder — timestamp with
+# varchar, int with char — MySQL's common type is the STRING form.
+# Spark 4's ANSI union would coerce the string branch of int UNION
+# varchar to BIGINT (and fault on non-numeric text), so the MySQL rule
+# is spelled as explicit CASTs on BOTH engines; the regression pins the
+# rendered forms ('1995-01-02 00:00:00', plain digits) as equal.
+_UNION_LADDER_SQL = """
+SELECT v FROM (
+  SELECT CAST(o_orderdate AS VARCHAR) AS v FROM orders WHERE o_orderkey <= 40
+  UNION
+  SELECT o_orderpriority AS v FROM orders WHERE o_orderkey <= 40
+  UNION
+  SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey <= 40
+) u
+ORDER BY v
+"""
+
+
+@register(
+    "regress_union_type_ladder",
+    oracle=_UNION_LADDER_SQL.replace("AS VARCHAR", "AS VARCHAR"),
+    doc="issue880/998/226: timestamp/int/varchar UNION via MySQL string common type",
+)
+def regress_union_type_ladder(spark, sf_dir):
+    return run_sql(spark, _UNION_LADDER_SQL.replace("AS VARCHAR", "AS STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1054 / issue222 / issue362: identifiers that are MySQL keywords
+# (`select`, `update`, `join`, ...), contain $ signs, or non-ASCII
+# letters — quoted projection + aggregation over them must resolve.
+_KEYWORD_IDENT_SQL = """
+SELECT t.`select`, CAST(COUNT(*) AS BIGINT) AS `count`,
+       CAST(SUM(t.`a$1`) AS BIGINT) AS `$sum`, MAX(t.`abc_def`) AS `abc_def`
+FROM (
+  SELECT n_regionkey AS `select`, n_nationkey AS `a$1`, n_name AS `abc_def`
+  FROM nation
+) t
+GROUP BY t.`select`
+ORDER BY t.`select`
+"""
+
+
+@register(
+    "regress_keyword_identifiers",
+    oracle=_KEYWORD_IDENT_SQL.replace("`", '"'),
+    doc="issue1054/222/362: keyword / $-sign / unicode identifiers, quoted",
+)
+def regress_keyword_identifiers(spark, sf_dir):
+    return run_sql(spark, _KEYWORD_IDENT_SQL, sf_dir)

@@ -500,6 +500,26 @@ def test_q18_scans_lineitem_once(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan[:1500]
 
 
+def test_q3_plan_shape(spark, sf_dir):
+    """q3 sf1 regressed 4.5x in BENCH_r05 at identical code — re-measured
+    interleaved min-of-5 in round 6 at 0.75 s (host noise, not plan).
+    Pin the plan so a real regression is distinguishable from noise:
+    both dimension joins broadcast (customer->orders, orders-keys->
+    lineitem), top-k via TakeOrderedAndProject (never a global sort),
+    and the segment + both date predicates pushed to the scans."""
+    from stonedb_spark.plans.inspect import formatted_plan, pushed_filters
+
+    df = _build(spark, sf_dir, "tpch_q3")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan[:1500]
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed, pushed
+    assert "o_orderdate" in pushed, pushed
+    assert "l_shipdate" in pushed, pushed
+
+
 def test_q17_avg_computed_over_pruned_lineitem(spark, sf_dir):
     """The round-5 q17 rewrite: the per-part average subplan must sit
     ABOVE the brand-pruned join, so both lineitem scans feed through the
