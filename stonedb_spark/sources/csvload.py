@@ -142,3 +142,85 @@ def read_csv_column_subset(
                 f.name, F.lit(defaults.get(f.name)).cast(f.dataType)
             )
     return good.select(*[f.name for f in schema.fields]), bad
+
+
+def load_data_infile(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+    skip_lines: int = 0,
+    columns: list[str] | None = None,
+    set_exprs: dict[str, object] | None = None,
+    quote: str = '"',
+    line_sep: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The full LOAD DATA INFILE option surface over one file
+    (issue1000.test: IGNORE n LINES + (col_list) + SET col = expr;
+    issue1153.test: OPTIONALLY ENCLOSED BY variants; issue1209.test:
+    LINES TERMINATED BY).
+
+    * ``skip_lines`` -- IGNORE n LINES: the first n physical lines of
+      the input stream are dropped before parsing (n=0 is a plain
+      read).  Implemented by indexing the raw line stream
+      (zipWithIndex) and re-parsing the remainder as CSV -- the index
+      is per input stream, matching MySQL's single-file LOAD
+      semantics.  (One of the few justified RDD touches in the repo:
+      Spark's CSV reader has no skip-N option and the stream must be
+      indexed in physical order.)
+    * ``columns`` -- LOAD ... (c2, c1): the file supplies these
+      columns in file order; missing schema columns fill with NULL.
+    * ``set_exprs`` -- SET col = <Column or literal> applied after
+      parse (MySQL evaluates SET after field assignment, overriding
+      the loaded value).
+    * ``quote`` -- ENCLOSED BY; pass "" for the no-quoting variant
+      (mapped to an unused control character, Spark's off switch).
+
+    Returns (good, rejects) like read_csv_with_rejects.
+    """
+    from pyspark.sql import Column
+
+    if skip_lines > 0 and line_sep is not None:
+        raise NotImplementedError(
+            "skip_lines with a custom LINES TERMINATED BY is not supported"
+        )
+    if skip_lines > 0:
+        reader_src = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t: t[1] >= skip_lines)
+            .map(lambda t: t[0])
+        )
+    else:
+        reader_src = path
+
+    target_cols = columns or [f.name for f in schema.fields]
+    by_name = {f.name: f for f in schema.fields}
+    unknown = [c for c in target_cols if c not in by_name]
+    if unknown:
+        raise ValueError(f"columns not in schema: {unknown}")
+    file_schema = StructType(
+        [by_name[c] for c in target_cols]
+        + [StructField(CORRUPT_COL, StringType())]
+    )
+    reader = (
+        spark.read.schema(file_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", sep)
+        .option("quote", quote if quote else "\u0000")
+    )
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    df = reader.csv(reader_src).cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    for f in schema.fields:
+        if f.name not in target_cols:
+            good = good.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for name, expr in (set_exprs or {}).items():
+        col = expr if isinstance(expr, Column) else F.lit(expr)
+        good = good.withColumn(name, col.cast(by_name[name].dataType))
+    return good.select(*[f.name for f in schema.fields]), bad

@@ -698,3 +698,64 @@ def test_streaming_cep_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == want
+
+
+def test_load_data_infile_skip_lines_collist_set(spark, tmp_path):
+    """issue1000.test distilled: IGNORE n LINES for n=0..4, (col_list)
+    load order, and SET col = expr override; issue1153/1209: quoting
+    off and custom line terminator."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stonedb_spark.sources.csvload import load_data_infile
+
+    f1 = tmp_path / "issue1000-1.txt"
+    f1.write_text("1,one\n2,two\n3,three\n4,four\n")
+    sch = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    for n in range(5):
+        good, bad = load_data_infile(spark, str(f1), sch, skip_lines=n)
+        assert bad.count() == 0
+        assert sorted(r["id"] for r in good.collect()) == list(range(n + 1, 5)), n
+
+    # (col_list) with swapped file order: file holds (id2, id1)
+    f2 = tmp_path / "issue1000-2.txt"
+    f2.write_text("hdr,hdr\n20,10\n40,30\n")
+    sch2 = StructType(
+        [StructField("id1", LongType()), StructField("id2", LongType())]
+    )
+    good, bad = load_data_infile(
+        spark, str(f2), sch2, skip_lines=1, columns=["id2", "id1"]
+    )
+    rows = {r["id1"]: r["id2"] for r in good.collect()}
+    assert rows == {10: 20, 30: 40} and bad.count() == 0
+
+    # SET a = @var/2 (issue1153): the SET value overrides the load
+    good, _ = load_data_infile(
+        spark, str(f1), sch, set_exprs={"id": F.lit(888) / 2}
+    )
+    assert {r["id"] for r in good.collect()} == {444}
+
+    # LINES TERMINATED BY ';' (issue1209) + quoting disabled (issue1153)
+    f3 = tmp_path / "issue1209.txt"
+    f3.write_text('1,"a",7;2,"b",8;')
+    sch3 = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("a", StringType()),
+            StructField("id2", LongType()),
+        ]
+    )
+    good, bad = load_data_infile(spark, str(f3), sch3, line_sep=";")
+    assert {(r["id"], r["a"], r["id2"]) for r in good.collect()} == {
+        (1, "a", 7),
+        (2, "b", 8),
+    }
+    # quoting off: the quotes become data (MySQL ENCLOSED BY '')
+    good, bad = load_data_infile(spark, str(f3), sch3, line_sep=";", quote="")
+    assert {r["a"] for r in good.collect() if r["a"]} == {'"a"', '"b"'}
