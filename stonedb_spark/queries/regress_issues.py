@@ -670,3 +670,254 @@ ORDER BY t.`select`
 )
 def regress_keyword_identifiers(spark, sf_dir):
     return run_sql(spark, _KEYWORD_IDENT_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue301: constant predicates inside OR/AND chains — numeric literal
+# compares (1 > 1.1), string-vs-string ('a' <= 'a'), string-vs-number
+# (MySQL coerces '1.1' to 1.1, so 1 > '1.1' is FALSE), column-vs-column
+# and IS NULL arms.  The reference's filter tree mishandled the folded
+# constant arms; counts pin every variant.  The string-number compare
+# is spelled CAST('1.1' AS DOUBLE) on both engines (MySQL's implicit
+# coercion rule, made explicit because Spark ANSI would reject the
+# implicit form).
+_CONST_PREDS = {
+    "n_true_and_or": "(1=1 AND 1=1) OR b > 200",
+    "n_or_false": "b > 200 OR 1=2",
+    "n_or_true": "b > 200 OR 1<2",
+    "n_num_coerce": "(1 > CAST('1.1' AS DOUBLE)) OR b > 200",
+    "n_dec_cmp": "(1.2 >= 1.2) OR b > 200",
+    "n_str_cmp": "('a' <= 'a') OR b > 200",
+    "n_col_eq": "(a = b) OR b > 200",
+    "n_col_ne": "(a != b) OR b > 200",
+    "n_isnull_col": "(a IS NULL) OR b > 200",
+    "n_isnull_lit": "(NULL IS NULL) OR b > 200",
+    "n_and_false_arm": "(1=1 AND 1!=1) OR b > 200",
+    "n_and_gate": "(1=1 AND 1=1) AND b > 200",
+}
+
+
+def _const_pred_sql() -> str:
+    cols = ",\n  ".join(
+        f"CAST(COUNT(CASE WHEN {p} THEN 1 END) AS BIGINT) AS {n}"
+        for n, p in _CONST_PREDS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(o_orderkey % 7 AS BIGINT) AS a,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 250 AS BIGINT) END AS b
+  FROM orders WHERE o_orderkey <= 3000
+)
+SELECT
+  {cols}
+FROM t
+"""
+
+
+@register(
+    "regress_const_predicate_or",
+    oracle=_const_pred_sql(),
+    doc="issue301: constant-arm OR/AND predicate battery incl. string-number coercion",
+)
+def regress_const_predicate_or(spark, sf_dir):
+    return run_sql(spark, _const_pred_sql(), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue446: XOR between predicates in a join condition over a derived
+# table (A.val > 1 XOR tt.val > 2).  Spark has no XOR keyword and
+# DuckDB's xor() is bitwise, so both engines spell the logical XOR as
+# boolean inequality — which is exactly MySQL's truth table for
+# non-NULL operands.
+_XOR_JOIN_SQL = """
+WITH a AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+     b AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_xor_pairs,
+       CAST(COUNT(CASE WHEN (a.r > 1) <> (b.r > 2) THEN 1 END) AS BIGINT)
+         AS n_xor_true
+FROM a JOIN b ON (a.k < b.k)
+"""
+
+
+@register(
+    "regress_xor_join_condition",
+    oracle=_XOR_JOIN_SQL,
+    doc="issue446: logical XOR of predicates across a join (as boolean <>)",
+)
+def regress_xor_join_condition(spark, sf_dir):
+    return run_sql(spark, _XOR_JOIN_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1897 / issue1903: the MySQL user-variable idioms
+# @row := @row + 1 (row numbering), @rankno with @pxydm group-change
+# tracking (per-group rank), @prev_value group-id assignment — all
+# order-dependent session state.  The Spark-era translation is window
+# functions, which is what a reference user migrating these queries
+# writes; this entry pins the exact translation over the orders table:
+#   inde    = ROW_NUMBER() OVER (ORDER BY ...)
+#   rankno  = ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY ...)
+#   group_id = DENSE_RANK() OVER (ORDER BY custkey)
+_USER_VAR_SQL = """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS inde,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS rankno,
+       CAST(DENSE_RANK() OVER (ORDER BY o_custkey) AS BIGINT) AS group_id
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_custkey, inde
+"""
+
+
+@register(
+    "regress_user_var_rownum",
+    oracle=_USER_VAR_SQL,
+    doc="issue1897/1903: @row/@rankno/@prev user-variable idioms as window functions",
+)
+def regress_user_var_rownum(spark, sf_dir):
+    return run_sql(spark, _USER_VAR_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1910: joins whose ON clause is a bare NON-BOOLEAN expression
+# (ON t2.price, ON created_date) — MySQL truthiness: non-zero/non-NULL
+# is true.  Both engines spell the rule explicitly (<> 0 /
+# IS NOT NULL), plus the 1-row constant derived table join arms from
+# the issue (broadcast on any cluster).
+_TRUTHY_JOIN_SQL = """
+WITH one AS (SELECT 456.234 AS x),
+     t2 AS (SELECT n_nationkey AS id, n_name AS name,
+                   CAST(n_regionkey AS DECIMAL(10,2)) AS price
+            FROM nation)
+SELECT
+  CAST((SELECT COUNT(*) FROM t2 JOIN one ON one.x <> 0) AS BIGINT)
+    AS n_const_on,
+  CAST((SELECT COUNT(*) FROM t2 JOIN one ON t2.price <> 0) AS BIGINT)
+    AS n_truthy_price,
+  CAST((SELECT COUNT(*) FROM one LEFT JOIN t2 ON t2.price <> 0) AS BIGINT)
+    AS n_left_truthy,
+  CAST((SELECT COUNT(*) FROM t2 a CROSS JOIN one b) AS BIGINT)
+    AS n_cross_one
+"""
+
+
+@register(
+    "regress_join_on_truthy",
+    oracle=_TRUTHY_JOIN_SQL,
+    doc="issue1910: ON <non-boolean expr> truthiness + 1-row constant joins",
+)
+def regress_join_on_truthy(spark, sf_dir):
+    return run_sql(spark, _TRUTHY_JOIN_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1942: boolean postfix tests — (col IS NULL) IS TRUE summed, and
+# CAST(boolean AS integer) summed (MySQL CAST(... AS UNSIGNED)).  The
+# reference returned the wrong sums; shared text runs on both engines.
+_IS_TRUE_SQL = """
+WITH t AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                       ELSE o_orderkey END AS c0
+           FROM orders WHERE o_orderkey <= 1000)
+SELECT
+  CAST(SUM(CASE WHEN (c0 IS NULL) IS TRUE THEN 1 ELSE 0 END) AS BIGINT)
+    AS sum_is_true,
+  CAST(SUM(CAST((c0 IS NULL) AS INT)) AS BIGINT) AS sum_cast_bool,
+  CAST(SUM(CASE WHEN (c0 IS NULL) IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT)
+    AS sum_not_true
+FROM t
+"""
+
+
+@register(
+    "regress_bool_is_true_sum",
+    oracle=_IS_TRUE_SQL,
+    doc="issue1942: (x IS NULL) IS TRUE / CAST(bool AS INT) aggregation",
+)
+def regress_bool_is_true_sum(spark, sf_dir):
+    return run_sql(spark, _IS_TRUE_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1861 / issue1912 / issue1931: the financial-schema shape — every
+# key a DECIMAL(18,0), multi-hop equijoins on those decimal keys with
+# constant label columns.  Decimal keys must hash/compare exactly
+# across the join chain (a double detour would corrupt keys over 2^53).
+# Final outputs are cast BIGINT/DOUBLE on both sides — the decimal-ness
+# under test is the JOIN KEYS, and DuckDB's pandas bridge materializes
+# wide decimals as float64, which the dtype-exact driver hash rejects.
+_DECIMAL_KEYS_SQL = """
+WITH pool AS (SELECT CAST(n_nationkey AS DECIMAL(18,0)) AS row_id FROM nation),
+     node AS (SELECT CAST(n_nationkey AS DECIMAL(18,0)) AS row_id,
+                     CAST(n_regionkey AS DECIMAL(18,0)) AS pool_id
+              FROM nation),
+     acct AS (SELECT CAST(s_suppkey AS DECIMAL(18,0)) AS row_id,
+                     CAST(s_nationkey AS DECIMAL(18,0)) AS node_id,
+                     CAST(s_acctbal AS DECIMAL(16,2)) AS amount
+              FROM supplier WHERE s_suppkey <= 200)
+SELECT CAST(p.row_id AS BIGINT) AS pool_id,
+       CAST(COUNT(*) AS BIGINT) AS n_acct,
+       CAST(CAST(SUM(a.amount) AS DECIMAL(38,2)) AS DOUBLE) AS total_amount
+FROM pool p
+JOIN node n ON n.pool_id = p.row_id
+JOIN acct a ON a.node_id = n.row_id
+GROUP BY p.row_id
+ORDER BY pool_id
+"""
+
+
+@register(
+    "regress_decimal_join_keys",
+    oracle=_DECIMAL_KEYS_SQL,
+    doc="issue1861/1912/1931: DECIMAL(18,0) key chains through multi-hop joins",
+)
+def regress_decimal_join_keys(spark, sf_dir):
+    return run_sql(spark, _DECIMAL_KEYS_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue850 / issue852: the Star-Schema-Benchmark table shape — a
+# denormalized lineorder built by joining the fact to every dimension,
+# then an SSB-Q1-style flight over the flat table.  At 100 TB the flat
+# CTAS is the classic read-optimization trade (one wide scan, zero
+# join shuffles per query); the entry pins that the denormalized
+# rollup equals the normalized join result by computing it from the
+# flat derived table.
+_SSB_FLAT_SQL = """
+WITH lineorder_flat AS (
+  SELECT l.l_orderkey AS lo_orderkey,
+         l.l_quantity AS lo_quantity,
+         l.l_extendedprice AS lo_extendedprice,
+         l.l_discount AS lo_discount,
+         o.o_orderdate AS lo_orderdate,
+         c.c_mktsegment AS c_mktsegment,
+         s.s_nationkey AS s_nationkey,
+         p.p_brand AS p_brand
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT CAST(EXTRACT(year FROM lo_orderdate) AS INT) AS order_year,
+       c_mktsegment,
+       CAST(SUM(CAST(round(lo_extendedprice * lo_discount * 100)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 100 AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineorder_flat
+WHERE lo_quantity < 25 AND lo_discount BETWEEN 0.02 AND 0.08
+GROUP BY order_year, c_mktsegment
+ORDER BY order_year, c_mktsegment
+"""
+
+
+@register(
+    "regress_ssb_flat_rollup",
+    oracle=_SSB_FLAT_SQL,
+    doc="issue850/852: denormalized SSB lineorder_flat + Q1-style revenue flight",
+)
+def regress_ssb_flat_rollup(spark, sf_dir):
+    return run_sql(spark, _SSB_FLAT_SQL, sf_dir)
