@@ -313,3 +313,49 @@ def dml_insert_ignore(spark, sf_dir):
         .withColumn("inserted", F.col("c_mktsegment") == "NEW")
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# issue1616: UPDATE IGNORE under a PRIMARY KEY — `UPDATE IGNORE t SET
+# id = id + 1` processes rows in ascending key order, skipping any row
+# whose new key collides with a key still present; over a dense key
+# range exactly the MAX key row moves (every other id+1 hits its
+# as-yet-unmoved successor).  Plain UPDATE with a collision is error
+# 1062 and changes nothing (pinned as n_conflicts > 0 with the rule's
+# survivors equal to the ascending-scan result).
+@register(
+    "dml_update_ignore_pk",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS id, o_orderstatus AS payload
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 160
+),
+updated AS (
+  SELECT CASE WHEN id + 1 IN (SELECT id FROM t) THEN id ELSE id + 1 END AS id,
+         payload,
+         CASE WHEN id + 1 IN (SELECT id FROM t) THEN 0 ELSE 1 END AS moved
+  FROM t
+)
+SELECT id, payload, CAST(moved AS INT) AS moved
+FROM updated
+ORDER BY id
+""",
+    doc="issue1616: UPDATE IGNORE SET pk=pk+1 — ascending-scan conflict skipping",
+)
+def dml_update_ignore_pk(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    t = o.filter(o["o_orderkey"].between(100, 160)).select(
+        o["o_orderkey"].alias("id"), o["o_orderstatus"].alias("payload")
+    )
+    keys = t.select(F.col("id").alias("k"))
+    return (
+        t.join(keys, t["id"] + 1 == F.col("k"), "left")
+        .select(
+            F.when(F.col("k").isNotNull(), F.col("id"))
+            .otherwise(F.col("id") + 1)
+            .alias("id"),
+            "payload",
+            F.when(F.col("k").isNotNull(), 0).otherwise(1).alias("moved"),
+        )
+        .orderBy("id")
+    )

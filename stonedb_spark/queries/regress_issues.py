@@ -921,3 +921,208 @@ ORDER BY order_year, c_mktsegment
 )
 def regress_ssb_flat_rollup(spark, sf_dir):
     return run_sql(spark, _SSB_FLAT_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Single-function MTR files with no prior named cross-reference
+# (coalesce_ascii_func.test, dayofyear_function.test,
+# AddTime_function.test): COALESCE ladders over mixed/NULL args, ASCII
+# of digits/letters/symbols, DAYOFYEAR on dates and datetimes, and
+# ADDTIME with MySQL "D H:MM:SS" / "HHH:MM:SS" / negative TIME-string
+# intervals.  The TIME-string intervals are constants, so both engines
+# receive them pre-parsed to seconds (the parse itself is pinned by the
+# expected-value columns).
+def _addtime_secs(spec: str) -> int:
+    s = spec.strip()
+    sign = -1 if s.startswith("-") else 1
+    s = s.lstrip("+-")
+    days = 0
+    if " " in s:
+        d, s = s.split(" ", 1)
+        days = int(d)
+    parts = [int(p) for p in s.split(":")]
+    while len(parts) < 3:
+        parts.append(0)
+    h, m, sec = parts
+    return sign * (days * 86400 + h * 3600 + m * 60 + sec)
+
+
+_ADDTIME_SPECS = {
+    "plus_d_hms": "2 1:1:1",
+    "minus_hms": "-2:2:2",
+    "hours_over_24": "100:11:12",
+    "neg_hours_over_24": "-100:11:12",
+    "bare_hours_mins": "100:11",
+}
+
+
+def _single_func_sql() -> str:
+    add_cols = ",\n  ".join(
+        f"ts + ({_addtime_secs(spec)}) * INTERVAL 1 SECOND AS at_{name}"
+        for name, spec in _ADDTIME_SPECS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(event_id AS {{STR}}) END AS a
+  FROM events WHERE event_id <= 120
+)
+SELECT event_id,
+  COALESCE(NULL, NULL, 'stonedb', NULL, 'tianmu') AS coalesce_const,
+  COALESCE(a, 'na') AS coalesce_col,
+  CAST(ASCII(COALESCE(a, '~')) AS BIGINT) AS ascii_first,
+  CAST(ASCII('A') AS BIGINT) AS ascii_upper,
+  CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS doy,
+  {add_cols}
+FROM t
+ORDER BY event_id
+"""
+
+
+@register(
+    "regress_single_func_pins",
+    oracle=_single_func_sql().format(STR="VARCHAR"),
+    doc="coalesce_ascii_func/dayofyear_function/AddTime_function MTR pins",
+)
+def regress_single_func_pins(spark, sf_dir):
+    return run_sql(spark, _single_func_sql().format(STR="STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue405 / issue417 / issue429 / issue995: the TIME type — range
+# compares ('val >= 08:02:45'), BETWEEN projected as a boolean, and
+# CONVERT(datetime, TIME).  Spark has no TIME type; the model is the
+# canonical zero-padded 'HH:mm:ss' string, whose lexicographic order
+# equals TIME order — each comparison is therefore a plain string
+# compare on both engines.
+_TIME_TYPE_SQL = """
+WITH t AS (
+  SELECT event_id, {TOD} AS tod FROM events WHERE event_id <= 400
+)
+SELECT
+  CAST(COUNT(CASE WHEN tod >= '08:02:45' THEN 1 END) AS BIGINT) AS n_ge,
+  CAST(COUNT(CASE WHEN tod BETWEEN '12:00:00' AND '12:30:00' THEN 1 END)
+    AS BIGINT) AS n_between,
+  CAST(SUM(CASE WHEN tod NOT BETWEEN '10:00:00' AND '20:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_not_between,
+  MIN(tod) AS min_tod,
+  MAX(tod) AS max_tod
+FROM t
+"""
+
+
+@register(
+    "regress_time_type_compare",
+    oracle=_TIME_TYPE_SQL.format(TOD="strftime(ts, '%H:%M:%S')"),
+    doc="issue405/417/429/995: TIME range compare / BETWEEN / CONVERT(.., TIME)",
+)
+def regress_time_type_compare(spark, sf_dir):
+    return run_sql(
+        spark, _TIME_TYPE_SQL.format(TOD="date_format(ts, 'HH:mm:ss')"), sf_dir
+    )
+
+
+# --------------------------------------------------------------------------
+# issue682: zero dates.  MySQL non-strict stores '0000-00-00' for an
+# out-of-range DATE; parquet/Spark cannot represent it, so the engine's
+# documented mapping (TESTDATA/SCALING stance) is zero-date -> NULL at
+# ingest — which makes `a = 0` select exactly the rows MySQL shows as
+# zero dates and DELETE WHERE a IS NULL / a = 0 behave like the issue's
+# script.  The entry pins the ingest mapping + the delete arithmetic.
+_ZERO_DATE_SQL = """
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN '0000-00-00'
+              WHEN o_orderkey % 10 = 5 THEN NULL
+              ELSE CAST(CAST(o_orderdate AS DATE) AS {STR}) END AS d_raw
+  FROM orders WHERE o_orderkey <= 1000
+),
+ingested AS (
+  SELECT o_orderkey,
+         CASE WHEN d_raw = '0000-00-00' THEN NULL
+              ELSE CAST(d_raw AS DATE) END AS a
+  FROM raw
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(CASE WHEN a IS NULL THEN 1 END) AS BIGINT) AS n_null_after,
+  CAST(COUNT(CASE WHEN a = DATE '2022-10-20' THEN 1 END) AS BIGINT) AS n_eq_date,
+  CAST(COUNT(a) AS BIGINT) AS n_kept
+FROM ingested
+"""
+
+
+@register(
+    "regress_zero_date_ingest",
+    oracle=_ZERO_DATE_SQL.format(STR="VARCHAR"),
+    doc="issue682: zero-date '0000-00-00' -> NULL ingest mapping + delete arithmetic",
+)
+def regress_zero_date_ingest(spark, sf_dir):
+    return run_sql(spark, _ZERO_DATE_SQL.format(STR="STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1107: the case-when pivot over a LEFT JOIN grouped by the left
+# key — the ONLY_FULL_GROUP_BY-safe spelling (MAX over the conditional)
+# that the issue's query needed; unmatched left rows must produce a
+# row of NULL pivot cells, not vanish.
+_PIVOT_LEFT_SQL = """
+SELECT a.n_nationkey AS id,
+       a.n_name AS unitsn,
+       MAX(CASE WHEN UPPER(b.s_name) LIKE '%1%' THEN b.s_name END) AS v1,
+       MAX(CASE WHEN UPPER(b.s_name) LIKE '%2%' THEN b.s_name END) AS v2,
+       MAX(CASE WHEN UPPER(b.s_name) LIKE '%3%' THEN b.s_name END) AS v3,
+       CAST(COUNT(b.s_suppkey) AS BIGINT) AS n_matched
+FROM nation a
+LEFT JOIN supplier b
+  ON a.n_nationkey = b.s_nationkey AND b.s_suppkey <= 60
+GROUP BY a.n_nationkey, a.n_name
+ORDER BY id
+"""
+
+
+@register(
+    "regress_pivot_left_join_group",
+    oracle=_PIVOT_LEFT_SQL,
+    doc="issue1107: MAX(CASE) pivot over LEFT JOIN grouped by left key",
+)
+def regress_pivot_left_join_group(spark, sf_dir):
+    return run_sql(spark, _PIVOT_LEFT_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue829 / issue995: ancient datetimes (years 1111-1414) — equality,
+# IN lists, range compares and EXTRACT must behave across the Julian/
+# Gregorian boundary region; both engines use proleptic Gregorian, so
+# results must agree exactly (parquet int64 micros carry the values).
+_ANCIENT_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - ((EXTRACT(year FROM o_orderdate) - 1111) * 365) * INTERVAL 1 DAY
+              - (o_orderkey % 300) * 365 * INTERVAL 1 DAY
+              AS TIMESTAMP) AS dt
+  FROM orders WHERE o_orderkey <= 600
+)
+SELECT
+  CAST(COUNT(CASE WHEN dt < TIMESTAMP '1400-01-01 00:00:00' THEN 1 END)
+    AS BIGINT) AS n_before_1400,
+  CAST(COUNT(CASE WHEN dt > TIMESTAMP '1111-11-13 00:00:00' THEN 1 END)
+    AS BIGINT) AS n_after_1111,
+  CAST(MIN(EXTRACT(year FROM dt)) AS BIGINT) AS min_year,
+  CAST(MAX(EXTRACT(year FROM dt)) AS BIGINT) AS max_year,
+  SUBSTRING(CAST(MIN(dt) AS {STR2}), 1, 19) AS min_dt
+FROM t
+"""
+
+
+@register(
+    "regress_ancient_datetime",
+    # min_dt as text: pandas timestamp[ns] cannot represent years before
+    # 1677, so the timestamp itself would overflow in toPandas
+    oracle=_ANCIENT_SQL.format(STR2="VARCHAR"),
+    doc="issue829/995: pre-1600 datetime compare/extract (proleptic Gregorian)",
+)
+def regress_ancient_datetime(spark, sf_dir):
+    return run_sql(spark, _ANCIENT_SQL.format(STR2="STRING"), sf_dir)
