@@ -1126,3 +1126,139 @@ FROM t
 )
 def regress_ancient_datetime(spark, sf_dir):
     return run_sql(spark, _ANCIENT_SQL.format(STR2="STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue538: user-defined functions.  The reference routes CREATE
+# FUNCTION to MySQL; the modern analogs are Spark 4 SQL UDFs (CREATE
+# TEMPORARY FUNCTION ... RETURNS ... RETURN <expr>) and DuckDB MACROs —
+# both engines REGISTER a named scalar function and call it from a
+# query, which is the surface the issue exercises (a smoothing function
+# over order totals).
+@register(
+    "sql_scalar_udf",
+    oracle="""
+SELECT o_orderkey,
+       CAST(round(CAST(0.9 * o_totalprice + 5000.0 AS DECIMAL(38,10)), 2) AS DOUBLE) AS smoothed,
+       CAST(CASE WHEN o_totalprice > 100000 THEN 'high'
+                 WHEN o_totalprice > 30000 THEN 'mid'
+                 ELSE 'low' END AS VARCHAR) AS bucket3
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey
+""",
+    doc="issue538: CREATE FUNCTION (Spark SQL UDF) ~ DuckDB MACRO scalar registration",
+)
+def sql_scalar_udf(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS smooth_price")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS bucket3")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION smooth_price(p DOUBLE) RETURNS DOUBLE "
+        "RETURN CAST(round(CAST(0.9 * p + 5000.0 AS DECIMAL(38,10)), 2) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION bucket3(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p > 100000 THEN 'high' "
+        "WHEN p > 30000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       smooth_price(o_totalprice) AS smoothed,
+       bucket3(o_totalprice) AS bucket3
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# issue1152: REPLACE INTO a table whose PRIMARY KEY is COMPOSITE
+# (id, id1) — the replace must key on the FULL tuple; a row matching on
+# only one component inserts rather than replaces.
+@register(
+    "dml_replace_composite_pk",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey AS id, CAST(o_orderkey % 3 AS BIGINT) AS id1,
+         o_orderstatus AS payload
+  FROM orders WHERE o_orderkey <= 120
+),
+batch AS (
+  SELECT o_orderkey AS id, CAST(o_orderkey % 5 AS BIGINT) AS id1,
+         'NEW' AS payload
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 140
+)
+SELECT id, id1, payload,
+       (payload = 'NEW') AS replaced
+FROM (
+  SELECT t.id, t.id1, t.payload
+  FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM batch b
+                    WHERE b.id = t.id AND b.id1 = t.id1)
+  UNION ALL
+  SELECT id, id1, payload FROM batch
+)
+ORDER BY id, id1
+""",
+    doc="issue1152: REPLACE INTO with a composite (id, id1) primary key",
+)
+def dml_replace_composite_pk(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    target = o.filter(o["o_orderkey"] <= 120).select(
+        o["o_orderkey"].alias("id"),
+        (o["o_orderkey"] % 3).cast("long").alias("id1"),
+        o["o_orderstatus"].alias("payload"),
+    )
+    batch = o.filter(o["o_orderkey"].between(100, 140)).select(
+        o["o_orderkey"].alias("id"),
+        (o["o_orderkey"] % 5).cast("long").alias("id1"),
+        F.lit("NEW").alias("payload"),
+    )
+    survivors = target.join(batch.select("id", "id1"), ["id", "id1"], "left_anti")
+    return (
+        survivors.unionByName(batch)
+        .withColumn("replaced", F.col("payload") == "NEW")
+        .orderBy("id", "id1")
+    )
+
+
+# --------------------------------------------------------------------------
+# issue1625: hex literals (x'F242') compared against string/binary
+# columns under a binary collation — the byte-level equality path.
+# Spark's X'..' literal is BINARY; DuckDB compares on decoded blobs.
+@register(
+    "regress_hex_literal_compare",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         encode(substring(c_name, 1, 2)) AS b2
+  FROM customer WHERE c_custkey <= 500
+)
+SELECT
+  CAST(COUNT(CASE WHEN b2 = encode('Cu') THEN 1 END) AS BIGINT)
+    AS n_eq_cu,
+  CAST(COUNT(CASE WHEN b2 <> encode('AB') THEN 1 END) AS BIGINT)
+    AS n_ne_ab,
+  CAST(COUNT(CASE WHEN hex(b2) = '4375' THEN 1 END) AS BIGINT) AS n_hex_eq
+FROM t
+""",
+    doc="issue1625: x'..' hex-literal byte compares against binary columns",
+)
+def regress_hex_literal_compare(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    b2 = F.substring(c["c_name"], 1, 2).cast("binary")
+    t = c.filter(c["c_custkey"] <= 500).select(b2.alias("b2"))
+    return t.agg(
+        F.count(F.when(F.col("b2") == F.expr("X'4375'"), 1))
+        .cast("long")
+        .alias("n_eq_cu"),
+        F.count(F.when(F.col("b2") != F.expr("X'4142'"), 1))
+        .cast("long")
+        .alias("n_ne_ab"),
+        F.count(F.when(F.hex(F.col("b2")) == "4375", 1))
+        .cast("long")
+        .alias("n_hex_eq"),
+    )

@@ -1063,6 +1063,9 @@ def tpch_q21(spark, sf_dir):
     # single-scan rewrite (per-order conditional COUNT(DISTINCT) + join
     # back to late rows) ties this decorrelated form at 4.3s — Catalyst
     # already plans the efficient shape, so the declarative SQL stays.
+    # Re-measured round 6 (sf1, idle host, interleaved min-of-5) after
+    # the r5 1.5x wobble: decorrelated 1.47s vs rewrite 1.66s — the
+    # declarative form still ties-or-wins; wobble was host noise.
     return spark.sql(
         """
 SELECT s_name, COUNT(*) AS numwait
