@@ -1262,3 +1262,51 @@ def regress_hex_literal_compare(spark, sf_dir):
         .cast("long")
         .alias("n_hex_eq"),
     )
+
+
+# --------------------------------------------------------------------------
+# issue959: string-vs-number comparison context.  The engine compared
+# VARCHAR ids as doubles, so two 19-digit ids differing in the last
+# digit ('...585' vs '...587', both past 2^53) matched each other.
+# Pinned both directions: a STRING literal compares as a string (exact,
+# no coercion — the ids stay distinct), while a NUMERIC literal pulls
+# the column into double context ('15.9', '+15.9', '15.90' all equal
+# 15.9; 'abcd' is NULL, not an error — spelled TRY_CAST on both
+# engines because ANSI Spark would otherwise raise on 'abcd').
+_STRNUM_SQL = """
+WITH t AS (
+  SELECT CASE CAST(o_orderkey % 7 AS INT)
+           WHEN 0 THEN '1547034559760195585'
+           WHEN 1 THEN '1547034559760195587'
+           WHEN 2 THEN '15.9'
+           WHEN 3 THEN '+15.9'
+           WHEN 4 THEN '-15.9'
+           WHEN 5 THEN 'abcd'
+           ELSE '0' END AS device_id
+  FROM orders WHERE o_orderkey <= 700
+)
+SELECT
+  CAST(COUNT(CASE WHEN device_id = '1547034559760195585' THEN 1 END) AS BIGINT)
+    AS n_str_eq_585,
+  CAST(COUNT(CASE WHEN device_id != '1547034559760195585' THEN 1 END) AS BIGINT)
+    AS n_str_ne_585,
+  CAST(COUNT(CASE WHEN device_id = '15.9' THEN 1 END) AS BIGINT) AS n_str_eq_159,
+  CAST(COUNT(CASE WHEN device_id = '+15.9' THEN 1 END) AS BIGINT) AS n_str_eq_p159,
+  CAST(COUNT(CASE WHEN TRY_CAST(device_id AS DOUBLE) = 15.9 THEN 1 END) AS BIGINT)
+    AS n_num_eq_159,
+  CAST(COUNT(CASE WHEN TRY_CAST(device_id AS DOUBLE) = -15.9 THEN 1 END) AS BIGINT)
+    AS n_num_eq_neg,
+  CAST(COUNT(CASE WHEN TRY_CAST(device_id AS DOUBLE) IS NULL THEN 1 END) AS BIGINT)
+    AS n_non_numeric,
+  CAST(COUNT(CASE WHEN device_id = '0' THEN 1 END) AS BIGINT) AS n_str_zero
+FROM t
+"""
+
+
+@register(
+    "regress_string_numeric_context",
+    oracle=_STRNUM_SQL,
+    doc="issue959: 19-digit string ids stay exact; numeric context coerces to double",
+)
+def regress_string_numeric_context(spark, sf_dir):
+    return run_sql(spark, _STRNUM_SQL, sf_dir)

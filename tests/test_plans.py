@@ -242,6 +242,17 @@ _BNLJ_ALLOWED = {
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
     "tpch_q11",
     "tpch_q22",
+    # round-6 issueNNN regressions: every BNLJ side below is KEY-BOUNDED
+    # at any SF (explicit key caps or dimension tables), so the product
+    # is constant-sized — the OR/theta/correlated shapes under test are
+    # exactly what forces Catalyst off the equi-join path.
+    "regress_join_or_conditions",  # supplier<=40 x nation(25) OR-of-equijoin grid
+    "regress_distinct_or_join_topk",  # supplier<=30 x region(5) x nation(25), OR join
+    "regress_join_on_truthy",  # 1-row constant derived tables x nation
+    "regress_left_theta_concat_null",  # nation x nation >= theta (25x25)
+    "regress_notin_theta_correlated",  # correlated theta NOT IN, both sides key<=300
+    "regress_null_in_const",  # NULL-semantics subqueries over keys<=50
+    "regress_xor_join_condition",  # nation x nation < self-pair (25x25)
 }
 
 
