@@ -1310,3 +1310,116 @@ FROM t
 )
 def regress_string_numeric_context(spark, sf_dir):
     return run_sql(spark, _STRNUM_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1175: the TIME type's SIGNED, >24h value space — MySQL TIME
+# spans -838:59:59 .. 838:59:59 (a duration, not a time-of-day).
+# Model: signed seconds with the MySQL clamp at +/-3020399, displayed
+# back as [-]HHH:MM:SS.  Both engines run the same arithmetic over
+# constructed 'H:MM:SS' strings (positive and negative, some beyond
+# the clamp).
+_TIME_RANGE_SQL = """
+WITH raw AS (
+  SELECT o_orderkey,
+         CAST(CASE CAST(o_orderkey % 6 AS INT)
+           WHEN 0 THEN 0
+           WHEN 1 THEN -3020399      -- -838:59:59 (min legal)
+           WHEN 2 THEN 3020399      --  838:59:59 (max legal)
+           WHEN 3 THEN o_orderkey * -720    -- negative, in range
+           WHEN 4 THEN o_orderkey * 3600 + 59  -- may exceed the clamp
+           ELSE 19815               --  05:30:15
+         END AS BIGINT) AS raw_secs
+  FROM orders WHERE o_orderkey <= 600
+),
+clamped AS (
+  SELECT o_orderkey,
+         GREATEST(LEAST(raw_secs, 3020399), -3020399) AS secs
+  FROM raw
+)
+SELECT o_orderkey, secs,
+       CASE WHEN secs < 0 THEN '-' ELSE '' END ||
+       CAST(CAST(FLOOR(ABS(secs) / 3600) AS BIGINT) AS {STR}) || ':' ||
+       lpad(CAST(CAST(FLOOR((ABS(secs) % 3600) / 60) AS BIGINT) AS {STR}), 2, '0')
+       || ':' ||
+       lpad(CAST(CAST(ABS(secs) % 60 AS BIGINT) AS {STR}), 2, '0') AS tdisplay,
+       CAST(secs != raw_secs AS INT) AS clamped_flag
+FROM clamped JOIN raw USING (o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "regress_time_range_clamp",
+    oracle=_TIME_RANGE_SQL.format(STR="VARCHAR"),
+    doc="issue1175: signed >24h TIME values with the +/-838:59:59 clamp",
+)
+def regress_time_range_clamp(spark, sf_dir):
+    return run_sql(spark, _TIME_RANGE_SQL.format(STR="STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1708: nested LEFT JOIN grouping — t1 LEFT JOIN (t2 LEFT JOIN t3
+# ON inner-cond AND literal) ON outer-cond WHERE t1-filter.  The
+# parenthesized join tree must evaluate inner-first (t2 rows keep their
+# unmatched-NULL t3 side BEFORE joining to t1); flattening it changes
+# the result.  Same text on both engines.
+_NESTED_LEFT_SQL = """
+SELECT n.n_nationkey AS id, n.n_name AS name,
+       s.s_suppkey AS s_id, c.c_custkey AS c_id
+FROM nation n
+LEFT JOIN (supplier s LEFT JOIN customer c
+           ON c.c_nationkey = s.s_nationkey AND c.c_custkey = 5)
+  ON n.n_nationkey = s.s_nationkey AND s.s_suppkey <= 20
+WHERE n.n_nationkey <= 12
+ORDER BY id, s_id, c_id
+"""
+
+
+@register(
+    "regress_nested_left_join",
+    oracle=_NESTED_LEFT_SQL,
+    doc="issue1708: parenthesized LEFT JOIN tree evaluates inner-first",
+)
+def regress_nested_left_join(spark, sf_dir):
+    return run_sql(spark, _NESTED_LEFT_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1808 / issue1864: DECIMAL type-ladder edges — decimal UNION ALL
+# string (common type string; decimal renders with its scale), decimal
+# UNION ALL int literal (common type decimal, literal widens to x.00),
+# an IN probe with a 16-digit literal against DECIMAL(18,0), and the
+# derived-table alias path (xxx.x) over the widened union.  Outputs are
+# value-compared as strings/doubles so engine-internal decimal widths
+# cannot skew the driver hash.
+_DECIMAL_LADDER_SQL = """
+WITH t1 AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS c1,
+                   CAST(o_orderkey AS DECIMAL(18,0)) AS ck
+            FROM orders WHERE o_orderkey <= 120),
+u_str AS (
+  SELECT CAST(c1 AS {STR}) AS v FROM t1
+  UNION ALL
+  SELECT 'aaa' AS v FROM t1 WHERE ck IN (3000000000027265)
+),
+u_num AS (
+  SELECT c1 AS x FROM t1
+  UNION ALL
+  SELECT CAST(1 AS DECIMAL(18,2)) AS x FROM t1 WHERE ck <= 60
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM u_str) AS BIGINT) AS n_str_union,
+  (SELECT MIN(v) FROM u_str) AS min_str,
+  CAST((SELECT COUNT(*) FROM (SELECT xxx.x FROM u_num xxx WHERE xxx.x = 1.00) q)
+    AS BIGINT) AS n_ones,
+  CAST((SELECT CAST(SUM(x) AS DOUBLE) FROM u_num) AS DOUBLE) AS sum_all
+"""
+
+
+@register(
+    "regress_decimal_type_ladder",
+    oracle=_DECIMAL_LADDER_SQL.format(STR="VARCHAR"),
+    doc="issue1808/1864: decimal UNION string/int, 16-digit IN probe, alias path",
+)
+def regress_decimal_type_ladder(spark, sf_dir):
+    return run_sql(spark, _DECIMAL_LADDER_SQL.format(STR="STRING"), sf_dir)
