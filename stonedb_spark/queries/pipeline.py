@@ -3775,3 +3775,138 @@ def knn_ivfpq_probe(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal codecs (round 6): WAV and BMP need only the standard
+# library + numpy, so unlike the stub entries above, the decode step
+# here is genuine byte-level parsing (operators/codecs.py — encoder and
+# decoder are independent implementations of each spec).  The oracle
+# recomputes the audio/pixel statistics from the deterministic sample
+# generator, so the driver hash arbitrates the full
+# generate -> encode -> decode -> aggregate chain: any byte-layout bug
+# on either side changes the stats.
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+g AS (SELECT i FROM generate_series(0, 299) s(i))
+SELECT d.doc_id,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(((d.doc_id * 31 + g.i * 7919) % 65536) - 32768)) AS BIGINT)
+         AS sum_abs,
+       CAST(MAX(((d.doc_id * 31 + g.i * 7919) % 65536) - 32768) AS BIGINT)
+         AS max_amp,
+       CAST(SUM(((d.doc_id * 31 + g.i * 7919) % 65536) - 32768) AS BIGINT)
+         AS sum_raw
+FROM d CROSS JOIN g
+WHERE g.i < 200 + d.doc_id % 57
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+    doc="REAL WAV codec: hand-rolled RIFF encode -> stdlib wave decode -> exact stats",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def synth_and_roundtrip(batches):
+        import numpy as np
+
+        from stonedb_spark.operators.codecs import decode_wav, encode_wav
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "sum_abs": [], "max_amp": [], "sum_raw": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + doc_id % 57
+                rate = 8000 + (doc_id % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                samples = ((doc_id * 31 + i * 7919) % 65536 - 32768).astype(
+                    np.int16
+                )
+                payload = encode_wav(samples, rate)  # hand-rolled RIFF
+                got_rate, got = decode_wav(payload)  # stdlib wave parse
+                s64 = got.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(got_rate)
+                out["n_samples"].append(len(got))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["max_amp"].append(int(s64.max()))
+                out["sum_raw"].append(int(s64.sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_and_roundtrip,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "sum_abs long, max_amp long, sum_raw long"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+gx AS (SELECT i AS x FROM generate_series(0, 16) s(i)),
+gy AS (SELECT i AS y FROM generate_series(0, 14) s(i))
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       CAST(SUM((d.doc_id + 3 * gx.x + 5 * gy.y) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((d.doc_id + 3 * gx.x + 5 * gy.y + 7) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((d.doc_id + 3 * gx.x + 5 * gy.y + 14) % 256) AS BIGINT) AS b_sum
+FROM d CROSS JOIN gx CROSS JOIN gy
+WHERE gx.x < d.w AND gy.y < d.h
+GROUP BY d.doc_id, d.w, d.h
+ORDER BY d.doc_id
+""",
+    doc="REAL BMP codec: struct-packed 24-bit encode -> header-parsing numpy decode -> channel sums",
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def synth_and_roundtrip(batches):
+        import numpy as np
+
+        from stonedb_spark.operators.codecs import decode_bmp, encode_bmp
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                pixels = ((doc_id + 3 * xx + 5 * yy + 7 * cc) % 256).astype(
+                    np.uint8
+                )
+                payload = encode_bmp(pixels)
+                got = decode_bmp(payload).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(got.shape[1])
+                out["height"].append(got.shape[0])
+                out["r_sum"].append(int(got[:, :, 0].sum()))
+                out["g_sum"].append(int(got[:, :, 1].sum()))
+                out["b_sum"].append(int(got[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_and_roundtrip,
+        schema=(
+            "doc_id long, width long, height long, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    ).orderBy("doc_id")

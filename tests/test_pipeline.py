@@ -362,3 +362,37 @@ def test_scd2_intervals_tile_each_user_history(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from, f"gap/overlap for user {u}"
             assert a.event_type != b.event_type, f"no-op interval for user {u}"
+
+
+def test_wav_codec_roundtrip_properties():
+    """Hand-rolled RIFF encoder vs stdlib-wave decoder: exact sample
+    round-trip across rates, lengths (incl. 0), and extreme amplitudes."""
+    import numpy as np
+
+    from stonedb_spark.operators.codecs import decode_wav, encode_wav
+
+    for n, rate in [(0, 8000), (1, 8000), (3, 44100), (777, 16000)]:
+        rng = np.random.RandomState(n + rate)
+        s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        if n:
+            s[0] = -32768  # extreme amplitudes survive
+            s[-1] = 32767
+        got_rate, got = decode_wav(encode_wav(s, rate))
+        assert got_rate == rate
+        assert np.array_equal(got, s), (n, rate)
+
+
+def test_bmp_codec_roundtrip_properties():
+    """struct-packed BMP encoder vs header-parsing decoder: exact pixel
+    round-trip including every row-padding class (w%4 in 0..3)."""
+    import numpy as np
+
+    from stonedb_spark.operators.codecs import decode_bmp, encode_bmp
+
+    for w in (1, 2, 3, 4, 5, 8, 13):
+        for h in (1, 2, 7):
+            rng = np.random.RandomState(w * 100 + h)
+            px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            got = decode_bmp(encode_bmp(px))
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, px), (w, h)
