@@ -30,7 +30,7 @@ which LSH keeps near-linear.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stonedb_spark.functions.text import shingles
@@ -493,5 +493,88 @@ def contamination_report(
             id_col,
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def incremental_lsh_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedupe an INCREMENTAL batch against an existing corpus — the
+    production shape: the corpus LSH index (minhash band keys) is built
+    once (in a deployment: persisted as a table, partitioned by
+    band_key), and each new batch probes it with an equi-join, so probe
+    cost scales with the BATCH, never the corpus.  Candidates verify
+    with exact Jaccard bounded by the candidate count (same discipline
+    as minhash_lsh_pairs).
+
+    Returns one row per batch doc: (batch_id, is_dup, best_match,
+    best_jaccard) — is_dup=1 iff some corpus doc clears ``threshold``;
+    best_match/best_jaccard identify the strongest collision (NULL for
+    clean docs).  Requires doc_ids disjoint across the two frames.
+    """
+    sig_c = minhash_signatures(corpus, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig_b = minhash_signatures(batch, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bk_c = band_keys(sig_c).select(
+        "band", "band_key", F.col("doc_id").alias("corpus_id")
+    )
+    bk_b = band_keys(sig_b).select(
+        "band", "band_key", F.col("doc_id").alias("batch_id")
+    )
+    cand = (
+        bk_b.join(bk_c, ["band", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand_ids = (
+        cand.select(F.col("batch_id").alias("doc_id"))
+        .union(cand.select(F.col("corpus_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_rows(corpus.unionByName(batch), text_col, k).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
+    ver = _jaccard_from_shingles(sh, threshold)
+    # candidate pairs ordered (d1 < d2) to meet the verifier's contract
+    ordered = cand.select(
+        F.least("batch_id", "corpus_id").alias("d1"),
+        F.greatest("batch_id", "corpus_id").alias("d2"),
+        "batch_id",
+        "corpus_id",
+    )
+    hits = ordered.join(ver, ["d1", "d2"]).select(
+        "batch_id", "corpus_id", "jaccard"
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.desc("jaccard"), F.asc("corpus_id")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_id",
+            F.col("corpus_id").alias("best_match"),
+            F.round("jaccard", 9).alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.when(F.col("best_match").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_dup"),
+            "best_match",
+            "best_jaccard",
         )
     )

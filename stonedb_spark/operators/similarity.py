@@ -237,3 +237,54 @@ def pair_dot_pandas() -> Column:
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
     return _dot
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float,
+    nlist: int = IVF_NLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): bucket
+    vectors by their IVF cell, compare pairs only WITHIN a cell, and
+    greedily keep the smallest id of each near-duplicate pair
+    (cos >= tau).  The cell partitioning is what makes it scale: pair
+    cost is sum of per-cell sizes squared, never n² — the same coarse
+    quantizer the ANN path uses, so one index serves both search and
+    dedup.
+
+    Returns (vec_id, cid, is_dup): is_dup=1 iff a SMALLER-id vector in
+    the same cell clears tau (the greedy keep-first rule — one pass,
+    no iteration; chains collapse toward the minimum id).
+    """
+    cent = ivf_centroids(embeddings, nlist, vec_col, id_col)
+    assign = ivf_assign(embeddings, cent, vec_col, id_col)
+    unit = embeddings.select(
+        F.col(id_col), unit_vec(F.col(vec_col)).alias("u")
+    ).join(assign, id_col)
+    from pyspark import StorageLevel
+
+    unit = unit.persist(StorageLevel.MEMORY_AND_DISK)
+    a = unit.select(
+        F.col("cid"), F.col(id_col).alias("v1"), F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col("cid"), F.col(id_col).alias("v2"), F.col("u").alias("ub")
+    )
+    pd_dot = pair_dot_pandas()
+    dup_targets = (
+        a.join(b, ["cid"])
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos", pd_dot(F.col("ua"), F.col("ub")))
+        .filter(F.col("cos") >= tau)
+        .select(F.col("v2").alias(id_col))
+        .distinct()
+    )
+    return unit.select(id_col, "cid").join(
+        dup_targets.withColumn("_d", F.lit(1)), id_col, "left"
+    ).select(
+        id_col,
+        "cid",
+        F.when(F.col("_d").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )

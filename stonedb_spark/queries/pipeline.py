@@ -3910,3 +3910,126 @@ def multimodal_bmp_decode(spark, sf_dir):
             "r_sum long, g_sum long, b_sum long"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch probed against an EXISTING corpus LSH
+# index — the production pattern (dedupe tonight's crawl against the
+# 100-TB corpus without touching corpus pair space; index built once,
+# probe cost scales with the batch).  Split: batch = doc_id % 5 = 0.
+def _incremental_lsh_oracle() -> str:
+    p = D.MERSENNE_P
+    sig_cols = ", ".join(
+        f"MIN(({a} * base + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(D.HASH_AB)
+    )
+    n_bands = D.N_HASHES // D.BAND_ROWS
+    band_arms = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {cat} AS band_key FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"CAST(h{b * D.BAND_ROWS + r} AS VARCHAR)"
+                for r in range(D.BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+based AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS base
+          FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM based GROUP BY doc_id),
+bk AS ({band_arms}),
+cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         FROM bk b JOIN bk c ON b.band = c.band AND b.band_key = c.band_key
+         WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS i
+          FROM cand
+          JOIN sh a ON a.doc_id = cand.batch_id
+          JOIN sh b ON b.doc_id = cand.corpus_id AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+ver AS (SELECT batch_id, corpus_id,
+               CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON batch_id = s1.doc_id
+        JOIN sizes s2 ON corpus_id = s2.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) > 0.5),
+best AS (SELECT batch_id, corpus_id AS best_match, ROUND(jaccard, 9) AS best_jaccard
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
+                    ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM ver)
+         WHERE rn = 1)
+SELECT d.doc_id AS batch_id,
+       CAST(CASE WHEN best.best_match IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS is_dup,
+       best.best_match AS best_match,
+       best.best_jaccard AS best_jaccard
+FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+ORDER BY batch_id
+"""
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=_incremental_lsh_oracle(),
+    doc="incremental batch-vs-corpus LSH dedup: index probe + bounded Jaccard verify",
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_lsh_dedup(corpus, batch, threshold=0.5).orderBy(
+        "batch_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# IVF cells bound the pair space; within a cell, greedy keep-smallest-id
+# for pairs with cosine >= tau.  One coarse quantizer serves both ANN
+# search and dedup.
+@register(
+    "dedup_semantic_ivf",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+a AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) DESC,
+                   c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c)
+      WHERE rn = 1),
+dup AS (SELECT DISTINCT a2.vec_id
+        FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+        JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+        JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+        WHERE (list_sum(list_transform(list_zip(e1.embedding, e2.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e1.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e2.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) >= 0.35)
+SELECT a.vec_id AS vec_id, CAST(a.cid AS BIGINT) AS cid,
+       CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id
+ORDER BY vec_id
+""",
+    doc="SemDeDup: IVF-cell-bounded cosine pairs, greedy keep-smallest-id",
+)
+def dedup_semantic_ivf(spark, sf_dir):
+    from stonedb_spark.operators.similarity import semantic_dedup
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        semantic_dedup(e, tau=0.35)
+        .select("vec_id", F.col("cid").cast("long").alias("cid"), "is_dup")
+        .orderBy("vec_id")
+    )
