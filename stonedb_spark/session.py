@@ -70,7 +70,39 @@ def get_spark(app_name: str = "stonedb_spark", extra_conf: dict | None = None) -
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the stonedb_spark package to executors (sc.addPyFile).
+
+    Python workers resolve imports from THEIR path, not the driver's
+    sys.path edits — a mapInPandas closure that references a function
+    from this package (operators/codecs.py) dies with
+    ModuleNotFoundError whenever the driver process wasn't launched
+    from the repo root.  Shipping a zip is also exactly what a real
+    cluster submit does (--py-files), so local behavior matches the
+    deployment story.  Idempotent per session."""
+    try:
+        if getattr(spark, "_stonedb_pkg_shipped", False):
+            return
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        stamp = os.path.join(
+            tempfile.gettempdir(), f"stonedb_spark_pkg_{os.getpid()}"
+        )
+        zip_path = shutil.make_archive(stamp, "zip", os.path.dirname(pkg_dir),
+                                       os.path.basename(pkg_dir))
+        spark.sparkContext.addPyFile(zip_path)
+        spark._stonedb_pkg_shipped = True
+    except Exception:
+        # never fail session bootstrap over packaging; worker-side
+        # imports then require the repo on the workers' PYTHONPATH
+        pass
 
 
 def ensure_sql_confs(spark: SparkSession) -> None:
