@@ -4033,3 +4033,90 @@ def dedup_semantic_ivf(spark, sf_dir):
         .select("vec_id", F.col("cid").cast("long").alias("cid"), "is_dup")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via rank sums (Mann-Whitney U): the eval metric every
+# quality-classifier pipeline reports, computed EXACTLY — average ranks
+# handle score ties, the U statistic stays integral (x2 to absorb the
+# half-ranks), and AUC is one terminal division.  One window pass + one
+# aggregate; no sampling, no sklearn.
+@register(
+    "pipeline_auc_rank",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(n_chars % 977 AS BIGINT) AS score,
+         CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100) < 40 + (n_chars % 977) / 25 AS INT) AS label
+  FROM documents
+),
+ranked AS (
+  SELECT label, score,
+         RANK() OVER (ORDER BY score) AS rmin,
+         COUNT(*) OVER (PARTITION BY score) AS nties
+  FROM scored
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN label = 1
+                       THEN 2 * rmin + nties - 1 ELSE 0 END) AS BIGINT)
+           AS sum2_rank_pos,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(sum2_rank_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(CAST(sum2_rank_pos - n_pos * (n_pos + 1) AS DOUBLE)
+            / CAST(2 * n_pos * n_neg AS DOUBLE) AS DOUBLE) AS auc
+FROM agg
+""",
+    doc="exact ROC-AUC by Mann-Whitney rank sums (tie-averaged, integer-exact U)",
+)
+def pipeline_auc_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    score = (F.col("n_chars") % 977).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    label = (bucket < 40 + (F.col("n_chars") % 977) / 25).cast("int")
+    scored = d.select(score.alias("score"), label.alias("label"))
+    # Scale shape: a GLOBAL rank window would drag the whole corpus into
+    # one partition.  Instead aggregate a per-score histogram (bounded
+    # by the score cardinality, here < 977 rows at ANY corpus size) and
+    # derive the tie-averaged rank sums from cumulative counts over that
+    # tiny frame: 2*avg_rank(s) = 2*cum_before(s) + n(s) + 1.
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("label").cast("long").alias("npos_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "score",
+        "n_s",
+        "npos_s",
+        (F.sum("n_s").over(w) - F.col("n_s")).alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("npos_s") * (2 * F.col("cum_before") + F.col("n_s") + 1)
+        )
+        .cast("long")
+        .alias("sum2_rank_pos"),
+        F.sum("npos_s").cast("long").alias("n_pos"),
+        (F.sum("n_s") - F.sum("npos_s")).cast("long").alias("n_neg"),
+    )
+    u2 = F.col("sum2_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        (
+            u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

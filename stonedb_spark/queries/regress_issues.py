@@ -1423,3 +1423,36 @@ SELECT
 )
 def regress_decimal_type_ladder(spark, sf_dir):
     return run_sql(spark, _DECIMAL_LADDER_SQL.format(STR="STRING"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operators): the modern linear query
+# surface.  Same SEMANTICS as the standard form the DuckDB oracle runs;
+# the entry pins that the piped text produces the identical frame.
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderkey <= 2000
+|> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+               AS total
+   GROUP BY o_orderstatus, o_orderpriority
+|> WHERE n > 5
+|> ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey <= 2000
+GROUP BY o_orderstatus, o_orderpriority
+HAVING COUNT(*) > 5
+ORDER BY o_orderstatus, o_orderpriority
+""",
+    doc="Spark 4 SQL pipe syntax (|> WHERE/AGGREGATE/ORDER) vs standard-form oracle",
+)
+def sql_pipe_syntax(spark, sf_dir):
+    return run_sql(spark, _PIPE_SQL, sf_dir)
