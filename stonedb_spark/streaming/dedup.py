@@ -31,3 +31,64 @@ def dedup_stream(
     return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def build_corpus_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build (and persist) the corpus MinHash band-key index once —
+    the artifact a production pipeline stores as a table partitioned by
+    band_key.  Streamed batches probe it by equi-join."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.operators.dedup import band_keys, minhash_signatures
+
+    idx = (
+        band_keys(minhash_signatures(corpus, text_col))
+        .select("band", "band_key", F.col("doc_id").alias("corpus_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    idx.count()  # materialize before the stream starts
+    return idx
+
+
+def run_incremental_dedup_stream(
+    spark,
+    corpus: DataFrame,
+    batch_dir: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> None:
+    """Stream-side incremental dedup: drain new-document files
+    (availableNow) and verdict each against the EXISTING corpus via the
+    prebuilt LSH index — the nightly-crawl shape.  Each micro-batch
+    runs the same probe + bounded Jaccard verify as the batch operator
+    (operators/dedup.incremental_lsh_dedup), so stream output ==
+    batch output under ANY chunking of the input files (no cross-batch
+    state: every verdict depends only on the batch row and the frozen
+    corpus, which is what makes the stage embarrassingly restartable).
+
+    Results append to ``out_path`` (batch_id, is_dup, best_match,
+    best_jaccard).
+    """
+    from stonedb_spark.operators.dedup import incremental_lsh_dedup
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        verdicts = incremental_lsh_dedup(
+            corpus, batch, text_col=text_col, threshold=threshold
+        )
+        verdicts.write.mode("append").parquet(out_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(batch_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

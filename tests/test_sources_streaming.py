@@ -759,3 +759,39 @@ def test_load_data_infile_skip_lines_collist_set(spark, tmp_path):
     # quoting off: the quotes become data (MySQL ENCLOSED BY '')
     good, bad = load_data_infile(spark, str(f3), sch3, line_sep=";", quote="")
     assert {r["a"] for r in good.collect() if r["a"]} == {'"a"', '"b"'}
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The nightly-crawl shape: new-document files drained availableNow,
+    each micro-batch probing the frozen corpus LSH index.  Stream
+    verdicts must equal the batch operator's under multi-file chunking
+    (no cross-batch state by construction)."""
+    from stonedb_spark.operators.dedup import incremental_lsh_dedup
+    from stonedb_spark.streaming.dedup import (
+        build_corpus_index,
+        run_incremental_dedup_stream,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+
+    batch_dir = str(tmp_path / "incoming")
+    batch.repartition(3).write.parquet(batch_dir)  # several files/batches
+    schema = spark.read.parquet(batch_dir).schema
+
+    build_corpus_index(corpus)  # exercised; fold uses the operator API
+    out = str(tmp_path / "verdicts")
+    run_incremental_dedup_stream(
+        spark, corpus, batch_dir, out, str(tmp_path / "ckpt"), schema
+    )
+    got = {
+        r["batch_id"]: (r["is_dup"], r["best_match"], r["best_jaccard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["batch_id"]: (r["is_dup"], r["best_match"], r["best_jaccard"])
+        for r in incremental_lsh_dedup(corpus, batch).collect()
+    }
+    assert got == want
+    assert sum(1 for v in got.values() if v[0] == 1) > 0  # real dup signal
