@@ -253,6 +253,7 @@ _BNLJ_ALLOWED = {
     "regress_notin_theta_correlated",  # correlated theta NOT IN, both sides key<=300
     "regress_null_in_const",  # NULL-semantics subqueries over keys<=50
     "regress_xor_join_condition",  # nation x nation < self-pair (25x25)
+    "dedup_semantic_ivf",  # 16-row centroid broadcast (ivf_assign); cell pair join is equi on cid
 }
 
 
