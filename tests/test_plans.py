@@ -575,3 +575,36 @@ def test_scale_conf_sizing_rules():
     c = scale_conf(tb, 50, mem_per_core_bytes=512 * 1024**2)
     assert int(c["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
     assert int(c["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 128 * 1024**2
+
+
+def test_incremental_dedup_probe_is_equi_join(spark, sf_dir):
+    """The batch-vs-corpus probe must be an equi-join on
+    (band, band_key) — never a pair scan of the corpus: probe cost
+    scales with the batch at any corpus size."""
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_build(spark, sf_dir, "dedup_incremental_lsh"))
+    # the only BNLJ-ish pattern allowed anywhere is none at all here
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "band_key" in plan, plan[:1000]
+
+
+def test_semantic_dedup_pairs_are_cell_bounded(spark, sf_dir):
+    """SemDeDup's pair join must key on the IVF cell id (equi on cid):
+    pair cost is sum of per-cell sizes squared, never n^2.  The only
+    nested-loop element is the 16-row centroid broadcast."""
+    from stonedb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_build(spark, sf_dir, "dedup_semantic_ivf"))
+    # the only nested-loop elements are broadcast builds of the 16-row
+    # centroid frame (the assignment step, reused for both pair sides);
+    # never an unbroadcast cartesian
+    assert "CartesianProduct" not in plan, plan[:1500]
+    import re as _re
+
+    for m in _re.finditer(r"BroadcastNestedLoopJoin[ \w]*", plan):
+        frag = m.group(0)
+        assert frag == "BroadcastNestedLoopJoin" or "BuildRight" in frag, frag
+    # the v1<v2 pair join itself must be keyed on cid
+    assert "cid" in plan, plan[:1000]
