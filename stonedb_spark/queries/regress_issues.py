@@ -1456,3 +1456,108 @@ ORDER BY o_orderstatus, o_orderpriority
 )
 def sql_pipe_syntax(spark, sf_dir):
     return run_sql(spark, _PIPE_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# unsigned_greatest.test / unsigned_least.test: GREATEST/LEAST ladders
+# over MIXED signed/unsigned/decimal/double operand sets, plus the
+# `WHERE GREATEST(...) <> col` filter shape the files use to assert
+# which operand won.  The reference's unsigned columns are modelled as
+# non-negative BIGINTs (offset-shifted, the files' own construction:
+# CUTINYINT = CTINYINT + 100 etc.).  One real dialect edge is pinned
+# explicitly: MySQL's GREATEST/LEAST return NULL when ANY operand is
+# NULL, while Spark and DuckDB both skip NULLs — the shared text
+# spells the MySQL semantic with an explicit CASE guard so both
+# engines compute the MySQL answer.
+_GREATEST_LADDER_SQL = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_linenumber AS BIGINT)              AS c_tiny,
+         CAST(l_quantity AS BIGINT)                AS c_small,
+         CAST(l_partkey AS BIGINT)                 AS c_int,
+         CAST(l_orderkey AS BIGINT) * 1000         AS c_big,
+         CAST(l_extendedprice AS DECIMAL(18,2))    AS c_dec18,
+         CAST(l_discount AS DECIMAL(4,2))          AS c_dec4,
+         CAST(l_tax AS DOUBLE)                     AS c_double,
+         CAST(l_quantity AS BIGINT) + 100          AS u_tiny,
+         CAST(l_partkey AS BIGINT) + 20000         AS u_small,
+         CASE WHEN l_linenumber % 3 = 0 THEN NULL
+              ELSE CAST(l_suppkey AS BIGINT) END   AS nv
+  FROM lineitem WHERE l_orderkey <= 120
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(GREATEST(c_big, c_int, c_small, c_tiny, 10) AS BIGINT) AS g_ints,
+  CAST(LEAST(c_big, c_int, c_small, c_tiny, 10) AS BIGINT)    AS l_ints,
+  CAST(GREATEST(c_tiny, -5) AS BIGINT)                        AS g_neg_lit,
+  CAST(LEAST(u_tiny, u_small, c_small) AS BIGINT)             AS l_unsigned,
+  CAST(GREATEST(c_dec4, CAST(u_tiny AS DECIMAL(18,2)),
+                CAST(10 AS DECIMAL(18,2))) AS DOUBLE)         AS g_dec_u,
+  CAST(LEAST(c_dec18, CAST(c_big AS DECIMAL(18,2))) AS DOUBLE) AS l_dec_big,
+  CAST(GREATEST(c_double, CAST(c_dec4 AS DOUBLE),
+                CAST(c_small AS DOUBLE)) AS DOUBLE)           AS g_mix3,
+  CASE WHEN nv IS NULL THEN NULL
+       ELSE CAST(GREATEST(c_small, nv) AS BIGINT) END         AS g_null_prop,
+  CAST(CASE WHEN GREATEST(c_big, c_small, c_tiny, 10) <> c_big
+            THEN 1 ELSE 0 END AS BIGINT)                      AS big_not_top,
+  CAST(CASE WHEN LEAST(c_tiny, c_small, u_tiny) <> c_tiny
+            THEN 1 ELSE 0 END AS BIGINT)                      AS tiny_not_least
+FROM t
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "regress_greatest_least_mixed",
+    oracle=_GREATEST_LADDER_SQL,
+    doc="unsigned_greatest/unsigned_least MTR: mixed-type GREATEST/LEAST ladders "
+    "+ <>-filter shape + MySQL any-NULL propagation spelled explicitly",
+)
+def regress_greatest_least_mixed(spark, sf_dir):
+    return run_sql(spark, _GREATEST_LADDER_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# select_precision.test + empty_string_not_null.test: numeric-literal
+# typing and precision edges.  MySQL's decimal literals make
+# (.1 + .2) = .3 TRUE (exact DECIMAL arithmetic) while the float
+# spelling is FALSE — Spark 4 (ANSI) and DuckDB type bare decimal
+# literals the same way, so the shared text pins both.  ROUND with
+# negative digits (tens/hundreds) over FLOAT32 inputs; division by
+# zero is NULL in MySQL non-strict SELECTs, spelled as an explicit
+# CASE guard (Spark ANSI would otherwise raise); the empty-string
+# vs NULL distinction of the TEXT column counts rounds it out.
+_PRECISION_SQL = """
+WITH t AS (
+  SELECT s_suppkey,
+         CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE) AS f,
+         CASE WHEN s_suppkey % 5 = 0 THEN NULL
+              WHEN s_suppkey % 5 = 1 THEN ''
+              ELSE s_name END AS s,
+         CAST(s_suppkey % 4 AS BIGINT) AS d
+  FROM supplier WHERE s_suppkey <= 100
+)
+SELECT
+  CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT)     AS n_null,
+  CAST(SUM(CASE WHEN s = '' THEN 1 ELSE 0 END) AS BIGINT)        AS n_empty,
+  CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null,
+  CAST((0.1 + 0.2) = 0.3 AS INT)                                 AS dec_exact,
+  CAST((0.1e0 + 0.2e0) = 0.3e0 AS INT)                           AS float_exact,
+  CAST(0.01 * 0.01 AS DOUBLE)                                    AS dec_scale4,
+  CAST(ROUND(MAX(f), -1) AS DOUBLE)                              AS r_tens,
+  CAST(ROUND(MAX(f), -2) AS DOUBLE)                              AS r_hundreds,
+  CAST(ROUND(MIN(f), 1) AS DOUBLE)                               AS r_one,
+  CAST(ROUND(AVG(CASE WHEN d = 0 THEN NULL
+                      ELSE CAST(100 AS DOUBLE) / d END), 9)
+    AS DOUBLE)                                                   AS div0_guarded
+FROM t
+"""
+
+
+@register(
+    "regress_precision_modes",
+    oracle=_PRECISION_SQL,
+    doc="select_precision/empty_string_not_null MTR: decimal-literal exactness, "
+    "negative-digit ROUND on FLOAT32, guarded div-by-zero, ''-vs-NULL counts",
+)
+def regress_precision_modes(spark, sf_dir):
+    return run_sql(spark, _PRECISION_SQL, sf_dir)
