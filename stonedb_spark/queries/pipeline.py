@@ -4120,3 +4120,81 @@ def pipeline_auc_rank(spark, sf_dir):
             u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG / context-window chunking: split each document into OVERLAPPING
+# token windows (64-token window, 48-token stride) carrying token
+# offsets and a content hash — the standard retrieval-corpus and
+# packing prep.  Pure map-side fan-out (sequence + explode, everything
+# whole-stage codegen): no shuffle, and the row multiplier is bounded
+# by window/stride (~1.33x) regardless of corpus size, so the plan is
+# scan-shaped at 100 TB.  Short docs produce exactly one chunk.
+_CHUNK_WIN, _CHUNK_HOP = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 1500
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         CASE WHEN len(toks) <= {_CHUNK_WIN} THEN 1
+              ELSE CAST(CEIL((len(toks) - {_CHUNK_WIN}) / {_CHUNK_HOP}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT)                                   AS chunk_id,
+       CAST(i * {_CHUNK_HOP} AS BIGINT)                    AS tok_start,
+       CAST(LEAST(n_tok - i * {_CHUNK_HOP}, {_CHUNK_WIN}) AS BIGINT) AS n_tok_chunk,
+       md5(array_to_string(
+             toks[i * {_CHUNK_HOP} + 1 :
+                  i * {_CHUNK_HOP} + LEAST(n_tok - i * {_CHUNK_HOP}, {_CHUNK_WIN})],
+             ' '))                                         AS chunk_md5
+FROM n, UNNEST(range(n_chunks)) AS u(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "text_chunk_windows",
+    oracle=_CHUNK_ORACLE,
+    doc="overlapping token-window chunking (64/48) with offsets + content hash; "
+    "map-only sequence+explode, bounded ~1.33x fan-out",
+)
+def text_chunk_windows(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    win, hop = _CHUNK_WIN, _CHUNK_HOP
+    docs = (
+        t["documents"]
+        .filter(F.col("doc_id") < 1500)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n_tok") <= win, F.lit(1)).otherwise(
+                F.ceil((F.col("n_tok") - win) / float(hop)) + 1
+            ),
+        )
+    )
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    )
+    n_in_chunk = F.least(F.col("n_tok") - F.col("i") * hop, F.lit(win))
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_id"),
+            (F.col("i") * hop).cast("long").alias("tok_start"),
+            n_in_chunk.cast("long").alias("n_tok_chunk"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("i") * hop + 1, n_in_chunk)
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
