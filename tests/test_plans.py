@@ -608,3 +608,20 @@ def test_semantic_dedup_pairs_are_cell_bounded(spark, sf_dir):
         assert frag == "BroadcastNestedLoopJoin" or "BuildRight" in frag, frag
     # the v1<v2 pair join itself must be keyed on cid
     assert "cid" in plan, plan[:1000]
+
+
+def test_chunk_windows_is_map_only(spark, sf_dir):
+    """text_chunk_windows must stay scan-shaped: the only exchange in
+    the plan is the final deterministic output ordering (an oracle-
+    compare requirement, not part of the operator) — the tokenize +
+    sequence + explode fan-out itself runs map-side with the doc_id
+    filter pushed and only (doc_id, text) read."""
+    from stonedb_spark.plans.inspect import formatted_plan, pushed_filters
+
+    df = _build(spark, sf_dir, "text_chunk_windows")
+    plan = formatted_plan(df)
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert "rangepartitioning" in plan, plan[:2000]  # the orderBy...
+    assert "hashpartitioning" not in plan, plan[:2000]  # ...and nothing else
+    pushed = " ".join(pushed_filters(df))
+    assert "doc_id" in pushed, pushed
