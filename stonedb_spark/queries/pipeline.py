@@ -4198,3 +4198,44 @@ def text_chunk_windows(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded epoch shuffle: the deterministic pseudo-random training order.
+# Each epoch's permutation is the total order of md5(seed || doc_id) —
+# stable across runs and cluster layouts, different per seed — and the
+# position assignment reuses assign_contiguous_ids, so the "global
+# shuffle" costs one range-repartition + a bounded per-partition
+# offset pull, never a single-task global sort.  At 100 TB this is
+# exactly how epoch ordering should be materialized: the hash key is
+# uniform, so the range partitioner's sampled split points stay
+# balanced no matter how skewed the input ids are.
+@register(
+    "pipeline_epoch_shuffle",
+    oracle="""
+SELECT doc_id,
+       md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)))
+         - 1 AS pos
+FROM documents
+ORDER BY pos
+""",
+    doc="seeded deterministic epoch shuffle: pos = rank of md5(seed||doc_id); "
+    "range-repartition ids, no single-task sort",
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    from stonedb_spark.operators.ids import assign_contiguous_ids
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .withColumn(
+            "shuffle_key",
+            F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))),
+        )
+    )
+    return (
+        assign_contiguous_ids(d, ["shuffle_key"], id_col="pos")
+        .select("doc_id", "shuffle_key", "pos")
+        .orderBy("pos")
+    )
