@@ -604,8 +604,10 @@ def test_semantic_dedup_pairs_are_cell_bounded(spark, sf_dir):
     import re as _re
 
     for m in _re.finditer(r"BroadcastNestedLoopJoin[ \w]*", plan):
-        frag = m.group(0)
+        frag = m.group(0).strip()
         assert frag == "BroadcastNestedLoopJoin" or "BuildRight" in frag, frag
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BuildRight" in plan, plan[:1500]
     # the v1<v2 pair join itself must be keyed on cid
     assert "cid" in plan, plan[:1000]
 
