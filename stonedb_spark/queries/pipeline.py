@@ -4239,3 +4239,73 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         .select("doc_id", "shuffle_key", "pos")
         .orderBy("pos")
     )
+
+
+# PNG joins WAV/BMP in the REAL-codec tier (stdlib zlib only): encode
+# rotates the scanline filter (None/Sub/Up/Average/Paeth, y % 5) and
+# decode walks the CRC-checked chunk stream + unfilters per-row, so the
+# hash arbitrates the whole deflate/filter spec, not a single path.
+@register(
+    "multimodal_png_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, 6 + doc_id % 8 AS w, 5 + doc_id % 6 AS h
+           FROM documents WHERE doc_id < 400),
+gx AS (SELECT i AS x FROM generate_series(0, 13) s(i)),
+gy AS (SELECT i AS y FROM generate_series(0, 10) s(i))
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       CAST(SUM((d.doc_id * 7 + 3 * gx.x + 11 * gy.y) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((d.doc_id * 7 + 3 * gx.x + 11 * gy.y + 5) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((d.doc_id * 7 + 3 * gx.x + 11 * gy.y + 10) % 256) AS BIGINT) AS b_sum
+FROM d CROSS JOIN gx CROSS JOIN gy
+WHERE gx.x < d.w AND gy.y < d.h
+GROUP BY d.doc_id, d.w, d.h
+ORDER BY d.doc_id
+""",
+    doc="REAL PNG codec: zlib-deflated all-filter encode -> CRC-checked chunk parse "
+    "+ per-row unfilter -> channel sums",
+)
+def multimodal_png_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def synth_and_roundtrip(batches):
+        import numpy as np
+
+        from stonedb_spark.operators.codecs import decode_png, encode_png
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 6 + doc_id % 8, 5 + doc_id % 6
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                pixels = ((doc_id * 7 + 3 * xx + 11 * yy + 5 * cc) % 256).astype(
+                    np.uint8
+                )
+                got = decode_png(encode_png(pixels)).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(got.shape[1])
+                out["height"].append(got.shape[0])
+                out["r_sum"].append(int(got[:, :, 0].sum()))
+                out["g_sum"].append(int(got[:, :, 1].sum()))
+                out["b_sum"].append(int(got[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_and_roundtrip,
+        schema=(
+            "doc_id long, width long, height long, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    ).orderBy("doc_id")
