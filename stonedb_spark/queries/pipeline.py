@@ -4309,3 +4309,59 @@ def multimodal_png_decode(spark, sf_dir):
             "r_sum long, g_sum long, b_sum long"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Delta-join IVM parity (streaming/ivm_join.py): the maintained join
+# view after 5 interleaved delta batches (3 orders splits, 2 customer
+# splits) must equal the plain join — the oracle IS that plain join.
+# Each batch's contribution is J += ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with the
+# delta side broadcast; at corpus scale per-batch cost is delta-sized
+# broadcasts against key-pruned state scans, and the view only appends.
+@register(
+    "pipeline_ivm_join_parity",
+    oracle="""
+SELECT c.c_custkey AS custkey, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey <= 2500
+ORDER BY o_orderkey
+""",
+    doc="incremental join-view maintenance: 5 interleaved append deltas, "
+    "view == full join (delta-broadcast algebra, append-only state)",
+)
+def pipeline_ivm_join_parity(spark, sf_dir):
+    from stonedb_spark.streaming.ivm_join import delta_join
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2500)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+    cust = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    a_parts = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    b_parts = [cust.filter(F.col("custkey") % 2 == i) for i in range(2)]
+    steps = [
+        (a_parts[0], None),
+        (None, b_parts[0]),
+        (a_parts[1], None),
+        (None, b_parts[1]),
+        (a_parts[2], None),
+    ]
+    a_state, b_state, view = None, None, None
+    for da, db in steps:
+        nj = delta_join(a_state, b_state, da, db, "custkey")
+        if nj is not None:
+            view = nj if view is None else view.unionByName(nj)
+        if da is not None:
+            a_state = da if a_state is None else a_state.unionByName(da)
+        if db is not None:
+            b_state = db if b_state is None else b_state.unionByName(db)
+    return view.select("custkey", "o_orderkey", "totalprice", "c_name").orderBy(
+        "o_orderkey"
+    )

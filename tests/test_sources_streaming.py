@@ -795,3 +795,82 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(1 for v in got.values() if v[0] == 1) > 0  # real dup signal
+
+
+def test_ivm_join_parity_stepwise(spark, sf_dir, tmp_path):
+    """Delta-join IVM: after EVERY batch of deltas (either side), the
+    maintained view must be row-identical (multiset) to the full join
+    of the states applied so far — the algebra's disjointness claim,
+    checked stepwise, interleaving both sides."""
+    from stonedb_spark.streaming.ivm_join import apply_join_delta
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 600)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice")
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    wd = str(tmp_path / "ivm")
+    a_parts = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    b_parts = [cust.filter(F.col("custkey") % 2 == i) for i in range(2)]
+    steps = [
+        (a_parts[0], None),
+        (None, b_parts[0]),
+        (a_parts[1], None),
+        (None, b_parts[1]),
+        (a_parts[2], None),
+    ]
+    applied_a, applied_b = None, None
+    for da, db in steps:
+        apply_join_delta(spark, wd, "custkey", delta_a=da, delta_b=db)
+        if da is not None:
+            applied_a = da if applied_a is None else applied_a.unionByName(da)
+        if db is not None:
+            applied_b = db if applied_b is None else applied_b.unionByName(db)
+        import os
+
+        if not os.path.exists(wd + "/view"):
+            assert applied_a is None or applied_b is None
+            continue
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(wd + "/view")
+            .select("custkey", "o_orderkey", "o_totalprice", "c_name")
+            .collect()
+        )
+        expect = sorted(
+            tuple(r) for r in applied_a.join(applied_b, "custkey")
+            .select("custkey", "o_orderkey", "o_totalprice", "c_name")
+            .collect()
+        )
+        assert got == expect and len(got) > 0
+
+
+def test_ivm_join_streaming_left(spark, sf_dir, tmp_path):
+    """Streaming twin: right side preloaded as one delta, left deltas
+    drained as micro-batches (one file per trigger); final view equals
+    the batch join."""
+    from stonedb_spark.streaming.ivm_join import (
+        apply_join_delta,
+        run_streaming_left_ivm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    cust = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    wd = str(tmp_path / "ivm")
+    apply_join_delta(spark, wd, "custkey", delta_b=cust)
+    src = str(tmp_path / "left_src")
+    orders.repartition(4).write.parquet(src)
+    run_streaming_left_ivm(
+        spark, src, orders.schema, wd, "custkey", str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(wd + "/view").count()
+    expect = orders.join(cust, "custkey").count()
+    assert got == expect and got > 0
