@@ -4365,3 +4365,53 @@ def pipeline_ivm_join_parity(spark, sf_dir):
     return view.select("custkey", "o_orderkey", "totalprice", "c_name").orderBy(
         "o_orderkey"
     )
+
+
+# Retraction (DML) form of the IVM view: inserts on both sides, then a
+# weighted delete of every 7th order — the consolidated view must be
+# the join of the net states, which is exactly what the oracle spells.
+@register(
+    "pipeline_ivm_join_retract",
+    oracle="""
+SELECT c.c_custkey AS custkey, o.o_orderkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey <= 2500 AND o.o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+""",
+    doc="weighted (retraction) IVM: delete deltas cancel their join pairs; "
+    "consolidated view == join of net states",
+)
+def pipeline_ivm_join_retract(spark, sf_dir):
+    from stonedb_spark.streaming.ivm_join import consolidate, delta_join_weighted
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2500)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    cust = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    steps = [
+        (orders.withColumn("_w", F.lit(1)), None),
+        (None, cust.withColumn("_w", F.lit(1))),
+        (
+            orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "_w", F.lit(-1)
+            ),
+            None,
+        ),
+    ]
+    a_state, b_state, view = None, None, None
+    for da, db in steps:
+        nj = delta_join_weighted(a_state, b_state, da, db, "custkey")
+        if nj is not None:
+            view = nj if view is None else view.unionByName(nj)
+        if da is not None:
+            a_state = da if a_state is None else a_state.unionByName(da)
+        if db is not None:
+            b_state = db if b_state is None else b_state.unionByName(db)
+    return (
+        consolidate(view)
+        .select("custkey", "o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )

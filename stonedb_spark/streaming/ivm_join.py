@@ -121,3 +121,67 @@ def run_streaming_left_ivm(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (retraction) form: rows carry a signed multiplicity column
+# ``_w`` (+1 insert, -1 delete / the retraction half of an update), the
+# DBSP/differential-dataflow encoding.  Join contributions multiply
+# weights (a retracted left row cancels every pair it once produced),
+# so the SAME three-term algebra maintains the view under DML — the
+# capability the reference reaches by re-merging its delta store.  The
+# view stays append-only; ``consolidate`` nets the multiplicities out
+# (run it lazily at read time, or periodically as compaction).
+def delta_join_weighted(
+    a_state: DataFrame | None,
+    b_state: DataFrame | None,
+    delta_a: DataFrame | None,
+    delta_b: DataFrame | None,
+    key: str,
+) -> DataFrame | None:
+    """Like delta_join, for frames carrying ``_w``: output weight is
+    the product of the two input weights."""
+    from pyspark.sql.functions import broadcast, col
+
+    def _pair(left, right, bc):
+        l = left.withColumnRenamed("_w", "_wl")
+        r = right.withColumnRenamed("_w", "_wr")
+        if bc == "l":
+            l = broadcast(l)
+        elif bc == "r":
+            r = broadcast(r)
+        return (
+            l.join(r, key)
+            .withColumn("_w", col("_wl") * col("_wr"))
+            .drop("_wl", "_wr")
+        )
+
+    terms = []
+    if delta_a is not None and b_state is not None:
+        terms.append(_pair(delta_a, b_state, "l"))
+    if a_state is not None and delta_b is not None:
+        terms.append(_pair(a_state, delta_b, "r"))
+    if delta_a is not None and delta_b is not None:
+        terms.append(_pair(delta_a, delta_b, None))
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def consolidate(df: DataFrame) -> DataFrame:
+    """Net the signed multiplicities: group by every payload column,
+    keep rows with a positive net weight (``_w`` = the net count).
+    One shuffle over the view — the compaction analog of the
+    reference's background merge."""
+    from pyspark.sql.functions import col
+    from pyspark.sql.functions import sum as fsum
+
+    cols = [c for c in df.columns if c != "_w"]
+    return (
+        df.groupBy(*cols)
+        .agg(fsum("_w").alias("_w"))
+        .filter(col("_w") > 0)
+    )

@@ -874,3 +874,60 @@ def test_ivm_join_streaming_left(spark, sf_dir, tmp_path):
     got = spark.read.parquet(wd + "/view").count()
     expect = orders.join(cust, "custkey").count()
     assert got == expect and got > 0
+
+
+def test_ivm_join_weighted_retraction(spark, sf_dir):
+    """Weighted IVM under DML: insert both sides, then retract a
+    subset of orders (w=-1) and update one customer name (retract old
+    + insert new).  The consolidated view must equal the join of the
+    NET states — deletes cancel every pair they produced, the update
+    swaps the payload."""
+    from stonedb_spark.streaming.ivm_join import (
+        consolidate,
+        delta_join_weighted,
+    )
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    cust = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    ins_a = orders.withColumn("_w", F.lit(1))
+    ins_b = cust.withColumn("_w", F.lit(1))
+    del_a = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "_w", F.lit(-1)
+    )
+    upd_key = orders.agg(F.min("custkey")).collect()[0][0]
+    old_b = cust.filter(F.col("custkey") == upd_key)
+    upd_b = old_b.withColumn("_w", F.lit(-1)).unionByName(
+        old_b.withColumn("c_name", F.concat(F.col("c_name"), F.lit("_v2")))
+        .withColumn("_w", F.lit(1))
+    )
+
+    a_state, b_state, view = None, None, None
+    for da, db in [(ins_a, None), (None, ins_b), (del_a, None), (None, upd_b)]:
+        nj = delta_join_weighted(a_state, b_state, da, db, "custkey")
+        if nj is not None:
+            view = nj if view is None else view.unionByName(nj)
+        if da is not None:
+            a_state = da if a_state is None else a_state.unionByName(da)
+        if db is not None:
+            b_state = db if b_state is None else b_state.unionByName(db)
+
+    got = sorted(
+        (r.custkey, r.o_orderkey, r.c_name, r._w)
+        for r in consolidate(view).collect()
+    )
+    net_a = consolidate(a_state).drop("_w")
+    net_b = consolidate(b_state).drop("_w")
+    expect = sorted(
+        (r.custkey, r.o_orderkey, r.c_name, 1)
+        for r in net_a.join(net_b, "custkey").collect()
+    )
+    assert got == expect and len(got) > 0
+    # the deleted orders are gone, the updated name is the _v2 one
+    assert all(k % 7 != 0 for _, k, _, _ in got)
+    v2 = [n for c, _, n, _ in got if c == upd_key]
+    assert v2 and all(n.endswith("_v2") for n in v2)
