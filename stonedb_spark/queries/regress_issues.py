@@ -1561,3 +1561,46 @@ FROM t
 )
 def regress_precision_modes(spark, sf_dir):
     return run_sql(spark, _PRECISION_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue1662 (and the same idiom in issue1696/1707): the user-variable
+# GROUP COUNTER — @g := IF(val = @prev, @g, @g + 1), @prev := val over
+# an ORDER BY — MySQL's session-state spelling of gaps-and-islands
+# group numbering.  The relational translation is LAG + a running SUM
+# of change flags (start-of-group = prev IS NULL OR changed), identical
+# text on both engines.  The second projection pins the file's mixed
+# compare (id vs @prev VALUE — the variables deliberately cross).
+# Dialect pin only: the bounded global window is the parity harness;
+# the scale path partitions the window by a coarse key (SCALING.md).
+_GROUP_COUNTER_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS id, CAST(o_custkey % 7 AS BIGINT) AS value
+  FROM orders WHERE o_orderkey <= 300
+), w AS (
+  SELECT id, value,
+         LAG(value) OVER (ORDER BY value, id) AS prev_value
+  FROM t
+)
+SELECT id, value,
+  CAST(SUM(CASE WHEN prev_value IS NULL OR value <> prev_value
+                THEN 1 ELSE 0 END)
+       OVER (ORDER BY value, id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS group_id,
+  CAST(SUM(CASE WHEN prev_value IS NULL OR id <> prev_value
+                THEN 1 ELSE 0 END)
+       OVER (ORDER BY value, id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS group_id_mixed
+FROM w
+ORDER BY value, id
+"""
+
+
+@register(
+    "regress_user_var_group_counter",
+    oracle=_GROUP_COUNTER_SQL,
+    doc="issue1662/1696/1707: @g := IF(val=@prev,@g,@g+1) group counter -> "
+    "LAG + running SUM of change flags",
+)
+def regress_user_var_group_counter(spark, sf_dir):
+    return run_sql(spark, _GROUP_COUNTER_SQL, sf_dir)
