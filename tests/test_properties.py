@@ -157,3 +157,78 @@ def test_zvalue_out_of_width_inputs_fold_mod(spark, xy):
     for r in got:
         assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
         assert 0 <= r["z"] < (1 << 32)
+
+
+# Random DML sequences against the weighted IVM algebra: the
+# consolidated maintained view must equal the join of the NET states
+# regardless of how inserts/deletes interleave across sides.  The
+# oracle is plain Python dict arithmetic — a third implementation,
+# independent of both Spark and the IVM terms.  Deletes are drawn
+# only from rows currently live on their side (the append-only DML
+# contract; retracting a never-inserted row is undefined upstream).
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["ia", "ib", "da", "db"]),
+        st.integers(0, 3),  # join key
+        st.integers(0, 2),  # payload
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@_SLOW
+@given(ops=_ops)
+def test_ivm_weighted_matches_multiset_model(spark, ops):
+    from collections import Counter
+
+    from stonedb_spark.streaming.ivm_join import (
+        consolidate,
+        delta_join_weighted,
+    )
+
+    live_a, live_b = Counter(), Counter()  # (key, payload) -> multiplicity
+    a_state = b_state = view = None
+
+    def frame(side, key, payload, w):
+        col = "pa" if side == "a" else "pb"
+        return spark.createDataFrame(
+            [(key, payload, w)], f"k long, {col} long, _w long"
+        )
+
+    for op, key, payload in ops:
+        side, kind = op[1], op[0]
+        live = live_a if side == "a" else live_b
+        if kind == "d":
+            if not live:
+                continue  # nothing to retract on this side
+            key, payload = sorted(live)[key % len(live)]
+            live[(key, payload)] -= 1
+            if live[(key, payload)] == 0:
+                del live[(key, payload)]
+            w = -1
+        else:
+            live[(key, payload)] += 1
+            w = 1
+        da = frame("a", key, payload, w) if side == "a" else None
+        db = frame("b", key, payload, w) if side == "b" else None
+        nj = delta_join_weighted(a_state, b_state, da, db, "k")
+        if nj is not None:
+            view = nj if view is None else view.unionByName(nj)
+        if da is not None:
+            a_state = da if a_state is None else a_state.unionByName(da)
+        if db is not None:
+            b_state = db if b_state is None else b_state.unionByName(db)
+
+    expect = Counter()
+    for (ka, pa), wa in live_a.items():
+        for (kb, pb), wb in live_b.items():
+            if ka == kb:
+                expect[(ka, pa, pb)] += wa * wb
+    if view is None:
+        assert not expect
+        return
+    got = Counter(
+        {(r.k, r.pa, r.pb): r._w for r in consolidate(view).collect()}
+    )
+    assert got == +expect
