@@ -4415,3 +4415,42 @@ def pipeline_ivm_join_retract(spark, sf_dir):
         .select("custkey", "o_orderkey", "c_name")
         .orderBy("o_orderkey")
     )
+
+
+# Retraction form of the aggregate matview (streaming/matview.py
+# fold_weighted_agg): inserts then w=-1 deletes of every 3rd event —
+# the maintained (count, exact-sum) view must equal the aggregate of
+# the surviving rows, which is what the oracle computes directly.
+@register(
+    "pipeline_ivm_agg_retract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total
+FROM events
+WHERE event_id <= 3000 AND event_id % 3 <> 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="weighted aggregate IVM: COUNT/SUM folds with inverses; deletes subtract, "
+    "net-zero groups vanish",
+)
+def pipeline_ivm_agg_retract(spark, sf_dir):
+    from stonedb_spark.streaming.matview import fold_weighted_agg
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_id") <= 3000)
+        .select("event_id", "event_type", "value")
+    )
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0).withColumn("_w", F.lit(1)),
+        ev.filter(F.col("event_id") % 2 == 1).withColumn("_w", F.lit(1)),
+        ev.filter(F.col("event_id") % 3 == 0).withColumn("_w", F.lit(-1)),
+    ]
+    state = None
+    for b in batches:
+        state = fold_weighted_agg(state, b)
+    return state.select(
+        "event_type", F.col("n"), F.col("total").cast("double").alias("total")
+    ).orderBy("event_type")

@@ -94,3 +94,28 @@ def run_incremental_agg(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (retraction) aggregate maintenance: deltas carry ``_w``
+# (+1 insert, -1 delete).  COUNT and SUM are abelian-group aggregates
+# (they have inverses), so the SAME fold maintains them under DML —
+# n += Σw, total += Σ(w·value) — and a group vanishes when its net
+# count reaches zero.  (MIN/MAX are NOT invertible; deleting the
+# current extremum forces a per-group rescan — that path belongs to
+# compaction, not the incremental fold, and is deliberately absent.)
+def _partial_weighted(batch: DataFrame) -> DataFrame:
+    return batch.groupBy("event_type").agg(
+        F.sum("_w").cast("long").alias("n"),
+        F.sum(F.col("_w") * F.col("value").cast(DEC)).cast(DEC).alias("total"),
+    )
+
+
+def fold_weighted_agg(
+    state: DataFrame | None, batch: DataFrame
+) -> DataFrame:
+    """One IVM step for the (count, exact-sum) view under signed
+    deltas; returns the new state (groups with net n == 0 drop out)."""
+    part = _partial_weighted(batch)
+    merged = part if state is None else _combine(state, part)
+    return merged.filter(F.col("n") != 0)

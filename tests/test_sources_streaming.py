@@ -931,3 +931,47 @@ def test_ivm_join_weighted_retraction(spark, sf_dir):
     assert all(k % 7 != 0 for _, k, _, _ in got)
     v2 = [n for c, _, n, _ in got if c == upd_key]
     assert v2 and all(n.endswith("_v2") for n in v2)
+
+
+def test_weighted_agg_matview_under_dml(spark, sf_dir):
+    """COUNT/SUM are group aggregates with inverses: folding insert
+    batches then a delete batch (w=-1 for every 3rd event) must leave
+    the view equal to the direct aggregate of the surviving rows, and
+    a fully-deleted group must VANISH (net n == 0), not linger as a
+    zero row."""
+    from stonedb_spark.streaming.matview import fold_weighted_agg
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_id") <= 900)
+        .select("event_id", "event_type", "value")
+    )
+    ins = ev.withColumn("_w", F.lit(1))
+    dels = ev.filter(F.col("event_id") % 3 == 0).withColumn("_w", F.lit(-1))
+    # wipe one whole group to check the vanish rule
+    gone = ev.select("event_type").distinct().orderBy("event_type").first()[0]
+    dels2 = ev.filter(
+        (F.col("event_type") == gone) & (F.col("event_id") % 3 != 0)
+    ).withColumn("_w", F.lit(-1))
+
+    state = None
+    for half in (ins.filter(F.col("event_id") % 2 == 0),
+                 ins.filter(F.col("event_id") % 2 == 1),
+                 dels, dels2):
+        state = fold_weighted_agg(state, half)
+
+    survivors = ev.filter(
+        (F.col("event_id") % 3 != 0) & (F.col("event_type") != gone)
+    )
+    expect = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in survivors.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("total"),
+        )
+        .collect()
+    }
+    got = {r["event_type"]: (r["n"], r["total"]) for r in state.collect()}
+    assert got == expect
+    assert gone not in got and len(got) > 0
