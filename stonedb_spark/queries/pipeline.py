@@ -4454,3 +4454,52 @@ def pipeline_ivm_agg_retract(spark, sf_dir):
     return state.select(
         "event_type", F.col("n"), F.col("total").cast("double").alias("total")
     ).orderBy("event_type")
+
+
+# LEFT-join view over the maintained pieces: the oracle is the direct
+# LEFT JOIN of the net states (right side = even custkeys minus the
+# retracted %6 ones), the Spark side reads it from inner-view +
+# anti-join null-extension (streaming/ivm_join.left_view).
+@register(
+    "pipeline_ivm_left_join",
+    oracle="""
+WITH b AS (
+  SELECT c_custkey AS custkey, c_name FROM customer
+  WHERE c_custkey % 2 = 0 AND c_custkey % 6 <> 0
+)
+SELECT o.o_custkey AS custkey, o.o_orderkey, b.c_name
+FROM orders o LEFT JOIN b ON o.o_custkey = b.custkey
+WHERE o.o_orderkey <= 2500
+ORDER BY o_orderkey
+""",
+    doc="LEFT-join IVM view: inner view + anti-join null-extension; retracted "
+    "right rows flip their matches back to unmatched",
+)
+def pipeline_ivm_left_join(spark, sf_dir):
+    from stonedb_spark.streaming.ivm_join import delta_join_weighted, left_view
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2500)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    cust = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+    )
+    a_state = orders.withColumn("_w", F.lit(1))
+    ins_b = cust.withColumn("_w", F.lit(1))
+    del_b = cust.filter(F.col("custkey") % 6 == 0).withColumn("_w", F.lit(-1))
+    b_state, view = None, None
+    for db in (ins_b, del_b):
+        nj = delta_join_weighted(a_state, b_state, None, db, "custkey")
+        if nj is not None:
+            view = nj if view is None else view.unionByName(nj)
+        b_state = db if b_state is None else b_state.unionByName(db)
+    return (
+        left_view(a_state, view, "custkey", ["c_name"])
+        .select("custkey", "o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )

@@ -185,3 +185,29 @@ def consolidate(df: DataFrame) -> DataFrame:
         .agg(fsum("_w").alias("_w"))
         .filter(col("_w") > 0)
     )
+
+
+def left_view(
+    a_state: DataFrame,
+    inner_view: DataFrame,
+    key: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """LEFT-join view derived at read time from the maintained pieces:
+    LJ = consolidate(inner) ∪ (net left rows with NO inner match,
+    null-extended).  Nothing extra is maintained — the anti-join is
+    against the inner view's key set, so a later right-side insert
+    flips a left row from null-extended to matched exactly when the
+    inner algebra adds its pairs (and a right delete flips it back
+    when they cancel).  One extra anti-join per read; at scale both
+    sides are key-partitioned state, so it bucket-prunes like the
+    delta terms."""
+    from pyspark.sql.functions import col, lit
+
+    inner = consolidate(inner_view)
+    matched_keys = inner.select(key).distinct()
+    net_a = consolidate(a_state)
+    unmatched = net_a.join(matched_keys, key, "left_anti")
+    for c in right_cols:
+        unmatched = unmatched.withColumn(c, lit(None))
+    return inner.unionByName(unmatched.select(inner.columns))

@@ -975,3 +975,57 @@ def test_weighted_agg_matview_under_dml(spark, sf_dir):
     got = {r["event_type"]: (r["n"], r["total"]) for r in state.collect()}
     assert got == expect
     assert gone not in got and len(got) > 0
+
+
+def test_ivm_left_join_view(spark, sf_dir):
+    """left_view must equal the LEFT JOIN of the net states: matched
+    rows come from the consolidated inner view, unmatched left rows
+    are null-extended — including rows that BECOME unmatched after
+    their only right match is retracted."""
+    from stonedb_spark.streaming.ivm_join import (
+        consolidate,
+        delta_join_weighted,
+        left_view,
+    )
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    # only even custkeys exist on the right; odd-custkey orders are
+    # unmatched from the start
+    cust = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+    )
+    # retract every customer divisible by 6 -> their orders FLIP to
+    # unmatched
+    dels = cust.filter(F.col("custkey") % 6 == 0).withColumn("_w", F.lit(-1))
+
+    a_state = orders.withColumn("_w", F.lit(1))
+    b_state, view = None, None
+    for da, db in [(None, cust.withColumn("_w", F.lit(1))), (None, dels)]:
+        nj = delta_join_weighted(a_state if db is not None else None,
+                                 b_state, da, db, "custkey")
+        # first step: a_state exists, b delta joins it; pass states correctly
+        if nj is not None:
+            view = nj if view is None else view.unionByName(nj)
+        if db is not None:
+            b_state = db if b_state is None else b_state.unionByName(db)
+
+    lv = left_view(a_state, view, "custkey", ["c_name"])
+    got = sorted(
+        (r.custkey, r.o_orderkey, r.c_name, r._w) for r in lv.collect()
+    )
+    net_b = consolidate(b_state).drop("_w")
+    expect = sorted(
+        (r.custkey, r.o_orderkey, r.c_name, 1)
+        for r in orders.join(net_b, "custkey", "left").collect()
+    )
+    assert got == expect and len(got) > 0
+    # both unmatched classes present: never-matched and flipped
+    assert any(c % 2 == 1 and n is None for c, _, n, _ in got)
+    assert any(c % 6 == 0 and n is None for c, _, n, _ in got)
