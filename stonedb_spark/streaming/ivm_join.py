@@ -211,3 +211,33 @@ def left_view(
     for c in right_cols:
         unmatched = unmatched.withColumn(c, lit(None))
     return inner.unionByName(unmatched.select(inner.columns))
+
+
+def weighted_deltas_from_cdc(
+    base: DataFrame, changes: DataFrame, key: str
+) -> DataFrame:
+    """Bridge sources/cdc.diff_snapshots output into IVM deltas.  A
+    CDC delete/update row carries the key but not the BEFORE image;
+    the retraction needs the old payload, so it is fetched from the
+    maintained base state with one key-join (the base is exactly what
+    the view holder already has).  Inserts and update-AFTER images are
+    +1 rows straight from the change set.  Result: signed rows whose
+    fold moves the view from base to the new snapshot."""
+    from pyspark.sql.functions import broadcast, col, lit
+
+    cols = [c for c in base.columns if c != "_w"]
+    retract_keys = changes.filter(
+        col("_change").isin("delete", "update")
+    ).select(col(key).alias("_rk"))
+    retractions = (
+        base.select(*cols)
+        .join(broadcast(retract_keys), col(key) == col("_rk"))
+        .drop("_rk")
+        .withColumn("_w", lit(-1))
+    )
+    insertions = (
+        changes.filter(col("_change").isin("insert", "update"))
+        .select(*cols)
+        .withColumn("_w", lit(1))
+    )
+    return retractions.unionByName(insertions)

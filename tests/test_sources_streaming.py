@@ -1029,3 +1029,47 @@ def test_ivm_left_join_view(spark, sf_dir):
     # both unmatched classes present: never-matched and flipped
     assert any(c % 2 == 1 and n is None for c, _, n, _ in got)
     assert any(c % 6 == 0 and n is None for c, _, n, _ in got)
+
+
+def test_cdc_drives_weighted_agg_ivm(spark, sf_dir):
+    """End-to-end CDC -> IVM: diff two snapshots, convert the change
+    set to signed deltas (before-images fetched from the maintained
+    base), fold — the view must equal the new snapshot's aggregate
+    exactly (inserts add, deletes subtract, updates swap)."""
+    from stonedb_spark.sources.cdc import diff_snapshots
+    from stonedb_spark.streaming.ivm_join import weighted_deltas_from_cdc
+    from stonedb_spark.streaming.matview import fold_weighted_agg
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_id") <= 800)
+        .select("event_id", "event_type", "value")
+    )
+    v1 = ev.filter(F.col("event_id") % 5 != 4)          # v2 inserts the %5==4 rows
+    v2 = (
+        ev.filter(F.col("event_id") % 7 != 0)           # v2 deletes the %7==0 rows
+        .withColumn(                                     # v2 updates %11==0 values
+            "value",
+            F.when(F.col("event_id") % 11 == 0, F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    state = fold_weighted_agg(None, v1.withColumn("_w", F.lit(1)))
+    changes = diff_snapshots(v1, v2, "event_id")
+    deltas = weighted_deltas_from_cdc(
+        v1.withColumn("_w", F.lit(1)), changes, "event_id"
+    )
+    state = fold_weighted_agg(state, deltas)
+
+    expect = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in v2.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("total"),
+        )
+        .collect()
+    }
+    got = {r["event_type"]: (r["n"], r["total"]) for r in state.collect()}
+    assert got == expect and len(got) > 0
