@@ -4503,3 +4503,58 @@ def pipeline_ivm_left_join(spark, sf_dir):
         .select("custkey", "o_orderkey", "c_name")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: every exact-duplicate CLUSTER
+# lands on one side — the split key is the hash of the cluster
+# REPRESENTATIVE (min doc_id), not the row — so duplicated text can
+# never straddle train and test (the contamination the plain row-hash
+# split permits).  Two shuffles at any scale: groupBy(content hash)
+# for the representative, then the key-join back; the near-dup version
+# swaps md5 clusters for dedup_clusters output, same shape.
+@register(
+    "pipeline_leakage_safe_split",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, md5(text) AS cl FROM documents
+), r AS (
+  SELECT cl, MIN(doc_id) AS rep FROM c GROUP BY cl
+), s AS (
+  SELECT cl,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT cl,
+           CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 10000 AS bucket
+    FROM r
+  ) t
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT c.cl) AS BIGINT) AS n_clusters
+FROM c JOIN s ON c.cl = s.cl
+GROUP BY split
+ORDER BY split
+""",
+    doc="dedup-aware split: cluster representative's hash decides the side, "
+    "so duplicate text never straddles train/test",
+)
+def pipeline_leakage_safe_split(spark, sf_dir):
+    from stonedb_spark.operators.sampling import split_assign
+
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("cl"))
+    reps = c.groupBy("cl").agg(F.min("doc_id").alias("rep"))
+    s = reps.select("cl", split_assign("rep").alias("split"))
+    return (
+        c.join(s, "cl")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cl").cast("long").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
