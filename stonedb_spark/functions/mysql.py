@@ -724,3 +724,30 @@ def inet_ntoa(n: Column) -> Column:
     ]
     quad = F.concat_ws(".", *[p.cast("string") for p in parts])
     return F.when((x >= 0) & (x <= 4294967295), quad)
+
+
+def tianmu_int_check(df, col: str, dtype: str = "bigint"):
+    """STRICT-mode range validation for an ingest column (MySQL error
+    1264 "Out of range value" analog, issue1361.test): values outside
+    the reference's sentinel-adjusted range for ``dtype`` ABORT the
+    ingest instead of clamping — notably -9223372036854775807 and
+    -9223372036854775808 are rejected for BIGINT even though they fit
+    two's-complement int64, because the reference reserves them as its
+    NULL/minus-inf encodings (common_definitions.h:128-137).  Returns
+    the input frame unchanged when clean; one bounded 1-row aggregate
+    decides (no per-row driver loop)."""
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    lo, hi = TIANMU_INT_RANGES[dtype]
+    c = F.col(col).cast("decimal(38,0)")
+    bad = df.agg(
+        F.sum(
+            F.when((c < F.lit(lo)) | (c > F.lit(hi)), 1).otherwise(0)
+        ).alias("n")
+    ).collect()[0]["n"]
+    if bad:
+        raise ValueError(
+            f"Out of range value for column '{col}' ({dtype}): {bad} row(s) "
+            f"outside [{lo}, {hi}] (MySQL strict error 1264 analog)"
+        )
+    return df

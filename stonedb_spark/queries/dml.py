@@ -359,3 +359,79 @@ def dml_update_ignore_pk(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+# --------------------------------------------------------------------------
+# issue819: MULTI-TABLE DELETE — `DELETE t2.*, t3.* FROM t1, t2, t3
+# WHERE t1.a = t2.a AND t2.b = t3.a AND t1.b = t3.b` removes matching
+# rows from TWO targets in one statement.  The doomed sets are decided
+# against the PRE-delete state of every table (MySQL evaluates the join
+# first), so both anti-joins reuse one shared doomed-key frame; the
+# output is the tagged survivor summary of both targets.  Here: a
+# three-way match (supplier x customer sharing a nation in EUROPE)
+# deletes from supplier AND customer.
+@register(
+    "dml_multi_delete",
+    oracle="""
+WITH doomed AS (
+  SELECT DISTINCT s.s_suppkey, c.c_custkey
+  FROM nation n
+  JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE' AND c.c_acctbal < 0
+)
+SELECT tag, n, chk FROM (
+  SELECT 'supplier' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s_suppkey) AS BIGINT) AS chk
+  FROM supplier
+  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM doomed)
+  UNION ALL
+  SELECT 'customer', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed)
+) v
+ORDER BY tag
+""",
+    doc="issue819: DELETE t2.*, t3.* FROM three-way join — two anti-joins "
+    "off one shared doomed frame, pre-delete snapshot semantics",
+)
+def dml_multi_delete(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    n, s, c, r = t["nation"], t["supplier"], t["customer"], t["region"]
+    doomed = (
+        n.join(s, s["s_nationkey"] == n["n_nationkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter((r["r_name"] == "EUROPE") & (c["c_acctbal"] < 0))
+        .select("s_suppkey", "c_custkey")
+        .distinct()
+    )
+    # Both targets anti-join the SAME doomed frame (one join evaluation,
+    # mirroring MySQL's single pre-delete join pass).
+    doomed.persist()
+    surv_s = (
+        s.join(
+            doomed.select("s_suppkey").distinct(),
+            "s_suppkey",
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s_suppkey").cast("long").alias("chk"),
+        )
+        .select(F.lit("supplier").alias("tag"), "n", "chk")
+    )
+    surv_c = (
+        c.join(
+            doomed.select("c_custkey").distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("chk"),
+        )
+        .select(F.lit("customer").alias("tag"), "n", "chk")
+    )
+    return surv_c.unionAll(surv_s).orderBy("tag")

@@ -1604,3 +1604,247 @@ ORDER BY value, id
 )
 def regress_user_var_group_counter(spark, sf_dir):
     return run_sql(spark, _GROUP_COUNTER_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue887: the MySQL CHAINED-ON nested join syntax — `t1 LEFT JOIN t2
+# LEFT JOIN t3 ON inner ON outer` parses as t1 LEFT JOIN (t2 LEFT JOIN
+# t3 ON inner) ON outer (SQL nested join), NOT as a left-deep chain;
+# the reference mis-shaped these trees under IS NULL / IS NOT NULL
+# WHERE filters.  Five variants (left/right nested x null/notnull +
+# the no-ON inner join, which MySQL treats as CROSS) are each reduced
+# to (count, per-side coalesced checksums) so one tagged result table
+# pins all shapes.  Same text both engines (DuckDB parses chained ON;
+# the MySQL bare `INNER JOIN` with no ON is spelled CROSS JOIN, its
+# standard equivalent).  Spark's parser rejects the chained-ON
+# spelling, so the oracle keeps MySQL's literal chained text while the
+# Spark side uses the explicit parenthesized tree it denotes — the
+# equivalence of the two spellings IS the issue887 claim under test.
+_CHAINED_ON_SQL = """
+WITH t1 AS (SELECT n_nationkey AS a FROM nation),
+     t2 AS (SELECT n_nationkey AS a FROM nation WHERE n_nationkey >= 5),
+     t3 AS (SELECT n_nationkey AS a FROM nation WHERE n_nationkey >= 10)
+SELECT tag, n, s1, s2, s3 FROM (
+  SELECT 'left_null' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COALESCE(t1.a, -1)) AS BIGINT) AS s1,
+         CAST(SUM(COALESCE(t2.a, -1)) AS BIGINT) AS s2,
+         CAST(SUM(COALESCE(t3.a, -1)) AS BIGINT) AS s3
+  FROM t1 LEFT JOIN {P1}t2 LEFT JOIN t3 ON t2.a = t3.a{P2} ON t1.a = t2.a
+  WHERE t3.a IS NULL
+  UNION ALL
+  SELECT 'left_notnull', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(COALESCE(t1.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t2.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t3.a, -1)) AS BIGINT)
+  FROM t1 LEFT JOIN {P1}t2 LEFT JOIN t3 ON t2.a = t3.a{P2} ON t1.a = t2.a
+  WHERE t3.a IS NOT NULL
+  UNION ALL
+  SELECT 'right_null', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(COALESCE(t1.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t2.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t3.a, -1)) AS BIGINT)
+  FROM t1 RIGHT JOIN {P1}t2 RIGHT JOIN t3 ON t2.a = t3.a{P2} ON t1.a = t2.a
+  WHERE t3.a IS NULL
+  UNION ALL
+  SELECT 'right_notnull', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(COALESCE(t1.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t2.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t3.a, -1)) AS BIGINT)
+  FROM t1 RIGHT JOIN {P1}t2 RIGHT JOIN t3 ON t2.a = t3.a{P2} ON t1.a = t2.a
+  WHERE t3.a IS NOT NULL
+  UNION ALL
+  SELECT 'cross_notnull', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(COALESCE(t1.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t2.a, -1)) AS BIGINT),
+         CAST(SUM(COALESCE(t3.a, -1)) AS BIGINT)
+  FROM t1 CROSS JOIN t2 CROSS JOIN t3
+  WHERE t3.a IS NOT NULL
+) v
+ORDER BY tag
+"""
+
+
+@register(
+    "regress_chained_on_joins",
+    oracle=_CHAINED_ON_SQL.format(P1="", P2=""),
+    doc="issue887: chained-ON nested joins (left/right) under IS [NOT] NULL "
+    "filters + bare-INNER-as-CROSS",
+)
+def regress_chained_on_joins(spark, sf_dir):
+    return run_sql(spark, _CHAINED_ON_SQL.format(P1="(", P2=")"), sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue971: correlated EXISTS / NOT EXISTS battery — the inner query
+# adds a second predicate of each comparison class (non-key equality,
+# key = const, key > const, key < const) on top of the correlation,
+# and the complementary NOT EXISTS rows must partition the outer table
+# exactly.  The reference returned wrong rows when the extra inner
+# predicate was a range on the correlated key.
+_EXISTS_BATTERY_SQL = """
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 200)
+SELECT tag, n, chk FROM (
+  SELECT 'ex_eq_attr' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c_custkey) AS BIGINT) AS chk
+  FROM c WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+  UNION ALL
+  SELECT 'ex_eq_key', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_custkey = 2)
+  UNION ALL
+  SELECT 'ex_gt_key', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_custkey > 100)
+  UNION ALL
+  SELECT 'ex_lt_key', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_custkey < 100)
+  UNION ALL
+  SELECT 'nex_eq_attr', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+  UNION ALL
+  SELECT 'nex_eq_key', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_custkey = 2)
+  UNION ALL
+  SELECT 'nex_gt_key', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_custkey > 100)
+  UNION ALL
+  SELECT 'nex_lt_key', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+  FROM c WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_custkey < 100)
+) v
+ORDER BY tag
+"""
+
+
+@register(
+    "regress_exists_battery",
+    oracle=_EXISTS_BATTERY_SQL,
+    doc="issue971: EXISTS/NOT EXISTS with extra inner predicates of each "
+    "comparison class; complements must partition the outer table",
+)
+def regress_exists_battery(spark, sf_dir):
+    return run_sql(spark, _EXISTS_BATTERY_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue422: GROUP BY over non-integer key types — double, float32
+# (engine-rounded), expression keys (q + 0.0), and text — plus the
+# file's implicit-comma-join MIN(score+0.0) with a pushed filter.
+# Group keys themselves never reach the output (float32 keys would be
+# hash-hostile); each variant reduces to (group count, max group size,
+# integer checksum).  The MIN arm multiplies by 100 and rounds, so the
+# 2-decimal money values compare integer-exact.
+_GROUPBY_TYPES_SQL = """
+WITH src AS (SELECT * FROM lineitem WHERE l_orderkey <= 2000)
+SELECT tag, n_groups, max_cnt, chk FROM (
+  SELECT 'by_int' AS tag, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(MAX(c) AS BIGINT) AS max_cnt, CAST(SUM(c) AS BIGINT) AS chk
+  FROM (SELECT COUNT(*) AS c FROM src GROUP BY l_linenumber) g
+  UNION ALL
+  SELECT 'by_double', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+         CAST(SUM(c) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM src
+        GROUP BY CAST(l_quantity AS DOUBLE)) g
+  UNION ALL
+  SELECT 'by_float32', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+         CAST(SUM(c) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM src
+        GROUP BY CAST(l_quantity + 0.05 AS FLOAT)) g
+  UNION ALL
+  SELECT 'by_expr', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+         CAST(SUM(c) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM src
+        GROUP BY l_quantity + 0.0) g
+  UNION ALL
+  SELECT 'by_text', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+         CAST(SUM(c) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM src GROUP BY l_returnflag) g
+  UNION ALL
+  SELECT 'min_join', CAST(COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT),
+         CAST(ROUND(SUM(m) * 100) AS BIGINT)
+  FROM (SELECT o_custkey, COUNT(*) AS n, MIN(o_totalprice + 0.0) AS m
+        FROM orders, customer
+        WHERE o_custkey = c_custkey AND o_orderkey <= 2000
+        GROUP BY o_custkey) g
+) v
+ORDER BY tag
+"""
+
+
+@register(
+    "regress_groupby_type_keys",
+    oracle=_GROUPBY_TYPES_SQL,
+    doc="issue422: GROUP BY double/float32/expr/text keys + implicit-join "
+    "MIN(x+0.0)",
+)
+def regress_groupby_type_keys(spark, sf_dir):
+    return run_sql(spark, _GROUPBY_TYPES_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue790: latest-row-per-group via a MAX(id) derived table INNER
+# JOINed onto a LEFT JOIN chain — the pre-window-function idiom for
+# "current balance = the newest statement row".  The INNER join on the
+# per-group maximum must cancel the LEFT join's null-extension for
+# groups that have rows, and drop row-less groups entirely.  Newest
+# order per customer stands in for newest statement per account.
+_LATEST_PER_GROUP_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       o.o_totalprice AS balance, o.o_orderdate AS asof
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+INNER JOIN (SELECT MAX(o_orderkey) AS ok
+            FROM orders
+            WHERE o_orderstatus IN ('F', 'O')
+            GROUP BY o_custkey) last
+  ON o.o_orderkey = last.ok
+WHERE c.c_custkey <= 300
+ORDER BY custkey
+"""
+
+
+@register(
+    "regress_latest_per_group_join",
+    oracle=_LATEST_PER_GROUP_SQL,
+    doc="issue790: newest-row-per-group via MAX(id) derived-table join over "
+    "a LEFT JOIN chain",
+)
+def regress_latest_per_group_join(spark, sf_dir):
+    return run_sql(spark, _LATEST_PER_GROUP_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# issue515 / issue981: boolean-valued timestamp comparisons projected
+# THROUGH a derived table — `val NOT BETWEEN a AND b` and `val >=
+# const` selected as columns (MySQL renders 0/1 ints) from
+# `(SELECT * FROM t) AS A`.  The reference evaluated the re-aliased
+# timestamp against the string literals wrongly once wrapped in the
+# derived table.  Booleans are CAST to INT in the shared text.
+_TS_BOOL_DERIVED_SQL = """
+SELECT id,
+       CAST(val NOT BETWEEN DATE '1996-01-01' AND DATE '1997-06-30'
+            AS INT) AS not_between_flag,
+       CAST(val >= DATE '1996-01-01' AS INT) AS ge_flag,
+       CAST(val BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
+            AS INT) AS between_flag
+FROM (SELECT o_orderkey AS id, o_orderdate AS val FROM orders) A
+WHERE id <= 400
+ORDER BY id
+"""
+
+
+@register(
+    "regress_ts_not_between_derived",
+    oracle=_TS_BOOL_DERIVED_SQL,
+    doc="issue515/981: NOT BETWEEN / >= on a timestamp re-aliased through a "
+    "derived table, selected as 0/1 flags",
+)
+def regress_ts_not_between_derived(spark, sf_dir):
+    return run_sql(spark, _TS_BOOL_DERIVED_SQL, sf_dir)

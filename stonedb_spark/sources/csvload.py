@@ -154,6 +154,8 @@ def load_data_infile(
     set_exprs: dict[str, object] | None = None,
     quote: str = '"',
     line_sep: str | None = None,
+    doubled_quotes: bool = False,
+    multiline: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The full LOAD DATA INFILE option surface over one file
     (issue1000.test: IGNORE n LINES + (col_list) + SET col = expr;
@@ -175,6 +177,18 @@ def load_data_infile(
       the loaded value).
     * ``quote`` -- ENCLOSED BY; pass "" for the no-quoting variant
       (mapped to an unused control character, Spark's off switch).
+    * ``doubled_quotes`` -- issue1263.test: an enclosure character
+      INSIDE an enclosed field is escaped by doubling (`""` -> literal
+      `"`), MySQL's ENCLOSED BY escape.  Maps to escape == quote
+      (RFC-4180 doubling).  An ODD run of quotes mis-terminates the
+      field and the remainder of the record cannot fill the column
+      list -- the reference raises error 1261; here the row lands in
+      the rejects frame (strict callers assert it empty).
+    * ``multiline`` -- enclosed fields may contain raw line
+      terminators (issue1263-2.txt embeds newlines mid-field); the
+      file is then parsed whole-record rather than line-split.  Not
+      combinable with skip_lines (the physical-line indexer would
+      split records).
 
     Returns (good, rejects) like read_csv_with_rejects.
     """
@@ -183,6 +197,10 @@ def load_data_infile(
     if skip_lines > 0 and line_sep is not None:
         raise NotImplementedError(
             "skip_lines with a custom LINES TERMINATED BY is not supported"
+        )
+    if skip_lines > 0 and multiline:
+        raise NotImplementedError(
+            "skip_lines with multiline enclosed fields is not supported"
         )
     if skip_lines > 0:
         reader_src = (
@@ -210,6 +228,10 @@ def load_data_infile(
         .option("sep", sep)
         .option("quote", quote if quote else "\u0000")
     )
+    if doubled_quotes and quote:
+        reader = reader.option("escape", quote)
+    if multiline:
+        reader = reader.option("multiLine", True)
     if line_sep is not None:
         reader = reader.option("lineSep", line_sep)
     df = reader.csv(reader_src).cache()

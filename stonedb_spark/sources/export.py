@@ -20,16 +20,23 @@ def export_csv(
     header: bool = True,
     null_value: str = "\\N",
     single_file: bool = False,
+    quote_all: bool = False,
 ) -> None:
+    """``null_value`` defaults to MySQL's \\N outfile marker (the
+    reference's @TIANMU_LOAD_NULL, issue1169.test); ``quote_all``
+    mirrors FIELDS ENCLOSED BY '"' (every field wrapped, embedded
+    quotes doubled — the exact format issue1169/issue790 LOAD back)."""
     out = df.coalesce(1) if single_file else df
-    (
+    writer = (
         out.write.mode("overwrite")
         .option("sep", sep)
         .option("header", str(header).lower())
         .option("nullValue", null_value)
         .option("emptyValue", "")
-        .csv(path)
     )
+    if quote_all:
+        writer = writer.option("quoteAll", True).option("escape", '"')
+    writer.csv(path)
 
 
 def ctas_parquet(

@@ -1073,3 +1073,176 @@ def test_cdc_drives_weighted_agg_ivm(spark, sf_dir):
     }
     got = {r["event_type"]: (r["n"], r["total"]) for r in state.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_load_doubled_quotes_multiline_and_odd_quote_reject(spark, tmp_path):
+    """issue1263.test distilled: ENCLOSED BY '"' fields escape an
+    embedded enclosure by DOUBLING it (`""` -> `"`), and enclosed
+    fields may span physical lines (issue1263-2.txt embeds newlines
+    mid-message).  An ODD quote run (issue1263-3.txt) mis-terminates
+    the field so the record cannot fill the column list — the
+    reference aborts with error 1261; here the parse leaves evidence
+    in the rejects frame, which a strict load checks and aborts on."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stonedb_spark.sources.csvload import load_data_infile
+
+    sch = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("msg", StringType()),
+            StructField("flag", StringType()),
+        ]
+    )
+
+    # even (doubled) quotes + embedded newline: both rows parse clean
+    f_even = tmp_path / "issue1263-2.txt"
+    f_even.write_text(
+        '"1","error at ""HOST.SVC"", line 49\n tail","Y"\n'
+        '"2","plain","N"\n'
+    )
+    good, bad = load_data_infile(
+        spark, str(f_even), sch, doubled_quotes=True, multiline=True
+    )
+    rows = {r["id"]: r for r in good.collect()}
+    assert bad.count() == 0
+    assert rows[1]["msg"] == 'error at "HOST.SVC", line 49\n tail'
+    assert rows[1]["flag"] == "Y" and rows[2]["msg"] == "plain"
+
+    # odd (tripled) quotes: the field never closes where MySQL expects;
+    # the continuation line cannot fill the column list -> rejects
+    # non-empty is the strict-mode abort signal (error 1261 analog).
+    f_odd = tmp_path / "issue1263-3.txt"
+    f_odd.write_text(
+        '"1","error at """HOST.SVC""", line 49\n tail","Y"\n'
+        '"2","plain","N"\n'
+    )
+    good2, bad2 = load_data_infile(
+        spark, str(f_odd), sch, doubled_quotes=True, multiline=True
+    )
+    assert bad2.count() > 0  # strict LOAD would raise here (1261)
+    # the clean record after the damage still parses
+    assert any(r["id"] == 2 and r["msg"] == "plain" for r in good2.collect())
+
+
+def test_outfile_enclosed_null_marker_roundtrip(spark, tmp_path):
+    """issue1169.test distilled: SELECT ... INTO OUTFILE with FIELDS
+    ENCLOSED BY '"' writes every field wrapped (embedded quotes
+    doubled) and NULL as the unquoted \\N marker (@TIANMU_LOAD_NULL);
+    LOAD DATA back over the same options restores values AND nulls."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stonedb_spark.sources.csvload import load_data_infile
+    from stonedb_spark.sources.export import export_csv
+
+    sch = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 'say "hi"', None),
+            (2, "plain", "ok"),
+            (3, None, 'multi "x" note'),
+        ],
+        sch,
+    )
+    out = tmp_path / "outfile"
+    export_csv(src, str(out), header=False, quote_all=True)
+    raw = "".join(
+        p.read_text() for p in sorted(out.glob("*.csv"))
+    )
+    assert '"say ""hi"""' in raw  # doubling, not backslash-escaping
+    assert "\\N" in raw  # NULL marker, unquoted
+
+    good, bad = load_data_infile(
+        spark,
+        str(out) + "/*.csv",
+        sch,
+        doubled_quotes=True,
+        set_exprs={},
+    )
+    # \N arrives as the literal string; MySQL's NULLIF-style SET
+    # restores SQL NULL — apply it to the nullable string columns.
+    good = good.select(
+        "id",
+        *[
+            F.when(F.col(c) == "\\N", None).otherwise(F.col(c)).alias(c)
+            for c in ("name", "note")
+        ],
+    )
+    assert bad.count() == 0
+    got = {r["id"]: (r["name"], r["note"]) for r in good.collect()}
+    assert got == {
+        1: ('say "hi"', None),
+        2: ("plain", "ok"),
+        3: (None, 'multi "x" note'),
+    }
+
+
+def test_strict_bigint_sentinel_range(spark):
+    """issue1361.test: the reference reserves -2^63 and -2^63+1 as its
+    NULL/minus-inf encodings (common_definitions.h:128-137), so a
+    strict INSERT of those values aborts with error 1264 even though
+    they fit two's-complement int64; -9223372036854775806 is the
+    smallest accepted BIGINT.  issue1363/1369/1362: large in-range
+    values (including a 0xFFFFFFFFFFFFFF hex literal) load fine."""
+    import pytest as _pytest
+
+    from stonedb_spark.functions.mysql import tianmu_int_check
+
+    ok = spark.createDataFrame(
+        [
+            (-9223372036854775806,),
+            (9223372036854775806,),
+            (1234,),
+            (97716021308405775,),
+            (0xFFFFFFFFFFFFFF,),
+        ],
+        "q1 long",
+    )
+    assert tianmu_int_check(ok, "q1", "bigint") is ok
+
+    for v in (-9223372036854775807, -9223372036854775808):
+        bad = spark.createDataFrame([(v,), (5,)], "q1 long")
+        with _pytest.raises(ValueError, match="1264"):
+            tianmu_int_check(bad, "q1", "bigint")
+
+
+def test_self_doubling_insert_select(spark, tmp_path):
+    """issue1079_366.test distilled: INSERT INTO t SELECT f(t) FROM t
+    repeatedly doubles the table, and every subsequent statement must
+    read its own prior writes (10 -> 20 -> 40 -> 80 rows with distinct
+    shifted keys).  Append-mode parquet writes + fresh reads model the
+    reference's delta-store read-your-writes ingest."""
+    tbl = str(tmp_path / "t")
+    base = spark.range(1, 11).select(
+        F.col("id").alias("fi"),
+        F.concat(F.lit("VAR-"), F.col("id")).alias("v"),
+    )
+    base.write.parquet(tbl)
+    shift = 10
+    for expect in (20, 40, 80):
+        cur = spark.read.parquet(tbl)
+        nxt = cur.select(
+            (F.col("fi") + shift).alias("fi"),
+            F.concat(F.lit("VAR-"), F.col("fi") + shift).alias("v"),
+        )
+        nxt.write.mode("append").parquet(tbl)
+        got = spark.read.parquet(tbl)
+        assert got.count() == expect
+        assert got.select("fi").distinct().count() == expect
+        shift *= 2
