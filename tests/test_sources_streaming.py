@@ -1246,3 +1246,39 @@ def test_self_doubling_insert_select(spark, tmp_path):
         assert got.count() == expect
         assert got.select("fi").distinct().count() == expect
         shift *= 2
+
+
+def test_staged_transaction_commit_rollback_visibility(spark, tmp_path):
+    """issues_tx417.test / issue1510.test: a committed INSERT is
+    visible, a rolled-back one is not, and in-flight (pre-commit) rows
+    are invisible to concurrent readers.  Staged files live under a
+    _staging_<txid> dir that parquet listings skip, so isolation needs
+    no reader coordination."""
+    import pytest as _pytest
+
+    from stonedb_spark.sources.txn import StagedTransaction
+
+    tbl = str(tmp_path / "t")
+    spark.createDataFrame([(1, "jack1")], "id long, name string").write.parquet(tbl)
+
+    # BEGIN; INSERT; (not yet committed) -> invisible
+    txn = StagedTransaction(tbl)
+    txn.write(spark.createDataFrame([(2, "tom")], "id long, name string"))
+    assert {r["id"] for r in spark.read.parquet(tbl).collect()} == {1}
+
+    # COMMIT -> visible
+    assert txn.commit() > 0
+    assert {r["id"] for r in spark.read.parquet(tbl).collect()} == {1, 2}
+
+    # BEGIN; INSERT; ROLLBACK -> still invisible, nothing on disk
+    txn2 = StagedTransaction(tbl)
+    txn2.write(spark.createDataFrame([(3, "jerry")], "id long, name string"))
+    txn2.rollback()
+    assert {r["id"] for r in spark.read.parquet(tbl).collect()} == {1, 2}
+    assert not any(p.startswith("_staging") for p in __import__("os").listdir(tbl))
+
+    # closed transactions refuse further work
+    with _pytest.raises(RuntimeError):
+        txn.write(spark.createDataFrame([(9, "x")], "id long, name string"))
+    with _pytest.raises(RuntimeError):
+        txn2.commit()
