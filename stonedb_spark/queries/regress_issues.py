@@ -1848,3 +1848,49 @@ ORDER BY id
 )
 def regress_ts_not_between_derived(spark, sf_dir):
     return run_sql(spark, _TS_BOOL_DERIVED_SQL, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# LATERAL derived tables (beyond the reference — MySQL 5.7 has none;
+# MySQL 8.0.14 added them): the correlated-subquery-in-FROM surface.
+# Three shapes on one shared text: top-2-per-group via LATERAL ORDER
+# BY..LIMIT (the canonical use), a LATERAL correlated aggregate, and
+# LEFT JOIN LATERAL preserving match-less outer rows.  Spark 4 and
+# DuckDB both parse the identical text.  Catalyst compiles the
+# per-group LIMIT to WindowGroupLimit (partial map-side top-k before
+# any exchange) + BroadcastHashJoin — never a nested-loop join, and
+# the full table is cut to <= k rows/group BEFORE the shuffle.
+_LATERAL_SQL = """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 150)
+SELECT v.tag, v.custkey, v.a, v.b FROM (
+  SELECT 'top2' AS tag, c.c_custkey AS custkey,
+         t.o_orderkey AS a, CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS b
+  FROM c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+  UNION ALL
+  SELECT 'agg', c.c_custkey, s.n, s.chk
+  FROM c, LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(o_orderkey) AS BIGINT) AS chk
+                   FROM orders o WHERE o.o_custkey = c.c_custkey) s
+  WHERE s.n > 0
+  UNION ALL
+  SELECT 'left', c.c_custkey, t.o_orderkey,
+         CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+  FROM c LEFT JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 400000
+                            ORDER BY o_totalprice DESC LIMIT 1) t ON TRUE
+) v
+ORDER BY tag, custkey, a
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL derived tables (beyond the reference): per-group top-k "
+    "LIMIT, correlated aggregate, LEFT JOIN LATERAL null-preservation",
+)
+def sql_lateral_topk(spark, sf_dir):
+    return run_sql(spark, _LATERAL_SQL, sf_dir)

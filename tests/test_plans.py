@@ -224,6 +224,7 @@ def test_salted_join_no_bnlj_and_spreads_keys(spark, sf_dir):
 # pair baseline whose scale path is the LSH variant (dedup_embedding_cos).
 _BNLJ_ALLOWED = {
     "dedup_embedding_cos",
+    "regress_chained_on_joins",  # issue887's bare INNER JOIN = deliberate CROSS of 3 nation slices (<=25 rows each)
     "emb_hard_negatives",  # bounded anchor-batch broadcast (non-equi by design)
     "join_cross_dims",
     "pipeline_domain_mix",  # 1-row broadcast of the min-tokens scalar
