@@ -2000,3 +2000,39 @@ def events_session_window_native(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact ordered-set aggregates (beyond the reference — MySQL 5.7 has no
+# PERCENTILE_CONT; users emulate it with variables): PERCENTILE_CONT
+# (linear interpolation), PERCENTILE_DISC, MEDIAN spelled as cont(0.5).
+# Shared text: Spark 4 and DuckDB both take the standard WITHIN GROUP
+# syntax, and both interpolate (1-f)*lo + f*hi over exact 2-decimal
+# doubles — identical expression, bit-deterministic IEEE, no ROUND
+# needed.  Scale note: Spark computes these as a sort-based aggregate
+# per group (no global sort), and the grouped shape keeps each group's
+# sort local to its aggregation buffer.
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_percentile_battery",
+    oracle=_PERCENTILE_SQL,
+    doc="PERCENTILE_CONT/DISC + median (WITHIN GROUP) — beyond the "
+    "reference's 5.7 surface; exact, group-local sort",
+)
+def agg_percentile_battery(spark, sf_dir):
+    from stonedb_spark.catalog import sql as run_sql
+
+    return run_sql(spark, _PERCENTILE_SQL, sf_dir)
