@@ -32,8 +32,17 @@ def _rewrite(df: DataFrame, path: str) -> None:
     (Delta) makes this a log commit — on plain parquet the staging dir +
     directory swap provides the same never-in-place discipline.
     """
+    import glob
+    import os
+
     staging = path.rstrip("/") + ".__staging__"
     df.write.mode("overwrite").parquet(staging)
+    # Catalog sidecars (_CONSTRAINTS.json, _PK.json, _TRIGGERS.json, …)
+    # live inside the table dir; carry them across the swap — a rewrite
+    # changes data, not catalog metadata.  (On Delta/Iceberg this is
+    # moot: constraints live in the table log, not loose files.)
+    for meta in glob.glob(os.path.join(path, "_*.json")):
+        shutil.copy2(meta, os.path.join(staging, os.path.basename(meta)))
     shutil.rmtree(path)
     shutil.move(staging, path)
 

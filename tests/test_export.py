@@ -343,6 +343,7 @@ def test_ddl_alter_battery(spark, sf_dir, tmp_path):
     from stonedb_spark.sources.ddl import (
         add_column,
         add_primary_key,
+        drop_column,
         get_primary_key,
         modify_column_type,
         rename_column,
@@ -423,6 +424,16 @@ def test_ddl_alter_battery(spark, sf_dir, tmp_path):
         add_primary_key(spark, path, ["flag2"])  # constant column: dup
     add_primary_key(spark, path, ["row_key"])
     assert get_primary_key(path) == ["row_key"]
+
+    # Catalog sidecars must survive a data rewrite: ALTER ADD COLUMN
+    # goes through the copy-on-write swap, and the PK/NOT NULL metadata
+    # written above has to still be there afterwards.
+    set_nullability(spark, path, "flag2", nullable=False)
+    add_column(spark, path, "post_pk_col", "int")
+    assert get_primary_key(path) == ["row_key"]
+    assert not read_table(spark, path).schema["flag2"].nullable
+    drop_column(spark, path, "post_pk_col")
+    set_nullability(spark, path, "flag2", nullable=True)
 
     # row count survived every ALTER
     assert spark.read.parquet(path).count() == n0
