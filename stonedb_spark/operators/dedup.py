@@ -497,51 +497,82 @@ def contamination_report(
     )
 
 
-def incremental_lsh_dedup(
-    corpus: DataFrame,
+class CorpusLSHIndex:
+    """The build-once artifact for incremental dedup: the corpus's
+    banded MinHash keys plus its shingle rows, both persisted and
+    materialized so every subsequent batch probe is join-only work.
+    In a deployment both frames are tables partitioned by band_key /
+    bucketed by doc_id; here they persist MEMORY_AND_DISK."""
+
+    def __init__(self, bands: DataFrame, shingles: DataFrame, k: int):
+        self.bands = bands  # (band, band_key, corpus_id)
+        self.shingles = shingles  # (doc_id, shingle)
+        self.k = k
+
+    def unpersist(self) -> None:
+        self.bands.unpersist()
+        self.shingles.unpersist()
+
+
+def build_lsh_index(
+    corpus: DataFrame, text_col: str = "text", k: int = 3
+) -> CorpusLSHIndex:
+    """Build the corpus LSH index ONCE (signatures → band keys, plus
+    the shingle rows the Jaccard verifier needs).  Cost is one pass
+    over the corpus; every later probe touches only (batch × matched
+    candidates) of it via equi-/semi-joins."""
+    bands = (
+        band_keys(minhash_signatures(corpus, text_col, k))
+        .select("band", "band_key", F.col("doc_id").alias("corpus_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    shingles = _shingle_rows(corpus, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands.count()
+    shingles.count()
+    return CorpusLSHIndex(bands, shingles, k)
+
+
+def probe_lsh_index(
+    index: CorpusLSHIndex,
     batch: DataFrame,
     text_col: str = "text",
-    k: int = 3,
     threshold: float = 0.5,
+    scoped_frames: list | None = None,
 ) -> DataFrame:
-    """Dedupe an INCREMENTAL batch against an existing corpus — the
-    production shape: the corpus LSH index (minhash band keys) is built
-    once (in a deployment: persisted as a table, partitioned by
-    band_key), and each new batch probes it with an equi-join, so probe
-    cost scales with the BATCH, never the corpus.  Candidates verify
-    with exact Jaccard bounded by the candidate count (same discipline
-    as minhash_lsh_pairs).
+    """Verdict a batch against a prebuilt corpus index.  All work is
+    batch-sized: batch signatures/shingles are computed fresh; the
+    corpus side is only touched through the persisted index frames
+    (band-key equi-join, then candidate-bounded semi-join on shingles).
 
-    Returns one row per batch doc: (batch_id, is_dup, best_match,
-    best_jaccard) — is_dup=1 iff some corpus doc clears ``threshold``;
-    best_match/best_jaccard identify the strongest collision (NULL for
-    clean docs).  Requires doc_ids disjoint across the two frames.
+    ``scoped_frames``: when given, every batch-scoped persisted frame
+    is appended so the caller (e.g. a streaming fold) can unpersist
+    them once the verdicts are consumed.
     """
-    sig_c = minhash_signatures(corpus, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    k = index.k
     sig_b = minhash_signatures(batch, text_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
-    bk_c = band_keys(sig_c).select(
-        "band", "band_key", F.col("doc_id").alias("corpus_id")
     )
     bk_b = band_keys(sig_b).select(
         "band", "band_key", F.col("doc_id").alias("batch_id")
     )
     cand = (
-        bk_b.join(bk_c, ["band", "band_key"])
+        bk_b.join(index.bands, ["band", "band_key"])
         .select("batch_id", "corpus_id")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand_ids = (
-        cand.select(F.col("batch_id").alias("doc_id"))
-        .union(cand.select(F.col("corpus_id").alias("doc_id")))
-        .distinct()
-    )
-    sh = _shingle_rows(corpus.unionByName(batch), text_col, k).join(
-        F.broadcast(cand_ids), "doc_id", "left_semi"
+    if scoped_frames is not None:
+        scoped_frames.extend([sig_b, cand])
+    cand_corpus = cand.select(F.col("corpus_id").alias("doc_id")).distinct()
+    cand_batch = cand.select(F.col("batch_id").alias("doc_id")).distinct()
+    sh = index.shingles.join(
+        F.broadcast(cand_corpus), "doc_id", "left_semi"
+    ).unionByName(
+        _shingle_rows(batch, text_col, k).join(
+            F.broadcast(cand_batch), "doc_id", "left_semi"
+        )
     )
     ver = _jaccard_from_shingles(sh, threshold)
     # candidate pairs ordered (d1 < d2) to meet the verifier's contract
@@ -578,3 +609,33 @@ def incremental_lsh_dedup(
             "best_jaccard",
         )
     )
+
+
+def incremental_lsh_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    index: CorpusLSHIndex | None = None,
+) -> DataFrame:
+    """Dedupe an INCREMENTAL batch against an existing corpus — the
+    production shape: the corpus LSH index (minhash band keys) is built
+    once (in a deployment: persisted as a table, partitioned by
+    band_key), and each new batch probes it with an equi-join, so probe
+    cost scales with the BATCH, never the corpus.  Candidates verify
+    with exact Jaccard bounded by the candidate count (same discipline
+    as minhash_lsh_pairs).
+
+    Pass a prebuilt ``index`` (build_lsh_index) when verdicting many
+    batches against the same frozen corpus — e.g. the streaming fold in
+    streaming/dedup.py — so the corpus-sized work runs exactly once.
+
+    Returns one row per batch doc: (batch_id, is_dup, best_match,
+    best_jaccard) — is_dup=1 iff some corpus doc clears ``threshold``;
+    best_match/best_jaccard identify the strongest collision (NULL for
+    clean docs).  Requires doc_ids disjoint across the two frames.
+    """
+    if index is None:
+        index = build_lsh_index(corpus, text_col, k)
+    return probe_lsh_index(index, batch, text_col, threshold)

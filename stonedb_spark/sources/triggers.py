@@ -117,10 +117,47 @@ def drop_trigger(path: str, name: str) -> None:
     _save(path, kept)
 
 
+def _check_lookup_unique(
+    spark: SparkSession, rows: DataFrame, trig: dict
+) -> None:
+    """MySQL's correlated scalar subquery raises error 1242 ('Subquery
+    returns more than 1 row') when the lookup matches more than one row
+    for some outer row.  A bare LEFT JOIN would silently FAN OUT the
+    batch instead — so before joining, verify no batch row matches a
+    duplicated lookup key.  Cost: one groupBy over the (small,
+    broadcast-sized) lookup table + a limit-1 probe join."""
+    import re
+
+    on = trig["lookup"]["on"]
+    ref = spark.read.parquet(trig["lookup"]["table"])
+    ref_keys = sorted(set(re.findall(r"\bref\.(\w+)", on)))
+    if not ref_keys:
+        return
+    dup_keys = (
+        ref.groupBy(*ref_keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(*ref_keys)
+    )
+    hit = (
+        rows.alias("new")
+        .join(broadcast(dup_keys.alias("ref")), F.expr(on), "inner")
+        .limit(1)
+        .count()
+    )
+    if hit:
+        raise ValueError(
+            f"trigger {trig['name']}: lookup matches more than one row "
+            "for some batch row (MySQL error 1242 analog: 'Subquery "
+            "returns more than 1 row')"
+        )
+
+
 def _with_lookup(spark: SparkSession, rows: DataFrame, trig: dict) -> DataFrame:
     """Alias the batch as ``new`` and LEFT-JOIN the lookup as ``ref``."""
     out = rows.alias("new")
     if trig.get("lookup"):
+        _check_lookup_unique(spark, rows, trig)
         ref = spark.read.parquet(trig["lookup"]["table"]).alias("ref")
         out = out.join(broadcast(ref), F.expr(trig["lookup"]["on"]), "left")
     return out
@@ -129,20 +166,51 @@ def _with_lookup(spark: SparkSession, rows: DataFrame, trig: dict) -> DataFrame:
 def _apply_before(
     spark: SparkSession, path: str, rows: DataFrame, event: str
 ) -> DataFrame:
-    """Run every BEFORE-<event> trigger's SET list over the batch."""
+    """Run every BEFORE-<event> trigger's SET list over the batch.
+
+    MySQL applies a trigger's SET list LEFT-TO-RIGHT: a later
+    assignment sees the values written by earlier ones (``SET new.a =
+    1, new.b = new.a`` gives b=1, not b=old a).  We reproduce that by
+    carrying the NEW row as a struct column literally named ``new``
+    (so ``new.<col>`` in the expressions resolves to its fields) and
+    applying one ``withField`` per assignment in dict order — each
+    rewrite is visible to all subsequent expressions, exactly the
+    row-at-a-time semantics, still as one whole-batch Catalyst plan.
+    """
     cols = rows.columns
+    # UPDATE callers carry the pre-image as an ``old`` struct column;
+    # it stays top-level so SET expressions can reference old.<col>.
+    data_cols = [c for c in cols if c != "old"]
+    has_old = "old" in cols
     for trig in list_triggers(path):
         if trig["timing"] != "BEFORE" or trig["event"] != event or not trig["set"]:
             continue
         joined = _with_lookup(spark, rows, trig)
-        assigned = [
-            F.expr(sql).cast(rows.schema[col].dataType).alias(col)
-            if col in cols
-            else F.expr(sql).alias(col)
-            for col, sql in trig["set"].items()
-        ]
-        keep = [F.col(f"new.{c}").alias(c) for c in cols if c not in trig["set"]]
-        rows = joined.select(*keep, *assigned).select(*cols)
+        extra = []
+        if has_old:
+            extra.append(F.col("new.old").alias("old"))
+        if trig.get("lookup"):
+            ref_cols = spark.read.parquet(trig["lookup"]["table"]).columns
+            extra.append(
+                F.struct(
+                    *[F.col(f"ref.{c}").alias(c) for c in ref_cols]
+                ).alias("ref")
+            )
+        work = joined.select(
+            F.struct(
+                *[F.col(f"new.{c}").alias(c) for c in data_cols]
+            ).alias("new"),
+            *extra,
+        )
+        for col, sql in trig["set"].items():
+            val = F.expr(sql)
+            if col in data_cols:
+                val = val.cast(rows.schema[col].dataType)
+            work = work.withColumn("new", F.col("new").withField(col, val))
+        rows = work.select(
+            *[F.col(f"new.{c}").alias(c) for c in data_cols],
+            *(["old"] if has_old else []),
+        )
     return rows
 
 

@@ -33,22 +33,15 @@ def dedup_stream(
     )
 
 
-def build_corpus_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """Build (and persist) the corpus MinHash band-key index once —
-    the artifact a production pipeline stores as a table partitioned by
-    band_key.  Streamed batches probe it by equi-join."""
-    from pyspark import StorageLevel
-    from pyspark.sql import functions as F
+def build_corpus_index(corpus: DataFrame, text_col: str = "text"):
+    """Build (and persist) the corpus MinHash LSH index once — band
+    keys plus the shingle rows the Jaccard verifier needs; the artifact
+    a production pipeline stores as a table partitioned by band_key.
+    Streamed batches probe it by equi-join.  Returns a
+    ``CorpusLSHIndex`` (see operators/dedup.build_lsh_index)."""
+    from stonedb_spark.operators.dedup import build_lsh_index
 
-    from stonedb_spark.operators.dedup import band_keys, minhash_signatures
-
-    idx = (
-        band_keys(minhash_signatures(corpus, text_col))
-        .select("band", "band_key", F.col("doc_id").alias("corpus_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    idx.count()  # materialize before the stream starts
-    return idx
+    return build_lsh_index(corpus, text_col)
 
 
 def run_incremental_dedup_stream(
@@ -65,23 +58,35 @@ def run_incremental_dedup_stream(
     (availableNow) and verdict each against the EXISTING corpus via the
     prebuilt LSH index — the nightly-crawl shape.  Each micro-batch
     runs the same probe + bounded Jaccard verify as the batch operator
-    (operators/dedup.incremental_lsh_dedup), so stream output ==
-    batch output under ANY chunking of the input files (no cross-batch
+    (operators/dedup.probe_lsh_index), so stream output == batch
+    output under ANY chunking of the input files (no cross-batch
     state: every verdict depends only on the batch row and the frozen
     corpus, which is what makes the stage embarrassingly restartable).
+
+    The corpus LSH index (signatures → band keys, plus shingle rows)
+    is built and persisted ONCE before the stream starts; each
+    micro-batch only pays batch-sized probe work, and its own
+    persisted intermediates are unpersisted at the end of the fold —
+    the 'index built once, probe cost scales with the batch' contract.
 
     Results append to ``out_path`` (batch_id, is_dup, best_match,
     best_jaccard).
     """
-    from stonedb_spark.operators.dedup import incremental_lsh_dedup
+    from stonedb_spark.operators.dedup import probe_lsh_index
+
+    index = build_corpus_index(corpus, text_col)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        verdicts = incremental_lsh_dedup(
-            corpus, batch, text_col=text_col, threshold=threshold
+        scoped: list = []
+        verdicts = probe_lsh_index(
+            index, batch, text_col=text_col, threshold=threshold,
+            scoped_frames=scoped,
         )
         verdicts.write.mode("append").parquet(out_path)
+        for frame in scoped:
+            frame.unpersist()
 
     q = (
         spark.readStream.schema(schema)
@@ -92,3 +97,4 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+    index.unpersist()

@@ -226,6 +226,13 @@ def weighted_deltas_from_cdc(
     from pyspark.sql.functions import broadcast, col, lit
 
     cols = [c for c in base.columns if c != "_w"]
+    # The caller may pass UNCONSOLIDATED weighted state (multiple
+    # physical rows per key — the representation the append-only views
+    # maintain).  Joining the raw frame would stamp a -1 on EVERY
+    # physical row and over-retract, so net the state to one logical
+    # row per payload first; a plain snapshot (no _w) passes through.
+    if "_w" in base.columns:
+        base = consolidate(base)
     retract_keys = changes.filter(
         col("_change").isin("delete", "update")
     ).select(col(key).alias("_rk"))
