@@ -30,6 +30,7 @@ _REGISTRY: dict[str, Query] = {}
 # Modules that register queries on import.
 _MODULES = (
     "stonedb_spark.queries.tpch",
+    "stonedb_spark.queries.dialect",
     "stonedb_spark.queries.relational",
     "stonedb_spark.queries.funcs",
     "stonedb_spark.queries.pipeline",
