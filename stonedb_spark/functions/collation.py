@@ -68,21 +68,35 @@ def collated(col: Column | str, mysql_collation: str) -> Column:
 def collation_key(col: Column | str, mysql_collation: str = "utf8mb4_general_ci") -> Column:
     """Engine-portable normalization key.
 
-    PAD SPACE first (every MySQL 5.7 collation pads CHAR comparisons),
-    then for _ci collations fold accents (general_ci weight table ≈
-    base letter) and case.  _bin keys only rtrim."""
+    Collation classes (MySQL 5.7 semantics):
+    * ``binary`` (the BINARY/VARBINARY *type*) — NO PAD, byte compare:
+      the raw string is its own key.
+    * ``*_bin`` collations — PAD SPACE, case/accent sensitive: rtrim.
+    * ``latin1_general_ci`` — PAD SPACE + case fold, accents DISTINCT
+      (latin1 weights keep á ≠ a): rtrim + lower.
+    * utf8/utf8mb4 ``*_general_ci`` — PAD SPACE + case fold + accent
+      fold to the base letter: rtrim + translate + lower.
+    """
     c = F.col(col) if isinstance(col, str) else col
+    if mysql_collation == "binary":
+        return c
     c = F.rtrim(c)
     if mysql_collation.endswith("_bin"):
         return c
+    if mysql_collation.startswith("latin1"):
+        return F.lower(c)
     return F.lower(F.translate(c, ACCENT_SRC, ACCENT_DST))
 
 
 def collation_key_sql(expr: str, mysql_collation: str = "utf8mb4_general_ci") -> str:
     """The identical key as ANSI SQL text (for DuckDB oracles)."""
+    if mysql_collation == "binary":
+        return expr
     out = f"RTRIM({expr})"
     if mysql_collation.endswith("_bin"):
         return out
+    if mysql_collation.startswith("latin1"):
+        return f"LOWER({out})"
     return f"LOWER(TRANSLATE({out}, '{ACCENT_SRC}', '{ACCENT_DST}'))"
 
 

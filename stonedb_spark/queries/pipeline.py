@@ -4456,6 +4456,50 @@ def pipeline_ivm_agg_retract(spark, sf_dir):
     ).orderBy("event_type")
 
 
+# MIN/MAX IVM: not invertible, so deletes at a group's extremum mark
+# the group dirty and trigger a per-group rescan of the base (semi-join
+# bounded by the dirty-key set) — streaming/matview.fold_minmax_agg.
+# The %3 deletes hit many per-group extrema, so both the clean fold and
+# the rescan path execute; the oracle is the direct recomputation over
+# the surviving rows.
+@register(
+    "pipeline_ivm_minmax",
+    oracle="""
+SELECT event_type,
+       MIN(value) AS mn,
+       MAX(value) AS mx,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_id <= 3000 AND event_id % 3 <> 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="MIN/MAX IVM with delete-extremum rescan trigger: inserts fold "
+    "monotonically, deletes of a group's min/max repair via bounded rescan",
+)
+def pipeline_ivm_minmax(spark, sf_dir):
+    from stonedb_spark.streaming.matview import fold_minmax_agg
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_id") <= 3000)
+        .select("event_id", "event_type", "value")
+    )
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    dead = ev.filter(F.col("event_id") % 3 == 0)
+    live = ev.filter(F.col("event_id") % 3 != 0)
+    steps = [  # (delta batch, post-batch live base rows)
+        (evens.withColumn("_w", F.lit(1)), evens),
+        (odds.withColumn("_w", F.lit(1)), ev),
+        (dead.withColumn("_w", F.lit(-1)), live),
+    ]
+    state = None
+    for batch, base in steps:
+        state = fold_minmax_agg(state, batch, base)
+    return state.orderBy("event_type")
+
+
 # LEFT-join view over the maintained pieces: the oracle is the direct
 # LEFT JOIN of the net states (right side = even custkeys minus the
 # retracted %6 ones), the Spark side reads it from inner-view +

@@ -181,6 +181,112 @@ def pred_collation_battery(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Per-column charset/collation MATRIX (different_charsets_b.test's
+# remaining shapes, mysql-test/suite/tianmu/t/different_charsets_b.test):
+# the same string data compared/ grouped/ordered under FOUR collation
+# classes side by side — latin1_general_ci (case fold, accents
+# DISTINCT), utf8mb4_general_ci (case + accent fold), utf8mb4_bin
+# (PAD SPACE only), and the BINARY type (NO PAD, raw bytes).  Five
+# deterministic spellings per nation name (original, lower, initcap,
+# trailing-pad, accented-lower) make every class produce a different
+# group count / equality-pair count / sort extreme, pinning the weight
+# tables apart.  One narrow frame + one aggregate per class — map-side
+# key computation, single shuffle each; the self-join pair count is
+# keyed on the collation key (equi-join, no cross product).
+def _charset_matrix_oracle() -> str:
+    from stonedb_spark.functions.collation import collation_key_sql as K
+
+    colls = [
+        ("latin1_general_ci", "latin1_general_ci"),
+        ("utf8mb4_general_ci", "utf8mb4_general_ci"),
+        ("utf8mb4_bin", "utf8mb4_bin"),
+        ("binary", "binary"),
+    ]
+    variants = """
+  SELECT n_nationkey, n_name AS s FROM nation
+  UNION ALL SELECT n_nationkey, LOWER(n_name) FROM nation
+  UNION ALL SELECT n_nationkey, UPPER(SUBSTRING(n_name,1,1)) || LOWER(SUBSTRING(n_name,2)) FROM nation
+  UNION ALL SELECT n_nationkey, n_name || '  ' FROM nation
+  UNION ALL SELECT n_nationkey, TRANSLATE(LOWER(n_name), 'ae', 'áé') FROM nation
+"""
+    legs = []
+    for label, coll in colls:
+        k = K("s", coll)
+        legs.append(f"""
+SELECT '{label}' AS coll,
+       CAST(COUNT(DISTINCT {k}) AS BIGINT) AS n_groups,
+       CAST((SELECT COUNT(*) FROM v a JOIN v b ON {K('a.s', coll)} = {K('b.s', coll)}) AS BIGINT) AS eq_pairs,
+       MIN({k}) AS first_key,
+       MAX({k}) AS last_key
+FROM v""")
+    return (
+        f"WITH v AS ({variants})\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY coll"
+    )
+
+
+@register(
+    "pred_charset_matrix",
+    oracle=_charset_matrix_oracle(),
+    doc="latin1/utf8mb4/_bin/BINARY collation matrix: GROUP BY, equality "
+    "pairs, ORDER BY extremes per class (different_charsets_b.test)",
+)
+def pred_charset_matrix(spark, sf_dir):
+    from stonedb_spark.functions import collation as C
+
+    n = load_tables(spark, sf_dir)["nation"].select("n_nationkey", "n_name")
+    v = (
+        n.select("n_nationkey", F.col("n_name").alias("s"))
+        .unionAll(n.select("n_nationkey", F.lower("n_name").alias("s")))
+        .unionAll(
+            n.select(
+                "n_nationkey",
+                F.concat(
+                    F.upper(F.substring("n_name", 1, 1)),
+                    F.lower(F.expr("SUBSTRING(n_name, 2)")),
+                ).alias("s"),
+            )
+        )
+        .unionAll(
+            n.select("n_nationkey", F.concat("n_name", F.lit("  ")).alias("s"))
+        )
+        .unionAll(
+            n.select(
+                "n_nationkey",
+                F.translate(F.lower("n_name"), "ae", "áé").alias("s"),
+            )
+        )
+    )
+    legs = []
+    for coll in (
+        "latin1_general_ci",
+        "utf8mb4_general_ci",
+        "utf8mb4_bin",
+        "binary",
+    ):
+        keyed = v.select(C.collation_key("s", coll).alias("k"))
+        pairs = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), F.col("a.k") == F.col("b.k"))
+            .count()
+        )
+        legs.append(
+            keyed.agg(
+                F.lit(coll).alias("coll"),
+                F.countDistinct("k").alias("n_groups"),
+                F.lit(pairs).cast("long").alias("eq_pairs"),
+                F.min("k").alias("first_key"),
+                F.max("k").alias("last_key"),
+            ).select("coll", "n_groups", "eq_pairs", "first_key", "last_key")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("coll")
+
+
+# --------------------------------------------------------------------------
 # Collation-aware GROUP BY / COUNT DISTINCT (different_charsets GROUP BY
 # leg): grouping case/pad-mangled segment names under the _ci key
 # collapses the variants; n_variants counts the raw spellings that fell

@@ -186,28 +186,32 @@ def load_data_infile(
       the rejects frame (strict callers assert it empty).
     * ``multiline`` -- enclosed fields may contain raw line
       terminators (issue1263-2.txt embeds newlines mid-field); the
-      file is then parsed whole-record rather than line-split.  Not
-      combinable with skip_lines (the physical-line indexer would
-      split records).
+      file is then parsed whole-record rather than line-split.  With
+      skip_lines, IGNORE n skips the first n parsed RECORDS (the
+      quote-aware reading of "line" — a physical-line skip would cut
+      an enclosed field in half).
 
     Returns (good, rejects) like read_csv_with_rejects.
     """
     from pyspark.sql import Column
 
-    if skip_lines > 0 and line_sep is not None:
-        raise NotImplementedError(
-            "skip_lines with a custom LINES TERMINATED BY is not supported"
-        )
-    if skip_lines > 0 and multiline:
-        raise NotImplementedError(
-            "skip_lines with multiline enclosed fields is not supported"
-        )
-    if skip_lines > 0:
+    # skip_lines combos (T/loader/parsing_strategy.h:28,36 semantics):
+    # * with a custom LINES TERMINATED BY, "line" means a LINE_SEP-
+    #   terminated record: spark.read.text honors lineSep, so the
+    #   pre-skip indexes the same record stream the reference's parser
+    #   walks; records are then handed to the CSV parser pre-split.
+    # * with multiline enclosed fields, physical-line skipping would
+    #   split records mid-field, so the skip happens AFTER the quote-
+    #   aware whole-record parse (see below) — IGNORE n skips the
+    #   first n parsed records, which is what the header-skip idiom
+    #   means when headers are themselves well-formed records.
+    pre_split = skip_lines > 0 and not multiline
+    if pre_split:
         reader_src = (
-            spark.sparkContext.textFile(path)
-            .zipWithIndex()
+            spark.read.text(path, lineSep=line_sep)
+            .rdd.zipWithIndex()
             .filter(lambda t: t[1] >= skip_lines)
-            .map(lambda t: t[0])
+            .map(lambda t: t[0][0])
         )
     else:
         reader_src = path
@@ -232,9 +236,20 @@ def load_data_infile(
         reader = reader.option("escape", quote)
     if multiline:
         reader = reader.option("multiLine", True)
-    if line_sep is not None:
+    if line_sep is not None and not pre_split:
+        # pre-split records no longer contain the terminator
         reader = reader.option("lineSep", line_sep)
-    df = reader.csv(reader_src).cache()
+    df = reader.csv(reader_src)
+    if skip_lines > 0 and multiline:
+        # multiLine forces a whole-file parse (one task per file), so
+        # monotonically_increasing_id IS the record index within the
+        # file; drop the first n records quote-aware.
+        df = (
+            df.withColumn("_recno", F.monotonically_increasing_id())
+            .filter(F.col("_recno") >= skip_lines)
+            .drop("_recno")
+        )
+    df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")

@@ -119,3 +119,108 @@ def fold_weighted_agg(
     part = _partial_weighted(batch)
     merged = part if state is None else _combine(state, part)
     return merged.filter(F.col("n") != 0)
+
+
+def fold_minmax_agg(
+    state: DataFrame | None,
+    batch: DataFrame,
+    base: DataFrame,
+    key: str = "event_type",
+    val: str = "value",
+) -> DataFrame:
+    """One IVM step for the (min, max, count) view under signed deltas
+    — with the delete-extremum RESCAN trigger that count/sum don't
+    need.  MIN/MAX are only semigroup aggregates (no inverse): inserts
+    fold monotonically (least/greatest), but deleting a value at or
+    beyond a group's current extremum may or may not change it
+    (duplicates!), so such groups are marked DIRTY and recomputed from
+    ``base`` — the caller's post-batch base relation (one row per live
+    physical row, e.g. ``ivm_join.consolidate`` of its weighted state).
+
+    Scale shape: the rescan is a LEFT SEMI join of base against the
+    (small) dirty-key set followed by a per-group aggregate — cost is
+    the dirty groups' row count, not the base size; with the base
+    key-partitioned (as any maintained state would be at 100 TB) the
+    semi join bucket-prunes.  Clean groups never touch the base.
+    State columns: (key, mn, mx, n); groups with net n == 0 drop out.
+
+    Reference analog: the engine repairs aggregates by re-running the
+    query after MergeDeltaTable folds deletes into the columnar base
+    (storage/tianmu/core/tianmu_table.cpp:1598) — i.e. a full rescan;
+    here only dirty groups pay.
+    """
+    spark = batch.sparkSession
+    ins = (
+        batch.filter(F.col("_w") > 0)
+        .groupBy(key)
+        .agg(
+            F.min(val).alias("i_mn"),
+            F.max(val).alias("i_mx"),
+            F.sum("_w").cast("long").alias("i_n"),
+        )
+    )
+    dels = (
+        batch.filter(F.col("_w") < 0)
+        .groupBy(key)
+        .agg(
+            F.min(val).alias("d_mn"),
+            F.max(val).alias("d_mx"),
+            F.sum("_w").cast("long").alias("d_n"),
+        )
+    )
+    if state is None:
+        state = spark.createDataFrame(
+            [],
+            batch.select(
+                F.col(key),
+                F.col(val).alias("mn"),
+                F.col(val).alias("mx"),
+                F.lit(0).cast("long").alias("n"),
+            ).schema,
+        )
+    merged = (
+        state.join(ins, key, "full_outer")
+        .join(dels, key, "full_outer")
+        .select(
+            key,
+            # least/greatest skip NULLs, so a brand-new group takes the
+            # batch extremes and an untouched group keeps its own
+            F.least("mn", "i_mn").alias("mn_c"),
+            F.greatest("mx", "i_mx").alias("mx_c"),
+            (
+                F.coalesce("n", F.lit(0))
+                + F.coalesce("i_n", F.lit(0))
+                + F.coalesce("d_n", F.lit(0))
+            ).cast("long").alias("n_new"),
+            # compare against the CANDIDATE extremes so a same-batch
+            # insert+delete on a brand-new group triggers the rescan too
+            (
+                (
+                    F.col("d_mn").isNotNull()
+                    & (F.col("d_mn") <= F.least("mn", "i_mn"))
+                )
+                | (
+                    F.col("d_mx").isNotNull()
+                    & (F.col("d_mx") >= F.greatest("mx", "i_mx"))
+                )
+            ).alias("dirty"),
+        )
+        .filter(F.col("n_new") > 0)
+    )
+    clean = merged.filter(~F.coalesce("dirty", F.lit(False))).select(
+        key,
+        F.col("mn_c").alias("mn"),
+        F.col("mx_c").alias("mx"),
+        F.col("n_new").alias("n"),
+    )
+    dirty_keys = merged.filter(F.coalesce("dirty", F.lit(False))).select(
+        key, "n_new"
+    )
+    rescan = (
+        base.join(dirty_keys.select(key), key, "left_semi")
+        .groupBy(key)
+        .agg(F.min(val).alias("mn"), F.max(val).alias("mx"))
+        .join(dirty_keys, key)
+        .select(key, "mn", "mx", F.col("n_new").alias("n"))
+    )
+    return clean.unionByName(rescan)

@@ -122,3 +122,20 @@ def test_varchar_cast_counts_characters_not_bytes(spark):
     got = [r["t"] for r in df.select(C.varchar_cast("s", 4).alias("t")).collect()]
     assert sorted(x for x in got if x is not None) == sorted(["abcd", "中文测试", "naïv"])
     assert None in got
+
+
+def test_charset_matrix_classes_diverge(spark, sf_dir):
+    """The four collation classes must produce strictly tightening
+    group counts over the variant set: utf8_ci folds the most (case +
+    accents + pad), latin1_ci keeps accents distinct, _bin keeps case,
+    BINARY keeps trailing pads too."""
+    from stonedb_spark.queries import all_queries
+
+    rows = {
+        r["coll"]: r.asDict()
+        for r in all_queries()["pred_charset_matrix"].build(spark, sf_dir).collect()
+    }
+    n = {k: v["n_groups"] for k, v in rows.items()}
+    assert n["utf8mb4_general_ci"] < n["latin1_general_ci"] < n["utf8mb4_bin"] < n["binary"]
+    # PAD SPACE: bin folds the trailing-pad spelling, BINARY does not
+    assert rows["binary"]["eq_pairs"] < rows["utf8mb4_bin"]["eq_pairs"]

