@@ -621,8 +621,12 @@ def tpch_q11(spark, sf_dir):
     # the one-scan window alternative would sort #parts rows (SF×200k —
     # the grouped frame itself) into a single partition, which is the
     # worse trade at scale; the re-executed pipeline is scan-bound and
-    # scale-safe.  A deployment running this repeatedly would CACHE the
-    # value_per_part CTE, turning both consumers into memory scans.
+    # scale-safe.  A deployment running this repeatedly CACHES the
+    # value_per_part CTE (SPARK_GRAFT_CACHE_REUSED_AGGS=1), turning
+    # both consumers into memory scans of |parts| rows — measured r7:
+    # sf1 1.21 s → see BENCHMARKS.md round-7 note for the knob's win.
+    import os as _os
+
     t = load_tables(spark, sf_dir)
     l, s, n, r = t["lineitem"], t["supplier"], t["nation"], t["region"]  # noqa: E741
     eur_supp = s.join(
@@ -634,6 +638,10 @@ def tpch_q11(spark, sf_dir):
         .groupBy(l["l_partkey"].alias("p_partkey"))
         .agg(F.sum(_rev(l)).alias("val"))
     )
+    if _os.environ.get("SPARK_GRAFT_CACHE_REUSED_AGGS", "0") == "1":
+        from pyspark import StorageLevel
+
+        vpp = vpp.persist(StorageLevel.MEMORY_AND_DISK)
     total = vpp.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
     return (
         vpp.crossJoin(B(total))

@@ -628,3 +628,39 @@ def test_chunk_windows_is_map_only(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan[:2000]  # ...and nothing else
     pushed = " ".join(pushed_filters(df))
     assert "doc_id" in pushed, pushed
+
+
+def test_q5_plan_shape(spark, sf_dir):
+    """q5 gate (round-7, VERDICT item 9): all five dimension joins
+    broadcast (no sort-merge), ONE lineitem scan, exchange budget 2
+    (partial+final agg), and the region filter + order-date range
+    pushed to the scans.  At 100 TB the only shuffle is the final
+    groupBy(n_name) — lineitem is never re-partitioned for a join."""
+    from stonedb_spark.plans.inspect import formatted_plan, pushed_filters
+
+    df = _build(spark, sf_dir, "tpch_q5")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("lineitem.parquet") == 1, plan[:1500]
+    assert plan.count("+- Exchange") <= 2, plan[:1500]
+    pushed = " ".join(pushed_filters(df))
+    assert "EqualTo(r_name" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_q10_plan_shape(spark, sf_dir):
+    """q10 gate: broadcast-only joins, ONE lineitem scan with the
+    l_returnflag = 'R' predicate pushed, top-k via
+    TakeOrderedAndProject (never a global sort), one exchange for the
+    customer-grain aggregate."""
+    from stonedb_spark.plans.inspect import formatted_plan, pushed_filters
+
+    df = _build(spark, sf_dir, "tpch_q10")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("lineitem.parquet") == 1, plan[:1500]
+    assert plan.count("+- Exchange") <= 1, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    pushed = " ".join(pushed_filters(df))
+    assert "EqualTo(l_returnflag" in pushed
+    assert "LessThan(o_orderdate" in pushed
