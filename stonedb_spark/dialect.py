@@ -577,8 +577,42 @@ def _duck_order_nulls(sql: str) -> str:
     return "".join(out)
 
 
+def _replace_outside_strings(sql: str, pairs: list[tuple[str, str]]) -> str:
+    """Literal token replacement that never touches string literals."""
+    out, i, in_str = [], 0, None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        for old, new in pairs:
+            if sql.startswith(old, i):
+                out.append(new)
+                i += len(old)
+                break
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_logical_ops(sql: str) -> str:
+    """MySQL's default sql_mode reads ``||`` as OR and ``&&`` as AND
+    (PIPES_AS_CONCAT off); both engines read ``||`` as concat."""
+    return _replace_outside_strings(sql, [("||", " OR "), ("&&", " AND ")])
+
+
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
+    sql = _rewrite_logical_ops(sql)
     if engine == "duck":
         # backtick identifiers → double quotes
         sql = re.sub(r"`([^`]+)`", r'"\1"', sql)
@@ -643,6 +677,7 @@ class MTRRun:
     workdir: str
     tables: dict[str, TableDef] = field(default_factory=dict)
     selects: list[DataFrame] = field(default_factory=list)
+    vars: dict[str, str] = field(default_factory=dict)  # @name -> literal
     # DROP + re-CREATE of the same table name must get a FRESH storage
     # location — an external parquet table resurrects old files
     # otherwise.  Counter makes each incarnation's path unique.
@@ -827,10 +862,47 @@ def _parse_assignments(text: str) -> dict[str, str]:
     return out
 
 
+_SET_USERVAR = re.compile(r"^\s*SET\s+@(\w+)\s*:?=\s*(.+)$", re.I | re.S)
+
+
+def _py_to_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _subst_uservars(sql: str, vars: dict[str, str]) -> str:
+    """Replace ``@name`` references (never ``@@system_vars``) with the
+    variable's literal value, longest name first."""
+    if not vars:
+        return sql
+    pairs = [
+        (f"@{name}", f"({lit})")
+        for name, lit in sorted(vars.items(), key=lambda kv: -len(kv[0]))
+    ]
+    # guard @@: temporarily hide system-var refs
+    sql = sql.replace("@@", "\x01\x01")
+    sql = _replace_outside_strings(sql, pairs)
+    return sql.replace("\x01\x01", "@@")
+
+
 def run_statement(run: MTRRun, stmt: str):
     """Execute one MySQL statement on Spark.  Returns a DataFrame for
     SELECT, else None."""
-    s = stmt.strip()
+    s = _subst_uservars(stmt.strip(), run.vars)
+    vm = _SET_USERVAR.match(s)
+    if vm:
+        # SET @v = expr: evaluate the (constant) expression now and
+        # bind the literal — MySQL user-variable scalar semantics
+        val = run.spark.sql(
+            f"SELECT ({rewrite_expr(vm.group(2).strip(), 'spark')}) AS v"
+        ).collect()[0][0]
+        run.vars[vm.group(1)] = _py_to_literal(val)
+        return None
     if _IGNORED.match(s):
         return None
     if re.match(r"^\s*DROP\s+(TABLE|VIEW)\b", s, re.I):
@@ -1134,10 +1206,20 @@ def build_oracle_sql(
     target = designated if designated >= 0 else n_selects + designated
     seen = 0
     final_sql = None
+    uservars: dict[str, str] = {}
     for st in stmts:
         if st.expect_error:
             continue
-        s = st.text.strip()
+        s = _subst_uservars(st.text.strip(), uservars)
+        vm = _SET_USERVAR.match(s)
+        if vm:
+            import duckdb as _duckdb
+
+            val = _duckdb.connect().execute(
+                f"SELECT ({rewrite_expr(vm.group(2).strip(), 'duck')}) AS v"
+            ).fetchone()[0]
+            uservars[vm.group(1)] = _py_to_literal(val)
+            continue
         if _IGNORED.match(s) or re.match(r"^\s*DROP\s+VIEW\b", s, re.I):
             continue
         if re.match(r"^\s*DROP\s+TABLE\b", s, re.I):

@@ -35,6 +35,7 @@ SOURCES = {
     'dialect_date_arith': ('date_formats_func.test', [(49, 54), (58, 65)]),
     'dialect_delete_agg': ('delete_all_rows.test', [(15, 33), (58, 73)]),
     'dialect_div': ('div_func.test', [(1, 35)]),
+    'dialect_expr_vars': ('select_expressions.test', [(15, 31), (34, 47)]),
     'dialect_group_concat': ('group_concat.test', [(1, 28)]),
     'dialect_having': ('having.test', [(1, 32)]),
     'dialect_in_subquery': ('in_subquery.test', [(1, 80)]),
@@ -932,6 +933,40 @@ select * from ttt where c2='2023' and 1=1;
 DROP DATABASE where_conditions_test;
 """
 
+SCRIPT_EXPR_VARS = """\
+CREATE TABLE t1(t1_int INT, t1_char CHAR(5))ENGINE=tianmu;
+INSERT INTO t1 VALUES(1,'aaa'),(2,'aaa'),(3,'bbb'),(4,'ccc'),(5,'ddd');
+
+SELECT (t1_int+1),(t1_int-1),(t1_int*2),(t1_int/10.3) FROM t1;
+SELECT * FROM t1 WHERE t1_int <= 1 OR t1_char='aaa';
+SELECT * FROM t1 WHERE t1_int <= 1 || t1_char='aaa';
+SELECT * FROM t1 WHERE t1_int > 1 AND t1_char LIKE '%a%'; 
+SELECT * FROM t1 WHERE t1_int > 1 && t1_char='aaa';
+
+#bug:#796
+#SELECT * FROM t1 WHERE t1_int NOT LIKE 1;
+
+SELECT * FROM t1 WHERE t1_int != 1;
+SELECT * FROM t1 WHERE t1_int BETWEEN 1 AND 5;
+SELECT * FROM t1 WHERE t1_int NOT BETWEEN 2 AND 5;
+SELECT * FROM t1 WHERE t1_int NOT IN (SELECT t1_int FROM t1 WHERE t1_int=1); 
+SELECT * FROM t1 WHERE t1_char IN (SELECT t1_char FROM t1 WHERE t1_char='aaa');
+SET @a=25;
+SET @b=25;
+SELECT @a+@b;
+SELECT @a-@b;
+SELECT @a/@b;
+SELECT @a*@b;
+SELECT @a>@b;
+SELECT @a>=@b;
+SELECT @a=@b;
+SELECT @a!=@b;
+SELECT @a<@b;
+SELECT @a<=@b;
+SELECT (@a*@b)/POW(@b,0.5);
+SELECT (POW(@a,2)-@a)/@b;
+"""
+
 _SPECS = [
     ('dialect_aliases', SCRIPT_ALIASES, -1, ['col1', 'text1', 'date2'], False, "string-literal aliases (AS 'x', implicit 'x'), self/cross joins, RIGHT JOIN"),
     ('dialect_between_and', SCRIPT_BETWEEN_AND, 5, ['v'], False, 'BETWEEN over CHAR/INT/DATETIME/DOUBLE incl. scalar forms'),
@@ -939,6 +974,8 @@ _SPECS = [
     ('dialect_date_arith', SCRIPT_DATE_ARITH, -1, None, False, 'DATE_SUB(x, INTERVAL n unit): day/hour units, invalid and NULL dates'),
     ('dialect_delete_agg', SCRIPT_DELETE_AGG, 2, ['m'], False, '17-type table: typed INSERT, aggregates, repeated full DELETE'),
     ('dialect_div', SCRIPT_DIV, 1, ['t1_int', 'q'], False, 'DIV integer division over INT/DECIMAL incl. DIV 0 -> NULL'),
+    ('dialect_expr_vars', SCRIPT_EXPR_VARS, -1, ['v'], False,
+     'user variables (SET @a), ||/&& logical ops, arithmetic/POW over @vars'),
     ('dialect_group_concat', SCRIPT_GROUP_CONCAT, 3, ['id', 'gc'], False, 'GROUP_CONCAT with SEPARATOR / ORDER BY / DISTINCT, backtick idents'),
     ('dialect_having', SCRIPT_HAVING, -3, None, True, 'HAVING on select alias; HAVING over JOIN aggregates'),
     ('dialect_in_subquery', SCRIPT_IN_SUBQUERY, 5, None, False, 'IN/NOT IN subqueries: correlated, nested, GROUP BY/HAVING inside'),
