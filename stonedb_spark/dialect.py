@@ -57,10 +57,34 @@ class Statement:
     expect_error: bool = False
 
 
+def _strip_block_comments(script: str) -> str:
+    out, i, in_str = [], 0, None
+    while i < len(script):
+        ch = script[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+        elif ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+        elif script.startswith("/*", i):
+            end = script.find("*/", i + 2)
+            i = len(script) if end < 0 else end + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def split_mtr(script: str) -> list[Statement]:
     """Split an MTR script into SQL statements, dropping test-runner
-    directives (`--…` lines, `#` comment lines) and tracking
-    ``--error`` expectations for the following statement."""
+    directives (`--…` lines, `#` comment lines, `/* … */` block
+    comments) and tracking ``--error`` expectations for the following
+    statement."""
+    script = _strip_block_comments(script)
     stmts: list[Statement] = []
     buf: list[str] = []
     expect_error = False
@@ -383,6 +407,8 @@ _ALIAS_STOPWORDS = {
     "LIKE", "RLIKE", "REGEXP", "IN", "BETWEEN", "AND", "OR", "NOT", "IS",
     "THEN", "ELSE", "WHEN", "ESCAPE", "SEPARATOR", "XOR", "BY", "VALUES",
     "WHERE", "HAVING", "ON", "SET", "RETURN", "CONTAINS", "DEFAULT",
+    # a string right after these is a literal SELECT item, not an alias
+    "SELECT", "DISTINCT", "ALL", "UNION", "EXCEPT", "INTERSECT",
 }
 
 
@@ -613,6 +639,9 @@ def _rewrite_logical_ops(sql: str) -> str:
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     sql = _rewrite_logical_ops(sql)
+    # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
+    # predicate form keeps both engines boolean-typed
+    sql = _wrap_calls(sql, "ISNULL", lambda inner: f"(({inner}) IS NULL)")
     if engine == "duck":
         # backtick identifiers → double quotes
         sql = re.sub(r"`([^`]+)`", r'"\1"', sql)
@@ -623,6 +652,18 @@ def rewrite_expr(sql: str, engine: str) -> str:
             r'"((?:[^"\\]|\\.)*)"',
             lambda m: "'" + m.group(1).replace("'", "''") + "'",
             sql,
+        )
+        # MySQL CONCAT propagates NULL; DuckDB's skips it.  Rewrite to
+        # a ||-chain over VARCHAR casts (|| propagates NULL in DuckDB).
+        # Runs AFTER the ||→OR pass, so generated || stays concat.
+        sql = _wrap_calls(
+            sql,
+            "CONCAT",
+            lambda inner: "("
+            + " || ".join(
+                f"CAST(({p}) AS VARCHAR)" for p in _split_top_commas(inner)
+            )
+            + ")",
         )
     sql = _rewrite_limit_comma(sql)
     sql = _rewrite_quoted_alias(sql, engine)
@@ -800,18 +841,23 @@ def _translate_upsert_rhs(expr: str, td: TableDef) -> str:
 
 
 def _values_select(td: TableDef, rows: list[list[str]], engine: str) -> str:
-    """Typed SELECT over an inline VALUES list, per engine."""
+    """Typed SELECT over an inline VALUES list, per engine.  Casts go
+    inside each tuple (see _duck_values_cte)."""
     if engine == "duck":
         return _duck_values_cte(
-            td, ["(" + ", ".join(_dquote_to_squote(v) for v in r) + ")" for r in rows]
+            td, [[_dquote_to_squote(v) for v in r] for r in rows]
         )
-    cols = ", ".join(
-        f"CAST(v{i} AS {c.spark_type}) AS `{c.name}`"
-        for i, c in enumerate(td.columns)
-    )
     vnames = ", ".join(f"v{i}" for i in range(len(td.columns)))
-    tuples = ", ".join("(" + ", ".join(r) + ")" for r in rows)
-    return f"SELECT {cols} FROM VALUES {tuples} AS _v({vnames})"
+    names = ", ".join(f"v{i} AS `{c.name}`" for i, c in enumerate(td.columns))
+    tuples = ", ".join(
+        "("
+        + ", ".join(
+            f"CAST(({v}) AS {c.spark_type})" for v, c in zip(r, td.columns)
+        )
+        + ")"
+        for r in rows
+    )
+    return f"SELECT {names} FROM VALUES {tuples} AS _v({vnames})"
 
 
 def _upsert_select(
@@ -1120,22 +1166,28 @@ def _retarget_relations(sql: str, mapping: dict[str, tuple[str, str]]) -> str:
     return pat.sub(rep, sql)
 
 
-def _duck_values_cte(td: TableDef, rows: list[str]) -> str:
-    cols = ", ".join(
-        f'CAST(v{i} AS {c.duck_type}) AS "{c.name}"'
-        for i, c in enumerate(td.columns)
-    )
+def _duck_values_cte(td: TableDef, rows: list[list[str]]) -> str:
+    """Typed VALUES relation.  The casts sit INSIDE each tuple: DuckDB
+    (and Spark) type-unify a VALUES column across rows BEFORE any
+    outer projection, so mixed int/string literals in one column
+    (`insert into t values (1,1000,1000),(4,2002,'a')`) would fault
+    without per-value casts."""
     vnames = ", ".join(f"v{i}" for i in range(len(td.columns)))
+    names = ", ".join(f'v{i} AS "{c.name}"' for i, c in enumerate(td.columns))
     if not rows:
         nulls = ", ".join(
             f'CAST(NULL AS {c.duck_type}) AS "{c.name}"' for c in td.columns
         )
         return f"SELECT {nulls} WHERE FALSE"
-    return (
-        f"SELECT {cols} FROM (VALUES "
-        + ", ".join(rows)
-        + f") AS _v({vnames})"
+    tuples = ", ".join(
+        "("
+        + ", ".join(
+            f"CAST(({v}) AS {c.duck_type})" for v, c in zip(row, td.columns)
+        )
+        + ")"
+        for row in rows
     )
+    return f"SELECT {names} FROM (VALUES {tuples}) AS _v({vnames})"
 
 
 def build_oracle_sql(
@@ -1155,7 +1207,7 @@ def build_oracle_sql(
     versions: dict[str, int] = {}
     incarn: dict[str, int] = {}  # DROP+re-CREATE gets fresh CTE names
     ctes: list[tuple[str, str]] = []
-    pending_rows: dict[str, list[str]] = {}
+    pending_rows: dict[str, list[list[str]]] = {}
 
     def vname(t: str) -> str:
         return f"{t}__c{incarn[t]}v{versions[t]}"
@@ -1268,8 +1320,7 @@ def build_oracle_sql(
             if re.search(r"\bVALUES?\s*\(", s, re.I):
                 _td, rows = _parse_insert_values(tables, s)
                 pending_rows.setdefault(t, []).extend(
-                    "(" + ", ".join(_dquote_to_squote(v) for v in row) + ")"
-                    for row in rows
+                    [_dquote_to_squote(v) for v in row] for row in rows
                 )
             else:
                 sel = re.sub(

@@ -29,6 +29,16 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_avg_distinct': ('avg_function.test', [(1, 24)]),
+    'dialect_case_function': ('case_function.test', [(14, 15), (22, 23)]),
+    'dialect_concat_null': ('concat.test', [(1, 21)]),
+    'dialect_inner_join': ('inner_join.test', [(1, 70)]),
+    'dialect_like_columns': ('like_not_like.test', [(1, 25)]),
+    'dialect_multi_join': ('multi_join.test', [(1, 35)]),
+    'dialect_null_funcs': ('null_functions.test', [(16, 17), (20, 21), (23, 27), (30, 33), (35, 35), (39, 41)]),
+    'dialect_semi_join': ('semi-join.test', [(1, 45)]),
+    'dialect_sum_distinct': ('sum_function.test', [(1, 24)]),
+    'dialect_union_decimal': ('union_case.test', [(1, 34)]),
     'dialect_aliases': ('aliases.test', [(1, 54)]),
     'dialect_between_and': ('between_and.test', [(1, 37)]),
     'dialect_case_groupby': ('case_when.test', [(36, 52)]),
@@ -967,7 +977,346 @@ SELECT (@a*@b)/POW(@b,0.5);
 SELECT (POW(@a,2)-@a)/@b;
 """
 
+SCRIPT_AVG_DISTINCT = """\
+--echo #
+--echo # Test AVG as distributed aggregate function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs188_db;
+--enable_warnings
+
+CREATE DATABASE mcs188_db;
+USE mcs188_db;
+
+CREATE TABLE t1 (a INT, b CHAR(5))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(1, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, 'ddd'),(7, 'eee');
+
+SELECT AVG(DISTINCT a) FROM t1;
+SELECT AVG(DISTINCT a) FROM t1 GROUP BY b HAVING b = 'aaa';
+SELECT b, AVG(DISTINCT a) FROM t1 GROUP BY b ORDER BY b DESC;
+SELECT AVG(a) FROM t1;
+
+# Clean UP
+DROP DATABASE mcs188_db;
+"""
+
+SCRIPT_CASE_FUNCTION = """\
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE)engine=tianmu;
+INSERT INTO t1 VALUES ('', NULL, '1990-01-01', NULL),('a', 12, '1212-12-12', 1.19691E+100),('b', 13, '1313-3-13 13:13:13', 2.1961E+18),('c', 14, '1414-4-14', 0.16191),('d', 15, '2015-5-15 15:15:15', 1.971917);
+SELECT (CASE WHEN a = 'a' THEN 0 ELSE 1 END) FROM t1;
+SELECT (CASE WHEN 10 > 5 THEN 'True' ELSE 'False' END);
+"""
+
+SCRIPT_CONCAT_NULL = """\
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS concat_test;
+--enable_warnings
+
+CREATE DATABASE concat_test;
+
+USE concat_test;
+
+CREATE TABLE `test_case` (
+  `id` int(11) DEFAULT NULL,
+  `name` text
+) ENGINE=TIANMU;
+insert into test_case values(1,'test');
+insert into test_case (name) values('test2');
+insert into test_case values(3,'test3');
+select concat(id,name) from test_case;
+drop table test_case;
+
+DROP DATABASE concat_test;
+"""
+
+SCRIPT_INNER_JOIN = """\
+--source include/have_tianmu.inc
+
+--echo #
+--echo # Test of inner join
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS inner_join_test;
+--enable_warnings
+
+CREATE DATABASE inner_join_test;
+
+USE inner_join_test;
+
+/* simple circular inner join `=` operator */
+create table t1 (a int, b int);
+create table t2 (b int, c int);
+create table t3 (a int, c int);
+
+insert into t1 values (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7);
+insert into t2 values (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7);
+insert into t3 values (2, 4), (3, 5), (4, 6), (5, 10), (6, 12);
+
+select * from t1 inner join t2 on (t1.b = t2.b) inner join t3 on (t1.a = t3.a and t2.c = t3.c);
+
+drop table t1;
+drop table t2;
+drop table t3;
+
+/* simple circular inner join with `where` filter */
+create table t1 (a int, b int);
+create table t2 (b int, c int);
+create table t3 (a int, c int);
+
+insert into t1 values (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7);
+insert into t2 values (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7);
+insert into t3 values (2, 4), (3, 5), (4, 6), (5, 10), (6, 12);
+
+select * from t1 inner join t2 on (t1.b = t2.b) inner join t3 on (t1.a = t3.a) where t2.c = t3.c;
+
+drop table t1;
+drop table t2;
+drop table t3;
+
+/* circular inner join with filter */
+create table t1 (a int, b int, f int);
+create table t2 (b int, c int);
+create table t3 (a int, c int, f int);
+
+insert into t1 values (1, 2, 1), (2, 3, 2), (3, 4, 3), (4, 5, 4), (5, 6, 5), (6, 7, 6);
+insert into t2 values (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7);
+insert into t3 values (2, 4, 1), (3, 5, 2), (4, 6, 4), (5, 10, 5), (6, 12, 6);
+
+select * from t1 inner join t2 on (t1.b = t2.b) inner join t3 on (t1.a = t3.a and t2.c = t3.c) where t1.f > t3.f;
+
+drop table t1;
+drop table t2;
+drop table t3;
+
+/* circular `where` node inner join with filter */
+create table t1 (a int, b int, f int);
+create table t2 (b int, c int);
+create table t3 (a int, c int, f int);
+
+insert into t1 values (1, 2, 1), (2, 3, 2), (3, 4, 3), (4, 5, 4), (5, 6, 5), (6, 7, 6);
+insert into t2 values (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7);
+insert into t3 values (2, 4, 1), (3, 5, 2), (4, 6, 4), (5, 10, 5), (6, 12, 6);
+
+select * from t1 inner join t2 on (t1.b = t2.b) inner join t3 on (t1.a = t3.a) where t2.c = t3.c and t1.f > t3.f;
+
+"""
+
+SCRIPT_LIKE_COLUMNS = """\
+--source include/have_tianmu.inc
+
+--echo #
+--echo # This test tests the (NOT) LIKE test in filters that is added
+--echo # to a FilterCommand in primproc.
+--echo # This is a very rare situation, yet somehow I managed to trigger it.
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS like_not_like;
+--enable_warnings
+
+CREATE DATABASE like_not_like;
+USE like_not_like;
+
+CREATE TABLE tcs(d1 CHAR(6), d2 CHAR(6));
+
+INSERT INTO tcs(d1, d2) VALUES ('a','a'), ('a', 'b');
+
+SELECT 'stonedb like', d1, d2 FROM tcs WHERE (d1 LIKE d2);
+
+SELECT 'stonedb not like', d1, d2 FROM tcs WHERE (d1 NOT LIKE d2);
+
+# clean up
+DROP DATABASE like_not_like;
+"""
+
+SCRIPT_MULTI_JOIN = """\
+--source include/have_tianmu.inc
+
+--echo #
+--echo # right join/left join/inner join /full join
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS multi_join_test;
+--enable_warnings
+
+CREATE DATABASE multi_join_test;
+USE multi_join_test;
+
+drop table if exists all_datatype_table;
+create table all_datatype_table(id int not null,c_intger integer,c_char char(10));
+
+insert into all_datatype_table values(1,1000,1000);
+insert into all_datatype_table values(2,2000,1000);
+insert into all_datatype_table values(3,2001,null);
+insert into all_datatype_table values(4,2002,'a');
+
+select count(*) from all_datatype_table t1 right join all_datatype_table t2 on t1.id=t2.id
+inner join all_datatype_table t3 on t1.id=t3.id
+right join all_datatype_table t4 on t1.id=t4.id
+left join all_datatype_table t5 on t1.id=t5.id
+inner join all_datatype_table t6 on t1.id=t6.id
+left join all_datatype_table t7 on t1.id=t7.id
+right join all_datatype_table t8 on t1.id=t8.id
+right join all_datatype_table t10 on t1.id=t10.id
+right join all_datatype_table t11 on t1.id=t11.id
+right join all_datatype_table t13 on t1.id=t13.id
+right join all_datatype_table t15 on t1.id=t15.id
+right join all_datatype_table t16 on t1.id=t16.id;
+
+# Clean UP
+"""
+
+SCRIPT_NULL_FUNCS = """\
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE);
+INSERT INTO t1 VALUES ('', NULL, '1990-01-01', NULL),('a', 12, '1212-12-12', 1.19691E+100),('b', 13, '1313-3-13 13:13:13', 2.1961E+18),('c', 14, '1414-4-14', 0.16191),('d', 15, '2015-5-15 15:15:15', 1.971917);
+SELECT IFNULL(NULL, 'abc');
+SELECT IFNULL(NULL, 123);
+SELECT ISNULL(NULL);
+SELECT ISNULL(1);
+SELECT ISNULL('a');
+SELECT NULLIF(1, 1);
+SELECT NULLIF('abc', 'a');
+SELECT a, ISNULL(a) FROM t1;
+SELECT b, ISNULL(b) FROM t1;
+SELECT c, ISNULL(c) FROM t1;
+SELECT d, ISNULL(d) FROM t1;
+SELECT a, IFNULL(a, 'Null Char') FROM t1;
+SELECT a, NULLIF(a, 'c') FROM t1;
+SELECT b, NULLIF(b, 15) FROM t1;
+SELECT c, NULLIF(c, '2015-5-15') FROM t1;
+"""
+
+SCRIPT_SEMI_JOIN = """\
+--source include/have_tianmu.inc
+--disable_warnings
+DROP DATABASE IF EXISTS test_db1;
+--enable_warnings
+CREATE DATABASE test_db1;
+USE test_db1;
+
+CREATE TABLE t1 (t1_int INT, t1_char CHAR(5), PRIMARY KEY (t1_int)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (1, 'aaa'),(2, 'aaa'),(3, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, ''),(7, 'eee');
+INSERT INTO t2 VALUES (1, 'eee'),(3, 'ccc'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'eee'),(11, 'nnn');
+
+# in subquery
+SELECT t1_int FROM t1 WHERE t1_int IN (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int);
+
+# exists subquery
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int);
+
+# subquery and order by
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) ORDER BY t1_int;
+
+# subquery and group by
+SELECT t1_int, count(*) FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) GROUP BY t1_int;
+
+drop table t1,t2;
+
+# in/exists subquery without PRIMARY KEY
+CREATE TABLE t1 (t1_int INT, t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (1, 'aaa'),(2, 'aaa'),(3, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, ''),(7, 'eee');
+INSERT INTO t2 VALUES (1, 'eee'),(3, 'ccc'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'eee'),(11, 'nnn');
+
+# in subquery
+SELECT t1_int FROM t1 WHERE t1_int IN (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int);
+
+# exists subquery
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int);
+
+# subquery and order by
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) ORDER BY t1_int;
+
+# subquery and group by
+SELECT t1_int, count(*) FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) GROUP BY t1_int;
+
+drop table t1,t2;
+"""
+
+SCRIPT_SUM_DISTINCT = """\
+--echo #
+--echo # Test SUM as distributed aggregate function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs189_db;
+--enable_warnings
+
+CREATE DATABASE mcs189_db;
+USE mcs189_db;
+
+CREATE TABLE t1 (a INT, b CHAR(5))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(1, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, 'ddd'),(7, 'eee');
+
+SELECT SUM(DISTINCT a) FROM t1;
+SELECT SUM(DISTINCT a) FROM t1 GROUP BY b HAVING b = 'aaa';
+SELECT b, SUM(DISTINCT a) FROM t1 GROUP BY b ORDER BY b DESC;
+SELECT SUM(a) FROM t1;
+
+# Clean UP
+DROP DATABASE mcs189_db;
+"""
+
+SCRIPT_UNION_DECIMAL = """\
+--source include/have_tianmu.inc
+--echo # MCOL-641 Union Test Cases
+--echo # Once MCOL-5417 is supported, the errored out queries below should be fixed.
+
+--disable_warnings
+DROP DATABASE IF EXISTS union_case_test;
+--enable_warnings
+
+CREATE DATABASE union_case_test;
+USE union_case_test;
+
+SET SQL_MODE='ERROR_FOR_DIVISION_BY_ZERO,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+
+CREATE TABLE cs1 (d1 DECIMAL(17), d2 DECIMAL(17,10), d3 DECIMAL(17,17)) ;
+CREATE TABLE cs2 (d1 DECIMAL(17) UNSIGNED, d2 DECIMAL(17,10) UNSIGNED, d3 DECIMAL(17,17) UNSIGNED) ;
+
+INSERT INTO cs1 VALUES (125, 1.25, 0.125);
+INSERT INTO cs1 VALUES (-125, -1.25, -0.125);
+INSERT INTO cs1 values (9999999999999998, 9999999.9999999998, 0.9999999999999998);
+INSERT INTO cs1 values (99999999999999999, 9999999.9999999999, 0.99999999999999999);
+INSERT INTO cs1 values (-9999999999999998, -9999999.9999999998, -0.9999999999999998);
+INSERT INTO cs1 values (-99999999999999999, -9999999.9999999999, -0.99999999999999999);
+#bug1868 select * from  cs1;
+#bug1870 SELECT d1, d2, d3 FROM cs1 UNION SELECT d1, d2, d3 FROM cs1;
+
+CREATE TABLE cs3 (d1 int, d2 int, d3 int) ;
+INSERT INTO cs3 VALUES (12, 16, 56);
+INSERT INTO cs3 VALUES (7, 6, 45);
+INSERT INTO cs3 VALUES (0, 0, 0);
+SELECT d1, d1, d2 FROM cs3 UNION SELECT d2, d3, d3 FROM cs3;
+
+INSERT INTO cs2 VALUES (125, 1.25, 0.125);
+INSERT INTO cs2 values (9999999999999998, 9999999.9999999998, 0.9999999999999998);
+INSERT INTO cs2 values (99999999999999999, 9999999.9999999999, 0.99999999999999999);
+"""
+
 _SPECS = [
+    ('dialect_avg_distinct', SCRIPT_AVG_DISTINCT, 2, ['b', 'av'], False, 'AVG(DISTINCT) scalar / HAVING / grouped ORDER BY DESC'),
+    ('dialect_case_function', SCRIPT_CASE_FUNCTION, 0, ['v'], False, 'CASE WHEN over CHAR predicate and scalar constant CASE'),
+    ('dialect_concat_null', SCRIPT_CONCAT_NULL, -1, ['c'], False, 'CONCAT(int, text) with NULL propagation (MySQL semantics vs DuckDB skip)'),
+    ('dialect_inner_join', SCRIPT_INNER_JOIN, -1, ['a1', 'b1', 'f1', 'b2', 'c2', 'a3', 'c3', 'f3'], False, 'circular inner joins with ON trees and WHERE filters, /* */ comments'),
+    ('dialect_like_columns', SCRIPT_LIKE_COLUMNS, -1, ['lbl', 'd1', 'd2'], False, 'LIKE / NOT LIKE where the pattern is a COLUMN'),
+    ('dialect_multi_join', SCRIPT_MULTI_JOIN, -1, ['c'], False, '12-way self-join chain mixing right/left/inner joins'),
+    ('dialect_null_funcs', SCRIPT_NULL_FUNCS, 8, ['b', 'isn'], False, 'IFNULL / ISNULL / NULLIF scalars and per-column forms'),
+    ('dialect_semi_join', SCRIPT_SEMI_JOIN, -1, ['t1_int', 'n'], False, 'correlated IN/EXISTS semi-joins with and without PRIMARY KEY'),
+    ('dialect_sum_distinct', SCRIPT_SUM_DISTINCT, 2, ['b', 's'], True, 'SUM(DISTINCT) scalar / HAVING / grouped ORDER BY DESC'),
+    ('dialect_union_decimal', SCRIPT_UNION_DECIMAL, -1, ['a', 'b', 'c'], False, 'UNION with column shuffles over INT; DECIMAL(17,x) signed/unsigned inserts'),
     ('dialect_aliases', SCRIPT_ALIASES, -1, ['col1', 'text1', 'date2'], False, "string-literal aliases (AS 'x', implicit 'x'), self/cross joins, RIGHT JOIN"),
     ('dialect_between_and', SCRIPT_BETWEEN_AND, 5, ['v'], False, 'BETWEEN over CHAR/INT/DATETIME/DOUBLE incl. scalar forms'),
     ('dialect_case_groupby', SCRIPT_CASE_GROUPBY, -1, None, False, 'GROUP BY on a CASE select-alias; MAX(CASE...) pivot returning NULL'),
