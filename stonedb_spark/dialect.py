@@ -743,7 +743,7 @@ def _parse_insert_values(
     MySQL DEFAULT (or NULL) — including the ``VALUES()`` all-defaults
     form."""
     m = re.match(
-        r"INSERT\s+INTO\s+(`[^`]+`|\w+)\s*(\(([^)]*)\))?\s*VALUES?\s*(.*)$",
+        r"INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)\s*(\(([^)]*)\))?\s*VALUES?\s*(.*)$",
         stmt.strip(),
         re.I | re.S,
     )
@@ -989,7 +989,7 @@ def run_statement(run: MTRRun, stmt: str):
             f"AS {body}"
         )
         return None
-    if re.match(r"^\s*INSERT\s+INTO\b", s, re.I):
+    if re.match(r"^\s*INSERT\b", s, re.I):
         base, dup = _split_on_duplicate(s)
         if dup is not None:
             td, rows = _parse_insert_values(run.tables, base)
@@ -1023,7 +1023,10 @@ def run_statement(run: MTRRun, stmt: str):
             run.spark.sql(
                 f"INSERT INTO `{td.name}` VALUES " + ",\n".join(cast_rows)
             )
-        else:  # INSERT INTO t SELECT ...
+        else:  # INSERT [INTO] t SELECT ...
+            s = re.sub(
+                r"^\s*INSERT\s+(?!INTO\b)", "INSERT INTO ", s, flags=re.I
+            )
             run.spark.sql(rewrite_expr(s, "spark"))
         return None
     if re.match(r"^\s*DELETE\s+FROM\b", s, re.I):
@@ -1152,8 +1155,12 @@ def _retarget_relations(sql: str, mapping: dict[str, tuple[str, str]]) -> str:
         name = _unquote_ident(m.group(2)).strip('"').lower()
         if name not in mapping:
             return m.group(0)
-        orig, repl = mapping[name]
         after = sql[m.end():]
+        if after.startswith("."):
+            # qualified column ref (t2.user_id) in a SELECT list after
+            # a comma — not a relation position
+            return m.group(0)
+        orig, repl = mapping[name]
         am = re.match(r"\s+(AS\s+)?(`[^`]+`|\"[^\"]+\"|\w+)", after, re.I)
         has_alias = False
         if am:
@@ -1293,8 +1300,8 @@ def build_oracle_sql(
             body = retarget(rewrite_expr(m.group(2), "duck"))
             ctes.append((_unquote_ident(m.group(1)), body))
             continue
-        if re.match(r"^\s*INSERT\s+INTO\b", s, re.I):
-            m = re.match(r"^\s*INSERT\s+INTO\s+(`[^`]+`|\w+)", s, re.I)
+        if re.match(r"^\s*INSERT\b", s, re.I):
+            m = re.match(r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)", s, re.I)
             t = _unquote_ident(m.group(1)).lower()
             base, dup = _split_on_duplicate(s)
             if dup is not None:
@@ -1324,7 +1331,7 @@ def build_oracle_sql(
                 )
             else:
                 sel = re.sub(
-                    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\w+)\s+", "", s, flags=re.I
+                    r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)\s+", "", s, flags=re.I
                 )
                 sel = retarget(rewrite_expr(sel, "duck"))
                 prev = vname(t)

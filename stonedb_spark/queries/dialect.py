@@ -29,6 +29,10 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_derived_table': ('derived_table.test', [(1, 41)]),
+    'dialect_hash_join': ('hash_join.test', [(1, 107)]),
+    'dialect_orquery': ('orquery.test', [(1, 20)]),
+    'dialect_various_subquery': ('various_subquery.test', [(1, 67)]),
     'dialect_avg_distinct': ('avg_function.test', [(1, 24)]),
     'dialect_case_function': ('case_function.test', [(14, 15), (22, 23)]),
     'dialect_concat_null': ('concat.test', [(1, 21)]),
@@ -1306,7 +1310,258 @@ INSERT INTO cs2 values (9999999999999998, 9999999.9999999998, 0.9999999999999998
 INSERT INTO cs2 values (99999999999999999, 9999999.9999999999, 0.99999999999999999);
 """
 
+SCRIPT_DERIVED_TABLE = """\
+--source include/have_tianmu.inc
+
+--echo #
+--echo # Test derived table
+--echo # Author: shiz
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS derived_test;
+--enable_warnings
+
+CREATE DATABASE derived_test;
+USE derived_test;
+
+CREATE TABLE t1 (a INT, b CHAR(5));
+CREATE TABLE t2 (a INT, b CHAR(5));
+
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(3, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, ''),(7, 'eee');
+INSERT INTO t2 VALUES (NULL, ''),(1, 'eee'),(3, 'ccc'),(5, 'jjj'),(6, ''),(7, 'ccc'),(9, 'eee'),(11, 'nnn');
+
+SELECT t1.a,t3.y FROM t1,(SELECT a AS y FROM t2 WHERE b='ccc') AS t3 WHERE t1.a = t3.y;
+SELECT t1.a,t3.a FROM t1,(SELECT * FROM t2  WHERE b='ccc') t3 WHERE t1.a = t3.a;
+SELECT t1.a,t3.a FROM t1 JOIN (SELECT * FROM t2  WHERE b='ccc') t3 ON t1.a = t3.a ORDER BY t1.a;
+SELECT t1.a,t3.a FROM t1 LEFT JOIN (SELECT * FROM t2) t3 ON t1.a = t3.a ORDER BY t3.a;
+SELECT t1.a,t3.a FROM t1 RIGHT JOIN (SELECT * FROM t2) t3 ON t1.a = t3.a ORDER BY 1;
+
+# JOIN
+CREATE TABLE t3 (a INT, b CHAR(5));
+CREATE TABLE t4 (a INT, b CHAR(5));
+INSERT INTO t3 SELECT * FROM t2;
+INSERT INTO t4 SELECT * FROM t1;
+
+SELECT t3.a, t.a FROM t3 JOIN (SELECT * FROM t2  WHERE b='ccc') t ON t.a = t3.a ORDER BY t.a;
+SELECT t3.a, t.a FROM t3 LEFT JOIN (SELECT * FROM t2) t ON t.a = t3.a ORDER BY t3.a;
+SELECT t3.a, t.a FROM t3 RIGHT JOIN (SELECT * FROM t2) t ON t.a = t3.a ORDER BY 1;
+SELECT t4.a, t.a FROM t4 JOIN (SELECT * FROM t2  WHERE b='ccc') t ON t.a = t4.a ORDER BY t.a;
+SELECT t4.a, t.a FROM t4 LEFT JOIN (SELECT * FROM t2) t ON t.a = t4.a ORDER BY t4.a;
+SELECT t4.a, t.a FROM t4 RIGHT JOIN (SELECT * FROM t2) t ON t.a = t4.a ORDER BY 2;
+
+# Clean UP
+DROP DATABASE derived_test;
+"""
+
+SCRIPT_HASH_JOIN = """\
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS hash_join_test;
+--enable_warnings
+
+CREATE DATABASE hash_join_test;
+
+USE hash_join_test;
+
+CREATE TABLE `test1` (
+  `id` varchar(64) NOT NULL COMMENT 'ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+CREATE TABLE `test2` (
+  `user_id` varchar(32) NOT NULL COMMENT '用户ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+CREATE TABLE `test3` (
+  `id` varchar(32) NOT NULL COMMENT '用户ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+CREATE TABLE `test4` (
+  `id` varchar(32) NOT NULL COMMENT '用户ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+insert test1 values('aaa');
+insert test1 values('bbb');
+insert test1 values('ccc');
+insert test1 values('eee');
+
+insert test2 values('aaa');
+insert test2 values('bbb');
+insert test2 values('ccc');
+insert test2 values('fff');
+
+insert test3 values('aaa');
+insert test3 values('bbb');
+insert test3 values('ccc');
+insert test3 values('ddd');
+
+insert test4 values('aaa');
+insert test4 values('bbb');
+insert test4 values('ccc');
+insert test4 values('hhh');
+insert test4 values('ggg');
+
+select test1.id,test2.user_id  from test2,test1 where test2.user_id = test1.id ;
+
+select test1.id,test2.user_id,test3.id  from test2,test1,test3 where test2.user_id = test1.id and test2.user_id = test3.id;
+
+select test1.id,test2.user_id,test3.id,test4.id  from test2,test1,test3,test4 where test2.user_id = test1.id and test2.user_id = test3.id and test3.id = test4.id;
+
+CREATE TABLE `t1` (
+  `id` int NOT NULL COMMENT 'ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+CREATE TABLE `t2` (
+  `user_id` int NOT NULL COMMENT '用户ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+CREATE TABLE `t3` (
+  `id` int NOT NULL COMMENT '用户ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+CREATE TABLE `t4` (
+  `id` int NOT NULL COMMENT '用户ID'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+insert t1 values(101);
+insert t1 values(103);
+insert t1 values(103);
+insert t1 values(201);
+
+insert t2 values(101);
+insert t2 values(102);
+insert t2 values(103);
+insert t2 values(202);
+
+insert t3 values(101);
+insert t3 values(102);
+insert t3 values(103);
+insert t3 values(203);
+
+insert t4 values(101);
+insert t4 values(102);
+insert t4 values(103);
+insert t4 values(204);
+insert t4 values(205);
+
+select t1.id,t2.user_id  from t2,t1 where t2.user_id = t1.id ;
+
+select t1.id,t2.user_id,t3.id  from t2,t1,t3 where t2.user_id = t1.id and t2.user_id = t3.id;
+
+select t1.id,t2.user_id,t3.id,t4.id  from t2,t1,t3,t4 where t2.user_id = t1.id and t2.user_id = t3.id and t3.id = t4.id;
+
+drop table test1;
+drop table test2;
+drop table test3;
+drop table test4;
+
+drop table t1;
+drop table t2;
+drop table t3;
+drop table t4;
+
+DROP DATABASE hash_join_test;
+"""
+
+SCRIPT_ORQUERY = """\
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS orquery_test;
+--enable_warnings
+
+CREATE DATABASE orquery_test;
+
+USE orquery_test;
+
+CREATE TABLE `test_or` (
+  `id` int(11) DEFAULT NULL,
+  `age` int(11) DEFAULT NULL
+) ENGINE=TIANMU;
+insert into test_or values(1,1);
+insert into test_or values(2,2);
+select count(*) from test_or where id=1 or age=2;
+drop table test_or;
+
+DROP DATABASE orquery_test;
+"""
+
+SCRIPT_VARIOUS_SUBQUERY = """\
+--source include/have_tianmu.inc
+
+--echo #
+--echo # Test of various subqueries
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS various_subquery_test;
+--enable_warnings
+
+CREATE DATABASE various_subquery_test;
+
+USE various_subquery_test;
+
+CREATE TABLE t1 (a int, b int);
+
+INSERT INTO t1 values (1, 1), (2, 1), (3, 2), (4, 2), (5, 2);
+
+# Test subquery columns referenced/not-referenced in simple projections
+SELECT "123" FROM (SELECT * FROM t1) q;
+SELECT "123" FROM (SELECT "234" FROM t1) q;
+SELECT a FROM (SELECT * FROM t1) q;
+SELECT b FROM (SELECT * FROM t1) q;
+SELECT a,b FROM (SELECT * FROM t1) q;
+SELECT b,a FROM (SELECT * FROM t1) q;
+SELECT a FROM (SELECT * FROM (SELECT * FROM (SELECT * FROM t1) q1) q2) q3;
+SELECT b FROM (SELECT * FROM (SELECT * FROM (SELECT * FROM t1) q1) q2) q3;
+SELECT a FROM (SELECT b,a FROM (SELECT * FROM t1) q1) q2;
+SELECT b FROM (SELECT b,a FROM (SELECT * FROM t1) q1) q2;
+
+# Test subquery columns referenced/not-referenced in group by and aggregates
+
+SELECT "123" FROM (SELECT * FROM t1) q GROUP BY a ORDER BY a;
+SELECT "123" FROM (SELECT * FROM t1) q GROUP BY b ORDER BY b;
+SELECT "123" FROM (SELECT * FROM t1) q GROUP BY a,b ORDER BY a,b;
+SELECT COUNT(a) FROM (SELECT * FROM t1) q GROUP BY a ORDER BY a;
+SELECT COUNT(b) FROM (SELECT * FROM t1) q GROUP BY b ORDER BY b;
+SELECT COUNT(a) FROM (SELECT * FROM t1) q GROUP BY b ORDER BY b;
+SELECT COUNT(b) FROM (SELECT * FROM t1) q GROUP BY a ORDER BY a;
+SELECT c1 FROM (SELECT a AS c1, COUNT(a) AS c2 FROM t1 GROUP BY c1) q ORDER BY c1;
+SELECT c2 FROM (SELECT a AS c1, COUNT(a) AS c2 FROM t1 GROUP BY c1) q ORDER BY c2;
+SELECT * FROM (SELECT a AS c1, COUNT(a) AS c2 FROM t1 GROUP BY c1) q ORDER BY c1,c2;
+
+# Test subquery columns referenced/not-referenced in joins
+
+SELECT tab1.a FROM t1 tab1 JOIN (SELECT * FROM t1) tab2 ON tab1.a=tab2.a ORDER BY tab1.a;
+SELECT tab1.a FROM t1 tab1 JOIN (SELECT * FROM t1) tab2 ON tab1.b=tab2.b ORDER BY tab1.a;
+SELECT tab1.a FROM t1 tab1 JOIN (SELECT * FROM t1) tab2 ON tab1.b=tab2.b and tab1.a=tab2.a ORDER BY tab1.a;
+SELECT tab1.a, tab2.b FROM t1 tab1 JOIN (SELECT * FROM t1) tab2 ON tab1.a=tab2.a ORDER BY tab1.a,tab2.b;
+
+# Test subquery columns referenced/not-referenced when subqueries contain unions
+
+SELECT COUNT(a) FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q;
+SELECT COUNT(b) FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q;
+SELECT COUNT(b), COUNT(a) FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q;
+SELECT COUNT(a) FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q GROUP BY b ORDER BY b;
+SELECT q1.a FROM (SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q1_1) q1 JOIN
+(SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q2_1) q2 ON q1.a=q2.a ORDER BY 1;
+SELECT q1.a, q2.b FROM (SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q1_1) q1 JOIN
+(SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1) q2_1) q2 ON q1.a=q2.a ORDER BY 2 desc, 1 asc;
+
+SELECT "123" FROM (SELECT * FROM t1) q GROUP BY b ORDER BY b;
+SELECT "123" FROM (SELECT * FROM t1) q GROUP BY b;
+
+# clean up
+
+DROP DATABASE various_subquery_test;
+"""
+
 _SPECS = [
+    ('dialect_derived_table', SCRIPT_DERIVED_TABLE, -1, ['a1', 'a2'], False, 'derived tables in FROM/comma/JOIN positions incl. INSERT..SELECT feeds'),
+    ('dialect_hash_join', SCRIPT_HASH_JOIN, -1, ['a', 'b', 'c', 'd'], False, 'comma-join chains over varchar and int keys, INSERT without INTO'),
+    ('dialect_orquery', SCRIPT_ORQUERY, -1, ['n'], False, "OR-tree predicate count (the reference's Descriptor OR path)"),
+    ('dialect_various_subquery', SCRIPT_VARIOUS_SUBQUERY, -3, None, False, 'nested derived subqueries, constant projections, unions inside FROM'),
     ('dialect_avg_distinct', SCRIPT_AVG_DISTINCT, 2, ['b', 'av'], False, 'AVG(DISTINCT) scalar / HAVING / grouped ORDER BY DESC'),
     ('dialect_case_function', SCRIPT_CASE_FUNCTION, 0, ['v'], False, 'CASE WHEN over CHAR predicate and scalar constant CASE'),
     ('dialect_concat_null', SCRIPT_CONCAT_NULL, -1, ['c'], False, 'CONCAT(int, text) with NULL propagation (MySQL semantics vs DuckDB skip)'),
