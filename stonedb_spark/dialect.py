@@ -1336,8 +1336,24 @@ def build_oracle_sql(
                 sel = retarget(rewrite_expr(sel, "duck"))
                 prev = vname(t)
                 versions[t] += 1
+                # cast the fed rows to the column types (positional),
+                # mirroring the Spark runner's insertInto store-
+                # assignment casts — without this, UNION ALL would
+                # type-unify the VERSION CHAIN to the select's types
+                td_ins = tables[t]
+                vnames_i = ", ".join(
+                    f"_i{i}" for i in range(len(td_ins.columns))
+                )
+                casted = ", ".join(
+                    f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                    for i, c in enumerate(td_ins.columns)
+                )
                 ctes.append(
-                    (vname(t), f"SELECT * FROM {prev} UNION ALL ({sel})")
+                    (
+                        vname(t),
+                        f"SELECT * FROM {prev} UNION ALL "
+                        f"(SELECT {casted} FROM ({sel}) AS _ins({vnames_i}))",
+                    )
                 )
             continue
         if re.match(r"^\s*DELETE\s+FROM\b", s, re.I):

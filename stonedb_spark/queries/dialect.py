@@ -29,6 +29,7 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_in_withpk': ('in_withpk.test', [(1, 27), (29, 31), (33, 41), (86, 126)]),
     'dialect_derived_table': ('derived_table.test', [(1, 41)]),
     'dialect_hash_join': ('hash_join.test', [(1, 107)]),
     'dialect_orquery': ('orquery.test', [(1, 20)]),
@@ -1557,7 +1558,91 @@ SELECT "123" FROM (SELECT * FROM t1) q GROUP BY b;
 DROP DATABASE various_subquery_test;
 """
 
+SCRIPT_IN_WITHPK = """\
+--source include/have_tianmu.inc
+
+--echo #
+--echo # Test in subquery with pk
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS in_withpk_test;
+--enable_warnings
+
+CREATE DATABASE in_withpk_test;
+USE in_withpk_test;
+
+create table t0 (a int);
+insert into t0 values (0),(1),(2),(3),(4),(5),(6),(7),(8),(9);
+
+create table t1 (
+  a int, 
+  b int,
+  primary key(a)
+) ;
+insert into t1 values (1,1),(3,3),(2,2);
+
+create table t2 (
+  a int,
+  b int
+) ;
+select * from t1 order by 1;
+select * from t2;
+select * from t2 where b in (select a from t1);
+create table t3 (
+   a int, 
+   b int,
+   pk1 char(50), pk2 char(50), pk3 char(50),
+   primary key(pk1, pk2, pk3)
+) ;
+insert into t3 select a,a, a,a,a from t0;
+
+select * from t3 where b in (select a from t1);
+CREATE TABLE test_table (
+    id INT PRIMARY KEY,
+    name VARCHAR(50)
+);
+
+INSERT INTO test_table (id, name) 
+VALUES
+    (1, 'Alice'),
+    (2, 'Bob'),
+    (3, 'Charlie'),
+    (4, 'David');
+INSERT INTO test_table (id, name)
+VALUES
+    (5, 'Alice'),
+    (6, 'Bob'),
+    (7, 'Charlie'),
+    (8, NULL);
+
+SELECT * FROM test_table WHERE id IN(SELECT id FROM test_table WHERE name LIKE '%b%');
+
+SELECT * FROM test_table AS t1 WHERE NOT EXISTS (
+    SELECT 1
+    FROM test_table AS t2
+    WHERE t1.id = t2.id
+    AND t2.name LIKE '%b%'
+);
+
+SELECT * FROM test_table WHERE id NOT IN (
+    SELECT id
+    FROM test_table
+    WHERE name LIKE '%b%'
+);
+
+SELECT * FROM test_table WHERE id NOT IN (
+    SELECT id
+    FROM test_table
+    WHERE name LIKE '%b%'
+);
+
+# cleanup
+drop database in_withpk_test;
+"""
+
 _SPECS = [
+    ('dialect_in_withpk', SCRIPT_IN_WITHPK, -2, None, False, "IN/NOT IN/NOT EXISTS subqueries over PK'd tables; composite CHAR PKs fed by INSERT..SELECT"),
     ('dialect_derived_table', SCRIPT_DERIVED_TABLE, -1, ['a1', 'a2'], False, 'derived tables in FROM/comma/JOIN positions incl. INSERT..SELECT feeds'),
     ('dialect_hash_join', SCRIPT_HASH_JOIN, -1, ['a', 'b', 'c', 'd'], False, 'comma-join chains over varchar and int keys, INSERT without INTO'),
     ('dialect_orquery', SCRIPT_ORQUERY, -1, ['n'], False, "OR-tree predicate count (the reference's Descriptor OR path)"),
