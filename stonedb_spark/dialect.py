@@ -636,12 +636,36 @@ def _rewrite_logical_ops(sql: str) -> str:
     return _replace_outside_strings(sql, [("||", " OR "), ("&&", " AND ")])
 
 
+def _strcmp_case(inner: str) -> str:
+    a, b = _split_top_commas(inner)
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"WHEN ({a}) < ({b}) THEN -1 "
+        f"WHEN ({a}) = ({b}) THEN 0 ELSE 1 END)"
+    )
+
+
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     sql = _rewrite_logical_ops(sql)
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed
     sql = _wrap_calls(sql, "ISNULL", lambda inner: f"(({inner}) IS NULL)")
+    # STRCMP exists in neither engine; the CASE keeps -1/0/1 int32 and
+    # NULL-propagates like MySQL
+    sql = _wrap_calls(sql, "STRCMP", _strcmp_case)
+    if engine == "duck":
+        # DuckDB's ascii/length want VARCHAR and LENGTH returns BIGINT;
+        # cast args (MySQL coerces) and result width (Spark is int32)
+        sql = _wrap_calls(
+            sql, "ASCII",
+            lambda i: f"CAST(ASCII(CAST(({i}) AS VARCHAR)) AS INTEGER)",
+        )
+        for fn in ("CHARACTER_LENGTH", "CHAR_LENGTH"):
+            sql = _wrap_calls(
+                sql, fn,
+                lambda i: f"CAST(LENGTH(CAST(({i}) AS VARCHAR)) AS INTEGER)",
+            )
     if engine == "duck":
         # backtick identifiers → double quotes
         sql = re.sub(r"`([^`]+)`", r'"\1"', sql)

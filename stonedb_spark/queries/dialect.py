@@ -29,6 +29,9 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_char_length': ('char_length_function.test', [(15, 16), (19, 25)]),
+    'dialect_coalesce_ascii': ('coalesce_ascii_func.test', [(16, 17), (20, 20), (22, 22), (28, 29), (33, 44)]),
+    'dialect_if_strcmp': ('if_function.test', [(17, 18), (21, 25)]),
     'dialect_in_withpk': ('in_withpk.test', [(1, 27), (29, 31), (33, 41), (86, 126)]),
     'dialect_derived_table': ('derived_table.test', [(1, 41)]),
     'dialect_hash_join': ('hash_join.test', [(1, 107)]),
@@ -1641,7 +1644,53 @@ SELECT * FROM test_table WHERE id NOT IN (
 drop database in_withpk_test;
 """
 
+SCRIPT_CHAR_LENGTH = """\
+CREATE TABLE t1 (a VARCHAR(20))engine=tianmu;
+INSERT INTO t1 VALUES (repeat('a', 5)), (repeat('b', 10)), (repeat('c', 20));
+SELECT CHAR_LENGTH('MariaDB');
+SELECT CHAR_LENGTH(234);
+SELECT CHAR_LENGTH('~12ab');
+SELECT CHAR_LENGTH('1212-12-12');
+
+SELECT a, CHAR_LENGTH(a) FROM t1 ORDER BY a;
+SELECT a, CHARACTER_LENGTH(a) FROM t1 ORDER BY a;
+"""
+
+SCRIPT_COALESCE_ASCII = """\
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE);
+INSERT INTO t1 VALUES ('', NULL, '1211-11-11', NULL),('a', 12, '1212-12-12', 1.19691E+100),('b', 13, '1313-3-13 13:13:13', 2.1961E+18),('c', 14, '1414-4-14', 0.16191),('d', 15, '2015-5-15 15:15:15', 1.971917);
+SELECT COALESCE(NULL, NULL, NULL, 'stonedb', NULL, 'stonedbtianmu');
+SELECT a, COALESCE(a, 'na') FROM t1;
+CREATE TABLE t2 (a CHAR(1), b INT);
+INSERT INTO t2 VALUES ('', NULL), ('m', 6), ('N', 5), ('o', 4);
+SELECT ASCII(0);
+SELECT ASCII(1);
+SELECT ASCII(9);
+SELECT ASCII('abc');
+SELECT ASCII('a');
+SELECT ASCII('A');
+SELECT ASCII('z');
+SELECT ASCII('~');
+SELECT ASCII('-');
+
+SELECT a, ASCII(a) FROM t2;
+SELECT b, ASCII(b) FROM t2;
+"""
+
+SCRIPT_IF_STRCMP = """\
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE);
+INSERT INTO t1 VALUES ('', NULL, '1990-01-01', NULL),('a', 12, '1212-12-12', 1.19691E+100),('b', 13, '1313-3-13 13:13:13', 2.1961E+18),('c', 14, '1414-4-14', 0.16191),('d', 15, '2015-5-15 15:15:15', 1.971917);
+SELECT IF(10<20, 1, 2);
+SELECT IF(STRCMP("hello","hi") = 0, "YES", "NO");
+
+SELECT a, IF(a='b', 10, 20) AS result FROM t1;
+SELECT b, IF(b<=13, 'Less than or equal to 13', 'Greater than 13') AS result FROM t1;
+"""
+
 _SPECS = [
+    ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
+    ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
+    ('dialect_if_strcmp', SCRIPT_IF_STRCMP, -1, None, False, 'IF() scalar/column forms and STRCMP comparison'),
     ('dialect_in_withpk', SCRIPT_IN_WITHPK, -2, None, False, "IN/NOT IN/NOT EXISTS subqueries over PK'd tables; composite CHAR PKs fed by INSERT..SELECT"),
     ('dialect_derived_table', SCRIPT_DERIVED_TABLE, -1, ['a1', 'a2'], False, 'derived tables in FROM/comma/JOIN positions incl. INSERT..SELECT feeds'),
     ('dialect_hash_join', SCRIPT_HASH_JOIN, -1, ['a', 'b', 'c', 'd'], False, 'comma-join chains over varchar and int keys, INSERT without INTO'),
