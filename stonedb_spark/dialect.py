@@ -932,6 +932,17 @@ def _parse_assignments(text: str) -> dict[str, str]:
     return out
 
 
+def _duck_type_from_spark(dt) -> str:
+    """Spark DataType → DuckDB type name (for CTAS-derived TableDefs)."""
+    s = dt.simpleString()
+    return {
+        "int": "INTEGER", "bigint": "BIGINT", "smallint": "SMALLINT",
+        "tinyint": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+        "string": "VARCHAR", "timestamp": "TIMESTAMP", "date": "DATE",
+        "binary": "BLOB", "boolean": "BOOLEAN",
+    }.get(s, s.upper())  # decimal(p,s) passes through
+
+
 _SET_USERVAR = re.compile(r"^\s*SET\s+@(\w+)\s*:?=\s*(.+)$", re.I | re.S)
 
 
@@ -987,6 +998,28 @@ def run_statement(run: MTRRun, stmt: str):
                 run.tables.pop(name.lower(), None)
             else:
                 run.spark.sql(f"DROP VIEW IF EXISTS `{name}`")
+        return None
+    cm = re.match(
+        r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+"
+        r"(?:AS\s+)?(\(?\s*SELECT\b.*)$",
+        s,
+        re.I | re.S,
+    )
+    if cm:  # CTAS — MySQL allows both `AS SELECT` and bare `SELECT`
+        name = _unquote_ident(cm.group(1))
+        sel = rewrite_expr(cm.group(2), "spark")
+        run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        run.incarnation += 1
+        loc = f"{run.workdir}/{name}_{run.incarnation}"
+        run.spark.sql(
+            f"CREATE TABLE `{name}` USING PARQUET LOCATION '{loc}' AS {sel}"
+        )
+        cols = [
+            ColumnDef(f.name, f.dataType.simpleString().upper(),
+                      _duck_type_from_spark(f.dataType), None)
+            for f in run.spark.table(f"`{name}`").schema.fields
+        ]
+        run.tables[name.lower()] = TableDef(name, cols)
         return None
     if re.match(r"^\s*CREATE\s+(TEMPORARY\s+)?TABLE\b.*\(", s, re.I | re.S):
         td = parse_create_table(s)
@@ -1307,6 +1340,21 @@ def build_oracle_sql(
             continue
         if re.match(r"^\s*DROP\s+TABLE\b", s, re.I):
             continue  # versions stay defined; harmless after designated
+        cm = re.match(
+            r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+"
+            r"(?:AS\s+)?(\(?\s*SELECT\b.*)$",
+            s,
+            re.I | re.S,
+        )
+        if cm:  # CTAS: the new table's v0 IS the translated select
+            name = _unquote_ident(cm.group(1))
+            key = name.lower()
+            sel = retarget(rewrite_expr(cm.group(2), "duck"))
+            tables[key] = TableDef(name, [])  # columns unknown; VALUES
+            versions[key] = 0                 # inserts would need them
+            incarn[key] = incarn.get(key, 0) + 1
+            ctes.append((vname(key), sel))
+            continue
         if re.match(r"^\s*CREATE\s+(TEMPORARY\s+)?TABLE\b.*\(", s, re.I | re.S):
             td = parse_create_table(s)
             key = td.name.lower()
