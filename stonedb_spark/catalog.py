@@ -123,3 +123,18 @@ def sql(
     if args is not None:
         return spark.sql(query, args=args)
     return spark.sql(query)
+
+
+def mysql(
+    spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """Run MySQL-dialect query TEXT over the registered catalog: the
+    statement is rewritten by the round-7 dialect front-end
+    (stonedb_spark.dialect.rewrite_expr — backticks, LIMIT x,y, DIV,
+    GROUP_CONCAT, DATE_FORMAT %-codes, string aliases, ||/&&, …) and
+    executed as a normal Catalyst plan.  For whole MTR scripts
+    (DDL+DML+SELECT) use dialect.run_script instead."""
+    from stonedb_spark.dialect import rewrite_expr
+
+    load_tables(spark, sf_dir)
+    return spark.sql(rewrite_expr(query, "spark"))

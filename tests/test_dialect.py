@@ -223,3 +223,23 @@ def test_ctas_runner_and_oracle(spark):
     pdf2 = run_script(spark, no_insert).toPandas()
     odf = duckdb.connect().execute(build_oracle_sql(no_insert)).df()
     assert not compare_frames(pdf2, odf)
+
+
+def test_catalog_mysql_facade(spark, sf_dir):
+    """catalog.mysql(): MySQL-dialect query text runs directly over the
+    registered fixture tables."""
+    from stonedb_spark.catalog import mysql
+
+    rows = mysql(
+        spark,
+        "select n_name, count(*) cnt from nation group by n_name "
+        "order by n_name limit 2, 3",
+        sf_dir,
+    ).collect()
+    assert len(rows) == 3
+    rows2 = mysql(
+        spark,
+        "select group_concat(r_name order by r_name separator '|') as g from region",
+        sf_dir,
+    ).collect()
+    assert rows2[0]["g"] == "AFRICA|AMERICA|ASIA|EUROPE|MIDDLE EAST"
