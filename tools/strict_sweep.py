@@ -235,12 +235,14 @@ def sweep(
             print(f"ok   {name} rows={len(sdf)}")
             record(name, s_rows=len(sdf), o_rows=len(odf))
     print(f"\n{len(names) - n_bad}/{len(names)} strict-green")
-    # Emit the auditable artifact only for whole-registry runs (a
-    # prefix-filtered run would clobber it with partial coverage).
-    if not prefixes:
+    # Emit the auditable artifact only when explicitly requested and
+    # for whole-registry runs (a prefix-filtered run would clobber it
+    # with partial coverage; the pytest gate at sf0.001 must not
+    # overwrite the committed sf0.01 artifact).
+    if artifact and not prefixes:
         import json
 
-        path = artifact or _artifact_path()
+        path = artifact
         with open(path, "w") as fh:
             json.dump(
                 {"sf_dir": sf, "n_queries": len(names), "n_bad": n_bad,
@@ -252,4 +254,8 @@ def sweep(
 
 
 if __name__ == "__main__":
-    sys.exit(1 if sweep(tuple(sys.argv[1:])) else 0)
+    _prefixes = tuple(sys.argv[1:])
+    sys.exit(
+        1 if sweep(_prefixes, artifact=None if _prefixes else _artifact_path())
+        else 0
+    )
