@@ -66,6 +66,12 @@ SOURCES = {
     'dialect_upsert': ('insert_update.test', [(9, 41)]),
     'dialect_various_join': ('various_join.test', [(1, 77)]),
     'dialect_where': ('where_conditions.test', [(1, 46), (48, 79)]),
+    'dialect_order_by': ('order_by.test', [(10, 25)]),
+    'dialect_min_function': ('min_function.test', [(14, 21)]),
+    'dialect_max_function': ('max_function.test', [(14, 21)]),
+    'dialect_casewhen': ('casewhen.test', [(11, 17)]),
+    'dialect_orquery1': ('orquery1.test', [(11, 18)]),
+    'dialect_group_concat2': ('group_concat2.test', [(11, 19)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -1687,6 +1693,78 @@ SELECT a, IF(a='b', 10, 20) AS result FROM t1;
 SELECT b, IF(b<=13, 'Less than or equal to 13', 'Greater than 13') AS result FROM t1;
 """
 
+SCRIPT_ORDER_BY = """\
+create table t1 (a int, b int) ;
+create table t2 (a int, b int) ;
+
+insert into t1 values (1, 2), (1, 3), (1, 4), (2, 5), (2, 6), (2, 7);
+insert into t2 values (1, 2), (1, 2), (1, 4), (2, 5), (2, 6), (2, 8);
+
+select * from t1, t2 where t1.a = t2.a and t2.b = (select max(b) from t2 where t1.a = t2.a) order by t1.a,t1.b,t2.b;
+select * from t1, t2 where t1.a = t2.a and t2.b < (select max(b) from t2 where t1.a = t2.a) order by t1.a,t1.b,t2.b;
+select * from t1, t2 where t1.a = t2.a and t2.b > (select max(b) from t2 where t1.a = t2.a) order by t1.a,t1.b,t2.b;
+
+select * from t1, t2 where t1.a = t2.a and t1.b = (select avg(t2.b) from t2 where t1.a = t2.a group by t2.a) order by t2.b;
+select * from t1, t2 where t1.a = t2.a and t2.b < (select avg(t2.b) from t2 where t1.a = t2.a group by t2.a) order by t1.a,t1.b,t2.b;
+select * from t1, t2 where t1.a = t2.a and t2.b > (select avg(t2.b) from t2 where t1.a = t2.a group by t2.a) order by t1.a,t1.b,t2.b;
+
+drop table t1;
+drop table t2;
+"""
+
+SCRIPT_MIN_FUNCTION = """\
+CREATE TABLE t1 (a INT, b CHAR(5))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(1, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, 'ddd'),(7, 'eee');
+
+SELECT MIN(DISTINCT a) FROM t1;
+SELECT MIN(DISTINCT a) FROM t1 GROUP BY b HAVING b = 'aaa';
+SELECT b, MIN(DISTINCT a) FROM t1 GROUP BY b ORDER BY b DESC;
+SELECT MIN(a) FROM t1;
+"""
+
+SCRIPT_MAX_FUNCTION = """\
+CREATE TABLE t1 (a INT, b CHAR(5))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(1, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, 'ddd'),(7, 'eee');
+
+SELECT MAX(DISTINCT a) FROM t1;
+SELECT MAX(DISTINCT a) FROM t1 GROUP BY b HAVING b = 'aaa';
+SELECT b, MAX(DISTINCT a) FROM t1 GROUP BY b ORDER BY b DESC;
+SELECT MAX(a) FROM t1;
+"""
+
+SCRIPT_CASEWHEN = """\
+CREATE TABLE `test_case1` (
+  `id` int(11) DEFAULT NULL,
+  `age` int(11) DEFAULT NULL,
+  `name` text
+) ENGINE=TIANMU;
+select id,case age when 2 then '1'  else name end from test_case1;
+drop table test_case1;
+"""
+
+SCRIPT_ORQUERY1 = """\
+CREATE TABLE `test_or` (
+  `id` int(11) DEFAULT NULL,
+  `name` varchar(11) DEFAULT NULL
+) ENGINE=TIANMU;
+insert into test_or values(1,'1');
+insert into test_or values(2,'2');
+select count(*) from test_or where id=1 or name='2';
+drop table test_or;
+"""
+
+SCRIPT_GROUP_CONCAT2 = """\
+CREATE TABLE `test_groupconcat2_case` (
+  `id` int(11) DEFAULT NULL,
+  `val` int(11)
+) ENGINE=TIANMU;
+insert into test_groupconcat2_case values(1, 22);
+insert into test_groupconcat2_case values(1, 4);
+select id,group_concat(val order by val desc SEPARATOR " ") from test_groupconcat2_case group by id;
+select id,group_concat(distinct val SEPARATOR ":") from test_groupconcat2_case group by id;
+drop table test_groupconcat2_case;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -1726,6 +1804,12 @@ _SPECS = [
     ('dialect_upsert', SCRIPT_UPSERT, -1, None, False, 'INSERT .. ON DUPLICATE KEY UPDATE incl. VALUES(col) and IF()'),
     ('dialect_various_join', SCRIPT_VARIOUS_JOIN, -1, ['t1a', 't1b', 't2a', 't2b', 't3a', 't3b', 't4a', 't4b', 't5a', 't5b', 't6a', 't6b'], False, 'inner/right/left join chains with multi-condition ON trees'),
     ('dialect_where', SCRIPT_WHERE, -2, None, False, 'WHERE predicates over all types; constant 1=2 folds (issue1383)'),
+    ('dialect_order_by', SCRIPT_ORDER_BY, -1, ['a1', 'b1', 'a2', 'b2'], False, 'correlated scalar subqueries (MAX/AVG w/ GROUP BY) under comma joins + ORDER BY'),
+    ('dialect_min_function', SCRIPT_MIN_FUNCTION, 2, ['b', 'm'], False, 'MIN(DISTINCT) scalar / grouped HAVING / ORDER BY DESC over CHAR groups'),
+    ('dialect_max_function', SCRIPT_MAX_FUNCTION, 2, ['b', 'm'], False, 'MAX(DISTINCT) scalar / grouped HAVING / ORDER BY DESC over CHAR groups'),
+    ('dialect_casewhen', SCRIPT_CASEWHEN, 0, ['id', 'v'], False, 'CASE col WHEN int THEN str ELSE text-col on an empty table (type unification)'),
+    ('dialect_orquery1', SCRIPT_ORQUERY1, -1, ['c'], False, 'COUNT(*) with OR across INT and VARCHAR predicates'),
+    ('dialect_group_concat2', SCRIPT_GROUP_CONCAT2, 0, ['id', 'gc'], False, 'GROUP_CONCAT ORDER BY DESC with space separator; DISTINCT with colon'),
 ]
 
 
