@@ -193,6 +193,7 @@ class ColumnDef:
     spark_type: str
     duck_type: str
     default: str | None  # literal text, or None (implicit NULL)
+    fsp: int = 0  # DATETIME/TIMESTAMP fractional-seconds precision
 
 
 @dataclass
@@ -291,7 +292,12 @@ def parse_create_table(stmt: str) -> TableDef:
             default = dm.group(1)
         if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
             pk = [cname]
-        cols.append(ColumnDef(cname, stype, dtype, default))
+        fsp = 0
+        if base in ("datetime", "timestamp") and args:
+            fm = re.match(r"\(\s*(\d+)\s*\)", args)
+            if fm:
+                fsp = int(fm.group(1))
+        cols.append(ColumnDef(cname, stype, dtype, default, fsp))
     return TableDef(name, cols, pk)
 
 
@@ -654,6 +660,13 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # STRCMP exists in neither engine; the CASE keeps -1/0/1 int32 and
     # NULL-propagates like MySQL
     sql = _wrap_calls(sql, "STRCMP", _strcmp_case)
+    sql = _rewrite_substr_family(sql, engine)
+    # MySQL MD5 string-coerces any argument; Spark's wants STRING/BINARY
+    # (ints fault) and DuckDB's wants VARCHAR
+    _md5t = "STRING" if engine == "spark" else "VARCHAR"
+    sql = _wrap_calls(
+        sql, "MD5", lambda i: f"MD5(CAST(({i}) AS {_md5t}))"
+    )
     if engine == "duck":
         # DuckDB's ascii/length want VARCHAR and LENGTH returns BIGINT;
         # cast args (MySQL coerces) and result width (Spark is int32)
@@ -699,6 +712,58 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _rewrite_str_num_compare(sql)
     if engine == "duck":
         sql = _duck_order_nulls(sql)
+    return sql
+
+
+_SUBSTR_FROMFOR = re.compile(
+    r"^(?P<x>.+?)\s+FROM\s+(?P<p>.+?)(?:\s+FOR\s+(?P<n>.+))?$", re.I | re.S
+)
+
+
+def _rewrite_substr_family(sql: str, engine: str) -> str:
+    """SUBSTR/SUBSTRING/MID/LEFT/RIGHT with MySQL semantics on both
+    engines (ref parser: sql/item_strfunc.cc Item_func_substr):
+      * MID and the ``FROM p [FOR n]`` form normalize to SUBSTR(x,p,n)
+        (DuckDB has neither);
+      * position 0 and a negative position beyond the string length
+        return '' in MySQL — Spark treats 0 as 1 and DuckDB clamps
+        negatives, so both get an explicit CASE guard;
+      * arguments cast to STRING first (MySQL string-coerces DATE/INT
+        args; DuckDB errors on them, Spark errors for LEFT/MID ints).
+    One combined pass so generated SUBSTR text is not re-wrapped."""
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+
+    def wrap_sub(inner: str) -> str:
+        parts = _split_top_commas(inner)
+        if len(parts) == 1:
+            m = _SUBSTR_FROMFOR.match(inner.strip())
+            if not m:
+                return f"SUBSTR({inner})"
+            parts = [m.group("x"), m.group("p")]
+            if m.group("n"):
+                parts.append(m.group("n"))
+        x, p = parts[0], parts[1]
+        xs = f"CAST(({x}) AS {str_t})"
+        args = f"{xs}, ({p})" + (f", ({parts[2]})" if len(parts) > 2 else "")
+        return (
+            f"CASE WHEN ({p}) = 0 THEN '' "
+            f"WHEN ({p}) < 0 AND (0 - ({p})) > LENGTH({xs}) THEN '' "
+            f"ELSE SUBSTR({args}) END"
+        )
+
+    sql = _wrap_calls(sql, r"(?:SUBSTRING|SUBSTR|MID)", wrap_sub)
+
+    def wrap_lr(fn: str):
+        def w(inner: str) -> str:
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                return f"{fn}({inner})"
+            return f"{fn}(CAST(({parts[0]}) AS {str_t}), ({parts[1]}))"
+
+        return w
+
+    sql = _wrap_calls(sql, "LEFT", wrap_lr("LEFT"))
+    sql = _wrap_calls(sql, "RIGHT", wrap_lr("RIGHT"))
     return sql
 
 
@@ -824,8 +889,58 @@ def _parse_insert_values(
             else:
                 dv = by_name[c.name.lower()].default
                 row.append(dv if dv is not None else "NULL")
-        rows.append(row)
+        rows.append(
+            [_mysql_temporal_literal(v, c) for v, c in zip(row, td.columns)]
+        )
     return td, rows
+
+
+_TEMPORAL_LIT = re.compile(
+    r"^(\d{1,4})[-/.](\d{1,2})[-/.](\d{1,2})"
+    r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?$"
+)
+
+
+def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
+    """Normalize a quoted DATE/DATETIME literal to MySQL semantics so
+    Spark's ANSI CAST and DuckDB agree with the reference:
+      * 2-digit years follow MySQL's pivot (00-69 -> 20xx, 70-99 -> 19xx;
+        sql-reference: date-and-time-literals) — Spark ANSI rejects
+        '09-12-11' outright and DuckDB reads year 9.
+      * fractional seconds round half-up to the column's fsp (MySQL
+        DATETIME defaults to fsp=0: '…30.6' stores as '…31').
+    Non-literal or non-temporal values pass through untouched."""
+    base = col.spark_type.upper()
+    if base not in ("DATE", "TIMESTAMP"):
+        return lit
+    s = lit.strip()
+    if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+        return lit
+    m = _TEMPORAL_LIT.match(s[1:-1].strip())
+    if not m:
+        return lit
+    import datetime as _dt
+
+    y = int(m.group(1))
+    if len(m.group(1)) <= 2:
+        y += 2000 if y <= 69 else 1900
+    try:
+        t = _dt.datetime(
+            y, int(m.group(2)), int(m.group(3)),
+            int(m.group(4) or 0), int(m.group(5) or 0), int(m.group(6) or 0),
+        )
+    except ValueError:
+        return lit
+    frac = float(m.group(7) or 0.0)
+    if col.fsp == 0 and frac >= 0.5:
+        t += _dt.timedelta(seconds=1)
+        frac = 0.0
+    if base == "DATE":
+        return f"'{t:%Y-%m-%d}'"
+    out = f"{t:%Y-%m-%d %H:%M:%S}"
+    if col.fsp > 0 and m.group(7):
+        out += f"{m.group(7)[: col.fsp + 1]}"
+    return f"'{out}'"
 
 
 def _dquote_to_squote(text: str) -> str:

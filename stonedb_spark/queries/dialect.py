@@ -72,6 +72,12 @@ SOURCES = {
     'dialect_casewhen': ('casewhen.test', [(11, 17)]),
     'dialect_orquery1': ('orquery1.test', [(11, 18)]),
     'dialect_group_concat2': ('group_concat2.test', [(11, 19)]),
+    'dialect_substr': ('substr_function.test', [(15, 48)]),
+    'dialect_substr_date': ('substr_function.test', [(15, 48)]),
+    'dialect_left_right': ('left_right_func.test', [(17, 31)]),
+    'dialect_mid_function': ('mid_function.test', [(15, 31)]),
+    'dialect_replace_func': ('replace_func.test', [(13, 22)]),
+    'dialect_md5_function': ('md5_function.test', [(15, 34)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -1765,6 +1771,117 @@ select id,group_concat(distinct val SEPARATOR ":") from test_groupconcat2_case g
 drop table test_groupconcat2_case;
 """
 
+SCRIPT_SUBSTR = """\
+CREATE TABLE t1
+(
+ t1_INT INT,
+ t1_DECIMAL DECIMAL(12,5),
+ t1_TEXT TEXT,
+ t1_DATE DATE,
+ t1_TIME TIME
+ )ENGINE=tianmu;
+INSERT INTO t1 VALUES(103, 1234.5699, 'pqr stu vwx yz', '1997-12-12', '22:12:02');
+INSERT INTO t1 VALUES(-7299, 111.99, 'abcde//fghijk//lm', '2001-1-1', '23:59:59');
+INSERT INTO t1 VALUES(9913, 98765.4321, repeat('q00', 5), '09-12-11', '01:08:59');
+
+SELECT SUBSTR('123456789', 5, 3) FROM t1 LIMIT 1;
+SELECT SUBSTR('abcdefghij', 3, 5) FROM t1 LIMIT 1;
+SELECT SUBSTR('pqr stu vwz', 3, 5) FROM t1 LIMIT 1;
+SELECT SUBSTR('pqr stu vwz', 3) FROM t1 LIMIT 1;
+SELECT SUBSTR('pqr stu vwz' FROM 3) FROM t1 LIMIT 1;
+SELECT SUBSTR('11:12:13' FROM 4 FOR 2) FROM t1 LIMIT 1;
+SELECT SUBSTR('11:12:13', 4, 2) FROM t1 LIMIT 1;
+
+SELECT SUBSTR(t1_TEXT FROM 3) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_TEXT, 3) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_TEXT FROM 3 FOR 15) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_TEXT, 3, 15) FROM t1 ORDER BY 1;
+
+SELECT SUBSTR(t1_DATE FROM 3) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_DATE, 3) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_DATE FROM 3 FOR 15) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_DATE, 3, 15) FROM t1 ORDER BY 1;
+
+SELECT SUBSTR(t1_TIME FROM 3) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_TIME, 3) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_TIME FROM 3 FOR 15) FROM t1 ORDER BY 1;
+SELECT SUBSTR(t1_TIME, 3, 15) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_LEFT_RIGHT = """\
+CREATE TABLE t1 (`time_tk` INT(11) UNSIGNED NOT NULL) DEFAULT CHARSET=latin1;
+
+INSERT INTO t1 VALUES
+(2013113023),
+(1900010100),
+(2199123100),
+(2199123100),
+(2147483646),
+(2147483647),
+(2147483648);
+
+SELECT LEFT(time_tk,6) AS time_tk_left FROM t1;
+SELECT RIGHT(time_tk,6) AS time_tk_right FROM t1;
+
+DROP TABLE IF EXISTS t1;
+"""
+
+SCRIPT_MID_FUNCTION = """\
+CREATE TABLE t1 (a INT, b CHAR(35))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'tianmu engine'),(2, 'tianmu database');
+
+SELECT b, MID(b,4,5) FROM t1;
+SELECT b, MID(b,12,5) FROM t1;
+SELECT b, MID(b,5,15) FROM t1;
+SELECT b, MID(b,12,15) FROM t1;
+SELECT b, MID(b,1,1) FROM t1;
+SELECT b, MID(b,1,2) FROM t1;
+SELECT b, MID(b,5,5) FROM t1;
+SELECT b, MID(b,-2,5) FROM t1;
+SELECT b, MID(b,-5,15) FROM t1;
+SELECT b, MID(b,-15,15) FROM t1;
+SELECT b, MID(b,0,0) FROM t1;
+SELECT b, MID(b,1,0) FROM t1;
+SELECT b, MID(b,0,1) FROM t1;
+SELECT b, MID(b,-1,0) FROM t1;
+"""
+
+SCRIPT_REPLACE_FUNC = """\
+CREATE TABLE t1 (a INT, b CHAR(20));
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'abcabc'),(3, 'cccbba'),(4, 'dddd'),(5, 'pqrs');
+
+SELECT REPLACE('abbcccb', 'b', 'z');
+SELECT REPLACE('xyz', 'z', 'ppp');
+
+SELECT b, REPLACE(b, 'a', 'mcs') FROM t1 ORDER BY 1;
+SELECT b, REPLACE(b, 'b', 'oo') FROM t1 ORDER BY 1;
+SELECT b, REPLACE(b, 'pqrs', 'a') FROM t1 ORDER BY 1;
+SELECT b, REPLACE(b, 'dd', 'n') FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_MD5_FUNCTION = """\
+CREATE TABLE t1
+(
+ t1_BIGINT BIGINT,
+ t1_DOUBLE DOUBLE,
+ t1_FLOAT FLOAT,
+ t1_BLOB BLOB,
+ t1_TEXT TEXT,
+ t1_CHAR_1 CHAR(1),
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES(NULL, NULL, NULL, '', '', '', '1990-10-01');
+INSERT INTO t1 VALUES(203685477580676, -3.797693231E+108, -7.402866E+18, repeat('b',10), repeat('b',10), 'b', '2387-11-08 11:22:30.123');
+
+SELECT t1_BIGINT, MD5(t1_BIGINT) FROM t1 ORDER BY t1_BIGINT;
+SELECT t1_DOUBLE, MD5(t1_DOUBLE) FROM t1 ORDER BY t1_DOUBLE;
+SELECT t1_FLOAT, MD5(t1_FLOAT) FROM t1 ORDER BY t1_FLOAT;
+SELECT t1_TEXT, MD5(t1_TEXT) FROM t1 ORDER BY t1_TEXT;
+SELECT t1_CHAR_1, MD5(t1_CHAR_1) FROM t1 ORDER BY t1_CHAR_1;
+SELECT t1_DATETIME, MD5(t1_DATETIME) FROM t1 ORDER BY t1_DATETIME;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -1810,6 +1927,12 @@ _SPECS = [
     ('dialect_casewhen', SCRIPT_CASEWHEN, 0, ['id', 'v'], False, 'CASE col WHEN int THEN str ELSE text-col on an empty table (type unification)'),
     ('dialect_orquery1', SCRIPT_ORQUERY1, -1, ['c'], False, 'COUNT(*) with OR across INT and VARCHAR predicates'),
     ('dialect_group_concat2', SCRIPT_GROUP_CONCAT2, 0, ['id', 'gc'], False, 'GROUP_CONCAT ORDER BY DESC with space separator; DISTINCT with colon'),
+    ('dialect_substr', SCRIPT_SUBSTR, 10, ['v'], False, 'SUBSTR comma and FROM..FOR forms over TEXT; literal forms under LIMIT'),
+    ('dialect_substr_date', SCRIPT_SUBSTR, 12, ['v'], False, 'SUBSTR over DATE (string coercion) incl. 2-digit-year insert literals'),
+    ('dialect_left_right', SCRIPT_LEFT_RIGHT, -1, None, False, 'LEFT/RIGHT over UNSIGNED INT values beyond int32 (string coercion)'),
+    ('dialect_mid_function', SCRIPT_MID_FUNCTION, 9, ['b', 'm'], False, 'MID alias edge battery: negative/zero positions, out-of-range -> empty string'),
+    ('dialect_replace_func', SCRIPT_REPLACE_FUNC, -1, ['b', 'r'], False, 'REPLACE scalar and per-row forms with multi-char needles'),
+    ('dialect_md5_function', SCRIPT_MD5_FUNCTION, 3, ['t', 'h'], False, 'MD5 over every column type (string coercion); TEXT designated'),
 ]
 
 
