@@ -194,6 +194,7 @@ class ColumnDef:
     duck_type: str
     default: str | None  # literal text, or None (implicit NULL)
     fsp: int = 0  # DATETIME/TIMESTAMP fractional-seconds precision
+    mysql_type: str = ""  # lowercased declared base type ('time', …)
 
 
 @dataclass
@@ -293,11 +294,11 @@ def parse_create_table(stmt: str) -> TableDef:
         if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
             pk = [cname]
         fsp = 0
-        if base in ("datetime", "timestamp") and args:
+        if base in ("datetime", "timestamp", "time") and args:
             fm = re.match(r"\(\s*(\d+)\s*\)", args)
             if fm:
                 fsp = int(fm.group(1))
-        cols.append(ColumnDef(cname, stype, dtype, default, fsp))
+        cols.append(ColumnDef(cname, stype, dtype, default, fsp, base))
     return TableDef(name, cols, pk)
 
 
@@ -424,6 +425,12 @@ def _rewrite_quoted_alias(sql: str, engine: str) -> str:
     q = ("`", "`") if engine == "spark" else ('"', '"')
     sql = re.sub(
         r"\bAS\s+'([^']*)'", lambda m: f"AS {q[0]}{m.group(1)}{q[1]}", sql, flags=re.I
+    )
+    # ANSI_QUOTES-style double-quoted aliases (AS "x").  The duck path
+    # already turned double quotes into single quotes above, so this
+    # only fires for Spark, where "x" would parse as a string literal.
+    sql = re.sub(
+        r'\bAS\s+"([^"]*)"', lambda m: f"AS {q[0]}{m.group(1)}{q[1]}", sql, flags=re.I
     )
     pat = re.compile(r"([\w.)])[ \t]+'([^']*)'(?=\s*(?:,|FROM\b))", re.I)
 
@@ -660,7 +667,14 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # STRCMP exists in neither engine; the CASE keeps -1/0/1 int32 and
     # NULL-propagates like MySQL
     sql = _wrap_calls(sql, "STRCMP", _strcmp_case)
+    sql = _rewrite_like_escape(sql)
+    if engine == "spark":
+        sql = _rewrite_simple_case_bool(sql)
     sql = _rewrite_substr_family(sql, engine)
+    sql = _rewrite_date_parts(sql, engine)
+    sql = _rewrite_period_diff(sql, engine)
+    sql = _rewrite_timediff(sql, engine)
+    sql = _rewrite_timestamp_addiff(sql, engine)
     # MySQL MD5 string-coerces any argument; Spark's wants STRING/BINARY
     # (ints fault) and DuckDB's wants VARCHAR
     _md5t = "STRING" if engine == "spark" else "VARCHAR"
@@ -713,6 +727,550 @@ def rewrite_expr(sql: str, engine: str) -> str:
     if engine == "duck":
         sql = _duck_order_nulls(sql)
     return sql
+
+
+_LIKE_ESCAPE = re.compile(
+    r"(\bNOT\s+)?\bLIKE\s+'((?:[^']|'')*)'\s+ESCAPE\s+'((?:[^']|'')?)'",
+    re.I,
+)
+
+
+def _rewrite_like_escape(sql: str) -> str:
+    """MySQL lets an ESCAPE character precede ANY pattern character
+    (escape+c simply means literal c — ref parser sql/item_cmpfunc.cc
+    Item_func_like); Spark raises INVALID_FORMAT.ESC_IN_THE_MIDDLE
+    unless it precedes %, _ or itself.  For literal pattern + literal
+    escape, decode MySQL's semantics and re-encode with a canonical
+    escape character that is never ambiguous on either engine."""
+
+    def rep(m: re.Match) -> str:
+        pat = m.group(2).replace("''", "'")
+        esc = m.group(3).replace("''", "'")
+        toks: list[tuple[bool, str]] = []  # (is_wildcard, char)
+        i = 0
+        while i < len(pat):
+            ch = pat[i]
+            if esc and ch == esc and i + 1 < len(pat):
+                toks.append((False, pat[i + 1]))
+                i += 2
+            elif ch in "%_":
+                toks.append((True, ch))
+                i += 1
+            else:
+                toks.append((False, ch))
+                i += 1
+        for new_esc in "!~@#^&":
+            if all(c != new_esc for _, c in toks) and new_esc != "'":
+                break
+        out = []
+        for wild, c in toks:
+            if not wild and c in ("%", "_", new_esc):
+                out.append(new_esc + c)
+            else:
+                out.append(c)
+        newpat = "".join(out).replace("'", "''")
+        return (
+            f"{m.group(1) or ''}LIKE '{newpat}' ESCAPE '{new_esc}'"
+        )
+
+    return _LIKE_ESCAPE.sub(rep, sql)
+
+
+_CMP_TOP = re.compile(
+    r"<=|>=|<>|!=|=|<|>|\bLIKE\b|\bIS\b|\bIN\b|\bBETWEEN\b|\bREGEXP\b", re.I
+)
+
+
+def _has_top_cmp(expr: str) -> bool:
+    depth, in_str, i = 0, None, 0
+    while i < len(expr):
+        ch = expr[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _CMP_TOP.match(expr, i)
+            if m:
+                return True
+        i += 1
+    return False
+
+
+_CASE_KW = re.compile(r"\b(CASE|WHEN|THEN|ELSE|END)\b", re.I)
+
+
+def _rewrite_simple_case_bool(sql: str) -> str:
+    """MySQL's simple CASE compares the operand with each WHEN value
+    numerically, so ``CASE a WHEN a=1 THEN …`` compares a against the
+    0/1 of the boolean (ref corpus: flow_control_function.test).  Spark
+    faults on int-vs-boolean; wrap boolean-shaped WHEN expressions of
+    SIMPLE (operand-carrying) CASEs in CAST(… AS INT).  Searched CASEs
+    are untouched."""
+    # Collect keyword occurrences outside string literals.
+    kws: list[tuple[int, int, str]] = []  # (start, end, upper-kw)
+    in_str, i = None, 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            i += 1
+            continue
+        m = _CASE_KW.match(sql, i)
+        if m:
+            kws.append((m.start(), m.end(), m.group(1).upper()))
+            i = m.end()
+        else:
+            i += 1
+    if not kws:
+        return sql
+    # Pair CASE..END by depth; record simple-case WHEN expression spans.
+    spans: list[tuple[int, int]] = []  # (expr_start, expr_end)
+    stack: list[dict] = []
+    for s, e, kw in kws:
+        if kw == "CASE":
+            stack.append({"opened_at": e, "pending_when": None})
+        elif not stack:
+            continue
+        elif kw == "WHEN":
+            top = stack[-1]
+            if "simple" not in top:
+                top["simple"] = bool(sql[top["opened_at"] : s].strip())
+            if top["simple"]:
+                top["pending_when"] = e
+        elif kw == "THEN":
+            top = stack[-1]
+            if top.get("pending_when") is not None:
+                spans.append((top["pending_when"], s))
+                top["pending_when"] = None
+        elif kw == "END":
+            stack.pop()
+    # Rewrite right-to-left so offsets stay valid.
+    for a, b in sorted(spans, reverse=True):
+        expr = sql[a:b]
+        if _has_top_cmp(expr):
+            sql = sql[:a] + f" CAST(({expr.strip()}) AS INT) " + sql[b:]
+    return sql
+
+
+def _week_sql(arg: str, mode: int, engine: str) -> tuple[str, str]:
+    """MySQL WEEK(d, mode) for all 8 modes as one pure-SQL expression
+    (text port of functions/mysql._calc_week — same algorithm the
+    reference delegates to the server for, storage/tianmu/core/
+    mysql_expression.cpp).  ``mode`` must be a literal (it always is in
+    the MTR corpus), so the mode bits specialize the SQL at rewrite
+    time.  Returns (week_expr, week_year_expr) for WEEK/YEARWEEK."""
+    mode &= 7
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    if not monday_first:
+        first_weekday = not first_weekday
+    shift = 5 if monday_first else 6
+
+    D = f"TRY_CAST(({arg}) AS DATE)"
+    if engine == "spark":
+        jan1 = f"TRUNC({D}, 'YEAR')"
+        prev1 = f"ADD_MONTHS({jan1}, -12)"
+        next1 = f"ADD_MONTHS({jan1}, 12)"
+
+        def dd(a: str, b: str) -> str:
+            return f"DATEDIFF({a}, {b})"
+
+        dowj = f"DAYOFWEEK({jan1})"  # 1 = Sunday
+    else:
+        jan1 = f"CAST(DATE_TRUNC('year', {D}) AS DATE)"
+        prev1 = f"CAST({jan1} - INTERVAL 1 YEAR AS DATE)"
+        next1 = f"CAST({jan1} + INTERVAL 1 YEAR AS DATE)"
+
+        def dd(a: str, b: str) -> str:
+            return f"DATE_DIFF('day', {b}, {a})"
+
+        dowj = f"(DAYOFWEEK({jan1}) + 1)"  # duck: 0 = Sunday
+    diy = dd(next1, jan1)
+    dip = dd(jan1, prev1)
+    wd1 = f"(({dowj} + {shift}) % 7)"
+    doy = f"DAYOFYEAR({D})"
+    y = f"YEAR({D})"
+
+    def not_here(wd: str) -> str:
+        return f"({wd} <> 0)" if first_weekday else f"({wd} >= 4)"
+
+    def days_before(wd: str, off: str) -> str:
+        return (
+            f"(({doy} - 1) - (CASE WHEN {not_here(wd)} "
+            f"THEN ({off}) + (7 - {wd}) ELSE ({off}) - {wd} END))"
+        )
+
+    in_first = f"((MONTH({D}) = 1) AND (DAY({D}) <= 7 - {wd1}))"
+    wd_prev = f"(({wd1} + {53 * 7} - {dip}) % 7)"
+    days_prev = days_before(wd_prev, f"(0 - {dip})")
+    roll_prev = f"({wd1} = 0)" if first_weekday else f"({wd1} < 4)"
+    prev_week = (
+        f"(CASE WHEN {days_prev} >= 364 AND {roll_prev} THEN 1 "
+        f"ELSE CAST(FLOOR({days_prev} / 7.0) AS INT) + 1 END)"
+    )
+    prev_year = (
+        f"(CASE WHEN {days_prev} >= 364 AND {roll_prev} THEN {y} "
+        f"ELSE {y} - 1 END)"
+    )
+    days_cur = days_before(wd1, "0")
+    wd_next = f"(({wd1} + {diy}) % 7)"
+    roll_next = f"({wd_next} = 0)" if first_weekday else f"({wd_next} < 4)"
+    cur_week = f"(CAST(FLOOR({days_cur} / 7.0) AS INT) + 1)"
+    cur_year = y
+    if week_year:
+        spills = f"({days_cur} >= 364 AND {roll_next})"
+        cur_week = f"(CASE WHEN {spills} THEN 1 ELSE {cur_week} END)"
+        cur_year = f"(CASE WHEN {spills} THEN {y} + 1 ELSE {y} END)"
+        week = f"(CASE WHEN {in_first} THEN {prev_week} ELSE {cur_week} END)"
+        year_out = (
+            f"(CASE WHEN {in_first} THEN {prev_year} ELSE {cur_year} END)"
+        )
+    else:
+        week = (
+            f"(CASE WHEN {in_first} AND {not_here(wd1)} THEN 0 "
+            f"WHEN {in_first} THEN {prev_week} ELSE {cur_week} END)"
+        )
+        year_out = (
+            f"(CASE WHEN {in_first} AND {not_here(wd1)} THEN {y} "
+            f"WHEN {in_first} THEN {prev_year} ELSE {cur_year} END)"
+        )
+    return f"CAST({week} AS INT)", f"CAST({year_out} AS INT)"
+
+
+def _normalize_date_literal(tok: str) -> str | None:
+    """If ``tok`` is a quoted date/datetime literal, canonicalize it the
+    way MySQL's lenient parser reads it ('/' and '.' delimiters, 2-digit
+    year pivot) so TRY_CAST agrees on both engines; else None."""
+    s = tok.strip()
+    if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+        return None
+    m = _TEMPORAL_LIT.match(s[1:-1].strip())
+    if not m:
+        return None
+    import datetime as _dt
+
+    y = int(m.group(1))
+    if len(m.group(1)) <= 2:
+        y += 2000 if y <= 69 else 1900
+    try:
+        t = _dt.datetime(
+            y, int(m.group(2)), int(m.group(3)),
+            int(m.group(4) or 0), int(m.group(5) or 0), int(m.group(6) or 0),
+        )
+    except ValueError:
+        return None
+    if m.group(4) is None:
+        return f"'{t:%Y-%m-%d}'"
+    return f"'{t:%Y-%m-%d %H:%M:%S}{m.group(7) or ''}'"
+
+
+def _rewrite_date_parts(sql: str, engine: str) -> str:
+    """YEAR/DAY/DAYOFMONTH/DAYOFYEAR/WEEKDAY/WEEK/YEARWEEK/HOUR/DAYNAME
+    with MySQL semantics: string arguments coerce via TRY_CAST (invalid
+    dates → NULL, as MySQL warns-and-NULLs; '/'-delimited and 2-digit-
+    year literals normalize first), WEEKDAY is Monday=0, HOUR accepts
+    TIME strings, and WEEK supports all 8 MySQL modes.  Results cast to
+    INT on DuckDB (its extract functions return BIGINT; Spark and MySQL
+    are int32)."""
+    it = "INT" if engine == "spark" else "INTEGER"
+    st = "STRING" if engine == "spark" else "VARCHAR"
+
+    def simple(fn: str):
+        def w(inner: str) -> str:
+            inner = _normalize_date_literal(inner) or inner
+            d = f"TRY_CAST(({inner}) AS DATE)"
+            return f"CAST({fn}({d}) AS {it})"
+
+        return w
+
+    for fn, impl in (("YEAR", "YEAR"), ("DAYOFMONTH", "DAY"),
+                     ("DAYOFYEAR", "DAYOFYEAR"), ("DAY", "DAY")):
+        sql = _wrap_calls(sql, fn, simple(impl))
+
+    def wd(inner: str) -> str:
+        inner = _normalize_date_literal(inner) or inner
+        d = f"TRY_CAST(({inner}) AS DATE)"
+        dow = f"DAYOFWEEK({d})" if engine == "spark" else f"(DAYOFWEEK({d}) + 1)"
+        return f"CAST((({dow}) + 5) % 7 AS {it})"
+
+    sql = _wrap_calls(sql, "WEEKDAY", wd)
+
+    def hour(inner: str) -> str:
+        # MySQL HOUR reads datetime strings ('…' → hour part, dates →
+        # 0) AND bare TIME strings ('11:12:13' → 11, up to 838 hours)
+        inner = _normalize_date_literal(inner) or inner
+        ts = f"TRY_CAST(({inner}) AS TIMESTAMP)"
+        timestr = (
+            f"TRY_CAST(REGEXP_EXTRACT(CAST(({inner}) AS {st}), "
+            f"'^([0-9]+):', 1) AS {it})"
+        )
+        return f"COALESCE(CAST(HOUR({ts}) AS {it}), {timestr})"
+
+    sql = _wrap_calls(sql, "HOUR", hour)
+
+    def name_fn(mysql_fn: str, fmt: str):
+        def w(inner: str) -> str:
+            inner = _normalize_date_literal(inner) or inner
+            d = f"TRY_CAST(({inner}) AS DATE)"
+            if engine == "spark":
+                return f"DATE_FORMAT({d}, '{fmt}')"
+            return f"{mysql_fn}({d})"
+
+        return w
+
+    sql = _wrap_calls(sql, "DAYNAME", name_fn("DAYNAME", "EEEE"))
+    sql = _wrap_calls(sql, "MONTHNAME", name_fn("MONTHNAME", "MMMM"))
+
+    def lastday(inner: str) -> str:
+        inner = _normalize_date_literal(inner) or inner
+        return f"LAST_DAY(TRY_CAST(({inner}) AS DATE))"
+
+    sql = _wrap_calls(sql, "LAST_DAY", lastday)
+
+    def wk(yearweek: bool):
+        def w(inner: str) -> str:
+            parts = _split_top_commas(inner)
+            arg = _normalize_date_literal(parts[0]) or parts[0]
+            try:
+                mode = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                mode = 0
+            if yearweek:
+                wexpr, yexpr = _week_sql(arg, (mode & 7) | 2, engine)
+                return f"CAST({yexpr} * 100 + {wexpr} AS BIGINT)"
+            return _week_sql(arg, mode, engine)[0]
+
+        return w
+
+    sql = _wrap_calls(sql, "YEARWEEK", wk(True))
+    sql = _wrap_calls(sql, "WEEK", wk(False))
+    return sql
+
+
+def _rewrite_period_diff(sql: str, engine: str) -> str:
+    """PERIOD_DIFF(p1, p2) — months between YYYYMM/YYMM periods with
+    MySQL's 2-digit-year pivot, decimal rounding and int64 saturation
+    (ref: period_diff.test incl. the huge-double clamp rows)."""
+    idiv = "DIV" if engine == "spark" else "//"
+
+    def p2m(x: str) -> str:
+        p = (
+            f"(CASE WHEN ({x}) >= 9.2233720368547758e18 "
+            f"THEN 9223372036854775807 "
+            f"WHEN ({x}) <= -9.2233720368547758e18 "
+            f"THEN -9223372036854775808 "
+            f"ELSE CAST(ROUND({x}) AS BIGINT) END)"
+        )
+        y = f"({p} {idiv} 100)"
+        m = f"({p} % 100)"
+        yy = (
+            f"(CASE WHEN {y} < 70 THEN {y} + 2000 "
+            f"WHEN {y} < 100 THEN {y} + 1900 ELSE {y} END)"
+        )
+        return f"({yy} * 12 + {m} - 1)"
+
+    def w(inner: str) -> str:
+        parts = _split_top_commas(inner)
+        if len(parts) != 2:
+            return f"PERIOD_DIFF({inner})"
+        return f"CAST({p2m(parts[0])} - {p2m(parts[1])} AS BIGINT)"
+
+    return _wrap_calls(sql, "PERIOD_DIFF", w)
+
+
+_TIME_SHAPE = "^[0-9]+:[0-9]+:[0-9]+([.][0-9]+)?$"
+
+
+def _rewrite_timediff(sql: str, engine: str) -> str:
+    """TIMEDIFF(a, b) with the reference engine's semantics
+    (timediff_function.result): operands classify at runtime by shape —
+    time-of-day strings diff directly, datetime strings diff via epoch
+    seconds clamped to MySQL TIME's ±838:59:59, DATE values (no time
+    part) yield NULL, mixed classes yield NULL.  Result is the TIME-
+    literal string MySQL prints; fractional seconds truncate toward
+    zero (tianmu TIME has no microseconds) but the display keeps the
+    widest literal fsp as zeros."""
+    st = "STRING" if engine == "spark" else "VARCHAR"
+
+    def matches(s: str, pat: str) -> str:
+        if engine == "spark":
+            return f"({s} RLIKE '{pat}')"
+        return f"REGEXP_MATCHES({s}, '{pat}')"
+
+    def w(inner: str) -> str:
+        parts = _split_top_commas(inner)
+        if len(parts) != 2:
+            return f"TIMEDIFF({inner})"
+        fsp = 0
+        for p in parts:
+            lm = re.match(r"^\s*'[^']*[.](\d+)'\s*$", p)
+            if lm:
+                fsp = max(fsp, len(lm.group(1)))
+        parts = [(_normalize_date_literal(p) or p) for p in parts]
+        sa = f"CAST(({parts[0]}) AS {st})"
+        sb = f"CAST(({parts[1]}) AS {st})"
+
+        def cls(s: str) -> str:
+            # 2 = time-of-day, 1 = datetime, 0 = other/date-only
+            return (
+                f"(CASE WHEN {matches(s, _TIME_SHAPE)} THEN 2 "
+                f"WHEN {s} LIKE '%-%:%' THEN 1 ELSE 0 END)"
+            )
+
+        def tsecs(s: str) -> str:
+            return (
+                f"(CAST(SPLIT_PART({s}, ':', 1) AS DOUBLE) * 3600 "
+                f"+ CAST(SPLIT_PART({s}, ':', 2) AS DOUBLE) * 60 "
+                f"+ CAST(SPLIT_PART({s}, ':', 3) AS DOUBLE))"
+            )
+
+        def dsecs(s: str) -> str:
+            ts = f"TRY_CAST({s} AS TIMESTAMP)"
+            if engine == "spark":
+                return f"CAST({ts} AS DOUBLE)"
+            return f"EPOCH({ts})"
+
+        diff = (
+            f"(CASE WHEN {cls(sa)} = 2 AND {cls(sb)} = 2 "
+            f"THEN {tsecs(sa)} - {tsecs(sb)} "
+            f"WHEN {cls(sa)} = 1 AND {cls(sb)} = 1 "
+            f"THEN {dsecs(sa)} - {dsecs(sb)} "
+            f"ELSE NULL END)"
+        )
+        # DuckDB's LEAST/GREATEST skip NULLs (Spark propagates); guard
+        clamped = (
+            f"(CASE WHEN {diff} IS NULL THEN NULL "
+            f"ELSE LEAST(GREATEST({diff}, -3020399.0), 3020399.0) END)"
+        )
+        di = f"(CAST(SIGN({clamped}) * FLOOR(ABS({clamped})) AS BIGINT))"
+        sign = f"(CASE WHEN {di} < 0 THEN '-' ELSE '' END)"
+        h0 = f"CAST(ABS({di}) {'DIV' if engine == 'spark' else '//'} 3600 AS {st})"
+        h = f"(CASE WHEN LENGTH({h0}) < 2 THEN '0' || {h0} ELSE {h0} END)"
+        m = f"LPAD(CAST((ABS({di}) % 3600) {'DIV' if engine == 'spark' else '//'} 60 AS {st}), 2, '0')"
+        s2 = f"LPAD(CAST(ABS({di}) % 60 AS {st}), 2, '0')"
+        frac = f"'.{'0' * fsp}'" if fsp else "''"
+        if engine == "spark":
+            return (
+                f"CONCAT({sign}, {h}, ':', {m}, ':', {s2}, {frac})"
+            )
+        return (
+            f"({sign} || {h} || ':' || {m} || ':' || {s2} || {frac})"
+        )
+
+    return _wrap_calls(sql, "TIMEDIFF", w)
+
+
+_TSDIFF_US = {
+    "MICROSECOND": 1, "SECOND": 1_000_000, "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000, "DAY": 86_400_000_000, "WEEK": 604_800_000_000,
+}
+_TSDIFF_MONTHS = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}
+
+
+def _rewrite_timestamp_addiff(sql: str, engine: str) -> str:
+    """TIMESTAMPDIFF/TIMESTAMPADD with MySQL semantics on both engines.
+    DIFF counts COMPLETE units (anniversary-based for MONTH/QUARTER/
+    YEAR — DuckDB's date_diff counts boundary crossings instead, e.g.
+    Mar-15→next-Mar-4 is 11 MySQL months, 12 duck months), computed on
+    exact microsecond integers; sub-day units truncate toward zero."""
+
+    def us(ts: str) -> str:
+        return f"UNIX_MICROS({ts})" if engine == "spark" else f"EPOCH_US({ts})"
+
+    def tdiv(expr: str, n: int) -> str:
+        if engine == "spark":
+            return f"(({expr}) DIV {n})"
+        return (
+            f"(CASE WHEN ({expr}) < 0 THEN -((-({expr})) // {n}) "
+            f"ELSE ({expr}) // {n} END)"
+        )
+
+    def wdiff(inner: str) -> str:
+        parts = _split_top_commas(inner)
+        if len(parts) != 3:
+            return f"TIMESTAMPDIFF({inner})"
+        unit = parts[0].strip().upper()
+        a = _normalize_date_literal(parts[1]) or parts[1]
+        b = _normalize_date_literal(parts[2]) or parts[2]
+        ta = f"TRY_CAST(({a}) AS TIMESTAMP)"
+        tb = f"TRY_CAST(({b}) AS TIMESTAMP)"
+        if unit in _TSDIFF_US:
+            delta = f"({us(tb)} - {us(ta)})"
+            if _TSDIFF_US[unit] == 1:
+                return f"CAST({delta} AS BIGINT)"
+            return f"CAST({tdiv(delta, _TSDIFF_US[unit])} AS BIGINT)"
+        if unit not in _TSDIFF_MONTHS:
+            return f"TIMESTAMPDIFF({inner})"
+
+        def cmpv(ts: str) -> str:
+            # (day-of-month, time-of-day) as one comparable integer
+            day0 = f"DATE_TRUNC('DAY', {ts})"
+            return (
+                f"(CAST(DAY({ts}) AS BIGINT) * 1000000000000 "
+                f"+ ({us(ts)} - {us(day0)}))"
+            )
+
+        raw = (
+            f"((YEAR({tb}) - YEAR({ta})) * 12 + (MONTH({tb}) - MONTH({ta})))"
+        )
+        months = (
+            f"(CASE WHEN {raw} > 0 AND {cmpv(tb)} < {cmpv(ta)} "
+            f"THEN {raw} - 1 "
+            f"WHEN {raw} < 0 AND {cmpv(tb)} > {cmpv(ta)} "
+            f"THEN {raw} + 1 ELSE {raw} END)"
+        )
+        n = _TSDIFF_MONTHS[unit]
+        return f"CAST({tdiv(months, n) if n > 1 else months} AS BIGINT)"
+
+    sql = _wrap_calls(sql, "TIMESTAMPDIFF", wdiff)
+
+    _ADD_DUCK = {
+        "MICROSECOND": "TO_MICROSECONDS", "SECOND": "TO_SECONDS",
+        "MINUTE": "TO_MINUTES", "HOUR": "TO_HOURS", "DAY": "TO_DAYS",
+        "WEEK": None, "MONTH": "TO_MONTHS", "QUARTER": None,
+        "YEAR": "TO_YEARS",
+    }
+
+    def wadd(inner: str) -> str:
+        parts = _split_top_commas(inner)
+        if len(parts) != 3:
+            return f"TIMESTAMPADD({inner})"
+        unit = parts[0].strip().upper()
+        n, x = parts[1], parts[2]
+        x = _normalize_date_literal(x) or x
+        ts = f"TRY_CAST(({x}) AS TIMESTAMP)"
+        if engine == "spark":
+            u = {"WEEK": "DAY", "QUARTER": "MONTH"}.get(unit, unit)
+            nn = (
+                f"({n}) * 7" if unit == "WEEK"
+                else f"({n}) * 3" if unit == "QUARTER" else f"({n})"
+            )
+            return f"TIMESTAMPADD({u}, CAST({nn} AS INT), {ts})"
+        fn = _ADD_DUCK.get(unit)
+        if unit == "WEEK":
+            return f"({ts} + TO_DAYS(CAST(({n}) * 7 AS INT)))"
+        if unit == "QUARTER":
+            return f"({ts} + TO_MONTHS(CAST(({n}) * 3 AS INT)))"
+        if fn is None:
+            return f"TIMESTAMPADD({inner})"
+        # duck's to_years/to_months/to_days want INTEGER; the sub-day
+        # makers accept BIGINT
+        it = "BIGINT" if unit in ("MICROSECOND", "SECOND", "MINUTE", "HOUR") else "INTEGER"
+        return f"({ts} + {fn}(CAST(({n}) AS {it})))"
+
+    return _wrap_calls(sql, "TIMESTAMPADD", wadd)
 
 
 _SUBSTR_FROMFOR = re.compile(
@@ -889,10 +1447,38 @@ def _parse_insert_values(
             else:
                 dv = by_name[c.name.lower()].default
                 row.append(dv if dv is not None else "NULL")
+        row = [_mysql_temporal_literal(v, c) for v, c in zip(row, td.columns)]
         rows.append(
-            [_mysql_temporal_literal(v, c) for v, c in zip(row, td.columns)]
+            [_mysql_double_literal(v, c) for v, c in zip(row, td.columns)]
         )
     return td, rows
+
+
+_DEC_ARITH = re.compile(
+    r"^\s*-?\d+(?:\.\d+)?\s*(?:[+-]\s*\d+(?:\.\d+)?\s*)*$"
+)
+
+
+def _mysql_double_literal(lit: str, col: ColumnDef) -> str:
+    """MySQL evaluates constant decimal arithmetic exactly and converts
+    ONCE to double on insert into a DOUBLE column (round-to-nearest).
+    DuckDB's DECIMAL→DOUBLE conversion truncates instead (e.g.
+    9223372036854775807.0-1000 lands on the adjacent double), so
+    pre-evaluate simple ±-chains of decimal literals and emit the
+    shortest round-trip float literal both engines parse identically
+    (period_diff.test huge-double rows)."""
+    if col.spark_type.upper() not in ("DOUBLE", "FLOAT"):
+        return lit
+    s = lit.strip()
+    if not _DEC_ARITH.match(s) or "." not in s:
+        return lit
+    import decimal as _d
+
+    total = _d.Decimal(0)
+    for m in re.finditer(r"([+-]?)\s*(\d+(?:\.\d+)?)", s):
+        term = _d.Decimal(m.group(2))
+        total += -term if m.group(1) == "-" else term
+    return repr(float(total))
 
 
 _TEMPORAL_LIT = re.compile(
@@ -911,9 +1497,27 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
         DATETIME defaults to fsp=0: '…30.6' stores as '…31').
     Non-literal or non-temporal values pass through untouched."""
     base = col.spark_type.upper()
+    s = lit.strip()
+    if col.mysql_type == "time":
+        # TIME stores as text (no engine analog); round the fractional
+        # second away at the column's fsp like MySQL TIME(0) does
+        if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+            return lit
+        tm = re.match(
+            r"^(\d{1,3}):(\d{1,2}):(\d{1,2})(\.\d+)?$", s[1:-1].strip()
+        )
+        if not tm or not tm.group(4) or col.fsp > 0:
+            return lit
+        h, mi, sec = int(tm.group(1)), int(tm.group(2)), int(tm.group(3))
+        if float(tm.group(4)) >= 0.5:
+            sec += 1
+            if sec == 60:
+                sec, mi = 0, mi + 1
+                if mi == 60:
+                    mi, h = 0, h + 1
+        return f"'{h:02d}:{mi:02d}:{sec:02d}'"
     if base not in ("DATE", "TIMESTAMP"):
         return lit
-    s = lit.strip()
     if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
         return lit
     m = _TEMPORAL_LIT.match(s[1:-1].strip())

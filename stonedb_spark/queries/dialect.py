@@ -78,6 +78,23 @@ SOURCES = {
     'dialect_mid_function': ('mid_function.test', [(15, 31)]),
     'dialect_replace_func': ('replace_func.test', [(13, 22)]),
     'dialect_md5_function': ('md5_function.test', [(15, 34)]),
+    'dialect_strings_like': ('strings.test', [(13, 18), (34, 43), (45, 117)]),
+    'dialect_flow_control': ('flow_control_function.test', [(15, 44)]),
+    'dialect_day_function': ('day_function.test', [(15, 16), (19, 23)]),
+    'dialect_year_function': ('year_function.test', [(14, 30)]),
+    'dialect_week_default': ('week_function.test', [(14, 55)]),
+    'dialect_week_mode2': ('week_function.test', [(14, 55)]),
+    'dialect_week_mode5': ('week_function.test', [(14, 55)]),
+    'dialect_week_mode7': ('week_function.test', [(14, 55)]),
+    'dialect_weekday': ('weekday_function.test', [(14, 29)]),
+    'dialect_dayname': ('dayname_function.test', [(15, 16), (19, 23)]),
+    'dialect_dayofyear': ('dayofyear_function.test', [(15, 16), (19, 23)]),
+    'dialect_hour': ('hour_function.test', [(15, 31)]),
+    'dialect_last_day': ('last_day_function.test', [(15, 31)]),
+    'dialect_timediff': ('timediff_function.test', [(15, 35)]),
+    'dialect_period_diff': ('period_diff.test', [(52, 61), (65, 68), (86, 90)]),
+    'dialect_timestampdiff': ('timestampdiff_function.test', [(15, 62)]),
+    'dialect_timestampadd': ('timestampadd_function.test', [(15, 61)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -1882,6 +1899,440 @@ SELECT t1_CHAR_1, MD5(t1_CHAR_1) FROM t1 ORDER BY t1_CHAR_1;
 SELECT t1_DATETIME, MD5(t1_DATETIME) FROM t1 ORDER BY t1_DATETIME;
 """
 
+SCRIPT_STRINGS = """\
+CREATE TABLE t1
+(
+  l_returnflag char(1) CHARACTER SET latin1 COLLATE latin1_bin,
+  l_shipinstruct char(25) CHARACTER SET latin1 COLLATE latin1_bin,
+  l_comment varchar(44) CHARACTER SET latin1 COLLATE latin1_bin
+);
+
+SELECT count(*) FROM t1 WHERE l_comment < l_shipinstruct;
+SELECT count(*) FROM t1 WHERE l_comment <= l_shipinstruct;
+SELECT count(*) FROM t1 WHERE l_comment >= l_shipinstruct;
+SELECT count(*) FROM t1 WHERE l_comment > l_shipinstruct;
+SELECT count(*) FROM t1 WHERE l_shipinstruct < l_comment;
+SELECT count(*) FROM t1 WHERE l_shipinstruct <= l_comment;
+SELECT count(*) FROM t1 WHERE l_shipinstruct >= l_comment;
+SELECT count(*) FROM t1 WHERE l_shipinstruct > l_comment;
+
+DROP TABLE t1;
+
+# position expression
+SELECT POSITION('4' IN '1234567890') = '4' AS "4";
+SELECT POSITION('5' IN '1234567890') = '5' AS "5";
+
+# string like
+SELECT 'hawkeye' LIKE 'h%' AS "true";
+SELECT 'hawkeye' NOT LIKE 'h%' AS "false";
+
+SELECT 'hawkeye' LIKE 'H%' AS "false";
+SELECT 'hawkeye' NOT LIKE 'H%' AS "true";
+
+SELECT 'hawkeye' LIKE 'indio%' AS "false";
+SELECT 'hawkeye' NOT LIKE 'indio%' AS "true";
+
+SELECT 'hawkeye' LIKE 'h%eye' AS "true";
+SELECT 'hawkeye' NOT LIKE 'h%eye' AS "false";
+
+SELECT 'indio' LIKE '_ndio' AS "true";
+SELECT 'indio' NOT LIKE '_ndio' AS "false";
+
+SELECT 'indio' LIKE 'in__o' AS "true";
+SELECT 'indio' NOT LIKE 'in__o' AS "false";
+
+SELECT 'indio' LIKE 'in_o' AS "false";
+SELECT 'indio' NOT LIKE 'in_o' AS "true";
+
+# unused escape character
+SELECT 'hawkeye' LIKE 'h%' ESCAPE '#' AS "true";
+SELECT 'hawkeye' NOT LIKE 'h%' ESCAPE '#' AS "false";
+
+SELECT 'indio' LIKE 'ind_o' ESCAPE '$' AS "true";
+SELECT 'indio' NOT LIKE 'ind_o' ESCAPE '$' AS "false";
+
+# escape character
+SELECT 'h%' LIKE 'h#%' ESCAPE '#' AS "true";
+SELECT 'h%' NOT LIKE 'h#%' ESCAPE '#' AS "false";
+
+SELECT 'h%wkeye' LIKE 'h#%' ESCAPE '#' AS "false";
+SELECT 'h%wkeye' NOT LIKE 'h#%' ESCAPE '#' AS "true";
+
+SELECT 'h%wkeye' LIKE 'h#%%' ESCAPE '#' AS "true";
+SELECT 'h%wkeye' NOT LIKE 'h#%%' ESCAPE '#' AS "false";
+
+SELECT 'h%awkeye' LIKE 'h#%a%k%e' ESCAPE '#' AS "true";
+SELECT 'h%awkeye' NOT LIKE 'h#%a%k%e' ESCAPE '#' AS "false";
+
+SELECT 'indio' LIKE '_ndio' ESCAPE '$' AS "true";
+SELECT 'indio' NOT LIKE '_ndio' ESCAPE '$' AS "false";
+
+SELECT 'i_dio' LIKE 'i$_d_o' ESCAPE '$' AS "true";
+SELECT 'i_dio' NOT LIKE 'i$_d_o' ESCAPE '$' AS "false";
+
+SELECT 'i_dio' LIKE 'i$_nd_o' ESCAPE '$' AS "false";
+SELECT 'i_dio' NOT LIKE 'i$_nd_o' ESCAPE '$' AS "true";
+
+SELECT 'i_dio' LIKE 'i$_d%o' ESCAPE '$' AS "true";
+SELECT 'i_dio' NOT LIKE 'i$_d%o' ESCAPE '$' AS "false";
+
+# escape character same as pattern character
+SELECT 'maca' LIKE 'm%aca' ESCAPE '%' AS "true";
+SELECT 'maca' NOT LIKE 'm%aca' ESCAPE '%' AS "false";
+
+SELECT 'ma%a' LIKE 'm%a%%a' ESCAPE '%' AS "true";
+SELECT 'ma%a' NOT LIKE 'm%a%%a' ESCAPE '%' AS "false";
+
+SELECT 'bear' LIKE 'b_ear' ESCAPE '_' AS "true";
+SELECT 'bear' NOT LIKE 'b_ear' ESCAPE '_' AS "false";
+
+SELECT 'be_r' LIKE 'b_e__r' ESCAPE '_' AS "true";
+SELECT 'be_r' NOT LIKE 'b_e__r' ESCAPE '_' AS "false";
+
+SELECT 'be_r' LIKE '__e__r' ESCAPE '_' AS "false";
+SELECT 'be_r' NOT LIKE '__e__r' ESCAPE '_' AS "true";
+"""
+
+SCRIPT_FLOW_CONTROL = """\
+create table conditiontest(a int) engine=tianmu;
+insert into conditiontest values (1),(2),(3);
+SELECT * FROM conditiontest;
+SELECT a,
+      CASE a
+      WHEN 1 THEN 'one'
+      WHEN 2 THEN 'two'
+      ELSE 'three'
+      END as caseresult
+FROM conditiontest;
+
+SELECT a,
+      CASE a
+      WHEN a=1 THEN 'one1'
+      WHEN a=2 THEN 'two2'
+      ELSE 'three3'
+      END as caseresult
+FROM conditiontest;
+
+SELECT IF((2+3)>4,5,6);
+SELECT IF((2+3)<5,5,6);
+
+SELECT IFNULL(NULL,2);
+SELECT IFNULL(1,0);
+
+SELECT NULLIF (2,1);
+SELECT NULLIF (2,2);
+"""
+
+SCRIPT_DAY_FUNCTION = """\
+CREATE TABLE t1 (a DATE, b DATETIME)engine=tianmu;
+INSERT INTO t1 VALUES ('1990-10-10', '1990-10-10 0:0:0'), ('1212-12-12', '1111-11-11 11:11:11'), ('3333-03-03', '3333-3-3 3:33:33');
+
+SELECT DAY('1212-12-12 11:11:11');
+SELECT DAY('2020-12-22');
+
+SELECT a, DAY(a) FROM t1 ORDER BY 1;
+SELECT b, DAY(b) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_YEAR_FUNCTION = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '2020-12-11 01:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '1972-11-22 11:19:52', '2002-02-21 05:28:37');
+
+SELECT YEAR('1020-10-12') FROM t1 LIMIT 1;
+SELECT YEAR('2120-05-22') FROM t1 LIMIT 1;
+SELECT YEAR('1942-02-13 12:13:14') FROM t1 LIMIT 1;
+SELECT YEAR('12:13:14') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, YEAR(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEAR(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEAR(t1_TIMESTAMP) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_WEEK_FUNCTION = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES('1987-01-01', '1997-11-21 01:00:50', '2087-12-21 01:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '1972-11-22 11:19:52', '2000-01-01 05:28:37');
+
+SELECT WEEK('2020-10-12') FROM t1 LIMIT 1;
+SELECT WEEK('2020-05-22') FROM t1 LIMIT 1;
+SELECT WEEK('2020-02-13 12:13:14') FROM t1 LIMIT 1;
+SELECT WEEK('12:13:14') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, WEEK(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 0) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 1) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 2) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 3) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 4) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 5) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 6) FROM t1 ORDER BY 1;
+SELECT t1_DATE, WEEK(t1_DATE, 7) FROM t1 ORDER BY 1;
+
+SELECT t1_DATETIME, WEEK(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 0) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 1) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 2) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 3) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 4) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 5) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 6) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEK(t1_DATETIME, 7) FROM t1 ORDER BY 1;
+
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 0) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 1) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 2) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 3) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 4) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 5) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 6) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEK(t1_TIMESTAMP, 7) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_WEEKDAY_FUNCTION = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '2020-12-11 01:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '1972-11-22 11:19:52', '2002-02-21 05:28:37');
+
+SELECT WEEKDAY('2020-10-12') FROM t1 LIMIT 1;
+SELECT WEEKDAY('2020-10-13 12:13:14') FROM t1 LIMIT 1;
+SELECT WEEKDAY('12:13:14') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, WEEKDAY(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEKDAY(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEKDAY(t1_TIMESTAMP) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_DAYNAME = """\
+CREATE TABLE t1 (a DATE, b DATETIME)engine=tianmu;
+INSERT INTO t1 VALUES ('1990-10-10', '1990-10-10 0:0:0'), ('1212-12-12', '1212-12-11 11:11:11'), ('3333-03-03', '3333-3-4 3:33:33');
+
+SELECT DAYNAME('1212-12-12 11:11:11');
+SELECT DAYNAME('2020-12-22');
+
+SELECT a, DAYNAME(a) FROM t1 ORDER BY 1;
+SELECT b, DAYNAME(b) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_DAYOFYEAR = """\
+CREATE TABLE t1 (a DATE, b DATETIME)engine=tianmu;
+INSERT INTO t1 VALUES ('1990-10-10', '1990-10-10 0:0:0'), ('1212-12-12', '1212-12-11 11:11:11'), ('3333-03-03', '3333-3-4 3:33:33');
+
+SELECT DAYOFYEAR('1212-12-12 11:11:11');
+SELECT DAYOFYEAR('2020-12-22');
+
+SELECT a, DAYOFYEAR(a) FROM t1 ORDER BY 1;
+SELECT b, DAYOFYEAR(b) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_HOUR = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIME TIME,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES('1991-05-30', '01:00:50', '2020-12-11 06:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '21:19:52', '1987-01-01 17:28:37');
+
+SELECT HOUR('2020-02-21') FROM t1 LIMIT 1;
+SELECT HOUR('11:12:13') FROM t1 LIMIT 1;
+SELECT HOUR('2020/02/11 13:12:13') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, HOUR(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, HOUR(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_TIME, HOUR(t1_TIME) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_LAST_DAY = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '2020-12-11 01:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '1972-11-22 11:19:52', '1987-01-01 05:28:37');
+
+SELECT LAST_DAY('2020-02-21') FROM t1 LIMIT 1;
+SELECT LAST_DAY('11:12:13') FROM t1 LIMIT 1;
+SELECT LAST_DAY('2020/02/11 11:12:13') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, LAST_DAY(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, LAST_DAY(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, LAST_DAY(t1_TIMESTAMP) FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_TIMEDIFF = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIME TIME,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+INSERT INTO t1 VALUES('2011-08-27', '22:12:02', '1997-12-12 22:12:02');
+INSERT INTO t1 VALUES('2020-02-19', '23:59:59', '2001-1-1 23:59:59.65');
+INSERT INTO t1 VALUES('1991-05-30', '01:37:50.871', '09-12-11 01:08:59');
+
+SELECT TIMEDIFF('2011-3-3 1:12:22', '2011-3-4 3:12:11') FROM t1 LIMIT 1;
+SELECT TIMEDIFF('20:28:30', '11:22:33.4455') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, TIMEDIFF(t1_DATE, '2008-02-19 22:22:22') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMEDIFF(t1_DATE, '22:22:22') FROM t1 ORDER BY 1;
+
+SELECT t1_TIME, TIMEDIFF(t1_TIME, '2008-02-19 22:22:22') FROM t1 ORDER BY 1;
+SELECT t1_TIME, TIMEDIFF(t1_TIME, '23:59:59') FROM t1 ORDER BY 1;
+
+SELECT t1_DATETIME, TIMEDIFF(t1_DATETIME, '2001-02-19 22:22:22') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMEDIFF(t1_DATETIME, '22:22:22') FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_PERIOD_DIFF = """\
+SELECT PERIOD_DIFF(201808,199508);
+SELECT PERIOD_DIFF(1601,1603);
+SELECT PERIOD_DIFF(191602,191607);
+SELECT PERIOD_DIFF(1916-02,1916-07);
+SELECT PERIOD_DIFF(1602,9002);
+
+CREATE TABLE t1 (a DECIMAL(10,1));
+INSERT INTO t1 VALUES (200101.9);
+SELECT a,PERIOD_DIFF(a, 200101) FROM t1;
+DROP TABLE t1;
+
+CREATE TABLE t1 (a DECIMAL(17,1));
+INSERT INTO t1 VALUES (200101.9);
+SELECT a,PERIOD_DIFF(a, 200101) FROM t1;
+DROP TABLE t1;
+
+CREATE TABLE t1 (a DOUBLE);
+INSERT INTO t1 VALUES (9223372036854775807.0-1000);
+INSERT INTO t1 VALUES (9223372036854775807.0+1000);
+SELECT a, PERIOD_DIFF(200101,a) FROM t1 ORDER BY 2;
+DROP TABLE t1;
+"""
+
+SCRIPT_TIMESTAMPDIFF = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '09-12-11 01:08:59');
+
+SELECT TIMESTAMPDIFF(MICROSECOND, '2011-3-4 3:12:11.123', '2011-3-4 3:12:11.111') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(SECOND, '2012-3-3 1:12:22', '2013-3-4 3:12:18') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(MINUTE, '2012-3-3 1:12:22', '2013-3-4 3:12:18') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(HOUR, '2012-3-3 1:12:22', '2013-3-4 3:12:11') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(DAY, '2012-3-3 1:12:22', '2013-3-4 3:12:11') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(WEEK, '2012-3-3 1:12:22', '2013-3-4 3:12:11') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(MONTH, '2012-3-3 1:12:22', '2013-3-4 3:12:11') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(QUARTER, '2012-3-3 1:12:22', '2013-3-4 3:12:11') FROM t1 LIMIT 1;
+SELECT TIMESTAMPDIFF(YEAR, '2012-3-3 1:12:22', '2013-3-4 3:12:11') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, TIMESTAMPDIFF(MICROSECOND, t1_DATE, '1991-05-30 00:00:00') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(SECOND, t1_DATE, '1991-05-30 00:00:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(MINUTE, t1_DATE, '1991-05-30 00:42:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(HOUR, t1_DATE, '1991-05-30 21:12:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(DAY, t1_DATE, '1991-05-31 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(WEEK, t1_DATE, '1991-06-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(MONTH, t1_DATE, '1991-06-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(QUARTER, t1_DATE, '1991-11-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPDIFF(YEAR, t1_DATE, '1999-05-30 1:12:55') FROM t1 ORDER BY 1;
+
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(MICROSECOND, t1_TIMESTAMP, '1999-10-28 01:00:51') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(SECOND, t1_TIMESTAMP, '1999-10-28 00:00:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(MINUTE, t1_TIMESTAMP, '1999-10-28 00:42:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(HOUR, t1_TIMESTAMP, '1999-10-28 21:12:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(DAY, t1_TIMESTAMP, '1999-12-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(WEEK, t1_TIMESTAMP, '1999-06-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(MONTH, t1_TIMESTAMP, '1991-06-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(QUARTER, t1_TIMESTAMP, '1999-11-30 1:12:55') FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPDIFF(YEAR, t1_TIMESTAMP, '2999-05-30 1:12:55') FROM t1 ORDER BY 1;
+
+SELECT t1_DATETIME, TIMESTAMPDIFF(MICROSECOND, t1_DATETIME, '09-12-11 01:09:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(SECOND, t1_DATETIME, '09-12-11 01:09:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(MINUTE, t1_DATETIME, '09-12-11 01:09:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(HOUR, t1_DATETIME, '09-12-11 11:08:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(DAY, t1_DATETIME, '09-12-1 01:08:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(WEEK, t1_DATETIME, '09-11-11 01:08:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(MONTH, t1_DATETIME, '09-02-11 01:08:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(QUARTER, t1_DATETIME, '2009-02-11 01:08:59') FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPDIFF(YEAR, t1_DATETIME, '19-12-11 01:08:59') FROM t1 ORDER BY 1;
+"""
+
+SCRIPT_TIMESTAMPADD = """\
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '09-12-11 01:08:59');
+
+SELECT TIMESTAMPADD(MICROSECOND, 3, '2011-3-4 3:12:11.123') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(SECOND, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(MINUTE, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(HOUR, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(DAY, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(WEEK, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(MONTH, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(QUARTER, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+SELECT TIMESTAMPADD(YEAR, 3, '2012-3-3 1:12:22') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, TIMESTAMPADD(MICROSECOND, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(SECOND, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(MINUTE, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(HOUR, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(DAY, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(WEEK, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(MONTH, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(QUARTER, 3, t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, TIMESTAMPADD(YEAR, 3, t1_DATE) FROM t1 ORDER BY 1;
+
+SELECT t1_TIMESTAMP, TIMESTAMPADD(MICROSECOND, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(SECOND, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(MINUTE, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(HOUR, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(DAY, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(WEEK, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(MONTH, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(QUARTER, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, TIMESTAMPADD(YEAR, 3, t1_TIMESTAMP) FROM t1 ORDER BY 1;
+
+SELECT t1_DATETIME, TIMESTAMPADD(MICROSECOND, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(SECOND, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(MINUTE, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(HOUR, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(DAY, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(WEEK, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(MONTH, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(QUARTER, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIMESTAMPADD(YEAR, 3, t1_DATETIME) FROM t1 ORDER BY 1;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -1933,6 +2384,23 @@ _SPECS = [
     ('dialect_mid_function', SCRIPT_MID_FUNCTION, 9, ['b', 'm'], False, 'MID alias edge battery: negative/zero positions, out-of-range -> empty string'),
     ('dialect_replace_func', SCRIPT_REPLACE_FUNC, -1, ['b', 'r'], False, 'REPLACE scalar and per-row forms with multi-char needles'),
     ('dialect_md5_function', SCRIPT_MD5_FUNCTION, 3, ['t', 'h'], False, 'MD5 over every column type (string coercion); TEXT designated'),
+    ('dialect_strings_like', SCRIPT_STRINGS, 46, ['v'], False, 'LIKE/ESCAPE battery: escape char = wildcard char, POSITION..IN compare'),
+    ('dialect_flow_control', SCRIPT_FLOW_CONTROL, 2, None, False, 'simple CASE with boolean WHEN exprs (MySQL int coercion); IF/IFNULL/NULLIF'),
+    ('dialect_day_function', SCRIPT_DAY_FUNCTION, 2, ['a', 'd'], False, 'DAY over DATE col and datetime-string literals'),
+    ('dialect_year_function', SCRIPT_YEAR_FUNCTION, 4, ['d', 'y'], False, "YEAR over DATE/DATETIME/TIMESTAMP; invalid '12:13:14' -> NULL"),
+    ('dialect_week_default', SCRIPT_WEEK_FUNCTION, 4, ['d', 'w'], False, 'WEEK default mode 0 over Jan-1-boundary dates'),
+    ('dialect_week_mode2', SCRIPT_WEEK_FUNCTION, 7, ['d', 'w'], False, 'WEEK mode 2 (Sunday-first, week-year 1..53)'),
+    ('dialect_week_mode5', SCRIPT_WEEK_FUNCTION, 10, ['d', 'w'], False, 'WEEK mode 5 (Monday-first, first-weekday week 1)'),
+    ('dialect_week_mode7', SCRIPT_WEEK_FUNCTION, 12, ['d', 'w'], False, 'WEEK mode 7 (Monday-first, week-year, first-weekday)'),
+    ('dialect_weekday', SCRIPT_WEEKDAY_FUNCTION, 3, ['d', 'wd'], False, 'WEEKDAY (Monday=0) over DATE/DATETIME/TIMESTAMP'),
+    ('dialect_dayname', SCRIPT_DAYNAME, 2, ['a', 'dn'], False, 'DAYNAME over DATE col incl. far-future year 3333'),
+    ('dialect_dayofyear', SCRIPT_DAYOFYEAR, 2, ['a', 'doy'], False, 'DAYOFYEAR over DATE col and datetime-string literals'),
+    ('dialect_hour', SCRIPT_HOUR, 5, ['t', 'h'], False, 'HOUR over TIME strings, DATE (=0) and slash-delimited datetime literals'),
+    ('dialect_last_day', SCRIPT_LAST_DAY, 3, ['d', 'ld'], False, 'LAST_DAY over DATE/DATETIME/TIMESTAMP; leap February via slash literal'),
+    ('dialect_timediff', SCRIPT_TIMEDIFF, 6, ['dt', 'td'], False, 'TIMEDIFF class dispatch + ±838:59:59 clamp; DATE operand -> NULL'),
+    ('dialect_period_diff', SCRIPT_PERIOD_DIFF, -1, ['a', 'pd'], False, 'PERIOD_DIFF YYMM pivot, decimal rounding, int64 saturation on huge doubles'),
+    ('dialect_timestampdiff', SCRIPT_TIMESTAMPDIFF, 33, ['dt', 'n'], False, 'TIMESTAMPDIFF complete-unit counting over 9 units; 2-digit-year args'),
+    ('dialect_timestampadd', SCRIPT_TIMESTAMPADD, 27, ['dt', 'ts2'], False, 'TIMESTAMPADD all 9 units over DATE/TIMESTAMP/DATETIME'),
 ]
 
 
