@@ -195,6 +195,7 @@ class ColumnDef:
     default: str | None  # literal text, or None (implicit NULL)
     fsp: int = 0  # DATETIME/TIMESTAMP fractional-seconds precision
     mysql_type: str = ""  # lowercased declared base type ('time', …)
+    autoinc: bool = False
 
 
 @dataclass
@@ -202,6 +203,7 @@ class TableDef:
     name: str
     columns: list[ColumnDef]
     pk: list[str] = field(default_factory=list)
+    next_auto: int = 1  # AUTO_INCREMENT counter (resets with the table)
 
 
 _CONSTRAINT_PREFIX = re.compile(
@@ -298,7 +300,12 @@ def parse_create_table(stmt: str) -> TableDef:
             fm = re.match(r"\(\s*(\d+)\s*\)", args)
             if fm:
                 fsp = int(fm.group(1))
-        cols.append(ColumnDef(cname, stype, dtype, default, fsp, base))
+        cols.append(
+            ColumnDef(
+                cname, stype, dtype, default, fsp, base,
+                bool(re.search(r"\bAUTO_INCREMENT\b", rest, re.I)),
+            )
+        )
     return TableDef(name, cols, pk)
 
 
@@ -660,6 +667,10 @@ def _strcmp_case(inner: str) -> str:
 
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
+    # LIKE canonicalization reads raw MySQL literals, so it runs before
+    # the engine re-encode of every string literal
+    sql = _rewrite_like_patterns(sql)
+    sql = _recode_string_literals(sql, engine)
     sql = _rewrite_logical_ops(sql)
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed
@@ -667,7 +678,6 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # STRCMP exists in neither engine; the CASE keeps -1/0/1 int32 and
     # NULL-propagates like MySQL
     sql = _wrap_calls(sql, "STRCMP", _strcmp_case)
-    sql = _rewrite_like_escape(sql)
     if engine == "spark":
         sql = _rewrite_simple_case_bool(sql)
     sql = _rewrite_substr_family(sql, engine)
@@ -694,16 +704,9 @@ def rewrite_expr(sql: str, engine: str) -> str:
                 lambda i: f"CAST(LENGTH(CAST(({i}) AS VARCHAR)) AS INTEGER)",
             )
     if engine == "duck":
-        # backtick identifiers → double quotes
+        # backtick identifiers → double quotes (string literals were
+        # already canonicalized to single quotes by the recode pass)
         sql = re.sub(r"`([^`]+)`", r'"\1"', sql)
-        # MySQL double-quoted strings → single quotes (DuckDB treats
-        # double quotes as identifiers).  MTR text uses them rarely and
-        # only as plain literals.
-        sql = re.sub(
-            r'"((?:[^"\\]|\\.)*)"',
-            lambda m: "'" + m.group(1).replace("'", "''") + "'",
-            sql,
-        )
         # MySQL CONCAT propagates NULL; DuckDB's skips it.  Rewrite to
         # a ||-chain over VARCHAR casts (|| propagates NULL in DuckDB).
         # Runs AFTER the ||→OR pass, so generated || stays concat.
@@ -729,23 +732,111 @@ def rewrite_expr(sql: str, engine: str) -> str:
     return sql
 
 
-_LIKE_ESCAPE = re.compile(
-    r"(\bNOT\s+)?\bLIKE\s+'((?:[^']|'')*)'\s+ESCAPE\s+'((?:[^']|'')?)'",
+_MYSQL_ESC = {
+    "0": "\0", "b": "\b", "n": "\n", "r": "\r", "t": "\t", "Z": "\x1a",
+    "\\": "\\", "'": "'", '"': '"',
+}
+
+
+def _mysql_str_decode(body: str, quote: str) -> str:
+    """Decode the body of a MySQL string literal (sql-mode default, no
+    NO_BACKSLASH_ESCAPES): backslash escapes, doubled quotes, and the
+    LIKE-special ``\\%``/``\\_`` sequences which stay verbatim."""
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            if n in "%_":
+                out.append("\\" + n)  # kept: resolved by the LIKE layer
+            else:
+                out.append(_MYSQL_ESC.get(n, n))
+            i += 2
+        elif c == quote and i + 1 < len(body) and body[i + 1] == quote:
+            out.append(quote)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _mysql_str_encode(s: str) -> str:
+    """Re-encode a Python string as a MySQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _engine_str_encode(s: str, engine: str) -> str:
+    """Encode a Python string as a literal the target engine parses to
+    exactly ``s``.  Spark processes backslash escapes in literals;
+    DuckDB follows the SQL standard (backslash is an ordinary char)."""
+    if engine == "spark":
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + s.replace("'", "''") + "'"
+
+
+_ANY_STRLIT = re.compile(r"'((?:[^'\\]|\\.|'')*)'|\"((?:[^\"\\]|\\.|\"\")*)\"")
+
+
+def _recode_string_literals(sql: str, engine: str) -> str:
+    """Decode every MySQL string literal (single- or double-quoted) and
+    re-encode it for the target engine.  This is what lets verbatim MTR
+    text with ``\\\\``-laden values ('_a\\\\\\\\', escape.test) mean the
+    same bytes on Spark (backslash-escaping parser) and DuckDB (no
+    backslash escapes)."""
+
+    def rep(m: re.Match) -> str:
+        if m.group(1) is not None:
+            s = _mysql_str_decode(m.group(1), "'")
+        else:
+            s = _mysql_str_decode(m.group(2), '"')
+        # resolve the LIKE-special passthroughs outside LIKE context:
+        # a bare \% / \_ in an ordinary value is the two characters
+        return _engine_str_encode(s, engine)
+
+    return _ANY_STRLIT.sub(rep, sql)
+
+
+_LIKE_PAT = re.compile(
+    r"(\bNOT\s+)?\bLIKE\s+"
+    r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|CONCAT\s*\([^()]*\))"
+    r"(?:\s+ESCAPE\s+('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))?",
     re.I,
 )
 
 
-def _rewrite_like_escape(sql: str) -> str:
-    """MySQL lets an ESCAPE character precede ANY pattern character
-    (escape+c simply means literal c — ref parser sql/item_cmpfunc.cc
-    Item_func_like); Spark raises INVALID_FORMAT.ESC_IN_THE_MIDDLE
-    unless it precedes %, _ or itself.  For literal pattern + literal
-    escape, decode MySQL's semantics and re-encode with a canonical
-    escape character that is never ambiguous on either engine."""
+def _decode_strlit(tok: str) -> str | None:
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
+        return _mysql_str_decode(tok[1:-1], tok[0])
+    return None
+
+
+def _rewrite_like_patterns(sql: str) -> str:
+    """Canonicalize every LIKE with a literal (or CONCAT-of-literals)
+    pattern to MySQL semantics (ref parser sql/item_cmpfunc.cc
+    Item_func_like): the escape character — explicit, or backslash by
+    default — may precede ANY character and means 'literal next char'.
+    Spark raises on escape-before-ordinary-char and DuckDB has NO
+    default escape, so re-encode with an explicit canonical escape.
+    Output literals are MySQL-encoded; _recode_string_literals finishes
+    the per-engine encoding."""
 
     def rep(m: re.Match) -> str:
-        pat = m.group(2).replace("''", "'")
-        esc = m.group(3).replace("''", "'")
+        raw_pat = m.group(2).strip()
+        if raw_pat.upper().startswith("CONCAT"):
+            inner = raw_pat[raw_pat.index("(") + 1 : raw_pat.rindex(")")]
+            parts = [_decode_strlit(p) for p in _split_top_commas(inner)]
+            if any(p is None for p in parts):
+                return m.group(0)
+            pat = "".join(parts)
+        else:
+            pat = _decode_strlit(raw_pat)
+            if pat is None:
+                return m.group(0)
+        esc = "\\"
+        if m.group(3):
+            esc = _decode_strlit(m.group(3)) or "\\"
         toks: list[tuple[bool, str]] = []  # (is_wildcard, char)
         i = 0
         while i < len(pat):
@@ -760,7 +851,7 @@ def _rewrite_like_escape(sql: str) -> str:
                 toks.append((False, ch))
                 i += 1
         for new_esc in "!~@#^&":
-            if all(c != new_esc for _, c in toks) and new_esc != "'":
+            if all(c != new_esc for _, c in toks):
                 break
         out = []
         for wild, c in toks:
@@ -768,12 +859,10 @@ def _rewrite_like_escape(sql: str) -> str:
                 out.append(new_esc + c)
             else:
                 out.append(c)
-        newpat = "".join(out).replace("'", "''")
-        return (
-            f"{m.group(1) or ''}LIKE '{newpat}' ESCAPE '{new_esc}'"
-        )
+        newpat = _mysql_str_encode("".join(out))
+        return f"{m.group(1) or ''}LIKE {newpat} ESCAPE '{new_esc}'"
 
-    return _LIKE_ESCAPE.sub(rep, sql)
+    return _LIKE_PAT.sub(rep, sql)
 
 
 _CMP_TOP = re.compile(
@@ -1443,7 +1532,16 @@ def _parse_insert_values(
         row = []
         for c in td.columns:
             if c.name.lower() in given and vals:
-                row.append(given[c.name.lower()])
+                v = given[c.name.lower()]
+                if c.autoinc and v.strip().upper() in ("NULL", "0"):
+                    v = str(td.next_auto)
+                    td.next_auto += 1
+                row.append(v)
+            elif c.autoinc:
+                # MySQL assigns the counter when the column is omitted
+                # (or NULL/0 is given)
+                row.append(str(td.next_auto))
+                td.next_auto += 1
             else:
                 dv = by_name[c.name.lower()].default
                 row.append(dv if dv is not None else "NULL")
@@ -1588,14 +1686,15 @@ def _values_select(td: TableDef, rows: list[list[str]], engine: str) -> str:
     inside each tuple (see _duck_values_cte)."""
     if engine == "duck":
         return _duck_values_cte(
-            td, [[_dquote_to_squote(v) for v in r] for r in rows]
+            td, [[_recode_string_literals(v, "duck") for v in r] for r in rows]
         )
     vnames = ", ".join(f"v{i}" for i in range(len(td.columns)))
     names = ", ".join(f"v{i} AS `{c.name}`" for i, c in enumerate(td.columns))
     tuples = ", ".join(
         "("
         + ", ".join(
-            f"CAST(({v}) AS {c.spark_type})" for v, c in zip(r, td.columns)
+            f"CAST(({_recode_string_literals(v, 'spark')}) AS {c.spark_type})"
+            for v, c in zip(r, td.columns)
         )
         + ")"
         for r in rows
@@ -1770,7 +1869,9 @@ def run_statement(run: MTRRun, stmt: str):
         if dup is not None:
             td, rows = _parse_insert_values(run.tables, base)
             set_exprs = {
-                k: _translate_upsert_rhs(v, td)
+                k: _recode_string_literals(
+                    _translate_upsert_rhs(v, td), "spark"
+                )
                 for k, v in _parse_assignments(dup).items()
             }
             inc_ref = "(" + _values_select(td, rows, "spark") + ")"
@@ -1790,7 +1891,8 @@ def run_statement(run: MTRRun, stmt: str):
             cast_rows = [
                 "("
                 + ", ".join(
-                    f"CAST(({v}) AS {c.spark_type})"
+                    f"CAST(({_recode_string_literals(v, 'spark')}) "
+                    f"AS {c.spark_type})"
                     for v, c in zip(row, td.columns)
                 )
                 + ")"
@@ -2099,7 +2201,9 @@ def build_oracle_sql(
                 td = tables[t]
                 _td, rows = _parse_insert_values(tables, base)
                 set_exprs = {
-                    k: _dquote_to_squote(_translate_upsert_rhs(v, td))
+                    k: _recode_string_literals(
+                        _translate_upsert_rhs(v, td), "duck"
+                    )
                     for k, v in _parse_assignments(dup).items()
                 }
                 flush(t)
@@ -2118,7 +2222,8 @@ def build_oracle_sql(
             if re.search(r"\bVALUES?\s*\(", s, re.I):
                 _td, rows = _parse_insert_values(tables, s)
                 pending_rows.setdefault(t, []).extend(
-                    [_dquote_to_squote(v) for v in row] for row in rows
+                    [_recode_string_literals(v, "duck") for v in row]
+                    for row in rows
                 )
             else:
                 sel = re.sub(

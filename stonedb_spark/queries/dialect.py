@@ -95,6 +95,7 @@ SOURCES = {
     'dialect_period_diff': ('period_diff.test', [(52, 61), (65, 68), (86, 90)]),
     'dialect_timestampdiff': ('timestampdiff_function.test', [(15, 62)]),
     'dialect_timestampadd': ('timestampadd_function.test', [(15, 61)]),
+    'dialect_escape': ('escape.test', [(14, 64), (67, 87)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -2333,6 +2334,80 @@ SELECT t1_DATETIME, TIMESTAMPADD(QUARTER, 3, t1_DATETIME) FROM t1 ORDER BY 1;
 SELECT t1_DATETIME, TIMESTAMPADD(YEAR, 3, t1_DATETIME) FROM t1 ORDER BY 1;
 """
 
+SCRIPT_ESCAPE = r"""CREATE TABLE `st1` (
+  `id` BIGINT(20) NOT NULL AUTO_INCREMENT,
+  `name` VARCHAR(255) DEFAULT NULL,
+  `uid` VARCHAR(11) DEFAULT NULL,
+  PRIMARY KEY (`id`)
+) DEFAULT CHARSET=utf8;
+
+INSERT INTO st1 (NAME,uid) VALUES('zhangsan','hello');
+INSERT INTO st1 (NAME,uid) VALUES('lisi_wu','world');
+INSERT INTO st1 (NAME,uid) VALUES('wangwu%','world');
+INSERT INTO st1 (NAME,uid) VALUES('%a','world');
+INSERT INTO st1 (NAME,uid) VALUES('%_','world');
+select * from st1;
+
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "san", "%");
+
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "%", "%");
+
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "\%", "%");
+
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "\%", "%");
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "$%", "%") ESCAPE "$";
+
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "\_", "%");
+SELECT * FROM st1 WHERE NAME LIKE CONCAT("%", "a_", "%") ESCAPE "a";
+
+SELECT * FROM st1 WHERE NAME LIKE "a%_" ESCAPE "a" ;
+SELECT * FROM st1 WHERE NAME LIKE "a%a" ESCAPE "a" ;
+SELECT * FROM st1 WHERE NAME LIKE "a%a_" ESCAPE "a";
+
+drop table st1;
+CREATE TABLE `st1` (
+  `id` BIGINT(20) NOT NULL AUTO_INCREMENT,
+  `name` VARCHAR(255) DEFAULT NULL,
+  `uid` VARCHAR(11) DEFAULT NULL,
+  PRIMARY KEY (`id`)
+) DEFAULT CHARSET=utf8;
+
+INSERT INTO st1 (NAME,uid) VALUES('123hello','hello');
+INSERT INTO st1 (NAME,uid) VALUES('123hello123','world');
+INSERT INTO st1 (NAME,uid) VALUES('hello123','world');
+INSERT INTO st1 (NAME,uid) VALUES('_hello','world');
+
+select * from st1;
+
+select * from st1 where name like '%hello%';
+select * from st1 where name like '_hello';
+select * from st1 where name like 'hello12_';
+select * from st1 where name like '/_hello' escape '/';
+
+
+create table st2(id int ,column_2 varchar(10),column_3 varchar(10));
+insert into st2 values(1,'_a\\\\','111111');
+insert into st2 values(2,'12%','%12%');
+insert into st2 values(3,'a_a','a%');
+insert into st2 values(4,'_a\\','_12%');
+insert into st2 values(5,'\\a','\\\\_a%12%');
+
+select * from st2 where column_2 like '%\\\%' ;
+
+select * from st2 where column_2 like '%\%' ;
+select * from st2 where column_2 like '%\\%' ;
+
+select * from st2 where column_2 like '%\_%' ;
+
+select * from st2 where column_2 like '%?_%'  escape '?';
+
+select * from st2 where column_2 like '%?_a\\%';
+select * from st2 where column_2 like '%\_a\\%';
+
+select * from st2 where column_2 like '%?_a?\%';
+select * from st2 where column_2 like '%\_a\\%';
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -2401,6 +2476,7 @@ _SPECS = [
     ('dialect_period_diff', SCRIPT_PERIOD_DIFF, -1, ['a', 'pd'], False, 'PERIOD_DIFF YYMM pivot, decimal rounding, int64 saturation on huge doubles'),
     ('dialect_timestampdiff', SCRIPT_TIMESTAMPDIFF, 33, ['dt', 'n'], False, 'TIMESTAMPDIFF complete-unit counting over 9 units; 2-digit-year args'),
     ('dialect_timestampadd', SCRIPT_TIMESTAMPADD, 27, ['dt', 'ts2'], False, 'TIMESTAMPADD all 9 units over DATE/TIMESTAMP/DATETIME'),
+    ('dialect_escape', SCRIPT_ESCAPE, 20, None, False, 'backslash-laden values + LIKE escapes (default \\, custom, CONCAT patterns); AUTO_INCREMENT ids'),
 ]
 
 

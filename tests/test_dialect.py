@@ -243,3 +243,93 @@ def test_catalog_mysql_facade(spark, sf_dir):
         sf_dir,
     ).collect()
     assert rows2[0]["g"] == "AFRICA|AMERICA|ASIA|EUROPE|MIDDLE EAST"
+
+
+# ------------------------------------------------- round-7 rewrite passes
+
+
+def test_mysql_string_literal_recode():
+    from stonedb_spark.dialect import _recode_string_literals
+
+    # MySQL '\\\\' is two escaped backslashes; Spark re-escapes, DuckDB
+    # takes backslashes literally (escape.test values)
+    raw = r"SELECT '_a\\\\'"
+    assert _recode_string_literals(raw, "spark") == r"SELECT '_a\\\\'"
+    assert _recode_string_literals(raw, "duck") == r"SELECT '_a\\'"
+    # double-quoted MySQL strings canonicalize to single quotes
+    assert _recode_string_literals('SELECT "x"', "duck") == "SELECT 'x'"
+
+
+def test_like_pattern_canonicalization():
+    from stonedb_spark.dialect import _rewrite_like_patterns
+
+    # escape char == wildcard char (strings.test)
+    out = _rewrite_like_patterns("SELECT 'maca' LIKE 'm%aca' ESCAPE '%'")
+    assert "LIKE 'maca' ESCAPE '!'" in out
+    # default backslash escape resolves \% to a literal percent
+    out = _rewrite_like_patterns(r"SELECT a LIKE '%\%'")
+    assert "LIKE '%!%' ESCAPE '!'" in out
+    # CONCAT-of-literals patterns fold (escape.test)
+    out = _rewrite_like_patterns('SELECT a LIKE CONCAT("%", "san", "%")')
+    assert "LIKE '%san%' ESCAPE '!'" in out
+
+
+def test_week_sql_all_modes_vs_mysql_result_file():
+    """_week_sql vs the WEEK() outputs recorded in the reference's own
+    week_function.result (MySQL ground truth, not cross-engine)."""
+    from stonedb_spark.dialect import _week_sql
+
+    cases = {
+        ("1987-01-01", 0): 0, ("1987-01-01", 1): 1, ("1987-01-01", 2): 52,
+        ("1987-01-01", 3): 1, ("1987-01-01", 4): 0, ("1987-01-01", 5): 0,
+        ("1987-01-01", 6): 53, ("1987-01-01", 7): 52,
+        ("2000-01-01", 2): 52, ("2000-01-01", 6): 52,
+        ("2087-12-21", 4): 52, ("2087-12-21", 5): 50, ("2087-12-21", 7): 50,
+    }
+    con = duckdb.connect()
+    for (d, m), exp in cases.items():
+        expr = _week_sql(f"'{d}'", m, "duck")[0]
+        assert con.execute(f"SELECT {expr}").fetchone()[0] == exp, (d, m)
+
+
+def test_timediff_reference_semantics():
+    from stonedb_spark.dialect import rewrite_expr as rw
+
+    con = duckdb.connect()
+    for e, exp in [
+        ("TIMEDIFF('20:28:30', '11:22:33.4455')", "09:05:56.0000"),
+        ("TIMEDIFF(DATE'2011-08-27', '2008-02-19 22:22:22')", None),
+        ("TIMEDIFF(TIMESTAMP'1997-12-12 22:12:02', '2001-02-19 22:22:22')",
+         "-838:59:59"),
+    ]:
+        got = con.execute(rw(f"SELECT {e} AS v", "duck")).fetchone()[0]
+        assert got == exp, (e, got)
+
+
+def test_autoincrement_fill():
+    tables = {}
+    td = parse_create_table(
+        "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, "
+        "v VARCHAR(5), PRIMARY KEY (id))"
+    )
+    tables["t"] = td
+    _, r1 = _parse_insert_values(tables, "INSERT INTO t (v) VALUES('a')")
+    _, r2 = _parse_insert_values(tables, "INSERT INTO t (v) VALUES('b'),('c')")
+    _, r3 = _parse_insert_values(tables, "INSERT INTO t VALUES(NULL, 'd')")
+    assert [r[0] for r in r1 + r2 + r3] == ["1", "2", "3", "4"]
+
+
+def test_timestampdiff_complete_units():
+    from stonedb_spark.dialect import rewrite_expr as rw
+
+    con = duckdb.connect()
+    # anniversary counting, not boundary crossings
+    for e, exp in [
+        ("TIMESTAMPDIFF(MONTH, '2012-3-15 1:12:22', '2013-3-4 3:12:11')", 11),
+        ("TIMESTAMPDIFF(MONTH, '2013-3-4 3:12:11', '2012-3-15 1:12:22')", -11),
+        ("TIMESTAMPDIFF(WEEK, '2012-3-3 1:12:22', '2013-3-4 3:12:11')", 52),
+        ("TIMESTAMPDIFF(MICROSECOND, '2011-3-4 3:12:11.123', "
+         "'2011-3-4 3:12:11.111')", -12000),
+    ]:
+        got = con.execute(rw(f"SELECT {e} AS v", "duck")).fetchone()[0]
+        assert got == exp, (e, got)
