@@ -38,6 +38,7 @@ fights the 100 TB execution path.
 
 from __future__ import annotations
 
+import decimal
 import os
 import re
 import shutil
@@ -175,6 +176,20 @@ _TYPE_MAP = {
     "decimal": ("DECIMAL", "DECIMAL"),
     "dec": ("DECIMAL", "DECIMAL"),
     "numeric": ("DECIMAL", "DECIMAL"),
+    # MySQL INTn byte-width aliases (integer_range.test uses them)
+    "int1": ("TINYINT", "TINYINT"),
+    "int2": ("SMALLINT", "SMALLINT"),
+    "int3": ("INT", "INTEGER"),
+    "int4": ("INT", "INTEGER"),
+    "int8": ("BIGINT", "BIGINT"),
+    "bool": ("TINYINT", "TINYINT"),
+    "boolean": ("TINYINT", "TINYINT"),
+}
+
+_INT_ALIAS = {  # canonical base type for range checks
+    "int1": "tinyint", "int2": "smallint", "int3": "mediumint",
+    "int4": "int", "int8": "bigint", "integer": "int",
+    "bool": "tinyint", "boolean": "tinyint",
 }
 
 _UNSIGNED_WIDEN = {  # MySQL unsigned → next-wider signed type
@@ -196,6 +211,8 @@ class ColumnDef:
     fsp: int = 0  # DATETIME/TIMESTAMP fractional-seconds precision
     mysql_type: str = ""  # lowercased declared base type ('time', …)
     autoinc: bool = False
+    unsigned: bool = False
+    zerofill: int = 0  # display width when ZEROFILL declared, else 0
 
 
 @dataclass
@@ -278,8 +295,19 @@ def parse_create_table(stmt: str) -> TableDef:
         unsigned = bool(re.search(r"\bUNSIGNED\b", rest, re.I))
         if base not in _TYPE_MAP:
             raise ValueError(f"unsupported MySQL type: {base}")
-        if unsigned and base in _UNSIGNED_WIDEN:
-            stype, dtype = _UNSIGNED_WIDEN[base]
+        canon = _INT_ALIAS.get(base, base)
+        zerofill = 0
+        if re.search(r"\bZEROFILL\b", rest, re.I):
+            unsigned = True  # MySQL: ZEROFILL implies UNSIGNED
+            wm = re.match(r"\(\s*(\d+)\s*\)", args)
+            # declared display width (N) wins; else the type's default
+            # unsigned width (ref: MySQL 5.7 numeric type attributes)
+            zerofill = int(wm.group(1)) if wm else {
+                "tinyint": 3, "smallint": 5, "mediumint": 8,
+                "int": 10, "bigint": 20,
+            }.get(canon, 10)
+        if unsigned and canon in _UNSIGNED_WIDEN:
+            stype, dtype = _UNSIGNED_WIDEN[canon]
         else:
             stype, dtype = _TYPE_MAP[base]
         if stype == "DECIMAL":  # keep (p,s); MySQL default is (10,0)
@@ -302,8 +330,9 @@ def parse_create_table(stmt: str) -> TableDef:
                 fsp = int(fm.group(1))
         cols.append(
             ColumnDef(
-                cname, stype, dtype, default, fsp, base,
+                cname, stype, dtype, default, fsp, canon,
                 bool(re.search(r"\bAUTO_INCREMENT\b", rest, re.I)),
+                unsigned, zerofill,
             )
         )
     return TableDef(name, cols, pk)
@@ -1465,10 +1494,234 @@ _IGNORED = re.compile(
     # bare SET covers sql_mode / optimizer_switch / NAMES …; user
     # variables (SET @v=…) are NOT ignored — they get substituted
     r"^\s*(CREATE\s+DATABASE|DROP\s+DATABASE|USE\b|SET\s+(?!@)|"
-    r"COMMIT|BEGIN|START\s+TRANSACTION|"
+    r"COMMIT|BEGIN|START\s+TRANSACTION|SHOW\b|DESC(RIBE)?\b|"
+    r"CREATE\s+PROCEDURE|DROP\s+PROCEDURE|"
+    r"connect\s*\(|connection\b|disconnect\b|"
     r"LOCK\s+TABLES|UNLOCK\s+TABLES)",
     re.I,
 )
+
+
+def _parse_coldef(text: str) -> ColumnDef:
+    """Parse one bare column definition by round-tripping it through
+    the CREATE TABLE parser."""
+    return parse_create_table(f"CREATE TABLE _tmp ({text})").columns[0]
+
+
+_POS_CLAUSE = re.compile(r"\s+(FIRST|AFTER\s+(`[^`]+`|\w+))\s*$", re.I)
+
+
+def _alter_tabledef(
+    td: TableDef, actions: list[str]
+) -> tuple[TableDef, list[tuple[ColumnDef, str | None]]]:
+    """Apply ALTER TABLE actions (ADD/DROP/MODIFY/CHANGE COLUMN with
+    FIRST/AFTER placement) to a TableDef.  Returns the new definition
+    plus, per new column, the OLD column name its data comes from
+    (None = fresh column, fill with its DEFAULT)."""
+    # work list of (coldef, source_old_name | None)
+    work: list[tuple[ColumnDef, str | None]] = [
+        (c, c.name) for c in td.columns
+    ]
+
+    def find(name: str) -> int:
+        for i, (c, _) in enumerate(work):
+            if c.name.lower() == name.lower():
+                return i
+        raise ValueError(f"ALTER: unknown column {name}")
+
+    def place(item: tuple[ColumnDef, str | None], pos: str | None,
+              at: int | None = None) -> None:
+        if pos is None:
+            if at is None:
+                work.append(item)
+            else:
+                work.insert(at, item)
+        elif pos.upper() == "FIRST":
+            work.insert(0, item)
+        else:  # AFTER x
+            ref = _unquote_ident(re.match(r"AFTER\s+(.*)$", pos, re.I).group(1))
+            work.insert(find(ref) + 1, item)
+
+    for a in actions:
+        a = a.strip()
+        pm = _POS_CLAUSE.search(a)
+        pos = pm.group(1) if pm else None
+        if pm:
+            a = a[: pm.start()]
+        m = re.match(r"ADD\s+(?:COLUMN\s+)?(.*)$", a, re.I | re.S)
+        if m and not re.match(
+            r"ADD\s+(PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FULLTEXT)", a, re.I
+        ):
+            place((_parse_coldef(m.group(1)), None), pos)
+            continue
+        m = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", a, re.I)
+        if m and m.group(1).upper() not in ("PRIMARY", "INDEX", "KEY"):
+            work.pop(find(_unquote_ident(m.group(1))))
+            continue
+        m = re.match(r"MODIFY\s+(?:COLUMN\s+)?(.*)$", a, re.I | re.S)
+        if m:
+            nc = _parse_coldef(m.group(1))
+            i = find(nc.name)
+            old = work.pop(i)
+            place((nc, old[1]), pos, at=i)
+            continue
+        m = re.match(
+            r"CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+(.*)$", a, re.I | re.S
+        )
+        if m:
+            nc = _parse_coldef(m.group(2))
+            i = find(_unquote_ident(m.group(1)))
+            old = work.pop(i)
+            place((nc, old[1]), pos, at=i)
+            continue
+        if re.match(
+            r"(ADD|DROP)\s+(PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FULLTEXT)"
+            r"|RENAME\s+(INDEX|KEY)|ENGINE|DEFAULT\s+CHARSET|ORDER\s+BY"
+            r"|ALTER\s+(?:COLUMN\s+)?\w+\s+(SET|DROP)\s+DEFAULT",
+            a, re.I,
+        ):
+            am = re.match(
+                r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+"
+                r"(SET\s+DEFAULT\s+(.*)|DROP\s+DEFAULT)\s*$",
+                a, re.I | re.S,
+            )
+            if am:  # default changes affect later inserts only
+                i = find(_unquote_ident(am.group(1)))
+                c, src = work[i]
+                from dataclasses import replace as _repl
+                newdef = am.group(3).strip() if am.group(3) else None
+                work[i] = (_repl(c, default=newdef), src)
+            continue  # index/engine clauses: no data/schema effect here
+        raise ValueError(f"unsupported ALTER action: {a[:80]}")
+    newtd = TableDef(td.name, [c for c, _ in work], td.pk, td.next_auto)
+    return newtd, work
+
+
+def _zf_sql(name: str, width: int, engine: str) -> str:
+    """ZEROFILL display text for one column: zero-pad to the display
+    width, but never truncate a wider value (zerofill.test: INT(8)
+    shows 123456789 in full).  Plain LPAD would truncate on both
+    engines, hence the LENGTH guard."""
+    # always backtick-quote: the output feeds rewrite_expr, whose duck
+    # pass recodes double-quoted tokens as STRING LITERALS (MySQL
+    # semantics) — backticks survive it and become double quotes last
+    q = f"`{name}`"
+    cast = f"CAST({q} AS {'STRING' if engine == 'spark' else 'VARCHAR'})"
+    return (
+        f"CASE WHEN LENGTH({cast}) >= {width} THEN {cast} "
+        f"ELSE LPAD({cast}, {width}, '0') END"
+    )
+
+
+def _apply_zerofill(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """Rewrite a SELECT so ZEROFILL columns render as zero-padded
+    strings when the column itself is an output item (MySQL applies
+    zerofill at display time only; arithmetic like ``val+1`` stays
+    numeric — zerofill.test).  Handles the MTR shapes: ``*`` over a
+    single FROM table, and bare-column select items."""
+    froms = [
+        _unquote_ident(m.group(1)).lower()
+        for m in re.finditer(r"\b(?:FROM|JOIN)\s+(`[^`]+`|\w+)", sql, re.I)
+    ]
+    zmap: dict[str, tuple[str, int]] = {}
+    for t in froms:
+        td = tables.get(t)
+        if td:
+            for c in td.columns:
+                if c.zerofill:
+                    zmap[c.name.lower()] = (c.name, c.zerofill)
+    if not zmap:
+        return sql
+    sm = re.match(r"(\s*SELECT\s+)(.*?)(\s+FROM\s.*)$", sql, re.I | re.S)
+    if not sm:
+        return sql
+    qa = "`"  # backticks for both engines; see _zf_sql
+    out = []
+    for it in _split_top_commas(sm.group(2)):
+        tok = it.strip()
+        if tok == "*" and len(froms) == 1 and froms[0] in tables:
+            for c in tables[froms[0]].columns:
+                if c.zerofill:
+                    out.append(
+                        f"{_zf_sql(c.name, c.zerofill, engine)} "
+                        f"AS {qa}{c.name}{qa}"
+                    )
+                else:
+                    out.append(f"{qa}{c.name}{qa}")
+        elif _unquote_ident(tok).lower() in zmap:
+            name, w = zmap[_unquote_ident(tok).lower()]
+            out.append(f"{_zf_sql(name, w, engine)} AS {qa}{name}{qa}")
+        else:
+            out.append(it.strip())
+    return sm.group(1) + ", ".join(out) + sm.group(3)
+
+
+# Tianmu strict-INSERT integer ranges (integer_range.test,
+# signed_boundary.test recorded results): widths below 32 bits keep the
+# full two's-complement domain because storage is a wider int; INT loses
+# -2147483648 (NULL_VALUE_32 sentinel, ref common_definitions.h:127-138)
+# and BIGINT loses -2^63 and -2^63+1 (NULL / minus-inf encodings).
+_STRICT_INT_RANGES = {
+    "tinyint": (-128, 127),
+    "smallint": (-32768, 32767),
+    "mediumint": (-8388608, 8388607),
+    "int": (-2147483647, 2147483647),
+    "bigint": (-9223372036854775806, 9223372036854775807),
+}
+_STRICT_UINT_RANGES = {
+    "tinyint": (0, 255),
+    "smallint": (0, 65535),
+    "mediumint": (0, 16777215),
+    "int": (0, 4294967295),
+    "bigint": (0, 18446744073709551615),
+}
+
+_NUM_PREFIX = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _coerce_int_literal(tok: str, col: ColumnDef) -> str:
+    """MySQL strict-mode coercion of one INSERT value into an integer
+    column (integer_range.test): string literals are trimmed and parsed
+    as decimal numbers (rounding half away from zero), raising the
+    1366 analog when no numeric prefix exists, the 1265 analog on
+    trailing garbage, and the 1264 analog outside the tianmu range.
+    Bare numeric literals range-check only; NULL and non-literal
+    expressions pass through untouched."""
+    t = tok.strip()
+    is_str = len(t) >= 2 and t[0] in "'\"" and t[-1] == t[0]
+    if is_str:
+        body = _mysql_str_decode(t[1:-1], t[0]).strip()
+    else:
+        if t.upper() == "NULL" or not _NUM_PREFIX.fullmatch(t):
+            return tok  # NULL / expression: not a literal to validate
+        body = t
+    m = _NUM_PREFIX.match(body)
+    if m is None or m.start() != 0:
+        raise ValueError(
+            f"Incorrect integer value: {body!r} for column "
+            f"'{col.name}' (MySQL error 1366 analog)"
+        )
+    if m.end() != len(body):
+        raise ValueError(
+            f"Data truncated for column '{col.name}': {body!r} "
+            f"(MySQL error 1265 analog)"
+        )
+    v = int(
+        decimal.Decimal(body).to_integral_value(
+            rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    lo, hi = (
+        _STRICT_UINT_RANGES if col.unsigned else _STRICT_INT_RANGES
+    )[col.mysql_type]
+    if not lo <= v <= hi:
+        raise ValueError(
+            f"Out of range value for column '{col.name}': {v} outside "
+            f"[{lo}, {hi}] (MySQL error 1264 analog)"
+        )
+    return str(v)
 
 
 def _parse_insert_values(
@@ -1536,6 +1789,11 @@ def _parse_insert_values(
                 if c.autoinc and v.strip().upper() in ("NULL", "0"):
                     v = str(td.next_auto)
                     td.next_auto += 1
+                elif c.autoinc and re.fullmatch(r"\d+", v.strip()):
+                    # explicit value bumps the counter past it (MySQL)
+                    td.next_auto = max(td.next_auto, int(v.strip()) + 1)
+                if c.mysql_type in _STRICT_INT_RANGES:
+                    v = _coerce_int_literal(v, c)
                 row.append(v)
             elif c.autoinc:
                 # MySQL assigns the counter when the column is omitted
@@ -1568,6 +1826,18 @@ def _mysql_double_literal(lit: str, col: ColumnDef) -> str:
     if col.spark_type.upper() not in ("DOUBLE", "FLOAT"):
         return lit
     s = lit.strip()
+    if _NUM_PREFIX.fullmatch(s) and re.search(r"[eE]", s):
+        # scientific literals with more mantissa digits than a double
+        # round-trips overflow Spark's parser (signed_boundary.test's
+        # 1.79769313486231570814527423731704357e+308 IS representable:
+        # it rounds to DBL_MAX) — round via Python and re-emit shortest
+        v = float(s)
+        if v in (float("inf"), float("-inf")):
+            raise ValueError(
+                f"Out of range value for column '{col.name}': {s} "
+                f"(MySQL error 1264 analog)"
+            )
+        return repr(v)
     if not _DEC_ARITH.match(s) or "." not in s:
         return lit
     import decimal as _d
@@ -1839,6 +2109,44 @@ def run_statement(run: MTRRun, stmt: str):
         ]
         run.tables[name.lower()] = TableDef(name, cols)
         return None
+    lm = re.match(
+        r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+LIKE\s+"
+        r"(`[^`]+`|\w+)\s*$",
+        s,
+        re.I,
+    )
+    if lm:  # CREATE TABLE x LIKE y: clone schema, start empty
+        name = _unquote_ident(lm.group(1))
+        src = run.tables[_unquote_ident(lm.group(2)).lower()]
+        td = TableDef(name, list(src.columns), list(src.pk))
+        run.tables[name.lower()] = td
+        coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in td.columns)
+        run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        run.incarnation += 1
+        loc = f"{run.workdir}/{name}_{run.incarnation}"
+        os.makedirs(loc, exist_ok=True)
+        run.spark.sql(
+            f"CREATE TABLE `{name}` ({coldefs}) USING PARQUET "
+            f"LOCATION '{loc}'"
+        )
+        return None
+    tm = re.match(
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?:(\w+)\.)?(`[^`]+`|\w+)\s*$", s, re.I
+    )
+    if tm:
+        tname = _unquote_ident(tm.group(2))
+        if tname.lower() not in run.tables:
+            raise ValueError(
+                f"Table '{tname}' doesn't exist (MySQL error 1146 analog)"
+            )
+        tbl = run.spark.table(f"`{tname}`")
+        tbl.limit(0).localCheckpoint(eager=True).write.insertInto(
+            f"`{tname}`", overwrite=True
+        )
+        run.tables[tname.lower()].next_auto = 1  # TRUNCATE resets it
+        return None
+    if re.match(r"^\s*TRUNCATE\b", s, re.I):
+        raise ValueError(f"unsupported TRUNCATE syntax: {s[:80]}")
     if re.match(r"^\s*CREATE\s+(TEMPORARY\s+)?TABLE\b.*\(", s, re.I | re.S):
         td = parse_create_table(s)
         run.tables[td.name.lower()] = td
@@ -1863,6 +2171,22 @@ def run_statement(run: MTRRun, stmt: str):
             f"CREATE OR REPLACE TEMPORARY VIEW `{_unquote_ident(m.group(1))}` "
             f"AS {body}"
         )
+        return None
+    if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
+        # REPLACE [INTO] t …: delete PK-colliding rows, then insert
+        # (MySQL delete+insert semantics — replace.test)
+        ins = re.sub(r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I)
+        td, rows = _parse_insert_values(run.tables, ins)
+        new_df = run.spark.sql(_values_select(td, rows, "spark"))
+        tbl = run.spark.table(f"`{td.name}`")
+        if td.pk:
+            survivors = tbl.join(
+                new_df.select(*td.pk).distinct(), on=td.pk, how="left_anti"
+            ).select(*[F.col(f"`{c.name}`") for c in td.columns])
+        else:
+            survivors = tbl
+        staged = survivors.unionByName(new_df).localCheckpoint(eager=True)
+        staged.write.insertInto(f"`{td.name}`", overwrite=True)
         return None
     if re.match(r"^\s*INSERT\b", s, re.I):
         base, dup = _split_on_duplicate(s)
@@ -1955,8 +2279,39 @@ def run_statement(run: MTRRun, stmt: str):
         staged = tbl.select(*proj).localCheckpoint(eager=True)
         staged.write.insertInto(f"`{tname}`", overwrite=True)
         return None
+    if re.match(r"^\s*ALTER\s+TABLE\b", s, re.I):
+        m = re.match(r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
+        tname = _unquote_ident(m.group(1))
+        td = run.tables[tname.lower()]
+        newtd, mapping = _alter_tabledef(td, _split_top_commas(m.group(2)))
+        tbl = run.spark.table(f"`{tname}`")
+        proj = []
+        for c, src in mapping:
+            if src is None:
+                lit = c.default if c.default is not None else "NULL"
+                proj.append(
+                    F.expr(_recode_string_literals(lit, "spark"))
+                    .cast(c.spark_type).alias(c.name)
+                )
+            else:
+                proj.append(F.col(f"`{src}`").cast(c.spark_type).alias(c.name))
+        staged = tbl.select(*proj).localCheckpoint(eager=True)
+        run.spark.sql(f"DROP TABLE IF EXISTS `{tname}`")
+        run.incarnation += 1
+        loc = f"{run.workdir}/{tname}_{run.incarnation}"
+        os.makedirs(loc, exist_ok=True)
+        coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in newtd.columns)
+        run.spark.sql(
+            f"CREATE TABLE `{tname}` ({coldefs}) USING PARQUET "
+            f"LOCATION '{loc}'"
+        )
+        staged.write.insertInto(f"`{tname}`")
+        run.tables[tname.lower()] = newtd
+        return None
     if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
-        return run.spark.sql(rewrite_expr(s, "spark"))
+        return run.spark.sql(
+            rewrite_expr(_apply_zerofill(s, run.tables, "spark"), "spark")
+        )
     raise ValueError(f"unsupported statement: {s[:120]}")
 
 
@@ -1965,6 +2320,7 @@ def run_script(
     script: str,
     designated: int = -1,
     out_names: list[str] | None = None,
+    final_casts: dict[str, str] | None = None,
 ) -> DataFrame:
     """Execute a verbatim MTR script on Spark; return the
     ``designated``-th SELECT's result (default: last).  Every other
@@ -2005,6 +2361,16 @@ def run_script(
             raise ValueError("script has no designated SELECT")
         if out_names:
             result = result.toDF(*out_names)
+        if final_casts:
+            # comparison-harness canonicalization (like int_sum_cast):
+            # the SAME cast is applied to the DuckDB oracle, so dtype
+            # parity is checked at the canonical type — used where the
+            # pandas bridges disagree on a type's rendering (DuckDB
+            # df() renders DECIMAL as float64; Spark keeps Decimal)
+            for cname, ctype in final_casts.items():
+                result = result.withColumn(
+                    cname, F.col(f"`{cname}`").cast(ctype)
+                )
         return result
     finally:
         for name in list(run.tables):
@@ -2080,6 +2446,7 @@ def build_oracle_sql(
     designated: int = -1,
     out_names: list[str] | None = None,
     int_sum_cast: bool = False,
+    final_casts: dict[str, str] | None = None,
 ) -> str:
     """Compile the MTR script into ONE DuckDB SELECT: replay every
     table's DDL/DML as a chain of CTE versions, bind each table's
@@ -2193,6 +2560,63 @@ def build_oracle_sql(
             body = retarget(rewrite_expr(m.group(2), "duck"))
             ctes.append((_unquote_ident(m.group(1)), body))
             continue
+        lm = re.match(
+            r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+LIKE\s+"
+            r"(`[^`]+`|\w+)\s*$",
+            s,
+            re.I,
+        )
+        if lm:
+            name = _unquote_ident(lm.group(1))
+            src = tables[_unquote_ident(lm.group(2)).lower()]
+            key = name.lower()
+            tables[key] = TableDef(name, list(src.columns), list(src.pk))
+            versions[key] = 0
+            incarn[key] = incarn.get(key, 0) + 1
+            pending_rows[key] = []
+            continue
+        tm = re.match(
+            r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?:(\w+)\.)?(`[^`]+`|\w+)\s*$",
+            s, re.I,
+        )
+        if tm:
+            t = _unquote_ident(tm.group(2)).lower()
+            # rows never inserted can simply be dropped; otherwise chain
+            # an empty version
+            if pending_rows.get(t):
+                pending_rows[t] = []
+            if versions[t] > 0 or _has_version0(t):
+                prev = vname(t)
+                versions[t] += 1
+                ctes.append((vname(t), f"SELECT * FROM {prev} WHERE FALSE"))
+            continue
+        if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
+            ins = re.sub(
+                r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I
+            )
+            td, rows = _parse_insert_values(tables, ins)
+            rows = [
+                [_recode_string_literals(v, "duck") for v in row]
+                for row in rows
+            ]
+            t = td.name.lower()
+            flush(t)
+            prev = vname(t)
+            if versions[t] == 0 and not _has_version0(t):
+                ctes.append((prev, _duck_values_cte(td, [])))
+            versions[t] += 1
+            inc = "(" + _values_select(td, rows, "duck") + ") AS _new"
+            if td.pk:
+                pkt = ", ".join(f'"{c}"' for c in td.pk)
+                body = (
+                    f"SELECT * FROM {prev} WHERE ({pkt}) NOT IN "
+                    f"(SELECT {pkt} FROM {inc}) "
+                    f"UNION ALL SELECT * FROM {inc}"
+                )
+            else:
+                body = f"SELECT * FROM {prev} UNION ALL SELECT * FROM {inc}"
+            ctes.append((vname(t), body))
+            continue
         if re.match(r"^\s*INSERT\b", s, re.I):
             m = re.match(r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)", s, re.I)
             t = _unquote_ident(m.group(1)).lower()
@@ -2305,9 +2729,43 @@ def build_oracle_sql(
             )
             ctes.append((vname(t), f"SELECT {proj} FROM {prev}"))
             continue
+        if re.match(r"^\s*ALTER\s+TABLE\b", s, re.I):
+            m = re.match(
+                r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S
+            )
+            t = _unquote_ident(m.group(1)).lower()
+            td = tables[t]
+            newtd, mapping = _alter_tabledef(
+                td, _split_top_commas(m.group(2))
+            )
+            flush(t)
+            prev = vname(t)
+            if versions[t] == 0 and not _has_version0(t):
+                ctes.append((prev, _duck_values_cte(td, [])))
+            versions[t] += 1
+            parts = []
+            for c, src in mapping:
+                if src is None:
+                    lit = (
+                        _recode_string_literals(c.default, "duck")
+                        if c.default is not None
+                        else "NULL"
+                    )
+                    parts.append(
+                        f'CAST(({lit}) AS {c.duck_type}) AS "{c.name}"'
+                    )
+                else:
+                    parts.append(
+                        f'CAST("{src}" AS {c.duck_type}) AS "{c.name}"'
+                    )
+            ctes.append((vname(t), f"SELECT {', '.join(parts)} FROM {prev}"))
+            tables[t] = newtd
+            continue
         if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
             if seen == target:
-                final_sql = retarget(rewrite_expr(s, "duck"))
+                final_sql = retarget(
+                    rewrite_expr(_apply_zerofill(s, tables, "duck"), "duck")
+                )
             seen += 1
             continue
         raise ValueError(f"oracle: unsupported statement {s[:90]}")
@@ -2317,6 +2775,12 @@ def build_oracle_sql(
         final_sql = _wrap_calls(
             final_sql, "SUM", lambda inner: f"CAST(SUM({inner}) AS BIGINT)"
         )
+    if final_casts:
+        # mirror of run_script's final_casts (DuckDB SELECT * REPLACE)
+        reps = ", ".join(
+            f'CAST("{c}" AS {t}) AS "{c}"' for c, t in final_casts.items()
+        )
+        final_sql = f"SELECT * REPLACE ({reps}) FROM ({final_sql}) AS _fc"
     with_clause = ""
     if ctes:
         with_clause = "WITH " + ",\n".join(

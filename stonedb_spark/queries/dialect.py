@@ -96,6 +96,16 @@ SOURCES = {
     'dialect_timestampdiff': ('timestampdiff_function.test', [(15, 62)]),
     'dialect_timestampadd': ('timestampadd_function.test', [(15, 61)]),
     'dialect_escape': ('escape.test', [(14, 64), (67, 87)]),
+    'dialect_left_fn': ('left_function.test', [(1, 29)]),
+    'dialect_right_fn': ('right_function.test', [(1, 29)]),
+    'dialect_substring_fn': ('substring_function.test', [(1, 51)]),
+    'dialect_ctas_types': ('ctas.test', [(1, 52)]),
+    'dialect_signed_boundary': ('signed_boundary.test', [(1, 56)]),
+    'dialect_integer_range': ('integer_range.test', [(1, 236)]),
+    'dialect_integer_range_int8': ('integer_range.test', [(1, 236)]),
+    'dialect_zerofill': ('zerofill.test', [(1, 64)]),
+    'dialect_truncate': ('truncate_table.test', [(1, 89)]),
+    'dialect_replace': ('replace.test', [(1, 67)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -2408,6 +2418,697 @@ select * from st2 where column_2 like '%?_a?\%';
 select * from st2 where column_2 like '%\_a\\%';
 """
 
+SCRIPT_LEFT_FUNCTION = """--echo #
+--echo # LEFT() function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS left_function;
+--enable_warnings
+
+CREATE DATABASE left_function;
+USE left_function;
+
+CREATE TABLE t1 (a INT, b CHAR(15))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'tianmu22222'),(2, 'tianmu'),(3, 'Innodb');
+
+SELECT LEFT('tianmu22222 cs', 7) FROM t1 LIMIT 1;
+SELECT LEFT('tianmu22222 cs', 8) FROM t1 LIMIT 1;
+SELECT LEFT('tianmu22222 cs', 9) FROM t1 LIMIT 1;
+
+SELECT b, LEFT(b, 0) FROM t1 ORDER BY 1;
+SELECT b, LEFT(b, -1) FROM t1 ORDER BY 1;
+SELECT b, LEFT(b, 6) FROM t1 ORDER BY 1;
+SELECT b, LEFT(b, 9) FROM t1 ORDER BY 1;
+SELECT b, LEFT(concat('mmm_', b), 10) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE left_function;
+"""
+
+SCRIPT_RIGHT_FUNCTION = """--echo #
+--echo # RIGHT() function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS right_function;
+--enable_warnings
+
+CREATE DATABASE right_function;
+USE right_function;
+
+CREATE TABLE t1 (a INT, b CHAR(15))ENGINE=tianmu;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'tianmu'),(2, 'tainmu'),(3, 'Innodb');
+
+SELECT RIGHT('tianmu cs', 2) FROM t1 LIMIT 1;
+SELECT RIGHT('tianmu cs', 3) FROM t1 LIMIT 1;
+SELECT RIGHT('tianmu cs', 4) FROM t1 LIMIT 1;
+
+SELECT b, RIGHT(b, 0) FROM t1 ORDER BY 1;
+SELECT b, RIGHT(b, -1) FROM t1 ORDER BY 1;
+SELECT b, RIGHT(b, 6) FROM t1 ORDER BY 1;
+SELECT b, RIGHT(b, 9) FROM t1 ORDER BY 1;
+SELECT b, RIGHT(concat(b, '_mmm'), 10) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE right_function;
+"""
+
+SCRIPT_SUBSTRING_FUNCTION = """--echo #
+--echo # SUBSTRING() function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS substring_function;
+--enable_warnings
+
+CREATE DATABASE substring_function;
+USE substring_function;
+
+CREATE TABLE t1
+(
+ t1_INT INT,
+ t1_DECIMAL DECIMAL(12,5),
+ t1_TEXT TEXT,
+ t1_DATE DATE,
+ t1_TIME TIME
+ )ENGINE=tianmu;
+INSERT INTO t1 VALUES(103, 1234.5699, 'pqr stu vwx yz', '1997-12-12', '22:12:02');
+INSERT INTO t1 VALUES(-7299, 111.99, 'abcde//fghijk//lm', '2001-1-1', '23:59:59');
+INSERT INTO t1 VALUES(9913, 98765.4321, repeat('q00', 5), '09-12-11', '01:08:59');
+
+SELECT SUBSTRING('123456789', 5, 3) FROM t1 LIMIT 1;
+SELECT SUBSTRING('abcdefghij', 3, 5) FROM t1 LIMIT 1;
+SELECT SUBSTRING('pqr stu vwz', 3, 5) FROM t1 LIMIT 1;
+SELECT SUBSTRING('pqr stu vwz', 3) FROM t1 LIMIT 1;
+SELECT SUBSTRING('pqr stu vwz' FROM 3) FROM t1 LIMIT 1;
+SELECT SUBSTRING('11:12:13' FROM 4 FOR 2) FROM t1 LIMIT 1;
+SELECT SUBSTRING('11:12:13', 4, 2) FROM t1 LIMIT 1;
+
+SELECT SUBSTRING(t1_TEXT FROM 3) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_TEXT, 3) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_TEXT FROM 3 FOR 15) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_TEXT, 3, 15) FROM t1 ORDER BY 1;
+
+SELECT SUBSTRING(t1_DATE FROM 3) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_DATE, 3) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_DATE FROM 3 FOR 15) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_DATE, 3, 15) FROM t1 ORDER BY 1;
+
+SELECT SUBSTRING(t1_TIME FROM 3) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_TIME, 3) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_TIME FROM 3 FOR 15) FROM t1 ORDER BY 1;
+SELECT SUBSTRING(t1_TIME, 3, 15) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE substring_function;
+"""
+
+SCRIPT_CTAS = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+CREATE DATABASE ctastest;
+
+USE ctastest;
+
+CREATE TABLE `ctas_test` (
+  `c_tinyint` tinyint DEFAULT NULL COMMENT 'tinyint',
+  `c_smallint` smallint NOT NULL COMMENT 'smallint',
+  `c_mediumint` mediumint DEFAULT NULL COMMENT 'mediumint',
+  `c_int` int DEFAULT NULL COMMENT 'int',
+  `c_bigint` bigint DEFAULT NULL COMMENT 'bigint',
+  `c_float` float DEFAULT NULL COMMENT 'float',
+  `c_double` double DEFAULT NULL COMMENT 'double',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'decimal',
+  `c_date` date DEFAULT NULL COMMENT 'date',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'datetime',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'timestamp',
+  `c_time` time DEFAULT NULL COMMENT 'time',
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_blob` blob COMMENT 'blob',
+  `c_text` text COMMENT 'text',
+  `c_longblob` longblob COMMENT 'longblob'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+
+#
+#CTAS TEST
+#
+
+INSERT INTO ctas_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+VALUES(1,2,3,4,5,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn'),
+(2,3,4,5,6,5.3,10.89,105.084,'2016-02-26','2016-02-26 10:20:02','2016-02-25 05:20:02','10:20:02','stoneatom2','hello2','qweqeqweqweqw'),
+(3,4,5,6,7,5.4,10.90,105.085,'2016-02-27','2016-02-27 10:20:03','2016-02-25 05:20:03','10:20:03','stoneatom3','hello3','asdfasdfsadfa');
+
+SHOW CREATE TABLE ctas_test;
+
+CREATE TABLE ctas_test1 AS SELECT * FROM ctas_test;
+
+SHOW CREATE TABLE ctas_test1;
+
+SELECT * FROM ctas_test1;
+
+#
+#END CLEAN
+#
+
+DROP TABLE  ctas_test, ctas_test1;
+
+DROP DATABASE ctastest; 
+"""
+
+SCRIPT_SIGNED_BOUNDARY = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test signed boundary
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS signed_boundary;
+--enable_warnings
+
+CREATE DATABASE signed_boundary;
+USE signed_boundary;
+# int32 limit
+CREATE TABLE int32_(c_max int, c_min int) engine = tianmu;
+INSERT INTO int32_ values(-2147483647, 2147483647);
+--error 1264
+INSERT INTO int32_ values(-2147483648, 2147483647);
+--error 1264
+INSERT INTO int32_ values(-2147483647, 2147483648);
+DROP TABLE int32_;
+
+# int64 limit
+CREATE TABLE int64_(c_max bigint, c_min bigint) engine = tianmu;
+INSERT INTO int64_ values(-9223372036854775806, 9223372036854775807);
+--error 1264
+INSERT INTO int64_ values(-9223372036854775807, 9223372036854775807);
+--error 1264
+INSERT INTO int64_ values(-9223372036854775806, 9223372036854775808);
+DROP TABLE int64_;
+
+# fix issue #1344, select * from t where col = 9223372036854775807,1.797693134862315708e+308, -1.797693134862315708e+308
+create table t1 (
+    value64  bigint  not null,
+    value32  integer          not null
+    );
+
+insert into t1 values(9223372036854775806, 1);
+insert into t1 values(9223372036854775807, 2);
+insert into t1 values(-9223372036854775806, 2);
+select * from t1;
+select * from t1 where value64= 9223372036854775807;
+select * from t1 where value64= -9223372036854775806;
+select * from t1 where value64 between 9223372036854775806 and 9223372036854775807;
+drop table t1;
+
+create table txxx(a double);
+insert into txxx values(1.79769313486231570814527423731704357e+308);
+insert into txxx values(-1.79769313486231570814527423731704357e+308);
+select * from txxx;
+select * from txxx where a = -1.7976931348623157e308;
+select * from txxx where a = 1.7976931348623157e308;
+select * from txxx where a between 1.7976931348623157e308 and 1.7976931348623157e308;
+select * from txxx where a between -1.7976931348623157e308 and -1.7976931348623157e308;
+drop table txxx;
+
+DROP DATABASE signed_boundary;
+"""
+
+SCRIPT_INTEGER_RANGE = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test integer range
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS integer_range_test;
+--enable_warnings
+
+CREATE DATABASE integer_range_test;
+USE integer_range_test;
+
+--echo #
+--echo # INT1 tinyint
+--echo #
+
+CREATE TABLE int1_tbl(f1 int1);
+INSERT INTO int1_tbl(f1) VALUES ('0   ');
+INSERT INTO int1_tbl(f1) VALUES ('  14 ');
+INSERT INTO int1_tbl(f1) VALUES ('    -14');
+INSERT INTO int1_tbl(f1) VALUES ('34.5');
+
+# largest and smallest values
+INSERT INTO int1_tbl(f1) VALUES ('-128');
+INSERT INTO int1_tbl(f1) VALUES ('127');
+INSERT INTO int1_tbl(f1) VALUES ('-127');
+INSERT INTO int1_tbl(f1) VALUES ('126');
+
+# out of range
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int1_tbl(f1) VALUES ('-129');
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int1_tbl(f1) VALUES ('128');
+
+# bad input values -- should give errors
+--error 1264
+INSERT INTO int1_tbl(f1) VALUES ('100000');
+--error 1366
+INSERT INTO int1_tbl(f1) VALUES ('asdf');
+--error 1366
+INSERT INTO int1_tbl(f1) VALUES ('    ');
+--error 1366
+INSERT INTO int1_tbl(f1) VALUES ('- 1234');
+--error 1265
+INSERT INTO int1_tbl(f1) VALUES ('4 444');
+--error 1265
+INSERT INTO int1_tbl(f1) VALUES ('123 dt');
+--error 1366
+INSERT INTO int1_tbl(f1) VALUES ('');
+select * from int1_tbl;
+
+
+--echo #
+--echo # INT2 smallint
+--echo #
+
+CREATE TABLE int2_tbl(f1 int2);
+INSERT INTO int2_tbl(f1) VALUES ('0   ');
+INSERT INTO int2_tbl(f1) VALUES ('  1234 ');
+INSERT INTO int2_tbl(f1) VALUES ('    -1234');
+INSERT INTO int2_tbl(f1) VALUES ('34.5');
+
+# largest and smallest values
+INSERT INTO int2_tbl(f1) VALUES ('32767');
+INSERT INTO int2_tbl(f1) VALUES ('32766');
+INSERT INTO int2_tbl(f1) VALUES ('-32768');
+INSERT INTO int2_tbl(f1) VALUES ('-32767');
+
+# out of range
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int2_tbl(f1) VALUES ('32768');
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int2_tbl(f1) VALUES ('-32769');
+
+# bad input values -- should give errors
+--error 1264
+INSERT INTO int2_tbl(f1) VALUES ('100000');
+--error 1366
+INSERT INTO int2_tbl(f1) VALUES ('asdf');
+--error 1366
+INSERT INTO int2_tbl(f1) VALUES ('    ');
+--error 1366
+INSERT INTO int2_tbl(f1) VALUES ('- 1234');
+--error 1265
+INSERT INTO int2_tbl(f1) VALUES ('4 444');
+--error 1265
+INSERT INTO int2_tbl(f1) VALUES ('123 dt');
+--error 1366
+INSERT INTO int2_tbl(f1) VALUES ('');
+select * from int2_tbl;
+
+--echo #
+--echo # INT3 mediumint
+--echo #
+CREATE TABLE int3_tbl(f1 int3);
+INSERT INTO int3_tbl(f1) VALUES ('0   ');
+INSERT INTO int3_tbl(f1) VALUES ('  14123 ');
+INSERT INTO int3_tbl(f1) VALUES ('    -14123');
+INSERT INTO int3_tbl(f1) VALUES ('3413.5');
+
+# largest and smallest values
+INSERT INTO int3_tbl(f1) VALUES ('-8388608');
+INSERT INTO int3_tbl(f1) VALUES ('8388607');
+INSERT INTO int3_tbl(f1) VALUES ('-8388607');
+INSERT INTO int3_tbl(f1) VALUES ('8388606');
+
+# out of range
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int3_tbl(f1) VALUES ('-8388609');
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int3_tbl(f1) VALUES ('8388608');
+
+# bad input values -- should give errors
+--error 1264
+INSERT INTO int3_tbl(f1) VALUES ('1000000000');
+--error 1366
+INSERT INTO int3_tbl(f1) VALUES ('asdf');
+--error 1366
+INSERT INTO int3_tbl(f1) VALUES ('    ');
+--error 1366
+INSERT INTO int3_tbl(f1) VALUES ('- 1234');
+--error 1265
+INSERT INTO int3_tbl(f1) VALUES ('4 444');
+--error 1265
+INSERT INTO int3_tbl(f1) VALUES ('123 dt');
+--error 1366
+INSERT INTO int3_tbl(f1) VALUES ('');
+select * from int3_tbl;
+
+--echo #
+--echo # INT4 int[-2147483647, 2147483647]
+--echo #
+
+CREATE TABLE int4_tbl(f1 int4);
+INSERT INTO int4_tbl(f1) VALUES ('   0  ');
+INSERT INTO int4_tbl(f1) VALUES ('123456     ');
+INSERT INTO int4_tbl(f1) VALUES ('    -123456');
+INSERT INTO int4_tbl(f1) VALUES ('34.5');
+
+# largest and smallest values
+INSERT INTO int4_tbl(f1) VALUES ('2147483647');
+INSERT INTO int4_tbl(f1) VALUES ('2147483646');
+INSERT INTO int4_tbl(f1) VALUES ('-2147483647');
+INSERT INTO int4_tbl(f1) VALUES ('-2147483646');
+
+# out of range
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int4_tbl(f1) VALUES ('2147483648');
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int4_tbl(f1) VALUES ('-2147483648');
+
+# bad input values -- should give errors
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int4_tbl(f1) VALUES ('1000000000000');
+--error 1366
+INSERT INTO int4_tbl(f1) VALUES ('asdf');
+--error 1366
+INSERT INTO int4_tbl(f1) VALUES ('     ');
+--error 1366
+INSERT INTO int4_tbl(f1) VALUES ('   asdf   ');
+--error 1366
+INSERT INTO int4_tbl(f1) VALUES ('- 1234');
+--error 1265
+INSERT INTO int4_tbl(f1) VALUES ('123       5');
+--error 1366
+INSERT INTO int4_tbl(f1) VALUES ('');
+select * from int4_tbl;
+
+--echo #
+--echo # INT8 bigint[-9223372036854775806, 9223372036854775807]
+--echo #
+
+CREATE TABLE int8_tbl(q1 int8, q2 int8);
+INSERT INTO int8_tbl VALUES('  123   ','  456');
+INSERT INTO int8_tbl VALUES('123   ','4567890123456789');
+INSERT INTO int8_tbl VALUES('4567890123456789','123');
+INSERT INTO int8_tbl VALUES(+4567890123456789,'4567890123456789');
+INSERT INTO int8_tbl VALUES('+4567890123456789','-4567890123456789');
+
+# largest and smallest values
+INSERT INTO int8_tbl VALUES ('9223372036854775807','9223372036854775806');
+INSERT INTO int8_tbl VALUES ('-9223372036854775806','-9223372036854775805');
+
+# out of range
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int8_tbl VALUES ('-9223372036854775807','-9223372036854775807');
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int8_tbl VALUES ('9223372036854775808','9223372036854775808');
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO int8_tbl VALUES ('-9223372036854775806','-9223372036854775807');
+
+# bad inputs
+--error 1366
+INSERT INTO int8_tbl(q1) VALUES ('      ');
+--error 1366
+INSERT INTO int8_tbl(q1) VALUES ('xxx');
+--error 1264
+INSERT INTO int8_tbl(q1) VALUES ('3908203590239580293850293850329485');
+--error 1264
+INSERT INTO int8_tbl(q1) VALUES ('-1204982019841029840928340329840934');
+--error 1366
+INSERT INTO int8_tbl(q1) VALUES ('- 123');
+--error 1265
+INSERT INTO int8_tbl(q1) VALUES ('  345     5');
+--error 1366
+INSERT INTO int8_tbl(q1) VALUES ('');
+INSERT INTO int8_tbl(q1) VALUES (null);
+SELECT * FROM int8_tbl;
+
+# int8/int8 cmp
+SELECT * FROM int8_tbl WHERE q2 = 4567890123456789;
+SELECT * FROM int8_tbl WHERE q2 <> 4567890123456789;
+#bug1332 SELECT * FROM int8_tbl WHERE q2 < 4567890123456789;
+SELECT * FROM int8_tbl WHERE q2 > 4567890123456789;
+#bug1332 SELECT * FROM int8_tbl WHERE q2 <= 4567890123456789;
+SELECT * FROM int8_tbl WHERE q2 >= 4567890123456789;
+
+# int8/int4 cmp
+SELECT * FROM int8_tbl WHERE q2 = 456;
+SELECT * FROM int8_tbl WHERE q2 <> 456;
+#bug1332 SELECT * FROM int8_tbl WHERE q2 < 456;
+SELECT * FROM int8_tbl WHERE q2 > 456;
+#bug1332 SELECT * FROM int8_tbl WHERE q2 <= 456;
+SELECT * FROM int8_tbl WHERE q2 >= 456;
+
+# int4/int8 cmp
+SELECT * FROM int8_tbl WHERE 123 = q1;
+SELECT * FROM int8_tbl WHERE 123 <> q1;
+SELECT * FROM int8_tbl WHERE 123 < q1;
+#bug1332 SELECT * FROM int8_tbl WHERE 123 > q1;
+SELECT * FROM int8_tbl WHERE 123 <= q1;
+#bug1332 SELECT * FROM int8_tbl WHERE 123 >= q1;
+
+# cleanup
+drop DATABASE integer_range_test;
+"""
+
+SCRIPT_ZEROFILL = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test zerofill
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS zerofill_test;
+--enable_warnings
+
+CREATE DATABASE zerofill_test;
+USE zerofill_test;
+
+CREATE TABLE st1 (x INT(8) ZEROFILL NOT NULL, y INT(8) NOT NULL);
+INSERT INTO st1 VALUES
+(1, 1),
+(12, 12),
+(123, 123),
+(1234567, 1234567),
+(123456789, 123456789);
+select * from st1;
+
+CREATE TABLE st2(id int PRIMARY KEY,val TINYINT(10) ZEROFILL);
+INSERT INTO st2 VALUES(1,12),(2,7),(4,101);
+SELECT * FROM st2;
+#bug1095 SELECT LENGTH(val) FROM st2 WHERE id=2;
+SELECT val+1 FROM st2 WHERE id=2;
+
+create table st3 (id1 int,id2 int(5));
+insert into st3 values (1,1);
+alter table st3 modify id1 int zerofill;
+alter table st3 modify id2 int(5) zerofill;
+insert into st3 values (1,1234567);
+select * from st3;
+
+CREATE TABLE st4(  
+`id` int(11) unsigned zerofill NOT NULL AUTO_INCREMENT,  
+`col2` varchar(20) NOT NULL, 
+`year` year(4) DEFAULT NULL,  
+`month` int(2) unsigned zerofill DEFAULT NULL,  
+`day` int(2) unsigned zerofill DEFAULT NULL,
+ PRIMARY KEY (`id`)
+);
+
+insert into st4 values(1,'test',2021,12,12);
+alter table st4 MODIFY id int;
+select * from st4;
+
+CREATE TABLE st5(
+num1 TINYINT,
+num2 TINYINT UNSIGNED,
+num3 INT,
+num4 INT ZEROFILL,
+num5 INT UNSIGNED ZEROFILL
+);
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT st5(num1,num2) VALUES(-5,-5);
+INSERT st5(num3,num4) VALUES(123,123);
+INSERT st5 VALUES(0,0,0,0,0);
+INSERT st5(num3,num4,num5) VALUES(123,123,123);
+SELECT * FROM st5;
+
+# Clean UP
+DROP DATABASE zerofill_test;
+"""
+
+SCRIPT_TRUNCATE_TABLE = """--echo #
+--echo # Test TRUNCATE TABLE in various possible scenarios.
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS truncate_table;
+--enable_warnings
+
+CREATE DATABASE truncate_table;
+USE truncate_table;
+
+CREATE TABLE t1 (a INTEGER, b INT,c1 CHAR(10)) ENGINE=tianmu;
+INSERT INTO t1 (a) VALUES (1),(2);
+TRUNCATE TABLE t1;
+SELECT COUNT(*) FROM t1;
+INSERT INTO t1 VALUES (1, 2, "test");
+SELECT COUNT(*) FROM t1;
+TRUNCATE truncate_table.t1;
+
+DROP TABLE IF EXISTS non_existing_table;
+--error 1146
+TRUNCATE non_existing_table;
+
+# check multi-table TRUNCATE
+DROP TABLE t1;
+DROP TABLE IF EXISTS t2;
+CREATE TABLE t1 (id INT) ENGINE=INNODB;
+CREATE TABLE t2 (id INT) ENGINE=tianmu;
+--error 1064
+TRUNCATE t1, t2;
+TRUNCATE t1;
+TRUNCATE t2;
+DROP TABLE t1;
+DROP TABLE t2;
+
+# Test for Bug#5507 "TRUNCATE should work with views"
+#
+# when it'll be fixed, the error should become 1347
+# (test.v1' is not of type 'BASE TABLE')
+#
+CREATE TABLE t1 (id INT) ENGINE=tianmu; 
+INSERT INTO t1 (id) VALUES (1), (2), (3), (4), (5);
+CREATE VIEW v1 AS SELECT * FROM t1;
+--error 1146
+TRUNCATE v1;
+SELECT * FROM v1;
+--error ER_NO_SUCH_TABLE
+TRUNCATE v1;
+SELECT * FROM v1;
+
+CREATE PROCEDURE p1() SET @a = 5;
+--error ER_NO_SUCH_TABLE
+TRUNCATE p1;
+
+# Test with handler
+DROP TABLE t1;
+CREATE TABLE t1 AS SELECT 1 AS f1;
+TRUNCATE t1;
+
+DROP TABLE t1;
+DROP TABLE IF EXISTS t1;
+CREATE TABLE t1 (id INT) ENGINE=tianmu;
+INSERT INTO t1 (id) VALUES (1), (2), (3), (4), (5);
+CREATE TABLE t2 LIKE t1;
+INSERT INTO t2 SELECT * FROM t1;
+
+# Test from parallel connections
+connect (addconroot1, localhost, root,,);
+connect (addconroot2, localhost, root,,);
+connection addconroot1;
+TRUNCATE truncate_table.t1;
+connection addconroot2;
+TRUNCATE truncate_table.t1;
+connection addconroot1;
+TRUNCATE truncate_table.t1;
+connection addconroot2;
+USE truncate_table;
+TRUNCATE t2;
+
+connection default;
+USE truncate_table;
+SELECT count(*) FROM t1;
+SELECT count(*) FROM t2;
+disconnect addconroot1;
+disconnect addconroot2;
+
+DROP DATABASE truncate_table;
+"""
+
+SCRIPT_REPLACE = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS replace_test;
+--enable_warnings
+
+CREATE DATABASE replace_test;
+
+USE replace_test;
+
+#
+# Test REPLACE INTO with TIANMU
+#
+
+--disable_warnings
+drop table if exists test1;
+--enable_warnings
+# test auto_increment and the primary key covers 1 columns
+CREATE TABLE test1 (
+  id INT NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  ts TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+REPLACE INTO test1 VALUES (1, 'Old', '2014-08-20 18:47:00');
+REPLACE INTO test1 VALUES (1, 'New', '2014-08-20 18:47:42');
+SELECT * FROM test1;
+drop table test1;
+--disable_warnings
+drop table if exists test2;
+--enable_warnings
+
+# the primary key now covers 2 columns
+CREATE TABLE test2 (
+  id INT NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  ts TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+  PRIMARY KEY (id, ts)
+)  engine=tianmu;
+REPLACE INTO test2 VALUES (1, 'Old', '2014-08-20 18:47:00');
+REPLACE INTO test2 VALUES (1, 'New', '2014-08-20 18:47:42');
+select * from test2;
+drop table test2;
+
+# test whether `delete` would impact the `replace into` action
+--disable_warnings
+drop table if exists test1;
+--enable_warnings
+CREATE TABLE test1 (
+  id INT NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  ts TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+insert into test1 values (1,'Old', '2014-08-20 18:47:00');
+insert into test1 values (2, 'Old', '2014-08-20 18:47:00');
+REPLACE INTO test1 VALUES (1, 'New', '2014-08-20 18:47:42');
+SELECT * FROM test1;
+delete from test1 where id =1;
+SELECT * FROM test1;
+REPLACE INTO test1 VALUES (1, 'NewNew', '2014-08-20 18:47:55');
+SELECT * FROM test1;
+REPLACE INTO test1 VALUES (1, 'NewNewNew', '2014-08-20 18:55:55');
+SELECT * FROM test1;
+drop table test1;
+
+DROP DATABASE replace_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -2477,19 +3178,32 @@ _SPECS = [
     ('dialect_timestampdiff', SCRIPT_TIMESTAMPDIFF, 33, ['dt', 'n'], False, 'TIMESTAMPDIFF complete-unit counting over 9 units; 2-digit-year args'),
     ('dialect_timestampadd', SCRIPT_TIMESTAMPADD, 27, ['dt', 'ts2'], False, 'TIMESTAMPADD all 9 units over DATE/TIMESTAMP/DATETIME'),
     ('dialect_escape', SCRIPT_ESCAPE, 20, None, False, 'backslash-laden values + LIKE escapes (default \\, custom, CONCAT patterns); AUTO_INCREMENT ids'),
+    ('dialect_left_fn', SCRIPT_LEFT_FUNCTION, -1, ['b', 'l'], False, 'LEFT() over literals, columns, 0/negative lengths, concat args'),
+    ('dialect_right_fn', SCRIPT_RIGHT_FUNCTION, -1, ['b', 'r'], False, 'RIGHT() over literals, columns, 0/negative lengths, concat args'),
+    ('dialect_substring_fn', SCRIPT_SUBSTRING_FUNCTION, -1, ['s'], False, 'SUBSTRING comma+FROM/FOR forms over TEXT/DATE/TIME columns'),
+    ('dialect_ctas_types', SCRIPT_CTAS, -1, None, False, 'CTAS round-trip over 17 MySQL column types incl. blob/text/time', {'c_decimal': 'DOUBLE'}),
+    ('dialect_signed_boundary', SCRIPT_SIGNED_BOUNDARY, 0, None, False, 'tianmu sentinel-adjusted INT/BIGINT insert bounds (1264 analogs); DBL_MAX literals'),
+    ('dialect_integer_range', SCRIPT_INTEGER_RANGE, 0, None, False, 'strict string->int coercion: trim, round-half, 1264/1265/1366 classes (tinyint leg)'),
+    ('dialect_integer_range_int8', SCRIPT_INTEGER_RANGE, 4, None, False, 'BIGINT coercion + reserved -2^63/-2^63+1 sentinels; int8 value battery'),
+    ('dialect_zerofill', SCRIPT_ZEROFILL, -1, None, False, 'ZEROFILL display padding (implies UNSIGNED), ALTER MODIFY zerofill, unsigned 1264'),
+    ('dialect_truncate', SCRIPT_TRUNCATE_TABLE, -1, ['n'], False, 'TRUNCATE TABLE + qualified names, CREATE TABLE LIKE, 1146/1064 error analogs'),
+    ('dialect_replace', SCRIPT_REPLACE, -1, None, False, 'REPLACE INTO delete+insert semantics on 1- and 2-col PKs; interplay with DELETE'),
 ]
 
 
-def _make(script: str, designated: int, out_names):
+def _make(script: str, designated: int, out_names, final_casts=None):
     def build(spark, sf_dir):  # sf_dir unused: data is inline in the script
-        return run_script(spark, script, designated, out_names)
+        return run_script(spark, script, designated, out_names, final_casts)
 
     return build
 
 
-for _name, _script, _desig, _names, _isc, _doc in _SPECS:
+for _name, _script, _desig, _names, _isc, _doc, *_extra in _SPECS:
+    _fc = _extra[0] if _extra else None
     register(
         _name,
-        oracle=build_oracle_sql(_script, _desig, _names, int_sum_cast=_isc),
+        oracle=build_oracle_sql(
+            _script, _desig, _names, int_sum_cast=_isc, final_casts=_fc
+        ),
         doc=_doc + " (verbatim MTR: " + SOURCES[_name][0] + ")",
-    )(_make(_script, _desig, _names))
+    )(_make(_script, _desig, _names, _fc))

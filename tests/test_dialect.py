@@ -333,3 +333,72 @@ def test_timestampdiff_complete_units():
     ]:
         got = con.execute(rw(f"SELECT {e} AS v", "duck")).fetchone()[0]
         assert got == exp, (e, got)
+
+
+# ------------------------------------- round-7 strict-insert / DDL passes
+
+
+def test_strict_int_coercion_classes():
+    import pytest
+    from stonedb_spark.dialect import _coerce_int_literal, ColumnDef
+
+    c = ColumnDef("f1", "TINYINT", "TINYINT", None, mysql_type="tinyint")
+    # MySQL trims, rounds half away from zero (integer_range.result)
+    assert _coerce_int_literal("'  14 '", c) == "14"
+    assert _coerce_int_literal("'34.5'", c) == "35"
+    assert _coerce_int_literal("'-128'", c) == "-128"  # full 2's-comp min
+    for bad, code in [
+        ("'128'", "1264"), ("'-129'", "1264"), ("'100000'", "1264"),
+        ("'asdf'", "1366"), ("''", "1366"), ("'- 1234'", "1366"),
+        ("'4 444'", "1265"), ("'123 dt'", "1265"),
+    ]:
+        with pytest.raises(ValueError, match=code):
+            _coerce_int_literal(bad, c)
+    # INT/BIGINT lose their sentinel minima (signed_boundary.result)
+    ci = ColumnDef("x", "INT", "INTEGER", None, mysql_type="int")
+    with pytest.raises(ValueError, match="1264"):
+        _coerce_int_literal("-2147483648", ci)
+    cb = ColumnDef("x", "BIGINT", "BIGINT", None, mysql_type="bigint")
+    with pytest.raises(ValueError, match="1264"):
+        _coerce_int_literal("-9223372036854775807", cb)
+    assert _coerce_int_literal("-9223372036854775806", cb)
+    # unsigned rejects negatives (zerofill.test st5)
+    cu = ColumnDef("x", "SMALLINT", "SMALLINT", None,
+                   mysql_type="tinyint", unsigned=True)
+    with pytest.raises(ValueError, match="1264"):
+        _coerce_int_literal("-5", cu)
+    # expressions and NULL pass through untouched
+    assert _coerce_int_literal("NULL", c) == "NULL"
+    assert _coerce_int_literal("1+2", c) == "1+2"
+
+
+def test_zerofill_parse_and_select_rewrite():
+    from stonedb_spark.dialect import parse_create_table, _apply_zerofill
+
+    td = parse_create_table(
+        "CREATE TABLE st1 (x INT(8) ZEROFILL NOT NULL, y INT NOT NULL)"
+    )
+    assert td.columns[0].zerofill == 8
+    assert td.columns[0].unsigned  # ZEROFILL implies UNSIGNED
+    assert td.columns[0].spark_type == "BIGINT"  # widened
+    assert td.columns[1].zerofill == 0
+    out = _apply_zerofill("SELECT * FROM st1", {"st1": td}, "spark")
+    assert "LPAD" in out and "`y`" in out
+    # arithmetic items stay numeric
+    out2 = _apply_zerofill("SELECT x+1 FROM st1", {"st1": td}, "spark")
+    assert "LPAD" not in out2
+
+
+def test_alter_tabledef_actions():
+    from stonedb_spark.dialect import parse_create_table, _alter_tabledef
+
+    td = parse_create_table("CREATE TABLE t (a INT, b VARCHAR(5), c INT)")
+    ntd, mapping = _alter_tabledef(
+        td,
+        ["ADD COLUMN d BIGINT DEFAULT 7 AFTER a", "DROP COLUMN c",
+         "MODIFY b VARCHAR(20)", "CHANGE a a2 BIGINT FIRST"],
+    )
+    assert [c.name for c in ntd.columns] == ["a2", "d", "b"]
+    srcs = {c.name: s for c, s in mapping}
+    assert srcs == {"a2": "a", "d": None, "b": "b"}
+    assert ntd.columns[2].spark_type == "STRING"
