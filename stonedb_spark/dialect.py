@@ -95,7 +95,9 @@ def split_mtr(script: str) -> list[Statement]:
         if in_str is None and (not line or line.startswith("#")):
             continue
         if in_str is None and line.startswith("--"):
-            if line.lower().startswith("--error"):
+            # '--error 1064' and the spaced '-- error 1064' form both
+            # mark the next statement expect-to-fail
+            if re.match(r"--\s*error\b", line, re.I):
                 expect_error = True
             continue
         # scan for statement terminator ';' outside string literals
@@ -115,6 +117,8 @@ def split_mtr(script: str) -> list[Statement]:
                 elif ch == "\\" and i + 1 < len(rawline):
                     piece.append(rawline[i + 1])
                     i += 1
+            elif ch == "#":
+                break  # unquoted '#': comment to end of line (mysql CLI)
             elif ch in ("'", '"'):
                 in_str = ch
                 piece.append(ch)
@@ -335,7 +339,11 @@ def parse_create_table(stmt: str) -> TableDef:
                 unsigned, zerofill,
             )
         )
-    return TableDef(name, cols, pk)
+    td = TableDef(name, cols, pk)
+    am = re.search(r"\bAUTO_INCREMENT\s*=\s*(\d+)", stmt, re.I)
+    if am:  # table option seeds the counter (init_auto_increment_value)
+        td.next_auto = int(am.group(1))
+    return td
 
 
 # ---------------------------------------------------------------------------
@@ -1497,9 +1505,104 @@ _IGNORED = re.compile(
     r"COMMIT|BEGIN|START\s+TRANSACTION|SHOW\b|DESC(RIBE)?\b|"
     r"CREATE\s+PROCEDURE|DROP\s+PROCEDURE|"
     r"connect\s*\(|connection\b|disconnect\b|"
+    r"SELECT\s+@@|"  # system-variable probes: deployment introspection
     r"LOCK\s+TABLES|UNLOCK\s+TABLES)",
     re.I,
 )
+
+
+_PRIORITY_MODS = re.compile(
+    r"^(\s*(?:INSERT|DELETE|REPLACE|UPDATE))\s+"
+    r"(?:LOW_PRIORITY|HIGH_PRIORITY|DELAYED|QUICK)\b",
+    re.I,
+)
+
+
+def _strip_modifiers(s: str) -> str:
+    """Drop MySQL priority/queue modifiers — pure scheduler hints."""
+    prev = None
+    while prev != s:
+        prev, s = s, _PRIORITY_MODS.sub(r"\1", s)
+    return s
+
+
+_DELETE_STMT = re.compile(
+    r"^\s*DELETE\s+FROM\s+(`[^`]+`|\w+)"
+    r"(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(.*?))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*$",
+    re.I | re.S,
+)
+
+
+def _delete_keep_sql(
+    rel: str, td: TableDef, cond: str | None, order: str | None,
+    n: int | None, engine: str, alias: str | None = None,
+) -> str:
+    """One SQL text (same shape both engines) selecting the SURVIVORS of
+    ``DELETE FROM t [WHERE cond] [ORDER BY k] [LIMIT n]``.  MySQL's
+    LIMIT deletes the first n matches in storage order; with no ORDER BY
+    we sort by all columns NULLS FIRST — deterministic and identical on
+    both engines (ties are full duplicates, hence interchangeable).
+    ``cond``/``order`` must already be engine-rewritten."""
+    q = "`" if engine == "spark" else '"'
+    if alias:  # keep table-qualified refs (t1.a) resolvable on a CTE
+        rel = f"{rel} AS {q}{alias}{q}"
+    cols = ", ".join(f"{q}{c.name}{q}" for c in td.columns)
+    cnd = f"COALESCE(({cond}), FALSE)" if cond else "TRUE"
+    if n is None:
+        return f"SELECT {cols} FROM {rel} WHERE NOT {cnd}"
+    key = order if order else ", ".join(
+        f"{q}{c.name}{q} NULLS FIRST" for c in td.columns
+    )
+    return (
+        f"SELECT {cols} FROM {rel} WHERE NOT {cnd} "
+        f"UNION ALL SELECT {cols} FROM ("
+        f"SELECT *, row_number() OVER (ORDER BY {key}) AS _rn "
+        f"FROM {rel} WHERE {cnd}) AS _m WHERE _rn > {n}"
+    )
+
+
+_UPDATE_STMT = re.compile(
+    r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.*?)"
+    r"(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(.*?))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*$",
+    re.I | re.S,
+)
+
+
+def _update_limit_sql(
+    rel: str, td: TableDef, assigns: dict[str, str], cond: str | None,
+    order: str | None, n: int, engine: str, alias: str | None = None,
+) -> str:
+    """Projection SQL for ``UPDATE … [WHERE] [ORDER BY] LIMIT n``: only
+    the first n matching rows (ORDER BY key, else all columns NULLS
+    FIRST — deterministic on both engines) receive the SET list."""
+    q = "`" if engine == "spark" else '"'
+    if alias:
+        rel = f"{rel} AS {q}{alias}{q}"
+    cnd = f"COALESCE(({cond}), FALSE)" if cond else "TRUE"
+    key = order if order else ", ".join(
+        f"{q}{c.name}{q} NULLS FIRST" for c in td.columns
+    )
+    inner = (
+        f"SELECT *, SUM(CASE WHEN {cnd} THEN 1 ELSE 0 END) OVER "
+        f"(ORDER BY {key} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"CURRENT ROW) AS _mrank FROM {rel}"
+    )
+    hit = f"({cnd} AND _mrank <= {n})"
+    parts = []
+    for c in td.columns:
+        t = c.spark_type if engine == "spark" else c.duck_type
+        if c.name in assigns:
+            parts.append(
+                f"CASE WHEN {hit} THEN CAST(({assigns[c.name]}) AS {t}) "
+                f"ELSE {q}{c.name}{q} END AS {q}{c.name}{q}"
+            )
+        else:
+            parts.append(f"{q}{c.name}{q}")
+    return f"SELECT {', '.join(parts)} FROM ({inner}) AS _u"
 
 
 def _parse_coldef(text: str) -> ColumnDef:
@@ -1573,6 +1676,10 @@ def _alter_tabledef(
             i = find(_unquote_ident(m.group(1)))
             old = work.pop(i)
             place((nc, old[1]), pos, at=i)
+            continue
+        am2 = re.match(r"AUTO_INCREMENT\s*=\s*(\d+)\s*$", a, re.I)
+        if am2:  # counter moves forward only (MySQL/tianmu)
+            td.next_auto = max(td.next_auto, int(am2.group(1)))
             continue
         if re.match(
             r"(ADD|DROP)\s+(PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FULLTEXT)"
@@ -1886,6 +1993,17 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
         return f"'{h:02d}:{mi:02d}:{sec:02d}'"
     if base not in ("DATE", "TIMESTAMP"):
         return lit
+    if re.fullmatch(r"\d{6}|\d{8}|\d{12}|\d{14}", s):
+        # MySQL numeric temporal literal ([YY]YYMMDD[HHMMSS],
+        # update_v1.test's 20000928174434): normalize to the quoted
+        # form and fall through to the shared path
+        body = s if len(s) in (8, 14) else (
+            ("20" if int(s[:2]) <= 69 else "19") + s
+        )
+        s = "'{}-{}-{}".format(body[0:4], body[4:6], body[6:8])
+        if len(body) == 14:
+            s += " {}:{}:{}".format(body[8:10], body[10:12], body[12:14])
+        s += "'"
     if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
         return lit
     m = _TEMPORAL_LIT.match(s[1:-1].strip())
@@ -2062,7 +2180,7 @@ def _subst_uservars(sql: str, vars: dict[str, str]) -> str:
 def run_statement(run: MTRRun, stmt: str):
     """Execute one MySQL statement on Spark.  Returns a DataFrame for
     SELECT, else None."""
-    s = _subst_uservars(stmt.strip(), run.vars)
+    s = _strip_modifiers(_subst_uservars(stmt.strip(), run.vars))
     vm = _SET_USERVAR.match(s)
     if vm:
         # SET @v = expr: evaluate the (constant) expression now and
@@ -2232,27 +2350,27 @@ def run_statement(run: MTRRun, stmt: str):
             run.spark.sql(rewrite_expr(s, "spark"))
         return None
     if re.match(r"^\s*DELETE\s+FROM\b", s, re.I):
-        m = re.match(
-            r"^\s*DELETE\s+FROM\s+(`[^`]+`|\w+)(?:\s+WHERE\s+(.*))?$",
-            s,
-            re.I | re.S,
-        )
+        m = _DELETE_STMT.match(s)
+        if not m:
+            raise ValueError(f"unsupported DELETE syntax: {s[:90]}")
         tname = _unquote_ident(m.group(1))
-        tbl = run.spark.table(f"`{tname}`")
-        if m.group(2):
-            cond = F.expr(rewrite_expr(m.group(2), "spark"))
-            keep = tbl.filter(~F.coalesce(cond, F.lit(False)))
+        td = run.tables[tname.lower()]
+        cond = rewrite_expr(m.group(2), "spark") if m.group(2) else None
+        order = rewrite_expr(m.group(3), "spark") if m.group(3) else None
+        n = int(m.group(4)) if m.group(4) else None
+        if cond is None and n is None:
+            keep = run.spark.table(f"`{tname}`").limit(0)
         else:
-            keep = tbl.limit(0)
+            keep = run.spark.sql(
+                _delete_keep_sql(f"`{tname}`", td, cond, order, n, "spark")
+            )
         staged = keep.localCheckpoint(eager=True)
         staged.write.insertInto(f"`{tname}`", overwrite=True)
         return None
-    if re.match(r"^\s*UPDATE\b", s, re.I):
-        m = re.match(
-            r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-            s,
-            re.I | re.S,
-        )
+    if re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\b", s, re.I):
+        m = _UPDATE_STMT.match(s)
+        if not m:
+            raise ValueError(f"unsupported UPDATE syntax: {s[:90]}")
         tname = _unquote_ident(m.group(1))
         tbl = run.spark.table(f"`{tname}`")
         cond = (
@@ -2267,6 +2385,30 @@ def run_statement(run: MTRRun, stmt: str):
                 am.group(2), "spark"
             )
         td = run.tables[tname.lower()]
+        canon = {c.name.lower(): c.name for c in td.columns}
+        for k in list(assigns):
+            if k.lower() not in canon:
+                raise ValueError(
+                    f"Unknown column '{k}' in UPDATE of {tname} "
+                    f"(MySQL error 1054 analog)"
+                )
+            if canon[k.lower()] != k:  # case-insensitive match
+                assigns[canon[k.lower()]] = assigns.pop(k)
+        for c in td.columns:  # UPDATE to a literal above the counter
+            if c.autoinc and c.name in assigns:  # bumps it (tianmu)
+                lm2 = re.fullmatch(r"\s*(\d+)\s*", assigns[c.name])
+                if lm2:
+                    td.next_auto = max(td.next_auto, int(lm2.group(1)) + 1)
+        if m.group(5):  # UPDATE ... LIMIT n
+            order = rewrite_expr(m.group(4), "spark") if m.group(4) else None
+            sel = _update_limit_sql(
+                f"`{tname}`", td, assigns,
+                rewrite_expr(m.group(3), "spark") if m.group(3) else None,
+                order, int(m.group(5)), "spark",
+            )
+            staged = run.spark.sql(sel).localCheckpoint(eager=True)
+            staged.write.insertInto(f"`{tname}`", overwrite=True)
+            return None
         proj = [
             F.when(cond, F.expr(assigns[c.name]))
             .otherwise(F.col(f"`{c.name}`"))
@@ -2333,7 +2475,9 @@ def run_script(
     n_selects = sum(
         1
         for st in stmts
-        if re.match(r"^\s*\(?\s*SELECT\b", st.text, re.I) and not st.expect_error
+        if re.match(r"^\s*\(?\s*SELECT\b", st.text, re.I)
+        and not st.expect_error
+        and not _IGNORED.match(st.text)
     )
     target = designated if designated >= 0 else n_selects + designated
     result = None
@@ -2505,7 +2649,9 @@ def build_oracle_sql(
     n_selects = sum(
         1
         for st in stmts
-        if re.match(r"^\s*\(?\s*SELECT\b", st.text, re.I) and not st.expect_error
+        if re.match(r"^\s*\(?\s*SELECT\b", st.text, re.I)
+        and not st.expect_error
+        and not _IGNORED.match(st.text)
     )
     target = designated if designated >= 0 else n_selects + designated
     seen = 0
@@ -2514,7 +2660,7 @@ def build_oracle_sql(
     for st in stmts:
         if st.expect_error:
             continue
-        s = _subst_uservars(st.text.strip(), uservars)
+        s = _strip_modifiers(_subst_uservars(st.text.strip(), uservars))
         vm = _SET_USERVAR.match(s)
         if vm:
             import duckdb as _duckdb
@@ -2677,31 +2823,29 @@ def build_oracle_sql(
                 )
             continue
         if re.match(r"^\s*DELETE\s+FROM\b", s, re.I):
-            m = re.match(
-                r"^\s*DELETE\s+FROM\s+(`[^`]+`|\w+)(?:\s+WHERE\s+(.*))?$",
-                s,
-                re.I | re.S,
-            )
+            m = _DELETE_STMT.match(s)
+            if not m:
+                raise ValueError(f"oracle: unsupported DELETE {s[:90]}")
             t = _unquote_ident(m.group(1)).lower()
+            td = tables[t]
             flush(t)
             prev = vname(t)
             versions[t] += 1
-            if m.group(2):
-                cond = rewrite_expr(m.group(2), "duck")
-                body = (
-                    f"SELECT * FROM {prev} "
-                    f"WHERE NOT COALESCE(({cond}), FALSE)"
-                )
-            else:
+            cond = rewrite_expr(m.group(2), "duck") if m.group(2) else None
+            order = rewrite_expr(m.group(3), "duck") if m.group(3) else None
+            n = int(m.group(4)) if m.group(4) else None
+            if cond is None and n is None:
                 body = f"SELECT * FROM {prev} WHERE FALSE"
+            else:
+                body = _delete_keep_sql(
+                    prev, td, cond, order, n, "duck", alias=td.name
+                )
             ctes.append((vname(t), body))
             continue
-        if re.match(r"^\s*UPDATE\b", s, re.I):
-            m = re.match(
-                r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-                s,
-                re.I | re.S,
-            )
+        if re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\b", s, re.I):
+            m = _UPDATE_STMT.match(s)
+            if not m:
+                raise ValueError(f"oracle: unsupported UPDATE {s[:90]}")
             t = _unquote_ident(m.group(1)).lower()
             td = tables[t]
             flush(t)
@@ -2718,6 +2862,27 @@ def build_oracle_sql(
                 assigns[_unquote_ident(am.group(1))] = rewrite_expr(
                     am.group(2), "duck"
                 )
+            for c in td.columns:  # mirror the runner's counter bump
+                if c.autoinc and c.name in assigns:
+                    lm2 = re.fullmatch(r"\s*(\d+)\s*", assigns[c.name])
+                    if lm2:
+                        td.next_auto = max(
+                            td.next_auto, int(lm2.group(1)) + 1
+                        )
+            if m.group(5):  # UPDATE ... LIMIT n
+                order = (
+                    rewrite_expr(m.group(4), "duck") if m.group(4) else None
+                )
+                ctes.append((
+                    vname(t),
+                    _update_limit_sql(
+                        prev, td, assigns,
+                        rewrite_expr(m.group(3), "duck")
+                        if m.group(3) else None,
+                        order, int(m.group(5)), "duck", alias=td.name,
+                    ),
+                ))
+                continue
             proj = ", ".join(
                 (
                     f'CASE WHEN {cond} THEN CAST(({assigns[c.name]}) AS '
@@ -2727,7 +2892,9 @@ def build_oracle_sql(
                 else f'"{c.name}"'
                 for c in td.columns
             )
-            ctes.append((vname(t), f"SELECT {proj} FROM {prev}"))
+            ctes.append(
+                (vname(t), f'SELECT {proj} FROM {prev} AS "{td.name}"')
+            )
             continue
         if re.match(r"^\s*ALTER\s+TABLE\b", s, re.I):
             m = re.match(
@@ -2775,10 +2942,18 @@ def build_oracle_sql(
         final_sql = _wrap_calls(
             final_sql, "SUM", lambda inner: f"CAST(SUM({inner}) AS BIGINT)"
         )
+    if out_names:
+        cols = ", ".join(f'"{c}"' for c in out_names)
+        final_sql = f"SELECT * FROM ({final_sql}) AS _renamed({cols})"
     if final_casts:
-        # mirror of run_script's final_casts (DuckDB SELECT * REPLACE)
+        # mirror of run_script's final_casts (DuckDB SELECT * REPLACE);
+        # type names are given Spark-side, map the spellings DuckDB
+        # doesn't share.  Runs AFTER the out_names rename, like the
+        # Spark side.
+        _duckt = {"STRING": "VARCHAR", "BINARY": "BLOB"}
         reps = ", ".join(
-            f'CAST("{c}" AS {t}) AS "{c}"' for c, t in final_casts.items()
+            f'CAST("{c}" AS {_duckt.get(t.upper(), t)}) AS "{c}"'
+            for c, t in final_casts.items()
         )
         final_sql = f"SELECT * REPLACE ({reps}) FROM ({final_sql}) AS _fc"
     with_clause = ""
@@ -2786,11 +2961,4 @@ def build_oracle_sql(
         with_clause = "WITH " + ",\n".join(
             f"{name} AS ({body})" for name, body in ctes
         ) + "\n"
-    sql = with_clause + final_sql
-    if out_names:
-        cols = ", ".join(f'"{c}"' for c in out_names)
-        sql = (
-            with_clause
-            + f"SELECT * FROM ({final_sql}) AS _renamed({cols})"
-        )
-    return sql
+    return with_clause + final_sql

@@ -106,6 +106,15 @@ SOURCES = {
     'dialect_zerofill': ('zerofill.test', [(1, 64)]),
     'dialect_truncate': ('truncate_table.test', [(1, 89)]),
     'dialect_replace': ('replace.test', [(1, 67)]),
+    'dialect_auto_increment': ('auto_increment.test', [(1, 81)]),
+    'dialect_auto_inc_seed': ('init_auto_increment_value.test', [(1, 48)]),
+    'dialect_delete_battery': ('delete.test', [(62, 149), (212, 217), (239, 245)]),
+    'dialect_update_v1': ('update_v1.test', [(13, 29), (31, 48), (87, 97)]),
+    'dialect_double_float': ('double_float.test', [(1, 97)]),
+    'dialect_select_order_by': ('select_order_by.test', [(1, 110)]),
+    'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
+    'dialect_select_from': ('select_from.test', [(1, 119)]),
+    'dialect_aggregate': ('aggregate.test', [(1, 237)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -3109,6 +3118,991 @@ drop table test1;
 DROP DATABASE replace_test;
 """
 
+SCRIPT_DELETE = """drop table if exists t1,t2,t3,t11,t12;
+--enable_warnings
+CREATE TABLE t1 (a tinyint(3), b tinyint(5))ENGINE=TIANMU;
+INSERT INTO t1 VALUES (1,1);
+INSERT LOW_PRIORITY INTO t1 VALUES (1,2);
+INSERT INTO t1 VALUES (1,3);
+DELETE from t1 where a=1 limit 1;
+DELETE LOW_PRIORITY from t1 where a=1;
+
+INSERT INTO t1 VALUES (1,1);
+DELETE from t1;
+INSERT INTO t1 VALUES (1,2);
+DELETE from t1;
+INSERT INTO t1 VALUES (1,2);
+SET AUTOCOMMIT=0;
+DELETE from t1;
+SET AUTOCOMMIT=1;
+drop table t1;
+
+#
+# Test of delete when the delete will cause a node to disappear and reappear
+# (This assumes a block size of 1024)
+#
+
+create table t1 (
+	a bigint not null,
+	b bigint not null default 0,
+	c bigint not null default 0,
+	d bigint not null default 0,
+	e bigint not null default 0,
+	f bigint not null default 0,
+	g bigint not null default 0,
+	h bigint not null default 0,
+	i bigint not null default 0,
+	j bigint not null default 0,
+	primary key (a,b,c,d,e,f,g,h,i,j))ENGINE=TIANMU;
+insert into t1 (a) values (2),(4),(6),(8),(10),(12),(14),(16),(18),(20),(22),(24),(26),(23);
+delete from t1 where a=26;
+drop table t1;
+create table t1 (
+	a bigint not null,
+	b bigint not null default 0,
+	c bigint not null default 0,
+	d bigint not null default 0,
+	e bigint not null default 0,
+	f bigint not null default 0,
+	g bigint not null default 0,
+	h bigint not null default 0,
+	i bigint not null default 0,
+	j bigint not null default 0,
+	primary key (a,b,c,d,e,f,g,h,i,j));
+insert into t1 (a) values (2),(4),(6),(8),(10),(12),(14),(16),(18),(20),(22),(24),(26),(23),(27);
+delete from t1 where a=27;
+drop table t1;
+
+CREATE TABLE `t1` (
+  `i` int(10) NOT NULL default '0',
+  `i2` int(10) NOT NULL default '0',
+  PRIMARY KEY  (`i`)
+)ENGINE=TIANMU;
+-- error 1054
+DELETE FROM t1 USING t1 WHERE post='1';
+drop table t1;
+
+#
+# CHAR(0) bug - not actually DELETE bug, but anyway...
+#
+
+CREATE TABLE t1 (
+  bool     char(0) default NULL,
+  not_null varchar(20) binary NOT NULL default '',
+  misc     integer not null,
+  PRIMARY KEY  (not_null)
+)ENGINE=TIANMU;
+
+INSERT INTO t1 VALUES (NULL,'a',4), (NULL,'b',5), (NULL,'c',6), (NULL,'d',7);
+
+select * from t1 where misc > 5 and bool is null;
+delete   from t1 where misc > 5 and bool is null;
+select * from t1 where misc > 5 and bool is null;
+
+select count(*) from t1;
+delete from t1 where 1 > 2;
+select count(*) from t1;
+delete from t1 where 3 > 2;
+select count(*) from t1;
+
+drop table t1;
+CREATE TABLE t1 ( a int PRIMARY KEY )ENGINE=TIANMU;
+DELETE FROM t1 WHERE t1.a > 0 ORDER BY t1.a;
+INSERT INTO t1 VALUES (0),(1),(2);
+DELETE FROM t1 WHERE t1.a > 0 ORDER BY t1.a LIMIT 1;
+SELECT * FROM t1;
+DROP TABLE t1;
+create table t1(a date not null)ENGINE=TIANMU;
+-- error 1292
+insert into t1 values (0);
+select * from t1 where a is null;
+delete from t1 where a is null;
+select count(*) from t1;
+drop table t1;
+"""
+
+SCRIPT_UPDATE_V1 = """--enable_warnings
+
+create table t1 (a int auto_increment , primary key (a))engine=tianmu;
+insert into t1 values (NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL),(NULL); 
+update t1 set a=a+10 where a > 34;
+update t1 set a=a+100 where a > 0;
+
+# Some strange updates to test some otherwise unused code
+update t1 set a=a+100 where a=1 and a=2;
+--error 1054
+update t1 set a=b+100 where a=1 and a=2; 
+--error 1054
+update t1 set a=b+100 where c=1 and a=2; 
+--error 1054
+update t1 set d=a+100 where a=1;
+select * from t1;
+drop table t1;
+CREATE TABLE t1
+ (
+ place_id int (10) NOT NULL,
+ shows int(10) DEFAULT '0' NOT NULL,
+ ishows int(10) DEFAULT '0' NOT NULL,
+ ushows int(10) DEFAULT '0' NOT NULL,
+ clicks int(10) DEFAULT '0' NOT NULL,
+ iclicks int(10) DEFAULT '0' NOT NULL,
+ uclicks int(10) DEFAULT '0' NOT NULL,
+ ts timestamp,
+ PRIMARY KEY (place_id,ts)
+ );
+
+INSERT INTO t1 (place_id,shows,ishows,ushows,clicks,iclicks,uclicks,ts)
+VALUES (1,0,0,0,0,0,0,20000928174434);
+UPDATE t1 SET shows=shows+1,ishows=ishows+1,ushows=ushows+1,clicks=clicks+1,iclicks=iclicks+1,uclicks=uclicks+1 WHERE place_id=1 AND ts>="2000-09-28 00:00:00";
+select place_id,shows from t1;
+drop table t1;
+CREATE TABLE t1 (
+   `id_param` smallint(3) NOT NULL default '0',
+   `nom_option` char(40) NOT NULL default '',
+   `valid` tinyint(1) NOT NULL default '0'
+ ) ENGINE=tianmu;
+
+INSERT INTO t1 (id_param,nom_option,valid) VALUES (185,'600x1200',1);
+
+UPDATE t1 SET nom_option='test' WHERE id_param=185 AND nom_option='600x1200' AND valid=1 LIMIT 1;
+select * from t1;
+drop table t1;
+"""
+
+SCRIPT_DOUBLE_FLOAT = """--source include/have_tianmu.inc
+--echo #
+--echo # Some double/float tests moved from regr.
+--echo # DML, DQL w/without filters
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS `double_float`;
+--enable_warnings
+CREATE DATABASE `double_float`;
+USE `double_float`;
+
+SET default_storage_engine=tianmu;
+SELECT @@default_storage_engine;
+
+CREATE TABLE test1 (dkey int);
+INSERT INTO test1 VALUES (1), (2), (3);
+SELECT test1.dkey FROM test1 ORDER BY test1.dkey;
+
+CREATE TABLE qatabledouble (col DOUBLE) ;
+CREATE TABLE qatablefloat (col float) ;
+INSERT INTO qatabledouble VALUES (-2.225073858507201E-307); # Changed -308 to -307, -308 errors on qaftest7.
+INSERT INTO qatabledouble VALUES (-1.807302187774382E-127);
+INSERT INTO qatabledouble VALUES (0);
+INSERT INTO qatabledouble VALUES (1.993777023789432E+21);
+INSERT INTO qatabledouble VALUES (1.797693134862315E+38);
+INSERT INTO qatabledouble VALUES (-19937770237894323221);
+INSERT INTO qatabledouble VALUES (17976931348623158);
+SELECT * FROM qatabledouble order by col;
+INSERT INTO qatabledouble VALUES (null);
+INSERT INTO qatabledouble VALUES (null);
+INSERT INTO qatabledouble VALUES (null);
+SELECT * FROM qatabledouble  order by col;
+INSERT INTO qatablefloat VALUES (null);
+INSERT INTO qatablefloat VALUES (null);
+INSERT INTO qatablefloat VALUES (null);
+SELECT * FROM qatablefloat order by col;
+DELETE FROM qatabledouble WHERE col IS NULL;
+SELECT * FROM qatabledouble order by col;
+delete FROM qatablefloat WHERE col IS NULL;
+SELECT * FROM qatablefloat order by col;
+CREATE TABLE qatabledouble_v2 (col1 DOUBLE, col2 DOUBLE, col3 DOUBLE) ;
+INSERT INTO qatabledouble_v2 VALUES (-0.50, -0.50, -0.50);
+INSERT INTO qatabledouble_v2 VALUES (-0.49, -0.49, -0.49);
+INSERT INTO qatabledouble_v2 VALUES (0.49, 0.49, 0.49);
+INSERT INTO qatabledouble_v2 VALUES (0.50, 0.50, 0.50);
+INSERT INTO qatabledouble_v2 VALUES (+8,+8,+8);
+INSERT INTO qatabledouble_v2 VALUES (+0.50,+0.50,+0.50);
+INSERT INTO qatabledouble_v2 VALUES (+0.49,+0.49,+0.49);
+INSERT INTO qatabledouble_v2 VALUES (+0.0,+0.0,+0.0);
+INSERT INTO qatabledouble_v2 VALUES (+.50,+.50,+.50);
+INSERT INTO qatabledouble_v2 VALUES (+.49,+.49,+.49);
+INSERT INTO qatabledouble_v2 VALUES (+.0,+.0,+.0);
+INSERT INTO qatabledouble_v2 VALUES (-.0,-.0,-.0);
+INSERT INTO qatabledouble_v2 VALUES (-.49,-.49,-.49);
+INSERT INTO qatabledouble_v2 VALUES (-.50,-.50,-.50);
+INSERT INTO qatabledouble_v2 VALUES (-0.0,-0.0,-0.0);
+INSERT INTO qatabledouble_v2 VALUES (-0.49,-0.49,-0.49);
+INSERT INTO qatabledouble_v2 VALUES (-0.50,-0.50,-0.50);
+INSERT INTO qatabledouble_v2 VALUES (-8,-8,-8);
+INSERT INTO qatabledouble_v2 VALUES (8,8,8);
+INSERT INTO qatabledouble_v2 VALUES (0.50,0.50,0.50);
+INSERT INTO qatabledouble_v2 VALUES (0.49,0.49,0.49);
+INSERT INTO qatabledouble_v2 VALUES (0.0,0.0,0.0);
+INSERT INTO qatabledouble_v2 VALUES (.50,.50,.50);
+INSERT INTO qatabledouble_v2 VALUES (.49,.49,.49);
+INSERT INTO qatabledouble_v2 VALUES (.0,.0,.0);
+SELECT * FROM qatabledouble_v2 order by col1;
+CREATE TABLE qatablefloat_v3 (col1 float, col2 float, col3 float) ;
+INSERT INTO qatablefloat_v3 VALUES (-0.50, -0.50, -0.50);
+INSERT INTO qatablefloat_v3 VALUES (-0.49, -0.49, -0.49);
+INSERT INTO qatablefloat_v3 VALUES (0.49, 0.49, 0.49);
+INSERT INTO qatablefloat_v3 VALUES (0.50, 0.50, 0.50);
+INSERT INTO qatablefloat_v3 VALUES (+8,+8,+8);
+INSERT INTO qatablefloat_v3 VALUES (+0.50,+0.50,+0.50);
+INSERT INTO qatablefloat_v3 VALUES (+0.49,+0.49,+0.49);
+INSERT INTO qatablefloat_v3 VALUES (+0.0,+0.0,+0.0);
+INSERT INTO qatablefloat_v3 VALUES (+.50,+.50,+.50);
+INSERT INTO qatablefloat_v3 VALUES (+.49,+.49,+.49);
+INSERT INTO qatablefloat_v3 VALUES (+.0,+.0,+.0);
+INSERT INTO qatablefloat_v3 VALUES (-.0,-.0,-.0);
+INSERT INTO qatablefloat_v3 VALUES (-.49,-.49,-.49);
+INSERT INTO qatablefloat_v3 VALUES (-.50,-.50,-.50);
+INSERT INTO qatablefloat_v3 VALUES (-0.0,-0.0,-0.0);
+INSERT INTO qatablefloat_v3 VALUES (-0.49,-0.49,-0.49);
+INSERT INTO qatablefloat_v3 VALUES (-0.50,-0.50,-0.50);
+INSERT INTO qatablefloat_v3 VALUES (-8,-8,-8);
+INSERT INTO qatablefloat_v3 VALUES (8,8,8);
+INSERT INTO qatablefloat_v3 VALUES (0.50,0.50,0.50);
+INSERT INTO qatablefloat_v3 VALUES (0.49,0.49,0.49);
+INSERT INTO qatablefloat_v3 VALUES (0.0,0.0,0.0);
+INSERT INTO qatablefloat_v3 VALUES (.50,.50,.50);
+INSERT INTO qatablefloat_v3 VALUES (.49,.49,.49);
+INSERT INTO qatablefloat_v3 VALUES (.0,.0,.0);
+SELECT * FROM qatablefloat_v3 order by col1;
+
+DROP DATABASE `double_float`;
+"""
+
+SCRIPT_SELECT_ORDER_BY = """--source include/have_tianmu.inc
+
+#
+# Some basic order by statements #
+# Author: syw
+#
+
+--disable_warnings
+DROP DATABASE IF EXISTS db1;
+--enable_warnings
+
+CREATE DATABASE db1;
+USE db1;
+
+CREATE TABLE t1
+(
+  t1_tinyint TINYINT DEFAULT 0,
+  t1_int INT DEFAULT NULL,
+  t1_bigint BIGINT,
+  t1_double DOUBLE,
+  t1_float FLOAT,
+  t1_blob BLOB,
+  t1_text TEXT,
+  t1_char CHAR(1),
+  t1_varchar VARCHAR(255) DEFAULT 'hello world!',
+  t1_datetime DATETIME
+)ENGINE=tianmu;
+
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(203685477580676, -3.797693231E+108, -7.402866E+18, repeat('b',100), repeat('b',100), 'b', '2387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime) 
+ VALUES(303685477580676, -4.797693231, -8.402866, repeat('b',101), repeat('b',101), 'b', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime) 
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_bigint, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+ VALUES(403685477580676, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+
+SELECT * FROM t1;
+
+SELECT * FROM t1 ORDER BY t1_tinyint;
+SELECT * FROM t1 ORDER BY t1_tinyint ASC;
+SELECT * FROM t1 ORDER BY t1_tinyint DESC;
+
+SELECT * FROM t1 ORDER BY t1_int;
+SELECT * FROM t1 ORDER BY t1_int ASC;
+SELECT * FROM t1 ORDER BY t1_int DESC;
+
+SELECT * FROM t1 ORDER BY t1_bigint;
+SELECT * FROM t1 ORDER BY t1_bigint ASC;
+SELECT * FROM t1 ORDER BY t1_bigint DESC;
+
+SELECT * FROM t1 ORDER BY t1_double;
+SELECT * FROM t1 ORDER BY t1_double ASC;
+SELECT * FROM t1 ORDER BY t1_double DESC;
+
+SELECT * FROM t1 ORDER BY t1_float;
+SELECT * FROM t1 ORDER BY t1_float ASC;
+SELECT * FROM t1 ORDER BY t1_float DESC;
+
+SELECT * FROM t1 ORDER BY t1_blob;
+SELECT * FROM t1 ORDER BY t1_blob ASC;
+SELECT * FROM t1 ORDER BY t1_blob DESC;
+
+SELECT * FROM t1 ORDER BY t1_text;
+SELECT * FROM t1 ORDER BY t1_text ASC;
+SELECT * FROM t1 ORDER BY t1_text DESC;
+
+SELECT * FROM t1 ORDER BY t1_char;
+SELECT * FROM t1 ORDER BY t1_char ASC;
+SELECT * FROM t1 ORDER BY t1_char DESC;
+
+SELECT * FROM t1 ORDER BY t1_varchar;
+SELECT * FROM t1 ORDER BY t1_varchar ASC;
+SELECT * FROM t1 ORDER BY t1_varchar DESC;
+
+SELECT * FROM t1 ORDER BY t1_datetime;
+SELECT * FROM t1 ORDER BY t1_datetime ASC;
+SELECT * FROM t1 ORDER BY t1_datetime DESC;
+
+#ORDER BY multiple columns
+SELECT * FROM t1 ORDER BY t1_tinyint, t1_int, t1_bigint;
+SELECT * FROM t1 ORDER BY t1_tinyint, t1_int, t1_bigint ASC;
+SELECT * FROM t1 ORDER BY t1_tinyint, t1_int, t1_bigint DESC;
+
+SELECT * FROM t1 ORDER BY t1_double, t1_float;
+SELECT * FROM t1 ORDER BY t1_double, t1_float ASC;
+SELECT * FROM t1 ORDER BY t1_double, t1_float DESC;
+
+SELECT * FROM t1 ORDER BY t1_blob, t1_text, t1_char;
+SELECT * FROM t1 ORDER BY t1_blob, t1_text, t1_char ASC;
+SELECT * FROM t1 ORDER BY t1_blob, t1_text, t1_char DESC;
+
+SELECT * FROM t1 ORDER BY t1_varchar, t1_datetime;
+SELECT * FROM t1 ORDER BY t1_varchar, t1_datetime ASC;
+SELECT * FROM t1 ORDER BY t1_varchar, t1_datetime DESC;
+
+#Clean up
+DROP DATABASE IF EXISTS db1;
+
+"""
+
+SCRIPT_UNSIGNED_MATH = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test unsigned_math
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS unsigned_math_test;
+--enable_warnings
+
+CREATE DATABASE unsigned_math_test;
+USE unsigned_math_test;
+
+create table j1 (j1_key int);
+insert into j1 values (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(null);
+
+ALTER TABLE j1 ADD COLUMN CUTINYINT TINYINT UNSIGNED;
+ALTER TABLE j1 ADD COLUMN CUSMALLINT SMALLINT UNSIGNED;
+ALTER TABLE j1 ADD COLUMN CUINTEGER INT UNSIGNED;
+ALTER TABLE j1 ADD COLUMN CUBIGINT BIGINT UNSIGNED;
+UPDATE j1 SET CUTINYINT=127;
+UPDATE j1 SET CUSMALLINT=32767;
+UPDATE j1 SET CUINTEGER=2147483647;
+UPDATE j1 SET CUBIGINT=9223372036854775807;
+
+SELECT 'ABS1', ABS(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'ABS2', ABS(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'ABS3', ABS(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'ABS4', ABS(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'CEIL1', CEIL(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'CEIL2', CEIL(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'CEIL3', CEIL(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'CEIL4', CEIL(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'FLOOR1', FLOOR(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'FLOOR2', FLOOR(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'FLOOR3', FLOOR(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'FLOOR4', FLOOR(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'DIV1', CUINTEGER DIV CUTINYINT FROM j1 WHERE j1_key=1;
+SELECT 'DIV2', CUINTEGER DIV CUSMALLINT FROM j1 WHERE j1_key=1;
+SELECT 'DIV3', CUBIGINT DIV CUTINYINT FROM j1 WHERE j1_key=1;
+SELECT 'DIV4', CUBIGINT DIV CUSMALLINT FROM j1 WHERE j1_key=1;
+SELECT 'DIV5', CUBIGINT DIV CUINTEGER FROM j1 WHERE j1_key=1;
+SELECT 'DIV6', CUINTEGER DIV CUBIGINT FROM j1 WHERE j1_key=1;
+
+SELECT 'EXP1', EXP(CUTINYINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'LN1', LN(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'LN2', LN(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'LN3', LN(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'LN4', LN(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'LOG1', LOG(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'LOG2', LOG(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'LOG3', LOG(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'LOG4', LOG(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'LOG21', LOG2(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'LOG22', LOG2(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'LOG23', LOG2(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'LOG24', LOG2(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'LOG101', LOG10(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'LOG102', LOG10(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'LOG103', LOG10(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'LOG104', LOG10(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'MD51', MD5(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'MD52', MD5(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'MD53', MD5(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'MD54', MD5(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'MOD1', MOD(CUTINYINT,10) FROM j1 WHERE j1_key=1;
+SELECT 'MOD2', MOD(CUSMALLINT,9) FROM j1 WHERE j1_key=1;
+SELECT 'MOD3', MOD(CUINTEGER,8) FROM j1 WHERE j1_key=1;
+SELECT 'MOD4', MOD(CUBIGINT,16) FROM j1 WHERE j1_key=1;
+
+SELECT 'NULLIF1', NULLIF(CUTINYINT,127) FROM j1 WHERE j1_key=1;
+SELECT 'NULLIF2', NULLIF(CUSMALLINT,32767) FROM j1 WHERE j1_key=1;
+SELECT 'NULLIF3', NULLIF(CUINTEGER,2147483647) FROM j1 WHERE j1_key=1;
+SELECT 'NULLIF4', NULLIF(CUBIGINT,9223372036854775807) FROM j1 WHERE j1_key=1;
+
+SELECT 'NULLIF5', NULLIF(CUTINYINT,127) FROM j1 WHERE j1_key=1;
+SELECT 'NULLIF6', NULLIF(CUSMALLINT,32767) FROM j1 WHERE j1_key=1;
+SELECT 'NULLIF7', NULLIF(CUINTEGER,2147483647) FROM j1 WHERE j1_key=1;
+SELECT 'NULLIF8', NULLIF(CUBIGINT,9223372036854775807) FROM j1 WHERE j1_key=1;
+
+SELECT 'POW1', POW(CUTINYINT,4) FROM j1 WHERE j1_key=1;
+SELECT 'POW2', POW(CUSMALLINT,4) FROM j1 WHERE j1_key=1;
+SELECT 'POW3', POW(CUINTEGER,4) FROM j1 WHERE j1_key=1;
+SELECT 'POW4', POW(CUBIGINT,4) FROM j1 WHERE j1_key=1;
+
+SELECT 'ROUND1', ROUND(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'ROUND2', ROUND(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'ROUND3', ROUND(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'ROUND4', ROUND(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'SIGN1', SIGN(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'SIGN2', SIGN(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'SIGN3', SIGN(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'SIGN4', SIGN(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'SIN1', SIN(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'SIN2', SIN(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'SIN3', SIN(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'SIN4', SIN(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'SQRT1', SQRT(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'SQRT2', SQRT(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'SQRT3', SQRT(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'SQRT4', SQRT(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT 'TAN1', TAN(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT 'TAN2', TAN(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT 'TAN3', TAN(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT 'TAN4', TAN(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+ALTER TABLE j1 DROP COLUMN CUTINYINT;
+ALTER TABLE j1 DROP COLUMN CUSMALLINT;
+ALTER TABLE j1 DROP COLUMN CUINTEGER;
+ALTER TABLE j1 DROP COLUMN CUBIGINT;
+
+# Clean UP
+drop table j1;
+DROP DATABASE unsigned_math_test;
+
+"""
+
+SCRIPT_SELECT_FROM = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS select_from_test;
+--enable_warnings
+
+CREATE DATABASE select_from_test;
+
+USE select_from_test;
+
+--echo #
+--echo # Test select from
+--echo #
+
+--disable_warnings
+drop table if exists t1_test;
+--enable_warnings
+
+create table t1_test(
+id int, 
+c1 date, 
+c2 decimal(4,2), 
+c3 date);
+
+insert into t1_test values 
+(0, '2011-01-27', null, '1999-08-25'), 
+(1, null, null, null), 
+(2, '2001-01-05', 2.34, null), 
+(3, null, null, '2001-05-03');
+
+select * from t1_test where (year(c1) = 2011 or c2 = 2.34) or month(c3) = 1;
+select * from t1_test where (year(c1) = 2011 or c2 = 2.34) and month(c1) = 1;
+select * from t1_test where year(c1) = 2011 or (c2 = 2.4) or month(c3) = 8;
+select * from t1_test where year(c1) = 2011 or (c2 is null) or month(c1) = 2;
+select * from t1_test where c1 is null or (c2 is null) or year(c1) = 99;
+select * from t1_test where year(ifnull(c1, c3)) > 2000 and c2 is not null;
+select * from t1_test where year(ifnull(c1, c3)) < 2000 or c2 is null and c3 is not null;
+select * from t1_test where ifnull(year(c1), 2011) > 2010 or c2 is null and c3 is not null;
+select * from t1_test where ifnull(year(c1), 2011) > 2010 or (c2 is null and c3 is not null or c2 > 2);
+select * from t1_test where (null or year(ifnull(c1, c3)) > 2000) and ( c3 is not null or null);
+select * from t1_test where (null or year(ifnull(c1, c3)) > 2000) or ( (c3 is not null or null) and c3 is null);
+select * from t1_test where (null or year(ifnull(c1, c3)) > 2000) or ( (c3 is not null or null) and null);
+select * from t1_test where (null or year(ifnull(c1, c3)) > 2000 and isnull(c2)) or ( (c3 is not null or null) and null);
+select * from t1_test where ((null or year(ifnull(c1, c3)) > 2000) and isnull(c2)) or ( (c3 is not null or null) and null);
+select * from t1_test where (null or c2+1 between 0 and 4 or isnull(c2)) and ( c3 is not null or null);
+
+drop table if exists t2_test;
+
+create table t2_test (
+idx int,
+i1 int,
+i2 int,
+bi1 bigint,
+bi2 bigint,
+d1 double,
+d2 double,
+f1 float,
+f2 float,
+c1 char(8),
+c2 char(8),
+vc1 varchar(20),
+vc2 varchar(20),
+dt1 date,
+dt2 date,
+dtm1 datetime,
+dtm2 datetime
+);
+
+insert into t2_test values
+(1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, '2008-01-25', '2008-01-25', '2008-01-25 10:00', '2011-01-08 11:00'),
+(2, null, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, null, '2009-01-25', '2009-01-25', '2009-01-25 10:00', '2019-01-25 11:00'),
+(3, 3, null, 3, 3, 3, 3, 3, 3, 3, 3, null, 3, '2010-01-25', '2010-01-25', '2010-01-25 10:00', '2018-01-25 11:00'),
+(4, 4, 4, null, 4, 4, 4, 4, 4, 4, null, 4, 4, null, '2011-01-25', '2011-01-25 10:00', '2017-01-25 11:00'),
+(5, 5, 5, 5, null, 5, 5, 5, 5, null, 5, 5, 5, '2012-01-25', null, '2012-01-25 10:00', '2016-01-25 11:00'),
+(6, 6, 6, 6, 6, null, 6, 6, 6, 6, 6, 6, 6, '2013-01-25', '2014-01-25', null, '2015-01-25 11:00'),
+(7, 7, 7, 7, 7, 7, null, 7, 7, 7, 7, 7, 7, '2014-01-25', '2013-01-25', '2014-01-25 10:00', null),
+(8, 8, 8, 8, 8, 8, 8, null, 8, 8, 8, 8, 8, '2015-01-25', '2012-01-25', '2013-01-25 10:00', '2015-01-25 11:00'),
+(9, 9, 9, 9, 9, 9, 9, 9, null, 9, 9, 9, 9, '2016-01-25', '2011-01-25', '2012-01-25 10:00', '2016-01-25 11:00'),
+(10, null, null, null, null, null, null, null, null, null, null, null, null, null, null, null, null);
+
+select 'q1', idx from t2_test where (idx <=5 or idx is null) or (if(idx > 7, null, idx) = idx);
+
+select 'q2', idx, bi1, dt1, dt2 from t2_test
+where (bi1 is null) or (year(dt1)<2013 or year(dt2)=2012 or dt1 is null) and (idx <= 9) and (year(dt2)<2020 or 
+year(dt2) is null);
+
+select 'q3', idx, bi1, dt1, dt2 from t2_test
+where (bi1 is null) or (year(dt1)=2017 or year(dt2)=2012 or dt1 is null) and (idx <= 9) and (year(dt2)<2020 or 
+year(dt2) is null);
+
+select 'q4', idx, f1, f2 from t2_test where (f1 > 3) or (f2 < 7);
+
+select 'q5', idx, vc1, vc2 from t2_test where (vc1 > 1) or (vc2 > 1);
+
+select 'q6', idx, dtm1, dtm2 from t2_test where (year(dtm1)=2014 and month(dtm1)=1) or (year(dtm2)=2015 and 
+month(dtm2) <= 7);
+
+select 'q7', idx, d1, d2, f1, f2 from t2_test where (d1 <= d2 or f1 > f2 or f2 is null) and (idx >= 1 and (f1 < 8 or 
+f2 > 7));
+
+select 'q8', idx, dtm1, dtm2 from t2_test where hour(dtm1)=10 or hour(dtm2)=11;
+
+select 'q9', idx from t2_test where hour(dtm1)=10 or i1 > 2 or i2 < 5 or f1 > 6 or year(dtm2) < 2018 or vc1 < 9 or 
+bi2 < 4;
+
+select 'q10', idx from t2_test where hour(dtm1)=9 or i1 = 2 or i2 = 5 or f2 is null or f1 > 6 or year(dtm2)= 2012 or 
+vc1 = 9 or bi2 = 4;
+
+#select count(*) from nation where n_nationkey < 3 OR NULL;
+#select count(*) from nation where n_nationkey > 0 and (n_nationkey < 3 OR NULL);
+#select count(*) from nation where n_nationkey > 0 and (n_nationkey < 3 OR n_nationkey is null);
+#select count(*) from nation where n_comment like '%ep%' and (n_comment not like '%lee%' OR null);
+#select count(*) from nation where n_nationkey > 0 union select count(*) from nation where n_nationkey < 3 OR NULL order by 1;
+
+# clean up
+drop table t2_test;
+drop table t1_test;
+
+DROP DATABASE select_from_test;
+"""
+
+SCRIPT_AGGREGATE = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test aggregate
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS aggregate_test;
+--enable_warnings
+
+CREATE DATABASE aggregate_test;
+USE aggregate_test;
+
+--disable_warnings
+DROP TABLE IF EXISTS cs1;
+DROP TABLE IF EXISTS cs2;
+DROP TABLE IF EXISTS cs3;
+DROP TABLE IF EXISTS cs4;
+DROP TABLE IF EXISTS cs5;
+--enable_warnings
+
+CREATE TABLE cs1 (d1 DECIMAL(17), d2 DECIMAL(17,10), d3 DECIMAL(17,16), d4 DECIMAL(17),d5 DECIMAL(17),i1 INT) ;
+CREATE TABLE cs2 (d1 DECIMAL(17) SIGNED, d2 DECIMAL(17,10) SIGNED, d3 DECIMAL(17,16) SIGNED, d4 DECIMAL(17),d5 DECIMAL(17),i1 INT);
+CREATE TABLE cs3 (d1 DECIMAL(17), d2 DECIMAL(17,10), d3 DECIMAL(17,16), d4 DECIMAL(17),d5 DECIMAL(17),i1 INT) ;
+CREATE TABLE cs4 (d1 DECIMAL(17) SIGNED, d2 DECIMAL(17,10) SIGNED, d3 DECIMAL(17,16) SIGNED, d4 DECIMAL(17) SIGNED,d5 DECIMAL(17),i1 INT);
+CREATE TABLE cs5(d DECIMAL(17,10)) ;
+
+INSERT INTO cs1 VALUES
+    (1234,5678,-0.123456789012345,2,1,1),     
+    (1234,-5678,0.12345678901234,2,1,1),
+    (1234567890123,123456.90123,0.12345678901234,2,1,1),
+    (NULL,NULL,NULL,2,1,1),
+    (0,0,0,2,1,1),
+    (1234,5678,0.123456789,3,2,2),
+    (-12345678923,-5678,0.1234567890121,3,2,2),
+    (56789012,123856.90,0.12345678909,3,2,2),
+    (NULL,NULL,NULL,3,2,2),
+    (0,0,0,3,2,2),
+    (1234,5678,-0.123456789012345,1111111111,1,1),
+    (1234,5678,-0.123456789012345,1111111111,1,1),
+    (1234,5678,-0.123456789012345,1111111112,1,1); 
+INSERT INTO cs2 VALUES
+    (1234,5678,0.123456789012345,2,1,1),     
+    (1234,5678,0.12345678901234,2,1,1),
+    (1234567890123,123456.90123,0.12345678901234,2,1,1),
+    (NULL,NULL,NULL,2,1,1),
+    (0,0,0,2,1,1),
+    (1234,5678,0.123456789,3,2,2),
+    (456789123,5678,0.1234567890121,3,2,2),
+    (56789012,123856.90,0.12345678909,3,2,2),
+    (NULL,NULL,NULL,3,2,2),
+    (0,0,0,3,2,2),
+    (1234,5678,0.123456789012345,1111111111,1,1),
+    (1234,5678,0.123456789012345,1111111111,1,1),
+    (1234,5678,0.123456789012345,1111111112,1,1); 
+INSERT INTO cs3 VALUES
+    (1234,5678,-0.12345678901234,2,1,1),     
+    (1234,-5678,0.12345678901234,2,1,1),
+    (12345678901,123456.90128,0.1234567890123,2,1,1),
+    (NULL,NULL,NULL,2,1,1),
+    (0,0,0,2,1,1),
+    (1234,5678,0.12345678901234,3,2,2),
+    (-1234567899,-5678,0.1234567890123,3,2,2),
+    (12345678901,123456.9012,0.1234567890123,3,2,2),
+    (NULL,NULL,NULL,3,2,2),
+    (0,0,0,3,2,2);
+INSERT INTO cs4 VALUES
+    (1234,5678,0.12345678901234,2,1,1),     
+    (1234,5678,0.12345678901234,2,1,1),
+    (12345678901,123456.90128,0.1234567890123,2,1,1),
+    (NULL,NULL,NULL,2,1,1),
+    (0,0,0,2,1,1),
+    (1234,5678,0.12345678901234,3,2,2),
+    (1234567899,5678,0.1234567890123,3,2,2),
+    (12345678901,123456.90123,0.1234567890123,3,2,2),
+    (NULL,NULL,NULL,3,2,2),
+    (0,0,0,3,2,2);
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test1", sum(d1),sum(d2),sum(d3) FROM cs1;
+# SELECT "avg(17)_test1", avg(d1),avg(d2),avg(d3) FROM cs1;
+SELECT "count(17)_test1", count(d1),count(d2),count(d3) FROM cs1;
+SELECT "min(17)_test1", min(d1),min(d2),min(d3) FROM cs1;
+SELECT "max(17)_test1", max(d1),max(d2),max(d3) FROM cs1;
+# SELECT "group_concat(17)_test1", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs1;
+SELECT "count(distinct 17)_test1", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs1;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test1", sum(d1),sum(d2),sum(d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+#SELECT "avg(17)_test1", avg(d1),avg(d2),avg(d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+SELECT "count(17)_test1", count(d1),count(d2),count(d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+SELECT "min(17)_test1", min(d1),min(d2),min(d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+SELECT "max(17)_test1", max(d1),max(d2),max(d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+
+# SELECT "group_concat(17)_test1", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+SELECT "count(distinct 17)_test1", count(distinct d1),count(distinct d2),count(distinct d3) FROM (SELECT d1,d2,d3 FROM cs1)a1;
+
+#GROUP BY DECIMAL
+SELECT "sum(17)_GB(17)_test1" ,d4,d5,sum(d1),sum(d2),sum(d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2,3;
+#SELECT "avg(17)_GB(17)_test1" ,d4,d5,avg(d1),avg(d2),avg(d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(17)_GB(17)_test1" ,d4,d5,count(d1),count(d2),count(d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "min(17)_GB(17)_test1" ,d4,d5,min(d1),min(d2),min(d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "max(17)_GB(17)_test1" ,d4,d5,max(d1),max(d2),max(d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2,3;
+# SELECT "group_concat(17)_GB(17)_test1", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2;
+SELECT "count(distinct 17)_GB(17)_test1", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs1 GROUP BY d4,d5 ORDER BY 2,3;
+#with GROUP BY INT
+SELECT "sum(17)_GB(8)_test1" ,i1,sum(d1),sum(d2),sum(d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+#SELECT "avg(17)_GB(8)_test1" ,i1,avg(d1),avg(d2),avg(d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+SELECT "count(17)_GB(8)_test1" ,i1,count(d1),count(d2),count(d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+SELECT "min(17)_GB(8)_test1" ,i1,min(d1),min(d2),min(d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+SELECT "max(17)_GB(8)_test1" ,i1,max(d1),max(d2),max(d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+# SELECT "group_concat(17)_GB(8)_test1", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+SELECT "count(distinct 17)_GB(8)_test1", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs1 GROUP BY i1 ORDER BY 2;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test2", sum(d1),sum(d2),sum(d3) FROM cs2;
+#SELECT "avg(17)_test2", avg(d1),avg(d2),avg(d3) FROM cs2;
+SELECT "count(17)_test2", count(d1),count(d2),count(d3) FROM cs2;
+SELECT "min(17)_test2", min(d1),min(d2),min(d3) FROM cs2;
+SELECT "max(17)_test2", max(d1),max(d2),max(d3) FROM cs2;
+# SELECT "group_concat(17)_test2", group_concat(d1),group_concat(d2),group_concat(d3) FROM cs2;
+SELECT "count(distinct 17)_test2", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs2;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test2", sum(d1),sum(d2),sum(d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+#SELECT "avg(17)_test2", avg(d1),avg(d2),avg(d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+SELECT "count(17)_test2", count(d1),count(d2),count(d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+SELECT "min(17)_test2", min(d1),min(d2),min(d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+SELECT "max(17)_test2", max(d1),max(d2),max(d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+# SELECT "group_concat(17)_test2", group_concat(d1),group_concat(d2),group_concat(d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+SELECT "count(distinct 17)_test2", count(distinct d1),count(distinct d2),count(distinct d3) FROM (SELECT d1,d2,d3 FROM cs2)a1;
+
+#GROUP BY DECIMAL
+SELECT "sum(17)_GB(17)_test2" ,d4,d5,sum(d1),sum(d2),sum(d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+#SELECT "avg(17)_GB(17)_test2" ,d4,d5,avg(d1),avg(d2),avg(d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(17)_GB(17)_test2" ,d4,d5,count(d1),count(d2),count(d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "min(17)_GB(17)_test2" ,d4,d5,min(d1),min(d2),min(d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "max(17)_GB(17)_test2" ,d4,d5,max(d1),max(d2),max(d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+# SELECT "group_concat(17)_GB(17)_test2", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(distinct 17)_GB(17)_test2", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs2 GROUP BY d4,d5 ORDER BY 2,3;
+
+#with GROUP BY INT
+SELECT "sum(17)_GB(8)_test2" ,i1,sum(d1),sum(d2),sum(d3) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+#SELECT "avg(17)_GB(8)_test2" ,i1,avg(d1),avg(d2),avg(d3) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+SELECT "count(17)_GB(8)_test2" ,i1,count(d1),count(d2),count(d3) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+SELECT "min(17)_GB(8)_test2" ,i1,min(d1),min(d2),min(d3) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+SELECT "max(17)_GB(8)_test2" ,i1,max(d1),max(d2),max(d3) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+# SELECT "group_concat(17)_GB(8)_test2", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d1),group_concat(d3 ORDER BY d1) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+SELECT "count(distinct 17)_GB(8)_test2", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs2 GROUP BY i1 ORDER BY 2,3;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test3", sum(d1),sum(d2),sum(d3) FROM cs3;
+#SELECT "avg(17)_test3", avg(d1),avg(d2),avg(d3) FROM cs3;
+SELECT "count(17)_test3", count(d1),count(d2),count(d3) FROM cs3;
+SELECT "min(17)_test3", min(d1),min(d2),min(d3) FROM cs3;
+SELECT "max(17)_test3", max(d1),max(d2),max(d3) FROM cs3;
+# SELECT "group_concat(17)_test3", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d1),group_concat(d3 ORDER BY d1) FROM cs3;
+SELECT "count(distinct 17)_test3", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs3;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test3", sum(d1),sum(d2),sum(d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+#SELECT "avg(17)_test3", avg(d1),avg(d2),avg(d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+SELECT "count(17)_test3", count(d1),count(d2),count(d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+SELECT "min(17)_test3", min(d1),min(d2),min(d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+SELECT "max(17)_test3", max(d1),max(d2),max(d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+# SELECT "group_concat(17)_test3", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+SELECT "count(distinct 17)_test3", count(distinct d1),count(distinct d2),count(distinct d3) FROM (SELECT d1,d2,d3 FROM cs3)a1;
+
+#GROUP BY DECIMAL
+SELECT "sum(17)_GB(17)_test3" ,d4,d5,sum(d1),sum(d2),sum(d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+#SELECT "avg(17)_GB(17)_test3" ,d4,d5,avg(d1),avg(d2),avg(d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(17)_GB(17)_test3" ,d4,d5,count(d1),count(d2),count(d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "min(17)_GB(17)_test3" ,d4,d5,min(d1),min(d2),min(d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "max(17)_GB(17)_test3" ,d4,d5,max(d1),max(d2),max(d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+# SELECT "group_concat(17)_GB(17)_test3", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(distinct 17)_GB(17)_test3", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs3 GROUP BY d4,d5 ORDER BY 2,3;
+
+#with GROUP BY INT
+SELECT "sum(17)_GB(8)_test3" ,i1,sum(d1),sum(d2),sum(d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+#SELECT "avg(17)_GB(8)_test3" ,i1,avg(d1),avg(d2),avg(d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+SELECT "count(17)_GB(8)_test3" ,i1,count(d1),count(d2),count(d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+SELECT "min(17)_GB(8)_test3" ,i1,min(d1),min(d2),min(d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+SELECT "max(17)_GB(8)_test3" ,i1,max(d1),max(d2),max(d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+# SELECT "group_concat(17)_GB(8)_test3", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+SELECT "count(distinct 17)_GB(8)_test3", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs3 GROUP BY i1 ORDER BY 2,3;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test4", sum(d1),sum(d2),sum(d3) FROM cs4;
+#SELECT "avg(17)_test4", avg(d1),avg(d2),avg(d3) FROM cs4;
+SELECT "count(17)_test4", count(d1),count(d2),count(d3) FROM cs4;
+SELECT "min(17)_test4", min(d1),min(d2),min(d3) FROM cs4;
+SELECT "max(17)_test4", max(d1),max(d2),max(d3) FROM cs4;
+# SELECT "group_concat(17)_test4", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs4;
+SELECT "count(distinct 17)_test4", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs4;
+
+#no GROUP BY DECIMAL
+SELECT "sum(17)_test4", sum(d1),sum(d2),sum(d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+#SELECT "avg(17)_test4", avg(d1),avg(d2),avg(d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+SELECT "count(17)_test4", count(d1),count(d2),count(d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+SELECT "min(17)_test4", min(d1),min(d2),min(d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+SELECT "max(17)_test4", max(d1),max(d2),max(d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+#SELECT "group_concat(17)_test4", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+SELECT "count(distinct 17)_test4", count(distinct d1),count(distinct d2),count(distinct d3) FROM (SELECT d1,d2,d3 FROM cs4)a1;
+
+#GROUP BY DECIMAL
+SELECT "sum(17)_GB(17)_test4" ,d4,d5,sum(d1),sum(d2),sum(d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+#SELECT "avg(17)_GB(17)_test4" ,d4,d5,avg(d1),avg(d2),avg(d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(17)_GB(17)_test4" ,d4,d5,count(d1),count(d2),count(d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "min(17)_GB(17)_test4" ,d4,d5,min(d1),min(d2),min(d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "max(17)_GB(17)_test4" ,d4,d5,max(d1),max(d2),max(d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+#SELECT "group_concat(17)_GB(17)_test4", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+SELECT "count(distinct 17)_GB(17)_test4", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs4 GROUP BY d4,d5 ORDER BY 2,3;
+
+#with GROUP BY INT
+SELECT "sum(17)_GB(17)_test4" ,i1,sum(d1),sum(d2),sum(d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+#SELECT "avg(17)_GB(17)_test4" ,i1,avg(d1),avg(d2),avg(d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+SELECT "count(17)_GB(17)_test4" ,i1,count(d1),count(d2),count(d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+SELECT "min(17)_GB(17)_test4" ,i1,min(d1),min(d2),min(d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+SELECT "max(17)_GB(17)_test4" ,i1,max(d1),max(d2),max(d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+#SELECT "group_concat(17)_GB(8)_test4", group_concat(d1 ORDER BY d1),group_concat(d2 ORDER BY d2),group_concat(d3 ORDER BY d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+SELECT "count(distinct 17)_GB(8)_test4", count(distinct d1),count(distinct d2),count(distinct d3) FROM cs4 GROUP BY i1 ORDER BY 2,3;
+
+SELECT sum(d1), "sum(17)_test1", sum(d2),sum(d3) FROM cs1;
+
+INSERT INTO cs5 VALUES (1),(0.1),(0.05),(0.05),(0.05),(0.05),(0.2),(0.154),(0.1),(0.05),(0.05);
+SELECT avg(d) FROM cs5;
+UPDATE cs5 SET d=-d;
+SELECT avg(d) FROM cs5;
+
+#clean up
+DROP TABLE cs1;
+DROP TABLE cs2;
+DROP TABLE cs3;
+DROP TABLE cs4;
+DROP TABLE cs5;
+drop database aggregate_test;
+
+"""
+
+SCRIPT_AUTO_INCREMENT = """--source include/have_tianmu.inc
+#
+# Test auto_increment with TIANMU
+#
+--disable_warnings
+DROP DATABASE IF EXISTS auto_increment_db;
+--enable_warnings
+
+CREATE DATABASE auto_increment_db;
+USE auto_increment_db;
+
+# test auto increment
+CREATE TABLE t_auto_inc (
+  id int(4) NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+insert into t_auto_inc (data) values("first"),("middle"),("last");
+select * from t_auto_inc;
+
+# test auto_increment about max value of column type
+# signed data type
+CREATE TABLE tint (
+  id int(4) NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+
+insert into tint (id, data) values(2147483646, "first"),(63, "middle"),(0, "last");
+select * from tint;
+--error 1062
+insert into tint (id, data) values (0, "last");
+select * from tint;
+
+CREATE TABLE ttinyint (
+  id tinyint(1) NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+
+insert into ttinyint (id, data) values(126, "first"),(63, "middle"),(0, "last");
+select * from ttinyint;
+--error 1062
+insert into ttinyint (id, data) values (0, "last");
+select * from ttinyint;
+
+CREATE TABLE tsmallint (
+  id smallint(2) NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+
+insert into tsmallint (id, data) values(32766, "first"),(63, "middle"),(0, "last");
+select * from tsmallint;
+--error 1062
+insert into tsmallint (id, data) values (0, "last");
+select * from tsmallint;
+
+CREATE TABLE tmediumint (
+  id mediumint(3) NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+
+insert into tmediumint (id, data) values(8388606, "first"),(63, "middle"),(0, "last");
+select * from tmediumint;
+--error 1062
+insert into tmediumint (id, data) values (0, "last");
+select * from tmediumint;
+
+CREATE TABLE tbigint (
+  id bigint(8) NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+)  engine=tianmu;
+
+insert into tbigint (id, data) values(9223372036854775806, "first"),(63, "middle"),(0, "last");
+select * from tbigint;
+--error 1062
+insert into tbigint (id, data) values (0, "last");
+select * from tbigint;
+"""
+
+SCRIPT_AUTO_INC_SEED = """--source include/have_tianmu.inc
+#
+# Test auto_increment_value with TIANMU
+#
+--disable_warnings
+DROP DATABASE IF EXISTS auto_increment_value_db;
+--enable_warnings
+
+CREATE DATABASE auto_increment_value_db;
+USE auto_increment_value_db;
+
+# test init value
+CREATE TABLE t_auto_increment_value (
+  id int NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+) engine=tianmu AUTO_INCREMENT=100;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (data) values("first"),("middle"),("last");
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+
+# test update 
+update t_auto_increment_value set id=80 where id=100;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"update_lt_max_id");
+select * from t_auto_increment_value;
+
+update t_auto_increment_value set id=200 where id=101;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"update_gt_max_id");
+select * from t_auto_increment_value;
+
+# test alter
+alter table t_auto_increment_value AUTO_INCREMENT=300;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"alter_gt_max_id");
+select * from t_auto_increment_value;
+
+# when SET AUTO_INCREMENT < max_id, AUTO_INCREMENT value wouldnot be changed.
+alter table t_auto_increment_value AUTO_INCREMENT=50;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"alter_lt_max_id");
+select * from t_auto_increment_value;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -3188,6 +4182,15 @@ _SPECS = [
     ('dialect_zerofill', SCRIPT_ZEROFILL, -1, None, False, 'ZEROFILL display padding (implies UNSIGNED), ALTER MODIFY zerofill, unsigned 1264'),
     ('dialect_truncate', SCRIPT_TRUNCATE_TABLE, -1, ['n'], False, 'TRUNCATE TABLE + qualified names, CREATE TABLE LIKE, 1146/1064 error analogs'),
     ('dialect_replace', SCRIPT_REPLACE, -1, None, False, 'REPLACE INTO delete+insert semantics on 1- and 2-col PKs; interplay with DELETE'),
+    ('dialect_delete_battery', SCRIPT_DELETE, 5, None, False, 'DELETE with LIMIT / ORDER BY LIMIT, LOW_PRIORITY, CHAR(0), 1054/1292 error analogs'),
+    ('dialect_update_v1', SCRIPT_UPDATE_V1, -1, None, False, 'UPDATE unknown-column 1054 analogs, numeric timestamp literal, UPDATE ... LIMIT'),
+    ('dialect_double_float', SCRIPT_DOUBLE_FLOAT, -1, None, False, 'DOUBLE/FLOAT extreme literals, NULL handling, deletes; trailing-# comments'),
+    ('dialect_select_order_by', SCRIPT_SELECT_ORDER_BY, 0, None, False, 'ORDER BY over 10 column types incl. blob/text and year-3387 datetimes', {'t1_datetime': 'STRING', 't1_blob': 'STRING'}),
+    ('dialect_unsigned_math', SCRIPT_UNSIGNED_MATH, -1, ['lbl', 'v'], False, 'math funcs over UNSIGNED tinyint..bigint columns; ALTER DROP COLUMN tail'),
+    ('dialect_select_from', SCRIPT_SELECT_FROM, -1, ['idx', 'lbl'], False, 'FROM-clause shapes: derived tables, multi-table products, aliases'),
+    ('dialect_aggregate', SCRIPT_AGGREGATE, -1, ['a'], False, 'aggregate battery: COUNT/SUM/AVG/MIN/MAX over mixed types', {'a': 'DOUBLE'}),
+    ('dialect_auto_increment', SCRIPT_AUTO_INCREMENT, -1, None, False, 'AUTO_INCREMENT counter: explicit-value bumps, 0/NULL assignment, per-width cap errors (signed leg)'),
+    ('dialect_auto_inc_seed', SCRIPT_AUTO_INC_SEED, -1, None, False, 'AUTO_INCREMENT=N table option + ALTER; upward UPDATE bumps the counter'),
 ]
 
 
