@@ -217,6 +217,8 @@ class ColumnDef:
     autoinc: bool = False
     unsigned: bool = False
     zerofill: int = 0  # display width when ZEROFILL declared, else 0
+    notnull: bool = False
+    char_width: int = 0  # declared CHAR/VARCHAR width (0 = unlimited)
 
 
 @dataclass
@@ -225,6 +227,10 @@ class TableDef:
     columns: list[ColumnDef]
     pk: list[str] = field(default_factory=list)
     next_auto: int = 1  # AUTO_INCREMENT counter (resets with the table)
+    engine: str = "tianmu"  # integer domains differ vs innodb/myisam
+    # literal-PK tuples seen so far, for the 1062 duplicate-key analog;
+    # None once a DELETE/UPDATE makes the python-side view stale
+    seen_pk: set | None = field(default_factory=set)
 
 
 _CONSTRAINT_PREFIX = re.compile(
@@ -332,18 +338,45 @@ def parse_create_table(stmt: str) -> TableDef:
             fm = re.match(r"\(\s*(\d+)\s*\)", args)
             if fm:
                 fsp = int(fm.group(1))
+        cw = 0
+        if canon in ("char", "varchar") and args:
+            wm2 = re.match(r"\(\s*(\d+)\s*\)", args)
+            if wm2:
+                cw = int(wm2.group(1))
         cols.append(
             ColumnDef(
                 cname, stype, dtype, default, fsp, canon,
                 bool(re.search(r"\bAUTO_INCREMENT\b", rest, re.I)),
                 unsigned, zerofill,
+                bool(re.search(r"\bNOT\s+NULL\b", rest, re.I)),
+                cw,
             )
         )
     td = TableDef(name, cols, pk)
     am = re.search(r"\bAUTO_INCREMENT\s*=\s*(\d+)", stmt, re.I)
     if am:  # table option seeds the counter (init_auto_increment_value)
         td.next_auto = int(am.group(1))
+    em = re.search(r"\bENGINE\s*=\s*(\w+)", stmt, re.I)
+    if em:
+        td.engine = em.group(1).lower()
+    if td.engine == "tianmu":
+        for c in cols:
+            _check_tianmu_decimal(c)
     return td
+
+
+def _check_tianmu_decimal(c: ColumnDef) -> None:
+    """The reference caps DECIMAL precision at 18 digits (its decimal
+    lives in the int64 core) — DDL beyond that errors (alter_column.test
+    '--error 6' on numeric(20,10))."""
+    if c.mysql_type not in ("decimal", "dec", "numeric"):
+        return  # unsigned-bigint widening uses DECIMAL(20,0) internally
+    dm = re.match(r"DECIMAL\((\d+)", c.spark_type, re.I)
+    if dm and int(dm.group(1)) > 18:
+        raise ValueError(
+            f"DECIMAL precision {dm.group(1)} exceeds the tianmu "
+            f"18-digit cap for column '{c.name}' (engine error 6 analog)"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +726,20 @@ def _rewrite_logical_ops(sql: str) -> str:
     return _replace_outside_strings(sql, [("||", " OR "), ("&&", " AND ")])
 
 
+def _convert_to_cast(inner: str) -> str:
+    um = re.match(r"(.*)\s+USING\s+\w+\s*$", inner, re.I | re.S)
+    if um:  # charset conversion: engines are utf-8 throughout
+        return f"({um.group(1)})"
+    parts = _split_top_commas(inner)
+    if len(parts) == 2:
+        t = parts[1].strip()
+        base = re.match(r"(\w+)", t).group(1).lower()
+        mapped = {"signed": "BIGINT", "unsigned": "DECIMAL(20,0)",
+                  "integer": "BIGINT", "char": "STRING"}.get(base)
+        return f"CAST({parts[0]} AS {mapped or t})"
+    return f"CONVERT({inner})"
+
+
 def _strcmp_case(inner: str) -> str:
     a, b = _split_top_commas(inner)
     return (
@@ -707,7 +754,22 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
+    sql = _rewrite_hex_literals(sql)
+    # infix 'a MOD b' (MySQL keyword form) → '%' — same dividend-sign
+    # semantics on Spark and DuckDB; MOD(a,b) call form stays
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\bMOD\b(?!\s*\()", re.I), lambda m: "%"
+    )
     sql = _recode_string_literals(sql, engine)
+    # MySQL synonyms: ADDDATE/SUBDATE → DATE_ADD/DATE_SUB (call form),
+    # CONVERT(x, type) → CAST, CONVERT(x USING cs) → bare expr
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\bADDDATE\s*\(", re.I), lambda m: "DATE_ADD("
+    )
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\bSUBDATE\s*\(", re.I), lambda m: "DATE_SUB("
+    )
+    sql = _wrap_calls(sql, "CONVERT", _convert_to_cast)
     sql = _rewrite_logical_ops(sql)
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed
@@ -717,6 +779,14 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _wrap_calls(sql, "STRCMP", _strcmp_case)
     if engine == "spark":
         sql = _rewrite_simple_case_bool(sql)
+        # Spark's LIMIT must fit int32 (bigint_unsigned.test LIMIT 1e10)
+        sql = re.sub(
+            r"\bLIMIT\s+(\d{10,})\b",
+            lambda m: "LIMIT 2147483647"
+            if int(m.group(1)) > 2147483647 else m.group(0),
+            sql,
+            flags=re.I,
+        )
     sql = _rewrite_substr_family(sql, engine)
     sql = _rewrite_date_parts(sql, engine)
     sql = _rewrite_period_diff(sql, engine)
@@ -741,6 +811,15 @@ def rewrite_expr(sql: str, engine: str) -> str:
                 lambda i: f"CAST(LENGTH(CAST(({i}) AS VARCHAR)) AS INTEGER)",
             )
     if engine == "duck":
+        # MySQL DATE(x) truncates to the date part; DuckDB has no DATE
+        # function — CAST covers string/timestamp inputs alike
+        sql = _wrap_calls(sql, "DATE", lambda i: f"CAST(({i}) AS DATE)")
+        # DuckDB LENGTH only accepts VARCHAR/BIT: route non-string args
+        # through the same text rendering MySQL uses
+        sql = _wrap_calls(
+            sql, "LENGTH",
+            lambda i: f"LENGTH(CAST(({i}) AS VARCHAR))",
+        )
         # backtick identifiers → double quotes (string literals were
         # already canonicalized to single quotes by the recode pass)
         sql = re.sub(r"`([^`]+)`", r'"\1"', sql)
@@ -813,6 +892,29 @@ def _engine_str_encode(s: str, engine: str) -> str:
 
 
 _ANY_STRLIT = re.compile(r"'((?:[^'\\]|\\.|'')*)'|\"((?:[^\"\\]|\\.|\"\")*)\"")
+
+
+_HEX_LIT = re.compile(r"\b0[xX]([0-9A-Fa-f]+)\b")
+
+
+def _sub_outside_strings(sql: str, pat: re.Pattern, repl) -> str:
+    """Apply a regex substitution only OUTSIDE string literals."""
+    parts, last = [], 0
+    for m in _ANY_STRLIT.finditer(sql):
+        parts.append(pat.sub(repl, sql[last: m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(pat.sub(repl, sql[last:]))
+    return "".join(parts)
+
+
+def _rewrite_hex_literals(sql: str) -> str:
+    """MySQL 0xFF integer-context literals: Spark lexes them as
+    identifiers and DuckDB's reading differs — emit the decimal value
+    (bigint_unsigned.test)."""
+    return _sub_outside_strings(
+        sql, _HEX_LIT, lambda m: str(int(m.group(1), 16))
+    )
 
 
 def _recode_string_literals(sql: str, engine: str) -> str:
@@ -1479,6 +1581,101 @@ def _wrap_calls(sql: str, fname: str, wrap) -> str:
     return "".join(out)
 
 
+_CREATE_FUNC = re.compile(
+    r"^\s*CREATE\s+FUNCTION\s+(`[^`]+`|\w+)\s*\(([^)]*)\)\s*"
+    r"RETURNS\s+(\w+(?:\s*\([^)]*\))?)\s+.*?RETURN\s*(.+)$",
+    re.I | re.S,
+)
+
+
+def _parse_create_function(s: str):
+    """Parse ``CREATE FUNCTION f(a int, ...) RETURNS t RETURN expr`` →
+    (name, [param names], spark return type, body expr)."""
+    m = _CREATE_FUNC.match(s)
+    if not m:
+        return None
+    params = [
+        p.strip().split()[0]
+        for p in _split_top_commas(m.group(2))
+        if p.strip()
+    ]
+    rett = m.group(3).strip()
+    base = re.match(r"(\w+)", rett).group(1).lower()
+    stype = _TYPE_MAP.get(base, ("STRING", "VARCHAR"))[0]
+    if stype == "DECIMAL":
+        stype = "DECIMAL" + (rett[len(base):].strip() or "(10,0)")
+    return _unquote_ident(m.group(1)), params, stype, m.group(4).strip()
+
+
+def _inline_funcs(sql: str, funcs: dict) -> str:
+    """Textually expand SQL-function calls (select_function_calls.test):
+    ``f(args)`` → ``CAST((body with params substituted) AS rettype)``.
+    MySQL checks arity (error 1318 analog here); unknown names are left
+    for the engine to reject."""
+    for _ in range(8):  # nested calls converge quickly
+        changed = False
+        for name, (params, stype, body) in funcs.items():
+            def expand(inner: str) -> str:
+                args = (
+                    _split_top_commas(inner) if inner.strip() else []
+                )
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"Incorrect parameter count to FUNCTION "
+                        f"{name} (MySQL error 1318 analog)"
+                    )
+                out = body
+                for p, a in zip(params, args):
+                    out = re.sub(
+                        rf"\b{re.escape(p)}\b", f"({a.strip()})", out,
+                        flags=re.I,
+                    )
+                return f"CAST(({out}) AS {stype})"
+
+            new = _wrap_calls(sql, re.escape(name), expand)
+            if new != sql:
+                sql, changed = new, True
+        if not changed:
+            return sql
+    return sql
+
+
+def _normalize_insert_set(s: str) -> str:
+    """``INSERT INTO t SET a=1, b=2`` → column-list VALUES form
+    (select_precision.test)."""
+    m = re.match(
+        r"^(\s*INSERT\s+(?:INTO\s+)?(?:`[^`]+`|\w+)\s+)SET\s+(.+)$",
+        s,
+        re.I | re.S,
+    )
+    if not m or re.match(r"^\s*INSERT\s+INTO\s+SET\b", s, re.I):
+        return s
+    cols, vals = [], []
+    for part in _split_top_commas(m.group(2)):
+        am = re.match(r"\s*(`[^`]+`|\w+)\s*=\s*(.*)$", part, re.S)
+        cols.append(_unquote_ident(am.group(1)))
+        vals.append(am.group(2).strip())
+    return (
+        f"{m.group(1)}({', '.join(cols)}) VALUES ({', '.join(vals)})"
+    )
+
+
+def _implicit_default(c: ColumnDef) -> str:
+    """The literal MySQL uses for a bare self-reference of a column in
+    VALUES (insert_select.test's ``insert into t1 values (a+2)``):
+    declared DEFAULT, else the type's implicit default for NOT NULL
+    columns, else NULL."""
+    if c.default is not None:
+        return c.default
+    if not c.notnull:
+        return "NULL"
+    if c.mysql_type in _STRICT_INT_RANGES or c.spark_type.upper() in (
+        "DOUBLE", "FLOAT",
+    ) or c.spark_type.upper().startswith("DECIMAL"):
+        return "0"
+    return "''"
+
+
 # ---------------------------------------------------------------------------
 # script runner (Spark) + oracle builder (DuckDB)
 
@@ -1492,6 +1689,8 @@ class MTRRun:
     tables: dict[str, TableDef] = field(default_factory=dict)
     selects: list[DataFrame] = field(default_factory=list)
     vars: dict[str, str] = field(default_factory=dict)  # @name -> literal
+    funcs: dict = field(default_factory=dict)  # SQL functions (inlined)
+    strict: bool = True  # sql_mode STRICT_* (non-strict clamps)
     # DROP + re-CREATE of the same table name must get a FRESH storage
     # location — an external parquet table resurrects old files
     # otherwise.  Counter makes each incarnation's path unique.
@@ -1605,6 +1804,85 @@ def _update_limit_sql(
     return f"SELECT {', '.join(parts)} FROM ({inner}) AS _u"
 
 
+# -------------------------------------------------- multi-table DML
+# MySQL's UPDATE ... JOIN ... SET and DELETE tgt FROM ... JOIN ... are
+# expressed as: compute the DISTINCT target-rows appearing in the join
+# result (the "hit set"), then anti-join (DELETE) or conditionally
+# project (UPDATE) the target table against it with null-safe equality.
+# Full-row identity is sound: identical rows are indistinguishable, so
+# they match (or miss) the join together, exactly as in MySQL.
+
+_MULTI_DELETE = re.compile(
+    r"^\s*DELETE\s+((?:`[^`]+`|\w+)(?:\.\*)?(?:\s*,\s*(?:`[^`]+`|\w+)"
+    r"(?:\.\*)?)*)\s+FROM\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+    re.I | re.S,
+)
+_MULTI_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(.+?)\s+SET\s+(.+?)"
+    r"(?:\s+WHERE\s+(.+))?\s*$",
+    re.I | re.S,
+)
+
+
+def _hit_join(
+    td: TableDef, tname: str, t_rel: str, joinfrom: str,
+    where: str | None, engine: str,
+) -> str:
+    """FROM-clause text left-joining the target table against the
+    DISTINCT target-rows of the join result (``_h._one`` non-NULL =
+    row participates).  ``joinfrom``/``where`` must be engine-rewritten
+    (and, for duck, retargeted to CTE versions with original-name
+    aliases)."""
+    q = "`" if engine == "spark" else '"'
+    op = "<=>" if engine == "spark" else "IS NOT DISTINCT FROM"
+    proj = ", ".join(
+        f"{q}{tname}{q}.{q}{c.name}{q} AS {q}{c.name}{q}"
+        for c in td.columns
+    )
+    wsql = f" WHERE {where}" if where else ""
+    match = " AND ".join(
+        f"_h.{q}{c.name}{q} {op} {q}{tname}{q}.{q}{c.name}{q}"
+        for c in td.columns
+    )
+    return (
+        f"{t_rel} AS {q}{tname}{q} LEFT JOIN "
+        f"(SELECT DISTINCT {proj}, 1 AS _one FROM {joinfrom}{wsql}) AS _h "
+        f"ON {match}"
+    )
+
+
+def _multi_delete_keep_sql(
+    td: TableDef, tname: str, t_rel: str, joinfrom: str,
+    where: str | None, engine: str,
+) -> str:
+    q = "`" if engine == "spark" else '"'
+    cols = ", ".join(
+        f"{q}{tname}{q}.{q}{c.name}{q}" for c in td.columns
+    )
+    frm = _hit_join(td, tname, t_rel, joinfrom, where, engine)
+    return f"SELECT {cols} FROM {frm} WHERE _h._one IS NULL"
+
+
+def _multi_update_sql(
+    td: TableDef, tname: str, t_rel: str, joinfrom: str,
+    where: str | None, assigns: dict[str, str], engine: str,
+) -> str:
+    q = "`" if engine == "spark" else '"'
+    frm = _hit_join(td, tname, t_rel, joinfrom, where, engine)
+    parts = []
+    for c in td.columns:
+        t = c.spark_type if engine == "spark" else c.duck_type
+        if c.name in assigns:
+            parts.append(
+                f"CASE WHEN _h._one IS NOT NULL THEN "
+                f"CAST(({assigns[c.name]}) AS {t}) "
+                f"ELSE {q}{tname}{q}.{q}{c.name}{q} END AS {q}{c.name}{q}"
+            )
+        else:
+            parts.append(f"{q}{tname}{q}.{q}{c.name}{q} AS {q}{c.name}{q}")
+    return f"SELECT {', '.join(parts)} FROM {frm}"
+
+
 def _parse_coldef(text: str) -> ColumnDef:
     """Parse one bare column definition by round-tripping it through
     the CREATE TABLE parser."""
@@ -1645,17 +1923,64 @@ def _alter_tabledef(
             ref = _unquote_ident(re.match(r"AFTER\s+(.*)$", pos, re.I).group(1))
             work.insert(find(ref) + 1, item)
 
+    pk = list(td.pk)
+    last_orderby = False
+    rename_to = None
     for a in actions:
         a = a.strip()
+        rn = re.match(
+            r"RENAME\s+(?:TO\s+|AS\s+)?(`[^`]+`|\w+)\s*$", a, re.I
+        )
+        if rn and not re.match(r"RENAME\s+(INDEX|KEY|COLUMN)\b", a, re.I):
+            rename_to = _unquote_ident(rn.group(1))
+            continue
+        if last_orderby and re.fullmatch(r"`[^`]+`|\w+", a):
+            continue  # 'ORDER BY a,b' splits at the comma: tail idents
+        last_orderby = bool(re.match(r"ORDER\s+BY\b", a, re.I))
+        pm2 = re.match(r"ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)", a, re.I)
+        if pm2:
+            pk = [
+                _unquote_ident(c)
+                for c in _split_top_commas(pm2.group(1))
+            ]
+            continue
+        if re.match(r"DROP\s+PRIMARY\s+KEY\s*$", a, re.I):
+            pk = []
+            continue
         pm = _POS_CLAUSE.search(a)
         pos = pm.group(1) if pm else None
         if pm:
             a = a[: pm.start()]
+        m = re.match(
+            r"RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$",
+            a, re.I,
+        )
+        if m:
+            from dataclasses import replace as _repl
+            i = find(_unquote_ident(m.group(1)))
+            c, src0 = work[i]
+            work[i] = (_repl(c, name=_unquote_ident(m.group(2))), src0)
+            continue
         m = re.match(r"ADD\s+(?:COLUMN\s+)?(.*)$", a, re.I | re.S)
         if m and not re.match(
             r"ADD\s+(PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FULLTEXT)", a, re.I
         ):
-            place((_parse_coldef(m.group(1)), None), pos)
+            nc = _parse_coldef(m.group(1))
+            if any(c.name.lower() == nc.name.lower() for c, _ in work):
+                raise ValueError(
+                    f"Duplicate column name '{nc.name}' "
+                    f"(MySQL error 1060 analog)"
+                )
+            if td.engine == "tianmu":
+                _check_tianmu_decimal(nc)
+            if nc.autoinc and nc.name.lower() not in {
+                p.lower() for p in pk
+            }:
+                raise ValueError(
+                    f"AUTO_INCREMENT column '{nc.name}' must be a key "
+                    f"(MySQL error 1075 analog)"
+                )
+            place((nc, None), pos)
             continue
         m = re.match(r"DROP\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s*$", a, re.I)
         if m and m.group(1).upper() not in ("PRIMARY", "INDEX", "KEY"):
@@ -1677,13 +2002,27 @@ def _alter_tabledef(
             old = work.pop(i)
             place((nc, old[1]), pos, at=i)
             continue
+        em2 = re.match(r"ENGINE\s*=\s*(\w+)\s*$", a, re.I)
+        if em2:
+            if em2.group(1).lower() not in (
+                "tianmu", "innodb", "myisam", "memory", "heap", "csv",
+                "stonedb", "archive", "ndb", "merge", "federated",
+            ):
+                raise ValueError(
+                    f"Unknown storage engine '{em2.group(1)}' "
+                    f"(MySQL error 1286 analog)"
+                )
+            td.engine = em2.group(1).lower()
+            continue
         am2 = re.match(r"AUTO_INCREMENT\s*=\s*(\d+)\s*$", a, re.I)
         if am2:  # counter moves forward only (MySQL/tianmu)
             td.next_auto = max(td.next_auto, int(am2.group(1)))
             continue
         if re.match(
             r"(ADD|DROP)\s+(PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FULLTEXT)"
-            r"|RENAME\s+(INDEX|KEY)|ENGINE|DEFAULT\s+CHARSET|ORDER\s+BY"
+            r"|RENAME\s+(INDEX|KEY)|ENGINE\s*=\s*\w+|DEFAULT\s+CHARSET"
+            r"|ORDER\s+BY"
+            r"|CONVERT\s+TO\s+CHARACTER\s+SET|CHARACTER\s+SET|COMMENT"
             r"|ALTER\s+(?:COLUMN\s+)?\w+\s+(SET|DROP)\s+DEFAULT",
             a, re.I,
         ):
@@ -1692,6 +2031,14 @@ def _alter_tabledef(
                 r"(SET\s+DEFAULT\s+(.*)|DROP\s+DEFAULT)\s*$",
                 a, re.I | re.S,
             )
+            if re.match(
+                r"ALTER\s+(?:COLUMN\s+)?(`[^`]+`|\w+)\s+SET\s+DEFAULT\s*$",
+                a, re.I,
+            ):
+                raise ValueError(
+                    f"SET DEFAULT without a value: {a[:60]} "
+                    f"(MySQL error 1064 analog)"
+                )
             if am:  # default changes affect later inserts only
                 i = find(_unquote_ident(am.group(1)))
                 c, src = work[i]
@@ -1700,7 +2047,10 @@ def _alter_tabledef(
                 work[i] = (_repl(c, default=newdef), src)
             continue  # index/engine clauses: no data/schema effect here
         raise ValueError(f"unsupported ALTER action: {a[:80]}")
-    newtd = TableDef(td.name, [c for c, _ in work], td.pk, td.next_auto)
+    newtd = TableDef(
+        rename_to or td.name, [c for c, _ in work], pk, td.next_auto,
+        td.engine,
+    )
     return newtd, work
 
 
@@ -1782,13 +2132,34 @@ _STRICT_UINT_RANGES = {
     "smallint": (0, 65535),
     "mediumint": (0, 16777215),
     "int": (0, 4294967295),
+    # unsigned BIGINT also lives in the int64 core: max is 2^63-1
+    # (unsigned_type.result: 'Out of range[0, 9223372036854775807]')
+    "bigint": (0, 9223372036854775807),
+}
+
+# plain MySQL engines (innodb/myisam/memory) keep full two's-complement
+# and full-unsigned domains — scripts mix engines (unsigned_type.test j2)
+_STD_INT_RANGES = {
+    "tinyint": (-128, 127),
+    "smallint": (-32768, 32767),
+    "mediumint": (-8388608, 8388607),
+    "int": (-2147483648, 2147483647),
+    "bigint": (-9223372036854775808, 9223372036854775807),
+}
+_STD_UINT_RANGES = {
+    "tinyint": (0, 255),
+    "smallint": (0, 65535),
+    "mediumint": (0, 16777215),
+    "int": (0, 4294967295),
     "bigint": (0, 18446744073709551615),
 }
 
 _NUM_PREFIX = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
 
 
-def _coerce_int_literal(tok: str, col: ColumnDef) -> str:
+def _coerce_int_literal(
+    tok: str, col: ColumnDef, engine: str = "tianmu", strict: bool = True
+) -> str:
     """MySQL strict-mode coercion of one INSERT value into an integer
     column (integer_range.test): string literals are trimmed and parsed
     as decimal numbers (rounding half away from zero), raising the
@@ -1806,24 +2177,30 @@ def _coerce_int_literal(tok: str, col: ColumnDef) -> str:
         body = t
     m = _NUM_PREFIX.match(body)
     if m is None or m.start() != 0:
+        if not strict:  # non-strict: unparsable string → 0 + warning
+            return "0"
         raise ValueError(
             f"Incorrect integer value: {body!r} for column "
             f"'{col.name}' (MySQL error 1366 analog)"
         )
-    if m.end() != len(body):
+    if m.end() != len(body) and strict:
         raise ValueError(
             f"Data truncated for column '{col.name}': {body!r} "
             f"(MySQL error 1265 analog)"
         )
     v = int(
-        decimal.Decimal(body).to_integral_value(
+        decimal.Decimal(body[: m.end()]).to_integral_value(
             rounding=decimal.ROUND_HALF_UP
         )
     )
-    lo, hi = (
-        _STRICT_UINT_RANGES if col.unsigned else _STRICT_INT_RANGES
-    )[col.mysql_type]
+    if engine == "tianmu":
+        tbl = _STRICT_UINT_RANGES if col.unsigned else _STRICT_INT_RANGES
+    else:
+        tbl = _STD_UINT_RANGES if col.unsigned else _STD_INT_RANGES
+    lo, hi = tbl[col.mysql_type]
     if not lo <= v <= hi:
+        if not strict:  # non-strict mode clamps to the boundary
+            return str(min(max(v, lo), hi))
         raise ValueError(
             f"Out of range value for column '{col.name}': {v} outside "
             f"[{lo}, {hi}] (MySQL error 1264 analog)"
@@ -1831,8 +2208,41 @@ def _coerce_int_literal(tok: str, col: ColumnDef) -> str:
     return str(v)
 
 
+def _check_pk_duplicates(td: TableDef, rows: list[list[str]]) -> None:
+    """Python-side PRIMARY KEY duplicate detection for plain INSERTs
+    (MySQL error 1062 analog, composite_primary_key.test).  Tracks
+    literal PK tuples per table; any non-literal PK value, or a
+    DELETE/UPDATE that makes the tracked view stale, disables tracking
+    for that table (callers set ``seen_pk = None``)."""
+    if not td.pk or td.seen_pk is None:
+        return
+    pkset = {p.lower() for p in td.pk}
+    idx = [i for i, c in enumerate(td.columns) if c.name.lower() in pkset]
+    fresh = []
+    for row in rows:
+        key = []
+        for i in idx:
+            v = row[i].strip()
+            d = _decode_strlit(v)
+            if d is None:
+                if re.fullmatch(r"[+-]?\d+(\.\d+)?", v):
+                    d = str(decimal.Decimal(v))
+                else:
+                    td.seen_pk = None  # expression PK: stop tracking
+                    return
+            key.append(d)
+        fresh.append(tuple(key))
+    for t in fresh:
+        if t in td.seen_pk or fresh.count(t) > 1:
+            raise ValueError(
+                f"Duplicate entry {t!r} for key 'PRIMARY' on "
+                f"{td.name} (MySQL error 1062 analog)"
+            )
+    td.seen_pk.update(fresh)
+
+
 def _parse_insert_values(
-    tables: dict[str, TableDef], stmt: str
+    tables: dict[str, TableDef], stmt: str, strict: bool = True
 ) -> tuple[TableDef, list[list[str]]] | None:
     """Parse ``INSERT INTO t [(cols)] VALUES (…),(…)`` into full-width
     rows of raw value expressions, filling omitted columns with their
@@ -1899,8 +2309,56 @@ def _parse_insert_values(
                 elif c.autoinc and re.fullmatch(r"\d+", v.strip()):
                     # explicit value bumps the counter past it (MySQL)
                     td.next_auto = max(td.next_auto, int(v.strip()) + 1)
+                if v.strip().upper() == "DEFAULT":
+                    v = (
+                        by_name[c.name.lower()].default
+                        if by_name[c.name.lower()].default is not None
+                        else "NULL"
+                    )
+                if re.fullmatch(r"0[xX][0-9A-Fa-f]+", v.strip()):
+                    v = str(int(v.strip()[2:], 16))
+                if (
+                    strict and c.unsigned
+                    and c.mysql_type not in _STRICT_INT_RANGES
+                    and _NUM_PREFIX.fullmatch(v.strip())
+                    and v.strip().startswith("-")
+                    and decimal.Decimal(v.strip()) < 0
+                ):
+                    raise ValueError(
+                        f"Out of range value for UNSIGNED column "
+                        f"'{c.name}': {v} (MySQL error 1264 analog)"
+                    )
+                if strict and c.char_width:
+                    d = _decode_strlit(v)
+                    if d is not None and len(d) > c.char_width:
+                        raise ValueError(
+                            f"Data too long for column '{c.name}' "
+                            f"(len {len(d)} > {c.char_width}; MySQL "
+                            f"error 1406 analog)"
+                        )
+                if (
+                    re.search(r"[A-Za-z_`]", v)
+                    and _decode_strlit(v) is None
+                    and v.strip().upper() not in ("NULL", "TRUE", "FALSE")
+                ):
+                    # bare column self-references inside a VALUES
+                    # expression read the column's implicit default
+                    # (insert_select.test: values (a+2) -> 0+2)
+                    for oc in td.columns:
+                        v = re.sub(
+                            rf"\b{re.escape(oc.name)}\b(?!\s*\()",
+                            f"({_implicit_default(oc)})", v, flags=re.I,
+                        )
                 if c.mysql_type in _STRICT_INT_RANGES:
-                    v = _coerce_int_literal(v, c)
+                    v = _coerce_int_literal(v, c, td.engine, strict)
+                if (
+                    c.notnull and not c.autoinc
+                    and v.strip().upper() == "NULL"
+                ):
+                    raise ValueError(
+                        f"Column '{c.name}' cannot be null "
+                        f"(MySQL error 1048 analog)"
+                    )
                 row.append(v)
             elif c.autoinc:
                 # MySQL assigns the counter when the column is omitted
@@ -2074,14 +2532,14 @@ def _values_select(td: TableDef, rows: list[list[str]], engine: str) -> str:
     inside each tuple (see _duck_values_cte)."""
     if engine == "duck":
         return _duck_values_cte(
-            td, [[_recode_string_literals(v, "duck") for v in r] for r in rows]
+            td, [[rewrite_expr(v, "duck") for v in r] for r in rows]
         )
     vnames = ", ".join(f"v{i}" for i in range(len(td.columns)))
     names = ", ".join(f"v{i} AS `{c.name}`" for i, c in enumerate(td.columns))
     tuples = ", ".join(
         "("
         + ", ".join(
-            f"CAST(({_recode_string_literals(v, 'spark')}) AS {c.spark_type})"
+            f"CAST(({rewrite_expr(v, 'spark')}) AS {c.spark_type})"
             for v, c in zip(r, td.columns)
         )
         + ")"
@@ -2181,6 +2639,26 @@ def run_statement(run: MTRRun, stmt: str):
     """Execute one MySQL statement on Spark.  Returns a DataFrame for
     SELECT, else None."""
     s = _strip_modifiers(_subst_uservars(stmt.strip(), run.vars))
+    s = _normalize_insert_set(_inline_funcs(s, run.funcs))
+    sm2 = re.match(
+        r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?sql_mode\s*=\s*(.+)$",
+        s, re.I,
+    )
+    if sm2:
+        val = sm2.group(1).strip().strip("'\"").upper()
+        run.strict = "STRICT" in val or val == "DEFAULT"
+        return None
+    fn = _parse_create_function(s)
+    if fn is not None:
+        run.funcs[fn[0]] = (fn[1], fn[2], fn[3])
+        return None
+    if re.match(r"^\s*DROP\s+FUNCTION\b", s, re.I):
+        m = re.match(
+            r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)",
+            s, re.I,
+        )
+        run.funcs.pop(_unquote_ident(m.group(1)), None)
+        return None
     vm = _SET_USERVAR.match(s)
     if vm:
         # SET @v = expr: evaluate the (constant) expression now and
@@ -2192,9 +2670,10 @@ def run_statement(run: MTRRun, stmt: str):
         return None
     if _IGNORED.match(s):
         return None
-    if re.match(r"^\s*DROP\s+(TABLE|VIEW)\b", s, re.I):
+    if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?(TABLE|VIEW)\b", s, re.I):
         m = re.match(
-            r"^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(.*)$", s, re.I | re.S
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(.*)$",
+            s, re.I | re.S,
         )
         kind = m.group(1).upper()
         for name in _split_top_commas(m.group(3)):
@@ -2262,6 +2741,7 @@ def run_statement(run: MTRRun, stmt: str):
             f"`{tname}`", overwrite=True
         )
         run.tables[tname.lower()].next_auto = 1  # TRUNCATE resets it
+        run.tables[tname.lower()].seen_pk = set()
         return None
     if re.match(r"^\s*TRUNCATE\b", s, re.I):
         raise ValueError(f"unsupported TRUNCATE syntax: {s[:80]}")
@@ -2294,7 +2774,8 @@ def run_statement(run: MTRRun, stmt: str):
         # REPLACE [INTO] t …: delete PK-colliding rows, then insert
         # (MySQL delete+insert semantics — replace.test)
         ins = re.sub(r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I)
-        td, rows = _parse_insert_values(run.tables, ins)
+        td, rows = _parse_insert_values(run.tables, ins, run.strict)
+        td.seen_pk = None  # REPLACE overwrites; stop 1062 tracking
         new_df = run.spark.sql(_values_select(td, rows, "spark"))
         tbl = run.spark.table(f"`{td.name}`")
         if td.pk:
@@ -2309,7 +2790,8 @@ def run_statement(run: MTRRun, stmt: str):
     if re.match(r"^\s*INSERT\b", s, re.I):
         base, dup = _split_on_duplicate(s)
         if dup is not None:
-            td, rows = _parse_insert_values(run.tables, base)
+            td, rows = _parse_insert_values(run.tables, base, run.strict)
+            td.seen_pk = None  # upsert may overwrite: stop 1062 tracking
             set_exprs = {
                 k: _recode_string_literals(
                     _translate_upsert_rhs(v, td), "spark"
@@ -2326,14 +2808,15 @@ def run_statement(run: MTRRun, stmt: str):
         if re.search(r"\bVALUES?\s*\(", s, re.I) or re.search(
             r"\bVALUES?\s*\(\s*\)", s, re.I
         ):
-            td, rows = _parse_insert_values(run.tables, s)
+            td, rows = _parse_insert_values(run.tables, s, run.strict)
+            _check_pk_duplicates(td, rows)
             # CAST every value to its column type: MySQL inserts coerce
             # string literals into numeric/temporal columns; Spark ANSI
             # store-assignment needs the cast spelled out.
             cast_rows = [
                 "("
                 + ", ".join(
-                    f"CAST(({_recode_string_literals(v, 'spark')}) "
+                    f"CAST(({rewrite_expr(v, 'spark')}) "
                     f"AS {c.spark_type})"
                     for v, c in zip(row, td.columns)
                 )
@@ -2347,6 +2830,10 @@ def run_statement(run: MTRRun, stmt: str):
             s = re.sub(
                 r"^\s*INSERT\s+(?!INTO\b)", "INSERT INTO ", s, flags=re.I
             )
+            im = re.match(r"\s*INSERT\s+INTO\s+(`[^`]+`|\w+)", s, re.I)
+            itd = run.tables.get(_unquote_ident(im.group(1)).lower())
+            if itd is not None:
+                itd.seen_pk = None  # non-literal rows: stop tracking
             run.spark.sql(rewrite_expr(s, "spark"))
         return None
     if re.match(r"^\s*DELETE\s+FROM\b", s, re.I):
@@ -2355,6 +2842,7 @@ def run_statement(run: MTRRun, stmt: str):
             raise ValueError(f"unsupported DELETE syntax: {s[:90]}")
         tname = _unquote_ident(m.group(1))
         td = run.tables[tname.lower()]
+        td.seen_pk = None  # deletions invalidate the tracked PK view
         cond = rewrite_expr(m.group(2), "spark") if m.group(2) else None
         order = rewrite_expr(m.group(3), "spark") if m.group(3) else None
         n = int(m.group(4)) if m.group(4) else None
@@ -2366,6 +2854,31 @@ def run_statement(run: MTRRun, stmt: str):
             )
         staged = keep.localCheckpoint(eager=True)
         staged.write.insertInto(f"`{tname}`", overwrite=True)
+        return None
+    if re.match(r"^\s*DELETE\b", s, re.I) and not re.match(
+        r"^\s*DELETE\s+FROM\b", s, re.I
+    ):
+        mm = _MULTI_DELETE.match(s)
+        if not mm:
+            raise ValueError(f"unsupported DELETE syntax: {s[:90]}")
+        targets = [
+            _unquote_ident(re.sub(r"\.\*\s*$", "", x.strip()))
+            for x in _split_top_commas(mm.group(1))
+        ]
+        joinfrom = rewrite_expr(mm.group(2), "spark")
+        where = rewrite_expr(mm.group(3), "spark") if mm.group(3) else None
+        keeps = []
+        for tn in targets:  # snapshot semantics: read all, then write
+            td = run.tables[tn.lower()]
+            td.seen_pk = None
+            keeps.append((
+                td.name,
+                run.spark.sql(_multi_delete_keep_sql(
+                    td, td.name, f"`{td.name}`", joinfrom, where, "spark"
+                )).localCheckpoint(eager=True),
+            ))
+        for tn, df in keeps:
+            df.write.insertInto(f"`{tn}`", overwrite=True)
         return None
     if re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\b", s, re.I):
         m = _UPDATE_STMT.match(s)
@@ -2385,6 +2898,7 @@ def run_statement(run: MTRRun, stmt: str):
                 am.group(2), "spark"
             )
         td = run.tables[tname.lower()]
+        td.seen_pk = None  # updates may rewrite PK values
         canon = {c.name.lower(): c.name for c in td.columns}
         for k in list(assigns):
             if k.lower() not in canon:
@@ -2394,11 +2908,57 @@ def run_statement(run: MTRRun, stmt: str):
                 )
             if canon[k.lower()] != k:  # case-insensitive match
                 assigns[canon[k.lower()]] = assigns.pop(k)
-        for c in td.columns:  # UPDATE to a literal above the counter
-            if c.autoinc and c.name in assigns:  # bumps it (tianmu)
+        for c in td.columns:
+            if c.name not in assigns:
+                continue
+            # literal SET values get the strict range check too
+            # (unsigned_type.test UPDATEs expect the 1264 analog)
+            if c.mysql_type in _STRICT_INT_RANGES:
+                assigns[c.name] = _coerce_int_literal(
+                    assigns[c.name], c, td.engine, run.strict
+                )
+            if c.autoinc:  # UPDATE to a literal above the counter
                 lm2 = re.fullmatch(r"\s*(\d+)\s*", assigns[c.name])
-                if lm2:
+                if lm2:  # bumps it (tianmu)
                     td.next_auto = max(td.next_auto, int(lm2.group(1)) + 1)
+        checks = []
+        for c in td.columns:
+            if not run.strict:
+                break
+            # non-literal SET expressions need a runtime range check —
+            # MySQL strict aborts when any updated row leaves the
+            # domain (unsigned_greatest.test: SET CUTINYINT=CTINYINT-1)
+            if (
+                c.name in assigns
+                and c.mysql_type in _STRICT_INT_RANGES
+                and not re.fullmatch(r"\s*[+-]?\d+\s*", assigns[c.name])
+                and assigns[c.name].strip().upper() != "NULL"
+            ):
+                if td.engine == "tianmu":
+                    rng = (
+                        _STRICT_UINT_RANGES if c.unsigned
+                        else _STRICT_INT_RANGES
+                    )
+                else:
+                    rng = _STD_UINT_RANGES if c.unsigned else _STD_INT_RANGES
+                lo, hi = rng[c.mysql_type]
+                x = F.expr(assigns[c.name]).cast("decimal(38,0)")
+                lod = F.lit(decimal.Decimal(lo)).cast("decimal(38,0)")
+                hid = F.lit(decimal.Decimal(hi)).cast("decimal(38,0)")
+                checks.append(
+                    F.sum(
+                        F.when(cond & ((x < lod) | (x > hid)), 1)
+                        .otherwise(0)
+                    ).alias(c.name)
+                )
+        if checks:
+            bad = tbl.agg(*checks).collect()[0]
+            for cname in bad.asDict():
+                if bad[cname]:
+                    raise ValueError(
+                        f"Out of range value for column '{cname}' in "
+                        f"UPDATE (MySQL error 1264 analog)"
+                    )
         if m.group(5):  # UPDATE ... LIMIT n
             order = rewrite_expr(m.group(4), "spark") if m.group(4) else None
             sel = _update_limit_sql(
@@ -2421,6 +2981,68 @@ def run_statement(run: MTRRun, stmt: str):
         staged = tbl.select(*proj).localCheckpoint(eager=True)
         staged.write.insertInto(f"`{tname}`", overwrite=True)
         return None
+    if re.match(r"^\s*UPDATE\b", s, re.I):  # UPDATE ... JOIN ... SET
+        m = _MULTI_UPDATE.match(s)
+        if not m:
+            raise ValueError(f"unsupported UPDATE syntax: {s[:90]}")
+        raw_join = m.group(1)
+        joinfrom = rewrite_expr(raw_join, "spark")
+        where = rewrite_expr(m.group(3), "spark") if m.group(3) else None
+        jtables = [
+            w for w in re.findall(r"`[^`]+`|\w+", raw_join)
+            if _unquote_ident(w).lower() in run.tables
+        ]
+        by_tbl: dict[str, dict[str, str]] = {}
+        for part in _split_top_commas(m.group(2)):
+            am = re.match(
+                r"\s*(?:(`[^`]+`|\w+)\.)?(`[^`]+`|\w+)\s*=\s*(.*)$",
+                part, re.S,
+            )
+            coln = _unquote_ident(am.group(2))
+            if am.group(1):
+                tn = _unquote_ident(am.group(1)).lower()
+            else:  # unqualified: the join table owning the column
+                owners = [
+                    _unquote_ident(j).lower() for j in jtables
+                    if any(
+                        c.name.lower() == coln.lower()
+                        for c in run.tables[_unquote_ident(j).lower()].columns
+                    )
+                ]
+                tn = owners[0]
+            canon = {
+                c.name.lower(): c.name for c in run.tables[tn].columns
+            }
+            by_tbl.setdefault(tn, {})[canon[coln.lower()]] = rewrite_expr(
+                am.group(3), "spark"
+            )
+        staged_writes = []
+        for tn, assigns in by_tbl.items():
+            td = run.tables[tn]
+            td.seen_pk = None
+            staged_writes.append((
+                td.name,
+                run.spark.sql(_multi_update_sql(
+                    td, td.name, f"`{td.name}`", joinfrom, where,
+                    assigns, "spark",
+                )).localCheckpoint(eager=True),
+            ))
+        for tn, df in staged_writes:
+            df.write.insertInto(f"`{tn}`", overwrite=True)
+        return None
+    rm = re.match(
+        r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+RENAME\s+"
+        r"(?:TO\s+|AS\s+)?(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if rm:
+        old = _unquote_ident(rm.group(1))
+        new = _unquote_ident(rm.group(2))
+        run.spark.sql(f"ALTER TABLE `{old}` RENAME TO `{new}`")
+        td = run.tables.pop(old.lower())
+        td.name = new
+        run.tables[new.lower()] = td
+        return None
     if re.match(r"^\s*ALTER\s+TABLE\b", s, re.I):
         m = re.match(r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
         tname = _unquote_ident(m.group(1))
@@ -2428,6 +3050,8 @@ def run_statement(run: MTRRun, stmt: str):
         newtd, mapping = _alter_tabledef(td, _split_top_commas(m.group(2)))
         tbl = run.spark.table(f"`{tname}`")
         proj = []
+        checks = []
+        oldtypes = {c.name: c for c in td.columns}
         for c, src in mapping:
             if src is None:
                 lit = c.default if c.default is not None else "NULL"
@@ -2437,18 +3061,59 @@ def run_statement(run: MTRRun, stmt: str):
                 )
             else:
                 proj.append(F.col(f"`{src}`").cast(c.spark_type).alias(c.name))
+                oldc = oldtypes.get(src)
+                if (
+                    c.mysql_type in _STRICT_INT_RANGES
+                    and oldc is not None
+                    and (c.mysql_type, c.unsigned)
+                    != (oldc.mysql_type, oldc.unsigned)
+                ):
+                    # MODIFY to a narrower/unsigned int type must
+                    # validate existing data (bigint_unsigned.test:
+                    # negative rows -> 1264 on MODIFY ... UNSIGNED)
+                    if newtd.engine == "tianmu":
+                        rng = (
+                            _STRICT_UINT_RANGES if c.unsigned
+                            else _STRICT_INT_RANGES
+                        )
+                    else:
+                        rng = (
+                            _STD_UINT_RANGES if c.unsigned
+                            else _STD_INT_RANGES
+                        )
+                    lo, hi = rng[c.mysql_type]
+                    x = F.col(f"`{src}`").cast("decimal(38,0)")
+                    lod = F.lit(decimal.Decimal(lo)).cast("decimal(38,0)")
+                    hid = F.lit(decimal.Decimal(hi)).cast("decimal(38,0)")
+                    checks.append(
+                        F.sum(
+                            F.when((x < lod) | (x > hid), 1).otherwise(0)
+                        ).alias(c.name)
+                    )
+        if checks:
+            bad = tbl.agg(*checks).collect()[0]
+            for cname in bad.asDict():
+                if bad[cname]:
+                    raise ValueError(
+                        f"Out of range value for column '{cname}' during "
+                        f"ALTER (MySQL error 1264 analog)"
+                    )
         staged = tbl.select(*proj).localCheckpoint(eager=True)
+        tout = newtd.name  # may differ: RENAME action within the ALTER
         run.spark.sql(f"DROP TABLE IF EXISTS `{tname}`")
+        run.spark.sql(f"DROP TABLE IF EXISTS `{tout}`")
         run.incarnation += 1
-        loc = f"{run.workdir}/{tname}_{run.incarnation}"
+        loc = f"{run.workdir}/{tout}_{run.incarnation}"
         os.makedirs(loc, exist_ok=True)
         coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in newtd.columns)
         run.spark.sql(
-            f"CREATE TABLE `{tname}` ({coldefs}) USING PARQUET "
+            f"CREATE TABLE `{tout}` ({coldefs}) USING PARQUET "
             f"LOCATION '{loc}'"
         )
-        staged.write.insertInto(f"`{tname}`")
-        run.tables[tname.lower()] = newtd
+        staged.write.insertInto(f"`{tout}`")
+        newtd.seen_pk = None
+        run.tables.pop(tname.lower(), None)
+        run.tables[tout.lower()] = newtd
         return None
     if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
         return run.spark.sql(
@@ -2657,10 +3322,32 @@ def build_oracle_sql(
     seen = 0
     final_sql = None
     uservars: dict[str, str] = {}
+    oraclefuncs: dict = {}
+    oraclestrict = True
     for st in stmts:
         if st.expect_error:
             continue
         s = _strip_modifiers(_subst_uservars(st.text.strip(), uservars))
+        s = _normalize_insert_set(_inline_funcs(s, oraclefuncs))
+        sm2 = re.match(
+            r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?sql_mode\s*=\s*(.+)$",
+            s, re.I,
+        )
+        if sm2:
+            val = sm2.group(1).strip().strip("'\"").upper()
+            oraclestrict = "STRICT" in val or val == "DEFAULT"
+            continue
+        fn = _parse_create_function(s)
+        if fn is not None:
+            oraclefuncs[fn[0]] = (fn[1], fn[2], fn[3])
+            continue
+        if re.match(r"^\s*DROP\s+FUNCTION\b", s, re.I):
+            m = re.match(
+                r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)",
+                s, re.I,
+            )
+            oraclefuncs.pop(_unquote_ident(m.group(1)), None)
+            continue
         vm = _SET_USERVAR.match(s)
         if vm:
             import duckdb as _duckdb
@@ -2727,6 +3414,7 @@ def build_oracle_sql(
         )
         if tm:
             t = _unquote_ident(tm.group(2)).lower()
+            tables[t].seen_pk = set()
             # rows never inserted can simply be dropped; otherwise chain
             # an empty version
             if pending_rows.get(t):
@@ -2740,9 +3428,10 @@ def build_oracle_sql(
             ins = re.sub(
                 r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I
             )
-            td, rows = _parse_insert_values(tables, ins)
+            td, rows = _parse_insert_values(tables, ins, oraclestrict)
+            td.seen_pk = None
             rows = [
-                [_recode_string_literals(v, "duck") for v in row]
+                [rewrite_expr(v, "duck") for v in row]
                 for row in rows
             ]
             t = td.name.lower()
@@ -2769,7 +3458,8 @@ def build_oracle_sql(
             base, dup = _split_on_duplicate(s)
             if dup is not None:
                 td = tables[t]
-                _td, rows = _parse_insert_values(tables, base)
+                td.seen_pk = None
+                _td, rows = _parse_insert_values(tables, base, oraclestrict)
                 set_exprs = {
                     k: _recode_string_literals(
                         _translate_upsert_rhs(v, td), "duck"
@@ -2790,30 +3480,62 @@ def build_oracle_sql(
                 )
                 continue
             if re.search(r"\bVALUES?\s*\(", s, re.I):
-                _td, rows = _parse_insert_values(tables, s)
+                _td, rows = _parse_insert_values(tables, s, oraclestrict)
+                _check_pk_duplicates(_td, rows)
                 pending_rows.setdefault(t, []).extend(
-                    [_recode_string_literals(v, "duck") for v in row]
+                    [rewrite_expr(v, "duck") for v in row]
                     for row in rows
                 )
             else:
-                sel = re.sub(
-                    r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)\s+", "", s, flags=re.I
+                tables[t].seen_pk = None
+                rest = re.sub(
+                    r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)\s*", "", s,
+                    flags=re.I,
                 )
-                sel = retarget(rewrite_expr(sel, "duck"))
+                td_ins = tables[t]
+                listed = None
+                clm = re.match(r"\(([^()]*)\)\s*(SELECT\b.*)$", rest, re.I | re.S)
+                if clm:  # INSERT INTO t (cols) SELECT ...
+                    listed = [
+                        _unquote_ident(c).lower()
+                        for c in _split_top_commas(clm.group(1))
+                    ]
+                    rest = clm.group(2)
+                sel = retarget(rewrite_expr(rest, "duck"))
                 prev = vname(t)
                 versions[t] += 1
                 # cast the fed rows to the column types (positional),
                 # mirroring the Spark runner's insertInto store-
                 # assignment casts — without this, UNION ALL would
                 # type-unify the VERSION CHAIN to the select's types
-                td_ins = tables[t]
-                vnames_i = ", ".join(
-                    f"_i{i}" for i in range(len(td_ins.columns))
-                )
-                casted = ", ".join(
-                    f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
-                    for i, c in enumerate(td_ins.columns)
-                )
+                if listed is None:
+                    vnames_i = ", ".join(
+                        f"_i{i}" for i in range(len(td_ins.columns))
+                    )
+                    casted = ", ".join(
+                        f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                        for i, c in enumerate(td_ins.columns)
+                    )
+                else:  # unlisted columns take their DEFAULT (or NULL)
+                    vnames_i = ", ".join(
+                        f"_i{i}" for i in range(len(listed))
+                    )
+                    parts_i = []
+                    for c in td_ins.columns:
+                        if c.name.lower() in listed:
+                            i = listed.index(c.name.lower())
+                            parts_i.append(
+                                f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                            )
+                        else:
+                            dv = (
+                                rewrite_expr(c.default, "duck")
+                                if c.default is not None else "NULL"
+                            )
+                            parts_i.append(
+                                f'CAST(({dv}) AS {c.duck_type}) AS "{c.name}"'
+                            )
+                    casted = ", ".join(parts_i)
                 ctes.append(
                     (
                         vname(t),
@@ -2828,6 +3550,7 @@ def build_oracle_sql(
                 raise ValueError(f"oracle: unsupported DELETE {s[:90]}")
             t = _unquote_ident(m.group(1)).lower()
             td = tables[t]
+            td.seen_pk = None
             flush(t)
             prev = vname(t)
             versions[t] += 1
@@ -2842,12 +3565,42 @@ def build_oracle_sql(
                 )
             ctes.append((vname(t), body))
             continue
+        if re.match(r"^\s*DELETE\b", s, re.I) and not re.match(
+            r"^\s*DELETE\s+FROM\b", s, re.I
+        ):
+            mm = _MULTI_DELETE.match(s)
+            if not mm:
+                raise ValueError(f"oracle: unsupported DELETE {s[:90]}")
+            targets = [
+                _unquote_ident(re.sub(r"\.\*\s*$", "", x.strip()))
+                for x in _split_top_commas(mm.group(1))
+            ]
+            # prefix FROM so the leading relation retargets too
+            joinfrom = retarget(
+                "FROM " + rewrite_expr(mm.group(2), "duck")
+            )[len("FROM "):]
+            where = (
+                rewrite_expr(mm.group(3), "duck") if mm.group(3) else None
+            )
+            bodies = []
+            for tn in targets:  # snapshot semantics: build all bodies
+                t = tn.lower()   # against pre-statement versions
+                td = tables[t]
+                td.seen_pk = None
+                bodies.append((t, _multi_delete_keep_sql(
+                    td, td.name, vname(t), joinfrom, where, "duck"
+                )))
+            for t, body in bodies:
+                versions[t] += 1
+                ctes.append((vname(t), body))
+            continue
         if re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\b", s, re.I):
             m = _UPDATE_STMT.match(s)
             if not m:
                 raise ValueError(f"oracle: unsupported UPDATE {s[:90]}")
             t = _unquote_ident(m.group(1)).lower()
             td = tables[t]
+            td.seen_pk = None
             flush(t)
             prev = vname(t)
             versions[t] += 1
@@ -2862,8 +3615,14 @@ def build_oracle_sql(
                 assigns[_unquote_ident(am.group(1))] = rewrite_expr(
                     am.group(2), "duck"
                 )
-            for c in td.columns:  # mirror the runner's counter bump
-                if c.autoinc and c.name in assigns:
+            for c in td.columns:  # mirror the runner's checks/bumps
+                if c.name not in assigns:
+                    continue
+                if c.mysql_type in _STRICT_INT_RANGES:
+                    assigns[c.name] = _coerce_int_literal(
+                        assigns[c.name], c, td.engine, oraclestrict
+                    )
+                if c.autoinc:
                     lm2 = re.fullmatch(r"\s*(\d+)\s*", assigns[c.name])
                     if lm2:
                         td.next_auto = max(
@@ -2896,6 +3655,79 @@ def build_oracle_sql(
                 (vname(t), f'SELECT {proj} FROM {prev} AS "{td.name}"')
             )
             continue
+        if re.match(r"^\s*UPDATE\b", s, re.I):  # UPDATE ... JOIN ... SET
+            m = _MULTI_UPDATE.match(s)
+            if not m:
+                raise ValueError(f"oracle: unsupported UPDATE {s[:90]}")
+            raw_join = m.group(1)
+            joinfrom = retarget(
+                "FROM " + rewrite_expr(raw_join, "duck")
+            )[len("FROM "):]
+            where = (
+                rewrite_expr(m.group(3), "duck") if m.group(3) else None
+            )
+            jtables = [
+                w for w in re.findall(r"`[^`]+`|\w+", raw_join)
+                if _unquote_ident(w).lower() in tables
+            ]
+            by_tbl: dict[str, dict[str, str]] = {}
+            for part in _split_top_commas(m.group(2)):
+                am = re.match(
+                    r"\s*(?:(`[^`]+`|\w+)\.)?(`[^`]+`|\w+)\s*=\s*(.*)$",
+                    part, re.S,
+                )
+                coln = _unquote_ident(am.group(2))
+                if am.group(1):
+                    tn = _unquote_ident(am.group(1)).lower()
+                else:
+                    tn = next(
+                        _unquote_ident(j).lower() for j in jtables
+                        if any(
+                            c.name.lower() == coln.lower()
+                            for c in tables[_unquote_ident(j).lower()].columns
+                        )
+                    )
+                canon = {
+                    c.name.lower(): c.name for c in tables[tn].columns
+                }
+                by_tbl.setdefault(tn, {})[canon[coln.lower()]] = (
+                    rewrite_expr(am.group(3), "duck")
+                )
+            bodies = []
+            for tn, assigns in by_tbl.items():
+                td = tables[tn]
+                td.seen_pk = None
+                bodies.append((tn, _multi_update_sql(
+                    td, td.name, vname(tn), joinfrom, where,
+                    assigns, "duck",
+                )))
+            for tn, body in bodies:
+                versions[tn] += 1
+                ctes.append((vname(tn), body))
+            continue
+        rm = re.match(
+            r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+RENAME\s+"
+            r"(?:TO\s+|AS\s+)?(`[^`]+`|\w+)\s*$",
+            s, re.I,
+        )
+        if rm:
+            old = _unquote_ident(rm.group(1)).lower()
+            new = _unquote_ident(rm.group(2))
+            flush(old)
+            if versions[old] == 0 and not _has_version0(old):
+                ctes.append((vname(old), _duck_values_cte(tables[old], [])))
+            prev = vname(old)
+            td = tables.pop(old)
+            td.name = new
+            key = new.lower()
+            tables[key] = td
+            versions.pop(old, None)
+            # keep incarn[old]: a later table reusing the old name must
+            # still get fresh CTE names
+            incarn[key] = incarn.get(key, 0) + 1
+            versions[key] = 0
+            ctes.append((vname(key), f"SELECT * FROM {prev}"))
+            continue
         if re.match(r"^\s*ALTER\s+TABLE\b", s, re.I):
             m = re.match(
                 r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S
@@ -2926,7 +3758,16 @@ def build_oracle_sql(
                         f'CAST("{src}" AS {c.duck_type}) AS "{c.name}"'
                     )
             ctes.append((vname(t), f"SELECT {', '.join(parts)} FROM {prev}"))
-            tables[t] = newtd
+            newtd.seen_pk = None
+            key = newtd.name.lower()
+            if key != t:  # RENAME action within the ALTER
+                prev2 = vname(t)
+                tables.pop(t)
+                versions.pop(t, None)
+                incarn[key] = incarn.get(key, 0) + 1
+                versions[key] = 0
+                ctes.append((vname(key), f"SELECT * FROM {prev2}"))
+            tables[key] = newtd
             continue
         if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
             if seen == target:

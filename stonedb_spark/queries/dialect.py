@@ -106,6 +106,29 @@ SOURCES = {
     'dialect_zerofill': ('zerofill.test', [(1, 64)]),
     'dialect_truncate': ('truncate_table.test', [(1, 89)]),
     'dialect_replace': ('replace.test', [(1, 67)]),
+    'dialect_alter_column': ('alter_column.test', [(1, 133)]),
+    'dialect_alter_table1': ('alter_table1.test', [(1, 138)]),
+    'dialect_unsigned_all': ('unsigned.test', [(1, 112)]),
+    'dialect_fn_inline': ('select_function_calls.test', [(1, 39), (42, 46)]),
+    'dialect_insert_select': ('insert_select.test', [(1, 47)]),
+    'dialect_unsigned_greatest': ('unsigned_greatest.test', [(1, 173)]),
+    'dialect_unsigned_least': ('unsigned_least.test', [(1, 179)]),
+    'dialect_alter_update': ('alter_update.test', [(1, 27)]),
+    'dialect_alter_delete': ('alter_delete.test', [(1, 29)]),
+    'dialect_yearweek': ('yearweek_function.test', [(1, 64)]),
+    'dialect_weekofyear': ('weekofyear_function.test', [(1, 35)]),
+    'dialect_dayofmonth': ('dayofmonth_function.test', [(1, 26)]),
+    'dialect_date_fn': ('date_function.test', [(1, 26)]),
+    'dialect_empty_string_not_null': ('empty_string_not_null.test', [(1, 71)]),
+    'dialect_insert_on_dup': ('insert_on_duplicate_update.test', [(1, 27)]),
+    'dialect_update_join': ('update_join.test', [(1, 33)]),
+    'dialect_update_join_left': ('update_join.test', [(1, 33)]),
+    'dialect_delete_join': ('delete_join.test', [(1, 28)]),
+    'dialect_delete_join_left': ('delete_join.test', [(1, 28)]),
+    'dialect_unsigned_type': ('unsigned_type.test', [(1, 116)]),
+    'dialect_out_of_range': ('out_of_range_issue1151.test', [(1, 194)]),
+    'dialect_bigint_unsigned': ('bigint_unsigned.test', [(28, 56), (60, 64), (68, 73), (79, 108), (118, 129)]),
+    'dialect_bigint_unsigned_mod': ('bigint_unsigned.test', [(28, 56), (60, 64), (68, 73), (79, 108), (118, 129)]),
     'dialect_auto_increment': ('auto_increment.test', [(1, 81)]),
     'dialect_auto_inc_seed': ('init_auto_increment_value.test', [(1, 48)]),
     'dialect_delete_battery': ('delete.test', [(62, 149), (212, 217), (239, 245)]),
@@ -4103,6 +4126,1630 @@ insert into t_auto_increment_value (id, data) values(0,"alter_lt_max_id");
 select * from t_auto_increment_value;
 """
 
+SCRIPT_UPDATE_JOIN = """--echo #
+--echo # Test Update JOIN
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs82_db;
+--enable_warnings
+
+CREATE DATABASE mcs82_db;
+USE mcs82_db;
+
+CREATE TABLE t1 (t1_int INT, t1_char CHAR(5))ENGINE=tianmu;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5))ENGINE=tianmu;
+
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'bbb'),(3, 'ccc'),(4, 'ddd'),(5, 'aa'),(6, ''),(7, 'aaaaa');
+INSERT INTO t2 VALUES (NULL, ''),(1, 'hhhh'),(3, 'iii'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'm'),(11, 'nnn');
+
+SELECT * FROM t1 ORDER BY t1_int;
+UPDATE t1 JOIN t2 on t1.t1_int=t2.t2_int SET t1.t1_char='sssss';
+
+SELECT * FROM t1 ORDER BY t1_int;
+UPDATE t1 INNER JOIN t2 on t1.t1_int=t2.t2_int SET t1.t1_char='pqrs' WHERE t1_char LIKE '%a%';
+
+SELECT * FROM t1 ORDER BY t1_int;
+UPDATE t2 LEFT JOIN t1 on t1.t1_int=t2.t2_int SET t1.t1_char='xyz' WHERE t1_char is NULL;
+
+SELECT * FROM t2 ORDER BY t2_int;
+
+# Clean UP
+DROP DATABASE mcs82_db;
+"""
+
+SCRIPT_DELETE_JOIN = """--source include/have_tianmu.inc
+
+--echo #
+--echo # DELETE JOIN
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS delete_join_test;
+--enable_warnings
+
+CREATE DATABASE delete_join_test;
+USE delete_join_test;
+
+CREATE TABLE t1 (t1_int INT, t1_char CHAR(5));
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5));
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'bbb'),(3, 'ccc'),(4, 'ddd'),(5, 'aa'),(6, ''),(7, 'aaaaa');
+INSERT INTO t2 VALUES (NULL, ''),(1, 'hhhh'),(3, 'iii'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'm'),(11, 'nnn');
+
+SELECT * FROM t1 ORDER BY t1_int;
+SELECT * FROM t2 ORDER BY t2_int;
+
+DELETE t1 FROM t1 INNER JOIN t2 ON t1.t1_int=t2.t2_int AND t1.t1_char LIKE '%a%';
+SELECT * FROM t1 ORDER BY t1_int;
+DELETE t2 FROM t2 LEFT JOIN t1 ON t1.t1_int=t2.t2_int WHERE t2.t2_int IS NULL;
+SELECT * FROM t2 ORDER BY t2_int;
+
+# Clean UP
+DROP DATABASE delete_join_test;
+"""
+
+SCRIPT_UNSIGNED_TYPE = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+CREATE DATABASE unsingeddata;
+
+USE unsingeddata;
+
+create table j1 (j1_key int) engine=tianmu;
+create table j2 (j2_key int) engine=innodb;
+insert into j1 values (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(null);
+insert into j2 values (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(null);
+#
+# ALTER TABLE
+#
+
+#TIANMU
+ALTER TABLE j1 ADD COLUMN CTINYINT TINYINT;
+ALTER TABLE j1 ADD COLUMN CUTINYINT TINYINT UNSIGNED;
+ALTER TABLE j1 ADD COLUMN CUSMALLINT SMALLINT UNSIGNED;
+ALTER TABLE j1 ADD COLUMN CUINTEGER INT UNSIGNED;
+ALTER TABLE j1 ADD COLUMN CUBIGINT BIGINT UNSIGNED;
+
+UPDATE j1 SET CUTINYINT=253;
+UPDATE j1 SET CUSMALLINT=65533;
+UPDATE j1 SET CUINTEGER=4294967293;
+--error 1264
+UPDATE j1 SET CUBIGINT=18446744073709551613;
+UPDATE j1 SET CTINYINT=-127 where j1_key=2;
+UPDATE j1 SET CTINYINT=0 where j1_key=3;
+UPDATE j1 SET CTINYINT=null where j1_key=4;
+
+insert into j1(CUBIGINT) values(null);
+
+SHOW CREATE TABLE j1;
+
+#INNODB
+ALTER TABLE j2 ADD COLUMN CTINYINT TINYINT;
+ALTER TABLE j2 ADD COLUMN CUTINYINT TINYINT UNSIGNED;
+ALTER TABLE j2 ADD COLUMN CUSMALLINT SMALLINT UNSIGNED;
+ALTER TABLE j2 ADD COLUMN CUINTEGER INT UNSIGNED;
+ALTER TABLE j2 ADD COLUMN CUBIGINT BIGINT UNSIGNED;
+
+UPDATE j2 SET CUTINYINT=253;
+UPDATE j2 SET CUSMALLINT=65533;
+UPDATE j2 SET CUINTEGER=4294967293;
+UPDATE j2 SET CUBIGINT=18446744073709551613;
+UPDATE j2 SET CTINYINT=-127 where j2_key=2;
+UPDATE j2 SET CTINYINT=0 where j2_key=3;
+UPDATE j2 SET CTINYINT=null where j2_key=4;
+
+SHOW CREATE TABLE j2;
+
+#
+# SELECT
+#
+
+#TIANMU
+SELECT LN(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT LN(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT LN(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT LN(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT LOG(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT LOG(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT LOG(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT LOG(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT LOG2(CUTINYINT) FROM j1 WHERE j1_key=1;
+SELECT LOG2(CUSMALLINT) FROM j1 WHERE j1_key=1;
+SELECT LOG2(CUINTEGER) FROM j1 WHERE j1_key=1;
+SELECT LOG2(CUBIGINT) FROM j1 WHERE j1_key=1;
+
+SELECT LN(CTINYINT) FROM j1 WHERE j1_key=2;
+SELECT LN(CTINYINT) FROM j1 WHERE j1_key=3;
+SELECT LN(CTINYINT) FROM j1 WHERE j1_key=4;
+
+SELECT LOG(CTINYINT) FROM j1 WHERE j1_key=2;
+SELECT LOG(CTINYINT) FROM j1 WHERE j1_key=3;
+SELECT LOG(CTINYINT) FROM j1 WHERE j1_key=4;
+
+SELECT LOG2(CTINYINT) FROM j1 WHERE j1_key=2;
+SELECT LOG2(CTINYINT) FROM j1 WHERE j1_key=3;
+SELECT LOG2(CTINYINT) FROM j1 WHERE j1_key=4;
+
+#INNODB
+SELECT LN(CUTINYINT) FROM j2 WHERE j2_key=1;
+SELECT LN(CUSMALLINT) FROM j2 WHERE j2_key=1;
+SELECT LN(CUINTEGER) FROM j2 WHERE j2_key=1;
+SELECT LN(CUBIGINT) FROM j2 WHERE j2_key=1;
+
+SELECT LOG(CUTINYINT) FROM j2 WHERE j2_key=1;
+SELECT LOG(CUSMALLINT) FROM j2 WHERE j2_key=1;
+SELECT LOG(CUINTEGER) FROM j2 WHERE j2_key=1;
+SELECT LOG(CUBIGINT) FROM j2 WHERE j2_key=1;
+
+SELECT LOG2(CUTINYINT) FROM j2 WHERE j2_key=1;
+SELECT LOG2(CUSMALLINT) FROM j2 WHERE j2_key=1;
+SELECT LOG2(CUINTEGER) FROM j2 WHERE j2_key=1;
+SELECT LOG2(CUBIGINT) FROM j2 WHERE j2_key=1;
+
+SELECT LN(CTINYINT) FROM j2 WHERE j2_key=2;
+SELECT LN(CTINYINT) FROM j2 WHERE j2_key=3;
+SELECT LN(CTINYINT) FROM j2 WHERE j2_key=4;
+
+SELECT LOG(CTINYINT) FROM j2 WHERE j2_key=2;
+SELECT LOG(CTINYINT) FROM j2 WHERE j2_key=3;
+SELECT LOG(CTINYINT) FROM j2 WHERE j2_key=4;
+
+SELECT LOG2(CTINYINT) FROM j2 WHERE j2_key=2;
+SELECT LOG2(CTINYINT) FROM j2 WHERE j2_key=3;
+SELECT LOG2(CTINYINT) FROM j2 WHERE j2_key=4;
+#END CLEAN
+
+DROP TABLE j1,j2;
+DROP DATABASE unsingeddata;
+"""
+
+SCRIPT_OUT_OF_RANGE_ISSUE1151 = """--source include/have_tianmu.inc
+
+drop database if exists out_of_range_issue1151;
+create database out_of_range_issue1151;
+use out_of_range_issue1151;
+create table tiny(a tinyint, b tinyint unsigned) engine = tianmu DEFAULT CHARSET=utf8mb4;
+# test insert correctly
+insert into tiny values(-128, 0);
+insert into tiny values(127, 127);
+insert into tiny values(0, 127);
+insert into tiny values(-0, -0);
+insert into tiny values(+0, +0);
+select * from tiny;
+# test out of range, currently the max value of unsigned is equal to signed
+# column signed a out of value
+--error 1264
+insert into tiny values(-129, 0);
+--error 1264
+insert into tiny values(128, 0);
+--error 1264
+insert into tiny values(1234, 0);
+# column unsigned b out of value[128, 255], deal with tianmu
+# --error 1264,BUG: https://github.com/stoneatom/stonedb/issues/1236
+# insert into tiny values(0, 128);
+#--error 1264,BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into tiny values(0, 255);
+# column unsigned b out of value(>255 || <0), deal with mysql
+--error 1264
+insert into tiny values(0, -1);
+--error 1264
+insert into tiny values(0, -127);
+--error 1264
+insert into tiny values(0, 256);
+--error 1264
+insert into tiny values(0, 1234567);
+select * from tiny;
+drop table tiny;
+
+create table small(a smallint, b smallint unsigned) engine = tianmu DEFAULT CHARSET=utf8mb4;
+# test insert correctly
+insert into small values(-32768, 0);
+insert into small values(0, 0);
+insert into small values(122, 122);
+insert into small values(32767, 32767);
+insert into small values(-0, -0);
+insert into small values(+0, +0);
+select * from small;
+# test out of range, currently the max value of unsigned is equal to signed
+# column signed a out of value
+--error 1264
+insert into small values(-32769, 0);
+--error 1264
+insert into small values(32768, 0);
+--error 1264
+insert into small values(-3276911, 0);
+--error 1264
+insert into small values(3276811, 0);
+# column unsigned b out of value[32768, 65535], deal with tianmu
+#--error 1264,BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into small values(0, 32768);
+#--error 1264,BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into small values(0, 41234);
+#--error 1264,BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into small values(0, 65535);
+# column unsigned b out of value(>65535 || <0), deal with mysql
+--error 1264
+insert into small values(0, -1);
+--error 1264
+insert into small values(0, -32768);
+--error 1264
+insert into small values(0, 65536);
+--error 1264
+insert into small values(0, 1234567);
+select * from small;
+drop table small;
+
+create table medium(a mediumint, b mediumint unsigned) engine = tianmu DEFAULT CHARSET=utf8mb4;
+# test insert correctly
+insert into medium values(-8388608, 0);
+insert into medium values(0, 0);
+insert into medium values(122, 122);
+insert into medium values(8388607, 8388607);
+insert into medium values(-0, -0);
+insert into medium values(+0, +0);
+select * from medium;
+# test out of range, currently the max value of unsigned is equal to signed
+# column signed a out of value
+--error 1264
+insert into medium values(-8388609, 0);
+--error 1264
+insert into medium values(8388608, 0);
+--error 1264
+insert into medium values(-8388608111, 0);
+--error 1264
+insert into medium values(8388608111, 0);
+# column unsigned b out of value[8388608, 16777215], deal with tianmu
+#--error 1264, BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into medium values(0, 8388608);
+#--error 1264, BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into medium values(0, 8388610);
+#--error 1264, BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into medium values(0, 16777215);
+# column unsigned b out of value(>8388607 || <0), deal with mysql
+--error 1264
+insert into medium values(0, -1);
+--error 1264
+insert into medium values(0, -8388608);
+--error 1264
+insert into medium values(0, 16777216);
+--error 1264
+insert into medium values(0, 1677721511);
+select * from medium;
+drop table medium;
+
+create table int_(a int, b int unsigned) engine = tianmu DEFAULT CHARSET=utf8mb4;
+# test insert correctly, range[-2147483647, 2147483647]
+insert into int_ values(-2147483647, 0);
+insert into int_ values(0, 0);
+insert into int_ values(122, 122);
+insert into int_ values(2147483647, 2147483647);
+insert into int_ values(-0, -0);
+insert into int_ values(+0, +0);
+select * from int_;
+# test out of range, currently the max value of unsigned is equal to signed
+# column signed a out of value
+--error 1264
+insert into int_ values(-2147483649, 0);
+--error 1264
+insert into int_ values(2147483648, 0);
+--error 1264
+insert into int_ values(-214748364811, 0);
+--error 1264
+insert into int_ values(214748364811, 0);
+# column unsigned b out of value[2147483648, 4294967295], deal with tianmu, -2147483648 also deal with tianmu
+#--error 1264, BUG: https://github.com/stoneatom/stonedb/issues/1236
+#insert into int_ values(-2147483648, 0);
+#BUG: https://github.com/stoneatom/stonedb/issues/1236
+#--error 1264
+#insert into int_ values(0, 2147483648);
+#BUG: https://github.com/stoneatom/stonedb/issues/1236
+#--error 1264
+#insert into int_ values(0, 3294967295);
+#--error 1264
+#insert into int_ values(0, 4294967295);
+# column unsigned b out of value(>4294967295 || <0), deal with mysql
+--error 1264
+insert into int_ values(0, -1);
+--error 1264
+insert into int_ values(0, -4294967295);
+--error 1264
+insert into int_ values(0, 4294967296);
+--error 1264
+insert into int_ values(0, 429496729611);
+select * from int_;
+drop table int_;
+
+#create table bigint_(a bigint, b bigint unsigned) engine = tianmu DEFAULT CHARSET=utf8mb4;
+## test insert correctly, range [-9223372036854775806, 9223372036854775807]
+#insert into bigint_ values(-9223372036854775806, 0);
+#insert into bigint_ values(0, 0);
+#insert into bigint_ values(122, 122);
+#insert into bigint_ values(9223372036854775807, 9223372036854775807);
+#insert into bigint_ values(-0, -0);
+#insert into bigint_ values(+0, +0);
+#select * from bigint_;
+## test out of range, currently the max value of unsigned is equal to signed
+## column signed a out of value, -9223372036854775808 ret error and -9223372036854775807(null)
+#--error 1264
+#insert into bigint_ values(-9223372036854775808, 0);
+#--error 1264
+#insert into bigint_ values(9223372036854775808, 0);
+#--error 1264
+#insert into bigint_ values(-9223372036854775810, 0);
+#--error 1264
+#insert into bigint_ values(9223372036854775810, 0);
+## column unsigned b out of value[9223372036854775808, 18446744073709551615], deal with tianmu
+#--error 1264
+#insert into bigint_ values(0, 9223372036854775808);
+#--error 1264
+#insert into bigint_ values(0, 10223372036854775808);
+#--error 1264
+#insert into bigint_ values(0, 18446744073709551615);
+## column unsigned b out of value(>18446744073709551615 || <0), deal with mysql
+#--error 1264
+#insert into bigint_ values(0, -1);
+#--error 1264
+#insert into bigint_ values(0, -4294967295);
+#--error 1264
+#insert into bigint_ values(0, 18446744073709551616);
+#--error 1264
+#insert into bigint_ values(0, 1844674407370955161566);
+#select * from bigint_;
+#drop table bigint_;
+drop database if exists out_of_range_issue1151;
+"""
+
+SCRIPT_BIGINT_UNSIGNED_X = """create table t1 (a bigint unsigned not null, primary key(a));
+insert into t1 values (9223372036854775807), (0xFFFFFFFFFFFFFF), (9223372036854775806), (9223372036854775805);
+select * from t1 order by 1;
+select * from t1 where a=9223372036854775807;
+select * from t1 where a='9223372036854775807';
+delete from t1 where a=9223372036854775807;
+select * from t1 order by 1;
+drop table t1;
+
+create table t1 ( a int not null default 1, big bigint );
+insert into t1 (big) values (-1),(12345678901234567),(9223372036854775807),(9223372036854775805);
+select * from t1;
+select min(big),max(big),max(big)-1 from t1;
+select min(big),max(big),max(big)-1 from t1 group by a;
+--error 1264
+alter table t1 modify big bigint unsigned not null;
+select min(big),max(big),max(big)-1 from t1;
+select min(big),max(big),max(big)-1 from t1 group by a;
+insert into t1 (big) values (9223372036854775807);
+select * from t1;
+select min(big),max(big),max(big)-1 from t1;
+select min(big),max(big),max(big)-1 from t1 group by a;
+select min(big),max(big),max(big)-1 from t1;
+select min(big),max(big),max(big)-1 from t1 group by a;
+alter table t1 modify big bigint not null;
+select * from t1;
+select min(big),max(big),max(big)-1 from t1;
+select min(big),max(big),max(big)-1 from t1 group by a;
+drop table t1;
+create table t1 (id bigint auto_increment primary key, a int) auto_increment=9999999999;
+insert into t1 values (null,1);
+select * from t1;
+select * from t1 limit 9999999999;
+drop table t1;
+CREATE TABLE t1 (quantity decimal(18,0));
+insert into t1 values (100000000000000);
+insert into t1 values (10000000000000.0);
+insert into t1 values ('10000000000000');
+select * from t1;
+drop table t1;
+create table t1 (
+ value64  bigint unsigned  not null,
+ value32  integer          not null,
+ primary key(value64, value32)
+);
+
+create table t2 (
+ value64  bigint unsigned  not null,
+ value32  integer          not null,
+ primary key(value64, value32)
+);
+
+insert into t1 values(9223372036854775806, 1);
+insert into t1 values(9223372036854775807, 2);
+insert into t2 values(9223372036854775806, 3);
+insert into t2 values(9223372036854775807, 4);
+
+select * from t1;
+select * from t2;
+select * from t1, t2 where t1.value64=9223372036854775806 and t2.value64=9223372036854775806;
+select * from t1, t2 where t1.value64=9223372036854775806 and t2.value64=t1.value64;
+select * from t1, t2 where t1.value64= 9223372036854775807 and t2.value64=9223372036854775807;
+select * from t1, t2 where t1.value64= 9223372036854775807 and t2.value64=t1.value64;
+drop table t1, t2;
+
+# Test bigint 
+
+create table t1 (sint64 bigint not null);
+insert into t1 values (-9223372036854775806);
+select * from t1;
+drop table t1;
+
+create table t1 (quantity decimal(2) unsigned);
+insert into t1 values (50), (0), (1);
+select * from t1;
+drop table t1;
+
+#mod is signed with bigint
+
+select cast(9223372036854775807 as unsigned) mod 50 as result;
+create table t1 (c1 bigint unsigned);
+insert into t1 values (9223372036854775807);
+"""
+
+SCRIPT_SELECT_FUNCTION_CALLS_X = """--echo #
+--echo # Test SELECT FUNCTION call
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+SET GLOBAL log_bin_trust_function_creators = 1;
+--disable_warnings
+DROP DATABASE IF EXISTS mcs_db3;
+--enable_warnings
+
+CREATE DATABASE mcs_db3;
+USE mcs_db3;
+
+CREATE TABLE t1(col INT)Engine=tianmu;
+INSERT INTO t1 VALUEs(1),(2),(3),(4),(5),(6),(7),(8),(9),(10);
+
+# Function that returns square of a number
+CREATE FUNCTION func(num int) RETURNS INT RETURN(POW(num,2));
+
+SET @a = func(11);
+SET @b = 15;
+SELECT @a;
+SELECT func(@a);
+SELECT func(-@b);
+SELECT func(0);
+SELECT func(11+22);
+SELECT func(11-22);
+SELECT func(11*22);
+SELECT func(11/22);
+
+SELECT col,@a FROM t1;
+
+# ERROR 6 (HY000):includes syntax that is not supported by the storage engine tianmu
+#SELECT col AS 'num', func(col) as 'square of num' from t1;
+
+--error 1064
+SELECT f1(@b) AS 'square of 99', * FROM t1;
+--error 1318
+SELECT func();
+
+--error 1305
+SELECT fun(@b);
+"""
+
+SCRIPT_INSERT_SELECT_X = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Problem with INSERT ... SELECT
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS insert_select_db;
+--enable_warnings
+
+CREATE DATABASE insert_select_db;
+USE insert_select_db;
+
+SET sql_mode = 'NO_ENGINE_SUBSTITUTION,NO_AUTO_CREATE_USER';
+create table t1 (bandID MEDIUMINT NOT NULL PRIMARY KEY, payoutID SMALLINT NOT NULL);
+insert into t1 (bandID,payoutID) VALUES (1,6),(2,6),(3,4),(4,9),(5,10),(6,1),(7,12),(8,12);
+create table t2 (payoutID SMALLINT NOT NULL PRIMARY KEY);
+insert into t2 (payoutID) SELECT DISTINCT payoutID FROM t1;
+
+select * from t2 order by payoutID;
+drop table t1,t2;
+
+--echo #
+--echo # Test of insert ... select from same table
+--echo #
+
+create table t1 (a int not null);
+create table t2 (a int not null);
+insert into t1 values (1);
+insert into t1 values (a+2);
+insert into t1 values (a+3);
+insert into t1 values (4),(a+5);
+insert into t1 select * from t1;
+--sorted_result
+select * from t1;
+insert into t1 select * from t1 as t2;
+--sorted_result
+select * from t1;
+insert into t2 select * from t1 as t2;
+--sorted_result
+select * from t1;
+insert into t1 select t2.a from t1,t2;
+--sorted_result
+select * from t1;
+--error 1066
+insert into t1 select * from t1,t1;
+drop table t1,t2;
+"""
+
+SCRIPT_UNSIGNED_GREATEST = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS unsigned_greatest_test;
+--enable_warnings
+
+CREATE DATABASE unsigned_greatest_test;
+USE unsigned_greatest_test;
+
+Create table datatypetestm (
+CIDX            INTEGER,
+CBIGINT         BIGINT,
+CDECIMAL1       DECIMAL(1),
+CDECIMAL4       DECIMAL(4),
+CDECIMAL4_2     DECIMAL(4,2),
+CDECIMAL5       DECIMAL(5),
+CDECIMAL9       DECIMAL(9),
+CDECIMAL9_2     DECIMAL(9,2),
+CDECIMAL10      DECIMAL(10),
+CDECIMAL18      DECIMAL(18),
+CDECIMAL18_2    DECIMAL(18,2),
+CINTEGER        INTEGER,
+CSMALLINT       SMALLINT,
+CTINYINT        TINYINT,
+CDOUBLE         DOUBLE,
+CFLOAT          FLOAT,
+CDATE           DATE,
+CDATETIME       DATETIME,
+CCHAR1  CHAR(1),
+CCHAR2  CHAR(2),
+CCHAR3  CHAR(3),
+CCHAR4  CHAR(4),
+CCHAR5  CHAR(5),
+CCHAR6  CHAR(6),
+CCHAR7  CHAR(7),
+CCHAR8  CHAR(8),
+CCHAR9  CHAR(9),
+CCHAR255        CHAR(255),
+CVCHAR1         VARCHAR(1),
+CVCHAR2         VARCHAR(2),
+CVCHAR3         VARCHAR(3),
+CVCHAR4         VARCHAR(4),
+CVCHAR5         VARCHAR(5),
+CVCHAR6         VARCHAR(6),
+CVCHAR7         VARCHAR(7),
+CVCHAR8         VARCHAR(8),
+CVCHAR255       VARCHAR(255)
+);
+
+insert into datatypetestm values 
+(1,-72036854775806,-9,-999,-9.99,-999,-999999,-9999.99,-9999999,-9999999999999,-99999999999.99,-7483646,-766,-26,-1.797693231E+108,-3.402866E+18,'1997-01-01','1997-01-01 00:00:00','a','aa','aaa','aaaa','aaaaa','aaaaaa','aaaaaaa','aaaaaaaa','aaaaaaaaa','aaaaaaaaaa','a','aa','aaa','aaaa','aaaaa','aaaaaa','aaaaaaa','aaaaaaaa','aaaaaaaaaa'),
+(2,-72036854775805,-8,-998,-9.98,-998,-999998,-9999.98,-9999998,-9999999999998,-99999999999.98,-7483645,-765,-25,-1.797693230E+108,-3.402865E+18,'1997-01-01','1997-01-01 00:00:01','a','b','c','d','e','f','g','h','i','j','a','b','c','d','e','f','g','h','j'),
+(3,-72036854775804,-7,-997,-9.97,-997,-999997,-9999.97,-9999997,-9999999999997,-99999999999.97,-7483644,-764,-24,-1.797693229E+108,-3.402864E+18,'1997-01-02','1997-01-02 00:00:01','a','bb','cc','dd','ee','ff','gg','hh','ii','jj','a','bb','cc','dd','ee','ff','gg','hh','jj'),
+(4,-72036854775803,-6,-996,-9.96,-996,-999996,-9999.96,-9999996,-9999999999996,-99999999999.96,-7483643,-763,-23,-1.797693228E+108,-3.402863E+18,'1997-01-03','1997-01-03 00:00:02','a','bb','ccc','ddd','eee','fff','ggg','hhh','iii','jjj','a','bb','ccc','ddd','eee','fff','ggg','hhh','jjj'),
+(5,-72036854775802,-5,-995,-9.95,-995,-999995,-9999.95,-9999995,-9999999999995,-99999999999.95,-7483642,-762,-22,-1.797693227E+108,-3.402862E+18,'1997-01-04','1997-01-04 00:00:03','a','bb','ccc','dddd','eeee','ffff','gggg','hhhh','iiii','jjjj','a','bb','ccc','dddd','eeee','ffff','gggg','hhhh','jjjj'),
+(6,72036854775803,5,995,9.95,995,999995,9999.95,9999995,9999999999995,99999999999.95,7483643,763,23,1.797693227E+108,3.402862E+18,'2009-12-28','2009-12-31 23:59:56','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','sssssss','rrrrrrr','qqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','sssssss','qqqqqqq'),
+(7,72036854775804,6,996,9.96,996,999996,9999.96,9999996,9999999999996,99999999999.96,7483644,764,24,1.797693228E+108,3.402863E+18,'2009-12-29','2009-12-31 23:59:57','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','rrrrrrrr','qqqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','qqqqqqqq'),
+(8,72036854775805,7,997,9.97,997,999997,9999.97,9999997,9999999999997,99999999999.97,7483645,765,25,1.797693229E+108,3.402864E+18,'2009-12-30','2009-12-31 23:59:58','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','rrrrrrrrr','qqqqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','qqqqqqqqq'),
+(9,72036854775806,8,998,9.98,998,999998,9999.98,9999998,9999999999998,99999999999.98,7483646,766,26,1.797693230E+108,3.402865E+18,'2009-12-31','2009-12-31 23:59:59','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','rrrrrrrrr','qqqqqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','qqqqqqqqqq'),
+(10,72036854775807,9,999,9.99,999,999999,9999.99,9999999,9999999999999,99999999999.99,7483647,767,27,1.797693231E+108,3.402866E+18,'2009-12-31','2009-12-31 23:59:59','z','zz','zzz','zzzz','zzzzz','zzzzzz','zzzzzzz','zzzzzzzz','zzzzzzzzz','zzzzzzzzzz','z','zz','zzz','zzzz','zzzzz','zzzzzz','zzzzzzz','zzzzzzzz','zzzzzzzzzz'),
+(11,0,0,0,0.00,0,0,0.00,0,0,0.00,0,0,0,0.00,0.00,'2009-12-31','2009-12-31 23:59:59',NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL);
+
+ALTER TABLE datatypetestm ADD COLUMN CUTINYINT TINYINT UNSIGNED;
+ALTER TABLE datatypetestm ADD COLUMN CUSMALLINT SMALLINT UNSIGNED;
+ALTER TABLE datatypetestm ADD COLUMN CUINTEGER INT UNSIGNED;
+ALTER TABLE datatypetestm ADD COLUMN CUBIGINT BIGINT UNSIGNED;
+UPDATE datatypetestm SET CUTINYINT=CTINYINT + 100;
+UPDATE datatypetestm SET CUSMALLINT=CSMALLINT + 20000;
+UPDATE datatypetestm SET CUINTEGER=CINTEGER + 1140000000;
+UPDATE datatypetestm SET CUBIGINT=CBIGINT + 5223000000000000;
+
+select cidx, CUBIGINT, GREATEST(CUBIGINT,CBIGINT,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUSMALLINT, GREATEST(CDECIMAL1,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUTINYINT, GREATEST(CDECIMAL1,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL1, CUBIGINT, GREATEST(CDECIMAL1,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4, CUSMALLINT, GREATEST(CDECIMAL4,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4, CUTINYINT, GREATEST(CDECIMAL4,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4, CUBIGINT, GREATEST(CDECIMAL4,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUSMALLINT, GREATEST(CDECIMAL4_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4_2, CUTINYINT, GREATEST(CDECIMAL4_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUBIGINT, GREATEST(CDECIMAL4_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9, CUSMALLINT, GREATEST(CDECIMAL9,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9, CUTINYINT, GREATEST(CDECIMAL9,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9, CUBIGINT, GREATEST(CDECIMAL9,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUSMALLINT, GREATEST(CDECIMAL9_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9_2, CUTINYINT, GREATEST(CDECIMAL9_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUBIGINT, GREATEST(CDECIMAL9_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18, CUSMALLINT, GREATEST(CDECIMAL18,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18, CUTINYINT, GREATEST(CDECIMAL18,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18, CUBIGINT, GREATEST(CDECIMAL18,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUSMALLINT, GREATEST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18_2, CUTINYINT, GREATEST(CDECIMAL18_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUBIGINT, GREATEST(CDECIMAL18_2,CUBIGINT) from datatypetestm;
+select cidx, CINTEGER, CUINTEGER, GREATEST(CUINTEGER,CINTEGER,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CINTEGER, CUSMALLINT, GREATEST(CINTEGER,CUSMALLINT) from datatypetestm;
+select cidx, CINTEGER, CUTINYINT, GREATEST(CINTEGER,CUTINYINT) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, GREATEST(CSMALLINT,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, GREATEST(CSMALLINT,CUSMALLINT) from datatypetestm;
+select cidx, CSMALLINT, CUTINYINT, GREATEST(CSMALLINT,CUTINYINT) from datatypetestm;
+select cidx, CUBIGINT from datatypetestm where GREATEST(CUBIGINT,CSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CUSMALLINT from datatypetestm where GREATEST(CUSMALLINT,CSMALLINT) <> CUSMALLINT;
+select cidx, CUBIGINT from datatypetestm where GREATEST(CDECIMAL18,CUBIGINT,CUSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CDECIMAL18 from datatypetestm where GREATEST(CDECIMAL18,CUSMALLINT) <> CDECIMAL18;
+select cidx, CDECIMAL18 from datatypetestm where GREATEST(CDECIMAL18,CUTINYINT) <> CDECIMAL18;
+select cidx, CDECIMAL18_2 from datatypetestm where GREATEST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CUSMALLINT from datatypetestm where GREATEST(CINTEGER,CUSMALLINT,CUTINYINT,10) <> CINTEGER;
+select cidx, CINTEGER from datatypetestm where GREATEST(CINTEGER,CUTINYINT) <> CINTEGER;
+select cidx, CUSMALLINT from datatypetestm where GREATEST(CSMALLINT,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CSMALLINT from datatypetestm where GREATEST(CSMALLINT,CUTINYINT) <> CSMALLINT;
+select cidx, CUTINYINT from datatypetestm where GREATEST(CTINYINT,CSMALLINT,CUTINYINT,10) <> CUTINYINT;
+select cidx, CUTINYINT from datatypetestm where GREATEST(CTINYINT,CUTINYINT) <> CUTINYINT;
+
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUTINYINT=CTINYINT-1;
+UPDATE datatypetestm SET CUTINYINT=CTINYINT-1 WHERE CTINYINT > 0;
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUSMALLINT=CSMALLINT-1;
+UPDATE datatypetestm SET CUSMALLINT=CSMALLINT-1 WHERE CSMALLINT > 0;
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUINTEGER=CINTEGER-1;
+UPDATE datatypetestm SET CUINTEGER=CINTEGER-1 WHERE CINTEGER > 0;
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUBIGINT=CBIGINT-1;
+UPDATE datatypetestm SET CUBIGINT=CBIGINT-1 WHERE CBIGINT > 0;
+
+select cidx, CUBIGINT, GREATEST(CUBIGINT,CBIGINT,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUSMALLINT, GREATEST(CDECIMAL1,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUTINYINT, GREATEST(CDECIMAL1,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL1, CUBIGINT, GREATEST(CDECIMAL1,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4, CUSMALLINT, GREATEST(CDECIMAL4,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4, CUTINYINT, GREATEST(CDECIMAL4,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4, CUBIGINT, GREATEST(CDECIMAL4,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUSMALLINT, GREATEST(CDECIMAL4_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4_2, CUTINYINT, GREATEST(CDECIMAL4_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUBIGINT, GREATEST(CDECIMAL4_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9, CUSMALLINT, GREATEST(CDECIMAL9,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9, CUTINYINT, GREATEST(CDECIMAL9,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9, CUBIGINT, GREATEST(CDECIMAL9,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUSMALLINT, GREATEST(CDECIMAL9_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9_2, CUTINYINT, GREATEST(CDECIMAL9_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUBIGINT, GREATEST(CDECIMAL9_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18, CUSMALLINT, GREATEST(CDECIMAL18,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18, CUTINYINT, GREATEST(CDECIMAL18,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18, CUBIGINT, GREATEST(CDECIMAL18,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUSMALLINT, GREATEST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18_2, CUTINYINT, GREATEST(CDECIMAL18_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUBIGINT, GREATEST(CDECIMAL18_2,CUBIGINT) from datatypetestm;
+select cidx, CINTEGER, CUINTEGER, GREATEST(CUINTEGER,CINTEGER,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CINTEGER, CUSMALLINT, GREATEST(CINTEGER,CUSMALLINT) from datatypetestm;
+select cidx, CINTEGER, CUTINYINT, GREATEST(CINTEGER,CUTINYINT) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, GREATEST(CSMALLINT,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, GREATEST(CSMALLINT,CUSMALLINT) from datatypetestm;
+select cidx, CSMALLINT, CUTINYINT, GREATEST(CSMALLINT,CUTINYINT) from datatypetestm;
+select cidx, CUBIGINT from datatypetestm where GREATEST(CUBIGINT,CSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CUSMALLINT from datatypetestm where GREATEST(CUSMALLINT,CSMALLINT) <> CUSMALLINT;
+select cidx, CUBIGINT from datatypetestm where GREATEST(CDECIMAL18,CUBIGINT,CUSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CDECIMAL18 from datatypetestm where GREATEST(CDECIMAL18,CUSMALLINT) <> CDECIMAL18;
+select cidx, CDECIMAL18 from datatypetestm where GREATEST(CDECIMAL18,CUTINYINT) <> CDECIMAL18;
+select cidx, CDECIMAL18_2 from datatypetestm where GREATEST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CUSMALLINT from datatypetestm where GREATEST(CINTEGER,CUSMALLINT,CUTINYINT,10) <> CINTEGER;
+select cidx, CINTEGER from datatypetestm where GREATEST(CINTEGER,CUTINYINT) <> CINTEGER;
+select cidx, CUSMALLINT from datatypetestm where GREATEST(CSMALLINT,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CSMALLINT from datatypetestm where GREATEST(CSMALLINT,CUTINYINT) <> CSMALLINT;
+select cidx, CUTINYINT from datatypetestm where GREATEST(CTINYINT,CSMALLINT,CUTINYINT,10) <> CUTINYINT;
+select cidx, CUTINYINT from datatypetestm where GREATEST(CTINYINT,CUTINYINT) <> CUTINYINT;
+
+ALTER TABLE datatypetestm DROP COLUMN CUTINYINT;
+ALTER TABLE datatypetestm DROP COLUMN CUSMALLINT;
+ALTER TABLE datatypetestm DROP COLUMN CUINTEGER;
+ALTER TABLE datatypetestm DROP COLUMN CUBIGINT;
+
+# Clean UP
+DROP DATABASE unsigned_greatest_test;
+"""
+
+SCRIPT_UNSIGNED_LEAST = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test unsigned_least
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS unsigned_least_test;
+--enable_warnings
+
+CREATE DATABASE unsigned_least_test;
+USE unsigned_least_test;
+
+Create table datatypetestm (
+CIDX            INTEGER,
+CBIGINT         BIGINT,
+CDECIMAL1       DECIMAL(1),
+CDECIMAL4       DECIMAL(4),
+CDECIMAL4_2     DECIMAL(4,2),
+CDECIMAL5       DECIMAL(5),
+CDECIMAL9       DECIMAL(9),
+CDECIMAL9_2     DECIMAL(9,2),
+CDECIMAL10      DECIMAL(10),
+CDECIMAL18      DECIMAL(18),
+CDECIMAL18_2    DECIMAL(18,2),
+CINTEGER        INTEGER,
+CSMALLINT       SMALLINT,
+CTINYINT        TINYINT,
+CDOUBLE         DOUBLE,
+CFLOAT          FLOAT,
+CDATE           DATE,
+CDATETIME       DATETIME,
+CCHAR1  CHAR(1),
+CCHAR2  CHAR(2),
+CCHAR3  CHAR(3),
+CCHAR4  CHAR(4),
+CCHAR5  CHAR(5),
+CCHAR6  CHAR(6),
+CCHAR7  CHAR(7),
+CCHAR8  CHAR(8),
+CCHAR9  CHAR(9),
+CCHAR255        CHAR(255),
+CVCHAR1         VARCHAR(1),
+CVCHAR2         VARCHAR(2),
+CVCHAR3         VARCHAR(3),
+CVCHAR4         VARCHAR(4),
+CVCHAR5         VARCHAR(5),
+CVCHAR6         VARCHAR(6),
+CVCHAR7         VARCHAR(7),
+CVCHAR8         VARCHAR(8),
+CVCHAR255       VARCHAR(255)
+);
+
+insert into datatypetestm values 
+(1,-72036854775806,-9,-999,-9.99,-999,-999999,-9999.99,-9999999,-9999999999999,-99999999999.99,-7483646,-766,-26,-1.797693231E+108,-3.402866E+18,'1997-01-01','1997-01-01 00:00:00','a','aa','aaa','aaaa','aaaaa','aaaaaa','aaaaaaa','aaaaaaaa','aaaaaaaaa','aaaaaaaaaa','a','aa','aaa','aaaa','aaaaa','aaaaaa','aaaaaaa','aaaaaaaa','aaaaaaaaaa'),
+(2,-72036854775805,-8,-998,-9.98,-998,-999998,-9999.98,-9999998,-9999999999998,-99999999999.98,-7483645,-765,-25,-1.797693230E+108,-3.402865E+18,'1997-01-01','1997-01-01 00:00:01','a','b','c','d','e','f','g','h','i','j','a','b','c','d','e','f','g','h','j'),
+(3,-72036854775804,-7,-997,-9.97,-997,-999997,-9999.97,-9999997,-9999999999997,-99999999999.97,-7483644,-764,-24,-1.797693229E+108,-3.402864E+18,'1997-01-02','1997-01-02 00:00:01','a','bb','cc','dd','ee','ff','gg','hh','ii','jj','a','bb','cc','dd','ee','ff','gg','hh','jj'),
+(4,-72036854775803,-6,-996,-9.96,-996,-999996,-9999.96,-9999996,-9999999999996,-99999999999.96,-7483643,-763,-23,-1.797693228E+108,-3.402863E+18,'1997-01-03','1997-01-03 00:00:02','a','bb','ccc','ddd','eee','fff','ggg','hhh','iii','jjj','a','bb','ccc','ddd','eee','fff','ggg','hhh','jjj'),
+(5,-72036854775802,-5,-995,-9.95,-995,-999995,-9999.95,-9999995,-9999999999995,-99999999999.95,-7483642,-762,-22,-1.797693227E+108,-3.402862E+18,'1997-01-04','1997-01-04 00:00:03','a','bb','ccc','dddd','eeee','ffff','gggg','hhhh','iiii','jjjj','a','bb','ccc','dddd','eeee','ffff','gggg','hhhh','jjjj'),
+(6,72036854775803,5,995,9.95,995,999995,9999.95,9999995,9999999999995,99999999999.95,7483643,763,23,1.797693227E+108,3.402862E+18,'2009-12-28','2009-12-31 23:59:56','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','sssssss','rrrrrrr','qqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','sssssss','qqqqqqq'),
+(7,72036854775804,6,996,9.96,996,999996,9999.96,9999996,9999999999996,99999999999.96,7483644,764,24,1.797693228E+108,3.402863E+18,'2009-12-29','2009-12-31 23:59:57','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','rrrrrrrr','qqqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','qqqqqqqq'),
+(8,72036854775805,7,997,9.97,997,999997,9999.97,9999997,9999999999997,99999999999.97,7483645,765,25,1.797693229E+108,3.402864E+18,'2009-12-30','2009-12-31 23:59:58','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','rrrrrrrrr','qqqqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','qqqqqqqqq'),
+(9,72036854775806,8,998,9.98,998,999998,9999.98,9999998,9999999999998,99999999999.98,7483646,766,26,1.797693230E+108,3.402865E+18,'2009-12-31','2009-12-31 23:59:59','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','rrrrrrrrr','qqqqqqqqqq','z','yy','xxx','wwww','vvvvv','uuuuuu','ttttttt','ssssssss','qqqqqqqqqq'),
+(10,72036854775807,9,999,9.99,999,999999,9999.99,9999999,9999999999999,99999999999.99,7483647,767,27,1.797693231E+108,3.402866E+18,'2009-12-31','2009-12-31 23:59:59','z','zz','zzz','zzzz','zzzzz','zzzzzz','zzzzzzz','zzzzzzzz','zzzzzzzzz','zzzzzzzzzz','z','zz','zzz','zzzz','zzzzz','zzzzzz','zzzzzzz','zzzzzzzz','zzzzzzzzzz'),
+(11,0,0,0,0.00,0,0,0.00,0,0,0.00,0,0,0,0.00,0.00,'2009-12-31','2009-12-31 23:59:59',NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL,NULL);
+
+ALTER TABLE datatypetestm ADD COLUMN CUTINYINT TINYINT UNSIGNED;
+ALTER TABLE datatypetestm ADD COLUMN CUSMALLINT SMALLINT UNSIGNED;
+ALTER TABLE datatypetestm ADD COLUMN CUINTEGER INT UNSIGNED;
+ALTER TABLE datatypetestm ADD COLUMN CUBIGINT BIGINT UNSIGNED;
+UPDATE datatypetestm SET CUTINYINT=CTINYINT + 120;
+UPDATE datatypetestm SET CUSMALLINT=CSMALLINT + 20000;
+UPDATE datatypetestm SET CUINTEGER=CINTEGER + 1140000000;
+UPDATE datatypetestm SET CUBIGINT=CBIGINT + 5223000000000000000;
+
+select cidx, CBIGINT, CUBIGINT, LEAST(CUBIGINT,CBIGINT,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUSMALLINT, LEAST(CDECIMAL1,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUTINYINT, LEAST(CDECIMAL1,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL1, CUBIGINT, LEAST(CDECIMAL1,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4, CUSMALLINT, LEAST(CDECIMAL4,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4, CUTINYINT, LEAST(CDECIMAL4,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4, CUBIGINT, LEAST(CDECIMAL4,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUSMALLINT, LEAST(CDECIMAL4_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4_2, CUTINYINT, LEAST(CDECIMAL4_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUBIGINT, LEAST(CDECIMAL4_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9, CUSMALLINT, LEAST(CDECIMAL9,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9, CUTINYINT, LEAST(CDECIMAL9,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9, CUBIGINT, LEAST(CDECIMAL9,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUSMALLINT, LEAST(CDECIMAL9_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9_2, CUTINYINT, LEAST(CDECIMAL9_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUBIGINT, LEAST(CDECIMAL9_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18, CUSMALLINT, LEAST(CDECIMAL18,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18, CUTINYINT, LEAST(CDECIMAL18,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18, CUBIGINT, LEAST(CDECIMAL18,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUSMALLINT, LEAST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18_2, CUTINYINT, LEAST(CDECIMAL18_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUBIGINT, LEAST(CDECIMAL18_2,CUBIGINT) from datatypetestm;
+select cidx, CINTEGER, CUINTEGER, LEAST(CUINTEGER,CINTEGER,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CINTEGER, CUSMALLINT, LEAST(CINTEGER,CUSMALLINT) from datatypetestm;
+select cidx, CINTEGER, CUTINYINT, LEAST(CINTEGER,CUTINYINT) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, LEAST(CSMALLINT,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, LEAST(CSMALLINT,CUSMALLINT) from datatypetestm;
+select cidx, CSMALLINT, CUTINYINT, LEAST(CSMALLINT,CUTINYINT) from datatypetestm;
+select cidx, CUBIGINT from datatypetestm where LEAST(CUBIGINT,CSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CUSMALLINT from datatypetestm where LEAST(CUSMALLINT,CSMALLINT) <> CUSMALLINT;
+select cidx, CUBIGINT from datatypetestm where LEAST(CDECIMAL18,CUBIGINT,CUSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CDECIMAL18 from datatypetestm where LEAST(CDECIMAL18,CUSMALLINT) <> CDECIMAL18;
+select cidx, CDECIMAL18 from datatypetestm where LEAST(CDECIMAL18,CUTINYINT) <> CDECIMAL18;
+select cidx, CDECIMAL18_2 from datatypetestm where LEAST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CUSMALLINT from datatypetestm where LEAST(CINTEGER,CUSMALLINT,CUTINYINT,10) <> CINTEGER;
+select cidx, CINTEGER from datatypetestm where LEAST(CINTEGER,CUTINYINT) <> CINTEGER;
+select cidx, CUSMALLINT from datatypetestm where LEAST(CSMALLINT,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CSMALLINT from datatypetestm where LEAST(CSMALLINT,CUTINYINT) <> CSMALLINT;
+select cidx, CUTINYINT from datatypetestm where LEAST(CTINYINT,CSMALLINT,CUTINYINT,10) <> CUTINYINT;
+select cidx, CUTINYINT from datatypetestm where LEAST(CTINYINT,CUTINYINT) <> CUTINYINT;
+
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUTINYINT=CTINYINT-1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUSMALLINT=CSMALLINT-1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUINTEGER=CINTEGER-1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+UPDATE datatypetestm SET CUBIGINT=CBIGINT-1;
+
+UPDATE datatypetestm SET CUTINYINT=CTINYINT-1 WHERE CTINYINT > 0;
+UPDATE datatypetestm SET CUSMALLINT=CSMALLINT-1 WHERE CSMALLINT > 0;
+UPDATE datatypetestm SET CUINTEGER=CINTEGER-1 WHERE CINTEGER > 0;
+UPDATE datatypetestm SET CUBIGINT=CBIGINT-1 WHERE CBIGINT > 0;
+
+select cidx, CBIGINT, CUBIGINT, LEAST(CUBIGINT,CBIGINT,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUSMALLINT, LEAST(CDECIMAL1,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL1, CUTINYINT, LEAST(CDECIMAL1,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL1, CUBIGINT, LEAST(CDECIMAL1,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4, CUSMALLINT, LEAST(CDECIMAL4,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4, CUTINYINT, LEAST(CDECIMAL4,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4, CUBIGINT, LEAST(CDECIMAL4,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUSMALLINT, LEAST(CDECIMAL4_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL4_2, CUTINYINT, LEAST(CDECIMAL4_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL4_2, CUBIGINT, LEAST(CDECIMAL4_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9, CUSMALLINT, LEAST(CDECIMAL9,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9, CUTINYINT, LEAST(CDECIMAL9,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9, CUBIGINT, LEAST(CDECIMAL9,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUSMALLINT, LEAST(CDECIMAL9_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL9_2, CUTINYINT, LEAST(CDECIMAL9_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL9_2, CUBIGINT, LEAST(CDECIMAL9_2,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18, CUSMALLINT, LEAST(CDECIMAL18,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18, CUTINYINT, LEAST(CDECIMAL18,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18, CUBIGINT, LEAST(CDECIMAL18,CUBIGINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUSMALLINT, LEAST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CDECIMAL18_2, CUTINYINT, LEAST(CDECIMAL18_2,CUTINYINT) from datatypetestm;
+select cidx, CDECIMAL18_2, CUBIGINT, LEAST(CDECIMAL18_2,CUBIGINT) from datatypetestm;
+select cidx, CINTEGER, CUINTEGER, LEAST(CUINTEGER,CINTEGER,CUSMALLINT,CSMALLINT,CUTINYINT,CTINYINT,10) from datatypetestm;
+select cidx, CINTEGER, CUSMALLINT, LEAST(CINTEGER,CUSMALLINT) from datatypetestm;
+select cidx, CINTEGER, CUTINYINT, LEAST(CINTEGER,CUTINYINT) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, LEAST(CSMALLINT,CUSMALLINT,CUTINYINT,10) from datatypetestm;
+select cidx, CSMALLINT, CUSMALLINT, LEAST(CSMALLINT,CUSMALLINT) from datatypetestm;
+select cidx, CSMALLINT, CUTINYINT, LEAST(CSMALLINT,CUTINYINT) from datatypetestm;
+select cidx, CUBIGINT from datatypetestm where LEAST(CUBIGINT,CSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CUSMALLINT from datatypetestm where LEAST(CUSMALLINT,CSMALLINT) <> CUSMALLINT;
+select cidx, CUBIGINT from datatypetestm where LEAST(CDECIMAL18,CUBIGINT,CUSMALLINT,CUTINYINT,10) <> CUBIGINT;
+select cidx, CDECIMAL18 from datatypetestm where LEAST(CDECIMAL18,CUSMALLINT) <> CDECIMAL18;
+select cidx, CDECIMAL18 from datatypetestm where LEAST(CDECIMAL18,CUTINYINT) <> CDECIMAL18;
+select cidx, CDECIMAL18_2 from datatypetestm where LEAST(CDECIMAL18_2,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CUSMALLINT from datatypetestm where LEAST(CINTEGER,CUSMALLINT,CUTINYINT,10) <> CINTEGER;
+select cidx, CINTEGER from datatypetestm where LEAST(CINTEGER,CUTINYINT) <> CINTEGER;
+select cidx, CUSMALLINT from datatypetestm where LEAST(CSMALLINT,CUSMALLINT,CUTINYINT,10) <> CUSMALLINT;
+select cidx, CSMALLINT from datatypetestm where LEAST(CSMALLINT,CUTINYINT) <> CSMALLINT;
+select cidx, CUTINYINT from datatypetestm where LEAST(CTINYINT,CSMALLINT,CUTINYINT,10) <> CUTINYINT;
+select cidx, CUTINYINT from datatypetestm where LEAST(CTINYINT,CUTINYINT) <> CUTINYINT;
+
+ALTER TABLE datatypetestm DROP COLUMN CUTINYINT;
+ALTER TABLE datatypetestm DROP COLUMN CUSMALLINT;
+ALTER TABLE datatypetestm DROP COLUMN CUINTEGER;
+ALTER TABLE datatypetestm DROP COLUMN CUBIGINT;
+
+# Clean UP
+drop table datatypetestm;
+DROP DATABASE unsigned_least_test;
+"""
+
+SCRIPT_ALTER_UPDATE = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_update;
+--enable_warnings
+
+CREATE DATABASE alter_update;
+
+USE alter_update;
+
+CREATE TABLE test (a INT,b INT);
+
+INSERT INTO test(a,b) VALUES (1,37),(64,34),(65,17);
+
+ALTER TABLE test ADD COLUMN c INT;
+
+UPDATE test SET c=b;
+
+SELECT * FROM test;
+
+UPDATE test SET c=a;
+
+SELECT * FROM test;
+
+DROP TABLE test;
+
+DROP DATABASE alter_update;
+"""
+
+SCRIPT_ALTER_DELETE = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_delete;
+--enable_warnings
+
+CREATE DATABASE alter_delete;
+
+USE alter_delete;
+
+CREATE TABLE ttt1(id INT,name VARCHAR(5));
+
+INSERT INTO ttt1 VALUES(0,"XXX"),(1,'AAA'),(2,'BBB');
+
+SELECT * FROM ttt1;
+
+DELETE FROM ttt1 WHERE id=1;
+
+SELECT * FROM ttt1;
+
+ALTER TABLE ttt1 CONVERT TO CHARACTER SET utf8;
+
+SELECT * FROM ttt1;
+
+SHOW CREATE TABLE ttt1;
+
+DROP TABLE ttt1;
+
+DROP DATABASE alter_delete;
+"""
+
+SCRIPT_YEARWEEK_FUNCTION = """--echo #
+--echo # YEARWEEK() function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS yearweek_function;
+--enable_warnings
+
+CREATE DATABASE yearweek_function;
+USE yearweek_function;
+
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+ 
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '2020-12-11 01:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '1972-11-22 11:19:52', '1987-01-01 05:28:37');
+
+SELECT YEARWEEK('1020-10-12') FROM t1 LIMIT 1;
+SELECT YEARWEEK('2000-01-01', 0) FROM t1 LIMIT 1;
+SELECT YEARWEEK('2000-01-01', 1) FROM t1 LIMIT 1;
+SELECT YEARWEEK('2000-01-01', 6) FROM t1 LIMIT 1;
+SELECT YEARWEEK('2000-01-01', 7) FROM t1 LIMIT 1;
+SELECT YEARWEEK('1942-02-13 12:13:14') FROM t1 LIMIT 1;
+SELECT YEARWEEK('12:13:14') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, YEARWEEK(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 0) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 1) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 2) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 3) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 4) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 5) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 6) FROM t1 ORDER BY 1;
+SELECT t1_DATE, YEARWEEK(t1_DATE, 7) FROM t1 ORDER BY 1;
+
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 0) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 1) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 2) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 3) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 4) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 5) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 6) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, YEARWEEK(t1_DATETIME, 7) FROM t1 ORDER BY 1;
+
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 0) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 1) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 2) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 3) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 4) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 5) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 6) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, YEARWEEK(t1_TIMESTAMP, 7) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE yearweek_function;
+"""
+
+SCRIPT_WEEKOFYEAR_FUNCTION = """--echo #
+--echo #  WEEKOFYEAR() function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS weekofyear_function;
+--enable_warnings
+
+CREATE DATABASE weekofyear_function;
+USE weekofyear_function;
+
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIMESTAMP TIMESTAMP,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+ 
+INSERT INTO t1 VALUES('1991-05-30', '1999-10-28 01:00:50', '2020-12-11 01:08:59');
+INSERT INTO t1 VALUES('2991-10-13', '1972-11-22 11:19:52', '2002-02-21 05:28:37');
+
+SELECT WEEKOFYEAR('2020-10-12') FROM t1 LIMIT 1;
+SELECT WEEKOFYEAR('2020-05-22') FROM t1 LIMIT 1;
+SELECT WEEKOFYEAR('2020-02-13 12:13:14') FROM t1 LIMIT 1;
+SELECT WEEKOFYEAR('12:13:14') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, WEEKOFYEAR(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, WEEKOFYEAR(t1_DATETIME) FROM t1 ORDER BY 1;
+SELECT t1_TIMESTAMP, WEEKOFYEAR(t1_TIMESTAMP) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE weekofyear_function;
+"""
+
+SCRIPT_DAYOFMONTH_FUNCTION = """--echo #
+--echo # Test DAYOFMONTH function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs187_db;
+--enable_warnings
+
+CREATE DATABASE mcs187_db;
+USE mcs187_db;
+
+CREATE TABLE t1 (a DATE, b DATETIME)engine=tianmu;
+INSERT INTO t1 VALUES ('1990-10-10', '1990-01-01 0:0:0'), ('1212-12-12', '1212-12-11 11:11:11'), ('3333-03-03', '3333-3-4 3:33:33');
+SHOW CREATE TABLE t1;
+
+SELECT DAYOFMONTH('1212-12-12 11:11:11');
+SELECT DAYOFMONTH('2020-12-22');
+
+SELECT a, DAYOFMONTH(a) FROM t1 ORDER BY 1;
+SELECT b, DAYOFMONTH(b) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE mcs187_db;
+"""
+
+SCRIPT_DATE_FUNCTION = """--echo #
+--echo # Test DATE function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs183_db;
+--enable_warnings
+
+CREATE DATABASE mcs183_db;
+USE mcs183_db;
+
+CREATE TABLE t1 (a DATE, b DATETIME)engine=tianmu;
+INSERT INTO t1 VALUES ('1990-01-01', '1990-01-01 0:0:0'), ('1212-12-12', '1111-11-11 11:11:11'), ('3333-03-03', '3333-3-3 3:33:33');
+SHOW CREATE TABLE t1;
+
+SELECT DATE('1212-12-12 11:11:11');
+SELECT DATE('2020-12-22');
+
+SELECT a, DATE(a) FROM t1 ORDER BY 1;
+SELECT b, DATE(b) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE mcs183_db;
+"""
+
+SCRIPT_EMPTY_STRING_NOT_NULL = """--source include/have_tianmu.inc
+
+--echo #
+--echo # tests updates that sets invalid range when we set value at max boundary that is less than max.
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS empty_string_not_null;
+CREATE DATABASE empty_string_not_null;
+USE empty_string_not_null;
+--enable_warnings
+
+CREATE TABLE t(s text);
+INSERT INTO t(s) VALUES (''), (NULL);
+
+SELECT COUNT(*) FROM t WHERE s IS NULL;
+SELECT COUNT(*) FROM t WHERE s IS NOT NULL;
+
+SELECT * FROM t;
+
+DROP TABLE t;
+
+CREATE TABLE t(s text);
+# this will test different code path in writeengine.
+INSERT INTO t(s) VALUES ('');
+INSERT INTO t(s) VALUES (NULL);
+
+SELECT * FROM t;
+
+SELECT COUNT(*) FROM t WHERE s IS NULL;
+
+DROP TABLE t;
+
+CREATE TABLE t(s text) ;
+# handling of some obsucure pseudo-null magic value.
+INSERT INTO t(s) VALUES ('_CpNuLl_'),(''), (NULL);
+
+SELECT * FROM t;
+
+SELECT COUNT(*) FROM t WHERE s IS NULL;
+
+DROP TABLE t;
+
+# There is a problem with comparison
+CREATE TABLE t(c6 CHAR(6)) ;
+
+INSERT INTO t(c6) VALUES ('a'), ('b'), ('c');
+
+SELECT 2, COUNT(*) FROM t WHERE (c6 <= 'b' OR c6 <= '');
+
+SELECT 2, COUNT(*) FROM t WHERE (c6 <= 'b');
+
+SELECT 0, COUNT(*) FROM t WHERE (c6 <= '');
+
+SELECT 0, COUNT(*) FROM t WHERE (c6 <= ' ');
+
+SELECT 2, COUNT(*) FROM t WHERE (c6 <= 'b' OR c6 <= ' ');
+
+SELECT 0, COUNT(*) FROM t WHERE (c6 < '');
+
+SELECT 0, COUNT(*) FROM t WHERE (c6 < ' ');
+
+DROP TABLE IF EXISTS t;
+CREATE TABLE t(a CHAR(10));
+INSERT INTO t(a) VALUES (''), (NULL), ('   '), (' a ');
+SELECT LTRIM(a) FROM t;
+SELECT RTRIM(a) FROM t;
+#SELECT length(RTRIM(a)) FROM t;
+#SELECT length(RTRIM(a)) FROM t;
+
+DROP DATABASE empty_string_not_null;
+"""
+
+SCRIPT_INSERT_ON_DUPLICATE_UPDATE = """--echo #
+--echo # Test INSERT ON DUPLICATE KEY UPDATE statement
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS insert_on_duplicate_update;
+--enable_warnings
+
+CREATE DATABASE insert_on_duplicate_update;
+USE insert_on_duplicate_update;
+
+CREATE TABLE t1(
+c1 INT primary key not null,
+c2 CHAR(5)
+) ENGINE=tianmu;
+
+INSERT INTO t1 VALUES (123, 'abc');
+
+INSERT INTO t1 VALUES (123, 'abc') ON DUPLICATE KEY UPDATE c1 = VALUES(c1) + 1;
+
+SELECT * FROM t1;
+
+#Clean up
+DROP DATABASE insert_on_duplicate_update;
+"""
+
+SCRIPT_ALTER_COLUMN = """--echo #
+--echo # Test add, modify, rename, drop column
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_colunm;
+--enable_warnings
+
+CREATE DATABASE alter_colunm;
+USE alter_colunm;
+
+CREATE TABLE t1 (c1 INT, c2 CHAR(1)) ENGINE=tianmu;
+INSERT INTO t1 VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'), (5, 'e');
+
+#################
+# Add New Column
+#################
+
+ALTER TABLE t1 ADD COLUMN c11 INT NOT NULL;
+--error 1060
+ALTER TABLE t1 ADD COLUMN c11 INT(1);
+ALTER TABLE t1 ADD COLUMN c21 CHAR(2);
+
+#Duplicate column name
+--error 1060
+ALTER TABLE t1 ADD COLUMN c11 INT(2);
+ALTER TABLE t1 ADD COLUMN c12 CHAR(1) AFTER c11;
+ALTER TABLE t1 ADD COLUMN c0 INT FIRST;
+
+#################
+# Modify Column
+#################
+
+ALTER TABLE t1 MODIFY COLUMN c11 TINYINT;
+
+#################
+# Rename Column
+#################
+
+ALTER TABLE t1 CHANGE COLUMN c2 c2new CHAR(2);
+--error 1054
+ALTER TABLE t1 CHANGE COLUMN c2 c2new CHAR(1);
+ALTER TABLE t1 CHANGE COLUMN c2new c2 CHAR(1);
+
+#################
+# DROP Column
+#################
+
+--error 1064
+ALTER TABLE t1 DROP COLUMN IF EXISTS c11;
+ALTER TABLE t1 DROP COLUMN c11;
+
+SHOW CREATE TABLE t1;
+SELECT * FROM t1 ORDER BY c1;
+
+#################
+# ADD  COLUMEN BEFORE THE FIRST ADDING COLUMN IS WRONG
+#################
+
+CREATE TABLE st1 (
+    task_id INT NOT NULL,
+    subject VARCHAR(45) NULL,
+    start_date DATE NULL,
+    end_date DATE NULL,
+    description VARCHAR(200) NULL,
+    PRIMARY KEY (task_id)
+);
+
+--error 6
+ALTER TABLE st1 ADD COLUMN test numeric(20,10);
+
+ALTER TABLE st1 ADD COLUMN test1 numeric(8,2);
+
+SHOW CREATE TABLE st1;
+
+#################
+# ADD  COLUMEN  WARNING INFO
+#################
+
+CREATE TABLE st2 (
+    task_id INT NOT NULL,
+    subject VARCHAR(45) NULL,
+    start_date DATE NULL,
+    end_date DATE NULL,
+    description VARCHAR(200) NULL,
+    PRIMARY KEY (task_id)
+); 
+
+--error 1075
+ALTER TABLE st2 ADD COLUMN col_name3 int auto_increment;
+
+SHOW CREATE TABLE st2;
+
+#################
+# ADD  COLUMN  NOT NULL
+#################
+
+CREATE TABLE ttb1(
+        id int,
+        name varchar(5)
+) ENGINE=TIANMU;
+
+INSERT INTO ttb1 VALUES(1,'AAA'),(2,'BBB');
+
+ALTER TABLE ttb1 ADD COLUMN age VARCHAR(5) NOT NULL;
+
+SHOW CREATE TABLE ttb1;
+
+SELECT * FROM ttb1;
+
+#################
+# ADD timestamp COLUMN with default current_timestam
+#################
+create table stu(id int primary key, name char(20))engine=tianmu;
+
+insert into stu(id, name) values(1, 'zhang fei');
+insert into stu(id, name) values(2, 'zhao yun');
+insert into stu(id, name) values(3, 'zhen ji');
+insert into stu(id, name) values(4, 'zhou yu');
+insert into stu(id, name) values(5, 'zhu ge liang');
+insert into stu(id, name) values(6, 'ma chao');
+
+alter table stu add column ctm2 timestamp default current_timestamp();
+select id,name,length(ctm2) from stu;
+
+
+#################
+# CLEAR UP
+#################
+DROP DATABASE alter_colunm;
+"""
+
+SCRIPT_ALTER_TABLE1 = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test alter
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_table1_test;
+--enable_warnings
+
+CREATE DATABASE alter_table1_test;
+USE alter_table1_test;
+
+#alter table add, alter table alter
+
+CREATE TABLE st1
+(id INT(11),
+name VARCHAR(25),
+deptId INT(11),
+salary FLOAT
+) engine=tianmu;
+
+alter table st1 add column test varchar(4);
+alter table st1 add column test1 varchar(4) after test;
+#alter table st1 add column test2 varchar(4) first test;
+alter table st1 add column test3 varchar(4);
+
+alter table st1 add primary key(id);
+alter table st1 alter column id set default 3;
+alter table st1 alter column name drop default;
+alter table st1 alter column name set default NULL;
+
+--error 1064
+alter table st1 alter column id set 'unknown';
+--error 1064
+alter table st1 alter column id set default;
+
+
+#alter table drop
+alter table st1 drop primary key;
+alter table st1 drop name;
+desc st1;
+
+
+#alter table..order by
+CREATE TABLE st2
+(id INT(11),
+name VARCHAR(25),
+deptId INT(11),
+salary FLOAT
+) engine=tianmu;
+
+insert into st2 values(3,'haha1',45,4.5);
+insert into st2 values(1,'haha2',12,1.2);
+insert into st2 values(4,'haha3',31,3.2);
+insert into st2 values(2,'haha4',55,3.5);
+
+alter table st2 order by id;
+select * from st2;
+
+alter table st2 order by id,deptId;
+select * from st2;
+
+alter table st2 order by deptId,id;
+select * from st2;
+
+#test rename table
+
+CREATE TABLE st3
+(id INT(11),
+name VARCHAR(25),
+deptId INT(11),
+salary FLOAT,
+PRIMARY KEY(id)
+) engine=tianmu;
+
+ALTER TABLE st3 RENAME to st4 ;
+ALTER TABLE st4 RENAME as st3 ;
+ALTER TABLE st3 RENAME to st4 ;
+desc st4;
+
+# alter change column name
+
+alter table st4  change name name1 varchar(20);
+alter table st4  change column name1 name varchar(25);
+alter table st4 change name name2 varchar(20) after salary;
+#alter table st4 change name2 name varchar(25) first salary;
+
+
+#alter table modify
+
+CREATE TABLE st5
+(id INT(11),
+name VARCHAR(25),
+deptId INT(11),
+salary FLOAT,
+PRIMARY KEY(id)
+) engine=tianmu;
+
+alter table st5 modify name varchar(20);
+alter table st5 modify column name varchar(24);
+alter table st5 modify column name varchar(15) after salary;
+#alter table st5 modify column name varchar(30) first salary;
+
+ALTER TABLE st5 modify id varchar(10) CHARACTER SET utf8 COLLATE utf8_general_ci;
+
+#alter table multi table_options
+
+CREATE TABLE st6
+(id INT(11),
+name VARCHAR(25),
+deptId INT(11),
+salary FLOAT,
+PRIMARY KEY(id)
+) engine=tianmu;
+
+alter table st6 rename to st7,add name1 varchar(10);
+desc st7;
+
+alter table st7 rename to st8,drop name1;
+desc st8;
+
+alter table st8 add name1 varchar(10),drop name;
+desc st8;
+
+alter table st8 add name2 varchar(10),change name1 name varchar(10);
+desc st8;
+
+alter table st8 add name3 varchar(10),modify name varchar(20);
+desc st8;
+
+# clean up
+DROP TABLE st8;
+DROP TABLE st5;
+DROP TABLE st4;
+DROP TABLE st2;
+DROP TABLE st1;
+drop database alter_table1_test;
+"""
+
+SCRIPT_UNSIGNED = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test unsigned
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS unsigned_test;
+--enable_warnings
+
+CREATE DATABASE unsigned_test;
+USE unsigned_test;
+
+create table st1 (ukey int, c1 tinyint unsigned, c2 smallint unsigned, c3 int unsigned, c4 bigint unsigned);
+insert into st1 values (1,2,3,4,5), (2,127,32767,2147483647,9223372036854775807);
+select 'q1', st1.* from st1 order by 1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+insert into st1 values (3,-127,-32766,-2147483646,-9223372036854775806);
+insert into st1 values (4,126,32766,2147483646,9223372036854775806),(5,125,32765,2147483645,9223372036854775805);
+--error ER_WARN_DATA_OUT_OF_RANGE
+insert into st1 values (6,1255,165535,14294967295,118446744073709551615);
+select 'q2', st1.* from st1 where ukey > 2 order by 1;
+
+insert into st1 values (7,NULL,NULL,NULL,NULL);
+select 'q3', st1.* from st1 where ukey=7;
+
+--error ER_WARN_DATA_OUT_OF_RANGE
+update st1 set c4=-9223372036854775806 where ukey=1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+update st1 set c3=-2147483646 where ukey=1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+update st1 set c2=-32766 where ukey=1;
+--error ER_WARN_DATA_OUT_OF_RANGE
+update st1 set c1=-127 where ukey between 0 and 2;
+select 'q4', st1.* from st1 where ukey<2;
+
+update st1 set c3=2147483646 where ukey=4;
+update st1 set c2=32766 where ukey=4;
+update st1 set c1=125 where ukey between 4 and 5;
+select 'q5', st1.* from st1 where ukey>3 order by 2;
+
+create table st2 (ukey int, c1 tinyint unsigned, c2 smallint unsigned, c3 int unsigned, c4 bigint unsigned);
+insert into st2 values (8,125,32764,2147483645,9223372036854775800), (9,126,32766,2147483646,9223372036854775800),(10,127,32767,2147483647,9223372036854775801);
+select 'q6', st2.* from st2 where c1 between 125 and 127;
+select 'q7', st2.* from st2 where c2 between 32764 and 32767;
+select 'q8', st2.* from st2 where c3 between 2147483645 and 2147483647;
+select 'q9', st2.* from st2 where c4 between 9223372036854775800 and 9223372036854775801;
+
+--disable_warnings
+drop table if exists st1;
+drop table if exists st2;
+DROP TABLE if exists st3;
+--enable_warnings
+
+create table st3 (ukey bigint unsigned, c1 float unsigned, c2 double unsigned, c3 decimal(5,2) unsigned, c4 decimal(18,6) unsigned);
+insert into st3 values (0,2.22507385E-18, 2.225073858507201E-307, 123.45, 1234567890.12345678); 
+select 'q10', st3.* from st3 order by st3.ukey;
+
+--error ER_WARN_DATA_OUT_OF_RANGE
+insert into st3 values (0,-2.22507385E-18, -2.225073858507201E-307, -123.45, -1234567890.12345678); 
+select 'q11', st3.* from st3 order by st3.ukey;
+
+--error ER_WARN_DATA_OUT_OF_RANGE
+insert into st3 values (0,0.0, 0.0, 43123.45, 34321234567890.12345678); 
+select 'q12', st3.* from st3 order by st3.ukey;
+select 'q13', st3.* from st3 where c2 > 0 order by st3.ukey;
+insert into st3 values (0,0.0, 0.0, 0.0, 0); 
+select 'q12', st3.* from st3 order by st3.ukey;
+
+--disable_warnings
+DROP TABLE if exists st3;
+DROP TABLE IF EXISTS st4;
+--enable_warnings
+
+CREATE TABLE st4 (ukey TINYINT UNSIGNED, c1 INT UNSIGNED);
+INSERT INTO st4 VALUES (0,1); 
+INSERT INTO st4 VALUES (0,2); 
+INSERT INTO st4 VALUES (0,3); 
+INSERT INTO st4 VALUES (0,4); 
+INSERT INTO st4 VALUES (0,5); 
+SELECT 'q13', st4.* FROM st4 ORDER BY st4.ukey;
+
+DROP TABLE IF EXISTS st4;
+CREATE TABLE st4 (ukey SMALLINT UNSIGNED, c1 INT UNSIGNED);
+INSERT INTO st4 VALUES (0,1); 
+INSERT INTO st4 VALUES (0,2); 
+INSERT INTO st4 VALUES (0,3); 
+INSERT INTO st4 VALUES (0,4); 
+INSERT INTO st4 VALUES (0,5); 
+SELECT 'q13', st4.* FROM st4 ORDER BY st4.ukey;
+
+DROP TABLE IF EXISTS st4;
+CREATE TABLE st4 (ukey INT UNSIGNED, c1 INT UNSIGNED);
+INSERT INTO st4 VALUES (0,1); 
+INSERT INTO st4 VALUES (0,2); 
+INSERT INTO st4 VALUES (0,3); 
+INSERT INTO st4 VALUES (0,4); 
+INSERT INTO st4 VALUES (0,5); 
+SELECT 'q13', st4.* FROM st4 ORDER BY st4.ukey;
+
+DROP TABLE IF EXISTS st4;
+CREATE TABLE st4 (ukey BIGINT UNSIGNED, c1 INT UNSIGNED);
+INSERT INTO st4 VALUES (0,1); 
+INSERT INTO st4 VALUES (0,2); 
+INSERT INTO st4 VALUES (0,3); 
+INSERT INTO st4 VALUES (0,4); 
+INSERT INTO st4 VALUES (0,5); 
+SELECT 'q13', st4.* FROM st4 ORDER BY st4.ukey;
+DROP TABLE IF EXISTS st4;
+
+# Clean UP
+DROP DATABASE unsigned_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -4191,6 +5838,29 @@ _SPECS = [
     ('dialect_aggregate', SCRIPT_AGGREGATE, -1, ['a'], False, 'aggregate battery: COUNT/SUM/AVG/MIN/MAX over mixed types', {'a': 'DOUBLE'}),
     ('dialect_auto_increment', SCRIPT_AUTO_INCREMENT, -1, None, False, 'AUTO_INCREMENT counter: explicit-value bumps, 0/NULL assignment, per-width cap errors (signed leg)'),
     ('dialect_auto_inc_seed', SCRIPT_AUTO_INC_SEED, -1, None, False, 'AUTO_INCREMENT=N table option + ALTER; upward UPDATE bumps the counter'),
+    ('dialect_update_join', SCRIPT_UPDATE_JOIN, 2, None, False, 'UPDATE t1 JOIN/INNER JOIN t2 SET with WHERE over the pair'),
+    ('dialect_update_join_left', SCRIPT_UPDATE_JOIN, -1, None, False, 'UPDATE t2 LEFT JOIN t1 SET right-side target; unmatched rows untouched'),
+    ('dialect_delete_join', SCRIPT_DELETE_JOIN, 1, None, False, 'DELETE t1 FROM t1 INNER JOIN t2 with LIKE in the ON clause'),
+    ('dialect_delete_join_left', SCRIPT_DELETE_JOIN, -1, None, False, 'DELETE t2 FROM t2 LEFT JOIN t1 WHERE t2 key IS NULL (unmatched-row delete)'),
+    ('dialect_unsigned_type', SCRIPT_UNSIGNED_TYPE, -1, ['v'], False, 'UNSIGNED columns via ALTER ADD; UPDATE range 1264 analogs; tianmu-vs-innodb domains'),
+    ('dialect_out_of_range', SCRIPT_OUT_OF_RANGE_ISSUE1151, -1, None, False, 'out-of-range INSERT behavior battery (issue1151 shape, strict aborts)'),
+    ('dialect_bigint_unsigned', SCRIPT_BIGINT_UNSIGNED_X, 0, None, False, 'BIGINT UNSIGNED bounds incl. 0xFF.. hex literal, PK, ALTER MODIFY 1264 on negatives', {'a': 'DOUBLE'}),
+    ('dialect_bigint_unsigned_mod', SCRIPT_BIGINT_UNSIGNED_X, -1, ['result'], False, 'infix MOD over bigint-unsigned column and huge CAST literal', {'result': 'DOUBLE'}),
+    ('dialect_fn_inline', SCRIPT_SELECT_FUNCTION_CALLS_X, -1, ['col', 'a'], False, 'CREATE FUNCTION + calls over @vars and expressions; 1064/1318/1305 analogs'),
+    ('dialect_insert_select', SCRIPT_INSERT_SELECT_X, -1, None, False, 'INSERT..SELECT incl. self-doubling, cross-join feeds, VALUES column self-refs, 1066'),
+    ('dialect_unsigned_greatest', SCRIPT_UNSIGNED_GREATEST, -1, ['cidx', 'v'], False, 'GREATEST over unsigned ladders; runtime UPDATE 1264 analog on expression SET'),
+    ('dialect_unsigned_least', SCRIPT_UNSIGNED_LEAST, -1, ['cidx', 'v'], False, 'LEAST over unsigned ladders; runtime UPDATE 1264 analog on expression SET'),
+    ('dialect_alter_update', SCRIPT_ALTER_UPDATE, -1, None, False, 'ALTER TABLE then UPDATE over rewritten schema'),
+    ('dialect_alter_delete', SCRIPT_ALTER_DELETE, -1, None, False, 'ALTER TABLE (incl. CONVERT TO CHARACTER SET no-op) then DELETE'),
+    ('dialect_yearweek', SCRIPT_YEARWEEK_FUNCTION, -1, ['ts', 'yw'], False, 'YEARWEEK modes 0-7 over TIMESTAMP column'),
+    ('dialect_weekofyear', SCRIPT_WEEKOFYEAR_FUNCTION, -1, ['d', 'w'], False, 'WEEKOFYEAR over DATE/TIMESTAMP columns'),
+    ('dialect_dayofmonth', SCRIPT_DAYOFMONTH_FUNCTION, -1, ['d', 'v'], False, 'DAYOFMONTH over pre-1677 datetimes (string-compared designated)', {'d': 'STRING'}),
+    ('dialect_date_fn', SCRIPT_DATE_FUNCTION, -1, ['b', 'd'], False, 'DATE() over year-1111/3333 datetime column and literals', {'b': 'STRING'}),
+    ('dialect_empty_string_not_null', SCRIPT_EMPTY_STRING_NOT_NULL, -1, None, False, "''-vs-NULL distinction in TEXT columns across write paths"),
+    ('dialect_insert_on_dup', SCRIPT_INSERT_ON_DUPLICATE_UPDATE, -1, None, False, 'INSERT ... ON DUPLICATE KEY UPDATE battery (verbatim file)'),
+    ('dialect_alter_column', SCRIPT_ALTER_COLUMN, 1, None, False, 'ADD/MODIFY/RENAME/DROP COLUMN battery: 1060 dup, 1075 autoinc-key, decimal-18 cap'),
+    ('dialect_alter_table1', SCRIPT_ALTER_TABLE1, -1, None, False, 'ALTER alter-default (+1064 on bare SET DEFAULT), ORDER BY, rename-in-ALTER chains'),
+    ('dialect_unsigned_all', SCRIPT_UNSIGNED, -1, ['c1', 'lbl', 'ukey'], False, 'UNSIGNED float/double/decimal negative-insert 1264 analogs; full-ladder selects', {'lbl': 'DOUBLE'}),
 ]
 
 

@@ -402,3 +402,65 @@ def test_alter_tabledef_actions():
     srcs = {c.name: s for c, s in mapping}
     assert srcs == {"a2": "a", "d": None, "b": "b"}
     assert ntd.columns[2].spark_type == "STRING"
+
+
+def test_pk_duplicate_tracking():
+    import pytest
+    from stonedb_spark.dialect import (
+        parse_create_table, _parse_insert_values, _check_pk_duplicates,
+    )
+
+    tables = {}
+    td = parse_create_table(
+        "CREATE TABLE ttt(id int, c1 varchar(10), c2 varchar(10), "
+        "primary key(id, c1))"
+    )
+    tables["ttt"] = td
+    _, r1 = _parse_insert_values(tables, "INSERT INTO ttt VALUES(1,'xxx','xxx')")
+    _check_pk_duplicates(td, r1)
+    _, r2 = _parse_insert_values(tables, "INSERT INTO ttt VALUES(1,'','xxx')")
+    _check_pk_duplicates(td, r2)  # ('', differs from 'xxx') → ok
+    _, r3 = _parse_insert_values(tables, "INSERT INTO ttt VALUES(1,'','yyy')")
+    with pytest.raises(ValueError, match="1062"):
+        _check_pk_duplicates(td, r3)  # same (1,'') key → duplicate
+    # non-literal PK value disables tracking instead of guessing
+    _, r4 = _parse_insert_values(tables, "INSERT INTO ttt VALUES(1+1,'a','b')")
+    _check_pk_duplicates(td, r4)
+    assert td.seen_pk is None
+
+
+def test_notnull_and_engine_ranges():
+    import pytest
+    from stonedb_spark.dialect import (
+        parse_create_table, _parse_insert_values, _coerce_int_literal,
+    )
+
+    tables = {}
+    td = parse_create_table("CREATE TABLE t (b char(0) not null)")
+    tables["t"] = td
+    with pytest.raises(ValueError, match="1048"):
+        _parse_insert_values(tables, "insert into t values (null)")
+    # innodb keeps the full int64 domain; tianmu reserves the minima
+    tdi = parse_create_table("CREATE TABLE j2 (x bigint) ENGINE=innodb")
+    assert tdi.engine == "innodb"
+    c = tdi.columns[0]
+    assert _coerce_int_literal("-9223372036854775808", c, "innodb")
+    with pytest.raises(ValueError, match="1264"):
+        _coerce_int_literal("-9223372036854775808", c, "tianmu")
+    # tianmu unsigned bigint caps at 2^63-1 (unsigned_type.result)
+    cu = parse_create_table(
+        "CREATE TABLE j (x bigint unsigned)"
+    ).columns[0]
+    with pytest.raises(ValueError, match="1264"):
+        _coerce_int_literal("18446744073709551613", cu, "tianmu")
+    assert _coerce_int_literal("18446744073709551613", cu, "innodb")
+
+
+def test_mod_and_hex_rewrites():
+    from stonedb_spark.dialect import rewrite_expr
+
+    out = rewrite_expr("SELECT a mod 50, MOD(a, 7), 0xFF FROM t", "duck")
+    assert "% 50" in out and "MOD(" in out.upper() and "255" in out
+    # hex inside a string literal is untouched
+    out2 = rewrite_expr("SELECT '0xFF'", "duck")
+    assert "'0xFF'" in out2
