@@ -228,6 +228,7 @@ class TableDef:
     pk: list[str] = field(default_factory=list)
     next_auto: int = 1  # AUTO_INCREMENT counter (resets with the table)
     engine: str = "tianmu"  # integer domains differ vs innodb/myisam
+    temporary: bool = False
     # literal-PK tuples seen so far, for the 1062 duplicate-key analog;
     # None once a DELETE/UPDATE makes the python-side view stale
     seen_pk: set | None = field(default_factory=set)
@@ -353,13 +354,18 @@ def parse_create_table(stmt: str) -> TableDef:
             )
         )
     td = TableDef(name, cols, pk)
+    td.temporary = bool(
+        re.match(r"\s*CREATE\s+TEMPORARY\b", stmt, re.I)
+    )
     am = re.search(r"\bAUTO_INCREMENT\s*=\s*(\d+)", stmt, re.I)
     if am:  # table option seeds the counter (init_auto_increment_value)
         td.next_auto = int(am.group(1))
     em = re.search(r"\bENGINE\s*=\s*(\w+)", stmt, re.I)
     if em:
         td.engine = em.group(1).lower()
-    if td.engine == "tianmu":
+    if td.engine == "tianmu" and not td.temporary:
+        # TEMPORARY tables live outside the tianmu core (create_tmp.test
+        # accepts DECIMAL(38,10) there) — the 18-digit cap is engine-side
         for c in cols:
             _check_tianmu_decimal(c)
     return td
@@ -819,6 +825,13 @@ def rewrite_expr(sql: str, engine: str) -> str:
         sql = _wrap_calls(
             sql, "LENGTH",
             lambda i: f"LENGTH(CAST(({i}) AS VARCHAR))",
+        )
+        # MySQL CHAR(n) code-point function → chr(); 'AS CHAR(…)' casts
+        # must stay (fixed-width lookbehind covers the cast form)
+        sql = _sub_outside_strings(
+            sql,
+            re.compile(r"(?<![\w.])(?<!AS )(?<!as )CHAR\s*\(", re.I),
+            lambda m: "chr(",
         )
         # backtick identifiers → double quotes (string literals were
         # already canonicalized to single quotes by the recode pass)
@@ -1705,6 +1718,7 @@ _IGNORED = re.compile(
     r"CREATE\s+PROCEDURE|DROP\s+PROCEDURE|"
     r"connect\s*\(|connection\b|disconnect\b|"
     r"SELECT\s+@@|"  # system-variable probes: deployment introspection
+    r"EXPLAIN\b|ANALYZE\s+TABLE|CHECK\s+TABLE|OPTIMIZE\s+TABLE|"
     r"LOCK\s+TABLES|UNLOCK\s+TABLES)",
     re.I,
 )
@@ -2747,6 +2761,17 @@ def run_statement(run: MTRRun, stmt: str):
         raise ValueError(f"unsupported TRUNCATE syntax: {s[:80]}")
     if re.match(r"^\s*CREATE\s+(TEMPORARY\s+)?TABLE\b.*\(", s, re.I | re.S):
         td = parse_create_table(s)
+        prior = run.tables.get(td.name.lower())
+        if prior is not None:
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", s, re.I):
+                return None  # keep the existing table untouched
+            if not (td.temporary and not prior.temporary):
+                # same-kind name collision; TEMPORARY may shadow a
+                # permanent table (temporary.test / create_table.test)
+                raise ValueError(
+                    f"Table '{td.name}' already exists "
+                    f"(MySQL error 1050 analog)"
+                )
         run.tables[td.name.lower()] = td
         coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in td.columns)
         run.spark.sql(f"DROP TABLE IF EXISTS `{td.name}`")
@@ -3309,6 +3334,7 @@ def build_oracle_sql(
             if versions[t] == 0 and not _has_version0(t):
                 ctes.append((vname(t), _duck_values_cte(td, [])))
         mapping = {t: (tables[t].name, vname(t)) for t in tables}
+        mapping.update(views)  # re-created views point at their latest
         return _retarget_relations(sql, mapping)
 
     n_selects = sum(
@@ -3323,6 +3349,8 @@ def build_oracle_sql(
     final_sql = None
     uservars: dict[str, str] = {}
     oraclefuncs: dict = {}
+    views: dict[str, tuple[str, str]] = {}
+    view_inc: dict[str, int] = {}
     oraclestrict = True
     for st in stmts:
         if st.expect_error:
@@ -3359,7 +3387,7 @@ def build_oracle_sql(
             continue
         if _IGNORED.match(s) or re.match(r"^\s*DROP\s+VIEW\b", s, re.I):
             continue
-        if re.match(r"^\s*DROP\s+TABLE\b", s, re.I):
+        if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?TABLE\b", s, re.I):
             continue  # versions stay defined; harmless after designated
         cm = re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+"
@@ -3379,6 +3407,10 @@ def build_oracle_sql(
         if re.match(r"^\s*CREATE\s+(TEMPORARY\s+)?TABLE\b.*\(", s, re.I | re.S):
             td = parse_create_table(s)
             key = td.name.lower()
+            if key in tables and re.search(
+                r"\bIF\s+NOT\s+EXISTS\b", s, re.I
+            ):
+                continue  # keep the existing table untouched
             tables[key] = td
             versions[key] = 0
             incarn[key] = incarn.get(key, 0) + 1
@@ -3391,7 +3423,12 @@ def build_oracle_sql(
                 re.I | re.S,
             )
             body = retarget(rewrite_expr(m.group(2), "duck"))
-            ctes.append((_unquote_ident(m.group(1)), body))
+            vn = _unquote_ident(m.group(1))
+            vkey = vn.lower()
+            view_inc[vkey] = view_inc.get(vkey, 0) + 1
+            cte_name = f"{vn}__view{view_inc[vkey]}"
+            ctes.append((cte_name, body))
+            views[vkey] = (vn, cte_name)
             continue
         lm = re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+LIKE\s+"

@@ -106,6 +106,13 @@ SOURCES = {
     'dialect_zerofill': ('zerofill.test', [(1, 64)]),
     'dialect_truncate': ('truncate_table.test', [(1, 89)]),
     'dialect_replace': ('replace.test', [(1, 67)]),
+    'dialect_ssb_flat': ('ssb_small.test', [(1, 96)]),
+    'dialect_insert_types': ('insert_all_data_types.test', [(1, 113)]),
+    'dialect_range_pk': ('range.test', [(1, 589)]),
+    'dialect_range_mid': ('range.test', [(1, 589)]),
+    'dialect_range_notbetween': ('range.test', [(1, 589)]),
+    'dialect_create_tmp': ('create_tmp.test', [(1, 107)]),
+    'dialect_temporary': ('temporary.test', [(1, 30), (46, 50)]),
     'dialect_alter_column': ('alter_column.test', [(1, 133)]),
     'dialect_alter_table1': ('alter_table1.test', [(1, 138)]),
     'dialect_unsigned_all': ('unsigned.test', [(1, 112)]),
@@ -5750,6 +5757,956 @@ DROP TABLE IF EXISTS st4;
 DROP DATABASE unsigned_test;
 """
 
+SCRIPT_CREATE_TMP = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test create temporary
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS create_tmp_test;
+--enable_warnings
+
+CREATE DATABASE create_tmp_test;
+USE create_tmp_test;
+
+CREATE TEMPORARY TABLE st (
+    id INT(11),
+    name VARCHAR(255)
+);
+
+INSERT INTO st (id, name) VALUES (1, 'John');
+INSERT INTO st (id, name) VALUES (2, 'Jane');
+SELECT * FROM st;
+UPDATE st SET name = 'Johnny' WHERE id = 1;
+SELECT * FROM st;
+DELETE FROM st WHERE id = 2;
+SELECT * FROM st; 
+
+CREATE TEMPORARY TABLE st1 (
+    id INT(11),
+    name VARCHAR(255)
+);
+
+CREATE TEMPORARY TABLE st2 (
+    id INT(11),
+    city VARCHAR(255)
+);
+
+INSERT INTO st1 (id, name) VALUES (1, 'John');
+INSERT INTO st1 (id, name) VALUES (2, 'Jane');
+INSERT INTO st2 (id, city) VALUES (1, 'London');
+INSERT INTO st2 (id, city) VALUES (2, 'New York');
+SELECT st1.name, st2.city 
+FROM st1 INNER JOIN st2 ON st1.id=st2.id;
+
+create table t2 (id int(11) auto_increment primary key, score int(11), name varchar(32)) ;
+insert into t2 (score, name) values (98, 'Bob');
+select * from t2 where score > 90;
+
+create temporary table t3 like t2 ;
+insert into t3 (score, name) values (88, 'Charlie');
+select * from t3;
+
+# data type
+create table t5 (
+    id int(11) unsigned auto_increment primary key,
+    col1 varchar(32),
+    col2 datetime,
+    col3 time
+) ;
+
+insert into t5 (col1, col2, col3) values ('aaa', '2022-01-17 15:22:00', '12:00:00');
+insert into t5 (col1, col2, col3) values ('bbb', '2022-01-18 10:10:10', '20:00:00');
+insert into t5 (col1, col2, col3) values ('ccc', '2022-01-19 15:45:32', '18:45:00');
+select * from t5 where col1 = 'aaa';
+
+# create temporary table like
+create temporary table temp_t6 like t5 ;
+insert into temp_t6 (col1, col2, col3) select col1, col2, col3 from t5 where col1 between 'aaa' and 'bbb';
+select * from temp_t6 order by col2 desc;
+drop temporary table if exists temp_t7;
+
+# unsigned type
+create temporary table temp_t7(
+    id int(11)unsigned auto_increment primary key,
+    col1 varchar(32)
+);
+insert into temp_t7(col1)values('apple'),('banana'),('orange'),('watermelon'),('grapefruit');
+select * from temp_t7 order by id desc;
+
+create temporary table temp_t8(id int(11) unsigned auto_increment primary key, col1 varchar(32), col2 datetime, status char(1)) ;
+insert into temp_t8(col1,col2,status)values('aaa','2022-02-19 09:21:40','Y'),('bbb','2022-02-20 14:15:23','N'),('ccc','2022-02-21 22:30:10','Y'),('ddd','2022-02-22 08:50:20','N'),('eee','2022-02-23 10:35:59','Y');
+select * from temp_t8;
+
+create temporary table temp_t9(id int(11) unsigned auto_increment primary key, col3 varchar(32), col4 int(11),price decimal(8,2));
+insert into temp_t9(col3, col4, price) values('code11', 10, 523.2),('code22', 20 , 2480),('code33', 30, 89.99),('code44', 40, 5200.55);
+select * from temp_t9;
+
+CREATE TEMPORARY TABLE temp_t10 SELECT * FROM temp_t9 LIMIT 3;
+select * from temp_t10;
+
+# decimal type
+drop table if exists t1,t2,t3;
+CREATE TEMPORARY TABLE t1 (c1 DECIMAL(10,2));
+INSERT INTO t1 VALUES (10.00), (-24.53), (5936.28);
+
+CREATE TEMPORARY TABLE t2 (c1 DECIMAL(38,10));
+INSERT INTO t2 VALUES (1.23), (-2.78), (99.99);
+
+CREATE TEMPORARY TABLE t3 (c1 DECIMAL(12,5), c2 DECIMAL(20,8));
+INSERT INTO t3 VALUES (123.45678, 450.04510000), (-234.54628, 2434.87654865);
+
+SELECT *, LENGTH(c1) FROM t1;
+SELECT *, LENGTH(c1) FROM t2;
+SELECT *, LENGTH(c1), LENGTH(c2) FROM t3;
+DROP TEMPORARY TABLE t1, t2, t3;
+
+# clean UP
+DROP DATABASE create_tmp_test;
+"""
+
+SCRIPT_TEMPORARY_X = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS temporary_test;
+--enable_warnings
+
+CREATE DATABASE temporary_test;
+
+USE temporary_test;
+
+--echo #
+--echo #create temporary...like...
+--echo #
+
+--disable_warnings
+drop table if exists t1;
+--enable_warnings
+
+CREATE TABLE t1 (f1 INTEGER AUTO_INCREMENT, PRIMARY KEY (f1))engine=tianmu;
+CREATE TEMPORARY TABLE t2 LIKE t1;
+INSERT INTO t1 VALUES (1);
+INSERT INTO t2 VALUES (1);
+
+ALTER TABLE t2 COMMENT = 'ABC';
+UPDATE t2, t1 SET t2.f1 = 2, t1.f1 = 9;
+ALTER TABLE t2 COMMENT = 'DEF';
+SELECT * FROM t1;
+SELECT * FROM t2;
+
+DROP TABLE t1, t2;
+CREATE TABLE  t1 (c1 INT)engine=tianmu;
+CREATE TEMPORARY TABLE `t2` (c1 INT)engine=tianmu;
+--error 1050
+CREATE TEMPORARY TABLE `t2` (c1 INT)engine=tianmu;
+DROP TABLE t1,t2;
+"""
+
+SCRIPT_RANGE_X = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test range
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS range_test;
+--enable_warnings
+CREATE DATABASE range_test;
+USE range_test;
+
+--disable_warnings
+drop table if exists t1, t2, t3;
+--enable_warnings
+SET sql_mode = 'NO_ENGINE_SUBSTITUTION';
+CREATE TABLE t1 (
+  event_date date DEFAULT '0000-00-00' NOT NULL,
+  type int(11) DEFAULT '0' NOT NULL,
+  event_id int(11) DEFAULT '0' NOT NULL,
+  PRIMARY KEY (event_date,type,event_id)
+);
+
+INSERT INTO t1 VALUES ('1999-07-10',100100,24), ('1999-07-11',100100,25),
+('1999-07-13',100600,0), ('1999-07-13',100600,4), ('1999-07-13',100600,26),
+('1999-07-14',100600,10), ('1999-07-15',100600,16), ('1999-07-15',100800,45),
+('1999-07-15',101000,47), ('1999-07-16',100800,46), ('1999-07-20',100600,5),
+('1999-07-20',100600,27), ('1999-07-21',100600,11), ('1999-07-22',100600,17),
+('1999-07-23',100100,39), ('1999-07-24',100100,39), ('1999-07-24',100500,40),
+('1999-07-25',100100,39), ('1999-07-27',100600,1), ('1999-07-27',100600,6),
+('1999-07-27',100600,28), ('1999-07-28',100600,12), ('1999-07-29',100500,41),
+('1999-07-29',100600,18), ('1999-07-30',100500,41), ('1999-07-31',100500,41),
+('1999-08-01',100700,34), ('1999-08-03',100600,7), ('1999-08-03',100600,29),
+('1999-08-04',100600,13), ('1999-08-05',100500,42), ('1999-08-05',100600,19),
+('1999-08-06',100500,42), ('1999-08-07',100500,42), ('1999-08-08',100500,42),
+('1999-08-10',100600,2), ('1999-08-10',100600,9), ('1999-08-10',100600,30),
+('1999-08-11',100600,14), ('1999-08-12',100600,20), ('1999-08-17',100500,8),
+('1999-08-17',100600,31), ('1999-08-18',100600,15), ('1999-08-19',100600,22),
+('1999-08-24',100600,3), ('1999-08-24',100600,32), ('1999-08-27',100500,43),
+('1999-08-31',100600,33), ('1999-09-17',100100,37), ('1999-09-18',100100,37),
+('1999-09-19',100100,37), ('2000-12-18',100700,38);
+
+select event_date,type,event_id from t1 WHERE event_date >= "1999-07-01" AND event_date < "1999-07-15" AND (type=100600 OR type=100100) ORDER BY event_date;
+explain select event_date,type,event_id from t1 WHERE type = 100601 and event_date >= "1999-07-01" AND event_date < "1999-07-15" AND (type=100600 OR type=100100) ORDER BY event_date;
+select event_date,type,event_id from t1 WHERE event_date >= "1999-07-01" AND event_date <= "1999-07-15" AND (type=100600 OR type=100100) or event_date >= "1999-07-01" AND event_date <= "1999-07-15" AND type=100099;
+drop table t1;
+
+CREATE TABLE t1 (
+  PAPER_ID smallint(6) DEFAULT '0' NOT NULL,
+  YEAR smallint(6) DEFAULT '0' NOT NULL,
+  ISSUE smallint(6) DEFAULT '0' NOT NULL,
+  CLOSED tinyint(4) DEFAULT '0' NOT NULL,
+  ISS_DATE date DEFAULT '0000-00-00' NOT NULL,
+  PRIMARY KEY (PAPER_ID,YEAR,ISSUE)
+);
+INSERT INTO t1 VALUES (3,1999,34,0,'1999-07-12'), (1,1999,111,0,'1999-03-23'),
+                      (1,1999,222,0,'1999-03-23'), (3,1999,33,0,'1999-07-12'),
+                      (3,1999,32,0,'1999-07-12'), (3,1999,31,0,'1999-07-12'),
+                      (3,1999,30,0,'1999-07-12'), (3,1999,29,0,'1999-07-12'),
+                      (3,1999,28,0,'1999-07-12'), (1,1999,40,1,'1999-05-01'),
+                      (1,1999,41,1,'1999-05-01'), (1,1999,42,1,'1999-05-01'),
+                      (1,1999,46,1,'1999-05-01'), (1,1999,47,1,'1999-05-01'),
+                      (1,1999,48,1,'1999-05-01'), (1,1999,49,1,'1999-05-01'),
+                      (1,1999,50,0,'1999-05-01'), (1,1999,51,0,'1999-05-01'),
+                      (1,1999,200,0,'1999-06-28'), (1,1999,52,0,'1999-06-28'),
+                      (1,1999,53,0,'1999-06-28'), (1,1999,54,0,'1999-06-28'),
+                      (1,1999,55,0,'1999-06-28'), (1,1999,56,0,'1999-07-01'),
+                      (1,1999,57,0,'1999-07-01'), (1,1999,58,0,'1999-07-01'),
+                      (1,1999,59,0,'1999-07-01'), (1,1999,60,0,'1999-07-01'),
+                      (3,1999,35,0,'1999-07-12');
+select YEAR,ISSUE from t1 where PAPER_ID=3 and (YEAR>1999 or (YEAR=1999 and ISSUE>28))  order by YEAR,ISSUE;
+drop table t1;
+
+CREATE TABLE t1 (
+  id int(11) NOT NULL auto_increment,
+  parent_id int(11) DEFAULT '0' NOT NULL,
+  level tinyint(4) DEFAULT '0' NOT NULL,
+  PRIMARY KEY (id)
+);
+INSERT INTO t1 VALUES (1,0,0), (3,1,1), (4,1,1), (8,2,2), (9,2,2), (17,3,2),
+(22,4,2), (24,4,2), (28,5,2), (29,5,2), (30,5,2), (31,6,2), (32,6,2), (33,6,2),
+(203,7,2), (202,7,2), (20,3,2), (157,0,0), (193,5,2), (40,7,2), (2,1,1),
+(15,2,2), (6,1,1), (34,6,2), (35,6,2), (16,3,2), (7,1,1), (36,7,2), (18,3,2),
+(26,5,2), (27,5,2), (183,4,2), (38,7,2), (25,5,2), (37,7,2), (21,4,2),
+(19,3,2), (5,1,1), (179,5,2);
+# The following select returned 0 rows in 3.23.8
+SELECT * FROM t1 WHERE level = 1 AND parent_id = 1 order by id;
+drop table t1;
+
+#
+# Testing of bug in range optimizer with many key parts and > and <
+#
+
+create table t1(
+		Satellite		varchar(25)	not null,
+		SensorMode		varchar(25)	not null,
+		FullImageCornersUpperLeftLongitude	double	not null,
+		FullImageCornersUpperRightLongitude	double	not null,
+		FullImageCornersUpperRightLatitude	double	not null,
+		FullImageCornersLowerRightLatitude	double	not null);
+
+insert into t1 values("OV-3","PAN1",91,-92,40,50);
+insert into t1 values("OV-4","PAN1",91,-92,40,50);
+
+select * from t1 where t1.Satellite = "OV-3" and t1.SensorMode = "PAN1" and t1.FullImageCornersUpperLeftLongitude > -90.000000 and t1.FullImageCornersUpperRightLongitude < -82.000000;
+drop table t1;
+
+create table t1 ( aString char(100) not null default "");
+insert t1 (aString) values ( "believe in myself" ), ( "believe" ), ("baaa" ), ( "believe in love");
+select * from t1 where aString < "believe in myself" order by aString;
+select * from t1 where aString > "believe in love" order by aString;
+select * from t1 where aString < "believe in myself" order by aString;
+select * from t1 where aString > "believe in love" order by aString;
+drop table t1;
+
+#
+# test for a bug with in() and unique key
+#
+
+create  table t1 (id int(10) primary key);
+insert into t1 values (1),(2),(3),(4),(5),(6),(7),(8),(9);
+
+select id from t1 where id in (2,5,9) ;
+select id from t1 where id=2 or id=5 or id=9 ;
+drop table t1;
+create table t1 ( id1 int not null, id2 int not null, idnull int null, c char(20), primary key (id1,id2));
+insert into t1 values (0,1,NULL,"aaa"), (1,1,NULL,"aaa"), (2,1,NULL,"aaa"),
+                      (3,1,NULL,"aaa"), (4,1,NULL,"aaa"), (5,1,NULL,"aaa"),
+                      (6,1,NULL,"aaa"), (7,1,NULL,"aaa"), (8,1,NULL,"aaa"),
+                      (9,1,NULL,"aaa"), (10,1,NULL,"aaa"), (11,1,NULL,"aaa"),
+                      (12,1,NULL,"aaa"), (13,1,NULL,"aaa"), (14,1,NULL,"aaa"),
+                      (15,1,NULL,"aaa"), (16,1,NULL,"aaa"), (17,1,NULL,"aaa"),
+                      (18,1,NULL,"aaa"), (19,1,NULL,"aaa"), (20,1,NULL,"aaa");
+select a.id1, b.idnull from t1 as a, t1 as b where a.id2=1 and a.id1=1 and b.id1=a.idnull order by b.id2 desc limit 1;
+drop table t1;
+
+
+#
+# Problem with optimizing !=
+#
+
+create table t1 (
+  id int not null auto_increment,
+  name char(1) not null,
+  uid int not null,
+  primary key (id));
+  
+create table t2 (
+  id int not null auto_increment,
+  name char(1) not null,
+  uid int not null,
+  primary key (id));
+  
+insert into t1(id, uid, name) values(1, 0, ' ');
+insert into t1(uid, name) values(0, ' ');
+
+insert into t2(uid, name) select uid, name from t1;
+insert into t1(uid, name) select uid, name from t2;
+insert into t2(uid, name) select uid, name from t1;
+insert into t1(uid, name) select uid, name from t2;
+insert into t2(uid, name) select uid, name from t1;
+insert into t1(uid, name) select uid, name from t2;
+insert into t2(uid, name) select uid, name from t1;
+insert into t1(uid, name) select uid, name from t2;
+insert into t2(uid, name) select uid, name from t1;
+insert into t1(uid, name) select uid, name from t2;
+insert into t2(uid, name) select uid, name from t1;
+insert into t2(uid, name) select uid, name from t1;
+insert into t2(uid, name) select uid, name from t1;
+insert into t2(uid, name) select uid, name from t1;
+insert into t1(uid, name) select uid, name from t2;
+#bug1563select * from t1 order by id;
+#bug1563select * from t2 order by id;
+
+delete from t2;
+insert into t2(uid, name) values 
+  (1, CHAR(64+1)),
+  (2, CHAR(64+2)),
+  (3, CHAR(64+3)),
+  (4, CHAR(64+4)),
+  (5, CHAR(64+5)),
+  (6, CHAR(64+6)),
+  (7, CHAR(64+7)),
+  (8, CHAR(64+8)),
+  (9, CHAR(64+9)),
+  (10, CHAR(64+10)),
+  (11, CHAR(64+11)),
+  (12, CHAR(64+12)),
+  (13, CHAR(64+13)),
+  (14, CHAR(64+14)),
+  (15, CHAR(64+15)),
+  (16, CHAR(64+16)),
+  (17, CHAR(64+17)),
+  (18, CHAR(64+18)),
+  (19, CHAR(64+19)),
+  (20, CHAR(64+20)),
+  (21, CHAR(64+21)),
+  (22, CHAR(64+22)),
+  (23, CHAR(64+23)),
+  (24, CHAR(64+24)),
+  (25, CHAR(64+25)),
+  (26, CHAR(64+26));
+
+insert into t1(uid, name) select uid, name from t2 order by uid;
+delete from t1;
+delete from t2;
+insert into t2(id, uid, name) select id, uid, name from t1;
+
+select count(*) from t1;  
+select count(*) from t2;
+
+select * from t1, t2  where t1.uid=t2.uid AND t1.uid > 0;
+select * from t1, t2  where t1.uid=t2.uid AND t2.uid > 0;
+select * from t1, t2  where t1.uid=t2.uid AND t1.uid != 0;
+select * from t1, t2  where t1.uid=t2.uid AND t2.uid != 0;
+
+select * from t1, t2  where t1.uid=t2.uid AND t1.uid > 0 order by t1.id;
+select * from t1, t2  where t1.uid=t2.uid AND t1.uid != 0 order by t1.id;
+
+drop table t1,t2;
+ 
+create table t1 (x bigint unsigned not null);
+insert into t1(x) values (0xfffffffffffff0);
+insert into t1(x) values (0xfffffffffffff1);
+select * from t1;
+select count(*) from t1 where x>0;
+select count(*) from t1 where x=0;
+select count(*) from t1 where x<0;
+select count(*) from t1 where x < -16;
+select count(*) from t1 where x = -16;
+select count(*) from t1 where x > -16;
+select count(*) from t1 where x = 18446744073709551601;
+
+
+create table t2 (x bigint not null);
+insert into t2(x) values (-16);
+insert into t2(x) values (-15);
+select * from t2;
+select count(*) from t2 where x>0;
+select count(*) from t2 where x=0;
+select count(*) from t2 where x<0;
+select count(*) from t2 where x < -16;
+select count(*) from t2 where x = -16;
+select count(*) from t2 where x > -16;
+#bug1564select count(*) from t2 where x = 18446744073709551601;
+drop table t1,t2;
+
+--disable_warnings
+create table t1 (x bigint unsigned not null primary key) engine=innodb;
+--enable_warnings
+insert into t1(x) values (0xfffffffffffff0);
+insert into t1(x) values (0xfffffffffffff1);
+select * from t1;
+select count(*) from t1 where x>0;
+select count(*) from t1 where x=0;
+select count(*) from t1 where x<0;
+select count(*) from t1 where x < -16;
+select count(*) from t1 where x = -16;
+select count(*) from t1 where x > -16;
+select count(*) from t1 where x = 18446744073709551601;
+
+drop table t1;
+
+#
+# Bug #11185 incorrect comparison of unsigned int to signed constant
+#
+create table t1 (a bigint unsigned);
+insert into t1 select 184467440737095515;
+insert into t1 select 184467440737095514;
+
+select * from t1 where a <> -1;
+select * from t1 where a > -1 or a < -1;
+select * from t1 where a > -1;
+select * from t1 where a < -1;
+
+drop table t1;
+
+#
+# Binary Comparison regression in MySQL 4.1
+# Binary searches didnt use a case insensitive index.
+#
+
+set names latin1;
+create table t1 (a char(10), b text) character set latin1;
+INSERT INTO t1 (a) VALUES
+('111'),('222'),('222'),('222'),('222'),('444'),('aaa'),('AAA'),('bbb');
+drop table t1;
+
+--disable_warnings
+CREATE TABLE t1 (
+  `CLIENT` char(3) character set latin1 collate latin1_bin NOT NULL default '000',
+  `ARG1` char(3) character set latin1 collate latin1_bin NOT NULL default '',
+  `ARG2` char(3) character set latin1 collate latin1_bin NOT NULL default '',
+  `FUNCTION` varchar(10) character set latin1 collate latin1_bin NOT NULL default '',
+  `FUNCTINT` int(11) NOT NULL default '0'
+) DEFAULT CHARSET=latin1;
+--enable_warnings
+
+INSERT INTO t1 VALUES ('000',' 0',' 0','Text 001',0), ('000',' 0',' 1','Text 002',0),
+  ('000',' 1',' 2','Text 003',0), ('000',' 2',' 3','Text 004',0),
+  ('001',' 3',' 0','Text 017',0);
+
+SELECT count(*) FROM t1 WHERE CLIENT='000' AND (ARG1 != ' 1' OR ARG1 != ' 2');
+
+SELECT count(*) FROM t1 WHERE CLIENT='000' AND (ARG1 != ' 2' OR ARG1 != ' 1');
+drop table t1;
+
+# Wrong range optimizer results, "Use_count: Wrong count ..."
+#            warnings in server stderr.
+create table t1 (a int);
+insert into t1 values (0),(1),(2),(3),(4),(5),(6),(7),(8),(9);
+
+CREATE TABLE t2 (
+  pk1 int(11) NOT NULL,
+  pk2 int(11) NOT NULL,
+  pk3 int(11) NOT NULL,
+  pk4 int(11) NOT NULL,
+  filler char(82),
+  PRIMARY KEY (pk1,pk2,pk3,pk4)
+) DEFAULT CHARSET=latin1;
+
+insert into t2 select 1, A.a+10*B.a, 432, 44, 'fillerZ' from t1 A, t1 B;
+INSERT INTO t2 VALUES (2621, 2635, 0, 0,'filler'), (2621, 2635, 1, 0,'filler'),
+  (2621, 2635, 10, 0,'filler'), (2621, 2635, 11, 0,'filler'),
+  (2621, 2635, 14, 0,'filler'), (2621, 2635, 1000015, 0,'filler');
+
+SELECT * FROM t2
+WHERE ((((pk4 =0) AND (pk1 =2621) AND (pk2 =2635)))
+OR ((pk4 =1) AND (((pk1 IN ( 7, 2, 1 ))) OR (pk1 =522)) AND ((pk2 IN ( 0, 2635))))
+) AND (pk3 >=1000000);
+drop table t1, t2;
+
+#
+# Partial index and long sjis search with '>' fails sometimes
+#
+
+create table t1(a char(2));
+insert into t1 values ('x'), ('xx');
+select a from t1 where a > 'x';
+drop table t1;
+
+# high mem usage (crash) in range optimizer (depends on order of fields in where)
+create table t1 (
+  c1  char(10), c2  char(10), c3  char(10), c4  char(10),
+  c5  char(10), c6  char(10), c7  char(10), c8  char(10),
+  c9  char(10), c10 char(10), c11 char(10), c12 char(10),
+  c13 char(10), c14 char(10), c15 char(10), c16 char(10)
+);
+insert into t1 (c1) values ('1'),('1'),('1'),('1');
+
+# This must run without crash and fast:
+select * from t1 where
+     c1 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4",
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c2 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c3 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c4 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5", 
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c5 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4",
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c6 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4",
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c7 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c8 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c9 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC")
+ and c10 in ("abcdefgh", "123456789", "qwertyuio", "asddfgh", 
+            "abcdefg1", "123456781", "qwertyui1", "asddfg1", 
+            "abcdefg2", "123456782", "qwertyui2", "asddfg2", 
+            "abcdefg3", "123456783", "qwertyui3", "asddfg3", 
+            "abcdefg4", "123456784", "qwertyui4", "asddfg4", 
+            "abcdefg5", "123456785", "qwertyui5", "asddfg5",
+            "abcdefg6", "123456786", "qwertyui6", "asddfg6",
+            "abcdefg7", "123456787", "qwertyui7", "asddfg7",
+            "abcdefg8", "123456788", "qwertyui8", "asddfg8",
+            "abcdefg9", "123456789", "qwertyui9", "asddfg9",
+            "abcdefgA", "12345678A", "qwertyuiA", "asddfgA",
+            "abcdefgB", "12345678B", "qwertyuiB", "asddfgB",
+            "abcdefgC", "12345678C", "qwertyuiC", "asddfgC");
+drop table t1;
+
+#
+# Test for optimization request: to use keys for
+# NOT IN (c1,...,cn) and NOT BETWEEN c1 AND c2
+#
+
+CREATE TABLE t1 (
+  id int(11) NOT NULL auto_increment,
+  status varchar(20),
+  PRIMARY KEY  (id)
+);
+
+INSERT INTO t1 VALUES
+(1,'B'), (2,'B'), (3,'B'), (4,'B'), (5,'B'), (6,'B'),
+(7,'B'), (8,'B'), (9,'B'), (10,'B'), (11,'B'), (12,'B'),
+(13,'B'), (14,'B'), (15,'B'), (16,'B'), (17,'B'), (18,'B'),
+(19,'B'), (20,'B'), (21,'B'), (22,'B'), (23,'B'), (24,'B'), 
+(25,'A'), (26,'A'), (27,'A'), (28,'A'), (29,'A'), (30,'A'),
+(31,'A'), (32,'A'), (33,'A'), (34,'A'), (35,'A'), (36,'A'),
+(37,'A'), (38,'A'), (39,'A'), (40,'A'), (41,'A'), (42,'A'),
+(43,'A'), (44,'A'), (45,'A'), (46,'A'), (47,'A'), (48,'A'),
+(49,'A'), (50,'A'), (51,'A'), (52,'A'), (53,'C'), (54,'C'),
+(55,'C'), (56,'C'), (57,'C'), (58,'C'), (59,'C'), (60,'C');
+
+SELECT * FROM t1 WHERE status <> 'A' AND status <> 'B';
+SELECT * FROM t1 WHERE status NOT IN ('A','B');
+SELECT * FROM t1 WHERE status NOT BETWEEN 'A' AND 'B';
+SELECT * FROM t1 WHERE status < 'A' OR status > 'B';
+
+DROP TABLE t1;
+
+#
+# Test for range to be used over a view
+#
+
+CREATE TABLE  t1 (a int, b int, primary key(a,b));
+
+INSERT INTO  t1 VALUES
+  (1,1),(1,2),(1,3),(2,1),(2,2),(2,3),(3,1),(3,2),(3,3),(4,1),(4,2),(4,3);
+
+CREATE VIEW v1 as SELECT a,b FROM t1 WHERE b=3;
+
+SELECT a,b FROM t1 WHERE a < 2 and b=3;
+SELECT a,b FROM v1 WHERE a < 2 and b=3; 
+
+DROP VIEW v1;
+DROP TABLE t1;
+
+#
+# DELETE statement with a NOT (LIKE/<=>) where condition
+#             for an indexed attribute              
+#             
+
+CREATE TABLE t1 (name varchar(15) NOT NULL);
+INSERT INTO t1 VALUES ('Betty'), ('Anna');
+
+SELECT * FROM t1;
+DELETE FROM t1 WHERE name NOT LIKE 'A%a';
+SELECT * FROM t1;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (a int);
+INSERT INTO t1 VALUES (NULL), (1), (2), (3);
+
+SELECT * FROM t1;
+DELETE FROM t1 WHERE NOT(a <=> 2);
+SELECT * FROM t1;
+
+DROP TABLE t1;
+
+#
+# BUG#13317: range optimization doesnt work for IN over VIEW.
+#
+create table t1 (a int, b int, primary key(a,b));
+create view v1 as select a, b from t1;
+
+INSERT INTO `t1` VALUES
+(0,0),(1,0),(2,0),(3,0),(4,0),(5,1),(6,1),(7,1),(8,1),(9,1),(10,2),(11,2),(12,2)
+,(13,2),(14,2),(15,3),(16,3),(17,3),(18,3),(19,3);
+ 
+drop view v1;
+drop table t1;
+
+# BUG#13455: 
+create table t3 (a int);
+insert into t3 values (0),(1),(2),(3),(4),(5),(6),(7),(8),(9);
+
+create table t1 (a varchar(10), filler char(200)) charset=binary;
+insert into t1 values ('a','');
+insert into t1 values ('a ','');
+insert into t1 values ('a  ', '');
+insert into t1 select concat('a', 1000 + A.a + 10 * (B.a + 10 * C.a)), ''
+  from t3 A, t3 B, t3 C;
+
+create table t2 (a varchar(10), filler char(200));
+insert into t2 select * from t1;
+
+update t1 set a='b' where a<>'a';
+select a, hex(filler) from t1 where a not between 'b' and 'b'; 
+drop table t1,t2,t3;
+
+create table t1 (a int);
+insert into t1 values (0),(1),(2),(3),(4),(5),(6),(7),(8),(9);
+create table t2 (a int);
+insert into t2 select 2*(A.a + 10*(B.a + 10*C.a)) from t1 A, t1 B, t1 C;
+"""
+
+SCRIPT_SSB_SMALL = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS ssb_small_test;
+--enable_warnings
+
+CREATE DATABASE ssb_small_test;
+USE ssb_small_test;
+
+
+create table part (
+        p_partkey int,
+        p_name varchar (55),
+        p_mfgr char (25),
+        p_brand char (10),
+        p_type varchar (25),
+        p_size int,
+        p_container char (10),
+        p_retailprice decimal(12,2),
+        p_comment varchar (23)
+);
+
+create table lineitem (
+        l_orderkey int,
+        l_partkey int,
+        l_suppkey int,
+        l_linenumber bigint,
+        l_quantity decimal(12,2),
+        l_extendedprice decimal(12,2),
+        l_discount decimal(12,2),
+        l_tax decimal(12,2),
+        l_returnflag char (1),
+        l_linestatus char (1),
+        l_shipdate date,
+        l_commitdate date,
+        l_receiptdate date,
+        l_shipinstruct char (25),
+        l_shipmode char (10),
+        l_comment varchar (44)
+);
+
+INSERT INTO part VALUES
+(1, 'goldenrod lavender spring chocolate lace', 'Manufacturer#1', 'Brand#13', 'PROMO BURNISHED COPPER', 7, 'JUMBO PKG', 901.00, 'ly. slyly ironi'),
+(2, 'blush thistle blue yellow saddle', 'Manufacturer#1', 'Brand#13', 'LARGE BRUSHED BRASS', 1, 'LG CASE', 902.00, 'lar accounts amo'),
+(3, 'spring green yellow purple cornsilk', 'Manufacturer#4', 'Brand#42', 'STANDARD POLISHED BRASS', 21, 'WRAP CASE', 903.00, 'egular deposits hag'),
+(4, 'cornflower chocolate smoke green pink', 'Manufacturer#3', 'Brand#34', 'SMALL PLATED BRASS', 14, 'MED DRUM', 904.00, 'p furiously r'),
+(5, 'forest brown coral puff cream', 'Manufacturer#3', 'Brand#32', 'STANDARD POLISHED TIN', 15, 'SM PKG', 905.00, 'wake carefully');
+
+INSERT INTO lineitem VALUES
+(1, 156, 4, 1, 17, 17954.55, 0.04, 0.02, 'N', 'O', '1996-03-13', '1996-02-12', '1996-03-22', 'DELIVER IN PERSON', 'TRUCK', 'egular courts above the'),
+(1, 68, 9, 2, 36, 34850.16, 0.09, 0.06, 'N', 'O', '1996-04-12', '1996-02-28', '1996-04-20', 'TAKE BACK RETURN', 'MAIL', 'ly final dependencies: slyly bold'),
+(1, 64, 5, 3, 8, 7712.48, 0.10, 0.02, 'N', 'O', '1996-01-29', '1996-03-05', '1996-01-31', 'TAKE BACK RETURN', 'REG AIR', 'riously. regular, express dep'),
+(1, 3, 6, 4, 28, 25284.00, 0.09, 0.06, 'N', 'O', '1996-04-21', '1996-03-30', '1996-05-16', 'NONE', 'AIR', 'lites. fluffily even de'),
+(1, 25, 8, 5, 24, 22200.48, 0.10, 0.04, 'N', 'O', '1996-03-30', '1996-03-14', '1996-04-01', 'NONE', 'FOB',  'pending foxes. slyly re'),
+(1, 16, 3, 6, 32, 29312.32, 0.07, 0.02, 'N', 'O', '1996-01-30', '1996-02-07', '1996-02-03', 'DELIVER IN PERSON', 'MAIL', 'arefully slyly ex'),
+(2, 107, 2, 1, 38, 38269.80, 0.00, 0.05, 'N', 'O', '1997-01-28', '1997-01-14', '1997-02-02', 'TAKE BACK RETURN', 'RAIL', 'ven requests. deposits breach a');
+
+
+select
+	sum(l_extendedprice* (1 - l_discount)) as revenue
+from
+	lineitem,
+	part
+where
+	(
+		p_partkey = l_partkey
+		and p_brand = 'Brand#23'
+		and p_container in ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+		and l_quantity >= 2 and l_quantity <= 2 + 10
+		and p_size between 1 and 5
+		and l_shipmode in ('AIR', 'AIR REG')
+		and l_shipinstruct = 'DELIVER IN PERSON'
+	)
+	or
+	(
+		p_partkey = l_partkey
+		and p_brand = 'Brand#24'
+		and p_container in ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+		and l_quantity >= 20 and l_quantity <= 20 + 10
+		and p_size between 1 and 10
+		and l_shipmode in ('AIR', 'AIR REG')
+		and l_shipinstruct = 'DELIVER IN PERSON'
+	)
+	or
+	(
+		p_partkey = l_partkey
+		and p_brand = 'Brand#44'
+		and p_container in ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+		and l_quantity >= 26 and l_quantity <= 26 + 10
+		and p_size between 1 and 15
+		and l_shipmode in ('AIR', 'AIR REG')
+		and l_shipinstruct = 'DELIVER IN PERSON'
+	);
+
+#clean up
+DROP DATABASE ssb_small_test;
+"""
+
+SCRIPT_INSERT_ALL_DATA_TYPES = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test INSERT into all supported datatypes
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS insert_all_data_types_test;
+--enable_warnings
+
+--disable_warnings
+set sql_mode= 'STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+--enable_warnings
+
+CREATE DATABASE insert_all_data_types_test;
+USE insert_all_data_types_test;
+
+#Test Numeric datatypes
+CREATE TABLE t1_sn
+(
+ t1_BOOLEAN BOOLEAN,
+ t1_TINYINT  TINYINT,
+ t1_SMALLINT SMALLINT,
+ t1_MEDIUMINT MEDIUMINT,
+ t1_INT INT,
+ t1_BIGINT BIGINT
+ );
+INSERT INTO t1_sn VALUES(1, -27, -708, -89486, -7483646, -72036854775806);
+SELECT * FROM t1_sn;
+
+CREATE TABLE t1
+(
+ t1_TINYINT_SIGNED TINYINT SIGNED,
+ t1_SMALLINT_SIGNED SMALLINT SIGNED,
+ t1_MEDIUMINT_SIGNED MEDIUMINT SIGNED,
+ t1_INT_SIGNED INT SIGNED,
+ t1_BIGINT_SIGNED BIGINT SIGNED
+ );
+INSERT INTO t1 VALUES(27, 708, 89486, 7483646, 72036854775806);
+SELECT * FROM t1;
+
+#Test Decimal datatypes
+CREATE TABLE t2_sn
+(
+ t2_DECIMAL_18_2 DECIMAL(18,2),
+ t2_DECIMAL_17_2 DECIMAL(17,2),
+ t2_DOUBLE DOUBLE,
+ t2_FLOAT FLOAT
+ );
+INSERT INTO t2_sn VALUES(-99999999999.99, -999999999.99, -1.797693231E+108, -3.402866E+18);
+INSERT INTO t2_sn(t2_DECIMAL_17_2) VALUES(999999999.99);
+--error 1264
+INSERT INTO t2_sn(t2_DECIMAL_17_2) VALUES(9999999999999999.99);
+SELECT * FROM t2_sn;
+
+CREATE TABLE t2
+(
+ t2_DECIMAL_18_2_SIGNED DECIMAL(18,2) SIGNED,
+ t2_DECIMAL_17_2_SIGNED DECIMAL(17,2) SIGNED,
+ t2_DOUBLE_SIGNED DOUBLE SIGNED,
+ t2_FLOAT_SIGNED FLOAT SIGNED
+ );
+INSERT INTO t2 VALUES(99999999999.99, 999999999.99, 1.797693231E+108, 3.402866E+18);
+INSERT INTO t2(t2_DECIMAL_17_2_SIGNED) VALUES(999999998.99);
+--error 1264
+INSERT INTO t2(t2_DECIMAL_17_2_SIGNED) VALUES(999999998777778888.99);
+SELECT * FROM t2;
+
+#Test String datatypes
+CREATE TABLE t3
+(
+ t3_BLOB BLOB,
+ t3_TINYBLOB TINYBLOB,
+ t3_MEDIUMBLOB MEDIUMBLOB,
+ t3_LONGBLOB LONGBLOB,
+ t3_CHAR_100 CHAR(100),
+ t3_VARCHAR_10 VARCHAR(10),
+ t3_VARCHAR_500 VARCHAR(500),
+ t3_TEXT TEXT,
+ t3_TINYTEXT TINYTEXT,
+ t3_MEDIUMTEXT MEDIUMTEXT,
+ t3_LONGTEXT LONGTEXT
+ );
+INSERT INTO t3 VALUES(repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10), repeat('a',10));
+SELECT * FROM t3;
+
+#Test Date and Time datatypes
+CREATE TABLE t4
+(
+ t4_DATE DATE,
+ t4_DATETIME DATETIME,
+ t4_TIME TIME,
+ t4_TIME_4 TIME(4),
+ t4_TIMESTAMP TIMESTAMP
+ );
+INSERT INTO t4 VALUES('1997-01-01','2037-01-01 11:22:33','13:09:6','11:55:44','2020-01-01 11:22:33');
+SELECT * FROM t4;
+
+#Test with mixed datatypes
+CREATE TABLE t5
+(
+ t5_BIGINT BIGINT,
+ t5_DOUBLE DOUBLE,
+ t5_FLOAT FLOAT,
+ t5_BLOB BLOB,
+ t5_TEXT TEXT,
+ t5_CHAR_1 CHAR(1),
+ t5_DATETIME DATETIME
+ );
+INSERT INTO t5 VALUES(203685477580676, -3.797693231E+108, -7.402866E+18, repeat('b',100), repeat('b',100), 'b', '2387-11-08 11:22:30.123');
+SELECT * FROM t5;
+
+DROP DATABASE insert_all_data_types_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -5861,6 +6818,13 @@ _SPECS = [
     ('dialect_alter_column', SCRIPT_ALTER_COLUMN, 1, None, False, 'ADD/MODIFY/RENAME/DROP COLUMN battery: 1060 dup, 1075 autoinc-key, decimal-18 cap'),
     ('dialect_alter_table1', SCRIPT_ALTER_TABLE1, -1, None, False, 'ALTER alter-default (+1064 on bare SET DEFAULT), ORDER BY, rename-in-ALTER chains'),
     ('dialect_unsigned_all', SCRIPT_UNSIGNED, -1, ['c1', 'lbl', 'ukey'], False, 'UNSIGNED float/double/decimal negative-insert 1264 analogs; full-ladder selects', {'lbl': 'DOUBLE'}),
+    ('dialect_create_tmp', SCRIPT_CREATE_TMP, -1, ['c1', 'c2', 'l1', 'l2'], False, 'CREATE TEMPORARY TABLE battery: LIKE clones, autoinc, DECIMAL(38,10) (no tianmu cap)', {'c1': 'DOUBLE', 'c2': 'DOUBLE'}),
+    ('dialect_temporary', SCRIPT_TEMPORARY_X, -1, None, False, 'TEMPORARY LIKE + multi-target comma UPDATE; duplicate temp name 1050 analog'),
+    ('dialect_range_pk', SCRIPT_RANGE_X, 20, ['x'], False, 'composite-PK range scans: date+type+id predicates (classic range battery)', {'x': 'DOUBLE'}),
+    ('dialect_range_mid', SCRIPT_RANGE_X, 60, ['a'], False, 'range battery mid-section: IN/BETWEEN/OR interval merges'),
+    ('dialect_range_notbetween', SCRIPT_RANGE_X, -1, ['a', 'h'], False, 'NOT BETWEEN over padded CHAR + HEX(filler) after mass UPDATE'),
+    ('dialect_ssb_flat', SCRIPT_SSB_SMALL, -1, None, False, 'SSB star-schema flat query over inline part/lineitem rows'),
+    ('dialect_insert_types', SCRIPT_INSERT_ALL_DATA_TYPES, 0, None, False, 'INSERT over the all-types table (designated avoids the year-2387 timestamp rows)'),
 ]
 
 
