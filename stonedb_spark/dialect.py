@@ -732,7 +732,159 @@ def _rewrite_logical_ops(sql: str) -> str:
     return _replace_outside_strings(sql, [("||", " OR "), ("&&", " AND ")])
 
 
-def _convert_to_cast(inner: str) -> str:
+def _fold_time_literal(s: str) -> str | None:
+    """Tianmu's TIME('literal') quirks (time_function.result):
+    digits-only parses HHMMSS right-to-left; a leading bare integer in
+    an otherwise-unparsable string does the same (1811/2/2 → 00:18:11);
+    fractional seconds keep their digit count but are ZEROED."""
+    t = s.strip()
+    m = re.match(
+        r"^(?:\d{1,4}[-/.]\d{1,2}[-/.]\d{1,2}[ T])?"
+        r"(\d{1,3}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?$",
+        t,
+    )
+    if m:  # explicit hh:mm[:ss][.frac] (with optional date prefix)
+        h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)
+        out = f"{h:02d}:{mi:02d}:{sec:02d}"
+        if m.group(4):
+            out += "." + "0" * (len(m.group(4)) - 1)
+        return out
+    dm = re.match(r"^(\d+)", t)
+    if dm:
+        digits = dm.group(1)[-6:]
+        digits = digits.zfill(6) if len(digits) > 4 else digits.zfill(6)
+        h, mi, sec = digits[0:2], digits[2:4], digits[4:6]
+        return f"{int(h):02d}:{int(mi):02d}:{int(sec):02d}"
+    return None
+
+
+def _time_fn(inner: str, engine: str) -> str:
+    """MySQL TIME(x): literal args fold in Python (tianmu quirks);
+    column args extract the time part — TIME-typed columns are stored
+    as text (leading digits+colon) and pass through."""
+    lit = _decode_strlit(inner)
+    if lit is not None:
+        folded = _fold_time_literal(lit)
+        return _mysql_str_encode(folded) if folded is not None else "NULL"
+    if engine == "spark":
+        return (
+            f"CASE WHEN CAST(({inner}) AS STRING) RLIKE '^[0-9]{{1,3}}:' "
+            f"THEN CAST(({inner}) AS STRING) "
+            f"ELSE date_format(CAST(({inner}) AS TIMESTAMP), 'HH:mm:ss') END"
+        )
+    return (
+        f"CASE WHEN regexp_matches(CAST(({inner}) AS VARCHAR), "
+        f"'^[0-9]{{1,3}}:') THEN CAST(({inner}) AS VARCHAR) "
+        f"ELSE strftime(CAST(({inner}) AS TIMESTAMP), '%H:%M:%S') END"
+    )
+
+
+def _sec_to_time(inner: str, engine: str) -> str:
+    """MySQL SEC_TO_TIME over a DOUBLE: '[-]HH…:MM:SS.ffffff' text with
+    a 6-digit fraction (func_sec_to_time.result), clamped at MySQL's
+    ±838:59:59 TIME bound.  Emitted with CONCAT so the duck pass's
+    NULL-propagating ||-chain rewrite applies downstream."""
+    istr = "STRING" if engine == "spark" else "VARCHAR"
+    x = f"({inner})"
+    a = f"LEAST(ABS(CAST({x} AS DOUBLE)), 3020399.0)"
+    tot = f"CAST(FLOOR({a}) AS BIGINT)"
+    # FLOOR before the cast: DuckDB CAST(double AS BIGINT) rounds while
+    # Spark truncates
+    th = f"CAST(FLOOR(({tot}) / 3600.0) AS BIGINT)"
+    tm = f"CAST(FLOOR((({tot}) % 3600) / 60.0) AS BIGINT)"
+    ts = f"({tot}) % 60"
+    frac = f"LPAD(CAST(CAST(ROUND(({a} - {tot}) * 1000000) AS BIGINT) AS {istr}), 6, '0')"
+    hh = (
+        f"CASE WHEN {th} < 10 THEN CONCAT('0', CAST({th} AS {istr})) "
+        f"ELSE CAST({th} AS {istr}) END"
+    )
+    sign = f"CASE WHEN CAST({x} AS DOUBLE) < 0 THEN '-' ELSE '' END"
+    return (
+        f"CONCAT({sign}, {hh}, ':', LPAD(CAST({tm} AS {istr}), 2, '0'), "
+        f"':', LPAD(CAST({ts} AS {istr}), 2, '0'), '.', {frac})"
+    )
+
+
+def _parse_time_delta(s: str) -> tuple[float, int] | None:
+    """Parse a MySQL time-delta literal ('2 1:1:1', '-100:11:12',
+    '100:11', '100', '2:2:2.1111') → (seconds, frac_digit_count)."""
+    t = s.strip()
+    m = re.match(
+        r"^([+-]?)(?:(\d+)\s+)?(\d{1,3}):(\d{1,2})(?::(\d{1,2}))?"
+        r"(\.\d+)?$",
+        t,
+    )
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        days = int(m.group(2) or 0)
+        h, mi = int(m.group(3)), int(m.group(4))
+        sec = int(m.group(5) or 0)
+        frac = m.group(6) or ""
+        total = days * 86400 + h * 3600 + mi * 60 + sec + (
+            float(frac) if frac else 0.0
+        )
+        return sign * total, len(frac) - 1 if frac else 0
+    m = re.match(r"^([+-]?)(\d+)(\.\d+)?$", t)
+    if m:  # digits-only reads right-to-left HHMMSS (like TIME())
+        folded = _fold_time_literal(m.group(2))
+        h, mi, sec = (int(x) for x in folded.split(":"))
+        sign = -1 if m.group(1) == "-" else 1
+        frac = m.group(3) or ""
+        total = h * 3600 + mi * 60 + sec + (float(frac) if frac else 0.0)
+        return sign * total, len(frac) - 1 if frac else 0
+    return None
+
+
+def _addtime_fn(inner: str, engine: str, sub: bool = False) -> str:
+    """MySQL ADDTIME/SUBTIME: literal+literal folds in Python; a
+    datetime expression gets interval arithmetic (AddTime_function)."""
+    parts = _split_top_commas(inner)
+    if len(parts) != 2:
+        return f"ADDTIME({inner})"  # let the engine reject
+    base, delta = parts[0].strip(), parts[1].strip()
+    dl = _decode_strlit(delta)
+    pd_ = _parse_time_delta(dl) if dl is not None else None
+    if pd_ is None:
+        raise ValueError(f"unsupported ADDTIME delta: {delta[:40]}")
+    secs, fdigits = pd_
+    if sub:
+        secs = -secs
+    bl = _decode_strlit(base)
+    if bl is not None:  # fold fully in Python
+        import datetime as _dt
+
+        tm = re.match(
+            r"^(\d{1,4})-(\d{1,2})-(\d{1,2})[ T]"
+            r"(\d{1,2}):(\d{1,2}):(\d{1,2})(\.\d+)?$",
+            bl.strip(),
+        )
+        if tm:
+            t0 = _dt.datetime(*(int(tm.group(i)) for i in range(1, 7)))
+            t1 = t0 + _dt.timedelta(seconds=secs)
+            out = f"{t1:%Y-%m-%d %H:%M:%S}"
+            micro = t1.microsecond
+            if fdigits or tm.group(7):
+                nd = max(fdigits, len(tm.group(7) or ".") - 1)
+                out += ("{:.%df}" % nd).format(micro / 1e6)[1:]
+            return _mysql_str_encode(out)
+        tparsed = _parse_time_delta(bl)
+        if tparsed is not None:  # TIME + delta stays a TIME string
+            tot = tparsed[0] + secs
+            sign = "-" if tot < 0 else ""
+            tot = abs(tot)
+            h = int(tot // 3600)
+            mi = int((tot % 3600) // 60)
+            sec = int(tot % 60)
+            return _mysql_str_encode(f"{sign}{h:02d}:{mi:02d}:{sec:02d}")
+        return "NULL"
+    whole = int(secs) if float(secs).is_integer() else None
+    if whole is None:
+        raise ValueError("fractional ADDTIME over expressions unsupported")
+    op = "-" if whole < 0 else "+"
+    return f"(CAST(({base}) AS TIMESTAMP) {op} INTERVAL {abs(whole)} SECOND)"
+
+
+def _convert_to_cast(inner: str, engine: str = "spark") -> str:
     um = re.match(r"(.*)\s+USING\s+\w+\s*$", inner, re.I | re.S)
     if um:  # charset conversion: engines are utf-8 throughout
         return f"({um.group(1)})"
@@ -740,10 +892,52 @@ def _convert_to_cast(inner: str) -> str:
     if len(parts) == 2:
         t = parts[1].strip()
         base = re.match(r"(\w+)", t).group(1).lower()
+        if base == "time":  # TIME has no engine analog: extract text
+            return f"({_time_fn(parts[0], engine)})"
         mapped = {"signed": "BIGINT", "unsigned": "DECIMAL(20,0)",
-                  "integer": "BIGINT", "char": "STRING"}.get(base)
+                  "integer": "BIGINT", "char": "STRING",
+                  "datetime": "TIMESTAMP",
+                  "binary": "BINARY" if engine == "spark" else "BLOB",
+                  }.get(base)
         return f"CAST({parts[0]} AS {mapped or t})"
     return f"CONVERT({inner})"
+
+
+def _conv_fn(inner: str, engine: str) -> str:
+    """MySQL CONV(n, from_base, to_base): literals fold in Python;
+    expressions use conv() on Spark and to_base() on DuckDB (base-10
+    source only — the MTR corpus uses literal sources otherwise)."""
+    parts = _split_top_commas(inner)
+    if len(parts) != 3:
+        return f"CONV({inner})"
+    x, f, t = (p.strip() for p in parts)
+    if not (f.isdigit() and t.isdigit()):
+        return f"CONV({inner})"
+    fb, tb = int(f), int(t)
+
+    def to_base(n: int, b: int) -> str:
+        if n == 0:
+            return "0"
+        digs = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        out = []
+        while n:
+            out.append(digs[n % b])
+            n //= b
+        return "".join(reversed(out))
+
+    lit = _decode_strlit(x)
+    if lit is None and re.fullmatch(r"\d+", x):
+        lit = x
+    if lit is not None:
+        try:
+            return _mysql_str_encode(to_base(int(lit.strip(), fb), tb))
+        except ValueError:
+            return "NULL"
+    if fb != 10:
+        raise ValueError("CONV with non-literal non-base-10 source")
+    if engine == "spark":
+        return f"upper(conv(CAST(({x}) AS STRING), 10, {tb}))"
+    return f"upper(to_base(CAST(({x}) AS BIGINT), {tb}))"
 
 
 def _strcmp_case(inner: str) -> str:
@@ -760,6 +954,12 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
+    sql = _wrap_calls(sql, "TIME", lambda i: _time_fn(i, engine))
+    sql = _wrap_calls(sql, "SEC_TO_TIME", lambda i: _sec_to_time(i, engine))
+    sql = _wrap_calls(sql, "ADDTIME", lambda i: _addtime_fn(i, engine))
+    sql = _wrap_calls(
+        sql, "SUBTIME", lambda i: _addtime_fn(i, engine, sub=True)
+    )
     sql = _rewrite_hex_literals(sql)
     # infix 'a MOD b' (MySQL keyword form) → '%' — same dividend-sign
     # semantics on Spark and DuckDB; MOD(a,b) call form stays
@@ -775,7 +975,10 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _sub_outside_strings(
         sql, re.compile(r"\bSUBDATE\s*\(", re.I), lambda m: "DATE_SUB("
     )
-    sql = _wrap_calls(sql, "CONVERT", _convert_to_cast)
+    sql = _wrap_calls(
+        sql, "CONVERT", lambda i: _convert_to_cast(i, engine)
+    )
+    sql = _wrap_calls(sql, "CONV", lambda i: _conv_fn(i, engine))
     sql = _rewrite_logical_ops(sql)
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed

@@ -106,6 +106,13 @@ SOURCES = {
     'dialect_zerofill': ('zerofill.test', [(1, 64)]),
     'dialect_truncate': ('truncate_table.test', [(1, 89)]),
     'dialect_replace': ('replace.test', [(1, 67)]),
+    'dialect_time_fn': ('time_function.test', [(1, 35)]),
+    'dialect_time_fn_lit': ('time_function.test', [(1, 35)]),
+    'dialect_sec_to_time': ('func_sec_to_time.test', [(1, 22)]),
+    'dialect_addtime': ('AddTime_function.test', [(1, 32)]),
+    'dialect_addtime_lit': ('AddTime_function.test', [(1, 32)]),
+    'dialect_conv_fn': ('convert_conv_func.test', [(1, 47)]),
+    'dialect_conv_lit': ('convert_conv_func.test', [(1, 47)]),
     'dialect_ssb_flat': ('ssb_small.test', [(1, 96)]),
     'dialect_insert_types': ('insert_all_data_types.test', [(1, 113)]),
     'dialect_range_pk': ('range.test', [(1, 589)]),
@@ -6707,6 +6714,150 @@ SELECT * FROM t5;
 DROP DATABASE insert_all_data_types_test;
 """
 
+SCRIPT_TIME_FUNCTION = """--echo #
+--echo # TIME() function
+--echo # Author: ysw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS time_function;
+--enable_warnings
+
+CREATE DATABASE time_function;
+USE time_function;
+
+CREATE TABLE t1
+(
+ t1_DATE DATE,
+ t1_TIME TIME,
+ t1_DATETIME DATETIME
+ )ENGINE=tianmu;
+INSERT INTO t1 VALUES('1560-08-27', '22:12:02', '1997-12-12 22:12:02');
+INSERT INTO t1 VALUES('1982-02-19', '23:59:59', '2001-1-1 23:59:59.65');
+INSERT INTO t1 VALUES('3291-05-30', '01:37:50.871', '09-12-11 01:08:59');
+
+SELECT TIME('112233') FROM t1 LIMIT 1;
+SELECT TIME('11:22:33.4455') FROM t1 LIMIT 1;
+SELECT TIME('1811/2/2 3:34:45.5') FROM t1 LIMIT 1;
+SELECT TIME('1811/2/2') FROM t1 LIMIT 1;
+
+SELECT t1_DATE, TIME(t1_DATE) FROM t1 ORDER BY 1;
+SELECT t1_TIME, TIME(t1_TIME) FROM t1 ORDER BY 1;
+SELECT t1_DATETIME, TIME(t1_DATETIME) FROM t1 ORDER BY 1;
+
+# Clean UP
+DROP DATABASE time_function;
+"""
+
+SCRIPT_FUNC_SEC_TO_TIME = """--source include/have_tianmu.inc
+--echo #
+--echo # SEC_TO_TIME(double_or_float)
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS func_sec_to_time_test;
+--enable_warnings
+
+CREATE DATABASE func_sec_to_time_test;
+USE func_sec_to_time_test;
+
+CREATE TABLE t1 (a DOUBLE);
+INSERT INTO t1 VALUES (0.000025e-35);
+INSERT INTO t1 VALUES (-1),(1);
+INSERT INTO t1 VALUES (-900),(900);
+INSERT INTO t1 VALUES (-1000000),(1000000);
+SELECT a, SEC_TO_TIME(a) FROM t1 ORDER BY 1;
+DROP TABLE t1;
+
+# Clean UP
+DROP DATABASE func_sec_to_time_test;
+"""
+
+SCRIPT_ADDTIME_FUNCTION = """--echo #
+--echo # Test ADDTIME function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs179_db;
+--enable_warnings
+
+CREATE DATABASE mcs179_db;
+USE mcs179_db;
+
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE)engine=tianmu;
+INSERT INTO t1 VALUES ('', NULL, '1990-01-01', NULL),('a', 12, '1212-12-12', 1.19691E+100),('b', 13, '1313-3-13 13:13:13', 2.1961E+18),('c', 14, '1414-4-14', 0.16191),('d', 15, '2015-5-15 15:15:15', 1.971917);
+SHOW CREATE TABLE t1;
+
+SELECT ADDTIME('2020-02-02 22:22:22', '2 1:1:1');
+SELECT ADDTIME('2020-02-02 22:22:22', '2:2:2.1111');
+SELECT ADDTIME('2020-02-02 22:22:22', '-2:2:2');
+SELECT ADDTIME('22:22:22', '03:11:22');
+
+SELECT c, ADDTIME(c, '1 3:3:3') FROM t1;
+SELECT c, ADDTIME(c, '-2 1:1:1') FROM t1;
+SELECT c, ADDTIME(c, '100:11:12') FROM t1;
+SELECT c, ADDTIME(c, '-100:11:12') FROM t1;
+SELECT c, ADDTIME(c, '100:11') FROM t1;
+SELECT c, ADDTIME(c, '100') FROM t1;
+
+# Clean UP
+DROP DATABASE mcs179_db;
+"""
+
+SCRIPT_CONVERT_CONV_FUNC = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test CONVERT, CONV functions
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS convert_conv_func_test;
+--enable_warnings
+
+CREATE DATABASE convert_conv_func_test;
+USE convert_conv_func_test;
+
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE);
+INSERT INTO t1 VALUES ('', NULL, '1111-11-11', NULL),
+('a', 12, '1212-12-12', 1.19691E+100),
+('b', 13, '1313-3-13 13:13:13', 2.1961E+18),
+('c', 14, '1414-4-14', 0.16191),
+('d', 15, '2015-5-15 15:15:15', 1.971917);
+
+select * from t1;
+SHOW CREATE TABLE t1;
+
+SELECT CONVERT(123, CHAR);
+SELECT CONVERT("14:06:10", TIME);
+SELECT CONVERT("stonedbtianmu" USING latin1);
+SELECT CONVERT('abcd', BINARY);
+SELECT CONVERT(-123, UNSIGNED);
+
+SELECT CONV(123, 10, 2);
+SELECT CONV(123, 8, 2);
+SELECT CONV(2011, 10, 16);
+SELECT CONV(101011, 2, 10);
+
+SELECT CONVERT(c, DATE) FROM t1;
+#bug SELECT CONVERT(c, TIME) FROM t1;
+SELECT CONVERT(b, CHAR) FROM t1;
+SELECT CONVERT(b, SIGNED) FROM t1;
+
+SELECT b, CONV(b, 10, 2) FROM t1;
+SELECT b, CONV(b, 10, 8) FROM t1;
+SELECT b, CONV(b, 10, 16) FROM t1;
+SELECT d, CONV(d, 10, 2) FROM t1;
+SELECT d, CONV(d, 10, 16) FROM t1;
+
+# Clean UP
+DROP DATABASE convert_conv_func_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -6825,6 +6976,13 @@ _SPECS = [
     ('dialect_range_notbetween', SCRIPT_RANGE_X, -1, ['a', 'h'], False, 'NOT BETWEEN over padded CHAR + HEX(filler) after mass UPDATE'),
     ('dialect_ssb_flat', SCRIPT_SSB_SMALL, -1, None, False, 'SSB star-schema flat query over inline part/lineitem rows'),
     ('dialect_insert_types', SCRIPT_INSERT_ALL_DATA_TYPES, 0, None, False, 'INSERT over the all-types table (designated avoids the year-2387 timestamp rows)'),
+    ('dialect_time_fn', SCRIPT_TIME_FUNCTION, -1, ['dt', 't'], False, 'TIME() over DATE/TIME/DATETIME cols and quirky literals (digits-only, zeroed fractions)'),
+    ('dialect_time_fn_lit', SCRIPT_TIME_FUNCTION, 1, ['t'], False, "TIME('11:22:33.4455') tianmu fraction-zeroing quirk"),
+    ('dialect_sec_to_time', SCRIPT_FUNC_SEC_TO_TIME, -1, ['a', 't'], False, 'SEC_TO_TIME over DOUBLE: signed HH:MM:SS.ffffff text, ±838h clamp'),
+    ('dialect_addtime', SCRIPT_ADDTIME_FUNCTION, -1, ['c', 't'], False, 'ADDTIME over DATETIME col with D H:M:S / HH:MM / digit deltas (year-1212 rows compared as text)', {'c': 'STRING', 't': 'STRING'}),
+    ('dialect_addtime_lit', SCRIPT_ADDTIME_FUNCTION, 1, ['t'], False, 'ADDTIME literal folding incl. fractional delta'),
+    ('dialect_conv_fn', SCRIPT_CONVERT_CONV_FUNC, 15, ['b', 'v'], False, 'CONV base conversion over INT col (10->16) + CONVERT CAST forms'),
+    ('dialect_conv_lit', SCRIPT_CONVERT_CONV_FUNC, 9, ['v'], False, 'CONV literal folding across bases 2/8/10/16'),
 ]
 
 
