@@ -152,6 +152,27 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_load_skip': ('issue1000.test', [(1, 112)]),
+    'dialect_load_setvar': ('issue1000.test', [(1, 112)]),
+    'dialect_load_defaults': ('issue1000.test', [(1, 112)]),
+    'dialect_load_autoinc': ('issue1000.test', [(1, 112)]),
+    'dialect_load_logfile': ('issue1000.test', [(1, 112)]),
+    'dialect_autoinc_load': ('init_auto_increment_value.test', [(1, 63)]),
+    'dialect_std_floor': ('std_test.test', [(1, 121)]),
+    'dialect_std_bigint': ('std_test.test', [(1, 121)]),
+    'dialect_std_varsamp': ('std_test.test', [(1, 121)]),
+    'dialect_load_ragged': ('issue1209.test', [(1, 26)]),
+    'dialect_load_enclosed': ('issue1209.test', [(1, 26)]),
+    'dialect_load_ssb': ('issue852.test', [(1, 57)]),
+    'dialect_load_join': ('unsigned_join.test', [(1, 50)]),
+    'dialect_load_join_anti': ('unsigned_join.test', [(1, 50)]),
+    'dialect_cast_signed': ('cast_data_types.test', [(1, 35)]),
+    'dialect_cast_char': ('cast_data_types.test', [(1, 35)]),
+    'dialect_cast_decimal': ('cast_data_types.test', [(1, 35)]),
+    'dialect_precision_strict': ('select_precision.test', [(1, 43)]),
+    'dialect_precision_round': ('select_precision.test', [(1, 43)]),
+    'dialect_precision_exact': ('select_precision.test', [(1, 43)]),
+    'dialect_precision_div': ('select_precision.test', [(1, 43)]),
 }
 
 SCRIPT_ALIASES = """\
@@ -6858,6 +6879,529 @@ SELECT d, CONV(d, 10, 16) FROM t1;
 DROP DATABASE convert_conv_func_test;
 """
 
+SCRIPT_STD_TEST = """--source include/have_tianmu.inc
+
+--echo #
+--echo # std floor VAR_SAMP func test
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS std_test;
+--enable_warnings
+
+CREATE DATABASE std_test;
+USE std_test;
+
+create table t1 (
+        col_signed tinyint,
+        col_unsigned tinyint unsigned
+);
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/tinyint_range.tbl' INTO TABLE t1 FIELDS TERMINATED BY '|';
+
+ALTER TABLE t1 ADD COLUMN col_small_signed SMALLINT;
+ALTER TABLE t1 ADD COLUMN col_small_unsigned SMALLINT UNSIGNED;
+ALTER TABLE t1 ADD COLUMN col_med_signed MEDIUMINT;
+ALTER TABLE t1 ADD COLUMN col_med_unsigned MEDIUMINT UNSIGNED;
+ALTER TABLE t1 ADD COLUMN col_int_signed INT;
+ALTER TABLE t1 ADD COLUMN col_int_unsigned INT UNSIGNED;
+ALTER TABLE t1 ADD COLUMN col_big_signed BIGINT;
+ALTER TABLE t1 ADD COLUMN col_big_unsigned BIGINT UNSIGNED;
+ALTER TABLE t1 ADD COLUMN col_dec_signed DECIMAL(17,0);
+ALTER TABLE t1 ADD COLUMN col_dec_unsigned DECIMAL(17,0) UNSIGNED;
+ALTER TABLE t1 ADD COLUMN col_float_signed FLOAT;
+ALTER TABLE t1 ADD COLUMN col_float_unsigned FLOAT UNSIGNED;
+ALTER TABLE t1 ADD COLUMN col_double_signed DOUBLE;
+ALTER TABLE t1 ADD COLUMN col_double_unsigned DOUBLE UNSIGNED;
+
+UPDATE t1 SET col_small_signed=col_signed + sign(col_signed) * 32000;
+UPDATE t1 SET col_small_unsigned=col_unsigned + 65000;
+UPDATE t1 SET col_med_signed=col_signed + sign(col_signed) * 8388000;
+UPDATE t1 SET col_med_unsigned=col_unsigned + 16776000;
+UPDATE t1 SET col_int_signed=col_signed + sign(col_signed) * 2147483000;
+UPDATE t1 SET col_int_unsigned=col_unsigned + 4294000000;
+
+UPDATE t1 SET col_big_signed=col_signed + sign(col_signed) * 9223372036854775000;
+#bug1485UPDATE t1 SET col_big_unsigned=col_unsigned + 9223372036854775000;
+#bug1485UPDATE t1 SET col_dec_signed=col_signed + sign(col_signed) * 80000000000000001;
+#bug1485UPDATE t1 SET col_dec_unsigned=col_unsigned + 8000000000000003;
+UPDATE t1 SET col_float_signed=col_signed + 0.637 + sign(col_signed) * 8388000;
+UPDATE t1 SET col_float_unsigned=col_unsigned + 0.637 + 16776000;
+UPDATE t1 SET col_double_signed=col_signed + 0.637 + sign(col_signed) * 2147483000;
+UPDATE t1 SET col_double_unsigned=col_unsigned + 0.637 + 4294000000;
+
+
+SELECT 'q1', floor(STD(col_signed)) FROM t1;
+SELECT 'q2', floor(STD(col_unsigned)) FROM t1;
+SELECT 'q3', floor(STD(col_small_signed)) FROM t1;
+SELECT 'q4', floor(STD(col_small_unsigned)) FROM t1;
+SELECT 'q5', floor(STD(col_med_signed)) FROM t1;
+SELECT 'q6', floor(STD(col_med_unsigned)) FROM t1;
+SELECT 'q7', floor(STD(col_int_signed)) FROM t1;
+SELECT 'q8', floor(STD(col_int_unsigned)) FROM t1;
+SELECT 'q9', floor(STD(col_big_signed)) FROM t1;
+#bug1485SELECT 'q10', floor(STD(col_big_unsigned)) FROM t1;
+#bug1485SELECT 'q11', floor(STD(col_dec_signed)) FROM t1;
+SELECT 'q13', floor(STD(col_float_signed)) FROM t1;
+SELECT 'q14', floor(STD(col_float_unsigned)) FROM t1;
+SELECT 'q15', floor(STD(col_double_signed)) FROM t1;
+SELECT 'q16', floor(STD(col_double_unsigned)) FROM t1;
+
+
+SELECT 'q17', floor(STDDEV_SAMP(col_signed)) FROM t1;
+SELECT 'q18', floor(STDDEV_SAMP(col_unsigned)) FROM t1;
+SELECT 'q19', floor(STDDEV_SAMP(col_small_signed)) FROM t1;
+SELECT 'q20', floor(STDDEV_SAMP(col_small_unsigned)) FROM t1;
+SELECT 'q21', floor(STDDEV_SAMP(col_med_signed)) FROM t1;
+SELECT 'q22', floor(STDDEV_SAMP(col_med_unsigned)) FROM t1;
+SELECT 'q23', floor(STDDEV_SAMP(col_int_signed)) FROM t1;
+SELECT 'q24', floor(STDDEV_SAMP(col_int_unsigned)) FROM t1;
+SELECT 'q25', floor(STDDEV_SAMP(col_big_signed)) FROM t1;
+#bug1485SELECT 'q26', floor(STDDEV_SAMP(col_big_unsigned)) FROM t1;
+#bug1485SELECT 'q27', floor(STDDEV_SAMP(col_dec_signed)) FROM t1;
+SELECT 'q29', floor(STDDEV_SAMP(col_float_signed)) FROM t1;
+SELECT 'q30', floor(STDDEV_SAMP(col_float_unsigned)) FROM t1;
+SELECT 'q31', floor(STDDEV_SAMP(col_double_signed)) FROM t1;
+SELECT 'q32', floor(STDDEV_SAMP(col_double_unsigned)) FROM t1;
+
+SELECT 'q33', floor(VAR_POP(col_signed)) FROM t1;
+SELECT 'q34', floor(VAR_POP(col_unsigned)) FROM t1;
+SELECT 'q35', floor(VAR_POP(col_small_signed)) FROM t1;
+SELECT 'q36', floor(VAR_POP(col_small_unsigned)) FROM t1;
+SELECT 'q37', floor(VAR_POP(col_med_signed)) FROM t1;
+SELECT 'q38', floor(VAR_POP(col_med_unsigned)) FROM t1;
+SELECT 'q39', floor(VAR_POP(col_int_signed)) FROM t1;
+SELECT 'q40', floor(VAR_POP(col_int_unsigned)) FROM t1;
+SELECT 'q41', floor(VAR_POP(col_big_signed)) FROM t1;
+#bug1485SELECT 'q42', floor(VAR_POP(col_big_unsigned)) FROM t1;
+#bug1485SELECT 'q43', floor(VAR_POP(col_dec_signed)) FROM t1;
+SELECT 'q45', floor(VAR_POP(col_float_signed)) FROM t1;
+SELECT 'q46', floor(VAR_POP(col_float_unsigned)) FROM t1;
+SELECT 'q47', floor(VAR_POP(col_double_signed)) FROM t1;
+SELECT 'q48', floor(VAR_POP(col_double_unsigned)) FROM t1;
+
+
+SELECT 'q49', floor(VAR_SAMP(col_signed)) FROM t1;
+SELECT 'q50', floor(VAR_SAMP(col_unsigned)) FROM t1;
+SELECT 'q51', floor(VAR_SAMP(col_small_signed)) FROM t1;
+SELECT 'q52', floor(VAR_SAMP(col_small_unsigned)) FROM t1;
+SELECT 'q53', floor(VAR_SAMP(col_med_signed)) FROM t1;
+SELECT 'q54', floor(VAR_SAMP(col_med_unsigned)) FROM t1;
+SELECT 'q55', floor(VAR_SAMP(col_int_signed)) FROM t1;
+SELECT 'q56', floor(VAR_SAMP(col_int_unsigned)) FROM t1;
+SELECT 'q57', floor(VAR_SAMP(col_big_signed)) FROM t1;
+#bug1485SELECT 'q58', floor(VAR_SAMP(col_big_unsigned)) FROM t1;
+#bug1485SELECT 'q59', floor(VAR_SAMP(col_dec_signed)) FROM t1;
+SELECT 'q61', floor(VAR_SAMP(col_float_signed)) FROM t1;
+SELECT 'q62', floor(VAR_SAMP(col_float_unsigned)) FROM t1;
+SELECT 'q63', floor(VAR_SAMP(col_double_signed)) FROM t1;
+SELECT 'q64', floor(VAR_SAMP(col_double_unsigned)) FROM t1;
+
+# Clean UP
+DROP DATABASE std_test;
+"""
+
+SCRIPT_ISSUE1209 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1209_test;
+--enable_warnings
+
+CREATE DATABASE issue1209_test;
+
+USE issue1209_test;
+
+CREATE TABLE `t1_tianmu` (
+  `id` int(11) DEFAULT NULL,
+  `a` char(20) DEFAULT NULL,
+  `id2` int(11) DEFAULT NULL
+) ENGINE=tianmu DEFAULT CHARSET=utf8mb4;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1209-1.txt' into table t1_tianmu FIELDS TERMINATED BY ',' LINES TERMINATED BY ';';
+select * from t1_tianmu;
+
+truncate table t1_tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1209-2.txt' into table t1_tianmu FIELDS TERMINATED BY ',' enclosed by '"' LINES TERMINATED BY ';';
+select * from t1_tianmu;
+
+DROP DATABASE issue1209_test;"""
+
+SCRIPT_ISSUE852 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue852_test;
+--enable_warnings
+
+CREATE DATABASE issue852_test;
+
+USE issue852_test;
+
+CREATE TABLE IF NOT EXISTS `lineorder_flat` (
+  `LO_ORDERDATE` date NOT NULL COMMENT '',
+  `LO_ORDERKEY` int(11) NOT NULL COMMENT '',
+  `LO_LINENUMBER` tinyint(4) NOT NULL COMMENT '',
+   `LO_CUSTKEY` int(11) NOT NULL COMMENT '',
+  `LO_PARTKEY` int(11) NOT NULL COMMENT '',
+  `LO_SUPPKEY` int(11) NOT NULL COMMENT '',
+  `LO_ORDERPRIORITY` varchar(100) NOT NULL COMMENT '',
+  `LO_SHIPPRIORITY` tinyint(4) NOT NULL COMMENT '',
+  `LO_QUANTITY` tinyint(4) NOT NULL COMMENT '',
+  `LO_EXTENDEDPRICE` int(11) NOT NULL COMMENT '',
+  `LO_ORDTOTALPRICE` int(11) NOT NULL COMMENT '',
+  `LO_DISCOUNT` tinyint(4) NOT NULL COMMENT '',
+  `LO_REVENUE` int(11) NOT NULL COMMENT '',
+  `LO_SUPPLYCOST` int(11) NOT NULL COMMENT '',
+  `LO_TAX` tinyint(4) NOT NULL COMMENT '',
+  `LO_COMMITDATE` date NOT NULL COMMENT '',
+  `LO_SHIPMODE` varchar(100) NOT NULL COMMENT '',
+  `C_NAME` varchar(100) NOT NULL COMMENT '',
+  `C_ADDRESS` varchar(100) NOT NULL COMMENT '',
+  `C_CITY` varchar(100) NOT NULL COMMENT '',
+  `C_NATION` varchar(100) NOT NULL COMMENT '',
+  `C_REGION` varchar(100) NOT NULL COMMENT '',
+  `C_PHONE` varchar(100) NOT NULL COMMENT '',
+  `C_MKTSEGMENT` varchar(100) NOT NULL COMMENT '',
+  `S_NAME` varchar(100) NOT NULL COMMENT '',
+  `S_ADDRESS` varchar(100) NOT NULL COMMENT '',
+  `S_CITY` varchar(100) NOT NULL COMMENT '',
+  `S_NATION` varchar(100) NOT NULL COMMENT '',
+  `S_REGION` varchar(100) NOT NULL COMMENT '',
+  `S_PHONE` varchar(100) NOT NULL COMMENT '',
+  `P_NAME` varchar(100) NOT NULL COMMENT '',
+  `P_MFGR` varchar(100) NOT NULL COMMENT '',
+  `P_CATEGORY` varchar(100) NOT NULL COMMENT '',
+  `P_BRAND` varchar(100) NOT NULL COMMENT '',
+  `P_COLOR` varchar(100) NOT NULL COMMENT '',
+  `P_TYPE` varchar(100) NOT NULL COMMENT '',
+  `P_SIZE` tinyint(4) NOT NULL COMMENT '',
+  `P_CONTAINER` varchar(100) NOT NULL COMMENT ''
+) engine = tianmu ;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue852.txt' Into TABLE lineorder_flat FIELDS TERMINATED BY ',' enclosed by '"' ;
+select * from lineorder_flat;
+drop table lineorder_flat;
+
+DROP DATABASE issue852_test;
+"""
+
+SCRIPT_UNSIGNED_JOIN = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test unsigned_join
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS unsigned_joins_test;
+--enable_warnings
+
+CREATE DATABASE unsigned_joins_test;
+USE unsigned_joins_test;
+
+create table customer (
+        c_custkey int unsigned,
+        c_name varchar (25),
+        c_address varchar (40),
+        c_nationkey int,
+        c_phone char (15),
+        c_acctbal decimal(12,2),
+        c_mktsegment char (10),
+        c_comment varchar (117)
+);
+
+create table orders (
+        o_orderkey int,
+        o_custkey int unsigned,
+        o_orderstatus char (1),
+        o_totalprice decimal(12,2),
+        o_orderdate date,
+        o_orderpriority char (15),
+        o_clerk char (15),
+        o_shippriority int,
+        o_comment varchar (79)
+);
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/1m_customer.tbl' INTO TABLE customer FIELDS TERMINATED BY '|';
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/1m_orders.tbl' INTO TABLE orders FIELDS TERMINATED BY '|';
+
+# Join
+select count(*) as count1 from customer join orders on orders.o_custkey = customer.c_custkey;
+select count(*) as count2 from customer left join orders on orders.o_custkey = customer.c_custkey;
+select count(*) as count3 from customer right join orders on orders.o_custkey = customer.c_custkey;
+select count(*) as count4 from customer where exists (select o_custkey from orders where orders.o_custkey = customer.c_custkey);
+select count(*) as count5 from customer where not exists (select o_custkey from orders where orders.o_custkey = customer.c_custkey);
+
+# Clean UP
+DROP DATABASE unsigned_joins_test;
+"""
+
+SCRIPT_CAST_DATA_TYPES = """--echo #
+--echo # CAST Data types
+--echo # Author: ysw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS cast_data_types;
+--enable_warnings
+
+CREATE DATABASE cast_data_types;
+USE cast_data_types;
+
+CREATE TABLE t1(t1_int INT, t1_decimal DECIMAL(5,3), t1_char CHAR(10), t1_text TEXT, t1_varchar VARCHAR(50))ENGINE=tianmu;
+INSERT INTO t1 VALUES(NULL, NULL, '', '', '');
+INSERT INTO t1 VALUES(512762, 86.722, 'A', repeat('a',50), repeat('b',50));
+INSERT INTO t1 VALUES(-512762, -86.722, '123456', repeat('1',50), repeat('2',50));
+
+SELECT * FROM t1;
+SELECT CAST(t1_int AS SIGNED), CAST(t1_decimal AS SIGNED), CAST(t1_char AS SIGNED), CAST(t1_text AS SIGNED), CAST(t1_varchar AS SIGNED) FROM t1;
+#UNSIGNED:stonedb is not supported, to be released after support(2022-10-26)
+#SELECT CAST(t1_int AS UNSIGNED), CAST(t1_decimal AS UNSIGNED), CAST(t1_char AS UNSIGNED), CAST(t1_text AS UNSIGNED), CAST(t1_varchar AS UNSIGNED) FROM t1;
+SELECT CAST(t1_int AS CHAR(10)), CAST(t1_decimal AS CHAR(10)), CAST(t1_char AS CHAR(10)), CAST(t1_text AS CHAR(10)), CAST(t1_varchar AS CHAR(10)) FROM t1;
+SELECT CAST(t1_int AS DECIMAL(6,5)), CAST(t1_decimal AS DECIMAL(6,5)), CAST(t1_char AS DECIMAL(6,5)), CAST(t1_text AS DECIMAL(6,5)), CAST(t1_varchar AS DECIMAL(6,5)) FROM t1;
+
+--error ER_M_BIGGER_THAN_D
+SELECT CAST(t1_int AS DECIMAL(4,5)) FROM t1;
+--error ER_TOO_BIG_PRECISION
+SELECT CAST(t1_int AS DECIMAL(66,6)) FROM t1;
+--error ER_TOO_BIG_SCALE
+SELECT CAST(t1_int AS DECIMAL(64,63)) FROM t1;
+
+# Clean UP
+DROP DATABASE cast_data_types;
+"""
+
+SCRIPT_SELECT_PRECISION = """--source include/have_tianmu.inc
+
+--echo #
+--echo # SELECT PRECISION
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS select_precision_test;
+--enable_warnings
+
+CREATE DATABASE select_precision_test;
+USE select_precision_test;
+
+SELECT @@sql_mode;
+CREATE TABLE t (col TINYINT);
+--error ER_WARN_DATA_OUT_OF_RANGE
+INSERT INTO t SET col = 128;
+SELECT col FROM t;
+--error ER_DIVISION_BY_ZERO
+INSERT INTO t SET col = 1 / 0;
+SELECT col FROM t;
+
+--disable_warnings
+SET sql_mode='';
+INSERT INTO t SET col = 128;
+SELECT col FROM t;
+INSERT INTO t SET col = 1 / 0;
+SELECT col FROM t;
+--enable_warnings
+
+CREATE TABLE t1 (col FLOAT);
+INSERT INTO t1 VALUES (NULL),(2.13),(-2.13),(21.5e0),(-21.5e0),(35.498),(986.512),(-376012.9751);
+SELECT col, ROUND(col), ROUND(col,1), ROUND(col,-1), ROUND(col,-2), ROUND(col,3) FROM t1;
+
+SELECT (.1 + .2) = .3;
+SELECT (.1e0 + .2e0) = .3e0;
+SELECT .01 * .01;
+SELECT .1 / .1;
+
+SET sql_mode=default;
+
+# Clean UP
+DROP DATABASE select_precision_test;
+"""
+
+SCRIPT_ISSUE1000 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1000_test;
+--enable_warnings
+
+CREATE DATABASE issue1000_test;
+
+USE issue1000_test;
+
+--echo #
+--echo # Test of skip lines syntax
+--echo #
+CREATE TABLE `tmp_loaddata` (
+`id` int(11) NOT NULL,
+`name` varchar(100) DEFAULT NULL,
+PRIMARY KEY (`id`)
+) ENGINE=tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-1.txt' Into TABLE tmp_loaddata FIELDS TERMINATED BY ',' ignore 1 lines;
+select * from tmp_loaddata;
+truncate table tmp_loaddata;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-1.txt' Into TABLE tmp_loaddata FIELDS TERMINATED BY ',' ignore 2 lines;
+select * from tmp_loaddata;
+truncate table tmp_loaddata;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-1.txt' Into TABLE tmp_loaddata FIELDS TERMINATED BY ',' ignore 3 lines;
+select * from tmp_loaddata;
+truncate table tmp_loaddata;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-1.txt' Into TABLE tmp_loaddata FIELDS TERMINATED BY ',' ignore 4 lines;
+select * from tmp_loaddata;
+
+--echo #
+--echo # Test of specified syntax
+--echo #
+CREATE TABLE `tmp_loaddata2` (
+`id1` int(11) NOT NULL,
+`id2` int(11) NOT NULL,
+PRIMARY KEY (`id1`)
+) ENGINE=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE  '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata2 FIELDS TERMINATED BY ',' ignore 1 lines(id1,id2);
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE  '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata2 FIELDS TERMINATED BY ',' ignore 1 lines(id2,id1);
+
+select * from tmp_loaddata2;
+--echo #
+--echo # Test of set syntax
+--echo #
+CREATE TABLE `tmp_loaddata3` (
+`id1` int(11) NOT NULL,
+`id2` int(11) NOT NULL,
+PRIMARY KEY (`id1`)
+) ENGINE=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata3 FIELDS TERMINATED BY ',' ignore 1 lines(id1,@var1) set id2 = @var1 +100  ;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata3 FIELDS TERMINATED BY ',' ignore 1 lines(id2,id1);
+select * from tmp_loaddata3;
+
+--echo #
+--echo # Test of default
+--echo #
+CREATE TABLE `tmp_loaddata4` (
+`id1` int(11) NOT NULL,
+`id2` int(11) NOT NULL,
+`id3` int(11) default 9,
+PRIMARY KEY (`id1`)
+) ENGINE=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata4 FIELDS TERMINATED BY ',' ignore 1 lines(id1,id2);
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata4 FIELDS TERMINATED BY ',' ignore 1 lines(id2,id1);
+select * from tmp_loaddata4;
+
+--echo #
+--echo # Test of auto-increment
+--echo #
+CREATE TABLE `tmp_loaddata5` (
+`id` int auto_increment primary key,
+`id1` int NOT NULL,
+`id2` int NOT NULL,
+`id3` int default 6
+) ENGINE=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata5 FIELDS TERMINATED BY ',' ignore 1 lines(id1,id2);
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000-2.txt' Into TABLE tmp_loaddata5 FIELDS TERMINATED BY ',' ignore 1 lines(id2,id1);
+select * from tmp_loaddata5;
+
+--echo #
+--echo # Test of this case
+--echo #
+create temporary table error_log (row int auto_increment primary key,   suspicious int default 1,   file_name varchar(255),   line varchar(1024) default null )engine=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1000.txt' into table error_log fields terminated by 'xykls37' escaped by ''   ignore 1 lines (line) set file_name='/home/Code/GitHub/stonedb/build/install/mysql-test/var/log/mysqld.2.err';
+select * from error_log;
+
+--echo #
+--echo # Clean Resource
+--echo #
+drop table tmp_loaddata;
+drop table tmp_loaddata2;
+drop table tmp_loaddata3;
+drop table tmp_loaddata4;
+drop table tmp_loaddata5;
+drop table error_log;
+
+DROP DATABASE issue1000_test;
+"""
+
+SCRIPT_INIT_AUTOINC = """--source include/have_tianmu.inc
+#
+# Test auto_increment_value with TIANMU
+#
+--disable_warnings
+DROP DATABASE IF EXISTS auto_increment_value_db;
+--enable_warnings
+
+CREATE DATABASE auto_increment_value_db;
+USE auto_increment_value_db;
+
+# test init value
+CREATE TABLE t_auto_increment_value (
+  id int NOT NULL AUTO_INCREMENT,
+  data VARCHAR(64) DEFAULT NULL,
+  PRIMARY KEY (id)
+) engine=tianmu AUTO_INCREMENT=100;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (data) values("first"),("middle"),("last");
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+
+# test update 
+update t_auto_increment_value set id=80 where id=100;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"update_lt_max_id");
+select * from t_auto_increment_value;
+
+update t_auto_increment_value set id=200 where id=101;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"update_gt_max_id");
+select * from t_auto_increment_value;
+
+# test alter
+alter table t_auto_increment_value AUTO_INCREMENT=300;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"alter_gt_max_id");
+select * from t_auto_increment_value;
+
+# when SET AUTO_INCREMENT < max_id, AUTO_INCREMENT value wouldnot be changed.
+alter table t_auto_increment_value AUTO_INCREMENT=50;
+select * from t_auto_increment_value;
+show create table t_auto_increment_value;
+insert into t_auto_increment_value (id, data) values(0,"alter_lt_max_id");
+select * from t_auto_increment_value;
+
+
+#test load data with auto_increment value into auto_increment col
+CREATE TABLE load_auto_increment_value (
+  id int(11) NOT NULL AUTO_INCREMENT, 
+  company varchar(25), 
+  PRIMARY KEY (id)
+  ) ENGINE=TIANMU AUTO_INCREMENT=100;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/load_auto_increment_value.txt' INTO TABLE load_auto_increment_value FIELDS TERMINATED BY ';';
+select * from load_auto_increment_value;
+show create table load_auto_increment_value;
+
+# Clean UP
+DROP DATABASE auto_increment_value_db;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -6983,6 +7527,27 @@ _SPECS = [
     ('dialect_addtime_lit', SCRIPT_ADDTIME_FUNCTION, 1, ['t'], False, 'ADDTIME literal folding incl. fractional delta'),
     ('dialect_conv_fn', SCRIPT_CONVERT_CONV_FUNC, 15, ['b', 'v'], False, 'CONV base conversion over INT col (10->16) + CONVERT CAST forms'),
     ('dialect_conv_lit', SCRIPT_CONVERT_CONV_FUNC, 9, ['v'], False, 'CONV literal folding across bases 2/8/10/16'),
+    ('dialect_std_floor', SCRIPT_STD_TEST, 0, ['lbl', 'v'], False, 'floor(STD(tinyint)) over the 253-row LOAD DATA tinyint_range fixture; STD = POPULATION stddev (Spark/Duck aliases are sample)', {'v': 'DOUBLE'}),
+    ('dialect_std_bigint', SCRIPT_STD_TEST, 8, ['lbl', 'v'], False, 'floor(STD(bigint)) at +-9.2e18 built by UPDATE arithmetic over loaded rows', {'v': 'DOUBLE'}),
+    ('dialect_std_varsamp', SCRIPT_STD_TEST, -1, ['lbl', 'v'], False, 'floor(VAR_SAMP(double unsigned)) tail of the 52-select std battery', {'v': 'DOUBLE'}),
+    ('dialect_load_ragged', SCRIPT_ISSUE1209, 0, None, False, "LOAD DATA LINES TERMINATED BY ';' with ragged rows: extra fields truncated (1262), short rows NULL-padded (1261), empty field -> NULL vs invalid text -> 0"),
+    ('dialect_load_enclosed', SCRIPT_ISSUE1209, 1, None, False, 'LOAD DATA ENCLOSED BY with unterminated final enclosure kept raw (tianmu keeps the opening quote)'),
+    ('dialect_load_ssb', SCRIPT_ISSUE852, 0, None, False, 'LOAD DATA comma-separated with commas INSIDE enclosed fields; compact 19980721 date literals'),
+    ('dialect_load_join', SCRIPT_UNSIGNED_JOIN, 0, None, False, 'inner-join COUNT over 150/1500-row LOAD DATA tpch fixtures with INT UNSIGNED keys'),
+    ('dialect_load_join_anti', SCRIPT_UNSIGNED_JOIN, 4, None, False, 'NOT EXISTS anti-join count over the loaded customer/orders fixtures'),
+    ('dialect_cast_signed', SCRIPT_CAST_DATA_TYPES, 1, ['a', 'b', 'c', 'd', 'e'], False, "CAST AS SIGNED lenient battery: ''->0, 'A'->0, 50-digit strings -> -1 (strtoull reinterpret), decimals round half-away"),
+    ('dialect_cast_char', SCRIPT_CAST_DATA_TYPES, 2, ['a', 'b', 'c', 'd', 'e'], False, 'CAST AS CHAR(10) truncation over int/decimal/char/text/varchar'),
+    ('dialect_cast_decimal', SCRIPT_CAST_DATA_TYPES, 3, ['a', 'b', 'c', 'd', 'e'], False, 'CAST AS DECIMAL(6,5) clamping to +-9.99999 (1264) + M<D / p>65 / s>30 error analogs', {'a': 'DOUBLE', 'b': 'DOUBLE', 'c': 'DOUBLE', 'd': 'DOUBLE', 'e': 'DOUBLE'}),
+    ('dialect_precision_strict', SCRIPT_SELECT_PRECISION, 3, ['col'], False, 'strict 1264/1365 INSERT errors then non-strict clamp-to-127 and 1/0 -> NULL'),
+    ('dialect_precision_round', SCRIPT_SELECT_PRECISION, 4, ['col', 'r0', 'r1', 'rm1', 'rm2', 'r3'], False, 'ROUND battery over FLOAT storage incl. negative digits (-0.0 canonicalized)', {'col': 'DOUBLE', 'r0': 'DOUBLE', 'r1': 'DOUBLE', 'rm1': 'DOUBLE', 'rm2': 'DOUBLE', 'r3': 'DOUBLE'}),
+    ('dialect_precision_exact', SCRIPT_SELECT_PRECISION, 5, ['v'], False, '(.1 + .2) = .3 is TRUE in decimal arithmetic (and FALSE in the float leg)', {'v': 'INT'}),
+    ('dialect_precision_div', SCRIPT_SELECT_PRECISION, 8, ['v'], False, '.1 / .1 decimal division precision (MySQL div_precision_increment)', {'v': 'DOUBLE'}),
+    ('dialect_load_skip', SCRIPT_ISSUE1000, 0, None, False, 'LOAD DATA IGNORE n LINES ladder incl. the zero-rows-left no-op load'),
+    ('dialect_load_setvar', SCRIPT_ISSUE1000, 5, None, False, 'LOAD DATA (col,@var1) SET col2=@var1+100 per-row variable binding'),
+    ('dialect_load_defaults', SCRIPT_ISSUE1000, 6, None, False, 'LOAD DATA partial column list fills unlisted columns with their DEFAULT'),
+    ('dialect_load_autoinc', SCRIPT_ISSUE1000, 7, None, False, 'LOAD DATA partial column list assigns AUTO_INCREMENT ids to the omitted PK'),
+    ('dialect_load_logfile', SCRIPT_ISSUE1000, 8, None, False, "multi-char terminator 'xykls37', ESCAPED BY '', SET constant, temp table, autoinc over a 14-line log fixture"),
+    ('dialect_autoinc_load', SCRIPT_INIT_AUTOINC, -1, None, False, "AUTO_INCREMENT=seed + UPDATE bumps + ALTER seed + LOAD DATA '0' ids drawing from the counter"),
 ]
 
 

@@ -464,3 +464,87 @@ def test_mod_and_hex_rewrites():
     # hex inside a string literal is untouched
     out2 = rewrite_expr("SELECT '0xFF'", "duck")
     assert "'0xFF'" in out2
+
+
+def test_ld_parse_enclosure_aware_stream():
+    """MySQL's LOAD DATA reader scans enclosure-aware BEFORE splitting
+    lines (sql/sql_load.cc READ_INFO::read_field): separators and line
+    terminators inside an enclosed field are data (issue852.txt), an
+    unterminated trailing enclosure stays raw including its opening
+    quote (issue1209-2.txt per the tianmu result file)."""
+    from stonedb_spark.dialect import _ld_parse
+
+    # comma inside an enclosed field is data, not a separator
+    rows = _ld_parse('a,"x,y",b\n', ",", '"', "\\", "\n")
+    assert rows == [["a", "x,y", "b"]]
+    # line terminator inside an enclosed field is data
+    rows = _ld_parse('1,"l1\nl2"\n2,b\n', ",", '"', "\\", "\n")
+    assert rows == [["1", "l1\nl2"], ["2", "b"]]
+    # issue1209-1: ragged rows, empty field -> NULL, trailing raw text
+    rows = _ld_parse("1,chai,6;2,x,3,4;3,y;;\n", ",", "", "\\", ";")
+    assert rows == [
+        ["1", "chai", "6"], ["2", "x", "3", "4"], ["3", "y"],
+        [None], ["\n"],
+    ]
+    # issue1209-2: unterminated enclosure keeps the opening quote
+    rows = _ld_parse('"5";"4",";\n', ",", '"', "\\", ";")
+    assert rows == [["5"], ["4", '";\n']]
+    # escape decoding + \N NULL marker (unenclosed only)
+    rows = _ld_parse("a\\tb\t\\N\tc\n", "\t", "", "\\", "\n")
+    assert rows == [["a\tb", None, "c"]]
+    # doubled enclosure is one literal enclosure char
+    rows = _ld_parse('"a""b"\n', ",", '"', "\\", "\n")
+    assert rows == [['a"b']]
+    # enclosed empty string stays '' while bare empty field is NULL
+    rows = _ld_parse('"",\n', ",", '"', "\\", "\n")
+    assert rows == [["", None]]
+
+
+def test_load_data_to_insert_pads_and_truncates():
+    import tempfile, os
+    from stonedb_spark.dialect import _load_data_to_insert
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".txt", delete=False
+    ) as fh:
+        fh.write("1|a\n2|b|EXTRA\n3\n")
+        p = fh.name
+    try:
+        ins = _load_data_to_insert(
+            f"LOAD DATA INFILE '{p}' INTO TABLE t "
+            "FIELDS TERMINATED BY '|'",
+            ncols=2,
+        )
+        assert ins == (
+            "INSERT INTO `t`  VALUES ('1', 'a'), ('2', 'b'), ('3', NULL)"
+        )
+    finally:
+        os.unlink(p)
+
+
+def test_cast_mysql_semantics_rewrite():
+    """CAST AS SIGNED / CHAR(n) / DECIMAL(p,s) get MySQL's lenient
+    read + clamp semantics (cast_data_types.test); bad DECIMAL
+    declarations raise the 1427/1426/1425 analogs."""
+    from stonedb_spark.dialect import rewrite_expr
+
+    out = rewrite_expr("SELECT CAST(x AS SIGNED) FROM t", "duck")
+    assert "TRY_CAST" in out and "regexp_extract" in out
+    assert "18446744073709551616" in out  # strtoull reinterpret leg
+    out = rewrite_expr("SELECT CAST(x AS CHAR(10)) FROM t", "spark")
+    assert "SUBSTR(CAST((x) AS STRING), 1, 10)" in out
+    out = rewrite_expr("SELECT CAST(x AS DECIMAL(6,5)) FROM t", "duck")
+    assert "9.99999" in out and "DECIMAL(6,5)" in out
+    for bad, code in [
+        ("DECIMAL(4,5)", "1427"),
+        ("DECIMAL(66,6)", "1426"),
+        ("DECIMAL(64,63)", "1425"),
+    ]:
+        with pytest.raises(ValueError, match=code):
+            rewrite_expr(f"SELECT CAST(x AS {bad}) FROM t", "spark")
+    # STD/STDDEV/VARIANCE are population statistics in MySQL
+    out = rewrite_expr("SELECT STD(a), STDDEV(a), VARIANCE(a) FROM t", "duck")
+    assert out.count("STDDEV_POP(") == 2 and "VAR_POP(" in out
+    # the explicit _SAMP/_POP spellings pass through
+    out = rewrite_expr("SELECT STDDEV_SAMP(a), VAR_SAMP(a) FROM t", "duck")
+    assert "STDDEV_SAMP(" in out and "VAR_SAMP(" in out
