@@ -1070,8 +1070,34 @@ def _strcmp_case(inner: str) -> str:
     )
 
 
+def _huge_int_arith_guard(sql: str) -> None:
+    """A bare integer literal beyond the BIGINT domain used directly in
+    arithmetic errors in the reference: MySQL raises 1690 (BIGINT value
+    is out of range) on unsigned-bigint overflow and tianmu raises 1105
+    for results beyond its DECIMAL(18) engine cap unless explicitly
+    CAST (unsigned_support_issue1267.test).  Spark would silently widen
+    the literal to DECIMAL instead — so raise the analog at rewrite
+    time.  Literals inside CAST(...) are NOT adjacent to an operator
+    and pass through (the documented escape hatch)."""
+    stripped = re.sub(
+        r"'(?:[^'\\]|\\.)*'", lambda m: " " * len(m.group(0)), sql
+    )
+    for m in re.finditer(r"\b\d{19,}\b", stripped):
+        if int(m.group(0)) <= 2**63:  # 2^63 itself = |int64 min|
+            continue
+        pre = stripped[: m.start()].rstrip()[-1:]
+        post = stripped[m.end():].lstrip()[:1]
+        if (pre and pre in "*+/%") or (post and post in "*+/%-"):
+            raise ValueError(
+                f"numeric result with literal {m.group(0)} is out of "
+                f"BIGINT range (MySQL error 1690 / tianmu 1105 analog; "
+                f"use an explicit CAST)"
+            )
+
+
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
+    _huge_int_arith_guard(sql)
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
@@ -2042,6 +2068,12 @@ class MTRRun:
     # location — an external parquet table resurrects old files
     # otherwise.  Counter makes each incarnation's path unique.
     incarnation: int = 0
+    # SELECT ... INTO OUTFILE targets, remapped into the run's workdir
+    # (MTR scripts write into $MYSQL_TEST_DIR/... which is read-only
+    # here): {script path -> actual file written}.  A later LOAD DATA
+    # of the script path reads the remapped file (round-trip tests,
+    # unsigned_support_issue1267.test).
+    outfiles: dict = field(default_factory=dict)
 
 
 _IGNORED = re.compile(
@@ -3161,8 +3193,80 @@ def _ld_parse(
     return rows
 
 
+def _split_into_outfile(s: str):
+    """Split a ``SELECT ... INTO OUTFILE 'p' [format options] ...``
+    statement (MySQL allows the INTO clause before OR after FROM) into
+    (bare select, path, {sep, enc, esc, line_sep}).  Returns None when
+    the statement has no INTO OUTFILE clause."""
+    m = re.search(
+        r"\bINTO\s+OUTFILE\s+(['\"`])([^'\"`]+)\1", s, re.I
+    )
+    if not m:
+        return None
+    path = m.group(2)
+    i = m.end()
+    opt = re.compile(
+        r"\s*(?:(?:FIELDS|COLUMNS|LINES)\s+)?(?:OPTIONALLY\s+)?"
+        r"(TERMINATED|ENCLOSED|ESCAPED)\s+BY\s+'((?:[^'\\]|\\.)*)'",
+        re.I,
+    )
+    fmt = {"sep": "\t", "enc": "", "esc": "\\", "line_sep": "\n"}
+    last_kw = "FIELDS"
+    while True:
+        om = opt.match(s, i)
+        if not om:
+            break
+        kw = re.match(r"\s*(FIELDS|COLUMNS|LINES)", s[i:], re.I)
+        if kw:
+            last_kw = kw.group(1).upper()
+        which, lit = om.group(1).upper(), _ld_unesc_spec(om.group(2))
+        if which == "TERMINATED":
+            fmt["line_sep" if last_kw == "LINES" else "sep"] = lit
+        elif which == "ENCLOSED":
+            fmt["enc"] = lit
+        else:
+            fmt["esc"] = lit
+        i = om.end()
+    bare = (s[: m.start()] + " " + s[i:]).strip()
+    return bare, path, fmt
+
+
+def _outfile_cell(v, sep="\t", enc="", esc="\\", line_sep="\n") -> str:
+    """One value in MySQL's SELECT INTO OUTFILE encoding: NULL is
+    ``<esc>N``, special characters escape with ``esc``, and a non-empty
+    ENCLOSED BY wraps every field (MySQL only skips the wrap under
+    OPTIONALLY, which the corpus doesn't use)."""
+    if v is None:
+        return (esc or "\\") + "N"
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        s = f"{v:%Y-%m-%d %H:%M:%S}"
+    elif isinstance(v, _dt.date):
+        s = f"{v:%Y-%m-%d}"
+    elif isinstance(v, bool):
+        s = "1" if v else "0"
+    else:
+        s = str(v)
+    if esc:
+        # MySQL (sql/sql_class.cc select_export): escape the escape
+        # char, the enclosure (or, unenclosed, the separator's first
+        # char), the line terminator's first char, and NUL (as <esc>0)
+        specials = {esc, line_sep[:1], enc[:1] if enc else sep[:1]}
+        specials.discard("")
+        s = "".join(
+            esc + "0" if ch == "\0"
+            else (esc + ch if ch in specials else ch)
+            for ch in s
+        )
+    return f"{enc}{s}{enc}" if enc else s
+
+
 def _load_data_to_insert(
-    s: str, ncols: int | None = None, max_rows: int = 20000
+    s: str,
+    ncols: int | None = None,
+    max_rows: int = 20000,
+    path_map: dict | None = None,
 ) -> str:
     """Compile a LOAD DATA INFILE statement into the equivalent
     multi-row ``INSERT INTO t [(cols)] VALUES …`` text.  LOAD DATA
@@ -3176,6 +3280,8 @@ def _load_data_to_insert(
     if not m:
         raise ValueError(f"unsupported LOAD DATA syntax: {s[:100]}")
     path, table, rest = m.group(1), _unquote_ident(m.group(2)), m.group(3)
+    if path_map and path in path_map:
+        path = path_map[path]  # a SELECT INTO OUTFILE written this run
     sep, enc, esc, line_sep, skip, collist = "\t", "", "\\", "\n", 0, None
     fm = re.search(
         r"\b(?:FIELDS|COLUMNS)\s+TERMINATED\s+BY\s+'([^']*)'", rest, re.I
@@ -3281,7 +3387,7 @@ def run_statement(run: MTRRun, stmt: str):
     )
     if sm2:
         val = sm2.group(1).strip().strip("'\"").upper()
-        run.strict = "STRICT" in val or val == "DEFAULT"
+        run.strict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
         return None
     fn = _parse_create_function(s)
     if fn is not None:
@@ -3305,12 +3411,44 @@ def run_statement(run: MTRRun, stmt: str):
         return None
     if _IGNORED.match(s):
         return None
+    ofm = (
+        _split_into_outfile(s)
+        if re.match(r"^\s*SELECT\b", s, re.I)
+        and re.search(r"\bINTO\s+OUTFILE\b", s, re.I)
+        else None
+    )
+    if ofm:
+        # SELECT ... INTO OUTFILE: run the bare select, write MySQL's
+        # OUTFILE text format into the run workdir — the MTR target
+        # path sits under the read-only reference tree — and remember
+        # the mapping so a later LOAD DATA round-trips through the
+        # real text file (unsigned_support_issue1267.test's
+        # export-then-reload leg; reference: sql/sql_class.cc
+        # select_export semantics)
+        bare, path, fmt = ofm
+        df = run_statement(run, bare)
+        actual = os.path.join(
+            run.workdir, "outfile_%d_%s" % (
+                len(run.outfiles), os.path.basename(path)
+            ),
+        )
+        with open(actual, "w") as fh:
+            for row in df.collect():
+                fh.write(
+                    fmt["sep"].join(
+                        _outfile_cell(v, **fmt) for v in row
+                    ) + fmt["line_sep"]
+                )
+        run.outfiles[path] = actual
+        return None
     if re.match(r"^\s*LOAD\s+DATA\b", s, re.I):
         # LOAD DATA clamps (never errors) on bad values → run the
         # compiled INSERT in non-strict mode regardless of sql_mode
         lm = _LOAD_DATA.match(s)
         ltd = run.tables.get(_unquote_ident(lm.group(2)).lower()) if lm else None
-        ins = _load_data_to_insert(s, len(ltd.columns) if ltd else None)
+        ins = _load_data_to_insert(
+            s, len(ltd.columns) if ltd else None, path_map=run.outfiles
+        )
         if ins is None:
             return None
         saved, run.strict = run.strict, False
@@ -3802,6 +3940,7 @@ def run_script(
         if re.match(r"^\s*\(?\s*SELECT\b", st.text, re.I)
         and not st.expect_error
         and not _IGNORED.match(st.text)
+        and not re.search(r"\bINTO\s+OUTFILE\b", st.text, re.I)
     )
     target = designated if designated >= 0 else n_selects + designated
     result = None
@@ -3812,7 +3951,12 @@ def run_script(
                 try:
                     out = run_statement(run, st.text)
                     if out is not None:
-                        out.count()
+                        # collect(), not count(): count() prunes the
+                        # projection, so a SELECT whose expression is
+                        # the expected runtime error (unsigned_support
+                        # _issue1267's overflow multiplies) would
+                        # never evaluate it and "succeed"
+                        out.collect()
                 except Exception:
                     continue  # expected
                 raise AssertionError(
@@ -3980,6 +4124,7 @@ def build_oracle_sql(
         if re.match(r"^\s*\(?\s*SELECT\b", st.text, re.I)
         and not st.expect_error
         and not _IGNORED.match(st.text)
+        and not re.search(r"\bINTO\s+OUTFILE\b", st.text, re.I)
     )
     target = designated if designated >= 0 else n_selects + designated
     seen = 0
@@ -3987,6 +4132,7 @@ def build_oracle_sql(
     uservars: dict[str, str] = {}
     oraclefuncs: dict = {}
     views: dict[str, tuple[str, str]] = {}
+    outfile_snaps: dict[str, str] = {}  # INTO OUTFILE path -> frozen select
     view_inc: dict[str, int] = {}
     oraclestrict = True
     for st in stmts:
@@ -4000,7 +4146,7 @@ def build_oracle_sql(
         )
         if sm2:
             val = sm2.group(1).strip().strip("'\"").upper()
-            oraclestrict = "STRICT" in val or val == "DEFAULT"
+            oraclestrict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
             continue
         fn = _parse_create_function(s)
         if fn is not None:
@@ -4099,13 +4245,39 @@ def build_oracle_sql(
                 ctes.append((vname(t), f"SELECT * FROM {prev} WHERE FALSE"))
             continue
         stmt_strict = oraclestrict
+        if (
+            re.match(r"^\s*SELECT\b", s, re.I)
+            and re.search(r"\bINTO\s+OUTFILE\b", s, re.I)
+        ):
+            # SELECT INTO OUTFILE on the oracle side: freeze the
+            # version-retargeted select under the target path; a later
+            # LOAD DATA of that path replays as INSERT..SELECT from
+            # the frozen snapshot (the text round-trip is identity for
+            # the corpus's numeric columns)
+            ofm = _split_into_outfile(s)
+            if ofm:
+                bare, opath, _fmt = ofm
+                outfile_snaps[opath] = retarget(rewrite_expr(bare, "duck"))
+                continue
         if re.match(r"^\s*LOAD\s+DATA\b", s, re.I):
             lm = _LOAD_DATA.match(s)
-            ltd = tables.get(_unquote_ident(lm.group(2)).lower()) if lm else None
-            s = _load_data_to_insert(s, len(ltd.columns) if ltd else None)
-            if s is None:
-                continue  # zero-row load: no-op
-            stmt_strict = False  # LOAD DATA clamps, never errors
+            if lm and lm.group(1) in outfile_snaps:
+                tn = _unquote_ident(lm.group(2))
+                s = (
+                    f"INSERT INTO `{tn}` SELECT * FROM "
+                    f"({outfile_snaps[lm.group(1)]}) AS _of"
+                )
+            else:
+                ltd = (
+                    tables.get(_unquote_ident(lm.group(2)).lower())
+                    if lm else None
+                )
+                s = _load_data_to_insert(
+                    s, len(ltd.columns) if ltd else None
+                )
+                if s is None:
+                    continue  # zero-row load: no-op
+                stmt_strict = False  # LOAD DATA clamps, never errors
         if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
             ins = re.sub(
                 r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I
