@@ -1297,16 +1297,34 @@ def _recode_string_literals(sql: str, engine: str) -> str:
     same bytes on Spark (backslash-escaping parser) and DuckDB (no
     backslash escapes)."""
 
-    def rep(m: re.Match) -> str:
+    out, last = [], 0
+    for m in _ANY_STRLIT.finditer(sql):
+        pre = sql[last: m.start()]
+        # MySQL hexadecimal STRING literal x'E6998B…': the bytes,
+        # read in the column charset (utf8mb4 across the MTR corpus,
+        # issue1169.test) — decode to the plain string literal
+        if (
+            m.group(1) is not None
+            and pre[-1:] in ("x", "X")
+            and not re.search(r"[\w$][xX]$", pre)
+            and re.fullmatch(r"(?:[0-9A-Fa-f]{2})*", m.group(1))
+        ):
+            out.append(pre[:-1])
+            s = bytes.fromhex(m.group(1)).decode("utf-8", "replace")
+            out.append(_engine_str_encode(s, engine))
+            last = m.end()
+            continue
+        out.append(pre)
         if m.group(1) is not None:
             s = _mysql_str_decode(m.group(1), "'")
         else:
             s = _mysql_str_decode(m.group(2), '"')
         # resolve the LIKE-special passthroughs outside LIKE context:
         # a bare \% / \_ in an ordinary value is the two characters
-        return _engine_str_encode(s, engine)
-
-    return _ANY_STRLIT.sub(rep, sql)
+        out.append(_engine_str_encode(s, engine))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 _LIKE_PAT = re.compile(
@@ -3231,17 +3249,22 @@ def _split_into_outfile(s: str):
     return bare, path, fmt
 
 
-def _outfile_cell(v, sep="\t", enc="", esc="\\", line_sep="\n") -> str:
-    """One value in MySQL's SELECT INTO OUTFILE encoding: NULL is
-    ``<esc>N``, special characters escape with ``esc``, and a non-empty
-    ENCLOSED BY wraps every field (MySQL only skips the wrap under
-    OPTIONALLY, which the corpus doesn't use)."""
+def _outfile_cell(
+    v, sep="\t", enc="", esc="\\", line_sep="\n", null_marker=""
+) -> str:
+    """One value in tianmu's SELECT INTO OUTFILE encoding
+    (issue1169_out_*.txt): NULL is EMPTY (unenclosed) by default and
+    ``<esc>N`` only when the session variable @TIANMU_LOAD_NULL is
+    set; DATETIME always carries the 6-digit fraction; special
+    characters escape with ``esc``; a non-empty ENCLOSED BY wraps
+    every non-NULL field (MySQL only skips the wrap under OPTIONALLY,
+    which the corpus doesn't use)."""
     if v is None:
-        return (esc or "\\") + "N"
+        return null_marker
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        s = f"{v:%Y-%m-%d %H:%M:%S}"
+        s = f"{v:%Y-%m-%d %H:%M:%S.%f}"
     elif isinstance(v, _dt.date):
         s = f"{v:%Y-%m-%d}"
     elif isinstance(v, bool):
@@ -3432,11 +3455,18 @@ def run_statement(run: MTRRun, stmt: str):
                 len(run.outfiles), os.path.basename(path)
             ),
         )
+        # tianmu renders NULL as the empty field unless the session
+        # set @TIANMU_LOAD_NULL (issue1169.test's two exports)
+        nullm = (
+            (fmt["esc"] or "\\") + "N"
+            if run.vars.get("TIANMU_LOAD_NULL") else ""
+        )
         with open(actual, "w") as fh:
             for row in df.collect():
                 fh.write(
                     fmt["sep"].join(
-                        _outfile_cell(v, **fmt) for v in row
+                        _outfile_cell(v, null_marker=nullm, **fmt)
+                        for v in row
                     ) + fmt["line_sep"]
                 )
         run.outfiles[path] = actual

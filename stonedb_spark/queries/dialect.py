@@ -152,6 +152,7 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_hex_utf8': ('issue1169.test', [(1, 63)]),
     'dialect_unsigned_battery': ('unsigned_support_issue1267.test', [(1, 279)]),
     'dialect_unsigned_agg5': ('unsigned_support_issue1267.test', [(1, 279)]),
     'dialect_unsigned_nonstrict': ('unsigned_support_issue1267.test', [(1, 279)]),
@@ -7687,6 +7688,71 @@ drop table load_unsigned;
 drop database unsigned_support;
 """
 
+SCRIPT_ISSUE1169 = r"""--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1169_test;
+--enable_warnings
+
+CREATE DATABASE issue1169_test CHARACTER SET = utf8mb4;
+
+USE issue1169_test;
+select @@character_set_database;
+CREATE TABLE `customer_branch_account` (
+  `id` bigint(20) NOT NULL AUTO_INCREMENT,
+  `branch_org_name` varchar(255) DEFAULT NULL COMMENT '',
+  `branch_org_code` varchar(50) NOT NULL COMMENT '',
+  `customer_name` varchar(255) DEFAULT NULL COMMENT '',
+  `customer_code` varchar(50) NOT NULL COMMENT '',
+  `agency_org_code` varchar(50) NOT NULL COMMENT '',
+  `agency_org_name` varchar(255) DEFAULT NULL COMMENT '',
+  `shop` varchar(20) DEFAULT NULL COMMENT '',
+  `shop_name` varchar(50) DEFAULT NULL COMMENT '',
+  `draw_category` varchar(50) NOT NULL COMMENT '',
+  `transfer_course` int(11) NOT NULL COMMENT '',
+  `acc_id` bigint(20) DEFAULT NULL COMMENT '',
+  `extension` varchar(255) DEFAULT NULL,
+  `instance_id` bigint(20) DEFAULT NULL,
+  `create_person` varchar(20) DEFAULT NULL,
+  `create_time` datetime DEFAULT NULL,
+  `update_person` varchar(20) DEFAULT NULL,
+  `update_time` datetime DEFAULT NULL,
+  `tenant_id` tinyint(1) DEFAULT '0',
+  `dr` tinyint(1) DEFAULT '0',
+  `type` tinyint(4) NOT NULL COMMENT '',
+  `change_sign` varchar(50) DEFAULT NULL COMMENT '',
+  `rebate_item` varchar(30) DEFAULT NULL COMMENT '',
+  `rebate_subitem` varchar(30) DEFAULT NULL COMMENT '',
+  PRIMARY KEY (`id`) USING BTREE
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 ROW_FORMAT=DYNAMIC COMMENT='关系表';
+
+INSERT INTO `customer_branch_account` VALUES (1294275002876649148,x'E6998BE89299E58886E585ACE58FB8','RGB03-210597',x'E9A298E79BAE36E38090E5BCA0E694B9E78EB2E4B8ADE58FB0E5AD98E9878FE8A1A5E58585E5AEA2E688B7E38091','2120954','RGB03-210608',x'E995BFE6B2BB','3000252',x'E9A298E79BAE36E38090E5BCA0E694B9E78EB2E4B8ADE58FB0E5AD98E9878FE8A1A5E58585E5AEA2E688B7E38091E997A8E5BA97E4B880','PL01',0,1471413534935126016,NULL,-1,'','2021-12-16 17:34:59','','2021-12-16 17:34:59',-1,0,0,NULL,NULL,NULL);
+
+--replace_result $MYSQLTEST_VARDIR MYSQLTEST_VARDIR
+eval select * from customer_branch_account into outfile "$MYSQLTEST_VARDIR/tmp/issue1169_out_1.txt" fields terminated by ',' enclosed by '"' lines terminated by '\n' ;
+--diff_files $MYSQL_TEST_DIR/suite/tianmu/std_data/issue1169_out_1.txt $MYSQLTEST_VARDIR/tmp/issue1169_out_1.txt
+--remove_file $MYSQLTEST_VARDIR/tmp/issue1169_out_1.txt
+
+set @TIANMU_LOAD_NULL='\\\N';
+--replace_result $MYSQLTEST_VARDIR MYSQLTEST_VARDIR
+eval select * from customer_branch_account into outfile "$MYSQLTEST_VARDIR/tmp/issue1169_out_2.txt" fields terminated by ',' enclosed by '"' lines terminated by '\n' ;
+--diff_files $MYSQL_TEST_DIR/suite/tianmu/std_data/issue1169_out_2.txt $MYSQLTEST_VARDIR/tmp/issue1169_out_2.txt
+--remove_file $MYSQLTEST_VARDIR/tmp/issue1169_out_2.txt
+
+truncate table customer_branch_account;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA local INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1169.txt' Into TABLE customer_branch_account fields terminated by ',' enclosed by '"' lines terminated by '\n' ;
+select hex(branch_org_name), hex(customer_name), hex(shop_name) from customer_branch_account;
+--echo #
+--echo # Clean Resource
+--echo #
+drop table customer_branch_account;
+
+DROP DATABASE issue1169_test;
+
+
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -7837,6 +7903,7 @@ _SPECS = [
     ('dialect_unsigned_agg5', SCRIPT_UNSIGNED_SUPPORT, 2, ['av', 's', 'mx', 'mn', 'c'], True, 'AVG/SUM/MAX/MIN/COUNT over tinyint unsigned'),
     ('dialect_unsigned_nonstrict', SCRIPT_UNSIGNED_SUPPORT, 37, None, False, "SET sql_mode='TRADITIONAL' strict 1264s then sql_mode='' clamp-to-bound inserts across 7 int widths"),
     ('dialect_outfile_roundtrip', SCRIPT_UNSIGNED_SUPPORT, -1, None, False, 'SELECT INTO OUTFILE (default TSV format) then TRUNCATE + LOAD DATA reload: text round-trip identity'),
+    ('dialect_hex_utf8', SCRIPT_ISSUE1169, -1, None, False, "x'hex' utf8mb4 string literals, HEX() over multi-byte columns, INTO OUTFILE exports along the way"),
 ]
 
 

@@ -548,3 +548,37 @@ def test_cast_mysql_semantics_rewrite():
     # the explicit _SAMP/_POP spellings pass through
     out = rewrite_expr("SELECT STDDEV_SAMP(a), VAR_SAMP(a) FROM t", "duck")
     assert "STDDEV_SAMP(" in out and "VAR_SAMP(" in out
+
+
+def test_outfile_byte_parity_with_reference(spark):
+    """Run issue1169.test's two SELECT INTO OUTFILE exports and compare
+    the written files BYTE-FOR-BYTE against the reference's committed
+    expected outputs (std_data/issue1169_out_{1,2}.txt) — covering
+    tianmu's NULL-as-empty default, the @TIANMU_LOAD_NULL='\\N' mode,
+    the always-6-digit DATETIME fraction, and ENCLOSED BY '"' wrapping
+    (reference: the --diff_files assertions in issue1169.test)."""
+    import os
+    import tempfile
+
+    from stonedb_spark.dialect import MTRRun, run_statement, split_mtr
+
+    tdir = "/root/reference/mysql-test/suite/tianmu"
+    if not os.path.exists(f"{tdir}/t/issue1169.test"):
+        pytest.skip("reference MTR corpus not present")
+    script = open(f"{tdir}/t/issue1169.test").read()
+    workdir = tempfile.mkdtemp(prefix="outfile_parity_")
+    run = MTRRun(spark, workdir)
+    try:
+        for st in split_mtr(script):
+            if st.text.lower().startswith("drop table"):
+                break
+            run_statement(run, st.text)
+        assert len(run.outfiles) == 2
+        for tag in ("out_1", "out_2"):
+            key = [k for k in run.outfiles if tag in k][0]
+            mine = open(run.outfiles[key], "rb").read()
+            exp = open(f"{tdir}/std_data/issue1169_{tag}.txt", "rb").read()
+            assert mine == exp, f"{tag}: OUTFILE bytes diverge"
+    finally:
+        for name in list(run.tables):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
