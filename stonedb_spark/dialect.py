@@ -3128,6 +3128,11 @@ def _ld_parse(
         val = "".join(buf)
         if not quoted and esc and val == esc + "N":
             row.append(None)
+        elif not quoted and enc and val.upper() == "NULL":
+            # MySQL: with a non-empty ENCLOSED BY, the unenclosed
+            # literal word NULL reads as SQL NULL (issue1153.test's
+            # optionally-enclosed legs; enclosed "null" stays text)
+            row.append(None)
         elif not quoted and val == "":
             # tianmu loads a bare empty field as NULL for every type
             # (issue1209.result row ''), unlike an enclosed '' which
@@ -3287,7 +3292,7 @@ def _outfile_cell(
 
 def _load_data_to_insert(
     s: str,
-    ncols: int | None = None,
+    td: "TableDef | None" = None,
     max_rows: int = 20000,
     path_map: dict | None = None,
 ) -> str:
@@ -3347,8 +3352,9 @@ def _load_data_to_insert(
             f"LOAD DATA fixture {path} has {len(rows)} rows; the MTR "
             f"front-end caps at {max_rows} (production path: csvload)"
         )
-    if cols is not None:
-        ncols = len(cols)
+    ncols = len(cols) if cols is not None else (
+        len(td.columns) if td is not None else None
+    )
 
     def lit(v: str | None) -> str:
         if v is None:
@@ -3363,13 +3369,36 @@ def _load_data_to_insert(
             return v.strip()
         return lit(v)
 
+    def colfix(cname: str, v: str | None) -> str:
+        # LOAD DATA never errors on NULL into NOT NULL: MySQL stores
+        # the column's implicit default with warning 1263
+        # (issue1153.test's bigint NOT NULL legs)
+        if v is None and td is not None:
+            for c in td.columns:
+                if c.name.lower() == cname.lower() and c.notnull:
+                    return _implicit_default(c)
+        return lit(v)
+
     out_cols: list[str] | None = None
     tuples = []
     for r in rows:
         if ncols is not None:
             r = r[:ncols] + [None] * (ncols - len(r))
         if cols is None:
-            vals = [lit(v) for v in r]
+            names = [c.name for c in td.columns] if td else []
+            if set_exprs and names:
+                # SET overrides the named columns after the positional
+                # field mapping (issue1153: set a = @var1/2)
+                byname = {
+                    n.lower(): colfix(n, v) for n, v in zip(names, r)
+                }
+                for target, expr in set_exprs:
+                    byname[target.lower()] = f"({expr})"
+                vals = [byname[n.lower()] for n in names]
+            elif names:
+                vals = [colfix(n, v) for n, v in zip(names, r)]
+            else:
+                vals = [lit(v) for v in r]
             row_cols: list[str] = []
         else:
             vars_: dict[str, str] = {}
@@ -3379,7 +3408,7 @@ def _load_data_to_insert(
                     vars_[cname] = varlit(v)
                 else:
                     row_cols.append(cname)
-                    vals.append(lit(v))
+                    vals.append(colfix(cname, v))
             for target, expr in set_exprs:
                 for vn, vv in sorted(
                     vars_.items(), key=lambda kv: -len(kv[0])
@@ -3476,9 +3505,7 @@ def run_statement(run: MTRRun, stmt: str):
         # compiled INSERT in non-strict mode regardless of sql_mode
         lm = _LOAD_DATA.match(s)
         ltd = run.tables.get(_unquote_ident(lm.group(2)).lower()) if lm else None
-        ins = _load_data_to_insert(
-            s, len(ltd.columns) if ltd else None, path_map=run.outfiles
-        )
+        ins = _load_data_to_insert(s, ltd, path_map=run.outfiles)
         if ins is None:
             return None
         saved, run.strict = run.strict, False
@@ -4302,9 +4329,7 @@ def build_oracle_sql(
                     tables.get(_unquote_ident(lm.group(2)).lower())
                     if lm else None
                 )
-                s = _load_data_to_insert(
-                    s, len(ltd.columns) if ltd else None
-                )
+                s = _load_data_to_insert(s, ltd)
                 if s is None:
                     continue  # zero-row load: no-op
                 stmt_strict = False  # LOAD DATA clamps, never errors

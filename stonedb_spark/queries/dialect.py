@@ -152,6 +152,10 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_load_nullword': ('issue1153.test', [(1, 85)]),
+    'dialect_load_notnull_default': ('issue1153.test', [(1, 85)]),
+    'dialect_load_set_override': ('issue1153.test', [(1, 85)]),
+    'dialect_load_optenclosed_text': ('issue1153.test', [(1, 85)]),
     'dialect_hex_utf8': ('issue1169.test', [(1, 63)]),
     'dialect_unsigned_battery': ('unsigned_support_issue1267.test', [(1, 279)]),
     'dialect_unsigned_agg5': ('unsigned_support_issue1267.test', [(1, 279)]),
@@ -7753,6 +7757,93 @@ DROP DATABASE issue1169_test;
 
 """
 
+SCRIPT_ISSUE1153 = r"""--source include/have_tianmu.inc
+
+create table test1(a bigint NULL ) engine=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test1 fields terminated by ";"  optionally enclosed by '';
+show warnings;
+select * from test1;
+truncate table test1;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test1 fields terminated by ";"  optionally enclosed by '"';
+show warnings;
+select * from test1;
+truncate table test1;
+
+
+
+set @var1 = 888;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test1 fields terminated by ";"  optionally enclosed by '"' set a = @var1/2;
+show warnings;
+select * from test1;
+truncate table test1;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test1 fields terminated by ";"  optionally enclosed by '' set a = @var1/2;
+show warnings;
+select * from test1;
+truncate table test1;
+
+
+
+create table test2(a bigint NOT NULL) engine=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test2 fields terminated by ";"  optionally enclosed by '';
+show warnings;
+select * from test2;
+truncate table test2;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test2 fields terminated by ";"  optionally enclosed by '"';
+show warnings;
+select * from test2;
+truncate table test2;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test2 fields terminated by ";"  optionally enclosed by '"' set a = @var1/2;
+show warnings;
+select * from test2;
+truncate table test2;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-1.txt' into table test2 fields terminated by ";"  optionally enclosed by '' set a = @var1/2;
+show warnings;
+select * from test2;
+truncate table test2;
+
+
+
+create table test3(a varchar(10) NULL ) engine=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-2.txt' into table test3 fields terminated by ";"  optionally enclosed by '';
+show warnings;
+select * from test3;
+truncate table test3;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-2.txt' into table test3 fields terminated by ";"  optionally enclosed by '"';
+show warnings;
+select * from test3;
+truncate table test3;
+
+
+
+create table test4(a varchar(10) NOT NULL ) engine=tianmu;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-2.txt' into table test4 fields terminated by ";"  optionally enclosed by '';
+show warnings;
+select * from test4;
+truncate table test4;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1153-2.txt' into table test4 fields terminated by ";"  optionally enclosed by '"';
+show warnings;
+select * from test4;
+truncate table test4;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -7904,6 +7995,10 @@ _SPECS = [
     ('dialect_unsigned_nonstrict', SCRIPT_UNSIGNED_SUPPORT, 37, None, False, "SET sql_mode='TRADITIONAL' strict 1264s then sql_mode='' clamp-to-bound inserts across 7 int widths"),
     ('dialect_outfile_roundtrip', SCRIPT_UNSIGNED_SUPPORT, -1, None, False, 'SELECT INTO OUTFILE (default TSV format) then TRUNCATE + LOAD DATA reload: text round-trip identity'),
     ('dialect_hex_utf8', SCRIPT_ISSUE1169, -1, None, False, "x'hex' utf8mb4 string literals, HEX() over multi-byte columns, INTO OUTFILE exports along the way"),
+    ('dialect_load_nullword', SCRIPT_ISSUE1153, 1, None, False, "OPTIONALLY ENCLOSED load: unenclosed literal word 'null' reads as SQL NULL only when an enclosure is declared"),
+    ('dialect_load_notnull_default', SCRIPT_ISSUE1153, 4, None, False, 'LOAD DATA NULL into NOT NULL bigint stores the implicit default 0 (warning 1263 analog), never errors'),
+    ('dialect_load_set_override', SCRIPT_ISSUE1153, 2, None, False, 'LOAD DATA SET a = @sessionvar/2 overrides the positional field for every row'),
+    ('dialect_load_optenclosed_text', SCRIPT_ISSUE1153, 9, None, False, 'varchar legs: enclosed "null" stays text, unenclosed null -> NULL, quote retention without enclosure'),
 ]
 
 

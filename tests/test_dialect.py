@@ -502,8 +502,14 @@ def test_ld_parse_enclosure_aware_stream():
 
 def test_load_data_to_insert_pads_and_truncates():
     import tempfile, os
-    from stonedb_spark.dialect import _load_data_to_insert
+    from stonedb_spark.dialect import (
+        ColumnDef, TableDef, _load_data_to_insert,
+    )
 
+    td = TableDef("t", [
+        ColumnDef("x", "INT", "INTEGER", None, mysql_type="int"),
+        ColumnDef("y", "STRING", "VARCHAR", None, mysql_type="varchar"),
+    ])
     with tempfile.NamedTemporaryFile(
         "w", suffix=".txt", delete=False
     ) as fh:
@@ -513,7 +519,7 @@ def test_load_data_to_insert_pads_and_truncates():
         ins = _load_data_to_insert(
             f"LOAD DATA INFILE '{p}' INTO TABLE t "
             "FIELDS TERMINATED BY '|'",
-            ncols=2,
+            td,
         )
         assert ins == (
             "INSERT INTO `t`  VALUES ('1', 'a'), ('2', 'b'), ('3', NULL)"
@@ -579,6 +585,42 @@ def test_outfile_byte_parity_with_reference(spark):
             mine = open(run.outfiles[key], "rb").read()
             exp = open(f"{tdir}/std_data/issue1169_{tag}.txt", "rb").read()
             assert mine == exp, f"{tag}: OUTFILE bytes diverge"
+    finally:
+        for name in list(run.tables):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_outfile_byte_parity_issue1006(spark):
+    """issue1006.test: load 10 TPC-H orders rows (space-separated,
+    enclosed), export them with the same format, and the bytes must
+    equal the input fixture — the reference asserts exactly this with
+    --diff_files."""
+    import os
+    import tempfile
+
+    from stonedb_spark.dialect import MTRRun, run_statement, split_mtr
+
+    tdir = "/root/reference/mysql-test/suite/tianmu"
+    if not os.path.exists(f"{tdir}/t/issue1006.test"):
+        pytest.skip("reference MTR corpus not present")
+    script = open(f"{tdir}/t/issue1006.test").read()
+    workdir = tempfile.mkdtemp(prefix="outfile_parity_")
+    run = MTRRun(spark, workdir)
+    try:
+        for st in split_mtr(script):
+            if st.text.lower().startswith("drop table"):
+                break
+            run_statement(run, st.text)
+        assert len(run.outfiles) == 1
+        mine = open(list(run.outfiles.values())[0], "rb").read()
+        exp = open(f"{tdir}/std_data/issue1006.txt", "rb").read()
+        # the export has no ORDER BY, so Spark's row order is partition
+        # order, not insertion order — compare the LINE MULTISET
+        # byte-for-byte (tianmu's --diff_files passes only because its
+        # scan order happens to equal load order)
+        assert sorted(mine.splitlines()) == sorted(exp.splitlines()), (
+            "issue1006 OUTFILE line set diverges from fixture"
+        )
     finally:
         for name in list(run.tables):
             spark.sql(f"DROP TABLE IF EXISTS `{name}`")
