@@ -3229,11 +3229,14 @@ def _split_into_outfile(s: str):
     path = m.group(2)
     i = m.end()
     opt = re.compile(
-        r"\s*(?:(?:FIELDS|COLUMNS|LINES)\s+)?(?:OPTIONALLY\s+)?"
+        r"\s*(?:(?:FIELDS|COLUMNS|LINES)\s+)?(OPTIONALLY\s+)?"
         r"(TERMINATED|ENCLOSED|ESCAPED)\s+BY\s+'((?:[^'\\]|\\.)*)'",
         re.I,
     )
-    fmt = {"sep": "\t", "enc": "", "esc": "\\", "line_sep": "\n"}
+    fmt = {
+        "sep": "\t", "enc": "", "esc": "\\", "line_sep": "\n",
+        "optionally": False,
+    }
     last_kw = "FIELDS"
     while True:
         om = opt.match(s, i)
@@ -3242,11 +3245,12 @@ def _split_into_outfile(s: str):
         kw = re.match(r"\s*(FIELDS|COLUMNS|LINES)", s[i:], re.I)
         if kw:
             last_kw = kw.group(1).upper()
-        which, lit = om.group(1).upper(), _ld_unesc_spec(om.group(2))
+        which, lit = om.group(2).upper(), _ld_unesc_spec(om.group(3))
         if which == "TERMINATED":
             fmt["line_sep" if last_kw == "LINES" else "sep"] = lit
         elif which == "ENCLOSED":
             fmt["enc"] = lit
+            fmt["optionally"] = bool(om.group(1))
         else:
             fmt["esc"] = lit
         i = om.end()
@@ -3255,7 +3259,8 @@ def _split_into_outfile(s: str):
 
 
 def _outfile_cell(
-    v, sep="\t", enc="", esc="\\", line_sep="\n", null_marker=""
+    v, sep="\t", enc="", esc="\\", line_sep="\n", null_marker="",
+    optionally=False,
 ) -> str:
     """One value in tianmu's SELECT INTO OUTFILE encoding
     (issue1169_out_*.txt): NULL is EMPTY (unenclosed) by default and
@@ -3276,18 +3281,21 @@ def _outfile_cell(
         s = "1" if v else "0"
     else:
         s = str(v)
+    # OPTIONALLY ENCLOSED wraps only string-typed columns (ints,
+    # dates, decimals stay bare — issue850_out.txt)
+    wrap = enc and (not optionally or isinstance(v, str))
     if esc:
         # MySQL (sql/sql_class.cc select_export): escape the escape
         # char, the enclosure (or, unenclosed, the separator's first
         # char), the line terminator's first char, and NUL (as <esc>0)
-        specials = {esc, line_sep[:1], enc[:1] if enc else sep[:1]}
+        specials = {esc, line_sep[:1], enc[:1] if wrap else sep[:1]}
         specials.discard("")
         s = "".join(
             esc + "0" if ch == "\0"
             else (esc + ch if ch in specials else ch)
             for ch in s
         )
-    return f"{enc}{s}{enc}" if enc else s
+    return f"{enc}{s}{enc}" if wrap else s
 
 
 def _load_data_to_insert(

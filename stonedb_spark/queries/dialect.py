@@ -152,6 +152,7 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_load_alter_default': ('issue1865.test', [(1, 29)]),
     'dialect_load_nullword': ('issue1153.test', [(1, 85)]),
     'dialect_load_notnull_default': ('issue1153.test', [(1, 85)]),
     'dialect_load_set_override': ('issue1153.test', [(1, 85)]),
@@ -7844,6 +7845,37 @@ select * from test4;
 truncate table test4;
 """
 
+SCRIPT_ISSUE1865 = r"""--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1865_test_db;
+--enable_warnings
+
+CREATE DATABASE issue1865_test_db;
+
+USE issue1865_test_db;
+
+create table t1 (a int default 100, b int, c varchar(60))engine=tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1865.dat' into table t1 (a, c);
+select * from t1;
+
+alter table t1 alter column b drop default;
+alter table t1 alter column b set default 10;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1865.dat' into table t1 (a, c);
+select * from t1;
+
+alter table t1 modify c text;
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1865.dat' into table t1 (a, c);
+select * from t1;
+
+DROP DATABASE issue1865_test_db;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -7999,6 +8031,7 @@ _SPECS = [
     ('dialect_load_notnull_default', SCRIPT_ISSUE1153, 4, None, False, 'LOAD DATA NULL into NOT NULL bigint stores the implicit default 0 (warning 1263 analog), never errors'),
     ('dialect_load_set_override', SCRIPT_ISSUE1153, 2, None, False, 'LOAD DATA SET a = @sessionvar/2 overrides the positional field for every row'),
     ('dialect_load_optenclosed_text', SCRIPT_ISSUE1153, 9, None, False, 'varchar legs: enclosed "null" stays text, unenclosed null -> NULL, quote retention without enclosure'),
+    ('dialect_load_alter_default', SCRIPT_ISSUE1865, -1, None, False, 'ALTER COLUMN DROP/SET DEFAULT changes what later partial-column-list LOADs fill in; explicit \\N stays NULL even with a column DEFAULT'),
 ]
 
 

@@ -624,3 +624,33 @@ def test_outfile_byte_parity_issue1006(spark):
     finally:
         for name in list(run.tables):
             spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_outfile_parity_issue850_ssb_join(spark):
+    """issue850.test: 32k rows of SSB fixtures loaded, a 4-way join
+    filtered to 1998 orders, exported with OPTIONALLY ENCLOSED BY '"'
+    ESCAPED BY '"' and CRLF lines — the line multiset must equal the
+    reference's committed issue850_out.txt (its --diff_files check).
+    Pins: optionally-enclosed wraps only string columns, quote-escaping
+    by doubling, \\r\\n terminators, 10k-row compiled LOADs."""
+    import os
+    import tempfile
+
+    from stonedb_spark.dialect import MTRRun, run_statement, split_mtr
+
+    tdir = "/root/reference/mysql-test/suite/tianmu"
+    if not os.path.exists(f"{tdir}/t/issue850.test"):
+        pytest.skip("reference MTR corpus not present")
+    script = open(f"{tdir}/t/issue850.test").read()
+    run = MTRRun(spark, tempfile.mkdtemp(prefix="outfile_parity_"))
+    try:
+        for st in split_mtr(script):
+            if st.text.lower().startswith("drop table"):
+                break
+            run_statement(run, st.text)
+        mine = open(list(run.outfiles.values())[0], "rb").read()
+        exp = open(f"{tdir}/std_data/issue850_out.txt", "rb").read()
+        assert sorted(mine.split(b"\r\n")) == sorted(exp.split(b"\r\n"))
+    finally:
+        for name in list(run.tables):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
