@@ -1070,6 +1070,183 @@ def _strcmp_case(inner: str) -> str:
     )
 
 
+_AGG_FUNCS_RE = re.compile(
+    r"\b(COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|STD|STDDEV|VARIANCE|"
+    r"VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|BIT_AND|BIT_OR|BIT_XOR|"
+    r"ANY_VALUE)\s*\(",
+    re.I,
+)
+_IDENT_RE = re.compile(r"\b([A-Za-z_][\w$]*(?:\s*\.\s*[A-Za-z_][\w$]*)*)\b")
+_NONGROUP_KEYWORDS = {
+    "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "NULL",
+    "TRUE", "FALSE", "IN", "IS", "LIKE", "BETWEEN", "AS", "DISTINCT",
+    "INTERVAL", "DIV", "MOD", "XOR", "BINARY", "ASC", "DESC",
+}
+
+
+def _scan_token(sql: str, start: int, depth0: int, words: tuple) -> int:
+    """Index of the first occurrence of any ``words`` token at paren
+    depth ``depth0`` scanning from ``start`` (strings skipped); -1 when
+    the depth drops below depth0 or the string ends first."""
+    i, depth, in_str, n = start, depth0, None, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < depth0:
+                return -1
+        elif depth == depth0 and (ch.isalpha() or ch == "_"):
+            m = re.match(r"[A-Za-z_]\w*", sql[i:])
+            tok = m.group(0).upper()
+            if tok in words:
+                return i
+            i += len(m.group(0))
+            continue
+        i += 1
+    return -1
+
+
+def _wrap_nongrouped_any_value(sql: str) -> str:
+    """MySQL with ONLY_FULL_GROUP_BY disabled accepts non-aggregated
+    select items absent from GROUP BY and returns a value from the
+    group (issue790.test/issue1107.test run exactly such queries after
+    clearing the mode; sql/sql_resolver.cc only enforces the check
+    under the flag).  Spark and DuckDB both reject that — wrap the
+    offending items in MIN(), aliased to their MySQL implicit output
+    name.  MIN (not ANY_VALUE) because MySQL's contract is 'some value
+    from the group', and MIN is the same deterministic member on every
+    engine, whereas Spark's any_value takes the first value
+    positionally and DuckDB's skips NULLs.  Every SELECT block (incl.
+    derived tables) is handled; blocks whose GROUP BY keys aren't
+    simple identifiers, or whose select list uses * or DISTINCT, are
+    left alone."""
+    positions = [
+        m.start() for m in re.finditer(r"\bSELECT\b", sql, re.I)
+    ]
+    for p in reversed(positions):  # innermost-safe: rewrite right-first
+        # depth of this SELECT
+        depth0, in_str = 0, None
+        for ch in sql[:p]:
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth0 += 1
+            elif ch == ")":
+                depth0 -= 1
+        if in_str:
+            continue  # 'SELECT' inside a string literal
+        list_start = p + len("SELECT")
+        from_i = _scan_token(sql, list_start, depth0, ("FROM",))
+        if from_i < 0:
+            continue
+        gb_i = _scan_token(
+            sql, from_i, depth0,
+            ("GROUP", "UNION", "EXCEPT", "INTERSECT"),
+        )
+        if gb_i < 0 or not re.match(r"GROUP\s+BY\b", sql[gb_i:], re.I):
+            continue
+        keys_start = gb_i + len(re.match(r"GROUP\s+BY", sql[gb_i:], re.I).group(0))
+        keys_end = _scan_token(
+            sql, keys_start, depth0,
+            ("HAVING", "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT"),
+        )
+        if keys_end < 0:
+            # ended by depth drop or EOS: recompute the span end
+            i, depth, in_str2 = keys_start, depth0, None
+            while i < len(sql):
+                ch = sql[i]
+                if in_str2:
+                    if ch == in_str2:
+                        in_str2 = None
+                elif ch in ("'", '"'):
+                    in_str2 = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < depth0:
+                        break
+                i += 1
+            keys_end = i
+        keys = []
+        simple = True
+        for k in _split_top_commas(sql[keys_start:keys_end]):
+            km = re.fullmatch(
+                r"\s*((?:[A-Za-z_][\w$]*|`[^`]+`)"
+                r"(?:\s*\.\s*(?:[A-Za-z_][\w$]*|`[^`]+`))*)\s*", k,
+            )
+            if not km:
+                simple = False
+                break
+            keys.append(
+                _unquote_ident(km.group(1).split(".")[-1].strip()).lower()
+            )
+        if not simple:
+            continue
+        keyset = set(keys)
+        if re.match(r"\s*DISTINCT\b", sql[list_start:from_i], re.I):
+            continue
+        items = _split_top_commas(sql[list_start:from_i])
+        new_items, changed = [], False
+        for item in items:
+            body = item.strip()
+            if body == "*" or body.endswith(".*") or not body:
+                new_items.append(item)
+                continue
+            if _AGG_FUNCS_RE.search(body):
+                new_items.append(item)
+                continue
+            am = re.match(
+                r"^(.*?)(\s+AS\s+(`[^`]+`|'[^']*'|\"[^\"]*\"|[A-Za-z_]\w*))$",
+                body, re.I | re.S,
+            )
+            expr = am.group(1) if am else body
+            alias = am.group(2) if am else ""
+            refs = set()
+            tmp = re.sub(r"'(?:[^'\\]|\\.)*'", " ", expr)
+            for im in _IDENT_RE.finditer(tmp):
+                name = im.group(1)
+                if tmp[im.end():].lstrip().startswith("("):
+                    continue  # function call
+                last = name.split(".")[-1].strip().lower()
+                if last.upper() in _NONGROUP_KEYWORDS or last.upper() in (
+                    "SELECT", "FROM", "WHERE",
+                ):
+                    continue
+                refs.add(last)
+            if not refs or refs <= keyset:
+                new_items.append(item)
+                continue
+            if not alias:
+                bare = re.fullmatch(
+                    r"\s*(?:[A-Za-z_][\w$]*\s*\.\s*)?"
+                    r"([A-Za-z_][\w$]*|`[^`]+`)\s*", expr,
+                )
+                if bare:
+                    alias = f" AS {bare.group(1)}"
+            new_items.append(f" MIN({expr.strip()}){alias}")
+            changed = True
+        if changed:
+            sql = (
+                sql[:list_start] + " "
+                + ", ".join(i.strip() for i in new_items)
+                + " " + sql[from_i:]
+            )
+    return sql
+
+
 def _huge_int_arith_guard(sql: str) -> None:
     """A bare integer literal beyond the BIGINT domain used directly in
     arithmetic errors in the reference: MySQL raises 1690 (BIGINT value
@@ -2082,6 +2259,7 @@ class MTRRun:
     vars: dict[str, str] = field(default_factory=dict)  # @name -> literal
     funcs: dict = field(default_factory=dict)  # SQL functions (inlined)
     strict: bool = True  # sql_mode STRICT_* (non-strict clamps)
+    full_group_by: bool = True  # sql_mode ONLY_FULL_GROUP_BY
     # DROP + re-CREATE of the same table name must get a FRESH storage
     # location — an external parquet table resurrects old files
     # otherwise.  Counter makes each incarnation's path unique.
@@ -3442,12 +3620,13 @@ def run_statement(run: MTRRun, stmt: str):
     s = _strip_modifiers(_subst_uservars(stmt.strip(), run.vars))
     s = _normalize_insert_set(_inline_funcs(s, run.funcs))
     sm2 = re.match(
-        r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?sql_mode\s*=\s*(.+)$",
+        r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
         s, re.I,
     )
     if sm2:
         val = sm2.group(1).strip().strip("'\"").upper()
         run.strict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
+        run.full_group_by = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
         return None
     fn = _parse_create_function(s)
     if fn is not None:
@@ -3978,6 +4157,8 @@ def run_statement(run: MTRRun, stmt: str):
         run.tables[tout.lower()] = newtd
         return None
     if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
+        if not run.full_group_by:
+            s = _wrap_nongrouped_any_value(s)
         return run.spark.sql(
             rewrite_expr(_apply_zerofill(s, run.tables, "spark"), "spark")
         )
@@ -4200,18 +4381,20 @@ def build_oracle_sql(
     outfile_snaps: dict[str, str] = {}  # INTO OUTFILE path -> frozen select
     view_inc: dict[str, int] = {}
     oraclestrict = True
+    oracle_fullgb = True
     for st in stmts:
         if st.expect_error:
             continue
         s = _strip_modifiers(_subst_uservars(st.text.strip(), uservars))
         s = _normalize_insert_set(_inline_funcs(s, oraclefuncs))
         sm2 = re.match(
-            r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?sql_mode\s*=\s*(.+)$",
+            r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
             s, re.I,
         )
         if sm2:
             val = sm2.group(1).strip().strip("'\"").upper()
             oraclestrict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
+            oracle_fullgb = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
             continue
         fn = _parse_create_function(s)
         if fn is not None:
@@ -4688,6 +4871,8 @@ def build_oracle_sql(
             continue
         if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
             if seen == target:
+                if not oracle_fullgb:
+                    s = _wrap_nongrouped_any_value(s)
                 final_sql = retarget(
                     rewrite_expr(_apply_zerofill(s, tables, "duck"), "duck")
                 )

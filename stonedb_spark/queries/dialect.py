@@ -152,6 +152,7 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_nonfull_groupby': ('issue1107.test', [(1, 60)]),
     'dialect_load_alter_default': ('issue1865.test', [(1, 29)]),
     'dialect_load_nullword': ('issue1153.test', [(1, 85)]),
     'dialect_load_notnull_default': ('issue1153.test', [(1, 85)]),
@@ -7876,6 +7877,69 @@ select * from t1;
 DROP DATABASE issue1865_test_db;
 """
 
+SCRIPT_ISSUE1107 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1107_test;
+--enable_warnings
+
+CREATE DATABASE issue1107_test;
+
+USE issue1107_test;
+
+--disable_warnings
+
+# ONLY_FULL_GROUP_BY
+
+SET @@sql_mode ='STRICT_TRANS_TABLES,NO_ZERO_IN_DATE,NO_ZERO_DATE,ERROR_FOR_DIVISION_BY_ZERO,NO_ENGINE_SUBSTITUTION';
+
+select @@sql_mode;
+
+## DDL
+
+DROP TABLE IF EXISTS A;
+DROP TABLE IF EXISTS B;
+
+create table A(id int,UnitSN varchar(10),CTIME datetime) engine=tianmu;
+
+create table B(id int,AID int,Name varchar(10),value varchar(10)) engine=tianmu;
+
+## insert data
+
+insert into A values(1,'A1','2022-12-09 01:00:00');
+insert into A values(2,'A2','2022-12-09 02:00:00');
+insert into A values(3,'A3','2022-12-09 03:00:00');
+insert into A values(4,'A4','2022-12-09 04:00:00');
+insert into A values(5,'A5','2022-12-09 05:00:00');
+ 
+insert into B values(1,1,'V1','XXXXXXX1');
+insert into B values(2,1,'V2','XXXXXXX2');
+insert into B values(3,1,'V3','XXXXXXX3');
+insert into B values(4,1,'V4','XXXXXXX4');
+insert into B values(5,1,'V5','XXXXXXX5');
+
+## query of group by
+
+select a.ID,
+       a.UNITSN,
+       case upper(b.NAME) when 'V1' then b.VALUE else null end as V1,
+       case upper(b.NAME) when 'V2' then b.VALUE else null end as V2,
+       case upper(b.NAME) when 'V3' then b.VALUE else null end as V3,
+       case upper(b.NAME) when 'V4' then b.VALUE else null end as V4,
+       case upper(b.NAME) when 'V5' then b.VALUE else null end as V5
+  from A a
+  left join B b
+    on a.ID = b.AID
+ group by a.ID, a.UNITSN;
+
+## clean test table
+
+DROP TABLE A;
+DROP TABLE B;
+
+DROP DATABASE issue1107_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -8032,6 +8096,7 @@ _SPECS = [
     ('dialect_load_set_override', SCRIPT_ISSUE1153, 2, None, False, 'LOAD DATA SET a = @sessionvar/2 overrides the positional field for every row'),
     ('dialect_load_optenclosed_text', SCRIPT_ISSUE1153, 9, None, False, 'varchar legs: enclosed "null" stays text, unenclosed null -> NULL, quote retention without enclosure'),
     ('dialect_load_alter_default', SCRIPT_ISSUE1865, -1, None, False, 'ALTER COLUMN DROP/SET DEFAULT changes what later partial-column-list LOADs fill in; explicit \\N stays NULL even with a column DEFAULT'),
+    ('dialect_nonfull_groupby', SCRIPT_ISSUE1107, -1, ['id', 'unitsn', 'v1', 'v2', 'v3', 'v4', 'v5'], False, 'ONLY_FULL_GROUP_BY disabled: non-aggregated CASE pivot columns under GROUP BY take a group representative (MIN; MySQL contract is any member, tianmu shows first-row picks)'),
 ]
 
 

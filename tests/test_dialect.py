@@ -654,3 +654,28 @@ def test_outfile_parity_issue850_ssb_join(spark):
     finally:
         for name in list(run.tables):
             spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_wrap_nongrouped_min():
+    """ONLY_FULL_GROUP_BY-off rewrite: non-aggregated select items not
+    covered by GROUP BY get MIN() with the MySQL implicit output name;
+    grouped items, aggregates, *, and DISTINCT blocks stay untouched."""
+    from stonedb_spark.dialect import _wrap_nongrouped_any_value as wrap
+
+    out = wrap("SELECT a, b, COUNT(*) FROM t GROUP BY a")
+    assert "MIN(b) AS b" in out and "MIN(a)" not in out
+    assert "COUNT(*)" in out
+    # qualified refs + explicit aliases; derived-table inner select
+    out = wrap(
+        "select * from (SELECT x.k AS k, x.v AS val FROM x GROUP BY k) d"
+    )
+    assert "MIN(x.v) AS val" in out and "x.k AS k" in out
+    # fully grouped: unchanged
+    s = "SELECT a, COUNT(*) FROM t GROUP BY a"
+    assert wrap(s) == s
+    # no GROUP BY: unchanged
+    s = "SELECT a, b FROM t"
+    assert wrap(s) == s
+    # star select: left alone
+    s = "SELECT * FROM t GROUP BY a"
+    assert wrap(s) == s
