@@ -2889,6 +2889,26 @@ def _parse_insert_values(
                     if av.upper() in ("NULL", "0"):
                         v = str(td.next_auto)
                         td.next_auto += 1
+                        if c.mysql_type in _STRICT_INT_RANGES:
+                            tbl_r = (
+                                _STRICT_UINT_RANGES if c.unsigned
+                                else _STRICT_INT_RANGES
+                            ) if td.engine == "tianmu" else (
+                                _STD_UINT_RANGES if c.unsigned
+                                else _STD_INT_RANGES
+                            )
+                            if int(v) > tbl_r[c.mysql_type][1]:
+                                # counter exhausted its width: tianmu
+                                # reports a duplicate of the saturated
+                                # key (auto_increment.result: "Duplicate
+                                # entry '0'")
+                                raise ValueError(
+                                    f"Duplicate entry for key PRIMARY: "
+                                    f"AUTO_INCREMENT counter past the "
+                                    f"{c.mysql_type} maximum on "
+                                    f"'{c.name}' (MySQL error 1062 "
+                                    f"analog)"
+                                )
                     elif re.fullmatch(r"\d+", av):
                         # explicit value bumps the counter past it
                         td.next_auto = max(td.next_auto, int(av) + 1)
@@ -3411,8 +3431,10 @@ def _split_into_outfile(s: str):
         r"(TERMINATED|ENCLOSED|ESCAPED)\s+BY\s+'((?:[^'\\]|\\.)*)'",
         re.I,
     )
+    # export default mirrors the load default: tianmu's ';' delimiter
+    # (common_definitions.h:165), so a default export reloads cleanly
     fmt = {
-        "sep": "\t", "enc": "", "esc": "\\", "line_sep": "\n",
+        "sep": ";", "enc": "", "esc": "\\", "line_sep": "\n",
         "optionally": False,
     }
     last_kw = "FIELDS"
@@ -3496,7 +3518,11 @@ def _load_data_to_insert(
     path, table, rest = m.group(1), _unquote_ident(m.group(2)), m.group(3)
     if path_map and path in path_map:
         path = path_map[path]  # a SELECT INTO OUTFILE written this run
-    sep, enc, esc, line_sep, skip, collist = "\t", "", "\\", "\n", 0, None
+    # tianmu's engine default field delimiter is ';', NOT MySQL's TAB
+    # (storage/tianmu/common/common_definitions.h:165 DEFAULT_DELIMITER,
+    # system/io_parameters.h:216) — auto_increment.test's negative-id
+    # fixture relies on it
+    sep, enc, esc, line_sep, skip, collist = ";", "", "\\", "\n", 0, None
     fm = re.search(
         r"\b(?:FIELDS|COLUMNS)\s+TERMINATED\s+BY\s+'([^']*)'", rest, re.I
     )
