@@ -181,6 +181,10 @@ _TYPE_MAP = {
     # matching type — store the literal text
     "time": ("STRING", "VARCHAR"),
     "year": ("SMALLINT", "SMALLINT"),
+    # MySQL BIT(n) is an n-bit unsigned value; both engines store the
+    # numeric value (the corpus reads it as bit+0; b'…' literals fold
+    # to integers in the recode pass)
+    "bit": ("BIGINT", "BIGINT"),
     "blob": ("BINARY", "BLOB"),
     "tinyblob": ("BINARY", "BLOB"),
     "mediumblob": ("BINARY", "BLOB"),
@@ -354,6 +358,9 @@ def parse_create_table(stmt: str) -> TableDef:
             wm2 = re.match(r"\(\s*(\d+)\s*\)", args)
             if wm2:
                 cw = int(wm2.group(1))
+        if canon == "bit":
+            wm2 = re.match(r"\(\s*(\d+)\s*\)", args or "")
+            cw = int(wm2.group(1)) if wm2 else 1  # BIT defaults to (1)
         cols.append(
             ColumnDef(
                 cname, stype, dtype, default, fsp, canon,
@@ -1303,6 +1310,13 @@ def rewrite_expr(sql: str, engine: str) -> str:
         sql, "CONVERT", lambda i: _convert_to_cast(i, engine)
     )
     sql = _wrap_calls(sql, "CONV", lambda i: _conv_fn(i, engine))
+    # MySQL BIN/OCT are CONV(x, 10, 2/8) (bit_type.test's readback)
+    sql = _wrap_calls(
+        sql, "BIN", lambda i: _conv_fn(f"{i}, 10, 2", engine)
+    )
+    sql = _wrap_calls(
+        sql, "OCT", lambda i: _conv_fn(f"{i}, 10, 8", engine)
+    )
     # MySQL STD/STDDEV are POPULATION stddev and VARIANCE is VAR_POP
     # (std_test.test); Spark's std/stddev/variance aliases are SAMPLE
     # statistics and DuckDB has no std() at all — spell them out
@@ -1489,6 +1503,18 @@ def _recode_string_literals(sql: str, engine: str) -> str:
             out.append(pre[:-1])
             s = bytes.fromhex(m.group(1)).decode("utf-8", "replace")
             out.append(_engine_str_encode(s, engine))
+            last = m.end()
+            continue
+        if (
+            m.group(1) is not None
+            and pre[-1:] in ("b", "B")
+            and not re.search(r"[\w$][bB]$", pre)
+            and re.fullmatch(r"[01]+", m.group(1) or "")
+        ):
+            # MySQL bit literal b'101' → the integer value (bit_type
+            # .test; BIT columns store numerically here)
+            out.append(pre[:-1])
+            out.append(str(int(m.group(1), 2)))
             last = m.end()
             continue
         out.append(pre)
@@ -2921,6 +2947,16 @@ def _parse_insert_values(
                     )
                 if re.fullmatch(r"0[xX][0-9A-Fa-f]+", v.strip()):
                     v = str(int(v.strip()[2:], 16))
+                if re.fullmatch(r"0b[01]+", v.strip()):
+                    # lowercase 0b literal only: MySQL lexes 0B111 as
+                    # an identifier (bit_type.test --error 1054 leg)
+                    v = str(int(v.strip()[2:], 2))
+                bm = re.fullmatch(r"[bB]'([01]*)'", v.strip())
+                if bm:
+                    # bit literal folds to its integer BEFORE the
+                    # bare-column pass (the 'b' prefix must not read
+                    # as a column named b — bit_type.test)
+                    v = str(int(bm.group(1) or "0", 2))
                 if re.fullmatch(
                     r"\s*[-+]?\d+(?:\.\d+)?\s*/\s*0+(?:\.0*)?\s*", v
                 ):
@@ -2965,6 +3001,24 @@ def _parse_insert_values(
                             rf"\b{re.escape(oc.name)}\b(?!\s*\()",
                             f"({_implicit_default(oc)})", v, flags=re.I,
                         )
+                if c.mysql_type == "bit":
+                    d = _decode_strlit(v)
+                    if d is not None:
+                        # MySQL reads a string into BIT as its BYTES,
+                        # big-endian ('1' -> 0x31 = 49; '10' -> 12592
+                        # overflows BIT(8) -> 1406; bit_type.test)
+                        v = str(int.from_bytes(d.encode(), "big"))
+                if c.mysql_type == "bit" and re.fullmatch(
+                    r"\d+", v.strip()
+                ):
+                    if int(v.strip()) >= (1 << c.char_width):
+                        if strict:
+                            raise ValueError(
+                                f"Data too long for column '{c.name}' "
+                                f"(bit({c.char_width}); MySQL error "
+                                f"1406 analog)"
+                            )
+                        v = str((1 << c.char_width) - 1)
                 if c.mysql_type in _STRICT_INT_RANGES:
                     v = _coerce_int_literal(v, c, td.engine, strict)
                 if (

@@ -152,6 +152,8 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_bit_literals': ('bit_type.test', [(1, 54)]),
+    'dialect_bit_strings': ('bit_type.test', [(1, 54)]),
     'dialect_nonfull_groupby': ('issue1107.test', [(1, 60)]),
     'dialect_load_alter_default': ('issue1865.test', [(1, 29)]),
     'dialect_load_nullword': ('issue1153.test', [(1, 85)]),
@@ -7940,6 +7942,62 @@ DROP TABLE B;
 DROP DATABASE issue1107_test;
 """
 
+SCRIPT_BIT_TYPE = """--source include/have_tianmu.inc
+
+drop database if exists test_bit;
+create database test_bit;
+drop table if exists bittypes, t;
+CREATE TABLE t (b BIT(8));
+# insert values using literals: https://dev.mysql.com/doc/refman/8.0/en/bit-value-literals.html
+INSERT INTO t SET b = b'11111111';
+INSERT INTO t SET b = B'1010';
+INSERT INTO t SET b = 0b0101;
+INSERT INTO t values(b'1'), (B'1010'), (0b0101);
+SELECT b+0, BIN(b), OCT(b), HEX(b) FROM t;
+
+# data too long
+--error 1406
+INSERT INTO t values(b'111111111');
+
+# wrong SQL syntax
+--error 1064
+insert into t values(b'2');
+
+--error 1054
+insert into t values(0B111);
+
+# insert values with string mode
+drop table t;
+CREATE TABLE t (b BIT(8));
+insert into t values('');
+insert into t values(' ');
+insert into t values('1');
+insert into t values('2');
+insert into t values('9');
+SELECT b+0, BIN(b), OCT(b), HEX(b) FROM t;
+
+# ERROR 1406 (22001): Data too long for column 'b' at row 1
+--error 1406
+insert into t values('10');
+--error 1406
+insert into t values('  ');
+--error 1406
+insert into t values("22");
+drop table t;
+
+# test default M=1
+CREATE TABLE t (b BIT);
+insert into t values(b'0');
+insert into t values(b'1');
+insert into t values(b'');
+SELECT b+0, BIN(b), OCT(b), HEX(b) FROM t;
+
+# space will be parsed as num 32, so data too long error is returned
+--error 1406
+insert into t values(' ');
+drop table t;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -8097,6 +8155,8 @@ _SPECS = [
     ('dialect_load_optenclosed_text', SCRIPT_ISSUE1153, 9, None, False, 'varchar legs: enclosed "null" stays text, unenclosed null -> NULL, quote retention without enclosure'),
     ('dialect_load_alter_default', SCRIPT_ISSUE1865, -1, None, False, 'ALTER COLUMN DROP/SET DEFAULT changes what later partial-column-list LOADs fill in; explicit \\N stays NULL even with a column DEFAULT'),
     ('dialect_nonfull_groupby', SCRIPT_ISSUE1107, -1, ['id', 'unitsn', 'v1', 'v2', 'v3', 'v4', 'v5'], False, 'ONLY_FULL_GROUP_BY disabled: non-aggregated CASE pivot columns under GROUP BY take a group representative (MIN; MySQL contract is any member, tianmu shows first-row picks)'),
+    ('dialect_bit_literals', SCRIPT_BIT_TYPE, 0, ['v', 'b2', 'b8', 'hx'], False, "BIT(8) literals b'…'/B'…'/0b… incl. b'' = 0; BIN/OCT/HEX readback; 1406 too-long, 1064 b'2', 1054 uppercase-0B analogs"),
+    ('dialect_bit_strings', SCRIPT_BIT_TYPE, 1, ['v', 'b2', 'b8', 'hx'], False, "string into BIT reads the BYTES big-endian ('1'->49, ' '->32, ''->0; 2-byte strings overflow BIT(8) with 1406)"),
 ]
 
 
