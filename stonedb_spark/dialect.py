@@ -1163,9 +1163,19 @@ def _wrap_nongrouped_any_value(sql: str) -> str:
             ("GROUP", "UNION", "EXCEPT", "INTERSECT"),
         )
         if gb_i < 0 or not re.match(r"GROUP\s+BY\b", sql[gb_i:], re.I):
-            continue
-        keys_start = gb_i + len(re.match(r"GROUP\s+BY", sql[gb_i:], re.I).group(0))
-        keys_end = _scan_token(
+            # no GROUP BY: MySQL still allows mixing aggregates with
+            # bare columns as ONE implicit group (issue1784.test's
+            # 'select age, sum(age) from t1') — wrap the bare items
+            # when the list carries an aggregate at all
+            if _AGG_FUNCS_RE.search(sql[list_start:from_i]):
+                keys_start = keys_end = from_i  # empty key list
+            else:
+                continue
+        else:
+            keys_start = gb_i + len(
+                re.match(r"GROUP\s+BY", sql[gb_i:], re.I).group(0)
+            )
+        keys_end = keys_start if keys_start == from_i else _scan_token(
             sql, keys_start, depth0,
             ("HAVING", "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT"),
         )
@@ -2238,7 +2248,7 @@ def _normalize_insert_set(s: str) -> str:
     """``INSERT INTO t SET a=1, b=2`` → column-list VALUES form
     (select_precision.test)."""
     m = re.match(
-        r"^(\s*INSERT\s+(?:INTO\s+)?(?:`[^`]+`|\w+)\s+)SET\s+(.+)$",
+        r"^(\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(?:`[^`]+`|\w+)\s+)SET\s+(.+)$",
         s,
         re.I | re.S,
     )
@@ -2810,14 +2820,18 @@ def _coerce_int_literal(
     return str(v)
 
 
-def _check_pk_duplicates(td: TableDef, rows: list[list[str]]) -> None:
+def _check_pk_duplicates(
+    td: TableDef, rows: list[list[str]], drop: bool = False
+) -> list[list[str]]:
     """Python-side PRIMARY KEY duplicate detection for plain INSERTs
     (MySQL error 1062 analog, composite_primary_key.test).  Tracks
     literal PK tuples per table; any non-literal PK value, or a
     DELETE/UPDATE that makes the tracked view stale, disables tracking
-    for that table (callers set ``seen_pk = None``)."""
+    for that table (callers set ``seen_pk = None``).  With ``drop``
+    (INSERT IGNORE) duplicate rows are silently filtered out instead
+    of raising; returns the surviving rows either way."""
     if not td.pk or td.seen_pk is None:
-        return
+        return rows
     pkset = {p.lower() for p in td.pk}
     idx = [i for i, c in enumerate(td.columns) if c.name.lower() in pkset]
     fresh = []
@@ -2831,9 +2845,18 @@ def _check_pk_duplicates(td: TableDef, rows: list[list[str]]) -> None:
                     d = str(decimal.Decimal(v))
                 else:
                     td.seen_pk = None  # expression PK: stop tracking
-                    return
+                    return rows
             key.append(d)
         fresh.append(tuple(key))
+    if drop:
+        keep, seen_batch = [], set()
+        for row, t in zip(rows, fresh):
+            if t in td.seen_pk or t in seen_batch:
+                continue  # IGNORE: duplicate row dropped with warning
+            seen_batch.add(t)
+            keep.append(row)
+        td.seen_pk.update(seen_batch)
+        return keep
     for t in fresh:
         if t in td.seen_pk or fresh.count(t) > 1:
             raise ValueError(
@@ -2841,17 +2864,20 @@ def _check_pk_duplicates(td: TableDef, rows: list[list[str]]) -> None:
                 f"{td.name} (MySQL error 1062 analog)"
             )
     td.seen_pk.update(fresh)
+    return rows
 
 
 def _parse_insert_values(
-    tables: dict[str, TableDef], stmt: str, strict: bool = True
+    tables: dict[str, TableDef], stmt: str, strict: bool = True,
+    insert_ignore: bool = False,
 ) -> tuple[TableDef, list[list[str]]] | None:
     """Parse ``INSERT INTO t [(cols)] VALUES (…),(…)`` into full-width
     rows of raw value expressions, filling omitted columns with their
     MySQL DEFAULT (or NULL) — including the ``VALUES()`` all-defaults
     form."""
     m = re.match(
-        r"INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)\s*(\(([^)]*)\))?\s*VALUES?\s*(.*)$",
+        r"INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)\s*"
+        r"(\(([^)]*)\))?\s*VALUES?\s*(.*)$",
         stmt.strip(),
         re.I | re.S,
     )
@@ -3025,10 +3051,16 @@ def _parse_insert_values(
                     c.notnull and not c.autoinc
                     and v.strip().upper() == "NULL"
                 ):
-                    raise ValueError(
-                        f"Column '{c.name}' cannot be null "
-                        f"(MySQL error 1048 analog)"
-                    )
+                    if insert_ignore:
+                        # IGNORE downgrades 1048 to a warning: the
+                        # column takes its implicit default
+                        # (issue682.test, insert.test)
+                        v = _implicit_default(c)
+                    else:
+                        raise ValueError(
+                            f"Column '{c.name}' cannot be null "
+                            f"(MySQL error 1048 analog)"
+                        )
                 row.append(v)
             elif c.autoinc:
                 # MySQL assigns the counter when the column is omitted
@@ -3929,8 +3961,13 @@ def run_statement(run: MTRRun, stmt: str):
         if re.search(r"\bVALUES?\s*\(", s, re.I) or re.search(
             r"\bVALUES?\s*\(\s*\)", s, re.I
         ):
-            td, rows = _parse_insert_values(run.tables, s, run.strict)
-            _check_pk_duplicates(td, rows)
+            ign = bool(re.match(r"^\s*INSERT\s+IGNORE\b", s, re.I))
+            td, rows = _parse_insert_values(
+                run.tables, s, run.strict and not ign, insert_ignore=ign
+            )
+            rows = _check_pk_duplicates(td, rows, drop=ign)
+            if not rows:
+                return None  # every row was an ignored duplicate
             # CAST every value to its column type: MySQL inserts coerce
             # string literals into numeric/temporal columns; Spark ANSI
             # store-assignment needs the cast spelled out.
@@ -4622,10 +4659,15 @@ def build_oracle_sql(
             versions[t] += 1
             inc = "(" + _values_select(td, rows, "duck") + ") AS _new"
             if td.pk:
-                pkt = ", ".join(f'"{c}"' for c in td.pk)
+                # NOT EXISTS, not row-value NOT IN: DuckDB's binder
+                # rejects (a,b) IN (SELECT a,b …) (issue1152.test's
+                # composite-PK REPLACE)
+                cond = " AND ".join(
+                    f'_old."{c}" = _new."{c}"' for c in td.pk
+                )
                 body = (
-                    f"SELECT * FROM {prev} WHERE ({pkt}) NOT IN "
-                    f"(SELECT {pkt} FROM {inc}) "
+                    f"SELECT * FROM {prev} AS _old WHERE NOT EXISTS "
+                    f"(SELECT 1 FROM {inc} WHERE {cond}) "
                     f"UNION ALL SELECT * FROM {inc}"
                 )
             else:
@@ -4633,7 +4675,7 @@ def build_oracle_sql(
             ctes.append((vname(t), body))
             continue
         if re.match(r"^\s*INSERT\b", s, re.I):
-            m = re.match(r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)", s, re.I)
+            m = re.match(r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)", s, re.I)
             t = _unquote_ident(m.group(1)).lower()
             base, dup = _split_on_duplicate(s)
             if dup is not None:
@@ -4660,8 +4702,11 @@ def build_oracle_sql(
                 )
                 continue
             if re.search(r"\bVALUES?\s*\(", s, re.I):
-                _td, rows = _parse_insert_values(tables, s, stmt_strict)
-                _check_pk_duplicates(_td, rows)
+                ign = bool(re.match(r"^\s*INSERT\s+IGNORE\b", s, re.I))
+                _td, rows = _parse_insert_values(
+                    tables, s, stmt_strict and not ign, insert_ignore=ign
+                )
+                rows = _check_pk_duplicates(_td, rows, drop=ign)
                 pending_rows.setdefault(t, []).extend(
                     [rewrite_expr(v, "duck") for v in row]
                     for row in rows
@@ -4669,7 +4714,7 @@ def build_oracle_sql(
             else:
                 tables[t].seen_pk = None
                 rest = re.sub(
-                    r"^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|\w+)\s*", "", s,
+                    r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)\s*", "", s,
                     flags=re.I,
                 )
                 td_ins = tables[t]

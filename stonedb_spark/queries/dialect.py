@@ -152,6 +152,10 @@ SOURCES = {
     'dialect_unsigned_math': ('unsigned_math.test', [(1, 128)]),
     'dialect_select_from': ('select_from.test', [(1, 119)]),
     'dialect_aggregate': ('aggregate.test', [(1, 237)]),
+    'dialect_implicit_group_empty': ('issue1784.test', [(1, 158)]),
+    'dialect_implicit_group': ('issue1784.test', [(1, 158)]),
+    'dialect_replace_composite_pk': ('issue1152.test', [(1, 20)]),
+    'dialect_derived_substr_group': ('issue1258.test', [(1, 46)]),
     'dialect_bit_literals': ('bit_type.test', [(1, 54)]),
     'dialect_bit_strings': ('bit_type.test', [(1, 54)]),
     'dialect_nonfull_groupby': ('issue1107.test', [(1, 60)]),
@@ -7998,6 +8002,236 @@ insert into t values(' ');
 drop table t;
 """
 
+SCRIPT_ISSUE1152 = """--source include/have_tianmu.inc
+
+USE test;
+--disable_warnings
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+--enable_warnings
+--disable_warnings
+drop table if exists t_test;
+--enable_warnings
+
+CREATE TABLE `t_test`
+(
+    `id`   INT NOT NULL,
+    `test` VARCHAR(64) DEFAULT NULL,
+    `id1`  int NOT NULL,
+    PRIMARY KEY (`id`, `id1`)
+);
+INSERT INTO t_test VALUES(1,'old',1);
+REPLACE INTO t_test VALUES (8,'New',1);
+SELECT * FROM t_test;
+DROP TABLE t_test;"""
+
+SCRIPT_ISSUE1258 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1258_test;
+--enable_warnings
+
+CREATE DATABASE issue1258_test;
+
+USE issue1258_test;
+
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+
+CREATE TABLE `t_test` (
+  `id` int(11) NOT NULL AUTO_INCREMENT,
+  `first_name` varchar(10) NOT NULL,
+  `last_name` varchar(10) NOT NULL,
+  `sex` varchar(5) NOT NULL,
+  `score` int(11) NOT NULL,
+  `copy_id` int(11) NOT NULL,
+  PRIMARY KEY (`id`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+insert into t_test values(1,"syz1","stonedb1","nan",99,21);
+insert into t_test values(2,"syz2","stonedb2","nan",99,22);
+insert into t_test values(3,"syz3","stonedb3","nan",99,23);
+insert into t_test values(4,"syz4","stonedb4","nan",99,24);
+insert into t_test values(5,"syz5","stonedb5","nan",99,25);
+
+SELECT
+	bb.first_name,
+	bb.last_name 
+FROM
+	(
+SELECT
+	count(a.first_name ) AS first_name,
+	SUBSTR( a.last_name, 1, 10 ) AS last_name 
+FROM
+	t_test a,
+	t_test b 
+WHERE
+	a.id = b.id 
+GROUP BY
+	SUBSTR( a.last_name, 1, 10 ) 
+	) bb;
+
+DROP DATABASE issue1258_test;
+"""
+
+SCRIPT_ISSUE1784 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1784_test;
+
+CREATE DATABASE issue1784_test;
+
+USE issue1784_test;
+
+### tianmu
+
+## no value
+
+create table t1 (age int) engine=tianmu;
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1 group by age;
+
+select age, sum(age) from (select * from t1) ta group by age;
+
+select case when age is not null then age else 33 end, sum(age) from t1 group by age;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta group by age;
+
+## has value
+
+insert into t1 values(1);
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1 group by age;
+
+select age, sum(age) from (select * from t1) ta group by age;
+
+select case when age is not null then age else 33 end, sum(age) from t1 group by age;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta group by age;
+
+### innodb
+
+## no value
+
+drop table t1;
+
+create table t1 (age int) engine=innodb;
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1 group by age;
+
+select age, sum(age) from (select * from t1) ta group by age;
+
+select case when age is not null then age else 33 end, sum(age) from t1 group by age;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta group by age;
+
+## has value
+
+insert into t1 values(1);
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1 group by age;
+
+select age, sum(age) from (select * from t1) ta group by age;
+
+select case when age is not null then age else 33 end, sum(age) from t1 group by age;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta group by age;
+
+####
+
+drop table t1;
+
+SET sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+
+### tianmu
+
+## no value
+
+create table t1 (age int) engine=tianmu;
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1;
+
+select age, sum(age) from (select * from t1) ta;
+
+select case when age is not null then age else 33 end, sum(age) from t1;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta;
+
+## has value
+
+insert into t1 values(1);
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1;
+
+select age, sum(age) from (select * from t1) ta;
+
+select case when age is not null then age else 33 end, sum(age) from t1;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta;
+
+### innodb
+
+## no value
+
+drop table t1;
+
+create table t1 (age int) engine=innodb;
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1;
+
+select age, sum(age) from (select * from t1) ta;
+
+select case when age is not null then age else 33 end, sum(age) from t1;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta;
+
+## has value
+
+insert into t1 values(1);
+
+select * from t1;
+
+select age from t1;
+
+select age, sum(age) from t1;
+
+select age, sum(age) from (select * from t1) ta;
+
+select case when age is not null then age else 33 end, sum(age) from t1;
+
+select case when age is not null then age else 33 end, sum(age) from (select * from t1) ta;
+
+## clean test database
+
+DROP DATABASE issue1784_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -8157,6 +8391,10 @@ _SPECS = [
     ('dialect_nonfull_groupby', SCRIPT_ISSUE1107, -1, ['id', 'unitsn', 'v1', 'v2', 'v3', 'v4', 'v5'], False, 'ONLY_FULL_GROUP_BY disabled: non-aggregated CASE pivot columns under GROUP BY take a group representative (MIN; MySQL contract is any member, tianmu shows first-row picks)'),
     ('dialect_bit_literals', SCRIPT_BIT_TYPE, 0, ['v', 'b2', 'b8', 'hx'], False, "BIT(8) literals b'…'/B'…'/0b… incl. b'' = 0; BIN/OCT/HEX readback; 1406 too-long, 1064 b'2', 1054 uppercase-0B analogs"),
     ('dialect_bit_strings', SCRIPT_BIT_TYPE, 1, ['v', 'b2', 'b8', 'hx'], False, "string into BIT reads the BYTES big-endian ('1'->49, ' '->32, ''->0; 2-byte strings overflow BIT(8) with 1406)"),
+    ('dialect_replace_composite_pk', SCRIPT_ISSUE1152, -1, None, False, 'REPLACE INTO against a composite (id,id1) PRIMARY KEY: non-matching tuple inserts rather than replacing'),
+    ('dialect_derived_substr_group', SCRIPT_ISSUE1258, -1, None, False, 'derived table whose COUNT() alias shadows a base column name; GROUP BY SUBSTR(...) expression key under a self-join'),
+    ('dialect_implicit_group_empty', SCRIPT_ISSUE1784, 26, ['a', 's'], True, 'aggregate + bare column with NO GROUP BY over an empty table: one implicit group -> one all-NULL row (non-OFGB)'),
+    ('dialect_implicit_group', SCRIPT_ISSUE1784, 46, ['a', 's'], True, 'CASE expr + SUM with no GROUP BY: the whole table is one implicit group, bare items take a group representative'),
 ]
 
 
