@@ -1320,6 +1320,21 @@ def rewrite_expr(sql: str, engine: str) -> str:
         sql, "CONVERT", lambda i: _convert_to_cast(i, engine)
     )
     sql = _wrap_calls(sql, "CONV", lambda i: _conv_fn(i, engine))
+    # MySQL TRUNCATE(x, d): truncate toward zero at d decimal places
+    # (d may be negative); neither engine has the two-arg form
+    def _truncate_fn(inner: str) -> str:
+        p = _split_top_commas(inner)
+        if len(p) != 2:
+            raise ValueError(f"TRUNCATE needs 2 args: {inner!r}")
+        x, d = p
+        return (
+            f"(CASE WHEN ({x}) >= 0"
+            f" THEN FLOOR(({x}) * POWER(10, {d}))"
+            f" ELSE CEIL(({x}) * POWER(10, {d})) END"
+            f" / POWER(10, {d}))"
+        )
+
+    sql = _wrap_calls(sql, "TRUNCATE", _truncate_fn)
     # MySQL BIN/OCT are CONV(x, 10, 2/8) (bit_type.test's readback)
     sql = _wrap_calls(
         sql, "BIN", lambda i: _conv_fn(f"{i}, 10, 2", engine)
@@ -3760,6 +3775,16 @@ def run_statement(run: MTRRun, stmt: str):
         ).collect()[0][0]
         run.vars[vm.group(1)] = _py_to_literal(val)
         return None
+    if re.match(r"^\s*DROP\s+DATABASE\b", s, re.I):
+        # MySQL drops the database's tables with it; the front-end is
+        # single-namespace, so DROP DATABASE wipes the run's tables
+        # (type_timestamp.test re-creates its db mid-script)
+        for key in list(run.tables):
+            run.spark.sql(
+                f"DROP TABLE IF EXISTS `{run.tables[key].name}`"
+            )
+        run.tables.clear()
+        return None
     if _IGNORED.match(s):
         return None
     ofm = (
@@ -4532,6 +4557,13 @@ def build_oracle_sql(
                 f"SELECT ({rewrite_expr(vm.group(2).strip(), 'duck')}) AS v"
             ).fetchone()[0]
             uservars[vm.group(1)] = _py_to_literal(val)
+            continue
+        if re.match(r"^\s*DROP\s+DATABASE\b", s, re.I):
+            # mirror of the runner: the db's tables go with it; a later
+            # CREATE of the same name starts a fresh incarnation
+            for key in list(tables):
+                pending_rows.pop(key, None)
+                tables.pop(key)
             continue
         if _IGNORED.match(s) or re.match(r"^\s*DROP\s+VIEW\b", s, re.I):
             continue

@@ -679,3 +679,38 @@ def test_wrap_nongrouped_min():
     # star select: left alone
     s = "SELECT * FROM t GROUP BY a"
     assert wrap(s) == s
+
+
+def test_truncate_and_drop_database():
+    """TRUNCATE(x, d) truncates toward zero at d places (negative d
+    too); DROP DATABASE wipes the run's tables so a re-created db can
+    re-CREATE the same table name (type_timestamp.test shape)."""
+    import duckdb as _duck
+
+    from stonedb_spark.dialect import rewrite_expr
+
+    q = rewrite_expr(
+        "SELECT TRUNCATE(1.999, 2) a, TRUNCATE(-1.999, 2) b, "
+        "TRUNCATE(1234, -2) c", "duck",
+    )
+    assert _duck.connect().execute(q).fetchone() == (1.99, -1.99, 1200.0)
+
+
+def test_drop_database_wipes_tables(spark):
+    from stonedb_spark.dialect import build_oracle_sql, run_script
+
+    script = (
+        "create table tdb (a int);\n"
+        "insert into tdb values (1);\n"
+        "DROP DATABASE d1;\n"
+        "CREATE DATABASE d1;\n"
+        "create table tdb (a int, b int);\n"
+        "insert into tdb values (7, 8);\n"
+        "select * from tdb;\n"
+    )
+    pdf = run_script(spark, script).toPandas()
+    assert pdf.values.tolist() == [[7, 8]]
+    import duckdb as _duck
+
+    odf = _duck.connect().execute(build_oracle_sql(script)).df()
+    assert odf.values.tolist() == [[7, 8]]
