@@ -233,6 +233,7 @@ class ColumnDef:
     zerofill: int = 0  # display width when ZEROFILL declared, else 0
     notnull: bool = False
     char_width: int = 0  # declared CHAR/VARCHAR width (0 = unlimited)
+    charset: str = ""  # column charset ('' = utf8mb4, accepts all)
 
 
 @dataclass
@@ -361,6 +362,9 @@ def parse_create_table(stmt: str) -> TableDef:
         if canon == "bit":
             wm2 = re.match(r"\(\s*(\d+)\s*\)", args or "")
             cw = int(wm2.group(1)) if wm2 else 1  # BIT defaults to (1)
+        csm = re.search(
+            r"\bCHARACTER\s+SET\s+(\w+)|\bCHARSET\s+(\w+)", rest, re.I
+        )
         cols.append(
             ColumnDef(
                 cname, stype, dtype, default, fsp, canon,
@@ -368,6 +372,7 @@ def parse_create_table(stmt: str) -> TableDef:
                 unsigned, zerofill,
                 bool(re.search(r"\bNOT\s+NULL\b", rest, re.I)),
                 cw,
+                (csm.group(1) or csm.group(2)).lower() if csm else "",
             )
         )
     td = TableDef(name, cols, pk)
@@ -380,6 +385,22 @@ def parse_create_table(stmt: str) -> TableDef:
     em = re.search(r"\bENGINE\s*=\s*(\w+)", stmt, re.I)
     if em:
         td.engine = em.group(1).lower()
+    # table DEFAULT CHARACTER SET fills columns with no explicit one
+    # (different_charsets_a.test's per-section tables); the tail regex
+    # must not re-match a COLUMN-level clause, so scan the text after
+    # the closing paren of the column list
+    tail_cs = re.search(
+        r"\)\s*[^()]*?(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*"
+        r"(\w+)[^()]*$",
+        stmt, re.I | re.S,
+    )
+    if tail_cs:
+        for c in cols:
+            if not c.charset and c.mysql_type in (
+                "char", "varchar", "text", "tinytext", "mediumtext",
+                "longtext", "enum", "set",
+            ):
+                c.charset = tail_cs.group(1).lower()
     if td.engine == "tianmu" and not td.temporary:
         # TEMPORARY tables live outside the tianmu core (create_tmp.test
         # accepts DECIMAL(38,10) there) — the 18-digit cap is engine-side
@@ -1289,9 +1310,54 @@ def _huge_int_arith_guard(sql: str) -> None:
             )
 
 
+def _is_infoschema(s: str) -> bool:
+    """information_schema probes are metadata introspection (charset
+    octet lengths etc., different_charsets_a.test) — deployment-
+    specific in MySQL and not modeled here; they are skipped like SHOW
+    statements and excluded from designated-SELECT numbering."""
+    return bool(
+        re.match(r"^\s*\(?\s*SELECT\b", s, re.I)
+        and re.search(r"\binformation_schema\s*\.", s, re.I)
+    )
+
+
+_INTRODUCER = re.compile(
+    r"(?<![\w$])_(utf8mb4|utf8mb3|utf8|latin1|gbk|binary|ascii)\s*"
+    r"(0x[0-9A-Fa-f]+|0b[01]+|(?=['\"]))",
+    re.I,
+)
+
+
+def _decode_introducers(sql: str) -> str:
+    """MySQL charset introducers (_utf8mb4 0xE1B482, _latin1 b'…',
+    _utf8 'str'): the literal's BYTES read in the named charset
+    (different_charsets_a.test).  Hex/binary forms decode to a plain
+    string literal; before a quoted literal the introducer just
+    drops (the corpus text is already UTF-8)."""
+
+    def rep(m: re.Match) -> str:
+        cs, lit = m.group(1).lower(), m.group(2)
+        if not lit:
+            return ""  # introducer before a quoted literal: drop it
+        if lit[1] in "xX":
+            b = bytes.fromhex(lit[2:])
+        else:
+            n = int(lit[2:], 2)
+            b = n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+        enc = {
+            "latin1": "latin-1", "gbk": "gbk",
+            "binary": "latin-1", "ascii": "ascii",
+        }.get(cs, "utf-8")
+        s = b.decode(enc, "replace")
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    return _sub_outside_strings(sql, _INTRODUCER, rep)
+
+
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     _huge_int_arith_guard(sql)
+    sql = _decode_introducers(sql)
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
@@ -2992,6 +3058,12 @@ def _parse_insert_values(
                     # lowercase 0b literal only: MySQL lexes 0B111 as
                     # an identifier (bit_type.test --error 1054 leg)
                     v = str(int(v.strip()[2:], 2))
+                if re.match(r"\s*_\w+\s*(0[xb]|['\"])", v, re.I):
+                    # charset-introducer literal: decode to the plain
+                    # string BEFORE the char-width 1406 check measures
+                    # it (different_charsets_a.test's 11-char utf8mb4
+                    # hex into varchar(10))
+                    v = _decode_introducers(v)
                 bm = re.fullmatch(r"[bB]'([01]*)'", v.strip())
                 if bm:
                     # bit literal folds to its integer BEFORE the
@@ -3028,6 +3100,30 @@ def _parse_insert_values(
                             f"Data too long for column '{c.name}' "
                             f"(len {len(d)} > {c.char_width}; MySQL "
                             f"error 1406 analog)"
+                        )
+                if c.charset in ("utf8", "utf8mb3", "latin1", "gbk",
+                                 "ascii"):
+                    d = _decode_strlit(v)
+                    bad = False
+                    if d is not None:
+                        if c.charset in ("utf8", "utf8mb3"):
+                            # MySQL utf8 is 3-byte: astral chars 1366
+                            bad = any(ord(ch) > 0xFFFF for ch in d)
+                        else:
+                            enc = {"latin1": "latin-1", "gbk": "gbk",
+                                   "ascii": "ascii"}[c.charset]
+                            try:
+                                d.encode(enc)
+                            except UnicodeEncodeError:
+                                bad = True
+                    if bad:
+                        # (different_charsets_a.test: emoji into a
+                        # utf8-charset column errors even though the
+                        # utf8mb4 sections accept it)
+                        raise ValueError(
+                            f"Incorrect string value for column "
+                            f"'{c.name}': not representable in "
+                            f"{c.charset} (MySQL error 1366 analog)"
                         )
                 if (
                     re.search(r"[A-Za-z_`]", v)
@@ -3775,6 +3871,8 @@ def run_statement(run: MTRRun, stmt: str):
         ).collect()[0][0]
         run.vars[vm.group(1)] = _py_to_literal(val)
         return None
+    if _is_infoschema(s):
+        return None
     if re.match(r"^\s*DROP\s+DATABASE\b", s, re.I):
         # MySQL drops the database's tables with it; the front-end is
         # single-namespace, so DROP DATABASE wipes the run's tables
@@ -4329,6 +4427,7 @@ def run_script(
         and not st.expect_error
         and not _IGNORED.match(st.text)
         and not re.search(r"\bINTO\s+OUTFILE\b", st.text, re.I)
+        and not _is_infoschema(st.text)
     )
     target = designated if designated >= 0 else n_selects + designated
     result = None
@@ -4513,6 +4612,7 @@ def build_oracle_sql(
         and not st.expect_error
         and not _IGNORED.match(st.text)
         and not re.search(r"\bINTO\s+OUTFILE\b", st.text, re.I)
+        and not _is_infoschema(st.text)
     )
     target = designated if designated >= 0 else n_selects + designated
     seen = 0
@@ -5025,6 +5125,8 @@ def build_oracle_sql(
                 versions[key] = 0
                 ctes.append((vname(key), f"SELECT * FROM {prev2}"))
             tables[key] = newtd
+            continue
+        if _is_infoschema(s):
             continue
         if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
             if seen == target:
