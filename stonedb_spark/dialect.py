@@ -3912,14 +3912,56 @@ def run_statement(run: MTRRun, stmt: str):
             (fmt["esc"] or "\\") + "N"
             if run.vars.get("TIANMU_LOAD_NULL") else ""
         )
-        with open(actual, "w") as fh:
-            for row in df.collect():
-                fh.write(
-                    fmt["sep"].join(
-                        _outfile_cell(v, null_marker=nullm, **fmt)
-                        for v in row
-                    ) + fmt["line_sep"]
+        # Driver-side formatting is bounded: limit(cap+1) is ONE job
+        # with bounded driver transfer, so `catalog.mysql()` can't be
+        # driven into collecting a big table here.  Over the cap the
+        # SAME cell encoder runs inside the executors (mapInPandas)
+        # and the export lands as a part-file directory — the shape a
+        # 1000-executor export needs anyway.
+        cap = int(os.environ.get("SPARK_GRAFT_OUTFILE_DRIVER_MAX", "100000"))
+        head = df.limit(cap + 1).collect()
+        if len(head) <= cap:
+            with open(actual, "w") as fh:
+                for row in head:
+                    fh.write(
+                        fmt["sep"].join(
+                            _outfile_cell(v, null_marker=nullm, **fmt)
+                            for v in row
+                        ) + fmt["line_sep"]
+                    )
+        else:
+            if not fmt["line_sep"].endswith("\n"):
+                raise ValueError(
+                    "INTO OUTFILE result exceeds the driver cap "
+                    f"({cap} rows) and LINES TERMINATED BY is not "
+                    "newline-terminated; raise "
+                    "SPARK_GRAFT_OUTFILE_DRIVER_MAX or export via "
+                    "stonedb_spark.sources.export"
                 )
+            # the text writer adds the trailing '\n' itself
+            _fmt, _nullm = dict(fmt), nullm
+            _tail = fmt["line_sep"][:-1]
+
+            def _render(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    lines = [
+                        _fmt["sep"].join(
+                            _outfile_cell(
+                                None if v is None or v != v else v,
+                                null_marker=_nullm, **_fmt,
+                            )
+                            for v in row
+                        ) + _tail
+                        for row in pdf.itertuples(index=False, name=None)
+                    ]
+                    yield pd.DataFrame({"value": lines})
+
+            (
+                df.mapInPandas(_render, "value string")
+                .write.mode("overwrite").text(actual)
+            )
         run.outfiles[path] = actual
         return None
     if re.match(r"^\s*LOAD\s+DATA\b", s, re.I):

@@ -714,3 +714,49 @@ def test_drop_database_wipes_tables(spark):
 
     odf = _duck.connect().execute(build_oracle_sql(script)).df()
     assert odf.values.tolist() == [[7, 8]]
+
+
+def test_outfile_driver_cap_distributed_fallback(spark, monkeypatch):
+    """Round-8 guard (VERDICT item 6): an INTO OUTFILE whose result
+    exceeds SPARK_GRAFT_OUTFILE_DRIVER_MAX must NOT be collected on
+    the driver — it lands as a part-file directory written by the
+    executors, with the SAME tianmu cell encoding per line.  Under the
+    cap the single-file path (byte-parity tested above) is unchanged."""
+    import os
+    import tempfile
+
+    from stonedb_spark.dialect import MTRRun, run_statement
+
+    monkeypatch.setenv("SPARK_GRAFT_OUTFILE_DRIVER_MAX", "10")
+    workdir = tempfile.mkdtemp(prefix="outfile_cap_")
+    run = MTRRun(spark, workdir)
+    try:
+        run_statement(run, "CREATE TABLE ofcap (a INT, b VARCHAR(10))")
+        vals = ", ".join(f"({i}, 'r{i}')" for i in range(25))
+        run_statement(run, f"INSERT INTO ofcap VALUES {vals}")
+        run_statement(
+            run,
+            "SELECT a, b FROM ofcap ORDER BY a INTO OUTFILE "
+            "'/tmp/ofcap_big.txt'",
+        )
+        out = run.outfiles["/tmp/ofcap_big.txt"]
+        assert os.path.isdir(out), "over-cap export must be a directory"
+        lines = []
+        for part in sorted(os.listdir(out)):
+            if part.startswith("part-"):
+                lines += open(os.path.join(out, part)).read().splitlines()
+        assert sorted(lines) == sorted(f"{i};r{i}" for i in range(25))
+        # under the cap: unchanged single-file driver path
+        run_statement(
+            run,
+            "SELECT a, b FROM ofcap WHERE a < 5 ORDER BY a INTO OUTFILE "
+            "'/tmp/ofcap_small.txt'",
+        )
+        small = run.outfiles["/tmp/ofcap_small.txt"]
+        assert os.path.isfile(small)
+        assert open(small).read() == "".join(
+            f"{i};r{i}\n" for i in range(5)
+        )
+    finally:
+        for name in list(run.tables):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")

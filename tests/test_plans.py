@@ -664,3 +664,29 @@ def test_q10_plan_shape(spark, sf_dir):
     pushed = " ".join(pushed_filters(df))
     assert "EqualTo(l_returnflag" in pushed
     assert "LessThan(o_orderdate" in pushed
+
+
+def test_q16_plan_shape(spark, sf_dir):
+    """q16 gate (round-8, VERDICT item 5): no pre-DISTINCT exchange on
+    lineitem's (partkey, suppkey) pairs — COUNT(DISTINCT) dedups per
+    group, so the plan must show ONE lineitem scan, broadcast-only
+    joins (anti on supplier, inner on filtered part), and only the
+    grouped distinct-count shuffles (dedup keyed on
+    (brand,type,size,suppkey) + final agg) plus the presentation
+    orderBy = exchange budget 3 (the old pre-distinct plan had 4,
+    with the extra one moving ALL of lineitem's pairs).  The part
+    predicates push to the part scan."""
+    from stonedb_spark.plans.inspect import formatted_plan, pushed_filters
+
+    df = _build(spark, sf_dir, "tpch_q16")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("lineitem.parquet") == 1, plan[:1500]
+    assert plan.count("+- Exchange") <= 3, plan[:1500]
+    # the joins run BEFORE any exchange: both must be broadcast, and
+    # no HashAggregate (the old pre-distinct) may sit under them
+    head = plan.split("(1) Scan parquet")[0]
+    ln_anti = head.index("BroadcastHashJoin LeftAnti")
+    assert "HashAggregate" not in head[ln_anti:], head
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed and "p_brand" in pushed, pushed
