@@ -1082,10 +1082,12 @@ def _conv_fn(inner: str, engine: str) -> str:
             return _mysql_str_encode(to_base(int(lit.strip(), fb), tb))
         except ValueError:
             return "NULL"
+    if engine == "spark":
+        # Spark's conv() parses the string in from_base natively
+        # (CONV(a, 16, 2) over a column, bit_type.test)
+        return f"upper(conv(CAST(({x}) AS STRING), {fb}, {tb}))"
     if fb != 10:
         raise ValueError("CONV with non-literal non-base-10 source")
-    if engine == "spark":
-        return f"upper(conv(CAST(({x}) AS STRING), 10, {tb}))"
     return f"upper(to_base(CAST(({x}) AS BIGINT), {tb}))"
 
 
@@ -1327,6 +1329,14 @@ _INTRODUCER = re.compile(
     re.I,
 )
 
+# quoted-literal forms (_latin1 b'1000001' / _utf8 x'41'): the whole
+# literal is part of the match, so they substitute directly — the
+# outside-strings scanner would refuse to rewrite across the quotes
+_INTRODUCER_QUOTED = re.compile(
+    r"(?<![\w$])_(utf8mb4|utf8mb3|utf8|latin1|gbk|binary|ascii)\s*"
+    r"([bB]'[01]*'|[xX]'[0-9A-Fa-f]*')",
+)
+
 
 def _decode_introducers(sql: str) -> str:
     """MySQL charset introducers (_utf8mb4 0xE1B482, _latin1 b'…',
@@ -1339,11 +1349,23 @@ def _decode_introducers(sql: str) -> str:
         cs, lit = m.group(1).lower(), m.group(2)
         if not lit:
             return ""  # introducer before a quoted literal: drop it
-        if lit[1] in "xX":
+        if lit[0] in "bBxX" and lit[1] == "'":
+            # quoted b'0101' / x'41' literal forms (bit_type.test's
+            # _latin1 b'1000001')
+            digits = lit[2:-1]
+            if lit[0] in "xX":
+                b = bytes.fromhex(digits or "00")
+            else:
+                n = int(digits, 2) if digits else 0
+                b = n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+        elif lit[1] in "xX":
             b = bytes.fromhex(lit[2:])
         else:
             n = int(lit[2:], 2)
             b = n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+        return _decoded(cs, b)
+
+    def _decoded(cs: str, b: bytes) -> str:
         enc = {
             "latin1": "latin-1", "gbk": "gbk",
             "binary": "latin-1", "ascii": "ascii",
@@ -1351,13 +1373,148 @@ def _decode_introducers(sql: str) -> str:
         s = b.decode(enc, "replace")
         return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
+    sql = _INTRODUCER_QUOTED.sub(
+        lambda m: rep(m), sql
+    )  # whole literal inside the match: safe as a direct sub
     return _sub_outside_strings(sql, _INTRODUCER, rep)
+
+
+_TRUTH_ATOM = (
+    r"(?:(?:[A-Za-z_][\w$]*\s*\.\s*)?[A-Za-z_][\w$]*|`[^`]+`"
+    r"|\d+(?:\.\d+)?|\((?:[^()]|\([^()]*\))*\))"
+)
+
+_IS_TRUTH = re.compile(
+    rf"({_TRUTH_ATOM})\s+IS\s+(NOT\s+)?(TRUE|FALSE)\b", re.I
+)
+
+
+def _rewrite_is_truth(sql: str) -> str:
+    """MySQL ``x IS [NOT] TRUE/FALSE`` over NUMERIC x (bit_type.test's
+    ``a is true`` over BIT): truthiness is x <> 0, and — unlike plain
+    comparisons — IS TRUE is never NULL (NULL IS TRUE = 0,
+    NULL IS NOT TRUE = 1).  Both engines only accept IS TRUE on
+    booleans, so spell it out; result is MySQL's 1/0 int."""
+
+    def rep(m: re.Match) -> str:
+        x, neg, which = m.group(1), m.group(2), m.group(3).upper()
+        op = "<>" if which == "TRUE" else "="
+        inner = f"COALESCE(({x}) {op} 0, FALSE)"
+        if neg:
+            inner = f"NOT {inner}"
+        return f"CAST({inner} AS INT)"
+
+    return _sub_outside_strings(sql, _IS_TRUTH, rep)
+
+
+_BANG_NOT = re.compile(rf"(?<![!<>=])!(?!=)\s*({_TRUTH_ATOM})")
+
+
+def _rewrite_bang_not(sql: str) -> str:
+    """MySQL's high-precedence ``!x`` operator (bit_type.test's
+    ``!(a+b)``): 1 when x = 0, 0 when x <> 0, NULL on NULL — which is
+    exactly ``(x) = 0`` as MySQL's 1/0 int."""
+    return _sub_outside_strings(
+        sql, _BANG_NOT, lambda m: f"CAST((({m.group(1)}) = 0) AS INT)"
+    )
+
+
+_TRUTHY_ITEM = re.compile(
+    rf"^(?:NOT\s+)*{_TRUTH_ATOM}"
+    rf"(?:\s+(?:AND|OR|XOR)\s+(?:NOT\s+)*{_TRUTH_ATOM})+$"
+    rf"|^(?:NOT\s+)+{_TRUTH_ATOM}$",
+    re.I,
+)
+
+_TRUTHY_SPLIT = re.compile(r"\s+(AND|OR|XOR)\s+", re.I)
+
+
+def _truthy_term(term: str) -> str:
+    """One operand of a numeric logical op → boolean with MySQL
+    truthiness (nonzero = true, NULL = unknown)."""
+    nots = 0
+    t = term.strip()
+    while True:
+        nm = re.match(r"NOT\s+", t, re.I)
+        if not nm:
+            break
+        nots += 1
+        t = t[nm.end():]
+    if t.upper() == "NULL":
+        b = "CAST(NULL AS BOOLEAN)"
+    else:
+        b = f"(({t}) <> 0)"
+    for _ in range(nots):
+        b = f"(NOT {b})"
+    return b
+
+
+def _rewrite_truthy_logic_items(sql: str) -> str:
+    """MySQL applies AND/OR/XOR/NOT to NUMBERS (nonzero = true;
+    bit_type.test's ``select not a, a and b, a xor 1 … from bit2``);
+    both engines demand booleans.  Rewrite SELECT-list items that are
+    pure logical combinations of simple atoms (identifiers, literals,
+    NULL, parenthesized arithmetic) into explicit truthy form, cast to
+    MySQL's 1/0 int.  Items with any other shape (comparisons,
+    BETWEEN…AND, function calls) pass through untouched — their AND/OR
+    operands are already boolean.  Single-precedence left-assoc is
+    fine for the corpus's two-term items; XOR is <> on booleans
+    (NULL-propagating, like MySQL)."""
+    m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?", sql, re.I)
+    if not m:
+        return sql
+    list_start = m.end()
+    from_i = _scan_token(sql, list_start, 0, ("FROM",))
+    if from_i < 0:
+        return sql
+    items = _split_top_commas(sql[list_start:from_i])
+    changed = False
+    out_items = []
+    for item in items:
+        body = item.strip()
+        if _TRUTHY_ITEM.match(body) and re.search(
+            r"\b(AND|OR|XOR|NOT)\b", body, re.I
+        ):
+            parts = _TRUTHY_SPLIT.split(body)
+            expr = _truthy_term(parts[0])
+            for op, term in zip(parts[1::2], parts[2::2]):
+                op = op.upper()
+                rhs = _truthy_term(term)
+                expr = f"({expr} {'<>' if op == 'XOR' else op} {rhs})"
+            out_items.append(f"CAST({expr} AS INT)")
+            changed = True
+        else:
+            out_items.append(body)
+    if not changed:
+        return sql
+    return (
+        sql[:list_start] + ", ".join(out_items) + " " + sql[from_i:]
+    )
+
+
+def _charset_introspect(inner: str, which: str) -> str:
+    """MySQL CHARSET(x)/COLLATION(x) (bit_type.test): ``BINARY x`` has
+    charset and collation 'binary'; a plain string literal carries the
+    connection charset (the suite runs utf8mb4).  Other argument
+    shapes would need live column-charset tracking — raise so nothing
+    silently returns the wrong catalog string."""
+    s = inner.strip()
+    if re.match(r"(?i)^BINARY\b", s):
+        return "'binary'"
+    if re.match(r"^'(?:[^'\\]|\\.)*'$", s):
+        return "'utf8mb4'" if which == "cs" else "'utf8mb4_general_ci'"
+    raise ValueError(f"CHARSET()/COLLATION() over unsupported arg: {inner!r}")
 
 
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     _huge_int_arith_guard(sql)
     sql = _decode_introducers(sql)
+    # `expr COLLATE name` — collation annotation; comparisons follow
+    # the collation machinery elsewhere, the annotation itself drops
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\s+COLLATE\s+[A-Za-z0-9_]+", re.I), lambda m: ""
+    )
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
@@ -1418,6 +1575,39 @@ def rewrite_expr(sql: str, engine: str) -> str:
         sql, re.compile(r"\bVARIANCE\s*\(", re.I), lambda m: "VAR_POP("
     )
     sql = _rewrite_logical_ops(sql)
+    sql = _rewrite_is_truth(sql)
+    sql = _rewrite_bang_not(sql)
+    sql = _rewrite_truthy_logic_items(sql)
+    sql = _wrap_calls(
+        sql, "CHARSET", lambda i: _charset_introspect(i, "cs")
+    )
+    sql = _wrap_calls(
+        sql, "COLLATION", lambda i: _charset_introspect(i, "coll")
+    )
+    # MySQL ATAN2(x) single-arg form is ATAN(x) (bit_type.test)
+    sql = _wrap_calls(
+        sql, "ATAN2",
+        lambda i: f"ATAN({i})"
+        if len(_split_top_commas(i)) == 1 else f"ATAN2({i})",
+    )
+    # MySQL MOD(x, 0) is NULL; Spark's ANSI mode and DuckDB both raise
+    def _mod_fn(inner: str) -> str:
+        p = _split_top_commas(inner)
+        if len(p) != 2:
+            return f"MOD({inner})"
+        return f"MOD({p[0]}, NULLIF({p[1]}, 0))"
+
+    sql = _wrap_calls(sql, "MOD", _mod_fn)
+    # MySQL RAND(seed) is a per-row seeded PRNG; neither engine has a
+    # column-seeded form.  Deterministic hash-uniform analog — same
+    # expression both engines, but NOT value-parity with MySQL's LCG:
+    # execution/statistics surface only, never a designated output.
+    def _rand_fn(inner: str) -> str:
+        if not inner.strip():
+            return "RAND()" if engine == "spark" else "RANDOM()"
+        return f"((ABS(HASH({inner})) % 1000000) / 1000000.0)"
+
+    sql = _wrap_calls(sql, "RAND", _rand_fn)
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed
     sql = _wrap_calls(sql, "ISNULL", lambda inner: f"(({inner}) IS NULL)")

@@ -163,6 +163,9 @@ SOURCES = {
     'dialect_bit_literals': ('bit_type.test', [(1, 54)]),
     'dialect_bit_strings': ('bit_type.test', [(1, 54)]),
     'dialect_nonfull_groupby': ('issue1107.test', [(1, 60)]),
+    'dialect_bit_ops_logic': ('bit_type.test', [(1, 4), (56, 102), (205, 205)]),
+    'dialect_bit_coalesce': ('bit_type.test', [(1, 4), (56, 102), (205, 205)]),
+    'dialect_bit_charset_fns': ('bit_type.test', [(1, 4), (56, 102), (205, 205)]),
     'dialect_load_alter_default': ('issue1865.test', [(1, 29)]),
     'dialect_load_nullword': ('issue1153.test', [(1, 85)]),
     'dialect_load_notnull_default': ('issue1153.test', [(1, 85)]),
@@ -9154,6 +9157,62 @@ drop table i2;
 drop database different_charsets_test;
 """
 
+SCRIPT_BIT_TYPE_OPS = """--source include/have_tianmu.inc
+
+drop database if exists test_bit;
+create database test_bit;
+
+# test functions and operators
+create table bit2(a bit(8), b bit(11)) engine=tianmu DEFAULT CHARSET=utf8mb4;
+insert into bit2 values(b'10111', b'1011');
+insert into bit2 values(b'10111111', b'1011000');
+# test comparison operators: https://dev.mysql.com/doc/refman/5.7/en/comparison-operators.html
+select a>b, a=b, a<b, a<=>b, a<>b, a!=b, a<=b, a>=b from bit2;
+select COALESCE(a),greatest(a, 0), greatest(a, 123), a is true, b is false, a is null, isnull(b),least(a,2.0) from bit2;
+
+# test Logical Operators: https://dev.mysql.com/doc/refman/5.7/en/logical-operators.html 
+select not a, a is true, b is null, a is not null, !(a+b), a and b, a and 0, a and null, a or 1, a or b, a xor 1, a xor b, a xor 0 from bit2;
+
+# test Mathematical Functions: https://dev.mysql.com/doc/refman/5.7/en/mathematical-functions.html
+select abs(-a), abs(a), acos(b), asin(a), atan(b),atan2(a),ceil(a+0.1), ceiling(a+0.2),conv(a, 16,2), conv(a, 16, 10), conv(a, 16, 16) from bit2;
+select cos(a), cot(b), degrees(a), exp(a), floor(a+0.33), ln(a), log(a), log10(a), log2(a), mod(a, 0), pi()+a, pow(a,b), radians(a), rand(a) from
+bit2;
+select round(a), sign(b), sin(a), sqrt(a), tan(a),truncate(a+0.1123, 2) from bit2;
+
+# test date and time: https://dev.mysql.com/doc/refman/5.7/en/date-and-time-functions.html
+SELECT DATE_ADD('2018-05-01',INTERVAL a DAY) from bit2;
+
+# test string ... : https://dev.mysql.com/doc/refman/5.7/en/string-comparison-functions.html
+select a like "10111", b not like "1011" from bit2;
+select strcmp(a,b), strcmp(b,a),strcmp(a,a) from bit2;
+select charset(binary a), collation(binary b) from bit2;
+SELECT _latin1 b'1000001' from bit2;
+SELECT _utf8mb4 0b1000001 COLLATE utf8mb4_danish_ci from bit2;
+--error 1064
+SELECT _utf8mb4 0B1000001 COLLATE utf8mb4_danish_ci from bit_test;
+
+# test bit function & operators: https://dev.mysql.com/doc/refman/8.0/en/bit-functions.html
+SELECT BIT_AND(a), BIT_OR(a), BIT_XOR(a), BIT_COUNT(a), bin(a >> 1), bin(a << 1), bin(~a), bin(a & b'1111'), a ^ b, a | b, a & b from bit2 group by a,b;
+
+# test agg
+select avg(a), count(distinct a), max(b),max(a),std(a),stddev(a),sum(a),var_pop(a),var_samp(b),variance(a) from bit2 group by a;
+
+
+# test boundary operations, unsigned bigint is 20 bits digits
+select a * 12345678910111213 from bit2;
+# error like mysql does: BIGINT UNSIGNED value is out of range in '(`test`.`bit2`.`a` * 1234567891011121312)'
+--error 1690
+select a * 1234567891011121312 from bit2;
+--error 1690
+select a * 12345678910111213123 from bit2;
+# error(mysql will be numeric results, diff with tianmu):  Numeric result of an expression is too large and cannot be handled by tianmu. Please use an explicit cast to a data type handled by tianmu, e.g. CAST(<expr> AS DECIMAL(18,6)).
+--error 1105
+select a * 12345678910111213123456 from bit2;
+drop table bit2;
+
+drop database test_bit;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -9313,6 +9372,9 @@ _SPECS = [
     ('dialect_nonfull_groupby', SCRIPT_ISSUE1107, -1, ['id', 'unitsn', 'v1', 'v2', 'v3', 'v4', 'v5'], False, 'ONLY_FULL_GROUP_BY disabled: non-aggregated CASE pivot columns under GROUP BY take a group representative (MIN; MySQL contract is any member, tianmu shows first-row picks)'),
     ('dialect_bit_literals', SCRIPT_BIT_TYPE, 0, ['v', 'b2', 'b8', 'hx'], False, "BIT(8) literals b'…'/B'…'/0b… incl. b'' = 0; BIN/OCT/HEX readback; 1406 too-long, 1064 b'2', 1054 uppercase-0B analogs"),
     ('dialect_bit_strings', SCRIPT_BIT_TYPE, 1, ['v', 'b2', 'b8', 'hx'], False, "string into BIT reads the BYTES big-endian ('1'->49, ' '->32, ''->0; 2-byte strings overflow BIT(8) with 1406)"),
+    ('dialect_bit_ops_logic', SCRIPT_BIT_TYPE_OPS, 2, ['nota', 'istrue', 'isnullb', 'notnullab', 'bang', 'andb', 'and0', 'andnull', 'or1', 'orb', 'xor1', 'xorb', 'xor0'], False, "numeric logical ops over BIT: NOT/!/AND/OR/XOR truthiness (nonzero=true, NULL-propagating), IS TRUE never NULL; 1690 overflow + 1064 uppercase-0B legs asserted"),
+    ('dialect_bit_coalesce', SCRIPT_BIT_TYPE_OPS, 1, ['c', 'g0', 'g123', 'istrue', 'isfalse', 'isn', 'isn2', 'l'], False, 'COALESCE/GREATEST/LEAST and IS TRUE/FALSE/NULL over BIT columns', {'l': 'DOUBLE'}),
+    ('dialect_bit_charset_fns', SCRIPT_BIT_TYPE_OPS, 9, ['cs', 'coll'], False, "CHARSET(BINARY x)/COLLATION(BINARY x) introspection = 'binary'; _latin1 b'1000001' introducer-over-bit-literal runs along the way"),
     ('dialect_replace_composite_pk', SCRIPT_ISSUE1152, -1, None, False, 'REPLACE INTO against a composite (id,id1) PRIMARY KEY: non-matching tuple inserts rather than replacing'),
     ('dialect_derived_substr_group', SCRIPT_ISSUE1258, -1, None, False, 'derived table whose COUNT() alias shadows a base column name; GROUP BY SUBSTR(...) expression key under a self-join'),
     ('dialect_implicit_group_empty', SCRIPT_ISSUE1784, 26, ['a', 's'], True, 'aggregate + bare column with NO GROUP BY over an empty table: one implicit group -> one all-NULL row (non-OFGB)'),
