@@ -90,6 +90,7 @@ def split_mtr(script: str) -> list[Statement]:
     buf: list[str] = []
     expect_error = False
     in_str: str | None = None
+    delim = ";"  # mysqltest DELIMITER command can change this
     for rawline in script.splitlines():
         line = rawline.strip()
         if in_str is None and (not line or line.startswith("#")):
@@ -100,7 +101,21 @@ def split_mtr(script: str) -> list[Statement]:
             if re.match(r"--\s*error\b", line, re.I):
                 expect_error = True
             continue
-        # scan for statement terminator ';' outside string literals
+        dm = (
+            re.match(r"^DELIMITER\s+(\S+)\s*$", line, re.I)
+            if in_str is None and not buf
+            else None
+        )
+        if dm:
+            # mysqltest: the rest of the line is the new delimiter, the
+            # CURRENT delimiter terminating the command ('DELIMITER //;'
+            # sets '//'; 'DELIMITER ;//' restores ';')
+            tok = dm.group(1)
+            if tok != delim and tok.endswith(delim):
+                tok = tok[: -len(delim)]
+            delim = tok or ";"
+            continue
+        # scan for the statement terminator outside string literals
         piece: list[str] = []
         i = 0
         while i < len(rawline):
@@ -122,13 +137,14 @@ def split_mtr(script: str) -> list[Statement]:
             elif ch in ("'", '"'):
                 in_str = ch
                 piece.append(ch)
-            elif ch == ";":
+            elif rawline.startswith(delim, i):
                 buf.append("".join(piece))
                 text = _norm_eval("\n".join(buf).strip())
                 if text:
                     stmts.append(Statement(text, expect_error))
                     expect_error = False
                 buf, piece = [], []
+                i += len(delim) - 1
             else:
                 piece.append(ch)
             i += 1
@@ -137,7 +153,7 @@ def split_mtr(script: str) -> list[Statement]:
     tail = _norm_eval("\n".join(buf).strip())
     if tail:
         stmts.append(Statement(tail, expect_error))
-    return stmts
+    return _expand_procedures(stmts)
 
 
 def _norm_eval(text: str) -> str:
@@ -148,6 +164,196 @@ def _norm_eval(text: str) -> str:
     if m:
         text = m.group(1).replace("$MYSQL_TEST_DIR", MYSQL_TEST_DIR)
     return text
+
+
+_CREATE_PROC = re.compile(
+    r"^\s*CREATE\s+PROCEDURE\s+(`[^`]+`|\w+)\s*\([^)]*\)\s*"
+    r"BEGIN\b(.*)\bEND\s*$",
+    re.I | re.S,
+)
+
+
+def _split_semis(text: str) -> list[str]:
+    """Split on ';' outside string literals (procedure bodies keep
+    their inner ';' through split_mtr because the DELIMITER is '//'
+    while the body is collected)."""
+    parts, buf, in_str = [], [], None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < len(text):
+                buf.append(text[i + 1])
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
+def _peval(expr: str, pvars: dict):
+    """Evaluate a procedure-local scalar expression (loop counters and
+    conditions: ``i``, ``i + 1``, ``i < 5000``).  Identifiers resolve
+    from ``pvars``; the substituted text must be pure arithmetic —
+    anything else is rejected.  Bounded to MTR-scale interpretation."""
+    def sub(m: re.Match) -> str:
+        k = m.group(0).lower()
+        if k in pvars:
+            return repr(pvars[k])
+        raise ValueError(f"procedure: unknown variable '{m.group(0)}'")
+
+    text = re.sub(r"\b[A-Za-z_]\w*\b", sub, expr)
+    if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*", text):
+        raise ValueError(f"procedure: unsupported expression {expr[:60]}")
+    return eval(  # noqa: S307 — charset-restricted arithmetic only
+        text.replace("<>", "!="), {"__builtins__": {}}, {}
+    )
+
+
+def _interp_proc(tokens: list[str], pvars: dict, out: list[str]) -> None:
+    """Interpret a ';'-split procedure body: DECLARE/SET maintain
+    integer loop variables, WHILE…END WHILE unrolls, anything else is
+    emitted as SQL with variables substituted as literals."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        dm = re.match(
+            r"^\s*DECLARE\s+(\w+)\s+\w+(?:\(\d+\))?"
+            r"(?:\s+DEFAULT\s+(.+))?\s*$",
+            t, re.I | re.S,
+        )
+        if dm:
+            pvars[dm.group(1).lower()] = (
+                _peval(dm.group(2), pvars) if dm.group(2) else 0
+            )
+            i += 1
+            continue
+        sm = re.match(r"^\s*SET\s+(\w+)\s*=\s*(.+)$", t, re.I | re.S)
+        if sm and sm.group(1).lower() in pvars:
+            pvars[sm.group(1).lower()] = _peval(sm.group(2), pvars)
+            i += 1
+            continue
+        wm = re.match(r"^\s*WHILE\s+(.+?)\s+DO\b(.*)$", t, re.I | re.S)
+        if wm:
+            block = []
+            if wm.group(2).strip():
+                block.append(wm.group(2).strip())
+            depth = 1
+            i += 1
+            while i < len(tokens) and depth:
+                inner = tokens[i]
+                if re.match(r"^\s*WHILE\b", inner, re.I):
+                    depth += 1
+                if re.match(r"^\s*END\s+WHILE\s*$", inner, re.I):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                block.append(inner)
+                i += 1
+            guard = 0
+            while _peval(wm.group(1), pvars):
+                _interp_proc(list(block), pvars, out)
+                guard += 1
+                if guard > 1_000_000:
+                    raise ValueError("procedure: WHILE guard exceeded")
+            i += 1  # past END WHILE
+            continue
+        # plain statement: substitute loop variables as literals
+        def subvar(m: re.Match) -> str:
+            k = m.group(0).lower()
+            if k in pvars:
+                v = pvars[k]
+                return repr(v) if isinstance(v, str) else str(v)
+            return m.group(0)
+
+        out.append(_sub_outside_strings(
+            t, re.compile(r"\b[A-Za-z_]\w*\b"), subvar
+        ))
+        i += 1
+
+
+_INSERT_ONE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\w+)\s+VALUES\s*(\(.*\))\s*$",
+    re.I | re.S,
+)
+
+
+def _expand_procedures(stmts: list[Statement]) -> list[Statement]:
+    """Minimal stored-procedure surface for the MTR corpus
+    (insert_into_select.test, delete_signed.test, update_signed.test:
+    reference mysql-test/suite/tianmu/t): CREATE PROCEDURE bodies are
+    recorded, CALL splices the body in — unrolling DECLARE/SET/WHILE
+    driver-side — and runs of single-row INSERTs into one table are
+    batched into ONE multi-row INSERT so a 5000-iteration generator
+    loop costs one distributed write, not 5000."""
+    if not any(
+        re.match(r"^\s*(CREATE\s+PROCEDURE|CALL|DROP\s+PROCEDURE)\b",
+                 st.text, re.I)
+        for st in stmts
+    ):
+        return stmts
+    procs: dict[str, str] = {}
+    out: list[Statement] = []
+    for st in stmts:
+        pm = _CREATE_PROC.match(st.text)
+        if pm:
+            procs[_unquote_ident(pm.group(1)).lower()] = pm.group(2)
+            continue
+        if re.match(r"^\s*DROP\s+PROCEDURE\b", st.text, re.I):
+            nm = re.match(
+                r"^\s*DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)",
+                st.text, re.I,
+            )
+            procs.pop(_unquote_ident(nm.group(1)).lower(), None)
+            continue
+        cm = re.match(r"^\s*CALL\s+(`[^`]+`|\w+)\s*(?:\(\s*\))?\s*$",
+                      st.text, re.I)
+        if cm:
+            name = _unquote_ident(cm.group(1)).lower()
+            if name not in procs:
+                raise ValueError(
+                    f"PROCEDURE {name} does not exist "
+                    f"(MySQL error 1305 analog)"
+                )
+            emitted: list[str] = []
+            _interp_proc(_split_semis(procs[name]), {}, emitted)
+            # batch consecutive single-row INSERTs into one statement
+            j = 0
+            while j < len(emitted):
+                im = _INSERT_ONE.match(emitted[j])
+                if im:
+                    tname = im.group(1)
+                    rows = [im.group(2)]
+                    k = j + 1
+                    while k < len(emitted):
+                        nm2 = _INSERT_ONE.match(emitted[k])
+                        if not nm2 or nm2.group(1).lower() != tname.lower():
+                            break
+                        rows.append(nm2.group(2))
+                        k += 1
+                    out.append(Statement(
+                        f"INSERT INTO {tname} VALUES " + ", ".join(rows),
+                        st.expect_error,
+                    ))
+                    j = k
+                else:
+                    out.append(Statement(emitted[j], st.expect_error))
+                    j += 1
+            continue
+        out.append(st)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2517,13 +2723,15 @@ def _inline_funcs(sql: str, funcs: dict) -> str:
 
 def _normalize_insert_set(s: str) -> str:
     """``INSERT INTO t SET a=1, b=2`` → column-list VALUES form
-    (select_precision.test)."""
+    (select_precision.test); same for ``REPLACE INTO t SET …``
+    (replace_into.test)."""
     m = re.match(
-        r"^(\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(?:`[^`]+`|\w+)\s+)SET\s+(.+)$",
+        r"^(\s*(?:INSERT|REPLACE)\s+(?:IGNORE\s+)?(?:INTO\s+)?"
+        r"(?:`[^`]+`|\w+)\s+)SET\s+(.+)$",
         s,
         re.I | re.S,
     )
-    if not m or re.match(r"^\s*INSERT\s+INTO\s+SET\b", s, re.I):
+    if not m or re.match(r"^\s*(INSERT|REPLACE)\s+INTO\s+SET\b", s, re.I):
         return s
     cols, vals = [], []
     for part in _split_top_commas(m.group(2)):
@@ -2533,6 +2741,102 @@ def _normalize_insert_set(s: str) -> str:
     return (
         f"{m.group(1)}({', '.join(cols)}) VALUES ({', '.join(vals)})"
     )
+
+
+def _split_create_select(s: str):
+    """``CREATE TABLE t (coldefs) [options] SELECT …`` (ctas1.test's
+    user_bk4/user_bk5): split into the CREATE part and the feeding
+    SELECT.  Returns (create_part, select_part) or None."""
+    m = re.match(r"^\s*CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*\(", s, re.I)
+    if not m:
+        return None
+    depth, i, in_str = 1, m.end(), None
+    while i < len(s) and depth:
+        ch = s[i]
+        if in_str:
+            if ch == "\\":
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    rest = s[i:]
+    rm = re.search(r"\bSELECT\b", rest, re.I)
+    if not rm:
+        return None
+    create_part = re.sub(r"\s*\bAS\s*$", "", s[:i] + " " + rest[:rm.start()])
+    return create_part, rest[rm.start():]
+
+
+def _select_out_names(sel: str, tables: dict) -> list[str]:
+    """Output column names of a top-level SELECT — enough for MySQL's
+    CREATE TABLE (cols) SELECT merge rule: explicit projections
+    (alias, bare or qualified column) and ``*`` / ``t.*`` resolved
+    through the FROM table's TableDef."""
+    m = re.match(
+        r"^\s*\(?\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+FROM\s+(.*)$",
+        sel, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"cannot derive select columns: {sel[:80]}")
+    names: list[str] = []
+    for it in _split_top_commas(m.group(1)):
+        it = it.strip()
+        star = re.fullmatch(r"(?:(`[^`]+`|\w+)\.)?\*", it)
+        if star:
+            tn = star.group(1)
+            if tn is None:
+                fm = re.match(r"\s*(`[^`]+`|\w+)", m.group(2))
+                tn = fm.group(1)
+            td = tables[_unquote_ident(tn).lower()]
+            names.extend(c.name for c in td.columns)
+            continue
+        am = re.search(
+            r"\s+(?:AS\s+)?(`[^`]+`|\w+|'[^']*'|\"[^\"]*\")\s*$", it, re.I
+        )
+        bare = re.fullmatch(r"(?:(?:`[^`]+`|\w+)\.)?(`[^`]+`|\w+)", it)
+        if bare:
+            names.append(_unquote_ident(bare.group(1)))
+        elif am and am.group(1).upper() not in _REL_KEYWORDS:
+            names.append(_unquote_ident(am.group(1)).strip("'\""))
+        else:
+            names.append(it)
+    return names
+
+
+def _merged_ctas_projection(
+    tdd: TableDef, sel_names: list[str], engine: str
+) -> str:
+    """The projection implementing MySQL's CREATE TABLE (cols) SELECT
+    column-merge rule: declared columns first (fed by the same-named
+    select output, else their DEFAULT), remaining select outputs
+    appended."""
+    q = "`" if engine == "spark" else '"'
+    lower_sel = [n.lower() for n in sel_names]
+    parts = []
+    for c in tdd.columns:
+        ctype = c.spark_type if engine == "spark" else c.duck_type
+        if c.name.lower() in lower_sel:
+            src = sel_names[lower_sel.index(c.name.lower())]
+            parts.append(
+                f"CAST({q}{src}{q} AS {ctype}) AS {q}{c.name}{q}"
+            )
+        else:
+            dv = (
+                rewrite_expr(c.default, engine)
+                if c.default is not None else "NULL"
+            )
+            parts.append(f"CAST(({dv}) AS {ctype}) AS {q}{c.name}{q}")
+    declared = {c.name.lower() for c in tdd.columns}
+    parts.extend(
+        f"{q}{n}{q}" for n in sel_names if n.lower() not in declared
+    )
+    return ", ".join(parts)
 
 
 def _implicit_default(c: ColumnDef) -> str:
@@ -4181,6 +4485,28 @@ def run_statement(run: MTRRun, stmt: str):
             else:
                 run.spark.sql(f"DROP VIEW IF EXISTS `{name}`")
         return None
+    mc = _split_create_select(s)
+    if mc:  # CREATE TABLE t (coldefs) [options] SELECT … (ctas1.test)
+        create_part, select_part = mc
+        tdd = parse_create_table(create_part)
+        sel_names = _select_out_names(select_part, run.tables)
+        inner = rewrite_expr(select_part, "spark")
+        proj = _merged_ctas_projection(tdd, sel_names, "spark")
+        name = tdd.name
+        run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        run.incarnation += 1
+        loc = f"{run.workdir}/{name}_{run.incarnation}"
+        run.spark.sql(
+            f"CREATE TABLE `{name}` USING PARQUET LOCATION '{loc}' AS "
+            f"SELECT {proj} FROM ({inner}) AS _cs"
+        )
+        cols = [
+            ColumnDef(f.name, f.dataType.simpleString().upper(),
+                      _duck_type_from_spark(f.dataType), None)
+            for f in run.spark.table(f"`{name}`").schema.fields
+        ]
+        run.tables[name.lower()] = TableDef(name, cols)
+        return None
     cm = re.match(
         r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+"
         r"(?:AS\s+)?(\(?\s*SELECT\b.*)$",
@@ -4281,6 +4607,51 @@ def run_statement(run: MTRRun, stmt: str):
     if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
         # REPLACE [INTO] t …: delete PK-colliding rows, then insert
         # (MySQL delete+insert semantics — replace.test)
+        rsm = re.match(
+            r"^\s*REPLACE\s+(?:INTO\s+)?(`[^`]+`|\w+)\s*"
+            r"(?:\(([^()]*)\)\s*)?(SELECT\b.*)$",
+            s, re.I | re.S,
+        )
+        if rsm:  # REPLACE INTO t [(cols)] SELECT … (replace_into.test)
+            td = run.tables[_unquote_ident(rsm.group(1)).lower()]
+            td.seen_pk = None
+            fed = run.spark.sql(rewrite_expr(rsm.group(3), "spark"))
+            listed = (
+                [_unquote_ident(c).lower()
+                 for c in _split_top_commas(rsm.group(2))]
+                if rsm.group(2) else
+                [c.name.lower() for c in td.columns]
+            )
+            fed = fed.toDF(*listed)
+            proj = []
+            for c in td.columns:
+                if c.name.lower() in listed:
+                    proj.append(
+                        F.col(f"`{c.name.lower()}`").cast(c.spark_type)
+                        .alias(c.name)
+                    )
+                else:
+                    dv = (
+                        rewrite_expr(c.default, "spark")
+                        if c.default is not None else "NULL"
+                    )
+                    proj.append(
+                        F.expr(dv).cast(c.spark_type).alias(c.name)
+                    )
+            new_df = fed.select(*proj)
+            tbl = run.spark.table(f"`{td.name}`")
+            if td.pk:
+                survivors = tbl.join(
+                    new_df.select(*td.pk).distinct(), on=td.pk,
+                    how="left_anti",
+                ).select(*[F.col(f"`{c.name}`") for c in td.columns])
+            else:
+                survivors = tbl
+            staged = survivors.unionByName(new_df).localCheckpoint(
+                eager=True
+            )
+            staged.write.insertInto(f"`{td.name}`", overwrite=True)
+            return None
         ins = re.sub(r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I)
         td, rows = _parse_insert_values(run.tables, ins, run.strict)
         td.seen_pk = None  # REPLACE overwrites; stop 1062 tracking
@@ -4629,6 +5000,16 @@ def run_statement(run: MTRRun, stmt: str):
         run.tables[tout.lower()] = newtd
         return None
     if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
+        # MySQL caps a join at 61 tables (sql/sql_select.cc MAX_TABLES);
+        # select_joins.test asserts ER_TOO_MANY_TABLES on the 62nd.
+        # Spark has no such cap, so the dialect surface enforces the
+        # analog: JOIN-keyword count + 1 bounds the relation count.
+        njoin = len(re.findall(r"\bJOIN\b", s, re.I))
+        if njoin + 1 > 61:
+            raise ValueError(
+                "Too many tables; MySQL can only use 61 tables in a "
+                "join (MySQL error 1116 analog)"
+            )
         if not run.full_group_by:
             s = _wrap_nongrouped_any_value(s)
         return run.spark.sql(
@@ -4901,6 +5282,21 @@ def build_oracle_sql(
             continue
         if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?TABLE\b", s, re.I):
             continue  # versions stay defined; harmless after designated
+        mc = _split_create_select(s)
+        if mc:  # CREATE TABLE t (coldefs) [options] SELECT …
+            create_part, select_part = mc
+            tdd = parse_create_table(create_part)
+            sel_names = _select_out_names(select_part, tables)
+            sel = retarget(rewrite_expr(select_part, "duck"))
+            proj = _merged_ctas_projection(tdd, sel_names, "duck")
+            key = tdd.name.lower()
+            tables[key] = TableDef(tdd.name, [])  # like plain CTAS
+            versions[key] = 0
+            incarn[key] = incarn.get(key, 0) + 1
+            ctes.append(
+                (vname(key), f"SELECT {proj} FROM ({sel}) AS _cs")
+            )
+            continue
         cm = re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+"
             r"(?:AS\s+)?(\(?\s*SELECT\b.*)$",
@@ -5006,6 +5402,63 @@ def build_oracle_sql(
                     continue  # zero-row load: no-op
                 stmt_strict = False  # LOAD DATA clamps, never errors
         if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
+            rsm = re.match(
+                r"^\s*REPLACE\s+(?:INTO\s+)?(`[^`]+`|\w+)\s*"
+                r"(?:\(([^()]*)\)\s*)?(SELECT\b.*)$",
+                s, re.I | re.S,
+            )
+            if rsm:  # REPLACE INTO t [(cols)] SELECT …
+                td = tables[_unquote_ident(rsm.group(1)).lower()]
+                td.seen_pk = None
+                listed = (
+                    [_unquote_ident(c).lower()
+                     for c in _split_top_commas(rsm.group(2))]
+                    if rsm.group(2) else
+                    [c.name.lower() for c in td.columns]
+                )
+                sel = retarget(rewrite_expr(rsm.group(3), "duck"))
+                vnames_i = ", ".join(f"_i{i}" for i in range(len(listed)))
+                parts_i = []
+                for c in td.columns:
+                    if c.name.lower() in listed:
+                        i = listed.index(c.name.lower())
+                        parts_i.append(
+                            f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                        )
+                    else:
+                        dv = (
+                            rewrite_expr(c.default, "duck")
+                            if c.default is not None else "NULL"
+                        )
+                        parts_i.append(
+                            f'CAST(({dv}) AS {c.duck_type}) AS "{c.name}"'
+                        )
+                inc = (
+                    f"(SELECT {', '.join(parts_i)} FROM ({sel}) "
+                    f"AS _ins({vnames_i})) AS _new"
+                )
+                t = td.name.lower()
+                flush(t)
+                prev = vname(t)
+                if versions[t] == 0 and not _has_version0(t):
+                    ctes.append((prev, _duck_values_cte(td, [])))
+                versions[t] += 1
+                if td.pk:
+                    cond = " AND ".join(
+                        f'_old."{c}" = _new."{c}"' for c in td.pk
+                    )
+                    body = (
+                        f"SELECT * FROM {prev} AS _old WHERE NOT EXISTS "
+                        f"(SELECT 1 FROM {inc} WHERE {cond}) "
+                        f"UNION ALL SELECT * FROM {inc}"
+                    )
+                else:
+                    body = (
+                        f"SELECT * FROM {prev} "
+                        f"UNION ALL SELECT * FROM {inc}"
+                    )
+                ctes.append((vname(t), body))
+                continue
             ins = re.sub(
                 r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I
             )
