@@ -1712,6 +1712,48 @@ def _charset_introspect(inner: str, which: str) -> str:
     raise ValueError(f"CHARSET()/COLLATION() over unsupported arg: {inner!r}")
 
 
+def _is_toplevel_bool(expr: str) -> bool:
+    """True when an aggregate argument is boolean-valued at its top
+    level — a comparison, IS [NOT] NULL, LIKE, or BETWEEN outside any
+    parentheses, string, or CASE…END (whose internal comparisons
+    don't make the CASE boolean).  Drives MySQL's bool→0/1 coercion
+    under SUM/AVG (insert_into_select.test's SUM(a IS NULL))."""
+    depth = case_depth = 0
+    in_str = None
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if in_str:
+            if ch == "\\":
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            m = re.match(r"[A-Za-z_]\w*", expr[i:])
+            word = m.group(0).upper()
+            if word == "CASE":
+                case_depth += 1
+            elif word == "END" and case_depth:
+                case_depth -= 1
+            elif case_depth == 0 and word in ("IS", "LIKE", "BETWEEN"):
+                return True
+            i += len(word)
+            continue
+        elif depth == 0 and case_depth == 0 and ch in "=<>":
+            return True
+        elif depth == 0 and case_depth == 0 and ch == "!" and \
+                i + 1 < n and expr[i + 1] == "=":
+            return True
+        i += 1
+    return False
+
+
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     _huge_int_arith_guard(sql)
@@ -1814,6 +1856,17 @@ def rewrite_expr(sql: str, engine: str) -> str:
         return f"((ABS(HASH({inner})) % 1000000) / 1000000.0)"
 
     sql = _wrap_calls(sql, "RAND", _rand_fn)
+    # MySQL sums/averages booleans as 0/1 ints (insert_into_select.test's
+    # SUM(a IS NULL)); both engines reject boolean under SUM/AVG
+    for agg in ("SUM", "AVG"):
+        sql = _wrap_calls(
+            sql,
+            agg,
+            lambda inner, _a=agg: (
+                f"{_a}(CAST(({inner}) AS INT))"
+                if _is_toplevel_bool(inner) else f"{_a}({inner})"
+            ),
+        )
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed
     sql = _wrap_calls(sql, "ISNULL", lambda inner: f"(({inner}) IS NULL)")

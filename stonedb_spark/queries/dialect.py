@@ -156,6 +156,15 @@ SOURCES = {
     'dialect_charsets_a_last': ('different_charsets_a.test', [(1, 376)]),
     'dialect_charsets_b_mid': ('different_charsets_b.test', [(1, 538)]),
     'dialect_charsets_b_last': ('different_charsets_b.test', [(1, 538)]),
+    'dialect_proc_insert_select': ('insert_into_select.test', [(1, 101)]),
+    'dialect_proc_insert_select_nn': ('insert_into_select.test', [(1, 101)]),
+    'dialect_replace_into': ('replace_into.test', [(1, 100)]),
+    'dialect_replace_into_mid': ('replace_into.test', [(1, 100)]),
+    'dialect_ctas1': ('ctas1.test', [(1, 100)]),
+    'dialect_ctas1_first': ('ctas1.test', [(1, 100)]),
+    'dialect_select_joins': ('select_joins.test', [(1, 42)]),
+    'dialect_select_joins_left': ('select_joins.test', [(1, 42)]),
+    'dialect_select_joins_61': ('select_joins.test', [(1, 42)]),
     'dialect_implicit_group_empty': ('issue1784.test', [(1, 158)]),
     'dialect_implicit_group': ('issue1784.test', [(1, 158)]),
     'dialect_replace_composite_pk': ('issue1152.test', [(1, 20)]),
@@ -9213,6 +9222,357 @@ drop table bit2;
 drop database test_bit;
 """
 
+SCRIPT_INSERT_INTO_SELECT_PROC = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test of insert into data from different engines
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS insert_into_select_test;
+--enable_warnings
+
+CREATE DATABASE insert_into_select_test;
+USE insert_into_select_test;
+
+#
+# Scenario-1: Tables with Default NULL
+#
+CREATE TABLE t1_i (
+  `a` varchar(100) DEFAULT NULL
+) ENGINE=innodb DEFAULT CHARSET=utf8 ;
+
+CREATE TABLE t1_tianmu (
+  `a` varchar(100) DEFAULT NULL
+)DEFAULT CHARSET=utf8 ;
+
+# Populate tables
+DELIMITER //;
+CREATE PROCEDURE generate_data()
+BEGIN
+  DECLARE i INT DEFAULT 0;
+  TRUNCATE TABLE t1_i;
+  TRUNCATE TABLE t1_tianmu;
+  WHILE i < 5000 DO
+    INSERT INTO t1_i VALUES (i);
+    SET i = i + 1;
+  END WHILE;
+END//
+DELIMITER ;//
+
+CALL generate_data();
+INSERT INTO t1_tianmu SELECT * FROM t1_i;
+SELECT COUNT(*), SUM(t1_i.a IS NULL) FROM t1_i;
+SELECT COUNT(*), SUM(t1_tianmu.a IS NULL) FROM t1_tianmu;
+
+# Copy derived TIANMU table to innodb table
+CREATE TABLE t2 LIKE t1_i;
+INSERT INTO t2 SELECT *  FROM (SELECT * FROM t1_tianmu) derived;
+SELECT COUNT(*), SUM(a IS NULL) FROM t2;
+DROP TABLE t2;
+
+# Copy derived innodb table to TIANMU table
+CREATE TABLE t2 LIKE t1_tianmu;
+INSERT INTO t2 SELECT * FROM (SELECT * FROM t1_i) derived;
+SELECT COUNT(*), SUM(a IS NULL) FROM t2;
+DROP TABLE t2;
+
+# Copy derived TIANMU table to another TIANMU table
+CREATE TABLE t2 LIKE t1_tianmu;
+INSERT INTO t2 SELECT * FROM (SELECT * FROM t1_tianmu) derived;
+SELECT COUNT(*), SUM(a IS NULL) FROM t2;
+DROP TABLE t2;
+
+#
+# Scenario-2: Tables with NOT NULL constraint and a default value
+#
+DROP TABLE IF EXISTS t1_i;
+DROP TABLE IF EXISTS t1_tianmu;
+
+CREATE TABLE t1_i ( 
+  `a` varchar(100) NOT NULL DEFAULT 123
+) ENGINE=innodb DEFAULT CHARSET=utf8 ;
+
+CREATE TABLE t1_tianmu ( 
+  `a` varchar(100) NOT NULL DEFAULT 123
+) DEFAULT CHARSET=utf8 ;
+
+# Populate tables
+CALL generate_data();
+INSERT INTO t1_tianmu SELECT * FROM t1_i;
+SELECT COUNT(*), SUM(t1_i.a IS NULL) FROM t1_i;
+SELECT COUNT(*), SUM(t1_tianmu.a IS NULL) FROM t1_tianmu;
+
+# Copy derived TIANMU table to innodb table
+CREATE TABLE t2 LIKE t1_i;
+INSERT INTO t2 SELECT *  FROM (SELECT * FROM t1_tianmu) derived;
+SELECT * FROM t2 LIMIT 3;
+DROP TABLE t2;
+
+# Copy derived innodb table to TIANMU table
+CREATE TABLE t2 LIKE t1_tianmu;
+INSERT INTO t2 SELECT * FROM (SELECT * FROM t1_i) derived;
+SELECT * FROM t2 LIMIT 3;
+DROP TABLE t2;
+
+# Copy derived TIANMU table to another TIANMU table
+CREATE TABLE t2 LIKE t1_tianmu;
+INSERT INTO t2 SELECT * FROM (SELECT * FROM t1_tianmu) derived;
+SELECT * FROM t2 LIMIT 3;
+DROP TABLE t2;
+
+# Clean UP
+DROP DATABASE insert_into_select_test;
+"""
+
+SCRIPT_REPLACE_INTO_X = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test replace into
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS replace_into_test;
+--enable_warnings
+CREATE DATABASE replace_into_test;
+USE replace_into_test;
+
+CREATE TABLE test (
+  id INT NOT NULL,
+  test VARCHAR(64) DEFAULT NULL,
+  name TIMESTAMP NOT NULL,
+  PRIMARY KEY (id)
+);
+insert into test values(1,'old','2014-08-20 18:47:00');
+insert into test values(2,'old','2014-08-20 18:47:00');
+REPLACE INTO test VALUES (1, 'New', '2014-08-20 18:47:42');
+REPLACE INTO test VALUES (2, 'New', '2014-08-20 18:47:42');
+delete from test where id=1;
+REPLACE INTO test VALUES (2, 'Newnew', '2014-08-20 18:47:42');
+REPLACE INTO test VALUES (1, 'New', '2014-08-20 18:47:42');
+REPLACE INTO test VALUES (1, 'Newnew', '2014-08-20 18:47:42');
+select * from test;
+
+CREATE TABLE test1 (
+  id INT NOT NULL,
+  test VARCHAR(64) DEFAULT NULL,
+  id1 int NOT NULL,
+  PRIMARY KEY (id,id1)
+);
+insert into test1 values(1,'old',1);
+insert into test1 values(2,'old',2);
+REPLACE INTO test1 VALUES (1, 'New', '8');
+REPLACE INTO test1 VALUES (1, 'New', '1');
+REPLACE INTO test1 VALUES (8, 'New', '2');
+select * from test1;
+
+CREATE TABLE `insert_relpace_into_test` (
+  `id` int(10),
+  `uniq_id` varchar(32),
+  `filed_a` varchar(32) DEFAULT '' ,
+  `filed_b` varchar(32) DEFAULT '',
+  `version` int(10) DEFAULT '0',
+  PRIMARY KEY (`id`)
+);
+
+CREATE TABLE `insert_relpace_into_test2` (
+  `id` int(10),
+  `uniq_id` varchar(32) DEFAULT NULL,
+  `filed_a` varchar(32) DEFAULT '',
+  `filed_b` varchar(32) DEFAULT '',
+  `version` int(10) DEFAULT '0',
+  PRIMARY KEY (`id`)
+);
+REPLACE INTO insert_relpace_into_test2 
+VALUES
+  ( 1,'1003', 'ziduan a', 'ziduan b', 1 ), 
+  ( 2,'1005', 'ziduan _2_2', 'ziduan b_2', 1 );
+
+REPLACE INTO insert_relpace_into_test 
+VALUES
+  ( 3,'1003', 'ziduan a', 'ziduan b', 1 ), 
+  ( 4,'1005', 'ziduan _2_2', 'ziduan b_2', 1 );
+	
+REPLACE INTO insert_relpace_into_test ( id,uniq_id, filed_a, filed_b, version )
+SELECT id,uniq_id, filed_a, filed_b, version FROM  insert_relpace_into_test2;
+
+select * from insert_relpace_into_test;
+
+REPLACE INTO insert_relpace_into_test 
+SET id=5,uniq_id='1003',filed_a='ziduan _2_2',filed_b='ziduan b_2';
+
+select * from insert_relpace_into_test;
+
+REPLACE INTO insert_relpace_into_test 
+VALUES
+  ( 3,'1003new', 'ziduan a', 'ziduan b', 1 ), 
+  ( 4,'1005new', 'ziduan _2_2', 'ziduan b_2', 1 );
+  
+select * from insert_relpace_into_test;
+  
+REPLACE INTO insert_relpace_into_test ( id,uniq_id, filed_a, filed_b, version )
+SELECT id,uniq_id, filed_a, filed_b, version FROM  insert_relpace_into_test2;
+
+REPLACE INTO insert_relpace_into_test 
+SET id=5,uniq_id='1003new',filed_a='ziduan _2_2',filed_b='ziduan b_2';
+
+select * from insert_relpace_into_test;
+
+drop table insert_relpace_into_test;
+drop table insert_relpace_into_test2;
+drop table test;
+drop table test1;
+
+# clean up
+DROP DATABASE replace_into_test;
+"""
+
+SCRIPT_CTAS1 = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test CREATE TABLE AS SELECT
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS ctas_test;
+--enable_warnings
+
+CREATE DATABASE ctas_test;
+USE ctas_test;
+
+CREATE TABLE `user` (
+  `id` bigint(20) NOT NULL AUTO_INCREMENT COMMENT 'id',
+  `user_name` varchar(200) DEFAULT '',
+  `phone` varchar(200) DEFAULT '',
+  `b_code` varchar(255) DEFAULT NULL,
+  PRIMARY KEY (`id`)
+)DEFAULT CHARSET=utf8;
+
+INSERT INTO `user`(`user_name`, `phone`, `b_code`) VALUES ('李明', '101', '2021001');
+INSERT INTO `user`(`user_name`, `phone`, `b_code`) VALUES ('赵慧', '456', '2020001');
+INSERT INTO `user`(`user_name`, `phone`, `b_code`) VALUES ('李凯', '123', '2021002');
+INSERT INTO `user`(`user_name`, `phone`, `b_code`) VALUES ('张三1', '123', '2022001');
+INSERT INTO `user`(`user_name`, `phone`, `b_code`) VALUES ('张三2', '123', '2021003');
+
+create table user1 as select * from user;
+select * from user1;
+desc user1;
+
+create table user2 as select user_name, phone from user;
+select * from user2;
+
+create table user3 as select user_name, phone from user limit 2;
+select * from user3;
+
+create table user4 select user_name, phone from user limit 4;
+select * from user4;
+
+create table user5 as select * from user where b_code like '2021%';
+select * from user5;
+desc user5;
+
+create table user6 like user;
+select * from user6;
+desc user6;
+
+create table user7 like user;
+insert into user7  select * from user;
+
+CREATE TABLE user_bk4( id INT NOT NULL) ENGINE=InnoDB SELECT id,user_name FROM user;
+select * from user_bk4;
+
+CREATE TABLE user_bk5( id INT NOT NULL primary key)ENGINE=TIANMU SELECT id,user_name FROM user;
+select * from user_bk5;
+
+create table user_bk6 select id+1 as id1 from user;
+select * from user_bk6;
+desc user_bk6;
+
+# create table as select join
+DROP TABLE IF EXISTS `test_tbl`;
+CREATE TABLE `test_tbl` (
+  `test_id` int(11) NOT NULL AUTO_INCREMENT,
+  `test_title` varchar(100) NOT NULL,
+  `test_author` varchar(40) NOT NULL,
+  `submission_date` date DEFAULT NULL,
+  PRIMARY KEY (`test_id`)
+) DEFAULT CHARSET=utf8;
+
+INSERT INTO `test_tbl` 
+VALUES 
+('1', 'c++', 'test', '2017-04-12'), 
+('2', 'MySQL', 'test', '2017-04-12'), 
+('3', 'Java', 'test.COM', '2015-05-01'), 
+('4', 'Python', 'test.COM', '2016-03-06'), 
+('5', 'C', 'FK', '2017-04-05');
+
+
+DROP TABLE IF EXISTS `tcount_tbl`;
+CREATE TABLE `tcount_tbl` (
+  `test_author` varchar(255) NOT NULL DEFAULT '',
+  `test_count` int(11) NOT NULL DEFAULT '0'
+) DEFAULT CHARSET=utf8;
+
+INSERT INTO `tcount_tbl` 
+VALUES 
+('test','10'), 
+('test.COM','20'), 
+('Google', '22');
+
+create table test_tbl1 SELECT test_id, submission_date FROM test_tbl a left JOIN tcount_tbl b ON a.test_author = b.test_author;
+create table test_tbl2 SELECT a.test_id, a.test_author FROM test_tbl a right JOIN tcount_tbl b ON a.test_author = b.test_author;
+create table test_tbl3 SELECT a.test_id, a.test_author, b.test_count FROM test_tbl a INNER JOIN tcount_tbl b ON a.test_author = b.test_author;
+create table test_tbl4 as SELECT a.test_id, a.test_author, b.test_count FROM test_tbl a INNER JOIN tcount_tbl b ON a.test_author = b.test_author;
+create table test_tbl5 select * from test_tbl natural join tcount_tbl;
+
+# clean up
+drop database ctas_test;
+"""
+
+SCRIPT_SELECT_JOINS = """--echo #
+--echo # Test SELECT JOIN
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs_db4;
+--enable_warnings
+
+CREATE DATABASE mcs_db4;
+USE mcs_db4;
+
+#
+# Test different join syntaxes
+#
+
+CREATE TABLE tbl1 (t1_col1 INT)ENGINE=tianmu;
+CREATE TABLE tbl2 (t2_col1 INT)ENGINE=tianmu;
+INSERT INTO tbl1 VALUES (1),(3),(5),(7),(9);
+INSERT INTO tbl1 VALUES ();
+INSERT INTO tbl2 VALUES (9),(11),(13),(15),(17),(19);
+INSERT INTO tbl2 VALUES ();
+
+SELECT t1.t1_col1,t2.t1_col1 FROM tbl1 t1 JOIN tbl1 t2 ON t1.t1_col1 = t2.t1_col1;
+SELECT t1.t1_col1,t2.t1_col1 FROM tbl1 t1 LEFT JOIN tbl1 t2 ON t1.t1_col1 = t2.t1_col1;
+SELECT t1.t1_col1,t2.t1_col1 FROM tbl1 t1 RIGHT JOIN tbl1 t2 ON t1.t1_col1 = t2.t1_col1;
+
+# Test of join with many tables
+SELECT t1.t1_col1 FROM tbl1 as t1 LEFT JOIN tbl1 AS t2 USING (t1_col1) LEFT JOIN tbl1 AS t3 USING (t1_col1) LEFT JOIN tbl1 AS t4 USING (t1_col1) LEFT JOIN tbl1 AS t5 USING (t1_col1) LEFT JOIN tbl1 AS t6 USING (t1_col1) LEFT JOIN tbl1 AS t7 USING (t1_col1) LEFT JOIN tbl1 AS t8 USING (t1_col1) LEFT JOIN tbl1 AS t9 USING (t1_col1) LEFT JOIN tbl1 AS t10 USING (t1_col1) LEFT JOIN tbl1 AS t11 USING (t1_col1) LEFT JOIN tbl1 AS t12 USING (t1_col1) LEFT JOIN tbl1 AS t13 USING (t1_col1) LEFT JOIN tbl1 AS t14 USING (t1_col1) LEFT JOIN tbl1 AS t15 USING (t1_col1) LEFT JOIN tbl1 AS t16 USING (t1_col1) LEFT JOIN tbl1 AS t17 USING (t1_col1) LEFT JOIN tbl1 AS t18 USING (t1_col1) LEFT JOIN tbl1 AS t19 USING (t1_col1) LEFT JOIN tbl1 AS t20 USING (t1_col1) LEFT JOIN tbl1 AS t21 USING (t1_col1) LEFT JOIN tbl1 AS t22 USING (t1_col1) LEFT JOIN tbl1 AS t23 USING (t1_col1) LEFT JOIN tbl1 AS t24 USING (t1_col1) LEFT JOIN tbl1 AS t25 USING (t1_col1) LEFT JOIN tbl1 AS t26 USING (t1_col1) LEFT JOIN tbl1 AS t27 USING (t1_col1) LEFT JOIN tbl1 AS t28 USING (t1_col1) LEFT JOIN tbl1 AS t29 USING (t1_col1) LEFT JOIN tbl1 AS t30 USING (t1_col1) LEFT JOIN tbl1 AS t31 USING (t1_col1) LEFT JOIN tbl1 AS t32 USING (t1_col1) LEFT JOIN tbl1 AS t33 USING (t1_col1) LEFT JOIN tbl1 AS t34 USING (t1_col1) LEFT JOIN tbl1 AS t35 USING (t1_col1) LEFT JOIN tbl1 AS t36 USING (t1_col1) LEFT JOIN tbl1 AS t37 USING (t1_col1) LEFT JOIN tbl1 AS t38 USING (t1_col1) LEFT JOIN tbl1 AS t39 USING (t1_col1) LEFT JOIN tbl1 AS t40 USING (t1_col1) LEFT JOIN tbl1 AS t41 USING (t1_col1) LEFT JOIN tbl1 AS t42 USING (t1_col1) LEFT JOIN tbl1 AS t43 USING (t1_col1) LEFT JOIN tbl1 AS t44 USING (t1_col1) LEFT JOIN tbl1 AS t45 USING (t1_col1) LEFT JOIN tbl1 AS t46 USING (t1_col1) LEFT JOIN tbl1 AS t47 USING (t1_col1) LEFT JOIN tbl1 AS t48 USING (t1_col1) LEFT JOIN tbl1 AS t49 USING (t1_col1) LEFT JOIN tbl1 AS t50 USING (t1_col1) LEFT JOIN tbl1 AS t51 USING (t1_col1) LEFT JOIN tbl1 AS t52 USING (t1_col1) LEFT JOIN tbl1 AS t53 USING (t1_col1) LEFT JOIN tbl1 AS t54 USING (t1_col1) LEFT JOIN tbl1 AS t55 USING (t1_col1) LEFT JOIN tbl1 AS t56 USING (t1_col1) LEFT JOIN tbl1 AS t57 USING (t1_col1) LEFT JOIN tbl1 AS t58 USING (t1_col1) LEFT JOIN tbl1 AS t59 USING (t1_col1) LEFT JOIN tbl1 AS t60 USING (t1_col1) LEFT JOIN tbl1 AS t61 USING (t1_col1);
+
+# Maximum tables that can be used for join is 61
+--error ER_TOO_MANY_TABLES
+SELECT t1.t1_col1 FROM tbl1 as t1 LEFT JOIN tbl1 AS t2 USING (t1_col1) LEFT JOIN tbl1 AS t3 USING (t1_col1) LEFT JOIN tbl1 AS t4 USING (t1_col1) LEFT JOIN tbl1 AS t5 USING (t1_col1) LEFT JOIN tbl1 AS t6 USING (t1_col1) LEFT JOIN tbl1 AS t7 USING (t1_col1) LEFT JOIN tbl1 AS t8 USING (t1_col1) LEFT JOIN tbl1 AS t9 USING (t1_col1) LEFT JOIN tbl1 AS t10 USING (t1_col1) LEFT JOIN tbl1 AS t11 USING (t1_col1) LEFT JOIN tbl1 AS t12 USING (t1_col1) LEFT JOIN tbl1 AS t13 USING (t1_col1) LEFT JOIN tbl1 AS t14 USING (t1_col1) LEFT JOIN tbl1 AS t15 USING (t1_col1) LEFT JOIN tbl1 AS t16 USING (t1_col1) LEFT JOIN tbl1 AS t17 USING (t1_col1) LEFT JOIN tbl1 AS t18 USING (t1_col1) LEFT JOIN tbl1 AS t19 USING (t1_col1) LEFT JOIN tbl1 AS t20 USING (t1_col1) LEFT JOIN tbl1 AS t21 USING (t1_col1) LEFT JOIN tbl1 AS t22 USING (t1_col1) LEFT JOIN tbl1 AS t23 USING (t1_col1) LEFT JOIN tbl1 AS t24 USING (t1_col1) LEFT JOIN tbl1 AS t25 USING (t1_col1) LEFT JOIN tbl1 AS t26 USING (t1_col1) LEFT JOIN tbl1 AS t27 USING (t1_col1) LEFT JOIN tbl1 AS t28 USING (t1_col1) LEFT JOIN tbl1 AS t29 USING (t1_col1) LEFT JOIN tbl1 AS t30 USING (t1_col1) LEFT JOIN tbl1 AS t31 USING (t1_col1) LEFT JOIN tbl1 AS t32 USING (t1_col1) LEFT JOIN tbl1 AS t33 USING (t1_col1) LEFT JOIN tbl1 AS t34 USING (t1_col1) LEFT JOIN tbl1 AS t35 USING (t1_col1) LEFT JOIN tbl1 AS t36 USING (t1_col1) LEFT JOIN tbl1 AS t37 USING (t1_col1) LEFT JOIN tbl1 AS t38 USING (t1_col1) LEFT JOIN tbl1 AS t39 USING (t1_col1) LEFT JOIN tbl1 AS t40 USING (t1_col1) LEFT JOIN tbl1 AS t41 USING (t1_col1) LEFT JOIN tbl1 AS t42 USING (t1_col1) LEFT JOIN tbl1 AS t43 USING (t1_col1) LEFT JOIN tbl1 AS t44 USING (t1_col1) LEFT JOIN tbl1 AS t45 USING (t1_col1) LEFT JOIN tbl1 AS t46 USING (t1_col1) LEFT JOIN tbl1 AS t47 USING (t1_col1) LEFT JOIN tbl1 AS t48 USING (t1_col1) LEFT JOIN tbl1 AS t49 USING (t1_col1) LEFT JOIN tbl1 AS t50 USING (t1_col1) LEFT JOIN tbl1 AS t51 USING (t1_col1) LEFT JOIN tbl1 AS t52 USING (t1_col1) LEFT JOIN tbl1 AS t53 USING (t1_col1) LEFT JOIN tbl1 AS t54 USING (t1_col1) LEFT JOIN tbl1 AS t55 USING (t1_col1) LEFT JOIN tbl1 AS t56 USING (t1_col1) LEFT JOIN tbl1 AS t57 USING (t1_col1) LEFT JOIN tbl1 AS t58 USING (t1_col1) LEFT JOIN tbl1 AS t59 USING (t1_col1) LEFT JOIN tbl1 AS t60 USING (t1_col1) LEFT JOIN tbl1 AS t61 USING (t1_col1) LEFT JOIN tbl1 AS t62 USING (t1_col1);
+
+SELECT t1.t1_col1,t2.t2_col1 FROM tbl1 t1 JOIN tbl2 t2 ON t1.t1_col1 = t2.t2_col1;
+SELECT t1.t1_col1,t2.t2_col1 FROM tbl1 t1 LEFT JOIN tbl2 t2 ON t1.t1_col1 = t2.t2_col1;
+SELECT t1.t1_col1,t2.t2_col1 FROM tbl1 t1 RIGHT JOIN tbl2 t2 ON t1.t1_col1 = t2.t2_col1;
+
+# Clean UP
+DROP DATABASE mcs_db4;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -9383,6 +9743,15 @@ _SPECS = [
     ('dialect_charsets_a_last', SCRIPT_CHARSETS_A, -1, None, False, 'charset matrix (a) final section: utf8mb4 table-level charset accepts beyond-BMP emoji the utf8 sections reject'),
     ('dialect_charsets_b_mid', SCRIPT_CHARSETS_B, 10, None, False, 'charset matrix (b) mid battery: mixed column-level charsets with INSERT IGNORE truncation legs'),
     ('dialect_charsets_b_last', SCRIPT_CHARSETS_B, -1, None, False, 'charset matrix (b) final section over 12-column charset-mixed tables'),
+    ('dialect_proc_insert_select', SCRIPT_INSERT_INTO_SELECT_PROC, 1, ['c', 'n'], True, 'DELIMITER + CREATE PROCEDURE WHILE loop generating 5000 rows (batched into one multi-row INSERT); INSERT..SELECT from derived tables; SUM(col IS NULL) bool coercion'),
+    ('dialect_proc_insert_select_nn', SCRIPT_INSERT_INTO_SELECT_PROC, 6, ['c', 'n'], True, "NOT NULL DEFAULT '123' varchar scenario: re-CALLed generator procedure truncates and refills; cross-engine INSERT..SELECT copies"),
+    ('dialect_replace_into', SCRIPT_REPLACE_INTO_X, -1, None, False, 'REPLACE INTO battery: VALUES on single/composite PKs, REPLACE..SELECT from a second table, REPLACE..SET (final state)'),
+    ('dialect_replace_into_mid', SCRIPT_REPLACE_INTO_X, 3, None, False, 'REPLACE INTO mid-state: after first REPLACE..SELECT + REPLACE..SET round over the version-tracking table'),
+    ('dialect_ctas1', SCRIPT_CTAS1, -1, None, False, 'CTAS battery final leg: create table .. select id+1 arithmetic; CREATE TABLE (coldefs) SELECT column-merge (user_bk4/bk5), natural-join CTAS run along the way'),
+    ('dialect_ctas1_first', SCRIPT_CTAS1, 0, None, False, 'CTAS full-copy clone of an AUTO_INCREMENT utf8 table (ids assigned by the counter)'),
+    ('dialect_select_joins', SCRIPT_SELECT_JOINS, -1, ['a', 'b'], False, 'RIGHT JOIN over two tables with NULL rows from empty-VALUES inserts'),
+    ('dialect_select_joins_left', SCRIPT_SELECT_JOINS, 1, ['a', 'b'], False, 'self LEFT JOIN with NULL keys (never match)'),
+    ('dialect_select_joins_61', SCRIPT_SELECT_JOINS, 3, ['a'], False, '61-table LEFT JOIN USING chain (MySQL MAX_TABLES cap); the 62-table --error ER_TOO_MANY_TABLES leg asserted along the way'),
 ]
 
 
