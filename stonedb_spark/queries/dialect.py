@@ -165,6 +165,16 @@ SOURCES = {
     'dialect_select_joins': ('select_joins.test', [(1, 42)]),
     'dialect_select_joins_left': ('select_joins.test', [(1, 42)]),
     'dialect_select_joins_61': ('select_joins.test', [(1, 42)]),
+    'dialect_delete_signed_where': ('delete_signed.test', [(1, 201)]),
+    'dialect_delete_signed_3vl': ('delete_signed.test', [(1, 201)]),
+    'dialect_delete_signed_colcmp': ('delete_signed.test', [(1, 201)]),
+    'dialect_update_signed': ('update_signed.test', [(1, 200)]),
+    'dialect_update_signed_final': ('update_signed.test', [(1, 200)]),
+    'dialect_group_order': ('select_order_by_group_by.test', [(1, 85)]),
+    'dialect_group_order_limit': ('select_order_by_group_by.test', [(1, 85)]),
+    'dialect_group_order_multi': ('select_order_by_group_by.test', [(1, 85)]),
+    'dialect_group_order_null': ('select_order_by_group_by.test', [(1, 85)]),
+    'dialect_composite_pk': ('composite_primary_key.test', [(1, 25)]),
     'dialect_implicit_group_empty': ('issue1784.test', [(1, 158)]),
     'dialect_implicit_group': ('issue1784.test', [(1, 158)]),
     'dialect_replace_composite_pk': ('issue1152.test', [(1, 20)]),
@@ -9573,6 +9583,526 @@ SELECT t1.t1_col1,t2.t2_col1 FROM tbl1 t1 RIGHT JOIN tbl2 t2 ON t1.t1_col1 = t2.
 DROP DATABASE mcs_db4;
 """
 
+SCRIPT_DELETE_SIGNED = """--source include/have_tianmu.inc
+
+--echo #
+--echo # DELETE decimal and DElETE WHERE
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS delete_signed_test;
+
+CREATE DATABASE delete_signed_test;
+USE delete_signed_test;
+
+DROP PROCEDURE IF EXISTS signedinsertproc;
+DROP PROCEDURE IF EXISTS signeddeleteproc;
+--enable_warnings
+
+DELIMITER //;
+
+CREATE PROCEDURE signedinsertproc ()
+ BEGIN
+  INSERT INTO cs1 VALUES (125, 125);
+  INSERT INTO cs1 VALUES (-125, -125);
+  INSERT INTO cs1 values (99998, 998);
+  INSERT INTO cs1 values (99999, 999);
+  INSERT INTO cs1 values (-99998, -998);
+  INSERT INTO cs1 values (-99999, -999);
+  INSERT INTO cs1 VALUES (0, 0);
+  INSERT INTO cs1 VALUES (NULL, NULL);
+
+  INSERT INTO cs2 VALUES (1.25, 1.25);
+  INSERT INTO cs2 VALUES (-1.25, -1.25);
+  INSERT INTO cs2 values (99999.998, 99999.998);
+  INSERT INTO cs2 values (99999.999, 99999.999);
+  INSERT INTO cs2 values (-99999.998, -99999.998);
+  INSERT INTO cs2 values (-99999.999, -99999.999);
+  INSERT INTO cs2 VALUES (1.1234567891, 1.1234567891);
+  INSERT INTO cs2 VALUES (1.999, 1.999);
+  INSERT INTO cs2 VALUES (-1.1234567891, -1.1234567891);
+  INSERT INTO cs2 VALUES (-1.999, -1.999);
+  INSERT INTO cs2 VALUES (1.0000000009, 1.0000000009);
+  INSERT INTO cs2 VALUES (-1.0000000009, -1.0000000009);
+  INSERT INTO cs2 VALUES (0, 0);
+  INSERT INTO cs2 VALUES (NULL, NULL);
+
+  INSERT INTO cs3 VALUES (0.125, 0.125);
+  INSERT INTO cs3 VALUES (-0.125, -0.125);
+  INSERT INTO cs3 values (0.99998, 0.998);
+  INSERT INTO cs3 values (0.99999, 0.999);
+  INSERT INTO cs3 values (-0.99998, -0.998);
+  INSERT INTO cs3 values (-0.99999, -0.999);
+  INSERT INTO cs3 VALUES (0.12345, 0.1234);
+  INSERT INTO cs3 VALUES (0.199999, 0.19999);
+  INSERT INTO cs3 VALUES (-0.12345, -0.1234);
+  INSERT INTO cs3 VALUES (-0.199999, -0.19999);
+  INSERT INTO cs3 VALUES (0.000009, 0.00009);
+  INSERT INTO cs3 VALUES (-0.000009, -0.00009);
+  INSERT INTO cs3 VALUES (0, 0);
+  INSERT INTO cs3 VALUES (NULL, NULL);
+ END//
+
+
+CREATE PROCEDURE signeddeleteproc ()
+ BEGIN
+  DELETE FROM cs1;
+  DELETE FROM cs2;
+  DELETE FROM cs3;
+ END//
+
+
+DELIMITER ;//
+
+--disable_warnings
+DROP TABLE IF EXISTS cs1;
+DROP TABLE IF EXISTS cs2;
+DROP TABLE IF EXISTS cs3;
+# DROP TABLE IF EXISTS cs4;
+# DROP TABLE IF EXISTS cs5;
+# DROP TABLE IF EXISTS cs6;
+--enable_warnings
+
+CREATE TABLE cs1 (d1 DECIMAL(18), d2 DECIMAL(18)) ;
+CREATE TABLE cs2 (d1 DECIMAL(18,10), d2 DECIMAL(18,10)) ;
+CREATE TABLE cs3 (d1 DECIMAL(18,10), d2 DECIMAL(18,10)) ;
+# CREATE TABLE cs4 (d1 DECIMAL(38) UNSIGNED, d2 DECIMAL(19) UNSIGNED) ;
+# CREATE TABLE cs5 (d1 DECIMAL(38,10) UNSIGNED, d2 DECIMAL(19,10) UNSIGNED) ;
+# CREATE TABLE cs6 (d1 DECIMAL(38,38) UNSIGNED, d2 DECIMAL(19,19) UNSIGNED) ;
+
+CALL signedinsertproc();
+
+# Full table delete
+DELETE FROM cs1;
+DELETE FROM cs2;
+DELETE FROM cs3;
+SELECT "signedtest1", d1, d2 FROM cs1;
+SELECT "signedtest1", d1, d2 FROM cs2;
+SELECT "signedtest1", d1, d2 FROM cs3;
+
+# Deletes with WHERE clause
+# Delete a single row with a constant value in WHERE clause
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1=-99998;
+DELETE FROM cs1 WHERE d2=999;
+DELETE FROM cs2 WHERE d1=-99999.998;
+DELETE FROM cs2 WHERE d2=99999.999;
+DELETE FROM cs3 WHERE d1=-0.99998;
+DELETE FROM cs3 WHERE d2=0.999;
+SELECT "signedtest2", d1, d2 FROM cs1;
+SELECT "signedtest2", d1, d2 FROM cs2;
+SELECT "signedtest2", d1, d2 FROM cs3;
+
+# BUG #781 is similar to this question
+# Delete multiple rows
+# Deletes with multiple constant values in WHERE clause
+# CALL signeddeleteproc();
+# CALL signedinsertproc();
+# DELETE FROM cs1 WHERE d1 in (-99998, 99999);
+# DELETE FROM cs2 WHERE d1 in (-99999.998, 99999.999);
+# DELETE FROM cs3 WHERE d1 in (-0.99998, 0.99999);
+# SELECT "signedtest3", d1, d2 FROM cs1;
+# SELECT "signedtest3", d1, d2 FROM cs2;
+# SELECT "signedtest3", d1, d2 FROM cs3;
+
+
+# Deletes with comparison operators in WHERE clause
+CALL signeddeleteproc();
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1 <= -99998 OR d2 >= 998;
+DELETE FROM cs2 WHERE d1 <= -99999.998 OR d2 >= 99999.998;
+DELETE FROM cs3 WHERE d1 <= -0.99998 OR d2 >= 0.998;
+SELECT "signedtest4a", d1, d2 FROM cs1;
+SELECT "signedtest4a", d1, d2 FROM cs2;
+SELECT "signedtest4a", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1 < -99998 OR d2 > 998;
+DELETE FROM cs2 WHERE d1 < -99999.998 OR d2 > 99999.998;
+DELETE FROM cs3 WHERE d1 < -0.99998 OR d2 > 0.998;
+SELECT "signedtest4", d1, d2 FROM cs1;
+SELECT "signedtest4", d1, d2 FROM cs2;
+SELECT "signedtest4", d1, d2 FROM cs3;
+
+# Delete with NULL in the WHERE clause
+DELETE FROM cs1 WHERE d1 is NULL;
+DELETE FROM cs2 WHERE d1 is NULL;
+DELETE FROM cs3 WHERE d1 is NULL;
+SELECT "signedtest5", d1, d2 FROM cs1;
+SELECT "signedtest5", d1, d2 FROM cs2;
+SELECT "signedtest5", d1, d2 FROM cs3;
+
+# Delete with != operator
+DELETE FROM cs1 WHERE d1 != 125;
+DELETE FROM cs2 WHERE d1 != 1.25;
+DELETE FROM cs3 WHERE d1 != 0.125;
+SELECT "signedtest6", d1, d2 FROM cs1;
+SELECT "signedtest6", d1, d2 FROM cs2;
+SELECT "signedtest6", d1, d2 FROM cs3;
+
+# Delete with non-constant value in the WHERE clause
+CALL signeddeleteproc();
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1 = d2;
+DELETE FROM cs2 WHERE d1 = d2;
+DELETE FROM cs3 WHERE d1 = d2;
+SELECT "signedtest7", d1, d2 FROM cs1;
+SELECT "signedtest7", d1, d2 FROM cs2;
+SELECT "signedtest7", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1 != d2;
+DELETE FROM cs2 WHERE d1 != d2;
+DELETE FROM cs3 WHERE d1 != d2;
+SELECT "signedtest8", d1, d2 FROM cs1;
+SELECT "signedtest8", d1, d2 FROM cs2;
+SELECT "signedtest8", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1 < d2;
+DELETE FROM cs2 WHERE d1 < d2;
+DELETE FROM cs3 WHERE d1 < d2;
+SELECT "signedtest9", d1, d2 FROM cs1;
+SELECT "signedtest9", d1, d2 FROM cs2;
+SELECT "signedtest9", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+DELETE FROM cs1 WHERE d1 > d2;
+DELETE FROM cs2 WHERE d1 > d2;
+DELETE FROM cs3 WHERE d1 > d2;
+SELECT "signedtest10", d1, d2 FROM cs1;
+SELECT "signedtest10", d1, d2 FROM cs2;
+SELECT "signedtest10", d1, d2 FROM cs3;
+
+# Deletes with functions and expressions in the WHERE clause
+
+# Repeat above tests for the unsigned case
+
+# Deletes with functions and expressions in the WHERE clause
+
+# Clean UP
+DROP PROCEDURE IF EXISTS signedinsertproc;
+DROP PROCEDURE IF EXISTS signeddeleteproc;
+DROP DATABASE delete_signed_test;
+"""
+
+SCRIPT_UPDATE_SIGNED = """--source include/have_tianmu.inc
+
+--echo #
+--echo # UPDATE decimal and DElETE WHERE
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS update_signed_test;
+
+CREATE DATABASE update_signed_test;
+USE update_signed_test;
+
+DROP PROCEDURE IF EXISTS signedinsertproc;
+DROP PROCEDURE IF EXISTS signeddeleteproc;
+# DROP PROCEDURE IF EXISTS unsignedinsertproc;
+# DROP PROCEDURE IF EXISTS unsigneddeleteproc;
+--enable_warnings
+
+DELIMITER //;
+
+CREATE PROCEDURE signedinsertproc ()
+ BEGIN
+  INSERT INTO cs1 VALUES (125, 125);
+  INSERT INTO cs1 VALUES (-125, -125);
+  INSERT INTO cs1 values (99998, 9998);
+  INSERT INTO cs1 values (99999, 9999);
+  INSERT INTO cs1 values (-99998, -9998);
+  INSERT INTO cs1 values (-99999, -9999);
+  INSERT INTO cs1 VALUES (0, 0);
+  INSERT INTO cs1 VALUES (NULL, NULL);
+  
+  INSERT INTO cs2 VALUES (1.25, 1.25);
+  INSERT INTO cs2 VALUES (-1.25, -1.25);
+  INSERT INTO cs2 values (99999.99998, 99999.99998);
+  INSERT INTO cs2 values (99999.99999, 99999.99999);
+  INSERT INTO cs2 values (-99999.99998, -99999.99998);
+  INSERT INTO cs2 values (-99999.99999, -99999.99999);
+  INSERT INTO cs2 VALUES (1.1234567891, 1.1234567891);
+  INSERT INTO cs2 VALUES (1.99999, 1.99999);
+  INSERT INTO cs2 VALUES (-1.1234567891, -1.1234567891);
+  INSERT INTO cs2 VALUES (-1.99999, -1.99999);
+  INSERT INTO cs2 VALUES (1.0000000009, 1.0000000009);
+  INSERT INTO cs2 VALUES (-1.0000000009, -1.0000000009);
+  INSERT INTO cs2 VALUES (0, 0);
+  INSERT INTO cs2 VALUES (NULL, NULL);
+  
+  INSERT INTO cs3 VALUES (0.125, 0.125);
+  INSERT INTO cs3 VALUES (-0.125, -0.125);
+  INSERT INTO cs3 values (0.99998, 0.9998);
+  INSERT INTO cs3 values (0.99999, 0.9999);
+  INSERT INTO cs3 values (-0.99998, -0.9998);
+  INSERT INTO cs3 values (-0.99999, -0.9999);
+  INSERT INTO cs3 VALUES (0.12345, 0.1234);
+  INSERT INTO cs3 VALUES (0.19999, 0.1999);
+  INSERT INTO cs3 VALUES (-0.12345, -0.1234);
+  INSERT INTO cs3 VALUES (-0.19999, -0.1999);
+  INSERT INTO cs3 VALUES (0.00009, 0.0009);
+  INSERT INTO cs3 VALUES (-0.00009, -0.0009);
+  INSERT INTO cs3 VALUES (0, 0);
+  INSERT INTO cs3 VALUES (NULL, NULL);
+ END//
+
+
+CREATE PROCEDURE signeddeleteproc ()
+ BEGIN
+  DELETE FROM cs1;
+  DELETE FROM cs2;
+  DELETE FROM cs3;
+ END//
+
+
+DELIMITER ;//
+
+DROP TABLE IF EXISTS cs1;
+DROP TABLE IF EXISTS cs2;
+DROP TABLE IF EXISTS cs3;
+# DROP TABLE IF EXISTS cs4;
+# DROP TABLE IF EXISTS cs5;
+# DROP TABLE IF EXISTS cs6;
+
+CREATE TABLE cs1 (d1 DECIMAL(18), d2 DECIMAL(18));
+CREATE TABLE cs2 (d1 DECIMAL(18,10), d2 DECIMAL(18,10));
+CREATE TABLE cs3 (d1 DECIMAL(18,10), d2 DECIMAL(18,10));
+# CREATE TABLE cs4 (d1 DECIMAL(38) UNSIGNED, d2 DECIMAL(19) UNSIGNED);
+# CREATE TABLE cs5 (d1 DECIMAL(38,10) UNSIGNED, d2 DECIMAL(19,10) UNSIGNED);
+# CREATE TABLE cs6 (d1 DECIMAL(38,38) UNSIGNED, d2 DECIMAL(19,19) UNSIGNED);
+
+CALL signedinsertproc();
+
+# Updates with constant values without a WHERE clause
+UPDATE cs1 SET d1=12345, d2=1234;
+UPDATE cs2 SET d1=123456.90123, d2=12345.01234;
+UPDATE cs3 SET d1=0.12345, d2=0.1234;
+SELECT "signedtest1", d1, d2 FROM cs1;
+SELECT "signedtest1", d1, d2 FROM cs2;
+SELECT "signedtest1", d1, d2 FROM cs3;
+
+# Updates with WHERE clause
+# Update a single row with a constant value in WHERE clause
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=12345, d2=0 WHERE d1=-99998;
+UPDATE cs1 SET d1=0, d2=12345 WHERE d2=9999;
+UPDATE cs2 SET d1=123456.90123, d2=0 WHERE d1=-99999.99998;
+UPDATE cs2 SET d1=0, d2=12345.012345678 WHERE d2=99999.99999;
+UPDATE cs3 SET d1=0.12345, d2=0 WHERE d1=-0.99998;
+UPDATE cs3 SET d1=0, d2=0.12345 WHERE d2=0.9999;
+SELECT "signedtest2", d1, d2 FROM cs1;
+SELECT "signedtest2", d1, d2 FROM cs2;
+SELECT "signedtest2", d1, d2 FROM cs3;
+
+# Update multiple rows
+# Updates with multiple constant values in WHERE clause
+#CALL signeddeleteproc();
+#CALL signedinsertproc();
+#UPDATE cs1 SET d1=12345, d2=1234 WHERE d1 in (-99998, 99999);
+#UPDATE cs2 SET d1=123456.90123, d2=12345.01234 WHERE d1 in (-99999.99998, 99999.99999);
+#UPDATE cs3 SET d1=0.12345, d2=0.1234 WHERE d1 in (-0.99998, 0.99999);
+#SELECT "signedtest3", d1, d2 FROM cs1;
+#SELECT "signedtest3", d1, d2 FROM cs2;
+#SELECT "signedtest3", d1, d2 FROM cs3;
+
+# Updates with comparison operators in WHERE clause
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=12345, d2=1234 WHERE d1 < -99998 OR d2 > 9998;
+UPDATE cs2 SET d1=123456.90123, d2=12345.01234 WHERE d1 < -99999.99998 OR d2 > 99999.99998;
+UPDATE cs3 SET d1=0.12345, d2=0.1234 WHERE d1 < -0.99998 OR d2 > 0.9998;
+SELECT "signedtest4a", d1, d2 FROM cs1;
+SELECT "signedtest4a", d1, d2 FROM cs2;
+SELECT "signedtest4a", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=12345, d2=1234 WHERE d1 <= -99998 OR d2 >= 9998;
+UPDATE cs2 SET d1=123456.90123, d2=12345.01234 WHERE d1 <= -99999.99998 OR d2 >= 99999.99998;
+UPDATE cs3 SET d1=0.12345, d2=0.1234 WHERE d1 <= -0.99998 OR d2 >= 0.9998;
+SELECT "signedtest4b", d1, d2 FROM cs1;
+SELECT "signedtest4b", d1, d2 FROM cs2;
+SELECT "signedtest4b", d1, d2 FROM cs3;
+
+# Update with NULL in the WHERE clause
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=12345, d2=1234 WHERE d1 is NULL;
+UPDATE cs2 SET d1=123456.90123, d2=12345.01234 WHERE d1 is NULL;
+UPDATE cs3 SET d1=0.12345, d2=0.1234 WHERE d1 is NULL;
+SELECT "signedtest5", d1, d2 FROM cs1;
+SELECT "signedtest5", d1, d2 FROM cs2;
+SELECT "signedtest5", d1, d2 FROM cs3;
+
+# Update with != operator
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=12345, d2=1234 WHERE d1 != 125;
+UPDATE cs2 SET d1=123456.90123, d2=12345.01234 WHERE d1 != 1.25;
+UPDATE cs3 SET d1=0.12345, d2=0.1234 WHERE d1 != 0.125;
+SELECT "signedtest6", d1, d2 FROM cs1;
+SELECT "signedtest6", d1, d2 FROM cs2;
+SELECT "signedtest6", d1, d2 FROM cs3;
+
+# Update with non-constant value in the WHERE clause
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d2=d1 WHERE d1 = d2;
+UPDATE cs2 SET d2=d1 WHERE d1 = d2;
+UPDATE cs3 SET d2=d1 WHERE d1 = d2;
+SELECT "signedtest7", d1, d2 FROM cs1;
+SELECT "signedtest7", d1, d2 FROM cs2;
+SELECT "signedtest7", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=d2 WHERE d1 != d2;
+UPDATE cs2 SET d1=d2 WHERE d1 != d2;
+UPDATE cs3 SET d1=d2 WHERE d1 != d2;
+SELECT "signedtest8", d1, d2 FROM cs1;
+SELECT "signedtest8", d1, d2 FROM cs2;
+SELECT "signedtest8", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=12345, d2=1234 WHERE d1 < d2;
+UPDATE cs2 SET d1=123456.90123, d2=12345.01234 WHERE d1 < d2;
+UPDATE cs3 SET d1=0.12345, d2=0.1234 WHERE d1 < d2;
+SELECT "signedtest9", d1, d2 FROM cs1;
+SELECT "signedtest9", d1, d2 FROM cs2;
+SELECT "signedtest9", d1, d2 FROM cs3;
+CALL signeddeleteproc();
+CALL signedinsertproc();
+UPDATE cs1 SET d1=d2 WHERE d1 > d2;
+UPDATE cs2 SET d1=d2 WHERE d1 > d2;
+UPDATE cs3 SET d1=d2 WHERE d1 > d2;
+SELECT "signedtest10", d1, d2 FROM cs1;
+SELECT "signedtest10", d1, d2 FROM cs2;
+SELECT "signedtest10", d1, d2 FROM cs3;
+
+# Updates with functions and expressions in the WHERE clause
+
+
+DROP PROCEDURE IF EXISTS signedinsertproc;
+DROP PROCEDURE IF EXISTS signeddeleteproc;
+DROP DATABASE update_signed_test;
+"""
+
+SCRIPT_SELECT_ORDER_GROUP = """--echo #
+--echo # Test basic select...group by...order by
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs3_db1;
+--enable_warnings
+
+CREATE DATABASE mcs3_db1;
+USE mcs3_db1;
+
+CREATE TABLE t1 (
+  spID int(10) ,
+  userID int(10) ,
+  score smallint(5) ,
+  lsg char(40),
+  date date
+) ENGINE=tianmu;
+
+INSERT INTO t1 VALUES (1,1,1,'','1900-01-01');
+INSERT INTO t1 VALUES (2,2,2,'','1900-01-01');
+INSERT INTO t1 VALUES (2,1,1,'','1900-01-01');
+INSERT INTO t1 VALUES (3,3,3,'','1900-01-01');
+
+CREATE TABLE t2 (
+  userID int(10) NOT NULL,
+  niName char(15),
+  passwd char(8),
+  mail char(50),
+  isAukt char(1) DEFAULT 'N',
+  vName char(30),
+  nName char(40),
+  adr char(60),
+  plz char(5),
+  ort char(35),
+  land char(20)
+) ENGINE=tianmu;
+
+INSERT INTO t2 VALUES (1,'name','pass','mail','Y','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (2,'name','pass','mail','Y','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (3,'name','pass','mail','Y','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (4,'name','pass','mail','Y','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (5,'name','pass','mail','Y','v','n','adr','1','1','1');
+
+SELECT t2.userid, MIN(t1.score) 
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY t2.userid;
+ 
+SELECT t2.userid, MIN(t1.score) 
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY t2.userid ASC;
+ 
+SELECT t2.userid, MIN(t1.score) 
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY t2.userid DESC;
+ 
+SELECT t2.userid, MIN(t1.score) 
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY t2.userid LIMIT 2;
+ 
+#Test multiple columns
+SELECT t1.spID, t2.userid, MIN(t1.score) 
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid, t1.spID ORDER BY t2.userid, t1.spID;
+SELECT t1.spID, t2.userid, MIN(t1.score) 
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid, t1.spID ORDER BY t1.spID, t2.userid;
+ 
+# columns in ORDER BY clause not included in the GROUP BY clause.
+#SELECT t1.spID, t2.userid, MIN(t1.score) 
+ #FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid, t1.spID ORDER BY t1.date;
+
+# non-existing column in group by clause
+--error 1054
+SELECT t2.userid, MIN(t1.score)
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY unknown ORDER BY t2.userid;
+ 
+# non-existing column in order by clause
+--error 1054
+SELECT t2.userid, MIN(t1.score)
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY unknown;
+ 
+# order by null
+SELECT t2.userid, MIN(t1.score)
+ FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY NULL;
+
+#Clean up
+DROP DATABASE IF EXISTS mcs3_db1;
+"""
+
+SCRIPT_COMPOSITE_PK = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS composite_primary_key_test;
+--enable_warnings
+
+CREATE DATABASE composite_primary_key_test;
+
+USE composite_primary_key_test;
+
+--disable_warnings
+
+## DDL
+create table ttt(id int,c1 varchar(10),c2 varchar(10),primary key(id,c1)) ENGINE=TIANMU;
+
+## insert data
+insert into ttt values(1,'xxx','xxx');
+
+insert into ttt values(1,'','xxx');
+--error ER_DUP_ENTRY
+insert into ttt values(1,'','xxx');
+
+
+select * from ttt;
+## clean test table
+DROP DATABASE composite_primary_key_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -9752,6 +10282,16 @@ _SPECS = [
     ('dialect_select_joins', SCRIPT_SELECT_JOINS, -1, ['a', 'b'], False, 'RIGHT JOIN over two tables with NULL rows from empty-VALUES inserts'),
     ('dialect_select_joins_left', SCRIPT_SELECT_JOINS, 1, ['a', 'b'], False, 'self LEFT JOIN with NULL keys (never match)'),
     ('dialect_select_joins_61', SCRIPT_SELECT_JOINS, 3, ['a'], False, '61-table LEFT JOIN USING chain (MySQL MAX_TABLES cap); the 62-table --error ER_TOO_MANY_TABLES leg asserted along the way'),
+    ('dialect_delete_signed_where', SCRIPT_DELETE_SIGNED, 4, ['lbl', 'd1', 'd2'], False, 'DELETE WHERE over DECIMAL(18,10): single-row constant predicates after procedure-generated fixtures (signedtest2)', {'d1': 'DOUBLE', 'd2': 'DOUBLE'}),
+    ('dialect_delete_signed_3vl', SCRIPT_DELETE_SIGNED, 16, ['lbl', 'd1', 'd2'], False, 'DELETE WHERE d1 != x three-valued semantics: NULL predicate rows survive != but fall to the IS NULL delete before it (signedtest6)', {'d1': 'DOUBLE', 'd2': 'DOUBLE'}),
+    ('dialect_delete_signed_colcmp', SCRIPT_DELETE_SIGNED, -1, ['lbl', 'd1', 'd2'], False, 'DELETE WHERE d1 > d2 column-vs-column over DECIMAL(18,10) (signedtest10); delete/insert procedures re-CALLed between legs', {'d1': 'DOUBLE', 'd2': 'DOUBLE'}),
+    ('dialect_update_signed', SCRIPT_UPDATE_SIGNED, 1, ['lbl', 'd1', 'd2'], False, 'UPDATE SET without WHERE over DECIMAL(18,10): every row rewritten (signedtest1)', {'d1': 'DOUBLE', 'd2': 'DOUBLE'}),
+    ('dialect_update_signed_final', SCRIPT_UPDATE_SIGNED, -1, ['lbl', 'd1', 'd2'], False, 'UPDATE battery final state: constant/column WHERE predicates over procedure-refilled decimals', {'d1': 'DOUBLE', 'd2': 'DOUBLE'}),
+    ('dialect_group_order', SCRIPT_SELECT_ORDER_GROUP, 0, ['userid', 'm'], False, 'GROUP BY + ORDER BY over a comma join (MIN aggregate)'),
+    ('dialect_group_order_limit', SCRIPT_SELECT_ORDER_GROUP, 3, ['userid', 'm'], False, 'GROUP BY + ORDER BY ASC LIMIT 2 top-k over the join'),
+    ('dialect_group_order_multi', SCRIPT_SELECT_ORDER_GROUP, 4, ['spid', 'userid', 'm'], False, 'multi-column GROUP BY with reordered ORDER BY columns'),
+    ('dialect_group_order_null', SCRIPT_SELECT_ORDER_GROUP, -1, ['userid', 'm'], False, 'ORDER BY NULL (no sort contract); 1054 unknown-column GROUP BY/ORDER BY legs asserted along the way'),
+    ('dialect_composite_pk', SCRIPT_COMPOSITE_PK, -1, None, False, "composite (id,c1) PRIMARY KEY dup detection: '' and 'xxx' are distinct key parts, exact dup raises 1062 (probe select appended; source file has no SELECT)"),
 ]
 
 
