@@ -86,6 +86,7 @@ def split_mtr(script: str) -> list[Statement]:
     comments) and tracking ``--error`` expectations for the following
     statement."""
     script = _strip_block_comments(script)
+    script = _expand_mysqltest_loops(script)
     stmts: list[Statement] = []
     buf: list[str] = []
     expect_error = False
@@ -153,7 +154,224 @@ def split_mtr(script: str) -> list[Statement]:
     tail = _norm_eval("\n".join(buf).strip())
     if tail:
         stmts.append(Statement(tail, expect_error))
-    return _expand_procedures(stmts)
+    stmts = _strip_db_prefixes(_expand_prepare(stmts))
+    return _batch_single_inserts(_expand_procedures(stmts))
+
+
+def _expand_prepare(stmts: list[Statement]) -> list[Statement]:
+    """PREPARE name FROM 'sql' / EXECUTE name (insert.test): splice the
+    prepared text at each EXECUTE.  A PREPARE under --error stays a
+    statement — the runner validates it (MySQL errors at prepare time,
+    e.g. 1110 duplicate insert columns)."""
+    if not any(
+        re.match(r"^\s*PREPARE\b", st.text, re.I) for st in stmts
+    ):
+        return stmts
+    prepared: dict[str, str] = {}
+    out: list[Statement] = []
+    for st in stmts:
+        pm = re.match(
+            r"^\s*PREPARE\s+(\w+)\s+FROM\s+(['\"])(.*)\2\s*$",
+            st.text, re.I | re.S,
+        )
+        if pm:
+            body = pm.group(3).replace(pm.group(2) * 2, pm.group(2))
+            if st.expect_error:
+                out.append(st)  # runner raises the prepare-time analog
+            else:
+                prepared[pm.group(1).lower()] = body
+            continue
+        em = re.match(
+            r"^\s*(?:EXECUTE|DEALLOCATE\s+PREPARE)\s+(\w+)\s*$",
+            st.text, re.I,
+        )
+        if em:
+            if re.match(r"^\s*DEALLOCATE", st.text, re.I):
+                prepared.pop(em.group(1).lower(), None)
+                continue
+            out.append(Statement(prepared[em.group(1).lower()],
+                                 st.expect_error))
+            continue
+        out.append(st)
+    return out
+
+
+def _strip_db_prefixes(stmts: list[Statement]) -> list[Statement]:
+    """The front-end is single-namespace: drop ``dbname.`` qualifiers
+    for every database the script itself creates (insert.test's
+    ``insert into mysqltest_insert_test.t1 set …``)."""
+    dbs = set()
+    for st in stmts:
+        m = re.match(
+            r"^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(`[^`]+`|\w+)", st.text, re.I,
+        )
+        if m:
+            dbs.add(_unquote_ident(m.group(1)).lower())
+    if not dbs:
+        return stmts
+    pat = re.compile(
+        r"(?<![\w.`])(" + "|".join(re.escape(d) for d in dbs) + r")\.",
+        re.I,
+    )
+    out = []
+    for st in stmts:
+        if re.match(r"^\s*(CREATE|DROP)\s+DATABASE\b", st.text, re.I):
+            out.append(st)
+            continue
+        out.append(Statement(
+            _sub_outside_strings(
+                st.text, pat,
+                lambda m: "" if m.group(1).lower() in dbs else m.group(0),
+            ),
+            st.expect_error,
+        ))
+    return out
+
+
+_INSERT_ONE_COLS = re.compile(
+    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\w+)\s*(\([^()]*\)\s*)?"
+    r"VALUES\s*(\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\))\s*$",
+    re.I | re.S,
+)
+
+
+def _batch_single_inserts(stmts: list[Statement]) -> list[Statement]:
+    """Merge maximal runs of consecutive single-row ``INSERT INTO t
+    [(cols)] VALUES (…)`` statements into ONE multi-row INSERT per
+    (table, column-list), preserving per-table row order — a
+    mysqltest-unrolled generator loop (insert.test: 5600 rows) costs
+    three distributed writes, not 5600.  Runs break at any non-insert
+    statement or --error leg, so strict-mode duplicate-key semantics
+    (statement granularity) are unchanged."""
+    out: list[Statement] = []
+    i = 0
+    while i < len(stmts):
+        m = (
+            _INSERT_ONE_COLS.match(stmts[i].text)
+            if not stmts[i].expect_error else None
+        )
+        if not m:
+            out.append(stmts[i])
+            i += 1
+            continue
+        groups: dict[tuple, list[str]] = {}
+        order: list[tuple] = []
+        j = i
+        while j < len(stmts) and not stmts[j].expect_error:
+            mm = _INSERT_ONE_COLS.match(stmts[j].text)
+            if not mm:
+                break
+            key = (
+                _unquote_ident(mm.group(1)).lower(),
+                re.sub(r"\s+", "", (mm.group(2) or "").lower()),
+            )
+            if key not in groups:
+                groups[key] = []
+                order.append((key, mm.group(1), (mm.group(2) or "").strip()))
+            groups[key].append(mm.group(3))
+            j += 1
+        if j - i < 2:
+            out.append(stmts[i])
+            i += 1
+            continue
+        for key, tname, cols in order:
+            head = f"INSERT INTO {tname} {cols} VALUES " if cols else \
+                f"INSERT INTO {tname} VALUES "
+            out.append(Statement(head + ", ".join(groups[key]), False))
+        i = j
+    return out
+
+
+_MTR_LET = re.compile(r"^let\s+\$(\w+)\s*=\s*(.+?)\s*;?\s*$", re.I)
+_MTR_DECINC = re.compile(r"^(dec|inc)\s+\$(\w+)\s*;?\s*$", re.I)
+_MTR_WHILE = re.compile(r"^while\s*\(\s*\$(\w+)\s*\)\s*(\{)?\s*$", re.I)
+_MTR_NOOP = re.compile(
+    r"^(disable|enable)_(query_log|result_log|info|warnings|ps_protocol"
+    r"|metadata)\s*;?\s*$",
+    re.I,
+)
+
+
+def _expand_mysqltest_loops(script: str) -> str:
+    """Interpret mysqltest's scripting layer — ``let $v = n;``,
+    ``while ($v) { … }``, ``dec/inc $v;``, ``eval STMT`` with $var
+    substitution, bare dis/enable_query_log — by unrolling it to plain
+    SQL text (insert.test's 5600-row nested generator loops;
+    mysqltest source: client/mysqltest.cc do_let/do_loop).  Scripts
+    without a while-loop pass through untouched except for dropping
+    the bare no-op directives."""
+    if not re.search(r"(?im)^\s*(while\s*\(\s*\$|let\s+\$|disable_query_log)",
+                     script):
+        return script
+    lines = script.splitlines()
+    out: list[str] = []
+    mvars: dict[str, str] = {}
+
+    def subst(text: str) -> str:
+        return re.sub(
+            r"\$(\w+)",
+            lambda m: mvars.get(m.group(1), m.group(0)),
+            text,
+        )
+
+    def block_end(i: int) -> int:
+        """Index just past the matching '}' for a block whose '{' has
+        been consumed (brace-per-line corpus style)."""
+        depth = 1
+        while i < len(lines) and depth:
+            st = lines[i].strip()
+            depth += st.count("{") - st.count("}")
+            i += 1
+        return i
+
+    def run_lines(seg: list[str], guard: list[int]) -> None:
+        i = 0
+        while i < len(seg):
+            st = seg[i].strip()
+            m = _MTR_LET.match(st)
+            if m:
+                mvars[m.group(1)] = subst(m.group(2))
+                i += 1
+                continue
+            m = _MTR_DECINC.match(st)
+            if m:
+                delta = 1 if m.group(1).lower() == "inc" else -1
+                mvars[m.group(2)] = str(int(mvars[m.group(2)]) + delta)
+                i += 1
+                continue
+            m = _MTR_WHILE.match(st)
+            if m:
+                j = i + 1
+                if not m.group(2):  # '{' on its own next line
+                    while j < len(seg) and seg[j].strip() != "{":
+                        j += 1
+                    j += 1
+                # body bounds within seg
+                depth, k = 1, j
+                while k < len(seg) and depth:
+                    s2 = seg[k].strip()
+                    depth += s2.count("{") - s2.count("}")
+                    if depth == 0:
+                        break
+                    k += 1
+                body = seg[j:k]
+                while int(float(mvars.get(m.group(1), "0") or "0")):
+                    guard[0] += 1
+                    if guard[0] > 1_000_000:
+                        raise ValueError("mysqltest while guard exceeded")
+                    run_lines(list(body), guard)
+                i = k + 1
+                continue
+            if _MTR_NOOP.match(st):
+                i += 1
+                continue
+            em = re.match(r"^eval\s+(.*)$", st, re.I)
+            out.append(subst(em.group(1)) if em else seg[i])
+            i += 1
+
+    run_lines(lines, [0])
+    return "\n".join(out)
 
 
 def _norm_eval(text: str) -> str:
@@ -440,6 +658,8 @@ class ColumnDef:
     notnull: bool = False
     char_width: int = 0  # declared CHAR/VARCHAR width (0 = unlimited)
     charset: str = ""  # column charset ('' = utf8mb4, accepts all)
+    decl: str = ""  # normalized declared MySQL type (SHOW CREATE)
+    on_update_ts: bool = False  # ON UPDATE CURRENT_TIMESTAMP
 
 
 @dataclass
@@ -453,6 +673,7 @@ class TableDef:
     # literal-PK tuples seen so far, for the 1062 duplicate-key analog;
     # None once a DELETE/UPDATE makes the python-side view stale
     seen_pk: set | None = field(default_factory=set)
+    charset: str = ""  # table DEFAULT CHARSET ('' = server latin1)
 
 
 _CONSTRAINT_PREFIX = re.compile(
@@ -494,6 +715,130 @@ def _unquote_ident(tok: str) -> str:
     if tok.startswith("`") and tok.endswith("`"):
         return tok[1:-1]
     return tok
+
+
+_INT_DISPLAY = {  # MySQL implicit display widths (signed, unsigned)
+    "tinyint": (4, 3), "smallint": (6, 5), "mediumint": (9, 8),
+    "int": (11, 10), "bigint": (20, 20),
+}
+
+
+def _mysql_decl_text(
+    base: str, canon: str, args: str, unsigned: bool, zerofill: bool
+) -> str:
+    """The normalized declared type MySQL prints in SHOW CREATE TABLE
+    / DESCRIBE (sql/field.cc Field::sql_type): implicit int display
+    widths, decimal(10,0) default, year(4), char(1)."""
+    a = re.sub(r"\s+", "", args or "")
+    t = canon
+    if canon in _INT_DISPLAY:
+        wm = re.match(r"\((\d+)\)", a)
+        w = int(wm.group(1)) if wm else _INT_DISPLAY[canon][1 if unsigned else 0]
+        t = f"{canon}({w})"
+    elif canon in ("decimal",):
+        t = f"decimal{a or '(10,0)'}"
+    elif canon == "year":
+        t = f"year{a or '(4)'}"
+    elif canon == "char" and not a:
+        t = "char(1)"
+    elif canon == "bit":
+        t = f"bit{a or '(1)'}"
+    elif a:
+        t = f"{canon}{a}"
+    if unsigned:
+        t += " unsigned"
+    if zerofill:
+        t += " zerofill"
+    return t
+
+
+def _col_decl(c: ColumnDef) -> str:
+    """Declared type of a column, derived from the recorded fields when
+    the CREATE-time text was not captured (ALTER-added / CTAS
+    columns)."""
+    if c.decl:
+        return c.decl
+    canon = c.mysql_type or c.spark_type.lower()
+    args = ""
+    dm = re.match(r"DECIMAL(\(.*\))", c.spark_type, re.I)
+    if dm:
+        canon, args = "decimal", dm.group(1)
+    elif canon in ("char", "varchar") and c.char_width:
+        args = f"({c.char_width})"
+    elif canon == "bit":
+        args = f"({c.char_width or 1})"
+    elif not c.mysql_type:
+        canon = {
+            "INT": "int", "BIGINT": "bigint", "SMALLINT": "smallint",
+            "TINYINT": "tinyint", "DOUBLE": "double", "FLOAT": "float",
+            "STRING": "text", "DATE": "date", "TIMESTAMP": "datetime",
+            "BINARY": "blob",
+        }.get(c.spark_type.upper(), c.spark_type.lower())
+    return _mysql_decl_text(canon, canon, args, c.unsigned,
+                            bool(c.zerofill))
+
+
+def _show_create_text(td: TableDef) -> str:
+    """MySQL's SHOW CREATE TABLE rendering (create_table.result,
+    alter_table.result shapes)."""
+    lines = []
+    for c in td.columns:
+        ln = f"  `{c.name}` {_col_decl(c)}"
+        if c.charset and c.charset != (td.charset or "latin1"):
+            ln += f" CHARACTER SET {c.charset}"
+        if c.notnull:
+            ln += " NOT NULL"
+        elif c.default is None and not c.autoinc:
+            ln += " DEFAULT NULL"
+        if c.default is not None:
+            dv = c.default
+            if dv.upper() in ("CURRENT_TIMESTAMP",):
+                ln += " DEFAULT CURRENT_TIMESTAMP"
+            else:
+                if not (dv.startswith("'") or dv.startswith('"')):
+                    dv = f"'{dv}'"
+                ln += f" DEFAULT {_dquote_to_squote(dv)}"
+        if c.on_update_ts:
+            ln += " ON UPDATE CURRENT_TIMESTAMP"
+        if c.autoinc:
+            ln += " AUTO_INCREMENT"
+        lines.append(ln)
+    if td.pk:
+        lines.append(
+            "  PRIMARY KEY (" + ",".join(f"`{k}`" for k in td.pk) + ")"
+        )
+    return (
+        f"CREATE TABLE `{td.name}` (\n" + ",\n".join(lines) +
+        f"\n) ENGINE={td.engine.upper()} "
+        f"DEFAULT CHARSET={td.charset or 'latin1'}"
+    )
+
+
+def _describe_rows(td: TableDef) -> list[tuple]:
+    """DESCRIBE / SHOW COLUMNS rows: Field, Type, Null, Key, Default,
+    Extra."""
+    rows = []
+    for c in td.columns:
+        extra = "auto_increment" if c.autoinc else (
+            "on update CURRENT_TIMESTAMP" if c.on_update_ts else ""
+        )
+        dv = c.default
+        if dv is not None:
+            dv = _unquote_strlit(dv)
+        rows.append((
+            c.name, _col_decl(c),
+            "NO" if c.notnull else "YES",
+            "PRI" if c.name in td.pk else "",
+            dv, extra,
+        ))
+    return rows
+
+
+def _unquote_strlit(v: str) -> str:
+    s = v.strip()
+    if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0]:
+        return s[1:-1].replace(s[0] * 2, s[0])
+    return s
 
 
 def parse_create_table(stmt: str) -> TableDef:
@@ -579,6 +924,11 @@ def parse_create_table(stmt: str) -> TableDef:
                 bool(re.search(r"\bNOT\s+NULL\b", rest, re.I)),
                 cw,
                 (csm.group(1) or csm.group(2)).lower() if csm else "",
+                _mysql_decl_text(base, canon, args, unsigned,
+                                 bool(re.search(r"\bZEROFILL\b", rest, re.I))),
+                bool(re.search(
+                    r"\bON\s+UPDATE\s+CURRENT_TIMESTAMP\b", rest, re.I
+                )),
             )
         )
     td = TableDef(name, cols, pk)
@@ -601,6 +951,7 @@ def parse_create_table(stmt: str) -> TableDef:
         stmt, re.I | re.S,
     )
     if tail_cs:
+        td.charset = tail_cs.group(1).lower()
         for c in cols:
             if not c.charset and c.mysql_type in (
                 "char", "varchar", "text", "tinytext", "mediumtext",
@@ -925,6 +1276,36 @@ def _lenient_num(expr: str, engine: str, scale: int = 6) -> tuple[str, str, str]
     return s, p, n
 
 
+def _format_fn(inner: str, engine: str) -> str:
+    """MySQL FORMAT(x, d) → thousands-grouped d-decimal string
+    (func_math.test).  Spark's FORMAT_NUMBER is exact over DECIMAL;
+    DuckDB lacks grouping, so group via reverse + regexp (RE2 has no
+    lookahead) over the exact DECIMAL(38,d) rendering."""
+    p = _split_top_commas(inner)
+    if len(p) != 2 or not re.fullmatch(r"\d+", p[1].strip()):
+        raise ValueError(f"FORMAT needs (x, literal d): {inner!r}")
+    x, d = p[0].strip(), int(p[1])
+    if engine == "spark":
+        return f"FORMAT_NUMBER({x}, {d})"
+    # TRY_CAST, not CAST: the later MySQL-CAST rewrite pass must not
+    # reinterpret this generated cast as MySQL-lenient DECIMAL clamping
+    t = f"TRY_CAST(TRY_CAST(({x}) AS DECIMAL(38,{d})) AS VARCHAR)"
+    digits = f"(CASE WHEN {t} LIKE '-%' THEN SUBSTR({t}, 2) ELSE {t} END)"
+    ip = (
+        f"split_part({digits}, '.', 1)" if d else digits
+    )
+    grouped = (
+        f"reverse(rtrim(regexp_replace(reverse({ip}), "
+        f"'([0-9][0-9][0-9])', '\\1,', 'g'), ','))"
+    )
+    frac = f" || '.' || split_part({digits}, '.', 2)" if d else ""
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN NULL ELSE "
+        f"(CASE WHEN {t} LIKE '-%' THEN '-' ELSE '' END)"
+        f" || {grouped}{frac} END)"
+    )
+
+
 def _cast_mysql(inner: str, engine: str) -> str:
     """CAST(expr AS type) with MySQL 5.7 semantics (CastDataTypes.test):
 
@@ -963,6 +1344,14 @@ def _cast_mysql(inner: str, engine: str) -> str:
             f" WHEN {n} < -9223372036854775808"
             f"  THEN CAST(-9223372036854775808 AS BIGINT)"
             f" ELSE CAST(ROUND({n}, 0) AS BIGINT) END)"
+        )
+    if ttype == "UNSIGNED":
+        # MySQL reinterprets negatives as two's-complement u64:
+        # CAST(-2 AS UNSIGNED) = 18446744073709551614 (func_math.test)
+        return (
+            f"CAST((CASE WHEN ({expr}) < 0"
+            f" THEN 18446744073709551616 + ({expr})"
+            f" ELSE ({expr}) END) AS DECIMAL(20,0))"
         )
     if ttype == "CHAR" and targ and re.fullmatch(r"\d+", targ):
         vtype = "STRING" if engine == "spark" else "VARCHAR"
@@ -1518,6 +1907,482 @@ def _huge_int_arith_guard(sql: str) -> None:
             )
 
 
+# NO_UNSIGNED_SUBTRACTION session flag for the constant-fold 1690
+# checker below.  Module-level because rewrite_expr is a pure function
+# called from both translators; scripts execute single-threaded and
+# run_script / build_oracle_sql reset it at entry.
+_NUS_MODE = [False]
+
+
+class _EvalAbort(Exception):
+    """Constant evaluation hit a non-constant construct — no check."""
+
+
+_U64 = 2**64
+_I64MAX = 2**63 - 1
+_I64MIN = -(2**63)
+
+
+def _overflow_1690(what: str) -> ValueError:
+    return ValueError(
+        f"value is out of range in '{what}' (MySQL error 1690 analog)"
+    )
+
+
+def _const_tokens(expr: str) -> list:
+    toks, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch.isspace():
+            i += 1
+        elif ch in "()+-*/%,":
+            toks.append(ch)
+            i += 1
+        elif ch in ("'", '"'):
+            j = i + 1
+            while j < n and expr[j] != ch:
+                j += 2 if expr[j] == "\\" else 1
+            toks.append(("str", expr[i + 1 : j]))
+            i = j + 1
+        elif ch.isdigit() or (ch == "." and i + 1 < n and expr[i + 1].isdigit()):
+            m = re.match(r"\d*\.?\d+([eE][+-]?\d+)?", expr[i:])
+            toks.append(("num", m.group(0)))
+            i += m.end()
+        elif ch.isalpha() or ch == "_":
+            m = re.match(r"[A-Za-z_]\w*", expr[i:])
+            toks.append(("word", m.group(0).upper()))
+            i += m.end()
+        else:
+            raise _EvalAbort()
+    return toks
+
+
+def _const_eval_item(expr: str):
+    """Evaluate a literal-only numeric SELECT item with MySQL 5.7
+    arithmetic semantics and raise the 1690 analog on overflow
+    (func_math.test's error battery; reference sql/item_func.cc
+    raise_integer_overflow / check_float_overflow).  Value model:
+    ('int', v, unsigned) — BIGINT [UNSIGNED]; ('dec', Decimal) —
+    DECIMAL(65); ('float', f) — DOUBLE.  Aborts (returning None, no
+    check) on any identifier or unsupported construct."""
+    import math
+
+    toks = _const_tokens(expr)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def as_num(v):
+        """Coerce a string operand to its numeric value (MySQL reads
+        numeric strings in arithmetic); abort on non-numeric."""
+        if v[0] == "str":
+            try:
+                return (
+                    ("dec", decimal.Decimal(v[1]))
+                    if re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", v[1])
+                    else ("float", float(v[1]))
+                )
+            except Exception:
+                raise _EvalAbort()
+        return v
+
+    def ck_float(f, what):
+        if math.isinf(f) or math.isnan(f):
+            raise _overflow_1690(what)
+        return ("float", f)
+
+    def ck_dec(d, what):
+        sign, digits, exp = d.as_tuple()
+        if len(digits) + max(exp, 0) > 65 or -exp > 30:
+            raise _overflow_1690(what)
+        return ("dec", d)
+
+    def ck_int(v, unsigned, what):
+        if unsigned:
+            if v < 0 or v >= _U64:
+                raise _overflow_1690(what)
+        elif v > _I64MAX or v < _I64MIN:
+            raise _overflow_1690(what)
+        return ("int", v, unsigned)
+
+    def binop(a, op, b, what):
+        a, b = as_num(a), as_num(b)
+        if a[0] == "float" or b[0] == "float":
+            fa = float(a[1]), float(b[1])
+            if op == "/":
+                if fa[1] == 0:
+                    return ("float", 0.0)  # NULL in MySQL: no error
+                return ck_float(fa[0] / fa[1], what)
+            if op == "DIV":
+                if fa[1] == 0:
+                    return ("float", 0.0)
+                q = decimal.Decimal(fa[0]) // decimal.Decimal(fa[1])
+                return ck_int(int(q), False, what)
+            f = {"+": fa[0] + fa[1], "-": fa[0] - fa[1],
+                 "*": fa[0] * fa[1],
+                 "MOD": math.fmod(fa[0], fa[1]) if fa[1] else 0.0,
+                 "%": math.fmod(fa[0], fa[1]) if fa[1] else 0.0}[op]
+            return ck_float(f, what)
+        if a[0] == "dec" or b[0] == "dec":
+            da = decimal.Decimal(a[1]), decimal.Decimal(b[1])
+            with decimal.localcontext() as ctx:
+                ctx.prec = 80
+                if op == "/":
+                    if da[1] == 0:
+                        return ("dec", decimal.Decimal(0))
+                    return ck_dec(da[0] / da[1], what)
+                if op == "DIV":
+                    # integer division: result must fit BIGINT
+                    if da[1] == 0:
+                        return ("dec", decimal.Decimal(0))
+                    uns = (a[0] == "int" and a[2]) or (b[0] == "int" and b[2])
+                    return ck_int(int(da[0] / da[1]), uns, what)
+                if op in ("MOD", "%"):
+                    if da[1] == 0:
+                        return ("dec", decimal.Decimal(0))
+                    return ("dec", da[0] % da[1] if da[0] >= 0
+                            else -((-da[0]) % abs(da[1])))
+                d = {"+": da[0] + da[1], "-": da[0] - da[1],
+                     "*": da[0] * da[1]}[op]
+                return ck_dec(d, what)
+        va, vb = a[1], b[1]
+        unsigned = a[2] or b[2]
+        if op == "-" and _NUS_MODE[0]:
+            unsigned = False  # NO_UNSIGNED_SUBTRACTION
+        if op == "/":
+            if vb == 0:
+                return ("dec", decimal.Decimal(0))
+            return ck_dec(
+                decimal.Decimal(va) / decimal.Decimal(vb), what
+            )
+        if op == "DIV":
+            if vb == 0:
+                return ("int", 0, unsigned)
+            v = abs(va) // abs(vb)
+            if (va < 0) != (vb < 0):
+                v = -v
+            return ck_int(v, unsigned, what)
+        if op in ("MOD", "%"):
+            if vb == 0:
+                return ("int", 0, unsigned)
+            v = abs(va) % abs(vb)
+            return ck_int(-v if va < 0 else v, unsigned, what)
+        v = {"+": va + vb, "-": va - vb, "*": va * vb}[op]
+        return ck_int(v, unsigned, what)
+
+    def primary():
+        t = take()
+        if t is None:
+            raise _EvalAbort()
+        if t == "(":
+            v = expr_rule()
+            if take() != ")":
+                raise _EvalAbort()
+            return v
+        if t == "-":
+            v = as_num(primary())
+            if v[0] == "int":
+                nv = -v[1]
+                if v[2] and nv < _I64MIN:  # -(huge unsigned) → DECIMAL
+                    return ("dec", decimal.Decimal(nv))
+                return ("int", nv, False)
+            return (v[0], -v[1])
+        if t == "+":
+            return primary()
+        if isinstance(t, tuple) and t[0] == "num":
+            text = t[1]
+            if re.search(r"[eE]", text):
+                return ("float", float(text))
+            if "." in text:
+                return ("dec", decimal.Decimal(text))
+            v = int(text)
+            if v <= _I64MAX:
+                return ("int", v, False)
+            if v < _U64:
+                return ("int", v, True)
+            return ("dec", decimal.Decimal(v))
+        if isinstance(t, tuple) and t[0] == "str":
+            return t
+        if isinstance(t, tuple) and t[0] == "word":
+            w = t[1]
+            if w == "CAST" and peek() == "(":
+                take()
+                v = as_num(expr_rule())
+                nxt = take()
+                if not (isinstance(nxt, tuple) and nxt[0] == "word"
+                        and nxt[1] == "AS"):
+                    raise _EvalAbort()
+                ty = take()
+                if not isinstance(ty, tuple) or ty[0] != "word":
+                    raise _EvalAbort()
+                while peek() not in (")", None):  # DECIMAL(p,s) tail
+                    take()
+                if take() != ")":
+                    raise _EvalAbort()
+                iv = int(v[1])
+                if ty[1] == "UNSIGNED":
+                    return ("int", iv % _U64, True)
+                if ty[1] == "SIGNED":
+                    iv %= _U64
+                    return ("int", iv - _U64 if iv > _I64MAX else iv, False)
+                if ty[1] == "DECIMAL":
+                    return ("dec", decimal.Decimal(v[1]))
+                raise _EvalAbort()
+            if peek() == "(" and w in (
+                "EXP", "POW", "POWER", "COT", "DEGREES", "RADIANS",
+                "ABS", "CEIL", "CEILING", "FLOOR", "SQRT", "LN", "LOG",
+            ):
+                take()
+                args = [expr_rule()]
+                while peek() == ",":
+                    take()
+                    args.append(expr_rule())
+                if take() != ")":
+                    raise _EvalAbort()
+                a0 = as_num(args[0])
+                what = f"{w}(...)"
+                if w == "ABS":
+                    if a0[0] == "int":
+                        return ck_int(abs(a0[1]), a0[2], what)
+                    return (a0[0], abs(a0[1]))
+                if w in ("CEIL", "CEILING", "FLOOR"):
+                    fn = math.ceil if w != "FLOOR" else math.floor
+                    if a0[0] == "int":
+                        return a0
+                    if a0[0] == "dec":
+                        return ("dec", decimal.Decimal(fn(a0[1])))
+                    return ck_int(fn(a0[1]), False, what)
+                f0 = float(a0[1])
+                try:
+                    if w == "EXP":
+                        return ck_float(math.exp(f0), what)
+                    if w in ("POW", "POWER"):
+                        f1 = float(as_num(args[1])[1])
+                        return ck_float(math.pow(f0, f1), what)
+                    if w == "COT":
+                        tn = math.tan(f0)
+                        if tn == 0:
+                            raise _overflow_1690(what)
+                        return ck_float(1.0 / tn, what)
+                    if w == "DEGREES":
+                        return ck_float(math.degrees(f0), what)
+                    if w == "RADIANS":
+                        return ck_float(math.radians(f0), what)
+                    if w == "SQRT":
+                        if f0 < 0:
+                            return ("float", 0.0)  # NULL, no error
+                        return ck_float(math.sqrt(f0), what)
+                    if w in ("LN", "LOG"):
+                        if f0 <= 0:
+                            return ("float", 0.0)
+                        return ck_float(math.log(f0), what)
+                except OverflowError:
+                    raise _overflow_1690(what)
+            raise _EvalAbort()
+        raise _EvalAbort()
+
+    def term():
+        v = primary()
+        while True:
+            t = peek()
+            op = None
+            if t in ("*", "/", "%"):
+                op = t
+            elif isinstance(t, tuple) and t[0] == "word" and \
+                    t[1] in ("DIV", "MOD"):
+                op = t[1]
+            if op is None:
+                return v
+            take()
+            v = binop(v, op, term_rhs(), expr)
+
+    def term_rhs():
+        return primary()
+
+    def expr_rule():
+        v = term()
+        while peek() in ("+", "-"):
+            op = take()
+            v = binop(v, op, term(), expr)
+        return v
+
+    v = expr_rule()
+    if pos[0] != len(toks):
+        raise _EvalAbort()
+    return v
+
+
+def _const_1690_guard(sql: str) -> None:
+    """Evaluate literal-only SELECT items and raise MySQL's 1690 on
+    arithmetic overflow (func_math.test): unsigned context when either
+    operand is unsigned (negative result → error), BIGINT range on
+    signed ops and DIV, DOUBLE overflow on float math and
+    EXP/POW/COT/DEGREES, DECIMAL(65) overflow.  Items containing any
+    column reference abort unchecked — this is a constant-folding
+    analog of the reference's check_float_overflow path, not an
+    evaluator for real data."""
+    m = re.match(r"^\s*\(?\s*SELECT\s+(?:DISTINCT\s+)?", sql, re.I)
+    if not m:
+        return
+    start = m.end()
+    from_i = _scan_token(sql, start, 0, ("FROM",))
+    body = sql[start:] if from_i < 0 else sql[start:from_i]
+    for item in _split_top_commas(body):
+        item = re.sub(
+            r"\s+AS\s+(`[^`]+`|\w+)\s*$", "", item.strip(),
+            flags=re.I,
+        )
+        if not item or re.match(r"^\s*@", item):
+            continue
+        try:
+            _const_eval_item(item)
+        except _EvalAbort:
+            continue
+
+
+_IDENT_PAIR_MINUS = re.compile(
+    r"(?<![\w.`])((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))?)\s*-\s*"
+    r"((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))?|\d+(?:\.\d+)?)(?![\w.(])"
+)
+
+
+def _guard_unsigned_arith(s: str, tables: dict) -> str:
+    """MySQL errors 1690 when subtraction involving an UNSIGNED column
+    yields a negative value (func_math.test's zerofill tail) — a
+    runtime, per-row condition Spark computes happily.  Wrap bare
+    ``x - y`` pairs where either side is an unsigned column in a
+    RAISE_ERROR guard; the value passes through unchanged when
+    non-negative, so non-error selects keep their results.  Runner
+    (Spark) side only: the oracle compiler skips --error statements."""
+    unsigned_cols = {
+        c.name.lower()
+        for td in tables.values()
+        for c in td.columns
+        if c.unsigned
+    }
+    if not unsigned_cols:
+        return s
+
+    def rep(m: re.Match) -> str:
+        names = []
+        for g in (m.group(1), m.group(2)):
+            last = g.split(".")[-1].strip("`").lower()
+            names.append(last)
+        if not any(n in unsigned_cols for n in names):
+            return m.group(0)
+        x, y = m.group(1), m.group(2)
+        return (
+            f"(CASE WHEN ({x} - {y}) < 0 THEN RAISE_ERROR("
+            f"'BIGINT UNSIGNED value is out of range in ({x} - {y}) "
+            f"(MySQL error 1690 analog)') ELSE ({x} - {y}) END)"
+        )
+
+    return _sub_outside_strings(s, _IDENT_PAIR_MINUS, rep)
+
+
+def _check_insert_shape(s: str) -> None:
+    """MySQL's prepare-time INSERT shape errors (insert.test):
+    1136 value-count-vs-column-count mismatch, then 1110 column
+    specified twice."""
+    m = re.match(
+        r"^\s*(?:INSERT|REPLACE)\s+(?:IGNORE\s+)?(?:INTO\s+)?"
+        r"(`[^`]+`|\w+)\s*\(([^()]*)\)\s*(VALUES?\s*\(|SELECT\b)",
+        s, re.I | re.S,
+    )
+    if not m:
+        return
+    cols = [
+        _unquote_ident(c).lower() for c in _split_top_commas(m.group(2))
+    ]
+    if m.group(3).upper().startswith("VALUE"):
+        vm = re.search(r"\bVALUES?\s*\(", s, re.I)
+        # balanced-paren extraction of the FIRST tuple (nested calls,
+        # quoted commas)
+        depth, i, in_str = 1, vm.end(), None
+        start = vm.end()
+        while i < len(s) and depth:
+            ch = s[i]
+            if in_str:
+                if ch == "\\":
+                    i += 1
+                elif ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        arity = len(_split_top_commas(s[start : i - 1]))
+        if arity != len(cols):
+            raise ValueError(
+                "Column count doesn't match value count "
+                "(MySQL error 1136 analog)"
+            )
+    dups = {c for c in cols if cols.count(c) > 1}
+    if dups:
+        raise ValueError(
+            f"Column '{sorted(dups)[0]}' specified twice "
+            f"(MySQL error 1110 analog)"
+        )
+
+
+def _view_insert_target(name: str, viewdefs: dict) -> str:
+    """Resolve a view to its single updatable base table (MySQL
+    insert-through-view, insert.test); a view reading more than one
+    table refuses inserts with error 1393."""
+    cur, seen = name.lower(), set()
+    while cur in viewdefs:
+        if cur in seen:
+            raise ValueError(f"circular view {name}")
+        seen.add(cur)
+        fm = re.search(r"\bFROM\s+(.*)$", viewdefs[cur], re.I | re.S)
+        if not fm:
+            raise ValueError(f"view {cur} has no FROM clause")
+        frm = re.split(r"\bWHERE\b", fm.group(1), flags=re.I)[0]
+        rels = re.split(r",|\bJOIN\b", frm, flags=re.I)
+        if len(rels) > 1:
+            raise ValueError(
+                f"Can not modify more than one base table through a "
+                f"join view '{name}' (MySQL error 1393 analog)"
+            )
+        rm = re.match(r"\s*(`[^`]+`|\w+)", rels[0])
+        cur = _unquote_ident(rm.group(1)).lower()
+    return cur
+
+
+def _bind_literal_uservar(expr: str):
+    """SET @v = <bare numeric literal> binds without an engine
+    round-trip — MySQL saturates beyond-DECIMAL(65) literals to the
+    65-digit maximum with a truncation warning (func_math.test's
+    81-digit @a), which no engine literal can represent."""
+    fm = re.fullmatch(r"-?\d+(?:\.\d+)?[eE][+-]?\d+", expr.strip())
+    if fm:
+        import math
+
+        if math.isinf(float(fm.group(0))):
+            raise ValueError(
+                f"Illegal double '{fm.group(0)[:40]}' value "
+                f"(MySQL error 1367 analog)"
+            )
+        return fm.group(0)
+    m = re.fullmatch(r"(-?)(\d+)(?:\.(\d+))?", expr.strip())
+    if not m:
+        return None
+    sign, ip, fp = m.group(1), m.group(2), m.group(3) or ""
+    if len(ip) + len(fp) > 65:
+        ip = "9" * min(len(ip), 65)
+        fp = "9" * max(0, 65 - len(ip)) if len(ip) < 65 else ""
+    return sign + ip + ("." + fp if fp else "")
+
+
 def _is_infoschema(s: str) -> bool:
     """information_schema probes are metadata introspection (charset
     octet lengths etc., different_charsets_a.test) — deployment-
@@ -1649,6 +2514,9 @@ def _truthy_term(term: str) -> str:
     if t.upper() == "NULL":
         b = "CAST(NULL AS BOOLEAN)"
     else:
+        # MySQL x/0 is NULL; Spark ANSI throws — NULLIF the zero
+        # divisor (insert.test's ``where 1/0 or 1``)
+        t = re.sub(r"/\s*(0+(?:\.0*)?)(?![\w.])", r"/ NULLIF(\1, 0)", t)
         b = f"(({t}) <> 0)"
     for _ in range(nots):
         b = f"(NOT {b})"
@@ -1696,6 +2564,60 @@ def _rewrite_truthy_logic_items(sql: str) -> str:
     return (
         sql[:list_start] + ", ".join(out_items) + " " + sql[from_i:]
     )
+
+
+_WTRUTH_ATOM = (
+    r"(?:\d+(?:\.\d+)?(?:\s*[*/%+-]\s*\d+(?:\.\d+)?)*"
+    r"|(?:[A-Za-z_][\w$]*\s*\.\s*)?[A-Za-z_][\w$]*|`[^`]+`"
+    r"|\((?:[^()]|\([^()]*\))*\))"
+)
+
+_WTRUTH = re.compile(
+    rf"\bWHERE\s+((?:NOT\s+)*{_WTRUTH_ATOM}"
+    rf"(?:\s+(?:AND|OR|XOR)\s+(?:NOT\s+)*{_WTRUTH_ATOM})+)\s*"
+    rf"(?=$|ORDER\b|GROUP\b|LIMIT\b|HAVING\b)",
+    re.I,
+)
+
+
+_WTRUTH_BODY = re.compile(
+    rf"(?:NOT\s+)*{_WTRUTH_ATOM}"
+    rf"(?:\s+(?:AND|OR|XOR)\s+(?:NOT\s+)*{_WTRUTH_ATOM})+",
+    re.I,
+)
+
+
+def _truthy_condition_text(expr: str) -> str:
+    """A bare condition whose atoms are identifiers or literal
+    arithmetic (``1/0 or 1``) gets MySQL numeric truthiness; anything
+    comparison-shaped passes through unchanged."""
+    body = expr.strip()
+    if re.search(
+        r"(?i)[<>=!]|\b(BETWEEN|IS|LIKE|IN|EXISTS|SELECT)\b", body
+    ):
+        # comparison-shaped predicates (possibly inside parenthesized
+        # "atoms") are already boolean — never rewrite them
+        return expr
+    if not _WTRUTH_BODY.fullmatch(body):
+        return expr
+    parts = _TRUTHY_SPLIT.split(body)
+    out = _truthy_term(parts[0])
+    for op, term in zip(parts[1::2], parts[2::2]):
+        rhs = _truthy_term(term)
+        out = f"({out} {'<>' if op.upper() == 'XOR' else op} {rhs})"
+    return f"COALESCE({out}, FALSE)"
+
+
+def _rewrite_truthy_where(sql: str) -> str:
+    """MySQL WHERE over numeric truthiness (insert.test's ``update …
+    where 1/0 or 1``): atoms that are identifiers or literal
+    arithmetic become ``<atom> <> 0`` booleans.  Comparison-shaped
+    predicates don't match the atom grammar and pass through."""
+
+    def rep(m: re.Match) -> str:
+        return f"WHERE {_truthy_condition_text(m.group(1))} "
+
+    return _sub_outside_strings(sql, _WTRUTH, rep)
 
 
 def _charset_introspect(inner: str, which: str) -> str:
@@ -1757,6 +2679,46 @@ def _is_toplevel_bool(expr: str) -> bool:
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     _huge_int_arith_guard(sql)
+    _const_1690_guard(sql)
+
+    # tianmu 1105: CEILING/FLOOR over a BARE beyond-DECIMAL(18) integer
+    # literal errors (func_math.test); the CAST form is the documented
+    # escape hatch and passes through
+    def _ceilfloor_fn(inner: str, fname: str) -> str:
+        if re.fullmatch(r"\d{19,}", inner.strip()) and \
+                int(inner.strip()) > 10**18:
+            raise ValueError(
+                f"numeric result of {fname}({inner.strip()[:25]}…) is too "
+                f"large for tianmu's DECIMAL(18) cap (error 1105 analog; "
+                f"use an explicit CAST)"
+            )
+        return f"{fname}({inner})"
+
+    for _cf in ("CEILING", "CEIL", "FLOOR"):
+        sql = _wrap_calls(sql, _cf, lambda i, f=_cf: _ceilfloor_fn(i, f))
+
+    # ROUND/TRUNCATE scale arguments: MySQL clamps huge/unsigned-cast
+    # scales (round(4, 18446744073709551614) = 4); Spark's round needs
+    # a foldable int32 — fold literal scales driver-side
+    def _fold_scale(args: str, fname: str) -> str:
+        p = _split_top_commas(args)
+        if len(p) != 2:
+            return f"{fname}({args})"
+        t = p[1].strip()
+        um = re.fullmatch(
+            r"(?is)CAST\s*\(\s*(-?\d+)\s+AS\s+UNSIGNED(\s+INTEGER)?\s*\)", t
+        )
+        if um:
+            v = int(um.group(1)) % _U64
+        elif re.fullmatch(r"-?\d+", t):
+            v = int(t)
+        else:
+            return f"{fname}({args})"
+        return f"{fname}({p[0]}, {max(-30, min(30, v))})"
+
+    for _rf in ("ROUND", "TRUNCATE"):
+        sql = _wrap_calls(sql, _rf, lambda i, f=_rf: _fold_scale(i, f))
+
     sql = _decode_introducers(sql)
     # `expr COLLATE name` — collation annotation; comparisons follow
     # the collation machinery elsewhere, the annotation itself drops
@@ -1798,6 +2760,19 @@ def rewrite_expr(sql: str, engine: str) -> str:
         if len(p) != 2:
             raise ValueError(f"TRUNCATE needs 2 args: {inner!r}")
         x, d = p
+        dl = d.strip()
+        if re.fullmatch(r"-?\d+", dl):
+            # exact decimal power literal: POWER() returns DOUBLE, and
+            # decimal*double → double whose FLOOR saturates at int64
+            # (func_math.test's truncate(18446744073709551614, 1))
+            di = int(dl)
+            pw = "1" + "0" * di if di >= 0 else "0." + "0" * (-di - 1) + "1"
+            return (
+                f"(CASE WHEN ({x}) >= 0"
+                f" THEN FLOOR(({x}) * {pw})"
+                f" ELSE CEIL(({x}) * {pw}) END"
+                f" / {pw})"
+            )
         return (
             f"(CASE WHEN ({x}) >= 0"
             f" THEN FLOOR(({x}) * POWER(10, {d}))"
@@ -1826,6 +2801,7 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _rewrite_is_truth(sql)
     sql = _rewrite_bang_not(sql)
     sql = _rewrite_truthy_logic_items(sql)
+    sql = _rewrite_truthy_where(sql)
     sql = _wrap_calls(
         sql, "CHARSET", lambda i: _charset_introspect(i, "cs")
     )
@@ -1947,6 +2923,17 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _wrap_calls(sql, "CAST", lambda i: _cast_mysql(i, engine))
     sql = _rewrite_cast_signed(sql)
     sql = _rewrite_str_num_compare(sql)
+    # MySQL FORMAT(x, d) / negative-SQRT-is-NULL: LAST, so the emitted
+    # engine-native text (||, substr, regexp backrefs) is not
+    # reinterpreted by the MySQL-dialect passes above
+    sql = _wrap_calls(sql, "FORMAT", lambda i: _format_fn(i, engine))
+    sql = _wrap_calls(
+        sql, "SQRT",
+        lambda i: (
+            f"SQRT(CASE WHEN CAST(({i}) AS DOUBLE) < 0 THEN NULL"
+            f" ELSE CAST(({i}) AS DOUBLE) END)"
+        ),
+    )
     if engine == "duck":
         sql = _duck_order_nulls(sql)
     return sql
@@ -2788,9 +3775,14 @@ def _normalize_insert_set(s: str) -> str:
         return s
     cols, vals = [], []
     for part in _split_top_commas(m.group(2)):
-        am = re.match(r"\s*(`[^`]+`|\w+)\s*=\s*(.*)$", part, re.S)
-        cols.append(_unquote_ident(am.group(1)))
-        vals.append(am.group(2).strip())
+        am = re.match(
+            r"\s*((?:(?:`[^`]+`|\w+)\.)*(`[^`]+`|\w+))\s*=\s*(.*)$",
+            part, re.S,
+        )
+        # qualified targets (insert.test's ``set t1.c = '1'``) keep
+        # only the column segment
+        cols.append(_unquote_ident(am.group(2)))
+        vals.append(am.group(3).strip())
     return (
         f"{m.group(1)}({', '.join(cols)}) VALUES ({', '.join(vals)})"
     )
@@ -2934,7 +3926,18 @@ class MTRRun:
     # of the script path reads the remapped file (round-trip tests,
     # unsigned_support_issue1267.test).
     outfiles: dict = field(default_factory=dict)
+    # CREATE VIEW name -> original MySQL body text (insert-through-view
+    # resolution; insert.test)
+    viewdefs: dict = field(default_factory=dict)
+    # ROW_COUNT() analog: rows written by the last INSERT VALUES
+    last_rowcount: int = -1
 
+
+_SHOWDESC = re.compile(
+    r"^\s*(SHOW\s+CREATE\s+TABLE|DESC(RIBE)?\s+(`[^`]+`|\w+)\s*$"
+    r"|SHOW\s+(FULL\s+)?COLUMNS\s+FROM)",
+    re.I,
+)
 
 _IGNORED = re.compile(
     # bare SET covers sql_mode / optimizer_switch / NAMES …; user
@@ -3291,6 +4294,7 @@ def _alter_tabledef(
         rename_to or td.name, [c for c, _ in work], pk, td.next_auto,
         td.engine,
     )
+    newtd.charset = td.charset
     return newtd, work
 
 
@@ -3308,6 +4312,46 @@ def _zf_sql(name: str, width: int, engine: str) -> str:
         f"CASE WHEN LENGTH({cast}) >= {width} THEN {cast} "
         f"ELSE LPAD({cast}, {width}, '0') END"
     )
+
+
+def _apply_temporal_numeric_cmp(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL compares DATE/TIMESTAMP columns with bare numbers via the
+    compact numeric rendering (insert.test's ``t>0``, date_formats'
+    ``b = 20161213``); both engines reject timestamp-vs-int.  Rewrite
+    ``col op N`` to the rendered comparison; zero-dates are modeled as
+    NULL so COALESCE(…, FALSE) yields MySQL's 0 for them."""
+    cols: dict[str, ColumnDef] = {}
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s+(`[^`]+`|\w+)", sql, re.I):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for c in td.columns:
+                if c.spark_type.upper() in ("DATE", "TIMESTAMP"):
+                    cols[c.name.lower()] = c
+    if not cols:
+        return sql
+    pat = re.compile(
+        r"(?<![\w.`'])((?:\w+|`\w+`)\s*\.\s*)?(`?)(\w+)\2\s*"
+        r"(>=|<=|<>|!=|=|>|<)\s*(\d+)(?![\w.:'-])"
+    )
+
+    def rep(m: re.Match) -> str:
+        c = cols.get(m.group(3).lower())
+        if c is None:
+            return m.group(0)
+        qual = (m.group(1) or "").strip()
+        ref = f"{qual}`{m.group(3)}`"
+        f = "%Y%m%d" if c.spark_type.upper() == "DATE" else "%Y%m%d%H%M%S"
+        if engine == "spark":
+            jf = "yyyyMMdd" if f == "%Y%m%d" else "yyyyMMddHHmmss"
+            num = f"CAST(DATE_FORMAT({ref}, '{jf}') AS DECIMAL(20,0))"
+        else:
+            num = f"CAST(strftime({ref}, '{f}') AS DECIMAL(20,0))"
+        op = "<>" if m.group(4) == "!=" else m.group(4)
+        return f"COALESCE({num} {op} {m.group(5)}, FALSE)"
+
+    return _sub_outside_strings(sql, pat, rep)
 
 
 def _apply_zerofill(
@@ -3706,13 +4750,57 @@ def _parse_insert_values(
                 if c.mysql_type in _STRICT_INT_RANGES:
                     v = _coerce_int_literal(v, c, td.engine, strict)
                 if (
+                    strict
+                    and c.spark_type.upper() in ("DATE", "TIMESTAMP")
+                ):
+                    zd = v.strip().strip("'\"")
+                    if re.fullmatch(r"0+", zd):
+                        # strict sql_mode rejects the zero-date
+                        # (delete.test); non-strict stores it (NULL
+                        # model — see _mysql_temporal_literal)
+                        raise ValueError(
+                            f"Incorrect date value '0' for column "
+                            f"'{c.name}' (MySQL error 1292 analog)"
+                        )
+                if c.mysql_type in ("double", "float", "real"):
+                    vt = v.strip()
+                    # @var substitution parenthesizes its literal
+                    while (
+                        vt.startswith("(") and vt.endswith(")")
+                        and _split_top_commas(vt[1:-1]) == [vt[1:-1]]
+                    ):
+                        vt = vt[1:-1].strip()
+                    d = _decode_strlit(vt)
+                    if d is not None:
+                        # MySQL reads the leading numeric prefix of a
+                        # string into FLOAT/DOUBLE ('aa'->0, '1aa'->1,
+                        # '1e+1111111111a' clamps to DBL_MAX with a
+                        # 1264 warning — insert.test); Spark's inline-
+                        # table CAST would error instead
+                        pm = re.match(
+                            r"\s*[+-]?(\d+(\.\d*)?|\.\d+)"
+                            r"([eE][+-]?\d+)?", d,
+                        )
+                        try:
+                            f = float(pm.group(0)) if pm else 0.0
+                        except OverflowError:
+                            f = float("inf")
+                        mxf = (
+                            1.7976931348623157e308
+                            if c.mysql_type == "double"
+                            else 3.402823466e38
+                        )
+                        f = max(-mxf, min(mxf, f)) if f == f else 0.0
+                        v = repr(f)
+                if (
                     c.notnull and not c.autoinc
                     and v.strip().upper() == "NULL"
                 ):
-                    if insert_ignore:
-                        # IGNORE downgrades 1048 to a warning: the
-                        # column takes its implicit default
-                        # (issue682.test, insert.test)
+                    if insert_ignore or (len(tuples) > 1 and not strict):
+                        # IGNORE — and MySQL's multi-row INSERT, which
+                        # downgrades 1048 to a warning — store the
+                        # implicit default (issue682.test, insert.test's
+                        # values (1),(NULL),(2) -> 1,0,2)
                         v = _implicit_default(c)
                     else:
                         raise ValueError(
@@ -3812,6 +4900,12 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
     if base not in ("DATE", "TIMESTAMP"):
         return lit
     digits = s[1:-1] if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0] else s
+    if re.fullmatch(r"0+", digits):
+        # MySQL numeric 0 into a temporal column is the zero-date
+        # '0000-00-00'; neither engine has one — modeled as NULL, and
+        # the temporal-vs-number compare pass renders NULL as
+        # not-greater-than-zero like the reference (insert.test t>0=0)
+        return "NULL"
     if re.fullmatch(r"\d{6}|\d{8}|\d{12}|\d{14}", digits):
         # MySQL numeric temporal literal ([YY]YYMMDD[HHMMSS],
         # update_v1.test's 20000928174434; quoted compact form in
@@ -4387,8 +5481,26 @@ def _load_data_to_insert(
 def run_statement(run: MTRRun, stmt: str):
     """Execute one MySQL statement on Spark.  Returns a DataFrame for
     SELECT, else None."""
-    s = _strip_modifiers(_subst_uservars(stmt.strip(), run.vars))
+    raw = _strip_modifiers(stmt.strip())
+    vm = _SET_USERVAR.match(raw)
+    if vm:
+        # SET @v = expr — BEFORE @var substitution, which would
+        # otherwise rewrite the assignment target on re-assignment
+        # (insert.test re-SETs @value repeatedly)
+        rhs = _inline_funcs(
+            _subst_uservars(vm.group(2).strip(), run.vars), run.funcs
+        )
+        lit = _bind_literal_uservar(rhs)  # may raise 1367
+        if lit is None:
+            val = run.spark.sql(
+                f"SELECT ({rewrite_expr(rhs, 'spark')}) AS v"
+            ).collect()[0][0]
+            lit = _py_to_literal(val)
+        run.vars[vm.group(1)] = lit
+        return None
+    s = _subst_uservars(raw, run.vars)
     s = _normalize_insert_set(_inline_funcs(s, run.funcs))
+    s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
     sm2 = re.match(
         r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
         s, re.I,
@@ -4397,6 +5509,7 @@ def run_statement(run: MTRRun, stmt: str):
         val = sm2.group(1).strip().strip("'\"").upper()
         run.strict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
         run.full_group_by = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
+        _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
         return None
     fn = _parse_create_function(s)
     if fn is not None:
@@ -4408,15 +5521,6 @@ def run_statement(run: MTRRun, stmt: str):
             s, re.I,
         )
         run.funcs.pop(_unquote_ident(m.group(1)), None)
-        return None
-    vm = _SET_USERVAR.match(s)
-    if vm:
-        # SET @v = expr: evaluate the (constant) expression now and
-        # bind the literal — MySQL user-variable scalar semantics
-        val = run.spark.sql(
-            f"SELECT ({rewrite_expr(vm.group(2).strip(), 'spark')}) AS v"
-        ).collect()[0][0]
-        run.vars[vm.group(1)] = _py_to_literal(val)
         return None
     if _is_infoschema(s):
         return None
@@ -4430,6 +5534,33 @@ def run_statement(run: MTRRun, stmt: str):
             )
         run.tables.clear()
         return None
+    shm = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+    if shm:
+        key = _unquote_ident(shm.group(1)).lower()
+        if key not in run.tables:
+            raise ValueError(
+                f"Table '{key}' doesn't exist (MySQL error 1146 analog)"
+            )
+        td = run.tables[key]
+        return run.spark.createDataFrame(
+            [(td.name, _show_create_text(td))],
+            schema="`Table` string, `Create Table` string",
+        )
+    dsm = re.match(
+        r"^\s*(?:DESC(?:RIBE)?|SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM)\s+"
+        r"(`[^`]+`|\w+)\s*$", s, re.I,
+    )
+    if dsm:
+        key = _unquote_ident(dsm.group(1)).lower()
+        if key not in run.tables:
+            raise ValueError(
+                f"Table '{key}' doesn't exist (MySQL error 1146 analog)"
+            )
+        return run.spark.createDataFrame(
+            _describe_rows(run.tables[key]),
+            schema="Field string, Type string, `Null` string, "
+                   "Key string, `Default` string, Extra string",
+        )
     if _IGNORED.match(s):
         return None
     ofm = (
@@ -4645,18 +5776,45 @@ def run_statement(run: MTRRun, stmt: str):
             f"LOCATION '{loc}'"
         )
         return None
-    if re.match(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", s, re.I):
+    if re.match(
+        r"^\s*CREATE\s+(ALGORITHM\s*=\s*\w+\s+)?(OR\s+REPLACE\s+)?VIEW\b",
+        s, re.I,
+    ):
         m = re.match(
-            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
+            r"^\s*CREATE\s+(?:ALGORITHM\s*=\s*\w+\s+)?"
+            r"(?:OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
             s,
             re.I | re.S,
         )
         body = rewrite_expr(m.group(2), "spark")
+        vname = _unquote_ident(m.group(1))
+        run.viewdefs[vname.lower()] = m.group(2)
         run.spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW `{_unquote_ident(m.group(1))}` "
-            f"AS {body}"
+            f"CREATE OR REPLACE TEMPORARY VIEW `{vname}` AS {body}"
         )
         return None
+    if re.match(r"^\s*PREPARE\b", s, re.I):
+        # only --error PREPAREs reach here (others splice at split
+        # time): MySQL validates at prepare — raise its analog
+        pm = re.match(
+            r"^\s*PREPARE\s+\w+\s+FROM\s+(['\"])(.*)\1\s*$",
+            s, re.I | re.S,
+        )
+        body = _normalize_insert_set(
+            pm.group(2).replace(pm.group(1) * 2, pm.group(1))
+        )
+        _check_insert_shape(body)
+        return None
+    if re.match(r"^\s*(INSERT|REPLACE)\b", s, re.I):
+        _check_insert_shape(s)
+        tm = re.match(
+            r"^\s*(?:INSERT|REPLACE)\s+(?:IGNORE\s+)?(?:INTO\s+)?"
+            r"(`[^`]+`|\w+)", s, re.I,
+        )
+        tname = _unquote_ident(tm.group(1)).lower()
+        if tname not in run.tables and tname in run.viewdefs:
+            base = _view_insert_target(tname, run.viewdefs)  # may 1393
+            s = s[: tm.start(1)] + f"`{base}`" + s[tm.end(1):]
     if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
         # REPLACE [INTO] t …: delete PK-colliding rows, then insert
         # (MySQL delete+insert semantics — replace.test)
@@ -4722,6 +5880,15 @@ def run_statement(run: MTRRun, stmt: str):
     if re.match(r"^\s*INSERT\b", s, re.I):
         base, dup = _split_on_duplicate(s)
         if dup is not None:
+            im0 = re.match(
+                r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)",
+                base, re.I,
+            )
+            if not run.tables[_unquote_ident(im0.group(1)).lower()].pk:
+                # no key on the target: MySQL runs the plain INSERT and
+                # the ON DUPLICATE clause never fires (insert.test)
+                s, dup = base, None
+        if dup is not None:
             td, rows = _parse_insert_values(run.tables, base, run.strict)
             td.seen_pk = None  # upsert may overwrite: stop 1062 tracking
             set_exprs = {
@@ -4763,6 +5930,7 @@ def run_statement(run: MTRRun, stmt: str):
             run.spark.sql(
                 f"INSERT INTO `{td.name}` VALUES " + ",\n".join(cast_rows)
             )
+            run.last_rowcount = len(rows)
         else:  # INSERT [INTO] t SELECT ...
             s = re.sub(
                 r"^\s*INSERT\s+(?!INTO\b)", "INSERT INTO ", s, flags=re.I
@@ -4824,7 +5992,12 @@ def run_statement(run: MTRRun, stmt: str):
         tname = _unquote_ident(m.group(1))
         tbl = run.spark.table(f"`{tname}`")
         cond = (
-            F.coalesce(F.expr(rewrite_expr(m.group(3), "spark")), F.lit(False))
+            F.coalesce(
+                F.expr(rewrite_expr(
+                    _truthy_condition_text(m.group(3)), "spark"
+                )),
+                F.lit(False),
+            )
             if m.group(3)
             else F.lit(True)
         )
@@ -5065,8 +6238,15 @@ def run_statement(run: MTRRun, stmt: str):
             )
         if not run.full_group_by:
             s = _wrap_nongrouped_any_value(s)
+        # ROW_COUNT() analog: the last INSERT's written-row count
+        s = _sub_outside_strings(
+            s, re.compile(r"\bROW_COUNT\s*\(\s*\)", re.I),
+            lambda m: f"{run.last_rowcount} AS `row_count()`",
+        )
+        s = _guard_unsigned_arith(s, run.tables)
         return run.spark.sql(
-            rewrite_expr(_apply_zerofill(s, run.tables, "spark"), "spark")
+            rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
+                s, run.tables, "spark"), run.tables, "spark"), "spark")
         )
     raise ValueError(f"unsupported statement: {s[:120]}")
 
@@ -5077,14 +6257,18 @@ def run_script(
     designated: int = -1,
     out_names: list[str] | None = None,
     final_casts: dict[str, str] | None = None,
+    show_designated: int | None = None,
 ) -> DataFrame:
     """Execute a verbatim MTR script on Spark; return the
     ``designated``-th SELECT's result (default: last).  Every other
     SELECT is forced with count() so errors surface; DDL/DML execute
     in order.  The designated result is checkpointed so the script's
-    own cleanup (DROP TABLE …) can't invalidate it."""
+    own cleanup (DROP TABLE …) can't invalidate it.  When
+    ``show_designated`` is set, the result is instead the Nth SHOW
+    CREATE TABLE / DESCRIBE output (separately numbered)."""
     workdir = tempfile.mkdtemp(prefix="stonedb_mtr_")
     run = MTRRun(spark, workdir)
+    _NUS_MODE[0] = False  # fresh session sql_mode
     stmts = split_mtr(script)
     n_selects = sum(
         1
@@ -5096,8 +6280,14 @@ def run_script(
         and not _is_infoschema(st.text)
     )
     target = designated if designated >= 0 else n_selects + designated
+    if show_designated is not None and show_designated < 0:
+        n_shows = sum(
+            1 for st in stmts
+            if _SHOWDESC.match(st.text) and not st.expect_error
+        )
+        show_designated += n_shows
     result = None
-    seen = 0
+    seen = shows_seen = 0
     try:
         for st in stmts:
             if st.expect_error:
@@ -5117,7 +6307,15 @@ def run_script(
                 )
             out = run_statement(run, st.text)
             if out is not None:
-                if seen == target:
+                if _SHOWDESC.match(st.text):
+                    # SHOW CREATE / DESCRIBE outputs are numbered
+                    # separately so adding them never shifts the
+                    # SELECT designation of existing entries
+                    if shows_seen == show_designated:
+                        result = out.localCheckpoint(eager=True)
+                    shows_seen += 1
+                    continue
+                if seen == target and show_designated is None:
                     result = out.localCheckpoint(eager=True)
                 else:
                     out.count()
@@ -5215,6 +6413,7 @@ def build_oracle_sql(
     out_names: list[str] | None = None,
     int_sum_cast: bool = False,
     final_casts: dict[str, str] | None = None,
+    show_designated: int | None = None,
 ) -> str:
     """Compile the MTR script into ONE DuckDB SELECT: replay every
     table's DDL/DML as a chain of CTE versions, bind each table's
@@ -5222,6 +6421,7 @@ def build_oracle_sql(
     designated SELECT.  ``int_sum_cast`` wraps SUM(…) in CAST(… AS
     BIGINT) — DuckDB's integral SUM returns HUGEINT (float64 in
     pandas) while Spark returns BIGINT."""
+    _NUS_MODE[0] = False  # fresh session sql_mode
     stmts = split_mtr(script)
     tables: dict[str, TableDef] = {}
     versions: dict[str, int] = {}
@@ -5283,9 +6483,17 @@ def build_oracle_sql(
     target = designated if designated >= 0 else n_selects + designated
     seen = 0
     final_sql = None
+    shows_seen, show_final = 0, None
+    show_target = show_designated
+    if show_target is not None and show_target < 0:
+        show_target += sum(
+            1 for st in stmts
+            if _SHOWDESC.match(st.text) and not st.expect_error
+        )
     uservars: dict[str, str] = {}
     oraclefuncs: dict = {}
     views: dict[str, tuple[str, str]] = {}
+    viewbodies: dict[str, str] = {}  # view -> original MySQL body
     outfile_snaps: dict[str, str] = {}  # INTO OUTFILE path -> frozen select
     view_inc: dict[str, int] = {}
     oraclestrict = True
@@ -5293,8 +6501,25 @@ def build_oracle_sql(
     for st in stmts:
         if st.expect_error:
             continue
-        s = _strip_modifiers(_subst_uservars(st.text.strip(), uservars))
+        raw = _strip_modifiers(st.text.strip())
+        vm = _SET_USERVAR.match(raw)
+        if vm:
+            rhs = _inline_funcs(
+                _subst_uservars(vm.group(2).strip(), uservars), oraclefuncs
+            )
+            lit = _bind_literal_uservar(rhs)
+            if lit is None:
+                import duckdb as _duckdb
+
+                val = _duckdb.connect().execute(
+                    f"SELECT ({rewrite_expr(rhs, 'duck')}) AS v"
+                ).fetchone()[0]
+                lit = _py_to_literal(val)
+            uservars[vm.group(1)] = lit
+            continue
+        s = _subst_uservars(raw, uservars)
         s = _normalize_insert_set(_inline_funcs(s, oraclefuncs))
+        s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
         sm2 = re.match(
             r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
             s, re.I,
@@ -5303,6 +6528,7 @@ def build_oracle_sql(
             val = sm2.group(1).strip().strip("'\"").upper()
             oraclestrict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
             oracle_fullgb = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
+            _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
             continue
         fn = _parse_create_function(s)
         if fn is not None:
@@ -5315,15 +6541,6 @@ def build_oracle_sql(
             )
             oraclefuncs.pop(_unquote_ident(m.group(1)), None)
             continue
-        vm = _SET_USERVAR.match(s)
-        if vm:
-            import duckdb as _duckdb
-
-            val = _duckdb.connect().execute(
-                f"SELECT ({rewrite_expr(vm.group(2).strip(), 'duck')}) AS v"
-            ).fetchone()[0]
-            uservars[vm.group(1)] = _py_to_literal(val)
-            continue
         if re.match(r"^\s*DROP\s+DATABASE\b", s, re.I):
             # mirror of the runner: the db's tables go with it; a later
             # CREATE of the same name starts a fresh incarnation
@@ -5331,7 +6548,9 @@ def build_oracle_sql(
                 pending_rows.pop(key, None)
                 tables.pop(key)
             continue
-        if _IGNORED.match(s) or re.match(r"^\s*DROP\s+VIEW\b", s, re.I):
+        if not _SHOWDESC.match(s) and (
+            _IGNORED.match(s) or re.match(r"^\s*DROP\s+VIEW\b", s, re.I)
+        ):
             continue
         if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?TABLE\b", s, re.I):
             continue  # versions stay defined; harmless after designated
@@ -5377,15 +6596,20 @@ def build_oracle_sql(
             incarn[key] = incarn.get(key, 0) + 1
             pending_rows[key] = []
             continue
-        if re.match(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", s, re.I):
+        if re.match(
+            r"^\s*CREATE\s+(ALGORITHM\s*=\s*\w+\s+)?"
+            r"(OR\s+REPLACE\s+)?VIEW\b", s, re.I,
+        ):
             m = re.match(
-                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
+                r"^\s*CREATE\s+(?:ALGORITHM\s*=\s*\w+\s+)?"
+                r"(?:OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|\w+)\s+AS\s+(.*)$",
                 s,
                 re.I | re.S,
             )
             body = retarget(rewrite_expr(m.group(2), "duck"))
             vn = _unquote_ident(m.group(1))
             vkey = vn.lower()
+            viewbodies[vkey] = m.group(2)
             view_inc[vkey] = view_inc.get(vkey, 0) + 1
             cte_name = f"{vn}__view{view_inc[vkey]}"
             ctes.append((cte_name, body))
@@ -5547,7 +6771,13 @@ def build_oracle_sql(
         if re.match(r"^\s*INSERT\b", s, re.I):
             m = re.match(r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)", s, re.I)
             t = _unquote_ident(m.group(1)).lower()
+            if t not in tables and t in viewbodies:
+                # insert-through-view: route to the single base table
+                t = _view_insert_target(t, viewbodies)
+                s = s[: m.start(1)] + f"`{t}`" + s[m.end(1):]
             base, dup = _split_on_duplicate(s)
+            if dup is not None and not tables[t].pk:
+                s, dup = base, None  # keyless: ON DUPLICATE never fires
             if dup is not None:
                 td = tables[t]
                 td.seen_pk = None
@@ -5700,7 +6930,7 @@ def build_oracle_sql(
             prev = vname(t)
             versions[t] += 1
             cond = (
-                f"COALESCE(({rewrite_expr(m.group(3), 'duck')}), FALSE)"
+                f"COALESCE(({rewrite_expr(_truthy_condition_text(m.group(3)), 'duck')}), FALSE)"
                 if m.group(3)
                 else "TRUE"
             )
@@ -5866,16 +7096,55 @@ def build_oracle_sql(
             continue
         if _is_infoschema(s):
             continue
+        if _SHOWDESC.match(s):
+            if shows_seen == show_target:
+                shm = re.match(
+                    r"^\s*SHOW\s+CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*$",
+                    s, re.I,
+                )
+
+                def lit(x):
+                    return (
+                        "CAST(NULL AS VARCHAR)" if x is None
+                        else "'" + str(x).replace("'", "''") + "'"
+                    )
+
+                if shm:
+                    std = tables[_unquote_ident(shm.group(1)).lower()]
+                    show_final = (
+                        f"SELECT {lit(std.name)} AS \"Table\", "
+                        f"{lit(_show_create_text(std))} AS \"Create Table\""
+                    )
+                else:
+                    dsm = re.match(
+                        r"^\s*(?:DESC(?:RIBE)?|SHOW\s+(?:FULL\s+)?COLUMNS"
+                        r"\s+FROM)\s+(`[^`]+`|\w+)\s*$", s, re.I,
+                    )
+                    std = tables[_unquote_ident(dsm.group(1)).lower()]
+                    tuples = ", ".join(
+                        "(" + ", ".join(lit(v) for v in row) + ")"
+                        for row in _describe_rows(std)
+                    )
+                    show_final = (
+                        f"SELECT * FROM (VALUES {tuples}) AS _d("
+                        f"\"Field\", \"Type\", \"Null\", \"Key\", "
+                        f"\"Default\", \"Extra\")"
+                    )
+            shows_seen += 1
+            continue
         if re.match(r"^\s*\(?\s*SELECT\b", s, re.I):
             if seen == target:
                 if not oracle_fullgb:
                     s = _wrap_nongrouped_any_value(s)
                 final_sql = retarget(
-                    rewrite_expr(_apply_zerofill(s, tables, "duck"), "duck")
+                    rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
+                        s, tables, "duck"), tables, "duck"), "duck")
                 )
             seen += 1
             continue
         raise ValueError(f"oracle: unsupported statement {s[:90]}")
+    if show_designated is not None:
+        final_sql = show_final
     if final_sql is None:
         raise ValueError("no designated SELECT found")
     if int_sum_cast:

@@ -175,6 +175,32 @@ SOURCES = {
     'dialect_group_order_multi': ('select_order_by_group_by.test', [(1, 85)]),
     'dialect_group_order_null': ('select_order_by_group_by.test', [(1, 85)]),
     'dialect_composite_pk': ('composite_primary_key.test', [(1, 25)]),
+    'dialect_func_math_format': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_unsigned_cast': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_format_u64': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_sqrt': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_truncate': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_mod': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_pow': ('func_math.test', [(1, 176)]),
+    'dialect_func_math_mod_huge': ('func_math.test', [(1, 176)]),
+    'dialect_insert_alltypes': ('insert.test', [(1, 475)]),
+    'dialect_insert_oldvalues': ('insert.test', [(1, 475)]),
+    'dialect_insert_defaults': ('insert.test', [(1, 475)]),
+    'dialect_insert_set_defaults': ('insert.test', [(1, 475)]),
+    'dialect_insert_null_multirow': ('insert.test', [(1, 475)]),
+    'dialect_insert_selfjoin_feed': ('insert.test', [(1, 475)]),
+    'dialect_insert_view_upsert': ('insert.test', [(1, 475)]),
+    'dialect_insert_through_view': ('insert.test', [(1, 475)]),
+    'dialect_insert_temptable_view': ('insert.test', [(1, 475)]),
+    'dialect_alter_modify_show': ('alter_table.test', [(1, 71)]),
+    'dialect_alter_modify_show_final': ('alter_table.test', [(1, 71)]),
+    'dialect_alter_null_show': ('alter_table_null.test', [(1, 60)]),
+    'dialect_alter_null_show_final': ('alter_table_null.test', [(1, 60)]),
+    'dialect_alter_mix_show': ('alter_table_mix_use.test', [(1, 91)]),
+    'dialect_alter_mix_show_final': ('alter_table_mix_use.test', [(1, 91)]),
+    'dialect_alter_negative_show': ('alter_table_negative.test', [(1, 48)]),
+    'dialect_alter_v1_order': ('alter_table_v1.test', [(1, 41)]),
+    'dialect_alter_v1_autoinc': ('alter_table_v1.test', [(1, 41)]),
     'dialect_implicit_group_empty': ('issue1784.test', [(1, 158)]),
     'dialect_implicit_group': ('issue1784.test', [(1, 158)]),
     'dialect_replace_composite_pk': ('issue1152.test', [(1, 20)]),
@@ -10103,6 +10129,981 @@ select * from ttt;
 DROP DATABASE composite_primary_key_test;
 """
 
+SCRIPT_FUNC_MATH = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS func_math_test;
+--enable_warnings
+
+CREATE DATABASE func_math_test;
+
+USE func_math_test;
+
+create table t1
+(f1 varchar(32) not null,
+f2 smallint(5) unsigned not null,
+f3 int(10) unsigned not null default '0')
+engine=tianmu default charset=utf8;
+insert into t1 values ('zombie',0,0),('gold',1,10000),('silver',2,10000);
+create table t2
+(f1 int(10) unsigned not null,
+f2 int(10) unsigned not null,
+f3 smallint(5) unsigned not null)
+engine=tianmu default charset=utf8;
+insert into t2 values (16777216,16787215,1),(33554432,33564431,2);
+select format(t2.f2-t2.f1+1,0) from t1,t2
+where t1.f2 = t2.f3 order by t1.f1;
+drop table t1, t2;
+create table t1(a int unsigned) engine=tianmu default charset=utf8;
+insert into t1 values (11);
+select cast(-2 as unsigned), 18446744073709551614, -2 from t1;
+select abs(cast(-2 as unsigned)), abs(18446744073709551614), abs(-2) from t1;
+# for mysql, ceiling(18446744073709551614) is ok, but in tianmu, decimal overflow, need cast(...)
+--error 1105
+select ceiling(18446744073709551614) from t1;
+select ceiling(cast(-2 as unsigned)), ceiling(-2) from t1;
+--error 1105
+select floor(18446744073709551614) from t1;
+select floor(cast(-2 as unsigned)), floor(-2) from t1;
+select format(cast(-2 as unsigned), 2), format(18446744073709551614, 2), format(-2, 2) from t1;
+select sqrt(cast(-2 as unsigned)), sqrt(18446744073709551614), sqrt(-2) from t1;
+select round(cast(-2 as unsigned), 1), round(18446744073709551614, 1), round(-2, 1) from t1;
+select round(4, cast(-2 as unsigned)), round(4, 18446744073709551614), round(4, -2) from t1;
+select truncate(cast(-2 as unsigned), 1), truncate(18446744073709551614, 1), truncate(-2, 1) from t1;
+select truncate(4, cast(-2 as unsigned)), truncate(4, 18446744073709551614), truncate(4, -2) from t1;
+select mod(cast(-2 as unsigned), 3), mod(18446744073709551614, 3), mod(-2, 3) from t1;
+select mod(5, cast(-2 as unsigned)), mod(5, 18446744073709551614), mod(5, -2) from t1;
+select pow(cast(-2 as unsigned), 5), pow(18446744073709551614, 5), pow(-2, 5) from t1;
+--error 1690
+SELECT 1e308 + 1e308 from t1;
+--error 1690
+SELECT -1e308 - 1e308 from t1;
+--error 1690
+SELECT 1e300 * 1e300 from t1;
+--error 1690
+SELECT 1e300 / 1e-300 from t1;
+--error 1690
+SELECT EXP(750) from t1;
+--error 1690
+SELECT POW(10, 309) from t1;
+#
+# Bug#57477 SIGFPE when dividing a huge number a negative number
+#
+--error 1690
+SELECT -9999999999999999991 DIV -1 from t1;
+--error 1690
+SELECT -9223372036854775808 DIV -1 from t1;
+SELECT -9223372036854775808 MOD -1 from t1;
+SELECT -9223372036854775808999 MOD -1 from t1;
+--error 1690
+select 123456789012345678901234567890.123456789012345678901234567890 div 1 as x from t1;
+--error 1690
+select "123456789012345678901234567890.123456789012345678901234567890" div 1 as x from t1;
+SHOW WARNINGS;
+#
+# Bug #8433: Overflow must be an error
+#
+--error 1690
+SELECT 1e308 + 1e308 from t1;
+--error 1690
+SELECT -1e308 - 1e308 from t1;
+--error 1690
+SELECT 1e300 * 1e300 from t1;
+--error 1690
+SELECT 1e300 / 1e-300 from t1;
+--error 1690
+SELECT EXP(750) from t1;
+--error 1690
+SELECT POW(10, 309) from t1;
+--error 1690
+SELECT COT(0) from t1;
+--error 1690
+SELECT DEGREES(1e307) from t1;
+--error 1690
+SELECT 9223372036854775808 + 9223372036854775808 from t1;
+--error 1690
+SELECT 18446744073709551615 + 1 from t1;
+--error 1690
+SELECT 1 + 18446744073709551615 from t1;
+--error 1690
+SELECT -2 + CAST(1 AS UNSIGNED) from t1;
+--error 1690
+SELECT CAST(1 AS UNSIGNED) + -2 from t1;
+--error 1690
+SELECT -9223372036854775808 + -9223372036854775808 from t1;
+--error 1690
+SELECT 9223372036854775807 + 9223372036854775807 from t1;
+--error 1690
+SELECT CAST(0 AS UNSIGNED) - 9223372036854775809 from t1;
+--error 1690
+SELECT 9223372036854775808 - 9223372036854775809 from t1;
+--error 1690
+SELECT CAST(1 AS UNSIGNED) - 2 from t1;
+--error 1690
+SELECT 18446744073709551615 - (-1) from t1;
+--error 1690
+SELECT -1 - 9223372036854775808 from t1;
+--error 1690
+SELECT -1 - CAST(1 AS UNSIGNED) from t1;
+--error 1690
+SELECT -9223372036854775808 - 1 from t1;
+--error 1690
+SELECT 9223372036854775807 - -9223372036854775808 from t1;
+set SQL_MODE='NO_UNSIGNED_SUBTRACTION';
+--error 1690
+SELECT 18446744073709551615 - 1 from t1;
+--error 1690
+SELECT 18446744073709551615 - CAST(1 AS UNSIGNED) from t1;
+--error 1690
+SELECT 18446744073709551614 - (-1) from t1;
+--error 1690
+SELECT 9223372036854775807 - -1 from t1;
+set SQL_MODE=default;
+--error 1690
+SELECT 4294967296 * 4294967296 from t1;
+--error 1690
+SELECT 9223372036854775808 * 2 from t1;
+--error 1690
+SELECT 9223372036854775808 * 2 from t1;
+--error 1690
+SELECT 7158278827 * 3221225472 from t1;
+--error 1690
+SELECT 9223372036854775807 * (-2) from t1;
+--error 1690
+SELECT CAST(1 as UNSIGNED) * (-1) from t1;
+--error 1690
+SELECT 9223372036854775807 * 2 from t1;
+--error 1690
+SELECT ABS(-9223372036854775808) from t1;
+--error 1690
+SELECT -9223372036854775808 DIV -1 from t1;
+--error 1690
+SELECT 18446744073709551615 DIV -1 from t1;
+SET @a:=999999999999999999999999999999999999999999999999999999999999999999999999999999999;
+--error 1690
+SELECT @a + @a from t1;
+--error 1690
+SELECT @a * @a from t1;
+--error 1690
+SELECT -@a - @a from t1;
+--error 1690
+SELECT @a / 0.5 from t1;
+# next is design by tianmu team
+drop table if exists t1, t2;
+create table t1(a tinyint zerofill, b int) engine=tianmu;
+insert into t1 values (11, 22); 
+--error 1690
+select a-b from t1;
+--error 1690
+select cast((a-b) as unsigned) from t1;
+create table t2(a tinyint unsigned, b int) engine=tianmu;
+insert into t2 values (1, 22);
+--error 1690
+select a-b from t1;
+--error 1690
+select cast((a-b) as unsigned) from t2;
+drop table t1, t2;
+
+DROP DATABASE func_math_test;
+"""
+
+SCRIPT_INSERT_FULL = """--source include/have_tianmu.inc
+
+--echo #
+--echo #Insert values for different types of fields
+--echo #
+--disable_warnings
+DROP DATABASE IF EXISTS insert_test;
+--enable_warnings
+
+CREATE DATABASE insert_test;
+USE insert_test;
+CREATE TABLE `column_type_test` (
+ `c_tinyint` tinyint(4) DEFAULT NULL COMMENT 'tinyint',
+  `c_smallint` smallint(6) DEFAULT NULL COMMENT 'smallint',
+  `c_mediumint` mediumint(9) DEFAULT NULL COMMENT 'mediumint',
+  `c_int` int(11) DEFAULT NULL COMMENT 'int',
+  `c_bigint` bigint(20) DEFAULT NULL COMMENT 'bigint',
+  `c_float` float DEFAULT NULL COMMENT 'float',
+  `c_double` double DEFAULT NULL COMMENT 'double',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'decimal',
+  `c_date` date DEFAULT NULL COMMENT 'date',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'datetime',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'timestamp',
+  `c_time` time DEFAULT NULL COMMENT 'time',
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_blob` blob COMMENT 'blob',
+  `c_text` text COMMENT 'text',
+  `c_longblob` longblob COMMENT 'longblob'
+) ENGINE=TIANMU;
+
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(100,100,100,100,100,5.2,10.88,100.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(101,101,101,101,101,5.2,10.88,101.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(102,102,102,102,102,5.2,10.88,102.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(103,103,103,103,103,5.2,10.88,103.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(104,104,104,104,104,5.2,10.88,104.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+
+select * from column_type_test;
+drop table column_type_test;
+
+
+--echo #
+--echo # Test of refering to old values
+--echo #
+
+--disable_warnings
+drop table if exists t1,t2,t3;
+--enable_warnings
+SET sql_mode = 'NO_ENGINE_SUBSTITUTION';
+create table t1 (a int not null);
+insert into t1 values (1);
+insert into t1 values (a+2);
+insert into t1 values (a+3),(a+4);
+insert into t1 values (5),(a+6);
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # Test of duplicate key values with packed keys
+--echo #
+
+create table t1 (id int not null auto_increment primary key, username varchar(32) not null);
+insert into t1 values (0,"mysql");
+insert into t1 values (0,"mysql ab");
+insert into t1 values (0,"mysql a");
+insert into t1 values (0,"r1manic");
+insert into t1 values (0,"r1man");
+drop table t1;
+
+--echo #
+--echo # Test insert syntax
+--echo #
+
+create table t1 (a int not null auto_increment,
+ primary key (a),
+ t timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+ c char(10) default "hello", i int)engine=tianmu;
+insert into t1 values (default,default,default,default), (default,default,default,default), (4,0,"a",5),(default,default,default,default);
+select a,t>0,c,i from t1;
+
+truncate table t1;
+insert into t1 set a=default,t=default,c=default;
+insert into t1 set a=default,t=default,c=default,i=default;
+insert into t1 set a=4,t=0,c="a",i=5;
+insert into t1 set a=5,t=0,c="a",i=null;
+insert into t1 set a=default,t=default,c=default,i=default;
+select a,t>0,c,i from t1;
+drop table t1;
+
+--echo #
+--echo #Test of behaviour with INSERT VALUES (NULL)
+--echo #
+
+create table t1 (id int NOT NULL DEFAULT 8);
+-- error 1048
+insert into t1 values(NULL);
+insert into t1 values (1), (NULL), (2);
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # Test of mysqld crash with fully qualified column names
+--echo #
+
+--disable_warnings
+drop database if exists mysqltest;
+--enable_warnings
+create database mysqltest_insert_test;
+use mysqltest_insert_test;
+create table t1 (c int);
+insert into mysqltest_insert_test.t1 set mysqltest_insert_test.t1.c = '1';
+drop database mysqltest_insert_test;
+
+use insert_test;
+
+--echo #
+--echo # Test of wrong values for float data 
+--echo #
+
+# PS gives sligthly different numbers for max-float/max-double
+--disable_ps_protocol
+create table t1(
+ number int auto_increment primary key,
+ original_value varchar(50),
+ f_double double,
+ f_float float,
+ f_double_7_2 double(7,2),
+ f_float_4_3 float (4,3),
+ f_double_u double,
+ f_float_u float,
+ f_double_15_1_u double(15,1),
+ f_float_3_1_u float (3,1));
+
+set @value= "aa";
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= "1aa";
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= "aa1";
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= "1e+1111111111a";
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= "-1e+1111111111a";
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+--error 1367
+set @value= 1e+1111111111;
+--error 1367
+set @value= -1e+1111111111;
+
+set @value= 1e+111;
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= -1e+111;
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= 1;
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+set @value= -1;
+insert into t1 values(null,@value,@value,@value,@value,@value,@value,@value,@value,@value);
+--query_vertical select * from t1 where number =last_insert_id()
+
+drop table t1;
+--enable_ps_protocol
+
+
+--echo #
+--echo # Test automatic result buffering with INSERT INTO t1 ... SELECT ... FROM t1
+--echo #
+
+create table t1(id1 int not null auto_increment primary key, t char(12));
+create table t2(id2 int not null, t char(12));
+create table t3(id3 int not null, t char(12));
+disable_query_log;
+let $1 = 100;
+while ($1)
+ {
+  let $2 = 5;
+  eval insert into t1(t) values ('$1'); 
+  while ($2)
+   {
+     eval insert into t2(id2,t) values ($1,'$2'); 
+     let $3 = 10;
+     while ($3)
+     {
+       eval insert into t3(id3,t) values ($1,'$2'); 
+       dec $3;
+     }
+     dec $2; 
+   }
+  dec $1;
+ }
+enable_query_log;
+select count(*) from t2;
+insert into  t2 select t1.* from t1, t2 t, t3 where  t1.id1 = t.id2 and t.id2 = t3.id3;
+select count(*) from t2;
+drop table t1,t2,t3;
+
+--echo #
+--echo # Test different cases of duplicate fields
+--echo #
+
+create table t1 (a int, b int);
+insert into t1 (a,b) values (a,b);
+insert into t1 SET a=1, b=a+1;
+insert into t1 (a,b) select 1,2;
+INSERT INTO t1 ( a ) SELECT 0 ON DUPLICATE KEY UPDATE a = a + VALUES (a);
+--error 1110
+prepare stmt1 from ' replace into t1 (a,a) select 100, ''hundred'' ';
+--error 1110
+insert into t1 (a,b,b) values (1,1,1);
+--error 1136
+insert into t1 (a,a) values (1,1,1);
+--error 1110
+insert into t1 (a,a) values (1,1);
+--error 1110
+insert into t1 SET a=1,b=2,a=1;
+--error 1110
+insert into t1 (b,b) select 1,2;
+--error 1110
+INSERT INTO t1 (b,b) SELECT 0,0 ON DUPLICATE KEY UPDATE a = a + VALUES (a);
+drop table t1;
+
+--echo #
+--echo # Test for values returned by ROW_COUNT() function
+--echo # (and thus for values returned by mysql_affected_rows())
+--echo # for various forms of INSERT
+--echo #
+
+create table t1 (id int primary key, data int);
+insert into t1 values (1, 1), (2, 2), (3, 3);
+select row_count();
+insert ignore into t1 values (1, 1);
+#insert ignore gives warnings which resets the row_count.
+#'select row_count()' will not show the row_count from above statement.
+select row_count();
+# Reports that 2 rows are affected. This conforms to documentation.
+# (Useful for differentiating inserts from updates).
+insert into t1 values (2, 2) on duplicate key update data= data + 10;
+select row_count();
+insert into t1 values (5, 5) on duplicate key update data= data + 10;
+select row_count();
+drop table t1;
+
+--echo #
+--echo # ON DUPLICATE KEY clause allows fields not from the insert table
+--echo #
+
+create table t1 (f1 int primary key, f2 int);
+create table t2 (f3 int, f4 int);
+create view v1 as select * from t1, t2 where f1= f3;
+insert into t1 values (1,11), (2,22);
+insert into t2 values (1,12), (2,24);
+--error 1393
+insert into v1 (f1) values (3) on duplicate key update f3= f3 + 10;
+--error 1393
+insert into v1 (f1) values (3) on duplicate key update f1= f3 + 10;
+select * from t1;
+--error 1393
+insert into v1 (f1) values (3) on duplicate key update f1= f3 + 10;
+select * from t1;
+drop view v1;
+drop table t1,t2;
+
+--echo #
+--echo # mysqld (debug) aborts when inserting specific numbers into char fields
+--echo #
+
+CREATE TABLE t1 (
+  a char(20) NOT NULL,
+  b char(7) DEFAULT NULL,
+  c char(4) DEFAULT NULL
+);
+
+INSERT INTO t1(a,b,c) VALUES (9.999999e+0, 9.999999e+0, 9.999e+0);
+INSERT INTO t1(a,b) VALUES (1.225e-04, 1.225e-04);
+INSERT INTO t1(a,b) VALUES (1.225e-01, 1.225e-01);
+INSERT INTO t1(a,b) VALUES (1.225877e-01, 1.225877e-01);
+INSERT INTO t1(a,b) VALUES (1.225e+01, 1.225e+01);
+INSERT INTO t1(a,b,c) VALUES (1.225e+01, 1.225e+01, 1.225e+01);
+INSERT INTO t1(a,b) VALUES (1.225e+05, 1.225e+05);
+INSERT INTO t1(a,b) VALUES (1.225e+10, 1.225e+10);
+INSERT INTO t1(a,b) VALUES (1.225e+15, 1.225e+15);
+INSERT INTO t1(a,b) VALUES (5000000e+0, 5000000e+0);
+INSERT INTO t1(a,b) VALUES (1.25e+78, 1.25e+78);
+INSERT INTO t1(a,b) VALUES (1.25e-94, 1.25e-94);
+INSERT INTO t1(a,b) VALUES (1.25e+203, 1.25e+203);
+INSERT INTO t1(a,b) VALUES (1.25e-175, 1.25e-175);
+INSERT INTO t1(a,c) VALUES (1.225e+0, 1.225e+0);
+INSERT INTO t1(a,c) VALUES (1.37e+0, 1.37e+0);
+INSERT INTO t1(a,c) VALUES (-1.37e+0, -1.37e+0);
+INSERT INTO t1(a,c) VALUES (1.87e-3, 1.87e-3);
+INSERT INTO t1(a,c) VALUES (-1.87e-2, -1.87e-2);
+INSERT INTO t1(a,c) VALUES (5000e+0, 5000e+0);
+INSERT INTO t1(a,c) VALUES (-5000e+0, -5000e+0);
+SELECT * FROM t1;
+DROP TABLE t1;
+
+
+CREATE TABLE t1 (
+  a char(20) NOT NULL,
+  b char(7) DEFAULT NULL,
+  c char(5)
+);
+INSERT INTO t1(a,b,c) VALUES (9.999999e+0, 9.999999e+0, 9.999e+0);
+INSERT INTO t1(a,b,c) VALUES (1.225e-05, 1.225e-05, 1.225e-05);
+INSERT INTO t1(a,b) VALUES (1.225e-04, 1.225e-04);
+INSERT INTO t1(a,b) VALUES (1.225e-01, 1.225e-01);
+INSERT INTO t1(a,b) VALUES (1.225877e-01, 1.225877e-01);
+INSERT INTO t1(a,b) VALUES (1.225e+01, 1.225e+01);
+INSERT INTO t1(a,b,c) VALUES (1.225e+01, 1.225e+01, 1.225e+01);
+INSERT INTO t1(a,b) VALUES (1.225e+05, 1.225e+05);
+INSERT INTO t1(a,b) VALUES (1.225e+10, 1.225e+10);
+INSERT INTO t1(a,b) VALUES (1.225e+15, 1.225e+15);
+INSERT INTO t1(a,b) VALUES (5000000e+0, 5000000e+0);
+INSERT INTO t1(a,b) VALUES (1.25e+78, 1.25e+78);
+INSERT INTO t1(a,b) VALUES (1.25e-94, 1.25e-94);
+INSERT INTO t1(a,b) VALUES (1.25e+203, 1.25e+203);
+INSERT INTO t1(a,b) VALUES (1.25e-175, 1.25e-175);
+INSERT INTO t1(a,c) VALUES (1.225e+0, 1.225e+0);
+INSERT INTO t1(a,c) VALUES (1.37e+0, 1.37e+0);
+INSERT INTO t1(a,c) VALUES (-1.37e+0, -1.37e+0);
+INSERT INTO t1(a,c) VALUES (1.87e-3, 1.87e-3);
+INSERT INTO t1(a,c) VALUES (-1.87e-2, -1.87e-2);
+INSERT INTO t1(a,c) VALUES (5000e+0, 5000e+0);
+INSERT INTO t1(a,c) VALUES (-5000e+0, -5000e+0);
+
+SELECT * FROM t1;
+DROP TABLE t1;
+
+SET sql_mode = default;
+--echo #
+--echo # assertion in Field_str::store(double)
+--echo #
+
+CREATE TABLE t (a CHAR(10),b INT);
+INSERT INTO t VALUES (),(),();
+INSERT INTO t(a) SELECT rand() FROM t;
+DROP TABLE t;
+
+--echo #
+--echo # String not cast to int correctly
+--echo #
+
+CREATE TABLE t2 (c1 BIGINT);
+INSERT INTO t2 VALUES('15449237462.0000000000');
+SELECT * FROM t2;
+drop table t2;
+
+--echo #
+--echo #Simple INSERT crashes the server
+--echo #
+CREATE TABLE t1(f1 FLOAT);
+INSERT INTO t1 VALUES (1.23);
+CREATE TABLE t2(f1 CHAR(1));
+INSERT INTO t2 SELECT f1 FROM t1;
+DROP TABLE t1, t2;
+
+--echo #
+--echo # Bug#34898 "mysql_info() reports 0 warnings while
+--echo # mysql_warning_count() reports 1"
+--echo # Check that the number of warnings reported by
+--echo # mysql_info() is correct.
+--echo #
+
+--disable_warnings
+drop table if exists t1;
+--enable_warnings
+
+create table t1 (data varchar(4) not null);
+
+--echo #
+--echo # Demonstrate that the number of warnings matches
+--echo # the information in mysql_info().
+--echo #
+--enable_info
+insert ignore t1 (data) values ('letter'), (1/0);
+update ignore t1 set data='envelope' where 1/0 or 1;
+insert ignore t1 (data) values (default), (1/0), ('dead beef');
+--disable_info
+
+drop table t1;
+
+--echo #
+--echo # Bug#54106 assert in Protocol::end_statement,
+--echo #           INSERT IGNORE ... SELECT ... UNION SELECT ...
+--echo #
+
+--disable_warnings
+DROP TABLE IF EXISTS t1;
+--enable_warnings
+
+CREATE TABLE t1 (a INT);
+
+--error ER_FIELD_SPECIFIED_TWICE
+INSERT INTO t1 (a, a) VALUES (1, 1);
+# Verify that ER_FIELD_SPECIFIED_TWICE is not ignorable
+--error ER_FIELD_SPECIFIED_TWICE
+INSERT IGNORE t1 (a, a) VALUES (1, 1);
+
+--error ER_FIELD_SPECIFIED_TWICE
+INSERT IGNORE t1 (a, a) SELECT 1,1;
+# Used to cause an assert
+--error ER_FIELD_SPECIFIED_TWICE
+INSERT IGNORE t1 (a, a) SELECT 1,1 UNION SELECT 2,2;
+
+DROP TABLE t1;
+
+--echo #
+--echo # ASSERTION `TRANSL->ITEM->FIXED' FAILED
+--echo # IN SELECT_LEX::DELETE_UNUSED_MERGED_COLUMN
+--echo #
+
+CREATE TABLE t1 ( pk INT, PRIMARY KEY (pk))engine=tianmu;
+CREATE TABLE t2 LIKE t1;
+
+INSERT INTO t1 VALUES (2);
+INSERT INTO t2 VALUES (2);
+
+CREATE VIEW v1 AS SELECT * FROM t2 AS a
+                  WHERE a.pk IN ( SELECT pk FROM t1 AS b WHERE b.pk = a.pk );
+
+CREATE VIEW v2 AS SELECT * FROM t1 AS a
+                  WHERE a.pk IN ( SELECT pk FROM v1 AS b WHERE b.pk = a.pk );
+
+PREPARE st1 FROM 'INSERT INTO v2 (pk) VALUES ( 1 )';
+EXECUTE st1;
+
+SELECT * FROM t1;
+SELECT * FROM t2;
+
+DROP TABLE t1, t2;
+DROP VIEW v1, v2;
+
+--echo #
+--echo # ASSERTION !(WANT_PRIVILEGE & ~(GRANT->WANT_PRIVILEGE | GRANT->PRIVILEGE))'
+--echo #
+
+CREATE TABLE t1 (pk INT, PRIMARY KEY (pk));
+INSERT INTO t1 VALUES (1);
+
+CREATE ALGORITHM = TEMPTABLE VIEW v2 AS
+   SELECT * FROM t1 AS a NATURAL JOIN t1 b WHERE pk BETWEEN 1 AND 2;
+
+CREATE ALGORITHM = UNDEFINED VIEW v1 AS
+   SELECT * FROM t1 AS a
+   WHERE a.pk IN ( SELECT pk FROM v2 AS b WHERE b.pk = a.pk );
+
+PREPARE st1 FROM "INSERT INTO v1 (pk) VALUES (2)";
+EXECUTE st1;
+
+SELECT * FROM t1;
+
+DROP VIEW v1, v2;
+DROP TABLE t1;
+# Clean UP
+DROP DATABASE insert_test;
+"""
+
+SCRIPT_ALTER_TABLE_SHOW = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_table_test;
+--enable_warnings
+
+CREATE DATABASE alter_table_test;
+
+USE alter_table_test;
+
+#
+#ALTER TABLE table_name MODIFY ...
+#
+--disable_warnings
+DROP TABLE IF EXISTS t_test;
+--enable_warnings
+
+CREATE TABLE `t_test` (
+  `id` int(11) NOT NULL AUTO_INCREMENT,
+  `first_name` varchar(10),
+  `last_name` varchar(10),
+  `sex` varchar(5),
+  `score` int(11),
+  `copy_id` int(11),
+  PRIMARY KEY (`id`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8;
+
+#
+#ALTER TABLE: COLUMN TYPE
+#
+
+alter table t_test modify sex char(5);
+
+show create table t_test;
+
+#
+#ALTER TABLE: COLUMN LENGTH
+#
+
+alter table t_test modify first_name varchar(20);
+
+show create table t_test;
+
+alter table t_test modify first_name varchar(5);
+
+show create table t_test;
+
+#
+#CLOSE STRICT MODE
+#
+
+set sql_mode="NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION";
+
+alter table t_test modify first_name char(20);
+
+show create table t_test;
+
+alter table t_test modify first_name char(5);
+
+show create table t_test;
+
+alter table t_test modify sex smallint(5);
+
+show create table t_test;
+
+#
+#END
+#
+
+drop table t_test;
+DROP DATABASE alter_table_test;
+"""
+
+SCRIPT_ALTER_NULL = """--source include/have_tianmu.inc
+
+#
+#ALTER TABLE table_name NOT NULL to NULL or NULL to NOT NULL ...
+#
+create database alter_table_null;
+use alter_table_null;
+
+CREATE TABLE `alter_table_null_test` (
+  `c_tinyint` tinyint DEFAULT NULL COMMENT 'tinyint',
+  `c_smallint` smallint NOT NULL COMMENT 'smallint',
+  `c_mediumint` mediumint DEFAULT NULL COMMENT 'mediumint',
+  `c_int` int DEFAULT NULL COMMENT 'int',
+  `c_bigint` bigint DEFAULT NULL COMMENT 'bigint',
+  `c_float` float DEFAULT NULL COMMENT 'float',
+  `c_double` double DEFAULT NULL COMMENT 'double',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'decimal',
+  `c_date` date DEFAULT NULL COMMENT 'date',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'datetime',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'timestamp',
+  `c_time` time DEFAULT NULL COMMENT 'time',
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_blob` blob COMMENT 'blob',
+  `c_text` text COMMENT 'text',
+  `c_longblob` longblob COMMENT 'longblob'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+
+#
+#ALTER TABLE: NOT NULL to NULL 
+#
+
+show create table alter_table_null_test;
+
+alter table alter_table_null_test modify c_smallint smallint NULL;
+
+show create table alter_table_null_test;
+
+insert into alter_table_null_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(105,105,105,105,105,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn');
+
+show create table alter_table_null_test;
+
+#
+#ALTER TABLE: NULL to NOT NULL 
+#
+
+show create table alter_table_null_test;
+
+alter table alter_table_null_test modify c_tinyint tinyint NOT NULL;
+
+show create table alter_table_null_test;
+
+insert into alter_table_null_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(105,105,105,105,105,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn');
+
+show create table alter_table_null_test;
+
+drop table alter_table_null_test;
+drop database alter_table_null;
+"""
+
+SCRIPT_ALTER_MIX = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_table_mix_use_test;
+--enable_warnings
+
+CREATE DATABASE alter_table_mix_use_test;
+
+USE alter_table_mix_use_test;
+
+#
+#ALTER TABLE table_name NOT NULL to NULL or NULL to NOT NULL ...
+#
+
+CREATE TABLE `alter_table_mix_test` (
+  `c_tinyint` tinyint DEFAULT NULL COMMENT 'tinyint',
+  `c_smallint` smallint NOT NULL COMMENT 'smallint',
+  `c_mediumint` mediumint DEFAULT NULL COMMENT 'mediumint',
+  `c_int` int DEFAULT NULL COMMENT 'int',
+  `c_bigint` bigint DEFAULT NULL COMMENT 'bigint',
+  `c_float` float DEFAULT NULL COMMENT 'float',
+  `c_double` double DEFAULT NULL COMMENT 'double',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'decimal',
+  `c_date` date DEFAULT NULL COMMENT 'date',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'datetime',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'timestamp',
+  `c_time` time DEFAULT NULL COMMENT 'time',
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_blob` blob COMMENT 'blob',
+  `c_text` text COMMENT 'text',
+  `c_longblob` longblob COMMENT 'longblob'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+
+#
+#ALTER TABLE: RENAME TABLE and ADD COLUMN
+#
+
+show create table alter_table_mix_test;
+
+insert into alter_table_mix_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(105,105,105,105,105,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn');
+
+alter table alter_table_mix_test rename alter_table_rename_add, add c_add char(10);
+
+show create table alter_table_rename_add;
+
+insert into alter_table_rename_add(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text, c_add)
+values(105,105,105,105,105,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn', 'add');
+
+show create table alter_table_rename_add;
+
+#
+#ALTER TABLE: RENAME TABLE and DROP COLUMN
+#
+
+CREATE TABLE `alter_table_mix_test` (
+  `c_tinyint` tinyint DEFAULT NULL COMMENT 'tinyint',
+  `c_smallint` smallint NOT NULL COMMENT 'smallint',
+  `c_mediumint` mediumint DEFAULT NULL COMMENT 'mediumint',
+  `c_int` int DEFAULT NULL COMMENT 'int',
+  `c_bigint` bigint DEFAULT NULL COMMENT 'bigint',
+  `c_float` float DEFAULT NULL COMMENT 'float',
+  `c_double` double DEFAULT NULL COMMENT 'double',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'decimal',
+  `c_date` date DEFAULT NULL COMMENT 'date',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'datetime',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'timestamp',
+  `c_time` time DEFAULT NULL COMMENT 'time',
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_blob` blob COMMENT 'blob',
+  `c_text` text COMMENT 'text',
+  `c_longblob` longblob COMMENT 'longblob'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+
+show create table alter_table_mix_test;
+
+insert into alter_table_mix_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(105,105,105,105,105,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn');
+
+alter table alter_table_mix_test rename alter_table_rename_drop, drop c_longblob;
+
+show create table alter_table_rename_drop;
+
+insert into alter_table_rename_drop(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(105,105,105,105,105,5.2,10.88,105.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom1','hello1','bcdefghijklmn');
+
+show create table alter_table_rename_drop;
+
+DROP DATABASE alter_table_mix_use_test;
+"""
+
+SCRIPT_ALTER_NEGATIVE = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test ALTER TABLE in various negative scenarios.
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_table_negative;
+DROP DATABASE IF EXISTS alter_table_negative1;
+--enable_warnings
+
+CREATE DATABASE alter_table_negative;
+CREATE DATABASE alter_table_negative1;
+USE alter_table_negative;
+
+# Change ENGINE
+CREATE TABLE t1 (a INTEGER, c1 CHAR(10));
+INSERT INTO t1 VALUES (1, 'a'),(2, 'b');
+--error 1064
+ALTER TABLE t1 ENGINE=;
+--error 1286
+ALTER TABLE t1 ENGINE=Invalid;
+--error 1286
+ALTER TABLE t1 ENGINE='#!~@$%^&*()_+-,.*`~';
+SHOW CREATE TABLE t1;
+
+# Rename
+--disable_warnings
+DROP TABLE IF EXISTS nonexisting;
+--enable_warnings
+--error 1146
+ALTER TABLE nonexisting RENAME t2;
+
+# Add column
+--error 1064
+ALTER TABLE t1 ADD COLUMN (c2 INVALIDDATATYPE);
+
+# Drop column
+--error 1091
+ALTER TABLE t1 DROP COLUMN c2;
+
+# Modify column
+--error 1054
+ALTER TABLE t1 CHANGE c2 c2 INTEGER;
+--error 1064
+ALTER TABLE t1 CHANGE c1 c2 INVALIDDATATYPE;
+
+DROP DATABASE alter_table_negative;
+"""
+
+SCRIPT_ALTER_V1 = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test of alter table
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_table_v1_test;
+--enable_warnings
+
+CREATE DATABASE alter_table_v1_test;
+USE alter_table_v1_test;
+
+
+create table t1 (bandID MEDIUMINT NOT NULL PRIMARY KEY, payoutID SMALLINT NOT NULL);
+insert into t1 (bandID,payoutID) VALUES (1,6),(2,6),(3,4),(4,9),(5,10),(6,1),(7,12),(8,12);
+alter table t1 add column new_col int, order by payoutid,bandid;
+select * from t1;
+alter table t1 order by bandid,payoutid;
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # Test of ALTER TABLE ... ORDER BY
+--echo #
+
+create table t1 (n int);
+insert into t1 values(9),(3),(12),(10);
+alter table t1 order by n;
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # Drop and add an auto_increment column
+--echo #
+
+create table t1 (i int not null auto_increment primary key);
+insert into t1 values (null),(null),(null),(null);
+#alter table t1 drop i,add i int unsigned not null auto_increment, drop primary key, add primary key (i);
+select * from t1;
+drop table t1;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -10292,22 +11293,52 @@ _SPECS = [
     ('dialect_group_order_multi', SCRIPT_SELECT_ORDER_GROUP, 4, ['spid', 'userid', 'm'], False, 'multi-column GROUP BY with reordered ORDER BY columns'),
     ('dialect_group_order_null', SCRIPT_SELECT_ORDER_GROUP, -1, ['userid', 'm'], False, 'ORDER BY NULL (no sort contract); 1054 unknown-column GROUP BY/ORDER BY legs asserted along the way'),
     ('dialect_composite_pk', SCRIPT_COMPOSITE_PK, -1, None, False, "composite (id,c1) PRIMARY KEY dup detection: '' and 'xxx' are distinct key parts, exact dup raises 1062 (probe select appended; source file has no SELECT)"),
+    ('dialect_func_math_format', SCRIPT_FUNC_MATH, 0, ['f'], False, "FORMAT(x, 0) thousands grouping over join arithmetic ('10,000'); the file's 40+ --error 1690/1105 literal-overflow legs all asserted along the run"),
+    ('dialect_func_math_unsigned_cast', SCRIPT_FUNC_MATH, 1, ['a', 'b', 'c'], False, "CAST(-2 AS UNSIGNED) two's-complement reinterpret = 18446744073709551614 next to the raw u64 literal and signed -2", {'a': 'DOUBLE', 'b': 'DOUBLE', 'c': 'DOUBLE'}),
+    ('dialect_func_math_format_u64', SCRIPT_FUNC_MATH, 5, ['a', 'b', 'c'], False, "FORMAT(u64, 2) exact grouping: '18,446,744,073,709,551,614.00' (DECIMAL-exact, no double rounding)"),
+    ('dialect_func_math_sqrt', SCRIPT_FUNC_MATH, 6, ['a', 'b', 'c'], False, 'SQRT over u64 values = 4294967296; SQRT(-2) is NULL (not NaN/error)'),
+    ('dialect_func_math_truncate', SCRIPT_FUNC_MATH, 9, ['a', 'b', 'c'], False, 'TRUNCATE(u64, 1) stays exact (decimal power path, no double/int64 saturation)', {'a': 'DOUBLE', 'b': 'DOUBLE', 'c': 'DOUBLE'}),
+    ('dialect_func_math_mod', SCRIPT_FUNC_MATH, 12, ['a', 'b', 'c'], False, 'MOD(5, u64) = 5 exact; MOD(5, -2) keeps dividend sign', {'a': 'DOUBLE', 'b': 'DOUBLE', 'c': 'DOUBLE'}),
+    ('dialect_func_math_pow', SCRIPT_FUNC_MATH, 13, ['a', 'b', 'c'], False, 'POW(u64, 5) = 2.136e96 double; POW(-2, 5) = -32'),
+    ('dialect_func_math_mod_huge', SCRIPT_FUNC_MATH, -1, ['v'], False, '21-digit DECIMAL literal MOD -1 = 0 (beyond-BIGINT operand, in-range result); NO_UNSIGNED_SUBTRACTION mode legs asserted along the way', {'v': 'DOUBLE'}),
+    ('dialect_insert_alltypes', SCRIPT_INSERT_FULL, 0, None, False, '17-type INSERT battery over the full column-type table (tinyint..longblob)', {'c_decimal': 'DOUBLE', 'c_float': 'DOUBLE'}),
+    ('dialect_insert_oldvalues', SCRIPT_INSERT_FULL, 1, None, False, 'INSERT VALUES self-references read prior-column/default values (values (a+2), (5),(a+6))'),
+    ('dialect_insert_defaults', SCRIPT_INSERT_FULL, 2, ['a', 't_pos', 'c', 'i'], False, 'INSERT all-DEFAULT tuples: AUTO_INCREMENT + CURRENT_TIMESTAMP + char default; numeric 0 into TIMESTAMP is the zero-date (t>0 = 0)'),
+    ('dialect_insert_set_defaults', SCRIPT_INSERT_FULL, 3, ['a', 't_pos', 'c', 'i'], False, 'INSERT SET form with DEFAULT and NULL mixes after TRUNCATE'),
+    ('dialect_insert_null_multirow', SCRIPT_INSERT_FULL, 4, None, False, 'NULL into NOT NULL: single-row errors 1048, multi-row stores the implicit default 0 (warning semantics)'),
+    ('dialect_insert_selfjoin_feed', SCRIPT_INSERT_FULL, 6, ['c'], True, 'mysqltest while-loop generators (100/500/5000 rows, batched): INSERT INTO t2 SELECT t1.* FROM t1, t2 t, t3 three-way join feed; COUNT after'),
+    ('dialect_insert_view_upsert', SCRIPT_INSERT_FULL, 11, None, False, 'ON DUPLICATE KEY through a join view raises 1393; base table unchanged'),
+    ('dialect_insert_through_view', SCRIPT_INSERT_FULL, 15, None, False, 'PREPARE/EXECUTE INSERT into a nested single-table view writes the base table'),
+    ('dialect_insert_temptable_view', SCRIPT_INSERT_FULL, -1, None, False, 'INSERT through an ALGORITHM=UNDEFINED view over a TEMPTABLE natural-join view'),
+    ('dialect_alter_modify_show', SCRIPT_ALTER_TABLE_SHOW, 0, None, False, 'SHOW CREATE TABLE after ALTER MODIFY varchar->char: byte-exact MySQL DDL rendering (int(11) widths, DEFAULT NULL, AUTO_INCREMENT, table charset)', None, {'show': 0}),
+    ('dialect_alter_modify_show_final', SCRIPT_ALTER_TABLE_SHOW, 0, None, False, 'SHOW CREATE TABLE after the full MODIFY chain (char widths grown/shrunk, non-strict smallint conversion)', None, {'show': -1}),
+    ('dialect_alter_null_show', SCRIPT_ALTER_NULL, 0, None, False, 'alter_table_null: SHOW/DESCRIBE after nullability-changing ALTERs (first output)', None, {'show': 0}),
+    ('dialect_alter_null_show_final', SCRIPT_ALTER_NULL, 0, None, False, 'alter_table_null: final SHOW/DESCRIBE state', None, {'show': -1}),
+    ('dialect_alter_mix_show', SCRIPT_ALTER_MIX, 0, None, False, 'alter_table_mix_use: SHOW after mixed ADD/MODIFY/DROP chains (first output)', None, {'show': 0}),
+    ('dialect_alter_mix_show_final', SCRIPT_ALTER_MIX, 0, None, False, 'alter_table_mix_use: final SHOW state after the whole mixed-ALTER battery', None, {'show': -1}),
+    ('dialect_alter_negative_show', SCRIPT_ALTER_NEGATIVE, 0, None, False, 'negative ALTERs all error (1064 empty/invalid ENGINE=, 1286, 1146 missing table, 1091 unknown drop, 1054 unknown change); SHOW CREATE proves the table unchanged', None, {'show': 0}),
+    ('dialect_alter_v1_order', SCRIPT_ALTER_V1, 2, ['n'], False, 'ALTER TABLE ... ORDER BY physical reorder (add column with order-by action runs before)'),
+    ('dialect_alter_v1_autoinc', SCRIPT_ALTER_V1, -1, ['i'], False, 'AUTO_INCREMENT column filled by (null),(null) inserts after ALTER ORDER BY battery'),
 ]
 
 
-def _make(script: str, designated: int, out_names, final_casts=None):
+def _make(script: str, designated: int, out_names, final_casts=None,
+          show=None):
     def build(spark, sf_dir):  # sf_dir unused: data is inline in the script
-        return run_script(spark, script, designated, out_names, final_casts)
+        return run_script(spark, script, designated, out_names, final_casts,
+                          show_designated=show)
 
     return build
 
 
 for _name, _script, _desig, _names, _isc, _doc, *_extra in _SPECS:
     _fc = _extra[0] if _extra else None
+    _opts = _extra[1] if len(_extra) > 1 else {}
     register(
         _name,
         oracle=build_oracle_sql(
-            _script, _desig, _names, int_sum_cast=_isc, final_casts=_fc
+            _script, _desig, _names, int_sum_cast=_isc, final_casts=_fc,
+            show_designated=_opts.get("show"),
         ),
         doc=_doc + " (verbatim MTR: " + SOURCES[_name][0] + ")",
-    )(_make(_script, _desig, _names, _fc))
+    )(_make(_script, _desig, _names, _fc, _opts.get("show")))
