@@ -1346,6 +1346,9 @@ def _cast_mysql(inner: str, engine: str) -> str:
             f" ELSE CAST(ROUND({n}, 0) AS BIGINT) END)"
         )
     if ttype == "UNSIGNED":
+        if _is_bool_shaped(expr):
+            # boolean → 0/1 (issue1942's CAST((c0 IS NULL) AS UNSIGNED))
+            return f"CAST(CAST(({expr}) AS INT) AS DECIMAL(20,0))"
         # MySQL reinterprets negatives as two's-complement u64:
         # CAST(-2 AS UNSIGNED) = 18446744073709551614 (func_math.test)
         return (
@@ -2469,13 +2472,31 @@ def _rewrite_is_truth(sql: str) -> str:
 
     def rep(m: re.Match) -> str:
         x, neg, which = m.group(1), m.group(2), m.group(3).upper()
-        op = "<>" if which == "TRUE" else "="
-        inner = f"COALESCE(({x}) {op} 0, FALSE)"
+        if _is_bool_shaped(x):
+            # the operand is already boolean ((c0 IS NULL) IS TRUE,
+            # issue1942): no numeric truthiness needed
+            base = f"COALESCE(({x}), FALSE)"
+            inner = base if which == "TRUE" else f"NOT {base}"
+        else:
+            op = "<>" if which == "TRUE" else "="
+            inner = f"COALESCE(({x}) {op} 0, FALSE)"
         if neg:
             inner = f"NOT {inner}"
         return f"CAST({inner} AS INT)"
 
     return _sub_outside_strings(sql, _IS_TRUTH, rep)
+
+
+def _is_bool_shaped(expr: str) -> bool:
+    """True when the expression (after stripping balanced outer
+    parens) is boolean at its top level."""
+    t = expr.strip()
+    while t.startswith("(") and t.endswith(")"):
+        inner = t[1:-1]
+        if _split_top_commas(inner) != [inner]:
+            break
+        t = inner.strip()
+    return _is_toplevel_bool(t)
 
 
 _BANG_NOT = re.compile(rf"(?<![!<>=])!(?!=)\s*({_TRUTH_ATOM})")
@@ -2618,6 +2639,167 @@ def _rewrite_truthy_where(sql: str) -> str:
         return f"WHERE {_truthy_condition_text(m.group(1))} "
 
     return _sub_outside_strings(sql, _WTRUTH, rep)
+
+
+_COND_TOK = re.compile(
+    r"\s*(?:"
+    r"(?P<str>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<ident>(?:`[^`]+`|[A-Za-z_@][\w$]*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_][\w$]*))*)"
+    r"|(?P<op><=>|<>|!=|>=|<=|=|<|>|\|\||&&|[-+*/%&|^!~])"
+    r"|(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
+    r")"
+)
+
+_LOGICAL_WORDS = {"AND", "OR", "XOR"}
+_LEAF_BLOCK_NEXT = {"IS", "LIKE", "BETWEEN", "IN", "NOT", "REGEXP",
+                    "RLIKE", "SOUNDS", "ESCAPE", "COLLATE", "DIV", "MOD"}
+
+
+def _cond_tokens(text: str):
+    toks, i = [], 0
+    while i < len(text):
+        m = _COND_TOK.match(text, i)
+        if not m or m.end() == i:
+            if not text[i:].strip():
+                break  # trailing whitespace
+            return None  # unknown char: bail, leave text untouched
+        kind = m.lastgroup
+        toks.append((kind, m.group(m.lastgroup), m.start(m.lastgroup),
+                     m.end(m.lastgroup)))
+        i = m.end()
+    return toks
+
+
+def _wrap_truthy_leaves(cond: str) -> str:
+    """MySQL boolean context over numeric leaves (issue431/468/469:
+    ``(b = 5 AND a > 2 OR 0)``, ``e1 AND (e2 AND e3)``): wrap bare
+    numeric literals and identifiers that sit directly between logical
+    operators / parens in ``(x <> 0)``.  Leaves adjacent to
+    comparisons, arithmetic, function calls, or BETWEEN's AND keep
+    their numeric role."""
+    toks = _cond_tokens(cond)
+    if toks is None:
+        return cond
+    n = len(toks)
+    # classify each AND as logical vs BETWEEN-consuming
+    between_and = set()
+    depth_pending: list[int] = []  # paren depth at each open BETWEEN
+    depth = 0
+    for idx, (kind, text, _s, _e) in enumerate(toks):
+        if kind == "lp":
+            depth += 1
+        elif kind == "rp":
+            depth -= 1
+            while depth_pending and depth_pending[-1] > depth:
+                depth_pending.pop()
+        elif kind == "ident" and text.upper() == "BETWEEN":
+            depth_pending.append(depth)
+        elif kind == "ident" and text.upper() == "AND" and depth_pending \
+                and depth_pending[-1] == depth:
+            depth_pending.pop()
+            between_and.add(idx)
+
+    def is_logical(idx: int) -> bool:
+        k, t, _s, _e = toks[idx]
+        return (
+            k == "ident" and t.upper() in _LOGICAL_WORDS
+            and idx not in between_and
+        )
+
+    out = []
+    last = 0
+    for idx, (kind, text, s, e) in enumerate(toks):
+        if kind not in ("num", "ident"):
+            continue
+        up = text.upper()
+        if kind == "ident" and (
+            up in _LOGICAL_WORDS or up in _LEAF_BLOCK_NEXT
+            or up in ("TRUE", "FALSE", "NULL", "EXISTS", "SELECT",
+                      "CASE", "WHEN", "THEN", "ELSE", "END", "ASC",
+                      "DESC", "INTERVAL", "BINARY", "DISTINCT")
+        ):
+            continue
+        paren_group = False
+        if idx > 0 and toks[idx - 1][0] == "lp":
+            if idx < 2:
+                paren_group = True
+            else:
+                pk, pt = toks[idx - 2][0], toks[idx - 2][1].upper()
+                # '(' after AND/OR/NOT/etc. opens a group; after any
+                # other identifier it's a function call (year(c1))
+                paren_group = pk not in ("ident", "num") or pt in (
+                    "AND", "OR", "XOR", "NOT", "WHERE", "HAVING",
+                    "WHEN", "THEN", "ELSE", "ON",
+                )
+        prev_ok = idx == 0 or is_logical(idx - 1) or paren_group \
+            or (toks[idx - 1][0] == "ident"
+                and toks[idx - 1][1].upper() == "NOT")
+        if not prev_ok:
+            continue
+        if idx + 1 < n:
+            nk, nt = toks[idx + 1][0], toks[idx + 1][1].upper()
+            next_ok = (
+                is_logical(idx + 1)
+                or nk == "rp"
+            )
+        else:
+            next_ok = True
+        if not next_ok:
+            continue
+        out.append(cond[last:s])
+        out.append(f"(({text}) <> 0)")
+        last = e
+    if not out:
+        return cond
+    out.append(cond[last:])
+    return "".join(out)
+
+
+def _xor_to_neq(cond: str) -> str:
+    """Top-level ``X XOR Y`` between boolean operands (issue446):
+    neither engine has XOR — booleans differ exactly when <>.  Only
+    rewrites when no top-level OR competes (AND binds tighter than
+    XOR, so splitting on XOR keeps MySQL precedence)."""
+    toks = _cond_tokens(cond)
+    if toks is None:
+        return cond
+    depth = 0
+    cuts = []
+    for kind, text, s, e in toks:
+        if kind == "lp":
+            depth += 1
+        elif kind == "rp":
+            depth -= 1
+        elif kind == "ident" and depth == 0:
+            if text.upper() == "OR":
+                return cond
+            if text.upper() == "XOR":
+                cuts.append((s, e))
+    if not cuts:
+        return cond
+    parts, last = [], 0
+    for s, e in cuts:
+        parts.append(cond[last:s])
+        last = e
+    parts.append(cond[last:])
+    return " <> ".join(f"COALESCE(({p.strip()}), NULL)" for p in parts)
+
+
+def _truthy_bool_clauses(sql: str) -> str:
+    """Apply the truthy-leaf / XOR normalizations to WHERE and HAVING
+    clause bodies."""
+    pat = re.compile(
+        r"(?is)\b(WHERE|HAVING)\b(.*?)"
+        r"(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b"
+        r"|\bUNION\b|$)"
+    )
+
+    def rep(m: re.Match) -> str:
+        body = _xor_to_neq(_wrap_truthy_leaves(m.group(2)))
+        return f"{m.group(1)} {body.strip()} "
+
+    return pat.sub(rep, sql)
 
 
 def _charset_introspect(inner: str, which: str) -> str:
@@ -2802,6 +2984,7 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _rewrite_bang_not(sql)
     sql = _rewrite_truthy_logic_items(sql)
     sql = _rewrite_truthy_where(sql)
+    sql = _truthy_bool_clauses(sql)
     sql = _wrap_calls(
         sql, "CHARSET", lambda i: _charset_introspect(i, "cs")
     )
@@ -2935,6 +3118,34 @@ def rewrite_expr(sql: str, engine: str) -> str:
         ),
     )
     if engine == "duck":
+        # MySQL's null-safe equal a <=> b (issue469): DuckDB spells it
+        # IS NOT DISTINCT FROM
+        sql = _sub_outside_strings(
+            sql,
+            re.compile(
+                rf"({_WTRUTH_ATOM})\s*<=>\s*({_WTRUTH_ATOM})", re.I
+            ),
+            lambda m: f"({m.group(1)} IS NOT DISTINCT FROM {m.group(2)})",
+        )
+        # MySQL's bare ``a JOIN b`` (no ON/USING) is a cross join;
+        # DuckDB's parser demands a condition (issue880's
+        # parenthesized comma-style joins)
+        sql = _sub_outside_strings(
+            sql,
+            re.compile(
+                r"\b(LEFT|RIGHT|INNER|CROSS|NATURAL|FULL|OUTER)?"
+                r"(\s*)\bJOIN\s+((?:`[^`]+`|\w+)"
+                r"(?:\s+(?:AS\s+)?"
+                r"(?!(?:WHERE|GROUP|ORDER|UNION|LIMIT|ON|USING|JOIN|"
+                r"LEFT|RIGHT|INNER|CROSS|NATURAL|HAVING)\b)\w+)?)"
+                r"(?=\s*(\)|\bWHERE\b|\bGROUP\b|\bORDER\b|\bUNION\b|"
+                r"\bLIMIT\b|\bHAVING\b|$|;))",
+                re.I,
+            ),
+            lambda m: m.group(0)
+            if m.group(1)
+            else f"{m.group(2)}CROSS JOIN {m.group(3)}",
+        )
         sql = _duck_order_nulls(sql)
     return sql
 
@@ -4354,6 +4565,133 @@ def _apply_temporal_numeric_cmp(
     return _sub_outside_strings(sql, pat, rep)
 
 
+def _split_top_unions(sql: str) -> list[str]:
+    """Split a statement on top-level UNION [ALL|DISTINCT] keywords
+    (outside parens and strings); returns [sql] when none."""
+    parts, depth, in_str = [], 0, None
+    i = last = 0
+    n = len(sql)
+    out = []
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "\\":
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "uU" and re.match(
+            r"UNION(\s+(ALL|DISTINCT))?\b", sql[i:], re.I
+        ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            m = re.match(r"UNION(\s+(ALL|DISTINCT))?\b", sql[i:], re.I)
+            out.append(sql[last:i])
+            parts.append(m.group(0))
+            last = i + m.end()
+            i = last
+            continue
+        i += 1
+    out.append(sql[last:])
+    return (out, parts) if len(out) > 1 else ([sql], [])
+
+
+def _branch_item_kind(item: str, frm: str, tables: dict) -> str:
+    """'str' / 'nonstr' / '?': the type class of one select item in a
+    UNION branch, resolved through the branch's FROM tables."""
+    it = re.sub(r"\s+AS\s+(`[^`]+`|\w+)\s*$", "", item.strip(), flags=re.I)
+    if re.fullmatch(r"'(?:[^'\\]|\\.)*'", it):
+        return "str"
+    if re.fullmatch(r"-?\d+(\.\d+)?", it):
+        return "nonstr"
+    cm = re.fullmatch(r"(?:(`\w+`|\w+)\s*\.\s*)?(`\w+`|\w+)", it)
+    if not cm:
+        return "?"
+    colname = _unquote_ident(cm.group(2)).lower()
+    for tm in re.finditer(
+        r"(?:\bFROM\s+\(*\s*|\bJOIN\s+|,\s*)(`[^`]+`|\w+)",
+        " FROM " + frm, re.I,
+    ):
+        td = tables.get(_unquote_ident(tm.group(1)).lower())
+        if not td:
+            continue
+        for c in td.columns:
+            if c.name.lower() == colname:
+                return (
+                    "str"
+                    if c.mysql_type in (
+                        "char", "varchar", "text", "tinytext",
+                        "mediumtext", "longtext",
+                    )
+                    else "nonstr"
+                )
+    return "?"
+
+
+def _apply_union_string_coercion(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL unifies a UNION of string and non-string branches to the
+    STRING type (issue880's varchar-union-timestamp legs); Spark 4's
+    ANSI coercion instead casts the string branch to the other type
+    and faults at runtime.  When branch select items resolve to mixed
+    string/non-string column types, cast the non-string items to the
+    engine's string type explicitly — both engines then render
+    identically."""
+    branches, seps = _split_top_unions(sql)
+    if len(branches) < 2:
+        return sql
+    parsed = []
+    for b in branches:
+        m = re.match(
+            r"(\s*SELECT\s+(?:DISTINCT\s+)?)(.*?)(\s+FROM\s+)(.*)$",
+            b, re.I | re.S,
+        )
+        if not m:
+            return sql
+        parsed.append((m, _split_top_commas(m.group(2))))
+    width = len(parsed[0][1])
+    if any(len(items) != width for _, items in parsed):
+        return sql
+    vtype = "STRING" if engine == "spark" else "VARCHAR"
+    changed = False
+    for pos in range(width):
+        kinds = [
+            _branch_item_kind(items[pos], m.group(4), tables)
+            for m, items in parsed
+        ]
+        if "str" in kinds and "nonstr" in kinds and "?" not in kinds:
+            for (m, items), kind in zip(parsed, kinds):
+                if kind == "nonstr":
+                    it = items[pos].strip()
+                    am = re.search(
+                        r"\s+AS\s+(`[^`]+`|\w+)\s*$", it, re.I
+                    )
+                    if am:
+                        items[pos] = (
+                            f"CAST({it[: am.start()]} AS {vtype})"
+                            f"{it[am.start():]}"
+                        )
+                    else:
+                        items[pos] = f"CAST({it} AS {vtype})"
+                    changed = True
+    if not changed:
+        return sql
+    # reassemble with the original top-level UNION separators
+    rebuilt = []
+    for m, items in parsed:
+        rebuilt.append(
+            m.group(1) + ", ".join(items) + m.group(3) + m.group(4)
+        )
+    out = rebuilt[0]
+    for sep, nxt in zip(seps, rebuilt[1:]):
+        out += f" {sep} {nxt}"
+    return out
+
+
 def _apply_zerofill(
     sql: str, tables: dict[str, TableDef], engine: str
 ) -> str:
@@ -5336,20 +5674,9 @@ def _outfile_cell(
     return f"{enc}{s}{enc}" if wrap else s
 
 
-def _load_data_to_insert(
-    s: str,
-    td: "TableDef | None" = None,
-    max_rows: int = 20000,
-    path_map: dict | None = None,
-) -> str:
-    """Compile a LOAD DATA INFILE statement into the equivalent
-    multi-row ``INSERT INTO t [(cols)] VALUES …`` text.  LOAD DATA
-    clamps out-of-range values with a warning rather than erroring
-    (MySQL treats LOCAL loads as IGNORE), so callers run the produced
-    INSERT in non-strict mode.  ``ncols`` (the target table's column
-    count) enables MySQL's ragged-row repair: rows with extra fields
-    are truncated (warning 1262), short rows are padded with NULL
-    (warning 1261; tianmu stores NULL, issue1209.result)."""
+def _parse_load_spec(s: str, path_map: dict | None = None):
+    """Parse a LOAD DATA statement's path, target and format options:
+    (path, table, sep, enc, esc, line_sep, skip, cols, set_exprs)."""
     m = _LOAD_DATA.match(s)
     if not m:
         raise ValueError(f"unsupported LOAD DATA syntax: {s[:100]}")
@@ -5360,7 +5687,7 @@ def _load_data_to_insert(
     # (storage/tianmu/common/common_definitions.h:165 DEFAULT_DELIMITER,
     # system/io_parameters.h:216) — auto_increment.test's negative-id
     # fixture relies on it
-    sep, enc, esc, line_sep, skip, collist = ";", "", "\\", "\n", 0, None
+    sep, enc, esc, line_sep, skip = ";", "", "\\", "\n", 0
     fm = re.search(
         r"\b(?:FIELDS|COLUMNS)\s+TERMINATED\s+BY\s+'([^']*)'", rest, re.I
     )
@@ -5391,9 +5718,119 @@ def _load_data_to_insert(
             if not pm:
                 raise ValueError(f"bad LOAD DATA SET clause: {piece!r}")
             set_exprs.append((_unquote_ident(pm.group(1)), pm.group(2)))
-    cm = re.search(r"\(([^()]*)\)\s*$", tail.strip())
+    cm = re.search(r"\(([^()\n]*(?:\n[^()]*)*)\)\s*$", tail.strip(), re.S)
     if cm:
-        cols = [_unquote_ident(c) for c in _split_top_commas(cm.group(1))]
+        cols = [
+            _unquote_ident(c.strip())
+            for c in _split_top_commas(cm.group(1))
+        ]
+    return path, table, sep, enc, esc, line_sep, skip, cols, set_exprs
+
+
+def _load_is_big(s: str, path_map: dict | None = None,
+                 cap: int = 20000) -> bool:
+    """True when the LOAD DATA fixture exceeds the compiled-INSERT cap
+    (cheap newline count; fixtures are local files)."""
+    try:
+        path = _parse_load_spec(s, path_map)[0]
+        with open(path, "rb") as fh:
+            return fh.read().count(b"\n") > cap
+    except Exception:
+        return False
+
+
+def _load_transform_exprs(
+    td: TableDef, cols, set_exprs, posname, engine: str
+) -> list[str]:
+    """Projection expressions (engine SQL text) mapping positional CSV
+    fields onto the target table's columns: listed real columns map
+    directly, @vars feed the SET expressions, unlisted columns take
+    their DEFAULT."""
+    listed = cols if cols is not None else [c.name for c in td.columns]
+    pos = {
+        listed[i].lower(): posname(i)
+        for i in range(len(listed))
+    }
+    sets = {}
+    for cname, expr in set_exprs:
+        e = re.sub(
+            r"@(\w+)",
+            lambda m: pos.get("@" + m.group(1).lower(), "NULL"),
+            expr,
+        )
+        sets[cname.lower()] = rewrite_expr(e, engine)
+    q = "`" if engine == "spark" else '"'
+    out = []
+    for c in td.columns:
+        ctype = c.spark_type if engine == "spark" else c.duck_type
+        if c.name.lower() in sets:
+            src = sets[c.name.lower()]
+        elif c.name.lower() in pos:
+            src = pos[c.name.lower()]
+        else:
+            src = (
+                rewrite_expr(c.default, engine)
+                if c.default is not None else "NULL"
+            )
+        # TRY_CAST: LOAD DATA clamps malformed values to NULL with a
+        # warning, never errors (issue880's free-text fields)
+        out.append(f"TRY_CAST(({src}) AS {ctype}) AS {q}{c.name}{q}")
+    return out
+
+
+def _load_data_distributed(run, s: str):
+    """Distributed LOAD DATA (files beyond the compiled-INSERT cap):
+    spark.read.csv over the fixture, declarative transforms, PK-dedup
+    (tianmu skips duplicate keys on load — issue1263.result keeps
+    65542 of 65543), one insertInto write.  This is the same plan the
+    production path (sources/csvload.py) runs at scale."""
+    (path, table, sep, enc, esc, line_sep, skip, cols, set_exprs) = \
+        _parse_load_spec(s, run.outfiles)
+    td = run.tables[table.lower()]
+    sc = run.spark.sparkContext
+    rdd = sc.textFile(path)
+    if skip:
+        rdd = (
+            rdd.zipWithIndex()
+            .filter(lambda x: x[1] >= skip)
+            .map(lambda x: x[0])
+        )
+    df = run.spark.read.csv(
+        rdd,
+        sep=sep or ";",
+        quote=(enc or "\u0000"),
+        escape=(esc or "\\"),
+        header=False,
+        inferSchema=False,
+    )
+    exprs = _load_transform_exprs(
+        td, cols, set_exprs, lambda i: f"`{df.columns[i]}`", "spark"
+    )
+    out = df.selectExpr(*exprs)
+    if td.pk:
+        out = out.dropDuplicates(td.pk)
+    out.write.insertInto(f"`{td.name}`")
+    td.seen_pk = None
+    return None
+
+
+def _load_data_to_insert(
+    s: str,
+    td: "TableDef | None" = None,
+    max_rows: int = 20000,
+    path_map: dict | None = None,
+    strict_short: bool = False,
+) -> str:
+    """Compile a LOAD DATA INFILE statement into the equivalent
+    multi-row ``INSERT INTO t [(cols)] VALUES …`` text.  LOAD DATA
+    clamps out-of-range values with a warning rather than erroring
+    (MySQL treats LOCAL loads as IGNORE), so callers run the produced
+    INSERT in non-strict mode.  ``ncols`` (the target table's column
+    count) enables MySQL's ragged-row repair: rows with extra fields
+    are truncated (warning 1262), short rows are padded with NULL
+    (warning 1261; tianmu stores NULL, issue1209.result)."""
+    (path, table, sep, enc, esc, line_sep, skip, cols, set_exprs) = \
+        _parse_load_spec(s, path_map)
     with open(path, newline="") as fh:
         data = fh.read()
     rows = _ld_parse(data, sep, enc, esc, line_sep)[skip:]
@@ -5430,9 +5867,18 @@ def _load_data_to_insert(
         return lit(v)
 
     out_cols: list[str] | None = None
+    collist = None
     tuples = []
     for r in rows:
         if ncols is not None:
+            if strict_short and len(r) < ncols:
+                # strict sql_mode + non-LOCAL: a short row is an ERROR
+                # (issue1263's ragged leg); LOCAL downgrades to the
+                # 1261 warning with NULL padding (issue1209)
+                raise ValueError(
+                    "Row 1 doesn't contain data for all columns "
+                    "(MySQL error 1261 analog, strict non-LOCAL load)"
+                )
             r = r[:ncols] + [None] * (ncols - len(r))
         if cols is None:
             names = [c.name for c in td.columns] if td else []
@@ -5464,6 +5910,19 @@ def _load_data_to_insert(
                     vars_.items(), key=lambda kv: -len(kv[0])
                 ):
                     expr = expr.replace(vn, vv)
+                # fold NULLIF(lit, '') driver-side: Spark's inline
+                # VALUES can't evaluate the mixed-type compare that
+                # MySQL folds loosely (issue1263's ID=NULLIF(@ID,''))
+                nm = re.fullmatch(
+                    r"(?is)\s*NULLIF\s*\(\s*('(?:[^'\\]|\\.)*'|[\w.+-]+)"
+                    r"\s*,\s*''\s*\)\s*", expr,
+                )
+                if nm:
+                    arg = nm.group(1)
+                    expr = (
+                        "NULL"
+                        if arg.strip("'\"").strip() == "" else arg
+                    )
                 row_cols.append(target)
                 vals.append(f"({expr})")
             if out_cols is None:
@@ -5647,7 +6106,25 @@ def run_statement(run: MTRRun, stmt: str):
         # compiled INSERT in non-strict mode regardless of sql_mode
         lm = _LOAD_DATA.match(s)
         ltd = run.tables.get(_unquote_ident(lm.group(2)).lower()) if lm else None
-        ins = _load_data_to_insert(s, ltd, path_map=run.outfiles)
+        is_local = bool(re.match(
+            r"^\s*LOAD\s+DATA\s+LOCAL\b", s, re.I
+        ))
+        if _load_is_big(s, run.outfiles):
+            # oversized fixture (issue1263: 65k rows): the distributed
+            # reader path — spark.read.csv over the file, transforms
+            # declaratively, ONE distributed write — instead of a
+            # compiled 65k-tuple INSERT the SQL parser would choke on
+            return _load_data_distributed(run, s)
+        explicit_sep = bool(re.search(
+            r"\b(?:FIELDS|COLUMNS)\s+TERMINATED\s+BY\b", s, re.I
+        ))
+        ins = _load_data_to_insert(
+            s, ltd, path_map=run.outfiles,
+            # short-row = hard error only for strict non-LOCAL loads
+            # with an EXPLICIT field terminator (issue1263's ragged
+            # leg); implicit-terminator loads pad like issue1865
+            strict_short=run.strict and not is_local and explicit_sep,
+        )
         if ins is None:
             return None
         saved, run.strict = run.strict, False
@@ -5917,10 +6394,11 @@ def run_statement(run: MTRRun, stmt: str):
             # CAST every value to its column type: MySQL inserts coerce
             # string literals into numeric/temporal columns; Spark ANSI
             # store-assignment needs the cast spelled out.
+            castfn = "CAST" if run.strict else "TRY_CAST"
             cast_rows = [
                 "("
                 + ", ".join(
-                    f"CAST(({rewrite_expr(v, 'spark')}) "
+                    f"{castfn}(({rewrite_expr(v, 'spark')}) "
                     f"AS {c.spark_type})"
                     for v, c in zip(row, td.columns)
                 )
@@ -6246,7 +6724,8 @@ def run_statement(run: MTRRun, stmt: str):
         s = _guard_unsigned_arith(s, run.tables)
         return run.spark.sql(
             rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
-                s, run.tables, "spark"), run.tables, "spark"), "spark")
+                _apply_union_string_coercion(s, run.tables, "spark"),
+                run.tables, "spark"), run.tables, "spark"), "spark")
         )
     raise ValueError(f"unsupported statement: {s[:120]}")
 
@@ -6359,7 +6838,11 @@ def _retarget_relations(sql: str, mapping: dict[str, tuple[str, str]]) -> str:
     """Replace table names in relation positions (FROM x / JOIN x /
     , x) per ``mapping`` {lower_name: (orig_name, replacement)};
     appends ``AS orig_name`` when the relation has no explicit alias."""
-    pat = re.compile(r"(\b(?:FROM|JOIN)\s+|,\s*)(`[^`]+`|\"[^\"]+\"|\w+)", re.I)
+    # the optional '(' covers MySQL's parenthesized-join FROM clause
+    # (issue880's ``from (t3 a join t1 b)``)
+    pat = re.compile(
+        r"(\b(?:FROM|JOIN)\s+\(*\s*|,\s*)(`[^`]+`|\"[^\"]+\"|\w+)", re.I
+    )
 
     def rep(m: re.Match) -> str:
         name = _unquote_ident(m.group(2)).strip('"').lower()
@@ -6399,7 +6882,11 @@ def _duck_values_cte(td: TableDef, rows: list[list[str]]) -> str:
     tuples = ", ".join(
         "("
         + ", ".join(
-            f"CAST(({v}) AS {c.duck_type})" for v, c in zip(row, td.columns)
+            # TRY_CAST: the oracle replays only non-error statements,
+            # and MySQL's non-strict coercions clamp rather than error
+            # (issue880's free-text-into-timestamp LOAD fields)
+            f"TRY_CAST(({v}) AS {c.duck_type})"
+            for v, c in zip(row, td.columns)
         )
         + ")"
         for row in rows
@@ -6669,6 +7156,50 @@ def build_oracle_sql(
                     f"INSERT INTO `{tn}` SELECT * FROM "
                     f"({outfile_snaps[lm.group(1)]}) AS _of"
                 )
+            elif _load_is_big(s):
+                # oversized fixture: the oracle reads the SAME file via
+                # DuckDB's read_csv — independent of the Spark reader
+                (path, table, sep, enc, esc, _ls, skip, cols,
+                 set_exprs) = _parse_load_spec(s)
+                btd = tables[table.lower()]
+                btd.seen_pk = None
+                ncsv = len(cols) if cols is not None else len(btd.columns)
+                csvnames = ", ".join(f"'_lc{i}'" for i in range(ncsv))
+                rel = (
+                    f"read_csv('{path}', delim='{sep}', "
+                    f"quote='{enc}', escape='{esc or chr(92)}', "
+                    f"header=false, skip={skip}, all_varchar=true, "
+                    f"null_padding=true, ignore_errors=true, "
+                    f"names=[{csvnames}])"
+                )
+                exprs = _load_transform_exprs(
+                    btd, cols, set_exprs,
+                    # backticks survive rewrite_expr's duck pass (whose
+                    # double-quote recode reads "x" as a string literal)
+                    lambda i: f"`_lc{i}`", "duck",
+                )
+                sel = f"SELECT {', '.join(exprs)} FROM {rel}"
+                # direct positional refs bypass rewrite_expr: finish
+                # their backtick→double-quote conversion here
+                sel = re.sub(r"`([^`]+)`", r'"\1"', sel)
+                if btd.pk:
+                    pkc = ", ".join(f'"{k}"' for k in btd.pk)
+                    sel = (
+                        f"SELECT DISTINCT ON({pkc}) * "
+                        f"FROM ({sel}) AS _bigload"
+                    )
+                t = btd.name.lower()
+                flush(t)
+                prev = vname(t)
+                if versions[t] == 0 and not _has_version0(t):
+                    ctes.append((prev, _duck_values_cte(btd, [])))
+                versions[t] += 1
+                ctes.append((
+                    vname(t),
+                    f"SELECT * FROM {prev} UNION ALL "
+                    f"SELECT * FROM ({sel}) AS _new",
+                ))
+                continue
             else:
                 ltd = (
                     tables.get(_unquote_ident(lm.group(2)).lower())
@@ -7138,7 +7669,8 @@ def build_oracle_sql(
                     s = _wrap_nongrouped_any_value(s)
                 final_sql = retarget(
                     rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
-                        s, tables, "duck"), tables, "duck"), "duck")
+                        _apply_union_string_coercion(s, tables, "duck"),
+                        tables, "duck"), tables, "duck"), "duck")
                 )
             seen += 1
             continue

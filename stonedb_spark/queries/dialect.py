@@ -201,6 +201,37 @@ SOURCES = {
     'dialect_alter_negative_show': ('alter_table_negative.test', [(1, 48)]),
     'dialect_alter_v1_order': ('alter_table_v1.test', [(1, 41)]),
     'dialect_alter_v1_autoinc': ('alter_table_v1.test', [(1, 41)]),
+    'dialect_load_65k_pk_dedup': ('issue1263.test', [(1, 118)]),
+    'dialect_load_65k_skip30': ('issue1263.test', [(1, 118)]),
+    'dialect_load_double_enclosed': ('issue1263.test', [(1, 118)]),
+    'dialect_load_ragged_error': ('issue1263.test', [(1, 118)]),
+    'dialect_ts_union_ts': ('issue880.test', [(1, 130), (134, 204)]),
+    'dialect_ts_union_datetime': ('issue880.test', [(1, 130), (134, 204)]),
+    'dialect_varchar_union_ts': ('issue880.test', [(1, 130), (134, 204)]),
+    'dialect_ts_union_varchar': ('issue880.test', [(1, 130), (134, 204)]),
+    'dialect_issue405': ('issue405.test', [(1, 16)]),
+    'dialect_issue417': ('issue417.test', [(1, 16)]),
+    'dialect_issue430': ('issue430.test', [(1, 16)]),
+    'dialect_issue433': ('issue433.test', [(1, 16)]),
+    'dialect_issue467': ('issue467.test', [(1, 16)]),
+    'dialect_issue736': ('issue736.test', [(1, 18)]),
+    'dialect_issue496': ('issue496.test', [(1, 20)]),
+    'dialect_issue1625': ('issue1625.test', [(1, 21)]),
+    'dialect_issue281': ('issue281.test', [(1, 21)]),
+    'dialect_issue1363': ('issue1363.test', [(1, 22)]),
+    'dialect_issue1385': ('issue1385.test', [(1, 22)]),
+    'dialect_issue502': ('issue502.test', [(1, 22)]),
+    'dialect_issue1510': ('issue1510.test', [(1, 23)]),
+    'dialect_issue441': ('issue441.test', [(1, 24)]),
+    'dialect_issue1564': ('issue1564.test', [(1, 27)]),
+    'dialect_issue515': ('issue515.test', [(1, 17)]),
+    'dialect_issue431': ('issue431.test', [(1, 16)]),
+    'dialect_issue469': ('issue469.test', [(1, 16)]),
+    'dialect_issue468': ('issue468.test', [(1, 17)]),
+    'dialect_issue1942': ('issue1942.test', [(1, 19)]),
+    'dialect_issue1942_1': ('issue1942.test', [(1, 19)]),
+    'dialect_issue446': ('issue446.test', [(1, 5)]),
+    'dialect_issue1070': ('issue1070.test', [(1, 21)]),
     'dialect_implicit_group_empty': ('issue1784.test', [(1, 158)]),
     'dialect_implicit_group': ('issue1784.test', [(1, 158)]),
     'dialect_replace_composite_pk': ('issue1152.test', [(1, 20)]),
@@ -11104,6 +11135,795 @@ select * from t1;
 drop table t1;
 """
 
+SCRIPT_ISSUE1263 = r"""--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1263_test;
+--enable_warnings
+
+CREATE DATABASE issue1263_test;
+
+USE issue1263_test;
+
+--echo #
+--echo # load data exceeding  65553 rows with duplicate key
+--echo #
+CREATE TABLE AD_PINSTANCE_LOG_P(ID bigint, PRIMARY KEY (ID)) ENGINE=tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1263-1.txt' into table AD_PINSTANCE_LOG_P
+FIELDS TERMINATED BY ',' 
+ENCLOSED BY '"' 
+LINES TERMINATED BY '\n'
+(@ID)
+set
+ID=NULLif(@ID,'')
+;
+
+select count(*) from AD_PINSTANCE_LOG_P;
+
+--echo #
+--echo # load data exceeding  65553 rows with limit lines clause
+--echo #
+CREATE TABLE AD_PINSTANCE_LOG(ID bigint) ENGINE=tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1263-1.txt' into table AD_PINSTANCE_LOG
+FIELDS TERMINATED BY ',' 
+ENCLOSED BY '"' 
+LINES TERMINATED BY '\n'
+IGNORE 30 LINES
+(@ID)
+set
+ID=NULLif(@ID,'')
+;
+
+select count(*) from AD_PINSTANCE_LOG;
+
+--echo #
+--echo # load data whose columns contains double enclosed char
+--echo #
+CREATE TABLE AD_PINSTANCE_LOG_DOUBLE_ENCLOSED(ID bigint ,
+    AD_CLIENT_ID bigint, 
+    AD_ORG_ID bigint, 
+    AD_PINSTANCE_ID bigint, 
+    P_DATE DATETIME DEFAULT null, 
+    P_MSG VARCHAR(255), 
+    OWNERID bigint, 
+    MODIFIERID bigint, 
+    CREATIONDATE DATETIME, 
+    MODIFIEDDATE DATETIME, 
+    ISACTIVE CHAR(1) DEFAULT 'Y' NOT NULL, 
+    PRIMARY KEY (ID)) engine=tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1263-2.txt' into table AD_PINSTANCE_LOG_DOUBLE_ENCLOSED
+FIELDS TERMINATED BY ',' 
+ENCLOSED BY '"' 
+LINES TERMINATED BY '\n'
+(
+@ID,
+@AD_CLIENT_ID,
+@AD_ORG_ID,
+@AD_PINSTANCE_ID,
+@P_DATE,
+@P_MSG,
+@OWNERID,
+@MODIFIERID,
+@CREATIONDATE,
+@MODIFIEDDATE,
+@ISACTIVE
+)
+set
+ID=NULLif(@ID,''),
+AD_CLIENT_ID=NULLif(@AD_CLIENT_ID,''),
+AD_ORG_ID=NULLif(@AD_ORG_ID,''),
+AD_PINSTANCE_ID=NULLif(@AD_PINSTANCE_ID,''),
+P_DATE=NULLif(@P_DATE,''),
+P_MSG=NULLif(@P_MSG,''),
+OWNERID=NULLif(@OWNERID,''),
+MODIFIERID=NULLif(@MODIFIERID,''),
+CREATIONDATE=NULLif(@CREATIONDATE,''),
+MODIFIEDDATE=NULLif(@MODIFIEDDATE,''),
+ISACTIVE=NULLif(@ISACTIVE,'')
+;
+select * from AD_PINSTANCE_LOG_DOUBLE_ENCLOSED;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+--error 1261
+eval load data infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1263-3.txt' into table AD_PINSTANCE_LOG_DOUBLE_ENCLOSED
+FIELDS TERMINATED BY ',' 
+ENCLOSED BY '"' 
+LINES TERMINATED BY '\n'
+(
+@ID,
+@AD_CLIENT_ID,
+@AD_ORG_ID,
+@AD_PINSTANCE_ID,
+@P_DATE,
+@P_MSG,
+@OWNERID,
+@MODIFIERID,
+@CREATIONDATE,
+@MODIFIEDDATE,
+@ISACTIVE
+)
+set
+ID=NULLif(@ID,''),
+AD_CLIENT_ID=NULLif(@AD_CLIENT_ID,''),
+AD_ORG_ID=NULLif(@AD_ORG_ID,''),
+AD_PINSTANCE_ID=NULLif(@AD_PINSTANCE_ID,''),
+P_DATE=NULLif(@P_DATE,''),
+P_MSG=NULLif(@P_MSG,''),
+OWNERID=NULLif(@OWNERID,''),
+MODIFIERID=NULLif(@MODIFIERID,''),
+CREATIONDATE=NULLif(@CREATIONDATE,''),
+MODIFIEDDATE=NULLif(@MODIFIEDDATE,''),
+ISACTIVE=NULLif(@ISACTIVE,'')
+;
+
+select * from AD_PINSTANCE_LOG_DOUBLE_ENCLOSED;
+
+DROP DATABASE issue1263_test;
+"""
+
+SCRIPT_ISSUE880 = r"""--source include/have_tianmu.inc
+--disable_warnings
+DROP DATABASE IF EXISTS issue880_db;
+--enable_warnings
+
+CREATE DATABASE issue880_db;
+USE issue880_db;
+--disable_warnings
+
+--echo # support (timestamp union timestamp)
+--echo # support (not timestamp union not timestamp)
+--echo # support (timestamp union varchar)
+--echo # support (varchar union timestamp)
+--echo # support (timestamp union datetime)
+--echo # support (datetime union timestamp)
+--echo # not support (timestamp union other type)
+--echo # not support (other type union timestamp)
+--echo # SELECT timestamp_type/other_type FROM tablename union SELECT timestamp_type/other_type FROM tablename
+
+--disable_warnings
+DROP DATABASE IF EXISTS test_timestamp_union;
+--enable_warnings
+
+CREATE DATABASE test_timestamp_union;
+USE test_timestamp_union;
+
+CREATE TABLE `issue880_t1` (
+  `id` int(11) NOT NULL COMMENT '主键; Size[MB]: 0.1; Ratio: 1.00',
+  `company_account_id` int(11) DEFAULT NULL COMMENT 'tb_finance_company_account表主键; Size[MB]: 0.1; Ratio: 2.06',
+  `period_account_id` int(11) DEFAULT NULL COMMENT '核账ID; Size[MB]: 0.1; Ratio: 1.78',
+  `COMPANY_ID` int(10) DEFAULT NULL COMMENT '公司id; Size[MB]: 0.1; Ratio: 1.78',
+  `BALANCE` decimal(10,2) DEFAULT NULL COMMENT '变动的余额; Size[MB]: 0.1; Ratio: 2.78',
+  `before_balance` decimal(10,2) DEFAULT NULL COMMENT '变动前的余额; Size[MB]: 0.1; Ratio: 2.78',
+  `after_balance` decimal(10,2) DEFAULT NULL COMMENT '变动后的余额; Size[MB]: 0.1; Ratio: 2.78',
+  `create_time` timestamp NULL DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.39\0 ',
+  `update_time` datetime DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.39\0 ',
+  `type` smallint(2) DEFAULT NULL COMMENT '交易类型（1线下核帐成功、2易宝代付成功,3易宝代付失败,4,每天抽佣,5每月抽佣,6每季度抽佣,7每年抽佣,8易宝手续费,9在线充值,10在线退款,11Saas产品购买,13补贴结算,14政府补贴到账,15运营商专项补贴 ,17余额冲正）; Size[MB]: 0.1; Ratio: 2.12',
+  `order_sn` varchar(100) DEFAULT NULL COMMENT '余额明细的订单编号; Size[MB]: 0.6; Ratio: 0.79',
+  `third_sn` varchar(45) DEFAULT NULL COMMENT '第三方流水号; Size[MB]: 0.1; Ratio: 0.00',
+  `commission_period` smallint(1) DEFAULT NULL COMMENT '抽佣周期. T+1  1, 按月结算 2, 按季度结算 3, 按年结算 4; Size[MB]: 0.1; Ratio: 1.62',
+  `detail_period_time` varchar(45) DEFAULT NULL COMMENT ' T+1:(2018-10-12)  , 按月结算:(1-12) , 按季度结算:(1,2,3,4), 按年结算(2018); Size[MB]: 0.1; Ratio: 0.00',
+  `period_pay_id` int(11) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 1.78\0 ',
+  `operator_time` datetime DEFAULT NULL COMMENT '操作时间; Size[MB]: 0.2; Ratio: 2.30',
+  `operator` varchar(50) DEFAULT NULL COMMENT '操作人; Size[MB]: 0.1; Ratio: 0.02',
+  `operator_id` int(11) DEFAULT NULL COMMENT '操作人id; Size[MB]: 0.1; Ratio: 1.78',
+  `remark` varchar(50) DEFAULT NULL COMMENT '备注; Size[MB]: 0.1; Ratio: 0.02',
+  PRIMARY KEY (`id`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8 ROW_FORMAT=COMPRESSED;
+
+
+CREATE TABLE `issue880_t2` (
+  `id` int(10) NOT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.00\0 ',
+  `company_id` int(10) DEFAULT NULL COMMENT '公司ID; Size[MB]: 0.1; Ratio: 2.06',
+  `company_name` varchar(250) DEFAULT NULL COMMENT '公司名称; Size[MB]: 0.5; Ratio: 0.77',
+  `product_id` int(1) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 1.77\0 ',
+  `product_name` varchar(60) DEFAULT NULL COMMENT 'Size[MB]: 0.4; Ratio: 0.72\0 ',
+  `pay_type` smallint(1) NOT NULL DEFAULT '2' COMMENT '支付方式(1:支出，2:收入); Size[MB]: 0.1; Ratio: 2.00',
+  `pay_account` varchar(45) DEFAULT NULL COMMENT '支付账户; Size[MB]: 0.5; Ratio: 0.73',
+  `bank_code` varchar(10) DEFAULT NULL COMMENT '银行编号; Size[MB]: 0.2; Ratio: 0.39',
+  `poundage_mode` smallint(1) DEFAULT NULL COMMENT '''手续费方式(运营商支付：1,平台支付:2)''; Size[MB]: 0.1; Ratio: 1.60',
+  `commission_period` smallint(1) NOT NULL COMMENT '''抽佣周期. T+1  1, 按月结算 2, 按季度结算 3, 按年结算 4'',运营商专项补贴5，订阅结算6，每日结算抽佣7，每月结算抽佣8; Size[MB]: 0.1; Ratio: 2.00',
+  `create_time` timestamp NULL DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.30\0 ',
+  `update_time` timestamp NULL DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.39\0 ',
+  `maid_type` smallint(1) DEFAULT NULL COMMENT '抽佣类型(1:平台抽佣，2：承担手续费); Size[MB]: 0.1; Ratio: 0.91',
+  `guarantee_amount` decimal(10,2) DEFAULT '0.00' COMMENT '保底金额; Size[MB]: 0.1; Ratio: 2.57',
+  `guarantee_extra_amount` decimal(10,4) DEFAULT '0.0000' COMMENT '额外支付金额; Size[MB]: 0.1; Ratio: 2.57',
+  `period_account_money` decimal(10,2) DEFAULT '0.00' COMMENT '分账结果; Size[MB]: 0.1; Ratio: 2.57',
+  `fee` decimal(10,2) DEFAULT NULL COMMENT '手续费; Size[MB]: 0.1; Ratio: 8.39',
+  `fee_type` varchar(10) DEFAULT NULL COMMENT '手续费类型; Size[MB]: 0.1; Ratio: 0.02',
+  `poundage_money` decimal(10,4) DEFAULT NULL COMMENT '手续费; Size[MB]: 0.1; Ratio: 2.57',
+  `sum_expense` decimal(10,2) DEFAULT NULL COMMENT '总金额; Size[MB]: 0.1; Ratio: 2.57',
+  `sum_electric_charge` decimal(10,3) DEFAULT NULL COMMENT '总电量; Size[MB]: 0.1; Ratio: 2.57',
+  `sum_service_charge` decimal(10,2) DEFAULT NULL COMMENT '总服务费; Size[MB]: 0.1; Ratio: 2.57',
+  `sum_earning_money` decimal(10,4) DEFAULT NULL COMMENT '总抽佣钱; Size[MB]: 0.1; Ratio: 2.57',
+  `begin_data_time` date DEFAULT NULL COMMENT '分账开始日期; Size[MB]: 0.1; Ratio: 1.22',
+  `end_data_time` date DEFAULT NULL COMMENT '分账结束日期; Size[MB]: 0.1; Ratio: 1.22',
+  `pay_status` smallint(1) DEFAULT '0' COMMENT '支付状态(0:未支付，1:支付调用，2：支付成功,3:支付失败); Size[MB]: 0.1; Ratio: 1.06',
+  `fail_msg` varchar(250) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 0.02\0 ',
+  `batch_no` varchar(30) DEFAULT NULL COMMENT '批次号; Size[MB]: 0.5; Ratio: 0.75',
+  `order_no` varchar(30) DEFAULT NULL COMMENT '订单号; Size[MB]: 0.6; Ratio: 0.79',
+  `period_operator` varchar(40) DEFAULT NULL COMMENT '核账确认用户; Size[MB]: 0.1; Ratio: 0.03',
+  `period_time` datetime DEFAULT NULL COMMENT '核账时间; Size[MB]: 0.1; Ratio: 2.30',
+  `period_status` smallint(1) DEFAULT '0' COMMENT '线下核账状态，(0:未核账，1:已核账); Size[MB]: 0.1; Ratio: 1.60',
+  `out_sum_charge` decimal(10,3) DEFAULT '0.000' COMMENT '对外总电量; Size[MB]: 0.1; Ratio: 2.57',
+  `out_sum_earning_money` decimal(10,4) DEFAULT '0.0000' COMMENT '对外总抽佣; Size[MB]: 0.1; Ratio: 2.78',
+  `out_sum_money` decimal(10,4) DEFAULT '0.0000' COMMENT '对外总金额; Size[MB]: 0.1; Ratio: 2.78',
+  `in_sum_charge` decimal(10,3) DEFAULT '0.000' COMMENT '对内总电量; Size[MB]: 0.1; Ratio: 2.78',
+  `in_sum_earning_money` decimal(10,4) DEFAULT '0.0000' COMMENT '对内总抽佣; Size[MB]: 0.1; Ratio: 2.78',
+  `in_sum_money` decimal(10,4) DEFAULT '0.0000' COMMENT '对内总金额; Size[MB]: 0.1; Ratio: 2.78',
+  `period_pay_id` int(10) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 1.77\0 ',
+  `order_source` varchar(255) DEFAULT NULL COMMENT '订单来源，多个以逗号分隔; Size[MB]: 0.1; Ratio: 0.02',
+  `sum_subsidy_monetary` decimal(10,2) DEFAULT '0.00' COMMENT '总补贴金额; Size[MB]: 0.1; Ratio: 8.39',
+  `subscribe_number` varchar(5000) DEFAULT NULL COMMENT '订阅编号; Size[MB]: 0.1; Ratio: 0.04',
+  `settlement_status` smallint(1) DEFAULT '1' COMMENT '是否需要结算0不需要，1需要; Size[MB]: 0.1; Ratio: 1.60',
+  `company_type` smallint(1) DEFAULT '1' COMMENT '公司类型(1:运营商,2:合作伙伴); Size[MB]: 0.1; Ratio: 2.12',
+  PRIMARY KEY (`id`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8 ROW_FORMAT=COMPRESSED;
+
+CREATE TABLE `issue880_t3` (
+  `id` int(10) NOT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.00\0 ',
+  `company_id` int(10) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.06\0 ',
+  `company_name` varchar(40) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 0.20\0 ',
+  `poundage_mode` smallint(1) DEFAULT NULL COMMENT '支付方式(1:支出，2:收入); Size[MB]: 0.1; Ratio: 2.12',
+  `money` decimal(10,2) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 2.78\0 ',
+  `pay_status` smallint(1) DEFAULT NULL COMMENT '支付状态(0:未支付，1:支付调用，2：支付成功,3:支付失败); Size[MB]: 0.1; Ratio: 2.12',
+  `fail_msg` varchar(250) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 0.02\0 ',
+  `batch_no` varchar(30) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 0.12\0 ',
+  `fee` decimal(10,2) DEFAULT NULL COMMENT '手续费; Size[MB]: 0.1; Ratio: 0.76',
+  `fee_type` varchar(10) DEFAULT NULL COMMENT '手续费类型; Size[MB]: 0.1; Ratio: 0.05',
+  `order_no` varchar(30) DEFAULT NULL COMMENT 'Size[MB]: 0.1; Ratio: 0.15\0 ',
+  `create_time` timestamp NULL DEFAULT CURRENT_TIMESTAMP COMMENT 'Size[MB]: 0.1; Ratio: 2.39\0 ',
+  `success_time` datetime DEFAULT NULL COMMENT '成功时间; Size[MB]: 0.1; Ratio: 1.30',
+  `source` smallint(1) DEFAULT '0' COMMENT '代付订单来源：0抽佣结算，1政府补贴; Size[MB]: 0.1; Ratio: 0.24',
+  `period_account_id` int(11) DEFAULT NULL COMMENT '分账ID; Size[MB]: 0.1; Ratio: 0.48',
+  `account_number` varchar(20) DEFAULT NULL COMMENT '交易银行账户; Size[MB]: 0.1; Ratio: 0.04',
+  `pay_flag` smallint(1) DEFAULT '0' COMMENT '是否需要支付，0需要，1不需要; Size[MB]: 0.1; Ratio: 0.24',
+  `union_order_flag` smallint(1) DEFAULT '0' COMMENT '是否合成订单0不是，1是; Size[MB]: 0.1; Ratio: 2.12',
+  PRIMARY KEY (`id`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8 ROW_FORMAT=COMPRESSED;
+
+--disable_warnings
+# load data issue880_t1
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue880_t1.txt' INTO TABLE issue880_t1 FIELDS TERMINATED BY ';';
+
+#  load data issue880_t3
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval LOAD DATA LOCAL INFILE '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue880_t3.txt' INTO TABLE issue880_t3 FIELDS TERMINATED BY ';';
+
+#  load data issue880_t2
+
+# test timestamp union timestamp
+select b.create_time AS create_time
+from (issue880_t3 a join issue880_t1 b)
+where ((a.id = b.period_pay_id) and (a.pay_status = 2) and
+(a.fee_type = 'TARGET') and (b.type = 2))
+union
+select a.create_time AS create_time
+from (issue880_t2 a join issue880_t1 b)
+where ((a.id = b.period_account_id) and (b.type = 1) and (a.pay_type = 1) and
+(a.period_status = 1));
+
+# test not timestamp union not timestamp
+select b.update_time AS create_time
+from (issue880_t3 a join issue880_t1 b)
+where ((a.id = b.period_pay_id) and (a.pay_status = 2) and
+(a.fee_type = 'TARGET') and (b.type = 2))
+union
+select a.period_time AS create_time
+from (issue880_t2 a join issue880_t1 b)
+where ((a.id = b.period_account_id) and (b.type = 1) and (a.pay_type = 1) and
+(a.period_status = 1));
+
+# test timestamp union datetime
+select b.CREATE_TIME AS create_time
+from (issue880_t3 a join issue880_t1 b)
+where ((a.id = b.period_pay_id) and (a.pay_status = 2) and
+(a.fee_type = 'TARGET') and (b.type = 2))
+union
+select a.period_time AS create_time
+from (issue880_t2 a join issue880_t1 b)
+where ((a.id = b.period_account_id) and (b.type = 1) and (a.pay_type = 1) and
+(a.period_status = 1));
+
+# test datetime union timestamp
+select b.update_time AS create_time
+from (issue880_t3 a join issue880_t1 b)
+where ((a.id = b.period_pay_id) and (a.pay_status = 2) and
+(a.fee_type = 'TARGET') and (b.type = 2))
+union
+select a.create_time AS create_time
+from (issue880_t2 a join issue880_t1 b)
+where ((a.id = b.period_account_id) and (b.type = 1) and (a.pay_type = 1) and
+(a.period_status = 1));
+
+# test varchar union timestamp
+select b.order_sn AS create_time
+from (issue880_t3 a join issue880_t1 b)
+where ((a.id = b.period_pay_id) and (a.pay_status = 2) and
+(a.fee_type = 'TARGET') and (b.type = 2))
+union
+select a.create_time AS create_time
+from (issue880_t2 a join issue880_t1 b)
+where ((a.id = b.period_account_id) and (b.type = 1) and (a.pay_type = 1) and
+(a.period_status = 1));
+
+# test timestamp union varchar
+select b.create_time AS create_time
+from (issue880_t3 a join issue880_t1 b)
+where ((a.id = b.period_pay_id) and (a.pay_status = 2) and
+(a.fee_type = 'TARGET') and (b.type = 2))
+union
+select a.product_name AS create_time
+from (issue880_t2 a join issue880_t1 b)
+where ((a.id = b.period_account_id) and (b.type = 1) and (a.pay_type = 1) and
+(a.period_status = 1));
+
+# clean up
+DROP DATABASE test_timestamp_union;
+# Clean UP
+DROP DATABASE issue880_db;
+"""
+
+SCRIPT_ISSUE405 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue405_test;
+--enable_warnings
+
+CREATE DATABASE issue405_test;
+
+USE issue405_test;
+
+create table timehi (val time) ENGINE=TIANMU;
+insert into timehi values ('00:00:00'), ('01:15:39'), ('09:11:12'), ('20:30:29');
+select * from timehi where val >= '08:02:45';
+drop table timehi;
+
+DROP DATABASE issue405_test;
+"""
+
+SCRIPT_ISSUE417 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue417_test;
+--enable_warnings
+
+CREATE DATABASE issue417_test;
+
+USE issue417_test;
+
+create table ttime (val time) ENGINE=TIANMU;
+insert into ttime values ('12:15:03'), ('18:30:20');
+select (val between '12:00:00' and '12:30:00') as agval from ttime;
+drop table ttime;
+
+DROP DATABASE issue417_test;
+"""
+
+SCRIPT_ISSUE430 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue430_test;
+--enable_warnings
+
+CREATE DATABASE issue430_test;
+
+USE issue430_test;
+
+create table tt2 (a tinyint(4), b smallint(6), c bigint(20)) ENGINE=TIANMU;
+insert into tt2 values (15, 20, 18), (1, 6, 4);
+select (a/b)/c as agf from tt2 group by agf;
+drop table tt2;
+
+DROP DATABASE issue430_test;
+"""
+
+SCRIPT_ISSUE433 = """use test;
+create table tt(val int) ENGINE=TIANMU;
+insert into tt values (12);
+select * from tt where null in (null);
+select * from tt where null not in (null);
+select * from tt where 42 in (null);
+select * from tt where 42 not in (null);
+select * from tt where null in (select * from tt where val > 42);
+select * from tt where null not in (select * from tt where val > 42);
+select * from tt where 42 in (select * from tt where val > 42);
+select * from tt where 42 not in (select * from tt where val > 42);
+select * from tt where 42 in (select null from tt where val > 42);
+select * from tt where 42 not in (select null from tt where val > 42);
+select * from tt where 42 in (select !null from tt where val > 42);
+select * from tt where 42 not in (select !null from tt where val > 42);
+drop table tt;
+"""
+
+SCRIPT_ISSUE467 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue467_test;
+--enable_warnings
+
+CREATE DATABASE issue467_test;
+
+USE issue467_test;
+
+create table tt (date_test date) ENGINE=TIANMU;
+insert into tt values ('2010-02-22');
+select * from tt where (date_test<='2003-04-05')AND (date_test>='2011-06-22')OR  (date_test<='2012-12-13' );
+drop table tt;
+
+DROP DATABASE issue467_test;
+"""
+
+SCRIPT_ISSUE736 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue736_test;
+--enable_warnings
+
+CREATE DATABASE issue736_test;
+
+USE issue736_test;
+
+CREATE TABLE t1(col1 INT, col2 CHAR(5))ENGINE=tianmu;
+INSERT INTO t1 VALUES(NULL,''),(1,'a'),(1,'b'),(1,'c'),(2,'dd'),(3,'eee');
+INSERT INTO t1 VALUES(8,UNHEX('CEB2'));
+SELECT COUNT(DISTINCT col2) FROM t1;
+SELECT COUNT(DISTINCT col1) FROM t1;
+DROP TABLE t1;	
+
+DROP DATABASE issue736_test;
+"""
+
+SCRIPT_ISSUE496 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue496_test;
+--enable_warnings
+
+CREATE DATABASE issue496_test;
+
+USE issue496_test;
+
+create table t1 (id int, name varchar(10) comment "LOOKUP") ENGINE=TIANMU;
+insert into t1 values (1, 'one');
+insert into t1 values (2, 'one');
+insert into t1 values (3, 'one');
+insert into t1 values (4, 'one');
+update t1 set name='two' where id=2;
+select * from t1;
+drop table t1;
+
+DROP DATABASE issue496_test;
+"""
+
+SCRIPT_ISSUE1625 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1625_test;
+--enable_warnings
+
+create database issue1625_test;
+use issue1625_test;
+
+CREATE TABLE t_latin1(
+a CHAR(20) CHARACTER SET latin1,
+b VARCHAR(20) CHARACTER SET latin1,
+c TEXT(20) CHARACTER SET latin1
+)engine=tianmu;
+
+INSERT INTO t_latin1 values(x'f242', x'f242', x'f242');
+
+select * from t_latin1 where a=x'f242';
+
+DROP TABLE t_latin1;
+drop database issue1625_test;"""
+
+SCRIPT_ISSUE281 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue281_test;
+--enable_warnings
+
+CREATE DATABASE issue281_test;
+
+USE issue281_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS t1;
+CREATE TABLE t1 (f1 INT) ENGINE=TIANMU;
+INSERT INTO t1 VALUES(1),(2),(NULL),(NULL);
+SELECT * FROM t1 WHERE f1 IS NULL;
+SELECT * FROM t1 WHERE f1 IS NOT NULL;
+SELECT * FROM t1;
+DROP TABLE t1;
+
+DROP DATABASE issue281_test;
+"""
+
+SCRIPT_ISSUE1363 = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+DROP DATABASE IF EXISTS issue1363_test;
+CREATE DATABASE issue1363_test;
+
+USE issue1363_test;
+
+create table t1 (a bigint unsigned not null, primary key(a));
+#issue 1363
+insert into t1 values (9223372036854775806);
+select * from t1;
+#issue 1369
+INSERT INTO t1 VALUES(1234),(97716021308405775),(97716021308405770),(97716021308405780);
+select * from t1;
+#issue 1362
+insert into t1 values (0xFFFFFFFFFFFFFF);
+select * from t1;
+drop table t1;
+
+DROP DATABASE issue1363_test;
+"""
+
+SCRIPT_ISSUE1385 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1385_test;
+--enable_warnings
+
+CREATE DATABASE issue1385_test;
+
+USE issue1385_test;
+
+create table ttt(name text);
+
+insert into ttt values('XXXXX');
+insert into ttt values('yyyyy');
+
+select * from (select concat(ifnull(name,'')) as c1 from ttt) as x where x.c1 like '%XXXX%';
+select * from (select ifnull(name,'') as c1 from ttt) as x where x.c1 like '%XXXX%';
+select * from (select concat(name,'') as c1 from ttt) as x where x.c1 like '%XXXX%';
+
+drop table ttt;
+
+DROP DATABASE issue1385_test;
+"""
+
+SCRIPT_ISSUE502 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue502_test;
+--enable_warnings
+
+CREATE DATABASE issue502_test;
+
+USE issue502_test;
+
+CREATE TABLE `auto_20` (
+    `pk` bigint(11) NOT NULL AUTO_INCREMENT,
+    `varchar_test` varchar(255) DEFAULT NULL,
+    PRIMARY KEY (`pk`)
+) ENGINE=TIANMU DEFAULT CHARSET=gbk;
+insert into auto_20(varchar_test) values('changsha');
+insert into auto_20(varchar_test) values('aaaa');
+insert into auto_20(varchar_test) values('bbb');
+select * from auto_20;
+drop table auto_20;
+
+DROP DATABASE issue502_test;
+"""
+
+SCRIPT_ISSUE1510 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1510_test;
+--enable_warnings
+
+CREATE DATABASE issue1510_test;
+
+USE issue1510_test;
+
+create table ttt(id int primary key,name varchar(10));
+begin;
+insert into ttt values(1,'AAA');
+commit;
+select * from ttt;
+drop table ttt;
+
+create table ttt(id int primary key,name varchar(10));
+insert into ttt values(1,'AAA');
+select * from ttt;
+drop table ttt;
+
+DROP DATABASE issue1510_test;
+"""
+
+SCRIPT_ISSUE441 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue441_test;
+--enable_warnings
+
+CREATE DATABASE issue441_test;
+
+USE issue441_test;
+
+CREATE TEMPORARY TABLE `t_test1`(
+`id` INT NOT NULL AUTO_INCREMENT,
+`first_name` VARCHAR(10) NOT NULL,
+`last_name` VARCHAR(10) NOT NULL,
+`sex` VARCHAR(5) NOT NULL,
+`score` INT NOT NULL,
+`copy_id` INT NOT NULL,
+PRIMARY KEY (`id`)
+) ENGINE=tianmu;
+INSERT INTO t_test1 values(1,'张','三','1',100,1);
+SELECT id FROM t_test1;
+DROP TABLE t_test1;
+
+DROP DATABASE issue441_test;
+"""
+
+SCRIPT_ISSUE1564 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1564;
+--enable_warnings
+create database issue1564;
+use issue1564;
+
+create table t(a bigint not null);
+insert into t values(-222222), (-22), (-15),(-16),(0), (11), (12), (9223372036854775807);
+select * from t;
+select * from t where a = 18446744073709551601;
+select * from t where a != 18446744073709551601;
+select * from t where a = -22;
+select * from t where a != -22;
+select * from t where a in(-16, -15, -11);
+select * from t where a > 18446744073709551599;
+select * from t where a >= 18446744073709551599;
+select * from t where a < 18446744073709551599;
+select * from t where a <= 18446744073709551599;
+select * from t where a between -22 and 18446744073709551599;
+select * from t where a between -22 and 9223372036854775807;
+select * from t where a between -222222 and 9223372036854775807;
+select * from t where a between 9223372036854775807 and -22;
+
+drop table t;
+drop database issue1564;
+"""
+
+SCRIPT_ISSUE515 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue515_test;
+--enable_warnings
+
+CREATE DATABASE issue515_test;
+
+USE issue515_test;
+
+create table timetest (val timestamp) ENGINE=TIANMU;
+insert into timetest values ('2010-02-22 18:35:23');
+select val not between '2010-02-22 18:35:23' and '2015-11-23 08:02:45' from (select * from timetest) as A;
+select val, val >= '2010-02-22 18:35:23' from (select * from timetest) as A;
+drop table timetest;
+
+DROP DATABASE issue515_test;
+"""
+
+SCRIPT_ISSUE1070 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1070_test;
+--enable_warnings
+
+CREATE DATABASE issue1070_test;
+
+USE issue1070_test;
+
+create table t_issue1070(id int,name varchar(5)) engine=tianmu DEFAULT CHARSET=utf8mb4;
+insert into t_issue1070 values(1,x'E5BCA0E4B889'),(2,x'E69D8EE59B9B');
+show create table t_issue1070;
+select hex(name) from t_issue1070;
+alter table t_issue1070 convert to character set gbk;
+select hex(name) from t_issue1070;
+alter table t_issue1070 convert to character set utf8mb4;
+select hex(name) from t_issue1070;
+drop table t_issue1070;
+
+DROP DATABASE issue1070_test;
+"""
+
+SCRIPT_ISSUE431 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue431_test;
+--enable_warnings
+
+CREATE DATABASE issue431_test;
+
+USE issue431_test;
+
+create table tt(a int, b int) ENGINE=TIANMU;
+insert into tt values (3, 4);
+select * from tt where (a >= 3) AND (b = 5 AND a > 2 OR 0);
+drop table tt;
+
+DROP DATABASE issue431_test;
+"""
+
+SCRIPT_ISSUE469 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue469_test;
+--enable_warnings
+
+CREATE DATABASE issue469_test;
+
+USE issue469_test;
+
+create table tt (v1 int, v2 int, v3 int) ENGINE=TIANMU;
+insert into tt values (20, 30, 40);
+select * from tt where (v1 = 20) OR ((v1 <=> 80) OR (v2 = 70) AND (v3 = 60)) AND (1);
+drop table tt;
+
+DROP DATABASE issue469_test;
+"""
+
+SCRIPT_ISSUE468 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue468_test;
+--enable_warnings
+
+CREATE DATABASE issue468_test;
+
+USE issue468_test;
+
+create table tt (e1 int, e2 int, e3 int, e4 int, e5 int, e6 int, e7 int, e8 int, e9 int) ENGINE=TIANMU;
+insert into tt values (1,1,1,0,0,0,0,1,0);
+select * from tt where (e1 AND ((e2 AND e3 AND (e4 OR e5)) OR e6) OR (e7 AND e8 AND e9));
+select * from tt where (e1 AND ((e2 AND e3 AND (e4 OR e5)) OR 0) OR (e7 AND e8 AND e9));
+drop table tt;
+
+DROP DATABASE issue468_test;
+"""
+
+SCRIPT_ISSUE1942 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1942_test_db;
+--enable_warnings
+CREATE DATABASE issue1942_test_db;
+USE issue1942_test_db;
+
+CREATE TABLE t0(c0 INT);
+SELECT * FROM t0 WHERE (t0.c0 IS NULL); 
+SELECT SUM(count) FROM (SELECT (t0.c0 IS NULL) IS TRUE  as count FROM t0) as res;
+SELECT SUM(count) FROM (SELECT CAST((t0.c0 IS NULL) AS UNSIGNED)  as count FROM t0) as res;
+
+INSERT INTO t0 VALUES (NULL), (1);
+SELECT * FROM t0 WHERE (t0.c0 IS NULL); 
+SELECT SUM(count) FROM (SELECT (t0.c0 IS NULL) IS TRUE  as count FROM t0) as res;
+SELECT SUM(count) FROM (SELECT CAST((t0.c0 IS NULL) AS UNSIGNED)  as count FROM t0) as res;
+
+DROP DATABASE issue1942_test_db;
+"""
+
+SCRIPT_ISSUE446 = """use test;
+create table tt (val double) ENGINE=TIANMU;
+insert into tt values (1.2345);
+select 1 from (select * from tt) as A join tt where A.val > 1 XOR tt.val > 2;
+drop table tt;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -11319,6 +12139,37 @@ _SPECS = [
     ('dialect_alter_negative_show', SCRIPT_ALTER_NEGATIVE, 0, None, False, 'negative ALTERs all error (1064 empty/invalid ENGINE=, 1286, 1146 missing table, 1091 unknown drop, 1054 unknown change); SHOW CREATE proves the table unchanged', None, {'show': 0}),
     ('dialect_alter_v1_order', SCRIPT_ALTER_V1, 2, ['n'], False, 'ALTER TABLE ... ORDER BY physical reorder (add column with order-by action runs before)'),
     ('dialect_alter_v1_autoinc', SCRIPT_ALTER_V1, -1, ['i'], False, 'AUTO_INCREMENT column filled by (null),(null) inserts after ALTER ORDER BY battery'),
+    ('dialect_load_65k_pk_dedup', SCRIPT_ISSUE1263, 0, ['c'], False, '65543-row LOAD DATA through the distributed reader (spark.read.csv / DuckDB read_csv — beyond the compiled-INSERT cap); duplicate PK skipped like tianmu -> 65542', {'c': 'DOUBLE'}),
+    ('dialect_load_65k_skip30', SCRIPT_ISSUE1263, 1, ['c'], False, '65k distributed LOAD with IGNORE 30 LINES -> 65513 rows', {'c': 'DOUBLE'}),
+    ('dialect_load_double_enclosed', SCRIPT_ISSUE1263, 2, None, False, 'LOAD DATA fields with doubled enclosure chars and embedded line breaks inside enclosed text; per-column @var SET NULLIF binding'),
+    ('dialect_load_ragged_error', SCRIPT_ISSUE1263, -1, None, False, "ragged LOAD row errors (Row 1 doesn't contain data for all columns) and leaves prior rows intact"),
+    ('dialect_ts_union_ts', SCRIPT_ISSUE880, 0, ['ct'], False, 'timestamp UNION timestamp over parenthesized ON-less joins fed by a 26k-row distributed LOAD (issue880_t2 fixture not shipped by the reference: its LOAD line is excluded, table stays empty)'),
+    ('dialect_ts_union_datetime', SCRIPT_ISSUE880, 2, ['ct'], False, 'timestamp UNION datetime type unification over the loaded tables'),
+    ('dialect_varchar_union_ts', SCRIPT_ISSUE880, 4, ['ct'], False, 'varchar UNION timestamp unifies to STRING (MySQL rule; Spark ANSI would coerce the other way and fault)'),
+    ('dialect_ts_union_varchar', SCRIPT_ISSUE880, -1, ['ct'], False, 'timestamp UNION varchar unifies to STRING; cross-branch column-type inference through parenthesized joins'),
+    ('dialect_issue405', SCRIPT_ISSUE405, -1, None, False, 'verbatim issue regression: GROUP BY over DATE with COUNT after UPDATE of date values'),
+    ('dialect_issue417', SCRIPT_ISSUE417, -1, None, False, 'verbatim issue regression: regression scenario issue417'),
+    ('dialect_issue430', SCRIPT_ISSUE430, -1, None, False, 'verbatim issue regression: regression scenario issue430'),
+    ('dialect_issue433', SCRIPT_ISSUE433, -1, None, False, 'verbatim issue regression: regression scenario issue433'),
+    ('dialect_issue467', SCRIPT_ISSUE467, -1, None, False, 'verbatim issue regression: regression scenario issue467'),
+    ('dialect_issue736', SCRIPT_ISSUE736, -1, None, False, 'verbatim issue regression: regression scenario issue736'),
+    ('dialect_issue496', SCRIPT_ISSUE496, -1, None, False, 'verbatim issue regression: regression scenario issue496'),
+    ('dialect_issue1625', SCRIPT_ISSUE1625, -1, None, False, 'verbatim issue regression: regression scenario issue1625'),
+    ('dialect_issue281', SCRIPT_ISSUE281, -1, None, False, 'verbatim issue regression: regression scenario issue281'),
+    ('dialect_issue1363', SCRIPT_ISSUE1363, -1, None, False, 'verbatim issue regression: regression scenario issue1363', {'a': 'DOUBLE'}),
+    ('dialect_issue1385', SCRIPT_ISSUE1385, -1, None, False, 'verbatim issue regression: regression scenario issue1385'),
+    ('dialect_issue502', SCRIPT_ISSUE502, -1, None, False, 'verbatim issue regression: regression scenario issue502'),
+    ('dialect_issue1510', SCRIPT_ISSUE1510, -1, None, False, 'verbatim issue regression: regression scenario issue1510'),
+    ('dialect_issue441', SCRIPT_ISSUE441, -1, None, False, 'verbatim issue regression: regression scenario issue441'),
+    ('dialect_issue1564', SCRIPT_ISSUE1564, -2, None, False, 'verbatim issue regression: regression scenario issue1564'),
+    ('dialect_issue515', SCRIPT_ISSUE515, -1, ['ge', 'val'], False, 'verbatim issue regression: regression scenario issue515'),
+    ('dialect_issue431', SCRIPT_ISSUE431, -1, None, False, 'verbatim issue regression: boolean tree with a bare numeric leaf: (b = 5 AND a > 2 OR 0)'),
+    ('dialect_issue469', SCRIPT_ISSUE469, -1, None, False, 'verbatim issue regression: null-safe <=> inside mixed AND/OR with a bare (1) truthy leaf'),
+    ('dialect_issue468', SCRIPT_ISSUE468, -1, None, False, 'verbatim issue regression: deep AND/OR nesting over bare numeric columns (e1 AND ((e2 AND e3 AND (e4 OR e5)) OR e6) ...)'),
+    ('dialect_issue1942', SCRIPT_ISSUE1942, -1, ['s'], False, 'verbatim issue regression: SUM over (c0 IS NULL) IS TRUE / CAST(boolean AS UNSIGNED) 0-1 coercions', {'s': 'DOUBLE'}),
+    ('dialect_issue1942_1', SCRIPT_ISSUE1942, 1, ['s'], False, 'verbatim issue regression: boolean-to-unsigned CAST aggregation over the empty table (NULL sum)', {'s': 'DOUBLE'}),
+    ('dialect_issue446', SCRIPT_ISSUE446, -1, ['one'], False, 'verbatim issue regression: comparison XOR comparison across a derived-table join'),
+    ('dialect_issue1070', SCRIPT_ISSUE1070, -1, ['h'], False, 'verbatim issue regression: regression scenario issue1070'),
 ]
 
 
