@@ -2289,6 +2289,29 @@ def _guard_unsigned_arith(s: str, tables: dict) -> str:
     return _sub_outside_strings(s, _IDENT_PAIR_MINUS, rep)
 
 
+def _check_db_name(nm: str) -> None:
+    """CREATE/DROP DATABASE name validation analogs (create_db.test):
+    a double/single-quoted token is a string literal, not a name
+    (1064 without ANSI_QUOTES); digits-only unquoted names don't lex
+    as identifiers (1064); names beyond 64 chars are 1059."""
+    if nm[:1] in ("'", '"'):
+        raise ValueError(
+            f"syntax error near {nm[:30]!r}: a string literal is not a "
+            f"database name (MySQL error 1064 analog)"
+        )
+    name = _unquote_ident(nm)
+    if re.fullmatch(r"\d+", name):
+        raise ValueError(
+            f"syntax error near '{name[:30]}': all-digit identifier "
+            f"(MySQL error 1064 analog)"
+        )
+    if len(name) > 64:
+        raise ValueError(
+            f"Identifier name '{name[:40]}…' is too long "
+            f"(MySQL error 1059 analog)"
+        )
+
+
 def _check_insert_shape(s: str) -> None:
     """MySQL's prepare-time INSERT shape errors (insert.test):
     1136 value-count-vs-column-count mismatch, then 1110 column
@@ -4142,6 +4165,8 @@ class MTRRun:
     viewdefs: dict = field(default_factory=dict)
     # ROW_COUNT() analog: rows written by the last INSERT VALUES
     last_rowcount: int = -1
+    # databases the script created (1007 duplicate-create analog)
+    dbs: set = field(default_factory=set)
 
 
 _SHOWDESC = re.compile(
@@ -5983,7 +6008,29 @@ def run_statement(run: MTRRun, stmt: str):
         return None
     if _is_infoschema(s):
         return None
+    cdm = re.match(
+        r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"(.+?)\s*$",
+        s, re.I | re.S,
+    )
+    if cdm:
+        nm = cdm.group(2).strip()
+        _check_db_name(nm)  # 1064/1059 analogs (create_db.test)
+        name = _unquote_ident(nm).lower()
+        if name in run.dbs and not cdm.group(1):
+            raise ValueError(
+                f"Can't create database '{name}'; database exists "
+                f"(MySQL error 1007 analog)"
+            )
+        run.dbs.add(name)
+        return None
     if re.match(r"^\s*DROP\s+DATABASE\b", s, re.I):
+        dm0 = re.match(
+            r"^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(.+?)\s*$",
+            s, re.I | re.S,
+        )
+        _check_db_name(dm0.group(2).strip())
+        run.dbs.discard(_unquote_ident(dm0.group(2).strip()).lower())
         # MySQL drops the database's tables with it; the front-end is
         # single-namespace, so DROP DATABASE wipes the run's tables
         # (type_timestamp.test re-creates its db mid-script)

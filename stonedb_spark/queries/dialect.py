@@ -231,6 +231,32 @@ SOURCES = {
     'dialect_issue1942': ('issue1942.test', [(1, 19)]),
     'dialect_issue1942_1': ('issue1942.test', [(1, 19)]),
     'dialect_issue446': ('issue446.test', [(1, 5)]),
+    'dialect_issue1361': ('issue1361.test', [(1, 29)]),
+    'dialect_issue1708': ('issue1708.test', [(1, 34)]),
+    'dialect_issue981': ('issue981.test', [(1, 27)]),
+    'dialect_issue938': ('issue938.test', [(1, 28)]),
+    'dialect_issue1864': ('issue1864.test', [(1, 32)]),
+    'dialect_issue1402': ('issue1402.test', [(1, 43)]),
+    'dialect_issue1402_1': ('issue1402.test', [(1, 43)]),
+    'dialect_create_db': ('create_db.test', [(1, 52)]),
+    'dialect_dropdb': ('dropdb.test', [(1, 4)]),
+    'dialect_v_issue1157': ('issue1157.test', [(1, 45)]),
+    'dialect_v_issue342': ('issue342.test', [(1, 47)]),
+    'dialect_v_issue1079_366': ('issue1079_366.test', [(1, 50)]),
+    'dialect_v_issue1175': ('issue1175.test', [(1, 54)]),
+    'dialect_v_issue971': ('issue971.test', [(1, 57)]),
+    'dialect_v_issue767': ('issue767.test', [(1, 59)]),
+    'dialect_v_alter_bit': ('alter_bit.test', [(1, 60)]),
+    'dialect_v_issue947': ('issue947.test', [(1, 60)]),
+    'dialect_v_insert_select_from': ('insert_select_from.test', [(1, 62)]),
+    'dialect_v_issue1912': ('issue1912.test', [(1, 81)]),
+    'dialect_v_issue1931': ('issue1931.test', [(1, 81)]),
+    'dialect_v_issue763': ('issue763.test', [(1, 81)]),
+    'dialect_v_issue1394': ('issue1394.test', [(1, 83)]),
+    'dialect_v_issue1938': ('issue1938.test', [(1, 44)]),
+    'dialect_v_issue964': ('issue964.test', [(1, 52)]),
+    'dialect_v_issue282': ('issue282.test', [(1, 75)]),
+    'dialect_v_issue1861': ('issue1861.test', [(1, 78)]),
     'dialect_issue1070': ('issue1070.test', [(1, 21)]),
     'dialect_implicit_group_empty': ('issue1784.test', [(1, 158)]),
     'dialect_implicit_group': ('issue1784.test', [(1, 158)]),
@@ -11924,6 +11950,1375 @@ select 1 from (select * from tt) as A join tt where A.val > 1 XOR tt.val > 2;
 drop table tt;
 """
 
+SCRIPT_ISSUE1361 = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test issue1361 bigint range
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1361_test;
+--enable_warnings
+
+CREATE DATABASE issue1361_test;
+
+USE issue1361_test;
+
+CREATE TABLE int8_tbl(q1 int8, q2 int8);
+
+--error 1264
+INSERT INTO int8_tbl VALUES ('-9223372036854775805','-9223372036854775808');
+
+--error 1264
+INSERT INTO int8_tbl VALUES ('-9223372036854775805','-9223372036854775807');
+
+# ok
+INSERT INTO int8_tbl VALUES ('-9223372036854775805','-9223372036854775806');
+
+# 1 row
+SELECT * from int8_tbl;
+
+DROP DATABASE issue1361_test;"""
+
+SCRIPT_ISSUE1708 = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+--echo # Creating test database test_db_1708
+CREATE DATABASE IF NOT EXISTS test_db_1708;
+
+USE test_db_1708;
+
+CREATE TABLE t1 (
+  id int NOT NULL PRIMARY KEY,
+  ct int DEFAULT NULL,
+  pc int DEFAULT NULL
+);
+
+INSERT INTO t1 VALUES (1,NULL,NULL),(2,NULL,NULL),(3,NULL,NULL),(4,NULL,NULL),(5,NULL,NULL);
+
+CREATE TABLE t2 (
+  id int NOT NULL PRIMARY KEY,
+  sr int NOT NULL,
+  nm varchar(255) NOT NULL
+);
+
+INSERT INTO t2 VALUES (2441905,4308,'LesAbymes'),(2441906,4308,'Anse-Bertrand');
+
+CREATE TABLE t3 (
+  id int NOT NULL PRIMARY KEY,
+  ct int NOT NULL,
+  ln int NOT NULL
+);
+
+SELECT t1.* FROM t1 LEFT JOIN (t2 LEFT JOIN t3 ON t3.ct=t2.id AND t3.ln='5') ON t1.ct=t2.id WHERE t1.id='5';
+
+DROP DATABASE test_db_1708;
+"""
+
+SCRIPT_ISSUE981 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue981_test;
+--enable_warnings
+
+CREATE DATABASE issue981_test;
+
+USE issue981_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS timetest;
+
+create table timetest (val timestamp) ENGINE=TIANMU;
+
+## insert data
+insert into timetest values ('2010-02-22 18:35:23');
+
+## select
+select val not between '2010-02-22 18:35:23' and '2015-11-23 08:02:45' from (select * from timetest) as A;
+select val, val >= '2010-02-22 18:35:23' from (select * from timetest) as A;
+
+## drop table
+DROP TABLE timetest;
+
+DROP DATABASE issue981_test;
+"""
+
+SCRIPT_ISSUE938 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue938_test;
+--enable_warnings
+
+CREATE DATABASE issue938_test;
+
+USE issue938_test;
+
+--disable_query_log
+CREATE TABLE tb (d1 DECIMAL(17)) ENGINE=TIANMU;
+
+INSERT INTO tb VALUES
+    (1234),     
+    (1234567890123),
+    (56789012);
+--enable_query_log
+
+SELECT group_concat(d1 ORDER BY d1) FROM (SELECT d1 FROM tb) a1;
+
+SELECT group_concat(d1 ORDER BY d1) FROM tb;
+
+--disable_query_log
+DROP TABLE tb;
+--enable_query_log
+
+DROP DATABASE issue938_test;
+"""
+
+SCRIPT_ISSUE1864 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1864_test;
+
+CREATE DATABASE issue1864_test;
+
+USE issue1864_test;
+
+create table t1(c1 decimal(5,2)) engine=tianmu;
+insert into t1 values(111.22);
+ 
+create table t2(id int) engine=tianmu;
+insert into t2 values(11122);
+
+select xxx.x from (select c1 as x from t1 union all select 1 as x from t2) xxx;
+
+select xxx.x from ( select t1.c1 as x from t1 inner join t2 on t1.c1 != t2.id ) xxx;
+
+CREATE TABLE cs1 (d1 DECIMAL(17), d2 DECIMAL(17,10), d3 DECIMAL(17,17)) engine=tianmu;
+
+INSERT INTO cs1 VALUES (125, 1.25, 0.125);
+
+INSERT INTO cs1 VALUES (-125, -1.25, -0.125);
+
+select * from cs1;
+
+select * from cs1 union select * from cs1;
+
+SELECT d1, d1, d2 FROM cs1 UNION SELECT d2, d3, d3 FROM cs1;
+
+DROP DATABASE issue1864_test;
+"""
+
+SCRIPT_ISSUE1402 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1402_test;
+--enable_warnings
+
+CREATE DATABASE issue1402_test;
+
+USE issue1402_test;
+
+CREATE TABLE t1 (id INT, d DECIMAL(10,4)) ENGINE=tianmu;
+
+INSERT INTO t1 VALUES (1, 1.2345), (2, 2.3456), (3, 3.4567);
+
+SELECT COUNT(*), SUM(d), AVG(d), MIN(d), MAX(d) FROM t1;
+
+SELECT id, SUM(d) FROM t1 GROUP BY id;
+
+SELECT * FROM t1 ORDER BY d DESC;
+
+SELECT * FROM t1 WHERE d > (SELECT AVG(d) FROM t1);
+
+SELECT id, SUM(d) FROM t1 WHERE d > (SELECT AVG(d) FROM t1) GROUP BY id;
+
+SELECT * FROM t1 WHERE d > (SELECT AVG(d) FROM t1) ORDER BY d DESC;
+
+SELECT id, SUM(d) FROM t1 WHERE d > (SELECT AVG(d) FROM t1) GROUP BY id ORDER BY SUM(d) DESC;
+
+SELECT t1.id, t1.d, t2.d FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id;
+
+SELECT t1.id, SUM(t1.d), SUM(t2.d) FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id GROUP BY t1.id;
+
+SELECT t1.id, SUM(t1.d), SUM(t2.d) FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id GROUP BY t1.id ORDER BY SUM(t1.d) DESC;
+
+SELECT t1.id, SUM(t1.d), SUM(t2.d) FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id GROUP BY t1.id ORDER BY SUM(t1.d) DESC LIMIT 1;
+
+SELECT t1.id, SUM(t1.d), SUM(t2.d) FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id GROUP BY t1.id ORDER BY SUM(t1.d) DESC LIMIT 1 OFFSET 1;
+
+SELECT t1.id, SUM(t1.d), SUM(t2.d) FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id GROUP BY t1.id HAVING SUM(t1.d) > 3 ORDER BY SUM(t1.d) DESC LIMIT 1 OFFSET 1;
+
+SELECT t1.id, SUM(t1.d), SUM(t2.d) FROM t1 JOIN (SELECT id, d FROM t1 WHERE d > 2) t2 ON t1.id = t2.id WHERE t1.id > 1 GROUP BY t1.id HAVING SUM(t1.d) > 3 ORDER BY SUM(t1.d) DESC LIMIT 1 OFFSET 1;
+
+drop database issue1402_test;
+"""
+
+SCRIPT_CREATE_DB = """--source include/have_tianmu.inc
+
+--echo #
+--echo #Test creating libraries with names that are too long
+--echo #
+
+--error 1059
+create database aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa;
+--error 1059
+drop database aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa;
+
+--echo #
+--echo #test common library creation scenarios
+--echo #
+
+create database test_db;
+--error 1007
+create database test_db;
+create database if not exists test_db;
+drop database test_db;
+
+create database 1ea10;
+drop database 1ea10;
+
+create database e$8b;
+drop database e$8b;
+
+--echo #
+--echo #Test the exception scenario use case for creating the library
+--echo #
+
+--error 1064
+create database 888;
+--error 1064
+create database "";
+--error 1064
+create database " ";
+--error 1064
+create database "test ";
+--error 1064
+create database "test...";
+--error 1064
+create database "$test$";
+--error 1064
+create database "test.test";
+--error 1064
+create database "'test'";
+--error 1064
+create database "test/test";
+
+
+
+
+select 1 as ok;
+"""
+
+SCRIPT_DROPDB = """create database b;
+use b;
+create table `mysql50` (f1 int primary key) engine=tianmu;
+select count(*) as n from `mysql50`;
+drop database b;
+"""
+
+SCRIPT_V_ISSUE1157 = r"""--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1157_test;
+--enable_warnings
+
+CREATE DATABASE issue1157_test;
+USE issue1157_test;
+
+
+CREATE TABLE st(
+  `id` BIGINT(20) NOT NULL AUTO_INCREMENT,
+  `name` VARCHAR(255) DEFAULT NULL,
+  `uid` VARCHAR(11) DEFAULT NULL,
+  PRIMARY KEY (`id`)
+)engine=tianmu;
+
+INSERT INTO st (NAME,uid) VALUES('%a','world');
+INSERT INTO st (NAME,uid) VALUES('%_','world');
+
+SELECT * FROM st WHERE NAME LIKE "a%a_" ESCAPE 'a'; 
+
+SELECT * FROM st WHERE NAME LIKE "\%\_";
+
+SELECT * FROM st WHERE NAME LIKE "\%_";
+
+SELECT * FROM st WHERE NAME LIKE "a%_" ESCAPE 'a';
+
+drop table st;
+
+
+create table st2(id int ,column_2 varchar(10),column_3 varchar(10))engine=tianmu;
+insert into st2 values(1,'_a\\\\','111111');
+insert into st2 values(2,'12%','%12%');
+insert into st2 values(3,'a_a','a%');
+insert into st2 values(4,'_a\\','_12%');
+insert into st2 values(5,'\\a','\\\\_a%12%');
+
+select * from st2 where column_2 like '%_a\\\%';
+
+select * from st2 where column_2 like '%?_a?\%' escape '?';
+
+drop table st2;
+
+DROP DATABASE issue1157_test;
+"""
+
+SCRIPT_V_ISSUE342 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue342_test;
+--enable_warnings
+
+CREATE DATABASE issue342_test;
+
+USE issue342_test;
+
+CREATE TABLE `lineitem_i342` (
+`l_orderkey` int(11) NOT NULL,
+`l_partkey` int(11) NOT NULL,
+`l_suppkey` int(11) NOT NULL,
+`l_linenumber` int(11) NOT NULL,
+`l_quantity` decimal(15,2) NOT NULL,
+`l_extendedprice` decimal(15,2) NOT NULL,
+`l_discount` decimal(15,2) NOT NULL,
+`l_tax` decimal(15,2) NOT NULL,
+`l_returnflag` char(1) NOT NULL,
+`l_linestatus` char(1) NOT NULL,
+`l_shipdate` date NOT NULL,
+`l_commitdate` date NOT NULL,
+`l_receiptdate` date NOT NULL,
+`l_shipinstruct` char(25) NOT NULL,
+`l_shipmode` char(10) NOT NULL,
+`l_comment` varchar(44) NOT NULL,
+PRIMARY KEY (`l_orderkey`,`l_linenumber`)
+) ENGINE=TIANMU;
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(842980, 1881559, 56614, 4, 5.00, 7702.30, 0.01, 0.03, 'A', 'F', '1992-01-02', '1992-03-20', '1992-01-20', 'COLLECT COD', 'REG AIR', 'lly regular asymptotes. unu');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(1111877, 1341765, 16805, 3, 20.00, 36134.00, 0.10, 0.07, 'A', 'F', '1992-01-02', '1992-02-28', '1992-01-07', 'TAKE BACK RETURN', 'FOB', 're. ideas wake');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(1332613, 539811, 14827, 1, 14.00, 25911.06, 0.08, 0.07, 'A', 'F', '1992-01-02', '1992-02-11', '1992-01-18', 'TAKE BACK RETURN', 'TRUCK', 'y against the furiously regular');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(2184032, 1394196, 44223, 5, 14.00, 18061.82, 0.06, 0.02, 'A', 'F', '1992-01-02', '1992-02-25', '1992-01-15', 'DELIVER IN PERSON', 'RAIL', 'even ideas breach slyly above the d');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(5018977, 820387, 20388, 1, 20.00, 26146.80, 0.00, 0.00, 'A', 'F', '1992-01-02', '1992-03-19', '1992-01-15', 'NONE', 'SHIP', 'packages detect furiously quick');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(8478693, 842913, 92930, 5, 13.00, 24126.31, 0.01, 0.03, 'A', 'F', '1992-01-02', '1992-02-02', '1992-01-05', 'DELIVER IN PERSON', 'REG AIR', 'y silent decoys');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(9838337, 201251, 26254, 1, 10.00, 11522.40, 0.03, 0.05, 'A', 'F', '1992-01-02', '1992-03-27', '1992-01-22', 'NONE', 'RAIL', 'pending pinto beans. boldly unusual de');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(11174723, 851066, 76075, 1, 41.00, 41697.82, 0.07, 0.02, 'A', 'F', '1992-01-02', '1992-03-28', '1992-01-08', 'NONE', 'MAIL', 's detect blithely entic');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(12493984, 912626, 87654, 4, 6.00, 9831.48, 0.02, 0.08, 'A', 'F', '1992-01-02', '1992-02-13', '1992-01-29', 'TAKE BACK RETURN', 'REG AIR', 'e the slyly e');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(12575687, 330833, 30834, 4, 41.00, 76416.62, 0.02, 0.04, 'A', 'F', '1992-01-02', '1992-03-10', '1992-01-28', 'DELIVER IN PERSON', 'RAIL', 'ecial frets. carefully sly depo');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(12753441, 1023833, 98864, 4, 35.00, 61487.30, 0.10, 0.08, 'A', 'F', '1992-01-02', '1992-02-18', '1992-01-23', 'COLLECT COD', 'FOB', 'encies haggle. regular, r');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(15413986, 1799270, 99271, 4, 14.00, 19168.66, 0.05, 0.05, 'A', 'F', '1992-01-02', '1992-01-31', '1992-01-04', 'COLLECT COD', 'TRUCK', 'structions. blithely pending asymptotes');
+CREATE VIEW revenue_i342 AS SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue FROM lineitem_i342 WHERE l_shipdate >= '1992-01-01' AND l_shipdate < DATE_ADD('1992-01-01',INTERVAL 3 MONTH) GROUP BY l_suppkey;
+SELECT * FROM revenue_i342 ORDER BY supplier_no;
+DROP VIEW revenue_i342;
+DROP TABLE lineitem_i342;
+
+DROP DATABASE issue342_test;
+"""
+
+SCRIPT_V_ISSUE1079_366 = """--source include/have_tianmu.inc
+--source include/have_binlog_format_row.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1079_test;
+--enable_warnings
+CREATE DATABASE issue1079_test;
+USE issue1079_test;
+
+create table t(fi int, fv varchar(30), fdt datetime)engine=tianmu;
+
+insert into t values(1,'VAR-1',current_timestamp);
+insert into t values(2,'VAR-2',current_timestamp);
+insert into t values(3,'VAR-3',current_timestamp);
+insert into t values(4,'VAR-4',current_timestamp);
+insert into t values(5,'VAR-5',current_timestamp);
+insert into t values(6,'VAR-6',current_timestamp);
+insert into t values(7,'VAR-7',current_timestamp);
+insert into t values(8,'VAR-8',current_timestamp);
+insert into t values(9,'VAR-9',current_timestamp);
+insert into t values(10,'VAR-10',current_timestamp);
+select count(*) c from t;
+
+insert into t select fi+10,concat('VAR-',fi+10),current_timestamp from t;
+insert into t select fi+20,concat('VAR-',fi+20),current_timestamp from t;
+insert into t select fi+40,concat('VAR-',fi+40),current_timestamp from t;
+insert into t select fi+80,concat('VAR-',fi+80),current_timestamp from t;
+select count(*) c from t;
+
+insert into t select fi+160,concat('VAR-',fi+160),current_timestamp from t;
+insert into t select fi+320,concat('VAR-',fi+320),current_timestamp from t;
+insert into t select fi+640,concat('VAR-',fi+640),current_timestamp from t;
+select count(*) c from t;
+
+insert into t select fi+1280,concat('VAR-',fi+1280),current_timestamp from t;
+insert into t select fi+2560,concat('VAR-',fi+2560),current_timestamp from t;
+insert into t select fi+5120,concat('VAR-',fi+5120),current_timestamp from t;
+select count(*) c from t;
+
+insert into t select fi+10240,concat('VAR-',fi+10240),current_timestamp from t;
+insert into t select fi+20480,concat('VAR-',fi+20480),current_timestamp from t;
+select count(*) c from t;
+
+show create table t;
+
+alter table t modify column fv varchar(60);
+
+show create table t;
+
+DROP DATABASE issue1079_test;
+"""
+
+SCRIPT_V_ISSUE1175 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1175_test;
+--enable_warnings
+
+--echo # Creating test database issue1175_test
+CREATE DATABASE issue1175_test;
+
+USE issue1175_test;
+
+--disable_warnings
+
+--echo # Create test table with tianmu engine
+CREATE TABLE t1 (
+  id INT AUTO_INCREMENT PRIMARY KEY,
+  t TIME,
+  d DATE,
+  dt DATETIME,
+  ts TIMESTAMP
+) ENGINE=TIANMU;
+
+--echo # Insert data into test table
+INSERT INTO t1 (t, d, dt, ts) VALUES
+('00:00:00', '2000-01-01', '2000-01-01 00:00:00', '2000-01-01 00:00:00'),
+('-838:59:59', '2001-02-28', '2001-02-28 00:00:00', '2001-02-28 00:00:00'),
+('838:59:59', '2002-03-31', '2002-03-31 23:59:59', '2002-03-31 23:59:59'),
+('-100:00:00', '2010-12-31', '2010-12-31 12:34:56', '2010-12-31 12:34:56'),
+('200:00:00', '2011-11-30', '2011-11-30 18:00:00', '2011-11-30 18:00:00'),
+('-400:00:00', '2012-02-29', '2012-02-29 01:23:45', '2012-02-29 01:23:45'),
+('720:00:00', '2020-10-31', '2020-10-31 14:00:00', '2020-10-31 14:00:00'),
+('05:30:15', '1985-04-12', '1985-04-12 05:30:15.123', '1985-04-12 05:30:15.123'),
+('-23:45:01', '1995-08-24', '1995-08-24 15:45:30.987', '1995-08-24 15:45:30.987'),
+('67:15:45', '2005-06-15', '2005-06-15 10:59:59.001', '2005-06-15 10:59:59.001'),
+('-115:00:00', '2007-12-25', '2007-12-25 23:30:45.500', '2007-12-25 23:30:45.500'),
+('350:30:15', '2015-09-05', '2015-09-05 12:00:00.999', '2015-09-05 12:00:00.999'),
+('-500:45:30', '2017-03-01', '2017-03-01 01:23:45.250', '2017-03-01 01:23:45.250'),
+('600:15:00', '2021-05-01', '2021-05-01 17:30:00.123', '2021-05-01 17:30:00.123'),
+('12:34:56', '1970-01-01', '1970-01-01 12:34:56', '1970-01-01 12:34:56'),
+('-300:00:00.123', '1980-06-30', '1980-06-30 18:30:45.123', '1980-06-30 18:30:45.123'),
+('450:00:00', '1990-03-15', '1990-03-15 11:59:59.999', '1990-03-15 11:59:59.999'),
+('-600:00:00.9', '1999-09-09', '1999-09-09 06:45:00.250', '1999-09-09 06:45:00.250'),
+('-09:00:00', '2005-02-28', '2005-02-28 15:00:00.123', '2005-02-28 15:00:00.123'),
+('-123:45:00', '2008-08-08', '2008-08-08 20:15:30.987', '2008-08-08 20:15:30.987'),
+('99:00:00', '2013-07-07', '2013-07-07 17:30:45.500', '2013-07-07 17:30:45.500'),
+('-220:00:00', '2016-04-30', '2016-04-30 02:00:00.999', '2016-04-30 02:00:00.999'),
+('580:00:00', '2019-12-31', '2019-12-31 01:23:45.250', '2019-12-31 01:23:45.250'),
+('-750:00:00', '2021-08-31', '2021-08-31 09:45:00.123', '2021-08-31 09:45:00.123');
+
+--echo # Select all data from test table
+SELECT * FROM t1 ORDER BY id;
+
+--echo # Dropping test database issue1175_test
+DROP DATABASE issue1175_test;
+"""
+
+SCRIPT_V_ISSUE971 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue971_test;
+--enable_warnings
+
+CREATE DATABASE issue971_test;
+
+USE issue971_test;
+
+--disable_warnings
+
+## enable the tianmu primary key index
+
+set global tianmu_index_search=on;
+
+## DDL
+
+DROP TABLE IF EXISTS tt1,tt2;
+
+CREATE TABLE tt1(id INT PRIMARY KEY,name VARCHAR(5),copy_id INT) ENGINE=TIANMU;
+CREATE TABLE tt2(id INT PRIMARY KEY,name VARCHAR(5),copy_id INT) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO tt1 VALUES(1,'AAA',1),(2,'AAA',2),(3,'BBB',3),(4,'BBB',4),(5,'CCC',5);
+INSERT INTO tt2 VALUES(1,'BBB',1),(2,'BBB',2),(3,'CCC',3),(4,'CCC',4),(5,'DDD',5);
+
+## subquery EXISTS
+
+SELECT * FROM tt1 WHERE EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND name = 'BBB');
+
+SELECT * FROM tt1 WHERE EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND tt2.id = 2);
+
+SELECT * FROM tt1 WHERE EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND tt2.id > 2);
+
+SELECT * FROM tt1 WHERE EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND tt2.id < 2);
+
+## subquery NOT EXISTS
+
+SELECT * FROM tt1 WHERE NOT EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND name = 'BBB');
+
+SELECT * FROM tt1 WHERE NOT EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND tt2.id = 2);
+
+SELECT * FROM tt1 WHERE NOT EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND tt2.id > 2);
+
+SELECT * FROM tt1 WHERE NOT EXISTS (SELECT 1 FROM tt2 WHERE tt1.id = tt2.id AND tt2.id < 2);
+
+## disable the tianmu primary key index
+
+set global tianmu_index_search=off;
+
+## clean test table
+
+DROP TABLE tt1,tt2;
+
+DROP DATABASE issue971_test;
+"""
+
+SCRIPT_V_ISSUE767 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue767_test;
+--enable_warnings
+
+CREATE DATABASE issue767_test;
+
+USE issue767_test;
+
+create table t1(val int) ENGINE=tianmu;
+create table t2(val2 int) ENGINE=tianmu;
+
+insert into t1 values(0);
+insert into t1 values(1);
+insert into t1 values(10);
+insert into t1 values(11);
+insert into t1 values(20);
+insert into t1 values(21);
+insert into t1 values(42);
+insert into t1 values(43);
+insert into t2 values(0);
+insert into t2 values(1);
+insert into t2 values(10);
+insert into t2 values(11);
+insert into t2 values(20);
+insert into t2 values(21);
+insert into t2 values(42);
+insert into t2 values(43);
+
+#original case(just test not in)
+select * from t1 where 42 not in (select * from t1 where val > 42);
+select * from t1 where 42 not in (select * from t1 where val < 10);
+select * from t1 where 42 not in (select * from t1 where val >= 42);
+select * from t1 where 42 not in (select * from t1 where val <= 10);
+
+#independent subquery
+insert into t2 values(10);
+select * from t1 where val not in (select * from t2 where val2 > 10);
+select * from t1 where val not in (select * from t2 where val2 >= 10);
+select * from t1 where val not in (select * from t2 where val2 < 10);
+select * from t1 where val not in (select * from t2 where val2 <=10);
+
+#dependent subquery
+select * from t1 where val not in (select * from t2 where val2 > t1.val);
+select * from t1 where val not in (select * from t2 where val2 >= t1.val);
+select * from t1 where val not in (select * from t2 where val2 < t1.val);
+select * from t1 where val not in (select * from t2 where val2 <= t1.val);
+
+select * from t1 where val not in (select * from t2 where val2 > t1.val and val2 >t1.val +10);
+select * from t1 where val not in (select * from t2 where val2 >= t1.val and val2 >= t1.val +10);
+select * from t1 where val not in (select * from t2 where val2 < t1.val and val2 <t1.val +10);
+select * from t1 where val not in (select * from t2 where val2 <= t1.val and val2 >= t1.val +10);
+select * from t1 where val not in (select * from t2 where val2 > t1.val);
+
+drop table t1;
+drop table t2;
+
+DROP DATABASE issue767_test;
+"""
+
+SCRIPT_V_ALTER_BIT = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test alter bit
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_bit_test;
+--enable_warnings
+CREATE DATABASE alter_bit_test;
+USE alter_bit_test;
+
+CREATE TABLE t1 (a BIT(63));
+INSERT INTO t1 VALUES (b'111111111111111');
+INSERT INTO t1 VALUES (b'1111111111111111111111111');
+INSERT INTO t1 VALUES (b'111111111111111111111111111111111111111111111111111111111111111');
+INSERT INTO t1 VALUES (b'11111111111111111111111111111111111111111111111111111111111111');
+
+SELECT HEX(a) FROM t1 WHERE a = b'111111111111111';
+SELECT HEX(a) FROM t1 WHERE a = b'1111111111111111111111111';
+#bug1176 SELECT HEX(a) FROM t1 WHERE a = b'111111111111111111111111111111111111111111111111111111111111111';
+SELECT HEX(a) FROM t1 WHERE a = b'11111111111111111111111111111111111111111111111111111111111111';
+drop table t1;
+
+create table t2(a bit(2), b bit(2));
+insert into t2 (a) values (0x01), (0x03), (0x02);
+alter table t2 add column c bit(4);
+alter table t2 modify c int(11);
+select a+0,b+0 from t2;
+update t2 set b= a-1;
+select a+0, b+0 from t2;
+delete from t2;
+drop table t2;
+
+CREATE TABLE st(b int);
+INSERT INTO st VALUES (12);
+INSERT INTO st SELECT b>>1 FROM st;
+INSERT INTO st SELECT b>>2 FROM st;
+INSERT INTO st SELECT b>>4 FROM st;
+INSERT INTO st SELECT b>>8 FROM st;
+select hex(b) from st;
+
+CREATE TABLE st1(b BIT(16));
+INSERT INTO st1 VALUES (B'1101100000000000');
+INSERT INTO st1 SELECT b>>1 FROM st1;
+select hex(b) from st1;
+
+drop table st1;
+CREATE TABLE t1 (a BIT(63));
+INSERT INTO t1 VALUES (b'111111111111111');
+create table st1 as select * from t1;
+select hex(a) from st1;
+
+CREATE TABLE t2 (b BIT(16));
+INSERT INTO t2 VALUES (B'1101100000000000');
+create table st2 as select * from t2;
+select b+0 from st2;
+
+# clean 
+drop database alter_bit_test;
+"""
+
+SCRIPT_V_ISSUE947 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue947_test;
+--enable_warnings
+
+CREATE DATABASE issue947_test;
+
+USE issue947_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS test1,test2;
+
+## DDL
+
+CREATE TABLE test1 (a int) ENGINE=TIANMU;
+CREATE TABLE test2 (b int, c int) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO test1 VALUES (1), (2), (3), (4), (null);
+INSERT INTO test2 VALUES (1, 100), (1, 101), (2, 200),
+(3, 300), (3, 301), (3, 302), (null, null);
+
+## The predicate is NOT IN
+
+### Subquery single layer
+
+SELECT * FROM test1 WHERE a NOT IN (SELECT b FROM test2 WHERE b = 7);
+
+SELECT * FROM test1 WHERE a NOT IN ( SELECT b FROM test2 WHERE b=1);
+
+### Deep nesting of subqueries
+
+SELECT * FROM test1 WHERE a NOT IN ( SELECT b FROM test2 WHERE b NOT IN ( SELECT a FROM test1));
+
+SELECT * FROM test1 WHERE a NOT IN ( SELECT b FROM test2 WHERE b IN ( SELECT a FROM test1));
+
+## The predicate is IN
+
+### is null
+
+SELECT * FROM test1 WHERE a IN ( SELECT b FROM test2 WHERE b is null);
+
+### equal
+
+SELECT * FROM test1 WHERE a IN ( SELECT b FROM test2 WHERE b=1);
+
+### Multiple layers nested IN
+
+SELECT * FROM test1 WHERE a IN ( SELECT b FROM test2 WHERE b IN ( SELECT a FROM test1));
+
+SELECT * FROM test1 WHERE a IN ( SELECT b FROM test2 WHERE b NOT IN ( SELECT a FROM test1));
+
+## clean test table
+
+DROP TABLE test1,test2;
+
+DROP DATABASE issue947_test;
+"""
+
+SCRIPT_V_INSERT_SELECT_FROM = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test INSERT..SELECT statement
+--echo # Author: shiz
+--echo #
+
+
+--disable_warnings
+DROP DATABASE IF EXISTS insert_select_test;
+--enable_warnings
+
+CREATE DATABASE insert_select_test;
+USE insert_select_test;
+
+CREATE TABLE t1(t1_bool BOOLEAN,
+t1_int INT,
+t1_decimal DECIMAL(5,2),
+t1_varchar VARCHAR(10),
+t1_dt DATETIME
+);
+
+CREATE TABLE t2(t2_char CHAR(5) NOT NULL DEFAULT 'xyz',
+t2_int INT,
+t2_varchar VARCHAR(10),
+t2_dt DATETIME
+);
+
+INSERT INTO t1 VALUES(1,1111,11.11,'aaaaa','2020-02-01 17:8:19'),
+(1,2222,22.22,'bbbb','1234-11-21 9:18:16');
+SELECT * FROM t1;
+
+INSERT INTO t2 (t2_int,t2_varchar,t2_dt) SELECT t1_int,t1_varchar,t1_dt FROM t1;
+INSERT INTO t2 (t2_int,t2_varchar,t2_dt) SELECT t1_int,t1_varchar,t1_dt FROM t1 WHERE t1.t1_int=1111;
+INSERT INTO t2 SELECT * FROM t2;
+INSERT INTO t2 (t2_char) SELECT (SELECT SUM(LENGTH(t1_varchar)) FROM t1) FROM t1 LIMIT 1;
+INSERT INTO t2 (t2_char) SELECT (SELECT MAX(LENGTH(t1_varchar)) AS 'var' FROM t1) FROM t1 LIMIT 1;
+INSERT INTO t2 SELECT * FROM t2 WHERE t2.t2_char='xyz' LIMIT 1;
+SELECT * FROM t2;
+
+# Negative scenarios
+--error ER_WRONG_VALUE_COUNT_ON_ROW
+INSERT INTO t2 SELECT * FROM t1;
+--error ER_WRONG_VALUE_COUNT_ON_ROW
+INSERT INTO t2 SELECT t1_int,t1_varchar,t1_dt FROM t1;
+--error ER_WRONG_VALUE_COUNT_ON_ROW
+INSERT INTO t2 SELECT (SELECT SUM(LENGTH(t2_varchar)) AS 'var' FROM t2 WHERE t2.t2_char='xyz' LIMIT 1) FROM t2;
+--error ER_NONUNIQ_TABLE
+INSERT INTO t2 SELECT * FROM t2,t2;
+
+DROP TABLE t1;
+DROP TABLE t2;
+
+CREATE TABLE t1(t1_int INT NOT NULL PRIMARY KEY, t1_char CHAR(10));
+CREATE TABLE t2(t2_int INT, t2_char CHAR(10));
+INSERT INTO t1 VALUES(1,'a'),(2,'bb'),(3,'ccc');
+INSERT INTO t2 SELECT * FROM t1;
+INSERT INTO t2 SELECT * FROM t2;
+SELECT * FROM t2;
+
+# Clean up
+DROP DATABASE insert_select_test;
+"""
+
+SCRIPT_V_ISSUE1912 = """--source include/have_tianmu.inc
+--disable_warnings
+
+DROP DATABASE IF EXISTS issue1912;
+CREATE DATABASE issue1912;
+USE issue1912;
+--enable_warnings
+
+CREATE TABLE `v_c1am_busi_type` (
+  `ROW_ID` int(11) DEFAULT NULL,
+  `TENANT_ID` int(11) DEFAULT NULL,
+  `CLASS_ID` decimal(18,0) DEFAULT NULL,
+  `INNER_CODE` varchar(20) DEFAULT NULL
+) ENGINE=TIANMU;
+
+INSERT INTO v_c1am_busi_type VALUES 
+(111,101,3000000000233027,'aaaa'),
+(222,201,3000000000233027,'bbbb'),
+(333,301,3000000000233027,'cccc');
+
+CREATE TABLE `C1AM_BANK_CLASS` (
+  `ROW_ID` int(11) DEFAULT NULL,
+  `TENANT_ID` int(11) DEFAULT NULL,
+  `SERIAL_ID` int(11) DEFAULT NULL,
+  `CLASS_ID` decimal(18,0) DEFAULT NULL,
+  `TRADE_DATE` datetime DEFAULT NULL
+) ENGINE=TIANMU;
+
+INSERT INTO C1AM_BANK_CLASS VALUES 
+(111,101,111,3000000000233027,'2023-07-19 16:28:12'),
+(222,201,222,3000000000233027,'2023-07-20 16:28:12'),
+(333,301,333,3000000000233027,'2023-07-24 16:28:12');
+
+CREATE TABLE `c1AM_BANK_LIST` (
+  `ROW_ID` int(11) DEFAULT NULL,
+  `TENANT_ID` int(11) DEFAULT NULL,
+  `CURRENCY_ID` int(11) DEFAULT NULL,
+  `CURRENCY_NAME` varchar(20) DEFAULT NULL,
+  `TRADE_DATE` datetime DEFAULT NULL
+) ENGINE=TIANMU;
+
+INSERT INTO c1AM_BANK_LIST VALUES 
+(111,101,222,'abcd','2023-07-19 16:30:47'),
+(222,201,333,'abcdefg','2023-07-21 16:30:47'),
+(333,301,111,'ab','2023-07-27 16:30:47');
+
+CREATE TABLE `C1CD_CURRENCY` (
+  `ROW_ID` int(11) DEFAULT NULL,
+  `CURRENCY_NAME` varchar(20) DEFAULT NULL
+) ENGINE=TIANMU;
+
+INSERT INTO C1CD_CURRENCY VALUES 
+(1,'bcd'),
+(2,'aswq'),
+(3,'aaaa');
+
+SELECT IFNULL(b.CURRENCY_NAME, '合计（人民币）') CURRENCY_NAME
+   FROM v_c1am_busi_type a
+   LEFT JOIN (select a.INNER_CODE, a.CURRENCY_ID, d.CURRENCY_NAME
+                FROM (SELECT a.INNER_CODE, b.CURRENCY_ID
+                        FROM v_c1am_busi_type a
+                       CROSS JOIN (SELECT a.TENANT_ID, b.CURRENCY_ID
+                                    FROM C1AM_BANK_CLASS a, c1AM_BANK_LIST b
+                                   where a.SERIAL_ID = b.ROW_ID
+                                     and DATE_FORMAT(b.TRADE_DATE, '%Y-%m-%d') BETWEEN
+                                         DATE_FORMAT('2023-07-06', '%Y-%m-%d') AND
+                                         DATE_FORMAT('2023-07-26', '%Y-%m-%d')
+                                   GROUP BY a.TENANT_ID, b.CURRENCY_ID) b
+                       WHERE a.CLASS_ID = 3000000000233027) a
+                LEFT JOIN C1CD_CURRENCY d
+                  ON a.CURRENCY_ID = d.ROW_ID) b
+     ON a.INNER_CODE =
+   LEFT(b.INNER_CODE, LENGTH(a.INNER_CODE))
+  GROUP BY b.CURRENCY_NAME;
+
+DROP TABLE v_c1am_busi_type;
+DROP TABLE C1AM_BANK_CLASS;
+DROP TABLE c1AM_BANK_LIST;
+DROP TABLE C1CD_CURRENCY;
+
+DROP DATABASE issue1912;"""
+
+SCRIPT_V_ISSUE1931 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1931_test_db;
+--enable_warnings
+CREATE DATABASE issue1931_test_db;
+USE issue1931_test_db;
+
+CREATE TABLE `c1am_acct_day` (
+  `ACCOUNT_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT '账户ID',
+  `FISCAL_DATE` date DEFAULT NULL COMMENT '记账日期',
+  `BALANCE` decimal(16,2) NOT NULL DEFAULT '0.00' COMMENT '余额',
+  `DELETED_FLAG` char(1) NOT NULL DEFAULT '0' COMMENT '记录删除标志 [0]-未删除;[1]-逻辑删除'
+) ENGINE=TIANMU;
+
+CREATE TABLE `c1md_bank_acct` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT 'ROW_ID',
+  `CURRENCY_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT '币种ID',
+  `COMPANY_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT '单位ID',
+  `DELETED_FLAG` char(1) NOT NULL DEFAULT '0' COMMENT '记录删除标志 [0]-未删除;[1]-逻辑删除'
+) ENGINE=TIANMU;
+
+CREATE TABLE `c1md_company` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT 'ROW_ID',
+  `SYS_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT '系统ID'
+) ENGINE=TIANMU;
+
+INSERT INTO `c1am_acct_day` 
+  VALUES 
+    (3000000000028804, '2023-04-16', 7628617.08, '0'),
+    (3000000000028804, '2023-04-17', 7626656.73, '0'),
+    (3000000000028804, '2023-04-18', 7626471.23, '0'),
+    (3000000000028806, '2023-04-15', 605253889.19, '0'),
+    (3000000000028806, '2023-04-16', 611274357.27, '0'),
+    (3000000000028806, '2023-04-17', 605257716.01, '0'),
+    (3000000000028808, '2023-04-18', 79322521.29, '0'),
+    (3000000000028808, '2023-04-19', 79322521.29, '0'),
+    (3000000000028808, '2023-04-20', 79322521.29, '0'),
+    (3000000000028809, '2023-04-18', 79322521.29, '0'),
+    (3000000000028809, '2023-04-19', 79322521.29, '0'),
+    (3000000000028809, '2023-04-20', 79322521.29, '0');
+
+INSERT INTO `c1md_bank_acct`
+  VALUES
+    (3000000000028804, 1, 3000000000027247, '0'),
+    (3000000000028806, 3, 3000000000027248, '0'),
+    (3000000000028808, 15, 3000000000027249, '0'),
+    (3000000000028809, 6, 3000000000027250, '0');
+
+INSERT INTO `c1md_company`
+  VALUES
+    (3000000000027247, 2),
+    (3000000000027248, 2),
+    (3000000000027249, 2),
+    (3000000000027250, 2);
+
+SELECT a.*
+  FROM (SELECT 
+         '合计' total, 
+         a.CURRENCY_ID, 
+         'aaaa' inner_code
+        FROM (SELECT 
+               b.CURRENCY_ID, 
+               a.account_id, 
+               a.fiscal_date, 
+               a.balance
+              FROM 
+               c1am_acct_day a, 
+               c1md_bank_acct b
+              WHERE a.account_id = b.ROW_ID) a
+        JOIN c1md_bank_acct b
+         ON b.row_id = a.account_id
+        JOIN c1md_company c
+         ON c.row_id = b.company_id
+        WHERE 1 = 1
+          AND c.row_id IN (SELECT t1.row_id
+                           FROM c1md_company t1, c1md_company t2
+                           WHERE t1.sys_id = t2.sys_id)
+        GROUP BY a.CURRENCY_ID) a;
+
+DROP DATABASE issue1931_test_db;
+"""
+
+SCRIPT_V_ISSUE763 = """--source include/have_tianmu.inc
+
+--echo #
+--echo # SELECT ... FROM tablename WHERE col LIKE NULL
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS test_like_null;
+--enable_warnings
+
+CREATE DATABASE test_like_null;
+USE test_like_null;
+
+create table tlike1 (id int, val varchar(255));
+INSERT INTO tlike1 VALUES(1,'a'), (1,'b'), (1,'c'), (2,'dd'), (3,'eee'), (4, NULL), (5, NULL);
+SELECT * FROM tlike1;
+SELECT * FROM tlike1 WHERE val is NULL;
+SELECT * FROM tlike1 WHERE val LIKE NULL;
+SELECT COUNT(*) FROM tlike1 WHERE val LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id=1 and val LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id=1 or val LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id in (4, 5) and val LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id in (4, 5) or val LIKE NULL;
+
+create table tlike2 (id int, val varchar(255));
+INSERT INTO tlike2 VALUES(1,'a'), (1,'b'), (1,'c'), (2,'dd'), (3,'eee'), (4, ""), (5, NULL);
+SELECT * FROM tlike2;
+SELECT * FROM tlike2 WHERE val is NULL;
+SELECT * FROM tlike2 WHERE val LIKE NULL;
+SELECT * FROM tlike2 WHERE val LIKE "";
+SELECT COUNT(*) FROM tlike2 WHERE val LIKE NULL;
+SELECT id, val FROM tlike2 WHERE id=1 and val LIKE NULL;
+SELECT id, val FROM tlike2 WHERE id=1 or val LIKE NULL;
+SELECT id, val FROM tlike2 WHERE id in (4, 5) and val LIKE NULL;
+SELECT id, val FROM tlike2 WHERE id in (4, 5) or val LIKE NULL;
+
+create table tlike3 (id int, val varchar(255));
+INSERT INTO tlike3 VALUES(1,'a'), (1,'b'), (1,'c'), (2,'dd'), (3,'eee'), (4, ""), (5, "ggggg");
+SELECT * FROM tlike3;
+SELECT * FROM tlike3 WHERE val is NULL;
+SELECT * FROM tlike3 WHERE val LIKE NULL;
+SELECT COUNT(*) FROM tlike3 WHERE val LIKE NULL;
+SELECT id, val FROM tlike3 WHERE id=1 and val LIKE NULL;
+SELECT id, val FROM tlike3 WHERE id=1 or val LIKE NULL;
+SELECT id, val FROM tlike3 WHERE id in (4, 5) and val LIKE NULL;
+SELECT id, val FROM tlike3 WHERE id in (4, 5) or val LIKE NULL;
+
+create table tlike4 (id int, val varchar(255));
+INSERT INTO tlike4 VALUES(1,'a'), (1,'b'), (1,'c'), (2,'dd'), (3,'eee'), (4, "ffff"), (5, "ggggg");
+SELECT * FROM tlike4;
+SELECT * FROM tlike4 WHERE val is NULL;
+SELECT * FROM tlike4 WHERE val LIKE NULL;
+SELECT COUNT(*) FROM tlike4 WHERE val LIKE NULL;
+SELECT id, val FROM tlike4 WHERE id=1 and val LIKE NULL;
+SELECT id, val FROM tlike4 WHERE id=1 or val LIKE NULL;
+SELECT id, val FROM tlike4 WHERE id in (4, 5) and val LIKE NULL;
+SELECT id, val FROM tlike4 WHERE id in (4, 5) or val LIKE NULL;
+
+# test NOT LIKE
+SELECT * FROM tlike1 WHERE val NOT LIKE NULL;
+SELECT COUNT(*) FROM tlike1 WHERE val NOT LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id=1 and val NOT LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id=1 or val NOT LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id in (4, 5) and val NOT LIKE NULL;
+SELECT id, val FROM tlike1 WHERE id in (4, 5) or val NOT LIKE NULL;
+
+# test multi table
+SELECT t1.id, t1.val FROM tlike1 t1, tlike2 t2 where t1.id=t2.id and t1.val like NULL;
+SELECT t1.id, t1.val FROM tlike1 t1, tlike2 t2 where t1.id=t2.id and  t2.val like NULL;
+SELECT t1.id, t1.val FROM tlike1 t1, tlike2 t2 where t1.id=t2.id and t1.val like NULL and t2.val like NULL;
+
+SELECT t1.id, t1.val FROM tlike1 t1, tlike2 t2 where t1.id=t2.id and t1.val is NULL;
+SELECT t1.id, t1.val FROM tlike1 t1, tlike2 t2 where t1.id=t2.id and  t2.val is NULL;
+SELECT t1.id, t1.val FROM tlike1 t1, tlike2 t2 where t1.id=t2.id and t1.val is NULL and t2.val is NULL;
+
+# test union all
+SELECT id, val FROM tlike1 WHERE val LIKE NULL union all SELECT id, val FROM tlike2 WHERE id in (4,5) and val LIKE NULL;
+SELECT id, val FROM tlike1 WHERE val is NULL union all SELECT id, val FROM tlike2 WHERE id in (4,5) and val is NULL;
+
+# Clean UP
+DROP DATABASE test_like_null;
+"""
+
+SCRIPT_V_ISSUE1394 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1394_test;
+--enable_warnings
+
+CREATE DATABASE issue1394_test;
+
+USE issue1394_test;
+
+--disable_warnings
+
+## DDL
+ 
+create table c(c1 int, c2 varchar(2)) engine=TIANMU;
+ 
+create table d(d1 int, d2 varchar(2)) engine=TIANMU;
+
+## insert data
+
+insert into c values(1, 'c1');
+ 
+insert into c values(2, 'c2');
+ 
+insert into c values(null, 'c3');
+ 
+insert into d values(1, 'd1');
+ 
+insert into d values(2, 'd2');
+ 
+insert into d values(null, 'd3');
+
+## query
+
+select * from d;
+
+select * from d limit 0;
+
+select * from d limit 1;
+
+select * from d where d1=1 limit 0;
+
+select * from d where d1=1 limit 1;
+
+select * from c where  exists ( select * from d where d1=1  limit 0);
+
+select * from c where  exists ( select * from d where d1=1  limit 1);
+
+select * from c where  exists ( select * from d where d1=1  limit 0,1) limit 0;
+
+select * from c where  exists ( select * from d where d1=1  limit 0,1) limit 1;
+
+select * from c where  exists ( select * from d where d1=1  limit 0) limit 0;
+
+select * from c where  exists ( select * from d where d1=1  limit 1) limit 1;
+
+SELECT * FROM c RIGHT OUTER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NULL;
+
+SELECT * FROM c RIGHT OUTER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NULL limit 1;
+
+SELECT * FROM c RIGHT OUTER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NULL limit 0;
+
+SELECT * FROM c RIGHT OUTER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NOT NULL;
+
+SELECT * FROM c RIGHT OUTER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NOT NULL limit 1;
+
+SELECT * FROM c RIGHT OUTER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NOT NULL limit 0;
+
+SELECT * FROM c INNER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NULL;
+
+SELECT * FROM c INNER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NULL limit 1;
+
+SELECT * FROM c INNER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NULL limit 0;
+
+SELECT * FROM c INNER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NOT NULL;
+
+SELECT * FROM c INNER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NOT NULL limit 1;
+
+SELECT * FROM c INNER JOIN d ON c.c1 = d.d1 WHERE d.d1 IS NOT NULL limit 0;
+
+## clean test table
+
+DROP DATABASE issue1394_test;
+"""
+
+SCRIPT_V_ISSUE1938 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1938_test_db;
+--enable_warnings
+CREATE DATABASE issue1938_test_db;
+USE issue1938_test_db;
+
+CREATE TABLE `c1fg_pl_node` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT 'ROW_ID',
+  `COMPANY_ID` decimal(18,0) DEFAULT '-1' COMMENT '对应组织ID。实体类型为公司、部门'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 ROW_FORMAT=DYNAMIC COMMENT='账户信息包括成员单位内部开设的账户，系统为相关会计科目保留的内部账户';
+
+CREATE TABLE `c1md_company` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT 'ROW_ID',
+  `SHORT_NAME` varchar(300) NOT NULL COMMENT '简称',
+  `COMPANY_NAME` varchar(300) NOT NULL COMMENT '单位名称'
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4 ROW_FORMAT=DYNAMIC COMMENT='组织机构';
+
+INSERT INTO `c1fg_pl_node`
+  VALUES
+    (3000000000030962,3000000000027247),
+    (3000000000030987,3000000000027248),
+    (3000000000030994,3000000000027249);
+
+INSERT INTO `c1md_company`
+  VALUES
+    (3000000000027247, '集团本部', '凯润国际（中国）有限公司'),
+    (3000000000027248, '南京凯润易事', '南京凯润易事软件科技有限公司'),
+    (3000000000027249, '深圳凯润银科', '深圳凯润银科信息技术有限公司'),
+    (3000000000027250, '北京易事通慧', '北京易事通慧科技有限公司'),
+    (3000000000027251, '北京繁德信息', '繁德信息技术服务有限公司'),
+    (3000000000027252, '胜科金仕达', '胜科金仕达数据系统（中国）有限公司'),
+    (3000000000027253, '上海凯润银科', '凯润银科上海有限公司'),
+    (3000000000027254, '融银科技', '南京融银万家网络科技有限公司'),
+    (3000000000027255, '外汇公司', '浦发2889959354');
+
+SELECT A.company_id, IFNULL(B.short_name, B.company_name) company_name
+  FROM (SELECT B.company_id, 1 sort_no FROM c1fg_pl_node B) A
+  LEFT JOIN c1md_company B
+    ON A.company_id = B.row_id
+ORDER BY A.company_id;
+
+DROP DATABASE issue1938_test_db;
+"""
+
+SCRIPT_V_ISSUE964 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue964_test;
+--enable_warnings
+
+CREATE DATABASE issue964_test;
+
+USE issue964_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS t1,t2;
+
+## DDL
+
+CREATE TABLE `t1` (
+  `id` int(11) DEFAULT NULL,
+  `name` varchar(20),
+  PRIMARY KEY `idx_n` (`name`)
+) DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;
+
+CREATE TABLE `t2` (
+  `id` int(11) DEFAULT NULL,
+  `name` varchar(20),
+  PRIMARY KEY `idx_n` (`name`)
+)DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;
+
+## insert data, only for table t1
+
+insert into t1 values(1,'abc');
+insert into t1 values(2,'def');
+
+## join return empty table t2
+
+SELECT
+	t1.id,
+	t1.name,
+	t2.id,
+	t2.name
+FROM
+	t1
+LEFT JOIN t2 ON
+	t1.name = t2.name
+WHERE
+	t1.name IN ('abc');
+
+## clear tables
+
+DROP TABLE t1,t2;
+
+DROP DATABASE issue964_test;
+"""
+
+SCRIPT_V_ISSUE282 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue282_test;
+--enable_warnings
+
+CREATE DATABASE issue282_test;
+
+USE issue282_test;
+
+CREATE TABLE issue282_t1 (sku int PRIMARY KEY, pr int)engine=tianmu;
+CREATE TABLE issue282_t2 (sku int PRIMARY KEY, sppr int, name varchar(255))engine=tianmu;
+
+INSERT INTO issue282_t1 VALUES
+  (10, 10), (20, 10), (30, 20), (40, 30), (50, 10), (60, 10);
+
+INSERT INTO issue282_t2 VALUES 
+  (10, 10, 'aaa'), (20, 10, 'bbb'), (30, 10, 'ccc'), (40, 20, 'ddd'),
+  (50, 10, 'eee'), (60, 20, 'fff'), (70, 20, 'ggg'), (80, 30, 'hhh');
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE issue282_t2.sku=20 AND (issue282_t2.sku=issue282_t1.sku OR issue282_t2.sppr=issue282_t1.sku)
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE issue282_t2.sku=20 OR (issue282_t2.sku=issue282_t1.sku OR issue282_t2.sppr=issue282_t1.sku) 
+ORDER BY issue282_t2.sku asc;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE issue282_t2.sku=20 AND (issue282_t2.sku=issue282_t1.sku AND issue282_t2.sppr=issue282_t1.sku)
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE issue282_t2.sku=20 OR (issue282_t2.sku=issue282_t1.sku AND issue282_t2.sppr=issue282_t1.sku)
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE issue282_t2.sku=20 OR issue282_t2.sku=issue282_t1.sku AND issue282_t2.sppr=issue282_t1.sku
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE (issue282_t2.sku>20 OR issue282_t2.sku=issue282_t1.sku) AND issue282_t2.sppr=issue282_t1.sku
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE (issue282_t2.sku<=20 OR issue282_t2.sku=issue282_t1.sku) AND issue282_t2.sppr=issue282_t1.sku
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr
+  FROM issue282_t2, issue282_t1 WHERE (issue282_t2.sku<=20 AND issue282_t2.sku>issue282_t1.sku) OR issue282_t2.sppr=issue282_t1.sku
+ORDER BY issue282_t2.sku;
+
+--echo #
+--echo # Multiple nesting
+--echo #
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr   
+  FROM issue282_t2, issue282_t1 WHERE 
+  issue282_t1.sku=60 OR 
+  (issue282_t2.sku=20 AND 
+  (issue282_t2.sku=issue282_t1.sku OR 
+  issue282_t2.sppr=issue282_t1.sku))
+ORDER BY issue282_t2.sku;
+
+SELECT issue282_t2.sku, issue282_t2.sppr, issue282_t2.name, issue282_t1.sku, issue282_t1.pr   
+  FROM issue282_t2, issue282_t1 WHERE 
+  issue282_t1.sku=10 AND 
+  (issue282_t2.sku=20 AND 
+  (issue282_t2.sku=issue282_t1.sku OR 
+  issue282_t2.sppr=issue282_t1.sku))
+ORDER BY issue282_t2.sku;
+
+drop table issue282_t1 ,issue282_t2;
+
+DROP DATABASE issue282_test;
+"""
+
+SCRIPT_V_ISSUE1861 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1861_test;
+
+CREATE DATABASE issue1861_test;
+USE issue1861_test;
+--enable_warnings
+
+CREATE TABLE `c1fg_pool` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  PRIMARY KEY (`ROW_ID`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+CREATE TABLE `c1fg_pl_node` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  `POOL_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  `COMPANY_ID` decimal(18,0) DEFAULT '-1',
+  PRIMARY KEY (`ROW_ID`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+
+CREATE TABLE `c1fg_pl_account` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  `NODE_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  PRIMARY KEY (`ROW_ID`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+CREATE TABLE `c1fg_pl_subsidiary` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  `ACCOUNT_ID` decimal(18,0) NOT NULL DEFAULT '-1',
+  `FISCAL_DATE` date DEFAULT NULL,
+  `DR_AMOUNT` decimal(16,2) NOT NULL DEFAULT '0.00' ,
+  PRIMARY KEY (`ROW_ID`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+
+CREATE TABLE `c1md_company` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1' ,
+  `SYS_ID` decimal(18,0) NOT NULL DEFAULT '-1' ,
+  PRIMARY KEY (`ROW_ID`)
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+#---------------------------------------------------
+SELECT B.company_id,
+       '上划日' ud_type,
+       2 sort_no,
+       '合计' fiscal_date,
+       DATE_FORMAT('2023-06-06', '%Y-%m-%d') fiscal_date,
+       C.pl_amount
+  FROM c1fg_pool A
+ INNER JOIN c1fg_pl_node B
+    ON A.row_id = B.pool_id
+  LEFT JOIN (SELECT c.node_id, SUM(d.dr_amount) pl_amount
+               FROM c1fg_pool          a,
+                    c1fg_pl_node       b,
+                    c1fg_pl_account    c,
+                    c1fg_pl_subsidiary d
+              WHERE a.row_id = b.pool_id
+                AND b.row_id = c.node_id
+                AND c.row_id = d.account_id
+                AND b.company_id IN
+                    (SELECT t1.row_id
+                       FROM c1md_company t1, c1md_company t2
+                      WHERE t1.sys_id = t2.sys_id)
+              GROUP BY c.node_id) C
+ON B.row_id = C.node_id
+ORDER BY B.company_id;
+
+
+
+DROP TABLE c1md_company;
+DROP TABLE c1fg_pl_subsidiary;
+DROP TABLE c1fg_pl_account;
+DROP TABLE c1fg_pl_node;
+DROP TABLE c1fg_pool;
+
+DROP DATABASE issue1861_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -12169,6 +13564,32 @@ _SPECS = [
     ('dialect_issue1942', SCRIPT_ISSUE1942, -1, ['s'], False, 'verbatim issue regression: SUM over (c0 IS NULL) IS TRUE / CAST(boolean AS UNSIGNED) 0-1 coercions', {'s': 'DOUBLE'}),
     ('dialect_issue1942_1', SCRIPT_ISSUE1942, 1, ['s'], False, 'verbatim issue regression: boolean-to-unsigned CAST aggregation over the empty table (NULL sum)', {'s': 'DOUBLE'}),
     ('dialect_issue446', SCRIPT_ISSUE446, -1, ['one'], False, 'verbatim issue regression: comparison XOR comparison across a derived-table join'),
+    ('dialect_issue1361', SCRIPT_ISSUE1361, -1, None, False, 'verbatim issue regression: --echo # Test issue1361 bigint range'),
+    ('dialect_issue1708', SCRIPT_ISSUE1708, -1, None, False, 'verbatim issue regression: Creating test database test_db_1708'),
+    ('dialect_issue981', SCRIPT_ISSUE981, -1, ['ge', 'val'], False, 'verbatim issue regression: datetime-literal >= compare select item named by the raw expression'),
+    ('dialect_issue938', SCRIPT_ISSUE938, -1, ['gc'], False, 'verbatim issue regression: GROUP_CONCAT with ORDER BY over decimal column'),
+    ('dialect_issue1864', SCRIPT_ISSUE1864, -1, ['a', 'b', 'c'], False, 'verbatim issue regression: aggregate battery (3-column output) after UPDATEs', {'a': 'DOUBLE', 'b': 'DOUBLE', 'c': 'DOUBLE'}),
+    ('dialect_issue1402', SCRIPT_ISSUE1402, 0, ['av', 'c', 'mx', 'mn', 's'], False, 'verbatim issue regression: AVG/COUNT/MAX/MIN/SUM battery leg 0', {'c': 'DOUBLE', 'mx': 'DOUBLE', 'mn': 'DOUBLE', 's': 'DOUBLE'}),
+    ('dialect_issue1402_1', SCRIPT_ISSUE1402, 5, None, False, 'verbatim issue regression: mid-battery aggregate leg', {'d': 'DOUBLE'}),
+    ('dialect_create_db', SCRIPT_CREATE_DB, -1, ['ok'], False, 'CREATE DATABASE validation battery: 1059 64-char name cap, 1007 duplicate, 1064 digits-only and string-literal names; digit-leading and $-names accepted (probe select appended; file has no SELECT)'),
+    ('dialect_dropdb', SCRIPT_DROPDB, -1, ['n'], False, 'create db, table inside, DROP DATABASE wipes (probe count appended)'),
+    ('dialect_v_issue1157', SCRIPT_V_ISSUE1157, -1, None, False, 'verbatim MTR regression: issue1157'),
+    ('dialect_v_issue342', SCRIPT_V_ISSUE342, -1, None, False, 'verbatim MTR regression: issue342', {'total_revenue': 'DOUBLE'}),
+    ('dialect_v_issue1079_366', SCRIPT_V_ISSUE1079_366, -1, None, False, 'verbatim MTR regression: issue1079_366'),
+    ('dialect_v_issue1175', SCRIPT_V_ISSUE1175, -1, None, False, 'verbatim MTR regression: Creating test database issue1175_test'),
+    ('dialect_v_issue971', SCRIPT_V_ISSUE971, -1, None, False, 'verbatim MTR regression: issue971'),
+    ('dialect_v_issue767', SCRIPT_V_ISSUE767, -1, None, False, 'verbatim MTR regression: issue767'),
+    ('dialect_v_alter_bit', SCRIPT_V_ALTER_BIT, -1, None, False, 'verbatim MTR regression: --echo # Test alter bit'),
+    ('dialect_v_issue947', SCRIPT_V_ISSUE947, 0, None, False, 'verbatim MTR regression: issue947'),
+    ('dialect_v_insert_select_from', SCRIPT_V_INSERT_SELECT_FROM, -1, None, False, 'verbatim MTR regression: --echo # Test INSERT..SELECT statement'),
+    ('dialect_v_issue1912', SCRIPT_V_ISSUE1912, -1, None, False, 'verbatim MTR regression: issue1912'),
+    ('dialect_v_issue1931', SCRIPT_V_ISSUE1931, -1, None, False, 'verbatim MTR regression: issue1931', {'CURRENCY_ID': 'DOUBLE'}),
+    ('dialect_v_issue763', SCRIPT_V_ISSUE763, -1, None, False, 'verbatim MTR regression: --echo # SELECT ... FROM tablename WHERE col LIKE NULL'),
+    ('dialect_v_issue1394', SCRIPT_V_ISSUE1394, 0, None, False, 'verbatim MTR regression: issue1394'),
+    ('dialect_v_issue1938', SCRIPT_V_ISSUE1938, -1, ['cid', 'cname'], False, 'verbatim MTR regression: issue1938', {'cid': 'DOUBLE'}),
+    ('dialect_v_issue964', SCRIPT_V_ISSUE964, -1, ['c0', 'c1', 'c2', 'c3'], False, 'verbatim MTR regression: issue964'),
+    ('dialect_v_issue282', SCRIPT_V_ISSUE282, -1, ['c0', 'c1', 'c2', 'c3', 'c4'], False, 'verbatim MTR regression: --echo # Multiple nesting'),
+    ('dialect_v_issue1861', SCRIPT_V_ISSUE1861, -1, ['c0', 'c1', 'c2', 'c3', 'c4', 'c5'], False, 'verbatim MTR regression: issue1861'),
     ('dialect_issue1070', SCRIPT_ISSUE1070, -1, ['h'], False, 'verbatim issue regression: regression scenario issue1070'),
 ]
 
