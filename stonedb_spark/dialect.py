@@ -854,12 +854,22 @@ def parse_create_table(stmt: str) -> TableDef:
     body = m.group(2)
     cols: list[ColumnDef] = []
     pk: list[str] = []
+    keycols: list[str] = []
     for part in _split_top_commas(body):
         if _CONSTRAINT_PREFIX.match(part):
             pm = re.match(r"\s*PRIMARY\s+KEY\s*\(([^)]*)\)", part, re.I)
             if pm:
                 pk = [
                     _unquote_ident(c) for c in _split_top_commas(pm.group(1))
+                ]
+            km = re.match(
+                r"\s*(?:UNIQUE\s+)?(?:KEY|INDEX)\s*\w*\s*\(([^)]*)\)",
+                part, re.I,
+            )
+            if km:
+                keycols += [
+                    _unquote_ident(c).lower()
+                    for c in _split_top_commas(km.group(1))
                 ]
             continue
         cm = re.match(r"\s*(`[^`]+`|\w+)\s+(\w+)(\s*\([^)]*\))?(.*)$", part, re.S)
@@ -913,6 +923,12 @@ def parse_create_table(stmt: str) -> TableDef:
         if canon == "bit":
             wm2 = re.match(r"\(\s*(\d+)\s*\)", args or "")
             cw = int(wm2.group(1)) if wm2 else 1  # BIT defaults to (1)
+            if cw > 64 or cw < 1:
+                raise ValueError(
+                    f"Display width out of range for column "
+                    f"'{cname}' (BIT range 1..64; MySQL error 1439 "
+                    f"analog)"
+                )
         csm = re.search(
             r"\bCHARACTER\s+SET\s+(\w+)|\bCHARSET\s+(\w+)", rest, re.I
         )
@@ -963,6 +979,15 @@ def parse_create_table(stmt: str) -> TableDef:
         # accepts DECIMAL(38,10) there) — the 18-digit cap is engine-side
         for c in cols:
             _check_tianmu_decimal(c)
+        by_name = {c.name.lower(): c for c in cols}
+        for kc in keycols:
+            if kc in by_name and by_name[kc].mysql_type == "bit":
+                # tianmu rejects secondary keys over BIT (bit.test's
+                # --error CREATE TABLE (a BIT(13), KEY(a)))
+                raise ValueError(
+                    f"BIT column '{kc}' used in key specification "
+                    f"(tianmu engine restriction analog)"
+                )
     return td
 
 
@@ -2924,6 +2949,16 @@ def rewrite_expr(sql: str, engine: str) -> str:
     for _rf in ("ROUND", "TRUNCATE"):
         sql = _wrap_calls(sql, _rf, lambda i, f=_rf: _fold_scale(i, f))
 
+    # MySQL's TRUE/FALSE are integer literals 1/0 (bit.test's
+    # ``b = true`` against a numeric column; SELECT TRUE prints 1).
+    # IS [NOT] TRUE/FALSE keeps the keyword for its dedicated rewrite;
+    # later passes' generated booleans are unaffected (this runs on
+    # the input text only).
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(r"(?i)(?<!IS )(?<!NOT )\b(TRUE|FALSE)\b"),
+        lambda m: "1" if m.group(1).upper() == "TRUE" else "0",
+    )
     sql = _decode_introducers(sql)
     # `expr COLLATE name` — collation annotation; comparisons follow
     # the collation machinery elsewhere, the annotation itself drops
