@@ -262,6 +262,15 @@ def _batch_single_inserts(stmts: list[Statement]) -> list[Statement]:
             mm = _INSERT_ONE_COLS.match(stmts[j].text)
             if not mm:
                 break
+            # Never merge a tuple holding a scalar subquery (regrouping
+            # per-table would let it observe pre/post states that differ
+            # from sequential execution) or a bare NULL (synthesizing a
+            # multi-row INSERT would downgrade MySQL's hard single-row
+            # 1048 to implicit-default storage in non-strict sessions) —
+            # break the run so such statements execute standalone
+            # (ADVICE r8)
+            if re.search(r"(?i)\b(SELECT|NULL)\b", mm.group(3)):
+                break
             key = (
                 _unquote_ident(mm.group(1)).lower(),
                 re.sub(r"\s+", "", (mm.group(2) or "").lower()),
@@ -1375,10 +1384,13 @@ def _cast_mysql(inner: str, engine: str) -> str:
             # boolean → 0/1 (issue1942's CAST((c0 IS NULL) AS UNSIGNED))
             return f"CAST(CAST(({expr}) AS INT) AS DECIMAL(20,0))"
         # MySQL reinterprets negatives as two's-complement u64:
-        # CAST(-2 AS UNSIGNED) = 18446744073709551614 (func_math.test)
+        # CAST(-2 AS UNSIGNED) = 18446744073709551614 (func_math.test).
+        # The 2^64 literal rides inside a CAST so the 1690 guard's
+        # adjacent-operator check never re-matches it when this
+        # generated fragment re-enters rewrite_expr
         return (
             f"CAST((CASE WHEN ({expr}) < 0"
-            f" THEN 18446744073709551616 + ({expr})"
+            f" THEN CAST(18446744073709551616 AS DECIMAL(21,0)) + ({expr})"
             f" ELSE ({expr}) END) AS DECIMAL(20,0))"
         )
     if ttype == "CHAR" and targ and re.fullmatch(r"\d+", targ):
@@ -2287,10 +2299,22 @@ def _guard_unsigned_arith(s: str, tables: dict) -> str:
     ``x - y`` pairs where either side is an unsigned column in a
     RAISE_ERROR guard; the value passes through unchanged when
     non-negative, so non-error selects keep their results.  Runner
-    (Spark) side only: the oracle compiler skips --error statements."""
+    (Spark) side only: the oracle compiler skips --error statements.
+    Only columns of tables the statement actually references count —
+    an unsigned 'a' in some OTHER table must not poison 'a - y' here
+    (ADVICE r8) — and NO_UNSIGNED_SUBTRACTION legalizes negatives."""
+    if _NUS_MODE[0]:
+        return s
+    referenced = {
+        _unquote_ident(m.group(1)).lower()
+        for m in re.finditer(
+            r"\b(?:FROM|JOIN|INTO|UPDATE)\s+(`[^`]+`|\w+)", s, re.I
+        )
+    }
     unsigned_cols = {
         c.name.lower()
-        for td in tables.values()
+        for t, td in tables.items()
+        if t in referenced
         for c in td.columns
         if c.unsigned
     }
@@ -2428,9 +2452,24 @@ def _bind_literal_uservar(expr: str):
     if not m:
         return None
     sign, ip, fp = m.group(1), m.group(2), m.group(3) or ""
-    if len(ip) + len(fp) > 65:
-        ip = "9" * min(len(ip), 65)
-        fp = "9" * max(0, 65 - len(ip)) if len(ip) < 65 else ""
+    if len(ip) > 65:
+        # the INTEGER part alone overflows DECIMAL(65) — saturate
+        ip, fp = "9" * 65, ""
+    elif len(ip) + len(fp) > 65:
+        # only the fraction overflows: MySQL keeps the integer part
+        # and ROUNDS the fraction to what fits — at most 30 digits
+        # (DECIMAL(65,30)), fewer when the integer part is long
+        # (ADVICE r8)
+        import decimal
+
+        keep = min(30, 65 - len(ip))
+        with decimal.localcontext() as ctx:
+            ctx.prec = len(ip) + len(fp) + 2
+            d = decimal.Decimal(f"{ip}.{fp}").quantize(
+                decimal.Decimal(1).scaleb(-keep),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        ip, _, fp = format(d, "f").partition(".")
     return sign + ip + ("." + fp if fp else "")
 
 
@@ -2511,6 +2550,16 @@ _IS_TRUTH = re.compile(
 )
 
 
+# Generated boolean literals.  Generators must NEVER emit the bare
+# TRUE/FALSE keywords: compiled fragments can re-enter rewrite_expr
+# (the UPDATE…WHERE path does), where the MySQL TRUE/FALSE→1/0
+# literalization pass would re-match a generated keyword and produce
+# coalesce(BOOLEAN, INT) type mismatches.  CAST(n AS BOOLEAN) is
+# idempotent under every pass on both engines.
+_BTRUE = "CAST(1 AS BOOLEAN)"
+_BFALSE = "CAST(0 AS BOOLEAN)"
+
+
 def _rewrite_is_truth(sql: str) -> str:
     """MySQL ``x IS [NOT] TRUE/FALSE`` over NUMERIC x (bit_type.test's
     ``a is true`` over BIT): truthiness is x <> 0, and — unlike plain
@@ -2522,12 +2571,16 @@ def _rewrite_is_truth(sql: str) -> str:
         x, neg, which = m.group(1), m.group(2), m.group(3).upper()
         if _is_bool_shaped(x):
             # the operand is already boolean ((c0 IS NULL) IS TRUE,
-            # issue1942): no numeric truthiness needed
-            base = f"COALESCE(({x}), FALSE)"
-            inner = base if which == "TRUE" else f"NOT {base}"
+            # issue1942): no numeric truthiness needed.  For IS FALSE
+            # the NOT must sit INSIDE the COALESCE so a NULL operand
+            # maps to 0 first (NULL IS FALSE = 0 in MySQL, not 1)
+            if which == "TRUE":
+                inner = f"COALESCE(({x}), {_BFALSE})"
+            else:
+                inner = f"COALESCE(NOT ({x}), {_BFALSE})"
         else:
             op = "<>" if which == "TRUE" else "="
-            inner = f"COALESCE(({x}) {op} 0, FALSE)"
+            inner = f"COALESCE(({x}) {op} 0, {_BFALSE})"
         if neg:
             inner = f"NOT {inner}"
         return f"CAST({inner} AS INT)"
@@ -2674,7 +2727,7 @@ def _truthy_condition_text(expr: str) -> str:
     for op, term in zip(parts[1::2], parts[2::2]):
         rhs = _truthy_term(term)
         out = f"({out} {'<>' if op.upper() == 'XOR' else op} {rhs})"
-    return f"COALESCE({out}, FALSE)"
+    return f"COALESCE({out}, {_BFALSE})"
 
 
 def _rewrite_truthy_where(sql: str) -> str:
@@ -2755,6 +2808,45 @@ def _wrap_truthy_leaves(cond: str) -> str:
             and idx not in between_and
         )
 
+    # Paren pairs + per-pair boolean-context flag.  A leaf adjacent to
+    # a paren is in boolean context only when the ENCLOSING GROUP is —
+    # both what precedes the '(' AND what follows the matching ')'
+    # must be logical.  Without the rp-side check, `((t) <> 0)` and
+    # `a <> (b)` re-wrap their inner leaf (the round-8 idempotence
+    # break: compiled fragments re-enter this pass via UPDATE…WHERE).
+    lp_of, rp_of = {}, {}
+    stack: list[int] = []
+    for idx, (kind, _t, _s, _e) in enumerate(toks):
+        if kind == "lp":
+            stack.append(idx)
+        elif kind == "rp" and stack:
+            li = stack.pop()
+            lp_of[idx], rp_of[li] = li, idx
+    bool_pair: dict[int, bool] = {}
+    for li in sorted(rp_of):  # parents (smaller lp index) first
+        ri = rp_of[li]
+        if li == 0:
+            before = True
+        else:
+            pk, pt = toks[li - 1][0], toks[li - 1][1].upper()
+            before = (
+                (pk == "ident" and (pt in _LOGICAL_WORDS or pt in (
+                    "NOT", "WHERE", "HAVING", "WHEN", "THEN", "ELSE",
+                    "ON")))
+                or (pk == "lp" and bool_pair.get(li - 1, False))
+            )
+        if ri + 1 >= len(toks):
+            after = True
+        else:
+            nk, nt = toks[ri + 1][0], toks[ri + 1][1].upper()
+            after = (
+                (nk == "ident" and (nt in _LOGICAL_WORDS or nt in (
+                    "THEN", "ELSE", "END", "GROUP", "ORDER", "LIMIT")))
+                or (nk == "rp" and bool_pair.get(lp_of.get(ri + 1, -1),
+                                                 False))
+            )
+        bool_pair[li] = before and after
+
     out = []
     last = 0
     for idx, (kind, text, s, e) in enumerate(toks):
@@ -2768,31 +2860,20 @@ def _wrap_truthy_leaves(cond: str) -> str:
                       "DESC", "INTERVAL", "BINARY", "DISTINCT")
         ):
             continue
-        paren_group = False
-        if idx > 0 and toks[idx - 1][0] == "lp":
-            if idx < 2:
-                paren_group = True
-            else:
-                pk, pt = toks[idx - 2][0], toks[idx - 2][1].upper()
-                # '(' after AND/OR/NOT/etc. opens a group; after any
-                # other identifier it's a function call (year(c1))
-                paren_group = pk not in ("ident", "num") or pt in (
-                    "AND", "OR", "XOR", "NOT", "WHERE", "HAVING",
-                    "WHEN", "THEN", "ELSE", "ON",
-                )
-        prev_ok = idx == 0 or is_logical(idx - 1) or paren_group \
+        prev_ok = (
+            idx == 0 or is_logical(idx - 1)
             or (toks[idx - 1][0] == "ident"
                 and toks[idx - 1][1].upper() == "NOT")
+            or (toks[idx - 1][0] == "lp"
+                and bool_pair.get(idx - 1, False))
+        )
         if not prev_ok:
             continue
-        if idx + 1 < n:
-            nk, nt = toks[idx + 1][0], toks[idx + 1][1].upper()
-            next_ok = (
-                is_logical(idx + 1)
-                or nk == "rp"
-            )
-        else:
-            next_ok = True
+        next_ok = (
+            idx + 1 >= n or is_logical(idx + 1)
+            or (toks[idx + 1][0] == "rp"
+                and bool_pair.get(lp_of.get(idx + 1, -1), False))
+        )
         if not next_ok:
             continue
         out.append(cond[last:s])
@@ -2834,20 +2915,52 @@ def _xor_to_neq(cond: str) -> str:
     return " <> ".join(f"COALESCE(({p.strip()}), NULL)" for p in parts)
 
 
+_CLAUSE_KW = re.compile(r"(?i)\b(WHERE|HAVING)\b")
+_CLAUSE_END = re.compile(
+    r"(?i)\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b|\bUNION\b"
+)
+
+
 def _truthy_bool_clauses(sql: str) -> str:
     """Apply the truthy-leaf / XOR normalizations to WHERE and HAVING
-    clause bodies."""
-    pat = re.compile(
-        r"(?is)\b(WHERE|HAVING)\b(.*?)"
-        r"(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b"
-        r"|\bUNION\b|$)"
-    )
-
-    def rep(m: re.Match) -> str:
-        body = _xor_to_neq(_wrap_truthy_leaves(m.group(2)))
-        return f"{m.group(1)} {body.strip()} "
-
-    return pat.sub(rep, sql)
+    clause bodies.  Matching runs on a string-literal-masked copy so a
+    WHERE inside a literal never starts a rewrite, and the body is
+    bounded at the SAME paren depth as the clause keyword so an inner
+    subquery's GROUP BY/ORDER BY never truncates it (ADVICE r8)."""
+    mask = _ANY_STRLIT.sub(lambda m: "\x00" * len(m.group(0)), sql)
+    out, pos = [], 0
+    for m in _CLAUSE_KW.finditer(mask):
+        if m.start() < pos:
+            continue  # keyword inside an already-consumed body
+        i, end = m.end(), len(mask)
+        while i < end:
+            ch = mask[i]
+            if ch == "(":  # skip a whole balanced subexpression
+                depth = 1
+                j = i + 1
+                while j < end and depth:
+                    if mask[j] == "(":
+                        depth += 1
+                    elif mask[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:  # unbalanced tail: clause owns the rest
+                    i = end
+                    break
+                i = j
+                continue
+            if ch == ")":
+                break  # clause's enclosing subquery closes
+            km = _CLAUSE_END.match(mask, i)
+            if km:
+                break
+            i += 1
+        out.append(sql[pos:m.start()])
+        body = _xor_to_neq(_wrap_truthy_leaves(sql[m.end():i]))
+        out.append(f"{m.group(1)} {body.strip()} ")
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _charset_introspect(inner: str, which: str) -> str:
@@ -4262,7 +4375,7 @@ def _delete_keep_sql(
     if alias:  # keep table-qualified refs (t1.a) resolvable on a CTE
         rel = f"{rel} AS {q}{alias}{q}"
     cols = ", ".join(f"{q}{c.name}{q}" for c in td.columns)
-    cnd = f"COALESCE(({cond}), FALSE)" if cond else "TRUE"
+    cnd = f"COALESCE(({cond}), {_BFALSE})" if cond else _BTRUE
     if n is None:
         return f"SELECT {cols} FROM {rel} WHERE NOT {cnd}"
     key = order if order else ", ".join(
@@ -4295,7 +4408,7 @@ def _update_limit_sql(
     q = "`" if engine == "spark" else '"'
     if alias:
         rel = f"{rel} AS {q}{alias}{q}"
-    cnd = f"COALESCE(({cond}), FALSE)" if cond else "TRUE"
+    cnd = f"COALESCE(({cond}), {_BFALSE})" if cond else _BTRUE
     key = order if order else ", ".join(
         f"{q}{c.name}{q} NULLS FIRST" for c in td.columns
     )
@@ -4620,7 +4733,7 @@ def _apply_temporal_numeric_cmp(
         else:
             num = f"CAST(strftime({ref}, '{f}') AS DECIMAL(20,0))"
         op = "<>" if m.group(4) == "!=" else m.group(4)
-        return f"COALESCE({num} {op} {m.group(5)}, FALSE)"
+        return f"COALESCE({num} {op} {m.group(5)}, {_BFALSE})"
 
     return _sub_outside_strings(sql, pat, rep)
 
@@ -7543,9 +7656,9 @@ def build_oracle_sql(
             prev = vname(t)
             versions[t] += 1
             cond = (
-                f"COALESCE(({rewrite_expr(_truthy_condition_text(m.group(3)), 'duck')}), FALSE)"
+                f"COALESCE(({rewrite_expr(_truthy_condition_text(m.group(3)), 'duck')}), {_BFALSE})"
                 if m.group(3)
-                else "TRUE"
+                else _BTRUE
             )
             assigns = {}
             for part in _split_top_commas(m.group(2)):

@@ -760,3 +760,53 @@ def test_outfile_driver_cap_distributed_fallback(spark, monkeypatch):
     finally:
         for name in list(run.tables):
             spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_rewrite_expr_idempotent_on_truthy_bool_corpus():
+    """rewrite_expr must be a fixpoint on its own output: compiled
+    fragments re-enter it (the UPDATE…WHERE path), so any pass that
+    re-matches generated text (the round-8 TRUE/FALSE→1/0 literalizer
+    vs the truthiness generators' COALESCE(…, FALSE)) silently breaks
+    whole entry families.  This corpus covers every truthiness
+    generator plus the raw TRUE/FALSE keyword forms."""
+    corpus = [
+        "SELECT * FROM t WHERE b = TRUE",
+        "SELECT TRUE, FALSE",
+        "UPDATE t1 SET a = 1 WHERE t",
+        "SELECT * FROM t WHERE 1/0 OR 1",
+        "SELECT * FROM t WHERE NOT a AND b",
+        "SELECT (a = 1) IS TRUE FROM t",
+        "SELECT (a = 1) IS NOT FALSE FROM t",
+        "SELECT a IS TRUE, a IS FALSE FROM t",
+        "SELECT !(a+b) FROM t",
+        "SELECT a XOR b FROM t",
+        "SELECT * FROM t WHERE (c0 IS NULL) IS TRUE",
+        "DELETE FROM t WHERE x",
+    ]
+    for engine in ("spark", "duck"):
+        for sql in corpus:
+            once = rewrite_expr(sql, engine)
+            twice = rewrite_expr(once, engine)
+            assert twice == once, (
+                f"rewrite_expr not idempotent on {sql!r} ({engine}):"
+                f"\n  once : {once}\n  twice: {twice}"
+            )
+        # CAST forms re-expand through the lenient-num machinery
+        # (semantic-preserving, not byte-stable) — re-entry must at
+        # least never raise (the 2^64 literal rides inside a CAST so
+        # the 1690 guard can't re-match it)
+        rewrite_expr(
+            rewrite_expr("SELECT CAST(a AS UNSIGNED) FROM t", engine),
+            engine,
+        )
+
+
+def test_is_false_null_boolean_operand(spark):
+    """MySQL: (1=NULL) IS FALSE = 0 and (1=NULL) IS NOT FALSE = 1 —
+    the NOT must apply after the NULL→FALSE mapping (ADVICE r8)."""
+    s = rewrite_expr(
+        "SELECT (1=NULL) IS FALSE AS f, (1=NULL) IS NOT FALSE AS nf,"
+        " (1=NULL) IS TRUE AS t, (1=NULL) IS NOT TRUE AS nt", "spark"
+    )
+    row = spark.sql(s).collect()[0]
+    assert (row.f, row.nf, row.t, row.nt) == (0, 1, 0, 1)
