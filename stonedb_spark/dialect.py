@@ -196,36 +196,155 @@ def _expand_prepare(stmts: list[Statement]) -> list[Statement]:
     return out
 
 
+_USE_STMT = re.compile(r"^\s*USE\s+(`[^`]+`|\w+)\s*$", re.I)
+_CREATE_DB_STMT = re.compile(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(`[^`]+`|\w+)", re.I,
+)
+_CREATE_TBL_STMT = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(`[^`]+`|\w+)\s*\.\s*)?(`[^`]+`|\w+)", re.I,
+)
+# keyword sequences a TABLE name follows (bare-name qualification
+# contexts; longest-first so "TRUNCATE TABLE t" binds as one unit and
+# never leaves the ident stranded behind a consumed "TRUNCATE TABLE")
+_TBLPOS_KW = (
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?",
+    r"DROP\s+(?:TEMPORARY\s+)?TABLE(?:\s+IF\s+EXISTS)?",
+    r"ALTER\s+TABLE", r"TRUNCATE(?:\s+TABLE)?",
+    r"INSERT\s+(?:IGNORE\s+)?INTO", r"REPLACE\s+INTO",
+    r"DELETE\s+FROM", r"INTO\s+TABLE", r"RENAME(?:\s+TO)?",
+    r"UPDATE", r"FROM", r"JOIN", r"DESCRIBE", r"DESC",
+)
+
+
 def _strip_db_prefixes(stmts: list[Statement]) -> list[Statement]:
-    """The front-end is single-namespace: drop ``dbname.`` qualifiers
-    for every database the script itself creates (insert.test's
-    ``insert into mysqltest_insert_test.t1 set …``)."""
+    """Database namespaces.  When every table name is unique across the
+    script's namespaces, ``dbname.`` qualifiers simply drop (legacy
+    single-namespace mode — insert.test's ``insert into
+    mysqltest_insert_test.t1 set …``).  When the SAME bare table name
+    lives in two databases (show_db_table.test's t1 in show_test1 AND
+    show_test2; alter_table_v1.test's cross-db rename target), names
+    FLATTEN to ``db__table`` instead, with USE tracking qualifying
+    bare references — a db-qualified registry over the unchanged
+    single-namespace machinery."""
     dbs = set()
     for st in stmts:
-        m = re.match(
-            r"^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-            r"(`[^`]+`|\w+)", st.text, re.I,
-        )
+        m = _CREATE_DB_STMT.match(st.text)
         if m:
             dbs.add(_unquote_ident(m.group(1)).lower())
     if not dbs:
         return stmts
+
+    # simultaneity scan: the SAME bare name LIVE in two namespaces at
+    # once is what the legacy strip can't represent.  Serial reuse
+    # (insert.test drops t1, creates a second db, creates ITS t1) stays
+    # in strip mode.  Tracks USE, CREATE/DROP TABLE, DROP DATABASE.
+    cur = "test"
+    live: dict[str, set[str]] = {}  # bare name -> namespaces alive
+    owners: dict[str, set[str]] = {}  # bare name -> every namespace ever
+    multi = False
+    for st in stmts:
+        um = _USE_STMT.match(st.text)
+        if um:
+            cur = _unquote_ident(um.group(1)).lower()
+            continue
+        tm = _CREATE_TBL_STMT.match(st.text)
+        if tm and not st.expect_error:
+            db = _unquote_ident(tm.group(1)).lower() if tm.group(1) else cur
+            name = _unquote_ident(tm.group(2)).lower()
+            owners.setdefault(name, set()).add(db)
+            alive = live.setdefault(name, set())
+            alive.add(db)
+            if len(alive) > 1:
+                multi = True
+        dm = re.match(
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?"
+            r"(?:(`[^`]+`|\w+)\s*\.\s*)?(`[^`]+`|\w+)", st.text, re.I,
+        )
+        if dm:
+            db = _unquote_ident(dm.group(1)).lower() if dm.group(1) else cur
+            live.get(_unquote_ident(dm.group(2)).lower(), set()).discard(db)
+        xm = re.match(
+            r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?"
+            r"(`[^`]+`|\w+)", st.text, re.I,
+        )
+        if xm:
+            db = _unquote_ident(xm.group(1)).lower()
+            for alive in live.values():
+                alive.discard(db)
+    multi = multi or any(
+        re.match(r"^\s*SHOW\s+TABLES\b", st.text, re.I) for st in stmts
+    )
+
     pat = re.compile(
-        r"(?<![\w.`])(" + "|".join(re.escape(d) for d in dbs) + r")\.",
+        r"(?<![\w.`])(" + "|".join(re.escape(d) for d in dbs)
+        + r")\s*\.\s*(`[^`]+`|\w+)",
         re.I,
     )
+    if not multi:
+        out = []
+        for st in stmts:
+            if re.match(r"^\s*(CREATE|DROP)\s+(DATABASE|SCHEMA)\b",
+                        st.text, re.I):
+                out.append(st)
+                continue
+            out.append(Statement(
+                _sub_outside_strings(
+                    st.text, pat,
+                    lambda m: m.group(2)
+                    if m.group(1).lower() in dbs else m.group(0),
+                ),
+                st.expect_error,
+            ))
+        return out
+
+    # ---- multi-namespace flatten ----
+    known = set(owners)  # bare names that are tables somewhere
+    kw = "|".join(f"(?:{k})" for k in _TBLPOS_KW)
+    bare_pat = re.compile(
+        rf"(?i)\b({kw})\s+(`[^`]+`|\w+)(?!\s*\.)"
+    )
+    cur = "test"
     out = []
     for st in stmts:
-        if re.match(r"^\s*(CREATE|DROP)\s+DATABASE\b", st.text, re.I):
+        um = _USE_STMT.match(st.text)
+        if um:
+            cur = _unquote_ident(um.group(1)).lower()
             out.append(st)
             continue
-        out.append(Statement(
-            _sub_outside_strings(
-                st.text, pat,
-                lambda m: "" if m.group(1).lower() in dbs else m.group(0),
-            ),
-            st.expect_error,
-        ))
+        if re.match(r"^\s*(CREATE|DROP)\s+(DATABASE|SCHEMA)\b",
+                    st.text, re.I):
+            out.append(st)
+            continue
+        t = st.text
+        stm = re.match(r"^\s*SHOW\s+TABLES\s*$", t, re.I)
+        if stm:
+            t = f"SHOW TABLES IN {cur}"
+            out.append(Statement(t, st.expect_error))
+            continue
+        if re.match(r"^\s*SHOW\s+TABLES\s+IN\b", t, re.I):
+            out.append(st)
+            continue
+        # db.t → db__t for script-created dbs
+        t = _sub_outside_strings(
+            t, pat,
+            lambda m: f"{m.group(1).lower()}__{_unquote_ident(m.group(2))}"
+            if m.group(1).lower() in dbs else m.group(0),
+        )
+
+        def brep(m: re.Match, cur=cur) -> str:
+            name = _unquote_ident(m.group(2))
+            if name.lower() not in known or "__" in name:
+                return m.group(0)
+            return f"{m.group(1)} {cur}__{name}"
+
+        if cur != "test":
+            # the pre-USE default namespace keeps bare names so
+            # SHOW CREATE TABLE renderings stay byte-faithful; only
+            # script-created namespaces flatten
+            t = _sub_outside_strings(t, bare_pat, brep)
+        out.append(Statement(t, st.expect_error))
     return out
 
 
@@ -1217,9 +1336,31 @@ def _rewrite_date_format(sql: str, engine: str) -> str:
                 f"'{_mysql_datefmt_to_java(flit)}')"
             )
         else:
-            out.append(f"strftime(CAST({expr} AS TIMESTAMP), '{flit}')")
+            out.append(
+                f"strftime(CAST({expr} AS TIMESTAMP), "
+                f"'{_mysql_datefmt_to_strftime(flit)}')"
+            )
         i = j
     return "".join(out)
+
+
+# MySQL DATE_FORMAT codes whose C-strftime spelling DIFFERS — the rest
+# (%Y %y %m %d %H %S %p %b %a %j %w %%) coincide and pass through.
+# date_formats.test's ORDER BY date_format(f1, "%M") needs month NAME
+# (%B in strftime), not minutes.
+_MYSQL_TO_STRFTIME = {
+    "M": "%B", "W": "%A", "i": "%M", "s": "%S", "c": "%-m", "e": "%-d",
+    "k": "%-H", "h": "%I", "I": "%I", "l": "%-I", "f": "%f",
+    "T": "%H:%M:%S", "r": "%I:%M:%S %p",
+}
+
+
+def _mysql_datefmt_to_strftime(fmt: str) -> str:
+    return re.sub(
+        r"%(.)",
+        lambda m: _MYSQL_TO_STRFTIME.get(m.group(1), "%" + m.group(1)),
+        fmt,
+    )
 
 
 _SUBDAY_UNITS = {"HOUR", "MINUTE", "SECOND", "MICROSECOND"}
@@ -1651,15 +1792,26 @@ def _addtime_fn(inner: str, engine: str, sub: bool = False) -> str:
                 nd = max(fdigits, len(tm.group(7) or ".") - 1)
                 out += ("{:.%df}" % nd).format(micro / 1e6)[1:]
             return _mysql_str_encode(out)
-        tparsed = _parse_time_delta(bl)
+        # lenient temporal string read: trailing garbage truncates with
+        # a warning (date_formats.test's '-01:01:01.01 GGG')
+        lm = re.match(
+            r"\s*([+-]?(?:\d+\s+)?\d{1,3}:\d{1,2}(?::\d{1,2})?(?:\.\d+)?"
+            r"|[+-]?\d+(?:\.\d+)?)", bl,
+        )
+        tparsed = _parse_time_delta(lm.group(1)) if lm else None
         if tparsed is not None:  # TIME + delta stays a TIME string
-            tot = tparsed[0] + secs
+            tot = round(tparsed[0] + secs, 6)
             sign = "-" if tot < 0 else ""
             tot = abs(tot)
             h = int(tot // 3600)
             mi = int((tot % 3600) // 60)
             sec = int(tot % 60)
-            return _mysql_str_encode(f"{sign}{h:02d}:{mi:02d}:{sec:02d}")
+            out = f"{sign}{h:02d}:{mi:02d}:{sec:02d}"
+            if fdigits or tparsed[1]:
+                # string temporal operands carry fsp 6 in MySQL's TIME
+                # arithmetic rendering (-25:01:00.110000)
+                out += f".{round((tot % 1) * 1e6):06d}"
+            return _mysql_str_encode(out)
         return "NULL"
     whole = int(secs) if float(secs).is_integer() else None
     if whole is None:
@@ -3019,6 +3171,158 @@ def _is_toplevel_bool(expr: str) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------
+# STR_TO_DATE (date_formats.test) — %-spec parsing.  The compiler in
+# strtodate_sql.py emits pure, backslash-free SQL portable across both
+# engines; results are MySQL textual renderings (STRING) because zero
+# dates and >24h TIME values aren't representable natively.  With a
+# non-constant format (a format COLUMN), MySQL types the result
+# DATETIME(6) and we dispatch over the %-spec-looking string literals
+# collected from the whole script (single-threaded, like _NUS_MODE).
+_STR_FMT_POOL: list[str] = []
+
+_STD_SPEC_RE = re.compile(r"%[YymcdeHkhIlisSfjUuVvXxwWabprTD#.@]")
+
+_GET_FORMAT_CALL = re.compile(
+    r"(?i)\bGET_FORMAT\s*\(\s*(\w+)\s*,\s*['\"](\w+)['\"]\s*\)"
+)
+
+
+def _fold_get_format(text: str) -> str:
+    """GET_FORMAT(DATE,'USA') → its constant %-spec literal (MySQL 5.7
+    table; date_formats.test feeds it into an INSERT VALUES tuple).
+    Plain .sub, not _sub_outside_strings: the call's own quoted second
+    argument is part of the match."""
+    from stonedb_spark.strtodate_sql import GET_FORMAT
+
+    def rep(m: re.Match) -> str:
+        v = GET_FORMAT.get((m.group(1).upper(), m.group(2).upper()))
+        if v is None:
+            raise ValueError(
+                f"unknown GET_FORMAT({m.group(1)}, {m.group(2)!r})"
+            )
+        return f"'{v}'"
+
+    return _GET_FORMAT_CALL.sub(rep, text)
+
+
+def _collect_std_formats(script: str) -> list[str]:
+    """Every string literal in the script that looks like a %-spec
+    format — candidates for the non-constant-format CASE dispatch."""
+    out = set()
+    for m in re.finditer(
+        r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", script
+    ):
+        s = m.group(1) if m.group(1) is not None else m.group(2)
+        if s and _STD_SPEC_RE.search(s):
+            out.add(s)
+    return sorted(out)
+
+
+def _fmt_literal(expr: str) -> str | None:
+    """The format text when the expression is a string literal or a
+    CONCAT of string literals (MySQL const-folds the concat before
+    deriving the result type — date_formats.test line 17)."""
+    t = expr.strip()
+    m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"", t)
+    if m:
+        return m.group(1) if m.group(1) is not None else m.group(2)
+    cm = re.fullmatch(r"(?is)CONCAT\s*\((.*)\)", t)
+    if cm:
+        parts = [_fmt_literal(p) for p in _split_top_commas(cm.group(1))]
+        if all(p is not None for p in parts):
+            return "".join(parts)  # type: ignore[arg-type]
+    return None
+
+
+def _std_compile(args: str, engine: str) -> str:
+    from stonedb_spark.strtodate_sql import (
+        compile_str_to_date, str_to_date_case,
+    )
+
+    parts = _split_top_commas(args)
+    if len(parts) != 2:
+        raise ValueError(f"STR_TO_DATE needs 2 args: {args[:80]!r}")
+    val, fmt = parts[0].strip(), parts[1].strip()
+    lit = _fmt_literal(fmt)
+    if lit is not None:
+        return compile_str_to_date(f"({val})", lit, engine, dynamic=False)
+    if engine == "spark":
+        # non-constant format: the Arrow-batched pandas UDF (registered
+        # by run_script) — the pure-SQL CASE over every candidate
+        # format explodes Catalyst analysis; the UDF and the oracle's
+        # SQL CASE are independent implementations cross-validated by
+        # the oracle comparison itself
+        return f"mysql_str_to_date(CAST(({val}) AS STRING), ({fmt}))"
+    return str_to_date_case(f"({val})", f"({fmt})", _STR_FMT_POOL, engine)
+
+
+_STD_CALL = re.compile(r"(?is)^\s*STR_TO_DATE\s*\((.*)\)\s*$")
+
+_STD_UDF_SESSIONS: set[int] = set()
+
+
+def _register_str_to_date_udf(spark) -> None:
+    """Arrow-batched pandas UDF for dynamic-format STR_TO_DATE —
+    registered once per SparkSession, map-only projection (linear at
+    any scale, no shuffle)."""
+    if id(spark) in _STD_UDF_SESSIONS:
+        return
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from stonedb_spark.strtodate_sql import py_str_to_date
+
+    def _std(v, f):  # no annotations: __future__ strings break resolution
+        return pd.Series(
+            [py_str_to_date(a, b) for a, b in zip(v, f)], dtype=object
+        )
+
+    spark.udf.register("mysql_str_to_date", pandas_udf(_std, "string"))
+    _STD_UDF_SESSIONS.add(id(spark))
+
+
+def _rewrite_str_to_date(sql: str, engine: str) -> str:
+    """STR_TO_DATE and the downstream shapes date_formats.test applies
+    to its STRING result: CAST(… AS DATETIME) strips the fractional
+    part (DATETIME(0) truncation), DATE(…) is the first 10 chars,
+    TIME(…) everything after the date+space prefix.  These must
+    intercept the textual form BEFORE the generic CAST/TIME/DATE
+    handlers (which expect real temporal values)."""
+    if not re.search(r"(?i)STR_TO_DATE", sql):
+        return sql
+
+    def cast_fn(inner: str) -> str:
+        m = re.fullmatch(
+            r"(?is)\s*(STR_TO_DATE\s*\(.*\))\s+AS\s+DATETIME\s*", inner
+        )
+        if not m:
+            return f"CAST({inner})"
+        call = _STD_CALL.match(m.group(1))
+        x = _std_compile(call.group(1), engine)
+        return f"regexp_replace({x}, '[.][0-9]*$', '')"
+
+    sql = _wrap_calls(sql, "CAST", cast_fn)
+
+    def date_fn(inner: str) -> str:
+        m = _STD_CALL.match(inner)
+        if not m:
+            return f"DATE({inner})"
+        return f"SUBSTR({_std_compile(m.group(1), engine)}, 1, 10)"
+
+    sql = _wrap_calls(sql, "DATE", date_fn)
+
+    def time_fn(inner: str) -> str:
+        m = _STD_CALL.match(inner)
+        if not m:
+            return f"TIME({inner})"
+        return f"SUBSTR({_std_compile(m.group(1), engine)}, 12)"
+
+    sql = _wrap_calls(sql, "TIME", time_fn)
+    return _wrap_calls(sql, "STR_TO_DATE",
+                       lambda i: _std_compile(i, engine))
+
+
 def rewrite_expr(sql: str, engine: str) -> str:
     """The shared MySQL→(Spark|DuckDB) expression/text rewriter."""
     _huge_int_arith_guard(sql)
@@ -3078,9 +3382,18 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _sub_outside_strings(
         sql, re.compile(r"\s+COLLATE\s+[A-Za-z0-9_]+", re.I), lambda m: ""
     )
+    # index hints are physical-plan advice to MySQL's optimizer; the
+    # engines plan for themselves (date_formats.test's IGNORE
+    # INDEX(PRIMARY) join leg)
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(r"\s+(?:IGNORE|USE|FORCE)\s+INDEX\s*\([^()]*\)", re.I),
+        lambda m: "",
+    )
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
+    sql = _rewrite_str_to_date(sql, engine)
     sql = _wrap_calls(sql, "TIME", lambda i: _time_fn(i, engine))
     sql = _wrap_calls(sql, "SEC_TO_TIME", lambda i: _sec_to_time(i, engine))
     sql = _wrap_calls(sql, "ADDTIME", lambda i: _addtime_fn(i, engine))
@@ -3751,6 +4064,22 @@ def _rewrite_date_parts(sql: str, engine: str) -> str:
 
     sql = _wrap_calls(sql, "HOUR", hour)
 
+    def micro(inner: str) -> str:
+        # MySQL MICROSECOND: the fractional-seconds field alone (0 when
+        # absent), with a LENIENT read of temporal strings — trailing
+        # garbage truncates with a warning (date_formats.test's
+        # microsecond('1997-12-31 23:59:59.01XXXX') = 10000)
+        m = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*", inner)
+        if m:
+            fm = re.search(r"[.](\d{1,6})", m.group(1))
+            return str(int(fm.group(1).ljust(6, "0"))) if fm else "0"
+        ts = f"TRY_CAST(({inner}) AS TIMESTAMP)"
+        if engine == "spark":
+            return f"CAST(DATE_FORMAT({ts}, 'SSSSSS') AS {it})"
+        return f"CAST(MICROSECOND({ts}) % 1000000 AS {it})"
+
+    sql = _wrap_calls(sql, "MICROSECOND", micro)
+
     def name_fn(mysql_fn: str, fmt: str):
         def w(inner: str) -> str:
             inner = _normalize_date_literal(inner) or inner
@@ -4319,7 +4648,8 @@ class MTRRun:
 
 _SHOWDESC = re.compile(
     r"^\s*(SHOW\s+CREATE\s+TABLE|DESC(RIBE)?\s+(`[^`]+`|\w+)\s*$"
-    r"|SHOW\s+(FULL\s+)?COLUMNS\s+FROM)",
+    r"|SHOW\s+(FULL\s+)?COLUMNS\s+FROM"
+    r"|SHOW\s+(DATABASES|SCHEMAS)\b|SHOW\s+TABLES\b)",
     re.I,
 )
 
@@ -4736,6 +5066,111 @@ def _apply_temporal_numeric_cmp(
         return f"COALESCE({num} {op} {m.group(5)}, {_BFALSE})"
 
     return _sub_outside_strings(sql, pat, rep)
+
+
+def _canon_compact_temporal(digits: str, kind: str) -> str | None:
+    """'20161213' → '2016-12-13' (DATE/TIMESTAMP), '121314' →
+    '12:13:14' (TIME) — MySQL's compact temporal string forms."""
+    if kind == "time":
+        if re.fullmatch(r"\d{6}", digits):
+            return f"{digits[0:2]}:{digits[2:4]}:{digits[4:6]}"
+        return None
+    if re.fullmatch(r"\d{8}", digits):
+        return f"{digits[0:4]}-{digits[4:6]}-{digits[6:8]}"
+    if re.fullmatch(r"\d{14}", digits):
+        return (f"{digits[0:4]}-{digits[4:6]}-{digits[6:8]} "
+                f"{digits[8:10]}:{digits[10:12]}:{digits[12:14]}")
+    return None
+
+
+def _apply_temporal_string_cmp(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL compares DATE/TIMESTAMP/TIME columns against COMPACT
+    string literals temporally (date_formats.test: ``b = '20161213'``,
+    ``CASE b WHEN '20161213'``, ``b IN ('121314', 0)``).  Canonicalize
+    the literal to the dashed/colon form both engines read; expand
+    IN-lists over temporal columns to OR chains first so numeric legs
+    (``0`` = the zero date, never equal) flow through the
+    temporal-vs-number pass."""
+    cols: dict[str, ColumnDef] = {}
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s+(`[^`]+`|\w+)", sql, re.I):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for c in td.columns:
+                if (c.spark_type.upper() in ("DATE", "TIMESTAMP")
+                        or c.mysql_type == "time"):
+                    cols[c.name.lower()] = c
+
+    if not cols:
+        return sql
+
+    def kind_of(name: str) -> str | None:
+        c = cols.get(name.lower())
+        if c is None:
+            return None
+        return "time" if c.mysql_type == "time" else "date"
+
+    colref = r"((?:(?:\w+|`\w+`)\s*\.\s*)?(?:`\w+`|\w+))"
+
+    # col IN (items) → OR chain (keeps MySQL's per-item coercion)
+    in_pat = re.compile(colref + r"\s+IN\s*\(([^()]*)\)", re.I)
+
+    def in_rep(m: re.Match) -> str:
+        name = _unquote_ident(m.group(1).split(".")[-1].strip())
+        if kind_of(name) is None:
+            return m.group(0)
+        legs = [
+            f"({m.group(1)} = {it.strip()})"
+            for it in _split_top_commas(m.group(2))
+        ]
+        return "(" + " OR ".join(legs) + ")"
+
+    # plain .sub: the IN list's own quoted items are part of the match
+    sql = in_pat.sub(in_rep, sql)
+
+    # col op '<compact>'  /  CASE col WHEN '<compact>'
+    cmp_pat = re.compile(
+        colref + r"\s*(>=|<=|<>|!=|=|>|<)\s*'(\d{6,14})'"
+    )
+
+    def cmp_rep(m: re.Match) -> str:
+        k = kind_of(_unquote_ident(m.group(1).split(".")[-1].strip()))
+        canon = _canon_compact_temporal(m.group(3), k) if k else None
+        if canon is None:
+            return m.group(0)
+        return f"{m.group(1)} {m.group(2)} '{canon}'"
+
+    sql = cmp_pat.sub(cmp_rep, sql)
+
+    case_pat = re.compile(
+        r"(CASE\s+)" + colref + r"(\s+WHEN\s+)'(\d{6,14})'", re.I
+    )
+
+    def case_rep(m: re.Match) -> str:
+        k = kind_of(_unquote_ident(m.group(2).split(".")[-1].strip()))
+        canon = _canon_compact_temporal(m.group(4), k) if k else None
+        if canon is None:
+            return m.group(0)
+        return f"{m.group(1)}{m.group(2)}{m.group(3)}'{canon}'"
+
+    sql = case_pat.sub(case_rep, sql)
+
+    # TIME column (text-modeled) vs bare number: MySQL compares the
+    # colon-stripped numeric rendering ('12:13:14' vs 121314)
+    tnum_pat = re.compile(
+        colref + r"\s*(>=|<=|<>|!=|=|>|<)\s*(\d+)(?![\w.:'-])"
+    )
+
+    def tnum_rep(m: re.Match) -> str:
+        if kind_of(_unquote_ident(
+                m.group(1).split(".")[-1].strip())) != "time":
+            return m.group(0)
+        num = f"CAST(REPLACE({m.group(1)}, ':', '') AS BIGINT)"
+        op = "<>" if m.group(2) == "!=" else m.group(2)
+        return f"COALESCE({num} {op} {m.group(3)}, {_BFALSE})"
+
+    return _sub_outside_strings(sql, tnum_pat, tnum_rep)
 
 
 def _split_top_unions(sql: str) -> list[str]:
@@ -6178,16 +6613,58 @@ def run_statement(run: MTRRun, stmt: str):
             s, re.I | re.S,
         )
         _check_db_name(dm0.group(2).strip())
-        run.dbs.discard(_unquote_ident(dm0.group(2).strip()).lower())
-        # MySQL drops the database's tables with it; the front-end is
-        # single-namespace, so DROP DATABASE wipes the run's tables
-        # (type_timestamp.test re-creates its db mid-script)
-        for key in list(run.tables):
+        dbname = _unquote_ident(dm0.group(2).strip()).lower()
+        run.dbs.discard(dbname)
+        # MySQL drops the database's tables with it.  With flattened
+        # multi-namespace names only that db's ``db__*`` keys go; a
+        # single-namespace run wipes everything (type_timestamp.test
+        # re-creates its db mid-script)
+        flat = [k for k in run.tables if k.startswith(f"{dbname}__")]
+        victims = flat if any("__" in k for k in run.tables) else \
+            list(run.tables)
+        for key in victims:
             run.spark.sql(
                 f"DROP TABLE IF EXISTS `{run.tables[key].name}`"
             )
-        run.tables.clear()
+            del run.tables[key]
         return None
+    sdbm = re.match(
+        r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)(?:\s+LIKE\s+'([^']*)')?\s*$",
+        s, re.I,
+    )
+    if sdbm:
+        pat = sdbm.group(1)
+        title = f"Database ({pat})" if pat is not None else "Database"
+        rx = re.compile(
+            "^" + re.escape(pat).replace("%", ".*").replace("_", ".")
+            + "$", re.I,
+        ) if pat is not None else None
+        rows = [(d,) for d in sorted(run.dbs)
+                if rx is None or rx.match(d)]
+        return run.spark.createDataFrame(
+            rows, schema=f"`{title}` string",
+        ) if rows else run.spark.createDataFrame(
+            [], schema=f"`{title}` string",
+        )
+    stbm = re.match(
+        r"^\s*SHOW\s+TABLES(?:\s+IN\s+(`[^`]+`|\w+))?\s*$", s, re.I,
+    )
+    if stbm:
+        db = _unquote_ident(stbm.group(1)).lower() if stbm.group(1) \
+            else "test"
+        names = sorted(
+            k[len(db) + 2:] if k.startswith(f"{db}__")
+            else k
+            for k, td in run.tables.items()
+            if not td.temporary
+            and (k.startswith(f"{db}__")
+                 or (db == "test" and "__" not in k))
+        )
+        title = f"Tables_in_{db}"
+        rows = [(n,) for n in names]
+        return run.spark.createDataFrame(
+            rows if rows else [], schema=f"`{title}` string",
+        )
     shm = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+(`[^`]+`|\w+)\s*$", s, re.I)
     if shm:
         key = _unquote_ident(shm.group(1)).lower()
@@ -6919,7 +7396,9 @@ def run_statement(run: MTRRun, stmt: str):
         s = _guard_unsigned_arith(s, run.tables)
         return run.spark.sql(
             rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
-                _apply_union_string_coercion(s, run.tables, "spark"),
+                _apply_temporal_string_cmp(
+                    _apply_union_string_coercion(s, run.tables, "spark"),
+                    run.tables, "spark"),
                 run.tables, "spark"), run.tables, "spark"), "spark")
         )
     raise ValueError(f"unsupported statement: {s[:120]}")
@@ -6943,6 +7422,10 @@ def run_script(
     workdir = tempfile.mkdtemp(prefix="stonedb_mtr_")
     run = MTRRun(spark, workdir)
     _NUS_MODE[0] = False  # fresh session sql_mode
+    script = _fold_get_format(script)
+    _STR_FMT_POOL[:] = _collect_std_formats(script)
+    if re.search(r"(?i)STR_TO_DATE", script):
+        _register_str_to_date_udf(spark)
     stmts = split_mtr(script)
     n_selects = sum(
         1
@@ -7104,6 +7587,8 @@ def build_oracle_sql(
     BIGINT) — DuckDB's integral SUM returns HUGEINT (float64 in
     pandas) while Spark returns BIGINT."""
     _NUS_MODE[0] = False  # fresh session sql_mode
+    script = _fold_get_format(script)
+    _STR_FMT_POOL[:] = _collect_std_formats(script)
     stmts = split_mtr(script)
     tables: dict[str, TableDef] = {}
     versions: dict[str, int] = {}
@@ -7174,6 +7659,7 @@ def build_oracle_sql(
         )
     uservars: dict[str, str] = {}
     oraclefuncs: dict = {}
+    oracle_dbs: set[str] = set()
     views: dict[str, tuple[str, str]] = {}
     viewbodies: dict[str, str] = {}  # view -> original MySQL body
     outfile_snaps: dict[str, str] = {}  # INTO OUTFILE path -> frozen select
@@ -7223,10 +7709,25 @@ def build_oracle_sql(
             )
             oraclefuncs.pop(_unquote_ident(m.group(1)), None)
             continue
+        dbm = _CREATE_DB_STMT.match(s)
+        if dbm:
+            oracle_dbs.add(_unquote_ident(dbm.group(1)).lower())
+            continue
         if re.match(r"^\s*DROP\s+DATABASE\b", s, re.I):
-            # mirror of the runner: the db's tables go with it; a later
-            # CREATE of the same name starts a fresh incarnation
-            for key in list(tables):
+            # mirror of the runner: the db's tables go with it (only
+            # that db's flattened ``db__*`` keys when the script is
+            # multi-namespace); a later CREATE of the same name starts
+            # a fresh incarnation
+            dm0 = re.match(
+                r"^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?"
+                r"(`[^`]+`|\w+)", s, re.I,
+            )
+            dbname = _unquote_ident(dm0.group(1)).lower() if dm0 else ""
+            oracle_dbs.discard(dbname)
+            flat = [k for k in tables if k.startswith(f"{dbname}__")]
+            victims = flat if any("__" in k for k in tables) else \
+                list(tables)
+            for key in victims:
                 pending_rows.pop(key, None)
                 tables.pop(key)
             continue
@@ -7835,7 +8336,47 @@ def build_oracle_sql(
                         else "'" + str(x).replace("'", "''") + "'"
                     )
 
-                if shm:
+                def _one_col(title: str, vals: list[str]) -> str:
+                    if not vals:
+                        return (f"SELECT CAST(NULL AS VARCHAR) AS "
+                                f"\"{title}\" WHERE 1 = 0")
+                    tuples = ", ".join(f"({lit(v)})" for v in vals)
+                    return (f"SELECT * FROM (VALUES {tuples}) "
+                            f"AS _s(\"{title}\")")
+
+                sdb = re.match(
+                    r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)"
+                    r"(?:\s+LIKE\s+'([^']*)')?\s*$", s, re.I,
+                )
+                stb = re.match(
+                    r"^\s*SHOW\s+TABLES(?:\s+IN\s+(`[^`]+`|\w+))?\s*$",
+                    s, re.I,
+                )
+                if sdb:
+                    pat0 = sdb.group(1)
+                    rx = re.compile(
+                        "^" + re.escape(pat0).replace("%", ".*")
+                        .replace("_", ".") + "$", re.I,
+                    ) if pat0 is not None else None
+                    title = (f"Database ({pat0})" if pat0 is not None
+                             else "Database")
+                    show_final = _one_col(
+                        title,
+                        [d for d in sorted(oracle_dbs)
+                         if rx is None or rx.match(d)],
+                    )
+                elif stb:
+                    db = (_unquote_ident(stb.group(1)).lower()
+                          if stb.group(1) else "test")
+                    names = sorted(
+                        k[len(db) + 2:] if k.startswith(f"{db}__") else k
+                        for k, std0 in tables.items()
+                        if not getattr(std0, "temporary", False)
+                        and (k.startswith(f"{db}__")
+                             or (db == "test" and "__" not in k))
+                    )
+                    show_final = _one_col(f"Tables_in_{db}", names)
+                elif shm:
                     std = tables[_unquote_ident(shm.group(1)).lower()]
                     show_final = (
                         f"SELECT {lit(std.name)} AS \"Table\", "
@@ -7864,7 +8405,9 @@ def build_oracle_sql(
                     s = _wrap_nongrouped_any_value(s)
                 final_sql = retarget(
                     rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
-                        _apply_union_string_coercion(s, tables, "duck"),
+                        _apply_temporal_string_cmp(
+                            _apply_union_string_coercion(s, tables, "duck"),
+                            tables, "duck"),
                         tables, "duck"), tables, "duck"), "duck")
                 )
             seen += 1

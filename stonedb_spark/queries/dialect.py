@@ -29,6 +29,24 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_show_databases': ('show_db_table.test', [(1, 48)]),
+    'dialect_show_tables_created': ('show_db_table.test', [(1, 48)]),
+    'dialect_show_tables_empty': ('show_db_table.test', [(1, 48)]),
+    'dialect_show_tables_temp_excl': ('show_db_table.test', [(1, 48)]),
+    'dialect_alter_v1_crossdb_rename': ('alter_table_v1.test', [(1, 60)]),
+    'dialect_alter_v1_crossdb_target': ('alter_table_v1.test', [(1, 60)]),
+    'dialect_issue975': ('issue975.test', [(1, 26)]),
+    'dialect_date_formats': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_castdt': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_timepart': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_bad': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_maybe': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_literal': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_lenient': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_ordname': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_join': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_in': ('date_formats.test', [(1, 172)]),
+    'dialect_date_formats_time_in': ('date_formats.test', [(1, 172)]),
     'dialect_char_length': ('char_length_function.test', [(15, 16), (19, 25)]),
     'dialect_coalesce_ascii': ('coalesce_ascii_func.test', [(16, 17), (20, 20), (22, 22), (28, 29), (33, 44)]),
     'dialect_if_strcmp': ('if_function.test', [(17, 18), (21, 25)]),
@@ -13319,6 +13337,321 @@ DROP TABLE c1fg_pool;
 DROP DATABASE issue1861_test;
 """
 
+SCRIPT_DATE_FORMATS = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test of date format functions
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS date_formats_test;
+--enable_warnings
+
+CREATE DATABASE date_formats_test;
+USE date_formats_test;
+
+# Test of str_to_date
+
+# PS doesnot support fractions of a second
+select str_to_date(concat('15-01-2001',' 2:59:58.999'),
+	           concat('%d-%m-%Y',' ','%H:%i:%s.%f'));
+select STR_TO_DATE('2004.12.12 22.30.61','%Y.%m.%d %T');
+
+SET sql_mode = 'STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+create table t1 (date char(30), format char(30) not null);
+insert into t1 values
+('2003-01-02 10:11:12', '%Y-%m-%d %H:%i:%S'),
+('03-01-02 8:11:2.123456', '%y-%m-%d %H:%i:%S.%#'),
+#bug1495('0003-01-02 8:11:2.123456', '%Y-%m-%d %H:%i:%S.%#'),
+('03-01-02 8:11:2.123456',   '%Y-%m-%d %H:%i:%S.%#'),
+('2003-01-02 10:11:12 PM', '%Y-%m-%d %h:%i:%S %p'),
+#bug1495('2003-01-02 01:11:12.12345AM', '%Y-%m-%d %h:%i:%S.%f%p'),
+#bug1495('2003-01-02 02:11:12.12345AM', '%Y-%m-%d %h:%i:%S.%f %p'),
+#bug1495('2003-01-02 12:11:12.12345 am', '%Y-%m-%d %h:%i:%S.%f%p'),
+('2003-01-02 11:11:12Pm', '%Y-%m-%d %h:%i:%S%p'),
+('10:20:10', '%H:%i:%s'),
+('10:20:10', '%h:%i:%s.%f'),
+('10:20:10', '%T'),
+('10:20:10AM', '%h:%i:%s%p'),
+('10:20:10AM', '%r'),
+#bug1495('10:20:10.44AM', '%h:%i:%s.%f%p'),
+('15-01-2001 12:59:58', '%d-%m-%Y %H:%i:%S'),
+('15 September 2001', '%d %M %Y'),
+('15 SEPTEMB 2001', '%d %M %Y'),
+('15 MAY 2001', '%d %b %Y'),
+('15th May 2001', '%D %b %Y'),
+('Sunday 15 MAY 2001', '%W %d %b %Y'),
+('Sund 15 MAY 2001', '%W %d %b %Y'),
+('Tuesday 00 2002', '%W %U %Y'),
+('Thursday 53 1998', '%W %u %Y'),
+('Sunday 01 2001', '%W %v %x'),
+('Tuesday 52 2001', '%W %V %X'),
+('060 2004', '%j %Y'),
+('4 53 1998', '%w %u %Y'),
+('15-01-2001', '%d-%m-%Y %H:%i:%S'),
+('15-01-20', '%d-%m-%y'),
+('15-2001-1', '%d-%Y-%c');
+
+select date,format,str_to_date(date, format) as str_to_date from t1;
+# Use as a string
+select date,format,concat('',str_to_date(date, format)) as con from t1;
+# Use as datetime
+select date,format,cast(str_to_date(date, format) as datetime) as datetime from t1;
+select date,format,DATE(str_to_date(date, format)) as date2 from t1;
+select date,format,TIME(str_to_date(date, format)) as time from t1;
+select date,format,concat(TIME(str_to_date(date, format))) as time2 from t1;
+# Test small bug in %f handling
+select concat('',str_to_date('8:11:2.123456 03-01-02','%H:%i:%S.%f %y-%m-%d'));
+
+# Test wrong dates or converion specifiers
+
+truncate table t1;
+insert into t1 values
+('2003-01-02 10:11:12 PM', '%Y-%m-%d %H:%i:%S %p'),
+('2003-01-02 10:11:12.123456', '%Y-%m-%d %h:%i:%S %p'),
+('2003-01-02 10:11:12AM', '%Y-%m-%d %h:%i:%S.%f %p'),
+('2003-01-02 10:11:12AN', '%Y-%m-%d %h:%i:%S%p'),
+('2003-01-02 10:11:12 PM', '%y-%m-%d %H:%i:%S %p'),
+('10:20:10AM', '%H:%i:%s%p'),
+('15 Septembei 2001', '%d %M %Y'),
+('15 Ju 2001', '%d %M %Y'),
+('Sund 15 MA', '%W %d %b %Y'),
+('Thursdai 12 1998', '%W %u %Y'),
+('Sunday 01 2001', '%W %v %X'),
+('Tuesday 52 2001', '%W %V %x'),
+('Tuesday 52 2001', '%W %V %Y'),
+('Tuesday 52 2001', '%W %u %x'),
+('7 53 1998', '%w %u %Y'),
+(NULL, get_format(DATE,'USA'));
+select date,format,str_to_date(date, format) as str_to_date from t1;
+select date,format,concat(str_to_date(date, format),'') as con from t1;
+
+# Test 'maybe' date formats and 'strange but correct' results
+
+truncate table t1;
+insert into t1 values
+('10:20:10AM', '%h:%i:%s'),
+('2003-01-02 10:11:12', '%Y-%m-%d %h:%i:%S'),
+('03-01-02 10:11:12 PM', '%Y-%m-%d %h:%i:%S %p');
+
+select date,format,str_to_date(date, format) as str_to_date from t1;
+select date,format,concat(str_to_date(date, format),'') as con from t1;
+drop table t1;
+
+# Test of date_format()
+create table t1 (d date);
+insert into t1 values ('2004-07-14'),('2005-07-14');
+select date_format(d,"%d") from t1 order by 1;
+drop table t1;
+
+# PS doesnot support fractional seconds
+select str_to_date("2003-....01ABCD-02 10:11:12.0012", "%Y-%.%m%@-%d %H:%i:%S.%f") as a;
+
+SET sql_mode = 'NO_ENGINE_SUBSTITUTION';
+#bug1495create table t1 select str_to_date("2003-01-02 10:11:12.0012", "%Y-%m-%d %H:%i:%S.%f") as f1,
+#bug1495			str_to_date("10:11:12.0012", "%H:%i:%S.%f") as f2,
+#bug1495			str_to_date("2003-01-02", "%Y-%m-%d") as f3,
+#bug1495			str_to_date("02", "%d") as f4, str_to_date("02 10", "%d %H") as f5;
+#bug1495describe t1;
+#bug1495select * from t1;
+
+#bug1495create table t1 select "02 10" as a, "%d %H" as b;
+#bug1495select str_to_date(a,b) from t1;
+#bug1495create table t2 select str_to_date(a,b) from t1;
+#bug1495describe t2;
+select str_to_date("2003-01-02 10:11:12.0012", "%Y-%m-%d %H:%i:%S.%f") as f1,
+       str_to_date("2003-01-02 10:11:12.0012", "%Y-%m-%d %H:%i:%S") as f2,
+       str_to_date("2003-01-02", "%Y-%m-%d") as f3,
+       str_to_date("02 10:11:12", "%d %H:%i:%S.%f") as f4,
+       str_to_date("02 10:11:12", "%d %H:%i:%S") as f5,
+       str_to_date("02 10", "%d %f") as f6;
+select str_to_date("2003-01-02 10:11:12.0012ABCD", "%Y-%m-%d %H:%i:%S.%f") as f1,
+       addtime("-01:01:01.01 GGG", "-23:59:59.1") as f2,
+       microsecond("1997-12-31 23:59:59.01XXXX") as f3;
+
+select str_to_date("2003-04-05  g", "%Y-%m-%d") as f1,
+       str_to_date("2003-04-05 10:11:12.101010234567", "%Y-%m-%d %H:%i:%S.%f") as f2;
+
+create table t1 (f1 datetime);
+insert into t1 (f1) values ("2005-01-01");
+insert into t1 (f1) values ("2005-02-01");
+select date_format(f1, "%m") as d1, date_format(f1, "%M") as d2 from t1 order by date_format(f1, "%M");
+drop table t1;
+
+CREATE TABLE t1 (a varchar(10), PRIMARY KEY (a));
+CREATE TABLE t2 (a varchar(10), b date, PRIMARY KEY(a,b));
+CREATE TABLE t3 (a varchar(10), b TIME, PRIMARY KEY(a,b));
+INSERT INTO t1 VALUES ('test1');
+INSERT INTO t2 VALUES
+('test1','2016-12-13'),('test1','2016-12-14'),('test1','2016-12-15');
+INSERT INTO t3 VALUES
+('test1','11:13:14'), ('test1','12:13:14'), ('test1','10:13:14');
+
+SELECT *
+FROM t1 LEFT JOIN t2
+  ON t2.a = 'test1' AND t2.b = '20161213'
+WHERE t1.a = 'test1';
+
+SELECT *
+FROM t1 LEFT JOIN t2 IGNORE INDEX(PRIMARY)
+  ON t2.a = 'test1' AND t2.b = '20161213'
+WHERE t1.a = 'test1';
+
+SELECT b, b = '20161213',
+       CASE b WHEN '20161213' then 'found' ELSE 'not found' END FROM t2;
+SELECT b, b IN ('20161213'), b in ('20161213', 0) FROM t2;
+
+#Uses datatype TIME
+SELECT b, b = '121314',
+       CASE b WHEN '121314' then 'found' ELSE 'not found' END FROM t3 order by 1;
+SELECT b, b in ('121314'), b in ('121314', 0) FROM t3 order by 1;
+
+#clean UP
+drop database date_formats_test;
+
+"""
+
+
+SCRIPT_ISSUE975 = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue975_test;
+--enable_warnings
+
+CREATE DATABASE issue975_test;
+
+USE issue975_test;
+
+CREATE TABLE t1 (date CHAR(30), format CHAR(30)) engine=tianmu default CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+INSERT INTO t1 VALUES
+('10:20:10', '%H:%i:%s'),
+('10:20:10', '%h:%i:%s.%f'),
+('10:20:10', '%T'),
+('10:20:10AM', '%h:%i:%s%p'),
+('10:20:10AM', '%r'),
+('10:20:10.44AM', '%h:%i:%s.%f%p'),
+('10:20:10PM', '%h:%i:%s%p'),
+('10:20:10PM', '%r'),
+('10:20:10.44PM', '%h:%i:%s.%f%p');
+SELECT date, format, STR_TO_DATE(date, format) as str_to_date FROM t1;
+show variables like '%sql_mode%';
+drop table t1;
+
+DROP DATABASE issue975_test;
+"""
+
+
+SCRIPT_SHOW_DB_TABLE = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test show databases and tables
+--echo # Author: shiz
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS show_test1;
+DROP DATABASE IF EXISTS show_test2;
+--enable_warnings
+
+CREATE DATABASE show_test1;
+CREATE SCHEMA show_test2;
+--sorted_result
+SHOW DATABASES LIKE 'show%';
+--sorted_result
+SHOW SCHEMAS LIKE 'show%';
+
+SHOW TABLES IN show_test1;
+USE show_test2;
+--sorted_result
+SHOW TABLES;
+
+CREATE TABLE show_test1.t1 (id INT);
+CREATE TABLE show_test1.t2 (id INT);
+--sorted_result
+SHOW TABLES IN show_test1;
+USE show_test1;
+--sorted_result
+SHOW TABLES;
+
+USE show_test2;
+CREATE TABLE t1 (id INT);
+CREATE TABLE t2 (id INT);
+CREATE TEMPORARY TABLE tmp1 (id INT);
+--error 1050
+CREATE TEMPORARY TABLE tmp1 (id INT);
+--sorted_result
+SHOW TABLES;
+--sorted_result
+SHOW TABLES IN show_test2;
+
+# Clean up
+DROP DATABASE show_test1;
+DROP DATABASE show_test2;
+"""
+
+SCRIPT_ALTER_V1_CROSSDB = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test of alter table
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS alter_table_v1_test;
+--enable_warnings
+
+CREATE DATABASE alter_table_v1_test;
+USE alter_table_v1_test;
+
+
+create table t1 (bandID MEDIUMINT NOT NULL PRIMARY KEY, payoutID SMALLINT NOT NULL);
+insert into t1 (bandID,payoutID) VALUES (1,6),(2,6),(3,4),(4,9),(5,10),(6,1),(7,12),(8,12);
+alter table t1 add column new_col int, order by payoutid,bandid;
+select * from t1;
+alter table t1 order by bandid,payoutid;
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # Test of ALTER TABLE ... ORDER BY
+--echo #
+
+create table t1 (n int);
+insert into t1 values(9),(3),(12),(10);
+alter table t1 order by n;
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # Drop and add an auto_increment column
+--echo #
+
+create table t1 (i int not null auto_increment primary key);
+insert into t1 values (null),(null),(null),(null);
+#alter table t1 drop i,add i int unsigned not null auto_increment, drop primary key, add primary key (i);
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # 'alter table t1 rename alter_table_v1_test1.t1' silently drops alter_table_v1_test1.t1 
+--echo # if it exists
+--echo #
+
+create table t1 (name char(15));
+insert into t1 (name) values ("current");
+create database alter_table_v1_test1;
+create table alter_table_v1_test1.t1 (name char(25));
+insert into alter_table_v1_test1.t1 (name) values ("alter_table_v1_test1");
+select * from t1;
+select * from alter_table_v1_test1.t1;
+--error ER_TABLE_EXISTS_ERROR
+alter table t1 rename alter_table_v1_test1.t1;
+select * from t1;
+select * from alter_table_v1_test1.t1;
+drop table t1;
+drop database alter_table_v1_test1;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -13591,6 +13924,24 @@ _SPECS = [
     ('dialect_v_issue282', SCRIPT_V_ISSUE282, -1, ['c0', 'c1', 'c2', 'c3', 'c4'], False, 'verbatim MTR regression: --echo # Multiple nesting'),
     ('dialect_v_issue1861', SCRIPT_V_ISSUE1861, -1, ['c0', 'c1', 'c2', 'c3', 'c4', 'c5'], False, 'verbatim MTR regression: issue1861'),
     ('dialect_issue1070', SCRIPT_ISSUE1070, -1, ['h'], False, 'verbatim issue regression: regression scenario issue1070'),
+    ('dialect_date_formats', SCRIPT_DATE_FORMATS, 2, ['date', 'format', 'str_to_date'], False, 'STR_TO_DATE %-spec battery over a (value, format) table: numeric/name/week/yearday specs, AM/PM, skip-specs, DATETIME(6) dynamic typing'),
+    ('dialect_date_formats_castdt', SCRIPT_DATE_FORMATS, 4, ['date', 'format', 'datetime'], False, 'CAST(STR_TO_DATE(...) AS DATETIME) strips the fractional rendering (DATETIME(0))'),
+    ('dialect_date_formats_timepart', SCRIPT_DATE_FORMATS, 6, ['date', 'format', 'time'], False, 'TIME(STR_TO_DATE(...)) extracts the time part of the MySQL rendering incl. zero dates'),
+    ('dialect_date_formats_bad', SCRIPT_DATE_FORMATS, 9, ['date', 'format', 'str_to_date'], False, 'wrong dates / conversion specifiers all NULL: %p with %H, ambiguous name prefixes, week-spec pairing violations, %w=7'),
+    ('dialect_date_formats_maybe', SCRIPT_DATE_FORMATS, 11, ['date', 'format', 'str_to_date'], False, 'maybe-formats: trailing garbage keeps the parsed prefix with a warning'),
+    ('dialect_date_formats_literal', SCRIPT_DATE_FORMATS, 15, None, False, 'constant-format STR_TO_DATE derives the result type from the specs: DATETIME(6)/(0), DATE, and TIME with day*24 folded into hours (58:11:12)'),
+    ('dialect_date_formats_lenient', SCRIPT_DATE_FORMATS, 16, ['f1', 'f2', 'f3'], False, 'lenient temporal string reads: trailing-garbage STR_TO_DATE, ADDTIME over a garbage-suffixed TIME, MICROSECOND of a truncated literal'),
+    ('dialect_date_formats_ordname', SCRIPT_DATE_FORMATS, 18, ['d1', 'd2'], False, 'DATE_FORMAT %M month NAME on both engines (strftime %B, not minutes) incl. ORDER BY on it'),
+    ('dialect_date_formats_join', SCRIPT_DATE_FORMATS, 19, ['a1', 'a2', 'b'], False, 'LEFT JOIN ON a compact date string literal (b = 20161213 as text) + IGNORE INDEX hint strip'),
+    ('dialect_date_formats_in', SCRIPT_DATE_FORMATS, 22, ['b', 'e1', 'e2'], False, 'DATE column IN over compact string literal and numeric zero-date leg'),
+    ('dialect_date_formats_time_in', SCRIPT_DATE_FORMATS, 24, ['b', 'e1', 'e2'], False, 'TIME column compared numerically (colon-stripped) in IN lists'),
+    ('dialect_issue975', SCRIPT_ISSUE975, -1, ['date', 'format', 'str_to_date'], False, 'verbatim issue regression: STR_TO_DATE time-only %-specs incl. .%f%p fractional-AM/PM combos over a utf8mb4_unicode_ci table'),
+    ('dialect_show_databases', SCRIPT_SHOW_DB_TABLE, -1, None, False, 'SHOW DATABASES LIKE pattern over script-created databases (multi-db namespace)', None, {'show': 0}),
+    ('dialect_show_tables_empty', SCRIPT_SHOW_DB_TABLE, -1, None, False, 'SHOW TABLES IN db on a freshly created empty database', None, {'show': 2}),
+    ('dialect_show_tables_created', SCRIPT_SHOW_DB_TABLE, -1, None, False, 'SHOW TABLES IN db lists db-qualified creates; same-named t1/t2 live in TWO databases at once (flattened db__table registry)', None, {'show': 4}),
+    ('dialect_show_tables_temp_excl', SCRIPT_SHOW_DB_TABLE, -1, None, False, 'SHOW TABLES excludes TEMPORARY tables; duplicate CREATE TEMPORARY raises 1050', None, {'show': 6}),
+    ('dialect_alter_v1_crossdb_rename', SCRIPT_ALTER_V1_CROSSDB, 6, None, False, 'ALTER TABLE t1 RENAME otherdb.t1 errors 1050 when the target exists — source table survives untouched'),
+    ('dialect_alter_v1_crossdb_target', SCRIPT_ALTER_V1_CROSSDB, 7, None, False, 'cross-db rename target table keeps its own rows after the failed rename'),
 ]
 
 

@@ -453,3 +453,138 @@ def str_to_date_case(arg: str, fmt_expr: str, formats: list[str],
             "format literals in the script"
         )
     return "(CASE " + " ".join(legs) + " ELSE NULL END)"
+
+
+def py_str_to_date(value, fmt):
+    """Python reference implementation of DYNAMIC-mode STR_TO_DATE
+    (format not constant → MySQL types the result DATETIME(6)).  Used
+    by the Spark runner through an Arrow-batched pandas UDF — the
+    pure-SQL CASE over every candidate format (str_to_date_case, still
+    used for the DuckDB oracle) explodes Catalyst analysis time; the
+    two independent implementations cross-validate through the oracle
+    comparison."""
+    import datetime
+
+    if value is None or fmt is None:
+        return None
+    try:
+        toks = _tokens(fmt)
+    except Exception:
+        return None
+    specs = {v for k, v in toks if k == "spec"}
+    if "p" in specs and (specs & {"H", "k"}) and not (specs & {"h", "I", "l"}):
+        return None
+    strict_sun, strict_mon = "V" in specs, "v" in specs
+    loose = bool(specs & {"U", "u"})
+    wy_sun, wy_mon = "X" in specs, "x" in specs
+    if (strict_sun and not wy_sun) or (strict_mon and not wy_mon):
+        return None
+    if (wy_sun and not strict_sun) or (wy_mon and not strict_mon):
+        return None
+    if loose and (wy_sun or wy_mon):
+        return None
+    try:
+        pat, groups = _build_regex(toks)
+    except ValueError:
+        return None
+    m = re.match(pat, value)
+    if not m:
+        return None
+
+    def g(key):
+        return m.group(groups[key]) if key in groups else None
+
+    def num(key):
+        v = g(key)
+        return int(v) if v else 0
+
+    def _name(key, names):
+        word = g(key)
+        if not word:
+            return 0
+        w = word.lower()
+        hits = [i + 1 for i, nm in enumerate(names)
+                if nm.lower().startswith(w)]
+        if len(hits) != 1:
+            raise ValueError
+        return hits[0]
+
+    try:
+        if g("year4"):
+            y = num("year4")
+            if len(g("year4")) <= 2:
+                y += 2000 if y < 70 else 1900
+        elif g("year2"):
+            y = num("year2")
+            y += 2000 if y < 70 else 1900
+        else:
+            y = 0
+        if g("month"):
+            mo = num("month")
+            if mo > 12:
+                return None
+        elif "month_name" in groups:
+            mo = _name("month_name", MONTHS)
+        elif "month_ab" in groups:
+            mo = _name("month_ab", AB_MONTHS)
+        else:
+            mo = 0
+        d = num("day")
+        if d > 31:
+            return None
+        if g("hour24") is not None and num("hour24") > 23:
+            return None
+        if g("hour12"):
+            if num("hour12") > 12:
+                return None
+            h = num("hour12") % 12
+            if g("ampm") and g("ampm").upper() == "PM":
+                h += 12
+        else:
+            h = num("hour24")
+        if "ampm" in groups and not g("ampm"):
+            return None  # value exhausted before %p: MySQL err
+        mi, sec = num("minute"), num("second")
+        if mi > 59 or sec > 59:
+            return None
+        frac = (g("frac") or "0").ljust(6, "0")
+        # weekday 1..7 = Monday..Sunday
+        if "wday_name" in groups:
+            wd = _name("wday_name", WEEKDAYS)
+        elif "wday_ab" in groups:
+            wd = _name("wday_ab", AB_WEEKDAYS)
+        elif g("wday_num"):
+            n = num("wday_num")
+            if n > 6:
+                return None
+            wd = 7 if n == 0 else n
+        else:
+            wd = 0
+        week_key = next((k for k in ("week_U", "week_u", "week_V",
+                                     "week_v") if g(k)), None)
+        if week_key and wd:
+            sunday_first = week_key in ("week_U", "week_V")
+            wy = (num("wyear_X") if g("wyear_X")
+                  else num("wyear_x") if g("wyear_x") else y)
+            wk = num(week_key)
+            jan1 = datetime.date(wy, 1, 1)
+            dow0 = (jan1.weekday() + 1) % 7  # Sunday=0..6
+            if sunday_first:
+                wb = dow0
+                k0 = 0 if wb == 0 else 7
+                pos = wd % 7
+            else:
+                wb = (dow0 + 6) % 7  # Monday=0..6
+                k0 = 0 if wb <= 3 else 7
+                pos = wd - 1
+            dt = jan1 + datetime.timedelta(
+                days=k0 - wb + (wk - 1) * 7 + pos)
+            y, mo, d = dt.year, dt.month, dt.day
+        elif g("yearday"):
+            dt = (datetime.date(y, 1, 1)
+                  + datetime.timedelta(days=num("yearday") - 1))
+            y, mo, d = dt.year, dt.month, dt.day
+    except ValueError:
+        return None
+    return (f"{y:04d}-{mo:02d}-{d:02d} "
+            f"{h:02d}:{mi:02d}:{sec:02d}.{frac}")
