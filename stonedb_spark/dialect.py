@@ -2104,6 +2104,15 @@ def _huge_int_arith_guard(sql: str) -> None:
 # called from both translators; scripts execute single-threaded and
 # run_script / build_oracle_sql reset it at entry.
 _NUS_MODE = [False]
+# session time_zone offset in minutes (SET time_zone='-5:00'); MySQL
+# TIMESTAMP columns store UTC and render in the statement's session
+# offset — frozen per statement in BOTH translators (type_timestamp)
+_TZ_OFFSET_MIN = [0]
+
+_SET_TIMEZONE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+)?time_zone\s*=\s*'([+-])(\d{1,2}):(\d{2})'\s*$",
+    re.I,
+)
 
 
 class _EvalAbort(Exception):
@@ -5068,6 +5077,44 @@ def _apply_temporal_numeric_cmp(
     return _sub_outside_strings(sql, pat, rep)
 
 
+def _apply_tz_select_shift(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL TIMESTAMP columns (storage = UTC) render and compare in
+    the session time_zone: add the statement's frozen offset to every
+    bare reference of a TIMESTAMP (not DATETIME) column.  Comparisons
+    against session-local literals then work unchanged
+    (type_timestamp.test's BETWEEN legs).  Identity at offset 0."""
+    off = _TZ_OFFSET_MIN[0]
+    if not off:
+        return sql
+    cols: set[str] = set()
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s+(`[^`]+`|\w+)", sql, re.I):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for c in td.columns:
+                if c.mysql_type == "timestamp":
+                    cols.add(c.name.lower())
+    if not cols:
+        return sql
+    names = "|".join(sorted(cols))
+    pat = re.compile(
+        rf"(?<![\w.`'])(`?)({names})\1(?!\s*\()(?![\w.'])", re.I,
+    )
+
+    def rep(m: re.Match) -> str:
+        # DuckDB rejects a negative INTERVAL literal — spell the sign
+        # as the operator
+        op, mag = ("-", -off) if off < 0 else ("+", off)
+        return f"(`{m.group(2)}` {op} INTERVAL {mag} MINUTE)"
+
+    # INSERT…SELECT copies storage verbatim (the display shift and the
+    # insert-side unshift cancel); only plain SELECTs shift
+    if re.match(r"^\s*(?:INSERT|REPLACE)\b", sql, re.I):
+        return sql
+    return _sub_outside_strings(sql, pat, rep)
+
+
 def _canon_compact_temporal(digits: str, kind: str) -> str | None:
     """'20161213' → '2016-12-13' (DATE/TIMESTAMP), '121314' →
     '12:13:14' (TIME) — MySQL's compact temporal string forms."""
@@ -5888,6 +5935,12 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
         frac = 0.0
     if base == "DATE":
         return f"'{t:%Y-%m-%d}'"
+    if col.mysql_type == "timestamp" and _TZ_OFFSET_MIN[0]:
+        # MySQL TIMESTAMP (not DATETIME) stores UTC: the literal is a
+        # session-local wall time, storage subtracts the session
+        # offset (type_timestamp.test's SET time_zone battery);
+        # display SELECTs add the then-current offset back
+        t -= _dt.timedelta(minutes=_TZ_OFFSET_MIN[0])
     out = f"{t:%Y-%m-%d %H:%M:%S}"
     if col.fsp > 0 and m.group(7):
         out += f"{m.group(7)[: col.fsp + 1]}"
@@ -6577,6 +6630,13 @@ def run_statement(run: MTRRun, stmt: str):
         run.strict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
         run.full_group_by = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
         _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
+        return None
+    tzm = _SET_TIMEZONE.match(s)
+    if tzm:
+        sign = -1 if tzm.group(1) == "-" else 1
+        _TZ_OFFSET_MIN[0] = sign * (
+            int(tzm.group(2)) * 60 + int(tzm.group(3))
+        )
         return None
     fn = _parse_create_function(s)
     if fn is not None:
@@ -7397,7 +7457,10 @@ def run_statement(run: MTRRun, stmt: str):
         return run.spark.sql(
             rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
                 _apply_temporal_string_cmp(
-                    _apply_union_string_coercion(s, run.tables, "spark"),
+                    _apply_tz_select_shift(
+                        _apply_union_string_coercion(s, run.tables,
+                                                     "spark"),
+                        run.tables, "spark"),
                     run.tables, "spark"),
                 run.tables, "spark"), run.tables, "spark"), "spark")
         )
@@ -7422,6 +7485,7 @@ def run_script(
     workdir = tempfile.mkdtemp(prefix="stonedb_mtr_")
     run = MTRRun(spark, workdir)
     _NUS_MODE[0] = False  # fresh session sql_mode
+    _TZ_OFFSET_MIN[0] = 0  # fresh session time_zone
     script = _fold_get_format(script)
     _STR_FMT_POOL[:] = _collect_std_formats(script)
     if re.search(r"(?i)STR_TO_DATE", script):
@@ -7587,6 +7651,7 @@ def build_oracle_sql(
     BIGINT) — DuckDB's integral SUM returns HUGEINT (float64 in
     pandas) while Spark returns BIGINT."""
     _NUS_MODE[0] = False  # fresh session sql_mode
+    _TZ_OFFSET_MIN[0] = 0  # fresh session time_zone
     script = _fold_get_format(script)
     _STR_FMT_POOL[:] = _collect_std_formats(script)
     stmts = split_mtr(script)
@@ -7697,6 +7762,13 @@ def build_oracle_sql(
             oraclestrict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
             oracle_fullgb = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
             _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
+            continue
+        tzm = _SET_TIMEZONE.match(s)
+        if tzm:
+            sign = -1 if tzm.group(1) == "-" else 1
+            _TZ_OFFSET_MIN[0] = sign * (
+                int(tzm.group(2)) * 60 + int(tzm.group(3))
+            )
             continue
         fn = _parse_create_function(s)
         if fn is not None:
@@ -8406,7 +8478,10 @@ def build_oracle_sql(
                 final_sql = retarget(
                     rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
                         _apply_temporal_string_cmp(
-                            _apply_union_string_coercion(s, tables, "duck"),
+                            _apply_tz_select_shift(
+                                _apply_union_string_coercion(s, tables,
+                                                             "duck"),
+                                tables, "duck"),
                             tables, "duck"),
                         tables, "duck"), tables, "duck"), "duck")
                 )

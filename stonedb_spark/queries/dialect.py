@@ -29,6 +29,10 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_ts_tz_display': ('type_timestamp.test', [(1, 56)]),
+    'dialect_ts_tz_redisplay': ('type_timestamp.test', [(1, 56)]),
+    'dialect_ts_compact_literals': ('type_timestamp.test', [(1, 56)]),
+    'dialect_ts_tz_between': ('type_timestamp.test', [(1, 56)]),
     'dialect_show_databases': ('show_db_table.test', [(1, 48)]),
     'dialect_show_tables_created': ('show_db_table.test', [(1, 48)]),
     'dialect_show_tables_empty': ('show_db_table.test', [(1, 48)]),
@@ -13652,6 +13656,65 @@ drop database alter_table_v1_test1;
 """
 
 
+SCRIPT_TYPE_TIMESTAMP_TZ = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test cases for the TIMESTAMP datatype
+--echo #
+
+# Test insert/literals/microseconds
+--disable_warnings
+DROP DATABASE IF EXISTS timestamp_test;
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+--enable_warnings
+
+CREATE DATABASE timestamp_test;
+USE timestamp_test;
+
+## Test the effect of changing timezones on timestamp values
+CREATE TABLE ctimestamp (a timestamp);
+SET time_zone='-5:00';
+INSERT INTO ctimestamp VALUES ('2019-01-01 01:02:03'), ('2019-05-05 01:01:01');
+SET time_zone='+1:00';
+SELECT a FROM ctimestamp ORDER BY a;
+SET time_zone='-2:00';
+SELECT a FROM ctimestamp ORDER BY a;
+
+## Test insert
+CREATE TABLE ctimestamp2 (a timestamp DEFAULT 0);
+INSERT INTO ctimestamp2 SELECT * FROM ctimestamp;
+SELECT a FROM ctimestamp2 ORDER BY a;
+
+## Test literals
+CREATE TABLE ctimestamp3 (a timestamp);
+INSERT INTO ctimestamp3 VALUES (19940101), (940101),
+(19940101010203), (940101010203), ('1994-01-01T01:02:03');
+SELECT a FROM ctimestamp3 ORDER BY a;
+
+## Test microseconds error
+#CREATE TABLE ctimestamp4 (a timestamp(6) default 0);
+#INSERT INTO ctimestamp4 VALUES (0), ('2019-01-01 01:01:01.123456');
+#SELECT a, microsecond(a) FROM ctimestamp4 ORDER BY a;
+
+--disable_warnings
+DROP DATABASE IF EXISTS timestamp_test;
+--enable_warnings
+
+CREATE DATABASE timestamp_test;
+USE timestamp_test;
+
+CREATE TABLE ctimestamp (a timestamp);
+SET time_zone='+0:00';
+INSERT INTO ctimestamp VALUES ('2019-01-02 00:02:03'),
+('2019-01-02 01:02:03'), ('2019-01-02 10:11:12');
+SET time_zone='+1:00';
+
+SELECT a, a BETWEEN '2019-01-02 02:00:00' AND '2019-01-02 13:00:00'
+FROM ctimestamp ORDER BY a;
+
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -13942,6 +14005,10 @@ _SPECS = [
     ('dialect_show_tables_temp_excl', SCRIPT_SHOW_DB_TABLE, -1, None, False, 'SHOW TABLES excludes TEMPORARY tables; duplicate CREATE TEMPORARY raises 1050', None, {'show': 6}),
     ('dialect_alter_v1_crossdb_rename', SCRIPT_ALTER_V1_CROSSDB, 6, None, False, 'ALTER TABLE t1 RENAME otherdb.t1 errors 1050 when the target exists — source table survives untouched'),
     ('dialect_alter_v1_crossdb_target', SCRIPT_ALTER_V1_CROSSDB, 7, None, False, 'cross-db rename target table keeps its own rows after the failed rename'),
+    ('dialect_ts_tz_display', SCRIPT_TYPE_TIMESTAMP_TZ, 0, ['a'], False, 'TIMESTAMP stores UTC: inserted at time_zone=-5:00, displayed at +1:00 (per-statement frozen session offset)'),
+    ('dialect_ts_tz_redisplay', SCRIPT_TYPE_TIMESTAMP_TZ, 1, ['a'], False, 'same storage re-displayed after SET time_zone=-2:00'),
+    ('dialect_ts_compact_literals', SCRIPT_TYPE_TIMESTAMP_TZ, 3, ['a'], False, 'numeric TIMESTAMP literals 19940101 / 940101010203 / T-separator normalize identically'),
+    ('dialect_ts_tz_between', SCRIPT_TYPE_TIMESTAMP_TZ, 4, ['a', 'btw'], False, 'BETWEEN over a tz-shifted TIMESTAMP column against session-local literals'),
 ]
 
 
