@@ -1534,6 +1534,10 @@ def _cast_mysql(inner: str, engine: str) -> str:
             f" THEN CAST(18446744073709551616 AS DECIMAL(21,0)) + ({expr})"
             f" ELSE ({expr}) END) AS DECIMAL(20,0))"
         )
+    if ttype == "DATETIME":
+        # Spark has no DATETIME spelling; TIMESTAMP is the analog on
+        # both engines (type_timestamp.test's CAST(LEAST(…) AS DATETIME))
+        return f"CAST(({expr}) AS TIMESTAMP)"
     if ttype == "CHAR" and targ and re.fullmatch(r"\d+", targ):
         vtype = "STRING" if engine == "spark" else "VARCHAR"
         return f"SUBSTR(CAST(({expr}) AS {vtype}), 1, {int(targ)})"
@@ -3402,6 +3406,18 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
+    if engine == "duck":
+        # MySQL DAYOFWEEK is ODBC-style 1=Sunday; DuckDB's is 0=Sunday.
+        # Runs BEFORE the STR_TO_DATE/WEEKDAY passes whose GENERATED
+        # dayofweek calls are already engine-correct (their inners are
+        # CAST/MAKE_DATE forms, skipped by the guard).
+        def _dow_fn(inner: str) -> str:
+            t = inner.strip()
+            if re.match(r"(?i)^(CAST|MAKE_DATE)\s*\(", t):
+                return f"DAYOFWEEK({inner})"
+            return f"(DAYOFWEEK(CAST(({inner}) AS DATE)) + 1)"
+
+        sql = _wrap_calls(sql, "DAYOFWEEK", _dow_fn)
     sql = _rewrite_str_to_date(sql, engine)
     sql = _wrap_calls(sql, "TIME", lambda i: _time_fn(i, engine))
     sql = _wrap_calls(sql, "SEC_TO_TIME", lambda i: _sec_to_time(i, engine))
@@ -4088,6 +4104,58 @@ def _rewrite_date_parts(sql: str, engine: str) -> str:
         return f"CAST(MICROSECOND({ts}) % 1000000 AS {it})"
 
     sql = _wrap_calls(sql, "MICROSECOND", micro)
+
+    def todays(inner: str) -> str:
+        # MySQL TO_DAYS: days since year 0 (epoch day 0 = 719528)
+        inner = _normalize_date_literal(inner) or inner
+        if engine == "spark":
+            return (f"(DATEDIFF(CAST(({inner}) AS DATE), "
+                    f"DATE'1970-01-01') + 719528)")
+        return (f"(DATEDIFF('day', CAST('1970-01-01' AS DATE), "
+                f"CAST(({inner}) AS DATE)) + 719528)")
+
+    sql = _wrap_calls(sql, "TO_DAYS", todays)
+
+    def gl_fn(inner: str, greatest: bool) -> str:
+        # MySQL GREATEST/LEAST over a temporal operand and a temporal
+        # STRING literal returns the winner in its own rendering (the
+        # literal text verbatim; type_timestamp.test's GREATEST(a,
+        # '2020-07-01')).  Engines coerce mixed types differently —
+        # spell the comparison out.  Other shapes pass through.
+        name = "GREATEST" if greatest else "LEAST"
+        parts = _split_top_commas(inner)
+        if len(parts) != 2:
+            return f"{name}({inner})"
+        litidx = None
+        for i, p in enumerate(parts):
+            if re.fullmatch(
+                r"\s*'\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}"
+                r"(\.\d+)?)?'\s*", p,
+            ):
+                litidx = i
+        if litidx is None or all(
+            re.match(r"\s*'", p) for p in parts
+        ):
+            return f"{name}({inner})"
+        x, y = parts[0].strip(), parts[1].strip()
+        op = ">=" if greatest else "<="
+
+        def render(p: str) -> str:
+            if re.match(r"^\s*'", p):
+                return p.strip()
+            if engine == "spark":
+                return f"DATE_FORMAT(({p}), 'yyyy-MM-dd HH:mm:ss')"
+            return (f"strftime(CAST(({p}) AS TIMESTAMP), "
+                    f"'%Y-%m-%d %H:%M:%S')")
+
+        return (
+            f"(CASE WHEN CAST(({x}) AS TIMESTAMP) {op} "
+            f"CAST(({y}) AS TIMESTAMP) THEN {render(x)} "
+            f"ELSE {render(y)} END)"
+        )
+
+    sql = _wrap_calls(sql, "GREATEST", lambda i: gl_fn(i, True))
+    sql = _wrap_calls(sql, "LEAST", lambda i: gl_fn(i, False))
 
     def name_fn(mysql_fn: str, fmt: str):
         def w(inner: str) -> str:
@@ -5080,39 +5148,112 @@ def _apply_temporal_numeric_cmp(
 def _apply_tz_select_shift(
     sql: str, tables: dict[str, TableDef], engine: str
 ) -> str:
-    """MySQL TIMESTAMP columns (storage = UTC) render and compare in
-    the session time_zone: add the statement's frozen offset to every
-    bare reference of a TIMESTAMP (not DATETIME) column.  Comparisons
-    against session-local literals then work unchanged
-    (type_timestamp.test's BETWEEN legs).  Identity at offset 0."""
+    """MySQL TIMESTAMP column semantics in SELECTs (type_timestamp):
+
+    * storage = UTC, display/compare = session time_zone — add the
+      statement's frozen offset to every bare reference of a TIMESTAMP
+      (not DATETIME) column, so comparisons against session-local
+      literals work unchanged (the BETWEEN legs);
+    * UNIX_TIMESTAMP(col) is the epoch of STORAGE (no shift);
+    * numeric contexts (CEIL/CEILING/FLOOR/ROUND, TRUNCATE(col, -n),
+      TIME_TO_SEC) read the compact local rendering yyyymmddhhmmss.
+    Consumed references hide behind placeholders so the general shift
+    can't re-shift them."""
     off = _TZ_OFFSET_MIN[0]
-    if not off:
-        return sql
-    cols: set[str] = set()
+    cols: dict[str, ColumnDef] = {}
     for m in re.finditer(r"\b(?:FROM|JOIN)\s+(`[^`]+`|\w+)", sql, re.I):
         td = tables.get(_unquote_ident(m.group(1)).lower())
         if td:
             for c in td.columns:
-                if c.mysql_type == "timestamp":
-                    cols.add(c.name.lower())
-    if not cols:
+                if c.spark_type.upper() in ("DATE", "TIMESTAMP"):
+                    cols[c.name.lower()] = c
+    if not cols or re.match(r"^\s*(?:INSERT|REPLACE)\b", sql, re.I):
         return sql
+
+    def xref(name: str) -> str:
+        c = cols[name.lower()]
+        if c.mysql_type == "timestamp" and off:
+            op, mag = ("-", -off) if off < 0 else ("+", off)
+            return f"(`{name}` {op} INTERVAL {mag} MINUTE)"
+        return f"`{name}`"
+
+    def numref(name: str) -> str:
+        x = xref(name)
+        if engine == "spark":
+            return (f"CAST(DATE_FORMAT({x}, 'yyyyMMddHHmmss') "
+                    f"AS DECIMAL(20,0))")
+        return (f"CAST(strftime(CAST({x} AS TIMESTAMP), "
+                f"'%Y%m%d%H%M%S') AS DECIMAL(20,0))")
+
+    holes: list[str] = []
+
+    def hide(text: str) -> str:
+        holes.append(text)
+        return f"\x00H{len(holes) - 1}\x00"
+
     names = "|".join(sorted(cols))
-    pat = re.compile(
-        rf"(?<![\w.`'])(`?)({names})\1(?!\s*\()(?![\w.'])", re.I,
+    colrx = rf"(?P<bt>`?)(?:{names})(?P=bt)"
+
+    def fn_pass(pat: re.Pattern, build) -> None:
+        nonlocal sql
+
+        def rep(m: re.Match) -> str:
+            name = _unquote_ident(m.group("c"))
+            if name.lower() not in cols:
+                return m.group(0)
+            return hide(build(name, m))
+
+        sql = _sub_outside_strings(sql, pat, rep)
+
+    fn_pass(
+        re.compile(rf"(?i)\bUNIX_TIMESTAMP\s*\(\s*(?P<c>{colrx})\s*\)"),
+        lambda n, m: (
+            f"CAST(UNIX_TIMESTAMP(`{n}`) AS BIGINT)" if engine == "spark"
+            else f"CAST(epoch(`{n}`) AS BIGINT)"
+        ),
+    )
+    fn_pass(
+        re.compile(rf"(?i)\bTIME_TO_SEC\s*\(\s*(?P<c>{colrx})\s*\)"),
+        lambda n, m: (
+            f"(HOUR({xref(n)}) * 3600 + MINUTE({xref(n)}) * 60 "
+            f"+ SECOND({xref(n)}))"
+        ),
+    )
+    fn_pass(
+        re.compile(
+            rf"(?i)\b(?:CEIL|CEILING|FLOOR|ROUND)\s*\(\s*(?P<c>{colrx})"
+            r"\s*\)"
+        ),
+        lambda n, m: numref(n),
     )
 
-    def rep(m: re.Match) -> str:
-        # DuckDB rejects a negative INTERVAL literal — spell the sign
-        # as the operator
-        op, mag = ("-", -off) if off < 0 else ("+", off)
-        return f"(`{m.group(2)}` {op} INTERVAL {mag} MINUTE)"
+    def trunc_build(n: str, m: re.Match) -> str:
+        sc = int(m.group("s"))
+        if sc >= 0:
+            return numref(n)
+        p = 10 ** (-sc)
+        return (f"(CAST({numref(n)} AS BIGINT) "
+                f"- (CAST({numref(n)} AS BIGINT) % {p}))")
 
-    # INSERT…SELECT copies storage verbatim (the display shift and the
-    # insert-side unshift cancel); only plain SELECTs shift
-    if re.match(r"^\s*(?:INSERT|REPLACE)\b", sql, re.I):
-        return sql
-    return _sub_outside_strings(sql, pat, rep)
+    fn_pass(
+        re.compile(
+            rf"(?i)\bTRUNCATE\s*\(\s*(?P<c>{colrx})\s*,\s*(?P<s>-?\d+)\s*\)"
+        ),
+        trunc_build,
+    )
+
+    if off:
+        pat = re.compile(
+            rf"(?<![\w.`'])(`?)({names})\1(?!\s*\()(?![\w.'])", re.I,
+        )
+        sql = _sub_outside_strings(
+            sql, pat, lambda m: xref(m.group(2))
+            if cols[m.group(2).lower()].mysql_type == "timestamp"
+            else m.group(0),
+        )
+    for i, h in enumerate(holes):
+        sql = sql.replace(f"\x00H{i}\x00", h)
+    return sql
 
 
 def _canon_compact_temporal(digits: str, kind: str) -> str | None:
