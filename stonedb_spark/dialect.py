@@ -1817,11 +1817,18 @@ def _addtime_fn(inner: str, engine: str, sub: bool = False) -> str:
                 out += f".{round((tot % 1) * 1e6):06d}"
             return _mysql_str_encode(out)
         return "NULL"
-    whole = int(secs) if float(secs).is_integer() else None
-    if whole is None:
-        raise ValueError("fractional ADDTIME over expressions unsupported")
-    op = "-" if whole < 0 else "+"
-    return f"(CAST(({base}) AS TIMESTAMP) {op} INTERVAL {abs(whole)} SECOND)"
+    whole = int(secs)
+    micros = round((secs - whole) * 1e6)
+    op = "-" if secs < 0 else "+"
+    out = f"(CAST(({base}) AS TIMESTAMP) {op} INTERVAL {abs(whole)} SECOND"
+    if micros:
+        # fractional delta over an expression (issue475's
+        # ADDTIME(date_col, '1 1:1:1.00002'))
+        if engine == "spark":
+            out += f" {op} INTERVAL {abs(micros)} MICROSECOND"
+        else:
+            out += f" {op} to_microseconds({abs(micros)})"
+    return out + ")"
 
 
 def _convert_to_cast(inner: str, engine: str = "spark") -> str:
@@ -2574,10 +2581,31 @@ def _check_insert_shape(s: str) -> None:
         )
 
 
-def _view_insert_target(name: str, viewdefs: dict) -> str:
+def _dup_clause_idents(stmt: str) -> list[str]:
+    """Identifiers in an ON DUPLICATE KEY UPDATE clause — every column
+    it touches (targets AND expression reads) counts toward the
+    one-base-table rule for inserts through a join view (insert.test's
+    1393 legs vs issue502-2's legal single-table upsert)."""
+    m = re.search(r"(?is)\bON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$", stmt)
+    if not m:
+        return []
+    body = re.sub(r"'(?:[^'\\]|\\.)*'", " ", m.group(1))
+    return [
+        w for w in re.findall(r"[A-Za-z_][\w$]*", body)
+        if w.upper() not in ("VALUES", "AND", "OR", "NOT", "NULL",
+                             "CASE", "WHEN", "THEN", "ELSE", "END", "IF")
+    ]
+
+
+def _view_insert_target(
+    name: str, viewdefs: dict, tables: dict | None = None,
+    cols: list[str] | None = None,
+) -> str:
     """Resolve a view to its single updatable base table (MySQL
-    insert-through-view, insert.test); a view reading more than one
-    table refuses inserts with error 1393."""
+    insert-through-view, insert.test).  A JOIN view accepts the insert
+    when every listed column belongs to exactly ONE base table
+    (issue502-2's insert into a t1-join-t2 view targeting t1's
+    columns); otherwise error 1393."""
     cur, seen = name.lower(), set()
     while cur in viewdefs:
         if cur in seen:
@@ -2586,13 +2614,35 @@ def _view_insert_target(name: str, viewdefs: dict) -> str:
         fm = re.search(r"\bFROM\s+(.*)$", viewdefs[cur], re.I | re.S)
         if not fm:
             raise ValueError(f"view {cur} has no FROM clause")
-        frm = re.split(r"\bWHERE\b", fm.group(1), flags=re.I)[0]
+        frm = re.split(r"\bWHERE\b|\bON\b", fm.group(1), flags=re.I)[0]
         rels = re.split(r",|\bJOIN\b", frm, flags=re.I)
         if len(rels) > 1:
-            raise ValueError(
-                f"Can not modify more than one base table through a "
-                f"join view '{name}' (MySQL error 1393 analog)"
-            )
+            bases = [
+                _unquote_ident(re.match(r"\s*(`[^`]+`|\w+)", r).group(1))
+                .lower()
+                for r in rels
+            ]
+            owners = set()
+            if tables is not None and cols:
+                colsets = {
+                    b: {c.name.lower() for c in tables[b].columns}
+                    for b in bases if b in tables
+                }
+                anycol = set().union(*colsets.values()) if colsets else set()
+                # only identifiers that ARE columns of some base count
+                # (function names / keywords in an ON DUPLICATE expr
+                # aren't modification targets)
+                want = {c.lower() for c in cols} & anycol
+                for b, cset in colsets.items():
+                    if want and want <= cset:
+                        owners.add(b)
+            if len(owners) != 1:
+                raise ValueError(
+                    f"Can not modify more than one base table through a "
+                    f"join view '{name}' (MySQL error 1393 analog)"
+                )
+            cur = owners.pop()
+            continue
         rm = re.match(r"\s*(`[^`]+`|\w+)", rels[0])
         cur = _unquote_ident(rm.group(1)).lower()
     return cur
@@ -3386,7 +3436,10 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # the input text only).
     sql = _sub_outside_strings(
         sql,
-        re.compile(r"(?i)(?<!IS )(?<!NOT )\b(TRUE|FALSE)\b"),
+        # ON TRUE stays a boolean join condition (issue502-2's
+        # CREATE VIEW ... JOIN ... ON TRUE); IS [NOT] TRUE keeps its
+        # dedicated rewrite
+        re.compile(r"(?i)(?<!IS )(?<!NOT )(?<!ON )\b(TRUE|FALSE)\b"),
         lambda m: "1" if m.group(1).upper() == "TRUE" else "0",
     )
     sql = _decode_introducers(sql)
@@ -3424,6 +3477,39 @@ def rewrite_expr(sql: str, engine: str) -> str:
     sql = _wrap_calls(sql, "ADDTIME", lambda i: _addtime_fn(i, engine))
     sql = _wrap_calls(
         sql, "SUBTIME", lambda i: _addtime_fn(i, engine, sub=True)
+    )
+
+    def _timestamp_fn(inner: str) -> str:
+        # MySQL TIMESTAMP(x[, t]): a bare TIME value converts using the
+        # CURRENT date (issue429's DATE(TIMESTAMP(val)) = CURDATE());
+        # the 2-arg form then adds t as a time delta
+        parts = _split_top_commas(inner)
+        st_ = "STRING" if engine == "spark" else "VARCHAR"
+        x = parts[0].strip()
+        base = (
+            f"COALESCE(TRY_CAST(({x}) AS TIMESTAMP), "
+            f"CAST(CONCAT(CAST(CURRENT_DATE AS {st_}), ' ', "
+            f"CAST(({x}) AS {st_})) AS TIMESTAMP))"
+        )
+        if len(parts) == 1:
+            return base
+        if len(parts) != 2:
+            return f"TIMESTAMP({inner})"
+        b = f"CAST(({parts[1].strip()}) AS {st_})"
+        secs = (
+            f"(CAST(regexp_extract({b}, '^-?([0-9]+):', 1) AS BIGINT) "
+            f"* 3600 + CAST(regexp_extract({b}, ':([0-9]+):', 1) "
+            f"AS BIGINT) * 60 + CAST(regexp_extract({b}, "
+            f"':([0-9]+)([.][0-9]+)?$', 1) AS BIGINT))"
+        )
+        if engine == "spark":
+            return f"({base} + MAKE_INTERVAL(0, 0, 0, 0, 0, 0, {secs}))"
+        return f"({base} + to_seconds({secs}))"
+
+    sql = _wrap_calls(sql, "TIMESTAMP", _timestamp_fn)
+    sql = _sub_outside_strings(
+        sql, re.compile(r"(?i)\bCURDATE\s*\(\s*\)"),
+        lambda m: "CURRENT_DATE",
     )
     sql = _rewrite_hex_literals(sql)
     # infix 'a MOD b' (MySQL keyword form) → '%' — same dividend-sign
@@ -3525,8 +3611,10 @@ def rewrite_expr(sql: str, engine: str) -> str:
 
     sql = _wrap_calls(sql, "RAND", _rand_fn)
     # MySQL sums/averages booleans as 0/1 ints (insert_into_select.test's
-    # SUM(a IS NULL)); both engines reject boolean under SUM/AVG
-    for agg in ("SUM", "AVG"):
+    # SUM(a IS NULL)); both engines reject boolean under SUM/AVG.
+    # MIN/MAX over a comparison are 0/1 too (issue415's
+    # min((a + a) = 11) flowing into HAVING fun <= 37)
+    for agg in ("SUM", "AVG", "MIN", "MAX"):
         sql = _wrap_calls(
             sql,
             agg,
@@ -3606,6 +3694,20 @@ def rewrite_expr(sql: str, engine: str) -> str:
             )
             + ")",
         )
+    # MySQL 5.7 GROUP BY items may carry ASC/DESC (issue415); the
+    # deprecated implied sort drops — scripts carry their own ORDER BY
+    def _gb_strip(m: re.Match) -> str:
+        body = re.sub(r"(?i)\s+(ASC|DESC)\b", "", m.group(2))
+        return m.group(1) + body
+
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(
+            r"(?is)(\bGROUP\s+BY\b)(.*?)"
+            r"(?=\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|\bUNION\b|$|\))"
+        ),
+        _gb_strip,
+    )
     sql = _rewrite_limit_comma(sql)
     sql = _rewrite_quoted_alias(sql, engine)
     sql = _rewrite_div(sql, engine)
@@ -4103,6 +4205,22 @@ def _rewrite_date_parts(sql: str, engine: str) -> str:
             return f"CAST(DATE_FORMAT({ts}, 'SSSSSS') AS {it})"
         return f"CAST(MICROSECOND({ts}) % 1000000 AS {it})"
 
+    # EXTRACT(unit FROM '<string literal>'): DuckDB's date_part over a
+    # bare string is ambiguous — make the temporal cast explicit
+    sql = re.sub(
+        r"(?i)\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+('(?:[^'\\]|\\.)*')\s*\)",
+        lambda m: (f"EXTRACT({m.group(1)} FROM "
+                   f"CAST({m.group(2)} AS TIMESTAMP))"),
+        sql,
+    )
+    # EXTRACT(MICROSECOND FROM x): neither engine has the field with
+    # MySQL's fraction-only meaning — route through MICROSECOND()
+    sql = re.sub(
+        r"(?i)\bEXTRACT\s*\(\s*MICROSECOND\s+FROM\s+"
+        r"((?:[^()']|'(?:[^'\\]|\\.)*'|\((?:[^()]|\([^()]*\))*\))+)\)",
+        lambda m: f"MICROSECOND({m.group(1)})",
+        sql,
+    )
     sql = _wrap_calls(sql, "MICROSECOND", micro)
 
     def todays(inner: str) -> str:
@@ -4115,6 +4233,49 @@ def _rewrite_date_parts(sql: str, engine: str) -> str:
                 f"CAST(({inner}) AS DATE)) + 719528)")
 
     sql = _wrap_calls(sql, "TO_DAYS", todays)
+
+    # MySQL compound EXTRACT units (issue845's EXTRACT(DAY_HOUR FROM t))
+    # → positional-decimal composition of the simple fields
+    _COMPOUND_EXTRACT = {
+        "YEAR_MONTH": [("YEAR", 100), ("MONTH", 1)],
+        "DAY_HOUR": [("DAY", 100), ("HOUR", 1)],
+        "DAY_MINUTE": [("DAY", 10000), ("HOUR", 100), ("MINUTE", 1)],
+        "DAY_SECOND": [("DAY", 1000000), ("HOUR", 10000),
+                       ("MINUTE", 100), ("SECOND", 1)],
+        "HOUR_MINUTE": [("HOUR", 100), ("MINUTE", 1)],
+        "HOUR_SECOND": [("HOUR", 10000), ("MINUTE", 100), ("SECOND", 1)],
+        "MINUTE_SECOND": [("MINUTE", 100), ("SECOND", 1)],
+    }
+
+    def _compound_extract(m: re.Match) -> str:
+        fields = _COMPOUND_EXTRACT[m.group(1).upper()]
+        x = m.group(2)
+        parts = " + ".join(
+            f"{fn}(CAST(({x}) AS TIMESTAMP)) * {mul}" if mul > 1
+            else f"{fn}(CAST(({x}) AS TIMESTAMP))"
+            for fn, mul in fields
+        )
+        return f"CAST({parts} AS BIGINT)"
+
+    # plain .sub: the source expression may BE a string literal
+    sql = re.sub(
+        r"(?i)\bEXTRACT\s*\(\s*(" + "|".join(_COMPOUND_EXTRACT)
+        + r")\s+FROM\s+((?:[^()']|'(?:[^'\\]|\\.)*'"
+        r"|\((?:[^()]|\([^()]*\))*\))+)\)",
+        _compound_extract,
+        sql,
+    )
+
+    if engine == "duck":
+        # DuckDB's concat_ws wants VARCHAR operands; MySQL casts
+        # numerics implicitly (issue962's CONCAT_WS(1, 2))
+        sql = _wrap_calls(
+            sql, "CONCAT_WS",
+            lambda inner: "CONCAT_WS(" + ", ".join(
+                f"CAST(({p}) AS VARCHAR)"
+                for p in _split_top_commas(inner)
+            ) + ")",
+        )
 
     def gl_fn(inner: str, greatest: bool) -> str:
         # MySQL GREATEST/LEAST over a temporal operand and a temporal
@@ -5055,6 +5216,7 @@ def _alter_tabledef(
         if re.match(
             r"(ADD|DROP)\s+(PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FULLTEXT)"
             r"|RENAME\s+(INDEX|KEY)|ENGINE\s*=\s*\w+|DEFAULT\s+CHARSET"
+            r"|DEFAULT\s+CHARACTER\s+SET"
             r"|ORDER\s+BY"
             r"|CONVERT\s+TO\s+CHARACTER\s+SET|CHARACTER\s+SET|COMMENT"
             r"|ALTER\s+(?:COLUMN\s+)?\w+\s+(SET|DROP)\s+DEFAULT",
@@ -6034,7 +6196,9 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
     if base not in ("DATE", "TIMESTAMP"):
         return lit
     digits = s[1:-1] if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0] else s
-    if re.fullmatch(r"0+", digits):
+    if re.fullmatch(
+        r"0{1,4}(-0{1,2}){2}([ T]0{1,2}(:0{1,2}){2})?|0+", digits
+    ):
         # MySQL numeric 0 into a temporal column is the zero-date
         # '0000-00-00'; neither engine has one — modeled as NULL, and
         # the temporal-vs-number compare pass renders NULL as
@@ -7163,7 +7327,19 @@ def run_statement(run: MTRRun, stmt: str):
         )
         tname = _unquote_ident(tm.group(1)).lower()
         if tname not in run.tables and tname in run.viewdefs:
-            base = _view_insert_target(tname, run.viewdefs)  # may 1393
+            clm = re.match(
+                r"^\s*(?:INSERT|REPLACE)\s+(?:IGNORE\s+)?(?:INTO\s+)?"
+                r"(?:`[^`]+`|\w+)\s*\(([^()]*)\)", s, re.I,
+            )
+            _vcols = (
+                [_unquote_ident(c) for c in
+                 _split_top_commas(clm.group(1))] if clm else None
+            )
+            if _vcols is not None:
+                _vcols += _dup_clause_idents(s)
+            base = _view_insert_target(
+                tname, run.viewdefs, run.tables, _vcols
+            )  # may 1393
             s = s[: tm.start(1)] + f"`{base}`" + s[tm.end(1):]
     if re.match(r"^\s*REPLACE\s+(INTO\b|`|\w)", s, re.I):
         # REPLACE [INTO] t …: delete PK-colliding rows, then insert
@@ -7841,6 +8017,29 @@ def build_oracle_sql(
             if versions[t] == 0 and not _has_version0(t):
                 ctes.append((vname(t), _duck_values_cte(td, [])))
         mapping = {t: (tables[t].name, vname(t)) for t in tables}
+        # MySQL views are LIVE queries: re-emit a view CTE whenever a
+        # referenced table gained versions since the last emit
+        # (issue502-2 creates the view BEFORE inserting through it)
+        for vkey in list(view_raw):
+            if vkey not in views:
+                continue  # dropped
+            raw = view_raw[vkey]
+            snap = tuple(
+                (t, versions.get(t), incarn.get(t))
+                for t in sorted(tables)
+                if re.search(rf"(?i)(?<![\w.`])`?{re.escape(t)}`?(?![\w])",
+                             raw)
+            )
+            if view_snap.get(vkey) == snap:
+                continue
+            view_inc[vkey] = view_inc.get(vkey, 0) + 1
+            vn = views[vkey][0]
+            cte_name = f"{vn}__view{view_inc[vkey]}"
+            m2 = dict(mapping)
+            m2.update({k: v for k, v in views.items() if k != vkey})
+            ctes.append((cte_name, _retarget_relations(raw, m2)))
+            views[vkey] = (vn, cte_name)
+            view_snap[vkey] = snap
         mapping.update(views)  # re-created views point at their latest
         return _retarget_relations(sql, mapping)
 
@@ -7868,6 +8067,8 @@ def build_oracle_sql(
     oracle_dbs: set[str] = set()
     views: dict[str, tuple[str, str]] = {}
     viewbodies: dict[str, str] = {}  # view -> original MySQL body
+    view_raw: dict[str, str] = {}  # view -> duck body, NOT retargeted
+    view_snap: dict[str, tuple] = {}  # table versions at last emit
     outfile_snaps: dict[str, str] = {}  # INTO OUTFILE path -> frozen select
     view_inc: dict[str, int] = {}
     oraclestrict = True
@@ -8002,14 +8203,22 @@ def build_oracle_sql(
                 s,
                 re.I | re.S,
             )
-            body = retarget(rewrite_expr(m.group(2), "duck"))
+            raw = rewrite_expr(m.group(2), "duck")
+            body = retarget(raw)
             vn = _unquote_ident(m.group(1))
             vkey = vn.lower()
             viewbodies[vkey] = m.group(2)
+            view_raw[vkey] = raw
             view_inc[vkey] = view_inc.get(vkey, 0) + 1
             cte_name = f"{vn}__view{view_inc[vkey]}"
             ctes.append((cte_name, body))
             views[vkey] = (vn, cte_name)
+            view_snap[vkey] = tuple(
+                (t, versions.get(t), incarn.get(t))
+                for t in sorted(tables)
+                if re.search(rf"(?i)(?<![\w.`])`?{re.escape(t)}`?(?![\w])",
+                             raw)
+            )
             continue
         lm = re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(`[^`]+`|\w+)\s+LIKE\s+"
@@ -8213,7 +8422,17 @@ def build_oracle_sql(
             t = _unquote_ident(m.group(1)).lower()
             if t not in tables and t in viewbodies:
                 # insert-through-view: route to the single base table
-                t = _view_insert_target(t, viewbodies)
+                clm = re.match(
+                    r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?"
+                    r"(?:`[^`]+`|\w+)\s*\(([^()]*)\)", s, re.I,
+                )
+                _vcols = (
+                    [_unquote_ident(c) for c in
+                     _split_top_commas(clm.group(1))] if clm else None
+                )
+                if _vcols is not None:
+                    _vcols += _dup_clause_idents(s)
+                t = _view_insert_target(t, viewbodies, tables, _vcols)
                 s = s[: m.start(1)] + f"`{t}`" + s[m.end(1):]
             base, dup = _split_on_duplicate(s)
             if dup is not None and not tables[t].pk:

@@ -29,6 +29,14 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_issue415': ('issue415.test', [(1, 38)]),
+    'dialect_issue475': ('issue475.test', [(1, 16)]),
+    'dialect_issue429': ('issue429.test', [(1, 17)]),
+    'dialect_issue845': ('issue845.test', [(1, 47)]),
+    'dialect_issue848': ('issue848.test', [(1, 42)]),
+    'dialect_issue962': ('issue962.test', [(1, 20)]),
+    'dialect_issue995': ('issue995.test', [(1, 22)]),
+    'dialect_issue502_2': ('issue502-2.test', [(1, 15)]),
     'dialect_ts_fn_battery': ('type_timestamp.test', [(1, 127)]),
     'dialect_ts_unix_epoch': ('type_timestamp.test', [(1, 127)]),
     'dialect_ts_implicit_group': ('type_timestamp.test', [(1, 127)]),
@@ -13849,6 +13857,240 @@ DROP DATABASE timestamp_test;
 """
 
 
+SCRIPT_ISSUE415F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue415_test;
+--enable_warnings
+
+CREATE DATABASE issue415_test;
+
+USE issue415_test;
+
+--echo #
+--echo # fix issue415
+--echo #
+
+CREATE TABLE `select_base_with_primary_key` (
+  `pk` bigint(11) NOT NULL AUTO_INCREMENT,
+  `varchar_test` varchar(255) DEFAULT NULL,
+  `integer_test` int(11) DEFAULT NULL,
+  `char_test` char(255) DEFAULT NULL,
+  `tinyint_test` tinyint(4) DEFAULT NULL,
+  `tinyint_1bit_test` tinyint(1) DEFAULT NULL,
+  `smallint_test` smallint(6) DEFAULT NULL,
+  `mediumint_test` mediumint(9) DEFAULT NULL,
+  `bigint_test` bigint(20) DEFAULT NULL,
+  `double_test` double DEFAULT NULL,
+  `decimal_test` decimal(10,0) DEFAULT NULL,
+  `date_test` date DEFAULT NULL,
+  `time_test` time DEFAULT NULL,
+  `datetime_test` datetime DEFAULT NULL,
+  `timestamp_test` timestamp NULL DEFAULT NULL ON UPDATE CURRENT_TIMESTAMP,
+  `year_test` year(4) DEFAULT NULL,
+  PRIMARY KEY (`pk`)
+) ENGINE=TIANMU DEFAULT CHARSET=gbk;
+insert into select_base_with_primary_key values (11, 'abcde', 123, 'char', 3, 1, 23, 32, 332, 1.4, 25, '2017-11-11', '11:11:11', '2017-11-11 11:11:11','2017-11-11 11:11:11', 2017);
+select 'aa' as ag_column1,  !( tinyint_1bit_test )as ag_column2, 1 as ag_column3,min((smallint_test +  smallint_test) =11)as ag_column_fun  from select_base_with_primary_key    GROUP BY  ag_column1,ag_column2  asc,ag_column3   having ag_column_fun<= 37 order by  ag_column1    ,ag_column2    asc,ag_column3    asc,ag_column_fun;
+drop table select_base_with_primary_key;
+
+DROP DATABASE issue415_test;
+"""
+
+SCRIPT_ISSUE475F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue475_test;
+--enable_warnings
+
+CREATE DATABASE issue475_test;
+
+USE issue475_test;
+
+create table jl (date_test date) ENGINE=TIANMU;
+insert into jl values ('2015-11-12');
+select ADDTIME(date_test, '1 1:1:1.00002') from jl;
+drop table jl;
+
+DROP DATABASE issue475_test;
+"""
+
+SCRIPT_ISSUE429F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue429_test;
+--enable_warnings
+
+CREATE DATABASE issue429_test;
+
+USE issue429_test;
+
+create table tt (val time) ENGINE=TIANMU;
+insert into tt values ('06:34:12'), ('13:23:33');
+select * from tt where DATE(TIMESTAMP(val)) = CURDATE();
+select * from tt where DATE(TIMESTAMP(val, val)) = CURDATE();
+drop table tt;
+
+DROP DATABASE issue429_test;
+"""
+
+SCRIPT_ISSUE845F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue845_test;
+--enable_warnings
+
+CREATE DATABASE issue845_test;
+
+USE issue845_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS test_timestamp;
+
+CREATE TABLE test_timestamp (t timestamp);
+INSERT INTO test_timestamp VALUES ('2019-01-02 00:01:02'),
+                              ('2019-01-02 01:02:03'),
+                              ('2019-01-02 02:03:04'),
+                              ('2019-01-02 03:05:06'),
+                              ('2019-01-02 04:07:08');
+
+#EXTRACT SELECT
+
+SELECT EXTRACT(DAY_HOUR FROM t), EXTRACT(MINUTE_SECOND FROM t) FROM test_timestamp;
+
+#IF DATA IS NULL
+DROP TABLE test_timestamp;
+
+CREATE TABLE test_timestamp (t timestamp);
+
+SELECT EXTRACT(DAY_HOUR FROM t), EXTRACT(MINUTE_SECOND FROM t) FROM test_timestamp;
+
+#EXTRACT SELECT WITHOUT TABLE
+
+SELECT EXTRACT(YEAR FROM '2019-07-02');
+
+SELECT EXTRACT(YEAR_MONTH FROM '2019-07-02 01:02:03');
+
+SELECT EXTRACT(DAY_MINUTE FROM '2019-07-02 01:02:03');
+
+SELECT EXTRACT(MICROSECOND FROM '2003-01-02 10:30:00.000123');
+
+#DROP TABLE
+
+DROP TABLE test_timestamp;
+
+DROP DATABASE issue845_test;
+"""
+
+SCRIPT_ISSUE848F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue848_test;
+--enable_warnings
+
+CREATE DATABASE issue848_test;
+USE issue848_test;
+
+CREATE TABLE `t1` (
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_text` text COMMENT 'text') 
+ENGINE=TIANMU DEFAULT CHARSET=GBK;
+
+show create table t1;
+
+insert into t1(c_char,c_varchar,c_text) values(x'D6D0B9FA',x'D5E3BDAD',x'BABCD6DD');
+
+ALTER TABLE t1 DEFAULT CHARACTER SET gbk;
+show create table t1;
+
+ALTER TABLE t1 CHARACTER SET latin1;
+show create table t1;
+
+ALTER TABLE t1  ADD COLUMN ex_column char(30) AFTER c_text;
+show create table t1;
+
+ALTER TABLE t1 MODIFY c_char char(15) CHARACTER SET UTF8MB4;
+ALTER TABLE t1 MODIFY c_varchar char(15) CHARACTER SET UTF8MB4;
+ALTER TABLE t1 MODIFY c_text char(15) CHARACTER SET UTF8MB4;
+show create table t1;
+select hex(c_char),hex(c_varchar),hex(c_text) from t1;
+
+ALTER TABLE t1 CHANGE c_char c_char char(10) CHARACTER SET GBK;
+ALTER TABLE t1 CHANGE c_varchar c_varchar char(10) CHARACTER SET GBK;
+ALTER TABLE t1 CHANGE c_text c_text char(10) CHARACTER SET GBK;
+select hex(c_char),hex(c_varchar),hex(c_text) from t1;
+show create table t1;
+
+DROP TABLE t1;
+DROP DATABASE issue848_test;
+"""
+
+SCRIPT_ISSUE962F = """--source include/have_tianmu.inc
+ 
+
+--disable_query_log
+
+CREATE DATABASE test_issue962_db;
+
+USE test_issue962_db;
+
+CREATE TABLE t0(c0 INT)engine=tianmu;
+CREATE TABLE t1(c0 INT)engine=tianmu;
+INSERT INTO t0 VALUES (NULL);
+
+--enable_query_log
+SELECT t0.c0 FROM t0 LEFT JOIN t1 ON t0.c0>=t1.c0 WHERE (CONCAT_WS(t0.c0, t1.c0) IS NULL);
+
+--disable_query_log
+DROP DATABASE test_issue962_db;
+--enable_query_log
+
+"""
+
+SCRIPT_ISSUE995F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue995_test;
+--enable_warnings
+
+CREATE DATABASE issue995_test;
+
+USE issue995_test;
+
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE);
+
+INSERT INTO t1 VALUES ('', NULL, '0-0-0', NULL),
+('a', 12, '1212-12-12', 1.19691E+100),
+('b', 13, '1313-3-13 13:13:13', 2.1961E+18),
+('c', 14, '1414-4-14', 0.16191),
+('d', 15, '2015-5-15 15:15:15', 1.971917);
+
+SELECT CONVERT(c, TIME) FROM t1;
+DROP TABLE t1;
+
+DROP DATABASE issue995_test;
+"""
+
+SCRIPT_ISSUE502_2F = """--source include/have_tianmu.inc
+create database test_tmp;
+use test_tmp;
+create table t1(a1 integer primary key, b1 integer,c1 varchar(255) charset utf8 collate utf8_bin not null) engine=tianmu default CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+create table t2(a2 integer primary key, b2 integer,c2 varchar(255) charset utf8 collate utf8_bin not null) engine=tianmu default CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+create view v as select * from t1 join t2 on true;
+insert into v(a1,b1,c1) values (11, 0, "你好，世界!Hello,world!") on duplicate key update b1=b1+1,c1="杭州亚运会，杭州，hangzhou！";
+insert into v(a1,b1,c1) values (11, 0, "你好，世界!Hello,world!") on duplicate key update b1=b1+1,c1="杭州亚运会，杭州，hangzhou！";
+insert into v(a2,b2,c2) values (21, 0, "谢谢你！Thank you") on duplicate key update b2=b2+1,c2="不客气，you are welcome~";
+insert into v(a2,b2,c2) values (21, 0, "谢谢你！Thank you") on duplicate key update b2=b2+1,c2="不客气，you are welcome~";
+select * from v;
+drop view v;
+drop table t2;
+drop table t1;
+drop database test_tmp;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -14147,6 +14389,14 @@ _SPECS = [
     ('dialect_ts_unix_epoch', SCRIPT_TYPE_TIMESTAMP_FULL, 6, ['unixts', 'tts', 'ce', 'least_dt', 'rnd', 's', 'mi', 'h', 'fl'], False, 'UNIX_TIMESTAMP reads STORAGE (UTC) while TIME_TO_SEC/CEIL/ROUND/FLOOR/HOUR read the session-local display; LEAST vs string literal CAST AS DATETIME', {'ce': 'BIGINT', 'rnd': 'BIGINT', 'fl': 'BIGINT'}),
     ('dialect_ts_implicit_group', SCRIPT_TYPE_TIMESTAMP_FULL, 7, ['a', 'b', 's'], True, 'implicit single-group SUM with non-grouped TIMESTAMP select items (OFGB off representative)'),
     ('dialect_ts_groupby_minmax', SCRIPT_TYPE_TIMESTAMP_FULL, 10, ['a', 'mx', 'mn'], False, 'MIN/MAX over TIMESTAMP grouped by int after compact-numeric-literal inserts'),
+    ('dialect_issue415', SCRIPT_ISSUE415F, -1, ['ag_column1', 'ag_column2', 'ag_column3', 'ag_column_fun'], False, 'GROUP BY items with ASC/DESC suffixes + MIN over a comparison flowing into HAVING <= 37 (0/1 int)'),
+    ('dialect_issue475', SCRIPT_ISSUE475F, -1, ['addtime'], False, 'ADDTIME(date_col, fractional day-time delta) microsecond-exact over an expression'),
+    ('dialect_issue429', SCRIPT_ISSUE429F, -1, None, False, 'TIMESTAMP(time_val[, time_val]) converts with the CURRENT date; 2-arg adds the delta (day-crossing row drops)'),
+    ('dialect_issue845', SCRIPT_ISSUE845F, 0, None, False, 'compound EXTRACT units DAY_HOUR / MINUTE_SECOND positional-decimal composition'),
+    ('dialect_issue848', SCRIPT_ISSUE848F, -1, None, False, 'ALTER TABLE DEFAULT CHARACTER SET gbk no-op + gbk-charset table roundtrip'),
+    ('dialect_issue962', SCRIPT_ISSUE962F, -1, None, False, 'CONCAT_WS with numeric separator and operands (implicit string casts)'),
+    ('dialect_issue995', SCRIPT_ISSUE995F, -1, ['tm'], False, "dashed zero-date '0-0-0' into DATETIME models as NULL beside ancient years"),
+    ('dialect_issue502_2', SCRIPT_ISSUE502_2F, -1, None, False, 'INSERT ... ON DUPLICATE through a JOIN view: legal when every touched column lives in ONE base table; live-view oracle CTE refresh'),
 ]
 
 
