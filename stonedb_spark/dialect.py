@@ -5307,6 +5307,229 @@ def _apply_temporal_numeric_cmp(
     return _sub_outside_strings(sql, pat, rep)
 
 
+_BW_ATOM = (
+    r"(?:\x00W\d+\x00"                                 # consumed fragment
+    # [qual.]ident — but not the b/x of a b'…'/x'…' literal introducer
+    # (\x01 = a masked string literal; see _apply_bitwise_mysql)
+    r"|(?:\w+|`[^`]+`)(?:\s*\.\s*(?:\w+|`[^`]+`))?(?!['\x01])"
+    r"|\d+(?:\.\d+)?"                                  # numeric literal
+    r"|\((?:[^()]|\([^()]*\))*\))"                     # paren group (1-deep)
+)
+_BW_RX = re.compile(
+    rf"(?<![\w.`)])({_BW_ATOM})\s*"
+    rf"(<<|>>|&(?!&)|(?<!\|)\|(?!\|)|\^)\s*({_BW_ATOM})"
+)
+_BW_TOKEN = re.compile(
+    r"(?<!&)&(?!&)|(?<!\|)\|(?!\|)|\^|<<|>>|\bBIT_COUNT\s*\(", re.I
+)
+_POW64 = "18446744073709551616"
+
+
+def _apply_bitwise_mysql(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL bitwise operators (& | ^ << >>) and BIT_COUNT convert
+    BOTH operands to UNSIGNED 64-bit ints — decimals round half-away
+    (3.5→4), negatives reinterpret as two's complement
+    (-3 → 18446744073709551613), temporals read their compact numeric
+    rendering rounded to whole seconds ('2001-01-01 23:59:59.9' →
+    20010102000000) — and render the result UNSIGNED (func_bit.test,
+    issue1173; reference Item_func_bit_or over val_uint,
+    my_decimal2int round-half-away).  Spark computes in BIGINT two's
+    complement (same 64 bits) with SHIFTRIGHTUNSIGNED for MySQL's
+    logical >>; DuckDB computes in UBIGINT (<< via HUGEINT multiply —
+    its UBIGINT << raises on overflow instead of wrapping).  Counts
+    ≥64 (or negative, i.e. huge unsigned) yield 0, which Java's
+    6-bit-masked shifts get wrong.  Both engines render DECIMAL(20,0)
+    so the sweep's dtype parity holds.  Generated fragments hide
+    behind placeholders until the scan converges (DuckDB's output
+    contains `<<`/`%` that must not re-match), and use TRY_CAST so
+    rewrite_expr's MySQL-CAST pass never reinterprets them."""
+    probe = _ANY_STRLIT.sub("''", sql)
+    if not _BW_TOKEN.search(probe):
+        return sql
+    if re.match(r"^\s*(?:CREATE|ALTER|LOAD|SHOW|SET|USE|DROP)\b", sql, re.I):
+        return sql  # DDL: BIT(n) widths, SHOW text — never value bitops
+    cols: dict[str, ColumnDef] = {}
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN|INTO|UPDATE)\s+(`[^`]+`|\w+)", sql, re.I
+    ):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for c in td.columns:
+                cols.setdefault(c.name.lower(), c)
+
+    def numify(atom: str) -> str:
+        """The operand as MySQL's number-context reading (pre-round)."""
+        t = atom.strip()
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            return f"ROUND({t}, 0)" if "." in t else t
+        nm = re.fullmatch(
+            r"(?:(?:\w+|`[^`]+`)\s*\.\s*)?(`([^`]+)`|\w+)", t
+        )
+        c = cols.get(
+            (nm.group(2) or nm.group(1)).lower()
+        ) if nm else None
+        if c is not None:
+            mt = c.mysql_type
+            if mt == "date":
+                f = ("DATE_FORMAT({x}, 'yyyyMMdd')" if engine == "spark"
+                     else "strftime({x}, '%Y%m%d')")
+                return ("TRY_CAST(" + f.format(x=atom)
+                        + " AS DECIMAL(20,0))")
+            if mt in ("datetime", "timestamp"):
+                # round fractional seconds half-up on the TEMPORAL
+                # (23:59:59.9 rolls into the next day) then render —
+                # EXCEPT at the 9999-12-31 ceiling, where tianmu clamps
+                # to 99991231000000 (issue1173.result row 3) instead of
+                # overflowing the year
+                if engine == "spark":
+                    rnd = (f"TRY_CAST(DATE_FORMAT({atom} + INTERVAL 0.5 "
+                           f"SECOND, 'yyyyMMddHHmmss') AS DECIMAL(20,0))")
+                else:
+                    rnd = (f"TRY_CAST(strftime({atom} + INTERVAL 500 "
+                           f"MILLISECOND, '%Y%m%d%H%M%S') AS DECIMAL(20,0))")
+                return (
+                    f"(CASE WHEN {rnd} >= "
+                    f"TRY_CAST(100000000000000 AS DECIMAL(20,0))"
+                    f" THEN TRY_CAST(99991231000000 AS DECIMAL(20,0))"
+                    f" ELSE {rnd} END)"
+                )
+            if mt == "time":
+                # stored as its literal text; numeric form = digits
+                # with the colons dropped ('00:00:02.9' → 2.9 → 3)
+                vt = "STRING" if engine == "spark" else "VARCHAR"
+                return (f"ROUND(TRY_CAST(REPLACE(CAST({atom} AS {vt}), "
+                        f"':', '') AS DECIMAL(27,6)), 0)")
+            if c.spark_type.upper().startswith(
+                ("STRING", "BINARY")
+            ):
+                _s, _p, n = _lenient_num(atom, engine)
+                return f"ROUND(COALESCE({n}, 0), 0)"
+            if mt in ("decimal", "dec", "numeric", "float", "double",
+                      "real"):
+                return f"ROUND({atom}, 0)"
+            return atom
+        # paren group / unknown shape: ROUND is identity on integers
+        return f"ROUND({atom}, 0)"
+
+    # the 2^64 literal always rides inside TRY_CAST so the 1690
+    # huge-literal-adjacent-to-arithmetic guard never re-matches it
+    pow64 = f"TRY_CAST({_POW64} AS HUGEINT)"
+    pow64d = f"TRY_CAST({_POW64} AS DECIMAL(21,0))"
+    imax, imin = "9223372036854775807", "-9223372036854775808"
+
+    def s64(n: str) -> str:
+        # tianmu's val_int conversion: ≥2^64 saturates at LLONG_MAX
+        # (func_bit's DOUBLE 10e30 → 9223372036854775807), values in
+        # [2^63, 2^64) are u64 bit patterns → two's complement
+        return (
+            f"(CASE WHEN ({n}) >= {pow64d} THEN TRY_CAST({imax} AS BIGINT)"
+            f" WHEN ({n}) >= TRY_CAST(9223372036854775808 AS DECIMAL(20,0))"
+            f" THEN TRY_CAST(({n}) - {pow64d} AS BIGINT)"
+            f" WHEN ({n}) < {imin} THEN TRY_CAST({imin} AS BIGINT)"
+            f" ELSE TRY_CAST({n} AS BIGINT) END)"
+        )
+
+    def u64(n: str) -> str:
+        return (
+            f"TRY_CAST((CASE"
+            f" WHEN ({n}) >= {pow64d} THEN TRY_CAST({imax} AS HUGEINT)"
+            f" WHEN ({n}) < {imin}"
+            f" THEN TRY_CAST(9223372036854775808 AS HUGEINT)"
+            f" ELSE ((TRY_CAST({n} AS HUGEINT) % {pow64}) + {pow64})"
+            f" % {pow64} END) AS UBIGINT)"
+        )
+
+    def unsigned_render_spark(core: str) -> str:
+        return (
+            f"TRY_CAST((CASE WHEN {core} < 0"
+            f" THEN TRY_CAST({_POW64} AS DECIMAL(21,0)) + {core}"
+            f" ELSE TRY_CAST({core} AS DECIMAL(21,0)) END)"
+            f" AS DECIMAL(20,0))"
+        )
+
+    holes: list[str] = []
+
+    def hide(text: str) -> str:
+        holes.append(text)
+        return f"\x00W{len(holes) - 1}\x00"
+
+    def rep(m: re.Match) -> str:
+        l_raw, op, r_raw = m.group(1), m.group(2), m.group(3)
+        if "\x00" in l_raw or "\x00" in r_raw:
+            # operand already consumed by an earlier (nested) rewrite
+            ln = l_raw if "\x00" in l_raw else numify(l_raw)
+            rn = r_raw if "\x00" in r_raw else numify(r_raw)
+        else:
+            ln, rn = numify(l_raw), numify(r_raw)
+        if engine == "spark":
+            sl = s64(ln)
+            if op in ("&", "|", "^"):
+                core = f"({sl} {op} {s64(rn)})"
+            else:
+                cnt = s64(rn)
+                fn = "SHIFTLEFT" if op == "<<" else "SHIFTRIGHTUNSIGNED"
+                core = (
+                    f"(CASE WHEN {cnt} >= 64 OR {cnt} < 0"
+                    f" THEN TRY_CAST(0 AS BIGINT)"
+                    f" ELSE {fn}({sl}, TRY_CAST({cnt} AS INT)) END)"
+                )
+            return hide(unsigned_render_spark(core))
+        ul = u64(ln)
+        if op == "^":  # DuckDB's ^ is POWER; bitwise xor is xor()
+            core = f"xor({ul}, {u64(rn)})"
+        elif op in ("&", "|"):
+            core = f"({ul} {op} {u64(rn)})"
+        elif op == ">>":
+            cnt = f"TRY_CAST({rn} AS HUGEINT)"
+            core = (
+                f"(CASE WHEN {cnt} >= 64 OR {cnt} < 0"
+                f" THEN TRY_CAST(0 AS UBIGINT)"
+                f" ELSE ({ul} >> TRY_CAST({cnt} AS INT)) END)"
+            )
+        else:  # << wraps mod 2^64; UBIGINT << raises on overflow
+            cnt = f"TRY_CAST({rn} AS HUGEINT)"
+            core = (
+                f"(CASE WHEN {cnt} >= 64 OR {cnt} < 0"
+                f" THEN TRY_CAST(0 AS UBIGINT)"
+                f" ELSE TRY_CAST((TRY_CAST({ul} AS HUGEINT) * "
+                f"(TRY_CAST(1 AS HUGEINT) << TRY_CAST({cnt} AS INT)))"
+                f" % {pow64} AS UBIGINT) END)"
+            )
+        return hide(f"TRY_CAST({core} AS DECIMAL(20,0))")
+
+    # mask string literals IN PLACE (not the _sub_outside_strings
+    # split, which would put a b'1111' introducer's ident at a segment
+    # end where the (?!') lookahead can't see the quote)
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x01{len(lits) - 1}\x01"
+
+    sql = _ANY_STRLIT.sub(_mask, sql)
+    for _ in range(8):  # chains: leftmost pair first, then re-scan
+        new = _BW_RX.sub(rep, sql)
+        if new == sql:
+            break
+        sql = new
+
+    def bc_fn(inner: str) -> str:
+        n = inner if "\x00" in inner else numify(inner)
+        if engine == "spark":
+            return hide(f"CAST(bit_count({s64(n)}) AS INT)")
+        return hide(f"CAST(bit_count({u64(n)}) AS INT)")
+
+    sql = _wrap_calls(sql, "BIT_COUNT", bc_fn)
+    while "\x00W" in sql:  # nested holes restore inner-out
+        for i, h in enumerate(holes):
+            sql = sql.replace(f"\x00W{i}\x00", h)
+    for i, lit in enumerate(lits):
+        sql = sql.replace(f"\x01{i}\x01", lit)
+    return sql
+
+
 def _apply_tz_select_shift(
     sql: str, tables: dict[str, TableDef], engine: str
 ) -> str:
@@ -6649,6 +6872,13 @@ def _parse_load_spec(s: str, path_map: dict | None = None):
     path, table, rest = m.group(1), _unquote_ident(m.group(2)), m.group(3)
     if path_map and path in path_map:
         path = path_map[path]  # a SELECT INTO OUTFILE written this run
+    elif not os.path.isabs(path) and not os.path.exists(path):
+        # mysqltest's relative INFILE paths land on mysql-test/std_data
+        # (load.test's '../../std_data/loaddata1.dat' = two levels up
+        # from the suite directory)
+        path = os.path.normpath(
+            os.path.join(MYSQL_TEST_DIR, "suite/tianmu", path)
+        )
     # tianmu's engine default field delimiter is ';', NOT MySQL's TAB
     # (storage/tianmu/common/common_definitions.h:165 DEFAULT_DELIMITER,
     # system/io_parameters.h:216) — auto_increment.test's negative-id
@@ -6670,6 +6900,10 @@ def _parse_load_spec(s: str, path_map: dict | None = None):
         line_sep = _ld_unesc_spec(lm.group(1))
     im = re.search(r"\bIGNORE\s+(\d+)\s+(?:LINES|ROWS)\b", rest, re.I)
     if im:
+        # honored like MySQL (issue1000/issue1263 .results).  load.result
+        # alone records note 1105 and reloads ALL rows for the same
+        # spelling — a version-dependent tianmu regression we do NOT
+        # replicate (adjudicated in COVERAGE.md)
         skip = int(im.group(1))
     # column list may mix real targets and @user-vars referenced by a
     # trailing SET clause (issue1000.test: (id1,@var1) set id2=@var1+100)
@@ -7775,8 +8009,9 @@ def run_statement(run: MTRRun, stmt: str):
             rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
                 _apply_temporal_string_cmp(
                     _apply_tz_select_shift(
-                        _apply_union_string_coercion(s, run.tables,
-                                                     "spark"),
+                        _apply_union_string_coercion(
+                            _apply_bitwise_mysql(s, run.tables, "spark"),
+                            run.tables, "spark"),
                         run.tables, "spark"),
                     run.tables, "spark"),
                 run.tables, "spark"), run.tables, "spark"), "spark")
@@ -8839,8 +9074,9 @@ def build_oracle_sql(
                     rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
                         _apply_temporal_string_cmp(
                             _apply_tz_select_shift(
-                                _apply_union_string_coercion(s, tables,
-                                                             "duck"),
+                                _apply_union_string_coercion(
+                                    _apply_bitwise_mysql(s, tables, "duck"),
+                                    tables, "duck"),
                                 tables, "duck"),
                             tables, "duck"),
                         tables, "duck"), tables, "duck"), "duck")

@@ -29,6 +29,25 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_lz4_types': ('lz4.test', [(1, 45)]),
+    'dialect_load_dates': ('load.test', [(1, 10)]),
+    'dialect_func_bit_dec17': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_dec10_1': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_dec10_0': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_double': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_varshift': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_where_sel': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_where_or': ('func_bit.test', [(1, 109)]),
+    'dialect_func_bit_where_and': ('func_bit.test', [(1, 109)]),
+    'dialect_issue301_truthy_or': ('issue301.test', [(1, 236)]),
+    'dialect_issue301_strnum': ('issue301.test', [(1, 236)]),
+    'dialect_issue301_nullsafe': ('issue301.test', [(1, 236)]),
+    'dialect_issue301_fardate': ('issue301.test', [(1, 236)]),
+    'dialect_issue301_emptystr': ('issue301.test', [(1, 236)]),
+    'dialect_issue301_corrmax': ('issue301.test', [(1, 236)]),
+    'dialect_issue301_notexists': ('issue301.test', [(1, 236)]),
+    'dialect_issue1173_timebits': ('issue1173.test', [(1, 22)]),
+    'dialect_issue1173_dtbits': ('issue1173.test', [(1, 22)]),
     'dialect_issue415': ('issue415.test', [(1, 38)]),
     'dialect_issue475': ('issue475.test', [(1, 16)]),
     'dialect_issue429': ('issue429.test', [(1, 17)]),
@@ -14091,6 +14110,437 @@ drop database test_tmp;
 """
 
 
+SCRIPT_LZ4F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS lz4_test;
+--enable_warnings
+
+CREATE DATABASE lz4_test;
+
+USE lz4_test;
+
+CREATE TABLE `column_type_test` (
+ `c_tinyint` tinyint(4) DEFAULT NULL COMMENT 'lz4',
+  `c_smallint` smallint(6) DEFAULT NULL COMMENT 'lz4',
+  `c_mediumint` mediumint(9) DEFAULT NULL COMMENT 'lz4',
+  `c_int` int(11) DEFAULT NULL COMMENT 'lz4',
+  `c_bigint` bigint(20) DEFAULT NULL COMMENT 'lz4',
+  `c_float` float DEFAULT NULL COMMENT 'lz4',
+  `c_double` double DEFAULT NULL COMMENT 'lz4',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'lz4',
+  `c_date` date DEFAULT NULL COMMENT 'lz4',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'lz4',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'lz4',
+  `c_time` time DEFAULT NULL COMMENT 'lz4',
+  `c_char` char(10) DEFAULT NULL COMMENT 'lz4',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'lz4',
+  `c_blob` blob COMMENT 'lz4',
+  `c_text` text COMMENT 'lz4',
+  `c_longblob` longblob COMMENT 'lz4'
+) ENGINE=TIANMU;
+
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(100,100,100,100,100,5.2,10.88,100.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(101,101,101,101,101,5.2,10.88,101.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(102,102,102,102,102,5.2,10.88,102.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(103,103,103,103,103,5.2,10.88,103.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+insert into column_type_test(c_tinyint,c_smallint,c_mediumint,c_int,c_bigint,c_float,c_double,c_decimal,c_date,c_datetime,c_timestamp,c_time,c_char,c_varchar,c_text)
+values(104,104,104,104,104,5.2,10.88,104.083,'2016-02-25','2016-02-25 10:20:01','2016-02-25 05:20:01','10:20:01','stoneatom','hello','bcdefghijklmn');
+
+select * from column_type_test;
+drop table column_type_test;
+
+DROP DATABASE lz4_test;
+"""
+
+SCRIPT_LOAD_DATESF = """--disable_warnings
+drop table if exists t1;
+--enable_warnings
+
+create table t1 (a date, b date, c date not null, d date)engine=TIANMU;
+load data infile '../../std_data/loaddata1.dat' into table t1 fields terminated by ',';
+load data infile '../../std_data/loaddata1.dat' into table t1 fields terminated by ',' IGNORE 2 LINES;
+SELECT * from t1;
+show create table t1;
+drop table t1;
+"""
+
+SCRIPT_FUNC_BITF = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test func bit
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS func_bit;
+--enable_warnings
+CREATE DATABASE func_bit;
+USE func_bit;
+
+# DECIMAL(17,0) input
+
+CREATE TABLE t1 (a DECIMAL(17,0) NOT NULL);
+INSERT INTO t1 VALUES (999999999999999);
+INSERT INTO t1 VALUES (28446744073709);
+INSERT INTO t1 VALUES (-284467440737);
+INSERT INTO t1 VALUES (-99999999999999);
+--disable_warnings
+SELECT a, a & a, a | a, a^0, a<<2, a<<0, a>>1, bit_count(a) FROM t1;
+--enable_warnings
+DROP TABLE t1;
+
+# DECIMAL(10,1) input
+
+CREATE TABLE t1 (a DECIMAL(10,1) NOT NULL);
+INSERT INTO t1 VALUES (999999999.9);
+INSERT INTO t1 VALUES (3.5);
+INSERT INTO t1 VALUES (3.4);
+INSERT INTO t1 VALUES (2.9);
+INSERT INTO t1 VALUES (-2.9);
+INSERT INTO t1 VALUES (-3.4);
+INSERT INTO t1 VALUES (-3.5);
+INSERT INTO t1 VALUES (-999999999.9);
+--disable_warnings
+SELECT a, a & a, a | a, a^0, a<<2, a>>2, bit_count(a) FROM t1;
+--enable_warnings
+DROP TABLE t1;
+
+# DECIMAL(10,0) input
+
+CREATE TABLE t1 (a DECIMAL(10,0) NOT NULL);
+INSERT INTO t1 VALUES (9999999999);
+INSERT INTO t1 VALUES (3);
+INSERT INTO t1 VALUES (-3);
+INSERT INTO t1 VALUES (-9999999999);
+--disable_warnings
+SELECT a, a & a, a | a, a^0, a<<2, a<<0, a>>1, bit_count(a) FROM t1;
+--enable_warnings
+DROP TABLE t1;
+
+# VARCHAR input
+
+CREATE TABLE t1 (a VARCHAR(30) NOT NULL);
+INSERT INTO t1 VALUES ('2.9');
+INSERT INTO t1 VALUES ('18446744073709551610');
+#bug1173 SELECT a, a & a, a | a, a^0, a<<1, a<<0, a>>1, bit_count(a) FROM t1;
+DROP TABLE t1;
+
+# Double input
+
+CREATE TABLE t1 (a DOUBLE NOT NULL);
+INSERT INTO t1 VALUES (2.9);
+INSERT INTO t1 VALUES (10e30);
+--disable_warnings
+SELECT a, a & a, a | a, a^0, a<<2, a<<0, a>>1, bit_count(a) FROM t1;
+--enable_warnings
+DROP TABLE t1;
+
+# Time input
+
+CREATE TABLE t1 (a TIME(1) NOT NULL);
+INSERT INTO t1 VALUES ('00:00:02.9');
+INSERT INTO t1 VALUES ('800:00:02.9');
+INSERT INTO t1 VALUES ('800:00:02');
+INSERT INTO t1 VALUES ('-800:00:02.9');
+#bug1173 SELECT a, a & a, a | a, a^0, a<<1, a<<0, a>>1, bit_count(a) FROM t1;
+DROP TABLE t1;
+
+# Datetime input
+
+CREATE TABLE t1 (a DATETIME(1) NOT NULL);
+INSERT INTO t1 VALUES ('2001-01-01 00:00:02.9');
+INSERT INTO t1 VALUES ('2001-01-01 23:59:59.9');
+INSERT INTO t1 VALUES ('9999-12-31 23:59:59.9');
+#select * from t1;
+#bug1173 SELECT a, a & a, a | a, a^0, a<<1, a<<0, a>>1, bit_count(a) FROM t1;
+DROP TABLE t1;
+
+
+# Bit shift for more than 63 bits
+
+CREATE TABLE t1 (a INT NOT NULL);
+INSERT INTO t1 VALUES (63),(64),(65);
+SELECT a, 1<<a,1>>a FROM t1;
+DROP TABLE t1;
+
+# set when using BIT OR and BIT AND functions in WHERE
+
+CREATE TABLE t1 (a DECIMAL(18,2));
+INSERT INTO t1 VALUES (3.4);
+SELECT a, a|4, a&4 FROM t1;
+SELECT * FROM t1 WHERE (a|4) <> a;
+SELECT * FROM t1 WHERE (a&4) <> a;
+DROP TABLE t1;
+
+# Clean up
+DROP DATABASE func_bit;
+"""
+
+SCRIPT_ISSUE301F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue301_test;
+--enable_warnings
+
+CREATE DATABASE issue301_test;
+
+USE issue301_test;
+
+--disable_warnings
+drop table if exists t1;
+--enable_warnings
+
+CREATE TABLE t1 (a INT NOT NULL, b INT)engine=tianmu;
+INSERT INTO t1 VALUES (1, 1),(1,2),(1,3);
+select * from t1 where 1=1 and 1=1 or b>2;
+select * from t1 where b>2 or 1=2;
+select * from t1 where b>2 or 1<2;
+select * from t1 where b>2 or 1>2;
+select * from t1 where b>2 or 1=1;
+select * from t1 where b>2 or 1;
+select * from t1 where b>2 or 0;
+select * from t1 where ( 1> '1.1' ) or b>2;
+select * from t1 where ( 1 > 1.1 ) or b>2;
+select * from t1 where ( 1.2 > 1.1 ) or b>2;
+select * from t1 where ( 1.2 >= 1.2 ) or b>2;
+select * from t1 where ( 1.1 < 1.2 ) or b>2;
+select * from t1 where ( 1.2 <= 1.2 ) or b>2;
+select * from t1 where ( 'a' <= 'a' ) or b>2;
+select * from t1 where ( a = b ) or b>2;
+select * from t1 where ( a != b ) or b>2;
+select * from t1 where ( a is null ) or b>2;
+select * from t1 where ( null is null ) or b>2;
+select * from t1 where ( 1 = 1 and 1 = 1 ) or b>2;
+select * from t1 where ( 1 = 1 and 1 != 1 ) or b>2;
+select * from t1 where ( 1 = 1 and 1 = 1 ) and b>2;
+select * from t1 where ( 1 = 1 and 1 != 1 ) and b>2;
+select * from t1 where ( 1 = 1 and 1 = 1 and 1 = 1 ) or b>2;
+select * from t1 where ( 1 = 1 and 1 = 1 and 1 != 1 ) or b>2;
+select * from t1 where ( a = a and 1 = 1 and 1 = 1 ) or b>2;
+select * from t1 where ( a = a and 1 = 1 and 1 != 1 ) or b>2;
+select * from t1 where ( 1 = 1 and 1 = 1 and 1 = 1 ) and b>2;
+select * from t1 where ( 1 = 1 and 1 = 1 and 1 != 1 ) and b>2;
+select * from t1 where ( a = a and 1 = 1 and 1 = 1 ) and b>2;
+select * from t1 where ( a = a and 1 = 1 and 1 != 1 ) and b>2;
+select * from t1 where ((((1=1) or (3=3)) and (3=3)) or ((1=100) and (5=a)));
+select * from t1 where ((((1=1) or (3=3)) and (3=4)) or ((1=100) and (5=a)));
+select * from t1 where ((((1=2) or (3=3)) and (3=3)) or ((1=100) and (5=a)));
+select * from t1 where ((((1>2) or (3=3)) and (3=3)) or ((1=1) and (5=a)));
+select * from t1 where ((((1=2) or (3=3)) and (3=1)) or ((1>1) and (5=a)));
+select * from t1 where ((((1=2) or (3=3)) and (3!=1)) or ((1>1) and (5=a)));
+
+drop table t1;
+
+CREATE TABLE t1 (a INT NOT NULL, b INT)engine=tianmu;
+INSERT INTO t1 VALUES (1, 1);
+SELECT * FROM t1 WHERE (a=a AND a=a) OR b > 2;
+
+drop table t1;
+
+create table t1 (id int, value int) engine=tianmu;
+create table t2 (id int, value int) engine=tianmu;
+
+insert into t1 values (1,null);
+insert into t2 values (1,null);
+
+select t1.*, t2.*, t1.value<=>t2.value from t1, t2 where t1.id=t2.id and t1.id=1;
+select * from t1 where id <=>id;
+select * from t1 where value <=> value;
+select * from t1 where id <=> value or value<=>id;
+
+drop table t1,t2;
+
+SET NAMES utf8;
+CREATE TABLE diaries (
+  created_at datetime,
+  title varchar(256)
+) engine=tianmu DEFAULT CHARSET=utf8;
+
+INSERT INTO diaries VALUES ("1000-01-01 00:00:00", "The start");
+INSERT INTO diaries VALUES ("2012-10-25 16:18:29", "Today is shiny day.");
+INSERT INTO diaries VALUES ("9999-12-31 23:59:59", "The end");
+
+SELECT *
+       FROM diaries
+       WHERE created_at = created_at or created_at = "2012-10-25 16:18:29";
+
+DROP TABLE diaries;
+
+CREATE TABLE tags (
+  name VARCHAR(16) NOT NULL
+)engine=tianmu;
+
+INSERT INTO tags VALUES ('mroonga');
+INSERT INTO tags VALUES ('mysql');
+INSERT INTO tags VALUES ('');
+
+SELECT * FROM tags WHERE name = "";
+SELECT * FROM tags WHERE name=name or name = "";
+SELECT * FROM tags WHERE 1=1 or name = "";
+SELECT * FROM tags WHERE name=name and name = "";
+SELECT * FROM tags WHERE 1=1 and name = "";
+SELECT * FROM tags WHERE name != "";
+SELECT * FROM tags WHERE name = name or name != "";
+SELECT * FROM tags WHERE 1 = 1 or name != "";
+SELECT * FROM tags WHERE name = name and name != "";
+SELECT * FROM tags WHERE 1 = 1 and name != "";
+
+DROP TABLE tags;
+
+CREATE TABLE t1(c1 VARCHAR(10), c2 VARCHAR(10), c3 TINYINT) engine=tianmu;
+INSERT INTO t1 VALUES ('a','b',0), ('a','b',1), ('a','b',2), ('a','b',3), ('a','b',4), ('a','b',5), ('a','b',6), ('a','b',7), ('a','b',8), ('a','b',9); 
+SELECT c1,c2,c3 FROM t1 ORDER BY c3 DESC LIMIT 1;
+SELECT c1,MAX(c3) FROM t1 GROUP BY c1;
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(c3) FROM t1);
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(t11.c3) FROM t1 AS t11 WHERE t1.c1 = t11.c1);
+DROP TABLE t1;
+CREATE TABLE t1(c1 VARCHAR(10), c2 VARCHAR(10), c3 SMALLINT) engine=tianmu;
+INSERT INTO t1 VALUES ('a','b',0), ('a','b',1), ('a','b',2), ('a','b',3), ('a','b',4), ('a','b',5), ('a','b',6), ('a','b',7), ('a','b',8), ('a','b',9); 
+SELECT c1,c2,c3 FROM t1 ORDER BY c3 DESC LIMIT 1;
+SELECT c1,MAX(c3) FROM t1 GROUP BY c1;
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(c3) FROM t1);
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(t11.c3) FROM t1 AS t11 WHERE t1.c1 = t11.c1);
+DROP TABLE t1;
+CREATE TABLE t1(c1 VARCHAR(10), c2 VARCHAR(10), c3 MEDIUMINT) engine=tianmu;
+INSERT INTO t1 VALUES ('a','b',0), ('a','b',1), ('a','b',2), ('a','b',3), ('a','b',4), ('a','b',5), ('a','b',6), ('a','b',7), ('a','b',8), ('a','b',9); 
+SELECT c1,c2,c3 FROM t1 ORDER BY c3 DESC LIMIT 1;
+SELECT c1,MAX(c3) FROM t1 GROUP BY c1;
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(c3) FROM t1);
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(t11.c3) FROM t1 AS t11 WHERE t1.c1 = t11.c1);
+DROP TABLE t1;
+CREATE TABLE t1(c1 VARCHAR(10), c2 VARCHAR(10), c3 INT) engine=tianmu;
+INSERT INTO t1 VALUES ('a','b',0), ('a','b',1), ('a','b',2), ('a','b',3), ('a','b',4), ('a','b',5), ('a','b',6), ('a','b',7), ('a','b',8), ('a','b',9); 
+SELECT c1,c2,c3 FROM t1 ORDER BY c3 DESC LIMIT 1;
+SELECT c1,MAX(c3) FROM t1 GROUP BY c1;
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(c3) FROM t1);
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(t11.c3) FROM t1 AS t11 WHERE t1.c1 = t11.c1);
+DROP TABLE t1;
+CREATE TABLE t1(c1 VARCHAR(10), c2 VARCHAR(10), c3 INTEGER) engine=tianmu;
+INSERT INTO t1 VALUES ('a','b',0), ('a','b',1), ('a','b',2), ('a','b',3), ('a','b',4), ('a','b',5), ('a','b',6), ('a','b',7), ('a','b',8), ('a','b',9); 
+SELECT c1,c2,c3 FROM t1 ORDER BY c3 DESC LIMIT 1;
+SELECT c1,MAX(c3) FROM t1 GROUP BY c1;
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(c3) FROM t1);
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(t11.c3) FROM t1 AS t11 WHERE t1.c1 = t11.c1);
+DROP TABLE t1;
+CREATE TABLE t1(c1 VARCHAR(10), c2 VARCHAR(10), c3 BIGINT) engine=tianmu;
+INSERT INTO t1 VALUES ('a','b',0), ('a','b',1), ('a','b',2), ('a','b',3), ('a','b',4), ('a','b',5), ('a','b',6), ('a','b',7), ('a','b',8), ('a','b',9); 
+SELECT c1,c2,c3 FROM t1 ORDER BY c3 DESC LIMIT 1;
+SELECT c1,MAX(c3) FROM t1 GROUP BY c1;
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(c3) FROM t1);
+SELECT c1,c2,c3 FROM t1 WHERE c3=(SELECT MAX(t11.c3) FROM t1 AS t11 WHERE t1.c1 = t11.c1);
+DROP TABLE t1;
+
+CREATE TABLE t1 (t1_int INT, t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t3 (t3_int INT, t3_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t4 (t4_int INT, t4_char CHAR(5)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(3, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, ''),(7, 'eee');
+INSERT INTO t2 VALUES (NULL, ''),(1, 'eee'),(3, 'ccc'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'eee'),(11, 'nnn');
+INSERT INTO t3 SELECT * FROM t2;
+INSERT INTO t4 SELECT * FROM t1;
+
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) ORDER BY 1;
+SELECT t1_int, t1_char FROM t1 WHERE NOT EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) ORDER BY t1_char;
+SELECT * FROM t2 WHERE EXISTS (SELECT t1_int FROM t1 WHERE t1.t1_int = t2.t2_int) ORDER BY t2_int;
+SELECT t1_char FROM t1 WHERE NOT EXISTS (SELECT t2_int FROM t2 WHERE t1.t1_int = t2.t2_int) ORDER BY t1_char;
+SELECT t1_char FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE t2_int IS NULL) ORDER BY 1;
+SELECT t1_char, t1_int FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE t2_int IS NULL) AND t1_int > 5 ORDER BY 1;
+
+# cross engine
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t3_int FROM t3 WHERE t1.t1_int = t3.t3_int);
+SELECT t1_int FROM t1 WHERE NOT EXISTS (SELECT t3_int FROM t3 WHERE t1.t1_int = t3.t3_int);
+SELECT t3_int FROM t3 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t3.t3_int = t2.t2_int);
+SELECT t3_int FROM t3 WHERE NOT EXISTS (SELECT t2_int FROM t2 WHERE t3.t3_int = t2.t2_int);
+SELECT t1_int FROM t1 WHERE EXISTS (SELECT t4_int FROM t4 WHERE t1.t1_int = t4.t4_int);
+SELECT t1_int FROM t1 WHERE NOT EXISTS (SELECT t4_int FROM t4 WHERE t1.t1_int = t4.t4_int);
+SELECT t4_int FROM t4 WHERE EXISTS (SELECT t2_int FROM t2 WHERE t4.t4_int = t2.t2_int);
+SELECT t4_int FROM t4 WHERE NOT EXISTS (SELECT t2_int FROM t2 WHERE t4.t4_int = t2.t2_int);
+
+DROP TABLE t1,t2,t3,t4;
+
+CREATE TABLE t1 (c1 INT, c2 CHAR(100)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (null,null);
+INSERT INTO t1 VALUES (1,'');
+INSERT INTO t1 VALUES (2,'abcde');
+INSERT INTO t1 VALUES (100,'abcdefghij');
+CREATE TABLE t2 (c1 INT, c2 VARCHAR(100)) ENGINE=TIANMU;
+INSERT INTO t2 VALUES (1,'abcde');
+INSERT INTO t2 VALUES (2,'abcde');
+SELECT c1 FROM t1 WHERE EXISTS (SELECT * FROM t2 WHERE t1.c2 = t2.c2);
+SELECT c1 FROM t1 WHERE NOT EXISTS (SELECT * FROM t2 WHERE t1.c2 =
+t2.c2);
+DROP TABLE t1;
+DROP TABLE t2;
+CREATE TABLE t1 (c1 INT, c2 VARCHAR(100)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (null,null);
+INSERT INTO t1 VALUES (1,'');
+INSERT INTO t1 VALUES (2,'abcde');
+INSERT INTO t1 VALUES (100,'abcdefghij');
+CREATE TABLE t2 (c1 INT, c2 VARCHAR(100)) ENGINE=TIANMU;
+INSERT INTO t2 VALUES (1,'abcde');
+INSERT INTO t2 VALUES (2,'abcde');
+SELECT c1 FROM t1 WHERE EXISTS (SELECT * FROM t2 WHERE t1.c2 = t2.c2);
+SELECT c1 FROM t1 WHERE NOT EXISTS (SELECT * FROM t2 WHERE t1.c2 =
+t2.c2);
+DROP TABLE t1;
+DROP TABLE t2;
+CREATE TABLE t1 (c1 INT, c2 BINARY(100)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (null,null);
+INSERT INTO t1 VALUES (1,'');
+INSERT INTO t1 VALUES (2,'abcde');
+INSERT INTO t1 VALUES (100,'abcdefghij');
+CREATE TABLE t2 (c1 INT, c2 VARCHAR(100)) ENGINE=TIANMU;
+INSERT INTO t2 VALUES (1,'abcde');
+INSERT INTO t2 VALUES (2,'abcde');
+SELECT c1 FROM t1 WHERE EXISTS (SELECT * FROM t2 WHERE t1.c2 = t2.c2);
+SELECT c1 FROM t1 WHERE NOT EXISTS (SELECT * FROM t2 WHERE t1.c2 =
+t2.c2);
+DROP TABLE t1;
+DROP TABLE t2;
+CREATE TABLE t1 (c1 INT, c2 VARBINARY(100)) ENGINE=TIANMU;
+INSERT INTO t1 VALUES (null,null);
+INSERT INTO t1 VALUES (1,'');
+INSERT INTO t1 VALUES (2,'abcde');
+INSERT INTO t1 VALUES (100,'abcdefghij');
+CREATE TABLE t2 (c1 INT, c2 VARCHAR(100)) ENGINE=TIANMU;
+INSERT INTO t2 VALUES (1,'abcde');
+INSERT INTO t2 VALUES (2,'abcde');
+SELECT c1 FROM t1 WHERE EXISTS (SELECT * FROM t2 WHERE t1.c2 = t2.c2);
+SELECT c1 FROM t1 WHERE NOT EXISTS (SELECT * FROM t2 WHERE t1.c2 =
+t2.c2);
+DROP TABLE t1;
+DROP TABLE t2;
+
+DROP DATABASE issue301_test;
+"""
+
+SCRIPT_ISSUE1173F = """--source include/have_tianmu.inc
+--disable_warnings
+
+DROP DATABASE IF EXISTS issue1173;
+CREATE DATABASE issue1173;
+USE issue1173;
+
+CREATE TABLE t1 (a TIME(1) NOT NULL);
+INSERT INTO t1 VALUES ('00:00:02.9');
+SELECT a, a & a, a | a, a^0, a<<1, a<<0, a>>1, bit_count(a) FROM t1;
+
+CREATE TABLE t2 (a DATETIME(1) NOT NULL);
+INSERT INTO t2 VALUES ('2001-01-01 00:00:02.9');
+INSERT INTO t2 VALUES ('2001-01-01 23:59:59.9');
+INSERT INTO t2 VALUES ('9999-12-31 23:59:59.9');
+SELECT a, a & a, a | a, a^0, a<<1, a<<0, a>>1, bit_count(a) FROM t2;
+
+DROP TABLE t1;
+DROP TABLE t2;
+
+DROP DATABASE issue1173;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -14397,6 +14847,25 @@ _SPECS = [
     ('dialect_issue962', SCRIPT_ISSUE962F, -1, None, False, 'CONCAT_WS with numeric separator and operands (implicit string casts)'),
     ('dialect_issue995', SCRIPT_ISSUE995F, -1, ['tm'], False, "dashed zero-date '0-0-0' into DATETIME models as NULL beside ancient years"),
     ('dialect_issue502_2', SCRIPT_ISSUE502_2F, -1, None, False, 'INSERT ... ON DUPLICATE through a JOIN view: legal when every touched column lives in ONE base table; live-view oracle CTE refresh'),
+    ('dialect_lz4_types', SCRIPT_LZ4F, 0, None, False, '17-type table under the lz4-compression comment battery: full typed round-trip', {'c_decimal': 'STRING'}),
+    ('dialect_load_dates', SCRIPT_LOAD_DATESF, 0, ['a', 'b', 'c', 'd'], False, "LOAD DATA with relative '../../std_data' path: empty/zero/compact-digit DATE fields, \\N and literal-NULL words"),
+    ('dialect_func_bit_dec17', SCRIPT_FUNC_BITF, 0, ['a', 'ba', 'bo', 'bx', 'shl2', 'shl0', 'shr1', 'bc'], False, 'bitwise & | ^ << >> and BIT_COUNT over DECIMAL(17,0) incl. negatives as two\'s-complement u64', {'a': 'STRING', 'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl2': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
+    ('dialect_func_bit_dec10_1', SCRIPT_FUNC_BITF, 1, ['a', 'ba', 'bo', 'bx', 'shl2', 'shr2', 'bc'], False, 'bitwise ops over DECIMAL(10,1): fractional operands round half-away (3.5 to 4) before u64 conversion', {'a': 'STRING', 'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl2': 'STRING', 'shr2': 'STRING'}),
+    ('dialect_func_bit_dec10_0', SCRIPT_FUNC_BITF, 2, ['a', 'ba', 'bo', 'bx', 'shl2', 'shl0', 'shr1', 'bc'], False, 'bitwise ops over DECIMAL(10,0) incl. -9999999999 two\'s-complement', {'a': 'STRING', 'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl2': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
+    ('dialect_func_bit_double', SCRIPT_FUNC_BITF, 3, ['a', 'ba', 'bo', 'bx', 'shl2', 'shl0', 'shr1', 'bc'], False, 'bitwise ops over DOUBLE: 10e30 saturates at LLONG_MAX like tianmu val_int', {'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl2': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
+    ('dialect_func_bit_varshift', SCRIPT_FUNC_BITF, 4, ['a', 'shl', 'shr'], False, '1<<a / 1>>a with column shift counts: 63 hits the sign bit, >=64 yields 0 (Java masks, MySQL does not)', {'shl': 'STRING', 'shr': 'STRING'}),
+    ('dialect_func_bit_where_sel', SCRIPT_FUNC_BITF, 5, ['a', 'bo', 'ba'], False, 'a|4 and a&4 select items over DECIMAL(18,2)', {'a': 'STRING', 'bo': 'STRING', 'ba': 'STRING'}),
+    ('dialect_func_bit_where_or', SCRIPT_FUNC_BITF, 6, ['a'], False, 'WHERE (a|4) <> a: bitwise result compared against the decimal column', {'a': 'STRING'}),
+    ('dialect_func_bit_where_and', SCRIPT_FUNC_BITF, 7, ['a'], False, 'WHERE (a&4) <> a bitwise predicate', {'a': 'STRING'}),
+    ('dialect_issue301_truthy_or', SCRIPT_ISSUE301F, 5, ['a', 'b'], False, 'WHERE b>2 or 1: bare numeric truthy leaf in an OR tree'),
+    ('dialect_issue301_strnum', SCRIPT_ISSUE301F, 7, ['a', 'b'], False, "WHERE (1 > '1.1') or b>2: string literal compared numerically"),
+    ('dialect_issue301_nullsafe', SCRIPT_ISSUE301F, 37, ['id1', 'value1', 'id2', 'value2', 'nse'], False, 'NULL-safe <=> as a select item over a comma join with NULL values'),
+    ('dialect_issue301_fardate', SCRIPT_ISSUE301F, 41, ['created_at', 'title'], False, 'year-1000/9999 DATETIME rows through an always-true OR predicate', {'created_at': 'STRING'}),
+    ('dialect_issue301_emptystr', SCRIPT_ISSUE301F, 51, ['name'], False, "WHERE 1 = 1 and name != '': empty-string VARCHAR predicates"),
+    ('dialect_issue301_corrmax', SCRIPT_ISSUE301F, 55, ['c1', 'c2', 'c3'], False, 'correlated scalar MAX subquery per TINYINT battery'),
+    ('dialect_issue301_notexists', SCRIPT_ISSUE301F, 77, ['t1_int', 't1_char'], False, 'NOT EXISTS anti-join leg of the EXISTS battery'),
+    ('dialect_issue1173_timebits', SCRIPT_ISSUE1173F, 0, ['a', 'ba', 'bo', 'bx', 'shl1', 'shl0', 'shr1', 'bc'], False, "bitwise ops over TIME(1): '00:00:02.9' reads 2.9 and rounds to 3", {'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl1': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
+    ('dialect_issue1173_dtbits', SCRIPT_ISSUE1173F, 1, ['a', 'ba', 'bo', 'bx', 'shl1', 'shl0', 'shr1', 'bc'], False, 'bitwise ops over DATETIME(1): fractional seconds round the temporal before the compact u64 read; year-9999 row renders as text', {'a': 'STRING', 'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl1': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
 ]
 
 

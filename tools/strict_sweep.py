@@ -241,15 +241,35 @@ def sweep(
     # overwrite the committed sf0.01 artifact).
     if artifact and not prefixes:
         import json
+        import subprocess
+
+        # Stamp the EXACT commit the sweep ran at (plus a dirty flag)
+        # so a sweep recorded before a later commit is self-evidently
+        # stale — the round-8 escape was a 513/513 artifact recorded
+        # one commit before the commit that broke 9 entries (r8
+        # verdict item 2).
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=repo,
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            dirty = bool(subprocess.run(
+                ["git", "status", "--porcelain"], cwd=repo,
+                capture_output=True, text=True, check=True,
+            ).stdout.strip())
+        except Exception:  # noqa: BLE001 — no git available? keep sweeping
+            head, dirty = "unknown", True
 
         path = artifact
         with open(path, "w") as fh:
             json.dump(
-                {"sf_dir": sf, "n_queries": len(names), "n_bad": n_bad,
+                {"git_head": head, "git_dirty": dirty,
+                 "sf_dir": sf, "n_queries": len(names), "n_bad": n_bad,
                  "results": records},
                 fh, indent=1,
             )
-        print(f"artifact: {path}")
+        print(f"artifact: {path} @ {head[:12]}{' (DIRTY)' if dirty else ''}")
     return n_bad
 
 
