@@ -210,7 +210,7 @@ _CREATE_TBL_STMT = re.compile(
 # never leaves the ident stranded behind a consumed "TRUNCATE TABLE")
 _TBLPOS_KW = (
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?",
-    r"DROP\s+(?:TEMPORARY\s+)?TABLE(?:\s+IF\s+EXISTS)?",
+    r"DROP\s+(?:TEMPORARY\s+)?TABLES?(?:\s+IF\s+EXISTS)?",
     r"ALTER\s+TABLE", r"TRUNCATE(?:\s+TABLE)?",
     r"INSERT\s+(?:IGNORE\s+)?INTO", r"REPLACE\s+INTO",
     r"DELETE\s+FROM", r"INTO\s+TABLE", r"RENAME(?:\s+TO)?",
@@ -259,7 +259,7 @@ def _strip_db_prefixes(stmts: list[Statement]) -> list[Statement]:
             if len(alive) > 1:
                 multi = True
         dm = re.match(
-            r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?"
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\s+(?:IF\s+EXISTS\s+)?"
             r"(?:(`[^`]+`|\w+)\s*\.\s*)?(`[^`]+`|\w+)", st.text, re.I,
         )
         if dm:
@@ -1029,7 +1029,10 @@ def parse_create_table(stmt: str) -> TableDef:
             args = args if args else "(10,0)"
             stype, dtype = f"DECIMAL{args}", f"DECIMAL{args}"
         dm = re.search(
-            r"\bDEFAULT\s+('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[\w.+-]+)",
+            # bit-literal defaults first: DEFAULT b'10' must not lex as
+            # the word 'b' (bit.test's SHOW CREATE + DEFAULT leg)
+            r"\bDEFAULT\s+([bB]'[01]*'|[xX]'[0-9A-Fa-f]*'"
+            r"|'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[\w.+-]+)",
             rest,
             re.I,
         )
@@ -1416,7 +1419,37 @@ def _rewrite_date_arith(sql: str, engine: str) -> str:
             n, unit = parts[1].strip(), "DAY"
         expr = parts[0]
         sign = "-" if m.group(1).upper() == "SUB" else "+"
-        shift = f"{sign} ({n}) * INTERVAL 1 {unit}"
+        if "_" in unit:
+            # composite units (INTERVAL '12 10:11:12' DAY_SECOND,
+            # issue464): the literal's numbers map onto the unit's
+            # field span, rightmost = finest; fold to seconds/months
+            lit = _decode_strlit(n)
+            if lit is None:
+                raise ValueError(f"composite INTERVAL needs a literal: {n}")
+            nums = [int(x) for x in re.findall(r"\d+", lit)]
+            fields = {
+                "DAY_SECOND": (86400, 3600, 60, 1),
+                "DAY_MINUTE": (86400, 3600, 60),
+                "DAY_HOUR": (86400, 3600),
+                "HOUR_SECOND": (3600, 60, 1),
+                "HOUR_MINUTE": (3600, 60),
+                "MINUTE_SECOND": (60, 1),
+            }.get(unit)
+            neg = "-" in lit.split(nums and str(nums[0]) or "")[0]
+            if unit == "YEAR_MONTH":
+                months = nums[0] * 12 + (nums[1] if len(nums) > 1 else 0)
+                shift = f"{sign} ({'-' if neg else ''}{months})" \
+                        f" * INTERVAL 1 MONTH"
+            elif fields is None or len(nums) > len(fields):
+                raise ValueError(f"unsupported INTERVAL unit {unit}")
+            else:
+                # fewer numbers than fields → rightmost (finest) units
+                mul = fields[len(fields) - len(nums):]
+                secs = sum(v * f for v, f in zip(nums, mul))
+                shift = f"{sign} ({'-' if neg else ''}{secs})" \
+                        f" * INTERVAL 1 SECOND"
+        else:
+            shift = f"{sign} ({n}) * INTERVAL 1 {unit}"
         dlit = re.match(r"\s*'([^']*)'\s*$", expr)
         if unit not in _SUBDAY_UNITS and dlit and not re.search(
             r"\d{1,2}:\d{1,2}", dlit.group(1)
@@ -1774,7 +1807,32 @@ def _addtime_fn(inner: str, engine: str, sub: bool = False) -> str:
     dl = _decode_strlit(delta)
     pd_ = _parse_time_delta(dl) if dl is not None else None
     if pd_ is None:
-        raise ValueError(f"unsupported ADDTIME delta: {delta[:40]}")
+        # non-literal delta: TIME-string ± TIME-string arithmetic
+        # entirely engine-side (issue464's ADDTIME(time_test,
+        # time_test) — TIME columns are stored as their text)
+        vt = "STRING" if engine == "spark" else "VARCHAR"
+
+        def secs_of(x: str) -> str:
+            t = f"TRIM(CAST(({x}) AS {vt}))"
+            neg = f"(CASE WHEN {t} LIKE '-%' THEN -1 ELSE 1 END)"
+            core = (
+                f"(CAST(regexp_extract({t}, '([0-9]+):', 1) AS BIGINT)"
+                f" * 3600 + CAST(regexp_extract({t}, ':([0-9]+):', 1)"
+                f" AS BIGINT) * 60 + CAST(regexp_extract({t},"
+                f" ':([0-9]+)([.][0-9]+)?$', 1) AS BIGINT))"
+            )
+            return f"({neg} * {core})"
+
+        op = "-" if sub else "+"
+        tot = f"({secs_of(base)} {op} {secs_of(delta)})"
+        a = f"ABS({tot})"
+        return (
+            f"CONCAT(CASE WHEN {tot} < 0 THEN '-' ELSE '' END,"
+            f" LPAD(CAST(CAST({a} / 3600 AS BIGINT) AS {vt}), 2, '0'),"
+            f" ':', LPAD(CAST(CAST(({a} % 3600) / 60 AS BIGINT)"
+            f" AS {vt}), 2, '0'),"
+            f" ':', LPAD(CAST({a} % 60 AS {vt}), 2, '0'))"
+        )
     secs, fdigits = pd_
     if sub:
         secs = -secs
@@ -1943,7 +2001,9 @@ def _scan_token(sql: str, start: int, depth0: int, words: tuple) -> int:
     return -1
 
 
-def _wrap_nongrouped_any_value(sql: str) -> str:
+def _wrap_nongrouped_any_value(
+    sql: str, equality_dependent_only: bool = False
+) -> str:
     """MySQL with ONLY_FULL_GROUP_BY disabled accepts non-aggregated
     select items absent from GROUP BY and returns a value from the
     group (issue790.test/issue1107.test run exactly such queries after
@@ -2067,6 +2127,33 @@ def _wrap_nongrouped_any_value(sql: str) -> str:
             if not refs or refs <= keyset:
                 new_items.append(item)
                 continue
+            if equality_dependent_only:
+                # ONLY_FULL_GROUP_BY is ON: MySQL 5.7 still accepts a
+                # non-grouped column that is functionally dependent on
+                # a key via an equality in ON/WHERE (bit.test's
+                # ``select sum(a1), b1+0, b2+0 … on b1 = b2 group by
+                # b1``; sql/aggregate_check.cc).  Wrap only such items;
+                # anything else must keep erroring like MySQL.
+                masked = re.sub(r"'(?:[^'\\]|\\.)*'", " ", sql)
+
+                def _eqlinked(ref: str) -> bool:
+                    for em in re.finditer(
+                        rf"(?i)(?:[\w`]+\s*\.\s*)?`?({ref})`?\s*=\s*"
+                        rf"(?:[\w`]+\s*\.\s*)?`?(\w+)`?", masked
+                    ):
+                        if em.group(2).lower() in keyset:
+                            return True
+                    for em in re.finditer(
+                        rf"(?i)(?:[\w`]+\s*\.\s*)?`?(\w+)`?\s*=\s*"
+                        rf"(?:[\w`]+\s*\.\s*)?`?({ref})`?", masked
+                    ):
+                        if em.group(1).lower() in keyset:
+                            return True
+                    return False
+
+                if not all(_eqlinked(r) for r in refs - keyset):
+                    new_items.append(item)
+                    continue
             if not alias:
                 bare = re.fullmatch(
                     r"\s*(?:[A-Za-z_][\w$]*\s*\.\s*)?"
@@ -2883,6 +2970,14 @@ def _rewrite_truthy_logic_items(sql: str) -> str:
     out_items = []
     for item in items:
         body = item.strip()
+        # peel "( core ) AS alias" — other_bit's (v || b) AS concat
+        # arrives here as (v OR b) AS concat after the logical-op pass
+        alias = ""
+        pm = re.fullmatch(
+            r"(?is)\(([^()']*)\)\s+AS\s+(`[^`]+`|\w+)", body
+        )
+        if pm and _TRUTHY_ITEM.match(pm.group(1).strip()):
+            body, alias = pm.group(1).strip(), f" AS {pm.group(2)}"
         if _TRUTHY_ITEM.match(body) and re.search(
             r"\b(AND|OR|XOR|NOT)\b", body, re.I
         ):
@@ -2892,10 +2987,10 @@ def _rewrite_truthy_logic_items(sql: str) -> str:
                 op = op.upper()
                 rhs = _truthy_term(term)
                 expr = f"({expr} {'<>' if op == 'XOR' else op} {rhs})"
-            out_items.append(f"CAST({expr} AS INT)")
+            out_items.append(f"CAST({expr} AS INT){alias}")
             changed = True
         else:
-            out_items.append(body)
+            out_items.append(item.strip())
     if not changed:
         return sql
     return (
@@ -3456,9 +3551,61 @@ def rewrite_expr(sql: str, engine: str) -> str:
         re.compile(r"\s+(?:IGNORE|USE|FORCE)\s+INDEX\s*\([^()]*\)", re.I),
         lambda m: "",
     )
+    # MySQL nested-join syntax `A LEFT JOIN B LEFT JOIN C ON c2 ON c1`
+    # binds the SECOND ON to the outer join (B joins C first) —
+    # issue887; both engines need the grouping parenthesized
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(
+            r"(?is)\b(LEFT|RIGHT|INNER|CROSS)\s+JOIN\s+(`[^`]+`|\w+)\s+"
+            r"(LEFT|RIGHT|INNER|CROSS)\s+JOIN\s+(`[^`]+`|\w+)\s+"
+            r"ON\s+(.+?)\s+ON\s+"
+        ),
+        lambda m: (
+            f"{m.group(1)} JOIN ({m.group(2)} {m.group(3)} JOIN "
+            f"{m.group(4)} ON {m.group(5)}) ON "
+        ),
+    )
+    # single-ON variant: `A INNER JOIN B INNER JOIN C ON c` — MySQL
+    # binds the ON to the NEAREST (B×C) join and leaves A×B bare, i.e.
+    # a cross join (issue887's inner legs)
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(
+            r"(?is)(?<!LEFT )(?<!RIGHT )(?<!OUTER )(?<!NATURAL )"
+            r"\b(?:(?:INNER|CROSS)\s+)?JOIN\s+(`[^`]+`|\w+)\s+"
+            r"(?:(?:INNER|CROSS)\s+)?"
+            r"(?<!LEFT )(?<!RIGHT )(?<!OUTER )(?<!NATURAL )"
+            r"JOIN\s+(`[^`]+`|\w+)\s+ON\s+"
+            r"(.+?)(?=\s+(?:WHERE|ORDER|GROUP|LIMIT)\b|\s*$)"
+        ),
+        lambda m: (
+            f"CROSS JOIN ({m.group(1)} JOIN {m.group(2)} "
+            f"ON {m.group(3).strip()})"
+        ),
+    )
     # LIKE canonicalization reads raw MySQL literals, so it runs before
     # the engine re-encode of every string literal
     sql = _rewrite_like_patterns(sql)
+    # POSITION(B'…' IN B'…') — bit literals in a STRING context are
+    # their big-endian bytes (ceil(nbits/8), leading zeros implicit);
+    # POSITION finds the byte offset (other_bit.test's boundary
+    # battery).  Both args are literals in the corpus — fold in Python.
+    def _position_fn(inner: str) -> str:
+        pm = re.fullmatch(
+            r"(?is)\s*[bB]'([01]*)'\s+IN\s+[bB]'([01]*)'\s*", inner
+        )
+        if not pm:
+            return f"POSITION({inner})"
+
+        def as_bytes(bits: str) -> bytes:
+            if not bits:
+                return b""
+            return int(bits, 2).to_bytes((len(bits) + 7) // 8, "big")
+
+        return str(as_bytes(pm.group(2)).find(as_bytes(pm.group(1))) + 1)
+
+    sql = _wrap_calls(sql, "POSITION", _position_fn)
     if engine == "duck":
         # MySQL DAYOFWEEK is ODBC-style 1=Sunday; DuckDB's is 0=Sunday.
         # Runs BEFORE the STR_TO_DATE/WEEKDAY passes whose GENERATED
@@ -3662,10 +3809,69 @@ def rewrite_expr(sql: str, engine: str) -> str:
                 sql, fn,
                 lambda i: f"CAST(LENGTH(CAST(({i}) AS VARCHAR)) AS INTEGER)",
             )
+    # MySQL DATE(x) truncates to the date part and yields NULL on
+    # non-date input (issue464's DATE(year_test) over YEAR → NULL);
+    # route through a text render + TRY_CAST so a SMALLINT-backed YEAR
+    # never hits either engine's analysis-time cast rejection.  Compact
+    # digit forms: 8 digits read YYYYMMDD, other all-digit strings are
+    # invalid (Spark would read '2020' as 2020-01-01; MySQL does not)
+    _vt = "STRING" if engine == "spark" else "VARCHAR"
+
+    def _date_fn(i: str) -> str:
+        s = f"TRIM(CAST(({i}) AS {_vt}))"
+        return (
+            f"(CASE"
+            f" WHEN {s} RLIKE '^[0-9]{{8}}$'"
+            f" THEN TRY_CAST(CONCAT(SUBSTR({s}, 1, 4), '-',"
+            f" SUBSTR({s}, 5, 2), '-', SUBSTR({s}, 7, 2)) AS DATE)"
+            f" WHEN {s} RLIKE '^[0-9]+$' THEN CAST(NULL AS DATE)"
+            f" ELSE TRY_CAST({s} AS DATE) END)"
+        ) if engine == "spark" else (
+            f"(CASE"
+            f" WHEN regexp_matches({s}, '^[0-9]{{8}}$')"
+            f" THEN TRY_CAST(CONCAT(SUBSTR({s}, 1, 4), '-',"
+            f" SUBSTR({s}, 5, 2), '-', SUBSTR({s}, 7, 2)) AS DATE)"
+            f" WHEN regexp_matches({s}, '^[0-9]+$')"
+            f" THEN CAST(NULL AS DATE)"
+            f" ELSE TRY_CAST({s} AS DATE) END)"
+        )
+
+    sql = _wrap_calls(sql, "DATE", _date_fn)
+    # MySQL 2-arg DATEDIFF(a, b) = whole days a - b; DuckDB's datediff
+    # is the 3-arg part form (issue464)
+    def _datediff_fn(inner: str) -> str:
+        p = _split_top_commas(inner)
+        if len(p) != 2:
+            return f"DATEDIFF({inner})"
+        a, b = p[0].strip(), p[1].strip()
+        if engine == "spark":
+            return (f"DATEDIFF(TRY_CAST({a} AS DATE),"
+                    f" TRY_CAST({b} AS DATE))")
+        return (f"DATEDIFF('day', TRY_CAST({b} AS DATE),"
+                f" TRY_CAST({a} AS DATE))")
+
+    sql = _wrap_calls(sql, "DATEDIFF", _datediff_fn)
     if engine == "duck":
-        # MySQL DATE(x) truncates to the date part; DuckDB has no DATE
-        # function — CAST covers string/timestamp inputs alike
-        sql = _wrap_calls(sql, "DATE", lambda i: f"CAST(({i}) AS DATE)")
+        # Spark FROM_UNIXTIME renders 'yyyy-MM-dd HH:mm:ss' text;
+        # mirror it (DuckDB has no from_unixtime)
+        sql = _wrap_calls(
+            sql, "FROM_UNIXTIME",
+            lambda i: (f"strftime(make_timestamp(CAST(({i}) AS BIGINT)"
+                       f" * 1000000), '%Y-%m-%d %H:%M:%S')"),
+        )
+    # CONVERT_TZ with NAMED zones: MySQL returns NULL when the tz name
+    # tables aren't loaded — the reference suite never loads them
+    # (issue464.result records NULL for ('GMT', 'MET'))
+    def _convert_tz_fn(inner: str) -> str:
+        p = _split_top_commas(inner)
+        if len(p) == 3 and all(
+            re.fullmatch(r"\s*'[A-Za-z][^']*'\s*", a) for a in p[1:]
+        ):
+            return "CAST(NULL AS TIMESTAMP)"
+        return f"CONVERT_TZ({inner})"
+
+    sql = _wrap_calls(sql, "CONVERT_TZ", _convert_tz_fn)
+    if engine == "duck":
         # DuckDB LENGTH only accepts VARCHAR/BIT: route non-string args
         # through the same text rendering MySQL uses
         sql = _wrap_calls(
@@ -3750,11 +3956,14 @@ def rewrite_expr(sql: str, engine: str) -> str:
                 r"(?!(?:WHERE|GROUP|ORDER|UNION|LIMIT|ON|USING|JOIN|"
                 r"LEFT|RIGHT|INNER|CROSS|NATURAL|HAVING)\b)\w+)?)"
                 r"(?=\s*(\)|\bWHERE\b|\bGROUP\b|\bORDER\b|\bUNION\b|"
-                r"\bLIMIT\b|\bHAVING\b|$|;))",
+                r"\bLIMIT\b|\bHAVING\b|\bINNER\b|\bCROSS\b|\bLEFT\b|"
+                r"\bRIGHT\b|\bNATURAL\b|\bJOIN\b|$|;))",
                 re.I,
             ),
+            # INNER/CROSS without ON are MySQL cross joins mid-chain
+            # too (issue887's INNER JOIN t2 INNER JOIN t3 WHERE …)
             lambda m: m.group(0)
-            if m.group(1)
+            if m.group(1) and m.group(1).upper() not in ("INNER", "CROSS")
             else f"{m.group(2)}CROSS JOIN {m.group(3)}",
         )
         sql = _duck_order_nulls(sql)
@@ -3858,12 +4067,13 @@ def _recode_string_literals(sql: str, engine: str) -> str:
             m.group(1) is not None
             and pre[-1:] in ("b", "B")
             and not re.search(r"[\w$][bB]$", pre)
-            and re.fullmatch(r"[01]+", m.group(1) or "")
+            and re.fullmatch(r"[01]*", m.group(1) or "")
         ):
             # MySQL bit literal b'101' → the integer value (bit_type
-            # .test; BIT columns store numerically here)
+            # .test; BIT columns store numerically here); the empty
+            # b'' is a zero-length bit value = 0 (bit.test, other_bit)
             out.append(pre[:-1])
-            out.append(str(int(m.group(1), 2)))
+            out.append(str(int(m.group(1) or "0", 2)))
             last = m.end()
             continue
         out.append(pre)
@@ -4233,6 +4443,40 @@ def _rewrite_date_parts(sql: str, engine: str) -> str:
                 f"CAST(({inner}) AS DATE)) + 719528)")
 
     sql = _wrap_calls(sql, "TO_DAYS", todays)
+
+    def toseconds(inner: str) -> str:
+        # MySQL TO_SECONDS: seconds since year 0 = TO_DAYS * 86400 +
+        # seconds-of-day (issue464: 63679824000 for '2017-12-07')
+        inner = _normalize_date_literal(inner) or inner
+        ts = f"TRY_CAST(({inner}) AS TIMESTAMP)"
+        return (
+            f"(CAST({todays(inner)} AS BIGINT) * 86400"
+            f" + HOUR({ts}) * 3600 + MINUTE({ts}) * 60 + SECOND({ts}))"
+        )
+
+    sql = _wrap_calls(sql, "TO_SECONDS", toseconds)
+
+    def time_to_sec(inner: str) -> str:
+        # MySQL TIME_TO_SEC over a TIME value (stored as text here):
+        # sign-aware 'H:MM:SS[.f]' → seconds (issue464's 02:03:04 →
+        # 7384); a datetime-shaped input reads its time-of-day
+        vt = "STRING" if engine == "spark" else "VARCHAR"
+        t = f"TRIM(CAST(({inner}) AS {vt}))"
+        tod = (
+            f"(CASE WHEN {t} LIKE '%-%:%' OR {t} LIKE '% %'"
+            f" THEN regexp_extract({t}, '([0-9]+:[0-9]+:[0-9]+)$', 1)"
+            f" ELSE {t} END)"
+        )
+        neg = f"(CASE WHEN {t} LIKE '-%' THEN -1 ELSE 1 END)"
+        return (
+            f"({neg} * (CAST(regexp_extract({tod}, '([0-9]+):', 1)"
+            f" AS BIGINT) * 3600 + CAST(regexp_extract({tod},"
+            f" ':([0-9]+):', 1) AS BIGINT) * 60"
+            f" + CAST(regexp_extract({tod}, ':([0-9]+)([.][0-9]+)?$', 1)"
+            f" AS BIGINT)))"
+        )
+
+    sql = _wrap_calls(sql, "TIME_TO_SEC", time_to_sec)
 
     # MySQL compound EXTRACT units (issue845's EXTRACT(DAY_HOUR FROM t))
     # → positional-decimal composition of the simple fields
@@ -5307,20 +5551,23 @@ def _apply_temporal_numeric_cmp(
     return _sub_outside_strings(sql, pat, rep)
 
 
+_BW_PAREN2 = r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"  # 2-deep balance
 _BW_ATOM = (
     r"(?:\x00W\d+\x00"                                 # consumed fragment
+    rf"|\w+\s*{_BW_PAREN2}"                            # call (CAST(CAST(…)))
     # [qual.]ident — but not the b/x of a b'…'/x'…' literal introducer
     # (\x01 = a masked string literal; see _apply_bitwise_mysql)
     r"|(?:\w+|`[^`]+`)(?:\s*\.\s*(?:\w+|`[^`]+`))?(?!['\x01])"
-    r"|\d+(?:\.\d+)?"                                  # numeric literal
-    r"|\((?:[^()]|\([^()]*\))*\))"                     # paren group (1-deep)
+    r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"                 # numeric literal
+    rf"|{_BW_PAREN2})"                                 # paren group
 )
 _BW_RX = re.compile(
     rf"(?<![\w.`)])({_BW_ATOM})\s*"
     rf"(<<|>>|&(?!&)|(?<!\|)\|(?!\|)|\^)\s*({_BW_ATOM})"
 )
+_BW_NOT_RX = re.compile(rf"(?<![\w.`)])~\s*({_BW_ATOM})")
 _BW_TOKEN = re.compile(
-    r"(?<!&)&(?!&)|(?<!\|)\|(?!\|)|\^|<<|>>|\bBIT_COUNT\s*\(", re.I
+    r"(?<!&)&(?!&)|(?<!\|)\|(?!\|)|\^|<<|>>|~|\bBIT_COUNT\s*\(", re.I
 )
 _POW64 = "18446744073709551616"
 
@@ -5359,11 +5606,18 @@ def _apply_bitwise_mysql(
             for c in td.columns:
                 cols.setdefault(c.name.lower(), c)
 
-    def numify(atom: str) -> str:
-        """The operand as MySQL's number-context reading (pre-round)."""
+    def numify(atom: str) -> tuple[str, bool]:
+        """The operand as MySQL's number-context reading.  Returns
+        (sql, saturating): tianmu converts DECIMAL/DOUBLE/string
+        operands through val_int, which SATURATES at the i64 bounds
+        (~18446744073709551615.0 → LLONG_MAX → 2^63;
+        BIT_COUNT(…615.0) = 63, other_bit.result), while pure-integer
+        operands keep the u64 bit pattern (~…615 = 0, BIT_COUNT = 64)."""
         t = atom.strip()
-        if re.fullmatch(r"\d+(\.\d+)?", t):
-            return f"ROUND({t}, 0)" if "." in t else t
+        if re.fullmatch(r"\d+(\.\d+)?([eE][+-]?\d+)?", t):
+            if "." in t or "e" in t.lower():
+                return f"ROUND({t}, 0)", True
+            return t, False
         nm = re.fullmatch(
             r"(?:(?:\w+|`[^`]+`)\s*\.\s*)?(`([^`]+)`|\w+)", t
         )
@@ -5376,7 +5630,7 @@ def _apply_bitwise_mysql(
                 f = ("DATE_FORMAT({x}, 'yyyyMMdd')" if engine == "spark"
                      else "strftime({x}, '%Y%m%d')")
                 return ("TRY_CAST(" + f.format(x=atom)
-                        + " AS DECIMAL(20,0))")
+                        + " AS DECIMAL(20,0))"), False
             if mt in ("datetime", "timestamp"):
                 # round fractional seconds half-up on the TEMPORAL
                 # (23:59:59.9 rolls into the next day) then render —
@@ -5394,24 +5648,28 @@ def _apply_bitwise_mysql(
                     f"TRY_CAST(100000000000000 AS DECIMAL(20,0))"
                     f" THEN TRY_CAST(99991231000000 AS DECIMAL(20,0))"
                     f" ELSE {rnd} END)"
-                )
+                ), False
             if mt == "time":
                 # stored as its literal text; numeric form = digits
                 # with the colons dropped ('00:00:02.9' → 2.9 → 3)
                 vt = "STRING" if engine == "spark" else "VARCHAR"
                 return (f"ROUND(TRY_CAST(REPLACE(CAST({atom} AS {vt}), "
-                        f"':', '') AS DECIMAL(27,6)), 0)")
+                        f"':', '') AS DECIMAL(27,6)), 0)"), True
             if c.spark_type.upper().startswith(
                 ("STRING", "BINARY")
             ):
                 _s, _p, n = _lenient_num(atom, engine)
-                return f"ROUND(COALESCE({n}, 0), 0)"
+                return f"ROUND(COALESCE({n}, 0), 0)", True
             if mt in ("decimal", "dec", "numeric", "float", "double",
                       "real"):
-                return f"ROUND({atom}, 0)"
-            return atom
-        # paren group / unknown shape: ROUND is identity on integers
-        return f"ROUND({atom}, 0)"
+                return f"ROUND({atom}, 0)", True
+            # integer family (incl. unsigned BIGINT stored DECIMAL(20,0)
+            # whose [2^63, 2^64) values are genuine u64 bit patterns)
+            return atom, False
+        # paren group / call / unknown shape: ROUND is identity on
+        # integers; u64-range results (CAST(… AS DECIMAL(32))<<0,
+        # other_bit.result) keep their bit pattern, so non-saturating
+        return f"ROUND({atom}, 0)", False
 
     # the 2^64 literal always rides inside TRY_CAST so the 1690
     # huge-literal-adjacent-to-arithmetic guard never re-matches it
@@ -5419,22 +5677,35 @@ def _apply_bitwise_mysql(
     pow64d = f"TRY_CAST({_POW64} AS DECIMAL(21,0))"
     imax, imin = "9223372036854775807", "-9223372036854775808"
 
-    def s64(n: str) -> str:
-        # tianmu's val_int conversion: ≥2^64 saturates at LLONG_MAX
-        # (func_bit's DOUBLE 10e30 → 9223372036854775807), values in
-        # [2^63, 2^64) are u64 bit patterns → two's complement
+    def s64(nk: tuple[str, bool]) -> str:
+        # tianmu's val_int conversion: saturating operands (DECIMAL/
+        # DOUBLE/string) clamp to [LLONG_MIN, LLONG_MAX] — func_bit's
+        # DOUBLE 10e30 → 9223372036854775807, other_bit's …615.0 →
+        # LLONG_MAX; non-saturating u64-range values in [2^63, 2^64)
+        # keep their bit pattern → two's complement
+        n, sat = nk
+        hi = (f"TRY_CAST(9223372036854775808 AS DECIMAL(20,0))"
+              if not sat else f"TRY_CAST({imax} AS DECIMAL(20,0))")
+        mid = (f" WHEN ({n}) >= {hi}"
+               f" THEN TRY_CAST(({n}) - {pow64d} AS BIGINT)"
+               if not sat else
+               f" WHEN ({n}) > {hi} THEN TRY_CAST({imax} AS BIGINT)")
         return (
             f"(CASE WHEN ({n}) >= {pow64d} THEN TRY_CAST({imax} AS BIGINT)"
-            f" WHEN ({n}) >= TRY_CAST(9223372036854775808 AS DECIMAL(20,0))"
-            f" THEN TRY_CAST(({n}) - {pow64d} AS BIGINT)"
+            f"{mid}"
             f" WHEN ({n}) < {imin} THEN TRY_CAST({imin} AS BIGINT)"
             f" ELSE TRY_CAST({n} AS BIGINT) END)"
         )
 
-    def u64(n: str) -> str:
+    def u64(nk: tuple[str, bool]) -> str:
+        n, sat = nk
+        top = (f" WHEN ({n}) >= {pow64d} THEN TRY_CAST({imax} AS HUGEINT)"
+               if not sat else
+               f" WHEN ({n}) > TRY_CAST({imax} AS DECIMAL(20,0))"
+               f" THEN TRY_CAST({imax} AS HUGEINT)")
         return (
             f"TRY_CAST((CASE"
-            f" WHEN ({n}) >= {pow64d} THEN TRY_CAST({imax} AS HUGEINT)"
+            f"{top}"
             f" WHEN ({n}) < {imin}"
             f" THEN TRY_CAST(9223372036854775808 AS HUGEINT)"
             f" ELSE ((TRY_CAST({n} AS HUGEINT) % {pow64}) + {pow64})"
@@ -5457,12 +5728,10 @@ def _apply_bitwise_mysql(
 
     def rep(m: re.Match) -> str:
         l_raw, op, r_raw = m.group(1), m.group(2), m.group(3)
-        if "\x00" in l_raw or "\x00" in r_raw:
-            # operand already consumed by an earlier (nested) rewrite
-            ln = l_raw if "\x00" in l_raw else numify(l_raw)
-            rn = r_raw if "\x00" in r_raw else numify(r_raw)
-        else:
-            ln, rn = numify(l_raw), numify(r_raw)
+        # an operand already consumed by an earlier (nested) rewrite is
+        # a rendered u64 DECIMAL(20,0): numeric, non-saturating
+        ln = (l_raw, False) if "\x00" in l_raw else numify(l_raw)
+        rn = (r_raw, False) if "\x00" in r_raw else numify(r_raw)
         if engine == "spark":
             sl = s64(ln)
             if op in ("&", "|", "^"):
@@ -5482,14 +5751,14 @@ def _apply_bitwise_mysql(
         elif op in ("&", "|"):
             core = f"({ul} {op} {u64(rn)})"
         elif op == ">>":
-            cnt = f"TRY_CAST({rn} AS HUGEINT)"
+            cnt = f"TRY_CAST({rn[0]} AS HUGEINT)"
             core = (
                 f"(CASE WHEN {cnt} >= 64 OR {cnt} < 0"
                 f" THEN TRY_CAST(0 AS UBIGINT)"
                 f" ELSE ({ul} >> TRY_CAST({cnt} AS INT)) END)"
             )
         else:  # << wraps mod 2^64; UBIGINT << raises on overflow
-            cnt = f"TRY_CAST({rn} AS HUGEINT)"
+            cnt = f"TRY_CAST({rn[0]} AS HUGEINT)"
             core = (
                 f"(CASE WHEN {cnt} >= 64 OR {cnt} < 0"
                 f" THEN TRY_CAST(0 AS UBIGINT)"
@@ -5508,18 +5777,27 @@ def _apply_bitwise_mysql(
         lits.append(m.group(0))
         return f"\x01{len(lits) - 1}\x01"
 
+    def rep_not(m: re.Match) -> str:
+        # unary ~x = u64 NOT (other_bit: ~18446744073709551615 = 0)
+        raw = m.group(1)
+        nk = (raw, False) if "\x00" in raw else numify(raw)
+        if engine == "spark":
+            return hide(unsigned_render_spark(f"(~{s64(nk)})"))
+        return hide(f"TRY_CAST((~{u64(nk)}) AS DECIMAL(20,0))")
+
     sql = _ANY_STRLIT.sub(_mask, sql)
     for _ in range(8):  # chains: leftmost pair first, then re-scan
-        new = _BW_RX.sub(rep, sql)
+        new = _BW_NOT_RX.sub(rep_not, sql)
+        new = _BW_RX.sub(rep, new)
         if new == sql:
             break
         sql = new
 
     def bc_fn(inner: str) -> str:
-        n = inner if "\x00" in inner else numify(inner)
+        nk = (inner, False) if "\x00" in inner else numify(inner)
         if engine == "spark":
-            return hide(f"CAST(bit_count({s64(n)}) AS INT)")
-        return hide(f"CAST(bit_count({u64(n)}) AS INT)")
+            return hide(f"CAST(bit_count({s64(nk)}) AS INT)")
+        return hide(f"CAST(bit_count({u64(nk)}) AS INT)")
 
     sql = _wrap_calls(sql, "BIT_COUNT", bc_fn)
     while "\x00W" in sql:  # nested holes restore inner-out
@@ -7403,15 +7681,15 @@ def run_statement(run: MTRRun, stmt: str):
             return run_statement(run, ins)
         finally:
             run.strict = saved
-    if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?(TABLE|VIEW)\b", s, re.I):
+    if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?(TABLES?|VIEW)\b", s, re.I):
         m = re.match(
-            r"^\s*DROP\s+(?:TEMPORARY\s+)?(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(.*)$",
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?(TABLES?|VIEW)\s+(IF\s+EXISTS\s+)?(.*)$",
             s, re.I | re.S,
         )
         kind = m.group(1).upper()
         for name in _split_top_commas(m.group(3)):
             name = _unquote_ident(name)
-            if kind == "TABLE":
+            if kind.startswith("TABLE"):  # DROP TABLES is a synonym
                 run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
                 run.tables.pop(name.lower(), None)
             else:
@@ -7999,6 +8277,8 @@ def run_statement(run: MTRRun, stmt: str):
             )
         if not run.full_group_by:
             s = _wrap_nongrouped_any_value(s)
+        else:
+            s = _wrap_nongrouped_any_value(s, equality_dependent_only=True)
         # ROW_COUNT() analog: the last INSERT's written-row count
         s = _sub_outside_strings(
             s, re.compile(r"\bROW_COUNT\s*\(\s*\)", re.I),
@@ -8384,8 +8664,17 @@ def build_oracle_sql(
             _IGNORED.match(s) or re.match(r"^\s*DROP\s+VIEW\b", s, re.I)
         ):
             continue
-        if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?TABLE\b", s, re.I):
-            continue  # versions stay defined; harmless after designated
+        if re.match(r"^\s*DROP\s+(TEMPORARY\s+)?TABLES?\b", s, re.I):
+            # forget the schema so a later CREATE IF NOT EXISTS really
+            # re-creates (bit.test drops t1 dozens of times); version
+            # CTEs already emitted stay valid
+            dm_ = re.match(
+                r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\s+"
+                r"(?:IF\s+EXISTS\s+)?(.*)$", s, re.I | re.S,
+            )
+            for nm_ in _split_top_commas(dm_.group(1)):
+                tables.pop(_unquote_ident(nm_).lower(), None)
+            continue
         mc = _split_create_select(s)
         if mc:  # CREATE TABLE t (coldefs) [options] SELECT …
             create_part, select_part = mc
@@ -9070,6 +9359,9 @@ def build_oracle_sql(
             if seen == target:
                 if not oracle_fullgb:
                     s = _wrap_nongrouped_any_value(s)
+                else:
+                    s = _wrap_nongrouped_any_value(
+                        s, equality_dependent_only=True)
                 final_sql = retarget(
                     rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
                         _apply_temporal_string_cmp(

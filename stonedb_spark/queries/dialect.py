@@ -29,6 +29,62 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_issue663_selfdup': ('issue663.test', [(1, 98)]),
+    'dialect_issue663_skus': ('issue663.test', [(1, 98)]),
+    'dialect_issue906_in_count': ('issue906.test', [(1, 125)]),
+    'dialect_issue906_notin_count': ('issue906.test', [(1, 125)]),
+    'dialect_issue906_in_count_gb2': ('issue906.test', [(1, 125)]),
+    'dialect_issue998_union_ic': ('issue998.test', [(1, 149)]),
+    'dialect_issue998_union_ci': ('issue998.test', [(1, 149)]),
+    'dialect_issue998_union_tail': ('issue998.test', [(1, 149)]),
+    'dialect_issue887_nested_left': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_nested_right': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_inner_bare': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_cross_where': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_inner_on_null': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_cross_on': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_on_and_null': ('issue887.test', [(1, 394)]),
+    'dialect_issue887_comma_or': ('issue887.test', [(1, 394)]),
+    'dialect_bit_v5': ('bit.test', [(1, 319)]),
+    'dialect_bit_literal_63bit': ('bit.test', [(1, 319)]),
+    'dialect_bit_range_preds': ('bit.test', [(1, 319)]),
+    'dialect_bit_minmax_hex': ('bit.test', [(1, 319)]),
+    'dialect_bit_pk_filter': ('bit.test', [(1, 319)]),
+    'dialect_bit_concat_update': ('bit.test', [(1, 319)]),
+    'dialect_bit_shift_expr_insert': ('bit.test', [(1, 319)]),
+    'dialect_bit_view_union': ('bit.test', [(1, 319)]),
+    'dialect_bit_bin_oct': ('bit.test', [(1, 319)]),
+    'dialect_bit_conv_col': ('bit.test', [(1, 319)]),
+    'dialect_bit_ignore_strings': ('bit.test', [(1, 319)]),
+    'dialect_bit_true_pred': ('bit.test', [(1, 319)]),
+    'dialect_bit_bit_defaults': ('bit.test', [(1, 319)]),
+    'dialect_bit_join_buffer15': ('bit.test', [(1, 319)]),
+    'dialect_bit_sum_groupby': ('bit.test', [(1, 319)]),
+    'dialect_bit_empty_bits': ('bit.test', [(1, 319)]),
+    'dialect_obit_concat_or': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_position_bytes': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_shift1': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_shift8': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_cast_dec32_shl': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_xor_dec_sat': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_and_mixed': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_not_dec': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_bc_u64': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_bc_dec': ('other_bit.test', [(1, 163)]),
+    'dialect_obit_bc_dbl': ('other_bit.test', [(1, 163)]),
+    'dialect_i464_date_year_null': ('issue464.test', [(1, 46)]),
+    'dialect_i464_addtime_cols': ('issue464.test', [(1, 46)]),
+    'dialect_i464_daysecond_add': ('issue464.test', [(1, 46)]),
+    'dialect_i464_daysecond_sub_date': ('issue464.test', [(1, 46)]),
+    'dialect_i464_from_unixtime': ('issue464.test', [(1, 46)]),
+    'dialect_i464_time_fn': ('issue464.test', [(1, 46)]),
+    'dialect_i464_timetosec_todays': ('issue464.test', [(1, 46)]),
+    'dialect_i464_toseconds': ('issue464.test', [(1, 46)]),
+    'dialect_adddate_scalar_days': ('AddDate_function.test', [(1, 33)]),
+    'dialect_adddate_scalar_negsec': ('AddDate_function.test', [(1, 33)]),
+    'dialect_adddate_col_days': ('AddDate_function.test', [(1, 33)]),
+    'dialect_adddate_col_negdays': ('AddDate_function.test', [(1, 33)]),
+    'dialect_adddate_col_neghour': ('AddDate_function.test', [(1, 33)]),
     'dialect_lz4_types': ('lz4.test', [(1, 45)]),
     'dialect_load_dates': ('load.test', [(1, 10)]),
     'dialect_func_bit_dec17': ('func_bit.test', [(1, 109)]),
@@ -14541,6 +14597,1348 @@ DROP TABLE t2;
 DROP DATABASE issue1173;
 """
 
+SCRIPT_BITF = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test bit
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS type_bit_test;
+--enable_warnings
+CREATE DATABASE type_bit_test;
+USE type_bit_test;
+
+select 0 + b'1';
+select 0 + b'0';
+select 0 + b'000001';
+select 0 + b'000011';
+select 0 + b'000101';
+select 0 + b'000000';
+select 0 + b'10000000';
+select 0 + b'11111111';
+select 0 + b'10000001';
+select 0 + b'1000000000000000';
+select 0 + b'1111111111111111';
+select 0 + b'1000000000000001';
+
+--disable_warnings
+drop table if exists t1,t2;
+--enable_warnings
+
+--error 1439
+create table t1 (a bit(65));
+
+--error ER_INVALID_FIELD_SIZE
+create table t1 (a bit(0));
+
+create table t1 (a bit(63));
+insert into t1 values 
+(b'111111111111111111111111111111111111111111111111111111111111111'),
+(b'100000000000000000000000000000000000000000000000000000000000000'),
+(b'000000000000000000000000000000000000000000000000000000000000001'),
+(b'010101010101010101010101010101010101010101010101010101010101010'),
+(b'101010101010101010101010101010101010101010101010101010101010101');
+select hex(a) from t1;
+drop table t1;
+
+create table t1 (a bit(5));
+insert into t1 values (b'0'), (b'1'), (b'000'), (b'100'), (b'001');
+select hex(a) from t1;
+drop table t1;
+
+create table t1 (a bit(5));
+insert into t1 values (b'00'), (b'01'), (b'10'), (b'100');
+select a+0 from t1;
+drop table t1;
+
+create table t1 (a bit(7), b bit(9));
+insert into t1 values 
+(94, 46), (31, 438), (61, 152), (78, 123), (88, 411), (122, 118), (0, 177),    
+(75, 42), (108, 67), (79, 349), (59, 188), (68, 206), (49, 345), (118, 380),   
+(111, 368), (94, 468), (56, 379), (77, 133), (29, 399), (9, 363), (23, 36),    
+(116, 390), (119, 368), (87, 351), (123, 411), (24, 398), (34, 202), (28, 499),
+(30, 83), (5, 178), (60, 343), (4, 245), (104, 280), (106, 446), (127, 403),   
+(44, 307), (68, 454), (57, 135);
+select a+0, b+0 from t1;
+select a+0, b+0 from t1 where a > 40 and b > 200 order by 1;
+select a+0, b+0 from t1 where a > 40 and a < 70 order by 2;
+select hex(min(a)) from t1;
+select hex(min(b)) from t1;
+select hex(min(a)), hex(max(a)), hex(min(b)), hex(max(b)) from t1;
+drop table t1;
+
+create table t1 (a int not null, b bit, c bit(9));
+insert into t1 values
+(4, NULL, 1), (4, 0, 3), (2, 1, 4), (1, 1, 100), (4, 0, 23), (4, 0, 54),
+(56, 0, 22), (4, 1, 100), (23, 0, 1), (4, 0, 34);
+select a+0, b+0, c+0 from t1;
+select hex(min(b)) from t1 where a = 4;
+select hex(min(c)) from t1 where a = 4 and b = 0;
+select hex(max(b)) from t1;
+select a+0, b+0, c+0 from t1 where a = 4 and b = 0 limit 2;
+select a+0, b+0, c+0 from t1 where a = 4 and b = 1;
+select a+0, b+0, c+0 from t1 where a = 4 and b = 1 and c=100;
+select a+0, b+0, c+0 from t1 order by b desc;
+select a+0, b+0, c+0 from t1 order by c;
+drop table t1;
+
+create table t1(a bit(2), b bit(2));
+insert into t1 (a) values (0x01), (0x03), (0x02);
+update t1 set b= concat(a);
+select a+0, b+0 from t1;
+drop table t1;
+
+# Test conversion to and from strings
+
+create table t1 (a bit(3), b bit(12));
+insert into t1 values (7,(1<<12)-2), (0x01,0x01ff);
+select hex(a),hex(b) from t1;
+#select concat(a),concat(b) from t1;
+#select charset(concat(a)),concat(b) from t1;
+#select hex(concat(a)),hex(concat(b)) from t1;
+drop table t1;
+
+#with primary key creation
+
+create table t1(a int, b bit not null);
+alter table t1 add primary key (a);
+drop table t1;
+
+# problem with NULLs and default values
+
+create table t1 (a int, b time, c tinyint, d bool, e char(10), f bit(1), 
+  g bit(1) NOT NULL default 1, h char(1) default 'a');
+insert into t1 set a=1;
+select hex(g), h from t1;
+drop table t1;
+
+# union
+
+create table t1 (a bit(7));
+insert into t1 values (120), (0), (111);
+select a+0 from t1 union select a+0 from t1;
+#bug1167 select a+0 from t1 union select NULL;
+#bug1167  select NULL union select a+0 from t1;
+#create table t2 select a from t1 union select a from t1;
+#select a+0 from t2;
+#show create table t2;
+drop table t1;
+
+# view
+	
+create table t1 (id1 int(11), b1 bit(1));
+create table t2 (id2 int(11), b2 bit(1));
+insert into t1 values (1, 1), (2, 0), (3, 1);
+insert into t2 values (2, 1), (3, 0), (4, 0);
+create view v1 as 
+  select b1+0, b2+0 from t1, t2 where id1 = id2 and b1 = 0
+  union
+  select b1+0, b2+0 from t1, t2 where id1 = id2 and b2 = 1;
+select * from v1;
+drop table t1, t2;
+drop view v1;
+
+# insert into select
+
+create table t1(a bit(4));
+insert into t1(a) values (1), (2), (5), (4), (3);
+insert into t1 select * from t1;
+select a+0 from t1;
+drop table t1;
+
+# join
+
+create table t1 (a1 int(11), b1 bit(2));
+create table t2 (a2 int(11), b2 bit(2));
+insert into t1 values (1, 1), (2, 0), (3, 1), (4, 2);
+insert into t2 values (2, 1), (3, 0), (4, 1), (5, 2);
+select a1, a2, b1+0, b2+0 from t1 join t2 on a1 = a2;
+select a1, a2, b1+0, b2+0 from t1 join t2 on a1 = a2 order by a1;
+select a1, a2, b1+0, b2+0 from t1 join t2 on b1 = b2 order by a1;
+select sum(a1), b1+0, b2+0 from t1 join t2 on b1 = b2 group by b1 order by 1;
+select 1 from t1 join t2 on b1 = b2 group by b1 order by 1;
+select b1+0,sum(b1), sum(b2) from t1 join t2 on b1 = b2 group by b1 order by 1;
+drop table t1, t2;
+
+#BIN()/OCT()/CONV() do not work with BIT values
+
+create table st(b BIT(8), n INT);
+insert into st values(128, 128);
+insert into st values(null, null);
+insert into st values(0, 0);
+insert into st values(255, 255);
+select hex(b), bin(b), oct(b), hex(n), bin(n), oct(n) from st;
+select hex(b)=hex(n) as should_be_onetrue, bin(b)=bin(n) as should_be_onetrue, oct(b)=oct(n) as should_be_onetrue from st;
+select hex(b + 0), bin(b + 0), oct(b + 0), hex(n), bin(n), oct(n) from st; 
+select conv(b, 10, 2), conv(b + 0, 10, 2) from st;
+drop table st;
+
+#data casting may affect data stored in the next column(s?)
+
+create table t1(a bit(1), b smallint unsigned);
+insert ignore into t1 (b, a) values ('2', '1');
+select hex(a), b from t1;
+drop table t1;
+
+# GROUP BY a column of the BIT type
+
+CREATE TABLE t1 (b BIT(2), a VARCHAR(5));
+INSERT INTO t1 (b, a) VALUES (1, "x"), (3, "zz"), (0, "y"), (3, "z");
+SELECT b+0, COUNT(DISTINCT a) FROM t1 GROUP BY b;
+DROP TABLE t1;
+
+CREATE TABLE t1 (a CHAR(5), b BIT(2));
+INSERT INTO t1 (b, a) VALUES (1, "x"), (3, "zz"), (0, "y"), (3, "z");
+SELECT b+0, COUNT(DISTINCT a) FROM t1 GROUP BY b;
+DROP TABLE t1;
+
+CREATE TABLE t1 (a INT, b BIT(2));
+INSERT INTO t1 (b, a) VALUES (1, 1), (3, 2), (0, 3), (3, 4);
+SELECT b+0, COUNT(DISTINCT a) FROM t1 GROUP BY b;
+DROP TABLE t1;
+
+#COUNT(DISTINCT(bit_column))
+
+CREATE TABLE t1 (a int, b bit(2));
+INSERT INTO t1 VALUES (3, 2), (2, 3), (2, 0), (3, 2), (3, 1);
+SELECT COUNT(DISTINCT b) FROM t1 GROUP BY a;
+DROP TABLE t1;
+
+create table t2 (a int, b bit(2), c char(10));
+INSERT INTO t2 VALUES (3, 2, 'two'), (2, 3, 'three'), (2, 0, 'zero'), 
+                      (3, 2, 'two'), (3, 1, 'one');
+#bug928 SELECT COUNT(DISTINCT b,c) FROM t2 GROUP BY a;
+DROP TABLE t2;
+
+--error 3234
+CREATE TABLE t1(a BIT(13), KEY(a));
+#--disable_warnings
+#INSERT IGNORE INTO t1(a) VALUES (65535),(65525),(65535),(65535),(65535),
+#                                (65535),(65535),(65535),(65535),(65535),
+#                                (65535),(65525),(65535),(65535),(65535),
+#                                (65535),(65535),(65535),(65535),(65535);
+#--enable_warnings
+#SELECT 1 FROM t1 GROUP BY a;
+#DROP TABLE t1;
+
+#SELECT with a BIT column in WHERE clause returns unexpected result
+
+CREATE TABLE t1 (b BIT NOT NULL, i2 INTEGER NOT NULL, s VARCHAR(255) NOT NULL);
+INSERT INTO t1 VALUES(0x01,100,''), (0x00,300,''), (0x01,200,''), (0x00,100,'');
+SELECT HEX(b), i2 FROM t1 WHERE (i2>=100 AND i2<201) AND b=TRUE;
+
+CREATE TABLE t2 (b1 BIT NOT NULL, b2 BIT NOT NULL, i2 INTEGER NOT NULL,
+                 s VARCHAR(255) NOT NULL);
+INSERT INTO t2 VALUES (0x01,0x00,100,''), (0x00,0x01,300,''),
+                      (0x01,0x00,200,''), (0x00,0x01,100,'');
+SELECT HEX(b1), i2 FROM t2 WHERE (i2>=100 AND i2<201) AND b1=TRUE;
+SELECT HEX(b2), i2 FROM t2 WHERE (i2>=100 AND i2<201) AND b2=FALSE;
+SELECT HEX(b1), HEX(b2), i2 FROM t2 WHERE (i2>=100 AND i2<201) AND b1=TRUE AND b2=FALSE;
+DROP TABLE t1, t2;
+
+# SHOW CREATE TABLE and default value for BIT field
+
+CREATE TABLE IF NOT EXISTS t1 (
+f1 bit(2) NOT NULL default b'10',
+f2 bit(14) NOT NULL default b'11110000111100'
+)DEFAULT CHARSET=latin1 COLLATE=latin1_general_ci;
+SHOW CREATE TABLE t1;
+
+INSERT INTO t1 (f1) VALUES (DEFAULT);
+INSERT INTO t1 VALUES (b'', b''); 
+SELECT HEX(f1), HEX(f2) FROM t1;
+DROP TABLE t1;
+
+# Wrong query result when doing join buffering over BIT fields 
+
+create table t1bit7 (a1 bit(7) not null) ; 
+create table t2bit7 (b1 bit(7)) ; 
+
+insert into t1bit7 values (b'1100000'); 
+insert into t1bit7 values (b'1100001'); 
+insert into t1bit7 values (b'1100010'); 
+insert into t2bit7 values (b'1100001'); 
+insert into t2bit7 values (b'1100010'); 
+insert into t2bit7 values (b'1100110'); 
+
+select bin(a1) from t1bit7, t2bit7 where t1bit7.a1=t2bit7.b1; 
+drop table t1bit7, t2bit7; 
+
+create table t1bit7 (a1 bit(15) not null) ; 
+create table t2bit7 (b1 bit(15)) ; 
+
+insert into t1bit7 values (b'110000011111111'); 
+insert into t1bit7 values (b'110000111111111'); 
+insert into t1bit7 values (b'110001011111111'); 
+insert into t2bit7 values (b'110000111111111'); 
+insert into t2bit7 values (b'110001011111111'); 
+insert into t2bit7 values (b'110011011111111'); 
+
+select bin(a1) from t1bit7, t2bit7 where t1bit7.a1=t2bit7.b1; 
+drop table t1bit7, t2bit7; 
+
+CREATE TABLE t1 (a BIT(7), b BIT(9));
+INSERT INTO t1 VALUES(0, 0), (5, 3), (5, 6), (6, 4), (7, 0);
+SELECT a+0, b+0 FROM t1 WHERE a > 4 and b < 7 ORDER BY 2;
+DROP TABLE t1;
+
+# alter
+
+create table t1(a bit(7));
+insert into t1 values(0x40);
+alter table t1 modify column a bit(8);
+select hex(a) from t1;
+insert into t1 values(0x80);
+select hex(a) from t1;
+insert into t1 values(0x81);
+select hex(a) from t1;
+drop table t1;
+
+CREATE TABLE t1(a INT, b BIT(7) NOT NULL);
+INSERT INTO t1 VALUES (NULL, 0),(NULL, 0);
+SELECT SUM(a) FROM t1 GROUP BY b, a;
+DROP TABLE t1;
+
+CREATE TABLE t1(a INT, b BIT(7) NOT NULL, c BIT(8) NOT NULL);
+INSERT INTO t1 VALUES (NULL, 0, 0),(NULL, 0, 0);
+SELECT SUM(a) FROM t1 GROUP BY c, b, a;
+DROP TABLE t1;
+
+# Test insert of no bits. Should be treated as 0.
+
+CREATE TABLE IF NOT EXISTS t1 (
+f1 bit(2) NOT NULL
+)  DEFAULT CHARSET=latin1 COLLATE=latin1_general_ci;
+INSERT INTO t1 VALUES (b'');
+SELECT bin(f1) FROM t1;
+DROP TABLE t1;
+
+# clean
+drop database type_bit_test;
+"""
+
+SCRIPT_OTHER_BITF = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test bit
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS other_bit_test;
+--enable_warnings
+CREATE DATABASE other_bit_test;
+USE other_bit_test;
+
+CREATE TABLE bit_table(b BIT(11));
+
+INSERT INTO bit_table VALUES (B'10');
+INSERT INTO bit_table VALUES (B'00000000000');
+INSERT INTO bit_table VALUES (B'11011000000');
+INSERT INTO bit_table VALUES (B'01010101010');
+--error ER_DATA_TOO_LONG
+INSERT INTO bit_table VALUES (B'101011111010');
+SELECT b+0 FROM bit_table;
+	
+CREATE TABLE varbit_table(v BIT (11));
+INSERT INTO varbit_table VALUES (B'');
+INSERT INTO varbit_table VALUES (B'0');	
+INSERT INTO varbit_table VALUES (B'010101');
+INSERT INTO varbit_table VALUES (B'01010101010');
+--error ER_DATA_TOO_LONG
+INSERT INTO varbit_table VALUES (B'101011111010');
+SELECT v+0 FROM varbit_table;
+
+# Concatenation
+SELECT v+0, b+0, (v || b) AS concat  FROM bit_table, varbit_table ORDER BY b,v;
+
+# Length
+#bug1180 SELECT b, length(b) AS lb FROM bit_table;
+#bug1180 SELECT v, length(v) AS lv FROM varbit_table;
+
+# Substring
+#bug1219 SELECT b+0,
+#     SUBSTRING(b FROM 2 FOR 4)+0 AS sub_2_4,
+#     SUBSTRING(b FROM 7 FOR 13)+0 AS sub_7_13,
+#     SUBSTRING(b FROM 6)+0 AS sub_6
+#     FROM bit_table;
+# SELECT v+0,
+#     SUBSTRING(v FROM 2 FOR 4)+0 AS sub_2_4,
+#     SUBSTRING(v FROM 7 FOR 13)+0 AS sub_7_13,
+#     SUBSTRING(v FROM 6)+0 AS sub_6
+#     FROM varbit_table;
+
+select B'001' & B'10';
+select B'0111' | B'011';
+
+# More position tests, checking all the boundary cases
+SELECT POSITION(B'1010' IN B'0000101');
+SELECT POSITION(B'1010' IN B'00001010');
+SELECT POSITION(B'1010' IN B'00000101');
+SELECT POSITION(B'1010' IN B'000001010');
+
+SELECT POSITION(B'' IN B'00001010');
+SELECT POSITION(B'0' IN B'');
+SELECT POSITION(B'' IN B'');
+SELECT POSITION(B'101101' IN B'001011011011011000');
+SELECT POSITION(B'10110110' IN B'001011011011010');
+SELECT POSITION(B'1011011011011' IN B'001011011011011');
+SELECT POSITION(B'1011011011011' IN B'00001011011011011');
+
+SELECT POSITION(B'11101011' IN B'11101011');
+SELECT POSITION(B'11101011' IN B'011101011');
+SELECT POSITION(B'11101011' IN B'00011101011');
+SELECT POSITION(B'11101011' IN B'0000011101011');
+
+SELECT POSITION(B'111010110' IN B'111010110');
+SELECT POSITION(B'111010110' IN B'0111010110');
+SELECT POSITION(B'111010110' IN B'000111010110');
+SELECT POSITION(B'111010110' IN B'00000111010110');
+
+SELECT POSITION(B'111010110' IN B'11101011');
+SELECT POSITION(B'111010110' IN B'011101011');
+SELECT POSITION(B'111010110' IN B'00011101011');
+SELECT POSITION(B'111010110' IN B'0000011101011');
+
+SELECT POSITION(B'111010110' IN B'111010110');
+SELECT POSITION(B'111010110' IN B'0111010110');
+SELECT POSITION(B'111010110' IN B'000111010110');
+SELECT POSITION(B'111010110' IN B'00000111010110');
+
+SELECT POSITION(B'111010110' IN B'000001110101111101011');
+SELECT POSITION(B'111010110' IN B'0000001110101111101011');
+SELECT POSITION(B'111010110' IN B'000000001110101111101011');
+SELECT POSITION(B'111010110' IN B'00000000001110101111101011');
+
+SELECT POSITION(B'111010110' IN B'0000011101011111010110');
+SELECT POSITION(B'111010110' IN B'00000011101011111010110');
+SELECT POSITION(B'111010110' IN B'0000000011101011111010110');
+SELECT POSITION(B'111010110' IN B'000000000011101011111010110');
+
+SELECT POSITION(B'000000000011101011111010110' IN B'000000000011101011111010110');
+SELECT POSITION(B'00000000011101011111010110' IN B'000000000011101011111010110');
+SELECT POSITION(B'0000000000011101011111010110' IN B'000000000011101011111010110');
+
+
+# Shifting
+
+CREATE TABLE bit_shift_table(b BIT(16));
+INSERT INTO bit_shift_table VALUES (B'1101100000000000');
+INSERT INTO bit_shift_table SELECT b>>1 FROM bit_shift_table;
+INSERT INTO bit_shift_table SELECT b>>2 FROM bit_shift_table;
+INSERT INTO bit_shift_table SELECT b>>4 FROM bit_shift_table;
+INSERT INTO bit_shift_table SELECT b>>8 FROM bit_shift_table;
+#bug1221 SELECT POSITION(B'1101' IN b),
+#       POSITION(B'11011' IN b),
+#       b
+#       FROM bit_shift_table ;
+SELECT b+0, b >> 1 AS bsr, b << 1 AS bsl
+    FROM bit_shift_table order by bsr;
+SELECT b+0, b >> 8 AS bsr8, b << 8 AS bsl8
+    FROM bit_shift_table order by bsl8;
+
+DROP TABLE bit_shift_table;
+
+# bit_count
+SELECT bit_count(B'0101011100');
+SELECT bit_count(B'1111111111');
+
+SELECT CAST(CAST(18446744073709551615 AS UNSIGNED) AS DECIMAL(32))<<0 AS c1;
+
+SELECT 18446744073709551615 ^ 1 AS c1;
+SELECT 18446744073709551615.0 ^ 1 AS c1;
+SELECT 18446744073709551615e0 ^ 1 AS c1;
+
+SELECT 18446744073709551615 & 18446744073709551615 AS c1;
+SELECT 18446744073709551615 & 18446744073709551615.0 AS c1;
+SELECT 18446744073709551615 & 18446744073709551615e0 AS c1;
+SELECT 18446744073709551615.0 & 18446744073709551615 AS c1;
+SELECT 18446744073709551615.0 & 18446744073709551615.0 AS c1;
+SELECT 18446744073709551615.0 & 18446744073709551615e0 AS c1;
+SELECT 18446744073709551615e0 & 18446744073709551615 AS c1;
+SELECT 18446744073709551615e0 & 18446744073709551615.0 AS c1;
+SELECT 18446744073709551615e0 & 18446744073709551615e0 AS c1;
+
+
+SELECT 0 | 18446744073709551615 AS c1;
+SELECT 0 | 18446744073709551615.0 AS c1;
+SELECT 0 | 18446744073709551615e0 AS c1;
+SELECT 18446744073709551615 | 0 AS c1;
+SELECT 18446744073709551615.0 | 0 AS c1;
+SELECT 18446744073709551615e0 | 0 AS c1;
+
+SELECT ~18446744073709551615 AS c1;
+SELECT ~18446744073709551615.0 AS c1;
+SELECT ~18446744073709551615e0 AS c1;
+
+SELECT BIT_COUNT(18446744073709551615) AS c1;
+SELECT BIT_COUNT(18446744073709551615.0) AS c1;
+SELECT BIT_COUNT(18446744073709551615e0) AS c1;
+
+SELECT BIT_COUNT(-9223372036854775808) AS c1;
+SELECT BIT_COUNT(-9223372036854775808.0) AS c1;
+SELECT BIT_COUNT(-9223372036854775808e0) AS c1;
+
+# clean
+drop database other_bit_test;
+"""
+
+SCRIPT_ISSUE464F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue464_test;
+--enable_warnings
+
+CREATE DATABASE issue464_test;
+
+USE issue464_test;
+
+create table tt (date_test DATE, time_test TIME, datetime_test DATETIME, timestamp_test TIMESTAMP, year_test YEAR) ENGINE=TIANMU;
+insert into tt values ('2017-12-07', '02:03:04', '2017-12-08 05:06:07', '2018-11-08 09:10:11', '2020');
+select DATE(date_test) from tt;
+select DATE(datetime_test) from tt;
+select DATE(timestamp_test) from tt;
+select DATE(year_test) from tt;
+select ADDDATE(date_test, 31) from tt;
+select ADDTIME(time_test, time_test), ADDTIME(datetime_test, '200:11:12') from tt;
+select CONVERT_TZ(datetime_test, 'GMT', 'MET') from tt;
+select DATEDIFF(date_test, '2010-07-16'), DATEDIFF(datetime_test, '2008-08-08') from tt;
+select DATE_ADD(datetime_test, INTERVAL 12 HOUR) from tt;
+select DATE_ADD(timestamp_test, INTERVAL '12 10:11:12' DAY_SECOND) from tt;
+select DATE_ADD(date_test, INTERVAL '13 20:20:20' DAY_SECOND) from tt;
+select DATE_SUB(datetime_test, INTERVAL 12 HOUR) from tt;
+select DATE_SUB(timestamp_test, INTERVAL '12 10:11:12' DAY_SECOND) from tt;
+select DATE_SUB(date_test, INTERVAL '13 20:20:20' DAY_SECOND) from tt;
+select DATE_FORMAT(datetime_test, '%W %M %Y') from tt;
+select DATE_FORMAT(timestamp_test, '%W %M %Y') from tt;
+select DATE_FORMAT(date_test, '%W %M %Y') from tt;
+select DAY(date_test), DAY(datetime_test), DAY(timestamp_test) from tt;
+select DAYNAME(date_test), DAYNAME(datetime_test), DAYNAME(timestamp_test) from tt;
+select DAYOFWEEK(date_test), DAYOFWEEK(datetime_test), DAYOFWEEK(timestamp_test) from tt;
+select DAYOFYEAR(date_test), DAYOFYEAR(datetime_test), DAYOFYEAR(timestamp_test) from tt;
+SELECT EXTRACT(DAY_MINUTE FROM date_test), EXTRACT(DAY_MINUTE FROM datetime_test), EXTRACT(DAY_MINUTE FROM timestamp_test) from tt;
+select FROM_UNIXTIME(UNIX_TIMESTAMP(date_test)), FROM_UNIXTIME(UNIX_TIMESTAMP(datetime_test)), FROM_UNIXTIME(UNIX_TIMESTAMP(timestamp_test)) from tt;
+select HOUR(date_test), HOUR(time_test), HOUR(datetime_test), HOUR(timestamp_test) from tt;
+select TIME(date_test), TIME(time_test), TIME(datetime_test), TIME(timestamp_test) from tt;
+select TIMESTAMP(date_test), TIMESTAMP(datetime_test), TIMESTAMP(timestamp_test) from tt;
+select TIMESTAMPADD(WEEK, 1, date_test), TIMESTAMPADD(WEEK, 1, time_test), TIMESTAMPADD(WEEK, 1, datetime_test), TIMESTAMPADD(WEEK, 1, timestamp_test) from tt;
+select TIMESTAMPDIFF(MINUTE, '2017-01-01', date_test), TIMESTAMPDIFF(MINUTE, '2017-01-01', datetime_test), TIMESTAMPDIFF(MINUTE, '2017-01-01', timestamp_test) from tt;
+select TIME_TO_SEC(time_test), TO_DAYS(date_test) from tt;
+select TO_SECONDS(date_test), TO_SECONDS(datetime_test) from tt;
+select YEAR(date_test) from tt;
+drop table tt;
+
+DROP DATABASE issue464_test;
+"""
+
+SCRIPT_ADDDATEF = """--echo #
+--echo # Test ADDDATE function
+--echo # Author: syw
+--echo #
+
+--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS mcs178_db;
+--enable_warnings
+
+CREATE DATABASE mcs178_db;
+USE mcs178_db;
+
+CREATE TABLE t1 (a CHAR(1), b INT, c DATETIME, d DOUBLE)engine=tianmu;
+INSERT INTO t1 VALUES ('', NULL, '1990-01-01', NULL),('a', 12, '1212-12-12', 1.19691E+100),('b', 13, '1313-3-13 13:13:13', 2.1961E+18),('c', 14, '1414-4-14', 0.16191),('d', 15, '2015-5-15 15:15:15', 1.971917);
+SHOW CREATE TABLE t1;
+
+SELECT ADDDATE('2020-02-02 22:22:22', 1);
+SELECT ADDDATE('2020-02-02 22:22:22', INTERVAL 1 DAY);
+SELECT ADDDATE('2020-02-02 22:22:22', INTERVAL 1 HOUR);
+SELECT ADDDATE('2020-02-02 22:22:22', INTERVAL 1 MINUTE);
+SELECT ADDDATE('2020-02-02 22:22:22', INTERVAL -1 SECOND);
+
+SELECT c, ADDDATE(c, 1) FROM t1;
+SELECT c, ADDDATE(c, -2) FROM t1;
+SELECT c, ADDDATE(c, INTERVAL -1 HOUR) FROM t1;
+SELECT c, ADDDATE(c, INTERVAL 1 MINUTE) FROM t1;
+SELECT c, ADDDATE(c, INTERVAL 1 SECOND) FROM t1;
+
+# Clean UP
+DROP DATABASE mcs178_db;
+"""
+
+SCRIPT_ISSUE663F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue663_test;
+--enable_warnings
+
+CREATE DATABASE issue663_test;
+
+USE issue663_test;
+
+create table t11 (a int NOT NULL, b int, primary key (a))ENGINE=TIANMU;
+create table t12 (a int NOT NULL, b int, primary key (a))ENGINE=TIANMU;
+insert into t11 values (0, 10),(1, 11),(2, 12);
+insert into t12 values (33, 10),(0, 11),(2, 12);
+
+--disable_warnings
+explain select t11.*,t12.* from t11,t12 where t11.a = t12.a;
+--enable_warnings
+select t11.*,t12.* from t11,t12 where t11.a = t12.a;
+--disable_warnings
+explain delete t11.*,t12.* from t11,t12 where t11.a = t12.a;
+--disable_warnings
+delete t11.*,t12.* from t11,t12 where t11.a = t12.a;
+
+select * from t11;
+select * from t12;
+
+drop table t11,t12;
+
+CREATE TABLE t1 (a int not null,b int not null)ENGINE=TIANMU;
+CREATE TABLE t2 (a int not null, b int not null, primary key (a,b))ENGINE=TIANMU;
+CREATE TABLE t3 (a int not null, b int not null, primary key (a,b))ENGINE=TIANMU;
+insert into t1 values (1,1),(2,1),(1,3);
+insert into t2 values (1,1),(2,2),(3,3);
+insert into t3 values (1,1),(2,1),(1,3);
+delete t2.*,t3.* from t1,t2,t3 where t1.a=t2.a AND t2.b=t3.a and t1.b=t3.b;
+
+select * from t1;
+select * from t2;
+select * from t3;
+
+drop table t1,t2,t3;
+
+CREATE TABLE t1 (sku int PRIMARY KEY, pr int)engine=tianmu;
+CREATE TABLE t2 (sku int PRIMARY KEY, sppr int, name varchar(255))engine=tianmu;
+
+INSERT INTO t1 VALUES
+  (10, 10), (20, 10), (30, 20), (40, 30), (50, 10), (60, 10);
+
+INSERT INTO t2 VALUES 
+  (10, 10, 'aaa'), (20, 10, 'bbb'), (30, 10, 'ccc'), (40, 20, 'ddd'),
+  (50, 10, 'eee'), (60, 20, 'fff'), (70, 20, 'ggg'), (80, 30, 'hhh');
+
+SELECT t2.sku, t2.sppr, t2.name, t1.sku, t1.pr
+  FROM t2, t1 WHERE t2.sku=20 AND (t2.sku=t1.sku OR t2.sppr=t1.sku);
+
+delete t2,t1
+  FROM t2, t1 WHERE t2.sku=20 AND (t2.sku=t1.sku OR t2.sppr=t1.sku);
+
+SELECT t2.sku, t2.sppr, t2.name, t1.sku, t1.pr
+  FROM t2, t1 WHERE t2.sku=20 AND (t2.sku=t1.sku OR t2.sppr=t1.sku);
+
+drop table t1,t2;
+
+CREATE TABLE t1 (sku int PRIMARY KEY, pr int)engine=tianmu;
+CREATE TABLE t2 (sku int PRIMARY KEY, sppr int, name varchar(255))engine=tianmu;
+
+INSERT INTO t1 VALUES
+  (10, 10), (20, 10), (30, 20), (40, 30), (50, 10), (60, 10);
+
+INSERT INTO t2 VALUES 
+  (10, 10, 'aaa'), (20, 10, 'bbb'), (30, 10, 'ccc'), (40, 20, 'ddd'),
+  (50, 10, 'eee'), (60, 20, 'fff'), (70, 20, 'ggg'), (80, 30, 'hhh');
+
+SELECT t2.sku, t2.sppr, t2.name, t1.sku, t1.pr  
+  FROM t1,t2  WHERE 
+  t1.sku=10 AND 
+  (t2.sku=20 AND 
+  (t2.sku=t1.sku OR 
+  t2.sppr=t1.sku));
+
+delete t1,t2  
+  FROM t1,t2  WHERE 
+  t1.sku=10 AND 
+  (t2.sku=20 AND 
+  (t2.sku=t1.sku OR 
+  t2.sppr=t1.sku));
+
+SELECT t2.sku, t2.sppr, t2.name, t1.sku, t1.pr  
+  FROM t1,t2  WHERE 
+  t1.sku=10 AND 
+  (t2.sku=20 AND 
+  (t2.sku=t1.sku OR 
+  t2.sppr=t1.sku));
+
+drop table t1,t2;
+
+DROP DATABASE issue663_test;
+"""
+
+SCRIPT_ISSUE906F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue906_test;
+--enable_warnings
+
+CREATE DATABASE issue906_test;
+
+USE issue906_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS shop;
+
+CREATE TABLE shop (
+    article INT           DEFAULT '0000' NOT NULL,
+    dealer  CHAR(20)      DEFAULT ''     NOT NULL,
+    price   DECIMAL(16,2) DEFAULT '0.00' NOT NULL
+) ENGINE=TIANMU;
+
+INSERT INTO shop
+	VALUES(1, 'A', 3.45),(1, 'B', 3.99),
+	(2, 'A', 10.99),(3, 'B', 1.45),
+	(3, 'C', 1.69),(3, 'D', 1.25),
+	(4, 'D', 19.95);
+
+## subquery
+
+### EXPR IN subquery
+
+SELECT
+    *
+FROM
+    shop
+WHERE
+    article IN (
+    SELECT
+        COUNT(*)
+    FROM
+        shop
+    GROUP BY
+        article
+);
+
+### EXPR NOT IN subquery
+
+SELECT
+    *
+FROM
+    shop
+WHERE
+    article NOT IN (
+    SELECT
+        COUNT(*)
+    FROM
+        shop
+    GROUP BY
+        article
+);
+
+## union
+
+SELECT
+    *
+FROM
+    shop
+WHERE
+    article IN (
+    SELECT
+        COUNT(*)
+    FROM
+        shop
+    GROUP BY
+        article
+)
+UNION
+SELECT
+    *
+FROM
+    shop
+WHERE
+    article NOT IN (
+    SELECT
+        COUNT(*)
+    FROM
+        shop
+    GROUP BY
+        article
+);
+
+## union all
+
+SELECT
+    *
+FROM
+    shop
+WHERE
+    article IN (
+    SELECT
+        COUNT(*)
+    FROM
+        shop
+    GROUP BY
+        article
+)
+UNION ALL
+SELECT
+    *
+FROM
+    shop
+WHERE
+    article NOT IN (
+    SELECT
+        COUNT(*)
+    FROM
+        shop
+    GROUP BY
+        article
+);
+
+## clear test table of this issue
+
+DROP TABLE shop;
+
+DROP DATABASE issue906_test;
+"""
+
+SCRIPT_ISSUE998F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue998_test;
+--enable_warnings
+
+CREATE DATABASE issue998_test;
+
+USE issue998_test;
+
+--disable_warnings
+
+# type int
+
+## DDL
+
+DROP TABLE IF EXISTS t1,t2;
+
+CREATE TABLE t1 (t1_int INT, t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5)) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(3, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, ''),(7, 'eee');
+INSERT INTO t2 VALUES (NULL, ''),(1, 'eee'),(3, 'ccc'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'eee'),(11, 'nnn');
+
+## query of union when has null result
+
+SELECT t1_int FROM t1 UNION SELECT t2_char FROM t2;
+
+SELECT t2_int FROM t2 UNION SELECT t1_char FROM t1;
+
+## clean test table
+
+DROP TABLE t1,t2;
+
+# type big int
+
+## DDL
+
+CREATE TABLE t1 (t1_int BIGINT, t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int BIGINT, t2_char CHAR(5)) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (NULL, ''),(1, 'aaa'),(2, 'aaa'),(3, 'ccc'),(4, 'ddd'),(5, 'aaa'),(6, ''),(7, 'eee');
+INSERT INTO t2 VALUES (NULL, ''),(1, 'eee'),(3, 'ccc'),(5, 'jjj'),(6, ''),(7, 'lll'),(9, 'eee'),(11, 'nnn');
+
+## query of union when has null result
+
+SELECT t1_int FROM t1 UNION SELECT t2_char FROM t2;
+
+SELECT t2_int FROM t2 UNION SELECT t1_char FROM t1;
+
+## clean test table
+
+DROP TABLE t1,t2;
+
+# type char
+
+## DDL
+
+DROP TABLE IF EXISTS t1,t2;
+
+CREATE TABLE t1 (t1_int CHAR(1), t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int CHAR(1), t2_char CHAR(5)) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (NULL, ''),('a', 'aaa');
+INSERT INTO t2 VALUES (NULL, ''),('b', 'eee');
+
+## query of union when has null result
+
+SELECT t1_int FROM t1 UNION SELECT t2_char FROM t2;
+
+SELECT t2_int FROM t2 UNION SELECT t1_char FROM t1;
+
+## clean test table
+
+DROP TABLE t1,t2;
+
+# type datetime, default precision
+
+## DDL
+
+CREATE TABLE t1 (t1_int DATETIME, t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int DATETIME, t2_char CHAR(5)) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (NULL, ''),('2022-01-01 00:00:00', 'aaa');
+INSERT INTO t2 VALUES (NULL, ''),('2022-01-01 00:00:01', 'eee');
+
+## query of union when has null result
+
+SELECT t1_int FROM t1 UNION SELECT t2_char FROM t2;
+
+SELECT t2_int FROM t2 UNION SELECT t1_char FROM t1;
+
+## clean test table
+
+DROP TABLE t1,t2;
+
+# type datetime, default precision of 3
+
+## DDL
+
+CREATE TABLE t1 (t1_int DATETIME(3), t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int DATETIME(3), t2_char CHAR(5)) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (NULL, ''),('2022-01-01 00:00:00', 'aaa');
+INSERT INTO t2 VALUES (NULL, ''),('2022-01-01 00:00:01', 'eee');
+
+## query of union when has null result
+
+SELECT t1_int FROM t1 UNION SELECT t2_char FROM t2;
+
+SELECT t2_int FROM t2 UNION SELECT t1_char FROM t1;
+
+## clean test table
+
+DROP TABLE t1,t2;
+
+# type datetime, default precision of 4
+
+## DDL
+
+CREATE TABLE t1 (t1_int DATETIME(4), t1_char CHAR(5)) ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int DATETIME(4), t2_char CHAR(5)) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (NULL, ''),('2022-01-01 00:00:00', 'aaa');
+INSERT INTO t2 VALUES (NULL, ''),('2022-01-01 00:00:01', 'eee');
+
+## query of union when has null result
+
+SELECT t1_int FROM t1 UNION SELECT t2_char FROM t2;
+
+SELECT t2_int FROM t2 UNION SELECT t1_char FROM t1;
+
+## clean test table
+
+DROP TABLE t1,t2;
+
+DROP DATABASE issue998_test;
+"""
+
+SCRIPT_ISSUE887F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue887_test;
+--enable_warnings
+
+CREATE DATABASE issue887_test;
+
+USE issue887_test;
+
+--disable_warnings
+
+DROP TABLE IF EXISTS t1,t2,t3;
+
+## DDL
+
+CREATE TABLE t1 (a INT) ENGINE=TIANMU;
+CREATE TABLE t2 (a INT) ENGINE=TIANMU;
+CREATE TABLE t3 (a INT) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO t1 VALUES (1), (2), (3), (4);
+INSERT INTO t2 VALUES (2), (3), (4);
+INSERT INTO t3 VALUES (3), (4);
+
+## check insert data
+
+SELECT * FROM t1,t2,t3 ORDER BY t1.a,t2.a,t3.a;
+
+## The predicate IS NULL occurs at where
+
+### left join
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### right join
+
+SELECT
+	*
+FROM
+	t1
+RIGHT JOIN t2
+RIGHT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+RIGHT JOIN t2
+RIGHT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### inner join
+
+SELECT
+	*
+FROM
+	t1
+INNER JOIN t2
+INNER JOIN t3
+WHERE
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+INNER JOIN t2
+INNER JOIN t3
+WHERE
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### cross join
+
+SELECT
+	*
+FROM
+	t1
+CROSS JOIN t2
+CROSS JOIN t3
+WHERE
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+CROSS JOIN t2
+CROSS JOIN t3
+WHERE
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+## The predicate IS NULL occurs at on
+
+### left join
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### right join
+
+SELECT
+	*
+FROM
+	t1
+RIGHT JOIN t2
+RIGHT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+RIGHT JOIN t2
+RIGHT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### inner join
+
+SELECT
+	*
+FROM
+	t1
+INNER JOIN t2
+INNER JOIN t3 ON
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+INNER JOIN t2
+INNER JOIN t3 ON
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### cross join
+
+SELECT
+	*
+FROM
+	t1
+CROSS JOIN t2
+CROSS JOIN t3 ON
+	t3.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+CROSS JOIN t2
+CROSS JOIN t3 ON
+	t3.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+## Predicate of routine
+
+### Is greater than
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a > 3
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a > 3
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### Is equal to the
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a = 3
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a = 3
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+### Less than
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a
+WHERE
+	t3.a < 3
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1
+LEFT JOIN t2
+LEFT JOIN t3 ON
+	t2.a = t3.a ON
+	t1.a = t2.a AND
+	t3.a < 3
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+## NOT JOIN
+
+SELECT
+	*
+FROM
+	t1,t2,t3
+WHERE
+	t3.a IS NULL OR
+	t2.a IS NULL OR
+	t1.a IS NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+SELECT
+	*
+FROM
+	t1,t2,t3
+WHERE
+	t3.a IS NOT NULL OR
+	t2.a IS NOT NULL OR
+	t1.a IS NOT NULL
+ORDER BY
+	t1.a,
+	t2.a,
+	t3.a;
+
+## clear test table of this issue
+
+DROP TABLE t1,t2,t3;
+
+DROP DATABASE issue887_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -14866,6 +16264,62 @@ _SPECS = [
     ('dialect_issue301_notexists', SCRIPT_ISSUE301F, 77, ['t1_int', 't1_char'], False, 'NOT EXISTS anti-join leg of the EXISTS battery'),
     ('dialect_issue1173_timebits', SCRIPT_ISSUE1173F, 0, ['a', 'ba', 'bo', 'bx', 'shl1', 'shl0', 'shr1', 'bc'], False, "bitwise ops over TIME(1): '00:00:02.9' reads 2.9 and rounds to 3", {'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl1': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
     ('dialect_issue1173_dtbits', SCRIPT_ISSUE1173F, 1, ['a', 'ba', 'bo', 'bx', 'shl1', 'shl0', 'shr1', 'bc'], False, 'bitwise ops over DATETIME(1): fractional seconds round the temporal before the compact u64 read; year-9999 row renders as text', {'a': 'STRING', 'ba': 'STRING', 'bo': 'STRING', 'bx': 'STRING', 'shl1': 'STRING', 'shl0': 'STRING', 'shr1': 'STRING'}),
+    ('dialect_bit_v5', SCRIPT_BITF, 5, ['v'], False, "0 + b'000000' scalar bit-literal battery leg"),
+    ('dialect_bit_literal_63bit', SCRIPT_BITF, 12, ['h'], False, '63-bit b-literal multi-line INSERT readback via HEX'),
+    ('dialect_bit_range_preds', SCRIPT_BITF, 16, ['a', 'b'], False, 'BIT(7)/BIT(9) range predicates with ORDER BY position'),
+    ('dialect_bit_minmax_hex', SCRIPT_BITF, 20, ['mna', 'mxa', 'mnb', 'mxb'], False, 'HEX(MIN/MAX) over BIT columns'),
+    ('dialect_bit_pk_filter', SCRIPT_BITF, 27, ['a', 'b', 'c'], False, 'point filter a=4 AND b=1 AND c=100 over BIT cols'),
+    ('dialect_bit_concat_update', SCRIPT_BITF, 30, ['a', 'b'], False, 'UPDATE SET b=concat(a): BIT through its byte-string form round-trips'),
+    ('dialect_bit_shift_expr_insert', SCRIPT_BITF, 31, ['ha', 'hb'], False, '(1<<12)-2 shift arithmetic INSERT + HEX readback'),
+    ('dialect_bit_view_union', SCRIPT_BITF, 34, ['b1', 'b2'], False, 'view over UNION of comma joins filtered on BIT values'),
+    ('dialect_bit_bin_oct', SCRIPT_BITF, 42, ['hb', 'bb', 'ob', 'hn', 'bn', 'on'], False, 'HEX/BIN/OCT over BIT vs INT incl. NULL rows'),
+    ('dialect_bit_conv_col', SCRIPT_BITF, 45, ['c1', 'c2'], False, 'CONV(bit, 10, 2) with and without +0'),
+    ('dialect_bit_ignore_strings', SCRIPT_BITF, 46, ['h', 'b'], False, "INSERT IGNORE strings into BIT(1)/smallint: '1' reads byte 49, clamps to 1"),
+    ('dialect_bit_true_pred', SCRIPT_BITF, 51, ['h', 'i2'], False, 'WHERE b=TRUE over BIT NOT NULL with range predicate'),
+    ('dialect_bit_bit_defaults', SCRIPT_BITF, 55, ['h1', 'h2'], False, "DEFAULT b'10' fill + b'' zero-length inserts via HEX"),
+    ('dialect_bit_join_buffer15', SCRIPT_BITF, 57, ['b1'], False, 'join buffering over BIT(15) equality keys'),
+    ('dialect_bit_sum_groupby', SCRIPT_BITF, 62, ['s'], True, 'SUM(a) GROUP BY bit-NOT-NULL keys with all-NULL ints'),
+    ('dialect_bit_empty_bits', SCRIPT_BITF, 64, ['b'], False, "INSERT b'' reads as 0 (bin readback)"),
+    ('dialect_obit_concat_or', SCRIPT_OTHER_BITF, 2, ['v', 'b', 'concat'], False, '(v || b) is logical OR with numeric truthiness under PIPES_AS_CONCAT off'),
+    ('dialect_obit_position_bytes', SCRIPT_OTHER_BITF, 12, ['p'], False, 'POSITION over multi-byte bit-string literals (big-endian byte semantics)'),
+    ('dialect_obit_shift1', SCRIPT_OTHER_BITF, 43, ['b', 'bsr', 'bsl'], False, 'BIT(16) column >>1/<<1 with ORDER BY on the shifted alias', {'bsr': 'STRING', 'bsl': 'STRING'}),
+    ('dialect_obit_shift8', SCRIPT_OTHER_BITF, 44, ['b', 'bsr8', 'bsl8'], False, 'BIT(16) column >>8/<<8 built from INSERT..SELECT shift chains', {'bsr8': 'STRING', 'bsl8': 'STRING'}),
+    ('dialect_obit_cast_dec32_shl', SCRIPT_OTHER_BITF, 47, ['c1'], False, 'CAST(CAST(u64max AS UNSIGNED) AS DECIMAL(32))<<0 keeps the u64 bit pattern', {'c1': 'STRING'}),
+    ('dialect_obit_xor_dec_sat', SCRIPT_OTHER_BITF, 49, ['c1'], False, 'u64max.0 ^ 1: DECIMAL literal saturates at LLONG_MAX like tianmu val_int', {'c1': 'STRING'}),
+    ('dialect_obit_and_mixed', SCRIPT_OTHER_BITF, 58, ['c1'], False, 'double & decimal operand mix: both saturate before the AND', {'c1': 'STRING'}),
+    ('dialect_obit_not_dec', SCRIPT_OTHER_BITF, 67, ['c1'], False, '~u64max.0 = 2^63 (saturated LLONG_MAX negated)', {'c1': 'STRING'}),
+    ('dialect_obit_bc_u64', SCRIPT_OTHER_BITF, 69, ['c1'], False, 'BIT_COUNT(u64max) = 64: integer literal keeps the u64 pattern'),
+    ('dialect_obit_bc_dec', SCRIPT_OTHER_BITF, 70, ['c1'], False, 'BIT_COUNT(u64max.0) = 63: decimal literal saturates first'),
+    ('dialect_obit_bc_dbl', SCRIPT_OTHER_BITF, 74, ['c1'], False, 'BIT_COUNT(-2^63 e0) = 1 via double saturation'),
+    ('dialect_i464_date_year_null', SCRIPT_ISSUE464F, 3, ['d'], False, 'DATE(year_col) is NULL: 4-digit numerics are not compact dates', {'d': 'STRING'}),
+    ('dialect_i464_addtime_cols', SCRIPT_ISSUE464F, 5, ['t1', 't2'], False, 'ADDTIME(time_col, time_col) string arithmetic + 200-hour literal delta over DATETIME'),
+    ('dialect_i464_daysecond_add', SCRIPT_ISSUE464F, 9, ['d'], False, "DATE_ADD(ts, INTERVAL '12 10:11:12' DAY_SECOND) composite interval"),
+    ('dialect_i464_daysecond_sub_date', SCRIPT_ISSUE464F, 13, ['d'], False, "DATE_SUB(date, INTERVAL '13 20:20:20' DAY_SECOND) crosses day boundaries"),
+    ('dialect_i464_from_unixtime', SCRIPT_ISSUE464F, 22, ['a', 'b', 'c'], False, 'FROM_UNIXTIME(UNIX_TIMESTAMP(x)) round-trips date/datetime/timestamp'),
+    ('dialect_i464_time_fn', SCRIPT_ISSUE464F, 24, ['a', 'b', 'c', 'd'], False, 'TIME() extraction over all four temporal column kinds'),
+    ('dialect_i464_timetosec_todays', SCRIPT_ISSUE464F, 28, ['s', 'td'], False, 'TIME_TO_SEC over a TIME string column + TO_DAYS'),
+    ('dialect_i464_toseconds', SCRIPT_ISSUE464F, 29, ['s1', 's2'], False, 'TO_SECONDS: seconds since year 0 for date and datetime'),
+    ('dialect_adddate_scalar_days', SCRIPT_ADDDATEF, 0, ['d'], False, 'ADDDATE(datetime-string, 1) keeps the time of day (+1 DAY, not a DATE truncation)'),
+    ('dialect_adddate_scalar_negsec', SCRIPT_ADDDATEF, 4, ['d'], False, 'ADDDATE(x, INTERVAL -1 SECOND) negative interval'),
+    ('dialect_adddate_col_days', SCRIPT_ADDDATEF, 5, ['c', 'd'], False, 'ADDDATE(datetime_col, 1) over year-1212/1313 rows (beyond pandas ns range, rendered as text)', {'c': 'STRING', 'd': 'STRING'}),
+    ('dialect_adddate_col_negdays', SCRIPT_ADDDATEF, 6, ['c', 'd'], False, 'ADDDATE(col, -2) negative day count over far-past datetimes', {'c': 'STRING', 'd': 'STRING'}),
+    ('dialect_adddate_col_neghour', SCRIPT_ADDDATEF, 7, ['c', 'd'], False, 'ADDDATE(col, INTERVAL -1 HOUR) crossing midnight on far-past rows', {'c': 'STRING', 'd': 'STRING'}),
+    ('dialect_issue663_selfdup', SCRIPT_ISSUE663F, 0, ['a1', 'b1', 'a2', 'b2'], False, 'comma self-join over duplicated keys (t11/t12 from the same feed)'),
+    ('dialect_issue663_skus', SCRIPT_ISSUE663F, 8, ['sku2', 'sppr', 'name', 'sku1', 'pr'], False, 'two-sided sku range predicates across a comma join'),
+    ('dialect_issue906_in_count', SCRIPT_ISSUE906F, 0, ['article', 'dealer', 'price'], False, 'IN (SELECT COUNT(*) … GROUP BY) subquery per reference shop battery', {'price': 'STRING'}),
+    ('dialect_issue906_notin_count', SCRIPT_ISSUE906F, 1, ['article', 'dealer', 'price'], False, 'NOT IN over a grouped COUNT subquery', {'price': 'STRING'}),
+    ('dialect_issue906_in_count_gb2', SCRIPT_ISSUE906F, 3, ['article', 'dealer', 'price'], False, 'IN over COUNT(*) grouped by a second key', {'price': 'STRING'}),
+    ('dialect_issue998_union_ic', SCRIPT_ISSUE998F, 0, ['u'], False, 'int UNION char: MySQL unifies to string (Spark ANSI would coerce the other way)'),
+    ('dialect_issue998_union_ci', SCRIPT_ISSUE998F, 5, ['u'], False, 'char UNION int branch order flipped'),
+    ('dialect_issue998_union_tail', SCRIPT_ISSUE998F, 11, ['u'], False, 'last battery leg after repeated drops/recreates'),
+    ('dialect_issue887_nested_left', SCRIPT_ISSUE887F, 1, ['a1', 'a2', 'a3'], False, 'nested LEFT JOIN double-ON binding (inner t2-t3 join first) with IS NULL WHERE'),
+    ('dialect_issue887_nested_right', SCRIPT_ISSUE887F, 3, ['a1', 'a2', 'a3'], False, 'nested RIGHT JOIN double-ON with IS NULL WHERE'),
+    ('dialect_issue887_inner_bare', SCRIPT_ISSUE887F, 5, ['a1', 'a2', 'a3'], False, 'INNER JOIN chain with no ON = cross product, filtered IS NULL'),
+    ('dialect_issue887_cross_where', SCRIPT_ISSUE887F, 8, ['a1', 'a2', 'a3'], False, 'CROSS JOIN chain with IS NOT NULL WHERE'),
+    ('dialect_issue887_inner_on_null', SCRIPT_ISSUE887F, 13, ['a1', 'a2', 'a3'], False, 'INNER JOIN chain whose single ON carries only IS NULL (binds to the nearest join)'),
+    ('dialect_issue887_cross_on', SCRIPT_ISSUE887F, 16, ['a1', 'a2', 'a3'], False, 'CROSS JOIN with an ON clause (MySQL treats it as INNER)'),
+    ('dialect_issue887_on_and_null', SCRIPT_ISSUE887F, 18, ['a1', 'a2', 'a3'], False, 'double-ON where the outer condition mixes equality AND IS NOT NULL'),
+    ('dialect_issue887_comma_or', SCRIPT_ISSUE887F, 23, ['a1', 'a2', 'a3'], False, 'comma join with OR-of-IS-NULL predicates across all three tables'),
 ]
 
 
