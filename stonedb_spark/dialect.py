@@ -805,8 +805,8 @@ class TableDef:
 
 
 _CONSTRAINT_PREFIX = re.compile(
-    r"^\s*(PRIMARY\s+KEY|UNIQUE\s+KEY|UNIQUE\s+INDEX|KEY|INDEX|CONSTRAINT|"
-    r"FOREIGN\s+KEY|FULLTEXT|CHECK)\b",
+    r"^\s*(PRIMARY\s+KEY|UNIQUE\s+KEY|UNIQUE\s+INDEX|UNIQUE(?=\s*\()|"
+    r"KEY|INDEX|CONSTRAINT|FOREIGN\s+KEY|FULLTEXT|CHECK)\b",
     re.I,
 )
 
@@ -4954,6 +4954,29 @@ def _inline_funcs(sql: str, funcs: dict) -> str:
     return sql
 
 
+def _normalize_create_index(s: str) -> str:
+    """``CREATE [UNIQUE] INDEX i ON t (cols)`` and ``DROP INDEX i ON
+    t`` are spelled as their ALTER TABLE forms (same executor path;
+    issue1325/create_index.test).  ``sleep N`` mysqltest timing
+    statements are no-ops (issue956)."""
+    m = re.match(
+        r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(`[^`]+`|\w+)\s+ON\s+"
+        r"(`[^`]+`|\w+)\s*(\(.*\))\s*$", s, re.I | re.S,
+    )
+    if m:
+        return (f"ALTER TABLE {m.group(3)} ADD {m.group(1) or ''}INDEX "
+                f"{m.group(2)} {m.group(4)}")
+    m = re.match(
+        r"^\s*DROP\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+(`[^`]+`|\w+)\s*$",
+        s, re.I,
+    )
+    if m:
+        return f"ALTER TABLE {m.group(2)} DROP INDEX {m.group(1)}"
+    if re.match(r"^\s*sleep\s+\d+(\.\d+)?\s*$", s, re.I):
+        return "SET NAMES utf8mb4"  # an ignored no-op statement
+    return s
+
+
 def _normalize_insert_set(s: str) -> str:
     """``INSERT INTO t SET a=1, b=2`` → column-list VALUES form
     (select_precision.test); same for ``REPLACE INTO t SET …``
@@ -5806,6 +5829,70 @@ def _apply_bitwise_mysql(
     for i, lit in enumerate(lits):
         sql = sql.replace(f"\x01{i}\x01", lit)
     return sql
+
+
+def _apply_string_numeric_cmp(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL compares a STRING column against a NUMERIC literal by
+    converting BOTH sides to DOUBLE — the string via the lenient
+    prefix read (no error on 'abcd' → 0, '15.9.' → 15.9), the numeric
+    exactly, so '1547034559760195585' = 1547034559760195587 is TRUE
+    (both round to the same double; issue959's whole point).  Spark
+    ANSI would instead cast the string to the literal's type and fault
+    on malformed input."""
+    cols: dict[str, ColumnDef] = {}
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s+(`[^`]+`|\w+)", sql, re.I):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for c in td.columns:
+                if c.spark_type.upper() == "STRING" and c.mysql_type in (
+                    "char", "varchar", "text", "tinytext", "mediumtext",
+                    "longtext",
+                ):
+                    cols.setdefault(c.name.lower(), c)
+    if not cols:
+        return sql
+    num = r"[+-]?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    colref = r"((?:\w+|`\w+`)\s*\.\s*)?(`?)(\w+)\2"
+    pat = re.compile(
+        rf"(?<![\w.`']){colref}\s*"
+        rf"(>=|<=|<>|!=|=|>|<)\s*({num})(?![\w.:'-])"
+    )
+    btw = re.compile(
+        rf"(?<![\w.`']){colref}\s+(NOT\s+)?BETWEEN\s+({num})\s+AND\s+"
+        rf"({num})(?![\w.:'-])", re.I,
+    )
+
+    def dbl(ref: str) -> str:
+        _s, _p, n = _lenient_num(ref, engine)
+        return f"CAST(COALESCE({n}, 0) AS DOUBLE)"
+
+    def rep(m: re.Match) -> str:
+        c = cols.get(m.group(3).lower())
+        if c is None:
+            return m.group(0)
+        ref = f"{(m.group(1) or '').strip()}`{m.group(3)}`"
+        op = "<>" if m.group(4) == "!=" else m.group(4)
+        return (
+            f"COALESCE({dbl(ref)} {op} "
+            f"CAST({m.group(5)} AS DOUBLE), {_BFALSE})"
+        )
+
+    def rep_btw(m: re.Match) -> str:
+        c = cols.get(m.group(3).lower())
+        if c is None:
+            return m.group(0)
+        ref = f"{(m.group(1) or '').strip()}`{m.group(3)}`"
+        neg = "NOT " if m.group(4) else ""
+        return (
+            f"COALESCE({dbl(ref)} {neg}BETWEEN "
+            f"CAST({m.group(5)} AS DOUBLE) AND "
+            f"CAST({m.group(6)} AS DOUBLE), {_BFALSE})"
+        )
+
+    sql = _sub_outside_strings(sql, btw, rep_btw)
+    return _sub_outside_strings(sql, pat, rep)
 
 
 def _apply_tz_select_shift(
@@ -7436,7 +7523,8 @@ def run_statement(run: MTRRun, stmt: str):
         run.vars[vm.group(1)] = lit
         return None
     s = _subst_uservars(raw, run.vars)
-    s = _normalize_insert_set(_inline_funcs(s, run.funcs))
+    s = _normalize_insert_set(
+        _normalize_create_index(_inline_funcs(s, run.funcs)))
     s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
     sm2 = re.match(
         r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
@@ -8196,6 +8284,30 @@ def run_statement(run: MTRRun, stmt: str):
         m = re.match(r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\w+)\s+(.*)$", s, re.I | re.S)
         tname = _unquote_ident(m.group(1))
         td = run.tables[tname.lower()]
+        um = re.match(
+            r"^\s*ADD\s+UNIQUE\s+(?:INDEX|KEY)?\s*(?:`[^`]+`|\w+)?\s*"
+            r"\((.*)\)\s*$", m.group(2), re.I | re.S,
+        )
+        if um and td.engine != "tianmu":
+            # building a UNIQUE index validates existing data: MySQL
+            # raises ER_DUP_ENTRY when rows collide (create_index.test
+            # over a BINARY(5) prefix index on an innodb table)
+            keys = ", ".join(
+                f"SUBSTRING(`{_unquote_ident(km.group(1))}`, 1, "
+                f"{km.group(2)})" if (km := re.match(
+                    r"\s*(`[^`]+`|\w+)\s*\((\d+)\)\s*", kc))
+                else f"`{_unquote_ident(kc)}`"
+                for kc in _split_top_commas(um.group(1))
+            )
+            dup = run.spark.sql(
+                f"SELECT COUNT(*) - COUNT(DISTINCT {keys}) "
+                f"FROM `{tname}`"
+            ).collect()[0][0]
+            if dup:
+                raise ValueError(
+                    f"Duplicate entry for key '{tname}' while building "
+                    f"a UNIQUE index (MySQL error 1062 analog)"
+                )
         newtd, mapping = _alter_tabledef(td, _split_top_commas(m.group(2)))
         tbl = run.spark.table(f"`{tname}`")
         proj = []
@@ -8290,7 +8402,10 @@ def run_statement(run: MTRRun, stmt: str):
                 _apply_temporal_string_cmp(
                     _apply_tz_select_shift(
                         _apply_union_string_coercion(
-                            _apply_bitwise_mysql(s, run.tables, "spark"),
+                            _apply_string_numeric_cmp(
+                                _apply_bitwise_mysql(s, run.tables,
+                                                     "spark"),
+                                run.tables, "spark"),
                             run.tables, "spark"),
                         run.tables, "spark"),
                     run.tables, "spark"),
@@ -8608,7 +8723,8 @@ def build_oracle_sql(
             uservars[vm.group(1)] = lit
             continue
         s = _subst_uservars(raw, uservars)
-        s = _normalize_insert_set(_inline_funcs(s, oraclefuncs))
+        s = _normalize_insert_set(
+            _normalize_create_index(_inline_funcs(s, oraclefuncs)))
         s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
         sm2 = re.match(
             r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
@@ -9367,7 +9483,10 @@ def build_oracle_sql(
                         _apply_temporal_string_cmp(
                             _apply_tz_select_shift(
                                 _apply_union_string_coercion(
-                                    _apply_bitwise_mysql(s, tables, "duck"),
+                                    _apply_string_numeric_cmp(
+                                        _apply_bitwise_mysql(
+                                            s, tables, "duck"),
+                                        tables, "duck"),
                                     tables, "duck"),
                                 tables, "duck"),
                             tables, "duck"),

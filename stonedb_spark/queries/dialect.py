@@ -29,6 +29,26 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_issue985_show0': ('issue985.test', [(1, 20)]),
+    'dialect_issue985_show_comment': ('issue985.test', [(1, 20)]),
+    'dialect_issue985_show_utf8c': ('issue985.test', [(1, 20)]),
+    'dialect_drop_column_show': ('drop_column.test', [(1, 34)]),
+    'dialect_issue1131_show0': ('issue1131.test', [(1, 95)]),
+    'dialect_issue1131_show_mid': ('issue1131.test', [(1, 95)]),
+    'dialect_issue1131_show_final': ('issue1131.test', [(1, 95)]),
+    'dialect_create_index_dup': ('create_index.test', [(1, 17)]),
+    'dialect_issue959_str_eq': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_char': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_bigint_dbl': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_signed_float': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_negzero': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_between_num': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_between_str': ('issue959.test', [(1, 205)]),
+    'dialect_issue959_notbetween': ('issue959.test', [(1, 205)]),
+    'dialect_issue829_dt_in': ('issue829.test', [(1, 108)]),
+    'dialect_issue829_dt_lt': ('issue829.test', [(1, 108)]),
+    'dialect_issue829_dt_t2': ('issue829.test', [(1, 108)]),
+    'dialect_issue829_join_in': ('issue829.test', [(1, 108)]),
     'dialect_issue663_selfdup': ('issue663.test', [(1, 98)]),
     'dialect_issue663_skus': ('issue663.test', [(1, 98)]),
     'dialect_issue906_in_count': ('issue906.test', [(1, 125)]),
@@ -15939,6 +15959,410 @@ DROP TABLE t1,t2,t3;
 DROP DATABASE issue887_test;
 """
 
+SCRIPT_ISSUE959F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue959_test;
+--enable_warnings
+
+CREATE DATABASE issue959_test;
+
+USE issue959_test;
+
+--disable_warnings
+
+# CHARACTER utf8mb4
+
+## DDL
+
+DROP TABLE IF EXISTS device_delta_collect;
+
+CREATE TABLE device_delta_collect
+(
+    reportTime VARCHAR(255) DEFAULT NULL,
+    deviceId   VARCHAR(255) DEFAULT NULL,
+    multiple   VARCHAR(255) DEFAULT NULL,
+    deltaJgs   VARCHAR(255) DEFAULT NULL
+) ENGINE = TIANMU;
+
+## insert data
+
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-20 22:33:58', '1547034559760195585', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '15.9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '15.9.', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '15..9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '+15.9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '+15.9.', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '+15..9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '++++15.9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '++++15..9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '-15.9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '----15.9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '-15..9', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-21 22:33:58', '-15..9.', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-22 22:33:58', 'abcd', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-22 22:33:58', '0', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-22 22:33:58', '+0', '1', '1');
+INSERT INTO device_delta_collect (reportTime, deviceId, deltaJgs, multiple) VALUES ('2022-08-22 22:33:58', '-0', '1', '1');
+
+## query
+
+### query str
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = '1547034559760195585';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != '1547034559760195585';
+
+#### Instead of an orthopedic comparison, you use a string type here
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = '1547034559760195587';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != '1547034559760195587';
+
+#### equal
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = '15.9';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != '15.9';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = '+15.9';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != '+15.9';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = '-15.9';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != '-15.9';
+
+#### only char
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = 'abcd';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != 'abcd';
+
+#### for char '0'
+ 
+SELECT * FROM device_delta_collect a WHERE a.deviceId = '0';
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != '0';
+
+### query big int
+
+#### equal 1547034559760195585
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = 1547034559760195587;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != 1547034559760195587;
+
+### query float
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = 15.9;
+
+### query float with a plus sign
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = +15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != +15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = -15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != -15.9;
+
+### query zero
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = 0;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = +0;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId = -0;
+
+### query not zero
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != 0;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != +0;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId != -0;
+
+## between
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId BETWEEN 14.9 AND 15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId BETWEEN +14.9 AND 15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId BETWEEN 14.9 AND +15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId BETWEEN +14.9 AND +15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId BETWEEN '14.9' AND '15.9';
+
+## not between
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId NOT BETWEEN 14.9 AND 15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId NOT BETWEEN +14.9 AND 15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId NOT BETWEEN 14.9 AND +15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId NOT BETWEEN +14.9 AND +15.9;
+
+SELECT * FROM device_delta_collect a WHERE a.deviceId NOT BETWEEN '14.9' AND '15.9';
+
+## clean test table
+
+DROP TABLE device_delta_collect;
+
+DROP DATABASE issue959_test;
+"""
+
+SCRIPT_ISSUE829F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue829_test;
+--enable_warnings
+
+CREATE DATABASE issue829_test;
+
+USE issue829_test;
+
+CREATE TABLE t1
+(
+ t1_tinyint TINYINT DEFAULT 0,
+ t1_int INT DEFAULT NULL,
+ t1_bigint BIGINT,
+ t1_decimal DECIMAL(5,2),
+ t1_text TEXT,
+ t1_char CHAR(5),
+ t1_varchar VARCHAR(255) DEFAULT 'hello world!',
+ t1_datetime DATETIME
+)ENGINE=tianmu;
+
+INSERT INTO t1 VALUES();
+INSERT INTO t1 VALUES(NULL, NULL, NULL, NULL, '', '', '', NULL);
+INSERT INTO t1 VALUES(1, 123456, 987654321, 122.32, repeat('z', 20), 'aaa', repeat('a', 20), '1111-11-11 11:11:11');
+INSERT INTO t1 VALUES(0, 1023456, 887654321, 222.32, repeat('y', 20), 'aaa', repeat('b', 20), '1111-11-11 11:11:11');
+INSERT INTO t1 VALUES(1, -123456, -987654321, -122.32, repeat('z', 20), 'bbb', repeat('a', 20), '1111-11-11 11:11:11');
+INSERT INTO t1 VALUES(0, -1023456, -887654321, -222.32, repeat('x', 20), 'bbb', repeat('b', 20), '1111-11-11 11:11:11');
+
+SELECT * FROM t1 WHERE t1_datetime IN ('1111-11-11 11:11:11','1111-11-13 0:0:0');
+
+SELECT * FROM t1 WHERE t1_datetime = '1111-11-13 0:0:0';
+
+SELECT * FROM t1 WHERE t1_datetime = '1111-11-11 11:11:11';
+
+SELECT * FROM t1 WHERE t1_datetime < '1111-11-13 0:0:0';
+
+SELECT * FROM t1 WHERE t1_datetime > '1111-11-13 0:0:0';
+
+SELECT * FROM t1 WHERE t1_datetime > '1111-11-10 0:0:0';
+
+CREATE TABLE t2
+(
+ t1_tinyint TINYINT DEFAULT 0,
+ t1_int INT DEFAULT NULL,
+ t1_bigint BIGINT,
+ t1_decimal DECIMAL(5,2),
+ t1_text TEXT,
+ t1_char CHAR(5),
+ t1_varchar VARCHAR(255) DEFAULT 'hello world!',
+ t1_datetime DATETIME
+)ENGINE=tianmu;
+
+INSERT INTO t2 VALUES();
+INSERT INTO t2 VALUES(NULL, NULL, NULL, NULL, '', '', '', NULL);
+INSERT INTO t2 VALUES(1, 123456, 987654321, 122.32, repeat('z', 20), 'aaa', repeat('a', 20), '1111-11-11 22:22:22');
+INSERT INTO t2 VALUES(0, 1023456, 887654321, 222.32, repeat('y', 20), 'aaa', repeat('b', 20), '1111-11-12 11:11:11');
+INSERT INTO t2 VALUES(1, -123456, -987654321, -122.32, repeat('z', 20), 'bbb', repeat('a', 20), '1111-11-13 11:11:11');
+INSERT INTO t2 VALUES(0, -1023456, -887654321, -222.32, repeat('x', 20), 'bbb', repeat('b', 20), '1111-11-14 11:11:11');
+
+SELECT * FROM t2 WHERE t1_datetime IN ('1111-11-11 0:0:0','1111-11-13 11:11:11');
+
+SELECT * FROM t1,t2 WHERE 
+  t1.t1_datetime IN ('1111-11-11 11:11:11','1111-11-13 0:0:0') and
+  t2.t1_datetime IN ('1111-11-11 0:0:0','1111-11-13 11:11:11');
+
+drop table t1 ,t2;
+
+DROP DATABASE issue829_test;
+"""
+
+SCRIPT_ISSUE985F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue985_test;
+--enable_warnings
+
+CREATE DATABASE issue985_test;
+
+USE issue985_test;
+
+create table t1(a int not null,b int not null) default CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci;
+insert into t1 values (1,2);
+show create table t1;
+alter table t1 comment 'abcd';
+show create table t1;
+alter table t1 comment '测试表';
+show create table t1;
+drop table t1;
+
+DROP DATABASE issue985_test;
+"""
+
+SCRIPT_DROP_COLUMNF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS drop_column_test;
+--enable_warnings
+
+CREATE DATABASE drop_column_test;
+
+USE drop_column_test;
+
+CREATE TABLE `column_type_test` (
+ `c_tinyint` tinyint(4) DEFAULT NULL COMMENT 'tinyint',
+  `c_smallint` smallint(6) DEFAULT NULL COMMENT 'smallint',
+  `c_mediumint` mediumint(9) DEFAULT NULL COMMENT 'mediumint',
+  `c_int` int(11) DEFAULT NULL COMMENT 'int',
+  `c_bigint` bigint(20) DEFAULT NULL COMMENT 'bigint',
+  `c_float` float DEFAULT NULL COMMENT 'float',
+  `c_double` double DEFAULT NULL COMMENT 'double',
+  `c_decimal` decimal(10,5) DEFAULT NULL COMMENT 'decimal',
+  `c_date` date DEFAULT NULL COMMENT 'date',
+  `c_datetime` datetime DEFAULT NULL COMMENT 'datetime',
+  `c_timestamp` timestamp NULL DEFAULT NULL COMMENT 'timestamp',
+  `c_time` time DEFAULT NULL COMMENT 'time',
+  `c_char` char(10) DEFAULT NULL COMMENT 'char',
+  `c_varchar` varchar(10) DEFAULT NULL COMMENT 'varchar',
+  `c_blob` blob COMMENT 'blob',
+  `c_text` text COMMENT 'text',
+  `c_longblob` longblob COMMENT 'longblob'
+) ENGINE=TIANMU;
+alter table column_type_test drop column c_char;
+show create table column_type_test;
+drop table column_type_test;
+
+DROP DATABASE drop_column_test;
+"""
+
+SCRIPT_ISSUE1131F = """-- source include/have_tianmu.inc
+
+use test;
+--disable_warnings
+drop table IF EXISTS tmp_table;
+--enable_warnings
+--echo # 
+--echo # tianmu_mandatory=OFF
+--echo # 
+--disable_warnings
+set tianmu_mandatory=OFF;
+--enable_warnings
+
+create table t_issue1131(c1 int,c2 varchar(255))engine=innodb;
+show create table t_issue1131;
+show variables like '%_engine';
+alter table t_issue1131 add c3 int;
+show create table t_issue1131;
+drop table t_issue1131;
+
+CREATE TEMPORARY TABLE tmp_table (
+ name VARCHAR(10) NOT NULL,
+ value INTEGER NOT NULL
+)engine=innodb;
+
+show create table tmp_table;
+drop table tmp_table;
+
+
+--echo # 
+--echo # tianmu_mandatory=ON
+--echo # 
+--disable_warnings
+set tianmu_mandatory=ON;
+--enable_warnings
+
+create table t_issue1131(c1 int,c2 varchar(255))engine=innodb;
+show create table t_issue1131;
+show variables like '%_engine';
+alter table t_issue1131 add c3 int;
+show create table t_issue1131;
+drop table t_issue1131;
+
+CREATE TEMPORARY TABLE tmp_table (
+ name VARCHAR(10) NOT NULL,
+ value INTEGER NOT NULL
+)engine=innodb;
+
+show create table tmp_table;
+drop table tmp_table;
+
+--echo # 
+--echo # tianmu_mandatory=ON
+--echo # set default_storage_engine=innodb;
+--disable_warnings
+set tianmu_mandatory=ON;
+--enable_warnings
+set default_storage_engine=innodb;
+
+create table t_issue1131(c1 int,c2 varchar(255));
+show create table t_issue1131;
+show variables like '%_engine';
+alter table t_issue1131 add c3 int;
+show create table t_issue1131;
+drop table t_issue1131;
+
+CREATE TEMPORARY TABLE tmp_table (
+ name VARCHAR(10) NOT NULL,
+ value INTEGER NOT NULL
+);
+
+show create table tmp_table;
+drop table tmp_table;
+
+--echo # 
+--echo # tianmu_mandatory=OFF
+--echo # 
+--echo [on slave]
+--disable_warnings
+set tianmu_mandatory=OFF;
+--enable_warnings
+
+create table t_issue1131(c1 int,c2 varchar(255));
+show create table t_issue1131;
+show variables like '%_engine';
+alter table t_issue1131 add c3 int;
+show create table t_issue1131;
+drop table t_issue1131;
+
+CREATE TEMPORARY TABLE tmp_table (
+ name VARCHAR(10) NOT NULL,
+ value INTEGER NOT NULL
+);
+
+show create table tmp_table;
+drop table tmp_table;"""
+
+SCRIPT_CREATE_INDEXF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS create_index_test;
+--enable_warnings
+
+CREATE DATABASE create_index_test;
+
+USE create_index_test;
+
+create table t1 (f1 binary(5)) engine=innodb;
+insert into t1 values ('w'), ('w');
+--error ER_DUP_ENTRY
+create unique index index_t1 on t1(f1(4));
+drop table t1;
+
+DROP DATABASE create_index_test;
+
+# PROBE (not in the reference file): the file's only assertion is
+# the --error leg above; one row proves the script completed.
+select 1 as probe;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -16320,6 +16744,26 @@ _SPECS = [
     ('dialect_issue887_cross_on', SCRIPT_ISSUE887F, 16, ['a1', 'a2', 'a3'], False, 'CROSS JOIN with an ON clause (MySQL treats it as INNER)'),
     ('dialect_issue887_on_and_null', SCRIPT_ISSUE887F, 18, ['a1', 'a2', 'a3'], False, 'double-ON where the outer condition mixes equality AND IS NOT NULL'),
     ('dialect_issue887_comma_or', SCRIPT_ISSUE887F, 23, ['a1', 'a2', 'a3'], False, 'comma join with OR-of-IS-NULL predicates across all three tables'),
+    ('dialect_issue959_str_eq', SCRIPT_ISSUE959F, 2, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, "string = string compare stays exact ('…587' matches nothing)"),
+    ('dialect_issue959_char', SCRIPT_ISSUE959F, 10, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, 'pure-char equality over junk-numeric rows'),
+    ('dialect_issue959_bigint_dbl', SCRIPT_ISSUE959F, 14, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, 'string col = huge int literal compares as DOUBLE: …585 matches …587 (MySQL double coercion)'),
+    ('dialect_issue959_signed_float', SCRIPT_ISSUE959F, 17, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, "deviceId = +15.9: lenient prefix read ('15.9.' and '+15.9' rows match)"),
+    ('dialect_issue959_negzero', SCRIPT_ISSUE959F, 23, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, "deviceId = -0: 'abcd'/'0'/'+0'/'-0' all read 0.0"),
+    ('dialect_issue959_between_num', SCRIPT_ISSUE959F, 27, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, 'numeric BETWEEN over a string column via the double read'),
+    ('dialect_issue959_between_str', SCRIPT_ISSUE959F, 31, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, 'string BETWEEN keeps lexicographic semantics'),
+    ('dialect_issue959_notbetween', SCRIPT_ISSUE959F, 34, ['reporttime', 'deviceid', 'multiple', 'deltajgs'], False, 'NOT BETWEEN with signed numeric bounds'),
+    ('dialect_issue829_dt_in', SCRIPT_ISSUE829F, 0, ['t1_tinyint', 't1_int', 't1_bigint', 't1_decimal', 't1_text', 't1_char', 't1_varchar', 't1_datetime'], False, 'year-1111 DATETIME IN-list over DEFAULT-filled rows', {'t1_decimal': 'STRING', 't1_datetime': 'STRING'}),
+    ('dialect_issue829_dt_lt', SCRIPT_ISSUE829F, 3, ['t1_tinyint', 't1_int', 't1_bigint', 't1_decimal', 't1_text', 't1_char', 't1_varchar', 't1_datetime'], False, '< over far-past datetimes incl. NULL rows', {'t1_decimal': 'STRING', 't1_datetime': 'STRING'}),
+    ('dialect_issue829_dt_t2', SCRIPT_ISSUE829F, 6, ['t1_tinyint', 't1_int', 't1_bigint', 't1_decimal', 't1_text', 't1_char', 't1_varchar', 't1_datetime'], False, "second table's IN over a disjoint far-date set", {'t1_decimal': 'STRING', 't1_datetime': 'STRING'}),
+    ('dialect_issue829_join_in', SCRIPT_ISSUE829F, 7, ['a1', 'a2', 'a3', 'a4', 'a5', 'a6', 'a7', 'a8', 'b1', 'b2', 'b3', 'b4', 'b5', 'b6', 'b7', 'b8'], False, 'comma join of both tables filtered by far-date IN lists on each side', {'a4': 'STRING', 'a8': 'STRING', 'b4': 'STRING', 'b8': 'STRING'}),
+    ('dialect_issue985_show0', SCRIPT_ISSUE985F, 0, None, False, 'SHOW CREATE TABLE with utf8mb4 table collation before comments', None, {'show': 0}),
+    ('dialect_issue985_show_comment', SCRIPT_ISSUE985F, 0, None, False, "SHOW CREATE TABLE renders COMMENT='abcd' after ALTER TABLE COMMENT", None, {'show': 1}),
+    ('dialect_issue985_show_utf8c', SCRIPT_ISSUE985F, 0, None, False, 'ALTER COMMENT with CJK text round-trips through SHOW CREATE', None, {'show': 2}),
+    ('dialect_drop_column_show', SCRIPT_DROP_COLUMNF, 0, None, False, '17-type table after DROP COLUMN c_char: 16-column MySQL DDL render', None, {'show': 0}),
+    ('dialect_issue1131_show0', SCRIPT_ISSUE1131F, 0, None, False, 'ADD COLUMN then SHOW CREATE over the growing column list', None, {'show': 0}),
+    ('dialect_issue1131_show_mid', SCRIPT_ISSUE1131F, 0, None, False, 'mid-battery SHOW CREATE after repeated add/drop column cycles', None, {'show': 5}),
+    ('dialect_issue1131_show_final', SCRIPT_ISSUE1131F, 0, None, False, 'final SHOW CREATE of the add/drop column battery', None, {'show': 11}),
+    ('dialect_create_index_dup', SCRIPT_CREATE_INDEXF, 0, ['probe'], False, 'CREATE UNIQUE INDEX over duplicate rows raises ER_DUP_ENTRY (innodb prefix index); appended probe select documents completion'),
 ]
 
 
