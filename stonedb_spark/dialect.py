@@ -3851,6 +3851,22 @@ def rewrite_expr(sql: str, engine: str) -> str:
                 f" TRY_CAST({a} AS DATE))")
 
     sql = _wrap_calls(sql, "DATEDIFF", _datediff_fn)
+    # MySQL [NOT] REGEXP: Spark keeps the operator spelling (RLIKE
+    # alias); DuckDB needs regexp_matches (user_function's is_id_card)
+    _rx_kw = r"(?<!\w)(?!(?:AND|OR|NOT|XOR|WHERE|THEN|WHEN|ELSE|IN|LIKE)\b)"
+    _rx_atom = (
+        rf"(?:{_rx_kw}\w+\s*{_BW_PAREN2}|{_rx_kw}(?:\w+|`[^`]+`)"
+        rf"(?:\s*\.\s*(?:\w+|`[^`]+`))?|'(?:[^'\\]|\\.)*'|{_BW_PAREN2})"
+    )
+    if engine == "duck":
+        sql = re.sub(
+            rf"({_rx_atom})\s+(NOT\s+)?REGEXP\s+({_rx_atom})",
+            lambda m: (
+                f"{'NOT ' if m.group(2) else ''}"
+                f"regexp_matches({m.group(1)}, {m.group(3)})"
+            ),
+            sql, flags=re.I,
+        )
     if engine == "duck":
         # Spark FROM_UNIXTIME renders 'yyyy-MM-dd HH:mm:ss' text;
         # mirror it (DuckDB has no from_unixtime)
@@ -4895,6 +4911,341 @@ def _wrap_calls(sql: str, fname: str, wrap) -> str:
     return "".join(out)
 
 
+class _ProcBody:
+    """Marker carried in funcs[...] for a BEGIN…END function body that
+    compiles per-call (WHILE bounds may depend on the arguments)."""
+
+    def __init__(self, text: str):
+        self.text = text
+
+
+def _pe_subst(expr: str, env: dict) -> str:
+    """Substitute current env values into an expression, string-masked."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x02{len(lits) - 1}\x02"
+
+    out = _ANY_STRLIT.sub(_mask, expr)
+    for v in sorted(env, key=len, reverse=True):
+        if not v:
+            continue
+        out = re.sub(rf"(?i)\b{re.escape(v)}\b", f"({env[v]})", out)
+    for i, lit in enumerate(lits):
+        out = out.replace(f"\x02{i}\x02", lit)
+    return out
+
+
+def _pe_const(expr: str):
+    """Fold an integer-arithmetic/boolean expression to a Python value,
+    or None when not constant (drives WHILE unrolling)."""
+    t = expr.strip()
+    t = re.sub(r"(?i)\bAND\b", " and ", t)
+    t = re.sub(r"(?i)\bOR\b", " or ", t)
+    t = re.sub(r"(?i)\bNOT\b", " not ", t)
+    t = t.replace("<>", "!=")
+    t = re.sub(r"(?<![<>!=])=(?!=)", "==", t)
+    if not re.fullmatch(r"[\d\s()+\-*/%<>=!.]+|.*\b(and|or|not)\b.*", t):
+        return None
+    if re.search(r"[A-Za-z_]", re.sub(r"\b(and|or|not)\b", "", t)):
+        return None
+    try:
+        return eval(t, {"__builtins__": {}}, {})  # noqa: S307 — digits/ops only
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _proc_units(text: str) -> list[str]:
+    """Split a BEGIN…END body into statement units: THEN/ELSE/DO/BEGIN
+    get their own boundary so block headers separate from their first
+    inner statement."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x02{len(lits) - 1}\x02"
+
+    t = _ANY_STRLIT.sub(_mask, text)
+    t = re.sub(r"(?mi)(^|\s)#[^\n]*", " ", t)  # mysqltest # comments
+    # block keywords become unit boundaries only at paren depth 0 — a
+    # CASE…WHEN…THEN inside RETURN( … ) is an EXPRESSION (getGrade)
+    out, i, depth = [], 0, 0
+    kw = re.compile(r"(?i)\b(THEN|ELSE|DO|BEGIN)\b")
+    while i < len(t):
+        ch = t[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        m = kw.match(t, i) if depth == 0 else None
+        if m:
+            out.append(m.group(1) + ";")
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    t = "".join(out)
+    units = []
+    for u in t.split(";"):
+        u = " ".join(u.split())
+        if u:
+            for i, lit in enumerate(lits):
+                u = u.replace(f"\x02{i}\x02", lit)
+            units.append(u)
+    return units
+
+
+def _compile_proc_body(text: str) -> str:
+    """Symbolically execute a linear stored-function body (DECLARE /
+    SET / SELECT…INTO / IF-ELSEIF-ELSE / CASE / WHILE / nested BEGIN /
+    RETURN) into ONE SQL expression (user_function.test,
+    issue538.test).  Assignments substitute current symbolic values
+    (SSA-style); IF branches merge per-variable through CASE WHEN;
+    WHILE loops unroll in Python when their condition folds to integer
+    constants (getSum's i<=num with bound args); SELECT…INTO keeps the
+    previous value when the query returns no row, like MySQL."""
+    units = _proc_units(text)
+    assert units and re.fullmatch(r"(?i)BEGIN", units[0]), units[:1]
+    env: dict[str, str] = {}
+    returns: list[tuple[str | None, str]] = []
+
+    def subst(e: str) -> str:
+        return _pe_subst(e, env)
+
+    def exec_block(i: int, guard: str | None, stop: tuple) -> int:
+        """Execute units from i until a stop keyword at this level;
+        returns the index OF the stop unit."""
+        while i < len(units):
+            u = units[i]
+            uu = u.upper()
+            if any(re.fullmatch(p, uu) for p in stop):
+                return i
+            if re.fullmatch(r"(?i)BEGIN", u):
+                i = exec_block(i + 1, guard, (r"END",)) + 1
+                continue
+            m = re.match(
+                r"(?i)^DECLARE\s+"
+                r"((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)"
+                r"\s+\w+(.*)$", u, re.S)
+            if m:
+                dm2 = re.search(r"(?i)\bDEFAULT\s+(.+)$", m.group(2))
+                dv = dm2.group(1).strip() if dm2 else "NULL"
+                for v in m.group(1).split(","):
+                    if v.strip():
+                        env[_unquote_ident(v.strip()).lower()] = dv
+                i += 1
+                continue
+            m = re.match(r"(?i)^SET\s+(.+)$", u)
+            if m and not re.match(r"(?i)^SET\s+@", u):
+                for piece in _split_top_commas(m.group(1)):
+                    am = re.match(
+                        r"(?i)^\s*(`[^`]+`|\w+)\s*:?=\s*(.+)$", piece, re.S)
+                    env[_unquote_ident(am.group(1)).lower()] = subst(
+                        am.group(2).strip())
+                i += 1
+                continue
+            m = re.match(
+                r"(?i)^SELECT\s+(.*?)\s+INTO\s+([\w,\s`]+?)\s+"
+                r"(FROM\s+.+)$", u, re.S)
+            if m:
+                exprs = _split_top_commas(m.group(1))
+                targets = [
+                    _unquote_ident(v.strip()).lower()
+                    for v in m.group(2).split(",")
+                ]
+                rest = subst(m.group(3))
+                for e, v in zip(exprs, targets):
+                    prev = env.get(v, "NULL")
+                    env[v] = (
+                        f"(CASE WHEN EXISTS (SELECT 1 {rest}) THEN "
+                        f"(SELECT {subst(e)} {rest}) ELSE {prev} END)"
+                    )
+                i += 1
+                continue
+            m = re.match(r"(?i)^RETURN\s+(.+)$", u, re.S)
+            if m:
+                returns.append((guard, subst(m.group(1).strip())))
+                i += 1
+                continue
+            m = re.match(r"(?i)^IF\s+(.+?)\s+THEN$", u)
+            if m:
+                i = exec_if(i, guard, m.group(1))
+                continue
+            m = re.match(r"(?i)^CASE\s+(.+?)\s+WHEN\s+(.+?)\s+THEN$", u)
+            if m:
+                i = exec_case(i, guard, m.group(1), m.group(2))
+                continue
+            m = re.match(r"(?i)^WHILE\s*\((.+)\)\s*DO$", u) or re.match(
+                r"(?i)^WHILE\s+(.+?)\s+DO$", u)
+            if m:
+                i = exec_while(i, m.group(1))
+                continue
+            raise ValueError(f"stored function: unsupported unit {u[:60]!r}")
+        return i
+
+    def guard_and(g: str | None, c: str) -> str:
+        return c if g is None else f"({g}) AND ({c})"
+
+    def exec_if(i: int, guard: str | None, cond0: str) -> int:
+        branches: list[tuple[str | None, dict]] = []
+        base = dict(env)
+        cond = subst(cond0)
+        not_prior: list[str] = []
+        while True:
+            env.clear(); env.update(base)
+            bguard = guard_and(
+                guard, " AND ".join(not_prior + [f"COALESCE({cond}, {_BFALSE})"]))
+            j = exec_block(i + 1, bguard,
+                           (r"ELSEIF\s+.*", r"ELSE", r"END\s+IF"))
+            branches.append((cond, dict(env)))
+            not_prior.append(f"NOT COALESCE({cond}, {_BFALSE})")
+            u = units[j].upper()
+            if u.startswith("ELSEIF"):
+                cond = _pe_subst(
+                    re.match(r"(?i)^ELSEIF\s+(.+?)\s+THEN$",
+                             units[j]).group(1), base)
+                i = j
+                continue
+            if u == "ELSE":
+                env.clear(); env.update(base)
+                j2 = exec_block(
+                    j + 1,
+                    guard_and(guard, " AND ".join(not_prior))
+                    if not_prior else guard,
+                    (r"END\s+IF",))
+                branches.append((None, dict(env)))
+                j = j2
+            break
+        # merge env per variable across branches
+        merged = dict(base)
+        changed = set()
+        for _c, benv in branches:
+            for v in benv:
+                if benv.get(v) != base.get(v):
+                    changed.add(v)
+        for v in changed:
+            parts = []
+            has_else = False
+            for c, benv in branches:
+                val = benv.get(v, base.get(v, "NULL"))
+                if c is None:
+                    has_else = True
+                    parts.append(f"ELSE {val}")
+                else:
+                    parts.append(f"WHEN COALESCE({c}, {_BFALSE}) THEN {val}")
+            if not has_else:
+                parts.append(f"ELSE {base.get(v, 'NULL')}")
+            merged[v] = "(CASE " + " ".join(parts) + " END)"
+        env.clear(); env.update(merged)
+        return j + 1
+
+    def exec_case(i: int, guard: str | None, scrut: str, first: str) -> int:
+        # desugar CASE v WHEN x THEN … into IF v=x THEN … ELSEIF …
+        base = dict(env)
+        sc = _pe_subst(scrut, base)
+        branches: list[tuple[str | None, dict]] = []
+        not_prior: list[str] = []
+        cond = f"({sc}) = ({_pe_subst(first, base)})"
+        while True:
+            env.clear(); env.update(base)
+            bguard = guard_and(
+                guard, " AND ".join(not_prior + [f"COALESCE({cond}, {_BFALSE})"]))
+            j = exec_block(i + 1, bguard,
+                           (r"WHEN\s+.*", r"ELSE", r"END\s+CASE"))
+            branches.append((cond, dict(env)))
+            not_prior.append(f"NOT COALESCE({cond}, {_BFALSE})")
+            u = units[j].upper()
+            if u.startswith("WHEN"):
+                wm = re.match(r"(?i)^WHEN\s+(.+?)\s+THEN$", units[j])
+                cond = f"({sc}) = ({_pe_subst(wm.group(1), base)})"
+                i = j
+                continue
+            if u == "ELSE":
+                env.clear(); env.update(base)
+                j = exec_block(
+                    j + 1,
+                    guard_and(guard, " AND ".join(not_prior))
+                    if not_prior else guard,
+                    (r"END\s+CASE",))
+                branches.append((None, dict(env)))
+            break
+        merged = dict(base)
+        changed = set()
+        for _c, benv in branches:
+            for v in benv:
+                if benv.get(v) != base.get(v):
+                    changed.add(v)
+        for v in changed:
+            parts = []
+            has_else = False
+            for c, benv in branches:
+                val = benv.get(v, base.get(v, "NULL"))
+                if c is None:
+                    has_else = True
+                    parts.append(f"ELSE {val}")
+                else:
+                    parts.append(f"WHEN COALESCE({c}, {_BFALSE}) THEN {val}")
+            if not has_else:
+                parts.append(f"ELSE {base.get(v, 'NULL')}")
+            merged[v] = "(CASE " + " ".join(parts) + " END)"
+        env.clear(); env.update(merged)
+        return j + 1
+
+    def exec_while(i: int, cond0: str) -> int:
+        # find the matching END WHILE (flat scan with nesting count)
+        depth, j = 1, i + 1
+        while j < len(units):
+            if re.match(r"(?i)^WHILE\b", units[j]):
+                depth += 1
+            elif re.fullmatch(r"(?i)END\s+WHILE", units[j]):
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        body = units[i + 1: j]
+        for _ in range(10000):
+            cv = _pe_const(_pe_subst(cond0, env))
+            if cv is None:
+                raise ValueError(
+                    f"stored function: WHILE condition not constant-"
+                    f"foldable: {cond0[:60]!r}")
+            if not cv:
+                break
+            for u in body:
+                sm = re.match(r"(?i)^SET\s+(.+)$", u)
+                if not sm:
+                    raise ValueError(
+                        f"stored function: WHILE body supports only SET:"
+                        f" {u[:60]!r}")
+                for piece in _split_top_commas(sm.group(1)):
+                    am = re.match(
+                        r"(?i)^\s*(`[^`]+`|\w+)\s*:?=\s*(.+)$", piece)
+                    nv = _pe_subst(am.group(2).strip(), env)
+                    fv = _pe_const(nv)
+                    env[_unquote_ident(am.group(1)).lower()] = (
+                        str(fv) if fv is not None else nv)
+        else:
+            raise ValueError("stored function: WHILE did not terminate")
+        return j + 1
+
+    exec_block(1, None, (r"END",))
+    if not returns:
+        raise ValueError("stored function: no RETURN reached")
+    if returns[0][0] is None:
+        return returns[0][1]
+    parts = []
+    for g, v in returns:
+        if g is None:
+            parts.append(f"ELSE {v}")
+            break
+        parts.append(f"WHEN COALESCE({g}, {_BFALSE}) THEN {v}")
+    sql_case = "(CASE " + " ".join(parts)
+    if not any(g is None for g, _ in returns):
+        sql_case += " ELSE NULL"
+    return sql_case + " END)"
+
+
 _CREATE_FUNC = re.compile(
     r"^\s*CREATE\s+FUNCTION\s+(`[^`]+`|\w+)\s*\(([^)]*)\)\s*"
     r"RETURNS\s+(\w+(?:\s*\([^)]*\))?)\s+.*?RETURN\s*(.+)$",
@@ -4902,9 +5253,34 @@ _CREATE_FUNC = re.compile(
 )
 
 
+_CREATE_FUNC_PROC = re.compile(
+    # params may hold nested parens: (number VARCHAR (20) CHARSET utf8)
+    r"^\s*CREATE\s+FUNCTION\s+(`[^`]+`|\w+)\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)\s*"
+    r"RETURNS\s+(\w+(?:\s*\([^)]*\))?)[^()]*?(BEGIN\b.*END)\s*$",
+    re.I | re.S,
+)
+
+
 def _parse_create_function(s: str):
     """Parse ``CREATE FUNCTION f(a int, ...) RETURNS t RETURN expr`` →
-    (name, [param names], spark return type, body expr)."""
+    (name, [param names], spark return type, body expr).  A BEGIN…END
+    procedural body is kept as _ProcBody and compiled per call (its
+    WHILE bounds may depend on the arguments — user_function.test)."""
+    pm = _CREATE_FUNC_PROC.match(s)
+    if pm:
+        params = [
+            p.strip().split()[0]
+            for p in _split_top_commas(pm.group(2))
+            if p.strip()
+        ]
+        rett = pm.group(3).strip()
+        base = re.match(r"(\w+)", rett).group(1).lower()
+        stype = _TYPE_MAP.get(base, ("STRING", "VARCHAR"))[0]
+        if stype == "DECIMAL":
+            stype = "DECIMAL" + (rett[len(base):].strip() or "(10,0)")
+        return (_unquote_ident(pm.group(1)), params, stype,
+                _ProcBody(pm.group(4)))
     m = _CREATE_FUNC.match(s)
     if not m:
         return None
@@ -4938,6 +5314,13 @@ def _inline_funcs(sql: str, funcs: dict) -> str:
                         f"Incorrect parameter count to FUNCTION "
                         f"{name} (MySQL error 1318 analog)"
                     )
+                if isinstance(body, _ProcBody):
+                    bound = _pe_subst(
+                        body.text,
+                        {p.lower(): a.strip() for p, a in
+                         zip(params, args)},
+                    )
+                    return f"CAST(({_compile_proc_body(bound)}) AS {stype})"
                 out = body
                 for p, a in zip(params, args):
                     out = re.sub(
@@ -5167,7 +5550,8 @@ _IGNORED = re.compile(
     r"connect\s*\(|connection\b|disconnect\b|"
     r"SELECT\s+@@|"  # system-variable probes: deployment introspection
     r"EXPLAIN\b|ANALYZE\s+TABLE|CHECK\s+TABLE|OPTIMIZE\s+TABLE|"
-    r"LOCK\s+TABLES|UNLOCK\s+TABLES)",
+    r"LOCK\s+TABLES|UNLOCK\s+TABLES|"
+    r"ALTER\s+FUNCTION)",  # comment-only metadata (user_function.test)
     re.I,
 )
 
@@ -7549,10 +7933,16 @@ def run_statement(run: MTRRun, stmt: str):
         return None
     if re.match(r"^\s*DROP\s+FUNCTION\b", s, re.I):
         m = re.match(
-            r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)",
+            r"^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)",
             s, re.I,
         )
-        run.funcs.pop(_unquote_ident(m.group(1)), None)
+        fname_ = _unquote_ident(m.group(2))
+        if fname_ not in run.funcs and not m.group(1):
+            raise ValueError(
+                f"FUNCTION {fname_} does not exist "
+                f"(MySQL error 1305 analog)"
+            )
+        run.funcs.pop(fname_, None)
         return None
     if _is_infoschema(s):
         return None

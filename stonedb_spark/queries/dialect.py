@@ -29,6 +29,22 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_fdef_scalar_sub': ('func_define.test', [(1, 38), (56, 74)]),
+    'dialect_fdef_lookup300': ('func_define.test', [(1, 38), (56, 74)]),
+    'dialect_fdef_miss': ('func_define.test', [(1, 38), (56, 74)]),
+    'dialect_fdef_attrs': ('func_define.test', [(1, 38), (56, 74)]),
+    'dialect_uf_select_into': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_if_elseif': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_if_lt': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_if_eq': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_nested_if': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_while': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_case_ret2': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_case_ret5': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_case_ret_eq': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_case_expr': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_case_expr2': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
+    'dialect_uf_identity': ('user_function.test', [(1, 138), (187, 235), (407, 421), (464, 466)]),
     'dialect_issue985_show0': ('issue985.test', [(1, 20)]),
     'dialect_issue985_show_comment': ('issue985.test', [(1, 20)]),
     'dialect_issue985_show_utf8c': ('issue985.test', [(1, 20)]),
@@ -16363,6 +16379,272 @@ DROP DATABASE create_index_test;
 select 1 as probe;
 """
 
+SCRIPT_USER_FUNCF = """--source include/have_tianmu.inc
+--source include/tianmu_utf8.inc
+
+--echo #
+--echo # Test function
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS user_function_test;
+--enable_warnings
+
+CREATE DATABASE user_function_test;
+USE user_function_test;
+
+create table test(num int,price int);
+insert into test values (3,5);
+
+# test variable settings
+
+--disable_warnings
+DROP FUNCTION if exists `myfunTest`;
+--enable_warnings
+
+DELIMITER //;
+create function `myfunTest`(idx int) returns int 
+    begin
+        declare res int;                    # 声明定义1个变量, 初值默认为 null
+        declare num1, num2 int default 27;  # 声明定义多个变量，初值全部为27
+        declare data1, data2 int;           # 声明定义多个变量，初值全部默认为 null
+        set num2 = 23, res = num1 + num2;   # 使用set语句, = 操作符赋值
+        set data1 = 1, data2 = 1;
+        select num, price into data1, data2 from test where num = idx;     # 使用 select into 语句
+        set res :=  res * (data1 + data2);      # 使用set语句, := 操作符赋值
+        return (res);
+    end //
+DELIMITER ;//
+select myfuntest(5);
+drop table test;
+drop function myfunTest;
+
+
+# flow control statements if
+
+--disable_warnings
+DROP FUNCTION if exists `getLevelByScore`;
+--enable_warnings
+
+DELIMITER //;
+create function getLevelByScore(score int)
+       returns varchar(255)
+       comment '根据成绩获取评级'
+    begin
+        declare leavel varchar(255);
+        if (score >= 90) then
+            set leavel = '优秀';
+        elseif (score >= 80) then
+            set leavel = '中等';
+        elseif (score >= 60) then
+            set leavel = '及格';
+        else
+            set leavel = '不及格';
+        end if;
+        return leavel;
+    end//
+DELIMITER ;//
+select getLevelByScore(10);
+drop function getLevelByScore;
+
+--disable_warnings
+DROP FUNCTION if exists `SimpleCompare`;
+--enable_warnings
+
+DELIMITER //;
+CREATE FUNCTION SimpleCompare(n INT, m INT)
+  RETURNS VARCHAR(20)
+
+  BEGIN
+    DECLARE s VARCHAR(20);
+    IF n > m THEN SET s = '>';
+    ELSEIF n = m THEN SET s = '=';
+    ELSE SET s = '<';
+    END IF;
+
+    SET s = CONCAT(n, ' ', s, ' ', m);
+
+    RETURN s;
+  END //
+DELIMITER ;//
+select SimpleCompare(1,6);
+select SimpleCompare(6,6);
+drop FUNCTION SimpleCompare;
+
+--disable_warnings
+DROP FUNCTION if exists `VerboseCompare`;
+--enable_warnings
+
+DELIMITER //;
+CREATE FUNCTION VerboseCompare (n INT, m INT)
+  RETURNS VARCHAR(50)
+  BEGIN
+    DECLARE s VARCHAR(50);
+
+    IF n = m THEN SET s = 'equals';
+    ELSE
+      IF n > m THEN SET s = 'greater';
+      ELSE SET s = 'less';
+      END IF;
+      SET s = CONCAT('is ', s, ' than');
+    END IF;
+    SET s = CONCAT(n, ' ', s, ' ', m, '.');
+    RETURN s;
+  END //
+DELIMITER ;//
+select VerboseCompare(5,7);
+drop FUNCTION VerboseCompare;
+
+# flow control statements while
+
+--disable_warnings
+DROP function if exists `getSum`;
+--enable_warnings
+
+DELIMITER //;
+create function getSum(num int)
+        returns int
+        comment '计算0-num的和'
+    begin
+        declare i,sum int default 0;
+        while (i<=num) do
+            set sum = sum + i;
+            set i = i + 1;
+        end while;
+        return sum;
+    end//
+DELIMITER ;//
+select getsum(10);
+ALTER FUNCTION `getSum` comment 'test';
+DROP function `getSum`;
+drop table t_base_pinyin;
+
+# flow control statements case
+
+--disable_warnings
+DROP FUNCTION if exists `pro_test`;
+--enable_warnings
+
+DELIMITER //;
+CREATE FUNCTION pro_test(a int) returns int
+  BEGIN
+    DECLARE v INT DEFAULT 1;
+    set v = a;
+    CASE v
+      WHEN 2 THEN return v;
+      WHEN 3 THEN return 0;
+      ELSE
+        BEGIN
+			return 8;
+        END;
+    END CASE;
+  END
+//
+DELIMITER ;//
+select pro_test(3);
+select pro_test(5);
+select pro_test(2);
+DROP FUNCTION `pro_test`;
+
+--disable_warnings
+DROP FUNCTION if exists `getGrade`;
+--enable_warnings
+
+DELIMITER //;
+create function getGrade(mark int)
+returns VARCHAR(20)
+begin
+return (
+       case FLOOR(mark/10)
+       when 5 then '不及格'
+       when 6 then '继续努力'
+       when 7 then '成绩良好'
+       else '成绩优秀'
+       end);
+END//
+DELIMITER ;//
+select getGrade(30);
+select getGrade(50);
+select getGrade(20);
+--disable_warnings
+DROP FUNCTION if exists `myadd`;
+--enable_warnings
+
+drop FUNCTION if exists myadd;
+delimiter //;
+create FUNCTION myadd(a int) returns int
+begin
+    return a;
+end
+//
+delimiter ;//
+select myadd(3);
+drop FUNCTION myadd;
+
+# clean up
+drop database user_function_test;
+"""
+
+SCRIPT_FUNC_DEFINEF = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test functions define and call
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS func_define_test;
+--enable_warnings
+
+CREATE DATABASE func_define_test;
+USE func_define_test;
+
+CREATE TABLE t1(x INT, y CHAR(10));
+INSERT INTO t1 VALUES(1,'aaaaa'),(100,'bbbbbb'),(100,'ccccccc'),(300,'ddddddd');
+# function declaration
+CREATE FUNCTION f1(z INT) RETURNS INT DETERMINISTIC 
+       RETURN (SELECT x FROM t1 WHERE x = z);
+CREATE FUNCTION f2(z INT) RETURNS INT DETERMINISTIC
+       RETURN (SELECT * FROM t1 WHERE x = z);
+
+# function call
+SELECT f1(1);
+SELECT f1(300);
+SELECT f1(11);
+--error 1318
+SELECT f1();
+--error 1242
+SELECT f1(100);	
+--error 1241
+SELECT f2(1);
+
+# function drop
+DROP FUNCTION f1;
+DROP FUNCTION f2;
+--error 1305
+DROP FUNCTION f2;
+
+DELIMITER //;
+CREATE FUNCTION func1() RETURNS INT LANGUAGE SQL DETERMINISTIC CONTAINS SQL SQL SECURITY DEFINER
+BEGIN
+  RETURN 1;
+END//
+DELIMITER ;//
+SHOW CREATE FUNCTION func1;
+SELECT func1();
+
+DELIMITER //;
+CREATE FUNCTION func2() RETURNS CHAR(10) LANGUAGE SQL NOT DETERMINISTIC NO SQL SQL SECURITY INVOKER
+BEGIN
+  RETURN 'func2';
+END//
+DELIMITER ;//
+SHOW CREATE FUNCTION func2;
+SELECT func2();
+
+DROP DATABASE func_define_test;
+
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -16764,6 +17046,22 @@ _SPECS = [
     ('dialect_issue1131_show_mid', SCRIPT_ISSUE1131F, 0, None, False, 'mid-battery SHOW CREATE after repeated add/drop column cycles', None, {'show': 5}),
     ('dialect_issue1131_show_final', SCRIPT_ISSUE1131F, 0, None, False, 'final SHOW CREATE of the add/drop column battery', None, {'show': 11}),
     ('dialect_create_index_dup', SCRIPT_CREATE_INDEXF, 0, ['probe'], False, 'CREATE UNIQUE INDEX over duplicate rows raises ER_DUP_ENTRY (innodb prefix index); appended probe select documents completion'),
+    ('dialect_uf_select_into', SCRIPT_USER_FUNCF, 0, ['v'], False, 'stored function: DECLARE defaults, multi-SET, SELECT…INTO keeping prior values on empty result ((27+23)*(1+1)=100)'),
+    ('dialect_uf_if_elseif', SCRIPT_USER_FUNCF, 1, ['v'], False, 'stored function IF/ELSEIF/ELSE chain over the argument'),
+    ('dialect_uf_if_lt', SCRIPT_USER_FUNCF, 2, ['v'], False, 'SimpleCompare(1,6): IF branches + CONCAT rebuild'),
+    ('dialect_uf_if_eq', SCRIPT_USER_FUNCF, 3, ['v'], False, 'SimpleCompare(6,6): the = branch'),
+    ('dialect_uf_nested_if', SCRIPT_USER_FUNCF, 4, ['v'], False, 'VerboseCompare: nested IF inside ELSE with post-merge SET'),
+    ('dialect_uf_while', SCRIPT_USER_FUNCF, 5, ['v'], False, 'getSum(10): WHILE loop unrolled against the bound argument (=55)'),
+    ('dialect_uf_case_ret2', SCRIPT_USER_FUNCF, 6, ['v'], False, 'CASE statement whose arms RETURN: falls to the ELSE BEGIN block'),
+    ('dialect_uf_case_ret5', SCRIPT_USER_FUNCF, 7, ['v'], False, 'CASE…WHEN no match: nested BEGIN return arm'),
+    ('dialect_uf_case_ret_eq', SCRIPT_USER_FUNCF, 8, ['v'], False, 'CASE…WHEN 2 matches: returns the variable'),
+    ('dialect_uf_case_expr', SCRIPT_USER_FUNCF, 9, ['v'], False, 'RETURN (CASE expression) stays an expression, not a CASE statement'),
+    ('dialect_uf_case_expr2', SCRIPT_USER_FUNCF, 10, ['v'], False, 'CASE expression WHEN-5 arm over FLOOR(mark/10)'),
+    ('dialect_uf_identity', SCRIPT_USER_FUNCF, 12, ['v'], False, 'trivial BEGIN return arg END body'),
+    ('dialect_fdef_scalar_sub', SCRIPT_FUNC_DEFINEF, 0, ['v'], False, 'CREATE FUNCTION returning a scalar subquery; arity 1318, >1-row 1242 and >1-column 1241 legs enforced inline'),
+    ('dialect_fdef_lookup300', SCRIPT_FUNC_DEFINEF, 1, ['v'], False, 'subquery-lookup function over another key'),
+    ('dialect_fdef_miss', SCRIPT_FUNC_DEFINEF, 2, ['v'], False, 'lookup miss returns NULL'),
+    ('dialect_fdef_attrs', SCRIPT_FUNC_DEFINEF, 3, ['v'], False, 'CREATE FUNCTION with LANGUAGE SQL/DETERMINISTIC/SQL SECURITY DEFINER attribute soup and BEGIN RETURN body'),
 ]
 
 
