@@ -513,7 +513,7 @@ def _norm_eval(text: str) -> str:
 
 
 _CREATE_PROC = re.compile(
-    r"^\s*CREATE\s+PROCEDURE\s+(`[^`]+`|\w+)\s*\([^)]*\)\s*"
+    r"^\s*CREATE\s+PROCEDURE\s+(`[^`]+`|\w+)\s*\(([^)]*)\)\s*"
     r"BEGIN\b(.*)\bEND\s*$",
     re.I | re.S,
 )
@@ -561,10 +561,13 @@ def _peval(expr: str, pvars: dict):
         raise ValueError(f"procedure: unknown variable '{m.group(0)}'")
 
     text = re.sub(r"\b[A-Za-z_]\w*\b", sub, expr)
-    if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*", text):
+    text = text.replace("&&", " and ").replace("||", " or ")
+    if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*|.*\b(and|or)\b.*", text):
         raise ValueError(f"procedure: unsupported expression {expr[:60]}")
+    text = text.replace("<>", "!=")
+    text = re.sub(r"(?<![<>!=])=(?!=)", "==", text)
     return eval(  # noqa: S307 — charset-restricted arithmetic only
-        text.replace("<>", "!="), {"__builtins__": {}}, {}
+        text, {"__builtins__": {}}, {}
     )
 
 
@@ -591,7 +594,43 @@ def _interp_proc(tokens: list[str], pvars: dict, out: list[str]) -> None:
             pvars[sm.group(1).lower()] = _peval(sm.group(2), pvars)
             i += 1
             continue
-        wm = re.match(r"^\s*WHILE\s+(.+?)\s+DO\b(.*)$", t, re.I | re.S)
+        fm = re.match(r"^\s*IF\s*(.+?)\s*THEN\b(.*)$", t, re.I | re.S)
+        if fm:
+            # collect (cond, stmts) branch segments to END IF
+            branches = [(fm.group(1), [fm.group(2).strip()]
+                         if fm.group(2).strip() else [])]
+            depth = 1
+            i += 1
+            while i < len(tokens) and depth:
+                inner = tokens[i]
+                if re.match(r"^\s*IF\b", inner, re.I):
+                    depth += 1
+                elif re.match(r"^\s*END\s+IF\s*$", inner, re.I):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and (em := re.match(
+                        r"^\s*ELSEIF\s*(.+?)\s*THEN\b(.*)$", inner,
+                        re.I | re.S)):
+                    branches.append((em.group(1), [em.group(2).strip()]
+                                     if em.group(2).strip() else []))
+                    i += 1
+                    continue
+                elif depth == 1 and (lm := re.match(
+                        r"^\s*ELSE\b(.*)$", inner, re.I | re.S)):
+                    branches.append((None, [lm.group(1).strip()]
+                                     if lm.group(1).strip() else []))
+                    i += 1
+                    continue
+                branches[-1][1].append(inner)
+                i += 1
+            for cond, block in branches:
+                if cond is None or _peval(cond, pvars):
+                    _interp_proc(list(block), pvars, out)
+                    break
+            i += 1  # past END IF
+            continue
+        wm = re.match(r"^\s*WHILE\s*(.+?)\s*DO\b(.*)$", t, re.I | re.S)
         if wm:
             block = []
             if wm.group(2).strip():
@@ -655,7 +694,13 @@ def _expand_procedures(stmts: list[Statement]) -> list[Statement]:
     for st in stmts:
         pm = _CREATE_PROC.match(st.text)
         if pm:
-            procs[_unquote_ident(pm.group(1)).lower()] = pm.group(2)
+            # record (IN-param names, body); issue422's idata(in num INT)
+            pnames = [
+                re.sub(r"(?i)^(IN|OUT|INOUT)\s+", "", q.strip()).split()[0]
+                for q in _split_top_commas(pm.group(2)) if q.strip()
+            ]
+            procs[_unquote_ident(pm.group(1)).lower()] = (
+                pnames, pm.group(3))
             continue
         if re.match(r"^\s*DROP\s+PROCEDURE\b", st.text, re.I):
             nm = re.match(
@@ -664,8 +709,10 @@ def _expand_procedures(stmts: list[Statement]) -> list[Statement]:
             )
             procs.pop(_unquote_ident(nm.group(1)).lower(), None)
             continue
-        cm = re.match(r"^\s*CALL\s+(`[^`]+`|\w+)\s*(?:\(\s*\))?\s*$",
-                      st.text, re.I)
+        cm = re.match(
+            r"^\s*CALL\s+(`[^`]+`|\w+)\s*(?:\(\s*(.*?)\s*\))?\s*$",
+            st.text, re.I | re.S,
+        )
         if cm:
             name = _unquote_ident(cm.group(1)).lower()
             if name not in procs:
@@ -673,8 +720,14 @@ def _expand_procedures(stmts: list[Statement]) -> list[Statement]:
                     f"PROCEDURE {name} does not exist "
                     f"(MySQL error 1305 analog)"
                 )
+            pnames, body = procs[name]
+            args = (_split_top_commas(cm.group(2))
+                    if cm.group(2) else [])
+            pvars = {
+                p.lower(): _peval(a, {}) for p, a in zip(pnames, args)
+            }
             emitted: list[str] = []
-            _interp_proc(_split_semis(procs[name]), {}, emitted)
+            _interp_proc(_split_semis(body), pvars, emitted)
             # batch consecutive single-row INSERTs into one statement
             j = 0
             while j < len(emitted):
@@ -979,6 +1032,15 @@ def parse_create_table(stmt: str) -> TableDef:
     if not m:
         raise ValueError(f"unparsable CREATE TABLE: {stmt[:120]}")
     name = _unquote_ident(m.group(1))
+    if len(name) > 64:
+        raise ValueError(
+            f"Identifier name '{name[:40]}…' is too long "
+            f"(MySQL error 1059 analog)"
+        )
+    if not name:
+        raise ValueError(
+            "Incorrect table name '' (MySQL error 1103 analog)"
+        )
     body = m.group(2)
     cols: list[ColumnDef] = []
     pk: list[str] = []
@@ -1004,6 +1066,15 @@ def parse_create_table(stmt: str) -> TableDef:
         if not cm:
             raise ValueError(f"unparsable column def: {part!r}")
         cname = _unquote_ident(cm.group(1))
+        if len(cname) > 64:
+            raise ValueError(
+                f"Identifier name '{cname[:40]}…' is too long "
+                f"(MySQL error 1059 analog)"
+            )
+        if not cname:
+            raise ValueError(
+                "Incorrect column name '' (MySQL error 1166 analog)"
+            )
         base = cm.group(2).lower()
         args = (cm.group(3) or "").strip()
         rest = cm.group(4) or ""
@@ -1063,6 +1134,28 @@ def parse_create_table(stmt: str) -> TableDef:
         csm = re.search(
             r"\bCHARACTER\s+SET\s+(\w+)|\bCHARSET\s+(\w+)", rest, re.I
         )
+        _autoinc_ = bool(re.search(r"\bAUTO_INCREMENT\b", rest, re.I))
+        if default is not None:
+            # MySQL 1067: invalid DEFAULT — AUTO_INCREMENT cols take no
+            # default; numeric defaults must fit the declared range;
+            # string defaults must fit the declared width
+            # (create_table.test)
+            bad = _autoinc_
+            dlit = _decode_strlit(default)
+            canon_base = _INT_ALIAS.get(base, base)
+            if not bad and canon_base in _STRICT_INT_RANGES and \
+                    re.fullmatch(r"[+-]?\d+", default.strip()):
+                lo, hi = (
+                    _STRICT_UINT_RANGES if unsigned else _STRICT_INT_RANGES
+                )[canon_base]
+                bad = not (lo <= int(default) <= hi)
+            if not bad and cw and dlit is not None and len(dlit) > cw:
+                bad = True
+            if bad:
+                raise ValueError(
+                    f"Invalid default value for '{cname}' "
+                    f"(MySQL error 1067 analog)"
+                )
         cols.append(
             ColumnDef(
                 cname, stype, dtype, default, fsp, canon,
@@ -5337,6 +5430,30 @@ def _inline_funcs(sql: str, funcs: dict) -> str:
     return sql
 
 
+def _backtick_dollar_idents(s: str) -> str:
+    """MySQL allows $ in unquoted identifiers (issue222's $tt / a$1 /
+    $b / c$); both engines need them quoted.  Backtick such tokens at
+    statement entry so every downstream parser sees the quoted form."""
+    if "$" not in s:
+        return s
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x03{len(lits) - 1}\x03"
+
+    t = _ANY_STRLIT.sub(_mask, s)
+    t = re.sub(
+        r"(?<![`\w$])((?:[A-Za-z_][\w$]*)?\$[\w$]*)(?![`\w$])",
+        lambda m: f"`{m.group(1)}`" if m.group(1) not in ("$",) else
+        m.group(0),
+        t,
+    )
+    for i, lit in enumerate(lits):
+        t = t.replace(f"\x03{i}\x03", lit)
+    return t
+
+
 def _normalize_create_index(s: str) -> str:
     """``CREATE [UNIQUE] INDEX i ON t (cols)`` and ``DROP INDEX i ON
     t`` are spelled as their ALTER TABLE forms (same executor path;
@@ -5427,6 +5544,13 @@ def _select_out_names(sel: str, tables: dict) -> list[str]:
         sel, re.I | re.S,
     )
     if not m:
+        # FROM-less literal select: CREATE TABLE (cols) SELECT 'x' AS a
+        # (issue228; group 2 = empty FROM tail)
+        m = re.match(
+            r"^\s*\(?\s*SELECT\s+(?:DISTINCT\s+)?(.*?)()\s*\)?\s*$",
+            sel, re.I | re.S,
+        )
+    if not m:
         raise ValueError(f"cannot derive select columns: {sel[:80]}")
     names: list[str] = []
     for it in _split_top_commas(m.group(1)):
@@ -5503,6 +5627,34 @@ def _implicit_default(c: ColumnDef) -> str:
 # script runner (Spark) + oracle builder (DuckDB)
 
 
+def _physname(name: str) -> str:
+    """Spark's catalog only accepts [A-Za-z0-9_] relation names; MySQL
+    accepts nearly anything quoted (create_table.test's `a/a`,
+    issue362's `abcÿdef`).  Map such LOGICAL names to a deterministic
+    ASCII physical name at the engine boundary; the statement model,
+    SHOW CREATE rendering and oracle stay logical."""
+    if re.fullmatch(r"\w+", name, re.A):
+        return name
+    import hashlib
+    return "tbl_" + hashlib.md5(name.encode()).hexdigest()[:10]
+
+
+def _map_physnames(sql: str, tables: dict) -> str:
+    """Rewrite references of weird-named tables to their physical
+    names in engine-bound SQL (backticked first, then bare tokens)."""
+    weird = [
+        td.name for td in tables.values()
+        if _physname(td.name) != td.name
+    ]
+    for nm in weird:
+        phys = _physname(nm)
+        sql = sql.replace(f"`{nm}`", f"`{phys}`")
+        sql = re.sub(
+            rf"(?<![\w`]){re.escape(nm)}(?![\w`])", f"`{phys}`", sql
+        )
+    return sql
+
+
 @dataclass
 class MTRRun:
     """Execution state for one script run."""
@@ -5525,6 +5677,11 @@ class MTRRun:
     # of the script path reads the remapped file (round-trip tests,
     # unsigned_support_issue1267.test).
     outfiles: dict = field(default_factory=dict)
+
+    def sql(self, q: str):
+        """Engine boundary: physical-name mapping happens here so the
+        whole statement model stays logical (create_table.test `a/a`)."""
+        return self.spark.sql(_map_physnames(q, self.tables))
     # CREATE VIEW name -> original MySQL body text (insert-through-view
     # resolution; insert.test)
     viewdefs: dict = field(default_factory=dict)
@@ -5891,6 +6048,14 @@ def _alter_tabledef(
                 c, src = work[i]
                 from dataclasses import replace as _repl
                 newdef = am.group(3).strip() if am.group(3) else None
+                if newdef is not None:
+                    dlit_ = _decode_strlit(newdef)
+                    if c.char_width and dlit_ is not None and \
+                            len(dlit_) > c.char_width:
+                        raise ValueError(
+                            f"Invalid default value for '{c.name}' "
+                            f"(MySQL error 1067 analog)"
+                        )
                 work[i] = (_repl(c, default=newdef), src)
             continue  # index/engine clauses: no data/schema effect here
         raise ValueError(f"unsupported ALTER action: {a[:80]}")
@@ -7900,15 +8065,15 @@ def run_statement(run: MTRRun, stmt: str):
         )
         lit = _bind_literal_uservar(rhs)  # may raise 1367
         if lit is None:
-            val = run.spark.sql(
+            val = run.sql(
                 f"SELECT ({rewrite_expr(rhs, 'spark')}) AS v"
             ).collect()[0][0]
             lit = _py_to_literal(val)
         run.vars[vm.group(1)] = lit
         return None
     s = _subst_uservars(raw, run.vars)
-    s = _normalize_insert_set(
-        _normalize_create_index(_inline_funcs(s, run.funcs)))
+    s = _normalize_insert_set(_normalize_create_index(
+        _backtick_dollar_idents(_inline_funcs(s, run.funcs))))
     s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
     sm2 = re.match(
         r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",
@@ -7978,7 +8143,7 @@ def run_statement(run: MTRRun, stmt: str):
         victims = flat if any("__" in k for k in run.tables) else \
             list(run.tables)
         for key in victims:
-            run.spark.sql(
+            run.sql(
                 f"DROP TABLE IF EXISTS `{run.tables[key].name}`"
             )
             del run.tables[key]
@@ -8168,10 +8333,10 @@ def run_statement(run: MTRRun, stmt: str):
         for name in _split_top_commas(m.group(3)):
             name = _unquote_ident(name)
             if kind.startswith("TABLE"):  # DROP TABLES is a synonym
-                run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+                run.sql(f"DROP TABLE IF EXISTS `{name}`")
                 run.tables.pop(name.lower(), None)
             else:
-                run.spark.sql(f"DROP VIEW IF EXISTS `{name}`")
+                run.sql(f"DROP VIEW IF EXISTS `{name}`")
         return None
     mc = _split_create_select(s)
     if mc:  # CREATE TABLE t (coldefs) [options] SELECT … (ctas1.test)
@@ -8181,17 +8346,17 @@ def run_statement(run: MTRRun, stmt: str):
         inner = rewrite_expr(select_part, "spark")
         proj = _merged_ctas_projection(tdd, sel_names, "spark")
         name = tdd.name
-        run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        run.sql(f"DROP TABLE IF EXISTS `{name}`")
         run.incarnation += 1
         loc = f"{run.workdir}/{name}_{run.incarnation}"
-        run.spark.sql(
+        run.sql(
             f"CREATE TABLE `{name}` USING PARQUET LOCATION '{loc}' AS "
             f"SELECT {proj} FROM ({inner}) AS _cs"
         )
         cols = [
             ColumnDef(f.name, f.dataType.simpleString().upper(),
                       _duck_type_from_spark(f.dataType), None)
-            for f in run.spark.table(f"`{name}`").schema.fields
+            for f in run.spark.table(f"`{_physname(name)}`").schema.fields
         ]
         run.tables[name.lower()] = TableDef(name, cols)
         return None
@@ -8204,16 +8369,16 @@ def run_statement(run: MTRRun, stmt: str):
     if cm:  # CTAS — MySQL allows both `AS SELECT` and bare `SELECT`
         name = _unquote_ident(cm.group(1))
         sel = rewrite_expr(cm.group(2), "spark")
-        run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        run.sql(f"DROP TABLE IF EXISTS `{name}`")
         run.incarnation += 1
         loc = f"{run.workdir}/{name}_{run.incarnation}"
-        run.spark.sql(
+        run.sql(
             f"CREATE TABLE `{name}` USING PARQUET LOCATION '{loc}' AS {sel}"
         )
         cols = [
             ColumnDef(f.name, f.dataType.simpleString().upper(),
                       _duck_type_from_spark(f.dataType), None)
-            for f in run.spark.table(f"`{name}`").schema.fields
+            for f in run.spark.table(f"`{_physname(name)}`").schema.fields
         ]
         run.tables[name.lower()] = TableDef(name, cols)
         return None
@@ -8229,11 +8394,11 @@ def run_statement(run: MTRRun, stmt: str):
         td = TableDef(name, list(src.columns), list(src.pk))
         run.tables[name.lower()] = td
         coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in td.columns)
-        run.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        run.sql(f"DROP TABLE IF EXISTS `{name}`")
         run.incarnation += 1
         loc = f"{run.workdir}/{name}_{run.incarnation}"
         os.makedirs(loc, exist_ok=True)
-        run.spark.sql(
+        run.sql(
             f"CREATE TABLE `{name}` ({coldefs}) USING PARQUET "
             f"LOCATION '{loc}'"
         )
@@ -8247,7 +8412,7 @@ def run_statement(run: MTRRun, stmt: str):
             raise ValueError(
                 f"Table '{tname}' doesn't exist (MySQL error 1146 analog)"
             )
-        tbl = run.spark.table(f"`{tname}`")
+        tbl = run.spark.table(f"`{_physname(tname)}`")
         tbl.limit(0).localCheckpoint(eager=True).write.insertInto(
             f"`{tname}`", overwrite=True
         )
@@ -8271,11 +8436,11 @@ def run_statement(run: MTRRun, stmt: str):
                 )
         run.tables[td.name.lower()] = td
         coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in td.columns)
-        run.spark.sql(f"DROP TABLE IF EXISTS `{td.name}`")
+        run.sql(f"DROP TABLE IF EXISTS `{td.name}`")
         run.incarnation += 1
         loc = f"{run.workdir}/{td.name}_{run.incarnation}"
         os.makedirs(loc, exist_ok=True)
-        run.spark.sql(
+        run.sql(
             f"CREATE TABLE `{td.name}` ({coldefs}) USING PARQUET "
             f"LOCATION '{loc}'"
         )
@@ -8293,7 +8458,7 @@ def run_statement(run: MTRRun, stmt: str):
         body = rewrite_expr(m.group(2), "spark")
         vname = _unquote_ident(m.group(1))
         run.viewdefs[vname.lower()] = m.group(2)
-        run.spark.sql(
+        run.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW `{vname}` AS {body}"
         )
         return None
@@ -8342,7 +8507,7 @@ def run_statement(run: MTRRun, stmt: str):
         if rsm:  # REPLACE INTO t [(cols)] SELECT … (replace_into.test)
             td = run.tables[_unquote_ident(rsm.group(1)).lower()]
             td.seen_pk = None
-            fed = run.spark.sql(rewrite_expr(rsm.group(3), "spark"))
+            fed = run.sql(rewrite_expr(rsm.group(3), "spark"))
             listed = (
                 [_unquote_ident(c).lower()
                  for c in _split_top_commas(rsm.group(2))]
@@ -8366,7 +8531,7 @@ def run_statement(run: MTRRun, stmt: str):
                         F.expr(dv).cast(c.spark_type).alias(c.name)
                     )
             new_df = fed.select(*proj)
-            tbl = run.spark.table(f"`{td.name}`")
+            tbl = run.spark.table(f"`{_physname(td.name)}`")
             if td.pk:
                 survivors = tbl.join(
                     new_df.select(*td.pk).distinct(), on=td.pk,
@@ -8382,8 +8547,8 @@ def run_statement(run: MTRRun, stmt: str):
         ins = re.sub(r"^\s*REPLACE\s+(INTO\s+)?", "INSERT INTO ", s, flags=re.I)
         td, rows = _parse_insert_values(run.tables, ins, run.strict)
         td.seen_pk = None  # REPLACE overwrites; stop 1062 tracking
-        new_df = run.spark.sql(_values_select(td, rows, "spark"))
-        tbl = run.spark.table(f"`{td.name}`")
+        new_df = run.sql(_values_select(td, rows, "spark"))
+        tbl = run.spark.table(f"`{_physname(td.name)}`")
         if td.pk:
             survivors = tbl.join(
                 new_df.select(*td.pk).distinct(), on=td.pk, how="left_anti"
@@ -8417,7 +8582,7 @@ def run_statement(run: MTRRun, stmt: str):
             sel = _upsert_select(
                 td, set_exprs, f"`{td.name}`", inc_ref, "spark"
             )
-            staged = run.spark.sql(sel).localCheckpoint(eager=True)
+            staged = run.sql(sel).localCheckpoint(eager=True)
             staged.write.insertInto(f"`{td.name}`", overwrite=True)
             return None
         if re.search(r"\bVALUES?\s*\(", s, re.I) or re.search(
@@ -8444,7 +8609,7 @@ def run_statement(run: MTRRun, stmt: str):
                 + ")"
                 for row in rows
             ]
-            run.spark.sql(
+            run.sql(
                 f"INSERT INTO `{td.name}` VALUES " + ",\n".join(cast_rows)
             )
             run.last_rowcount = len(rows)
@@ -8456,7 +8621,7 @@ def run_statement(run: MTRRun, stmt: str):
             itd = run.tables.get(_unquote_ident(im.group(1)).lower())
             if itd is not None:
                 itd.seen_pk = None  # non-literal rows: stop tracking
-            run.spark.sql(rewrite_expr(s, "spark"))
+            run.sql(rewrite_expr(s, "spark"))
         return None
     if re.match(r"^\s*DELETE\s+FROM\b", s, re.I):
         m = _DELETE_STMT.match(s)
@@ -8469,9 +8634,9 @@ def run_statement(run: MTRRun, stmt: str):
         order = rewrite_expr(m.group(3), "spark") if m.group(3) else None
         n = int(m.group(4)) if m.group(4) else None
         if cond is None and n is None:
-            keep = run.spark.table(f"`{tname}`").limit(0)
+            keep = run.spark.table(f"`{_physname(tname)}`").limit(0)
         else:
-            keep = run.spark.sql(
+            keep = run.sql(
                 _delete_keep_sql(f"`{tname}`", td, cond, order, n, "spark")
             )
         staged = keep.localCheckpoint(eager=True)
@@ -8495,7 +8660,7 @@ def run_statement(run: MTRRun, stmt: str):
             td.seen_pk = None
             keeps.append((
                 td.name,
-                run.spark.sql(_multi_delete_keep_sql(
+                run.sql(_multi_delete_keep_sql(
                     td, td.name, f"`{td.name}`", joinfrom, where, "spark"
                 )).localCheckpoint(eager=True),
             ))
@@ -8507,7 +8672,7 @@ def run_statement(run: MTRRun, stmt: str):
         if not m:
             raise ValueError(f"unsupported UPDATE syntax: {s[:90]}")
         tname = _unquote_ident(m.group(1))
-        tbl = run.spark.table(f"`{tname}`")
+        tbl = run.spark.table(f"`{_physname(tname)}`")
         cond = (
             F.coalesce(
                 F.expr(rewrite_expr(
@@ -8593,7 +8758,7 @@ def run_statement(run: MTRRun, stmt: str):
                 rewrite_expr(m.group(3), "spark") if m.group(3) else None,
                 order, int(m.group(5)), "spark",
             )
-            staged = run.spark.sql(sel).localCheckpoint(eager=True)
+            staged = run.sql(sel).localCheckpoint(eager=True)
             staged.write.insertInto(f"`{tname}`", overwrite=True)
             return None
         proj = [
@@ -8649,7 +8814,7 @@ def run_statement(run: MTRRun, stmt: str):
             td.seen_pk = None
             staged_writes.append((
                 td.name,
-                run.spark.sql(_multi_update_sql(
+                run.sql(_multi_update_sql(
                     td, td.name, f"`{td.name}`", joinfrom, where,
                     assigns, "spark",
                 )).localCheckpoint(eager=True),
@@ -8665,7 +8830,7 @@ def run_statement(run: MTRRun, stmt: str):
     if rm:
         old = _unquote_ident(rm.group(1))
         new = _unquote_ident(rm.group(2))
-        run.spark.sql(f"ALTER TABLE `{old}` RENAME TO `{new}`")
+        run.sql(f"ALTER TABLE `{old}` RENAME TO `{new}`")
         td = run.tables.pop(old.lower())
         td.name = new
         run.tables[new.lower()] = td
@@ -8689,7 +8854,7 @@ def run_statement(run: MTRRun, stmt: str):
                 else f"`{_unquote_ident(kc)}`"
                 for kc in _split_top_commas(um.group(1))
             )
-            dup = run.spark.sql(
+            dup = run.sql(
                 f"SELECT COUNT(*) - COUNT(DISTINCT {keys}) "
                 f"FROM `{tname}`"
             ).collect()[0][0]
@@ -8699,7 +8864,7 @@ def run_statement(run: MTRRun, stmt: str):
                     f"a UNIQUE index (MySQL error 1062 analog)"
                 )
         newtd, mapping = _alter_tabledef(td, _split_top_commas(m.group(2)))
-        tbl = run.spark.table(f"`{tname}`")
+        tbl = run.spark.table(f"`{_physname(tname)}`")
         proj = []
         checks = []
         oldtypes = {c.name: c for c in td.columns}
@@ -8751,13 +8916,13 @@ def run_statement(run: MTRRun, stmt: str):
                     )
         staged = tbl.select(*proj).localCheckpoint(eager=True)
         tout = newtd.name  # may differ: RENAME action within the ALTER
-        run.spark.sql(f"DROP TABLE IF EXISTS `{tname}`")
-        run.spark.sql(f"DROP TABLE IF EXISTS `{tout}`")
+        run.sql(f"DROP TABLE IF EXISTS `{tname}`")
+        run.sql(f"DROP TABLE IF EXISTS `{tout}`")
         run.incarnation += 1
         loc = f"{run.workdir}/{tout}_{run.incarnation}"
         os.makedirs(loc, exist_ok=True)
         coldefs = ", ".join(f"`{c.name}` {c.spark_type}" for c in newtd.columns)
-        run.spark.sql(
+        run.sql(
             f"CREATE TABLE `{tout}` ({coldefs}) USING PARQUET "
             f"LOCATION '{loc}'"
         )
@@ -8787,7 +8952,7 @@ def run_statement(run: MTRRun, stmt: str):
             lambda m: f"{run.last_rowcount} AS `row_count()`",
         )
         s = _guard_unsigned_arith(s, run.tables)
-        return run.spark.sql(
+        return run.sql(
             rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
                 _apply_temporal_string_cmp(
                     _apply_tz_select_shift(
@@ -8940,7 +9105,10 @@ def _retarget_relations(sql: str, mapping: dict[str, tuple[str, str]]) -> str:
             has_alias = bool(am.group(1)) or tok not in _REL_KEYWORDS
         if has_alias:
             return m.group(1) + repl
-        return m.group(1) + f"{repl} AS {orig}"
+        # quote the alias when the logical name isn't a plain ident
+        # (issue222's $tt, issue362's non-ASCII name)
+        qorig = orig if re.fullmatch(r"\w+", orig, re.A) else f'"{orig}"'
+        return m.group(1) + f"{repl} AS {qorig}"
 
     return pat.sub(rep, sql)
 
@@ -8999,7 +9167,7 @@ def build_oracle_sql(
     pending_rows: dict[str, list[list[str]]] = {}
 
     def vname(t: str) -> str:
-        return f"{t}__c{incarn[t]}v{versions[t]}"
+        return f"{_physname(t)}__c{incarn[t]}v{versions[t]}"
 
     def flush(t: str) -> None:
         """Materialize accumulated VALUES rows as the next version."""
@@ -9021,7 +9189,9 @@ def build_oracle_sql(
             )
 
     def _has_version0(t: str) -> bool:
-        return any(n == f"{t}__c{incarn[t]}v0" for n, _ in ctes)
+        return any(
+            n == f"{_physname(t)}__c{incarn[t]}v0" for n, _ in ctes
+        )
 
     def retarget(sql: str) -> str:
         """Point table references at their current CTE version —
@@ -9113,8 +9283,8 @@ def build_oracle_sql(
             uservars[vm.group(1)] = lit
             continue
         s = _subst_uservars(raw, uservars)
-        s = _normalize_insert_set(
-            _normalize_create_index(_inline_funcs(s, oraclefuncs)))
+        s = _normalize_insert_set(_normalize_create_index(
+            _backtick_dollar_idents(_inline_funcs(s, oraclefuncs))))
         s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
         sm2 = re.match(
             r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*=\s*(.+)$",

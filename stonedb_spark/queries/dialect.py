@@ -29,6 +29,17 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_issue422_procgen': ('issue422.test', [(1, 413)]),
+    'dialect_issue422_minjoin': ('issue422.test', [(1, 413)]),
+    'dialect_issue422_groupint': ('issue422.test', [(1, 413)]),
+    'dialect_issue422_joincount': ('issue422.test', [(1, 413)]),
+    'dialect_issue422_rightsum': ('issue422.test', [(1, 413)]),
+    'dialect_issue222_dollar': ('issue222.test', [(1, 16)]),
+    'dialect_issue228_ctas_lit': ('issue228.test', [(1, 19)]),
+    'dialect_issue362_utf8name': ('issue362.test', [(1, 18)]),
+    'dialect_issue362_utf8bare': ('issue362.test', [(1, 18)]),
+    'dialect_create_table_val': ('create_table.test', [(1, 41)]),
+    'dialect_issue566_view_rev': ('issue_566.test', [(1, 35)]),
     'dialect_fdef_scalar_sub': ('func_define.test', [(1, 38), (56, 74)]),
     'dialect_fdef_lookup300': ('func_define.test', [(1, 38), (56, 74)]),
     'dialect_fdef_miss': ('func_define.test', [(1, 38), (56, 74)]),
@@ -16645,6 +16656,572 @@ DROP DATABASE func_define_test;
 
 """
 
+SCRIPT_ISSUE566F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue_566_test;
+--enable_warnings
+
+CREATE DATABASE issue_566_test;
+
+USE issue_566_test;
+
+CREATE TABLE `lineitem_i342` (
+`l_orderkey` int(11) NOT NULL,
+`l_partkey` int(11) NOT NULL,
+`l_suppkey` int(11) NOT NULL,
+`l_linenumber` int(11) NOT NULL,
+`l_quantity` decimal(15,2) NOT NULL,
+`l_extendedprice` decimal(15,2) NOT NULL,
+`l_discount` decimal(15,2) NOT NULL,
+`l_tax` decimal(15,2) NOT NULL,
+`l_returnflag` char(1) NOT NULL,
+`l_linestatus` char(1) NOT NULL,
+`l_shipdate` date NOT NULL,
+`l_commitdate` date NOT NULL,
+`l_receiptdate` date NOT NULL,
+`l_shipinstruct` char(25) NOT NULL,
+`l_shipmode` char(10) NOT NULL,
+`l_comment` varchar(44) NOT NULL,
+PRIMARY KEY (`l_orderkey`,`l_linenumber`)
+) ENGINE=tianmu;
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(842980, 1881559, 56614, 4, 5.00, 7702.30, 0.01, 0.03, 'A', 'F', '1992-01-02', '1992-03-20', '1992-01-20', 'COLLECT COD', 'REG AIR', 'lly regular asymptotes. unu');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(1111877, 1341765, 16805, 3, 20.00, 36134.00, 0.10, 0.07, 'A', 'F', '1992-01-02', '1992-02-28', '1992-01-07', 'TAKE BACK RETURN', 'FOB', 're. ideas wake');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(1332613, 539811, 14827, 1, 14.00, 25911.06, 0.08, 0.07, 'A', 'F', '1992-01-02', '1992-02-11', '1992-01-18', 'TAKE BACK RETURN', 'TRUCK', 'y against the furiously regular');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(2184032, 1394196, 44223, 5, 14.00, 18061.82, 0.06, 0.02, 'A', 'F', '1992-01-02', '1992-02-25', '1992-01-15', 'DELIVER IN PERSON', 'RAIL', 'even ideas breach slyly above the d');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(5018977, 820387, 20388, 1, 20.00, 26146.80, 0.00, 0.00, 'A', 'F', '1992-01-02', '1992-03-19', '1992-01-15', 'NONE', 'SHIP', 'packages detect furiously quick');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(8478693, 842913, 92930, 5, 13.00, 24126.31, 0.01, 0.03, 'A', 'F', '1992-01-02', '1992-02-02', '1992-01-05', 'DELIVER IN PERSON', 'REG AIR', 'y silent decoys');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(9838337, 201251, 26254, 1, 10.00, 11522.40, 0.03, 0.05, 'A', 'F', '1992-01-02', '1992-03-27', '1992-01-22', 'NONE', 'RAIL', 'pending pinto beans. boldly unusual de');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(11174723, 851066, 76075, 1, 41.00, 41697.82, 0.07, 0.02, 'A', 'F', '1992-01-02', '1992-03-28', '1992-01-08', 'NONE', 'MAIL', 's detect blithely entic');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(12493984, 912626, 87654, 4, 6.00, 9831.48, 0.02, 0.08, 'A', 'F', '1992-01-02', '1992-02-13', '1992-01-29', 'TAKE BACK RETURN', 'REG AIR', 'e the slyly e');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(12575687, 330833, 30834, 4, 41.00, 76416.62, 0.02, 0.04, 'A', 'F', '1992-01-02', '1992-03-10', '1992-01-28', 'DELIVER IN PERSON', 'RAIL', 'ecial frets. carefully sly depo');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(12753441, 1023833, 98864, 4, 35.00, 61487.30, 0.10, 0.08, 'A', 'F', '1992-01-02', '1992-02-18', '1992-01-23', 'COLLECT COD', 'FOB', 'encies haggle. regular, r');
+INSERT INTO lineitem_i342 (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode, l_comment) VALUES(15413986, 1799270, 99271, 4, 14.00, 19168.66, 0.05, 0.05, 'A', 'F', '1992-01-02', '1992-01-31', '1992-01-04', 'COLLECT COD', 'TRUCK', 'structions. blithely pending asymptotes');
+CREATE VIEW revenue_i05 AS SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue FROM lineitem_i342 WHERE l_shipdate >= '1992-01-01' AND l_shipdate < DATE_ADD('1992-01-01',INTERVAL '1 1:1:1' DAY_SECOND) GROUP BY l_suppkey;
+SELECT * FROM revenue_i05 order by supplier_no;
+drop view revenue_i05;
+drop table lineitem_i342;
+
+DROP DATABASE issue_566_test;
+"""
+
+SCRIPT_ISSUE422F = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+DROP DATABASE IF EXISTS issue422_test;
+
+CREATE DATABASE issue422_test;
+
+USE issue422_test;
+
+
+## DDL
+
+DROP TABLE IF EXISTS test1;
+
+CREATE TABLE t1(id int, name varchar(20)) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+## procedure
+
+drop procedure if exists idata;
+
+delimiter //;
+create procedure idata(in num INT)
+begin
+  declare i int;
+  set i=1;
+  while(i<=num) do
+    if (i < 200) then
+      insert into t1 values(i, 'James');
+    elseif (i >= 200 && i < 1500) then
+      insert into t1 values(i, 'Lily');
+    else
+      insert into t1 values(i, 'Kevin');
+    end if;
+    set i=i+1;
+  end while;
+end //
+
+delimiter ;//
+
+## insert data
+
+call idata(3000);
+
+## log
+
+set global tianmu_slow_query_record_interval=0;
+set global tianmu_groupby_parallel_rows_minimum=1000;
+
+## query 
+
+## group by of single thread
+
+## set threads
+set global tianmu_groupby_parallel_degree=0;
+
+## query
+select sum(id),name from t1 group by name order by name;
+
+## groupy bu of multi thread
+
+## set threads
+set global tianmu_groupby_parallel_degree=2;
+
+## query
+select sum(id),name from t1 group by name order by name;
+
+## log 
+set global tianmu_slow_query_record_interval=2;
+
+# MORE
+
+drop table t1;
+
+CREATE TABLE t1 (
+  spID int(10) unsigned,
+  userID int(10) unsigned,
+  score int(5) unsigned,
+  lsg char(40)
+) ENGINE=TIANMU;
+
+INSERT INTO t1 VALUES (1,1,1,'');
+INSERT INTO t1 VALUES (2,2,2,'');
+INSERT INTO t1 VALUES (2,1,1,'');
+INSERT INTO t1 VALUES (3,3,3,'');
+
+CREATE TABLE t2 (
+  userID int(10),
+  niName char(15),
+  passwd char(8),
+  mail char(50),
+  vName char(30),
+  nName char(40),
+  adr char(60),
+  plz char(5),
+  ort char(35),
+  land char(20)
+) ENGINE=TIANMU;
+
+INSERT INTO t2 VALUES (1,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (2,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (3,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (4,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (5,'name','pass','mail','v','n','adr','1','1','1');
+
+SELECT t2.userid, MIN(t1.score) FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid;
+SELECT t2.userid, MIN(t1.score) FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY NULL;
+SELECT t2.userid, MIN(t1.score) FROM t1, t2 WHERE t1.userID=t2.userID AND t1.spID=2  GROUP BY t2.userid;
+SELECT t2.userid, MIN(t1.score+0.0) FROM t1, t2 WHERE t1.userID=t2.userID AND t1.spID=2  GROUP BY t2.userid;
+SELECT t2.userid, MIN(t1.score+0.0) FROM t1, t2 WHERE t1.userID=t2.userID AND t1.spID=2  GROUP BY t2.userid ORDER BY NULL;
+
+drop table t1;
+drop table t2;
+
+CREATE TABLE t1
+(
+ t1_INT INT DEFAULT 0,
+ t1_double DOUBLE,
+ t1_float FLOAT,
+ t1_blob BLOB,
+ t1_text TEXT,
+ t1_char CHAR(1),
+ t1_varchar VARCHAR(255) DEFAULT 'hello world!',
+ t1_datetime DATETIME
+)ENGINE=TIANMU;
+
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(20368547, -3.797693231E+108, -7.402866E+18, repeat('b',100), repeat('b',100), 'b', '2387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(303685, -4.797693231, -8.402866, repeat('b',101), repeat('b',101), 'b', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(40385, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(40368, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+
+--sorted_result
+SELECT * FROM t1;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_double;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_float;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_blob;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_text;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_varchar;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_datetime;
+
+--sorted_result
+SELECT SUM(t1_INT) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT SUM(t1_double) FROM t1 GROUP BY t1_float;
+--sorted_result
+SELECT SUM(DISTINCT t1_double) FROM t1 GROUP BY t1_float;
+
+#group by multiple columns
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_blob, t1_text, t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_varchar, t1_datetime;
+
+#along with where clause
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_blob IS NOT NULL GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_INT = 0 GROUP BY t1_blob, t1_text, t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_char IN ('a', 'b') GROUP BY t1_varchar, t1_datetime;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_varchar LIKE '%world%' GROUP BY t1_varchar, t1_datetime;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_INT != 0 AND t1_INT = 0 OR t1_INT IS NULL GROUP BY t1_varchar, t1_datetime;
+
+drop table t1;
+
+CREATE TABLE t1 (t1_INT INT, t1_char CHAR(5))ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5))ENGINE=TIANMU;
+INSERT INTO t1 VALUES (NULL,''),(1,'aaa'),(2,'bbb'),(3,'aaa'),(4,'bbb'),(5,'aaa'),(6,'ccc'),(7,'bbb');
+INSERT INTO t2 VALUES (NULL,''),(1,'ooo'),(3,'iii'),(5,'ooo'),(7,'ooo'),(9,'kkkk'),(11,'iii'),(13,'ooo');
+
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t1.t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t1.t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t2.t2_int;
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t2.t2_char;
+
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_INT;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_char;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_int;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_char;
+
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_INT;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_char;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_int;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_char;
+
+drop table t1;
+drop table t2;
+
+# start multi threads
+
+set global tianmu_groupby_parallel_rows_minimum=5;
+set global tianmu_groupby_parallel_degree=2;
+
+# again
+
+CREATE TABLE t1 (
+  spID int(10) unsigned,
+  userID int(10) unsigned,
+  score int(5) unsigned,
+  lsg char(40)
+) ENGINE=TIANMU;
+
+INSERT INTO t1 VALUES (1,1,1,'');
+INSERT INTO t1 VALUES (2,2,2,'');
+INSERT INTO t1 VALUES (2,1,1,'');
+INSERT INTO t1 VALUES (3,3,3,'');
+
+CREATE TABLE t2 (
+  userID int(10),
+  niName char(15),
+  passwd char(8),
+  mail char(50),
+  vName char(30),
+  nName char(40),
+  adr char(60),
+  plz char(5),
+  ort char(35),
+  land char(20)
+) ENGINE=TIANMU;
+
+INSERT INTO t2 VALUES (1,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (2,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (3,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (4,'name','pass','mail','v','n','adr','1','1','1');
+INSERT INTO t2 VALUES (5,'name','pass','mail','v','n','adr','1','1','1');
+
+SELECT t2.userid, MIN(t1.score) FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid;
+SELECT t2.userid, MIN(t1.score) FROM t1, t2 WHERE t1.userID=t2.userID GROUP BY t2.userid ORDER BY NULL;
+SELECT t2.userid, MIN(t1.score) FROM t1, t2 WHERE t1.userID=t2.userID AND t1.spID=2  GROUP BY t2.userid;
+SELECT t2.userid, MIN(t1.score+0.0) FROM t1, t2 WHERE t1.userID=t2.userID AND t1.spID=2  GROUP BY t2.userid;
+SELECT t2.userid, MIN(t1.score+0.0) FROM t1, t2 WHERE t1.userID=t2.userID AND t1.spID=2  GROUP BY t2.userid ORDER BY NULL;
+
+drop table t1;
+drop table t2;
+
+CREATE TABLE t1
+(
+ t1_INT INT DEFAULT 0,
+ t1_double DOUBLE,
+ t1_float FLOAT,
+ t1_blob BLOB,
+ t1_text TEXT,
+ t1_char CHAR(1),
+ t1_varchar VARCHAR(255) DEFAULT 'hello world!',
+ t1_datetime DATETIME
+)ENGINE=TIANMU;
+
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(20368547, -3.797693231E+108, -7.402866E+18, repeat('b',100), repeat('b',100), 'b', '2387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(303685, -4.797693231, -8.402866, repeat('b',101), repeat('b',101), 'b', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(40385, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('c',101), repeat('c',101), 'c', '3387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(40368, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1 (t1_INT, t1_double, t1_float, t1_blob, t1_text, t1_char, t1_datetime)
+VALUES(403685, +54.797693231, +8.402866, repeat('2',102), repeat('d',102), 'd', '4387-11-08 11:22:30.123');
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+INSERT INTO t1  VALUES(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+
+--sorted_result
+SELECT * FROM t1;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_double;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_float;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_blob;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_text;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_varchar;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_datetime;
+
+--sorted_result
+SELECT SUM(t1_INT) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT SUM(t1_double) FROM t1 GROUP BY t1_float;
+--sorted_result
+SELECT SUM(DISTINCT t1_double) FROM t1 GROUP BY t1_float;
+
+#group by multiple columns
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_blob, t1_text, t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1 GROUP BY t1_varchar, t1_datetime;
+
+#along with where clause
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_blob IS NOT NULL GROUP BY t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_INT = 0 GROUP BY t1_blob, t1_text, t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_char IN ('a', 'b') GROUP BY t1_varchar, t1_datetime;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_varchar LIKE '%world%' GROUP BY t1_varchar, t1_datetime;
+--sorted_result
+SELECT COUNT(*) FROM t1 WHERE t1_INT != 0 AND t1_INT = 0 OR t1_INT IS NULL GROUP BY t1_varchar, t1_datetime;
+
+drop table t1;
+
+CREATE TABLE t1 (t1_INT INT, t1_char CHAR(5))ENGINE=TIANMU;
+CREATE TABLE t2 (t2_int INT, t2_char CHAR(5))ENGINE=TIANMU;
+INSERT INTO t1 VALUES (NULL,''),(1,'aaa'),(2,'bbb'),(3,'aaa'),(4,'bbb'),(5,'aaa'),(6,'ccc'),(7,'bbb');
+INSERT INTO t2 VALUES (NULL,''),(1,'ooo'),(3,'iii'),(5,'ooo'),(7,'ooo'),(9,'kkkk'),(11,'iii'),(13,'ooo');
+
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t1.t1_INT;
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t1.t1_char;
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t2.t2_int;
+--sorted_result
+SELECT COUNT(*) FROM t1, t2 WHERE t1.t1_INT = t2.t2_int GROUP BY t2.t2_char;
+
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_INT;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_char;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_int;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 LEFT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_char;
+
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_INT;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t1.t1_char;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_int;
+--sorted_result
+SELECT SUM(t1.t1_INT) FROM t1 RIGHT JOIN t2 ON t1.t1_INT = t2.t2_int GROUP BY t2.t2_char;
+
+drop table t1;
+drop table t2;
+
+# clean
+
+drop database issue422_test;"""
+
+SCRIPT_ISSUE222F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue222_test;
+--enable_warnings
+
+CREATE DATABASE issue222_test;
+
+USE issue222_test;
+
+create table $tt (a$1 int, $b int, c$ int) engine=tianmu;
+insert into $tt values (1,2,3);
+select a$1, $b, c$ from $tt;
+drop table $tt;
+
+DROP DATABASE issue222_test;
+"""
+
+SCRIPT_ISSUE228F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue228_test;
+--enable_warnings
+
+CREATE DATABASE issue228_test;
+
+USE issue228_test;
+
+--disable_warnings
+drop table if exists t1;
+--enable_warnings
+
+create table t1 (a varchar(112) charset utf8 collate utf8_bin not null,primary key (a)) select 'test' as a ;
+select a from t1;
+drop table t1;
+
+DROP DATABASE issue228_test;
+"""
+
+SCRIPT_ISSUE362F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue362_test;
+--enable_warnings
+
+CREATE DATABASE issue362_test;
+
+USE issue362_test;
+
+CREATE TABLE `abcÿdef` (i int)engine=tianmu;
+INSERT INTO `abcÿdef` VALUES (1);
+INSERT INTO abcÿdef VALUES (2);
+SELECT * FROM `abcÿdef`;
+SELECT * FROM abcÿdef;
+DROP TABLE `abcÿdef`;
+
+DROP DATABASE issue362_test;
+"""
+
+SCRIPT_CREATE_TABLEF = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test table name
+--echo #
+
+drop table if exists t1,t2,t3,t4,t5;
+drop database if exists mysqltest;
+drop view if exists v1;
+create table t1 (b char(0) not null)ENGINE=tianmu;
+--error 1048
+insert into t1 values (""),(null);
+create table if not exists t1 (b char(0) not null)ENGINE=tianmu;
+--error 1050
+create table t1 (b char(0) not null)engine=tianmu;
+drop table t1;
+create table `a/a` (a int)engine=tianmu;
+show create table `a/a`;
+create table t1 like `a/a`;
+drop table `a/a`,`t1`;
+
+--echo #
+--echo # Tests the long field name table
+--echo #
+
+--error 1059
+create table `aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa` (aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa int)engine=tianmu;
+--error 1059
+create table a (`aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa` int)engine=tianmu;
+--error 1067
+create table t1 (a int default 100 auto_increment)engine=tianmu;
+--error 1067
+create table t1 (a tinyint default 1000)engine=tianmu;
+--error 1067
+create table t1 (a varchar(5) default 'abcdef')engine=tianmu;
+create table t1 (a varchar(5) default 'abcde')engine=tianmu;
+insert into t1 values();
+select * from t1;
+--error 1067
+alter table t1 alter column a set default 'abcdef';
+drop table t1;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -17062,6 +17639,17 @@ _SPECS = [
     ('dialect_fdef_lookup300', SCRIPT_FUNC_DEFINEF, 1, ['v'], False, 'subquery-lookup function over another key'),
     ('dialect_fdef_miss', SCRIPT_FUNC_DEFINEF, 2, ['v'], False, 'lookup miss returns NULL'),
     ('dialect_fdef_attrs', SCRIPT_FUNC_DEFINEF, 3, ['v'], False, 'CREATE FUNCTION with LANGUAGE SQL/DETERMINISTIC/SQL SECURITY DEFINER attribute soup and BEGIN RETURN body'),
+    ('dialect_issue566_view_rev', SCRIPT_ISSUE566F, 0, ['supplier_no', 'total_revenue'], False, 'TPC-H-style revenue view whose WHERE uses DATE_ADD with a composite DAY_SECOND interval', {'total_revenue': 'STRING'}),
+    ('dialect_issue422_procgen', SCRIPT_ISSUE422F, 0, ['s', 'name'], True, 'stored procedure with IN arg + IF/ELSEIF/ELSE inside WHILE: 3000-row generator, grouped sums'),
+    ('dialect_issue422_minjoin', SCRIPT_ISSUE422F, 2, ['userid', 'm'], False, 'MIN over a comma join keyed by the generated rows'),
+    ('dialect_issue422_groupint', SCRIPT_ISSUE422F, 10, ['n'], False, 'COUNT(*) GROUP BY over the typed battery table'),
+    ('dialect_issue422_joincount', SCRIPT_ISSUE422F, 30, ['n'], False, 'grouped join count after procedural reloads'),
+    ('dialect_issue422_rightsum', SCRIPT_ISSUE422F, 79, ['s'], False, 'SUM over RIGHT JOIN tail of the battery'),
+    ('dialect_issue222_dollar', SCRIPT_ISSUE222F, 0, ['a1', 'b', 'c'], False, 'dollar-sign identifiers ($tt table; a$1/$b/c$ columns) quoted at statement entry'),
+    ('dialect_issue228_ctas_lit', SCRIPT_ISSUE228F, 0, ['a'], False, 'CREATE TABLE (cols+PK) SELECT literal-as-alias with no FROM'),
+    ('dialect_issue362_utf8name', SCRIPT_ISSUE362F, 0, ['i'], False, 'non-ASCII table name via physical-name mapping; backticked and bare refs both resolve'),
+    ('dialect_issue362_utf8bare', SCRIPT_ISSUE362F, 1, ['i'], False, 'bare (unquoted) non-ASCII table reference'),
+    ('dialect_create_table_val', SCRIPT_CREATE_TABLEF, 0, ['a'], False, 'CREATE validation battery: char(0) 1048, duplicate 1050, `a/a` + LIKE, 64-char 1059, DEFAULT 1067 legs (incl. via ALTER SET DEFAULT)'),
 ]
 
 
