@@ -155,7 +155,8 @@ def split_mtr(script: str) -> list[Statement]:
     if tail:
         stmts.append(Statement(tail, expect_error))
     stmts = _strip_db_prefixes(_expand_prepare(stmts))
-    return _batch_single_inserts(_expand_procedures(stmts))
+    return _batch_single_inserts(
+        _expand_triggers(_expand_procedures(stmts)))
 
 
 def _expand_prepare(stmts: list[Statement]) -> list[Statement]:
@@ -353,6 +354,179 @@ _INSERT_ONE_COLS = re.compile(
     r"VALUES\s*(\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\))\s*$",
     re.I | re.S,
 )
+
+
+_CREATE_TRG = re.compile(
+    r"^\s*CREATE\s+TRIGGER\s+(?:\w+\s*\.\s*)?(`[^`]+`|\w+)\s+"
+    r"(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+"
+    r"(?:\w+\s*\.\s*)?(`[^`]+`|\w+)\s+FOR\s+EACH\s+ROW\s+(.*)$",
+    re.I | re.S,
+)
+
+
+def _expand_triggers(stmts: list) -> list:
+    """INSERT triggers unroll at the statement level (trigger.test,
+    issue364): both engines then replay plain statements, so the
+    trigger semantics stay engine-independent.  BEFORE ... SET NEW.col
+    rewrites the inserted tuples; SET @var side effects emit one SET
+    per row (the variable machinery folds the accumulated expression);
+    a body INSERT INTO other-table emits with NEW.* substituted.
+    UPDATE/DELETE triggers would need the affected rows (OLD.*) —
+    data-dependent, so they raise as unsupported and their files stay
+    unregistered."""
+    if not any(re.match(r"^\s*(CREATE|DROP)\s+TRIGGER\b", st.text, re.I)
+               for st in stmts):
+        return stmts
+    tables: dict[str, TableDef] = {}
+    trig: dict[str, list] = {}   # table -> [(name, timing, body_stmts)]
+    out: list = []
+    for st in stmts:
+        s = st.text
+        if re.match(r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b.*\(", s,
+                    re.I | re.S) and not _split_create_select(s):
+            try:
+                td = parse_create_table(s)
+                tables[td.name.lower()] = td
+            except ValueError:
+                pass
+            out.append(st)
+            continue
+        if re.match(r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\b", s, re.I):
+            dm = re.match(
+                r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\s+"
+                r"(?:IF\s+EXISTS\s+)?(.*)$", s, re.I | re.S)
+            for nm in _split_top_commas(dm.group(1)):
+                k = _unquote_ident(nm).lower()
+                tables.pop(k, None)
+                trig.pop(k, None)  # DROP TABLE drops its triggers
+            out.append(st)
+            continue
+        tm = _CREATE_TRG.match(s)
+        if tm:
+            name = _unquote_ident(tm.group(1)).lower()
+            timing, event = tm.group(2).upper(), tm.group(3).upper()
+            tbl = _unquote_ident(tm.group(4)).lower()
+            body = tm.group(5).strip().rstrip(";")
+            bm = re.match(r"(?is)^BEGIN\b(.*)\bEND$", body)
+            body_stmts = [
+                b.strip() for b in _split_semis(bm.group(1) if bm else body)
+                if b.strip()
+            ]
+            dup = any(
+                n == name for ts in trig.values() for n, _t, _b in ts
+            )
+            if st.expect_error:
+                if tbl in tables and not dup and event == "INSERT":
+                    # expected an error but this trigger is valid: let
+                    # the runner flag the unmet expectation
+                    out.append(Statement("SET NAMES utf8mb4", True))
+                continue
+            if event != "INSERT":
+                raise ValueError(
+                    f"unsupported statement: {s[:100]}")
+            if tbl not in tables:
+                raise ValueError(
+                    f"Table '{tbl}' doesn't exist for trigger {name} "
+                    f"(MySQL error 1146 analog)")
+            if dup:
+                raise ValueError(
+                    f"Trigger '{name}' already exists "
+                    f"(MySQL error 1359 analog)")
+            trig.setdefault(tbl, []).append((name, timing, body_stmts))
+            continue
+        if re.match(r"^\s*DROP\s+TRIGGER\b", s, re.I):
+            dm = re.match(
+                r"^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?"
+                r"(?:\w+\s*\.\s*)?(`[^`]+`|\w+)", s, re.I)
+            name = _unquote_ident(dm.group(2)).lower()
+            found = False
+            for tbl, ts in list(trig.items()):
+                kept = [t for t in ts if t[0] != name]
+                if len(kept) != len(ts):
+                    found = True
+                    trig[tbl] = kept
+            if st.expect_error:
+                if found:
+                    out.append(Statement("SET NAMES utf8mb4", True))
+                continue
+            if not found and not dm.group(1):
+                raise ValueError(
+                    f"Trigger {name} does not exist "
+                    f"(MySQL error 1360 analog)")
+            continue
+        im = re.match(
+            r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)\s*"
+            r"(?:\([^)]*\))?\s*VALUES?\b", s, re.I | re.S,
+        ) if not st.expect_error else None
+        tbl = _unquote_ident(im.group(1)).lower() if im else None
+        if im and tbl in trig and tbl in tables and not re.search(
+                r"(?i)\bSELECT\b", s):
+            td = tables[tbl]
+            import copy as _copy
+            td2 = _copy.deepcopy(td)
+            _td, rows = _parse_insert_values({tbl: td2}, s, strict=False)
+            # keep the REAL autoinc counter in step for later inserts
+            td.next_auto = td2.next_auto
+            names = [c.name for c in td.columns]
+            before = [t for t in trig[tbl] if t[1] == "BEFORE"]
+            after = [t for t in trig[tbl] if t[1] == "AFTER"]
+
+            def subst_new(expr: str, row: list[str]) -> str:
+                def rep(m: re.Match) -> str:
+                    cn = _unquote_ident(m.group(1)).lower()
+                    for n, v in zip(names, row):
+                        if n.lower() == cn:
+                            return f"({v})"
+                    return m.group(0)
+                return re.sub(
+                    r"(?i)\bNEW\s*\.\s*(`[^`]+`|\w+)", rep, expr)
+
+            new_tuples: list[str] = []
+            side: list[tuple[int, str]] = []  # (row#, stmt)
+            for ri, row in enumerate(rows):
+                row = list(row)
+                for _n, _t, body_stmts in before + after:
+                    is_before = _t == "BEFORE"
+                    for b in body_stmts:
+                        sm = re.match(r"(?is)^SET\s+(.+)$", b)
+                        if sm:
+                            for piece in _split_top_commas(sm.group(1)):
+                                am = re.match(
+                                    r"(?is)^\s*(NEW\s*\.\s*"
+                                    r"(?:`[^`]+`|\w+)|@\w+)\s*:?=\s*"
+                                    r"(.+)$", piece)
+                                if not am:
+                                    raise ValueError(
+                                        f"unsupported trigger SET: "
+                                        f"{piece[:60]}")
+                                tgt = am.group(1)
+                                val = subst_new(am.group(2).strip(), row)
+                                if tgt.startswith("@"):
+                                    side.append((ri, f"SET {tgt} = {val}"))
+                                elif is_before:
+                                    cn = _unquote_ident(
+                                        re.sub(r"(?i)^NEW\s*\.\s*", "",
+                                               tgt)).lower()
+                                    for k, n in enumerate(names):
+                                        if n.lower() == cn:
+                                            row[k] = val
+                                # AFTER SET NEW.x is a MySQL error; the
+                                # corpus never runs one successfully
+                            continue
+                        if re.match(r"(?i)^INSERT\b", b):
+                            side.append((ri, subst_new(b, row)))
+                            continue
+                        raise ValueError(
+                            f"unsupported trigger body: {b[:60]}")
+                new_tuples.append("(" + ", ".join(row) + ")")
+            head = f"INSERT INTO `{td.name}` ({', '.join(names)}) VALUES "
+            out.append(Statement(head + ", ".join(new_tuples),
+                                 st.expect_error))
+            for _ri, stext in side:
+                out.append(Statement(stext, False))
+            continue
+        out.append(st)
+    return out
 
 
 def _batch_single_inserts(stmts: list[Statement]) -> list[Statement]:
@@ -3863,6 +4037,33 @@ def rewrite_expr(sql: str, engine: str) -> str:
                 if _is_toplevel_bool(inner) else f"{_a}({inner})"
             ),
         )
+    # MySQL IF(c, a, b) applies truthiness to a NON-boolean condition
+    # (trigger.test's if(@a, concat(...), ...) over a string variable:
+    # '' and '0…' are false, a leading digit is true); both engines
+    # demand a boolean
+    def _if_fn(inner: str) -> str:
+        p = _split_top_commas(inner)
+        if len(p) != 3:
+            return f"IF({inner})"
+        c = p[0].strip()
+        if _is_bool_shaped(c) or _is_toplevel_bool(c):
+            return f"IF({inner})"
+        _s, _p2, n = _lenient_num(c, engine)
+        cond = (f"(CASE WHEN ({c}) IS NULL THEN {_BFALSE} "
+                f"ELSE COALESCE({n}, 0) <> 0 END)")
+        # MySQL's result type for mixed string/number branches is
+        # STRING (Spark ANSI would coerce the string branch to a
+        # number and fault on '2:3')
+        def _stringy(e: str) -> bool:
+            return bool(re.search(r"(?i)'|\bCONCAT\w*\s*\(", e))
+
+        a, b = p[1].strip(), p[2].strip()
+        if _stringy(a) != _stringy(b):
+            vt = "STRING" if engine == "spark" else "VARCHAR"
+            a, b = f"CAST(({a}) AS {vt})", f"CAST(({b}) AS {vt})"
+        return f"IF({cond}, {a}, {b})"
+
+    sql = _wrap_calls(sql, "IF", _if_fn)
     # MySQL ISNULL(x) → (x IS NULL): DuckDB lacks the function and the
     # predicate form keeps both engines boolean-typed
     sql = _wrap_calls(sql, "ISNULL", lambda inner: f"(({inner}) IS NULL)")

@@ -29,6 +29,12 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_trg_sum_var': ('trigger.test', [(1, 82), (157, 174)]),
+    'dialect_trg_fire_flag': ('trigger.test', [(1, 82), (157, 174)]),
+    'dialect_trg_read_new': ('trigger.test', [(1, 82), (157, 174)]),
+    'dialect_trg_concat_agg': ('trigger.test', [(1, 82), (157, 174)]),
+    'dialect_trg_other_table': ('trigger.test', [(1, 82), (157, 174)]),
+    'dialect_issue364_copy_trg': ('issue364.test', [(1, 41)]),
     'dialect_issue422_procgen': ('issue422.test', [(1, 413)]),
     'dialect_issue422_minjoin': ('issue422.test', [(1, 413)]),
     'dialect_issue422_groupint': ('issue422.test', [(1, 413)]),
@@ -17222,6 +17228,151 @@ alter table t1 alter column a set default 'abcdef';
 drop table t1;
 """
 
+SCRIPT_TRIGGERF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+--echo #writer:shangyanwen
+
+--echo #
+--echo # Trigger is not activated by LOAD DATA"
+--echo # syw test result
+
+#create table t1 (i int, j int, k int)engine=tianmu;
+#create trigger trg1 before insert on t1 for each row set new.k = new.i;
+#create trigger trg2 after insert on t1 for each row set @b:= "Fired"; 
+#set @b:="";
+# Test triggers with file with separators
+#load data infile '../../std_data/rpl_loaddata.dat' into table t1 (@a, i);
+#select *, @b from t1;
+#set @b:="";
+# Test triggers with fixed size row file
+#load data infile '../../std_data/loaddata5.dat' into table t1 fields terminated by '' enclosed by '' (i, j);
+#select *, @b from t1;
+# This also will drop triggers
+#drop table t1;
+
+--echo #
+--echo # Trigger activation INSERT
+--echo #
+
+CREATE TABLE account (acct_num INT, amount DECIMAL(10,2))engine=tianmu;
+CREATE TRIGGER ins_sum BEFORE INSERT ON account FOR EACH ROW SET @sum = @sum + NEW.amount;
+
+SET @sum = 0;
+INSERT INTO account VALUES(137,14.98),(141,1937.50),(97,-100.00);
+SELECT @sum AS 'Total amount inserted';
+DROP TRIGGER test.ins_sum;
+drop table account;
+
+
+--echo #
+--echo # simple trigger
+--echo #
+
+--disable_warnings
+drop table if exists t1;
+--enable_warnings
+
+create table t1 (i int)engine=tianmu;
+create trigger trg before insert on t1 for each row set @a:=1;
+set @a:=0;
+select @a;
+insert into t1 values (1);
+select @a;
+drop trigger trg;
+
+--echo #
+--echo #simple trigger reading some values 
+--echo #
+
+create trigger trg before insert on t1 for each row set @a:=new.i;
+insert into t1 values (123);
+select @a;
+
+drop trigger trg;
+drop table t1;
+
+--echo #
+--echo ## After insert trigger
+--echo # Useful for aggregating data
+
+create table t1 (i int not null primary key)engine=tianmu;
+create trigger trg after insert on t1 for each row
+  set @a:= if(@a,concat(@a, ":", new.i), new.i);
+set @a:="";
+insert into t1 values (2),(3),(4),(5);
+select @a;
+drop trigger trg;
+drop table t1;
+
+--echo #
+--echo # test triggers which access other tables
+--echo # Trivial trigger which inserts data into another table
+--echo #
+--disable_warnings
+drop table if exists t2;
+--enable_warnings
+create table t1 (id int primary key, data varchar(10), fk int)engine=tianmu;
+create table t2 (event varchar(100))engine=tianmu;
+create table t3 (id int primary key)engine=tianmu;
+create trigger t1_ai after insert on t1 for each row 
+insert into t2 values (concat("INSERT INTO t1 id=", new.id, " data='", new.data, "'"));
+insert into t1 (id, data) values (1, "one"), (2, "two");
+select * from t1;
+select * from t2;
+drop trigger t1_ai;
+# Trigger which uses couple of tables (and partially emulates FK constraint)
+delimiter |;
+"""
+
+SCRIPT_ISSUE364F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue364_test;
+--enable_warnings
+
+CREATE DATABASE issue364_test;
+
+USE issue364_test;
+
+CREATE TABLE `t_test1`(
+`id` INT NOT NULL AUTO_INCREMENT,
+`first_name` VARCHAR(10) NOT NULL,
+`last_name` VARCHAR(10) NOT NULL,
+`sex` VARCHAR(5) NOT NULL,
+`score` INT NOT NULL,
+`copy_id` INT NOT NULL,
+PRIMARY KEY (`id`)
+) ENGINE=tianmu;
+CREATE TABLE `t_test2`(
+`id` INT NOT NULL AUTO_INCREMENT,
+`first_name` VARCHAR(10) NOT NULL,
+`last_name` VARCHAR(10) NOT NULL,
+`sex` VARCHAR(5) NOT NULL,
+`score` INT NOT NULL,
+`copy_id` INT NOT NULL,
+PRIMARY KEY (`id`)
+) ENGINE=tianmu;
+DELIMITER |;
+CREATE TRIGGER insert_trigger_t_test2 AFTER INSERT ON t_test1 FOR EACH ROW
+BEGIN
+INSERT INTO t_test2(id,first_name,last_name,sex,score,copy_id) VALUES (new.id,new.first_name,new.last_name,new.sex,new.score,new.copy_id);
+END|
+DELIMITER ;|
+INSERT INTO t_test1 values(1,'张','三','1',100,1);
+SELECT id FROM t_test2;
+DROP TRIGGER insert_trigger_t_test2;
+DROP TABLE t_test2;
+DROP TABLE t_test1;
+
+DROP DATABASE issue364_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -17650,6 +17801,12 @@ _SPECS = [
     ('dialect_issue362_utf8name', SCRIPT_ISSUE362F, 0, ['i'], False, 'non-ASCII table name via physical-name mapping; backticked and bare refs both resolve'),
     ('dialect_issue362_utf8bare', SCRIPT_ISSUE362F, 1, ['i'], False, 'bare (unquoted) non-ASCII table reference'),
     ('dialect_create_table_val', SCRIPT_CREATE_TABLEF, 0, ['a'], False, 'CREATE validation battery: char(0) 1048, duplicate 1050, `a/a` + LIKE, 64-char 1059, DEFAULT 1067 legs (incl. via ALTER SET DEFAULT)'),
+    ('dialect_trg_sum_var', SCRIPT_TRIGGERF, 0, ['t'], False, 'BEFORE INSERT trigger accumulating @sum over a 3-row multi-tuple INSERT (1852.48)', {'t': 'STRING'}),
+    ('dialect_trg_fire_flag', SCRIPT_TRIGGERF, 2, ['a'], False, 'trigger sets @a only when an INSERT actually fires'),
+    ('dialect_trg_read_new', SCRIPT_TRIGGERF, 3, ['a'], False, 'trigger reads NEW.i into a user variable'),
+    ('dialect_trg_concat_agg', SCRIPT_TRIGGERF, 4, ['a'], False, "AFTER INSERT aggregation via IF(@a, CONCAT(@a, ':', NEW.i), NEW.i) = '2:3:4:5'"),
+    ('dialect_trg_other_table', SCRIPT_TRIGGERF, 6, ['event'], False, 'AFTER INSERT trigger writing a CONCAT event row into another table per inserted row'),
+    ('dialect_issue364_copy_trg', SCRIPT_ISSUE364F, 0, ['id'], False, 'AFTER INSERT trigger copying NEW.* into a second table (verbatim issue364)'),
 ]
 
 
