@@ -135,7 +135,9 @@ def split_mtr(script: str) -> list[Statement]:
                     i += 1
             elif ch == "#":
                 break  # unquoted '#': comment to end of line (mysql CLI)
-            elif ch in ("'", '"'):
+            elif ch in ("'", '"', "`"):
+                # backticks quote identifiers that may CONTAIN '#'
+                # (issue487's `#mysql50#q.q`)
                 in_str = ch
                 piece.append(ch)
             elif rawline.startswith(delim, i):
@@ -1214,6 +1216,17 @@ def parse_create_table(stmt: str) -> TableDef:
     if not name:
         raise ValueError(
             "Incorrect table name '' (MySQL error 1103 analog)"
+        )
+    if name.startswith("#mysql50#"):
+        # the pre-5.1 escape prefix: tianmu's handler refuses it with
+        # "Got error from storage engine" (issue487)
+        raise ValueError(
+            f"Got error 1 from storage engine creating '{name[:30]}' "
+            f"(MySQL error 1030 analog)"
+        )
+    if name != name.strip():
+        raise ValueError(
+            f"Incorrect table name '{name}' (MySQL error 1103 analog)"
         )
     body = m.group(2)
     cols: list[ColumnDef] = []
@@ -9938,8 +9951,25 @@ def build_oracle_sql(
             td.seen_pk = None
             flush(t)
             prev = vname(t)
-            versions[t] += 1
             cond = rewrite_expr(m.group(2), "duck") if m.group(2) else None
+            if cond and re.search(r"(?i)\bSELECT\b", cond):
+                # a subquery in the WHERE references OTHER tables
+                # (issue669's correlated NOT IN): point them at their
+                # current version CTEs — but NOT the deleted table
+                # itself, whose correlation alias must keep reading
+                # the row under test
+                sub = {
+                    k: v for k, v in tables.items() if k != t
+                }
+                for k in sub:
+                    if k in pending_rows:
+                        flush(k)
+                    if versions[k] == 0 and not _has_version0(k):
+                        ctes.append((vname(k), _duck_values_cte(sub[k], [])))
+                cond = _retarget_relations(
+                    cond, {k: (sub[k].name, vname(k)) for k in sub}
+                )
+            versions[t] += 1
             order = rewrite_expr(m.group(3), "duck") if m.group(3) else None
             n = int(m.group(4)) if m.group(4) else None
             if cond is None and n is None:

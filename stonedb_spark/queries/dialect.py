@@ -29,6 +29,9 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_issue669_notin_del': ('issue669.test', [(1, 22)]),
+    'dialect_issue656_load_ts': ('issue656.test', [(1, 18)]),
+    'dialect_issue487_mysql50': ('issue487.test', [(1, 13)]),
     'dialect_trg_sum_var': ('trigger.test', [(1, 82), (157, 174)]),
     'dialect_trg_fire_flag': ('trigger.test', [(1, 82), (157, 174)]),
     'dialect_trg_read_new': ('trigger.test', [(1, 82), (157, 174)]),
@@ -17373,6 +17376,75 @@ DROP TABLE t_test1;
 DROP DATABASE issue364_test;
 """
 
+SCRIPT_ISSUE669F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue669_test;
+--enable_warnings
+
+CREATE DATABASE issue669_test;
+
+USE issue669_test;
+
+--echo #
+--echo # Fix assertion errors caused by syntax optimization of the tianmu engine #669
+--echo # 
+
+create table t11 (a int NOT NULL, b int, primary key (a))ENGINE=TIANMU;
+create table t12 (a int NOT NULL, b int, primary key (a))ENGINE=TIANMU;
+create table t2 (a int NOT NULL, b int, primary key (a))ENGINE=TIANMU;
+insert into t11 values (0, 10),(1, 11),(2, 12);
+insert into t12 values (33, 10),(0, 11),(2, 12);
+insert into t2 values (1, 21),(2, 12),(3, 23);
+
+delete from t11 where t11.b not in (select b from t2 where t11.a < t2.a);
+
+# PROBE (not in the reference file): the file has no SELECT of
+# its own; this reads the table state the statements produced.
+select * from t11 order by a;
+"""
+
+SCRIPT_ISSUE656F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue656_test;
+--enable_warnings
+
+CREATE DATABASE issue656_test;
+
+USE issue656_test;
+
+CREATE TABLE `test` (
+  `id` int(11) DEFAULT NULL,
+  `t` timestamp NULL DEFAULT NULL
+) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue656.txt' into table test fields terminated by ',';
+show warnings;
+# PROBE (not in the reference file): the file has no SELECT of
+# its own; this reads the table state the statements produced.
+select * from test order by id;
+"""
+
+SCRIPT_ISSUE487F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue487_test;
+--enable_warnings
+
+CREATE DATABASE issue487_test;
+
+USE issue487_test;
+
+-- error 1030
+create table `#mysql50#q.q` (f1 int primary key) engine=tianmu;
+
+# PROBE (not in the reference file): the file has no SELECT of
+# its own; this reads the only assertion is the --error leg above.
+select 1 as probe;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -17807,6 +17879,9 @@ _SPECS = [
     ('dialect_trg_concat_agg', SCRIPT_TRIGGERF, 4, ['a'], False, "AFTER INSERT aggregation via IF(@a, CONCAT(@a, ':', NEW.i), NEW.i) = '2:3:4:5'"),
     ('dialect_trg_other_table', SCRIPT_TRIGGERF, 6, ['event'], False, 'AFTER INSERT trigger writing a CONCAT event row into another table per inserted row'),
     ('dialect_issue364_copy_trg', SCRIPT_ISSUE364F, 0, ['id'], False, 'AFTER INSERT trigger copying NEW.* into a second table (verbatim issue364)'),
+    ('dialect_issue669_notin_del', SCRIPT_ISSUE669F, 0, ['a', 'b'], False, 'DELETE with a correlated NOT IN subquery over another table (appended probe reads the post-delete state)'),
+    ('dialect_issue656_load_ts', SCRIPT_ISSUE656F, 0, ['id', 't'], False, 'LOAD DATA LOCAL of nullable timestamps from the committed issue656 fixture (appended probe select)', {'t': 'STRING'}),
+    ('dialect_issue487_mysql50', SCRIPT_ISSUE487F, 0, ['probe'], False, 'CREATE TABLE `#mysql50#q.q` refuses with the 1030 storage-engine analog (error leg enforced; documented probe select)'),
 ]
 
 
