@@ -86,6 +86,13 @@ def split_mtr(script: str) -> list[Statement]:
     comments) and tracking ``--error`` expectations for the following
     statement."""
     script = _strip_block_comments(script)
+    # mysqltest `if (\`query\`) { … }` guards debug-build-only blocks
+    # (issue1054's @@global.debug probe): stock servers take the
+    # false branch, so the block drops
+    script = re.sub(
+        r"(?ms)^\s*if\s*\(`[^`]*`\)\s*\n?\s*\{.*?^\s*\}\s*$", "",
+        script,
+    )
     script = _expand_mysqltest_loops(script)
     stmts: list[Statement] = []
     buf: list[str] = []
@@ -158,7 +165,7 @@ def split_mtr(script: str) -> list[Statement]:
         stmts.append(Statement(tail, expect_error))
     stmts = _strip_db_prefixes(_expand_prepare(stmts))
     return _batch_single_inserts(
-        _expand_triggers(_expand_procedures(stmts)))
+        _expand_triggers(_expand_procedures(_split_multi_set(stmts))))
 
 
 def _expand_prepare(stmts: list[Statement]) -> list[Statement]:
@@ -364,6 +371,26 @@ _CREATE_TRG = re.compile(
     r"(?:\w+\s*\.\s*)?(`[^`]+`|\w+)\s+FOR\s+EACH\s+ROW\s+(.*)$",
     re.I | re.S,
 )
+
+
+def _split_multi_set(stmts: list) -> list:
+    """``SET @old=@@SQL_MODE, @@SQL_MODE=''`` splits into sequential
+    single-assignment SETs so both engines' SET handlers see one
+    target each (issue271)."""
+    out = []
+    for st in stmts:
+        m = re.match(r"(?is)^\s*SET\s+(@.+)$", st.text)
+        pieces = _split_top_commas(m.group(1)) if m else []
+        if m and len(pieces) > 1 and all(
+            re.match(r"\s*@?@[\w.]+\s*:?=", p) for p in pieces
+        ):
+            out.extend(
+                Statement("SET " + p.strip(), st.expect_error)
+                for p in pieces
+            )
+        else:
+            out.append(st)
+    return out
 
 
 def _expand_triggers(stmts: list) -> list:
@@ -3931,7 +3958,9 @@ def rewrite_expr(sql: str, engine: str) -> str:
         )
         if engine == "spark":
             return f"({base} + MAKE_INTERVAL(0, 0, 0, 0, 0, 0, {secs}))"
-        return f"({base} + to_seconds({secs}))"
+        # interval arithmetic, NOT duckdb's to_seconds() helper — the
+        # MySQL TO_SECONDS wrap added in round 9 would re-match it
+        return f"({base} + ({secs}) * INTERVAL 1 SECOND)"
 
     sql = _wrap_calls(sql, "TIMESTAMP", _timestamp_fn)
     sql = _sub_outside_strings(
@@ -5101,11 +5130,14 @@ def _rewrite_timestamp_addiff(sql: str, engine: str) -> str:
 
     sql = _wrap_calls(sql, "TIMESTAMPDIFF", wdiff)
 
+    # interval-multiply spellings, NOT duckdb's to_days()/to_seconds()
+    # helpers: the MySQL TO_DAYS/TO_SECONDS wraps would re-match those
+    # on re-entry (the issue429 regression class)
     _ADD_DUCK = {
-        "MICROSECOND": "TO_MICROSECONDS", "SECOND": "TO_SECONDS",
-        "MINUTE": "TO_MINUTES", "HOUR": "TO_HOURS", "DAY": "TO_DAYS",
-        "WEEK": None, "MONTH": "TO_MONTHS", "QUARTER": None,
-        "YEAR": "TO_YEARS",
+        "MICROSECOND": "MICROSECOND", "SECOND": "SECOND",
+        "MINUTE": "MINUTE", "HOUR": "HOUR", "DAY": "DAY",
+        "WEEK": None, "MONTH": "MONTH", "QUARTER": None,
+        "YEAR": "YEAR",
     }
 
     def wadd(inner: str) -> str:
@@ -5125,15 +5157,14 @@ def _rewrite_timestamp_addiff(sql: str, engine: str) -> str:
             return f"TIMESTAMPADD({u}, CAST({nn} AS INT), {ts})"
         fn = _ADD_DUCK.get(unit)
         if unit == "WEEK":
-            return f"({ts} + TO_DAYS(CAST(({n}) * 7 AS INT)))"
+            return f"({ts} + CAST(({n}) * 7 AS INT) * INTERVAL 1 DAY)"
         if unit == "QUARTER":
-            return f"({ts} + TO_MONTHS(CAST(({n}) * 3 AS INT)))"
+            return f"({ts} + CAST(({n}) * 3 AS INT) * INTERVAL 1 MONTH)"
         if fn is None:
             return f"TIMESTAMPADD({inner})"
-        # duck's to_years/to_months/to_days want INTEGER; the sub-day
-        # makers accept BIGINT
-        it = "BIGINT" if unit in ("MICROSECOND", "SECOND", "MINUTE", "HOUR") else "INTEGER"
-        return f"({ts} + {fn}(CAST(({n}) AS {it})))"
+        it = ("BIGINT" if unit in
+              ("MICROSECOND", "SECOND", "MINUTE", "HOUR") else "INTEGER")
+        return f"({ts} + CAST(({n}) AS {it}) * INTERVAL 1 {fn})"
 
     return _wrap_calls(sql, "TIMESTAMPADD", wadd)
 
@@ -7719,6 +7750,21 @@ def _duck_type_from_spark(dt) -> str:
     }.get(s, s.upper())  # decimal(p,s) passes through
 
 
+def _mode_text(strict: bool, fullgb: bool) -> str:
+    """The session sql_mode as text — enough flags that re-applying it
+    restores the same strict/OFGB/NUS state (issue271's
+    SET @old=@@SQL_MODE … SET @@SQL_MODE=@old round-trip)."""
+    parts = []
+    if fullgb:
+        parts.append("ONLY_FULL_GROUP_BY")
+    if strict:
+        parts.append("STRICT_TRANS_TABLES")
+    if _NUS_MODE[0]:
+        parts.append("NO_UNSIGNED_SUBTRACTION")
+    parts.append("NO_ENGINE_SUBSTITUTION")
+    return ",".join(parts)
+
+
 _SET_USERVAR = re.compile(r"^\s*SET\s+@(\w+)\s*:?=\s*(.+)$", re.I | re.S)
 
 
@@ -8270,6 +8316,11 @@ def run_statement(run: MTRRun, stmt: str):
     SELECT, else None."""
     raw = _strip_modifiers(stmt.strip())
     vm = _SET_USERVAR.match(raw)
+    if vm and re.fullmatch(r"@@(session\.)?SQL_MODE", vm.group(2).strip(),
+                           re.I):
+        run.vars[vm.group(1)] = _py_to_literal(
+            _mode_text(run.strict, run.full_group_by))
+        return None
     if vm:
         # SET @v = expr — BEFORE @var substitution, which would
         # otherwise rewrite the assignment target on re-assignment
@@ -9277,7 +9328,7 @@ def run_script(
         return result
     finally:
         for name in list(run.tables):
-            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            spark.sql(f"DROP TABLE IF EXISTS `{_physname(name)}`")
         shutil.rmtree(workdir, ignore_errors=True)
 
 
@@ -9482,6 +9533,11 @@ def build_oracle_sql(
             continue
         raw = _strip_modifiers(st.text.strip())
         vm = _SET_USERVAR.match(raw)
+        if vm and re.fullmatch(r"@@(session\.)?SQL_MODE",
+                               vm.group(2).strip(), re.I):
+            uservars[vm.group(1)] = _py_to_literal(
+                _mode_text(oraclestrict, oracle_fullgb))
+            continue
         if vm:
             rhs = _inline_funcs(
                 _subst_uservars(vm.group(2).strip(), uservars), oraclefuncs
@@ -9573,7 +9629,16 @@ def build_oracle_sql(
             sel = retarget(rewrite_expr(select_part, "duck"))
             proj = _merged_ctas_projection(tdd, sel_names, "duck")
             key = tdd.name.lower()
-            tables[key] = TableDef(tdd.name, [])  # like plain CTAS
+            # register the merged column list (declared cols keep their
+            # types; select-derived extras read as text) so a later
+            # INSERT INTO the CTAS table parses (issue226)
+            merged_cols = list(tdd.columns)
+            have = {c.name.lower() for c in merged_cols}
+            for n in sel_names:
+                if n.lower() not in have:
+                    merged_cols.append(
+                        ColumnDef(n, "STRING", "VARCHAR", None))
+            tables[key] = TableDef(tdd.name, merged_cols)
             versions[key] = 0
             incarn[key] = incarn.get(key, 0) + 1
             ctes.append(
@@ -9590,8 +9655,18 @@ def build_oracle_sql(
             name = _unquote_ident(cm.group(1))
             key = name.lower()
             sel = retarget(rewrite_expr(cm.group(2), "duck"))
-            tables[key] = TableDef(name, [])  # columns unknown; VALUES
-            versions[key] = 0                 # inserts would need them
+            # derive the column list from the SELECT so a later INSERT
+            # into the CTAS table parses (issue226); select-derived
+            # columns read as text
+            try:
+                ctas_cols = [
+                    ColumnDef(n, "STRING", "VARCHAR", None)
+                    for n in _select_out_names(cm.group(2), tables)
+                ]
+            except (ValueError, KeyError):
+                ctas_cols = []
+            tables[key] = TableDef(name, ctas_cols)
+            versions[key] = 0
             incarn[key] = incarn.get(key, 0) + 1
             ctes.append((vname(key), sel))
             continue

@@ -29,6 +29,12 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_issue226_ctas_union': ('issue226.test', [(1, 24)]),
+    'dialect_issue271_esc_star': ('issue271.test', [(1, 255)]),
+    'dialect_issue271_esc_empty': ('issue271.test', [(1, 255)]),
+    'dialect_issue271_esc_bs': ('issue271.test', [(1, 255)]),
+    'dialect_issue271_esc_pct': ('issue271.test', [(1, 255)]),
+    'dialect_issue271_esc_tail': ('issue271.test', [(1, 255)]),
     'dialect_issue669_notin_del': ('issue669.test', [(1, 22)]),
     'dialect_issue656_load_ts': ('issue656.test', [(1, 18)]),
     'dialect_issue487_mysql50': ('issue487.test', [(1, 13)]),
@@ -17445,6 +17451,289 @@ create table `#mysql50#q.q` (f1 int primary key) engine=tianmu;
 select 1 as probe;
 """
 
+SCRIPT_ISSUE226F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue226_test;
+--enable_warnings
+
+CREATE DATABASE issue226_test;
+
+USE issue226_test;
+
+--disable_warnings
+DROP TABLE IF EXISTS t1;
+DROP TABLE IF EXISTS t2;
+--enable_warnings
+CREATE TABLE t1 (f1 VARCHAR(255) CHARACTER SET utf8) ENGINE=TIANMU;
+CREATE TABLE t2 AS SELECT LEFT(f1,171) AS f2 FROM t1 UNION SELECT LEFT(f1,171) AS f2 FROM t1;
+INSERT INTO t2 VALUES ('a');
+INSERT INTO t2 VALUES ('b');
+INSERT INTO t2 VALUES ('c');
+SELECT * FROM t2;
+DROP TABLE t1;
+DROP TABLE t2;
+
+DROP DATABASE issue226_test;
+"""
+
+SCRIPT_ISSUE271F = r"""--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue271_test;
+--enable_warnings
+
+CREATE DATABASE issue271_test;
+
+USE issue271_test;
+
+--disable_warnings
+
+# CHARACTER utf8mb4
+
+## DDL
+
+DROP TABLE IF EXISTS test1;
+
+CREATE TABLE test1(a varchar(100)) ENGINE=TIANMU DEFAULT CHARSET=utf8mb4;
+
+## insert data
+
+INSERT INTO test1 VALUES ('hakan%'), ('hakank'), ("ha%an");
+
+## Setting the Default SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## query of escape
+
+### issue271
+
+SELECT * FROM test1 WHERE a LIKE 'hakan*%' ESCAPE '*';
+
+### issue272
+
+SELECT * FROM test1 WHERE a LIKE 'ha|%an' ESCAPE '|';
+
+### issue273 but with default SQL MODE
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE '';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '\\';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE '\n';
+
+#### sql mod NO_BACKSLASH_ESCAPES
+
+SET @@SQL_MODE='NO_BACKSLASH_ESCAPES';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+#### ESCAPE must be a single character
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE ' ';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE 'n';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '%';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '*';
+
+## Restoring SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## clean test table
+
+DROP TABLE test1;
+
+# CHARACTER ascii
+
+## DDL
+
+CREATE TABLE test1(a varchar(100)) ENGINE=TIANMU DEFAULT CHARSET=ascii;
+
+## insert data
+
+INSERT INTO test1 VALUES ('hakan%'), ('hakank'), ("ha%an");
+
+## Setting the Default SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## query of escape
+
+### issue271
+
+SELECT * FROM test1 WHERE a LIKE 'hakan*%' ESCAPE '*';
+
+### issue272
+
+SELECT * FROM test1 WHERE a LIKE 'ha|%an' ESCAPE '|';
+
+### issue273 but with default SQL MODE
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE '';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '\\';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE '\n';
+
+#### sql mod NO_BACKSLASH_ESCAPES
+
+SET @@SQL_MODE='NO_BACKSLASH_ESCAPES';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+#### ESCAPE must be a single character
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE ' ';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE 'n';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '%';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '*';
+
+## Restoring SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## clean test table
+
+DROP TABLE test1;
+
+# CHARACTER gb18030
+
+## DDL
+
+CREATE TABLE test1(a varchar(100)) ENGINE=TIANMU DEFAULT CHARSET=gb18030;
+
+## insert data
+
+INSERT INTO test1 VALUES ('hakan%'), ('hakank'), ("ha%an");
+
+## Setting the Default SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## query of escape
+
+### issue271
+
+SELECT * FROM test1 WHERE a LIKE 'hakan*%' ESCAPE '*';
+
+### issue272
+
+SELECT * FROM test1 WHERE a LIKE 'ha|%an' ESCAPE '|';
+
+### issue273 but with default SQL MODE
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE '';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '\\';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE '\n';
+
+#### sql mod NO_BACKSLASH_ESCAPES
+
+SET @@SQL_MODE='NO_BACKSLASH_ESCAPES';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+#### ESCAPE must be a single character
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE ' ';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE 'n';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '%';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '*';
+
+## Restoring SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## clean test table
+
+DROP TABLE test1;
+
+# CHARACTER gdk
+
+## DDL
+
+CREATE TABLE test1(a varchar(100)) ENGINE=TIANMU DEFAULT CHARSET=gb2312;
+
+## insert data
+
+INSERT INTO test1 VALUES ('hakan%'), ('hakank'), ("ha%an");
+
+## Setting the Default SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## query of escape
+
+### issue271
+
+SELECT * FROM test1 WHERE a LIKE 'hakan*%' ESCAPE '*';
+
+### issue272
+
+SELECT * FROM test1 WHERE a LIKE 'ha|%an' ESCAPE '|';
+
+### issue273 but with default SQL MODE
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE '';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '\\';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE '\n';
+
+#### sql mod NO_BACKSLASH_ESCAPES
+
+SET @@SQL_MODE='NO_BACKSLASH_ESCAPES';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+#### ESCAPE must be a single character
+
+SELECT * FROM test1 WHERE a LIKE 'hakan%' ESCAPE ' ';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\n%' ESCAPE 'n';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '%';
+
+SELECT * FROM test1 WHERE a LIKE 'hakan\%' ESCAPE '*';
+
+## Restoring SQL MODE
+
+SET @OLD_SQL_MODE12595=@@SQL_MODE, @@SQL_MODE='';
+
+SHOW LOCAL VARIABLES LIKE 'SQL_MODE';
+
+## clean test table
+
+DROP TABLE test1;
+
+DROP DATABASE issue271_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -17882,6 +18171,12 @@ _SPECS = [
     ('dialect_issue669_notin_del', SCRIPT_ISSUE669F, 0, ['a', 'b'], False, 'DELETE with a correlated NOT IN subquery over another table (appended probe reads the post-delete state)'),
     ('dialect_issue656_load_ts', SCRIPT_ISSUE656F, 0, ['id', 't'], False, 'LOAD DATA LOCAL of nullable timestamps from the committed issue656 fixture (appended probe select)', {'t': 'STRING'}),
     ('dialect_issue487_mysql50', SCRIPT_ISSUE487F, 0, ['probe'], False, 'CREATE TABLE `#mysql50#q.q` refuses with the 1030 storage-engine analog (error leg enforced; documented probe select)'),
+    ('dialect_issue226_ctas_union', SCRIPT_ISSUE226F, 0, ['f2'], False, 'CTAS from a UNION of LEFT() projections over an empty utf8 table, then direct inserts'),
+    ('dialect_issue271_esc_star', SCRIPT_ISSUE271F, 0, ['a'], False, "LIKE ... ESCAPE '*' custom escape char under sql_mode='' (saved/restored via @@SQL_MODE round-trip)"),
+    ('dialect_issue271_esc_empty', SCRIPT_ISSUE271F, 2, ['a'], False, "LIKE ESCAPE '' disables escaping"),
+    ('dialect_issue271_esc_bs', SCRIPT_ISSUE271F, 12, ['a'], False, "LIKE 'hakan\\\\%' ESCAPE '\\\\\\\\' after the NO_BACKSLASH_ESCAPES leg"),
+    ('dialect_issue271_esc_pct', SCRIPT_ISSUE271F, 25, ['a'], False, "ESCAPE '%' makes the percent literal mid-battery"),
+    ('dialect_issue271_esc_tail', SCRIPT_ISSUE271F, 35, ['a'], False, 'final escape battery leg after repeated sql_mode flips'),
 ]
 
 
