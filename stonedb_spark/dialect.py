@@ -163,9 +163,11 @@ def split_mtr(script: str) -> list[Statement]:
     tail = _norm_eval("\n".join(buf).strip())
     if tail:
         stmts.append(Statement(tail, expect_error))
-    stmts = _strip_db_prefixes(_expand_prepare(stmts))
-    return _batch_single_inserts(
-        _expand_triggers(_expand_procedures(_split_multi_set(stmts))))
+    # triggers expand BEFORE db-prefix stripping: the cross-db trigger
+    # validation legs (1435/1146 analogs) need the original qualifiers
+    stmts = _expand_prepare(stmts)
+    stmts = _expand_triggers(_expand_procedures(_split_multi_set(stmts)))
+    return _batch_single_inserts(_strip_db_prefixes(stmts))
 
 
 def _expand_prepare(stmts: list[Statement]) -> list[Statement]:
@@ -366,11 +368,227 @@ _INSERT_ONE_COLS = re.compile(
 
 
 _CREATE_TRG = re.compile(
-    r"^\s*CREATE\s+TRIGGER\s+(?:\w+\s*\.\s*)?(`[^`]+`|\w+)\s+"
+    r"^\s*CREATE\s+TRIGGER\s+(?:(\w+)\s*\.\s*)?(`[^`]+`|\w+)\s+"
     r"(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+"
-    r"(?:\w+\s*\.\s*)?(`[^`]+`|\w+)\s+FOR\s+EACH\s+ROW\s+(.*)$",
+    r"(?:(\w+)\s*\.\s*)?(`[^`]+`|\w+)\s+FOR\s+EACH\s+ROW\s+(.*)$",
     re.I | re.S,
 )
+
+_TRG_NEWOLD = re.compile(r"(?i)\b(NEW|OLD)\s*\.\s*(`[^`]+`|\w+)")
+
+
+def _trg_units(body: str) -> list[str]:
+    """Normalize a BEGIN…END trigger body into flat units: IF/ELSEIF
+    headers, ELSE, END IF and plain statements each get their own
+    unit (the ';'-split glues a block header to its first inner
+    statement)."""
+    units: list[str] = []
+    for tok in _split_semis(body):
+        t = tok.strip()
+        while t:
+            m = re.match(
+                r"(?is)^(ELSEIF\s+.+?\s+THEN|IF\s+.+?\s+THEN|ELSE)\b"
+                r"\s*(.*)$", t)
+            if m and not re.match(r"(?i)^END\b", t):
+                units.append(m.group(1).strip())
+                t = m.group(2).strip()
+                continue
+            units.append(t)
+            break
+    return [u for u in units if u]
+
+
+def _parse_trg_ops(toks: list[str], i: int = 0):
+    """Recursive-descent parse of trigger-body units into ops:
+    ('set', target, expr) / ('dml', text) / ('if', [(cond|None,
+    ops)…]).  Raises on anything beyond the SET/DML/IF surface."""
+    ops: list = []
+    while i < len(toks):
+        t = toks[i].strip()
+        if re.match(r"(?i)^(END\s+IF$|ELSEIF\b|ELSE$)", t):
+            return ops, i
+        m = re.match(r"(?is)^IF\s+(.+?)\s+THEN$", t)
+        if m:
+            cond: str | None = m.group(1)
+            branches: list = []
+            i += 1
+            while True:
+                blk, i = _parse_trg_ops(toks, i)
+                branches.append((cond, blk))
+                if i >= len(toks):
+                    raise ValueError("trigger: IF without END IF")
+                nxt = toks[i].strip()
+                em = re.match(r"(?is)^ELSEIF\s+(.+?)\s+THEN$", nxt)
+                if em:
+                    cond = em.group(1)
+                    i += 1
+                    continue
+                if re.match(r"(?i)^ELSE$", nxt):
+                    cond = None
+                    i += 1
+                    continue
+                if re.match(r"(?i)^END\s+IF$", nxt):
+                    i += 1
+                    break
+                raise ValueError(f"trigger: unexpected {nxt[:40]}")
+            ops.append(("if", branches))
+            continue
+        sm = re.match(r"(?is)^SET\s+(.+)$", t)
+        if sm:
+            for piece in _split_top_commas(sm.group(1)):
+                am = re.match(
+                    r"(?is)^\s*((?:NEW|OLD)\s*\.\s*(?:`[^`]+`|\w+)|@\w+)"
+                    r"\s*:?=\s*(.+)$", piece)
+                if not am:
+                    raise ValueError(
+                        f"unsupported trigger SET: {piece[:60]}")
+                ops.append(
+                    ("set", am.group(1).strip(), am.group(2).strip()))
+            i += 1
+            continue
+        if re.match(r"(?i)^(INSERT|DELETE|UPDATE)\b", t):
+            ops.append(("dml", t))
+            i += 1
+            continue
+        raise ValueError(f"unsupported trigger body: {t[:60]}")
+    return ops, i
+
+
+def _trg_validate(event: str, timing: str, ops, td) -> str | None:
+    """MySQL's CREATE-TRIGGER-time validation: returns the error-code
+    analog ('1362' updating OLD / AFTER NEW, '1363' wrong-event
+    pseudo-row, '1054' unknown subject-table column) or None.  Only
+    NEW./OLD. references are validated — other tables' columns resolve
+    at fire time, like MySQL (trigger.test:236-258)."""
+    cols = {c.name.lower() for c in td.columns} if td else None
+
+    def walk(ops):
+        for op in ops:
+            if op[0] == "if":
+                for cond, blk in op[1]:
+                    if cond:
+                        yield ("expr", cond)
+                    yield from walk(blk)
+            elif op[0] == "set":
+                yield ("tgt", op[1])
+                yield ("expr", op[2])
+            else:
+                yield ("expr", op[1])
+
+    for kind, text in walk(ops):
+        if kind == "tgt" and not text.startswith("@"):
+            tm = re.match(
+                r"(?is)^(NEW|OLD)\s*\.\s*(`[^`]+`|\w+)$", text)
+            side = tm.group(1).upper()
+            col = _unquote_ident(tm.group(2)).lower()
+            if side == "OLD":
+                return "1362"
+            if event == "DELETE":
+                return "1363"
+            if timing == "AFTER":
+                return "1362"
+            if cols is not None and col not in cols:
+                return "1054"
+            continue
+        if kind != "expr":
+            continue
+        masked = _ANY_STRLIT.sub("''", text)
+        for m in _TRG_NEWOLD.finditer(masked):
+            side = m.group(1).upper()
+            col = _unquote_ident(m.group(2)).lower()
+            if side == "OLD" and event == "INSERT":
+                return "1363"
+            if side == "NEW" and event == "DELETE":
+                return "1363"
+            if cols is not None and col not in cols:
+                return "1054"
+    return None
+
+
+def _g_and(a: str | None, b: str | None) -> str | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return f"({a}) AND ({b})"
+
+
+def _g_not(c: str) -> str:
+    # MySQL ELSE runs when the condition is FALSE or NULL — exactly
+    # IS NOT TRUE (both engines support it; NULL → true)
+    return f"(({c}) IS NOT TRUE)"
+
+
+def _trg_apply(ops, newmap, old_sub, sides, guard=None,
+               mutate_new=True) -> None:
+    """Symbolically execute trigger ops, textually.  ``newmap`` maps
+    column(lower) -> expression text (None when there is no NEW row);
+    ``old_sub(col)`` returns the OLD-value expression (None when there
+    is no OLD row).  SET NEW.x mutates ``newmap`` (guard-folded via
+    IF); @var assignments and body DML are appended to ``sides`` as
+    ('var', name, substituted_expr, guard) / ('dml', text, guard)."""
+
+    def subst(expr: str) -> str:
+        lits: list[str] = []
+
+        def _mask(m):
+            lits.append(m.group(0))
+            return f"\x04{len(lits) - 1}\x04"
+
+        t = _ANY_STRLIT.sub(_mask, expr)
+
+        def rep(m):
+            side = m.group(1).upper()
+            col = _unquote_ident(m.group(2)).lower()
+            if side == "NEW":
+                if newmap is None or col not in newmap:
+                    raise ValueError(f"trigger: no NEW.{col}")
+                return f"({newmap[col]})"
+            if old_sub is None:
+                raise ValueError("trigger: no OLD row")
+            v = old_sub(col)
+            if v is None:
+                raise ValueError(f"trigger: no OLD.{col}")
+            return f"({v})"
+
+        t = _TRG_NEWOLD.sub(rep, t)
+        return re.sub(r"\x04(\d+)\x04",
+                      lambda m: lits[int(m.group(1))], t)
+
+    def run(ops, guard):
+        for op in ops:
+            if op[0] == "if":
+                prior: list[str] = []
+                for cond, blk in op[1]:
+                    if cond is None:
+                        g2 = guard
+                        for p in prior:
+                            g2 = _g_and(g2, _g_not(p))
+                    else:
+                        c2 = subst(cond)
+                        g2 = guard
+                        for p in prior:
+                            g2 = _g_and(g2, _g_not(p))
+                        g2 = _g_and(g2, c2)
+                        prior.append(c2)
+                    run(blk, g2)
+            elif op[0] == "set":
+                tgt, expr = op[1], op[2]
+                val = subst(expr)
+                if tgt.startswith("@"):
+                    sides.append(("var", tgt[1:], val, guard))
+                else:
+                    col = _unquote_ident(
+                        re.sub(r"(?is)^NEW\s*\.\s*", "", tgt)).lower()
+                    if mutate_new and newmap is not None:
+                        newmap[col] = (
+                            f"IF({guard}, {val}, {newmap[col]})"
+                            if guard else val
+                        )
+            else:
+                sides.append(("dml", subst(op[1]), None, guard))
+
+    run(ops, guard)
 
 
 def _split_multi_set(stmts: list) -> list:
@@ -394,167 +612,722 @@ def _split_multi_set(stmts: list) -> list:
 
 
 def _expand_triggers(stmts: list) -> list:
-    """INSERT triggers unroll at the statement level (trigger.test,
-    issue364): both engines then replay plain statements, so the
-    trigger semantics stay engine-independent.  BEFORE ... SET NEW.col
-    rewrites the inserted tuples; SET @var side effects emit one SET
-    per row (the variable machinery folds the accumulated expression);
-    a body INSERT INTO other-table emits with NEW.* substituted.
-    UPDATE/DELETE triggers would need the affected rows (OLD.*) —
-    data-dependent, so they raise as unsupported and their files stay
-    unregistered."""
+    """Trigger emulation at the statement level (trigger.test,
+    issue364, issue581, issue1318): both engines replay plain
+    statements, so the semantics stay engine-independent.
+
+    INSERT VALUES unrolls per row with BEFORE SET NEW.* folded into
+    the tuples.  UPDATE/DELETE/TRUNCATE/INSERT-SELECT fold triggers
+    WITHOUT knowing the rows: NEW.x becomes the assignment expression,
+    OLD.x the column itself, and @var side effects become
+    aggregate/EXISTS probes over the affected-row set, emitted BEFORE
+    the statement — both engines evaluate SET @var eagerly against
+    pre-statement state (runner: live tables; oracle: the version
+    chain built so far), replaying MySQL's per-row firing
+    (tianmu fires per MATCHED row — trigger.test:637-659 shows @a
+    grows by 3 even for no-op ``set a= a`` updates).  Cascading
+    trigger DML recurses with pre-state-preserving emission order
+    (bug580's FK-cascade chain: deepest delete first)."""
     if not any(re.match(r"^\s*(CREATE|DROP)\s+TRIGGER\b", st.text, re.I)
                for st in stmts):
         return stmts
-    tables: dict[str, TableDef] = {}
-    trig: dict[str, list] = {}   # table -> [(name, timing, body_stmts)]
+    import copy as _copy
+
+    cur_db = ["test"]
+    tables: dict[tuple, TableDef] = {}  # (db, name) -> TableDef
+    temps: set[tuple] = set()
+    views_: set[tuple] = set()
+    trig: dict[tuple, list] = {}  # (db,tbl) -> [(name,timing,event,ops)]
     out: list = []
-    for st in stmts:
+
+    _REL = r"(?:(\w+)\s*\.\s*)?(`[^`]+`|\w+)"
+
+    def dbkey(raw: str) -> tuple:
+        m = re.match(rf"^\s*{_REL}\s*$", raw.strip())
+        if not m:
+            return (cur_db[0], raw.strip().lower())
+        d = (m.group(1) or cur_db[0]).lower()
+        return (d, _unquote_ident(m.group(2)).lower())
+
+    def trigs(key: tuple, event: str, timing: str | None = None):
+        return [
+            t for t in trig.get(key, ())
+            if t[2] == event and (timing is None or t[1] == timing)
+        ]
+
+    def _wh(cond: str | None) -> str:
+        return f" WHERE {cond}" if cond else ""
+
+    def emit(text: str, err: bool = False) -> None:
+        out.append(Statement(text, err))
+
+    def _refs_cols(expr: str, td: TableDef) -> bool:
+        masked = _ANY_STRLIT.sub("''", expr)
+        return any(
+            re.search(rf"(?i)\b{re.escape(c.name)}\b", masked)
+            for c in td.columns
+        )
+
+    def emit_fold_var(var: str, expr: str, guard: str | None,
+                      rowsrc: str, where: str | None,
+                      td: TableDef) -> None:
+        """One trigger SET @var over the affected-row set, as a single
+        eager SET: accumulators (@v + d / CONCAT(@v, …)) aggregate,
+        row-independent assignments become EXISTS-guarded flags."""
+        am = re.match(
+            rf"(?is)^@{re.escape(var)}\s*([+\-])\s*(.+)$", expr)
+        if am:
+            delta = am.group(2).strip()
+            if guard:
+                delta = f"IF({guard}, {delta}, 0)"
+            emit(
+                f"SET @{var} = @{var} {am.group(1)} COALESCE("
+                f"(SELECT SUM({delta}) {rowsrc}{_wh(where)}), 0)"
+            )
+            return
+        cm = re.match(
+            rf"(?is)^CONCAT\s*\(\s*@{re.escape(var)}\s*,\s*(.+)\)$",
+            expr)
+        if cm:
+            piece = f"CONCAT({cm.group(1).strip()})"
+            if guard:
+                piece = f"IF({guard}, {piece}, '')"
+            emit(
+                f"SET @{var} = CONCAT(@{var}, COALESCE((SELECT "
+                f"GROUP_CONCAT({piece} SEPARATOR '') "
+                f"{rowsrc}{_wh(where)}), ''))"
+            )
+            return
+        if re.search(rf"(?i)@{re.escape(var)}\b", expr):
+            raise ValueError(
+                f"unsupported trigger accumulator: {expr[:60]}")
+        if _refs_cols(expr, td):
+            raise ValueError(
+                f"row-dependent trigger flag: {expr[:60]}")
+        w = _g_and(where, guard)
+        emit(
+            f"SET @{var} = IF(EXISTS(SELECT 1 {rowsrc}{_wh(w)}), "
+            f"{expr}, @{var})"
+        )
+
+    def fold_dml_side(text: str, guard: str | None, tname: str,
+                      where: str | None, depth: int) -> None:
+        """One trigger body DML over the affected-row set."""
+        w = _g_and(where, guard)
+        im = re.match(
+            r"(?is)^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|[\w.]+)\s*"
+            r"(\([^()]*\))?\s*VALUES\s*\((.*)\)\s*$", text)
+        if im:
+            handle(Statement(
+                f"INSERT INTO {im.group(1)} {im.group(2) or ''} "
+                f"SELECT {im.group(3)} FROM {tname}{_wh(w)}"
+            ), depth + 1)
+            return
+        dm = re.match(
+            r"(?is)^\s*DELETE\s+FROM\s+(`[^`]+`|[\w.]+)\s+"
+            r"WHERE\s+(.+)$", text)
+        if dm:
+            cond = _g_and(w, f"({dm.group(2).strip()})")
+            handle(Statement(
+                f"DELETE FROM {dm.group(1)} WHERE EXISTS("
+                f"SELECT 1 FROM {tname}{_wh(cond)})"
+            ), depth + 1)
+            return
+        raise ValueError(f"unsupported trigger body DML: {text[:60]}")
+
+    def perrow_side(side, depth: int) -> None:
+        """Per-row-mode side emission (literal INSERT tuples).
+        side is ('var', name, expr, guard) or ('dml', text, _, guard)."""
+        kind, a, b, guard = side
+        if kind == "var":
+            if guard:
+                emit(f"SET @{a} = IF({guard}, {b}, @{a})")
+            else:
+                emit(f"SET @{a} = {b}")
+            return
+        text = a
+        if guard is None:
+            handle(Statement(text), depth + 1)
+            return
+        im = re.match(
+            r"(?is)^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|[\w.]+)\s*"
+            r"(\([^()]*\))?\s*VALUES\s*\((.*)\)\s*$", text)
+        if not im:
+            raise ValueError(
+                f"unsupported guarded trigger DML: {text[:60]}")
+        handle(Statement(
+            f"INSERT INTO {im.group(1)} {im.group(2) or ''} "
+            f"SELECT {im.group(3)} FROM (SELECT 1 AS _one) AS _trg1 "
+            f"WHERE {guard}"
+        ), depth + 1)
+
+    def handle(st, depth: int = 0):  # noqa: C901 — statement dispatch
+        if depth > 8:
+            raise ValueError("trigger: cascade depth exceeded")
         s = st.text
-        if re.match(r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b.*\(", s,
-                    re.I | re.S) and not _split_create_select(s):
+        um = re.match(r"^\s*USE\s+(`[^`]+`|\w+)\s*$", s, re.I)
+        if um:
+            cur_db[0] = _unquote_ident(um.group(1)).lower()
+            emit(s, st.expect_error)
+            return
+        ddb = re.match(
+            r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?"
+            r"(`[^`]+`|\w+)", s, re.I)
+        if ddb:
+            d = _unquote_ident(ddb.group(1)).lower()
+            for k in [k for k in tables if k[0] == d]:
+                tables.pop(k, None)
+                trig.pop(k, None)
+            temps.difference_update({k for k in temps if k[0] == d})
+            views_.difference_update({k for k in views_ if k[0] == d})
+            emit(s, st.expect_error)
+            return
+        cm = re.match(
+            r"^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS"
+            rf"\s+)?{_REL}", s, re.I)
+        if cm and "(" in s and not _split_create_select(s):
+            d = (cm.group(2) or cur_db[0]).lower()
+            nm = _unquote_ident(cm.group(3)).lower()
             try:
-                td = parse_create_table(s)
-                tables[td.name.lower()] = td
+                s_bare = (
+                    re.sub(rf"(?i)\b{re.escape(cm.group(2))}\s*\.\s*",
+                           "", s, count=1)
+                    if cm.group(2) else s
+                )
+                td = parse_create_table(s_bare)
+                tables[(d, nm)] = td
+                if cm.group(1):
+                    temps.add((d, nm))
             except ValueError:
                 pass
-            out.append(st)
-            continue
+            emit(s, st.expect_error)
+            return
+        vm = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?"
+            rf"(?:ALGORITHM\s*=\s*\w+\s+)?VIEW\s+{_REL}", s, re.I)
+        if vm:
+            views_.add(((vm.group(1) or cur_db[0]).lower(),
+                        _unquote_ident(vm.group(2)).lower()))
+            emit(s, st.expect_error)
+            return
+        if re.match(r"^\s*DROP\s+VIEW\b", s, re.I):
+            dvm = re.match(
+                r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(.*)$",
+                s, re.I | re.S)
+            for nm in _split_top_commas(dvm.group(1)):
+                views_.discard(dbkey(nm))
+            emit(s, st.expect_error)
+            return
         if re.match(r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\b", s, re.I):
             dm = re.match(
                 r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\s+"
                 r"(?:IF\s+EXISTS\s+)?(.*)$", s, re.I | re.S)
             for nm in _split_top_commas(dm.group(1)):
-                k = _unquote_ident(nm).lower()
+                k = dbkey(nm)
                 tables.pop(k, None)
                 trig.pop(k, None)  # DROP TABLE drops its triggers
-            out.append(st)
-            continue
+                temps.discard(k)
+            emit(s, st.expect_error)
+            return
+        rm = re.match(
+            rf"^\s*RENAME\s+TABLE\s+{_REL}\s+TO\s+{_REL}\s*$", s, re.I)
+        if rm:  # triggers follow the renamed table
+            src = ((rm.group(1) or cur_db[0]).lower(),
+                   _unquote_ident(rm.group(2)).lower())
+            dst = ((rm.group(3) or cur_db[0]).lower(),
+                   _unquote_ident(rm.group(4)).lower())
+            if src in tables:
+                td = tables.pop(src)
+                td.name = _unquote_ident(rm.group(4))
+                tables[dst] = td
+            if src in trig:
+                trig[dst] = trig.pop(src)
+            emit(s, st.expect_error)
+            return
         tm = _CREATE_TRG.match(s)
         if tm:
-            name = _unquote_ident(tm.group(1)).lower()
-            timing, event = tm.group(2).upper(), tm.group(3).upper()
-            tbl = _unquote_ident(tm.group(4)).lower()
-            body = tm.group(5).strip().rstrip(";")
+            trg_db = (tm.group(1) or cur_db[0]).lower()
+            name = _unquote_ident(tm.group(2)).lower()
+            timing, event = tm.group(3).upper(), tm.group(4).upper()
+            tbl_db = (tm.group(5) or trg_db).lower()
+            tbl = _unquote_ident(tm.group(6)).lower()
+            key = (tbl_db, tbl)
+            body = tm.group(7).strip().rstrip(";")
             bm = re.match(r"(?is)^BEGIN\b(.*)\bEND$", body)
-            body_stmts = [
-                b.strip() for b in _split_semis(bm.group(1) if bm else body)
-                if b.strip()
-            ]
+            err = None
+            ops = []
+            try:
+                ops, _ = _parse_trg_ops(
+                    _trg_units(bm.group(1) if bm else body))
+            except ValueError:
+                err = "unsupported-body"
             dup = any(
-                n == name for ts in trig.values() for n, _t, _b in ts
+                n == name
+                for (kd, _kt), ts in trig.items()
+                for n, *_ in ts
+                if kd == trg_db
             )
+            if err is None:
+                if trg_db != tbl_db:
+                    err = "1435"  # trigger in wrong schema
+                elif key in views_:
+                    err = "1347"  # subject is a view
+                elif key in temps:
+                    err = "1361"  # subject is temporary
+                elif key not in tables:
+                    err = "1146"
+                elif dup:
+                    err = "1359"
+                else:
+                    err = _trg_validate(event, timing, ops, tables[key])
             if st.expect_error:
-                if tbl in tables and not dup and event == "INSERT":
+                if err is None:
                     # expected an error but this trigger is valid: let
                     # the runner flag the unmet expectation
-                    out.append(Statement("SET NAMES utf8mb4", True))
-                continue
-            if event != "INSERT":
+                    emit("SET NAMES utf8mb4", True)
+                return
+            if err is not None:
                 raise ValueError(
-                    f"unsupported statement: {s[:100]}")
-            if tbl not in tables:
-                raise ValueError(
-                    f"Table '{tbl}' doesn't exist for trigger {name} "
-                    f"(MySQL error 1146 analog)")
-            if dup:
-                raise ValueError(
-                    f"Trigger '{name}' already exists "
-                    f"(MySQL error 1359 analog)")
-            trig.setdefault(tbl, []).append((name, timing, body_stmts))
-            continue
+                    f"trigger {name}: MySQL error {err} analog "
+                    f"({s[:80]})")
+            trig.setdefault(key, []).append((name, timing, event, ops))
+            return
         if re.match(r"^\s*DROP\s+TRIGGER\b", s, re.I):
             dm = re.match(
                 r"^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?"
-                r"(?:\w+\s*\.\s*)?(`[^`]+`|\w+)", s, re.I)
-            name = _unquote_ident(dm.group(2)).lower()
+                rf"{_REL}", s, re.I)
+            d = (dm.group(2) or cur_db[0]).lower()
+            name = _unquote_ident(dm.group(3)).lower()
             found = False
-            for tbl, ts in list(trig.items()):
+            for k, ts in list(trig.items()):
+                if k[0] != d:
+                    continue
                 kept = [t for t in ts if t[0] != name]
                 if len(kept) != len(ts):
                     found = True
-                    trig[tbl] = kept
+                    trig[k] = kept
             if st.expect_error:
                 if found:
-                    out.append(Statement("SET NAMES utf8mb4", True))
-                continue
+                    emit("SET NAMES utf8mb4", True)
+                return
             if not found and not dm.group(1):
                 raise ValueError(
                     f"Trigger {name} does not exist "
                     f"(MySQL error 1360 analog)")
-            continue
-        im = re.match(
-            r"^\s*INSERT\s+(?:IGNORE\s+)?(?:INTO\s+)?(`[^`]+`|\w+)\s*"
-            r"(?:\([^)]*\))?\s*VALUES?\b", s, re.I | re.S,
-        ) if not st.expect_error else None
-        tbl = _unquote_ident(im.group(1)).lower() if im else None
-        if im and tbl in trig and tbl in tables and not re.search(
-                r"(?i)\bSELECT\b", s):
-            td = tables[tbl]
-            import copy as _copy
-            td2 = _copy.deepcopy(td)
-            _td, rows = _parse_insert_values({tbl: td2}, s, strict=False)
-            # keep the REAL autoinc counter in step for later inserts
-            td.next_auto = td2.next_auto
-            names = [c.name for c in td.columns]
-            before = [t for t in trig[tbl] if t[1] == "BEFORE"]
-            after = [t for t in trig[tbl] if t[1] == "AFTER"]
+            return
+        if not st.expect_error:
+            if _handle_trigger_dml(st, depth):
+                return
+        emit(s, st.expect_error)
 
-            def subst_new(expr: str, row: list[str]) -> str:
-                def rep(m: re.Match) -> str:
-                    cn = _unquote_ident(m.group(1)).lower()
-                    for n, v in zip(names, row):
-                        if n.lower() == cn:
-                            return f"({v})"
-                    return m.group(0)
-                return re.sub(
-                    r"(?i)\bNEW\s*\.\s*(`[^`]+`|\w+)", rep, expr)
+    def _handle_trigger_dml(st, depth: int) -> bool:
+        """Fold trigger firing into DML on a trigger-bearing table.
+        Returns True when the statement was handled (emitted)."""
+        s = st.text
+        # ---- TRUNCATE activates DELETE triggers (tianmu maps it)
+        trm = re.match(
+            rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_REL}\s*$", s, re.I)
+        if trm:
+            key = ((trm.group(1) or cur_db[0]).lower(),
+                   _unquote_ident(trm.group(2)).lower())
+            if key in tables and (
+                trigs(key, "DELETE", "BEFORE")
+                or trigs(key, "DELETE", "AFTER")
+            ):
+                _fold_del_upd(key, None, None, s, depth)
+                return True
+            return False
+        # ---- DELETE FROM t [WHERE w]
+        dmm = re.match(
+            rf"^\s*DELETE\s+FROM\s+{_REL}\s*"
+            r"(?:WHERE\s+(.+?))?\s*$", s, re.I | re.S)
+        if dmm and not re.search(r"(?i)\bORDER\s+BY\b|\bLIMIT\b", s):
+            key = ((dmm.group(1) or cur_db[0]).lower(),
+                   _unquote_ident(dmm.group(2)).lower())
+            if key in tables and trig.get(key) and (
+                trigs(key, "DELETE", "BEFORE")
+                or trigs(key, "DELETE", "AFTER")
+            ):
+                _fold_del_upd(key, None, dmm.group(3), s, depth)
+                return True
+            return False
+        # ---- multi-table DELETE: DELETE t1, t2 FROM <rel> WHERE w
+        mdm = re.match(
+            r"^\s*DELETE\s+([\w`.\s,]+?)\s+FROM\s+(.+?)"
+            r"(?:\s+WHERE\s+(.+?))?\s*$", s, re.I | re.S)
+        if mdm and re.match(r"^\s*DELETE\s+(?!FROM)", s, re.I):
+            targets = [dbkey(x) for x in _split_top_commas(mdm.group(1))]
+            relsrc = mdm.group(2).strip()
+            w = mdm.group(3)
+            acted = False
+            for key in targets:
+                if key in tables and (
+                    trigs(key, "DELETE", "BEFORE")
+                    or trigs(key, "DELETE", "AFTER")
+                ):
+                    _fold_sides_multi(key, relsrc, w, "DELETE",
+                                      None, depth)
+                    acted = True
+            if acted:
+                emit(s, st.expect_error)
+                return True
+            return False
+        # ---- UPDATE (single- or multi-table)
+        upm = re.match(
+            r"^\s*UPDATE\s+(?:IGNORE\s+)?(.+?)\s+SET\s+(.+?)"
+            r"(?:\s+WHERE\s+(.+?))?\s*$", s, re.I | re.S)
+        if upm and not re.search(r"(?i)\bORDER\s+BY\b|\bLIMIT\b", s):
+            rels = [r.strip() for r in _split_top_commas(upm.group(1))]
+            if any(re.search(r"(?i)\bJOIN\b", r) for r in rels):
+                return False
+            assigns_raw = _split_top_commas(upm.group(2))
+            w = upm.group(3)
+            if len(rels) == 1:
+                key = dbkey(rels[0])
+                if key in tables and (
+                    trigs(key, "UPDATE", "BEFORE")
+                    or trigs(key, "UPDATE", "AFTER")
+                ):
+                    assigns = {}
+                    for a in assigns_raw:
+                        am = re.match(
+                            r"(?is)^\s*(?:[\w`]+\s*\.\s*)?"
+                            r"(`[^`]+`|\w+)\s*=\s*(.+)$", a)
+                        if not am:
+                            return False
+                        assigns[_unquote_ident(am.group(1)).lower()] = \
+                            am.group(2).strip()
+                    _fold_del_upd(key, assigns, w, s, depth)
+                    return True
+                return False
+            # multi-table: fold SIDE effects only; NEW mutations in
+            # multi-update are unsupported (raise inside)
+            keys = [dbkey(r.split()[0]) for r in rels]
+            acted = False
+            for key in keys:
+                if key in tables and (
+                    trigs(key, "UPDATE", "BEFORE")
+                    or trigs(key, "UPDATE", "AFTER")
+                ):
+                    owned = {}
+                    tdk = tables[key]
+                    colset = {c.name.lower() for c in tdk.columns}
+                    for a in assigns_raw:
+                        am = re.match(
+                            r"(?is)^\s*(?:([\w`]+)\s*\.\s*)?"
+                            r"(`[^`]+`|\w+)\s*=\s*(.+)$", a)
+                        if not am:
+                            return False
+                        q = am.group(1)
+                        cn = _unquote_ident(am.group(2)).lower()
+                        if (q and _unquote_ident(q).lower()
+                                == key[1]) or (not q and cn in colset):
+                            owned[cn] = am.group(3).strip()
+                    _fold_sides_multi(
+                        key, upm.group(1).strip(), w, "UPDATE",
+                        owned, depth)
+                    acted = True
+            if acted:
+                emit(s, st.expect_error)
+                return True
+            return False
+        # ---- INSERT … SELECT on a trigger table
+        ism = re.match(
+            rf"^\s*INSERT\s+(?:INTO\s+)?{_REL}\s*"
+            r"(\([^()]*\)\s*)?(\(?\s*SELECT\b.*)$", s, re.I | re.S)
+        if ism:
+            key = ((ism.group(1) or cur_db[0]).lower(),
+                   _unquote_ident(ism.group(2)).lower())
+            if key in tables and (
+                trigs(key, "INSERT", "BEFORE")
+                or trigs(key, "INSERT", "AFTER")
+            ):
+                _fold_insert_select(
+                    key, ism.group(3), ism.group(4), depth)
+                return True
+            return False
+        # ---- INSERT VALUES (plain / IGNORE / ON DUPLICATE KEY)
+        ivm = re.match(
+            rf"^\s*INSERT\s+(IGNORE\s+)?(?:INTO\s+)?{_REL}\s*"
+            r"(\([^()]*\)\s*)?VALUES?\s*(.+?)\s*"
+            r"(?:ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+))?$",
+            s, re.I | re.S)
+        if ivm and not re.search(r"(?i)\bSELECT\b",
+                                 _ANY_STRLIT.sub("''", s)):
+            key = ((ivm.group(2) or cur_db[0]).lower(),
+                   _unquote_ident(ivm.group(3)).lower())
+            if key in tables and trig.get(key):
+                _fold_insert_values(
+                    key, s, ivm, st.expect_error, depth)
+                return True
+        return False
 
-            new_tuples: list[str] = []
-            side: list[tuple[int, str]] = []  # (row#, stmt)
-            for ri, row in enumerate(rows):
-                row = list(row)
-                for _n, _t, body_stmts in before + after:
-                    is_before = _t == "BEFORE"
-                    for b in body_stmts:
-                        sm = re.match(r"(?is)^SET\s+(.+)$", b)
-                        if sm:
-                            for piece in _split_top_commas(sm.group(1)):
-                                am = re.match(
-                                    r"(?is)^\s*(NEW\s*\.\s*"
-                                    r"(?:`[^`]+`|\w+)|@\w+)\s*:?=\s*"
-                                    r"(.+)$", piece)
-                                if not am:
-                                    raise ValueError(
-                                        f"unsupported trigger SET: "
-                                        f"{piece[:60]}")
-                                tgt = am.group(1)
-                                val = subst_new(am.group(2).strip(), row)
-                                if tgt.startswith("@"):
-                                    side.append((ri, f"SET {tgt} = {val}"))
-                                elif is_before:
-                                    cn = _unquote_ident(
-                                        re.sub(r"(?i)^NEW\s*\.\s*", "",
-                                               tgt)).lower()
-                                    for k, n in enumerate(names):
-                                        if n.lower() == cn:
-                                            row[k] = val
-                                # AFTER SET NEW.x is a MySQL error; the
-                                # corpus never runs one successfully
-                            continue
-                        if re.match(r"(?i)^INSERT\b", b):
-                            side.append((ri, subst_new(b, row)))
-                            continue
+    def _old_q(key: tuple):
+        td = tables[key]
+        actual = {c.name.lower(): c.name for c in td.columns}
+        return lambda col: (
+            f"`{td.name}`.`{actual[col.lower()]}`"
+            if col.lower() in actual else None
+        )
+
+    def _fold_del_upd(key, assigns, w, orig: str, depth: int) -> None:
+        """Single-table UPDATE (assigns != None) or DELETE/TRUNCATE
+        (assigns None): fold triggers, emit sides (pre-state probes)
+        then the rewritten statement."""
+        td = tables[key]
+        t = f"`{td.name}`"
+        event = "UPDATE" if assigns is not None else "DELETE"
+        rowsrc = f"FROM {t}"
+        sides: list = []
+        if assigns is not None:
+            # OLD refs and unassigned NEW refs must be table-qualified:
+            # a trigger subquery's relations would otherwise shadow
+            # them (issue581's SELECT data FROM t2 WHERE id = new.id)
+            oldq = _old_q(key)
+            newmap = {
+                c.name.lower(): oldq(c.name) for c in td.columns
+            }
+            for cn, e in assigns.items():
+                newmap[cn] = e
+            for x in trigs(key, "UPDATE", "BEFORE"):
+                _trg_apply(x[3], newmap, oldq, sides)
+            for x in trigs(key, "UPDATE", "AFTER"):
+                _trg_apply(x[3], newmap, oldq, sides,
+                           mutate_new=False)
+        else:
+            oldq = _old_q(key)
+            for x in (trigs(key, "DELETE", "BEFORE")
+                      + trigs(key, "DELETE", "AFTER")):
+                _trg_apply(x[3], None, oldq, sides)
+        for side in sides:
+            if side[0] == "var":
+                emit_fold_var(side[1], side[2], side[3], rowsrc, w, td)
+            else:
+                fold_dml_side(side[1], side[3], t, w, depth)
+        if assigns is not None:
+            changed = [
+                (c.name, newmap[c.name.lower()])
+                for c in td.columns
+                if newmap[c.name.lower()] != oldq(c.name)
+            ]
+            setc = ", ".join(f"`{n}` = {e}" for n, e in changed)
+            emit(f"UPDATE {t} SET {setc}{_wh(w)}")
+        else:
+            emit(orig)
+
+    def _fold_sides_multi(key, relsrc: str, w, event: str,
+                          owned, depth: int) -> None:
+        """Multi-table UPDATE/DELETE: per-target-row side effects via
+        EXISTS over the other relations (distinct-target semantics,
+        trigger.test:343-375)."""
+        td = tables[key]
+        t = td.name
+        others = [
+            r.strip() for r in _split_top_commas(relsrc)
+            if dbkey(r.strip().split()[0]) != key
+        ]
+        if others:
+            inner = _g_and(w, None)
+            exq = (f"EXISTS(SELECT 1 FROM {', '.join(others)}"
+                   f"{_wh(inner)})")
+        else:
+            exq = w
+        rowsrc = f"FROM `{t}`"
+        sides: list = []
+        if event == "UPDATE":
+            newmap = {c.name.lower(): f"`{t}`.`{c.name}`"
+                      for c in td.columns}
+            for cn, e in (owned or {}).items():
+                newmap[cn] = e
+            before = trigs(key, "UPDATE", "BEFORE")
+            after = trigs(key, "UPDATE", "AFTER")
+            for x in before:
+                _trg_apply(x[3], newmap, _old_q(key), sides)
+            snapshot = dict(newmap)
+            for x in after:
+                _trg_apply(x[3], newmap, _old_q(key), sides,
+                           mutate_new=False)
+            if any(newmap[k] != v for k, v in snapshot.items()):
+                raise ValueError(
+                    "trigger: NEW mutation in multi-table UPDATE")
+        else:
+            oldq = _old_q(key)
+            for x in (trigs(key, "DELETE", "BEFORE")
+                      + trigs(key, "DELETE", "AFTER")):
+                _trg_apply(x[3], None, oldq, sides)
+        for side in sides:
+            if side[0] == "var":
+                emit_fold_var(side[1], side[2], side[3], rowsrc,
+                              exq, td)
+            else:
+                fold_dml_side(side[1], side[3], f"`{t}`", exq, depth)
+
+    def _fold_insert_select(key, collist, sel: str,
+                            depth: int) -> None:
+        td = tables[key]
+        t = td.name
+        listed = (
+            [_unquote_ident(c).lower()
+             for c in _split_top_commas(collist.strip()[1:-1])]
+            if collist and collist.strip() else
+            [c.name.lower() for c in td.columns]
+        )
+        sel = sel.strip().rstrip(";")
+        src = (f"FROM ({sel}) AS _trgsrc("
+               + ", ".join(f"`{c}`" for c in listed) + ")")
+        newmap = {}
+        for c in td.columns:
+            cl = c.name.lower()
+            if cl in listed:
+                newmap[cl] = f"_trgsrc.`{c.name}`"
+            else:
+                newmap[cl] = (
+                    c.default if c.default is not None else "NULL")
+        sides: list = []
+        for x in trigs(key, "INSERT", "BEFORE"):
+            _trg_apply(x[3], newmap, None, sides)
+        for x in trigs(key, "INSERT", "AFTER"):
+            _trg_apply(x[3], newmap, None, sides, mutate_new=False)
+        proj = ", ".join(newmap[c.name.lower()] for c in td.columns)
+        cols = ", ".join(f"`{c.name}`" for c in td.columns)
+        emit(f"INSERT INTO `{t}` ({cols}) SELECT {proj} {src}")
+        for side in sides:
+            if side[0] == "var":
+                emit_fold_var(side[1], side[2], side[3], src, None, td)
+            else:
+                dml = side[1]
+                im = re.match(
+                    r"(?is)^\s*INSERT\s+(?:INTO\s+)?(`[^`]+`|[\w.]+)"
+                    r"\s*(\([^()]*\))?\s*VALUES\s*\((.*)\)\s*$", dml)
+                if not im:
+                    raise ValueError(
+                        f"unsupported trigger DML: {dml[:60]}")
+                handle(Statement(
+                    f"INSERT INTO {im.group(1)} {im.group(2) or ''} "
+                    f"SELECT {im.group(3)} {src}{_wh(side[3])}"
+                ), depth + 1)
+
+    def _fold_insert_values(key, s: str, ivm, expect_error: bool,
+                            depth: int) -> None:
+        td = tables[key]
+        ignore = bool(ivm.group(1))
+        ondup = ivm.group(6)
+        td2 = _copy.deepcopy(td)
+        plain = re.sub(r"(?is)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+.+$",
+                       "", s)
+        plain = re.sub(r"(?is)^(\s*INSERT)\s+IGNORE\b", r"\1", plain)
+        _td, rows = _parse_insert_values(
+            {key[1]: td2}, _strip_tbl_db(plain, key), strict=False)
+        td.next_auto = td2.next_auto
+        names = [c.name for c in td.columns]
+        t = f"`{td.name}`"
+        pk = list(td.pk or ())
+        before_i = trigs(key, "INSERT", "BEFORE")
+        after_i = trigs(key, "INSERT", "AFTER")
+        before_u = trigs(key, "UPDATE", "BEFORE")
+        after_u = trigs(key, "UPDATE", "AFTER")
+        collist = f"({', '.join(names)})"
+
+        if not ignore and not ondup:
+            # plain multi-row insert: transform tuples, sides after
+            new_tuples, sides_all = [], []
+            for row in rows:
+                newmap = {
+                    n.lower(): v for n, v in zip(names, row)
+                }
+                sides: list = []
+                for x in before_i:
+                    _trg_apply(x[3], newmap, None, sides)
+                for x in after_i:
+                    _trg_apply(x[3], newmap, None, sides,
+                               mutate_new=False)
+                new_tuples.append(
+                    "(" + ", ".join(
+                        newmap[n.lower()] for n in names) + ")")
+                sides_all.extend(sides)
+            emit(
+                f"INSERT INTO {t} {collist} VALUES "
+                + ", ".join(new_tuples), expect_error,
+            )
+            if not expect_error:
+                # a failing statement rolls its trigger effects back
+                for side in sides_all:
+                    perrow_side(side, depth)
+            return
+        # IGNORE / ON DUPLICATE: per-tuple emission with PK dup probes
+        if not pk:
+            raise ValueError(
+                "trigger: IGNORE/ON DUPLICATE without PRIMARY KEY")
+        for row in rows:
+            newmap = {n.lower(): v for n, v in zip(names, row)}
+            sides: list = []
+            for x in before_i:
+                _trg_apply(x[3], newmap, None, sides)
+            dup = " AND ".join(
+                f"`{p}` = ({newmap[p.lower()]})" for p in pk
+            )
+            dupg = f"EXISTS(SELECT 1 FROM {t} WHERE {dup})"
+            if ondup:
+                # the duplicate branch fires UPDATE triggers; OLD.*
+                # reads the matched row via PK scalar subqueries
+                def oldv(col: str) -> str:
+                    return (f"(SELECT `{col}` FROM {t} "
+                            f"WHERE {dup})")
+
+                umap = {c.name.lower(): oldv(c.name)
+                        for c in td.columns}
+                for a in _split_top_commas(ondup):
+                    am = re.match(
+                        r"(?is)^\s*(`[^`]+`|\w+)\s*=\s*(.+)$", a)
+                    if not am:
                         raise ValueError(
-                            f"unsupported trigger body: {b[:60]}")
-                new_tuples.append("(" + ", ".join(row) + ")")
-            head = f"INSERT INTO `{td.name}` ({', '.join(names)}) VALUES "
-            out.append(Statement(head + ", ".join(new_tuples),
-                                 st.expect_error))
-            for _ri, stext in side:
-                out.append(Statement(stext, False))
-            continue
-        out.append(st)
+                            f"trigger: bad ON DUPLICATE {a[:40]}")
+                    cn = _unquote_ident(am.group(1)).lower()
+                    e = am.group(2).strip()
+                    e = re.sub(
+                        r"(?i)\bVALUES\s*\(\s*(`[^`]+`|\w+)\s*\)",
+                        lambda m: f"({newmap[_unquote_ident(m.group(1)).lower()]})",
+                        e)
+                    e = re.sub(
+                        r"(?<![\w`.])(" + "|".join(
+                            re.escape(c.name) for c in td.columns
+                        ) + r")(?![\w`(])",
+                        lambda m: f"({oldv(m.group(1))})", e)
+                    umap[cn] = e
+                for x in before_u:
+                    _trg_apply(x[3], umap, oldv, sides,
+                               guard=dupg)
+                for x in after_u:
+                    _trg_apply(x[3], umap, oldv, sides,
+                               guard=dupg, mutate_new=False)
+                for x in after_i:
+                    _trg_apply(x[3], newmap, None, sides,
+                               guard=_g_not(dupg),
+                               mutate_new=False)
+            else:  # IGNORE: AFTER INSERT only for actually-new rows
+                for x in after_i:
+                    _trg_apply(x[3], newmap, None, sides,
+                               guard=_g_not(dupg),
+                               mutate_new=False)
+            if not expect_error:
+                for side in sides:
+                    perrow_side(side, depth)
+            tup = "(" + ", ".join(
+                newmap[n.lower()] for n in names) + ")"
+            kw = "INSERT IGNORE" if ignore else "INSERT"
+            tail = (f" ON DUPLICATE KEY UPDATE {ondup.strip()}"
+                    if ondup else "")
+            emit(f"{kw} INTO {t} {collist} VALUES {tup}{tail}",
+                 expect_error)
+
+    def _strip_tbl_db(stmt: str, key: tuple) -> str:
+        # _parse_insert_values resolves by bare name
+        return re.sub(
+            rf"(?i)\b{re.escape(key[0])}\s*\.\s*", "", stmt, count=1
+        ) if f"{key[0]}." in stmt.lower() else stmt
+
+    for st in stmts:
+        handle(st)
     return out
 
 
@@ -766,6 +1539,13 @@ def _peval(expr: str, pvars: dict):
     text = re.sub(r"\b[A-Za-z_]\w*\b", sub, expr)
     text = text.replace("&&", " and ").replace("||", " or ")
     if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*|.*\b(and|or)\b.*", text):
+        raise ValueError(f"procedure: unsupported expression {expr[:60]}")
+    # the and/or alternative alone would accept arbitrary text — mirror
+    # _pe_const: no letters may remain once and/or tokens are stripped,
+    # and the residue must stay inside the arithmetic charset
+    residue = re.sub(r"\b(and|or)\b", "", text)
+    residue = re.sub(r"'[^']*'", "''", residue)  # quoted values are data
+    if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*", residue):
         raise ValueError(f"procedure: unsupported expression {expr[:60]}")
     text = text.replace("<>", "!=")
     text = re.sub(r"(?<![<>!=])=(?!=)", "==", text)
@@ -3623,7 +4403,11 @@ def _is_toplevel_bool(expr: str) -> bool:
                 case_depth += 1
             elif word == "END" and case_depth:
                 case_depth -= 1
-            elif case_depth == 0 and word in ("IS", "LIKE", "BETWEEN"):
+            elif case_depth == 0 and word in (
+                "IS", "LIKE", "BETWEEN", "EXISTS",
+            ):
+                # EXISTS(SELECT …) is boolean at its top level —
+                # trigger-fold guards wrap it in IF(…)
                 return True
             i += len(word)
             continue
@@ -4155,20 +4939,40 @@ def rewrite_expr(sql: str, engine: str) -> str:
 
     def _date_fn(i: str) -> str:
         s = f"TRIM(CAST(({i}) AS {_vt}))"
+
+        def rx(n: int) -> str:  # "is exactly n digits" per engine
+            return (
+                f"{s} RLIKE '^[0-9]{{{n}}}$'" if engine == "spark"
+                else f"regexp_matches({s}, '^[0-9]{{{n}}}$')"
+            )
+
+        # MySQL's 2-digit-year pivot: 00-69 → 20YY, 70-99 → 19YY
+        century = (
+            f"CASE WHEN SUBSTR({s}, 1, 2) <= '69' THEN '20' "
+            f"ELSE '19' END"
+        )
+        yymmdd = (
+            f"TRY_CAST(CONCAT({century}, SUBSTR({s}, 1, 2), '-',"
+            f" SUBSTR({s}, 3, 2), '-', SUBSTR({s}, 5, 2)) AS DATE)"
+        )
+        yyyymmdd = (
+            f"TRY_CAST(CONCAT(SUBSTR({s}, 1, 4), '-',"
+            f" SUBSTR({s}, 5, 2), '-', SUBSTR({s}, 7, 2)) AS DATE)"
+        )
+        anydigits = (
+            f"{s} RLIKE '^[0-9]+$'" if engine == "spark"
+            else f"regexp_matches({s}, '^[0-9]+$')"
+        )
+        # compact digit forms MySQL accepts: 6=YYMMDD, 8=YYYYMMDD,
+        # 12=YYMMDDHHMMSS, 14=YYYYMMDDHHMMSS (DATE() keeps the date
+        # part); any other all-digit shape is invalid → NULL
         return (
             f"(CASE"
-            f" WHEN {s} RLIKE '^[0-9]{{8}}$'"
-            f" THEN TRY_CAST(CONCAT(SUBSTR({s}, 1, 4), '-',"
-            f" SUBSTR({s}, 5, 2), '-', SUBSTR({s}, 7, 2)) AS DATE)"
-            f" WHEN {s} RLIKE '^[0-9]+$' THEN CAST(NULL AS DATE)"
-            f" ELSE TRY_CAST({s} AS DATE) END)"
-        ) if engine == "spark" else (
-            f"(CASE"
-            f" WHEN regexp_matches({s}, '^[0-9]{{8}}$')"
-            f" THEN TRY_CAST(CONCAT(SUBSTR({s}, 1, 4), '-',"
-            f" SUBSTR({s}, 5, 2), '-', SUBSTR({s}, 7, 2)) AS DATE)"
-            f" WHEN regexp_matches({s}, '^[0-9]+$')"
-            f" THEN CAST(NULL AS DATE)"
+            f" WHEN {rx(8)} THEN {yyyymmdd}"
+            f" WHEN {rx(14)} THEN {yyyymmdd}"
+            f" WHEN {rx(6)} THEN {yymmdd}"
+            f" WHEN {rx(12)} THEN {yymmdd}"
+            f" WHEN {anydigits} THEN CAST(NULL AS DATE)"
             f" ELSE TRY_CAST({s} AS DATE) END)"
         )
 
@@ -5689,7 +6493,9 @@ def _backtick_dollar_idents(s: str) -> str:
 
     t = _ANY_STRLIT.sub(_mask, s)
     t = re.sub(
-        r"(?<![`\w$])((?:[A-Za-z_][\w$]*)?\$[\w$]*)(?![`\w$])",
+        # '@' in the lookbehind: user/system variables (@v$x) are not
+        # identifiers — backticking them breaks @-substitution
+        r"(?<![`\w$@])((?:[A-Za-z_][\w$]*)?\$[\w$]*)(?![`\w$])",
         lambda m: f"`{m.group(1)}`" if m.group(1) not in ("$",) else
         m.group(0),
         t,
@@ -5886,18 +6692,32 @@ def _physname(name: str) -> str:
 
 def _map_physnames(sql: str, tables: dict) -> str:
     """Rewrite references of weird-named tables to their physical
-    names in engine-bound SQL (backticked first, then bare tokens)."""
+    names in engine-bound SQL (backticked first, then bare tokens).
+    String literals are masked first so a quoted VALUE that happens to
+    contain the logical name (INSERT INTO `a/a` VALUES ('a/a')) is
+    never rewritten — only identifier positions are."""
     weird = [
         td.name for td in tables.values()
         if _physname(td.name) != td.name
     ]
+    if not weird:
+        return sql
+    lits: list[str] = []
+
+    def _mask(m):
+        lits.append(m.group(0))
+        return f"\x00L{len(lits) - 1}\x00"
+
+    sql = _ANY_STRLIT.sub(_mask, sql)
     for nm in weird:
         phys = _physname(nm)
         sql = sql.replace(f"`{nm}`", f"`{phys}`")
         sql = re.sub(
             rf"(?<![\w`]){re.escape(nm)}(?![\w`])", f"`{phys}`", sql
         )
-    return sql
+    return re.sub(
+        r"\x00L(\d+)\x00", lambda m: lits[int(m.group(1))], sql
+    )
 
 
 @dataclass
@@ -6019,6 +6839,58 @@ _UPDATE_STMT = re.compile(
 )
 
 
+class _UpdateParts:
+    """Match-shaped carrier for _match_update (group(1..5))."""
+
+    def __init__(self, groups):
+        self._g = groups
+
+    def group(self, n: int):
+        return self._g[n - 1]
+
+
+def _match_update(s: str):
+    """Depth-aware single-table UPDATE splitter: WHERE/ORDER BY/LIMIT
+    boundaries are found at paren depth 0 only — a scalar subquery in
+    a SET expression carries its own WHERE (issue581's trigger fold),
+    which the lazy regex would mistake for the statement's."""
+    m = re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\s+", s, re.I | re.S)
+    if not m:
+        return None
+    tname = m.group(1)
+    i = m.end()
+    wi = _scan_token(s, i, 0, ("WHERE", "ORDER", "LIMIT"))
+    set_end = wi if wi >= 0 else len(s)
+    set_text = s[i:set_end].strip()
+    where = order = limit = None
+    j = set_end
+    while 0 <= j < len(s):
+        tm = re.match(r"[A-Za-z_]\w*", s[j:])
+        tok = tm.group(0).upper() if tm else ""
+        if tok == "WHERE":
+            k = _scan_token(s, j + 5, 0, ("ORDER", "LIMIT"))
+            where = s[j + 5:(k if k >= 0 else len(s))].strip()
+            j = k
+        elif tok == "ORDER":
+            m2 = re.match(r"ORDER\s+BY\s+", s[j:], re.I)
+            if not m2:
+                return None
+            k = _scan_token(s, j + m2.end(), 0, ("LIMIT",))
+            order = s[j + m2.end():(k if k >= 0 else len(s))].strip()
+            j = k
+        elif tok == "LIMIT":
+            lm = re.match(r"LIMIT\s+(\d+)\s*;?\s*$", s[j:], re.I)
+            if not lm:
+                return None
+            limit = lm.group(1)
+            j = -1
+        else:
+            return None
+    if not set_text:
+        return None
+    return _UpdateParts((tname, set_text, where, order, limit))
+
+
 def _update_limit_sql(
     rel: str, td: TableDef, assigns: dict[str, str], cond: str | None,
     order: str | None, n: int, engine: str, alias: str | None = None,
@@ -6043,8 +6915,12 @@ def _update_limit_sql(
     for c in td.columns:
         t = c.spark_type if engine == "spark" else c.duck_type
         if c.name in assigns:
+            new = (
+                f"({assigns[c.name]})" if t == _DERIVED
+                else f"CAST(({assigns[c.name]}) AS {t})"
+            )
             parts.append(
-                f"CASE WHEN {hit} THEN CAST(({assigns[c.name]}) AS {t}) "
+                f"CASE WHEN {hit} THEN {new} "
                 f"ELSE {q}{c.name}{q} END AS {q}{c.name}{q}"
             )
         else:
@@ -6111,19 +6987,47 @@ def _multi_delete_keep_sql(
     return f"SELECT {cols} FROM {frm} WHERE _h._one IS NULL"
 
 
+def _qualify_tbl_cols(expr: str, td: TableDef, tname: str,
+                      q: str) -> str:
+    """Qualify bare references to the table's own columns with the
+    table alias — the _hit_join FROM exposes the same columns twice
+    (target + _h), so an unqualified ``j + 10`` is ambiguous."""
+    lits: list[str] = []
+
+    def _mask(m):
+        lits.append(m.group(0))
+        return f"\x05{len(lits) - 1}\x05"
+
+    t = _ANY_STRLIT.sub(_mask, expr)
+    for c in td.columns:
+        t = re.sub(
+            rf"(?i)(?<![\w`.$]){re.escape(c.name)}(?![\w`$(])",
+            f"{q}{tname}{q}.{q}{c.name}{q}", t,
+        )
+    return re.sub(r"\x05(\d+)\x05",
+                  lambda m: lits[int(m.group(1))], t)
+
+
 def _multi_update_sql(
     td: TableDef, tname: str, t_rel: str, joinfrom: str,
     where: str | None, assigns: dict[str, str], engine: str,
 ) -> str:
     q = "`" if engine == "spark" else '"'
     frm = _hit_join(td, tname, t_rel, joinfrom, where, engine)
+    assigns = {
+        k: _qualify_tbl_cols(v, td, tname, q)
+        for k, v in assigns.items()
+    }
     parts = []
     for c in td.columns:
         t = c.spark_type if engine == "spark" else c.duck_type
         if c.name in assigns:
+            new = (
+                f"({assigns[c.name]})" if t == _DERIVED
+                else f"CAST(({assigns[c.name]}) AS {t})"
+            )
             parts.append(
-                f"CASE WHEN _h._one IS NOT NULL THEN "
-                f"CAST(({assigns[c.name]}) AS {t}) "
+                f"CASE WHEN _h._one IS NOT NULL THEN {new} "
                 f"ELSE {q}{tname}{q}.{q}{c.name}{q} END AS {q}{c.name}{q}"
             )
         else:
@@ -7398,10 +8302,15 @@ def _parse_insert_values(
                     re.search(r"[A-Za-z_`]", v)
                     and _decode_strlit(v) is None
                     and v.strip().upper() not in ("NULL", "TRUE", "FALSE")
+                    and not re.search(r"(?i)\bSELECT\b",
+                                      _ANY_STRLIT.sub("''", v))
                 ):
                     # bare column self-references inside a VALUES
                     # expression read the column's implicit default
-                    # (insert_select.test: values (a+2) -> 0+2)
+                    # (insert_select.test: values (a+2) -> 0+2) — but a
+                    # scalar subquery's identifiers belong to ITS
+                    # relations, never the target (issue581's trigger
+                    # tuples)
                     for oc in td.columns:
                         v = re.sub(
                             rf"\b{re.escape(oc.name)}\b(?!\s*\()",
@@ -8148,7 +9057,10 @@ def _load_transform_exprs(
             )
         # TRY_CAST: LOAD DATA clamps malformed values to NULL with a
         # warning, never errors (issue880's free-text fields)
-        out.append(f"TRY_CAST(({src}) AS {ctype}) AS {q}{c.name}{q}")
+        if ctype == _DERIVED:
+            out.append(f"({src}) AS {q}{c.name}{q}")
+        else:
+            out.append(f"TRY_CAST(({src}) AS {ctype}) AS {q}{c.name}{q}")
     return out
 
 
@@ -8874,9 +9786,24 @@ def run_statement(run: MTRRun, stmt: str):
                 + ")"
                 for row in rows
             ]
-            run.sql(
-                f"INSERT INTO `{td.name}` VALUES " + ",\n".join(cast_rows)
-            )
+            if any(
+                re.search(r"(?i)\bSELECT\b", _ANY_STRLIT.sub("''", r))
+                for r in cast_rows
+            ):
+                # Spark rejects scalar subqueries inside VALUES
+                # (issue581's trigger-substituted tuples) — render the
+                # same rows as a UNION ALL of one-row SELECTs
+                run.sql(
+                    f"INSERT INTO `{td.name}` "
+                    + " UNION ALL ".join(
+                        "SELECT " + r[1:-1] for r in cast_rows
+                    )
+                )
+            else:
+                run.sql(
+                    f"INSERT INTO `{td.name}` VALUES "
+                    + ",\n".join(cast_rows)
+                )
             run.last_rowcount = len(rows)
         else:  # INSERT [INTO] t SELECT ...
             s = re.sub(
@@ -8933,7 +9860,7 @@ def run_statement(run: MTRRun, stmt: str):
             df.write.insertInto(f"`{tn}`", overwrite=True)
         return None
     if re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\b", s, re.I):
-        m = _UPDATE_STMT.match(s)
+        m = _match_update(s)
         if not m:
             raise ValueError(f"unsupported UPDATE syntax: {s[:90]}")
         tname = _unquote_ident(m.group(1))
@@ -9327,8 +10254,11 @@ def run_script(
                 result = result.withColumn(cname, canon)
         return result
     finally:
-        for name in list(run.tables):
-            spark.sql(f"DROP TABLE IF EXISTS `{_physname(name)}`")
+        for name, td_ in list(run.tables.items()):
+            # physname of the ORIGINAL-cased name — run.tables keys are
+            # lowercased, and _physname hashes case-sensitively, so a
+            # mixed-case weird name would otherwise leak its table
+            spark.sql(f"DROP TABLE IF EXISTS `{_physname(td_.name)}`")
         shutil.rmtree(workdir, ignore_errors=True)
 
 
@@ -9378,6 +10308,20 @@ def _retarget_relations(sql: str, mapping: dict[str, tuple[str, str]]) -> str:
     return pat.sub(rep, sql)
 
 
+_DERIVED = "?DERIVED"  # sentinel duck_type for CTAS select-derived columns
+
+
+def _dc(v: str, c: ColumnDef, try_: bool = False) -> str:
+    """CAST v to the column's duck type — or pass through uncast for
+    CTAS select-derived columns (type unknown at oracle build time;
+    DuckDB's set-op type unification against the CTAS v0 SELECT keeps
+    the real type, issue226 / SCRIPT_CTAS parity)."""
+    if c.duck_type == _DERIVED:
+        return f"({v})"
+    fn = "TRY_CAST" if try_ else "CAST"
+    return f"{fn}(({v}) AS {c.duck_type})"
+
+
 def _duck_values_cte(td: TableDef, rows: list[list[str]]) -> str:
     """Typed VALUES relation.  The casts sit INSIDE each tuple: DuckDB
     (and Spark) type-unify a VALUES column across rows BEFORE any
@@ -9388,7 +10332,9 @@ def _duck_values_cte(td: TableDef, rows: list[list[str]]) -> str:
     names = ", ".join(f'v{i} AS "{c.name}"' for i, c in enumerate(td.columns))
     if not rows:
         nulls = ", ".join(
-            f'CAST(NULL AS {c.duck_type}) AS "{c.name}"' for c in td.columns
+            (f'NULL AS "{c.name}"' if c.duck_type == _DERIVED
+             else f'CAST(NULL AS {c.duck_type}) AS "{c.name}"')
+            for c in td.columns
         )
         return f"SELECT {nulls} WHERE FALSE"
     tuples = ", ".join(
@@ -9397,7 +10343,7 @@ def _duck_values_cte(td: TableDef, rows: list[list[str]]) -> str:
             # TRY_CAST: the oracle replays only non-error statements,
             # and MySQL's non-strict coercions clamp rather than error
             # (issue880's free-text-into-timestamp LOAD fields)
-            f"TRY_CAST(({v}) AS {c.duck_type})"
+            _dc(v, c, try_=True)
             for v, c in zip(row, td.columns)
         )
         + ")"
@@ -9546,9 +10492,21 @@ def build_oracle_sql(
             if lit is None:
                 import duckdb as _duckdb
 
-                val = _duckdb.connect().execute(
-                    f"SELECT ({rewrite_expr(rhs, 'duck')}) AS v"
-                ).fetchone()[0]
+                expr = rewrite_expr(rhs, "duck")
+                body = f"SELECT ({expr}) AS v"
+                if re.search(r"(?i)\bSELECT\b", expr):
+                    # data-dependent RHS (trigger side-effect folds,
+                    # SELECT … INTO-style probes): evaluate against
+                    # the version chain built SO FAR — the same
+                    # pre-statement state the runner's live eval sees
+                    body = f"SELECT ({retarget(expr)}) AS v"
+                    if ctes:
+                        body = (
+                            "WITH "
+                            + ", ".join(f"{n} AS ({q})" for n, q in ctes)
+                            + " " + body
+                        )
+                val = _duckdb.connect().execute(body).fetchone()[0]
                 lit = _py_to_literal(val)
             uservars[vm.group(1)] = lit
             continue
@@ -9637,7 +10595,7 @@ def build_oracle_sql(
             for n in sel_names:
                 if n.lower() not in have:
                     merged_cols.append(
-                        ColumnDef(n, "STRING", "VARCHAR", None))
+                        ColumnDef(n, "STRING", _DERIVED, None))
             tables[key] = TableDef(tdd.name, merged_cols)
             versions[key] = 0
             incarn[key] = incarn.get(key, 0) + 1
@@ -9660,7 +10618,7 @@ def build_oracle_sql(
             # columns read as text
             try:
                 ctas_cols = [
-                    ColumnDef(n, "STRING", "VARCHAR", None)
+                    ColumnDef(n, "STRING", _DERIVED, None)
                     for n in _select_out_names(cm.group(2), tables)
                 ]
             except (ValueError, KeyError):
@@ -9838,7 +10796,7 @@ def build_oracle_sql(
                     if c.name.lower() in listed:
                         i = listed.index(c.name.lower())
                         parts_i.append(
-                            f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                            f'{_dc(f"_i{i}", c)} AS "{c.name}"'
                         )
                     else:
                         dv = (
@@ -9846,7 +10804,7 @@ def build_oracle_sql(
                             if c.default is not None else "NULL"
                         )
                         parts_i.append(
-                            f'CAST(({dv}) AS {c.duck_type}) AS "{c.name}"'
+                            f'{_dc(dv, c)} AS "{c.name}"'
                         )
                 inc = (
                     f"(SELECT {', '.join(parts_i)} FROM ({sel}) "
@@ -9955,10 +10913,23 @@ def build_oracle_sql(
                     tables, s, stmt_strict and not ign, insert_ignore=ign
                 )
                 rows = _check_pk_duplicates(_td, rows, drop=ign)
-                pending_rows.setdefault(t, []).extend(
-                    [rewrite_expr(v, "duck") for v in row]
+                # a tuple holding a scalar subquery (issue581's
+                # trigger-substituted values) binds to the referenced
+                # tables' CURRENT versions.  Materialize BEFORE
+                # touching pending_rows: retarget() flushes pending
+                # tables, so building rows lazily inside the extend
+                # would pop the very list being extended.
+                new_rows = [
+                    [
+                        retarget(rewrite_expr(v, "duck"))
+                        if re.search(r"(?i)\bSELECT\b",
+                                     _ANY_STRLIT.sub("''", v))
+                        else rewrite_expr(v, "duck")
+                        for v in row
+                    ]
                     for row in rows
-                )
+                ]
+                pending_rows.setdefault(t, []).extend(new_rows)
             else:
                 tables[t].seen_pk = None
                 rest = re.sub(
@@ -9986,7 +10957,7 @@ def build_oracle_sql(
                         f"_i{i}" for i in range(len(td_ins.columns))
                     )
                     casted = ", ".join(
-                        f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                        f'{_dc(f"_i{i}", c)} AS "{c.name}"'
                         for i, c in enumerate(td_ins.columns)
                     )
                 else:  # unlisted columns take their DEFAULT (or NULL)
@@ -9998,7 +10969,7 @@ def build_oracle_sql(
                         if c.name.lower() in listed:
                             i = listed.index(c.name.lower())
                             parts_i.append(
-                                f'CAST(_i{i} AS {c.duck_type}) AS "{c.name}"'
+                                f'{_dc(f"_i{i}", c)} AS "{c.name}"'
                             )
                         else:
                             dv = (
@@ -10006,7 +10977,7 @@ def build_oracle_sql(
                                 if c.default is not None else "NULL"
                             )
                             parts_i.append(
-                                f'CAST(({dv}) AS {c.duck_type}) AS "{c.name}"'
+                                f'{_dc(dv, c)} AS "{c.name}"'
                             )
                     casted = ", ".join(parts_i)
                 ctes.append(
@@ -10085,7 +11056,7 @@ def build_oracle_sql(
                 ctes.append((vname(t), body))
             continue
         if re.match(r"^\s*UPDATE\s+(`[^`]+`|\w+)\s+SET\b", s, re.I):
-            m = _UPDATE_STMT.match(s)
+            m = _match_update(s)
             if not m:
                 raise ValueError(f"oracle: unsupported UPDATE {s[:90]}")
             t = _unquote_ident(m.group(1)).lower()
@@ -10094,16 +11065,27 @@ def build_oracle_sql(
             flush(t)
             prev = vname(t)
             versions[t] += 1
+            def _rt_sub(e: str) -> str:
+                # a scalar subquery in SET/WHERE binds to the
+                # referenced tables' CURRENT versions (issue581's
+                # trigger fold)
+                return (
+                    retarget(e)
+                    if re.search(r"(?i)\bSELECT\b",
+                                 _ANY_STRLIT.sub("''", e))
+                    else e
+                )
+
             cond = (
-                f"COALESCE(({rewrite_expr(_truthy_condition_text(m.group(3)), 'duck')}), {_BFALSE})"
+                f"COALESCE(({_rt_sub(rewrite_expr(_truthy_condition_text(m.group(3)), 'duck'))}), {_BFALSE})"
                 if m.group(3)
                 else _BTRUE
             )
             assigns = {}
             for part in _split_top_commas(m.group(2)):
                 am = re.match(r"\s*(`[^`]+`|\w+)\s*=\s*(.*)$", part, re.S)
-                assigns[_unquote_ident(am.group(1))] = rewrite_expr(
-                    am.group(2), "duck"
+                assigns[_unquote_ident(am.group(1))] = _rt_sub(
+                    rewrite_expr(am.group(2), "duck")
                 )
             for c in td.columns:  # mirror the runner's checks/bumps
                 if c.name not in assigns:
@@ -10134,8 +11116,8 @@ def build_oracle_sql(
                 continue
             proj = ", ".join(
                 (
-                    f'CASE WHEN {cond} THEN CAST(({assigns[c.name]}) AS '
-                    f'{c.duck_type}) ELSE "{c.name}" END AS "{c.name}"'
+                    f'CASE WHEN {cond} THEN {_dc(assigns[c.name], c)} '
+                    f'ELSE "{c.name}" END AS "{c.name}"'
                 )
                 if c.name in assigns
                 else f'"{c.name}"'
@@ -10240,13 +11222,10 @@ def build_oracle_sql(
                         if c.default is not None
                         else "NULL"
                     )
-                    parts.append(
-                        f'CAST(({lit}) AS {c.duck_type}) AS "{c.name}"'
-                    )
+                    parts.append(f'{_dc(lit, c)} AS "{c.name}"')
                 else:
-                    parts.append(
-                        f'CAST("{src}" AS {c.duck_type}) AS "{c.name}"'
-                    )
+                    qsrc = f'"{src}"'
+                    parts.append(f'{_dc(qsrc, c)} AS "{c.name}"')
             ctes.append((vname(t), f"SELECT {', '.join(parts)} FROM {prev}"))
             newtd.seen_pk = None
             key = newtd.name.lower()

@@ -29,6 +29,24 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_trg_upd_fired': ('trigger.test', [(1, 7), (83, 156)]),
+    'dialect_trg_upd_rows': ('trigger.test', [(1, 7), (83, 156)]),
+    'dialect_trg_ignore_log': ('trigger.test', [(1, 7), (83, 156)]),
+    'dialect_trg_ondup_log': ('trigger.test', [(1, 7), (83, 156)]),
+    'dialect_trg_err_specifiers': ('trigger.test', [(1, 7), (236, 302)]),
+    'dialect_trg_drop_scope': ('trigger.test', [(1, 7), (304, 340)]),
+    'dialect_trg_multiupd_vars': ('trigger.test', [(1, 7), (342, 375)]),
+    'dialect_trg_multidel_vars': ('trigger.test', [(1, 7), (342, 375)]),
+    'dialect_trg_inssel_rows': ('trigger.test', [(1, 7), (377, 400)]),
+    'dialect_trg_inssel_flag': ('trigger.test', [(1, 7), (377, 400)]),
+    'dialect_trg_upd_accum': ('trigger.test', [(1, 7), (1001, 1063)]),
+    'dialect_trg_del_sum': ('trigger.test', [(1, 7), (1001, 1063)]),
+    'dialect_trg_del_flag': ('trigger.test', [(1, 7), (1001, 1063)]),
+    'dialect_trg_cascade': ('trigger.test', [(1, 7), (1001, 1063)]),
+    'dialect_issue581_ins': ('issue581.test', [(1, 60)]),
+    'dialect_issue581_upd_noop': ('issue581.test', [(1, 60)]),
+    'dialect_issue581_upd_miss': ('issue581.test', [(1, 60)]),
+    'dialect_issue1318_audit': ('issue1318.test', [(1, 87)]),
     'dialect_issue226_ctas_union': ('issue226.test', [(1, 24)]),
     'dialect_issue271_esc_star': ('issue271.test', [(1, 255)]),
     'dialect_issue271_esc_empty': ('issue271.test', [(1, 255)]),
@@ -17734,6 +17752,515 @@ DROP TABLE test1;
 DROP DATABASE issue271_test;
 """
 
+SCRIPT_TRIGGER2F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+--echo #
+--echo # Several triggers on one table
+--echo #
+
+create table t1 (i int, j int)engine=tianmu;
+
+delimiter |;
+create trigger trg1 before insert on t1 for each row 
+begin
+  if new.j > 10 then
+    set new.j := 10;
+  end if;
+end|
+create trigger trg2 before update on t1 for each row 
+begin
+  if old.i % 2 = 0 then
+    set new.j := -1;
+  end if;
+end|
+create trigger trg3 after update on t1 for each row 
+begin
+  if new.j = -1 then
+    set @fired:= "Yes";
+  end if;
+end|
+delimiter ;|
+
+set @fired:="";
+insert into t1 values (1,2),(2,3),(3,14);
+select @fired;
+select * from t1;
+update t1 set j= 20;
+select @fired;
+select * from t1;
+
+drop trigger trg1;
+drop trigger trg2;
+drop trigger trg3;
+drop table t1;
+
+--echo #
+--echo # Let us test how triggers work for special forms of INSERT such as
+--echo # INSERT ... ON DUPLICATE KEY UPDATE
+--echo #
+
+create table t1 (id int not null primary key, data int)engine=tianmu;
+create trigger t1_bi before insert on t1 for each row
+  set @log:= concat(@log, "(BEFORE_INSERT: new=(id=", new.id, ", data=", new.data,"))");
+create trigger t1_ai after insert on t1 for each row
+  set @log:= concat(@log, "(AFTER_INSERT: new=(id=", new.id, ", data=", new.data,"))");
+create trigger t1_bu before update on t1 for each row
+  set @log:= concat(@log, "(BEFORE_UPDATE: old=(id=", old.id, ", data=", old.data,
+                                        ") new=(id=", new.id, ", data=", new.data,"))");
+create trigger t1_au after update on t1 for each row
+  set @log:= concat(@log, "(AFTER_UPDATE: old=(id=", old.id, ", data=", old.data,
+                                       ") new=(id=", new.id, ", data=", new.data,"))");
+
+# Simple INSERT - both triggers should be called
+set @log:= "";
+insert into t1 values (1, 1);
+select @log;
+# INSERT IGNORE for already existing key - only before trigger should fire
+set @log:= "";
+insert ignore t1 values (1, 2);
+select @log;
+# INSERT ... ON DUPLICATE KEY UPDATE ...
+set @log:= "";
+insert into t1 (id, data) values (1, 3), (2, 2) on duplicate key update data= data + 1;
+select @log;
+
+drop table t1;
+"""
+
+SCRIPT_TRG_ERRF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+
+--echo #
+--echo # Test of wrong column specifiers in triggers
+--echo #
+
+create table t1 (i int)engine=tianmu;
+create table t3 (i int)engine=tianmu;
+
+--error 1363
+create trigger trg before insert on t1 for each row set @a:= old.i;
+--error 1363
+create trigger trg before delete on t1 for each row set @a:= new.i;
+--error 1362
+create trigger trg before update on t1 for each row set old.i:=1;
+--error 1363
+create trigger trg before delete on t1 for each row set new.i:=1;
+--error 1362
+create trigger trg after update on t1 for each row set new.i:=1;
+--error 1054
+create trigger trg before update on t1 for each row set new.j:=1;
+--error 1054
+create trigger trg before update on t1 for each row set @a:=old.j;
+
+
+--echo #
+--echo # test various trigger creation errors
+--echo # Also quickly test table namespace (bug#5892/6182)
+--echo # 
+
+--error 1146
+create trigger trg before insert on t2 for each row set @a:=1;
+
+create trigger trg before insert on t1 for each row set @a:=1;
+--error 1359
+create trigger trg after insert on t1 for each row set @a:=1;
+--error 1359
+create trigger trg before insert on t3 for each row set @a:=1;
+create trigger trg2 before insert on t3 for each row set @a:=1;
+drop trigger trg2;
+drop trigger trg;
+
+--error 1360
+drop trigger trg;
+
+create view v1 as select * from t1;
+--error 1347
+create trigger trg before insert on v1 for each row set @a:=1;
+drop view v1;
+
+drop table t1;
+drop table t3;
+
+create temporary table t1 (i int)engine=tianmu;
+--error 1361
+create trigger trg before insert on t1 for each row set @a:=1;
+drop table t1;
+
+--echo #
+--echo # Triggers with string literals
+--echo #
+
+create table t1 (x1col char)engine=tianmu;  
+create trigger tx1 before insert on t1 for each row set new.x1col = 'x';
+insert into t1 values ('y');
+select * from t1;
+drop trigger tx1;
+drop table t1;
+"""
+
+SCRIPT_TRG_DBF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+--echo #
+--echo # DROP TABLE ，drop triggers
+--echo #
+
+create table t1 (a int)engine=tianmu;
+create trigger trg1 before insert on t1 for each row set new.a= 10;
+drop table t1;
+create table t1 (a int)engine=tianmu;
+insert into t1 values ();
+select * from t1;
+drop table t1;
+
+--echo #
+--echo # DROP DATABASE，drop triggers.
+--echo #
+
+create database mysqltest;
+use mysqltest;
+create table t1 (i int)engine=tianmu;
+create trigger trg1 before insert on t1 for each row set @a:= 1;
+# This should succeed
+drop database mysqltest;
+use test;
+
+--echo #
+--echo # "Triggers: Allowed to create triggers on a subject table in a different DB". 
+--echo #
+
+create database mysqltest;
+create table mysqltest.t1 (i int);
+--error 1435
+create trigger trg1 before insert on mysqltest.t1 for each row set @a:= 1;
+use mysqltest;
+--error 1146
+create trigger test.trg1 before insert on t1 for each row set @a:= 1;
+drop database mysqltest;
+use test;
+"""
+
+SCRIPT_TRG_MULTIF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+--echo #
+--echo # Multi-table UPDATE does not activate update triggers
+--echo # We will also test how delete triggers wor for multi-table DELETE.
+--echo #
+
+create table t1 (i int, j int default 10, k int not null, key (k))engine=tianmu;
+create table t2 (i int)engine=tianmu;
+insert into t1 (i, k) values (1, 1);
+insert into t2 values (1);
+create trigger trg1 before update on t1 for each row set @a:= @a + new.j - old.j;
+create trigger trg2 after update on t1 for each row set @b:= "Fired";
+set @a:= 0, @b:= "";
+# Check that trigger works in case of update on the fly
+update t1, t2 set j = j + 10 where t1.i = t2.i;
+select @a, @b;
+insert into t1 values (2, 13, 2);
+insert into t2 values (2);
+set @a:= 0, @b:= "";
+# And now let us check that triggers work in case of multi-update which
+# is done through temporary tables...
+update t1, t2 set j = j + 15 where t1.i = t2.i and t1.k >= 2;
+select @a, @b;
+# Let us test delete triggers for multi-delete now.
+# We create triggers for both tables because we want test how they
+# work in both on-the-fly and via-temp-tables cases.
+create trigger trg3 before delete on t1 for each row set @c:= @c + old.j;
+create trigger trg4 before delete on t2 for each row set @d:= @d + old.i;
+create trigger trg5 after delete on t1 for each row set @e:= "After delete t1 fired";
+create trigger trg6 after delete on t2 for each row set @f:= "After delete t2 fired";
+set @c:= 0, @d:= 0, @e:= "", @f:= "";
+delete t1, t2 from t1, t2 where t1.i = t2.i;
+select @c, @d, @e, @f;
+# This also will drop triggers
+drop table t1, t2;
+"""
+
+SCRIPT_TRG_INSSELF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+--echo #
+--echo #Triggers are not activated for INSERT ... SELECT".
+--echo # (We also check the fact that trigger modifies some field does not affect
+--echo #  value of next record inserted).
+--echo #
+
+delimiter |;
+create table t1 (i int, j int default 10)|
+create table t2 (i int)|
+insert into t2 values (1), (2)|
+create trigger trg1 before insert on t1 for each row 
+begin
+  if new.i = 1 then
+    set new.j := 1;
+  end if;
+end|
+create trigger trg2 after insert on t1 for each row set @a:= 1|
+set @a:= 0|
+insert into t1 (i) select * from t2|
+select * from t1|
+select @a|
+# This also will drop triggers
+drop table t1, t2|
+delimiter ;|
+"""
+
+SCRIPT_TRG_BUGSF = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS trigger_test;
+--enable_warnings
+
+CREATE DATABASE trigger_test;
+
+--echo #
+--echo #bug569:After update trigger
+--echo #
+
+create table t1 (i int)engine=tianmu;
+insert into t1 values (1),(2),(3),(4);
+create trigger trg after update on t1 for each row
+  set @total_change:=@total_change + new.i - old.i;
+set @total_change:=0;
+update t1 set i=3;
+select @total_change;
+drop trigger trg;
+drop table t1;
+
+--echo #
+--echo #bug 570:Before delete trigger
+--echo #
+
+create table t1 (i int)engine=tianmu;
+insert into t1 values (1),(2),(3),(4);
+create trigger trg before delete on t1 for each row
+  set @del_sum:= @del_sum + old.i;
+set @del_sum:= 0;
+delete from t1 where i <= 3;
+select @del_sum;
+drop trigger trg;
+drop table t1;
+
+--echo #
+--echo #bug 571:After delete trigger
+--echo #
+
+create table t1 (i int)engine=tianmu;
+insert into t1 values (1),(2),(3),(4);
+create trigger trg after delete on t1 for each row set @del:= 1;
+set @del:= 0;
+delete from t1 where i <> 0;
+select @del;
+drop trigger trg;
+drop table t1;
+
+--echo #
+--echo # bug 580:Trigger.....delete
+--echo #
+
+# Trigger which forces invocation of another trigger
+# (emulation of FK on delete cascade policy)
+
+create table t1 (id int primary key, fk_t2 int)engine=tianmu;
+create table t2 (id int primary key, fk_t3 int)engine=tianmu;
+create table t3 (id int primary key)engine=tianmu;
+insert into t1 values (1,1), (2,1), (3,2);
+insert into t2 values (1,1), (2,2);
+insert into t3 values (1), (2);
+create trigger t3_ad after delete on t3 for each row
+  delete from t2 where fk_t3=old.id;
+create trigger t2_ad after delete on t2 for each row
+  delete from t1 where fk_t2=old.id;
+delete from t3 where id = 1;
+select * from t1 left join (t2 left join t3 on t2.fk_t3 = t3.id) on t1.fk_t2 = t2.id;
+drop table t1;
+drop table t2;
+drop table t3;
+"""
+
+SCRIPT_ISSUE581F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue581_test;
+--enable_warnings
+
+CREATE DATABASE issue581_test;
+
+USE issue581_test;
+
+--disable_warnings
+
+## DDL
+
+DROP TABLE IF EXISTS t1,t2;
+
+CREATE TABLE t1 (id INT PRIMARY KEY, copy INT) ENGINE=TIANMU;
+ 
+CREATE TABLE t2 (id INT PRIMARY KEY, data INT) ENGINE=TIANMU;
+
+## CREATE trigger
+
+CREATE trigger t1_bi before insert on t1 for each row
+  set new.copy= (SELECT data FROM t2 where id = new.id);
+ 
+CREATE trigger t1_bu before UPDATE on t1 for each row
+  set new.copy= (SELECT data FROM t2 where id = new.id);
+
+## test trigger
+
+### insert data first
+
+INSERT INTO t2 VALUES (1,1), (2,2);
+
+SELECT * FROM t1;
+SELECT * FROM t2;
+
+### insert of trigger happen
+
+INSERT INTO t1 VALUES (1,3), (2,4), (3,3);
+
+SELECT * FROM t1;
+SELECT * FROM t2;
+
+### UPDATE of trigger happen
+
+UPDATE t1 set copy= 1 where id = 2;
+
+SELECT * FROM t1;
+SELECT * FROM t2;
+
+UPDATE t1 set copy= 1 where id = 3;
+
+SELECT * FROM t1;
+SELECT * FROM t2;
+
+## clean test TABLE
+
+DROP TABLE IF EXISTS t1,t2;
+
+DROP DATABASE issue581_test;
+"""
+
+SCRIPT_ISSUE1318F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1318_test;
+--enable_warnings
+
+CREATE DATABASE issue1318_test;
+
+USE issue1318_test;
+
+--echo #
+--echo # Secondary INDEX
+--echo # 
+
+CREATE TABLE tb_stu_info1 (id int(11) NOT NULL, height int(11) DEFAULT NULL,KEY height (height)) ENGINE=TIANMU;
+
+CREATE TABLE tb_stu_info2 (id int(11) NOT NULL, height int(11) DEFAULT NULL,INDEX height (height)) ENGINE=TIANMU;
+
+CREATE TABLE tb_stu_info3 (id int, col_name varchar(10)) ENGINE=TIANMU;
+
+CREATE INDEX index_name ON tb_stu_info3(col_name);
+
+ALTER TABLE tb_stu_info3 DROP INDEX index_name;
+
+ALTER TABLE  tb_stu_info3  add INDEX  index_name  (col_name) ;
+
+
+--echo #
+--echo # UNIQUE INDEX
+--echo #
+
+CREATE TABLE tb_stu_info_1 (id int(11) NOT NULL, height int(11) DEFAULT NULL,UNIQUE KEY height (height)) ENGINE=TIANMU;
+
+CREATE TABLE tb_stu_info_2 (id int(11) NOT NULL, height int(11) DEFAULT NULL,UNIQUE INDEX height (height)) ENGINE=TIANMU;
+
+CREATE TABLE tb_stu_info_3 (id int(11) NOT NULL, height int(11) DEFAULT NULL) ENGINE=TIANMU;
+
+ALTER TABLE tb_stu_info_3 ADD CONSTRAINT constraint_name UNIQUE INDEX(height);
+
+ALTER TABLE tb_stu_info_3 DROP INDEX constraint_name;
+
+
+--echo #
+--echo # TRIGGER
+--echo #
+
+CREATE TABLE employees(
+   id INT auto_increment PRIMARY KEY,
+   employeeNumber INT NOT NULL,
+   lastname VARCHAR(50) NOT NULL,
+   action VARCHAR(50) DEFAULT NULL) ENGINE=TIANMU;
+
+CREATE TABLE employees_audit(
+   id INT auto_increment PRIMARY KEY,
+   employeeNumber INT NOT NULL,
+   lastname VARCHAR(50) NOT NULL,
+   action VARCHAR(50) DEFAULT NULL) ENGINE=TIANMU;
+
+CREATE TABLE employees_audit2(
+   id INT auto_increment PRIMARY KEY,
+   employeeNumber INT NOT NULL,
+   lastname VARCHAR(50) NOT NULL,
+   action VARCHAR(50) DEFAULT NULL) ENGINE=TIANMU;
+
+
+DELIMITER |;
+CREATE TRIGGER before_employee_update 
+	BEFORE UPDATE ON employees 
+	FOR EACH ROW
+BEGIN
+	INSERT INTO employees_audit 
+	SET action = 'update',
+	employeeNumber = 1,
+	lastname = "nihao",
+	new_lastname = "niyehao";
+END |
+DELIMITER ;|
+
+
+--echo #
+--echo # END
+--echo #
+
+# PROBE (not in the reference file): the script has no SELECT of
+# its own; prove the DDL + trigger registration executed
+SELECT COUNT(*) AS probe FROM employees_audit;
+DROP DATABASE issue1318_test;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -18177,6 +18704,24 @@ _SPECS = [
     ('dialect_issue271_esc_bs', SCRIPT_ISSUE271F, 12, ['a'], False, "LIKE 'hakan\\\\%' ESCAPE '\\\\\\\\' after the NO_BACKSLASH_ESCAPES leg"),
     ('dialect_issue271_esc_pct', SCRIPT_ISSUE271F, 25, ['a'], False, "ESCAPE '%' makes the percent literal mid-battery"),
     ('dialect_issue271_esc_tail', SCRIPT_ISSUE271F, 35, ['a'], False, 'final escape battery leg after repeated sql_mode flips'),
+    ('dialect_trg_upd_fired', SCRIPT_TRIGGER2F, 2, ['fired'], False, 'AFTER UPDATE trigger IF(new.j = -1) sets @fired over a statement-level EXISTS fold'),
+    ('dialect_trg_upd_rows', SCRIPT_TRIGGER2F, 3, ['i', 'j'], False, 'BEFORE UPDATE SET NEW.j := -1 under IF(old.i % 2 = 0) folded into the UPDATE as a CASE assignment'),
+    ('dialect_trg_ignore_log', SCRIPT_TRIGGER2F, 5, ['log'], False, 'INSERT IGNORE duplicate: BEFORE INSERT fires, AFTER INSERT suppressed via pre-insert PK probe'),
+    ('dialect_trg_ondup_log', SCRIPT_TRIGGER2F, 6, ['log'], False, 'INSERT..ON DUPLICATE KEY UPDATE fires BEFORE/AFTER UPDATE on the dup row and INSERT triggers on the new row, OLD.* via PK scalar subqueries'),
+    ('dialect_trg_err_specifiers', SCRIPT_TRG_ERRF, 0, ['x1col'], False, 'trigger validation battery: 1363/1362/1054 wrong-specifier legs, 1146/1359/1360 existence legs, 1347 view, 1361 temp table'),
+    ('dialect_trg_drop_scope', SCRIPT_TRG_DBF, 0, ['a'], False, 'DROP TABLE/DATABASE drop their triggers; 1435 cross-db and 1146 wrong-db creation legs'),
+    ('dialect_trg_multiupd_vars', SCRIPT_TRG_MULTIF, 1, ['a', 'b'], False, 'multi-table UPDATE fires per-target-row UPDATE triggers: accumulator + flag via EXISTS-join fold'),
+    ('dialect_trg_multidel_vars', SCRIPT_TRG_MULTIF, 2, ['c', 'd', 'e', 'f'], False, 'multi-table DELETE fires both tables DELETE triggers with OLD.* aggregate folds'),
+    ('dialect_trg_inssel_rows', SCRIPT_TRG_INSSELF, 0, ['i', 'j'], False, 'INSERT..SELECT activates BEFORE INSERT trigger: IF(new.i=1) fold into the projected SELECT'),
+    ('dialect_trg_inssel_flag', SCRIPT_TRG_INSSELF, 1, ['a'], False, 'AFTER INSERT flag over INSERT..SELECT via EXISTS on the source'),
+    ('dialect_trg_upd_accum', SCRIPT_TRG_BUGSF, 0, ['total_change'], False, 'bug569: AFTER UPDATE accumulator @t += new.i - old.i as one SUM over the affected set'),
+    ('dialect_trg_del_sum', SCRIPT_TRG_BUGSF, 1, ['del_sum'], False, 'bug570: BEFORE DELETE accumulator over OLD.i'),
+    ('dialect_trg_del_flag', SCRIPT_TRG_BUGSF, 2, ['del'], False, 'bug571: AFTER DELETE flag via EXISTS over the matched set'),
+    ('dialect_trg_cascade', SCRIPT_TRG_BUGSF, 3, ['id1', 'fk_t2', 'id2', 'fk_t3', 'id3'], False, 'bug580: cascading AFTER DELETE triggers (FK-cascade emulation) with pre-state-preserving emission order'),
+    ('dialect_issue581_ins', SCRIPT_ISSUE581F, 2, ['id', 'copy'], False, 'BEFORE INSERT SET NEW.copy = scalar subquery over another table (verbatim issue581)'),
+    ('dialect_issue581_upd_noop', SCRIPT_ISSUE581F, 4, ['id', 'copy'], False, 'BEFORE UPDATE trigger overrides the SET with a correlated subquery - visible no-op on the matched row'),
+    ('dialect_issue581_upd_miss', SCRIPT_ISSUE581F, 6, ['id', 'copy'], False, 'UPDATE on the row whose subquery lookup misses keeps NULL'),
+    ('dialect_issue1318_audit', SCRIPT_ISSUE1318F, 0, ['probe'], False, 'index DDL battery + audit UPDATE trigger registered (never fired; documented probe select)'),
 ]
 
 

@@ -214,11 +214,11 @@ def test_ctas_runner_and_oracle(spark):
 
     pdf = run_script(spark, SCRIPT_CTAS).toPandas()
     assert pdf.values.tolist() == [[4, "y"], [6, "y"], [99, "z"]]
-    # oracle cannot type VALUES inserts into a CTAS table (unknown
-    # columns) — that combination raises at build; without it, parity
-    import pytest as _p
-    with _p.raises(ValueError):
-        build_oracle_sql(SCRIPT_CTAS)
+    # since the issue226 fix, the oracle derives the CTAS column list
+    # from the SELECT, so INSERT VALUES into the CTAS table builds too —
+    # assert full runner-vs-oracle parity on the whole script
+    odf_full = duckdb.connect().execute(build_oracle_sql(SCRIPT_CTAS)).df()
+    assert not compare_frames(pdf, odf_full)
     no_insert = SCRIPT_CTAS.replace("insert into dst values (99, 'z');\n", "")
     pdf2 = run_script(spark, no_insert).toPandas()
     odf = duckdb.connect().execute(build_oracle_sql(no_insert)).df()
