@@ -615,18 +615,15 @@ ORDER BY part_value DESC, p_partkey
     doc="TPC-H Q11 important stock — grouped value vs global-total scalar subquery",
 )
 def tpch_q11(spark, sf_dir):
-    # The global 0.001×total threshold is derived from the SAME grouped
-    # aggregate, which Spark re-executes (ReuseExchange misses on the
-    # self-referencing branch, as in q15's original form).  Unlike q15,
-    # the one-scan window alternative would sort #parts rows (SF×200k —
-    # the grouped frame itself) into a single partition, which is the
-    # worse trade at scale; the re-executed pipeline is scan-bound and
-    # scale-safe.  A deployment running this repeatedly CACHES the
-    # value_per_part CTE (SPARK_GRAFT_CACHE_REUSED_AGGS=1), turning
-    # both consumers into memory scans of |parts| rows — measured r7:
-    # sf1 1.21 s → see BENCHMARKS.md round-7 note for the knob's win.
-    import os as _os
-
+    # The global 0.001×total threshold comes from the SAME grouped
+    # aggregate.  The old crossJoin(broadcast(total)) form re-executed
+    # the whole lineitem pipeline for the total (ReuseExchange misses
+    # on the self-referencing branch); the empty-frame window computes
+    # it in ONE pass over the grouped result instead.  The window's
+    # single partition holds |parts| rows (SF×200k ≈ bounded metadata-
+    # scale, NOT fact-scale: ~300 MB at SF100) — cheaper than a second
+    # fact scan at every SF.  A/B at sf1 (round 10, min-of-3):
+    # window 1.38 s vs re-executed 1.53 s; see PLANS.md.
     t = load_tables(spark, sf_dir)
     l, s, n, r = t["lineitem"], t["supplier"], t["nation"], t["region"]  # noqa: E741
     eur_supp = s.join(
@@ -638,13 +635,14 @@ def tpch_q11(spark, sf_dir):
         .groupBy(l["l_partkey"].alias("p_partkey"))
         .agg(F.sum(_rev(l)).alias("val"))
     )
-    if _os.environ.get("SPARK_GRAFT_CACHE_REUSED_AGGS", "0") == "1":
-        from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-        vpp = vpp.persist(StorageLevel.MEMORY_AND_DISK)
-    total = vpp.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    w = Window.partitionBy()
     return (
-        vpp.crossJoin(B(total))
+        vpp.withColumn(
+            "threshold",
+            F.sum("val").over(w).cast("double") * F.lit(0.001),
+        )
         .filter(F.col("val").cast("double") > F.col("threshold"))
         .select("p_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "p_partkey")

@@ -241,7 +241,9 @@ _BNLJ_ALLOWED = {
     "text_bigram_lm_score",  # 1-row broadcast of the vocab size
     "text_bm25_search",  # 1-row broadcast of the (n, avgdl) corpus stats
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
-    "tpch_q11",
+    # tpch_q11 left this list in round 10: the global threshold now
+    # comes from an empty-frame window over the grouped result, not a
+    # 1-row crossJoin broadcast
     "tpch_q22",
     # round-6 issueNNN regressions: every BNLJ side below is KEY-BOUNDED
     # at any SF (explicit key caps or dimension tables), so the product

@@ -105,6 +105,44 @@ def ivf_cell_stats(emb, nlist: int):
     return int(row["pair_space"]), int(row["n_rows"]), int(row["max_cell"])
 
 
+def wall_time_growth(spark, copies=(1, 2, 5)) -> None:
+    """Round-10 VERDICT item 9: measured wall-time growth for the two
+    >1 s non-TPCH entries — the iterative CC loop (dedup_clusters) and
+    the PQ window (knn_pq_adc) — over replicated fixture dirs, so the
+    near-linear claims stay measured, not asserted."""
+    import shutil
+    import tempfile
+
+    from stonedb_spark.queries import all_queries
+
+    qs = all_queries()
+    print()
+    print("| copies | docs | dedup_clusters sec | emb rows | "
+          "knn_pq_adc sec |")
+    print("|---|---|---|---|---|")
+    for k in copies:
+        d = tempfile.mkdtemp(prefix=f"scale{k}x_")
+        docs = salted_docs(spark, k)
+        docs.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        emb = jittered_embeddings(spark, k)
+        emb.write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet"))
+        n_docs = spark.read.parquet(
+            os.path.join(d, "documents.parquet")).count()
+        n_emb = spark.read.parquet(
+            os.path.join(d, "embeddings.parquet")).count()
+        t0 = time.perf_counter()
+        qs["dedup_clusters"].build(spark, d).count()
+        cc_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        qs["knn_pq_adc"].build(spark, d).count()
+        pq_sec = time.perf_counter() - t0
+        print(f"| {k}x | {n_docs} | {cc_sec:.2f} | {n_emb} | "
+              f"{pq_sec:.2f} |")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("scale-rehearsal")
     print("| copies | docs | LSH cand pairs | pairs/doc | cand sec | "
@@ -125,6 +163,7 @@ def main() -> None:
         )
         docs.unpersist()
         emb.unpersist()
+    wall_time_growth(spark)
     spark.stop()
 
 
