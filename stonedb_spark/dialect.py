@@ -108,6 +108,18 @@ def split_mtr(script: str) -> list[Statement]:
             # mark the next statement expect-to-fail
             if re.match(r"--\s*error\b", line, re.I):
                 expect_error = True
+            dfm = re.match(r"--\s*diff_files\s+(\S+)\s+(\S+)", line, re.I)
+            if dfm:
+                # byte-level export verification (issue850): becomes a
+                # synthetic statement the runner checks; the oracle
+                # skips it (no file state)
+                stmts.append(Statement(
+                    "DIFF_FILES "
+                    + dfm.group(1).replace("$MYSQL_TEST_DIR",
+                                           MYSQL_TEST_DIR)
+                    + " " + dfm.group(2).replace("$MYSQL_TEST_DIR",
+                                                 MYSQL_TEST_DIR)
+                ))
             continue
         dm = (
             re.match(r"^DELIMITER\s+(\S+)\s*$", line, re.I)
@@ -166,8 +178,46 @@ def split_mtr(script: str) -> list[Statement]:
     # triggers expand BEFORE db-prefix stripping: the cross-db trigger
     # validation legs (1435/1146 analogs) need the original qualifiers
     stmts = _expand_prepare(stmts)
-    stmts = _expand_triggers(_expand_procedures(_split_multi_set(stmts)))
+    stmts = _expand_select_assigns(
+        _expand_procedures(_split_multi_set(stmts)))
+    stmts = _expand_triggers(stmts)
     return _batch_single_inserts(_strip_db_prefixes(stmts))
+
+
+def _expand_select_assigns(stmts: list) -> list:
+    """FROM-less ``SELECT @v := expr AS alias, …`` (procedure.test's
+    math() body): assign via a SET statement, select the bare
+    expression.  Per-row assignment over a FROM relation is genuinely
+    sequential state and stays unsupported (issue1910/1662)."""
+    out: list = []
+    for st in stmts:
+        masked = _ANY_STRLIT.sub("''", st.text)
+        m = re.match(r"(?is)^\s*SELECT\s+(.+)$", st.text)
+        if not (
+            m
+            and not st.expect_error
+            and re.search(r"@\w+\s*:=", masked)
+            and not re.search(r"(?i)\bFROM\b", masked)
+        ):
+            out.append(st)
+            continue
+        new_items: list[str] = []
+        pre: list = []
+        for it in _split_top_commas(m.group(1)):
+            am = re.match(
+                r"(?is)^\s*@(\w+)\s*:=\s*(.+?)"
+                r"(\s+AS\s+(?:`[^`]+`|\w+))?\s*$", it)
+            if am:
+                pre.append(Statement(
+                    f"SET @{am.group(1)} = {am.group(2).strip()}"))
+                alias = am.group(3) or f" AS {am.group(1)}"
+                new_items.append(f"({am.group(2).strip()}){alias}")
+            else:
+                new_items.append(it.strip())
+        out.extend(pre)
+        out.append(Statement("SELECT " + ", ".join(new_items),
+                             st.expect_error))
+    return out
 
 
 def _expand_prepare(stmts: list[Statement]) -> list[Statement]:
@@ -1489,8 +1539,11 @@ def _norm_eval(text: str) -> str:
 
 
 _CREATE_PROC = re.compile(
+    # a '//'-delimited body may keep its final 'END;' semicolon
+    # (procedure.test's doinsert); labels before BEGIN allowed
+    # (issue1855's wholeblock:BEGIN)
     r"^\s*CREATE\s+PROCEDURE\s+(`[^`]+`|\w+)\s*\(([^)]*)\)\s*"
-    r"BEGIN\b(.*)\bEND\s*$",
+    r"(?:\w+\s*:\s*)?BEGIN\b(.*)\bEND\s*;?\s*$",
     re.I | re.S,
 )
 
@@ -1529,26 +1582,82 @@ def _peval(expr: str, pvars: dict):
     """Evaluate a procedure-local scalar expression (loop counters and
     conditions: ``i``, ``i + 1``, ``i < 5000``).  Identifiers resolve
     from ``pvars``; the substituted text must be pure arithmetic —
-    anything else is rejected.  Bounded to MTR-scale interpretation."""
+    non-arithmetic scalar shapes (CONCAT, MOD — procedure.test) fall
+    back to a table-free DuckDB evaluation.  Bounded to MTR-scale
+    interpretation."""
+    try:
+        return _peval_python(expr, pvars)
+    except ValueError:
+        return _peval_duck(expr, pvars)
+
+
+def _peval_duck(expr: str, pvars: dict):
+    """SQL-evaluate a procedure expression with locals bound as SQL
+    literals on a bare DuckDB connection."""
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f"\x06{len(lits) - 1}\x06"
+
+    masked = _ANY_STRLIT.sub(_mask, expr)
+
+    def sub(m: re.Match) -> str:
+        k = m.group(0).lower()
+        if k in pvars:
+            v = pvars[k]
+            if v is None:
+                return "NULL"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
+        return m.group(0)  # SQL function/keyword — DuckDB's problem
+
+    t = re.sub(r"\b[A-Za-z_]\w*\b", sub, masked)
+    t = re.sub(r"\x06(\d+)\x06", lambda m: lits[int(m.group(1))], t)
+    try:
+        import duckdb as _dd
+
+        return _dd.connect().execute(
+            f"SELECT ({rewrite_expr(t, 'duck')})"
+        ).fetchone()[0]
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(
+            f"procedure: unsupported expression {expr[:60]}"
+        ) from exc
+
+
+def _peval_python(expr: str, pvars: dict):
     def sub(m: re.Match) -> str:
         k = m.group(0).lower()
         if k in pvars:
             return repr(pvars[k])
         raise ValueError(f"procedure: unknown variable '{m.group(0)}'")
 
-    text = re.sub(r"\b[A-Za-z_]\w*\b", sub, expr)
+    # string literals are DATA — mask before identifier substitution
+    # (proc02's DEFAULT 'aaa' must not read as a variable named aaa)
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f"\x06{len(lits) - 1}\x06"
+
+    masked = _ANY_STRLIT.sub(_mask, expr)
+    text = re.sub(r"\b[A-Za-z_]\w*\b", sub, masked)
     text = text.replace("&&", " and ").replace("||", " or ")
-    if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*|.*\b(and|or)\b.*", text):
+    check = re.sub(r"\x06\d+\x06", "''", text)
+    if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*|.*\b(and|or)\b.*", check):
         raise ValueError(f"procedure: unsupported expression {expr[:60]}")
     # the and/or alternative alone would accept arbitrary text — mirror
     # _pe_const: no letters may remain once and/or tokens are stripped,
     # and the residue must stay inside the arithmetic charset
-    residue = re.sub(r"\b(and|or)\b", "", text)
+    residue = re.sub(r"\b(and|or)\b", "", check)
     residue = re.sub(r"'[^']*'", "''", residue)  # quoted values are data
     if not re.fullmatch(r"[\d\s+\-*/%<>=!().']*", residue):
         raise ValueError(f"procedure: unsupported expression {expr[:60]}")
     text = text.replace("<>", "!=")
     text = re.sub(r"(?<![<>!=])=(?!=)", "==", text)
+    text = re.sub(r"\x06(\d+)\x06", lambda m: lits[int(m.group(1))], text)
     return eval(  # noqa: S307 — charset-restricted arithmetic only
         text, {"__builtins__": {}}, {}
     )
@@ -1562,7 +1671,7 @@ def _interp_proc(tokens: list[str], pvars: dict, out: list[str]) -> None:
     while i < len(tokens):
         t = tokens[i]
         dm = re.match(
-            r"^\s*DECLARE\s+(\w+)\s+\w+(?:\(\d+\))?"
+            r"^\s*DECLARE\s+(\w+)\s+\w+\s*(?:\(\s*\d+\s*\))?"
             r"(?:\s+DEFAULT\s+(.+))?\s*$",
             t, re.I | re.S,
         )
@@ -1638,6 +1747,113 @@ def _interp_proc(tokens: list[str], pvars: dict, out: list[str]) -> None:
                     raise ValueError("procedure: WHILE guard exceeded")
             i += 1  # past END WHILE
             continue
+        rm = re.match(r"(?i)^\s*REPEAT\b\s*(.*)$", t, re.S)
+        if rm:  # REPEAT … UNTIL cond END REPEAT (procedure.test)
+            block = [rm.group(1).strip()] if rm.group(1).strip() else []
+            j = i + 1
+            cond = None
+            while j < len(tokens):
+                um = re.match(
+                    r"(?i)^\s*UNTIL\s+(.+?)\s+END\s+REPEAT\s*$",
+                    tokens[j], re.S)
+                if um:
+                    cond = um.group(1)
+                    break
+                block.append(tokens[j])
+                j += 1
+            if cond is None:
+                raise ValueError("procedure: REPEAT without UNTIL")
+            guard = 0
+            while True:
+                _interp_proc(list(block), pvars, out)
+                if _peval(cond, pvars):
+                    break
+                guard += 1
+                if guard > 1_000_000:
+                    raise ValueError("procedure: REPEAT guard exceeded")
+            i = j + 1
+            continue
+        lm2 = re.match(r"(?i)^\s*(\w+)\s*:\s*LOOP\b\s*(.*)$", t, re.S)
+        if lm2:  # labeled LOOP with LEAVE/ITERATE (test_mysql_loop)
+            label = lm2.group(1).lower()
+            block = [lm2.group(2).strip()] if lm2.group(2).strip() else []
+            depth, j = 1, i + 1
+            while j < len(tokens):
+                tk = tokens[j]
+                if re.match(r"(?i)^\s*(\w+\s*:\s*)?LOOP\b", tk):
+                    depth += 1
+                if re.fullmatch(r"(?i)\s*END\s+LOOP(\s+\w+)?\s*", tk):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                block.append(tk)
+                j += 1
+            for _ in range(1_000_000):
+                try:
+                    _interp_proc(list(block), pvars, out)
+                except _LoopLeave as e:
+                    if e.label == label:
+                        break
+                    raise
+                except _LoopIter as e:
+                    if e.label == label:
+                        continue
+                    raise
+            else:
+                raise ValueError("procedure: LOOP did not terminate")
+            i = j + 1
+            continue
+        lv = re.match(r"(?i)^\s*LEAVE\s+(\w+)\s*$", t)
+        if lv:
+            raise _LoopLeave(lv.group(1).lower())
+        iv = re.match(r"(?i)^\s*ITERATE\s+(\w+)\s*$", t)
+        if iv:
+            raise _LoopIter(iv.group(1).lower())
+        cm2 = re.match(
+            r"(?i)^\s*CASE\s+(.+?)\s+WHEN\s+(.+?)\s+THEN\b(.*)$",
+            t, re.S)
+        if cm2:  # CASE scrut WHEN v THEN stmts … END CASE (pro_test)
+            scrut = _peval(cm2.group(1), pvars)
+            first = [cm2.group(3).strip()] if cm2.group(3).strip() else []
+            branches = [(cm2.group(2), first)]
+            else_block = None
+            cur = branches[0][1]
+            j = i + 1
+            while j < len(tokens):
+                tk = tokens[j].strip()
+                if re.fullmatch(r"(?i)END\s+CASE", tk):
+                    break
+                wm2 = re.match(r"(?i)^WHEN\s+(.+?)\s+THEN\b(.*)$",
+                               tk, re.S)
+                if wm2:
+                    cur = ([wm2.group(2).strip()]
+                           if wm2.group(2).strip() else [])
+                    branches.append((wm2.group(1), cur))
+                    j += 1
+                    continue
+                em2 = re.match(r"(?i)^ELSE\b(.*)$", tk, re.S)
+                if em2:
+                    else_block = ([em2.group(1).strip()]
+                                  if em2.group(1).strip() else [])
+                    cur = else_block
+                    j += 1
+                    continue
+                cur.append(tk)
+                j += 1
+            chosen = None
+            for condv, blk in branches:
+                if _peval(condv, pvars) == scrut:
+                    chosen = blk
+                    break
+            if chosen is None:
+                chosen = else_block or []
+            chosen = [
+                c for c in chosen
+                if not re.fullmatch(r"(?i)\s*(BEGIN(\s+END)?|END)\s*", c)
+            ]
+            _interp_proc(chosen, pvars, out)
+            i = j + 1
+            continue
         # plain statement: substitute loop variables as literals
         def subvar(m: re.Match) -> str:
             k = m.group(0).lower()
@@ -1646,9 +1862,20 @@ def _interp_proc(tokens: list[str], pvars: dict, out: list[str]) -> None:
                 return repr(v) if isinstance(v, str) else str(v)
             return m.group(0)
 
-        out.append(_sub_outside_strings(
-            t, re.compile(r"\b[A-Za-z_]\w*\b"), subvar
-        ))
+        # alias positions keep their NAME (myadd's `select c as c`)
+        aliases: list[str] = []
+
+        def _am(m: re.Match) -> str:
+            aliases.append(m.group(0))
+            return f"\x08{len(aliases) - 1}\x08"
+
+        t2 = re.sub(r"(?i)\bAS\s+(`[^`]+`|\w+)", _am, t)
+        t2 = _sub_outside_strings(
+            t2, re.compile(r"\b[A-Za-z_]\w*\b"), subvar
+        )
+        t2 = re.sub(r"\x08(\d+)\x08",
+                    lambda m: aliases[int(m.group(1))], t2)
+        out.append(t2)
         i += 1
 
 
@@ -1709,8 +1936,22 @@ def _expand_procedures(stmts: list[Statement]) -> list[Statement]:
             pvars = {
                 p.lower(): _peval(a, {}) for p, a in zip(pnames, args)
             }
+            # strip MySQL `-- comment` tails (string-masked): the
+            # ';'-split would otherwise glue a comment to the NEXT
+            # statement (procedure.test's annotated DECLAREs)
+            lits2: list[str] = []
+
+            def _m2(mm: re.Match) -> str:
+                lits2.append(mm.group(0))
+                return f"\x07{len(lits2) - 1}\x07"
+
+            body2 = _ANY_STRLIT.sub(_m2, body)
+            body2 = re.sub(r"(?m)--\s[^\n]*", " ", body2)
+            body2 = re.sub(
+                r"\x07(\d+)\x07", lambda m: lits2[int(m.group(1))], body2
+            )
             emitted: list[str] = []
-            _interp_proc(_split_semis(body), pvars, emitted)
+            _interp_proc(_split_semis(body2), pvars, emitted)
             # batch consecutive single-row INSERTs into one statement
             j = 0
             while j < len(emitted):
@@ -4830,6 +5071,17 @@ def rewrite_expr(sql: str, engine: str) -> str:
         # with a depth scan — DAY(LAST_DAY(CONCAT(…))) nests deeper
         # than a bounded regex).
         sql = _rewrite_between_mix_duck(sql)
+    # MySQL `x IN (NOT NULL)` evaluates NOT NULL → NULL (issue1332's
+    # boundary battery); Spark's coercion refuses BIGINT-vs-BOOLEAN
+    sql = re.sub(r"(?i)\bIN\s*\(\s*NOT\s+NULL\s*\)", "IN (NULL)", sql)
+    # MySQL reads 1-3 digit years in temporal literals ('111-11-10' =
+    # year 111); both engines want 4 digits (issue1332's BETWEEN)
+    sql = re.sub(
+        r"'(\d{1,3})-(\d{1,2})-(\d{1,2})((?: [\d:.]+)?)'",
+        lambda m: (f"'{int(m.group(1)):04d}-{int(m.group(2)):02d}-"
+                   f"{int(m.group(3)):02d}{m.group(4)}'"),
+        sql,
+    )
     # VERSION(): the reference server reports 5.7.36-StoneDB-vX.Y.Z
     # (sql/mysqld.cc:8106; X.Y.Z is stamped at build time — issue1251
     # only regexp-checks the shape)
@@ -5271,9 +5523,15 @@ def rewrite_expr(sql: str, engine: str) -> str:
         # MySQL L/RTRIM coerce numeric args to text; DuckDB demands
         # VARCHAR (tohanzi's LTRIM(RTRIM(ROUND(decimal, 2))))
         def _trim_fn(i: str, f: str) -> str:
-            if len(_split_top_commas(i)) > 1 or re.match(r"\s*'", i):
-                return f"{f}({i})"
-            return f"{f}(CAST(({i}) AS VARCHAR))"
+            # cast only numeric-producing args (tohanzi's
+            # RTRIM(ROUND(decimal, 2))): a bare column must keep its
+            # name — the cast would rename the unaliased output column
+            if len(_split_top_commas(i)) == 1 and re.match(
+                r"(?i)\s*(?:ROUND|CAST|FLOOR|CEILING|CEIL|TRUNCATE"
+                r"|ABS)\s*\(|^\s*-?\d", i,
+            ):
+                return f"{f}(CAST(({i}) AS VARCHAR))"
+            return f"{f}({i})"
 
         for _tf in ("LTRIM", "RTRIM"):
             sql = _wrap_calls(sql, _tf,
@@ -7403,7 +7661,8 @@ _IGNORED = re.compile(
     r"SELECT\s+@@|"  # system-variable probes: deployment introspection
     r"EXPLAIN\b|ANALYZE\s+TABLE|CHECK\s+TABLE|OPTIMIZE\s+TABLE|"
     r"LOCK\s+TABLES|UNLOCK\s+TABLES|"
-    r"ALTER\s+FUNCTION)",  # comment-only metadata (user_function.test)
+    r"DIFF_FILES\b|"  # runner-side file check; no oracle state
+    r"ALTER\s+(FUNCTION|PROCEDURE))",  # comment-only metadata
     re.I,
 )
 
@@ -10050,6 +10309,43 @@ def run_statement(run: MTRRun, stmt: str):
             schema="Field string, Type string, `Null` string, "
                    "Key string, `Default` string, Extra string",
         )
+    dfm = re.match(r"^\s*DIFF_FILES\s+(\S+)\s+(\S+)\s*$", s)
+    if dfm:
+        # MTR --diff_files: compare the committed expected export with
+        # the file this run produced.  Lines compare as a SORTED
+        # multiset — the content is byte-exact per line, but a Spark
+        # write's global row order is partition order, not tianmu's
+        # storage order (same normalization class as issue1848's
+        # GROUP_CONCAT note).
+        import glob as _glob
+
+        def _read_lines(p: str) -> list[str]:
+            # the $-identifier pass backticks unquoted $VARDIR paths
+            p = p.replace("`", "")
+            p = run.outfiles.get(p, p)
+            if os.path.isdir(p):  # a Spark text-write directory
+                parts = sorted(_glob.glob(os.path.join(p, "part-*")))
+                raw = b"".join(open(f, "rb").read() for f in parts)
+            else:
+                raw = open(p, "rb").read()
+            return sorted(
+                raw.decode("utf-8", errors="surrogateescape")
+                .replace("\r\n", "\n").rstrip("\n").split("\n")
+            )
+
+        a, b = _read_lines(dfm.group(1)), _read_lines(dfm.group(2))
+        if a != b:
+            na, nb = len(a), len(b)
+            first = next(
+                (i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                min(na, nb),
+            )
+            raise ValueError(
+                f"--diff_files mismatch: {na} vs {nb} lines, first "
+                f"difference at sorted line {first} "
+                f"(MTR diff_files analog)"
+            )
+        return None
     if _IGNORED.match(s):
         return None
     ofm = (

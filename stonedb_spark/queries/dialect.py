@@ -29,6 +29,20 @@ from stonedb_spark.dialect import build_oracle_sql, run_script
 from stonedb_spark.queries import register
 
 SOURCES = {
+    'dialect_proc_select_assign': ('procedure.test', [(1, 260)]),
+    'dialect_proc_while_str': ('procedure.test', [(1, 260)]),
+    'dialect_proc_repeat': ('procedure.test', [(1, 260)]),
+    'dialect_proc_loop_iterate': ('procedure.test', [(1, 260)]),
+    'dialect_proc_case_sel': ('procedure.test', [(1, 260)]),
+    'dialect_proc_doiterate': ('procedure.test', [(1, 260)]),
+    'dialect_issue1065_procgen': ('issue1065.test', [(1, 213)]),
+    'dialect_issue1332_btw_min': ('issue1332.test', [(1, 176)]),
+    'dialect_issue1332_null_bat': ('issue1332.test', [(1, 176)]),
+    'dialect_issue1332_year3': ('issue1332.test', [(1, 176)]),
+    'dialect_issue1332_single': ('issue1332.test', [(1, 176)]),
+    'dialect_issue850_export': ('issue850.test', [(1, 92)]),
+    'dialect_issue1855_sumlen': ('issue1855.test', [(1, 33)]),
+    'dialect_issue1855_sumdiv': ('issue1855.test', [(1, 33)]),
     'dialect_issue538_fn_proj': ('issue538.test', [(1, 265)]),
     'dialect_issue538_fn_on': ('issue538.test', [(1, 265)]),
     'dialect_issue538_fn_agg': ('issue538.test', [(1, 265)]),
@@ -19212,6 +19226,790 @@ DROP DATABASE issue538_test;
 """
 
 
+SCRIPT_ISSUE850F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue850_test;
+--enable_warnings
+
+CREATE DATABASE issue850_test;
+
+USE issue850_test;
+
+CREATE TABLE IF NOT EXISTS `lineorder` (
+  `lo_orderkey` int NOT NULL COMMENT "",
+  `lo_linenumber` int NOT NULL COMMENT "",
+  `lo_custkey` int NOT NULL COMMENT "",
+  `lo_partkey` int NOT NULL COMMENT "",
+  `lo_suppkey` int NOT NULL COMMENT "",
+  `lo_orderdate` int NOT NULL COMMENT "",
+  `lo_orderpriority` varchar(16) NOT NULL COMMENT "",
+  `lo_shippriority` int NOT NULL COMMENT "",
+  `lo_quantity` int NOT NULL COMMENT "",
+  `lo_extendedprice` int NOT NULL COMMENT "",
+  `lo_ordtotalprice` int NOT NULL COMMENT "",
+  `lo_discount` int NOT NULL COMMENT "",
+  `lo_revenue` int NOT NULL COMMENT "",
+  `lo_supplycost` int NOT NULL COMMENT "",
+  `lo_tax` int NOT NULL COMMENT "",
+  `lo_commitdate` int NOT NULL COMMENT "",
+  `lo_shipmode` varchar(11) NOT NULL COMMENT ""
+)engine = tianmu;
+
+CREATE TABLE IF NOT EXISTS `customer` (
+  `c_custkey` int(11) NOT NULL COMMENT "",
+  `c_name` varchar(26) NOT NULL COMMENT "",
+  `c_address` varchar(41) NOT NULL COMMENT "",
+  `c_city` varchar(11) NOT NULL COMMENT "",
+  `c_nation` varchar(16) NOT NULL COMMENT "",
+  `c_region` varchar(13) NOT NULL COMMENT "",
+  `c_phone` varchar(16) NOT NULL COMMENT "",
+  `c_mktsegment` varchar(11) NOT NULL COMMENT ""
+)engine = tianmu;
+
+CREATE TABLE IF NOT EXISTS `supplier` (
+  `s_suppkey` int(11) NOT NULL COMMENT "",
+  `s_name` varchar(26) NOT NULL COMMENT "",
+  `s_address` varchar(26) NOT NULL COMMENT "",
+  `s_city` varchar(11) NOT NULL COMMENT "",
+  `s_nation` varchar(16) NOT NULL COMMENT "",
+  `s_region` varchar(13) NOT NULL COMMENT "",
+  `s_phone` varchar(16) NOT NULL COMMENT ""
+)engine = tianmu;
+
+CREATE TABLE IF NOT EXISTS `part` (
+  `p_partkey` int(11) NOT NULL COMMENT "",
+  `p_name` varchar(23) NOT NULL COMMENT "",
+  `p_mfgr` varchar(7) NOT NULL COMMENT "",
+  `p_category` varchar(8) NOT NULL COMMENT "",
+  `p_brand` varchar(10) NOT NULL COMMENT "",
+  `p_color` varchar(12) NOT NULL COMMENT "",
+  `p_type` varchar(26) NOT NULL COMMENT "",
+  `p_size` int(11) NOT NULL COMMENT "",
+  `p_container` varchar(11) NOT NULL COMMENT ""
+) engine = tianmu;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue850_customer.txt' into table customer fields terminated by '|';
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue850_lineorder.txt' into table lineorder fields terminated by '|';
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue850_part.txt' into table part fields terminated by '|';
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue850_supplier.txt' into table supplier fields terminated by '|';
+
+--replace_result $MYSQLTEST_VARDIR MYSQLTEST_VARDIR
+eval select `LO_ORDERDATE` , `LO_ORDERKEY` , `LO_LINENUMBER` , `LO_CUSTKEY` , `LO_PARTKEY` , `LO_SUPPKEY` , `LO_ORDERPRIORITY` , `LO_SHIPPRIORITY` , `LO_QUANTITY` , `LO_EXTENDEDPRICE` , `LO_ORDTOTALPRICE` , `LO_DISCOUNT` , `LO_REVENUE` , `LO_SUPPLYCOST` , `LO_TAX` , `LO_COMMITDATE` , `LO_SHIPMODE` , `C_NAME` , `C_ADDRESS` , `C_CITY` , `C_NATION` , `C_REGION` , `C_PHONE` , `C_MKTSEGMENT` , `S_NAME` , `S_ADDRESS` , `S_CITY` , `S_NATION` , `S_REGION` , `S_PHONE` , `P_NAME` , `P_MFGR` , `P_CATEGORY` , `P_BRAND` , `P_COLOR` , `P_TYPE` , `P_SIZE` , `P_CONTAINER` from lineorder l INNER JOIN customer c ON (c.C_CUSTKEY = l.LO_CUSTKEY)  INNER JOIN supplier s ON (s.S_SUPPKEY = l.LO_SUPPKEY)  INNER JOIN part p ON  (p.P_PARTKEY = l.LO_PARTKEY) where lo_orderdate >=19980101 and lo_orderdate <19990101 INTO OUTFILE "$MYSQLTEST_VARDIR/tmp/issue850_out.txt" fields terminated by ',' optionally enclosed by '"' escaped by '"' lines terminated by '\\r\\n';
+--diff_files $MYSQL_TEST_DIR/suite/tianmu/std_data/issue850_out.txt $MYSQLTEST_VARDIR/tmp/issue850_out.txt
+
+--remove_file $MYSQLTEST_VARDIR/tmp/issue850_out.txt
+
+# PROBE (not in the reference file): the --diff_files check above is
+# the verification (byte-exact per line, sorted); prove the load ran
+SELECT COUNT(*) AS probe FROM lineorder;
+drop table customer;
+drop table lineorder;
+drop table part;
+drop table supplier;
+
+DROP DATABASE issue850_test;
+"""
+
+SCRIPT_ISSUE1855F = """-- source include/have_tianmu.inc
+
+--disable_warnings
+
+--disable_query_log
+
+DROP DATABASE IF EXISTS issue1855_test_db;
+CREATE DATABASE issue1855_test_db;
+
+USE issue1855_test_db;
+
+DROP TABLE IF EXISTS squence;
+
+CREATE TABLE ttt (
+  p_id varchar(50) NOT NULL,
+  p_val int NOT NULL
+) ENGINE=TIANMU AUTO_INCREMENT=3000000004910127 DEFAULT CHARSET=utf8mb4;
+
+INSERT INTO `ttt` 
+VALUES("THIS IS", 20),
+("THIS IS", 5),
+("A TEST", 2),
+("FOR SUM LENGTH", 10);
+--enable_query_log
+
+SELECT SUM(LENGTH(p_id)) FROM ttt;
+
+SELECT SUM(LENGTH(p_id)/2) FROM ttt;
+
+SELECT SUM(LENGTH(p_val)) FROM ttt;
+
+SELECT SUM(LENGTH(p_val)/2) FROM ttt;
+"""
+
+SCRIPT_ISSUE1332F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1332;
+--enable_warnings
+CREATE DATABASE issue1332;
+USE issue1332;
+
+--disable_warnings
+drop table if exists tb;
+--enable_warnings
+
+
+# fix between ... and ... : https://github.com/stoneatom/stonedb/issues/1332
+# test values with boundary, with not null, tinyint~mediumint never be overflow, decimal cond has been tested in where_conditions.test.
+create table tb(a bigint, b int, c DATETIME) engine=tianmu;
+insert into tb values(-9223372036854775806, 2147483647, '1111-11-11 11:11:11'),
+       (-922337203685477580, -2147483647, '1111-11-11 11:11:11'),
+       (-55, -55, '1111-11-11 11:11:11'),
+       (-22, 22, '1111-11-11 11:11:11'),
+       (-10, 33, '1111-11-11 11:11:11'),
+       (-4, 44, '1111-11-11 11:11:11'),
+       (0, 0, '1111-11-11 11:11:11'),
+       (2, 2, '1111-11-11 11:11:11'),
+       (6, 6, '1111-11-11 11:11:11'),
+       (9223372036854775807, 8, '1111-11-11 11:11:11');
+select * from tb;
+select * from tb where a < -10;
+select * from tb where a > 4567890123456789;
+select * from tb where a > 0;
+select * from tb where a between -9223372036854775806 and 0;
+select * from tb where a between -9223372036854775807 and 0; # NULL_VALUE
+select * from tb where a between -9223372036854775808 and 9223372036854775807; # min~max
+select * from tb where a between -22 and 7;
+select * from tb where a not in (3);
+select * from tb where a not in (-3,3);
+select * from tb where a not in (-3);
+select * from tb where a in (-3);
+select * from tb where a in (-3, 3);
+select * from tb where a in (select sum(b) from tb where b < 6);
+select * from tb where a is null; # emtpy
+select * from tb where a is not null; # emtpy
+select * from tb where a in (not null); # emtpy
+select * from tb where a not in (null); # emtpy
+
+select * from tb where b < -10;
+select * from tb where b < 2147483647;
+select * from tb where b > -2147483647;
+select * from tb where b > 0;
+select * from tb where b between -2147483647 and 0;
+select * from tb where b between -22 and 7;
+select * from tb where b not in (3);
+select * from tb where b not in (-3,3);
+select * from tb where b not in (-3);
+select * from tb where b in (-3);
+select * from tb where b in (-3, 3);
+select * from tb where b is null; # emtpy
+select * from tb where b is not null; # emtpy
+select * from tb where b in (not null); # emtpy
+select * from tb where b not in (null); # emtpy
+SELECT * FROM tb WHERE c BETWEEN '111-11-10' AND '1111-11-12';
+
+# test with null
+insert into tb values(null, null, null), (null, null, null);
+select * from tb;
+select * from tb where a < -10;
+select * from tb where a > 4567890123456789;
+select * from tb where a > 0;
+select * from tb where a between -9223372036854775806 and 0;
+select * from tb where a between -22 and 7;
+select * from tb where a not in (3);
+select * from tb where a not in (-3,3);
+select * from tb where a not in (-3);
+select * from tb where a in (-3);
+select * from tb where a in (-3, 3);
+select * from tb where a is null; # emtpy
+select * from tb where a is not null; # emtpy
+select * from tb where a in (not null); # emtpy
+select * from tb where a not in (null); # emtpy
+
+drop table tb;
+
+# test normal values, with not null
+create table tb(a bigint) engine=tianmu;
+insert into tb values(-55), (-22), (-10), (-4), (0), (2), (6);
+select * from tb;
+select * from tb where a < -55;
+select * from tb where a < 0;
+select * from tb where a > 6;
+select * from tb where a > 0;
+select * from tb where a between -9223372036854775806 and 0;
+select * from tb where a between -22 and 7;
+select * from tb where a between 22 and 33;
+select * from tb where a between -555 and -56;
+select * from tb where a not in (3333);
+select * from tb where a not in (-3,3333);
+select * from tb where a not in (-33333);
+select * from tb where a in (-3);
+select * from tb where a in (-3, 3);
+select * from tb where a is null; # emtpy
+select * from tb where a is not null; # emtpy
+select * from tb where a in (not null); # emtpy
+select * from tb where a not in (null); # emtpy
+
+# test with null
+insert into tb values(null), (null);
+select * from tb;
+select * from tb where a < -55;
+select * from tb where a < 0;
+select * from tb where a > 6;
+select * from tb where a > 0;
+select * from tb where a between -9223372036854775806 and 0;
+select * from tb where a between -9223372036854775807 and 0;
+select * from tb where a between -22 and 7;
+select * from tb where a between 22 and 33;
+select * from tb where a between -555 and -56;
+select * from tb where a not in (3333);
+select * from tb where a not in (-3,3333);
+select * from tb where a not in (-33333);
+select * from tb where a in (-3);
+select * from tb where a in (-3, 3);
+select * from tb where a is null; # emtpy
+select * from tb where a is not null; # emtpy
+select * from tb where a in (not null); # emtpy
+select * from tb where a not in (null); # emtpy
+
+drop table tb;
+
+# test max=min, with not null
+create table tb(a bigint) engine=tianmu;
+insert into tb values(0), (0), (0);
+select * from tb;
+select * from tb where a < -55;
+select * from tb where a > 0;
+select * from tb where a > -1;
+select * from tb where a between -3 and -1;
+select * from tb where a between 1 and 3;
+select * from tb where a between 0 and 0;
+select * from tb where a between -1 and 3;
+select * from tb where a between -1 and 0;
+select * from tb where a between 0 and 3;
+select * from tb where a not in (3);
+select * from tb where a not in (-3,3);
+select * from tb where a not in (-125);
+select * from tb where a in (-3);
+select * from tb where a in (-3, 3);
+select * from tb where a is null; # emtpy
+select * from tb where a is not null; # emtpy
+select * from tb where a in (not null); # emtpy
+select * from tb where a not in (null); # emtpy
+
+# test with null
+insert into tb values(null), (null);
+select * from tb;
+select * from tb where a < -55;
+select * from tb where a > 0;
+select * from tb where a > -1;
+select * from tb where a between -3 and -1;
+select * from tb where a between 1 and 3;
+select * from tb where a between 0 and 0;
+select * from tb where a between -1 and 3;
+select * from tb where a between -1 and 0;
+select * from tb where a between 0 and 3;
+select * from tb where a not in (3);
+select * from tb where a not in (-3,3);
+select * from tb where a not in (-125);
+select * from tb where a in (-3);
+select * from tb where a in (-3, 3);
+select * from tb where a is null; # emtpy
+select * from tb where a is not null; # emtpy
+select * from tb where a in (not null); # emtpy
+select * from tb where a not in (null); # emtpy
+
+drop table tb;
+
+DROP DATABASE issue1332;
+"""
+
+SCRIPT_ISSUE1065F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1065_test;
+--enable_warnings
+
+CREATE DATABASE issue1065_test;
+
+USE issue1065_test;
+
+--disable_warnings
+set tianmu_mandatory=OFF;
+set tianmu_no_key_error=OFF;
+--enable_warnings
+--disable_warnings
+drop table if exists t_test; 
+--enable_warnings
+
+CREATE TABLE t_test(
+  id INT NOT NULL AUTO_INCREMENT,
+  first_name VARCHAR(10) NOT NULL,
+  last_name VARCHAR(10) NOT NULL,
+  sex VARCHAR(5) NOT NULL,
+  score INT NOT NULL,
+  copy_id INT NOT NULL,
+  PRIMARY KEY (`id`)
+) engine=tianmu;
+
+DELIMITER //;
+    create PROCEDURE add_user(in num INT)
+    BEGIN
+        DECLARE rowid INT DEFAULT 0;
+        DECLARE firstname CHAR(1);
+        DECLARE name1 CHAR(1);
+        DECLARE name2 CHAR(1);
+        DECLARE lastname VARCHAR(3) DEFAULT '';
+        DECLARE sex CHAR(1);
+        DECLARE score CHAR(2);
+        WHILE rowid < num DO
+        SET firstname = SUBSTRING('赵钱孙李周吴郑王林杨柳刘孙陈江阮侯邹高彭徐',FLOOR(1+21*RAND()),1); 
+        SET name1 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET name2 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET sex=FLOOR(0 + (RAND() * 2));
+        SET score= FLOOR(40 + (RAND() *60));
+        SET rowid = rowid + 1;
+        IF ROUND(RAND())=0 THEN 
+        SET lastname =name1;
+        END IF;
+        IF ROUND(RAND())=1 THEN
+        SET lastname = CONCAT(name1,name2);
+        END IF;
+        insert INTO t_test(first_name,last_name,sex,score,copy_id) VALUES (firstname,lastname,sex,score,rowid);  
+        END WHILE;
+    END //
+DELIMITER ;//
+
+drop  PROCEDURE add_user;
+
+--disable_warnings
+set tianmu_mandatory=ON;
+set tianmu_no_key_error=ON;
+--enable_warnings
+
+DELIMITER //;
+    create PROCEDURE add_user(in num INT)
+    BEGIN
+        DECLARE rowid INT DEFAULT 0;
+        DECLARE firstname CHAR(1);
+        DECLARE name1 CHAR(1);
+        DECLARE name2 CHAR(1);
+        DECLARE lastname VARCHAR(3) DEFAULT '';
+        DECLARE sex CHAR(1);
+        DECLARE score CHAR(2);
+        WHILE rowid < num DO
+        SET firstname = SUBSTRING('赵钱孙李周吴郑王林杨柳刘孙陈江阮侯邹高彭徐',FLOOR(1+21*RAND()),1); 
+        SET name1 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET name2 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET sex=FLOOR(0 + (RAND() * 2));
+        SET score= FLOOR(40 + (RAND() *60));
+        SET rowid = rowid + 1;
+        IF ROUND(RAND())=0 THEN 
+        SET lastname =name1;
+        END IF;
+        IF ROUND(RAND())=1 THEN
+        SET lastname = CONCAT(name1,name2);
+        END IF;
+        insert INTO t_test(first_name,last_name,sex,score,copy_id) VALUES (firstname,lastname,sex,score,rowid);  
+        END WHILE;
+    END //
+DELIMITER ;//
+
+drop  PROCEDURE add_user;
+
+--disable_warnings
+set tianmu_mandatory=OFF;
+set tianmu_no_key_error=OFF;
+--enable_warnings
+
+DELIMITER //;
+    create PROCEDURE add_user(in num INT)
+    BEGIN
+        DECLARE rowid INT DEFAULT 0;
+        DECLARE firstname CHAR(1);
+        DECLARE name1 CHAR(1);
+        DECLARE name2 CHAR(1);
+        DECLARE lastname VARCHAR(3) DEFAULT '';
+        DECLARE sex CHAR(1);
+        DECLARE score CHAR(2);
+        WHILE rowid < num DO
+        SET firstname = SUBSTRING('赵钱孙李周吴郑王林杨柳刘孙陈江阮侯邹高彭徐',FLOOR(1+21*RAND()),1); 
+        SET name1 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET name2 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET sex=FLOOR(0 + (RAND() * 2));
+        SET score= FLOOR(40 + (RAND() *60));
+        SET rowid = rowid + 1;
+        IF ROUND(RAND())=0 THEN 
+        SET lastname =name1;
+        END IF;
+        IF ROUND(RAND())=1 THEN
+        SET lastname = CONCAT(name1,name2);
+        END IF;
+        insert INTO t_test(first_name,last_name,sex,score,copy_id) VALUES (firstname,lastname,sex,score,rowid);  
+        END WHILE;
+    END //
+DELIMITER ;//
+
+drop  PROCEDURE add_user;
+
+drop table t_test;
+
+CREATE TABLE t_test(
+  id INT NOT NULL AUTO_INCREMENT,
+  first_name VARCHAR(10) NOT NULL,
+  last_name VARCHAR(10) NOT NULL,
+  sex VARCHAR(5) NOT NULL,
+  score INT NOT NULL,
+  copy_id INT NOT NULL,
+  PRIMARY KEY (`id`)
+) engine=innodb;
+
+--disable_warnings
+set tianmu_mandatory=ON;
+set tianmu_no_key_error=ON;
+--enable_warnings
+
+DELIMITER //;
+    create PROCEDURE add_user(in num INT)
+    BEGIN
+        DECLARE rowid INT DEFAULT 0;
+        DECLARE firstname CHAR(1);
+        DECLARE name1 CHAR(1);
+        DECLARE name2 CHAR(1);
+        DECLARE lastname VARCHAR(3) DEFAULT '';
+        DECLARE sex CHAR(1);
+        DECLARE score CHAR(2);
+        WHILE rowid < num DO
+        SET firstname = SUBSTRING('赵钱孙李周吴郑王林杨柳刘孙陈江阮侯邹高彭徐',FLOOR(1+21*RAND()),1); 
+        SET name1 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET name2 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET sex=FLOOR(0 + (RAND() * 2));
+        SET score= FLOOR(40 + (RAND() *60));
+        SET rowid = rowid + 1;
+        IF ROUND(RAND())=0 THEN 
+        SET lastname =name1;
+        END IF;
+        IF ROUND(RAND())=1 THEN
+        SET lastname = CONCAT(name1,name2);
+        END IF;
+        insert INTO t_test(first_name,last_name,sex,score,copy_id) VALUES (firstname,lastname,sex,score,rowid);  
+        END WHILE;
+    END //
+DELIMITER ;//
+
+drop  PROCEDURE add_user;
+
+--disable_warnings
+set tianmu_mandatory=OFF;
+set tianmu_no_key_error=OFF;
+--enable_warnings
+
+DELIMITER //;
+    create PROCEDURE add_user(in num INT)
+    BEGIN
+        DECLARE rowid INT DEFAULT 0;
+        DECLARE firstname CHAR(1);
+        DECLARE name1 CHAR(1);
+        DECLARE name2 CHAR(1);
+        DECLARE lastname VARCHAR(3) DEFAULT '';
+        DECLARE sex CHAR(1);
+        DECLARE score CHAR(2);
+        WHILE rowid < num DO
+        SET firstname = SUBSTRING('赵钱孙李周吴郑王林杨柳刘孙陈江阮侯邹高彭徐',FLOOR(1+21*RAND()),1); 
+        SET name1 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET name2 = SUBSTRING('一二三四五六七八九十甲乙丙丁静景京晶名明铭敏闵民军君俊骏天田甜兲恬益依成城诚立莉力黎励',ROUND(1+43*RAND()),1); 
+        SET sex=FLOOR(0 + (RAND() * 2));
+        SET score= FLOOR(40 + (RAND() *60));
+        SET rowid = rowid + 1;
+        IF ROUND(RAND())=0 THEN 
+        SET lastname =name1;
+        END IF;
+        IF ROUND(RAND())=1 THEN
+        SET lastname = CONCAT(name1,name2);
+        END IF;
+        insert INTO t_test(first_name,last_name,sex,score,copy_id) VALUES (firstname,lastname,sex,score,rowid);  
+        END WHILE;
+    END //
+DELIMITER ;//
+
+drop  PROCEDURE add_user;
+
+# PROBE (not in the reference file): the file has no SELECT; prove
+# the procedure create/drop cycles executed
+SELECT COUNT(*) AS probe FROM t_test;
+drop table t_test;
+
+DROP DATABASE issue1065_test;
+"""
+
+SCRIPT_PROCEDUREF = """--source include/have_tianmu.inc
+
+--echo #
+--echo # Test PROCEDURE
+--echo #
+
+--disable_warnings
+DROP DATABASE IF EXISTS procedure_test;
+--enable_warnings
+
+CREATE DATABASE procedure_test;
+USE procedure_test;
+
+# test variable settings
+
+--disable_warnings
+drop procedure if exists math;
+--enable_warnings
+
+delimiter //;
+create procedure math
+(
+    in a int,
+    in b int
+)
+begin
+    set @var1 = 1;
+    set @var2 = 2;
+    select @sum:=(a + b) as sum, @dif:=(a - b) as dif;
+end//
+delimiter ;//
+call math(3, 4);
+select @var1;
+select @var2;
+drop procedure math;
+
+delimiter //;
+create procedure proc02()
+begin
+	declare var_name01 varchar(20) default 'aaa';  -- 声明/定义变量
+	set var_name01 = 'zhangsan'; -- 给变量赋值
+	select var_name01; -- 输出变量的值
+end //
+delimiter ;//
+call proc02();
+drop procedure proc02;
+
+# flow control statements while
+
+CREATE TABLE `one_data`  (
+  `id` int(11) PRIMARY key AUTO_INCREMENT,
+  `name` varchar(255),
+  `sort_number` int(11),
+  `create_time` datetime(0)
+);
+ 
+--disable_warnings
+DROP PROCEDURE IF EXISTS doinsert;
+--enable_warnings
+
+delimiter //;
+create procedure doinsert()
+begin
+ declare i int;  
+ set i = 0; 
+while(i<=10) do
+  INSERT INTO `one_data`( `name`, `sort_number`, `create_time`) VALUES (CONCAT('stonedb',i), i, NOW());
+  set i = i+1; 
+end while;  
+end;//
+delimiter ;//
+call doinsert();
+DROP PROCEDURE doinsert;
+DROP TABLE `one_data`;
+
+--disable_warnings
+DROP PROCEDURE IF EXISTS test_mysql_while;
+--enable_warnings
+
+DELIMITER //;
+CREATE PROCEDURE test_mysql_while ( ) 
+	BEGIN
+	DECLARE x INT;
+	DECLARE str VARCHAR ( 255 );
+	SET x = 1;
+	SET str = '';
+	WHILE x <= 5 DO
+		SET str = CONCAT( str, x, ',' );
+		SET x = x + 1;
+	END WHILE;
+	SELECT str;
+END//
+DELIMITER ;//
+call test_mysql_while;
+DROP PROCEDURE test_mysql_while;
+
+# flow control statements repeat
+
+--disable_warnings
+DROP PROCEDURE IF EXISTS mysql_test_repeat;
+--enable_warnings
+
+DELIMITER //;
+CREATE PROCEDURE mysql_test_repeat ( ) 
+BEGIN
+	DECLARE x INT;
+	DECLARE str VARCHAR ( 255 );
+	SET x = 1;
+	SET str = '';
+	REPEAT
+		SET str = CONCAT( str, x, ',' );
+		SET x = x + 1;
+	UNTIL x > 5 
+	END REPEAT;
+	SELECT str;
+END //
+DELIMITER ;//
+call mysql_test_repeat;
+DROP PROCEDURE mysql_test_repeat;
+
+# flow control statements loop and if
+
+--disable_warnings
+DROP PROCEDURE IF EXISTS test_mysql_loop;
+--enable_warnings
+
+DELIMITER //;
+CREATE PROCEDURE test_mysql_loop() 
+BEGIN
+  DECLARE x INT;
+  DECLARE str VARCHAR ( 255 );
+  SET x = 1;
+  SET str = '';
+  loop_label :LOOP
+    IF x > 10 THEN
+      LEAVE loop_label;
+    END IF;
+    SET x = x + 1;
+    IF ( x MOD 2 ) THEN
+      ITERATE loop_label;
+    ELSE 
+      SET str = CONCAT( str, x, ',' );
+    END IF;
+  END LOOP;
+  SELECT str;
+END //
+DELIMITER ;//
+call test_mysql_loop;
+DROP PROCEDURE test_mysql_loop;
+
+--disable_warnings
+DROP PROCEDURE IF EXISTS myadd;
+--enable_warnings
+
+delimiter //;
+create procedure myadd(in a int,in b int)
+begin
+    declare c int default 0;
+    set c = a + b;
+    select c as c;
+end
+//
+delimiter ;//
+call myadd(3, 4);
+DROP PROCEDURE myadd;
+
+# flow control statements case
+
+--disable_warnings
+DROP PROCEDURE if exists `pro_test`;
+--enable_warnings
+
+DELIMITER //;
+CREATE PROCEDURE pro_test(a int)
+  BEGIN
+    DECLARE v INT DEFAULT 1;
+    set v = a;
+    CASE v
+      WHEN 2 THEN SELECT v;
+      WHEN 3 THEN SELECT 0;
+      ELSE
+        BEGIN
+        END;
+    END CASE;
+  END;
+//
+DELIMITER ;//
+call pro_test(3);
+call pro_test(5);
+call pro_test(2);
+DROP PROCEDURE `pro_test`;
+
+# flow control statements loop
+
+--disable_warnings
+DROP PROCEDURE if exists `s_loop`;
+--enable_warnings
+
+delimiter //;
+create procedure s_loop()
+begin
+    # 声明计数器
+    declare i int default 1;
+    # 开始循环
+    num:
+    loop
+        # 查询计数器记录的值
+        select i;
+        # 判断大于等于停止计数
+        if i >= 3 then
+            leave num;
+        end if;
+        # 计数器自增1
+        set i = i + 1;
+    # 结束循环
+    end loop num;
+end //
+delimiter ;//
+call s_loop();
+DROP PROCEDURE `s_loop`;
+
+--disable_warnings
+DROP PROCEDURE if exists `doiterate`;
+--enable_warnings
+
+delimiter //;
+CREATE PROCEDURE doiterate(p1 INT)
+BEGIN
+  label1: LOOP
+    SET p1 = p1 + 1;
+    IF p1 < 10 THEN
+      ITERATE label1;
+    END IF;
+    LEAVE label1;
+  END LOOP label1;
+  SET @x = p1;
+  select @x;
+END//
+delimiter ;//
+call doiterate(3);
+call doiterate(11);
+alter PROCEDURE doiterate COMMENT 'test';
+DROP PROCEDURE `doiterate`;
+
+--disable_warnings
+drop procedure if exists my_add;
+--enable_warnings
+
+delimiter //;
+create procedure my_add(in a int)
+begin
+    select a;
+end
+//
+delimiter ;//
+call my_add(3);
+drop procedure my_add;
+
+# clean up
+DROP DATABASE procedure_test;
+"""
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -19697,6 +20495,20 @@ _SPECS = [
     ('dialect_issue538_fn_agg', SCRIPT_ISSUE538F, 1, ['s'], False, 'SUM over a function of the outer-joined side', {'s': 'DOUBLE'}),
     ('dialect_issue538_fn_derived', SCRIPT_ISSUE538F, 8, ['d', 'employee_salary'], False, 'function inside nested derived tables; the inlined body aliases its own FROM so argument qualifiers are not captured'),
     ('dialect_issue538_fn_joinparen', SCRIPT_ISSUE538F, 12, ['employee_id'], False, 'MySQL parenthesized joined-table operand JOIN ((SELECT ..) AS ta) peeled for the oracle'),
+    ('dialect_issue850_export', SCRIPT_ISSUE850F, 0, ['probe'], False, 'SSB-style 4-table load + join export INTO OUTFILE verified byte-per-line against the committed issue850_out.txt via the MTR --diff_files analog (sorted-line normalization; documented probe select)'),
+    ('dialect_issue1855_sumlen', SCRIPT_ISSUE1855F, 0, ['s'], True, 'SUM(LENGTH(varchar)) over mixed-width rows (issue1855 excerpt)'),
+    ('dialect_issue1855_sumdiv', SCRIPT_ISSUE1855F, 1, ['s'], False, 'SUM(LENGTH(x)/2) keeps the fractional type'),
+    ('dialect_issue1332_btw_min', SCRIPT_ISSUE1332F, 5, ['a', 'b', 'c'], False, 'BETWEEN at the bigint NULL_VALUE boundary (-9223372036854775807 low bound)', {'c': 'STRING'}),
+    ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
+    ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
+    ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
+    ('dialect_issue1065_procgen', SCRIPT_ISSUE1065F, 0, ['probe'], False, 'RAND()-based generator procedures created/dropped across tianmu_mandatory toggles (never CALLed; documented probe select)'),
+    ('dialect_proc_select_assign', SCRIPT_PROCEDUREF, 0, ['s', 'd'], False, 'CALL with in-SELECT @var := assignments expanded to SET + bare expression (verbatim procedure.test)'),
+    ('dialect_proc_while_str', SCRIPT_PROCEDUREF, 4, ['s'], False, 'WHILE loop building a CONCAT string local (DuckDB-folded per iteration)'),
+    ('dialect_proc_repeat', SCRIPT_PROCEDUREF, 5, ['s'], False, 'REPEAT … UNTIL unrolled concretely'),
+    ('dialect_proc_loop_iterate', SCRIPT_PROCEDUREF, 6, ['s'], False, 'labeled LOOP with LEAVE + ITERATE and MOD-conditional CONCAT'),
+    ('dialect_proc_case_sel', SCRIPT_PROCEDUREF, 9, ['v'], False, 'CASE … WHEN THEN SELECT branches: only the matching branch emits (empty ELSE BEGIN END emits nothing)'),
+    ('dialect_proc_doiterate', SCRIPT_PROCEDUREF, 13, ['x'], False, 'doiterate labeled LOOP over an IN param with LEAVE/ITERATE; ALTER PROCEDURE COMMENT ignored'),
 ]
 
 
