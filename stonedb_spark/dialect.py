@@ -180,6 +180,7 @@ def split_mtr(script: str) -> list[Statement]:
     stmts = _expand_prepare(stmts)
     stmts = _expand_select_assigns(
         _expand_procedures(_split_multi_set(stmts)))
+    stmts = _expand_var_recurrences(stmts)
     stmts = _expand_triggers(stmts)
     return _batch_single_inserts(_strip_db_prefixes(stmts))
 
@@ -217,6 +218,192 @@ def _expand_select_assigns(stmts: list) -> list:
         out.extend(pre)
         out.append(Statement("SELECT " + ", ".join(new_items),
                              st.expect_error))
+    return out
+
+
+_SET_USER_VAR = re.compile(r"(?is)^\s*SET\s+@(\w+)\s*(?::=|=)\s*(.+?)\s*$")
+
+# IF(@prev = key, @rank := @rank + 1, @rank := 1) — the pre-8.0
+# MySQL rank idiom (issue1903)
+_IF_RANK_IDIOM = re.compile(
+    r"(?is)IF\s*\(\s*@(\w+)\s*=\s*((?:\w+\s*\.\s*)?\w+)\s*,"
+    r"\s*@(\w+)\s*:=\s*@(\w+)\s*\+\s*1\s*,"
+    r"\s*@(\w+)\s*:=\s*(\d+)\s*\)"
+)
+# IF(@c != lit, @c, @c := …) — unreachable-assignment counter
+# (issue1696's @counter = 0 vs != 1)
+_IF_CONST_IDIOM = re.compile(
+    r"(?is)IF\s*\(\s*@(\w+)\s*(?:!=|<>)\s*(-?\d+(?:\.\d+)?)\s*,"
+    r"\s*@(\w+)\s*,\s*@(\w+)\s*:=[^()]*\)"
+)
+# @a := @a + expr — running accumulator
+_ACCUM_IDIOM = re.compile(
+    r"(?is)@(\w+)\s*:=\s*@(\w+)\s*\+\s*"
+    r"(-?\d+(?:\.\d+)?|\w+(?:\s*\.\s*\w+)?)"
+)
+# @prev := col — previous-key holder
+_PREVCOL_IDIOM = re.compile(
+    r"(?is)@(\w+)\s*:=\s*((?:\w+\s*\.\s*)?\w+)(?=\s*(?:,|\n|FROM\b|$))"
+)
+# (SELECT @v1 := lit, @v2 := lit …) alias — MySQL's inline
+# variable-init derived table (issue1897's FROM t1,(SELECT @row := 0) a)
+_INLINE_INIT = re.compile(
+    r"(?is)\(\s*SELECT\s+(@\w+\s*:=\s*(?:-?\d+(?:\.\d+)?|NULL)"
+    r"(?:\s*,\s*@\w+\s*:=\s*(?:-?\d+(?:\.\d+)?|NULL))*)\s*\)"
+    r"(\s*(?:AS\s+)?\w+)"
+)
+# @v := IF(col = @prev, @v, @v + 1) — running group id (issue1897)
+_GROUPID_IDIOM = re.compile(
+    r"(?is)@(\w+)\s*:=\s*IF\s*\(\s*((?:\w+\s*\.\s*)?\w+)\s*=\s*@(\w+)\s*,"
+    r"\s*@(\w+)\s*,\s*@(\w+)\s*\+\s*1\s*\)"
+)
+
+
+def _expand_var_recurrences(stmts: list) -> list:
+    """Session-variable rank/counter idioms over a FROM relation
+    (issue1903 / issue1910 / issue1696).  Per-row ``@v :=`` state is
+    sequential by definition, but the reference's own expected
+    results pin down pure-SQL equivalents for these shapes:
+
+    * ``@a := @a + expr`` with a NULL-start var never leaves NULL
+      (mysql-test/suite/tianmu/r/issue1910.result: every row NULL)
+      -> typed NULL literal.
+    * ``IF(@prev = key, @rank := @rank + 1, @rank := 1)`` with
+      NULL-start vars: the reference evaluates the FIRST execution
+      vectorized-stateless (r/issue1903.result: rankno=1 on all 12
+      rows of query 1) and REPEAT executions row-sequentially (same
+      file: the second, textually identical query returns only the 4
+      group-first rows) -> occurrence 1 folds to the reset constant;
+      occurrence 2+ becomes ROW_NUMBER() OVER (PARTITION BY key
+      ORDER BY <residual keys of the derived table's ORDER BY>).
+    * ``@prev := col`` -> col (the assignment expression's value).
+    * ``IF(@c != lit, @c, @c := …)`` where @c holds a known constant
+      v with v != lit: the assignment branch is unreachable at every
+      row (r/issue1696.result: counter=0 on all 24 rows) -> v.
+
+    A statement is rewritten only when EVERY ``@v :=`` site matches a
+    shape above; otherwise it passes through untouched (and any entry
+    over it stays unregistered)."""
+    out: list = []
+    var_vals: dict[str, str] = {}  # lower var -> literal text | "?"
+    seen: dict[str, int] = {}
+
+    for st in stmts:
+        sm = _SET_USER_VAR.match(st.text)
+        if sm:
+            v = sm.group(2).strip()
+            var_vals[sm.group(1).lower()] = (
+                v if re.fullmatch(r"(?i)-?\d+(?:\.\d+)?|NULL", v) else "?"
+            )
+            out.append(st)
+            continue
+        masked = _ANY_STRLIT.sub("''", st.text)
+        if (
+            st.expect_error
+            or not re.search(r"@\w+\s*:=", masked)
+            or not re.search(r"(?i)\bFROM\b", masked)
+        ):
+            out.append(st)
+            continue
+        key = re.sub(r"\s+", " ", st.text).strip().lower()
+        seen[key] = occ = seen.get(key, 0) + 1
+        text = st.text
+
+        # inline-init derived tables scope their inits to THIS
+        # statement (MySQL evaluates them once, before the scan)
+        stmt_vars = dict(var_vals)
+
+        def _inline_fn(m: "re.Match[str]") -> str:
+            items = []
+            for it in m.group(1).split(","):
+                am = re.match(
+                    r"(?is)^\s*@(\w+)\s*:=\s*(.+?)\s*$", it)
+                stmt_vars[am.group(1).lower()] = am.group(2).upper()
+                # backtick the alias: var names collide with keywords
+                # ('row' is reserved in DuckDB)
+                items.append(f"{am.group(2)} AS `{am.group(1)}`")
+            return "(SELECT " + ", ".join(items) + ")" + m.group(2)
+
+        text = _INLINE_INIT.sub(_inline_fn, text)
+
+        def _start_val(v: str) -> str | None:
+            """Query-start value: literal text, 'NULL', or None=unknown."""
+            val = stmt_vars.get(v.lower())
+            if val is None:
+                return "NULL"  # never assigned: NULL-start
+            return None if val == "?" else val
+
+        def _rank_fn(m: "re.Match[str]") -> str:
+            p, kexpr, r1, r2, r3, init = m.groups()
+            if not (r1 == r2 == r3 and init == "1"
+                    and _start_val(p) == "NULL"
+                    and _start_val(r1) == "NULL"):
+                return m.group(0)
+            if occ == 1:
+                return init  # stateless: IF(NULL = k) is false
+            om = None
+            for om in re.finditer(
+                    r"(?is)ORDER\s+BY\s+([^()]+?)\)", text):
+                pass
+            if not om:
+                return m.group(0)
+            keys = [k.strip() for k in om.group(1).split(",")]
+            bare = [re.sub(r"^\w+\s*\.\s*", "", k).lower() for k in keys]
+            pkey = re.sub(r"^\w+\s*\.\s*", "", kexpr).lower()
+            if not bare or bare[0] != pkey or len(keys) < 2:
+                return m.group(0)
+            return ("ROW_NUMBER() OVER (PARTITION BY " + keys[0]
+                    + " ORDER BY " + ", ".join(keys[1:]) + ")")
+
+        text = _IF_RANK_IDIOM.sub(_rank_fn, text)
+
+        def _groupid_fn(m: "re.Match[str]") -> str:
+            v1, col, p, v2, v3 = m.groups()
+            init = _start_val(v1)
+            if not (v1 == v2 == v3 and _start_val(p) == "NULL"
+                    and init is not None and init != "NULL"
+                    and re.fullmatch(r"-?\d+", init)):
+                return m.group(0)
+            return f"({init} + DENSE_RANK() OVER (ORDER BY {col}))"
+
+        text = _GROUPID_IDIOM.sub(_groupid_fn, text)
+
+        def _const_fn(m: "re.Match[str]") -> str:
+            c1, lit, c2, c3 = m.groups()
+            val = _start_val(c1)
+            if (c1 == c2 == c3 and val not in (None, "NULL")
+                    and float(val) != float(lit)):
+                return val
+            return m.group(0)
+
+        text = _IF_CONST_IDIOM.sub(_const_fn, text)
+
+        def _accum_fn(m: "re.Match[str]") -> str:
+            a1, a2, step = m.groups()
+            if a1 != a2:
+                return m.group(0)
+            init = _start_val(a1)
+            if init == "NULL":
+                return "CAST(NULL AS DOUBLE)"
+            if (init is not None and step.strip() == "1"
+                    and re.fullmatch(r"-?\d+", init)):
+                return f"({init} + ROW_NUMBER() OVER (ORDER BY 1))"
+            return m.group(0)
+
+        text = _ACCUM_IDIOM.sub(_accum_fn, text)
+
+        def _prev_fn(m: "re.Match[str]") -> str:
+            v, col = m.groups()
+            if _start_val(v) is not None:
+                return f"{col} AS {v}"
+            return m.group(0)
+
+        text = _PREVCOL_IDIOM.sub(_prev_fn, text)
+
+        if re.search(r"@\w+\s*:=", _ANY_STRLIT.sub("''", text)):
+            out.append(st)  # a site survived: unsupported shape
+        else:
+            out.append(Statement(text, st.expect_error))
     return out
 
 
@@ -5074,12 +5261,21 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # MySQL `x IN (NOT NULL)` evaluates NOT NULL → NULL (issue1332's
     # boundary battery); Spark's coercion refuses BIGINT-vs-BOOLEAN
     sql = re.sub(r"(?i)\bIN\s*\(\s*NOT\s+NULL\s*\)", "IN (NULL)", sql)
-    # MySQL reads 1-3 digit years in temporal literals ('111-11-10' =
-    # year 111); both engines want 4 digits (issue1332's BETWEEN)
+    # MySQL reads 1- and 3-digit years in temporal literals literally
+    # ('111-11-10' = year 111) but PIVOTS 2-digit years (00-69 → 20yy,
+    # 70-99 → 19yy, sql-common/my_time.c); both engines want 4 digits
+    # (issue1332's BETWEEN, timestampdiff_function's '09-02-11')
+    def _pad_year_fn(m: "re.Match[str]") -> str:
+        ytxt = m.group(1)
+        y = int(ytxt)
+        if len(ytxt) == 2:
+            y = 2000 + y if y <= 69 else 1900 + y
+        return (f"'{y:04d}-{int(m.group(2)):02d}-"
+                f"{int(m.group(3)):02d}{m.group(4)}'")
+
     sql = re.sub(
         r"'(\d{1,3})-(\d{1,2})-(\d{1,2})((?: [\d:.]+)?)'",
-        lambda m: (f"'{int(m.group(1)):04d}-{int(m.group(2)):02d}-"
-                   f"{int(m.group(3)):02d}{m.group(4)}'"),
+        _pad_year_fn,
         sql,
     )
     # VERSION(): the reference server reports 5.7.36-StoneDB-vX.Y.Z

@@ -41,6 +41,13 @@ SOURCES = {
     'dialect_issue1332_year3': ('issue1332.test', [(1, 176)]),
     'dialect_issue1332_single': ('issue1332.test', [(1, 176)]),
     'dialect_issue850_export': ('issue850.test', [(1, 92)]),
+    'dialect_issue1897_rownum': ('issue1897.test', [(1, 38)]),
+    'dialect_issue1897_inde': ('issue1897.test', [(1, 38)]),
+    'dialect_issue1897_groupid': ('issue1897.test', [(1, 38)]),
+    'dialect_issue1897_joinrow': ('issue1897.test', [(1, 38)]),
+    'dialect_issue1707_cutoff': ('issue1707.test', [(1, 41)]),
+    'dialect_issue1903_rank1': ('issue1903.test', [(1, 88)]),
+    'dialect_issue1903_rank2': ('issue1903.test', [(1, 88)]),
     'dialect_issue1855_sumlen': ('issue1855.test', [(1, 33)]),
     'dialect_issue1855_sumdiv': ('issue1855.test', [(1, 33)]),
     'dialect_issue538_fn_proj': ('issue538.test', [(1, 265)]),
@@ -20010,6 +20017,182 @@ drop procedure my_add;
 DROP DATABASE procedure_test;
 """
 
+SCRIPT_ISSUE1903F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1903_test_db;
+--enable_warnings
+CREATE DATABASE issue1903_test_db;
+USE issue1903_test_db;
+
+CREATE TABLE `c1am_acct_day` (
+  `ACCOUNT_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT '账户ID',
+  `FISCAL_DATE` date DEFAULT NULL COMMENT '记账日期',
+  `BALANCE` decimal(16,2) NOT NULL DEFAULT '0.00' COMMENT '余额',
+  `DELETED_FLAG` char(1) NOT NULL DEFAULT '0' COMMENT '记录删除标志 [0]-未删除;[1]-逻辑删除'
+) ENGINE=TIANMU;
+
+CREATE TABLE `c1md_bank_acct` (
+  `ROW_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT 'ROW_ID',
+  `CURRENCY_ID` decimal(18,0) NOT NULL DEFAULT '-1' COMMENT '币种ID',
+  `DELETED_FLAG` char(1) NOT NULL DEFAULT '0' COMMENT '记录删除标志 [0]-未删除;[1]-逻辑删除'
+) ENGINE=TIANMU;
+
+INSERT INTO `c1am_acct_day` 
+  VALUES 
+    (3000000000028804, '2023-04-16', 7628617.08, '0'),
+    (3000000000028804, '2023-04-17', 7626656.73, '0'),
+    (3000000000028804, '2023-04-18', 7626471.23, '0'),
+    (3000000000028806, '2023-04-15', 605253889.19, '0'),
+    (3000000000028806, '2023-04-16', 611274357.27, '0'),
+    (3000000000028806, '2023-04-17', 605257716.01, '0'),
+    (3000000000028808, '2023-04-18', 79322521.29, '0'),
+    (3000000000028808, '2023-04-19', 79322521.29, '0'),
+    (3000000000028808, '2023-04-20', 79322521.29, '0'),
+    (3000000000028809, '2023-04-18', 79322521.29, '0'),
+    (3000000000028809, '2023-04-19', 79322521.29, '0'),
+    (3000000000028809, '2023-04-20', 79322521.29, '0');
+
+INSERT INTO `c1md_bank_acct`
+  VALUES
+    (3000000000028804, 1, '0'),
+    (3000000000028806, 3, '0'),
+    (3000000000028808, 15, '0'),
+    (3000000000028809, 6, '0');
+
+SELECT 
+ 	result.* 
+ FROM (
+     SELECT 
+     	a.*, 
+     	@rownum1 := @rownum1 + 1 inde,
+     	IF(@pxydm1 = a.account_id,@rankno1 := @rankno1 + 1,@rankno1 := 1) AS rankno,
+     	@pxydm1 := a.account_id 
+     FROM (
+         SELECT 
+         	b.CURRENCY_ID,
+         	a.account_id,
+         	a.fiscal_date,
+         	a.balance
+         FROM 
+         	c1am_acct_day a, c1md_bank_acct b
+         WHERE a.deleted_flag = '0'
+         		AND b.deleted_flag = '0'
+         		AND a.account_id = b.ROW_ID
+         ORDER BY a.account_id, a.fiscal_date) a) result
+WHERE result.rankno = 1;
+
+SELECT 
+ 	result.* 
+ FROM (
+     SELECT 
+     	a.*, 
+     	@rownum1 := @rownum1 + 1 inde,
+     	IF(@pxydm1 = a.account_id,@rankno1 := @rankno1 + 1,@rankno1 := 1) AS rankno,
+     	@pxydm1 := a.account_id 
+     FROM (
+         SELECT 
+         	b.CURRENCY_ID,
+         	a.account_id,
+         	a.fiscal_date,
+         	a.balance
+         FROM 
+         	c1am_acct_day a, c1md_bank_acct b
+         WHERE a.deleted_flag = '0'
+         		AND b.deleted_flag = '0'
+         		AND a.account_id = b.ROW_ID
+         ORDER BY a.account_id, a.fiscal_date) a) result
+WHERE result.rankno = 1;
+
+DROP DATABASE issue1903_test_db;
+"""
+
+
+SCRIPT_ISSUE1897F = """--source include/have_tianmu.inc
+--disable_warnings
+
+DROP DATABASE IF EXISTS issue1897;
+CREATE DATABASE issue1897;
+USE issue1897;
+--enable_warnings
+
+CREATE TABLE t1 (id INT, name VARCHAR(5));
+
+INSERT INTO t1 VALUES (1,'AAA'),(2,'BBB');
+INSERT INTO t1 VALUES (1,'AAA'),(2,'BBB');
+
+SELECT @row := @row + 1 FROM t1,(SELECT @row := 0) a;
+
+SELECT @rownum1 := @rownum1 + 1 inde FROM (SELECT a.* FROM t1 a) a,(SELECT @rownum1 := 0, @pxydm1 := NULL,
+@rankno1 := 0) b;
+
+SELECT
+  id,
+  name,
+  @my_var := IF(name = @prev_value, @my_var, @my_var + 1) AS group_id,
+  @prev_value := name
+FROM
+  t1,
+  (SELECT @my_var := 0, @prev_value := NULL) AS init
+ORDER BY
+  name,
+  id;
+
+SELECT B.name, A.id, 1 sort_no 
+FROM t1 A 
+INNER JOIN t1 B 
+ON A.id = B.id 
+INNER JOIN (SELECT * FROM (SELECT @row := @row + 1 AS rowno FROM (SELECT 0) C) D) E ON 1 = 1; 
+
+DROP TABLE t1;
+
+DROP DATABASE issue1897;"""
+
+
+SCRIPT_ISSUE1707F = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+CREATE DATABASE IF NOT EXISTS test_db_1707;
+
+USE test_db_1707;
+
+CREATE TABLE tianmu_table (
+  id INT NOT NULL,
+  name VARCHAR(50) NOT NULL,
+  age INT NOT NULL,
+  gender VARCHAR(10) NOT NULL,
+  salary INT NOT NULL,
+  address VARCHAR(100) NOT NULL
+) ENGINE=tianmu;
+
+INSERT INTO tianmu_table 
+  (id, name, age, gender, salary, address) 
+VALUES 
+  (1, 'John', 25, 'Male', 50000, '123 Main St'),
+  (2, 'Jane', 30, 'Female', 60000, '456 Elm St'),
+  (3, 'Bob', 35, 'Male', 70000, '789 Maple St');
+
+
+select @age_cutoff := age
+from (
+SELECT name, age, gender, salary
+FROM (
+  SELECT name, age, gender, salary
+  FROM tianmu_table
+  WHERE age < 30
+  UNION ALL
+  SELECT name, age, gender, salary
+  FROM tianmu_table
+  WHERE age >= 30
+) AS derived_table
+WHERE salary > 30 ) H;
+
+
+drop database test_db_1707;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -20502,6 +20685,13 @@ _SPECS = [
     ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
     ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
     ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
+    ('dialect_issue1897_rownum', SCRIPT_ISSUE1897F, 0, ['rn'], False, 'inline-init @row := @row + 1 over t1: sequential row numbers (order-free multiset {1..4})'),
+    ('dialect_issue1897_inde', SCRIPT_ISSUE1897F, 1, ['inde'], False, 'multi-var inline init (@rownum1/@pxydm1/@rankno1) with only the counter projected'),
+    ('dialect_issue1897_groupid', SCRIPT_ISSUE1897F, 2, ['id', 'name', 'group_id', 'prev_value'], False, 'running group-id idiom @v := IF(name = @prev, @v, @v + 1) as DENSE_RANK over the change key'),
+    ('dialect_issue1897_joinrow', SCRIPT_ISSUE1897F, 3, ['name', 'id', 'sort_no'], False, 'var-bearing derived table joined ON 1 = 1 (counter column unprojected)'),
+    ('dialect_issue1707_cutoff', SCRIPT_ISSUE1707F, 0, ['age_cutoff'], False, '@var := col assignment-expression value over a UNION ALL derived chain'),
+    ('dialect_issue1903_rank1', SCRIPT_ISSUE1903F, 0, ['currency_id', 'account_id', 'fiscal_date', 'balance', 'inde', 'rankno', 'pxydm1'], False, 'session-var rank idiom, first execution: vectorized-stateless per r/issue1903.result (rankno=1 on all 12 rows, NULL-start @rownum stays NULL)', {'currency_id': 'DOUBLE', 'account_id': 'DOUBLE', 'balance': 'DOUBLE', 'pxydm1': 'DOUBLE'}),
+    ('dialect_issue1903_rank2', SCRIPT_ISSUE1903F, 1, ['currency_id', 'account_id', 'fiscal_date', 'balance', 'inde', 'rankno', 'pxydm1'], False, 'session-var rank idiom, repeat execution: row-sequential per r/issue1903.result (ROW_NUMBER over account_id partitions; 4 group-first rows)', {'currency_id': 'DOUBLE', 'account_id': 'DOUBLE', 'balance': 'DOUBLE', 'pxydm1': 'DOUBLE'}),
     ('dialect_issue1065_procgen', SCRIPT_ISSUE1065F, 0, ['probe'], False, 'RAND()-based generator procedures created/dropped across tianmu_mandatory toggles (never CALLed; documented probe select)'),
     ('dialect_proc_select_assign', SCRIPT_PROCEDUREF, 0, ['s', 'd'], False, 'CALL with in-SELECT @var := assignments expanded to SET + bare expression (verbatim procedure.test)'),
     ('dialect_proc_while_str', SCRIPT_PROCEDUREF, 4, ['s'], False, 'WHILE loop building a CONCAT string local (DuckDB-folded per iteration)'),

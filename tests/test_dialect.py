@@ -119,6 +119,27 @@ def test_str_num_compare_mysql_coercion():
     assert _rewrite_str_num_compare(s) == s
 
 
+def test_short_year_literal_padding_pivot():
+    """MySQL temporal-literal year widths (sql-common/my_time.c):
+    1- and 3-digit years read literally; 2-digit years PIVOT
+    (00-69 -> 20yy, 70-99 -> 19yy).  timestampdiff_function.test's
+    '09-02-11 01:08:59' must become 2009, not year 9 (the r10
+    regression class — 17 two-digit-year literals exist across the
+    embedded MTR scripts)."""
+    for engine in ("spark", "duck"):
+        out = rewrite_expr("SELECT '09-02-11 01:08:59' d", engine)
+        assert "'2009-02-11 01:08:59'" in out
+        out = rewrite_expr("SELECT '70-1-2' d", engine)
+        assert "'1970-01-02'" in out
+        out = rewrite_expr("SELECT '69-12-31' d", engine)
+        assert "'2069-12-31'" in out
+        # 1- and 3-digit years are literal, zero-padded to 4
+        out = rewrite_expr("SELECT '111-11-10' d", engine)
+        assert "'0111-11-10'" in out
+        out = rewrite_expr("SELECT '9-2-11' d", engine)
+        assert "'0009-02-11'" in out
+
+
 def test_group_concat_translation():
     sql = "select id, group_concat(name order by name desc SEPARATOR ':') from t group by id"
     spark = rewrite_expr(sql, "spark")
