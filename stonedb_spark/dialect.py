@@ -8188,6 +8188,20 @@ def _alter_tabledef(
         if re.match(r"DROP\s+PRIMARY\s+KEY\s*$", a, re.I):
             pk = []
             continue
+        algm = re.match(r"(ALGORITHM|LOCK)\s*=\s*(\w+)\s*$", a, re.I)
+        if algm:
+            # tianmu's PK index rebuild supports only the COPY
+            # algorithm (issue1034: ALGORITHM=INPLACE -> 1845;
+            # DEFAULT/COPY and LOCK hints pass through)
+            if (algm.group(1).upper() == "ALGORITHM"
+                    and algm.group(2).upper() == "INPLACE"
+                    and td.engine == "tianmu"):
+                raise ValueError(
+                    "ALGORITHM=INPLACE is not supported. Reason: "
+                    "tianmu's index rebuild copies the table. Try "
+                    "ALGORITHM=COPY (MySQL error 1845 analog)"
+                )
+            continue
         pm = _POS_CLAUSE.search(a)
         pos = pm.group(1) if pm else None
         if pm:
@@ -10362,6 +10376,7 @@ def run_statement(run: MTRRun, stmt: str):
     s = _subst_uservars(raw, run.vars)
     s = _normalize_insert_set(_normalize_create_index(
         _backtick_dollar_idents(_inline_funcs(s, run.funcs))))
+    upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
     s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
     # DROP TABLE … RESTRICT/CASCADE: MySQL parses and ignores the
     # clause (drop_restric.test — the drop still happens)
@@ -11112,6 +11127,34 @@ def run_statement(run: MTRRun, stmt: str):
             staged = run.sql(sel).localCheckpoint(eager=True)
             staged.write.insertInto(f"`{tname}`", overwrite=True)
             return None
+        # PK-rewriting UPDATEs enforce uniqueness (issue1616):
+        #   * UPDATE IGNORE, single-column PK: tianmu skips a row whose
+        #     new key equals another row's ORIGINAL key (r/issue1616:
+        #     {3,4} id=id+1 -> {3,5}); emulated with a left join
+        #     against the pre-state keys — no driver-side state.
+        #   * UPDATE IGNORE, composite PK: tianmu applies the whole
+        #     statement and only final-state duplicates would matter
+        #     (same file: T3 {3,4} -> {4,5}) — no narrowing.
+        #   * plain UPDATE: any post-state duplicate aborts the whole
+        #     statement with the 1062 analog (table unchanged).
+        pk_assigned = bool(td.pk) and any(p in assigns for p in td.pk)
+        if pk_assigned and upd_ignore and len(td.pk) == 1:
+            p = td.pk[0]
+            newv = (
+                F.when(cond, F.expr(assigns[p]))
+                .otherwise(F.col(f"`{p}`"))
+                .cast(tbl.schema[p].dataType)
+            )
+            ex = tbl.select(F.col(f"`{p}`").alias("__stonedb_expk"))
+            t2 = tbl.withColumn("__stonedb_newpk", newv)
+            t2 = t2.join(
+                F.broadcast(ex),
+                (t2["__stonedb_newpk"] == ex["__stonedb_expk"])
+                & (t2[p] != ex["__stonedb_expk"]),
+                "left",
+            )
+            cond = cond & F.col("__stonedb_expk").isNull()
+            tbl = t2
         proj = [
             F.when(cond, F.expr(assigns[c.name]))
             .otherwise(F.col(f"`{c.name}`"))
@@ -11122,6 +11165,17 @@ def run_statement(run: MTRRun, stmt: str):
             for c in td.columns
         ]
         staged = tbl.select(*proj).localCheckpoint(eager=True)
+        if pk_assigned and not upd_ignore:
+            dup = (
+                staged.groupBy(*[F.col(f"`{p}`") for p in td.pk])
+                .count().where(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                entry = "-".join(str(dup[0][i]) for i in range(len(td.pk)))
+                raise ValueError(
+                    f"Duplicate entry '{entry}' for key 'PRIMARY' "
+                    f"(MySQL error 1062 analog)"
+                )
         staged.write.insertInto(f"`{tname}`", overwrite=True)
         return None
     if re.match(r"^\s*UPDATE\b", s, re.I):  # UPDATE ... JOIN ... SET
@@ -11672,6 +11726,7 @@ def build_oracle_sql(
         s = _subst_uservars(raw, uservars)
         s = _normalize_insert_set(_normalize_create_index(
             _backtick_dollar_idents(_inline_funcs(s, oraclefuncs))))
+        upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
         s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
         s = re.sub(
             r"(?is)^(\s*DROP\s+(?:TEMPORARY\s+)?TABLES?\b.*?)"
@@ -12276,6 +12331,19 @@ def build_oracle_sql(
                     ),
                 ))
                 continue
+            if (upd_ignore and len(td.pk) == 1
+                    and td.pk[0] in assigns):
+                # UPDATE IGNORE, single-column PK (issue1616): mirror
+                # the runner — skip a row whose new key equals another
+                # row's pre-statement key
+                p = td.pk[0]
+                pc = next(c for c in td.columns if c.name == p)
+                nv = _dc(assigns[p], pc)
+                cond = (
+                    f"(({cond}) AND NOT (({nv}) IS DISTINCT FROM "
+                    f'"{p}" AND ({nv}) IN '
+                    f'(SELECT "{p}" FROM {prev})))'
+                )
             proj = ", ".join(
                 (
                     f'CASE WHEN {cond} THEN {_dc(assigns[c.name], c)} '

@@ -41,6 +41,13 @@ SOURCES = {
     'dialect_issue1332_year3': ('issue1332.test', [(1, 176)]),
     'dialect_issue1332_single': ('issue1332.test', [(1, 176)]),
     'dialect_issue850_export': ('issue850.test', [(1, 92)]),
+    'dialect_issue1034_alterpk': ('issue1034.test', [(1, 1255)]),
+    'dialect_issue1616_updignore': ('issue1616.test', [(1, 64)]),
+    'dialect_issue1616_dtabort': ('issue1616.test', [(1, 64)]),
+    'dialect_issue1616_composite': ('issue1616.test', [(1, 64)]),
+    'dialect_issue1616_innodb': ('issue1616.test', [(1, 64)]),
+    'dialect_issue1637_insignore': ('issue1637.test', [(1, 22)]),
+    'dialect_issue1006_load': ('issue1006.test', [(1, 35)]),
     'dialect_issue1897_rownum': ('issue1897.test', [(1, 38)]),
     'dialect_issue1897_inde': ('issue1897.test', [(1, 38)]),
     'dialect_issue1897_groupid': ('issue1897.test', [(1, 38)]),
@@ -20193,6 +20200,1403 @@ drop database test_db_1707;
 """
 
 
+SCRIPT_ISSUE1637F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1637_test;
+--enable_warnings
+
+CREATE DATABASE issue1637_test;
+
+USE issue1637_test;
+
+create table ttt(id int primary key,name varchar(10));
+insert into ttt values(1,'aaa');
+insert into ttt values(2,'bbb');
+--disable_warnings
+insert ignore into ttt values(2,'ccc');
+--enable_warnings
+
+sleep 2;
+
+select * from ttt;
+
+DROP DATABASE issue1637_test;
+"""
+
+
+SCRIPT_ISSUE1006F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1006_test;
+--enable_warnings
+
+CREATE DATABASE issue1006_test;
+
+USE issue1006_test;
+
+CREATE TABLE `orders` (
+`o_orderkey` int(11) NOT NULL,
+`o_custkey` int(11) NOT NULL,
+`o_orderstatus` char(1) NOT NULL,
+`o_totalprice` decimal(15,2) NOT NULL,
+`o_orderdate` date NOT NULL,
+`o_orderpriority` char(15) NOT NULL,
+`o_clerk` char(15) NOT NULL,
+`o_shippriority` int(11) NOT NULL,
+`o_comment` varchar(79) NOT NULL,
+PRIMARY KEY (`o_orderkey`)
+) ENGINE=tianmu DEFAULT CHARSET=utf8mb4;
+
+--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR
+eval load data local infile '$MYSQL_TEST_DIR/suite/tianmu/std_data/issue1006.txt' into table orders FIELDS TERMINATED BY ' ' ENCLOSED BY '"' LINES TERMINATED BY '\n';
+
+--replace_result $MYSQLTEST_VARDIR MYSQLTEST_VARDIR
+eval select * from orders limit 10 into outfile '$MYSQLTEST_VARDIR/tmp/issue1006_out.txt' FIELDS TERMINATED BY ' ' ENCLOSED BY '"'  LINES TERMINATED BY '\n';
+
+--diff_files $MYSQL_TEST_DIR/suite/tianmu/std_data/issue1006.txt $MYSQLTEST_VARDIR/tmp/issue1006_out.txt
+--remove_file $MYSQLTEST_VARDIR/tmp/issue1006_out.txt
+
+# PROBE (not in the reference file): the --diff_files check above
+# is the verification (byte-exact per line, sorted); prove the load ran
+SELECT COUNT(*) AS probe FROM orders;
+
+drop table orders;
+
+DROP DATABASE issue1006_test;
+"""
+
+
+SCRIPT_ISSUE1616F = """--source include/have_tianmu.inc
+--disable_warnings
+DROP DATABASE IF EXISTS issue1616_test;
+CREATE DATABASE issue1616_test;
+USE issue1616_test;
+--enable_warnings
+
+CREATE TABLE T1  (id int(11) NOT NULL auto_increment,  parent_id int(11) DEFAULT '0' NOT NULL,  level tinyint(4)
+                  DEFAULT '0' NOT NULL, PRIMARY KEY (id)) engine=tianmu;
+
+INSERT INTO T1 VALUES (3,1,1),(4,1,1);
+--ERROR 1062
+INSERT INTO T1 VALUES (3,1,1),(4,1,1);
+
+SELECT * FROM T1;
+
+UPDATE IGNORE T1 SET id=id+1;
+
+SELECT * FROM T1;
+
+--ERROR 1062
+UPDATE T1 SET id =10;
+
+SELECT * FROM T1;
+
+--ERROR 1062
+UPDATE T1 SET ID=5 WHERE ID=3; 
+SELECT * FROM T1;
+
+DROP TABLE T1;
+
+
+CREATE TABLE T2 (dt datetime, val int, primary key(dt)) ENGINE =tianmu;
+INSERT INTO T2 VALUES ('2017-11-05 20:29:36',1), ('2027-11-05 20:29:36', 2);
+--ERROR 1062
+UPDATE T2 SET dt ='2027-11-05 20:29:36' WHERE val =1;
+
+SELECT * FROM T2;
+DROP TABLE T2;
+
+#multi-keys
+CREATE TABLE T3  (id int(11) NOT NULL auto_increment,  parent_id int(11) DEFAULT '0' NOT NULL,  level tinyint(4)
+                  DEFAULT '0' NOT NULL, PRIMARY KEY (id, parent_id)) engine=tianmu;
+
+INSERT INTO T3 VALUES (3,1,1),(4,1,1);
+--ERROR 1062
+INSERT INTO T3 VALUES (3,1,1),(4,1,1);
+
+UPDATE IGNORE T3 SET id=id+1;
+SELECT * FROM T3;
+
+DROP TABLE T3;
+
+CREATE TABLE T4  (id int(11) NOT NULL auto_increment,  parent_id int(11) DEFAULT '0' NOT NULL,  level tinyint(4)
+                  DEFAULT '0' NOT NULL, PRIMARY KEY (id)) engine=innodb;
+
+INSERT INTO T4 VALUES (3,1,1),(4,1,1);
+--ERROR 1062
+UPDATE T4 SET id =10;
+
+SELECT * FROM T4;
+DROP TABLE T4;
+
+DROP DATABASE issue1616_test;
+"""
+
+
+SCRIPT_ISSUE1034F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue1034_test;
+--enable_warnings
+
+CREATE DATABASE issue1034_test;
+
+USE issue1034_test;
+
+--disable_warnings
+
+## test with enable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=on;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## multi primary key
+
+CREATE TABLE t1 (id int, name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=DEFAULT;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (id int, name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=COPY;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+DROP TABLE t1;
+
+## ERROR for ALGORITHM=INPLACE
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+--error 1845
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=INPLACE;
+
+DROP TABLE t1;
+
+## test with enable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=on;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## multi primary key
+
+CREATE TABLE t1 (id int, name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=DEFAULT;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (id int, name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=COPY;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+DROP TABLE t1;
+
+## ERROR for ALGORITHM=INPLACE
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+--error 1845
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=INPLACE;
+
+DROP TABLE t1;
+
+## test with enable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=on;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id int PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## multi primary key
+
+CREATE TABLE t1 (id int, name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=DEFAULT;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (id int, name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=COPY;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+DROP TABLE t1;
+
+## ERROR for ALGORITHM=INPLACE
+
+CREATE TABLE t1 (id int) ENGINE=TIANMU;
+
+--error 1845
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=INPLACE;
+
+DROP TABLE t1;
+
+## test with enable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=on;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## multi primary key
+
+CREATE TABLE t1 (id VARCHAR(255), name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=DEFAULT;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (id VARCHAR(255), name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=COPY;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+DROP TABLE t1;
+
+## ERROR for ALGORITHM=INPLACE
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+--error 1845
+ALTER TABLE t1 ADD PRIMARY KEY(id), ALGORITHM=INPLACE;
+
+DROP TABLE t1;
+
+## test with enable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=on;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE USING BTREE, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## multi primary key
+
+CREATE TABLE t1 (id VARCHAR(255), name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=DEFAULT;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (id VARCHAR(255), name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=COPY;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+DROP TABLE t1;
+
+## ERROR for ALGORITHM=INPLACE
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+--error 1845
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING BTREE, ALGORITHM=INPLACE;
+
+DROP TABLE t1;
+
+## test with enable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=on;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=DEFAULT;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## test with disable the tianmu PRIMARY KEY index
+
+set global tianmu_index_search=off;
+
+## DDL no PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+## ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## DDL has PRIMARY KEY
+
+DROP TABLE IF EXISTS t1;
+
+CREATE TABLE t1 (id VARCHAR(255) PRIMARY KEY) ENGINE=TIANMU;
+
+## DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## re ADD pk
+
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH USING HASH, ALGORITHM=COPY;
+
+## re DROP pk
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+## clean test TABLE
+
+DROP TABLE t1;
+
+## multi primary key
+
+CREATE TABLE t1 (id VARCHAR(255), name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=DEFAULT;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=DEFAULT;
+
+DROP TABLE t1;
+
+CREATE TABLE t1 (id VARCHAR(255), name VARCHAR(255), age int) ENGINE=TIANMU;
+
+ALTER TABLE t1 ADD PRIMARY KEY(id,name), ALGORITHM=COPY;
+
+ALTER TABLE t1 DROP PRIMARY KEY, ALGORITHM=COPY;
+
+DROP TABLE t1;
+
+## ERROR for ALGORITHM=INPLACE
+
+CREATE TABLE t1 (id VARCHAR(255)) ENGINE=TIANMU;
+
+--error 1845
+ALTER TABLE t1 ADD PRIMARY KEY(id) USING HASH, ALGORITHM=INPLACE;
+
+# PROBE (not in the reference file): the 198 ADD/DROP PRIMARY KEY
+# + ALGORITHM legs above (incl. the three 1845 INPLACE errors) are
+# the verification; prove the final table survived
+SELECT COUNT(*) AS probe FROM t1;
+
+DROP TABLE t1;
+
+DROP DATABASE issue1034_test;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -20685,6 +22089,13 @@ _SPECS = [
     ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
     ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
     ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
+    ('dialect_issue1034_alterpk', SCRIPT_ISSUE1034F, 0, ['probe'], False, 'ADD/DROP PRIMARY KEY x198 with ALGORITHM=DEFAULT/COPY under tianmu_index_search toggles; ALGORITHM=INPLACE raises the 1845 analog (documented probe select)'),
+    ('dialect_issue1616_updignore', SCRIPT_ISSUE1616F, 1, ['id', 'parent_id', 'level'], False, 'UPDATE IGNORE id=id+1 over a single-column PK skips the row colliding with a pre-statement key ({3,4} -> {3,5})'),
+    ('dialect_issue1616_dtabort', SCRIPT_ISSUE1616F, 4, ['dt', 'val'], False, 'UPDATE to a duplicate DATETIME PK aborts with the 1062 analog, table unchanged'),
+    ('dialect_issue1616_composite', SCRIPT_ISSUE1616F, 5, ['id', 'parent_id', 'level'], False, 'UPDATE IGNORE over a composite PK applies the whole statement ({3,4} -> {4,5} per r/issue1616.result)'),
+    ('dialect_issue1616_innodb', SCRIPT_ISSUE1616F, 6, ['id', 'parent_id', 'level'], False, 'innodb comparison leg: duplicate-PK UPDATE aborts, table unchanged'),
+    ('dialect_issue1637_insignore', SCRIPT_ISSUE1637F, 0, ['id', 'name'], False, 'INSERT IGNORE duplicate-PK skip keeps the first row (mysqltest sleep dropped)'),
+    ('dialect_issue1006_load', SCRIPT_ISSUE1006F, 0, ['probe'], False, 'TPC-H-orders LOAD DATA with ENCLOSED BY + INTO OUTFILE verified byte-per-line via the --diff_files analog against std_data/issue1006.txt (documented probe select)'),
     ('dialect_issue1897_rownum', SCRIPT_ISSUE1897F, 0, ['rn'], False, 'inline-init @row := @row + 1 over t1: sequential row numbers (order-free multiset {1..4})'),
     ('dialect_issue1897_inde', SCRIPT_ISSUE1897F, 1, ['inde'], False, 'multi-var inline init (@rownum1/@pxydm1/@rankno1) with only the counter projected'),
     ('dialect_issue1897_groupid', SCRIPT_ISSUE1897F, 2, ['id', 'name', 'group_id', 'prev_value'], False, 'running group-id idiom @v := IF(name = @prev, @v, @v + 1) as DENSE_RANK over the change key'),
