@@ -257,6 +257,15 @@ _GROUPID_IDIOM = re.compile(
     r"(?is)@(\w+)\s*:=\s*IF\s*\(\s*((?:\w+\s*\.\s*)?\w+)\s*=\s*@(\w+)\s*,"
     r"\s*@(\w+)\s*,\s*@(\w+)\s*\+\s*1\s*\)"
 )
+# whole-statement rank-vs-value recurrence (issue1696):
+# SELECT IF(@r != col, @r := reset, @r := @r + step) FROM t
+_RECUR_STMT = re.compile(
+    r"(?is)^\s*SELECT\s+IF\s*\(\s*@(\w+)\s*(?:!=|<>)\s*"
+    r"(?:(\w+)\s*\.\s*)?(\w+)\s*,\s*@(\w+)\s*:=\s*(-?\d+)\s*,"
+    r"\s*@(\w+)\s*:=\s*@(\w+)\s*\+\s*(-?\d+)\s*\)\s*"
+    r"(?:AS\s+(`[^`]+`|'[^']+'|\w+)\s*)?"
+    r"FROM\s+(`[^`]+`|\w+)\s*$"
+)
 
 
 def _expand_var_recurrences(stmts: list) -> list:
@@ -308,6 +317,42 @@ def _expand_var_recurrences(stmts: list) -> list:
         key = re.sub(r"\s+", " ", st.text).strip().lower()
         seen[key] = occ = seen.get(key, 0) + 1
         text = st.text
+
+        rm = _RECUR_STMT.match(text)
+        if rm:
+            r1, _tq, col, r2, reset, r3, r4, step, alias, tbl = rm.groups()
+            init = var_vals.get(r1.lower())
+            if (r1 == r2 == r3 == r4 and init not in (None, "?")
+                    and re.fullmatch(r"-?\d+", init or "")):
+                # genuine sequential recurrence r_i = IF(r_{i-1} != c_i,
+                # reset, r_{i-1} + step): a recursive CTE both engines
+                # run (Spark 4 WITH RECURSIVE).  Row order canonicalized
+                # to ORDER BY the referenced column — equal to insertion
+                # order for issue1696's monotonic batteries (delta
+                # documented in COVERAGE.md).  Inherently sequential
+                # session state; test-scale only by construction.
+                out_alias = alias or r1
+                inner = (f"SELECT {col} AS __c, ROW_NUMBER() OVER "
+                         f"(ORDER BY {col}) AS __rn FROM {tbl}")
+                out.append(Statement(
+                    # leading SELECT keeps the statement in both
+                    # dispatchers' SELECT class (CTE-in-subquery runs
+                    # on Spark 4 and DuckDB alike)
+                    f"SELECT {out_alias} FROM ("
+                    f"WITH RECURSIVE __svrec AS ("
+                    f"SELECT __rn, __c, CASE WHEN {init} != __c THEN "
+                    f"{reset} ELSE {init} + {step} END AS __r "
+                    f"FROM ({inner}) __s1 WHERE __rn = 1 "
+                    f"UNION ALL "
+                    f"SELECT __s.__rn, __s.__c, CASE WHEN __p.__r != "
+                    f"__s.__c THEN {reset} ELSE __p.__r + {step} END "
+                    f"FROM __svrec __p JOIN ({inner}) __s "
+                    f"ON __s.__rn = __p.__rn + 1) "
+                    f"SELECT __r AS {out_alias} FROM __svrec) __svout",
+                    st.expect_error,
+                ))
+                var_vals[r1.lower()] = "?"  # post-query value unknown
+                continue
 
         # inline-init derived tables scope their inits to THIS
         # statement (MySQL evaluates them once, before the scan)
@@ -5264,7 +5309,10 @@ def rewrite_expr(sql: str, engine: str) -> str:
     # MySQL reads 1- and 3-digit years in temporal literals literally
     # ('111-11-10' = year 111) but PIVOTS 2-digit years (00-69 → 20yy,
     # 70-99 → 19yy, sql-common/my_time.c); both engines want 4 digits
-    # (issue1332's BETWEEN, timestampdiff_function's '09-02-11')
+    # (issue1332's BETWEEN, timestampdiff_function's '09-02-11').
+    # Literals inside STRING-function arguments are plain strings, not
+    # temporal values — SUBSTR('15-01-20', 1, 2) must stay '15' — so
+    # those call bodies are masked out of the pad.
     def _pad_year_fn(m: "re.Match[str]") -> str:
         ytxt = m.group(1)
         y = int(ytxt)
@@ -5273,11 +5321,24 @@ def rewrite_expr(sql: str, engine: str) -> str:
         return (f"'{y:04d}-{int(m.group(2)):02d}-"
                 f"{int(m.group(3)):02d}{m.group(4)}'")
 
-    sql = re.sub(
-        r"'(\d{1,3})-(\d{1,2})-(\d{1,2})((?: [\d:.]+)?)'",
-        _pad_year_fn,
-        sql,
-    )
+    _shortdate = re.compile(
+        r"'(\d{1,3})-(\d{1,2})-(\d{1,2})((?: [\d:.]+)?)'")
+    if _shortdate.search(sql):
+        _protected: list[str] = []
+
+        def _prot(m: "re.Match[str]") -> str:
+            _protected.append(m.group(0))
+            return f"\x05{len(_protected) - 1}\x05"
+
+        for _sfn in _DATEPAD_STRFNS:
+            sql = _wrap_calls(
+                sql, _sfn,
+                lambda inner, f=_sfn:
+                f"{f}({_shortdate.sub(_prot, inner)})",
+            )
+        sql = _shortdate.sub(_pad_year_fn, sql)
+        sql = re.sub(r"\x05(\d+)\x05",
+                     lambda m: _protected[int(m.group(1))], sql)
     # VERSION(): the reference server reports 5.7.36-StoneDB-vX.Y.Z
     # (sql/mysqld.cc:8106; X.Y.Z is stamped at build time — issue1251
     # only regexp-checks the shape)
@@ -5895,6 +5956,17 @@ def _engine_str_encode(s: str, engine: str) -> str:
 
 
 _ANY_STRLIT = re.compile(r"'((?:[^'\\]|\\.|'')*)'|\"((?:[^\"\\]|\\.|\"\")*)\"")
+
+# string functions whose literal arguments are NOT temporal values:
+# the short-year pad pass must not rewrite inside them
+_DATEPAD_STRFNS = (
+    "SUBSTR", "SUBSTRING", "CONCAT", "CONCAT_WS", "LENGTH",
+    "CHAR_LENGTH", "CHARACTER_LENGTH", "LEFT", "RIGHT", "REPLACE",
+    "INSTR", "LOCATE", "POSITION", "LPAD", "RPAD", "TRIM", "LTRIM",
+    "RTRIM", "REVERSE", "UPPER", "LOWER", "UCASE", "LCASE", "ASCII",
+    "STRCMP", "HEX", "MD5", "STR_TO_DATE", "FIELD", "ELT",
+    "FIND_IN_SET", "REPEAT", "INSERT", "MID", "QUOTE",
+)
 
 
 _HEX_LIT = re.compile(r"\b0[xX]([0-9A-Fa-f]+)\b")
@@ -6944,12 +7016,27 @@ def _fold_hexbytes(t: str) -> str:
     return t
 
 
+# non-deterministic / clock / session functions must never constant-
+# fold: run_script and build_oracle_sql each compile the proc body
+# separately, so a frozen NOW()/RAND() literal would differ between
+# the two compilations and silently diverge the engines
+_NONDET_FN = re.compile(
+    r"(?i)\b(NOW|SYSDATE|CURDATE|CURTIME|CURRENT_DATE|CURRENT_TIME|"
+    r"CURRENT_TIMESTAMP|UTC_DATE|UTC_TIME|UTC_TIMESTAMP|"
+    r"UNIX_TIMESTAMP|RAND|UUID|UUID_SHORT|CONNECTION_ID|"
+    r"LAST_INSERT_ID|ROW_COUNT|FOUND_ROWS|USER|CURRENT_USER|"
+    r"SESSION_USER|SYSTEM_USER|DATABASE|SCHEMA|SLEEP)\s*(\(|\b)"
+)
+
+
 def _duck_const_text(expr: str) -> str | None:
     """Fold a table-free scalar to a SQL literal via DuckDB — used to
     keep concrete-loop env values from snowballing into Catalyst-
     crushing expression trees (tohanzi's 6×(12+17)-arm CASE chains).
     Only int/str results fold (identical renders on both engines)."""
-    if re.search(r"(?i)\b(SELECT|FROM)\b", _ANY_STRLIT.sub("''", expr)):
+    masked = _ANY_STRLIT.sub("''", expr)
+    if re.search(r"(?i)\b(SELECT|FROM)\b", masked) \
+            or _NONDET_FN.search(masked):
         return None
     try:
         import duckdb as _dd
@@ -6971,7 +7058,9 @@ def _duck_const_text(expr: str) -> str | None:
 def _duck_const_bool(expr: str):
     """Fold a table-free scalar condition via DuckDB (tohanzi's
     char_length over a symbolic string); None when not foldable."""
-    if re.search(r"(?i)\b(SELECT|FROM)\b", _ANY_STRLIT.sub("''", expr)):
+    masked = _ANY_STRLIT.sub("''", expr)
+    if re.search(r"(?i)\b(SELECT|FROM)\b", masked) \
+            or _NONDET_FN.search(masked):
         return None
     try:
         import duckdb as _dd

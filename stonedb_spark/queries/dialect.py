@@ -41,6 +41,9 @@ SOURCES = {
     'dialect_issue1332_year3': ('issue1332.test', [(1, 176)]),
     'dialect_issue1332_single': ('issue1332.test', [(1, 176)]),
     'dialect_issue850_export': ('issue850.test', [(1, 92)]),
+    'dialect_issue1696_counter': ('issue1696.test', [(1, 76)]),
+    'dialect_issue1696_rec1': ('issue1696.test', [(1, 76)]),
+    'dialect_issue1696_rec2': ('issue1696.test', [(1, 76)]),
     'dialect_issue1034_alterpk': ('issue1034.test', [(1, 1255)]),
     'dialect_issue1616_updignore': ('issue1616.test', [(1, 64)]),
     'dialect_issue1616_dtabort': ('issue1616.test', [(1, 64)]),
@@ -21597,6 +21600,85 @@ DROP DATABASE issue1034_test;
 """
 
 
+SCRIPT_ISSUE1696F = """--source include/have_tianmu.inc
+
+--disable_warnings
+
+--echo # Creating test database test_db_1696
+CREATE DATABASE IF NOT EXISTS test_db_1696;
+
+USE test_db_1696;
+
+CREATE DATABASE IF NOT EXISTS test_database;
+USE test_database;
+
+CREATE TABLE IF NOT EXISTS t1 (
+  id INT NOT NULL,
+  value INT NOT NULL
+) ENGINE=tianmu;
+
+INSERT INTO t1 VALUES (1, 1), (2, 2), (3, 3), (4, 1), (5, 2), (6, 3);
+
+CREATE TABLE IF NOT EXISTS t2 (
+  id INT NOT NULL,
+  value INT NOT NULL
+) ENGINE=tianmu;
+
+INSERT INTO t2 VALUES (1, 1), (2, 2), (3, 3), (4, 1), (5, 2), (6, 3);
+
+CREATE TABLE IF NOT EXISTS t3 (
+  id INT NOT NULL,
+  value INT NOT NULL
+) ENGINE=tianmu;
+
+INSERT INTO t3 VALUES (1, 1), (2, 2), (3, 3), (4, 1), (5, 2), (6, 3);
+
+SET @counter = 0;
+
+SELECT
+  *,
+  IF(@counter != 1, @counter, @counter := @counter + 1) AS counter
+FROM
+  (
+    SELECT
+      t1.id AS id1,
+      t1.value AS value1,
+      t2.id AS id2,
+      t2.value AS value2,
+      t3.id AS id3,
+      t3.value AS value3
+    FROM
+      t1
+      JOIN t2 ON t1.value = t2.value
+      JOIN t3 ON t2.value = t3.value
+  ) AS derived_table;
+DROP TABLE t1, t2, t3;
+
+set @rankno = 1;
+
+create table d(taxis_no int);
+ 
+insert into d values(1);
+insert into d values(1);
+insert into d values(1);
+
+SELECT IF(@rankno != d.taxis_no, @rankno := 1, @rankno := @rankno + 1)  from d;
+
+set @rankno = 1;
+
+drop table d;
+create table d(taxis_no int);
+ 
+insert into d values(1);
+insert into d values(2);
+insert into d values(3);
+
+SELECT IF(@rankno != d.taxis_no, @rankno := 1, @rankno := @rankno + 1)  from d;
+
+--echo # Dropping test database test_db_1696
+DROP DATABASE IF EXISTS test_db_1696;"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -22089,6 +22171,9 @@ _SPECS = [
     ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
     ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
     ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
+    ('dialect_issue1696_counter', SCRIPT_ISSUE1696F, 0, ['id1', 'value1', 'id2', 'value2', 'id3', 'value3', 'counter'], False, 'IF(@c != 1, @c, @c := @c + 1) with @c = 0: assignment branch unreachable, folds to the constant (24-row 3-way join)'),
+    ('dialect_issue1696_rec1', SCRIPT_ISSUE1696F, 1, ['rankno'], False, 'sequential rank-vs-value recurrence over equal rows via recursive CTE (expected 2,1,2)'),
+    ('dialect_issue1696_rec2', SCRIPT_ISSUE1696F, 2, ['rankno'], False, 'sequential rank-vs-value recurrence over 1,2,3 via recursive CTE (expected 2,3,4)'),
     ('dialect_issue1034_alterpk', SCRIPT_ISSUE1034F, 0, ['probe'], False, 'ADD/DROP PRIMARY KEY x198 with ALGORITHM=DEFAULT/COPY under tianmu_index_search toggles; ALGORITHM=INPLACE raises the 1845 analog (documented probe select)'),
     ('dialect_issue1616_updignore', SCRIPT_ISSUE1616F, 1, ['id', 'parent_id', 'level'], False, 'UPDATE IGNORE id=id+1 over a single-column PK skips the row colliding with a pre-statement key ({3,4} -> {3,5})'),
     ('dialect_issue1616_dtabort', SCRIPT_ISSUE1616F, 4, ['dt', 'val'], False, 'UPDATE to a duplicate DATETIME PK aborts with the 1062 analog, table unchanged'),

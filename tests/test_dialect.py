@@ -138,6 +138,12 @@ def test_short_year_literal_padding_pivot():
         assert "'0111-11-10'" in out
         out = rewrite_expr("SELECT '9-2-11' d", engine)
         assert "'0009-02-11'" in out
+        # literals inside STRING-function args are plain strings:
+        # SUBSTR('15-01-20', 1, 2) must stay '15', not '20'
+        out = rewrite_expr("SELECT SUBSTR('15-01-20', 1, 2)", engine)
+        assert "'15-01-20'" in out
+        out = rewrite_expr("SELECT CONCAT('a', '9-2-11')", engine)
+        assert "'9-2-11'" in out
 
 
 def test_group_concat_translation():
