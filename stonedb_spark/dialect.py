@@ -5886,6 +5886,41 @@ def rewrite_expr(sql: str, engine: str) -> str:
             ),
             lambda m: f"({m.group(1)} IS NOT DISTINCT FROM {m.group(2)})",
         )
+        # MySQL treats CROSS JOIN and INNER JOIN as interchangeable:
+        # ``CROSS JOIN x ON c`` is legal (issue1910); DuckDB's CROSS
+        # JOIN refuses ON.  Paren groups are skipped whole so an ON
+        # inside a derived table can't false-positive.
+        # plain re.sub: the span crosses quoted aliases, which
+        # _sub_outside_strings would segment; the pattern skips
+        # quoted regions itself
+        sql = re.sub(
+            r"\bCROSS(\s+)JOIN((?:(?!\b(?:JOIN|WHERE|GROUP|ORDER|"
+            r"UNION|LIMIT|HAVING)\b)(?:[^()'\"]|'[^']*'|\"[^\"]*\"|"
+            r"\((?:[^()'\"]|'[^']*'|\"[^\"]*\"|\([^()]*\))*\)))*?"
+            r"\bON\b)",
+            lambda m: f"INNER{m.group(1)}JOIN{m.group(2)}",
+            sql, flags=re.I | re.S,
+        )
+        # MySQL names a bare string-literal column by its text
+        # (SELECT 'abc' -> column abc); DuckDB keeps the quotes in
+        # the name, breaking qualified refs (issue1910's a.abc).
+        # Alias string-literal items of literal-only derived tables.
+
+        def _alias_strlits(m: "re.Match[str]") -> str:
+            items = []
+            for it in _split_top_commas(m.group(1)):
+                sm = re.fullmatch(r"\s*'((?:[^'\\]|\\.|'')*)'\s*", it)
+                if sm:
+                    nm = sm.group(1).replace("''", "'")
+                    items.append(f"{it.strip()} AS \"{nm}\"")
+                else:
+                    items.append(it.strip())
+            return "(SELECT " + ", ".join(items) + ")"
+
+        sql = re.sub(
+            r"\(\s*SELECT\s+((?:[^()']|'[^']*')+?)\s*\)",
+            _alias_strlits, sql,
+        )
         # MySQL's bare ``a JOIN b`` (no ON/USING) is a cross join;
         # DuckDB's parser demands a condition (issue880's
         # parenthesized comma-style joins)
@@ -5907,6 +5942,27 @@ def rewrite_expr(sql: str, engine: str) -> str:
             lambda m: m.group(0)
             if m.group(1) and m.group(1).upper() not in ("INNER", "CROSS")
             else f"{m.group(2)}CROSS JOIN {m.group(3)}",
+        )
+        # same rule for a DERIVED right side (issue1910's
+        # ``INNER JOIN (SELECT @v …) a`` with no ON).  Plain re.sub:
+        # the derived body may contain quoted aliases, which
+        # _sub_outside_strings would segment; the pattern skips
+        # quoted regions itself.
+        sql = re.sub(
+            r"\b(LEFT|RIGHT|INNER|CROSS|NATURAL|FULL|OUTER)?"
+            r"(\s*)\bJOIN\s+"
+            r"(\((?:[^()'\"]|'[^']*'|\"[^\"]*\"|"
+            r"\((?:[^()'\"]|'[^']*'|\"[^\"]*\"|\([^()]*\))*\))*\)"
+            r"(?:\s+(?:AS\s+)?"
+            r"(?!(?:WHERE|GROUP|ORDER|UNION|LIMIT|ON|USING|JOIN|"
+            r"LEFT|RIGHT|INNER|CROSS|NATURAL|HAVING)\b)\w+)?)"
+            r"(?=\s*(\)|\bWHERE\b|\bGROUP\b|\bORDER\b|\bUNION\b|"
+            r"\bLIMIT\b|\bHAVING\b|\bINNER\b|\bCROSS\b|\bLEFT\b|"
+            r"\bRIGHT\b|\bNATURAL\b|\bJOIN\b|$|;))",
+            lambda m: m.group(0)
+            if m.group(1) and m.group(1).upper() not in ("INNER", "CROSS")
+            else f"{m.group(2)}CROSS JOIN {m.group(3)}",
+            sql, flags=re.I | re.S,
         )
         sql = _duck_order_nulls(sql)
     return sql
@@ -8721,6 +8777,43 @@ def _apply_bitwise_mysql(
     return sql
 
 
+_ON_BARE_ATOM = re.compile(
+    r"(?is)(\bON\s+)"
+    r"((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)"
+    r"(?![\w`])"  # whole-ident boundary: no backtracked partial atoms
+    r"(?!\s*(?:[=<>!*/%+|&^~.(-]"
+    r"|(?:AND|OR|XOR|NOT|IS|LIKE|BETWEEN|IN|REGEXP|RLIKE|COLLATE"
+    r"|DIV|MOD|ESCAPE|DUPLICATE|KEY|UPDATE|DELETE)\b))"
+)
+
+
+def _apply_truthy_on(sql: str, engine: str) -> str:
+    """MySQL allows a bare non-boolean column as a JOIN condition
+    (issue1910's ``LEFT JOIN t1 ON created_date`` / ``ON t2.price`` /
+    ``ON b.nm``): the value's numeric reading decides (nonzero = true,
+    NULL/zero = no match).  Both engines demand BOOLEAN.  Rewritten
+    via the universal lenient prefix read over the string rendering —
+    one form for every type: numbers render exactly, strings take
+    MySQL's prefix read ('aaa' → 0 → false), temporal values render
+    '2023-…' → 2023 ≠ 0 → true (the zero date is modeled NULL → false
+    on both engines)."""
+    def rep(m: "re.Match[str]") -> str:
+        ref = m.group(2)
+        if re.fullmatch(r"\d+(?:\.\d+)?", ref):
+            return m.group(0)  # literal: ON 1 = 1 etc. parse fine
+        # digit-named derived columns (issue1910's ``ON b.1``) need
+        # quoting on both engines
+        parts = [p.strip() for p in re.split(r"\.", ref)]
+        if re.fullmatch(r"\d+", parts[-1].strip("`")):
+            parts[-1] = f"`{parts[-1].strip('`')}`"
+            ref = ".".join(parts)
+        _s, _p, n = _lenient_num(ref, engine)
+        return (f"{m.group(1)}COALESCE(CAST(COALESCE({n}, 0) AS "
+                f"DOUBLE) <> 0, {_BFALSE})")
+
+    return _sub_outside_strings(sql, _ON_BARE_ATOM, rep)
+
+
 def _apply_string_numeric_cmp(
     sql: str, tables: dict[str, TableDef], engine: str
 ) -> str:
@@ -11452,8 +11545,9 @@ def run_statement(run: MTRRun, stmt: str):
                     _apply_tz_select_shift(
                         _apply_union_string_coercion(
                             _apply_string_numeric_cmp(
-                                _apply_bitwise_mysql(s, run.tables,
-                                                     "spark"),
+                                _apply_bitwise_mysql(
+                                    _apply_truthy_on(s, "spark"),
+                                    run.tables, "spark"),
                                 run.tables, "spark"),
                             run.tables, "spark"),
                         run.tables, "spark"),
@@ -12414,7 +12508,11 @@ def build_oracle_sql(
                     vname(t),
                     _update_limit_sql(
                         prev, td, assigns,
-                        rewrite_expr(m.group(3), "duck")
+                        # _rt_sub: an EXISTS/scalar subquery in the
+                        # WHERE binds to the referenced tables'
+                        # CURRENT versions (issue781's safe-mode
+                        # EXISTS … LIMIT 1)
+                        _rt_sub(rewrite_expr(m.group(3), "duck"))
                         if m.group(3) else None,
                         order, int(m.group(5)), "duck", alias=td.name,
                     ),
@@ -12649,7 +12747,8 @@ def build_oracle_sql(
                                 _apply_union_string_coercion(
                                     _apply_string_numeric_cmp(
                                         _apply_bitwise_mysql(
-                                            s, tables, "duck"),
+                                            _apply_truthy_on(s, "duck"),
+                                            tables, "duck"),
                                         tables, "duck"),
                                     tables, "duck"),
                                 tables, "duck"),

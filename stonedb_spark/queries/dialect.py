@@ -41,6 +41,15 @@ SOURCES = {
     'dialect_issue1332_year3': ('issue1332.test', [(1, 176)]),
     'dialect_issue1332_single': ('issue1332.test', [(1, 176)]),
     'dialect_issue850_export': ('issue850.test', [(1, 92)]),
+    'dialect_issue781_safemode': ('issue781.test', [(1, 349)]),
+    'dialect_issue781_exists_limit': ('issue781.test', [(1, 349)]),
+    'dialect_issue1910_nullrow': ('issue1910.test', [(1, 59)]),
+    'dialect_issue1910_noon': ('issue1910.test', [(1, 59)]),
+    'dialect_issue1910_truthyon': ('issue1910.test', [(1, 59)]),
+    'dialect_issue1910_strlit': ('issue1910.test', [(1, 59)]),
+    'dialect_issue1910_nested': ('issue1910.test', [(1, 59)]),
+    'dialect_issue1910_digitcol': ('issue1910.test', [(1, 59)]),
+    'dialect_issue1910_semifinal': ('issue1910.test', [(1, 59)]),
     'dialect_issue1696_counter': ('issue1696.test', [(1, 76)]),
     'dialect_issue1696_rec1': ('issue1696.test', [(1, 76)]),
     'dialect_issue1696_rec2': ('issue1696.test', [(1, 76)]),
@@ -21679,6 +21688,415 @@ SELECT IF(@rankno != d.taxis_no, @rankno := 1, @rankno := @rankno + 1)  from d;
 DROP DATABASE IF EXISTS test_db_1696;"""
 
 
+SCRIPT_ISSUE1910F = """--source include/have_tianmu.inc
+--disable_warnings
+
+DROP DATABASE IF EXISTS issue1910;
+CREATE DATABASE issue1910;
+USE issue1910;
+--enable_warnings
+
+CREATE TABLE t1 (`id` BIGINT(20) NOT NULL, 
+                 `created_date` DATETIME DEFAULT NULL,
+                 `name` VARCHAR(20),
+                 `price` DECIMAL(10,2));
+INSERT INTO t1 VALUES 
+(1,'2023-06-30 10:00:00','aaa',186.43),
+(2,'2023-11-21 14:26:54','bbb',12.2),
+(3,'2023-01-25 17:10:20','ccc',1743.19),
+(4,'2012-03-18 23:56:41','ddd',1.3);
+
+CREATE TABLE t2 (`id` INT(20) NOT NULL, 
+                 `name` VARCHAR(20),
+                 `price` DECIMAL(10,2));
+INSERT INTO t2 VALUES 
+(1,'aaa',186.43),
+(2,'bbb',12.2),
+(3,'aaa',1743.19),
+(4,'ddd',12.2),
+(3,'ccc',1743.19);
+
+SELECT C.* FROM t1 A INNER JOIN (SELECT @row1 := @row1 + 1 AS '上划日' FROM (SELECT 0) a) C ON 1 = 1;
+SELECT C.* FROM t1 A LEFT JOIN (SELECT @row1 := @row1 + 1 AS '上划日' FROM (SELECT 0) a) C ON 1 = 1;
+SELECT C.* FROM t1 A RIGHT JOIN (SELECT @row1 := @row1 + 1 AS '上划日' FROM (SELECT 0) a) C ON 1 = 1;
+SELECT C.* FROM t1 A CROSS JOIN (SELECT @row1 := @row1 + 1 AS '上划日' FROM (SELECT 0) a) C ON 1 = 1;
+
+SELECT @row1 := @row1 + 1 AS '上划日' FROM (SELECT 1.99) a INNER JOIN t1;
+SELECT * FROM t1 INNER JOIN (SELECT @row1 := @row1 + 1 AS '上划日') a;
+SELECT * FROM (SELECT 456.234) a LEFT JOIN t1 ON created_date;
+SELECT * FROM (SELECT 'abc') a RIGHT JOIN t2 ON a.abc = t2.name;
+SELECT * FROM (SELECT 'abc',123) a CROSS JOIN (SELECT created_date AS number FROM t1,t2 WHERE t1.id = t2.id) b;
+
+SELECT * FROM t1 LEFT JOIN (SELECT * FROM (SELECT * FROM (SELECT 'abc' AS '上划日') e RIGHT JOIN t2 ON t2.price) f 
+CROSS JOIN (SELECT * FROM (SELECT 1) a INNER JOIN (SELECT t1.name AS nm FROM t1,t2 WHERE t1.id = t2.id AND 
+t2.price = (SELECT 12.2)) b ON b.nm) c) d ON d.name = t1.name LIMIT 10;
+
+SELECT * FROM (SELECT * FROM ((SELECT @row1 := @row1 + 1 AS '上划日') a LEFT JOIN (SELECT 1) b ON b.1) CROSS JOIN t2)
+c RIGHT JOIN t2 ON t2.id;
+
+SELECT * FROM (SELECT t1.name FROM t1 RIGHT JOIN t2 ON t1.id = t2.id) a INNER JOIN (SELECT * FROM (SELECT * FROM t2
+WHERE name = 'aaa') b WHERE id = 3) c ON a.name = 'aaa';
+
+DROP TABLE t1;
+DROP TABLE t2;
+
+DROP DATABASE issue1910;"""
+
+
+SCRIPT_ISSUE781F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue781_test;
+--enable_warnings
+
+CREATE DATABASE issue781_test;
+
+USE issue781_test;
+
+--disable_warnings
+
+# safe mode
+
+# test with no primary key
+
+## DDL
+
+DROP TABLE IF EXISTS cs1;
+DROP TABLE IF EXISTS cs2;
+
+CREATE TABLE cs1 (d1 int, d2 int) ENGINE=TIANMU;
+CREATE TABLE cs2 (d1 int, d2 int) ENGINE=TIANMU;
+
+## insert data
+
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## select before update
+
+SELECT * FROM cs1;
+
+## update with IN of more than one elem
+
+UPDATE cs1 SET d1=888, d2=777 WHERE d1 IN (125, 99999);
+
+## select again
+
+SELECT * FROM cs1;
+
+## update with NOT IN of more than one elem
+
+UPDATE cs1 SET d1=888, d2=777 WHERE d1 NOT IN (125, 99999);
+
+## select again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+## update with IN of one elem
+
+UPDATE cs1 SET d1=888, d2=777 WHERE d1 IN (99998);
+
+## select again
+
+SELECT * FROM cs1;
+
+## update with NOT IN of one elem
+
+UPDATE cs1 SET d1=888, d2=777 WHERE d1 NOT IN (99998);
+
+## select again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+## update with eq
+
+UPDATE cs1 SET d1=999, d2=777 WHERE d1 = 99998;
+
+## select again
+
+SELECT * FROM cs1;
+
+## update with not eq
+
+UPDATE cs1 SET d1=999, d2=777 WHERE d1 != 99998;
+
+## select again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+DELETE FROM cs2;
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## EXISTS clause with IN more than one elem
+
+UPDATE cs1 SET d1=999, d2=777 WHERE EXISTS (SELECT 1 from cs2 WHERE d1 IN (33, 77) ) LIMIT 1;   
+
+## SELECT again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+DELETE FROM cs2;
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## NOT EXISTS clause with IN more than one elem
+
+UPDATE cs1 SET d1=999, d2=777 WHERE NOT EXISTS (SELECT 1 from cs2 WHERE d1 IN (330, 770) ) LIMIT 1;   
+
+## SELECT again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+DELETE FROM cs2;
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## EXISTS clause with NOT IN more than one elem
+
+UPDATE cs1 SET d1=999, d2=777 WHERE EXISTS (SELECT 1 from cs2 WHERE d1 NOT IN (33, 77) ) LIMIT 1;   
+
+## SELECT again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+DELETE FROM cs2;
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## EXISTS clause with IN more than one elem
+
+UPDATE cs1 SET d1=999, d2=777 WHERE EXISTS (SELECT 1 from cs2 WHERE d1 IN (33) ) LIMIT 1;  
+
+## SELECT again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+DELETE FROM cs2;
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## NOT EXISTS clause with IN more than one elem
+
+UPDATE cs1 SET d1=999, d2=777 WHERE NOT EXISTS (SELECT 1 from cs2 WHERE d1 IN (330) ) LIMIT 1;  
+
+## SELECT again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+DELETE FROM cs2;
+INSERT INTO cs2 VALUES (125, 125);
+INSERT INTO cs2 VALUES (-125, -125);
+INSERT INTO cs2 VALUES (77, 55);
+INSERT INTO cs2 VALUES (33, 66);
+INSERT INTO cs2 VALUES (99998, 998);
+INSERT INTO cs2 VALUES (99999, 999);
+
+## EXISTS clause with NOT IN more than one elem
+
+UPDATE cs1 SET d1=999, d2=777 WHERE EXISTS (SELECT 1 from cs2 WHERE d1 NOT IN (33) ) LIMIT 1;  
+
+## SELECT again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+## delete with IN of more than one elem
+
+DELETE FROM cs1 WHERE d1 IN (77, 999);
+
+## select again
+
+SELECT * FROM cs1;
+
+DELETE FROM cs1 WHERE d1 NOT IN (77, 999);
+
+## select again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+## delete with IN one elem
+
+DELETE FROM cs1 WHERE d1 IN (-125);
+
+## select again
+
+SELECT * FROM cs1;
+
+## delete with NOT IN one elem
+
+DELETE FROM cs1 WHERE d1 NOT IN (-125);
+
+## select again
+
+SELECT * FROM cs1;
+
+## reinsert
+
+DELETE FROM cs1;
+INSERT INTO cs1 VALUES (125, 125);
+INSERT INTO cs1 VALUES (-125, -125);
+INSERT INTO cs1 VALUES (77, 55);
+INSERT INTO cs1 VALUES (33, 66);
+INSERT INTO cs1 VALUES (99998, 998);
+INSERT INTO cs1 VALUES (99999, 999);
+
+## delete with eq
+
+DELETE FROM cs1 WHERE d1 = 33;
+
+## select again
+
+SELECT * FROM cs1;
+
+## delete with NOT eq
+
+DELETE FROM cs1 WHERE d1 != 33;
+
+## select again
+
+SELECT * FROM cs1;
+
+## clean test table
+
+DROP TABLE cs1;
+DROP TABLE cs2;
+
+
+DROP DATABASE issue781_test;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -22171,6 +22589,15 @@ _SPECS = [
     ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
     ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
     ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
+    ('dialect_issue781_safemode', SCRIPT_ISSUE781F, 2, ['d1', 'd2'], False, 'safe-mode UPDATE battery over a no-PK table: IN/NOT IN/eq/neq/EXISTS+LIMIT predicates with reinserts (19 selects; excerpt lines 1-349 of 3104 — the later sections repeat the battery under PK/safe-mode toggles; JSON tail unsupported per limits.md)'),
+    ('dialect_issue781_exists_limit', SCRIPT_ISSUE781F, 13, ['d1', 'd2'], False, 'UPDATE ... WHERE EXISTS(...) LIMIT 1 leg of the safe-mode battery'),
+    ('dialect_issue1910_nullrow', SCRIPT_ISSUE1910F, 0, ['v'], False, 'NULL-start @row1 accumulator in a derived table joined ON 1 = 1 (every row NULL per r/issue1910.result)'),
+    ('dialect_issue1910_noon', SCRIPT_ISSUE1910F, 5, ['id', 'created_date', 'name', 'price', 'rowno'], False, 'INNER JOIN of a FROM-less var derived table with no ON (MySQL cross-join semantics)', {'price': 'DOUBLE'}),
+    ('dialect_issue1910_truthyon', SCRIPT_ISSUE1910F, 6, ['v', 'id', 'created_date', 'name', 'price'], False, 'LEFT JOIN ... ON created_date: bare TIMESTAMP column as join condition via numeric truthiness', {'v': 'DOUBLE', 'price': 'DOUBLE'}),
+    ('dialect_issue1910_strlit', SCRIPT_ISSUE1910F, 7, ['abc', 'id', 'name', 'price'], False, "(SELECT 'abc') derived column named by its text, referenced qualified in ON", {'price': 'DOUBLE'}),
+    ('dialect_issue1910_nested', SCRIPT_ISSUE1910F, 9, ['id1', 'created_date', 'name1', 'price1', 'rowno', 'id2', 'name2', 'price2', 'one', 'nm'], False, 'triple-nested derived joins with ON t2.price truthiness and scalar-subquery equality, LIMIT 10', {'price1': 'DOUBLE', 'price2': 'DOUBLE'}),
+    ('dialect_issue1910_digitcol', SCRIPT_ISSUE1910F, 10, ['rowno', 'one', 'id1', 'name1', 'price1', 'id2', 'name2', 'price2'], False, 'ON b.1: digit-named derived column as truthy join condition; RIGHT JOIN ON t2.id', {'price1': 'DOUBLE', 'price2': 'DOUBLE'}),
+    ('dialect_issue1910_semifinal', SCRIPT_ISSUE1910F, 11, ['name1', 'id', 'name2', 'price'], False, 'derived-vs-filtered-subquery INNER JOIN with constant equality ON', {'price': 'DOUBLE'}),
     ('dialect_issue1696_counter', SCRIPT_ISSUE1696F, 0, ['id1', 'value1', 'id2', 'value2', 'id3', 'value3', 'counter'], False, 'IF(@c != 1, @c, @c := @c + 1) with @c = 0: assignment branch unreachable, folds to the constant (24-row 3-way join)'),
     ('dialect_issue1696_rec1', SCRIPT_ISSUE1696F, 1, ['rankno'], False, 'sequential rank-vs-value recurrence over equal rows via recursive CTE (expected 2,1,2)'),
     ('dialect_issue1696_rec2', SCRIPT_ISSUE1696F, 2, ['rankno'], False, 'sequential rank-vs-value recurrence over 1,2,3 via recursive CTE (expected 2,3,4)'),
