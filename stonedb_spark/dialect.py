@@ -3970,6 +3970,10 @@ def _huge_int_arith_guard(sql: str) -> None:
 # called from both translators; scripts execute single-threaded and
 # run_script / build_oracle_sql reset it at entry.
 _NUS_MODE = [False]
+# NO_ZERO_DATE: on under the 5.7 default strict mode; an explicit
+# sql_mode list WITHOUT it (issue682) stores zero dates even in
+# strict mode (NULL model)
+_NZD_MODE = [True]
 # session time_zone offset in minutes (SET time_zone='-5:00'); MySQL
 # TIMESTAMP columns store UTC and render in the statement's session
 # offset — frozen per statement in BOTH translators (type_timestamp)
@@ -7900,6 +7904,11 @@ def _implicit_default(c: ColumnDef) -> str:
         "DOUBLE", "FLOAT",
     ) or c.spark_type.upper().startswith("DECIMAL"):
         return "0"
+    if c.spark_type.upper() in ("DATE", "TIMESTAMP"):
+        # MySQL's implicit temporal default is the zero date
+        # '0000-00-00' (issue682's INSERT IGNORE NULL into NOT NULL
+        # DATE) — the engine's zero-date model is NULL
+        return "NULL"
     return "''"
 
 
@@ -9645,13 +9654,16 @@ def _parse_insert_values(
                     v = _coerce_int_literal(v, c, td.engine, strict)
                 if (
                     strict
+                    and _NZD_MODE[0]
                     and c.spark_type.upper() in ("DATE", "TIMESTAMP")
                 ):
                     zd = v.strip().strip("'\"")
                     if re.fullmatch(r"0+", zd):
-                        # strict sql_mode rejects the zero-date
-                        # (delete.test); non-strict stores it (NULL
-                        # model — see _mysql_temporal_literal)
+                        # strict + NO_ZERO_DATE rejects the zero-date
+                        # (delete.test); without NO_ZERO_DATE
+                        # (issue682's explicit mode) or non-strict it
+                        # stores it (NULL model — see
+                        # _mysql_temporal_literal)
                         raise ValueError(
                             f"Incorrect date value '0' for column "
                             f"'{c.name}' (MySQL error 1292 analog)"
@@ -10558,6 +10570,13 @@ def run_statement(run: MTRRun, stmt: str):
     s = _subst_uservars(raw, run.vars)
     s = _normalize_insert_set(_normalize_create_index(
         _backtick_dollar_idents(_inline_funcs(s, run.funcs))))
+    if re.match(r"^\s*(DELETE|UPDATE)\b", s, re.I):
+        # DELETE/UPDATE WHERE clauses need the same temporal-column
+        # compare normalization SELECTs get (issue682's
+        # ``delete from t1 where a=0`` over a DATE column)
+        s = _apply_temporal_numeric_cmp(
+            _apply_temporal_string_cmp(s, run.tables, "spark"),
+            run.tables, "spark")
     upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
     s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
     # DROP TABLE … RESTRICT/CASCADE: MySQL parses and ignores the
@@ -10574,6 +10593,8 @@ def run_statement(run: MTRRun, stmt: str):
         run.strict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
         run.full_group_by = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
         _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
+        _NZD_MODE[0] = ("NO_ZERO_DATE" in val or "TRADITIONAL" in val
+                        or val == "DEFAULT")
         return None
     tzm = _SET_TIMEZONE.match(s)
     if tzm:
@@ -11575,6 +11596,7 @@ def run_script(
     workdir = tempfile.mkdtemp(prefix="stonedb_mtr_")
     run = MTRRun(spark, workdir)
     _NUS_MODE[0] = False  # fresh session sql_mode
+    _NZD_MODE[0] = True
     _TZ_OFFSET_MIN[0] = 0  # fresh session time_zone
     script = _fold_get_format(script)
     _STR_FMT_POOL[:] = _collect_std_formats(script)
@@ -11763,6 +11785,7 @@ def build_oracle_sql(
     BIGINT) — DuckDB's integral SUM returns HUGEINT (float64 in
     pandas) while Spark returns BIGINT."""
     _NUS_MODE[0] = False  # fresh session sql_mode
+    _NZD_MODE[0] = True
     _TZ_OFFSET_MIN[0] = 0  # fresh session time_zone
     script = _fold_get_format(script)
     _STR_FMT_POOL[:] = _collect_std_formats(script)
@@ -11909,6 +11932,11 @@ def build_oracle_sql(
         s = _subst_uservars(raw, uservars)
         s = _normalize_insert_set(_normalize_create_index(
             _backtick_dollar_idents(_inline_funcs(s, oraclefuncs))))
+        if re.match(r"^\s*(DELETE|UPDATE)\b", s, re.I):
+            # mirror of the runner's DML WHERE normalization
+            s = _apply_temporal_numeric_cmp(
+                _apply_temporal_string_cmp(s, tables, "duck"),
+                tables, "duck")
         upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
         s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
         s = re.sub(
@@ -11923,6 +11951,8 @@ def build_oracle_sql(
             oraclestrict = "STRICT" in val or "TRADITIONAL" in val or val == "DEFAULT"
             oracle_fullgb = "ONLY_FULL_GROUP_BY" in val or val == "DEFAULT"
             _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
+            _NZD_MODE[0] = ("NO_ZERO_DATE" in val or "TRADITIONAL" in val
+                            or val == "DEFAULT")
             continue
         tzm = _SET_TIMEZONE.match(s)
         if tzm:

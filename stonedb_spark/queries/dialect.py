@@ -41,6 +41,8 @@ SOURCES = {
     'dialect_issue1332_year3': ('issue1332.test', [(1, 176)]),
     'dialect_issue1332_single': ('issue1332.test', [(1, 176)]),
     'dialect_issue850_export': ('issue850.test', [(1, 92)]),
+    'dialect_issue682_zerodate': ('issue682.test', [(1, 27), (44, 59)]),
+    'dialect_issue682_zerodel': ('issue682.test', [(1, 27), (44, 59)]),
     'dialect_issue781_safemode': ('issue781.test', [(1, 349)]),
     'dialect_issue781_exists_limit': ('issue781.test', [(1, 349)]),
     'dialect_issue1910_nullrow': ('issue1910.test', [(1, 59)]),
@@ -22097,6 +22099,55 @@ DROP DATABASE issue781_test;
 """
 
 
+SCRIPT_ISSUE682F = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue682_test;
+--enable_warnings
+
+CREATE DATABASE issue682_test;
+
+USE issue682_test;
+
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+create table t1(a date not null);
+insert ignore into t1 values (0);
+insert into t1 values (0);
+insert ignore into t1 values (null);
+-- error 1048
+insert into t1 values (null);
+insert into t1 values (20221020);
+select * from t1;
+select * from t1 where a is null;
+delete from t1 where a is null;
+delete from t1 where a=0;
+select * from t1 where a is null;
+select * from t1;
+delete from t1 where a ='20221020';
+select * from t1;
+drop table t1;
+
+create table t1(a datetime not null);
+insert ignore into t1 values (0);
+insert into t1 values (0);
+insert ignore into t1 values (null);
+-- error 1048
+insert into t1 values (null);
+insert into t1 values (20221020);
+select * from t1;
+select * from t1 where a is null;
+delete from t1 where a is null;
+delete from t1 where a=0;
+select * from t1 where a is null;
+select * from t1;
+delete from t1 where a ='20221020';
+select * from t1;
+drop table t1;
+
+DROP DATABASE issue682_test;
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -22589,6 +22640,8 @@ _SPECS = [
     ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
     ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
     ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
+    ('dialect_issue682_zerodate', SCRIPT_ISSUE682F, 0, ['a'], False, "zero-date inserts under strict-without-NO_ZERO_DATE (issue682 NOT NULL legs; zero date carries the engine's documented NULL model: counts/deletes match the reference, rendering is NULL not 0000-00-00 — delta in COVERAGE.md)"),
+    ('dialect_issue682_zerodel', SCRIPT_ISSUE682F, -1, ['a'], False, 'IS NULL / =0 / =string deletes over zero-date rows leave the datetime table empty'),
     ('dialect_issue781_safemode', SCRIPT_ISSUE781F, 2, ['d1', 'd2'], False, 'safe-mode UPDATE battery over a no-PK table: IN/NOT IN/eq/neq/EXISTS+LIMIT predicates with reinserts (19 selects; excerpt lines 1-349 of 3104 — the later sections repeat the battery under PK/safe-mode toggles; JSON tail unsupported per limits.md)'),
     ('dialect_issue781_exists_limit', SCRIPT_ISSUE781F, 13, ['d1', 'd2'], False, 'UPDATE ... WHERE EXISTS(...) LIMIT 1 leg of the safe-mode battery'),
     ('dialect_issue1910_nullrow', SCRIPT_ISSUE1910F, 0, ['v'], False, 'NULL-start @row1 accumulator in a derived table joined ON 1 = 1 (every row NULL per r/issue1910.result)'),
