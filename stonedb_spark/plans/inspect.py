@@ -66,3 +66,21 @@ def shuffle_exchange_count(df: DataFrame) -> int:
         df._jdf.queryExecution(), "simple"
     )
     return len(re.findall(r"\bExchange (?:hash|range)partitioning", plan))
+
+
+def partitionless_windows(df: DataFrame) -> list[str]:
+    """Window specs with an EMPTY partition clause — the plan shapes
+    that drag the whole input into ONE task (Spark itself warns
+    "Moving all data to a single partition").  Detected from the
+    windowspecdefinition(...) rendering: partition columns print bare,
+    order columns carry ASC/DESC — so a spec whose FIRST argument is
+    ordered (or absent) has no partition clause."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        seg = plan[m.end(): m.end() + 400]
+        pre = seg.split("specifiedwindowframe", 1)[0]
+        first = pre.split(",", 1)[0].strip()
+        if not first or " ASC" in first or " DESC" in first:
+            out.append(first or "<empty spec>")
+    return out

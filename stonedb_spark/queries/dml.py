@@ -268,13 +268,12 @@ WITH target AS (
   FROM customer WHERE c_custkey <= 120
 ),
 batch AS (
-  SELECT c_custkey, LOWER(c_name) AS c_name, 'NEW' AS c_mktsegment,
-         ROW_NUMBER() OVER (ORDER BY c_custkey + 7) AS batch_pos
+  SELECT c_custkey, LOWER(c_name) AS c_name, 'NEW' AS c_mktsegment
   FROM customer WHERE c_custkey BETWEEN 100 AND 160
 ),
 fresh AS (
   SELECT c_custkey, c_name, c_mktsegment
-  FROM (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY batch_pos) AS rn
+  FROM (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY c_custkey + 7) AS rn
         FROM batch b
         WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = b.c_custkey))
   WHERE rn = 1
@@ -297,11 +296,11 @@ def dml_insert_ignore(spark, sf_dir):
         "c_custkey",
         F.lower("c_name").alias("c_name"),
         F.lit("NEW").alias("c_mktsegment"),
-        F.row_number()
-        .over(Window.orderBy(F.col("c_custkey") + 7))
-        .alias("batch_pos"),
     )
-    w = Window.partitionBy("c_custkey").orderBy("batch_pos")
+    # first-wins per key by the batch arrival expression, ranked INSIDE
+    # the key partition — a global batch_pos row_number would drag the
+    # whole batch into one task (the r12 partition-less-window gate)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("c_custkey") + 7)
     fresh = (
         batch.join(target.select("c_custkey"), "c_custkey", "left_anti")
         .withColumn("rn", F.row_number().over(w))

@@ -3545,10 +3545,12 @@ def text_containment_pairs(spark, sf_dir):
 # dims of each embedding preserve the full-64-dim cosine to the query?
 # The audit run before shipping truncated embeddings to a cheaper
 # index.  All dot products in integer milli-units (same discipline as
-# knn_pq_adc) so ranks and errors are engine-exact.  The global rank
-# windows are the one single-task step — inherent to a full-corpus
-# rank-shift metric; at 100 TB this audit runs on a hash sample (the
-# md5 samplers in operators/sampling.py), which bounds the sort.
+# knn_pq_adc) so ranks and errors are engine-exact.  Global ranks are
+# computed DISTRIBUTED (r12, closing the r11 verdict's scale-killer):
+# each of the three orderings goes through the range-repartition +
+# per-partition-offset recipe of operators/ids.py — one range shuffle
+# and a #partitions-row driver agg per ordering, never a partition-
+# less window dragging the corpus into one task.
 @register(
     "emb_truncation_fidelity",
     oracle="""
@@ -3582,7 +3584,7 @@ FROM ranked
     doc="embedding truncation audit: top-20 retention + rank shift at 32/16 dims",
 )
 def emb_truncation_fidelity(spark, sf_dir):
-    from pyspark.sql import Window
+    from stonedb_spark.operators.ids import assign_contiguous_ids
 
     e = load_tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -3607,12 +3609,32 @@ def emb_truncation_fidelity(spark, sf_dir):
         dot_prefix(64).alias("dot_full"),
         dot_prefix(32).alias("dot_32"),
         dot_prefix(16).alias("dot_16"),
-    )
-    ranked = dots.select(
-        "vec_id",
-        F.row_number().over(Window.orderBy(F.desc("dot_full"), "vec_id")).alias("r_full"),
-        F.row_number().over(Window.orderBy(F.desc("dot_32"), "vec_id")).alias("r_32"),
-        F.row_number().over(Window.orderBy(F.desc("dot_16"), "vec_id")).alias("r_16"),
+    ).persist()
+    # ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) without the
+    # single-partition window: ascending key (-dot, vec_id) is the
+    # identical total order (dots are exact integer milli-units, so
+    # negation is lossless), and assign_contiguous_ids turns it into
+    # one range shuffle + a #partitions-row offset agg per ordering.
+    rank_frames = []
+    for suffix in ("full", "32", "16"):
+        r = (
+            assign_contiguous_ids(
+                dots.select(
+                    "vec_id", (-F.col(f"dot_{suffix}")).alias("_nd")
+                ),
+                ["_nd", "vec_id"],
+                "_rid",
+            )
+            .select(
+                "vec_id",
+                (F.col("_rid") + 1).cast("int").alias(f"r_{suffix}"),
+            )
+        )
+        rank_frames.append(r)
+    ranked = (
+        rank_frames[0]
+        .join(rank_frames[1], "vec_id")
+        .join(rank_frames[2], "vec_id")
     )
     return ranked.agg(
         F.count_if((F.col("r_full") <= 20) & (F.col("r_32") <= 20)).alias("top20_kept_32"),

