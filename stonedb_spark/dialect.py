@@ -331,7 +331,13 @@ def _expand_var_recurrences(stmts: list) -> list:
                 # order for issue1696's monotonic batteries (delta
                 # documented in COVERAGE.md).  Inherently sequential
                 # session state; test-scale only by construction.
+                # a single-quoted alias (AS 'rankno') would splice as
+                # a string literal on DuckDB (silently wrong rows) and
+                # a parse error on Spark — normalize to a backticked
+                # identifier (ADVICE r11)
                 out_alias = alias or r1
+                if out_alias[0] in "'`\"":
+                    out_alias = f"`{out_alias[1:-1]}`"
                 inner = (f"SELECT {col} AS __c, ROW_NUMBER() OVER "
                          f"(ORDER BY {col}) AS __rn FROM {tbl}")
                 out.append(Statement(
@@ -443,7 +449,44 @@ def _expand_var_recurrences(stmts: list) -> list:
                 return f"{col} AS {v}"
             return m.group(0)
 
-        text = _PREVCOL_IDIOM.sub(_prev_fn, text)
+        # anchor to select-list positions: a `@v := col` embedded in
+        # function arguments or a WHERE clause is NOT the previous-key
+        # idiom — rewriting it there emits broken SQL instead of
+        # falling through to the survived-site guard (ADVICE r11).
+        # A site qualifies when its nearest enclosing paren level IS a
+        # SELECT (statement or derived table) and the preceding token
+        # at that level is SELECT[/DISTINCT] or a list comma.
+        _pmask = _ANY_STRLIT.sub(
+            lambda sm: "'" + " " * (len(sm.group(0)) - 2) + "'", text)
+
+        def _at_select_list(pos: int) -> bool:
+            stack = []
+            for i, ch in enumerate(_pmask[:pos]):
+                if ch == "(":
+                    stack.append(i)
+                elif ch == ")" and stack:
+                    stack.pop()
+            seg = _pmask[(stack[-1] + 1 if stack else 0): pos]
+            tok = seg.rstrip()
+            if not (tok.endswith(",") or re.search(
+                    r"(?is)\bSELECT\s*(?:DISTINCT\s*)?$", tok)):
+                return False
+            # a trailing comma counts only inside a select list (seg's
+            # parens are balanced by construction, so the comma is at
+            # this level); function-arg levels start with the arg, not
+            # SELECT
+            return bool(re.match(r"\s*\(?\s*SELECT\b", seg, re.I))
+
+        _pieces, _last = [], 0
+        for pm in _PREVCOL_IDIOM.finditer(_pmask):
+            if not _at_select_list(pm.start()):
+                continue
+            _pieces.append(text[_last:pm.start()])
+            _pieces.append(_prev_fn(
+                _PREVCOL_IDIOM.match(text, pm.start()) or pm))
+            _last = pm.end()
+        _pieces.append(text[_last:])
+        text = "".join(_pieces)
 
         if re.search(r"@\w+\s*:=", _ANY_STRLIT.sub("''", text)):
             out.append(st)  # a site survived: unsupported shape
@@ -3972,8 +4015,20 @@ def _huge_int_arith_guard(sql: str) -> None:
 _NUS_MODE = [False]
 # NO_ZERO_DATE: on under the 5.7 default strict mode; an explicit
 # sql_mode list WITHOUT it (issue682) stores zero dates even in
-# strict mode (NULL model)
+# strict mode
 _NZD_MODE = [True]
+# MySQL's zero date '0000-00-00' has no engine value on Spark or
+# DuckDB.  Rounds 1-11 modeled it as NULL — which merged it with true
+# NULL in NULLABLE columns (issue682 lines 29-42: `is null` must see
+# 2 of 4 rows, not all 4).  Round 12: the zero date is stored as the
+# SENTINEL 0001-01-01 (a value MySQL accepts but the 5.7 test corpus
+# never uses: real MySQL data starts at '1000-01-01'); IS NULL over
+# NOT NULL temporal columns and numeric-0 compares rewrite against the
+# sentinel (MySQL's documented IS-NULL-matches-zero-date quirk), and
+# designated SELECTs render it back as '0000-00-00' where an entry
+# opts in (zerodate_render).
+_ZD_DATE = "0001-01-01"
+_ZD_TS = "0001-01-01 00:00:00"
 # session time_zone offset in minutes (SET time_zone='-5:00'); MySQL
 # TIMESTAMP columns store UTC and render in the statement's session
 # offset — frozen per statement in BOTH translators (type_timestamp)
@@ -7904,11 +7959,15 @@ def _implicit_default(c: ColumnDef) -> str:
         "DOUBLE", "FLOAT",
     ) or c.spark_type.upper().startswith("DECIMAL"):
         return "0"
-    if c.spark_type.upper() in ("DATE", "TIMESTAMP"):
-        # MySQL's implicit temporal default is the zero date
-        # '0000-00-00' (issue682's INSERT IGNORE NULL into NOT NULL
-        # DATE) — the engine's zero-date model is NULL
-        return "NULL"
+    if c.spark_type.upper() in ("DATE", "TIMESTAMP") or (
+        c.mysql_type == "time"
+    ):
+        # MySQL's implicit temporal default is the zero value
+        # ('0000-00-00' / '00:00:00'; issue682's INSERT IGNORE NULL
+        # into NOT NULL DATE/TIME) — emit literal 0 and let
+        # _mysql_temporal_literal canonicalize (sentinel date,
+        # '00:00:00' time) so the zero model lives in ONE place
+        return "0"
     return "''"
 
 
@@ -8517,14 +8576,65 @@ def _apply_temporal_numeric_cmp(
             return m.group(0)
         qual = (m.group(1) or "").strip()
         ref = f"{qual}`{m.group(3)}`"
-        f = "%Y%m%d" if c.spark_type.upper() == "DATE" else "%Y%m%d%H%M%S"
+        is_date = c.spark_type.upper() == "DATE"
+        f = "%Y%m%d" if is_date else "%Y%m%d%H%M%S"
         if engine == "spark":
             jf = "yyyyMMdd" if f == "%Y%m%d" else "yyyyMMddHHmmss"
             num = f"CAST(DATE_FORMAT({ref}, '{jf}') AS DECIMAL(20,0))"
         else:
             num = f"CAST(strftime({ref}, '{f}') AS DECIMAL(20,0))"
+        # the zero-date sentinel reads as numeric 0 (MySQL: the zero
+        # date's compact rendering 00000000; issue682 `a=0` deletes)
+        sent = (
+            f"DATE '{_ZD_DATE}'" if is_date else f"TIMESTAMP '{_ZD_TS}'"
+        )
+        num = f"(CASE WHEN {ref} = {sent} THEN 0 ELSE {num} END)"
         op = "<>" if m.group(4) == "!=" else m.group(4)
         return f"COALESCE({num} {op} {m.group(5)}, {_BFALSE})"
+
+    return _sub_outside_strings(sql, pat, rep)
+
+
+def _apply_zerodate_isnull(
+    sql: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """MySQL's documented quirk: for DATE/DATETIME columns declared
+    NOT NULL, ``col IS NULL`` matches the zero date '0000-00-00'
+    (issue682 NOT NULL legs: 3 zero rows answer ``a is null``).  Zero
+    dates are stored as the 0001-01-01 sentinel, so the IS NULL read
+    over such a column ORs in the sentinel compare; IS NOT NULL ANDs
+    it out.  The true-NULL leg stays (a LEFT JOIN can surface real
+    NULLs for a NOT NULL column of the inner side — issue682 lines
+    93-97).  Nullable temporal columns are untouched: MySQL keeps
+    their zero dates distinct from NULL (lines 29-42)."""
+    cols: dict[str, ColumnDef] = {}
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN|UPDATE)\s+(`[^`]+`|\w+)", sql, re.I
+    ):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for c in td.columns:
+                if c.notnull and c.spark_type.upper() in (
+                    "DATE", "TIMESTAMP",
+                ):
+                    cols[c.name.lower()] = c
+    if not cols:
+        return sql
+    colref = r"((?:(?:\w+|`\w+`)\s*\.\s*)?(?:`\w+`|\w+))"
+    pat = re.compile(colref + r"\s+IS\s+(NOT\s+)?NULL", re.I)
+
+    def rep(m: re.Match) -> str:
+        c = cols.get(_unquote_ident(m.group(1).split(".")[-1].strip()).lower())
+        if c is None:
+            return m.group(0)
+        sent = (
+            f"DATE '{_ZD_DATE}'"
+            if c.spark_type.upper() == "DATE"
+            else f"TIMESTAMP '{_ZD_TS}'"
+        )
+        if m.group(2):
+            return f"({m.group(1)} IS NOT NULL AND {m.group(1)} <> {sent})"
+        return f"({m.group(1)} IS NULL OR {m.group(1)} = {sent})"
 
     return _sub_outside_strings(sql, pat, rep)
 
@@ -8810,6 +8920,15 @@ def _apply_truthy_on(sql: str, engine: str) -> str:
         ref = m.group(2)
         if re.fullmatch(r"\d+(?:\.\d+)?", ref):
             return m.group(0)  # literal: ON 1 = 1 etc. parse fine
+        up = ref.upper()
+        if up in ("TRUE", "FALSE"):
+            # boolean literals ARE join conditions on both engines —
+            # the lenient-prefix read would turn ON TRUE into the
+            # string 'true' -> 0 -> always-false (ADVICE r11, medium;
+            # issue502-2's CREATE VIEW ... JOIN ... ON TRUE)
+            return m.group(0)
+        if up == "NULL":
+            return f"{m.group(1)}{_BFALSE}"  # NULL condition = no match
         # digit-named derived columns (issue1910's ``ON b.1``) need
         # quoting on both engines
         parts = [p.strip() for p in re.split(r"\.", ref)]
@@ -9101,6 +9220,50 @@ def _apply_temporal_string_cmp(
         return f"COALESCE({num} {op} {m.group(3)}, {_BFALSE})"
 
     return _sub_outside_strings(sql, tnum_pat, tnum_rep)
+
+
+def _normalize_dml_where(
+    s: str, tables: dict[str, TableDef], engine: str
+) -> str:
+    """DELETE/UPDATE temporal-compare normalization, restricted to the
+    top-level WHERE clause.  Running the passes over the whole
+    statement rewrites SET assignments (``UPDATE t1 JOIN t2 ... SET
+    d = 20230101`` is an assignment, not a compare) into COALESCE
+    comparisons before assigns-parsing splits on '=' (ADVICE r11).
+    Table refs are collected from the statement HEAD (UPDATE target,
+    FROM, JOIN) and prepended as a synthetic FROM/JOIN stub so the
+    passes' column collection still sees them."""
+    masked = _ANY_STRLIT.sub(
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s)
+    pos = None
+    depth = 0
+    for m in re.finditer(r"[()]|\bWHERE\b", masked, re.I):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            pos = m.start()
+    if pos is None:
+        return s
+    refs = [
+        _unquote_ident(r) for r in re.findall(
+            r"(?is)\b(?:UPDATE|FROM|JOIN)\s+(?:IGNORE\s+)?"
+            r"(`[^`]+`|\w+)", masked[:pos])
+        if _unquote_ident(r).lower() in tables
+    ]
+    if not refs:
+        return s
+    stub = "FROM `x` " + "".join(f"JOIN `{r}` " for r in refs)
+    tail = stub + s[pos:]
+    tail = _apply_zerodate_isnull(
+        _apply_temporal_numeric_cmp(
+            _apply_temporal_string_cmp(tail, tables, engine),
+            tables, engine),
+        tables, engine)
+    if not tail.startswith(stub):  # pass touched the stub: bail out
+        return s
+    return s[:pos] + tail[len(stub):]
 
 
 def _split_top_unions(sql: str) -> list[str]:
@@ -9787,7 +9950,16 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
     s = lit.strip()
     if col.mysql_type == "time":
         # TIME stores as text (no engine analog); round the fractional
-        # second away at the column's fsp like MySQL TIME(0) does
+        # second away at the column's fsp like MySQL TIME(0) does.
+        # A bare numeric literal reads as compact [H]HMMSS — zero TIME
+        # is the VALID value '00:00:00', not a NULL-like zero date
+        # (issue682 TIME legs: insert (0) stores and renders 00:00:00)
+        bare = s[1:-1].strip() if (
+            len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0]
+        ) else s
+        if re.fullmatch(r"\d{1,7}", bare):
+            n = int(bare)
+            return f"'{n // 10000:02d}:{n // 100 % 100:02d}:{n % 100:02d}'"
         if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
             return lit
         tm = re.match(
@@ -9810,10 +9982,13 @@ def _mysql_temporal_literal(lit: str, col: ColumnDef) -> str:
         r"0{1,4}(-0{1,2}){2}([ T]0{1,2}(:0{1,2}){2})?|0+", digits
     ):
         # MySQL numeric 0 into a temporal column is the zero-date
-        # '0000-00-00'; neither engine has one — modeled as NULL, and
-        # the temporal-vs-number compare pass renders NULL as
-        # not-greater-than-zero like the reference (insert.test t>0=0)
-        return "NULL"
+        # '0000-00-00'; neither engine has one — stored as the
+        # 0001-01-01 SENTINEL (see _ZD_DATE above) so nullable
+        # columns keep it distinct from true NULL (issue682 lines
+        # 29-42); the temporal-vs-number compare pass renders the
+        # sentinel as numeric 0 like the reference (insert.test
+        # t>0=0, issue682 a=0 deletes)
+        return f"'{_ZD_DATE}'" if base == "DATE" else f"'{_ZD_TS}'"
     if re.fullmatch(r"\d{6}|\d{8}|\d{12}|\d{14}", digits):
         # MySQL numeric temporal literal ([YY]YYMMDD[HHMMSS],
         # update_v1.test's 20000928174434; quoted compact form in
@@ -10573,10 +10748,9 @@ def run_statement(run: MTRRun, stmt: str):
     if re.match(r"^\s*(DELETE|UPDATE)\b", s, re.I):
         # DELETE/UPDATE WHERE clauses need the same temporal-column
         # compare normalization SELECTs get (issue682's
-        # ``delete from t1 where a=0`` over a DATE column)
-        s = _apply_temporal_numeric_cmp(
-            _apply_temporal_string_cmp(s, run.tables, "spark"),
-            run.tables, "spark")
+        # ``delete from t1 where a=0`` over a DATE column) — WHERE
+        # clause only, so SET assignments stay untouched (ADVICE r11)
+        s = _normalize_dml_where(s, run.tables, "spark")
     upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
     s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
     # DROP TABLE … RESTRICT/CASCADE: MySQL parses and ignores the
@@ -11561,13 +11735,15 @@ def run_statement(run: MTRRun, stmt: str):
         )
         s = _guard_unsigned_arith(s, run.tables)
         return run.sql(
-            rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
-                _apply_temporal_string_cmp(
-                    _apply_tz_select_shift(
-                        _apply_union_string_coercion(
-                            _apply_string_numeric_cmp(
-                                _apply_bitwise_mysql(
-                                    _apply_truthy_on(s, "spark"),
+            rewrite_expr(_apply_zerofill(_apply_zerodate_isnull(
+                _apply_temporal_numeric_cmp(
+                    _apply_temporal_string_cmp(
+                        _apply_tz_select_shift(
+                            _apply_union_string_coercion(
+                                _apply_string_numeric_cmp(
+                                    _apply_bitwise_mysql(
+                                        _apply_truthy_on(s, "spark"),
+                                        run.tables, "spark"),
                                     run.tables, "spark"),
                                 run.tables, "spark"),
                             run.tables, "spark"),
@@ -11585,6 +11761,7 @@ def run_script(
     out_names: list[str] | None = None,
     final_casts: dict[str, str] | None = None,
     show_designated: int | None = None,
+    zerodate_render: dict[str, str] | None = None,
 ) -> DataFrame:
     """Execute a verbatim MTR script on Spark; return the
     ``designated``-th SELECT's result (default: last).  Every other
@@ -11670,6 +11847,23 @@ def run_script(
                     # the sign of ROUND(-2.13, -1)'s zero)
                     canon = (canon + F.lit(0)).cast(ctype)
                 result = result.withColumn(cname, canon)
+        if zerodate_render:
+            # MySQL-faithful rendering of stored zero temporals:
+            # '0000-00-00 [00:00:00]' instead of the 0001-01-01
+            # sentinel (issue682 legs).  col -> 'date' | 'ts'.
+            for cname, kind in zerodate_render.items():
+                sent, zrep = (
+                    (F.lit(_ZD_DATE).cast("date"), "0000-00-00")
+                    if kind == "date"
+                    else (F.lit(_ZD_TS).cast("timestamp"),
+                          "0000-00-00 00:00:00")
+                )
+                col = F.col(f"`{cname}`")
+                result = result.withColumn(
+                    cname,
+                    F.when(col == sent, F.lit(zrep))
+                    .otherwise(col.cast("string")),
+                )
         return result
     finally:
         for name, td_ in list(run.tables.items()):
@@ -11777,6 +11971,7 @@ def build_oracle_sql(
     int_sum_cast: bool = False,
     final_casts: dict[str, str] | None = None,
     show_designated: int | None = None,
+    zerodate_render: dict[str, str] | None = None,
 ) -> str:
     """Compile the MTR script into ONE DuckDB SELECT: replay every
     table's DDL/DML as a chain of CTE versions, bind each table's
@@ -11934,9 +12129,7 @@ def build_oracle_sql(
             _backtick_dollar_idents(_inline_funcs(s, oraclefuncs))))
         if re.match(r"^\s*(DELETE|UPDATE)\b", s, re.I):
             # mirror of the runner's DML WHERE normalization
-            s = _apply_temporal_numeric_cmp(
-                _apply_temporal_string_cmp(s, tables, "duck"),
-                tables, "duck")
+            s = _normalize_dml_where(s, tables, "duck")
         upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
         s = re.sub(r"^(\s*UPDATE)\s+IGNORE\b", r"\1", s, flags=re.I)
         s = re.sub(
@@ -12771,13 +12964,15 @@ def build_oracle_sql(
                     s = _wrap_nongrouped_any_value(
                         s, equality_dependent_only=True)
                 final_sql = retarget(
-                    rewrite_expr(_apply_zerofill(_apply_temporal_numeric_cmp(
-                        _apply_temporal_string_cmp(
-                            _apply_tz_select_shift(
-                                _apply_union_string_coercion(
-                                    _apply_string_numeric_cmp(
-                                        _apply_bitwise_mysql(
-                                            _apply_truthy_on(s, "duck"),
+                    rewrite_expr(_apply_zerofill(_apply_zerodate_isnull(
+                        _apply_temporal_numeric_cmp(
+                            _apply_temporal_string_cmp(
+                                _apply_tz_select_shift(
+                                    _apply_union_string_coercion(
+                                        _apply_string_numeric_cmp(
+                                            _apply_bitwise_mysql(
+                                                _apply_truthy_on(s, "duck"),
+                                                tables, "duck"),
                                             tables, "duck"),
                                         tables, "duck"),
                                     tables, "duck"),
@@ -12815,6 +13010,22 @@ def build_oracle_sql(
             for c, t in final_casts.items()
         )
         final_sql = f"SELECT * REPLACE ({reps}) FROM ({final_sql}) AS _fc"
+    if zerodate_render:
+        # mirror of run_script's zerodate_render: the 0001-01-01
+        # sentinel prints as MySQL's '0000-00-00' (issue682 legs)
+        reps = ", ".join(
+            (
+                f"CASE WHEN \"{c}\" = DATE '{_ZD_DATE}' "
+                f"THEN '0000-00-00' "
+                f'ELSE CAST("{c}" AS VARCHAR) END AS "{c}"'
+                if kind == "date"
+                else f"CASE WHEN \"{c}\" = TIMESTAMP '{_ZD_TS}' "
+                f"THEN '0000-00-00 00:00:00' "
+                f'ELSE CAST("{c}" AS VARCHAR) END AS "{c}"'
+            )
+            for c, kind in zerodate_render.items()
+        )
+        final_sql = f"SELECT * REPLACE ({reps}) FROM ({final_sql}) AS _zd"
     with_clause = ""
     if ctes:
         with_clause = "WITH " + ",\n".join(

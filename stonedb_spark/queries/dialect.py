@@ -43,6 +43,13 @@ SOURCES = {
     'dialect_issue850_export': ('issue850.test', [(1, 92)]),
     'dialect_issue682_zerodate': ('issue682.test', [(1, 27), (44, 59)]),
     'dialect_issue682_zerodel': ('issue682.test', [(1, 27), (44, 59)]),
+    'dialect_issue682_nullable': ('issue682.test', [(1, 11), (29, 42)]),
+    'dialect_issue682_null_isnull': ('issue682.test', [(1, 11), (29, 42)]),
+    'dialect_issue682_null_final': ('issue682.test', [(1, 11), (29, 42)]),
+    'dialect_issue682_time': ('issue682.test', [(1, 11), (61, 76)]),
+    'dialect_issue682_time_final': ('issue682.test', [(1, 11), (61, 76)]),
+    'dialect_issue682_join_date': ('issue682.test', [(1, 11), (78, 111)]),
+    'dialect_issue682_join_time': ('issue682.test', [(1, 11), (78, 111)]),
     'dialect_issue781_safemode': ('issue781.test', [(1, 349)]),
     'dialect_issue781_exists_limit': ('issue781.test', [(1, 349)]),
     'dialect_issue1910_nullrow': ('issue1910.test', [(1, 59)]),
@@ -22147,6 +22154,109 @@ drop table t1;
 DROP DATABASE issue682_test;
 """
 
+SCRIPT_ISSUE682_NULLABLE = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue682_test;
+--enable_warnings
+
+CREATE DATABASE issue682_test;
+
+USE issue682_test;
+
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+create table t1(a date);
+insert ignore into t1 values (0);
+insert into t1 values (0);
+insert ignore into t1 values (null);
+insert into t1 values (null);
+insert into t1 values (20221020);
+select * from t1;
+select * from t1 where a is null;
+delete from t1 where a is null;
+select * from t1 where a is null;
+select * from t1;
+delete from t1 where a ='20221020';
+select * from t1;
+drop table t1;
+"""
+
+SCRIPT_ISSUE682_TIME = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue682_test;
+--enable_warnings
+
+CREATE DATABASE issue682_test;
+
+USE issue682_test;
+
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+create table t1(a TIME not null);
+insert ignore into t1 values (0);
+insert into t1 values (0);
+insert ignore into t1 values (null);
+-- error 1048
+insert into t1 values (null);
+insert into t1 values ('12:13:14');
+select * from t1;
+select * from t1 where a is null;
+delete from t1 where a is null;
+delete from t1 where a=0;
+select * from t1 where a is null;
+select * from t1;
+delete from t1 where a ='12:13:14';
+select * from t1;
+drop table t1;
+"""
+
+SCRIPT_ISSUE682_JOINS = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue682_test;
+--enable_warnings
+
+CREATE DATABASE issue682_test;
+
+USE issue682_test;
+
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION';
+CREATE TABLE t1 (a varchar(10));
+CREATE TABLE t2 (a varchar(10), b date  not null);
+CREATE TABLE t3 (a varchar(10), b TIME  not null);
+
+INSERT INTO t1 VALUES ('test1');
+INSERT  ignore  INTO t2 VALUES
+('test1','2016-12-13'),('test1','2016-12-14'),('test1','2016-12-15'),('test1',null);
+INSERT ignore INTO t3 VALUES
+('test1','11:13:14'), ('test1','12:13:14'), ('test1','10:13:14'),('test1',null);
+
+SELECT *
+FROM t1 LEFT JOIN t2
+  ON t2.a = 'test1' AND t2.b = '20161213'
+WHERE t1.a = 'test1';
+
+SELECT *
+FROM t1 LEFT JOIN t2
+  ON t2.a = 'test1'
+WHERE t1.a = 'test1'
+or t2.b is null;
+
+SELECT *
+FROM t1 LEFT JOIN t3
+  ON t3.a = 'test1'
+  AND t3.b = '12:13:14'
+WHERE t1.a = 'test1';
+
+SELECT *
+FROM t1 LEFT JOIN t3
+  ON t3.a = 'test1'
+WHERE t1.a = 'test1'
+or t3.b is null;
+
+drop table t1,t2,t3;
+"""
+
 
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
@@ -22640,8 +22750,15 @@ _SPECS = [
     ('dialect_issue1332_null_bat', SCRIPT_ISSUE1332F, 18, ['a', 'b', 'c'], False, 'NOT IN / IN / IS NULL battery over boundary bigints (IN (NOT NULL) evaluates NULL)', {'c': 'STRING'}),
     ('dialect_issue1332_year3', SCRIPT_ISSUE1332F, 21, ['a', 'b', 'c'], False, "3-digit-year temporal literal BETWEEN ('111-11-10' reads year 0111)", {'c': 'STRING'}),
     ('dialect_issue1332_single', SCRIPT_ISSUE1332F, 75, ['a'], False, 'single-column boundary battery after re-create (empty range)'),
-    ('dialect_issue682_zerodate', SCRIPT_ISSUE682F, 0, ['a'], False, "zero-date inserts under strict-without-NO_ZERO_DATE (issue682 NOT NULL legs; zero date carries the engine's documented NULL model: counts/deletes match the reference, rendering is NULL not 0000-00-00 — delta in COVERAGE.md)"),
-    ('dialect_issue682_zerodel', SCRIPT_ISSUE682F, -1, ['a'], False, 'IS NULL / =0 / =string deletes over zero-date rows leave the datetime table empty'),
+    ('dialect_issue682_zerodate', SCRIPT_ISSUE682F, 0, ['a'], False, "zero-date inserts under strict-without-NO_ZERO_DATE (issue682 NOT NULL legs; r12: zero date stored as the 0001-01-01 sentinel, rendered verbatim '0000-00-00' — IS NULL matches via MySQL's NOT-NULL-column quirk)", None, {'zd': {'a': 'date'}}),
+    ('dialect_issue682_zerodel', SCRIPT_ISSUE682F, -1, ['a'], False, 'IS NULL / =0 / =string deletes over zero-date rows leave the datetime table empty', None, {'zd': {'a': 'ts'}}),
+    ('dialect_issue682_nullable', SCRIPT_ISSUE682_NULLABLE, 0, ['a'], False, "NULLABLE date column: zero dates stay DISTINCT from true NULL (issue682 lines 29-42 — 2 sentinel rows + 2 NULLs + real date, rendered '0000-00-00')", None, {'zd': {'a': 'date'}}),
+    ('dialect_issue682_null_isnull', SCRIPT_ISSUE682_NULLABLE, 1, ['a'], False, 'IS NULL over a nullable date sees ONLY the true NULLs (2 of 4), not the zero dates', None, {'zd': {'a': 'date'}}),
+    ('dialect_issue682_null_final', SCRIPT_ISSUE682_NULLABLE, -1, ['a'], False, 'after deleting IS NULL rows and the real date, the two zero dates survive', None, {'zd': {'a': 'date'}}),
+    ('dialect_issue682_time', SCRIPT_ISSUE682_TIME, 0, ['a'], False, "zero TIME is the VALID value '00:00:00' (not a NULL-like zero date): inserts of 0 and IGNOREd NULLs all render 00:00:00"),
+    ('dialect_issue682_time_final', SCRIPT_ISSUE682_TIME, -1, ['a'], False, 'IS NULL never matches zero TIME; a=0 and the string compare empty the table'),
+    ('dialect_issue682_join_date', SCRIPT_ISSUE682_JOINS, 1, ['a', 'a2', 'b'], False, "LEFT JOIN over a NOT NULL date with a stored zero date: the OR b IS NULL select returns all 4 rows incl. '0000-00-00'", None, {'zd': {'b': 'date'}}),
+    ('dialect_issue682_join_time', SCRIPT_ISSUE682_JOINS, 3, ['a', 'a2', 'b'], False, "LEFT JOIN over a NOT NULL TIME with a stored zero time: all 4 rows incl. '00:00:00'"),
     ('dialect_issue781_safemode', SCRIPT_ISSUE781F, 2, ['d1', 'd2'], False, 'safe-mode UPDATE battery over a no-PK table: IN/NOT IN/eq/neq/EXISTS+LIMIT predicates with reinserts (19 selects; excerpt lines 1-349 of 3104 — the later sections repeat the battery under PK/safe-mode toggles; JSON tail unsupported per limits.md)'),
     ('dialect_issue781_exists_limit', SCRIPT_ISSUE781F, 13, ['d1', 'd2'], False, 'UPDATE ... WHERE EXISTS(...) LIMIT 1 leg of the safe-mode battery'),
     ('dialect_issue1910_nullrow', SCRIPT_ISSUE1910F, 0, ['v'], False, 'NULL-start @row1 accumulator in a derived table joined ON 1 = 1 (every row NULL per r/issue1910.result)'),
@@ -22679,10 +22796,11 @@ _SPECS = [
 
 
 def _make(script: str, designated: int, out_names, final_casts=None,
-          show=None):
+          show=None, zerodate_render=None):
     def build(spark, sf_dir):  # sf_dir unused: data is inline in the script
         return run_script(spark, script, designated, out_names, final_casts,
-                          show_designated=show)
+                          show_designated=show,
+                          zerodate_render=zerodate_render)
 
     return build
 
@@ -22695,6 +22813,8 @@ for _name, _script, _desig, _names, _isc, _doc, *_extra in _SPECS:
         oracle=build_oracle_sql(
             _script, _desig, _names, int_sum_cast=_isc, final_casts=_fc,
             show_designated=_opts.get("show"),
+            zerodate_render=_opts.get("zd"),
         ),
         doc=_doc + " (verbatim MTR: " + SOURCES[_name][0] + ")",
-    )(_make(_script, _desig, _names, _fc, _opts.get("show")))
+    )(_make(_script, _desig, _names, _fc, _opts.get("show"),
+            _opts.get("zd")))

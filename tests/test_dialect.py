@@ -837,3 +837,82 @@ def test_is_false_null_boolean_operand(spark):
     )
     row = spark.sql(s).collect()[0]
     assert (row.f, row.nf, row.t, row.nt) == (0, 1, 0, 1)
+
+
+# ------------------------------------------------- ADVICE r11 regression set
+
+def test_truthy_on_boolean_literals():
+    """ON TRUE/FALSE are boolean join conditions, not bare columns —
+    the lenient-prefix read would render 'true' -> 0 -> always-false,
+    a semantic inversion (ADVICE r11 medium; issue502-2's view join
+    uses ON TRUE).  ON NULL is never-match = FALSE."""
+    from stonedb_spark.dialect import _apply_truthy_on
+
+    for engine in ("spark", "duck"):
+        s = _apply_truthy_on(
+            "SELECT * FROM a JOIN b ON TRUE WHERE a.x = 1", engine)
+        assert "ON TRUE" in s and "COALESCE" not in s
+        s = _apply_truthy_on("SELECT * FROM a JOIN b ON false", engine)
+        assert "ON false" in s
+        s = _apply_truthy_on("SELECT * FROM a JOIN b ON NULL", engine)
+        assert "CAST(0 AS BOOLEAN)" in s
+        # bare-column truthiness still rewrites
+        s = _apply_truthy_on("SELECT * FROM a JOIN b ON b.nm", engine)
+        assert "<> 0" in s
+
+
+def test_prevcol_idiom_position_anchored():
+    """`@v := col` rewrites only at select-list positions; embedded in
+    function args or WHERE it must survive so the survived-site guard
+    passes the statement through untouched (ADVICE r11)."""
+    from stonedb_spark.dialect import Statement, _expand_var_recurrences
+
+    # embedded in CONCAT args: must pass through verbatim
+    st = [Statement("SET @a = 0", False),
+          Statement("SELECT CONCAT(@a := name, '-') FROM t", False)]
+    out = _expand_var_recurrences(st)
+    assert out[1].text == st[1].text
+    # WHERE-clause assignment: untouched too
+    st2 = [Statement("SET @a = 0", False),
+           Statement("SELECT x FROM t WHERE @a := y, z FROM u", False)]
+    out2 = _expand_var_recurrences(st2)
+    assert out2[1].text == st2[1].text
+    # genuine select-list previous-key holder still rewrites
+    st3 = [Statement("SET @p = 7", False),
+           Statement("SELECT k, @p := k FROM t", False)]
+    out3 = _expand_var_recurrences(st3)
+    assert "@p" not in out3[1].text and "k AS p" in out3[1].text
+
+
+def test_recur_stmt_quoted_alias_normalized():
+    """AS 'rankno' on the whole-statement recurrence: the alias must
+    splice as an identifier, not a string literal (ADVICE r11)."""
+    from stonedb_spark.dialect import Statement, _expand_var_recurrences
+
+    st = [Statement("SET @r = 0", False),
+          Statement(
+              "SELECT IF(@r != a, @r := 1, @r := @r + 1) AS 'rankno' "
+              "FROM t1", False)]
+    out = _expand_var_recurrences(st)
+    assert "'rankno'" not in out[1].text
+    assert "`rankno`" in out[1].text
+
+
+def test_dml_where_only_temporal_normalization():
+    """UPDATE ... SET d = 20230101 keeps the assignment verbatim; only
+    the WHERE clause gets the temporal-compare rewrite (ADVICE r11)."""
+    from stonedb_spark.dialect import _normalize_dml_where, parse_create_table
+
+    td1 = parse_create_table(
+        "CREATE TABLE t1 (id INT, d DATE) ENGINE=TIANMU")
+    td2 = parse_create_table(
+        "CREATE TABLE t2 (id INT, d DATE) ENGINE=TIANMU")
+    tables = {"t1": td1, "t2": td2}
+    s = ("UPDATE t1 JOIN t2 ON t1.id = t2.id "
+         "SET t1.d = 20230101 WHERE t2.d = 20230101")
+    out = _normalize_dml_where(s, tables, "spark")
+    assert "SET t1.d = 20230101 " in out       # assignment untouched
+    assert "COALESCE" in out.split("WHERE", 1)[1]  # compare rewritten
+    # no WHERE: statement returned verbatim
+    s2 = "UPDATE t1 SET d = 20230101"
+    assert _normalize_dml_where(s2, tables, "spark") == s2
