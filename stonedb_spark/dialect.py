@@ -2354,6 +2354,11 @@ class TableDef:
     # None once a DELETE/UPDATE makes the python-side view stale
     seen_pk: set | None = field(default_factory=set)
     charset: str = ""  # table DEFAULT CHARSET ('' = server latin1)
+    # lower-cased temporal columns holding a stored zero date (the
+    # 0001-01-01 sentinel): under strict + NO_ZERO_DATE, DML whose
+    # WHERE touches such a column re-validates the zero date and
+    # raises 1292 (issue682 NZD section)
+    zero_temporal: set = field(default_factory=set)
 
 
 _CONSTRAINT_PREFIX = re.compile(
@@ -8049,14 +8054,155 @@ class MTRRun:
     viewdefs: dict = field(default_factory=dict)
     # ROW_COUNT() analog: rows written by the last INSERT VALUES
     last_rowcount: int = -1
+    # session SET overrides over _SERVER_VARIABLES (SHOW VARIABLES
+    # surface: issue1108/1131; .opt-file overrides enter here too)
+    sysvars: dict = field(default_factory=dict)
+    # raw session sql_mode text as last SET (SHOW VARIABLES renders
+    # what was set; issue975's '%sql_mode%' probe)
+    sqlmode_text: str = ("ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,"
+                         "NO_ZERO_IN_DATE,NO_ZERO_DATE,"
+                         "ERROR_FOR_DIVISION_BY_ZERO,"
+                         "NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION")
     # databases the script created (1007 duplicate-create analog)
     dbs: set = field(default_factory=set)
+
+
+# tianmu system variables and their build defaults, extracted from the
+# MYSQL_SYSVAR_* definitions in storage/tianmu/handler/ha_tianmu.cpp
+# (:2561-2780; e.g. delete_or_update_threads default 0 at :2624 — the
+# value r/issue1108.result pins).  data_distribution_policy is the
+# ENUM default index 2 of {round-robin, random, space} (:2672-2678).
+# Plus the server engine defaults the suite's SHOW probes read
+# (r/issue1131.result: default_storage_engine TIANMU,
+# default_tmp_storage_engine InnoDB).
+_SERVER_VARIABLES = {
+    "default_storage_engine": "TIANMU",
+    "default_tmp_storage_engine": "InnoDB",
+    "tianmu_refresh_sys_tianmu": "ON",
+    "tianmu_ini_allowmysqlquerypath": "0",
+    "tianmu_ini_cachefolder": "cache",
+    "tianmu_ini_knlevel": "99",
+    "tianmu_ini_pushdown": "ON",
+    "tianmu_ini_servermainheapsize": "0",
+    "tianmu_ini_usemysqlimportexportdefaults": "OFF",
+    "tianmu_ini_threadpoolsize": "1",
+    "tianmu_ini_cachesizethreshold": "4",
+    "tianmu_ini_cachereleasethreshold": "100",
+    "tianmu_insert_delayed": "ON",
+    "tianmu_insert_cntthreshold": "2",
+    "tianmu_insert_numthreshold": "10000",
+    "tianmu_insert_wait_ms": "100",
+    "tianmu_insert_wait_time": "1000",
+    "tianmu_insert_max_buffered": "65536",
+    "tianmu_compensation_start": "OFF",
+    "tianmu_hugefiledir": "",
+    "tianmu_os_least_mem": "1",
+    "tianmu_hugefilesize": "1",
+    "tianmu_cachinglevel": "1",
+    "tianmu_mm_policy": "",
+    "tianmu_mm_hardlimit": "0",
+    "tianmu_mm_releasepolicy": "2q",
+    "tianmu_mm_largetempratio": "0",
+    "tianmu_mm_largetemppool_threshold": "16",
+    "tianmu_sync_buffers": "0",
+    "tianmu_query_threads": "0",
+    "tianmu_load_threads": "0",
+    "tianmu_bg_load_threads": "0",
+    "tianmu_insert_buffer_size": "512",
+    "tianmu_delete_or_update_threads": "0",
+    "tianmu_merge_rocks_expected_count": "65536",
+    "tianmu_insert_write_batch_size": "10000",
+    "tianmu_log_loop_interval": "60",
+    "tianmu_global_debug_level": "4",
+    "tianmu_distinct_cache_size": "64",
+    "tianmu_filterevaluation_speedup": "ON",
+    "tianmu_groupby_speedup": "ON",
+    "tianmu_groupby_parallel_degree": "8",
+    "tianmu_groupby_parallel_rows_minimum": "655360",
+    "tianmu_slow_query_record_interval": "0",
+    "tianmu_orderby_speedup": "ON",
+    "tianmu_join_parallel": "1",
+    "tianmu_join_splitrows": "0",
+    "tianmu_minmax_speedup": "ON",
+    "tianmu_index_cache_size": "0",
+    "tianmu_index_search": "ON",
+    "tianmu_enable_rowstore": "ON",
+    "tianmu_parallel_filloutput": "ON",
+    "tianmu_parallel_mapjoin": "OFF",
+    "tianmu_max_execution_time": "0",
+    "tianmu_ini_controlquerylog": "1",
+    "tianmu_data_distribution_policy": "space",
+    "tianmu_disk_usage_threshold": "85",
+    "tianmu_lookup_max_size": "100000",
+    "tianmu_qps_log": "ON",
+    "tianmu_force_hashjoin": "ON",
+    "tianmu_start_async": "0",
+    "tianmu_async_join": "",
+    "tianmu_join_disable_switch_side": "OFF",
+    "tianmu_enable_histogram_cmap_bloom": "OFF",
+    "tianmu_large_prefix": "ON",
+    "tianmu_result_sender_rows": "65536",
+}
+
+_ENGINE_CANON = {"innodb": "InnoDB", "tianmu": "TIANMU",
+                 "myisam": "MyISAM", "memory": "MEMORY", "csv": "CSV"}
+
+_SHOW_VARS_RX = re.compile(
+    r"^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES"
+    r"(?:\s+LIKE\s+(['\"])([^'\"]*)\1)?\s*$", re.I,
+)
+
+_SET_SERVER_VAR_RX = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?"
+    r"(default_storage_engine|default_tmp_storage_engine|tianmu_\w+)"
+    r"\s*=\s*(.+?)\s*$", re.I,
+)
+
+
+def _show_variables_rows(
+    like_pat: str | None, overrides: dict, sqlmode_text: str
+) -> list[tuple]:
+    """SHOW VARIABLES [LIKE 'pat'] over the modeled surface: the
+    tianmu sysvars at their reference build defaults, the engine
+    defaults, sql_mode (session-tracked), and any session SET
+    overrides.  MySQL sorts by Variable_name; LIKE uses %/_ patterns,
+    case-insensitive."""
+    allvars = dict(_SERVER_VARIABLES)
+    allvars["sql_mode"] = sqlmode_text
+    allvars.update(overrides)
+    rx = None
+    if like_pat is not None:
+        rx = re.compile(
+            "^" + re.escape(like_pat).replace("%", ".*").replace("_", ".")
+            + "$", re.I,
+        )
+    return [
+        (k, v) for k, v in sorted(allvars.items())
+        if rx is None or rx.match(k)
+    ]
+
+
+def _canon_set_var(name: str, val: str) -> str:
+    """Render a SET value the way SHOW VARIABLES prints it: engines in
+    canonical case, booleans as ON/OFF."""
+    v = val.strip().strip("'\"")
+    if name.lower() in ("default_storage_engine",
+                        "default_tmp_storage_engine"):
+        return _ENGINE_CANON.get(v.lower(), v)
+    if v in ("0", "1") and _SERVER_VARIABLES.get(name.lower()) in (
+        "ON", "OFF",
+    ):
+        return "ON" if v == "1" else "OFF"
+    if v.upper() in ("ON", "OFF", "TRUE", "FALSE"):
+        return {"TRUE": "ON", "FALSE": "OFF"}.get(v.upper(), v.upper())
+    return v
 
 
 _SHOWDESC = re.compile(
     r"^\s*(SHOW\s+CREATE\s+TABLE|DESC(RIBE)?\s+(`[^`]+`|\w+)\s*$"
     r"|SHOW\s+(FULL\s+)?COLUMNS\s+FROM"
-    r"|SHOW\s+(DATABASES|SCHEMAS)\b|SHOW\s+TABLES\b)",
+    r"|SHOW\s+(DATABASES|SCHEMAS)\b|SHOW\s+TABLES\b"
+    r"|SHOW\s+(SESSION\s+|GLOBAL\s+)?VARIABLES\b)",
     re.I,
 )
 
@@ -9222,6 +9368,40 @@ def _apply_temporal_string_cmp(
     return _sub_outside_strings(sql, tnum_pat, tnum_rep)
 
 
+def _check_nzd_dml(
+    s: str, tables: dict[str, TableDef], strict: bool
+) -> None:
+    """Under strict + NO_ZERO_DATE, a DELETE/UPDATE whose WHERE makes
+    the engine re-evaluate a stored zero date — ``col IS NULL`` or a
+    numeric compare over a zero-carrying temporal column — raises 1292
+    (issue682 NZD section: both deletes error while the plain string
+    compare and every SELECT succeed)."""
+    if not (strict and _NZD_MODE[0]):
+        return
+    zcols: dict[str, str] = {}
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN|UPDATE)\s+(?:IGNORE\s+)?(`[^`]+`|\w+)", s, re.I
+    ):
+        td = tables.get(_unquote_ident(m.group(1)).lower())
+        if td:
+            for cn in td.zero_temporal:
+                zcols[cn] = cn
+    if not zcols:
+        return
+    masked = _ANY_STRLIT.sub("''", s)
+    for cn in zcols:
+        if re.search(
+            rf"(?is)\b{re.escape(cn)}\s+IS\s+(?:NOT\s+)?NULL", masked
+        ) or re.search(
+            rf"(?is)\b{re.escape(cn)}\s*(?:>=|<=|<>|!=|=|>|<)\s*\d",
+            masked,
+        ):
+            raise ValueError(
+                f"Incorrect date value '0000-00-00' for column "
+                f"'{cn}' (MySQL error 1292 analog)"
+            )
+
+
 def _normalize_dml_where(
     s: str, tables: dict[str, TableDef], engine: str
 ) -> str:
@@ -9821,12 +10001,13 @@ def _parse_insert_values(
                     and c.spark_type.upper() in ("DATE", "TIMESTAMP")
                 ):
                     zd = v.strip().strip("'\"")
-                    if re.fullmatch(r"0+", zd):
+                    if re.fullmatch(r"0+", zd) and not insert_ignore:
                         # strict + NO_ZERO_DATE rejects the zero-date
-                        # (delete.test); without NO_ZERO_DATE
-                        # (issue682's explicit mode) or non-strict it
-                        # stores it (NULL model — see
-                        # _mysql_temporal_literal)
+                        # (delete.test); INSERT IGNORE downgrades to a
+                        # 1264 warning and stores it (issue682 NZD
+                        # section), as does an explicit mode without
+                        # NO_ZERO_DATE or non-strict — the stored form
+                        # is the sentinel (see _mysql_temporal_literal)
                         raise ValueError(
                             f"Incorrect date value '0' for column "
                             f"'{c.name}' (MySQL error 1292 analog)"
@@ -9886,6 +10067,9 @@ def _parse_insert_values(
                 dv = by_name[c.name.lower()].default
                 row.append(dv if dv is not None else "NULL")
         row = [_mysql_temporal_literal(v, c) for v, c in zip(row, td.columns)]
+        for v, c in zip(row, td.columns):
+            if v in (f"'{_ZD_DATE}'", f"'{_ZD_TS}'"):
+                td.zero_temporal.add(c.name.lower())
         rows.append(
             [_mysql_double_literal(v, c) for v, c in zip(row, td.columns)]
         )
@@ -10746,6 +10930,7 @@ def run_statement(run: MTRRun, stmt: str):
     s = _normalize_insert_set(_normalize_create_index(
         _backtick_dollar_idents(_inline_funcs(s, run.funcs))))
     if re.match(r"^\s*(DELETE|UPDATE)\b", s, re.I):
+        _check_nzd_dml(s, run.tables, run.strict)  # may 1292
         # DELETE/UPDATE WHERE clauses need the same temporal-column
         # compare normalization SELECTs get (issue682's
         # ``delete from t1 where a=0`` over a DATE column) — WHERE
@@ -10769,6 +10954,9 @@ def run_statement(run: MTRRun, stmt: str):
         _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
         _NZD_MODE[0] = ("NO_ZERO_DATE" in val or "TRADITIONAL" in val
                         or val == "DEFAULT")
+        run.sqlmode_text = (
+            type(run).sqlmode_text if val == "DEFAULT" else val
+        )
         return None
     tzm = _SET_TIMEZONE.match(s)
     if tzm:
@@ -10833,6 +11021,15 @@ def run_statement(run: MTRRun, stmt: str):
             )
             del run.tables[key]
         return None
+    svm = _SHOW_VARS_RX.match(s)
+    if svm:
+        rows = _show_variables_rows(
+            svm.group(2), run.sysvars, run.sqlmode_text
+        )
+        return run.spark.createDataFrame(
+            rows if rows else [],
+            schema="Variable_name string, Value string",
+        )
     sdbm = re.match(
         r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)(?:\s+LIKE\s+'([^']*)')?\s*$",
         s, re.I,
@@ -10933,6 +11130,12 @@ def run_statement(run: MTRRun, stmt: str):
                 f"difference at sorted line {first} "
                 f"(MTR diff_files analog)"
             )
+        return None
+    ssv = _SET_SERVER_VAR_RX.match(s)
+    if ssv:
+        run.sysvars[ssv.group(1).lower()] = _canon_set_var(
+            ssv.group(1), ssv.group(2)
+        )
         return None
     if _IGNORED.match(s):
         return None
@@ -12088,6 +12291,11 @@ def build_oracle_sql(
     view_inc: dict[str, int] = {}
     oraclestrict = True
     oracle_fullgb = True
+    oracle_sysvars: dict = {}
+    oracle_sqlmode = ("ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,"
+                      "NO_ZERO_IN_DATE,NO_ZERO_DATE,"
+                      "ERROR_FOR_DIVISION_BY_ZERO,"
+                      "NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION")
     for st in stmts:
         if st.expect_error:
             continue
@@ -12128,6 +12336,7 @@ def build_oracle_sql(
         s = _normalize_insert_set(_normalize_create_index(
             _backtick_dollar_idents(_inline_funcs(s, oraclefuncs))))
         if re.match(r"^\s*(DELETE|UPDATE)\b", s, re.I):
+            _check_nzd_dml(s, tables, oraclestrict)  # may 1292
             # mirror of the runner's DML WHERE normalization
             s = _normalize_dml_where(s, tables, "duck")
         upd_ignore = bool(re.match(r"^\s*UPDATE\s+IGNORE\b", s, re.I))
@@ -12146,6 +12355,14 @@ def build_oracle_sql(
             _NUS_MODE[0] = "NO_UNSIGNED_SUBTRACTION" in val
             _NZD_MODE[0] = ("NO_ZERO_DATE" in val or "TRADITIONAL" in val
                             or val == "DEFAULT")
+            if val != "DEFAULT":
+                oracle_sqlmode = val
+            continue
+        ssv = _SET_SERVER_VAR_RX.match(s)
+        if ssv:
+            oracle_sysvars[ssv.group(1).lower()] = _canon_set_var(
+                ssv.group(1), ssv.group(2)
+            )
             continue
         tzm = _SET_TIMEZONE.match(s)
         if tzm:
@@ -12901,6 +13118,7 @@ def build_oracle_sql(
                     return (f"SELECT * FROM (VALUES {tuples}) "
                             f"AS _s(\"{title}\")")
 
+                svm2 = _SHOW_VARS_RX.match(s)
                 sdb = re.match(
                     r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)"
                     r"(?:\s+LIKE\s+'([^']*)')?\s*$", s, re.I,
@@ -12909,7 +13127,25 @@ def build_oracle_sql(
                     r"^\s*SHOW\s+TABLES(?:\s+IN\s+(`[^`]+`|\w+))?\s*$",
                     s, re.I,
                 )
-                if sdb:
+                if svm2:
+                    vrows = _show_variables_rows(
+                        svm2.group(2), oracle_sysvars, oracle_sqlmode
+                    )
+                    if vrows:
+                        tuples = ", ".join(
+                            f"({lit(k)}, {lit(v)})" for k, v in vrows
+                        )
+                        show_final = (
+                            f"SELECT * FROM (VALUES {tuples}) AS _v("
+                            f"\"Variable_name\", \"Value\")"
+                        )
+                    else:
+                        show_final = (
+                            "SELECT CAST(NULL AS VARCHAR) AS "
+                            "\"Variable_name\", CAST(NULL AS VARCHAR) "
+                            "AS \"Value\" WHERE 1 = 0"
+                        )
+                elif sdb:
                     pat0 = sdb.group(1)
                     rx = re.compile(
                         "^" + re.escape(pat0).replace("%", ".*")

@@ -50,6 +50,12 @@ SOURCES = {
     'dialect_issue682_time_final': ('issue682.test', [(1, 11), (61, 76)]),
     'dialect_issue682_join_date': ('issue682.test', [(1, 11), (78, 111)]),
     'dialect_issue682_join_time': ('issue682.test', [(1, 11), (78, 111)]),
+    'dialect_issue682_nzd': ('issue682.test', [(1, 9), (113, 132)]),
+    'dialect_issue682_nzd_isnull': ('issue682.test', [(1, 9), (113, 132)]),
+    'dialect_issue682_nzd_final': ('issue682.test', [(1, 9), (113, 132)]),
+    'dialect_issue1108': ('issue1108.test', [(1, 3)]),
+    'dialect_issue1131_engine_var': ('issue1131.test', [(1, 104)]),
+    'dialect_issue1131_engine_set': ('issue1131.test', [(1, 104)]),
     'dialect_issue781_safemode': ('issue781.test', [(1, 349)]),
     'dialect_issue781_exists_limit': ('issue781.test', [(1, 349)]),
     'dialect_issue1910_nullrow': ('issue1910.test', [(1, 59)]),
@@ -22258,6 +22264,44 @@ drop table t1,t2,t3;
 """
 
 
+SCRIPT_ISSUE682_NZD = """--source include/have_tianmu.inc
+
+--disable_warnings
+DROP DATABASE IF EXISTS issue682_test;
+--enable_warnings
+
+CREATE DATABASE issue682_test;
+
+USE issue682_test;
+set sql_mode='STRICT_TRANS_TABLES,NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION,NO_ZERO_IN_DATE,NO_ZERO_DATE';
+create table t1(a date not null);
+insert ignore into t1 values (0);
+-- error 1292
+insert into t1 values (0);
+insert ignore into t1 values (null);
+-- error 1048
+insert into t1 values (null);
+insert into t1 values (20221020);
+select * from t1;
+select * from t1 where a is null;
+-- error 1292
+delete from t1 where a is null;
+-- error 1292
+delete from t1 where a=0;
+select * from t1 where a is null;
+select * from t1;
+delete from t1 where a ='20221020';
+select * from t1;
+drop table t1;
+"""
+
+
+SCRIPT_ISSUE1108 = """--source include/have_tianmu.inc
+
+show variables like "%delete_or_update_thread%";
+"""
+
+
 _SPECS = [
     ('dialect_char_length', SCRIPT_CHAR_LENGTH, -1, ['a', 'n'], False, 'CHAR_LENGTH / CHARACTER_LENGTH over literals, ints and columns'),
     ('dialect_coalesce_ascii', SCRIPT_COALESCE_ASCII, -2, ['a', 'asc'], False, 'COALESCE chains and ASCII over int/char literals and columns'),
@@ -22656,8 +22700,8 @@ _SPECS = [
     ('dialect_issue985_show_utf8c', SCRIPT_ISSUE985F, 0, None, False, 'ALTER COMMENT with CJK text round-trips through SHOW CREATE', None, {'show': 2}),
     ('dialect_drop_column_show', SCRIPT_DROP_COLUMNF, 0, None, False, '17-type table after DROP COLUMN c_char: 16-column MySQL DDL render', None, {'show': 0}),
     ('dialect_issue1131_show0', SCRIPT_ISSUE1131F, 0, None, False, 'ADD COLUMN then SHOW CREATE over the growing column list', None, {'show': 0}),
-    ('dialect_issue1131_show_mid', SCRIPT_ISSUE1131F, 0, None, False, 'mid-battery SHOW CREATE after repeated add/drop column cycles', None, {'show': 5}),
-    ('dialect_issue1131_show_final', SCRIPT_ISSUE1131F, 0, None, False, 'final SHOW CREATE of the add/drop column battery', None, {'show': 11}),
+    ('dialect_issue1131_show_mid', SCRIPT_ISSUE1131F, 0, None, False, 'mid-battery SHOW CREATE after repeated add/drop column cycles', None, {'show': 7}),
+    ('dialect_issue1131_show_final', SCRIPT_ISSUE1131F, 0, None, False, 'final SHOW CREATE of the add/drop column battery', None, {'show': 15}),
     ('dialect_create_index_dup', SCRIPT_CREATE_INDEXF, 0, ['probe'], False, 'CREATE UNIQUE INDEX over duplicate rows raises ER_DUP_ENTRY (innodb prefix index); appended probe select documents completion'),
     ('dialect_uf_select_into', SCRIPT_USER_FUNCF, 0, ['v'], False, 'stored function: DECLARE defaults, multi-SET, SELECT…INTO keeping prior values on empty result ((27+23)*(1+1)=100)'),
     ('dialect_uf_if_elseif', SCRIPT_USER_FUNCF, 1, ['v'], False, 'stored function IF/ELSEIF/ELSE chain over the argument'),
@@ -22759,6 +22803,12 @@ _SPECS = [
     ('dialect_issue682_time_final', SCRIPT_ISSUE682_TIME, -1, ['a'], False, 'IS NULL never matches zero TIME; a=0 and the string compare empty the table'),
     ('dialect_issue682_join_date', SCRIPT_ISSUE682_JOINS, 1, ['a', 'a2', 'b'], False, "LEFT JOIN over a NOT NULL date with a stored zero date: the OR b IS NULL select returns all 4 rows incl. '0000-00-00'", None, {'zd': {'b': 'date'}}),
     ('dialect_issue682_join_time', SCRIPT_ISSUE682_JOINS, 3, ['a', 'a2', 'b'], False, "LEFT JOIN over a NOT NULL TIME with a stored zero time: all 4 rows incl. '00:00:00'"),
+    ('dialect_issue682_nzd', SCRIPT_ISSUE682_NZD, 0, ['a'], False, "strict + NO_ZERO_DATE: plain zero insert errors 1292 but INSERT IGNORE stores it (1264 warning path) and ignored NULLs take the zero implicit default - 2 zero rows + the real date", None, {'zd': {'a': 'date'}}),
+    ('dialect_issue682_nzd_isnull', SCRIPT_ISSUE682_NZD, 1, ['a'], False, 'IS NULL still matches the stored zero dates (warning, not error, on SELECT)', None, {'zd': {'a': 'date'}}),
+    ('dialect_issue682_nzd_final', SCRIPT_ISSUE682_NZD, -1, ['a'], False, 'the IS NULL / =0 deletes error 1292 under NO_ZERO_DATE re-validation; only the string-compare delete lands, leaving the 2 zero rows', None, {'zd': {'a': 'date'}}),
+    ('dialect_issue1108', SCRIPT_ISSUE1108, 0, None, False, 'SHOW VARIABLES over the tianmu sysvar surface: delete_or_update_threads build default 0 (ha_tianmu.cpp:2624)', None, {'show': 0}),
+    ('dialect_issue1131_engine_var', SCRIPT_ISSUE1131F, 0, None, False, "SHOW VARIABLES '%_engine' under tianmu_mandatory toggles: default_storage_engine TIANMU + default_tmp_storage_engine InnoDB", None, {'show': 1}),
+    ('dialect_issue1131_engine_set', SCRIPT_ISSUE1131F, 0, None, False, "after SET default_storage_engine=innodb the probe renders InnoDB (session SET tracking)", None, {'show': 9}),
     ('dialect_issue781_safemode', SCRIPT_ISSUE781F, 2, ['d1', 'd2'], False, 'safe-mode UPDATE battery over a no-PK table: IN/NOT IN/eq/neq/EXISTS+LIMIT predicates with reinserts (19 selects; excerpt lines 1-349 of 3104 — the later sections repeat the battery under PK/safe-mode toggles; JSON tail unsupported per limits.md)'),
     ('dialect_issue781_exists_limit', SCRIPT_ISSUE781F, 13, ['d1', 'd2'], False, 'UPDATE ... WHERE EXISTS(...) LIMIT 1 leg of the safe-mode battery'),
     ('dialect_issue1910_nullrow', SCRIPT_ISSUE1910F, 0, ['v'], False, 'NULL-start @row1 accumulator in a derived table joined ON 1 = 1 (every row NULL per r/issue1910.result)'),
