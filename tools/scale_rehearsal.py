@@ -143,6 +143,59 @@ def wall_time_growth(spark, copies=(1, 2, 5)) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def shifted_lineitem(spark, copies: int):
+    """Replicate lineitem with per-copy key shifts: l_orderkey moves by
+    a multiple of 20 (preserving graph_pagerank's %20 sampling) and
+    l_partkey by a disjoint block, so the co-purchase graph is `copies`
+    disjoint isomorphic components — ground truth grows linearly."""
+    base = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    out = None
+    for k in range(copies):
+        c = base.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+        ).withColumn(
+            "l_partkey", F.col("l_partkey") + F.lit(k * 10_000_000)
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def wall_time_growth_r12(spark, copies=(1, 2, 5)) -> None:
+    """Round-11 VERDICT item 7: measured wall-time growth for the next
+    two >1 s entries — the fixed-point loop (graph_pagerank, disjoint
+    replicated co-purchase graphs) and the banded candidate join
+    (dedup_minhash_lsh, word-salted document copies)."""
+    import shutil
+    import tempfile
+
+    from stonedb_spark.queries import all_queries
+
+    qs = all_queries()
+    print()
+    print("| copies | lineitem rows | graph_pagerank sec | docs | "
+          "dedup_minhash_lsh sec |")
+    print("|---|---|---|---|---|")
+    for k in copies:
+        d = tempfile.mkdtemp(prefix=f"scale12_{k}x_")
+        shifted_lineitem(spark, k).write.mode("overwrite").parquet(
+            os.path.join(d, "lineitem.parquet"))
+        salted_docs(spark, k).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        n_l = spark.read.parquet(
+            os.path.join(d, "lineitem.parquet")).count()
+        n_docs = spark.read.parquet(
+            os.path.join(d, "documents.parquet")).count()
+        t0 = time.perf_counter()
+        qs["graph_pagerank"].build(spark, d).count()
+        pr_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        qs["dedup_minhash_lsh"].build(spark, d).count()
+        mh_sec = time.perf_counter() - t0
+        print(f"| {k}x | {n_l} | {pr_sec:.2f} | {n_docs} | "
+              f"{mh_sec:.2f} |")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("scale-rehearsal")
     print("| copies | docs | LSH cand pairs | pairs/doc | cand sec | "
