@@ -335,6 +335,24 @@ def connected_components(
     # convergence cost more than the saved action round-trips on
     # near-clique graphs (diameter ≲ 2).  Raise it for long-chain
     # graphs where rounds ≫ and per-action latency dominates.
+    #
+    # Convergence test (r12): labels are elementwise monotone
+    # NON-INCREASING, so the label SUM is strictly decreasing until the
+    # fixed point — "sum unchanged" ⇔ "no label changed".  One map-side-
+    # combinable aggregate on the frame the checkpoint materializes
+    # anyway, replacing the r11 shape (self-join of old vs new labels +
+    # LIMIT 1 count: an extra shuffle join per round — guide §2.4).
+    # DECIMAL(38,0) keeps the sum exact at any node-id magnitude/count.
+    def _label_sum(lbl) -> int:
+        row = lbl.agg(
+            F.coalesce(
+                F.sum(F.col("comp").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s")
+        ).collect()
+        return int(row[0]["s"])
+
+    prev_sum = _label_sum(labels)
     done = 0
     while done < max_iter:
         steps = min(check_every, max_iter - done)
@@ -342,16 +360,11 @@ def connected_components(
         for _ in range(steps):
             new_labels = one_round(new_labels).localCheckpoint(eager=False)
         done += steps
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 
@@ -585,16 +598,24 @@ def probe_lsh_index(
     hits = ordered.join(ver, ["d1", "d2"]).select(
         "batch_id", "corpus_id", "jaccard"
     )
-    w = Window.partitionBy("batch_id").orderBy(
-        F.desc("jaccard"), F.asc("corpus_id")
-    )
+    # argmax per batch doc as a map-side-combinable aggregate (r12):
+    # max(struct(jaccard, -corpus_id)) == the old ROW_NUMBER() OVER
+    # (ORDER BY jaccard DESC, corpus_id ASC) rn=1, without the window's
+    # extra sort (guide §2.3 "aggregate before you shuffle").
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        hits.groupBy("batch_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("corpus_id")).alias("nid"),
+                )
+            ).alias("m")
+        )
         .select(
             "batch_id",
-            F.col("corpus_id").alias("best_match"),
-            F.round("jaccard", 9).alias("best_jaccard"),
+            (-F.col("m.nid")).alias("best_match"),
+            F.round(F.col("m.j"), 9).alias("best_jaccard"),
         )
     )
     return (

@@ -98,13 +98,23 @@ def graph_pagerank(spark, sf_dir):
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # deg is read 4x (one contrib join per round + the rebase join);
+    # persist so the edge aggregation runs once, not per reference
+    # (r11 shape re-aggregated the checkpointed edges 5x).
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
     n = deg.count()  # node count: one tiny job, bounded by |parts|
-    rank = deg.select("u", F.expr(f"1000000000 DIV {n}").alias("r"))
+    # rank carries (u, r, d): the contribution r DIV d needs the SOURCE
+    # node's rank AND degree, so shipping d inside the rank frame makes
+    # each round ONE edges join instead of two (edges⋈rank + edges⋈deg
+    # was a second full shuffle of the edge list per round — guide §2.4;
+    # same integer arithmetic, bit-identical ranks).
+    rank = deg.select("u", F.expr(f"1000000000 DIV {n}").alias("r"), "d")
     for _ in range(3):
         contrib = (
-            edges.join(rank.withColumnRenamed("u", "cu"), F.col("cu") == edges["u"])
-            .join(deg.select(F.col("u").alias("du"), "d"), F.col("du") == edges["u"])
+            edges.join(
+                rank.select(F.col("u").alias("cu"), "r", "d"),
+                F.col("cu") == edges["u"],
+            )
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.expr("r DIV d")).alias("s"))
         )
@@ -114,10 +124,14 @@ def graph_pagerank(spark, sf_dir):
                 F.lit(150000000 // n)
                 + F.expr("850 * COALESCE(s, 0) DIV 1000")
             ).alias("r"),
+            "d",
         )
     return (
-        rank.join(deg, "u")
-        .select(F.col("u").alias("node"), F.col("d").alias("degree"), F.col("r").alias("rank_ppb"))
+        rank.select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_ppb"),
+        )
         .orderBy(F.desc("rank_ppb"), "node")
         .limit(25)
     )

@@ -3054,8 +3054,21 @@ def emb_nearest_centroid_eval(spark, sf_dir):
         .groupBy("vec_id", "label", "c_label")
         .agg(F.sum(diff * diff).alias("d2"))
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # argmin per vector as a map-side-combinable aggregate (r12): the
+    # lexicographic struct min on (d2, c_label) is exactly the old
+    # ROW_NUMBER() ORDER BY d2, c_label rn=1 — same deterministic
+    # tie-break, no per-partition window sort (guide §2.3).  label is a
+    # trailing carry-along field ((d2, c_label) is unique per group, so
+    # it can never influence the min).
+    best = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "c_label", "label")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.label").alias("label"),
+            F.col("m.c_label").alias("c_label"),
+        )
+    )
     correct = F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
     return (
         best.groupBy("label")
@@ -3213,8 +3226,22 @@ LIMIT 20
     doc="product-quantization encode + asymmetric-distance top-20 (integer-exact)",
 )
 def knn_pq_adc(spark, sf_dir):
-    from pyspark.sql import Window
-
+    # r12: the per-(vector, block) nearest-centroid used to be a
+    # ROW_NUMBER() window over the n*8*16 scored rows (Exchange + two
+    # Sorts + WindowGroupLimit); the lexicographic struct min on (d2, c)
+    # is the identical argmin with the identical tie-break, computed as
+    # a map-side-combinable HashAggregate instead (guide SS2.3 "aggregate
+    # before you shuffle" -- the exchange now carries per-task partial
+    # minima, not scored rows, and two sorts disappear).
+    #
+    # An all-expression formulation (codebook literals inlined per
+    # block, zero data shuffles) was tried first and REJECTED: 8 blocks
+    # x 16 centroids x 8 dims lands a ~2000-node expression in ONE
+    # whole-stage-codegen method, which fails Janino's 64KB method
+    # limit ("Failed to compile the generated Java code", observed at
+    # sf0.01) and drops the stage to interpreted eval -- the explode +
+    # 128-row broadcast codebook join keeps every generated method
+    # small and fully codegen'd.
     e = load_tables(spark, sf_dir)["embeddings"]
     vm = F.transform(
         "embedding",
@@ -3238,11 +3265,10 @@ def knn_pq_adc(spark, sf_dir):
     dist = blk.join(F.broadcast(spark_cb), F.col("cb_b") == blk["b"]).select(
         "vec_id", "b", "c", d2.alias("d2")
     )
-    w = Window.partitionBy("vec_id", "b").orderBy("d2", "c")
     code = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "b", "c")
+        dist.groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "b", F.col("m.c").alias("c"))
     )
     q = dist.filter(F.col("vec_id") == 0).select(
         F.col("b").alias("qb"), F.col("c").alias("qc"), F.col("d2").alias("qd2")
@@ -3781,11 +3807,14 @@ def knn_ivfpq_probe(spark, sf_dir):
     qdist = qblk.join(F.broadcast(spark_cb), F.col("cb_b") == F.col("qb")).select(
         F.col("qb"), F.col("c").alias("qc"), d2.alias("qd2")
     )
-    w = Window.partitionBy("vec_id", "b").orderBy("d2", "c")
+    # argmin per (vector, block) as a map-side-combinable aggregate
+    # (r12; same swap as emb_nearest_centroid_eval): struct min on
+    # (d2, c) == ROW_NUMBER() ORDER BY d2, c rn=1; cid is a constant
+    # carry-along per vec_id (guide §2.3).
     code = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "b", "c")
+        dist.groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "c", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), "b", F.col("m.c").alias("c"))
     )
     return (
         code.join(F.broadcast(qdist), (F.col("qb") == code["b"]) & (F.col("qc") == code["c"]))
