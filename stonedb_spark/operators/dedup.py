@@ -296,6 +296,16 @@ def connected_components(
     cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
     for fault-tolerant truncation.  The convergence test piggybacks on
     the same checkpointed frame (a LIMIT-1 count, not a full scan).
+
+    Round 1 is FOLDED into initialization (r12): on identity labels the
+    first propagation is exactly ``least(src, min(dst))`` per source —
+    one map-side-combinable aggregation straight off the edge list,
+    replacing the distinct-nodes pass AND the first join round (every
+    node appears as ``src`` in the symmetrized edge list, so coverage
+    is identical).  Near-clique graphs (the near-dup case) then
+    converge after ONE confirming round: measured 2.81 s vs 4.27 s for
+    the identity-init form on dedup_clusters at sf0.1 (interleaved
+    min-of-4, OPTIMIZATION_r12.md).
     """
     e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = (
@@ -303,10 +313,10 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("comp"))
+        .select(F.col("src").alias("node"), "comp")
+        .localCheckpoint(eager=False)
     )
 
     def one_round(lbl):
@@ -353,7 +363,7 @@ def connected_components(
         return int(row[0]["s"])
 
     prev_sum = _label_sum(labels)
-    done = 0
+    done = 1  # the folded initialization IS round 1
     while done < max_iter:
         steps = min(check_every, max_iter - done)
         new_labels = labels
