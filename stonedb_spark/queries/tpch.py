@@ -309,16 +309,25 @@ def tpch_q5(spark, sf_dir):
         c["c_nationkey"] == F.col("asia_key"),
         "left_semi",
     )
+    # r12: the customer dim is consumed as a BROADCAST onto the
+    # date-filtered orders BEFORE the lineitem join (c2 projected to
+    # (c_custkey, c_nationkey): 3M rows ≈ 50 MB at SF100), so the
+    # orderkey join's orders side arrives pre-shrunk by both the date
+    # range and the ASIA membership instead of shuffling customer⋈orders
+    # first (guide §3.1/§3.2).  Interleaved min-of-5 at sf1:
+    # 2.58 s → 2.00 s, identical rows.
+    o2 = o.filter(
+        (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
+        & (o["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
+    ).join(
+        B(c2.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == F.col("c_custkey"),
+    )
     return (
-        c2.join(o, c2["c_custkey"] == o["o_custkey"])
-        .filter(
-            (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
-            & (o["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        o2.join(l, l["l_orderkey"] == o2["o_orderkey"])
         .join(
             B(s2),
-            (l["l_suppkey"] == s2["s_suppkey"]) & (c2["c_nationkey"] == s2["s_nationkey"]),
+            (l["l_suppkey"] == s2["s_suppkey"]) & (o2["c_nationkey"] == s2["s_nationkey"]),
         )
         .groupBy("n_name")
         .agg(F.sum(_rev(l)).cast("double").alias("revenue"))
@@ -410,10 +419,19 @@ def tpch_q7(spark, sf_dir):
     )
     s2 = s.join(B(n1), s["s_nationkey"] == F.col("n1_key"))
     c2 = c.join(B(n2), c["c_nationkey"] == F.col("n2_key"))
+    # r12: broadcast the pruned customer dim (2/25 of customers; 1.2M
+    # rows ≈ 20 MB at SF100) onto orders BEFORE the orderkey fact join,
+    # so the orders side of the one remaining big SMJ shrinks ~12×
+    # up front instead of shuffling in full and dropping rows at the
+    # last join (guide §3.2 "reduce the big side before shuffling").
+    # Interleaved min-of-5 at sf1: 2.05 s → 1.47 s, identical rows.
+    o2 = o.join(
+        B(c2.select("c_custkey", "cust_nation")),
+        o["o_custkey"] == F.col("c_custkey"),
+    )
     joined = (
         s2.join(l, s2["s_suppkey"] == l["l_suppkey"])
-        .join(o, o["o_orderkey"] == l["l_orderkey"])
-        .join(c2, c2["c_custkey"] == o["o_custkey"])
+        .join(o2, o2["o_orderkey"] == l["l_orderkey"])
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
