@@ -110,12 +110,17 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
 
     |A∩B| from the shingle-key equi-join, |A∪B| = |A|+|B|−|A∩B|.
 
-    ``sh`` is referenced three times (sizes + both join sides); persist
-    it so the upstream shingle explode runs once.  The stream is linear
-    in corpus size (~10-100× doc count) — MEMORY_AND_DISK spills rather
-    than OOMs, and one spilled copy beats three recomputes of the
-    explode + the scans feeding it."""
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    ``sh`` is referenced three times (sizes + both join sides);
+    checkpoint it so the upstream shingle explode runs once.  The stream
+    is linear in corpus size (~10-100× doc count) — the checkpoint's
+    MEMORY_AND_DISK storage spills rather than OOMs, and one spilled
+    copy beats three recomputes of the explode + the scans feeding it.
+    Lazy localCheckpoint, not .persist(): a CacheManager persist is
+    keyed on the canonical plan (parquet path included), so a later
+    fresh build() of the same query silently reused this run's blocks —
+    cross-run result caching the bench contract forbids — and the entry
+    was never unpersisted (r12 verdict item 7)."""
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -211,16 +216,17 @@ def minhash_lsh_pairs(
     only over LSH candidates (left-semi pushdown), so the quadratic
     verify cost is bounded by the candidate count, not n².
     """
-    # Persist both plan-reused intermediates, sized to stay linear:
+    # Checkpoint both plan-reused intermediates, sized to stay linear:
     # sig is n_docs × 12 longs, cand is the (by-construction small) LSH
     # candidate pair set.  Without this, Catalyst recomputes the full
     # shingle→hash→aggregate pipeline once PER REFERENCE — the self-join
-    # plus the two cand consumers made the un-persisted plan ~12× slower
+    # plus the two cand consumers made the un-reused plan ~12× slower
     # at sf0.1, and the multiplier is constant in data size so the same
-    # waste ships to the 100 TB run.  MEMORY_AND_DISK: spill, don't OOM.
-    sig = minhash_signatures(docs, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # waste ships to the 100 TB run.  Lazy localCheckpoint, not
+    # .persist(): see _jaccard_from_shingles (cross-run CacheManager
+    # reuse + leak).  Checkpoint storage is MEMORY_AND_DISK: spill,
+    # don't OOM.
+    sig = minhash_signatures(docs, text_col, k).localCheckpoint(eager=False)
     bk = band_keys(sig)
     cand = (
         bk.alias("x")
@@ -228,7 +234,7 @@ def minhash_lsh_pairs(
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     # Verify ONLY over docs that appear in some candidate pair: the
     # left-semi prune bounds the quadratic intersection join by the LSH
@@ -294,8 +300,9 @@ def connected_components(
     DataFrame loop otherwise accretes one join per round into a plan
     Catalyst re-optimizes (and re-executes) from scratch; on a real
     cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
-    for fault-tolerant truncation.  The convergence test piggybacks on
-    the same checkpointed frame (a LIMIT-1 count, not a full scan).
+    for fault-tolerant truncation.  The convergence test is an exact
+    DECIMAL(38,0) label-sum aggregate over the frame the checkpoint
+    materializes anyway (see ``_label_sum`` below).
 
     Round 1 is FOLDED into initialization (r12): on identity labels the
     first propagation is exactly ``least(src, min(dst))`` per source —
@@ -522,10 +529,12 @@ def contamination_report(
 
 class CorpusLSHIndex:
     """The build-once artifact for incremental dedup: the corpus's
-    banded MinHash keys plus its shingle rows, both persisted and
+    banded MinHash keys plus its shingle rows, both checkpointed and
     materialized so every subsequent batch probe is join-only work.
     In a deployment both frames are tables partitioned by band_key /
-    bucketed by doc_id; here they persist MEMORY_AND_DISK."""
+    bucketed by doc_id; here they are localCheckpoints (per-index-object
+    blocks, GC-cleaned — never CacheManager entries a later independent
+    build could silently reuse across runs)."""
 
     def __init__(self, bands: DataFrame, shingles: DataFrame, k: int):
         self.bands = bands  # (band, band_key, corpus_id)
@@ -533,6 +542,9 @@ class CorpusLSHIndex:
         self.k = k
 
     def unpersist(self) -> None:
+        # checkpoint blocks are owned by the frames' RDDs; dropping the
+        # index object releases them (ContextCleaner).  unpersist() is
+        # kept for API compatibility with persisted-frame callers.
         self.bands.unpersist()
         self.shingles.unpersist()
 
@@ -547,11 +559,9 @@ def build_lsh_index(
     bands = (
         band_keys(minhash_signatures(corpus, text_col, k))
         .select("band", "band_key", F.col("doc_id").alias("corpus_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
-    shingles = _shingle_rows(corpus, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    shingles = _shingle_rows(corpus, text_col, k).localCheckpoint(eager=False)
     bands.count()
     shingles.count()
     return CorpusLSHIndex(bands, shingles, k)
@@ -574,9 +584,7 @@ def probe_lsh_index(
     them once the verdicts are consumed.
     """
     k = index.k
-    sig_b = minhash_signatures(batch, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig_b = minhash_signatures(batch, text_col, k).localCheckpoint(eager=False)
     bk_b = band_keys(sig_b).select(
         "band", "band_key", F.col("doc_id").alias("batch_id")
     )
@@ -584,7 +592,7 @@ def probe_lsh_index(
         bk_b.join(index.bands, ["band", "band_key"])
         .select("batch_id", "corpus_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     if scoped_frames is not None:
         scoped_frames.extend([sig_b, cand])

@@ -180,17 +180,6 @@ def ivf_refine_centroids(
 
 
 # ---------------------------------------------------------------------------
-# IVF index cache: one (centroids, assignment) build per (session, table
-# key, nlist) — the analog of catalog._CATALOG for scans.  An IVF index
-# is build-once/probe-many in any real deployment (FAISS trains the
-# quantizer offline; probes never re-assign the corpus); rebuilding the
-# n·nlist assignment on every query was measured at ~90% of
-# knn_ivf_probe's bench time.  The cached frames are persisted and
-# materialized eagerly so a probe pays only: centroid top-nprobe
-# (nlist rows, broadcast) + the pruned cell scan.
-_IVF_INDEX: dict[tuple[int, str, int], tuple[DataFrame, DataFrame]] = {}
-
-
 def ivf_index(
     embeddings: DataFrame,
     table_key: str,
@@ -198,17 +187,25 @@ def ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
-    """Return cached (centroids, assignment) for the embedding table
-    identified by ``table_key`` (e.g. its sf_dir), building on miss."""
-    key = (id(embeddings.sparkSession), table_key, nlist)
-    hit = _IVF_INDEX.get(key)
-    if hit is not None:
-        return hit
-    c = ivf_centroids(embeddings, nlist, vec_col, id_col).persist()
-    c.count()
-    assign = ivf_assign(embeddings, c, vec_col, id_col).persist()
-    assign.count()
-    _IVF_INDEX[key] = (c, assign)
+    """(centroids, assignment) for the embedding table — built fresh on
+    every call.
+
+    r13: this WAS a module-level memo keyed on (session, table_key,
+    nlist) with eagerly persisted frames, so every query/bench run after
+    the first read the assignment from cache instead of computing it —
+    cross-run result caching keyed on the data directory, which the
+    bench contract forbids (in a real deployment the index IS
+    build-once, but then the build must not sit inside a benchmarked
+    query).  Now each build pays its own index derivation; the
+    centroid frame is a lazy per-build localCheckpoint because it is
+    consumed twice inside one query (assignment + probe top-nprobe) —
+    in-plan reuse only, no reuse across builds.
+    """
+    del table_key  # no longer a cache key; kept for API compatibility
+    c = ivf_centroids(embeddings, nlist, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    assign = ivf_assign(embeddings, c, vec_col, id_col)
     return c, assign
 
 
@@ -263,9 +260,10 @@ def semantic_dedup(
     unit = embeddings.select(
         F.col(id_col), unit_vec(F.col(vec_col)).alias("u")
     ).join(assign, id_col)
-    from pyspark import StorageLevel
-
-    unit = unit.persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy per-build localCheckpoint (in-plan reuse by the pair sides +
+    # the verdict join), never a CacheManager persist a later build
+    # could silently reuse across runs
+    unit = unit.localCheckpoint(eager=False)
     a = unit.select(
         F.col("cid"), F.col(id_col).alias("v1"), F.col("u").alias("ua")
     )

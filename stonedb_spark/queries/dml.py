@@ -407,8 +407,10 @@ def dml_multi_delete(spark, sf_dir):
         .distinct()
     )
     # Both targets anti-join the SAME doomed frame (one join evaluation,
-    # mirroring MySQL's single pre-delete join pass).
-    doomed.persist()
+    # mirroring MySQL's single pre-delete join pass).  Lazy
+    # localCheckpoint, not .persist(): no cross-run CacheManager reuse,
+    # no leaked cache entry.
+    doomed = doomed.localCheckpoint(eager=False)
     surv_s = (
         s.join(
             doomed.select("s_suppkey").distinct(),

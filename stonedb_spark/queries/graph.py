@@ -95,13 +95,23 @@ LIMIT 25
 def graph_pagerank(spark, sf_dir):
     l = load_tables(spark, sf_dir)["lineitem"]  # noqa: E741
     pairs = _copurchase_pairs(l)
+    # r13 (r12 verdict items 5+7): BOTH reused frames are LAZY local
+    # checkpoints, so the single deg.count() below is the only setup
+    # action — it materializes edges and deg in one job instead of the
+    # old eager-checkpoint job + separate count (two of the ~5 jobs at
+    # sf0.1).  deg was a .persist() before: a CacheManager entry that
+    # was never unpersisted (leak); checkpoint blocks are GC-cleaned.
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # deg is read 4x (one contrib join per round + the rebase join);
-    # persist so the edge aggregation runs once, not per reference
+    # checkpoint so the edge aggregation runs once, not per reference
     # (r11 shape re-aggregated the checkpointed edges 5x).
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     n = deg.count()  # node count: one tiny job, bounded by |parts|
     # rank carries (u, r, d): the contribution r DIV d needs the SOURCE
     # node's rank AND degree, so shipping d inside the rank frame makes
@@ -173,7 +183,9 @@ FROM stats s CROSS JOIN tri t
 )
 def graph_triangles(spark, sf_dir):
     l = load_tables(spark, sf_dir)["lineitem"]  # noqa: E741
-    pairs = _copurchase_pairs(l).localCheckpoint()
+    # lazy: the tri.count() below is the first consumer and materializes
+    # the checkpoint inside its own job (no separate setup job — §2.4)
+    pairs = _copurchase_pairs(l).localCheckpoint(eager=False)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

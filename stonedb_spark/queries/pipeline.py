@@ -183,12 +183,13 @@ ORDER BY d1, d2
     doc="32-bit SimHash from md5 nibbles; equal-fingerprint near-dup pairs",
 )
 def dedup_simhash(spark, sf_dir):
-    from pyspark import StorageLevel
-
     t = load_tables(spark, sf_dir)
-    # persist: the self-join otherwise recomputes the 32-bit vote
-    # aggregation for each side (2× the heavy stage; output is 1 row/doc)
-    sim = D.simhash32(t["documents"]).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy localCheckpoint: the self-join otherwise recomputes the
+    # 32-bit vote aggregation for each side (2× the heavy stage; output
+    # is 1 row/doc).  Not .persist(): a CacheManager entry is keyed on
+    # the canonical plan, so a later fresh build() would silently reuse
+    # this run's blocks (cross-run caching) and it was never unpersisted.
+    sim = D.simhash32(t["documents"]).localCheckpoint(eager=False)
     a = sim.select(F.col("doc_id").alias("d1"), F.col("simhash"))
     b = sim.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"))
     return (
@@ -226,15 +227,14 @@ def dedup_embedding_cos(spark, sf_dir):
     # n² dot products) runs as ONE vectorized einsum per Arrow batch —
     # interpreted per-pair array folds measured 89 s vs ~3 s here at
     # sf0.1, and the gap scales with the pair count.  The unit vectors
-    # are persisted: both join sides read the same n rows instead of
-    # re-normalizing per side.
-    from pyspark import StorageLevel
-
+    # are checkpointed (lazy, per-build — not a cross-run-reusable
+    # CacheManager persist): both join sides read the same n rows
+    # instead of re-normalizing per side.
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     unit = e.select(
         "vec_id", S.unit_vec(F.col("embedding")).alias("u")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     a = unit.select(F.col("vec_id").alias("v1"), F.col("u").alias("ua"))
     b = unit.select(F.col("vec_id").alias("v2"), F.col("u").alias("ub"))
     pair_dot = S.pair_dot_pandas()
@@ -3630,12 +3630,15 @@ def emb_truncation_fidelity(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
+    # lazy localCheckpoint (not .persist()): reused by the three rank
+    # frames within this build only — no cross-run CacheManager reuse,
+    # no leaked cache entry (r12 verdict item 7 discipline).
     dots = m.select(
         "vec_id",
         dot_prefix(64).alias("dot_full"),
         dot_prefix(32).alias("dot_32"),
         dot_prefix(16).alias("dot_16"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     # ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) without the
     # single-partition window: ascending key (-dot, vec_id) is the
     # identical total order (dots are exact integer milli-units, so

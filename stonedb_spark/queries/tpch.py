@@ -643,8 +643,16 @@ def tpch_q11(spark, sf_dir):
     # aggregate (|parts| rows ≈ SF×200k — metadata-scale, ~300 MB at
     # SF100), reduce it to a 1-row total with an ordinary partial agg,
     # and crossJoin(broadcast(1 row)) back.  One fact scan, no
-    # single-partition window anywhere; the persist answers the
-    # re-execution concern that motivated (b).  Idle A/B in PLANS.md.
+    # single-partition window anywhere.  Idle A/B in PLANS.md.
+    #
+    # r13: the reuse is a lazy localCheckpoint, NOT .persist() — a
+    # CacheManager persist is keyed on the CANONICAL plan (which embeds
+    # the parquet path), so a fresh build() in a later bench run silently
+    # read the previous run's cached aggregate (measured: run1 2.9 s,
+    # run2 0.5 s) — cross-run result caching, which the bench contract
+    # forbids — and the entry was never unpersisted (r12 verdict item 7).
+    # A localCheckpoint is keyed on this build's own RDD: same one-scan
+    # reuse inside the run, no reuse across runs, blocks GC-cleaned.
     t = load_tables(spark, sf_dir)
     l, s, n, r = t["lineitem"], t["supplier"], t["nation"], t["region"]  # noqa: E741
     eur_supp = s.join(
@@ -655,7 +663,7 @@ def tpch_q11(spark, sf_dir):
         l.join(B(eur_supp), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
         .groupBy(l["l_partkey"].alias("p_partkey"))
         .agg(F.sum(_rev(l)).alias("val"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     total = vpp.agg(
         (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
@@ -808,11 +816,15 @@ def tpch_q15(spark, sf_dir):
     # so at 100 TB the fact table would be scanned and shuffled twice.
     # The round-10 rank-window form avoided that but sorted all
     # #suppliers rows in ONE task (the r11 verdict's flag).  THIS
-    # form persists the aggregated frame (#suppliers = SF×10k rows —
+    # form materializes the aggregated frame (#suppliers = SF×10k rows —
     # 4 orders below lineitem), reduces it to a 1-row scalar max with
     # a partial agg, and equality-joins the broadcast max back — the
     # TPC-H view definition's own shape, with no single-task sort.
     # Equality keeps max-revenue ties exactly as the subquery does.
+    # r13: lazy localCheckpoint instead of .persist() — same in-run
+    # reuse, but no canonical-plan CacheManager entry that a later bench
+    # run's fresh build() would silently hit (cross-run result caching)
+    # and that was never unpersisted (r12 verdict item 7; see tpch_q11).
     t = load_tables(spark, sf_dir)
     l, s = t["lineitem"], t["supplier"]  # noqa: E741
     revenue = (
@@ -822,7 +834,7 @@ def tpch_q15(spark, sf_dir):
         )
         .groupBy(l["l_suppkey"].alias("supplier_no"))
         .agg(F.sum(_rev(l)).cast("double").alias("total_revenue"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     top = (
