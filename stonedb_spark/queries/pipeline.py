@@ -384,22 +384,64 @@ LIMIT 20
     doc="IVF coarse-quantized k-NN: nlist hash-seeded centroids, nprobe-cell probe",
 )
 def knn_ivf_probe(spark, sf_dir):
+    # r13 rewrite (guide §2.4, remove shuffles outright): the old shape
+    # materialized the full (vec_id, cid) assignment as a sort-aggregate
+    # over an n×nlist scored stream, EXCHANGED it on vec_id, and joined
+    # embeddings back onto it — at sf0.1 the planner even broadcast the
+    # whole embeddings table to do so.  But nlist is 16: collapse the
+    # centroid table to ONE row holding array<struct(cid, cvec)> and the
+    # probe's top-nprobe cid set, broadcast that, and resolve each
+    # vector's nearest cell as a map-side array_max over the 16 cosines
+    # (identical arithmetic count — the cross join also scored all 16 —
+    # with identical (sim DESC, cid ASC) tie-breaks via struct(sim,
+    # -cid) ordering).  ONE scan of embeddings, zero exchanges of any
+    # n-row frame; the only shuffle-like step left is TakeOrdered's
+    # partial top-20 merge.  Honest A/B at sf0.1 (post cross-run-cache
+    # removal): 1.28 s → see OPTIMIZATION_r13.md.
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    # build-once index per (session, sf_dir): probes measure probe cost
-    c, assign = S.ivf_index(e, sf_dir)
-    probe = (
-        c.crossJoin(F.broadcast(q))
-        .select("cid", S.cosine(F.col("cvec"), F.col("qv")).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("cid"))
-        .limit(S.IVF_NPROBE)
-        .select("cid")
+    # 1-row frame: all nlist centroids + the probe's top-nprobe cids,
+    # ordered exactly as the old orderBy(sim DESC, cid ASC).limit(nprobe)
+    cents = (
+        S.ivf_centroids(e)
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cents",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda s: F.struct(
+                                (-S.cosine(s["cvec"], F.col("qv"))).alias("ns"),
+                                s["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    S.IVF_NPROBE,
+                ),
+                lambda x: x["cid"],
+            ).alias("probe"),
+            "qv",
+        )
+    )
+    # nearest cell per vector: max over struct(sim, -cid) == the old
+    # max(struct(sim, -cid, cid)) aggregate (ties → smallest cid)
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                S.cosine(F.col("embedding"), s["cvec"]).alias("sim"),
+                (-s["cid"]).alias("nid"),
+            ),
+        )
     )
     return (
-        e.join(assign, "vec_id")
-        .join(F.broadcast(probe), "cid")
-        .crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(cents))
+        .filter(F.array_contains(F.col("probe"), -best["nid"]))
         .select(
             "vec_id",
             F.round(S.cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"),
