@@ -29,6 +29,43 @@ from stonedb_spark.queries import register
 
 B = F.broadcast
 
+# --------------------------------------------------------------------------
+# Scale gate for explicit broadcast hints on SF-GROWING dims (r12 verdict
+# item 2 / ADVICE): q5/q7 pre-join a pruned customer projection onto
+# orders.  The pre-join is right at any scale; the unconditional B() hint
+# is not — customer grows 150k×SF rows, so at SF≈100k (the ~100 TB point)
+# the pruned dim blows the 8 GB / 512M-row broadcast hard cap and OOMs
+# the driver.  Estimate the pruned dim's in-memory hashed-relation size
+# from the source table's ON-DISK bytes (plain os.stat — no Spark job,
+# no collect) and hint only under the cap; above it the same pre-join
+# ships un-hinted and the planner shuffles it (the selectivity win
+# survives, only the join strategy changes).
+_BCAST_DIM_CAP = 512 << 20  # est. in-memory bytes; ≪ the 8 GB hard cap
+_DISK_BYTES_PER_ROW = 16  # fixtures measure ~21 B/row zstd — undershoot
+_HASHED_RELATION_FACTOR = 8  # LongHashedRelation overhead vs payload
+
+
+def _dim_fits_broadcast(
+    sf_dir: str, table: str, selectivity: float, payload_bytes_per_row: int
+) -> bool:
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_BCAST_DIM_CAP", _BCAST_DIM_CAP))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        disk = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+    elif os.path.isfile(path):
+        disk = os.path.getsize(path)
+    else:  # non-local layout: trust the planner, skip the hint
+        return False
+    est_rows = disk / _DISK_BYTES_PER_ROW
+    est_mem = est_rows * selectivity * payload_bytes_per_row
+    return est_mem * _HASHED_RELATION_FACTOR <= cap
+
 
 def _rev(l):  # noqa: E741
     return (l["l_extendedprice"] * (1 - l["l_discount"])).cast(DEC)
@@ -255,14 +292,25 @@ ORDER BY o_orderpriority
 def tpch_q4(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     o, l = t["orders"], t["lineitem"]  # noqa: E741
+    # r13 (r12 verdict item 6): push the orders date window through the
+    # EXISTS correlation onto the lineitem SCAN.  Equivalence: a
+    # witnessing line satisfies l_shipdate > o_orderdate and every
+    # surviving order has o_orderdate >= 1996-01-01, so every witness
+    # has l_shipdate > 1996-01-01 — pre-filtering lineitem to that
+    # window drops no witness, and a left-semi join only asks for
+    # witness EXISTENCE.  Catalyst cannot derive this (the bound runs
+    # through the join's inequality), so the scan read all of lineitem;
+    # now PushedFilters carries GreaterThan(l_shipdate) and row groups
+    # before 1996 never leave parquet.
+    lw = l.filter(l["l_shipdate"] > F.lit("1996-01-01").cast("timestamp"))
     return (
         o.filter(
             (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
             & (o["o_orderdate"] < F.lit("1996-07-01").cast("timestamp"))
         )
         .join(
-            l,
-            (l["l_orderkey"] == o["o_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+            lw,
+            (lw["l_orderkey"] == o["o_orderkey"]) & (lw["l_shipdate"] > o["o_orderdate"]),
             "left_semi",
         )
         .groupBy("o_orderpriority")
@@ -309,24 +357,29 @@ def tpch_q5(spark, sf_dir):
         c["c_nationkey"] == F.col("asia_key"),
         "left_semi",
     )
-    # r12: the customer dim is consumed as a BROADCAST onto the
-    # date-filtered orders BEFORE the lineitem join (c2 projected to
-    # (c_custkey, c_nationkey): 3M rows ≈ 50 MB at SF100), so the
-    # orderkey join's orders side arrives pre-shrunk by both the date
-    # range and the ASIA membership instead of shuffling customer⋈orders
-    # first (guide §3.1/§3.2).  Interleaved min-of-5 at sf1:
-    # 2.58 s → 2.00 s, identical rows.
+    # r12: the customer dim is consumed onto the date-filtered orders
+    # BEFORE the lineitem join (c2 projected to (c_custkey, c_nationkey):
+    # 3M rows ≈ 50 MB at SF100), so the orderkey join's orders side
+    # arrives pre-shrunk by both the date range and the ASIA membership
+    # instead of shuffling customer⋈orders first (guide §3.1/§3.2).
+    # Interleaved min-of-5 at sf1: 2.58 s → 2.00 s, identical rows.
+    # r13: the broadcast HINT is scale-gated (ASIA keeps 1/5 of
+    # customers × 16 B payload); above the cap the pre-join stays but
+    # shuffles (§3.3 — a hint must not bypass the 8 GB broadcast limit).
+    c2p = c2.select("c_custkey", "c_nationkey")
+    if _dim_fits_broadcast(sf_dir, "customer", 1 / 5, 16):
+        c2p = B(c2p)
     o2 = o.filter(
         (o["o_orderdate"] >= F.lit("1996-01-01").cast("timestamp"))
         & (o["o_orderdate"] < F.lit("1997-01-01").cast("timestamp"))
-    ).join(
-        B(c2.select("c_custkey", "c_nationkey")),
-        o["o_custkey"] == F.col("c_custkey"),
-    )
+    ).join(c2p, o["o_custkey"] == F.col("c_custkey"))
+    # same gate for the supplier-side hint (supplier is 10k×SF rows —
+    # 1/15 of customer, but still SF-growing; payload ≈ 2 keys + n_name)
+    s2h = B(s2) if _dim_fits_broadcast(sf_dir, "supplier", 1 / 5, 40) else s2
     return (
         o2.join(l, l["l_orderkey"] == o2["o_orderkey"])
         .join(
-            B(s2),
+            s2h,
             (l["l_suppkey"] == s2["s_suppkey"]) & (o2["c_nationkey"] == s2["s_nationkey"]),
         )
         .groupBy("n_name")
@@ -419,16 +472,18 @@ def tpch_q7(spark, sf_dir):
     )
     s2 = s.join(B(n1), s["s_nationkey"] == F.col("n1_key"))
     c2 = c.join(B(n2), c["c_nationkey"] == F.col("n2_key"))
-    # r12: broadcast the pruned customer dim (2/25 of customers; 1.2M
+    # r12: join the pruned customer dim (2/25 of customers; 1.2M
     # rows ≈ 20 MB at SF100) onto orders BEFORE the orderkey fact join,
     # so the orders side of the one remaining big SMJ shrinks ~12×
     # up front instead of shuffling in full and dropping rows at the
     # last join (guide §3.2 "reduce the big side before shuffling").
     # Interleaved min-of-5 at sf1: 2.05 s → 1.47 s, identical rows.
-    o2 = o.join(
-        B(c2.select("c_custkey", "cust_nation")),
-        o["o_custkey"] == F.col("c_custkey"),
-    )
+    # r13: the broadcast HINT is scale-gated (see _dim_fits_broadcast;
+    # payload ≈ key + 8-char nation); the pre-join itself always stays.
+    c2p = c2.select("c_custkey", "cust_nation")
+    if _dim_fits_broadcast(sf_dir, "customer", 2 / 25, 24):
+        c2p = B(c2p)
+    o2 = o.join(c2p, o["o_custkey"] == F.col("c_custkey"))
     joined = (
         s2.join(l, s2["s_suppkey"] == l["l_suppkey"])
         .join(o2, o2["o_orderkey"] == l["l_orderkey"])
