@@ -176,7 +176,25 @@ def _time_battery(spark, names, sf_dir, runs, warmup):
     return times
 
 
+def _wait_for_idle() -> float:
+    """Bounded wait for the repo's idle rule (r12 verdict item 3): the
+    r12 driver bench started at loadavg 3.38 and every untouched query
+    read ~1.3× slower than its r11 number — pure environment.  Wait up
+    to SPARK_GRAFT_IDLE_WAIT_SEC (default 240 s) for the 1-min loadavg
+    to drop below SPARK_GRAFT_IDLE_MAX (default 0.5), then proceed
+    REGARDLESS (a bench that can hang is worse than a noisy one; the
+    loadavg_start field still exposes a contaminated run).  Returns the
+    seconds actually waited, recorded in the output JSON."""
+    limit = float(os.environ.get("SPARK_GRAFT_IDLE_MAX", "0.5"))
+    budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_SEC", "240"))
+    t0 = time.perf_counter()
+    while os.getloadavg()[0] >= limit and time.perf_counter() - t0 < budget:
+        time.sleep(5.0)
+    return round(time.perf_counter() - t0, 1)
+
+
 def main() -> None:
+    idle_waited = _wait_for_idle()
     t_bench0 = time.perf_counter()
     loadavg_start = list(os.getloadavg())
     spark = get_spark("stonedb_spark-bench")
@@ -240,6 +258,7 @@ def main() -> None:
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
     out["loadavg_start"] = [round(x, 2) for x in loadavg_start]
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    out["idle_waited_sec"] = idle_waited
     out["bench_wall_sec"] = round(time.perf_counter() - t_bench0, 1)
     print(json.dumps(out))
 

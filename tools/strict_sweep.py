@@ -140,12 +140,16 @@ def sweep(
     prefixes: tuple[str, ...],
     sf_dir: str | None = None,
     artifact: str | None = None,
+    names: list[str] | None = None,
 ) -> int:
     sf = sf_dir or SF_DIR
     spark = get_spark("strict-sweep")
     con = duckdb_connection(sf)
     qs = all_queries()
-    names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
+    if names is None:
+        names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
+    else:
+        names = sorted(names)
     n_bad = 0
     records: dict[str, dict] = {}
 
