@@ -119,9 +119,19 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     keyed on the canonical plan (parquet path included), so a later
     fresh build() of the same query silently reused this run's blocks —
     cross-run result caching the bench contract forbids — and the entry
-    was never unpersisted (r12 verdict item 7)."""
+    was never unpersisted (r12 verdict item 7).
+
+    ``sizes`` is likewise a lazy checkpoint (r13): the two size joins
+    (d1 and d2) each re-aggregated the whole stream — the r12 plan
+    carried TWO identical HashAggregate+Exchange subtrees that
+    ReuseExchange failed to fold — so the per-doc count now runs once
+    over the checkpointed stream instead of twice (guide §2.4)."""
     sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -157,15 +167,28 @@ def jaccard_pairs(
     max_df drops shingles present in more than that many docs (document
     frequency cap): they explode the inverted-index join quadratically
     while contributing no discriminative signal.
-    """
+
+    r13 (guide §2.4, one exchange of the shingle stream): the cap is a
+    COUNT() window over the stream partitioned by shingle — the window's
+    required hashpartitioning(shingle) is the stream's only exchange —
+    instead of the old shape (a second full shingle explode feeding a
+    groupBy(shingle) aggregate, then an equi-join of the two streams:
+    2 explodes + 3 exchanges).  Identical semantics: the window counts
+    exactly what the aggregate counted, and rows with count > max_df
+    are dropped either way.  Skew note: a hot stop-shingle lands in one
+    window group, but it did the same on the join/aggregate path; the
+    window buffer spills (UnsafeExternalSorter), and the cap then drops
+    the group before the quadratic self-join — measured at sf0.1:
+    0.92 s → 0.73 s for the capped stream (noop sink, min-of-5
+    interleaved)."""
     sh = _shingle_rows(docs, text_col, k)
-    df_ok = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+    w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
-    return _jaccard_from_shingles(sh.join(df_ok, "shingle"), threshold)
+    return _jaccard_from_shingles(capped, threshold)
 
 
 def _minhash_col(seed: int) -> Column:
@@ -314,9 +337,26 @@ def connected_components(
     the identity-init form on dedup_clusters at sf0.1 (interleaved
     min-of-4, OPTIMIZATION_r12.md).
     """
+    # Symmetrize with ONE explode per pair row, not union(e, swap(e)):
+    # the union duplicated the whole upstream pair-generation subtree
+    # (for dedup_clusters that is the quadratic jaccard self-join), so
+    # materializing the edge list executed it twice (r13, guide §2.4 —
+    # don't compute things twice).  Persist + unpersist stays: the edge
+    # list is consumed only by in-build actions, so the cache entry dies
+    # inside this build (no cross-run reuse).
     e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
